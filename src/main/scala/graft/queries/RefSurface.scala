@@ -1,0 +1,454 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.etl.SalesEtl
+
+/** Harness queries covering the reference operator inventory (SURVEY §2),
+  * each paired with an ANSI-SQL DuckDB oracle over the same parquet tables.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - every output has a total ORDER BY on non-null unique keys;
+  *  - double sums are quantized to integer cents BEFORE summation
+  *    (`sum(cast(floor(x*100+0.5) as long))`) so the result is
+  *    order-independent and bit-identical in both engines;
+  *  - rounding is `floor(x*100+0.5)/100` — pure IEEE ops, identical in
+  *    Spark and DuckDB;
+  *  - timestamps cross the engine boundary as formatted strings (parquet
+  *    timestamp tz-awareness differs between writers).
+  */
+object RefSurface {
+
+  /** Order-independent, cross-engine-exact sum of a money-like double. */
+  private def centsSum(c: Column): Column =
+    sum(floor(c * 100 + 0.5).cast("long")) / 100.0
+
+  private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Keep-first order for the synthetic sales feed: `_ord` leads, but
+    * `lineitem` contains duplicate `(orderkey, linenumber)` rows with
+    * different payloads, so the raw payload columns tie-break to make the
+    * order total (same `ORDER BY ... NULLS FIRST` in the oracle CTE).
+    */
+  private val salesOrder: Seq[Column] =
+    Seq(col("_ord"), col("Product"), col("Amount"), col("Date"), col("Audit_Date"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Q1: limpiar_ventas_validas (P1-P5,P8-P11,P13,P14,P18,M1) -------
+    "q1_clean_valid" -> ((s, dir) => {
+      val valid = SalesEtl.cleanValidSales(
+        SyntheticSales(s, dir), orderCols = salesOrder, round2 = SalesEtl.halfUpCents)
+      SalesEtl.formatDates(valid).orderBy("Sale_ID")
+    }),
+
+    // ---- Q2: limpiar_ventas_invalidas (P6,P7,P15-P17,M2,M3) -------------
+    "q2_detect_invalid" -> ((s, dir) => {
+      val inv = SalesEtl.detectInvalidSales(SyntheticSales(s, dir))
+      SalesEtl.formatDates(inv)
+        .select(col("_block"), col("_ord"), col("Sale_ID"), col("Product"),
+          col("Amount"), col("Date"), col("Audit_Date"), col("Reason"))
+        .orderBy("_block", "_ord", "Sale_ID", "Product", "Amount", "Date",
+          "Audit_Date", "Reason")
+        .select("Sale_ID", "Product", "Amount", "Date", "Audit_Date", "Reason")
+    }),
+
+    // ---- Q3: monthly summary (P12,P19,M4) -------------------------------
+    "q3_monthly_summary" -> ((s, dir) => {
+      val valid = SalesEtl.cleanValidSales(
+        SyntheticSales(s, dir), orderCols = salesOrder, round2 = SalesEtl.halfUpCents)
+      valid.withColumn("Mes", date_format(col("Date"), "MM/yyyy"))
+        .groupBy(col("Mes"), col("Product").as("Producto"))
+        .agg(
+          centsSum(col("Amount")).as("Ventas_Totales"),
+          count("Amount").as("Numero_Transacciones"),
+          min("Amount").as("Venta_Minima"))
+        .orderBy("Mes", "Producto")
+    }),
+
+    // ---- Q4: formatear_fechas (P13) -------------------------------------
+    "q4_format_dates" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val withRaw = o.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 19 === 0, lit("not a date"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("Date"),
+        col("o_orderdate").as("Audit_Date"))
+      SalesEtl.formatDates(withRaw).orderBy("o_orderkey")
+    }),
+
+    // ---- P1-P7 string scalar ops ----------------------------------------
+    "p_string_ops" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+      p.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"),
+        element_at(split(col("p_type"), " "), -1).as("type_last"),
+        regexp_replace(col("p_type"), "ANODIZED|BURNISHED", "").as("type_stripped"),
+        col("p_type").endsWith("STEEL").as("is_steel"),
+        col("p_type").rlike("BRASS|COPPER").as("has_metal"),
+        upper(coalesce(
+          when(col("p_brand") === "Brand#13", lit(null)).otherwise(col("p_brand")),
+          lit("nan"))).as("brand_nan"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- P8-P10 numeric scalar ops --------------------------------------
+    "p_numeric_ops" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val cents = col("l_partkey") % 100000
+      val str = concat(
+        (cents / 100).cast("long").cast("string"), lit("."),
+        lpad((cents % 100).cast("string"), 2, "0"))
+      val parsed = when(col("l_linenumber") === 7, lit("oops"))
+        .otherwise(str).try_cast(org.apache.spark.sql.types.DoubleType)
+      val converted = when(col("l_returnflag") === "R", parsed * 0.85).otherwise(parsed)
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        parsed.as("parsed"),
+        converted.as("converted"),
+        (floor(converted * 100 + 0.5) / 100.0).as("rounded_half_up"),
+        (bround(converted * 100, 0) / 100.0).as("rounded_half_even"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- P11-P13 date ops ------------------------------------------------
+    "p_date_ops" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val raw = when(col("o_orderkey") % 19 === 0, lit("garbage"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      val parsed = try_to_timestamp(raw)
+      o.select(
+        col("o_orderkey"),
+        date_format(parsed, "yyyy-MM-dd HH:mm:ss").as("parsed_str"),
+        date_format(col("o_orderdate"), "MM/yyyy").as("mes"),
+        fmt(col("o_orderdate")).as("iso"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- P14-P18 null handling ------------------------------------------
+    "p_null_ops" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val acct = when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal"))
+      val mkt = when(col("c_custkey") % 11 === 0, lit(null)).otherwise(col("c_mktsegment"))
+      c.select(col("c_custkey"), acct.as("acct_n"), mkt.as("mkt_n"))
+        .withColumn("any_null", col("acct_n").isNull || col("mkt_n").isNull)
+        .filter(!col("any_null"))
+        .withColumn("tag", lit("K"))
+        .drop("any_null")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- M1 keep-first dedup --------------------------------------------
+    // lineitem's (orderkey, linenumber) is NOT unique, so the keep-first
+    // order tie-breaks on the full payload to stay deterministic.
+    "m1_dedup_keep_first" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+          "l_linestatus", "l_shipdate")
+      li.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- M2 duplicate flag (all copies) ---------------------------------
+    "m2_duplicate_flag" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+      o.select(
+        col("o_orderkey"), col("o_custkey"),
+        (count(lit(1)).over(w) > 1).as("is_dup"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- M3 union-by-name with missing columns --------------------------
+    "m3_union_by_name" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+        .select(col("n_name").as("name"), lit("nation").as("src"),
+          col("n_regionkey").as("rk"))
+      val r = Tables(s, dir, "region")
+        .select(lit("region").as("src"), col("r_name").as("name"))
+      n.unionByName(r, allowMissingColumns = true).orderBy("src", "name")
+    }),
+
+    // ---- M4 / TPC-H Q1-shaped pricing summary ---------------------------
+    "agg_pricing_summary" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          centsSum(col("l_quantity")).as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("sum_base_price"),
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- broadcast join + agg -------------------------------------------
+    "j1_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      val nat = Tables(s, dir, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // ---- semi / anti joins ----------------------------------------------
+    "j2_semi_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("tag"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("tag"))
+      semi.unionByName(anti).orderBy("c_custkey")
+    }),
+
+    // ---- shuffle join + window top-k ------------------------------------
+    "j3_topk_orders_per_customer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("c_custkey", "rn")
+    })
+  )
+
+  // ======================================================================
+  // DuckDB oracles
+  // ======================================================================
+
+  private val salesCte = s"WITH sales AS (${SyntheticSales.sql})"
+
+  /** Q1's cleaning chain as reusable CTE suffix (through the valid set). */
+  private val validCte = s"""
+    $salesCte,
+    up AS (
+      SELECT upper("Sale_ID") AS sid, "Product" AS product, "Amount" AS amount,
+             "Date" AS d, "Audit_Date" AS ad, _ord
+      FROM sales WHERE "Sale_ID" IS NOT NULL),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY sid
+          ORDER BY _ord, product NULLS FIRST, amount NULLS FIRST,
+                   d NULLS FIRST, ad NULLS FIRST) AS rn
+        FROM up)
+      WHERE rn = 1),
+    prodf AS (
+      SELECT *, (string_split(trim(upper(product)), '-'))[-1] AS p2
+      FROM dedup
+      WHERE (string_split(trim(upper(product)), '-'))[-1] IS NOT NULL),
+    amt AS (
+      SELECT *,
+        TRY_CAST(replace(replace(amount, 'USD', ''), 'EUR', '') AS DOUBLE) AS a0,
+        coalesce(ends_with(amount, 'EUR'), false) AS iseur
+      FROM prodf),
+    amtf AS (
+      SELECT *, floor((CASE WHEN iseur THEN a0 * 0.85 ELSE a0 END) * 100 + 0.5) / 100.0 AS a2
+      FROM amt
+      WHERE floor((CASE WHEN iseur THEN a0 * 0.85 ELSE a0 END) * 100 + 0.5) / 100.0 IS NOT NULL),
+    valid AS (
+      SELECT sid, p2, a2, TRY_CAST(d AS TIMESTAMP) AS dts, ad
+      FROM amtf
+      WHERE TRY_CAST(d AS TIMESTAMP) IS NOT NULL AND ad IS NOT NULL)
+  """
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_clean_valid" -> s"""
+      $validCte
+      SELECT sid AS "Sale_ID", p2 AS "Product", a2 AS "Amount",
+             strftime(dts, '%Y-%m-%d') AS "Date",
+             strftime(ad, '%Y-%m-%d') AS "Audit_Date"
+      FROM valid ORDER BY sid
+    """,
+
+    "q2_detect_invalid" -> s"""
+      $salesCte,
+      clean AS (
+        SELECT upper(coalesce("Sale_ID", 'nan')) AS sid,
+               upper((string_split(coalesce("Product", 'nan'), '-'))[-1]) AS prod,
+               "Amount" AS amount, "Date" AS d, "Audit_Date" AS ad, _ord
+        FROM sales),
+      n_rows AS (
+        SELECT sid, prod, amount, d, ad, 'N' AS reason, 1 AS blk, _ord
+        FROM clean WHERE amount IS NULL OR d IS NULL OR ad IS NULL),
+      nn AS (
+        SELECT * FROM clean
+        WHERE amount IS NOT NULL AND d IS NOT NULL AND ad IS NOT NULL),
+      a_rows AS (
+        SELECT sid, prod, amount, d, ad, 'A' AS reason, 2 AS blk, _ord
+        FROM nn WHERE NOT regexp_matches(upper(amount), 'USD|EUR')),
+      rest AS (
+        SELECT * FROM nn WHERE regexp_matches(upper(amount), 'USD|EUR')),
+      d_rows AS (
+        SELECT sid, prod, amount, d, ad, 'D' AS reason, 3 AS blk, _ord
+        FROM (SELECT *, count(*) OVER (PARTITION BY sid) AS c FROM rest)
+        WHERE c > 1)
+      SELECT "Sale_ID", "Product", "Amount", "Date", "Audit_Date", "Reason"
+      FROM (
+        SELECT sid AS "Sale_ID", prod AS "Product", amount AS "Amount",
+               strftime(TRY_CAST(d AS TIMESTAMP), '%Y-%m-%d') AS "Date",
+               strftime(ad, '%Y-%m-%d') AS "Audit_Date", reason AS "Reason",
+               blk, _ord
+        FROM (SELECT * FROM n_rows UNION ALL SELECT * FROM a_rows
+              UNION ALL SELECT * FROM d_rows))
+      ORDER BY blk, _ord, "Sale_ID" NULLS FIRST, "Product" NULLS FIRST,
+               "Amount" NULLS FIRST, "Date" NULLS FIRST,
+               "Audit_Date" NULLS FIRST, "Reason" NULLS FIRST
+    """,
+
+    "q3_monthly_summary" -> s"""
+      $validCte
+      SELECT strftime(dts, '%m/%Y') AS "Mes", p2 AS "Producto",
+             sum(CAST(floor(a2 * 100 + 0.5) AS BIGINT)) / 100.0 AS "Ventas_Totales",
+             count(a2) AS "Numero_Transacciones",
+             min(a2) AS "Venta_Minima"
+      FROM valid GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    "q4_format_dates" -> """
+      SELECT o_orderkey,
+             strftime(TRY_CAST(CASE WHEN o_orderkey % 19 = 0 THEN 'not a date'
+                    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS TIMESTAMP),
+                    '%Y-%m-%d') AS "Date",
+             strftime(o_orderdate, '%Y-%m-%d') AS "Audit_Date"
+      FROM orders ORDER BY o_orderkey
+    """,
+
+    "p_string_ops" -> """
+      SELECT p_partkey,
+             upper(p_name) AS name_upper,
+             trim('  ' || p_brand || '  ') AS brand_trim,
+             (string_split(p_type, ' '))[-1] AS type_last,
+             regexp_replace(p_type, 'ANODIZED|BURNISHED', '', 'g') AS type_stripped,
+             ends_with(p_type, 'STEEL') AS is_steel,
+             regexp_matches(p_type, 'BRASS|COPPER') AS has_metal,
+             upper(coalesce(CASE WHEN p_brand = 'Brand#13' THEN NULL ELSE p_brand END,
+                            'nan')) AS brand_nan
+      FROM part ORDER BY p_partkey
+    """,
+
+    "p_numeric_ops" -> """
+      WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CAST((l_partkey % 100000) // 100 AS VARCHAR) || '.' ||
+               lpad(CAST((l_partkey % 100000) % 100 AS VARCHAR), 2, '0') AS s
+        FROM lineitem),
+      parsedt AS (
+        SELECT l_orderkey, l_linenumber,
+               TRY_CAST(CASE WHEN l_linenumber = 7 THEN 'oops' ELSE s END AS DOUBLE) AS parsed,
+               l_returnflag
+        FROM base),
+      conv AS (
+        SELECT l_orderkey, l_linenumber, parsed,
+               CASE WHEN l_returnflag = 'R' THEN parsed * 0.85 ELSE parsed END AS converted
+        FROM parsedt)
+      SELECT l_orderkey, l_linenumber, parsed, converted,
+             floor(converted * 100 + 0.5) / 100.0 AS rounded_half_up,
+             round_even(converted * 100, 0) / 100.0 AS rounded_half_even
+      FROM conv ORDER BY l_orderkey, l_linenumber
+    """,
+
+    "p_date_ops" -> """
+      SELECT o_orderkey,
+             strftime(TRY_CAST(CASE WHEN o_orderkey % 19 = 0 THEN 'garbage'
+                    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS parsed_str,
+             strftime(o_orderdate, '%m/%Y') AS mes,
+             strftime(o_orderdate, '%Y-%m-%d') AS iso
+      FROM orders ORDER BY o_orderkey
+    """,
+
+    "p_null_ops" -> """
+      WITH w AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS acct_n,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS mkt_n
+        FROM customer)
+      SELECT c_custkey, acct_n, mkt_n, 'K' AS tag
+      FROM w WHERE NOT (acct_n IS NULL OR mkt_n IS NULL)
+      ORDER BY c_custkey
+    """,
+
+    "m1_dedup_keep_first" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                   l_extendedprice, l_discount, l_tax, l_returnflag,
+                   l_linestatus, l_shipdate) AS rn
+        FROM lineitem)
+      WHERE rn = 1 ORDER BY l_orderkey
+    """,
+
+    "m2_duplicate_flag" -> """
+      SELECT o_orderkey, o_custkey,
+             count(*) OVER (PARTITION BY o_custkey) > 1 AS is_dup
+      FROM orders ORDER BY o_orderkey
+    """,
+
+    "m3_union_by_name" -> """
+      SELECT n_name AS name, 'nation' AS src, n_regionkey AS rk FROM nation
+      UNION ALL
+      SELECT r_name AS name, 'region' AS src, NULL AS rk FROM region
+      ORDER BY src, name
+    """,
+
+    "agg_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_charge,
+             count(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """,
+
+    "j1_revenue_by_nation" -> """
+      SELECT n_name,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name
+    """,
+
+    "j2_semi_anti" -> """
+      SELECT c_custkey, 'has_orders' AS tag FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c_custkey, 'no_orders' AS tag FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey
+    """,
+
+    "j3_topk_orders_per_customer" -> """
+      SELECT c_custkey, c_name, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) o
+      JOIN customer ON o.o_custkey = c_custkey
+      WHERE rn <= 3 ORDER BY c_custkey, rn
+    """
+  )
+}
