@@ -56,13 +56,18 @@ object SalesEtl {
     *        (`drop_duplicates(keep='first')`, `main.py:63`). pandas
     *        keep-first is ingestion-order-dependent; Spark needs the order
     *        made explicit — and it must be a TOTAL order (add payload
-    *        columns as tiebreakers if the leading key can repeat).
+    *        columns as tiebreakers if the leading key can repeat). The
+    *        default matches `SalesSource.readSalesDirectory`'s documented
+    *        ingestion order: file path first (pandas enumerates files in
+    *        name order), then id-within-scan — NOT `_ingest_id` alone,
+    *        whose partition-index prefix follows Spark's size-descending
+    *        file bin-packing rather than filename order.
     * @param round2 rounding strategy (numpyRound2 for pandas fidelity;
     *        halfUpCents for cross-engine-deterministic oracle queries).
     */
   def cleanValidSales(
       df: DataFrame,
-      orderCols: Seq[Column] = Seq(col("_ingest_id")),
+      orderCols: Seq[Column] = Seq(col("_ingest_file"), col("_ingest_id")),
       round2: Column => Column = numpyRound2): DataFrame = {
     // ---- Sale_ID: upper, drop nulls, keep-first dedup (main.py:59-63)
     val w = Window.partitionBy("Sale_ID").orderBy(orderCols: _*)
@@ -118,22 +123,26 @@ object SalesEtl {
     // unreachable here (null Amount rows are Reason=N).
     val hasCurrency = coalesce(upper(col("Amount")).rlike("USD|EUR"), lit(false))
 
-    val flagged = d.withColumn("_null", anyNull).withColumn("_cur", hasCurrency)
-    val nRows = flagged.filter(col("_null"))
-      .withColumn("Reason", lit("N")).withColumn("_block", lit(1))
-    val aRows = flagged.filter(!col("_null") && !col("_cur"))
-      .withColumn("Reason", lit("A")).withColumn("_block", lit(2))
-    // D: ALL copies of a duplicated Sale_ID among the remaining rows
-    // (duplicated(keep=False), main.py:136) — windowed count > 1.
-    val rest = flagged.filter(!col("_null") && col("_cur"))
+    // Single pass (vs the pandas 3-way frame split at main.py:119-141):
+    // the D rule only counts duplicates among rows that survived N and A
+    // (duplicated(keep=False) on the remaining frame, main.py:136), so the
+    // per-Sale_ID copy count is a CONDITIONAL window sum over the same
+    // scan instead of a filter → window → union-back-together. One read of
+    // the input + one hash exchange on Sale_ID; the cascaded `when`
+    // preserves the strict N > A > D priority.
     val wDup = Window.partitionBy("Sale_ID")
-    val dRows = rest
-      .withColumn("_cnt", count(lit(1)).over(wDup))
-      .filter(col("_cnt") > 1)
-      .drop("_cnt")
-      .withColumn("Reason", lit("D")).withColumn("_block", lit(3))
-
-    nRows.unionByName(aRows).unionByName(dRows).drop("_null", "_cur")
+    val restCopies =
+      sum(when(!anyNull && hasCurrency, 1).otherwise(0)).over(wDup)
+    d.withColumn(
+        "Reason",
+        when(anyNull, "N")
+          .when(!hasCurrency, "A")
+          .when(restCopies > 1, "D"))
+      .filter(col("Reason").isNotNull)
+      // N-block, then A, then D — the reference's concat order (main.py:141)
+      .withColumn(
+        "_block",
+        when(col("Reason") === "N", 1).when(col("Reason") === "A", 2).otherwise(3))
   }
 
   /** Q3 — `generar_ventas_resumen_mensual` (`main.py:156-179`): Mes

@@ -110,7 +110,12 @@ object RefSurface {
         converted.as("converted"),
         (floor(converted * 100 + 0.5) / 100.0).as("rounded_half_up"),
         (bround(converted * 100, 0) / 100.0).as("rounded_half_even"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the feed; `parsed`
+        // tie-breaks so the order is total over distinct output rows
+        // (rows still tied have every output column equal). Spark sorts
+        // nulls first on ASC — the oracle says NULLS FIRST explicitly.
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("parsed").asc_nulls_first, col("converted").asc_nulls_first)
     }),
 
     // ---- P11-P13 date ops ------------------------------------------------
@@ -362,7 +367,8 @@ object RefSurface {
       SELECT l_orderkey, l_linenumber, parsed, converted,
              floor(converted * 100 + 0.5) / 100.0 AS rounded_half_up,
              round_even(converted * 100, 0) / 100.0 AS rounded_half_even
-      FROM conv ORDER BY l_orderkey, l_linenumber
+      FROM conv ORDER BY l_orderkey, l_linenumber,
+                         parsed NULLS FIRST, converted NULLS FIRST
     """,
 
     "p_date_ops" -> """

@@ -34,9 +34,12 @@ object Sinks {
   def writeCsvGolden(df: DataFrame, target: String): Unit = {
     val tmp = Files.createTempDirectory("graft-csv-").toString + "/out"
     csvWriter(df.coalesce(1)).mode(SaveMode.Overwrite).csv(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file written under $tmp"))
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $tmp"))
+      finally listing.close()
     val out = Paths.get(target)
     if (out.getParent != null) Files.createDirectories(out.getParent)
     val bytes = Files.readAllBytes(part)

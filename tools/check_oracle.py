@@ -39,7 +39,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        parts = glob.glob(f"{out_dir}/{name}/*.parquet")
+        parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not parts:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
