@@ -13,11 +13,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RefSurface.queries("q3_monthly_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-data-pipeline extension surface (BASELINE.json north star).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefSurface.queries
+    RefSurface.queries ++ graft.queries.LlmSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = RefSurface.oracleSql
+  def oracleSql: Map[String, String] =
+    RefSurface.oracleSql ++ graft.queries.LlmSurface.oracleSql
 }

@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded executor-side in batches.
+  *
+  * The decode itself is a STUB — no image/audio codecs ship in this
+  * container — but everything AROUND it is the real distributed shape:
+  * binary payload column, per-partition batched iteration (the Scala
+  * analogue of `mapInPandas` with arrow batch size 64), a typed
+  * `Dataset[MediaMeta]` result, and no data through the driver. Swapping
+  * [[stubDecode]] for a real JPEG/opus decoder changes nothing upstream
+  * or downstream.
+  *
+  * Scale: decode is embarrassingly parallel (narrow, per-partition);
+  * partition sizing is controlled by the upstream scan
+  * (`spark.sql.files.maxPartitionBytes`), and metadata-only downstream
+  * queries never re-read payload bytes thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  /** Typed decode result: payload size plus fake "decoded" dimensions. */
+  case class MediaMeta(
+      doc_id: Long,
+      byte_len: Int,
+      byte_sum: Long,
+      width: Int,
+      height: Int,
+      frames: Int)
+
+  /** STUB decoder — deterministic fake standing in for the real codec
+    * (??? boundary). Derives metadata purely from the payload bytes so
+    * tests and the DuckDB oracle can verify the distributed plumbing
+    * end-to-end: byte_sum is the unsigned byte total, dimensions are
+    * fixed modular functions of it.
+    */
+  def stubDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    MediaMeta(
+      doc_id = docId,
+      byte_len = bytes.length,
+      byte_sum = sum,
+      width = 64 + (sum % 577).toInt,
+      height = 64 + ((sum * 31) % 937).toInt,
+      frames = 1 + (bytes.length % 7))
+  }
+
+  /** Attach an opaque binary payload (here: the UTF-8 bytes of a text
+    * column, standing in for image bytes; a real ingest would read the
+    * blobs from object storage).
+    */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", col(textCol).cast("binary"))
+
+  /** Decode every payload to typed metadata, executor-side, in batches of
+    * 64 (mirrors an arrow-batched `mapInPandas` UDF's shape).
+    */
+  def decodeMeta(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => stubDecode(id, bytes) }
+        }
+      }
+  }
+}

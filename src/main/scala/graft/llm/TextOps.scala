@@ -1,0 +1,207 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators for LLM training-data curation: exact / near
+  * deduplication, document fingerprinting, SimHash, and per-document text
+  * statistics. None of this exists in the reference (SURVEY §2.6) — it is
+  * the BASELINE.json north-star extension surface, built Spark-first.
+  *
+  * Scale design (the 100 TB story):
+  *  - everything is Catalyst `Column` expressions or hash-partitioned
+  *    aggregations — no driver collects, no UDFs, no cross joins;
+  *  - exact dedup shuffles once on the content hash (high cardinality,
+  *    near-uniform — no skew);
+  *  - near-dup candidate generation is banded MinHash-LSH: candidate pairs
+  *    come from an EQUI-JOIN on (band, band-key), never an all-pairs
+  *    product. An O(n²) similarity join over 100 TB of documents is
+  *    rejected by construction — only documents sharing a band bucket are
+  *    compared, and the per-bucket fan-out is bounded by corpus
+  *    duplication, not corpus size;
+  *  - the hash family is md5-based (seeded by prefixing the seed index),
+  *    so signatures are deterministic across engines and runs — required
+  *    by the DuckDB oracle and useful operationally (incremental dedup
+  *    runs agree with historical ones).
+  */
+object TextOps {
+
+  /** Round a double ratio to 6 dp with pure IEEE ops that evaluate
+    * bit-identically in Spark and DuckDB (`floor(x*1e6+0.5)/1e6`).
+    */
+  def round6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
+  /** Whitespace word split (the corpus is single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as strings; fewer than `n` words → empty array.
+    * (Guarded because Spark `sequence(1, k)` with k<1 DESCENDS instead of
+    * returning empty.)
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Seeded string hash for the MinHash family: `md5("<seed>|" + s)`.
+    * Lowercase hex in both Spark and DuckDB; the string MIN of the hex is
+    * the min-hash (order on hex strings = order on the 128-bit value).
+    */
+  def seededMd5(seed: Int, s: Column): Column = md5(concat(lit(s"$seed|"), s))
+
+  /** Exact content dedup: keep-first (lowest `orderCol`) per content hash,
+    * annotated with the copy count. One shuffle on the sha — at 100 TB the
+    * hash is near-unique so partitions stay balanced.
+    */
+  def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val keyed = df.withColumn("content_sha", sha2(col(textCol), 256))
+    val w = Window.partitionBy("content_sha")
+    keyed
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("_rn", row_number().over(w.orderBy(orderCol)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Bag-of-words fingerprint: md5 of the sorted distinct word list.
+    * Invariant to word order and repetition — catches shuffled/near-exact
+    * rewrites that byte-hashing misses.
+    */
+  def wordsetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** One-permutation document min-hash (cheapest fingerprint): the min
+    * md5 over the document's words.
+    */
+  def minWordHash(text: Column): Column =
+    array_min(transform(words(text), w => md5(w)))
+
+  /** MinHash-LSH near-duplicate pairs over `idCol`/`textCol`.
+    *
+    * Pipeline: shingle → explode distinct → per-doc min-hash signature
+    * (`numBands*rowsPerBand` seeded hashes, one groupBy) → per-band key =
+    * md5 of the band's signature slice → self-EQUI-join on (band, key) →
+    * exact Jaccard verification on the candidate pairs only.
+    *
+    * With r rows/band and b bands, a pair with Jaccard J collides with
+    * probability 1-(1-J^r)^b — the standard S-curve; (r=3, b=4) centers
+    * the threshold near (1/b)^(1/r) ≈ 0.63.
+    *
+    * Returns (doc_a, doc_b, ca, cb, inter, jaccard) for verified pairs
+    * with jaccard ≥ `threshold`.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numBands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val id = col(idCol)
+    val exploded = df
+      .select(id.as("doc"), explode(wordShingles(col(textCol), shingleN)).as("s"))
+      .distinct()
+
+    val sigAggs = (0 until numHashes).map(i => min(seededMd5(i, col("s"))).as(s"h$i"))
+    val sigs = exploded.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
+
+    val bandCols = (0 until numBands).map { b =>
+      md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+        .as(s"b$b")
+    }
+    val stackExpr = (0 until numBands).map(b => s"$b, b$b").mkString(", ")
+    val bandRows = sigs.select(col("doc") +: bandCols: _*)
+      .selectExpr("doc", s"stack($numBands, $stackExpr) as (band, bkey)")
+
+    val cand = bandRows.select(col("band"), col("bkey"), col("doc").as("doc_a"))
+      .join(bandRows.select(col("band"), col("bkey"), col("doc").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    // Per-doc shingle sets are bounded by document length, so a per-row
+    // array is safe; intersection size is order-independent.
+    val sets = exploded.groupBy("doc")
+      .agg(collect_set("s").as("ss"), count(lit(1)).as("c"))
+    val verified = cand
+      .join(sets.select(col("doc").as("doc_a"), col("ss").as("sa"), col("c").as("ca")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("ss").as("sb"), col("c").as("cb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        round6(col("inter") / (col("ca") + col("cb") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+    verified.select("doc_a", "doc_b", "ca", "cb", "inter", "jaccard")
+  }
+
+  /** 60-bit SimHash over the document's words (frequency-weighted).
+    *
+    * Token hash = first 15 hex digits of md5 (60 bits, sign-safe in a
+    * LONG); per bit, sum +1/-1 over tokens; simhash bit b = 1 iff the sum
+    * is positive. Computed as one explode + one groupBy with 60 codegen'd
+    * conditional sums — a single hash-partitioned aggregation, no UDF.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"), explode(words(col(textCol))).as("w"))
+    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bs$b"))
+    val agg = tok.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60)
+      .map(b => when(col(s"bs$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc").as(idCol), sim.as("simhash"))
+  }
+
+  /** Hamming distance between two 60-bit SimHashes (near-dup radius
+    * query: distance ≤ k).
+    */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Per-document text statistics: char/word/distinct counts, average
+    * word length, type-token ratio, alphabetic token count (regex), and
+    * stopword ratio. All ratios pass through [[round6]] so they compare
+    * bit-exactly across engines.
+    */
+  def textStats(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val nWords = size(w)
+    val sumLens = aggregate(w, lit(0), (acc, x) => acc + length(x))
+    val nStops = size(filter(w, x => x.isin(stopwords: _*)))
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      nWords.as("n_words"),
+      size(array_distinct(w)).as("n_distinct"),
+      round6(sumLens / nWords.cast("double")).as("avg_word_len"),
+      round6(size(array_distinct(w)) / nWords.cast("double")).as("ttr"),
+      regexp_count(t, lit("[a-z]+")).as("alpha_tokens"),
+      round6(nStops / nWords.cast("double")).as("stop_ratio"))
+  }
+
+  /** Marker-word language-ID heuristic: score each language by counting
+    * its marker words (with multiplicity); predict the argmax, ties
+    * broken by language-code order. A real system would use char-n-gram
+    * profiles over a trained table — the shape (per-language score →
+    * argmax, one narrow projection) is identical.
+    */
+  def languageId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val w = words(text)
+    val scores = markers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => x.isin(ms: _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(null).cast("string")) { case ((lang, s), acc) =>
+      when(s === best, lit(lang)).otherwise(acc)
+    }
+  }
+}

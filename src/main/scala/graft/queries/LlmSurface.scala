@@ -1,0 +1,439 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{EventOps, Multimodal, TextOps, VectorOps}
+
+/** LLM-training-data-pipeline queries over the driver's `documents` /
+  * `embeddings` / `events` tables, each paired with a DuckDB oracle
+  * (BASELINE.json north star; none of this exists in the reference).
+  *
+  * Cross-engine determinism (same rules as [[RefSurface]]):
+  *  - hashes are md5/sha256 lowercase hex — identical in both engines;
+  *  - ratios go through `floor(x*1e6+0.5)/1e6`; money sums quantize to
+  *    integer cents before summation;
+  *  - embedding math runs on integer-QUANTIZED vectors (`floor(x*1000)`
+  *    per component) so dot products are exact integer arithmetic — float
+  *    reductions are never compared across engines;
+  *  - timestamps cross the boundary as formatted strings; window starts
+  *    are derived from epoch-second arithmetic on both sides;
+  *  - every output has a total ORDER BY.
+  */
+object LlmSurface {
+
+  private val stopwords = Seq("the", "a", "of", "to", "in")
+
+  /** Marker-word language profiles (tie-break = list order). The corpus
+    * vocabulary is a 31-word synthetic soup, so the markers are chosen
+    * from it; a production system would plug trained char-n-gram profiles
+    * into the same argmax shape.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "join"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "table"),
+    "fr" -> Seq("merge", "sort"),
+    "zh" -> Seq("spark", "vector"))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright; read the nanos as LONG (legacy conf) and convert to a
+    * microsecond timestamp with exact integer division (the data carries
+    * µs precision, so nothing truncates).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: sha256 content hash, keep-first --------------------
+    "llm_exact_dedup" -> ((s, dir) => {
+      TextOps.exactDedup(Tables(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "content_sha", "n_copies")
+        .orderBy("doc_id")
+    }),
+
+    // ---- fingerprint dedup: order/repetition-invariant word-set key ------
+    "llm_fingerprint_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("wordset_fp", TextOps.wordsetFingerprint(col("text")))
+        .withColumn("minhash_fp", TextOps.minWordHash(col("text")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("wordset_fp")
+      d.withColumn("n_copies", count(lit(1)).over(w))
+        .withColumn("_rn", row_number().over(w.orderBy("doc_id")))
+        .filter(col("_rn") === 1)
+        .select("doc_id", "wordset_fp", "minhash_fp", "n_copies")
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-document text statistics ------------------------------------
+    "llm_text_stats" -> ((s, dir) => {
+      TextOps.textStats(Tables(s, dir, "documents"), "doc_id", "text", stopwords)
+        .orderBy("doc_id")
+    }),
+
+    // ---- language-ID heuristic + quality score ---------------------------
+    "llm_lang_quality" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val w = TextOps.words(col("text"))
+      val nWords = size(w)
+      val nDistinct = size(array_distinct(w))
+      val nStops = size(filter(w, x => x.isin(stopwords: _*)))
+      val quality = TextOps.round6(
+        (least(nWords, lit(200)) / 200.0) * 0.5
+          + (nDistinct / nWords.cast("double")) * 0.3
+          + (nStops / nWords.cast("double")) * 0.2)
+      d.select(
+        col("doc_id"), col("lang"),
+        TextOps.languageId(col("text"), langMarkers).as("pred_lang"),
+        quality.as("quality"))
+        .withColumn("band",
+          when(col("quality") >= 0.6, "high")
+            .when(col("quality") >= 0.4, "mid")
+            .otherwise("low"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus rollup by (lang, source) ---------------------------------
+    "llm_corpus_summary" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("wordset_fp", TextOps.wordsetFingerprint(col("text")))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          countDistinct(col("wordset_fp")).as("distinct_wordsets"))
+        .withColumn("avg_chars",
+          TextOps.round6(col("total_chars") / col("n_docs")))
+        .orderBy("lang", "source")
+    }),
+
+    // ---- MinHash-LSH near-duplicate pairs --------------------------------
+    // Candidates come from a band-key EQUI-join (12 hashes, 4 bands × 3
+    // rows → ~0.63 Jaccard S-curve midpoint), then exact-Jaccard verify.
+    // The all-pairs O(n²) similarity join is rejected by construction.
+    "llm_near_dup" -> ((s, dir) => {
+      TextOps.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numBands = 4, rowsPerBand = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- 60-bit SimHash per document -------------------------------------
+    "llm_simhash" -> ((s, dir) => {
+      TextOps.simHash(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact top-k cosine (quantized) over a broadcast query set -------
+    // Baseline form: |queries| × |corpus| with the query side broadcast.
+    // The corpus×corpus all-pairs form is rejected — at scale use
+    // llm_ann_lsh (bucket equi-join) instead.
+    "llm_topk_similarity" -> ((s, dir) => {
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val qs = base.filter(col("vec_id") % 100 === 0)
+      VectorOps.topK(base, qs, "vec_id", "qv", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- ANN top-k via sign-LSH bucket equi-join (the scale path) --------
+    "llm_ann_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      VectorOps.annLsh(emb, qs, "vec_id", "qv", "embedding", k = 5, bits = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- tumbling 1-hour event-time windows ------------------------------
+    "llm_event_windows" -> ((s, dir) => {
+      EventOps.tumbling(events(s, dir), "1 hour")
+        .orderBy("win_start", "event_type")
+    }),
+
+    // ---- sliding 1-hour windows, 30-minute slide -------------------------
+    "llm_event_windows_sliding" -> ((s, dir) => {
+      EventOps.sliding(events(s, dir), "1 hour", "30 minutes")
+        .orderBy("win_start", "event_type")
+    }),
+
+    // ---- gap-based sessionization (30-minute inactivity gap) -------------
+    "llm_sessionize" -> ((s, dir) => {
+      EventOps.sessionize(events(s, dir), gapMinutes = 30)
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // ---- JSON property extraction + rollup -------------------------------
+    "llm_event_props" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.select(col("event_type"),
+        (EventOps.jsonIntProp(col("props"), "k") % 10).as("k_bucket"),
+        col("value"))
+        .groupBy("event_type", "k_bucket")
+        .agg(count(lit(1)).as("n"), EventOps.centsSum(col("value")).as("value_sum"))
+        .orderBy("event_type", "k_bucket")
+    }),
+
+    // ---- multimodal: binary payload + batched executor-side decode -------
+    "llm_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeMeta(s,
+        Multimodal.withPayload(Tables(s, dir, "documents"), "text"), "doc_id")
+        .toDF()
+        .orderBy("doc_id")
+    })
+  )
+
+  // ======================================================================
+  // DuckDB oracles
+  // ======================================================================
+
+  private val round6sql = (x: String) => s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
+
+  private val wordsetFpSql =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
+  /** Word-3-gram shingles + distinct (doc, shingle) pairs as a CTE. */
+  private val shinglesCte = """
+    wdocs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    shing AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws) - 1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END AS shs
+      FROM wdocs),
+    expl AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shs) AS s FROM shing))
+  """
+
+  private val simhashBitSums =
+    (0 until 60)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs$b")
+      .mkString(", ")
+  private val simhashCombine =
+    (0 until 60).map(b => s"(CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
+  private val signBucketSql =
+    (0 until 6)
+      .map(i => s"(CASE WHEN CAST(embedding[${i + 1}] AS DOUBLE) >= 0.0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  private val minhashSigs =
+    (0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+  private val bandKeys =
+    (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2}) AS bkey FROM sigs")
+      .mkString(" UNION ALL ")
+
+  private val langScoreCols = langMarkers.map { case (lang, ms) =>
+    val inList = ms.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(ws, x -> x IN ($inList))) AS s_$lang"
+  }.mkString(", ")
+  private val langArgmax = {
+    val g = langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+    val cases = langMarkers
+      .map { case (l, _) => s"WHEN s_$l = greatest($g) THEN '$l'" }
+      .mkString(" ")
+    s"CASE $cases END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_exact_dedup" -> """
+      SELECT doc_id, content_sha, n_copies FROM (
+        SELECT doc_id, sha256(text) AS content_sha,
+               count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1 ORDER BY doc_id
+    """,
+
+    "llm_fingerprint_dedup" -> s"""
+      SELECT doc_id, wordset_fp, minhash_fp, n_copies FROM (
+        SELECT doc_id, wordset_fp,
+               list_min(list_transform(string_split(text, ' '), w -> md5(w))) AS minhash_fp,
+               count(*) OVER (PARTITION BY wordset_fp) AS n_copies,
+               row_number() OVER (PARTITION BY wordset_fp ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id, text, $wordsetFpSql AS wordset_fp FROM documents))
+      WHERE rn = 1 ORDER BY doc_id
+    """,
+
+    "llm_text_stats" -> s"""
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct,
+             ${round6sql("list_sum(list_transform(ws, x -> length(x))) / CAST(len(ws) AS DOUBLE)")} AS avg_word_len,
+             ${round6sql("len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)")} AS ttr,
+             len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+             ${round6sql("len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)")} AS stop_ratio
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      ORDER BY doc_id
+    """,
+
+    "llm_lang_quality" -> s"""
+      WITH scored AS (
+        SELECT doc_id, lang, ws, $langScoreCols
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)),
+      q AS (
+        SELECT doc_id, lang, $langArgmax AS pred_lang,
+               ${round6sql(
+                 "(least(len(ws), 200) / 200.0) * 0.5" +
+                 " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
+                 " + (len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)) * 0.2")} AS quality
+        FROM scored)
+      SELECT doc_id, lang, pred_lang, quality,
+             CASE WHEN quality >= 0.6 THEN 'high'
+                  WHEN quality >= 0.4 THEN 'mid'
+                  ELSE 'low' END AS band
+      FROM q ORDER BY doc_id
+    """,
+
+    "llm_corpus_summary" -> s"""
+      SELECT lang, source,
+             count(*) AS n_docs,
+             sum(length(text)) AS total_chars,
+             count(DISTINCT $wordsetFpSql) AS distinct_wordsets,
+             ${round6sql("sum(length(text)) / CAST(count(*) AS DOUBLE)")} AS avg_chars
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source
+    """,
+
+    "llm_near_dup" -> s"""
+      WITH $shinglesCte,
+      sigs AS (SELECT doc_id, $minhashSigs FROM expl GROUP BY doc_id),
+      bands AS ($bandKeys),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sets AS (
+        SELECT doc_id, list(s) AS ss, count(*) AS c
+        FROM expl GROUP BY doc_id),
+      verified AS (
+        SELECT doc_a, doc_b, x.c AS ca, y.c AS cb,
+               CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) AS inter
+        FROM cand
+        JOIN sets x ON doc_a = x.doc_id
+        JOIN sets y ON doc_b = y.doc_id)
+      SELECT doc_a, doc_b, ca, cb, inter, jaccard FROM (
+        SELECT *, ${round6sql("inter / CAST(ca + cb - inter AS DOUBLE)")} AS jaccard
+        FROM verified)
+      WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b
+    """,
+
+    "llm_simhash" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      hh AS (
+        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok),
+      bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id)
+      SELECT doc_id, $simhashCombine AS simhash
+      FROM bs ORDER BY doc_id
+    """,
+
+    "llm_topk_similarity" -> """
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 100 = 0),
+      d AS (
+        SELECT query_id, vec_id,
+               list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qv[i])) AS dot_q
+        FROM qs, q WHERE vec_id != query_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
+        FROM d)
+      SELECT query_id, "rank", vec_id, dot_q
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """,
+
+    "llm_ann_lsh" -> s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv,
+               $signBucketSql AS bucket
+        FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, qv AS qq, bucket FROM e WHERE vec_id % 100 = 0),
+      d AS (
+        SELECT query_id, e.vec_id, e.bucket,
+               list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * e.qv[i])) AS dot_q
+        FROM qs JOIN e ON qs.bucket = e.bucket AND e.vec_id != qs.query_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
+        FROM d)
+      SELECT query_id, "rank", vec_id, bucket, dot_q
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """,
+
+    "llm_event_windows" -> """
+      SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 * 1000000 AS BIGINT)),
+                      '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
+      FROM events
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    "llm_event_windows_sliding" -> """
+      SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 1800) - k) * 1800 * 1000000 AS BIGINT)),
+                      '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
+      FROM events, (VALUES (0), (1)) t(k)
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    "llm_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx,
+             count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx
+    """,
+
+    "llm_event_props" -> """
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+             count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
+      FROM events
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    "llm_multimodal_meta" -> """
+      SELECT doc_id,
+             length(text) AS byte_len,
+             list_sum(list_transform(range(1, length(text) + 1),
+                                     i -> ascii(substr(text, i, 1)))) AS byte_sum,
+             64 + (list_sum(list_transform(range(1, length(text) + 1),
+                                           i -> ascii(substr(text, i, 1)))) % 577) AS width,
+             64 + ((list_sum(list_transform(range(1, length(text) + 1),
+                                            i -> ascii(substr(text, i, 1)))) * 31) % 937) AS height,
+             1 + (length(text) % 7) AS frames
+      FROM documents
+      ORDER BY doc_id
+    """
+  )
+}
