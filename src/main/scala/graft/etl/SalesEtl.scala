@@ -33,9 +33,16 @@ object SalesEtl {
 
   /** numpy `np.round(x, 2)` semantics: half-to-even applied to the scaled
     * raw double (`rint(x*100)/100`), matching `Series.round(2)` at
-    * `main.py:83`.
+    * `main.py:83`. numpy rounds by scale → `rint` → unscale, and Spark's
+    * `rint` IS `Math.rint` — IEEE round-half-to-even on the raw double —
+    * so this is bit-equal to numpy (verified against numpy/pandas on the
+    * classic traps: 2.675→2.68 because 2.675*100 == 267.5 exactly in
+    * IEEE, 0.125→0.12, 1.005→1.0, 0.135→0.14). Preferred over
+    * `bround(x*100, 0)`, which detours through BigDecimal re-rounding of
+    * the shortest decimal repr — same results on doubles but a far
+    * slower non-intrinsic path.
     */
-  def numpyRound2(c: Column): Column = bround(c * 100, 0) / 100
+  def numpyRound2(c: Column): Column = rint(c * 100) / 100
 
   /** Deterministic cross-engine rounding for oracle-checked queries: pure
     * IEEE ops (`floor(x*100 + 0.5)/100`) that evaluate bit-identically in
@@ -64,11 +71,15 @@ object SalesEtl {
     *        file bin-packing rather than filename order.
     * @param round2 rounding strategy (numpyRound2 for pandas fidelity;
     *        halfUpCents for cross-engine-deterministic oracle queries).
+    * @param extraCols input columns to carry through to the output (e.g.
+    *        ingestion-order keys, so callers can reproduce pandas' row
+    *        order at the sink).
     */
   def cleanValidSales(
       df: DataFrame,
       orderCols: Seq[Column] = Seq(col("_ingest_file"), col("_ingest_id")),
-      round2: Column => Column = numpyRound2): DataFrame = {
+      round2: Column => Column = numpyRound2,
+      extraCols: Seq[String] = Nil): DataFrame = {
     // ---- Sale_ID: upper, drop nulls, keep-first dedup (main.py:59-63)
     val w = Window.partitionBy("Sale_ID").orderBy(orderCols: _*)
     val dedup = df
@@ -98,7 +109,8 @@ object SalesEtl {
       .withColumn("Audit_Date", coerceTimestamp(amount, "Audit_Date"))
       .filter(col("Date").isNotNull)
       .filter(col("Audit_Date").isNotNull)
-    dated.select("Sale_ID", "Product", "Amount", "Date", "Audit_Date")
+    val out = Seq("Sale_ID", "Product", "Amount", "Date", "Audit_Date") ++ extraCols
+    dated.select(out.map(col): _*)
   }
 
   /** Q2 — `limpiar_ventas_invalidas` (`main.py:106-151`).

@@ -77,6 +77,22 @@ object RefSurface {
       SalesEtl.formatDates(withRaw).orderBy("o_orderkey")
     }),
 
+    // ---- S1 + Q1 + Q4 + K-adjacent: real directory-CSV ingestion --------
+    // Exercises the actual readSalesDirectory path end-to-end: fixed
+    // schema, filename-stem Audit_Date (null for notes.csv), keep-first
+    // dedup ordered by (file stem, explicit Row_Idx). The oracle reads
+    // the SAME files via DuckDB read_csv.
+    "s1_file_roundtrip" -> ((s, dir) => {
+      val csvDir = SalesFixture.ensure(SalesFixture.sfName(dir))
+      val raw = graft.sources.SalesSource.readSalesDirectory(s, csvDir, SalesFixture.schema)
+      val stem = regexp_extract(col("_ingest_file"), "([^/]+)\\.csv$", 1)
+      val valid = SalesEtl.cleanValidSales(
+        raw,
+        orderCols = Seq(stem, col("Row_Idx").cast("int")),
+        round2 = SalesEtl.halfUpCents)
+      SalesEtl.formatDates(valid).orderBy("Sale_ID")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -334,6 +350,49 @@ object RefSurface {
                     '%Y-%m-%d') AS "Date",
              strftime(o_orderdate, '%Y-%m-%d') AS "Audit_Date"
       FROM orders ORDER BY o_orderkey
+    """,
+
+    // NOTE: the path is the sf0.01 fixture — the driver's correctness
+    // gate runs at sf0.01; the Spark side must have materialized it
+    // (Verify runs before the oracle compare).
+    "s1_file_roundtrip" -> """
+      WITH raw AS (
+        SELECT "Sale_ID", "Product", "Amount", "Date",
+               CAST("Row_Idx" AS INT) AS ridx,
+               regexp_extract(filename, '([^/]+)\.csv$', 1) AS stem,
+               TRY_CAST(regexp_extract(filename, '([^/]+)\.csv$', 1) AS TIMESTAMP) AS ad
+        FROM read_csv('/tmp/graft_s1_sales/sf0.01/*.csv',
+                      header=true, all_varchar=true, filename=true)),
+      up AS (
+        SELECT upper("Sale_ID") AS sid, "Product" AS product,
+               "Amount" AS amount, "Date" AS d, ad, stem, ridx
+        FROM raw WHERE "Sale_ID" IS NOT NULL),
+      dedup AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY sid ORDER BY stem, ridx) AS rn
+          FROM up)
+        WHERE rn = 1),
+      prodf AS (
+        SELECT *, (string_split(trim(upper(product)), '-'))[-1] AS p2
+        FROM dedup
+        WHERE (string_split(trim(upper(product)), '-'))[-1] IS NOT NULL),
+      amt AS (
+        SELECT *,
+          TRY_CAST(replace(replace(amount, 'USD', ''), 'EUR', '') AS DOUBLE) AS a0,
+          coalesce(ends_with(amount, 'EUR'), false) AS iseur
+        FROM prodf),
+      amtf AS (
+        SELECT *, floor((CASE WHEN iseur THEN a0 * 0.85 ELSE a0 END) * 100 + 0.5) / 100.0 AS a2
+        FROM amt
+        WHERE floor((CASE WHEN iseur THEN a0 * 0.85 ELSE a0 END) * 100 + 0.5) / 100.0 IS NOT NULL),
+      valid AS (
+        SELECT sid, p2, a2, TRY_CAST(d AS TIMESTAMP) AS dts, ad
+        FROM amtf
+        WHERE TRY_CAST(d AS TIMESTAMP) IS NOT NULL AND ad IS NOT NULL)
+      SELECT sid AS "Sale_ID", p2 AS "Product", a2 AS "Amount",
+             strftime(dts, '%Y-%m-%d') AS "Date",
+             strftime(ad, '%Y-%m-%d') AS "Audit_Date"
+      FROM valid ORDER BY sid
     """,
 
     "p_string_ops" -> """

@@ -51,9 +51,12 @@ object SalesSource {
     *    needing a total order at scale should carry an explicit sequence
     *    column in the data instead.
     */
-  def readSalesDirectory(spark: SparkSession, dir: String): DataFrame =
+  def readSalesDirectory(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType = salesRawSchema): DataFrame =
     spark.read
-      .schema(salesRawSchema)
+      .schema(schema)
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .csv(s"$dir/*.csv")

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.llm.{EventOps, Multimodal, TextOps, VectorOps}
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles: 3-grams, short-text guard") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+      .select(TextOps.wordShingles(col("text"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got(0) === Seq("a b c", "b c d", "c d e"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("exactDedup keeps lowest-order copy and counts all copies") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val got = TextOps.exactDedup(df, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("simHash: identical docs hash identically; hamming(x,x)=0") {
+    val df = Seq((1L, "spark joins data fast"), (2L, "spark joins data fast"),
+      (3L, "completely unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val h = TextOps.simHash(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    val dist = Seq((h(1L), h(3L))).toDF("a", "b")
+      .select(TextOps.hamming(col("a"), col("b"))).as[Int].head()
+    assert(dist > 0)
+  }
+
+  test("nearDupPairs: identical docs pair at jaccard 1.0, unrelated docs don't pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different content about apples bananas cherries dates eggs"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.nearDupPairs(df, "doc_id", "text")
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 1.0)))
+  }
+
+  test("quantize + dotQ: exact integer dot product") {
+    val df = Seq((Array(1.0f, 2.0f, -0.5f), Array(0.5f, -1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(
+      VectorOps.dotQ(VectorOps.quantize(col("a")), VectorOps.quantize(col("b"))))
+      .as[Long].head()
+    // floor: (1000,2000,-500) . (500,-1000,2000) = 500000 - 2000000 - 1000000
+    assert(got === -2500000L)
+  }
+
+  test("signBucket packs sign bits of leading components") {
+    val df = Seq(Array(0.1f, -0.2f, 0.3f, 0.0f)).toDF("v")
+    val got = df.select(VectorOps.signBucket(col("v"), 4)).as[Long].head()
+    // signs: + - + (+ for 0.0) -> bits 0,2,3 -> 1 + 4 + 8
+    assert(got === 13L)
+  }
+
+  test("stubDecode: deterministic metadata from payload bytes") {
+    val m = Multimodal.stubDecode(7L, "ab".getBytes("UTF-8"))
+    assert(m === Multimodal.MediaMeta(7L, 2, 195L, 64 + 195 % 577,
+      64 + (195 * 31) % 937, 1 + 2 % 7))
+  }
+
+  test("decodeMeta runs the batched executor-side decode") {
+    val df = Multimodal.withPayload(Seq((1L, "hello"), (2L, "ab")).toDF("doc_id", "text"), "text")
+    val got = Multimodal.decodeMeta(spark, df, "doc_id").collect().map(m => m.doc_id -> m).toMap
+    assert(got(2L).byte_sum === 195L)
+    assert(got(1L).byte_len === 5)
+  }
+
+  test("sessionize splits on >30min gaps with exact boundaries") {
+    def ts(min: Int, sec: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 10:${min}%02d:${sec}%02d")
+    val ev = Seq(
+      (1L, ts(0), 100L, 1.0), // session 1
+      (2L, ts(10), 100L, 2.0), // +10min -> same
+      (3L, ts(40), 100L, 3.0), // +30:00 exactly -> NOT a new session (strict >)
+      (4L, ts(40, 1) /* +30:01 from #3? no: gap from #3 */, 100L, 4.0),
+      (5L, ts(59), 200L, 5.0)) // other user
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = EventOps.sessionize(ev, 30)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    // user 100: events at 0,10,40,40:01 -> gaps 10min, 30min (not >30), 1s
+    assert(got === Set((100L, 1L, 4L), (200L, 1L, 1L)))
+  }
+
+  test("tumbling windows align to the hour") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:59:59"), 1L, "a", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "a", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.tumbling(ev, "1 hour")
+      .select("win_start", "n").as[(String, Long)].collect().toSet
+    assert(got === Set(("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 1L)))
+  }
+}

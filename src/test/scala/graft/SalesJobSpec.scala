@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+import graft.etl.SalesJob
+import graft.queries.SalesFixture
+
+/** End-to-end job test: real directory CSV scan (S1) → Q1/Q2/Q3 → Q4 →
+  * golden CSV export (K1), mirroring `main.py:182-224`. Closes the
+  * execution-coverage gap on SalesSource/Sinks.
+  */
+class SalesJobSpec extends SparkSpec {
+
+  private lazy val inputDir = SalesFixture.ensure("unittest")
+  private lazy val outDir = Files.createTempDirectory("graft-job-").toString
+
+  private lazy val written: Seq[String] = {
+    val outputs = SalesJob.run(spark, inputDir, SalesFixture.schema)
+    SalesJob.export(spark, outputs, outDir)
+  }
+
+  private def readLines(path: String): Seq[String] =
+    Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala.toSeq
+
+  test("writes the three golden CSVs with BOM, header, and rows") {
+    assert(written.size === 3)
+    written.foreach { p =>
+      val bytes = Files.readAllBytes(Paths.get(p))
+      assert(bytes.take(3).toSeq === Seq(0xEF.toByte, 0xBB.toByte, 0xBF.toByte),
+        s"utf-8-sig BOM missing in $p")
+      assert(readLines(p).size > 1, s"no data rows in $p")
+    }
+  }
+
+  test("valid output: header, unique uppercase Sale_IDs, no notes.csv audit dates") {
+    val lines = readLines(written(0))
+    assert(lines.head.replace("﻿", "") === "Sale_ID,Product,Amount,Date,Audit_Date")
+    val rows = lines.tail.map(_.split(",", -1))
+    val sids = rows.map(_(0))
+    assert(sids.distinct.size === sids.size)
+    assert(sids.forall(s => s == s.toUpperCase))
+    // notes.csv rows have null Audit_Date and must be filtered from valid
+    assert(rows.forall(_(4).nonEmpty))
+  }
+
+  test("invalid output: Reason blocks in N->A->D order, raw Amount preserved") {
+    val lines = readLines(written(1))
+    // pandas passes ALL input columns through the invalid flow, so the
+    // fixture's extra Row_Idx column appears too — resolve by name.
+    val header = lines.head.replace("﻿", "").split(",", -1).toSeq
+    assert(header ===
+      Seq("Sale_ID", "Product", "Amount", "Date", "Row_Idx", "Audit_Date", "Reason"))
+    val reasonIdx = header.indexOf("Reason")
+    val amountIdx = header.indexOf("Amount")
+    val reasons = lines.tail.map(_.split(",", -1)(reasonIdx))
+    assert(reasons.toSet.subsetOf(Set("N", "A", "D")))
+    assert(Seq("N", "A", "D").forall(reasons.contains), "fixture covers all three reasons")
+    val rank = Map("N" -> 0, "A" -> 1, "D" -> 2)
+    assert(reasons.map(rank) === reasons.map(rank).sorted)
+    // currency-less amounts flagged A keep their raw string form
+    val aAmounts = lines.tail.map(_.split(",", -1))
+      .filter(_(reasonIdx) == "A").map(_(amountIdx))
+    assert(aAmounts.nonEmpty && aAmounts.forall(a => !a.contains("USD") && !a.contains("EUR")))
+  }
+
+  test("summary output: lexicographic (Mes, Producto) order") {
+    val rows = readLines(written(2)).tail.map(_.split(",", -1))
+    val keys = rows.map(r => (r(0), r(1)))
+    assert(keys === keys.sorted)
+    assert(rows.nonEmpty)
+  }
+}
