@@ -35,17 +35,28 @@ object TextOps {
   /** Whitespace word split (the corpus is single-space separated). */
   def words(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles as strings; fewer than `n` words → empty array.
-    * (Guarded because Spark `sequence(1, k)` with k<1 DESCENDS instead of
-    * returning empty.)
+  /** Word n-gram shingles from a pre-split word-array column; fewer than
+    * `n` words → empty array. (Guarded because Spark `sequence(1, k)` with
+    * k<1 DESCENDS instead of returning empty.)
+    *
+    * PERF: pass a materialized array column (own projection step), not
+    * `split(...)` inline — the lambda references `w` n+2 times and Spark
+    * re-evaluates a nested non-trivial expression per reference, so an
+    * inlined split costs ~(n+2)× per shingle (measured 4.3s → 0.6s on a
+    * 5k-doc explode).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = words(text)
+  def shinglesFromWords(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience single-expression form (fine for small inputs / tests;
+    * prefer [[shinglesFromWords]] over a pre-projected split in hot
+    * paths).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromWords(words(text), n)
 
   /** Seeded string hash for the MinHash family: `md5("<seed>|" + s)`.
     * Lowercase hex in both Spark and DuckDB; the string MIN of the hex is
@@ -104,19 +115,30 @@ object TextOps {
       threshold: Double = 0.5): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val id = col(idCol)
+    // ONE explode + ONE hash aggregation computes the whole per-doc state:
+    // 12 min-hashes AND the distinct shingle set (collect_set dedups, so
+    // no separate distinct() shuffle, and set size IS the distinct count).
+    // Both downstream branches (band keys, Jaccard verify) read this one
+    // aggregate, whose exchange Spark reuses (ReusedExchange).
+    // Repartition by doc BEFORE the explode: a small corpus file arrives
+    // as one split, which would serialize the (explode × 12 hashes)
+    // work onto one task; hash-partitioning on doc both parallelizes it
+    // and pre-aligns the groupBy exchange (no second shuffle).
     val exploded = df
-      .select(id.as("doc"), explode(wordShingles(col(textCol), shingleN)).as("s"))
-      .distinct()
-
-    val sigAggs = (0 until numHashes).map(i => min(seededMd5(i, col("s"))).as(s"h$i"))
-    val sigs = exploded.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
+      .select(id.as("doc"), words(col(textCol)).as("w"))
+      .repartition(col("doc"))
+      .select(col("doc"), explode(shinglesFromWords(col("w"), shingleN)).as("s"))
+    val sigAggs = (0 until numHashes).map(i => min(seededMd5(i, col("s"))).as(s"h$i")) :+
+      collect_set("s").as("ss")
+    val perDoc = exploded.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
+      .withColumn("c", size(col("ss")).cast("long"))
 
     val bandCols = (0 until numBands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
         .as(s"b$b")
     }
     val stackExpr = (0 until numBands).map(b => s"$b, b$b").mkString(", ")
-    val bandRows = sigs.select(col("doc") +: bandCols: _*)
+    val bandRows = perDoc.select(col("doc") +: bandCols: _*)
       .selectExpr("doc", s"stack($numBands, $stackExpr) as (band, bkey)")
 
     val cand = bandRows.select(col("band"), col("bkey"), col("doc").as("doc_a"))
@@ -128,8 +150,7 @@ object TextOps {
 
     // Per-doc shingle sets are bounded by document length, so a per-row
     // array is safe; intersection size is order-independent.
-    val sets = exploded.groupBy("doc")
-      .agg(collect_set("s").as("ss"), count(lit(1)).as("c"))
+    val sets = perDoc.select(col("doc"), col("ss"), col("c"))
     val verified = cand
       .join(sets.select(col("doc").as("doc_a"), col("ss").as("sa"), col("c").as("ca")), "doc_a")
       .join(sets.select(col("doc").as("doc_b"), col("ss").as("sb"), col("c").as("cb")), "doc_b")
@@ -172,12 +193,14 @@ object TextOps {
     */
   def textStats(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String]): DataFrame = {
-    val t = col(textCol)
-    val w = words(t)
+    // split once per row (own projection), not once per referencing stat
+    val staged = df.select(col(idCol), col(textCol).as("_t"), words(col(textCol)).as("_w"))
+    val t = col("_t")
+    val w = col("_w")
     val nWords = size(w)
     val sumLens = aggregate(w, lit(0), (acc, x) => acc + length(x))
     val nStops = size(filter(w, x => x.isin(stopwords: _*)))
-    df.select(
+    staged.select(
       col(idCol),
       length(t).as("n_chars"),
       nWords.as("n_words"),
@@ -194,8 +217,13 @@ object TextOps {
     * profiles over a trained table — the shape (per-language score →
     * argmax, one narrow projection) is identical.
     */
-  def languageId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val w = words(text)
+  def languageId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    languageIdFromWords(words(text), markers)
+
+  /** As [[languageId]] but over a pre-split word-array column (the
+    * hot-path form: one split per row, not one per language profile).
+    */
+  def languageIdFromWords(w: Column, markers: Seq[(String, Seq[String])]): Column = {
     val scores = markers.map { case (lang, ms) =>
       lang -> size(filter(w, x => x.isin(ms: _*)))
     }

@@ -75,8 +75,10 @@ object LlmSurface {
 
     // ---- language-ID heuristic + quality score ---------------------------
     "llm_lang_quality" -> ((s, dir) => {
+      // split once per row (own projection); every stat reads the array
       val d = Tables(s, dir, "documents")
-      val w = TextOps.words(col("text"))
+        .select(col("doc_id"), col("lang"), TextOps.words(col("text")).as("_w"))
+      val w = col("_w")
       val nWords = size(w)
       val nDistinct = size(array_distinct(w))
       val nStops = size(filter(w, x => x.isin(stopwords: _*)))
@@ -86,7 +88,7 @@ object LlmSurface {
           + (nStops / nWords.cast("double")) * 0.2)
       d.select(
         col("doc_id"), col("lang"),
-        TextOps.languageId(col("text"), langMarkers).as("pred_lang"),
+        TextOps.languageIdFromWords(w, langMarkers).as("pred_lang"),
         quality.as("quality"))
         .withColumn("band",
           when(col("quality") >= 0.6, "high")
