@@ -33,14 +33,17 @@ object SalesJob {
       spark: SparkSession,
       inputDir: String,
       schema: StructType = SalesSource.salesRawSchema): Outputs = {
-    val raw = SalesSource.readSalesDirectory(spark, inputDir, schema).cache()
-    val valid = SalesEtl
-      .cleanValidSales(raw, orderCols = ingestOrder,
-        extraCols = Seq("_ingest_file", "_ingest_id"))
+    val raw = EtlMetrics.observed(
+      SalesSource.readSalesDirectory(spark, inputDir, schema), "sales_raw").cache()
+    val valid = EtlMetrics.observed(
+      SalesEtl.cleanValidSales(raw, orderCols = ingestOrder,
+        extraCols = Seq("_ingest_file", "_ingest_id")), "sales_valid")
       .cache()
-    val invalid = SalesEtl.detectInvalidSales(raw)
-    val summary = SalesEtl.monthlySummary(
-      valid.select("Sale_ID", "Product", "Amount", "Date", "Audit_Date"))
+    val invalid = EtlMetrics.observed(SalesEtl.detectInvalidSales(raw), "sales_invalid")
+    val summary = EtlMetrics.observed(
+      SalesEtl.monthlySummary(
+        valid.select("Sale_ID", "Product", "Amount", "Date", "Audit_Date")),
+      "sales_summary")
     Outputs(valid, invalid, summary)
   }
 

@@ -208,6 +208,8 @@ object TextOps {
       round6(sumLens / nWords.cast("double")).as("avg_word_len"),
       round6(size(array_distinct(w)) / nWords.cast("double")).as("ttr"),
       regexp_count(t, lit("[a-z]+")).as("alpha_tokens"),
+      // chars/4 — the standard LLM token-count estimate for English text
+      floor((length(t) + 3) / 4).cast("int").as("est_tokens"),
       round6(nStops / nWords.cast("double")).as("stop_ratio"))
   }
 

@@ -149,6 +149,19 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- embedding-cosine near-dup pairs within LSH buckets --------------
+    // Bucket-local pairing (sign-LSH equi-join) keeps candidates ~linear
+    // in corpus size; quantized dot >= 300000 ~ cosine >= 0.3 on these
+    // unit-norm vectors.
+    "llm_embed_near_dup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+      VectorOps.cosineNearDup(emb, "vec_id", "qv", "embedding",
+        bits = 6, minDotQ = 300000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- tumbling 1-hour event-time windows ------------------------------
     "llm_event_windows" -> ((s, dir) => {
       EventOps.tumbling(events(s, dir), "1 hour")
@@ -270,6 +283,7 @@ object LlmSurface {
              ${round6sql("list_sum(list_transform(ws, x -> length(x))) / CAST(len(ws) AS DOUBLE)")} AS avg_word_len,
              ${round6sql("len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)")} AS ttr,
              len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+             CAST(floor((length(text) + 3) / 4) AS INT) AS est_tokens,
              ${round6sql("len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)")} AS stop_ratio
       FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
       ORDER BY doc_id
@@ -371,6 +385,20 @@ object LlmSurface {
         FROM d)
       SELECT query_id, "rank", vec_id, bucket, dot_q
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """,
+
+    "llm_embed_near_dup" -> s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv,
+               $signBucketSql AS bucket
+        FROM embeddings)
+      SELECT id_a, id_b, bucket, dot_q FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+               list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS dot_q
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      WHERE dot_q >= 300000
+      ORDER BY id_a, id_b
     """,
 
     "llm_event_windows" -> """

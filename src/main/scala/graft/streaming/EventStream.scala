@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event operators: the SAME windowed
+  * aggregation expressions as [[graft.llm.EventOps]] composed with a
+  * watermark (`readStream` → these transforms → `writeStream`), plus a
+  * custom-state sessionizer via `flatMapGroupsWithState`.
+  *
+  * Scale/streaming design:
+  *  - the tumbling/sliding aggregations are incremental: state is one row
+  *    per open (window, event_type); the watermark bounds state size and
+  *    admits late data up to the delay;
+  *  - sessionization keys state by user_id; sessions close either by an
+  *    in-batch gap or by event-time timeout when the watermark passes
+  *    last-seen + gap — so state is dropped deterministically, never
+  *    accumulated forever (the 100 TB failure mode of naive streaming
+  *    joins).
+  */
+object EventStream {
+
+  /** Tumbling event-time window counts with a watermark — streamable
+    * as-is (`outputMode("update")` or append after the watermark).
+    */
+  def tumblingCounts(events: DataFrame, width: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("value_sum"))
+
+  final case class SessionState(start: Long, last: Long, n: Long, valueSum: Double)
+  final case class SessionOut(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      value_sum: Double)
+
+  /** Gap-based streaming sessionization: one state entry per live user,
+    * closed by an observed gap or by event-time timeout once the
+    * watermark passes (last event + gap). Batch semantics match
+    * [[graft.llm.EventOps.sessionize]] for in-order feeds.
+    *
+    * Input needs columns (user_id long, ts timestamp, value double) and a
+    * watermark already applied when used in a stream.
+    */
+  def sessionize(
+      events: Dataset[(Long, Timestamp, Double)],
+      gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def close(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.valueSum)
+
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: emit + drop
+            val out = state.getOption.map(close(user, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.valueSum + v))
+                case Some(s) =>
+                  closed ::= close(user, s)
+                  cur = Some(SessionState(t, t, 1L, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+}

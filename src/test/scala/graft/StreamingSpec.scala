@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStream
+
+/** Proves the event operators really run under Structured Streaming:
+  * windowed aggregation with a watermark, and custom-state gap
+  * sessionization via flatMapGroupsWithState (in-batch close + event-time
+  * timeout close).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window aggregation runs as a stream with watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.tumblingCounts(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:15:00"), "click", 1.0),
+        (2L, ts("2024-01-01 10:45:00"), "click", 2.0),
+        (3L, ts("2024-01-01 11:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .select("win_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got === Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization: in-batch gap close and event-time timeout close") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventStream.sessionize(
+      input.toDS().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp, Double)],
+      gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two sessions' worth of events for user 7 — the first
+      // closes IN BATCH because the gap to the third event exceeds 30min
+      input.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1.0),
+        (7L, ts("2024-01-01 10:10:00"), 2.0),
+        (7L, ts("2024-01-01 12:00:00"), 4.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("session_test")
+        .as[EventStream.SessionOut].collect().toSeq
+      assert(afterBatch1.map(s => (s.user_id, s.n_events, s.value_sum)) === Seq((7L, 2L, 3.0)))
+      assert(afterBatch1.head.session_start === ts("2024-01-01 10:00:00"))
+      assert(afterBatch1.head.session_end === ts("2024-01-01 10:10:00"))
+
+      // batch 2 advances the watermark far past 12:00 + 30min; the open
+      // session for user 7 must close by EVENT-TIME TIMEOUT
+      input.addData((8L, ts("2024-01-01 15:00:00"), 9.0))
+      q.processAllAvailable()
+      // one more batch so the timeout (armed against the new watermark) fires
+      input.addData((8L, ts("2024-01-01 15:01:00"), 1.0))
+      q.processAllAvailable()
+      val all = spark.table("session_test")
+        .as[EventStream.SessionOut].collect().toSeq
+      val user7 = all.filter(_.user_id == 7L).sortBy(_.session_start.getTime)
+      assert(user7.map(s => (s.n_events, s.value_sum)) === Seq((2L, 3.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+}
