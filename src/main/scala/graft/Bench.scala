@@ -23,6 +23,9 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    // Untimed JVM/codegen warmup so the first timed query measures the
+    // query, not JIT + whole-stage-codegen compilation of the harness.
+    spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =

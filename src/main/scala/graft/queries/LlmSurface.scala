@@ -111,6 +111,18 @@ object LlmSurface {
         .orderBy("lang", "source")
     }),
 
+    // ---- corpus vocabulary: distributed word count -----------------------
+    // The canonical explode → partial-agg → exchange → final-agg shape;
+    // at 100 TB the map-side combine reduces the shuffle to |vocab| rows
+    // per partition.
+    "llm_vocab" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n_total"), countDistinct("doc_id").as("n_docs"))
+        .orderBy("word")
+    }),
+
     // ---- MinHash-LSH near-duplicate pairs --------------------------------
     // Candidates come from a band-key EQUI-join (12 hashes, 4 bands × 3
     // rows → ~0.63 Jaccard S-curve midpoint), then exact-Jaccard verify.
@@ -316,6 +328,12 @@ object LlmSurface {
       FROM documents
       GROUP BY lang, source
       ORDER BY lang, source
+    """,
+
+    "llm_vocab" -> """
+      SELECT word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY word
     """,
 
     "llm_near_dup" -> s"""
