@@ -23,6 +23,7 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

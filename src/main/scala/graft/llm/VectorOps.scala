@@ -38,10 +38,22 @@ object VectorOps {
     transform(v, x => floor(x.cast("double") * scale.toDouble))
 
   /** Exact integer dot product of two array<long> (codegen'd fold, no
-    * UDF).
+    * UDF). Portable spelling — works on any session; prefer [[dotFn]]
+    * which upgrades to the native fused-loop expression when the
+    * GraftExtensions function is registered.
     */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Best available dot product for this session: the custom Catalyst
+    * `dot_q_long` expression (one primitive loop, whole-stage codegen)
+    * when registered via [[graft.functions.GraftExtensions]], else the
+    * portable higher-order-function form. Both compute identical values.
+    */
+  def dotFn(spark: org.apache.spark.sql.SparkSession): (Column, Column) => Column =
+    if (spark.catalog.functionExists("dot_q_long"))
+      (a, b) => call_function("dot_q_long", a, b)
+    else dotQ
 
   /** Sign-pattern LSH bucket from the first `bits` components (axis
     * hyperplanes): bit i set iff component i ≥ 0.
@@ -57,14 +69,15 @@ object VectorOps {
     * small side.
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dot_q").desc, col(idCol))
     corpus
       .join(q, col(idCol) =!= col("query_id"))
-      .withColumn("dot_q", dotQ(col("_qv"), col(vecCol)))
+      .withColumn("dot_q", dot(col("_qv"), col(vecCol)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("dot_q"))
@@ -75,7 +88,8 @@ object VectorOps {
     * needed, no cross product; both sides shuffle on the bucket key).
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, rawVecCol: String, k: Int, bits: Int): DataFrame = {
+      vecCol: String, rawVecCol: String, k: Int, bits: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
     val bucketed = corpus.withColumn("bucket", signBucket(col(rawVecCol), bits))
     val q = queries
       .withColumn("bucket", signBucket(col(rawVecCol), bits))
@@ -85,7 +99,7 @@ object VectorOps {
     bucketed
       .join(q, Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("dot_q", dotQ(col("_qv"), col(vecCol)))
+      .withColumn("dot_q", dot(col("_qv"), col(vecCol)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("bucket"), col("dot_q"))
@@ -97,13 +111,14 @@ object VectorOps {
     * size (bucket sizes concentrate around |corpus|/2^bits).
     */
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
-      rawVecCol: String, bits: Int, minDotQ: Long): DataFrame = {
+      rawVecCol: String, bits: Int, minDotQ: Long,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
     val b = corpus.withColumn("bucket", signBucket(col(rawVecCol), bits))
     val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
     val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dot_q", dotQ(col("_va"), col("_vb")))
+      .withColumn("dot_q", dot(col("_va"), col("_vb")))
       .filter(col("dot_q") >= minDotQ)
       .select(col("id_a"), col("id_b"), col("bucket"), col("dot_q"))
   }

@@ -147,7 +147,7 @@ object LlmSurface {
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       val qs = base.filter(col("vec_id") % 100 === 0)
-      VectorOps.topK(base, qs, "vec_id", "qv", k = 5)
+      VectorOps.topK(base, qs, "vec_id", "qv", k = 5, dot = VectorOps.dotFn(s))
         .orderBy("query_id", "rank")
     }),
 
@@ -157,7 +157,8 @@ object LlmSurface {
         .select(col("vec_id"), col("embedding"),
           VectorOps.quantize(col("embedding")).as("qv"))
       val qs = emb.filter(col("vec_id") % 100 === 0)
-      VectorOps.annLsh(emb, qs, "vec_id", "qv", "embedding", k = 5, bits = 6)
+      VectorOps.annLsh(emb, qs, "vec_id", "qv", "embedding", k = 5, bits = 6,
+        dot = VectorOps.dotFn(s))
         .orderBy("query_id", "rank")
     }),
 
@@ -170,7 +171,7 @@ object LlmSurface {
         .select(col("vec_id"), col("embedding"),
           VectorOps.quantize(col("embedding")).as("qv"))
       VectorOps.cosineNearDup(emb, "vec_id", "qv", "embedding",
-        bits = 6, minDotQ = 300000L)
+        bits = 6, minDotQ = 300000L, dot = VectorOps.dotFn(s))
         .orderBy("id_a", "id_b")
     }),
 
