@@ -105,6 +105,35 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col(idCol), col("bucket"), col("dot_q"))
   }
 
+  /** Multi-probe ANN: like [[annLsh]], but each query also probes the
+    * `bits` Hamming-1 neighbor buckets (own bucket XOR each single bit).
+    * Recall rises sharply — a near neighbor differing in one sign bit is
+    * found — while the work grows only (bits+1)× on the (small) query
+    * side; the join stays a plain equi-join on the bucket key and each
+    * corpus row still lives in exactly one bucket, so no candidate
+    * dedup is needed.
+    */
+  def annLshMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, rawVecCol: String, k: Int, bits: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", signBucket(col(rawVecCol), bits))
+    val probes = array(
+      col("_b0") +: (0 until bits).map(i => col("_b0").bitwiseXOR(lit(1L << i))): _*)
+    val q = queries
+      .withColumn("_b0", signBucket(col(rawVecCol), bits))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(probes).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col(idCol))
+    bucketed
+      .join(q, Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("dot_q", dot(col("_qv"), col(vecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("bucket"), col("dot_q"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: all pairs
     * sharing a sign bucket whose quantized dot exceeds `minDotQ`.
     * Bucket-local pairing keeps the candidate set linear-ish in corpus

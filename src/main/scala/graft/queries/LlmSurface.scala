@@ -162,6 +162,17 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- multi-probe ANN: own + Hamming-1 neighbor buckets ---------------
+    "llm_ann_multiprobe" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      VectorOps.annLshMultiProbe(emb, qs, "vec_id", "qv", "embedding",
+        k = 5, bits = 6, dot = VectorOps.dotFn(s))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- embedding-cosine near-dup pairs within LSH buckets --------------
     // Bucket-local pairing (sign-LSH equi-join) keeps candidates ~linear
     // in corpus size; quantized dot >= 300000 ~ cosine >= 0.3 on these
@@ -395,6 +406,28 @@ object LlmSurface {
                $signBucketSql AS bucket
         FROM embeddings),
       qs AS (SELECT vec_id AS query_id, qv AS qq, bucket FROM e WHERE vec_id % 100 = 0),
+      d AS (
+        SELECT query_id, e.vec_id, e.bucket,
+               list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * e.qv[i])) AS dot_q
+        FROM qs JOIN e ON qs.bucket = e.bucket AND e.vec_id != qs.query_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
+        FROM d)
+      SELECT query_id, "rank", vec_id, bucket, dot_q
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """,
+
+    "llm_ann_multiprobe" -> s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv,
+               $signBucketSql AS bucket
+        FROM embeddings),
+      qs AS (
+        SELECT query_id, qq, unnest(probes) AS bucket FROM (
+          SELECT vec_id AS query_id, qv AS qq,
+                 [bucket, ${(0 until 6).map(i => s"xor(bucket, ${1L << i})").mkString(", ")}] AS probes
+          FROM e WHERE vec_id % 100 = 0)),
       d AS (
         SELECT query_id, e.vec_id, e.bucket,
                list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * e.qv[i])) AS dot_q

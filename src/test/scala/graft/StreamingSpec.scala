@@ -36,6 +36,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark keyed on content hash") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = input.toDF().toDF("ts", "text")
+      .withWatermark("ts", "1 hour")
+      .withColumn("content_sha", org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.col("text"), 256))
+      .dropDuplicatesWithinWatermark("content_sha")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "doc one"),
+        (ts("2024-01-01 10:05:00"), "doc one"), // dup within watermark -> dropped
+        (ts("2024-01-01 10:10:00"), "doc two"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_test").select("text").as[String].collect().toSeq
+      assert(texts.sorted === Seq("doc one", "doc two"))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: in-batch gap close and event-time timeout close") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
