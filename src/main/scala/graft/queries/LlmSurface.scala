@@ -35,16 +35,8 @@ object LlmSurface {
     "fr" -> Seq("merge", "sort"),
     "zh" -> Seq("spark", "vector"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright; read the nanos as LONG (legacy conf) and convert to a
-    * microsecond timestamp with exact integer division (the data carries
-    * µs precision, so nothing truncates).
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: sha256 content hash, keep-first --------------------

@@ -236,6 +236,70 @@ object RefSurface {
       semi.unionByName(anti).orderBy("c_custkey")
     }),
 
+    // ---- rollup: hierarchical subtotals ---------------------------------
+    "agg_rollup_revenue" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      val nat = Tables(s, dir, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("yr", year(col("l_shipdate")))
+        .rollup(col("n_name"), col("yr"))
+        .agg(
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name").asc_nulls_first, col("yr").asc_nulls_first)
+    }),
+
+    // ---- intersect / except (set operators) -----------------------------
+    "m5_intersect_except" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("k"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      big.intersect(fin).withColumn("tag", lit("both"))
+        .unionByName(big.except(fin).withColumn("tag", lit("only_big")))
+        .orderBy("k", "tag")
+    }),
+
+    // ---- pivot (wide aggregation) ---------------------------------------
+    "p_pivot" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.withColumn("yr", year(col("o_orderdate")))
+        .groupBy("yr")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(centsSum(col("o_totalprice")))
+        .orderBy("yr")
+    }),
+
+    // ---- as-of join (backward): latest purchase before each click -------
+    // Windowed-union form: ONE shuffle on user_id, instead of the naive
+    // clicks×purchases range join whose candidate set is quadratic per
+    // user. Ties at identical ts order (event_type, event_id) — the
+    // deterministic "strictly before" rule, identical in the oracle.
+    "j4_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("_pts", when(col("event_type") === "purchase", col("ts")))
+        .withColumn("_pid", when(col("event_type") === "purchase", col("event_id")))
+        .withColumn("last_purchase_ts",
+          last(col("_pts"), ignoreNulls = true).over(w))
+        .withColumn("last_purchase_id",
+          last(col("_pid"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id"), col("event_id").as("click_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("last_purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("purchase_ts"),
+          col("last_purchase_id").as("purchase_id"))
+        .orderBy("click_id")
+    }),
+
     // ---- shuffle join + window top-k ------------------------------------
     "j3_topk_orders_per_customer" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
@@ -504,6 +568,63 @@ object RefSurface {
       SELECT c_custkey, 'no_orders' AS tag FROM customer c
       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       ORDER BY c_custkey
+    """,
+
+    "agg_rollup_revenue" -> """
+      SELECT n_name,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT))
+      ORDER BY n_name NULLS FIRST, yr NULLS FIRST
+    """,
+
+    "m5_intersect_except" -> """
+      SELECT k, 'both' AS tag FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+      UNION ALL
+      SELECT k, 'only_big' AS tag FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+      ORDER BY k, tag
+    """,
+
+    "p_pivot" -> """
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             sum(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) / 100.0 AS "F",
+             sum(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) / 100.0 AS "O",
+             sum(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) / 100.0 AS "P"
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
+
+    "j4_asof_join" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type = 'purchase' THEN ts END AS pts,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS pid
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      marked AS (
+        SELECT *,
+               last_value(pts IGNORE NULLS) OVER w AS last_purchase_ts,
+               last_value(pid IGNORE NULLS) OVER w AS last_purchase_id
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type, event_id
+                     ROWS UNBOUNDED PRECEDING))
+      SELECT user_id, event_id AS click_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+             strftime(last_purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             last_purchase_id AS purchase_id
+      FROM marked WHERE event_type = 'click'
+      ORDER BY click_id
     """,
 
     "j3_topk_orders_per_customer" -> """
