@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+
+/** Execution coverage for the K2 JDBC sink (no SQL Server in the sandbox;
+  * Derby embedded — shipped with Spark for the metastore — stands in:
+  * same `df.write.format("jdbc")` path, same SaveMode semantics), plus a
+  * partition-pruning proof for the partitioned parquet layout a 100 TB
+  * deployment would use.
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val driverOpt = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+
+  test("writeJdbc Overwrite then Append: replace drops+recreates, append inserts") {
+    val df = Seq((1L, "a", 10.5), (2L, "b", 20.25), (3L, "c", 30.0))
+      .toDF("id", "name", "amount")
+    Sinks.writeJdbc(df, url, "t_sales", SaveMode.Overwrite, options = driverOpt)
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t_sales").options(driverOpt).load()
+    assert(readBack().count() === 3)
+    // overwrite replaces
+    Sinks.writeJdbc(df, url, "t_sales", SaveMode.Overwrite, options = driverOpt)
+    assert(readBack().count() === 3)
+    // append inserts
+    Sinks.writeJdbc(df, url, "t_sales", SaveMode.Append, options = driverOpt)
+    assert(readBack().count() === 6)
+    val sums = readBack().agg(sum("amount")).as[Double].head()
+    assert(math.abs(sums - 2 * (10.5 + 20.25 + 30.0)) < 1e-9)
+  }
+
+  test("month-partitioned parquet layout prunes partitions at scan time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    val df = (0 until 1000).map { i =>
+      (s"2024-${"%02d".format(1 + i % 6)}", i.toLong, i * 1.5)
+    }.toDF("mes", "id", "v")
+    df.write.mode("overwrite").partitionBy("mes").parquet(tmp)
+
+    val pruned = spark.read.parquet(tmp).filter(col("mes") === "2024-03")
+    assert(pruned.count() === 1000 / 6 + (if (3 <= 1000 % 6) 1 else 0))
+    // the filter must reach the scan as a PARTITION filter (directory
+    // pruning), not a post-scan predicate (inputFiles reports the whole
+    // relation pre-pruning, so assert on the planned scan instead)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    assert(scan.partitionFilters.map(_.sql).exists(_.contains("mes")),
+      s"partition filters missing: ${scan.partitionFilters}")
+    assert(scan.relation.partitionSchema.fieldNames.contains("mes"))
+  }
+}
