@@ -80,14 +80,23 @@ object SalesEtl {
       orderCols: Seq[Column] = Seq(col("_ingest_file"), col("_ingest_id")),
       round2: Column => Column = numpyRound2,
       extraCols: Seq[String] = Nil): DataFrame = {
-    // ---- Sale_ID: upper, drop nulls, keep-first dedup (main.py:59-63)
-    val w = Window.partitionBy("Sale_ID").orderBy(orderCols: _*)
-    val dedup = df
+    // ---- Sale_ID: upper, drop nulls, keep-first dedup (main.py:59-63).
+    // Keep-first under a TOTAL ascending order is argmin — expressed as
+    // min_by(payload, orderKey) so the aggregation gets a map-side
+    // partial combine: the shuffle carries ~|keys| rows per partition
+    // instead of every row, and no per-key sort runs (the row_number
+    // window form shuffles everything and sorts each key group — at
+    // 100 TB that's the difference between a combine-style agg and a
+    // full-data sort). Struct comparison is field-lexicographic with
+    // nulls first, matching the oracle's ORDER BY ... NULLS FIRST.
+    val upped = df
       .withColumn("Sale_ID", upper(col("Sale_ID")))
       .filter(col("Sale_ID").isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val others = upped.columns.filterNot(_ == "Sale_ID")
+    val dedup = upped
+      .groupBy("Sale_ID")
+      .agg(min_by(struct(others.map(col): _*), struct(orderCols: _*)).as("_first"))
+      .select(col("Sale_ID") +: others.map(n => col(s"_first.`$n`").as(n)): _*)
     // ---- Product: upper/trim/split-last, drop nulls (main.py:67-69)
     val prod = dedup
       .withColumn("Product", productLastToken(col("Product")))

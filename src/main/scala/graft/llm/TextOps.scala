@@ -130,8 +130,15 @@ object TextOps {
       .select(col("doc"), explode(shinglesFromWords(col("w"), shingleN)).as("s"))
     val sigAggs = (0 until numHashes).map(i => min(seededMd5(i, col("s"))).as(s"h$i")) :+
       collect_set("s").as("ss")
+    // Persist the signature table: it feeds THREE consumers (both sides
+    // of the band self-join plus the Jaccard verify), and column pruning
+    // specializes each branch's aggregate so the exchange is NOT reused —
+    // without materialization the explode+hash pass runs three times.
+    // At 100 TB this intermediate is what an LSH pipeline checkpoints;
+    // MEMORY_AND_DISK spills gracefully instead of OOMing.
     val perDoc = exploded.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
       .withColumn("c", size(col("ss")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandCols = (0 until numBands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))

@@ -164,14 +164,21 @@ object RefSurface {
     // ---- M1 keep-first dedup --------------------------------------------
     // lineitem's (orderkey, linenumber) is NOT unique, so the keep-first
     // order tie-breaks on the full payload to stay deterministic.
+    // Keep-first = argmin over the total order → min_by aggregation
+    // (map-side combine, no per-key sort), same rows as the oracle's
+    // row_number spelling.
     "m1_dedup_keep_first" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
-          "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-          "l_linestatus", "l_shipdate")
-      li.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val ord = struct(
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      li.groupBy("l_orderkey")
+        .agg(min_by(struct(col("l_linenumber"), col("l_partkey")), ord).as("_first"))
+        .select(col("l_orderkey"),
+          col("_first.l_linenumber").as("l_linenumber"),
+          col("_first.l_partkey").as("l_partkey"))
         .orderBy("l_orderkey")
     }),
 
