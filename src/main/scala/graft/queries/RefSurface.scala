@@ -243,6 +243,54 @@ object RefSurface {
       semi.unionByName(anti).orderBy("c_custkey")
     }),
 
+    // ---- exact quantiles per group --------------------------------------
+    // percentile() is the EXACT sort-based form (linear interpolation,
+    // same definition as DuckDB quantile_cont); round6 absorbs last-ulp
+    // interpolation differences. For 100 TB use approx_percentile — the
+    // t-digest sketch is mergeable map-side (tested separately; sketches
+    // aren't bit-comparable across engines).
+    "p_quantiles" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          (floor(expr("percentile(value, 0.5)") * 1000000.0 + 0.5) / 1000000.0).as("med"),
+          (floor(expr("percentile(value, 0.95)") * 1000000.0 + 0.5) / 1000000.0).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- TPC-H Q3 shape: selective joins + agg + top-k ------------------
+    "j5_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("date")
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val li = Tables(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    }),
+
+    // ---- scalar-subquery shape: filter against a global aggregate -------
+    // The threshold compare is pure integer arithmetic (cents*count vs
+    // cents-sum) — no double average whose value depends on reduction
+    // order. The aggregate is a 1-row broadcast.
+    "q5_above_avg" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val tot = o.agg(
+        sum(cents).as("_sum"), count(lit(1)).as("_n"))
+      o.crossJoin(broadcast(tot))
+        .filter(cents * col("_n") > col("_sum"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- rollup: hierarchical subtotals ---------------------------------
     "agg_rollup_revenue" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
@@ -575,6 +623,38 @@ object RefSurface {
       SELECT c_custkey, 'no_orders' AS tag FROM customer c
       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       ORDER BY c_custkey
+    """,
+
+    "p_quantiles" -> """
+      SELECT event_type,
+             floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS med,
+             floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95,
+             count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1
+    """,
+
+    "j5_shipping_priority" -> """
+      SELECT l_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_orderpriority,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """,
+
+    "q5_above_avg" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) *
+            (SELECT count(*) FROM orders) >
+            (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) FROM orders)
+      ORDER BY o_orderkey
     """,
 
     "agg_rollup_revenue" -> """
