@@ -31,8 +31,11 @@ object SyntheticSales {
       lpad((cents % 100).cast("string"), 2, "0"))
     val m = col("l_linenumber") % 6
     li.select(
+      // Sale_ID cardinality must GROW with data size (a fixed modulus
+      // caps dedup parallelism at scale): orderkey DIV 4 keeps ~4 orders
+      // × ~4 lines = ~16 copies per key at every sf.
       when(col("l_orderkey") % 97 === 0, lit(null))
-        .otherwise(concat(lit("s"), (col("l_orderkey") % 5000).cast("string")))
+        .otherwise(concat(lit("s"), expr("l_orderkey DIV 4").cast("string")))
         .as("Sale_ID"),
       when(col("l_partkey") % 53 === 0, lit(null))
         .when(col("l_partkey") % 7 === 0,
@@ -60,7 +63,7 @@ object SyntheticSales {
   val sql: String = """
     SELECT
       CASE WHEN l_orderkey % 97 = 0 THEN NULL
-           ELSE 's' || CAST(l_orderkey % 5000 AS VARCHAR) END AS "Sale_ID",
+           ELSE 's' || CAST(l_orderkey // 4 AS VARCHAR) END AS "Sale_ID",
       CASE WHEN l_partkey % 53 = 0 THEN NULL
            WHEN l_partkey % 7 = 0 THEN '  gros-' || lower(l_returnflag) || '  '
            ELSE 'cat-' || lower(l_returnflag) END AS "Product",
