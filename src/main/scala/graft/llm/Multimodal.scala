@@ -69,4 +69,34 @@ object Multimodal {
         }
       }
   }
+
+  /** STUB resize — proportional downscale to fit `maxDim` (integer
+    * arithmetic, ceil-free floor scaling; a real impl calls the codec).
+    * Pure metadata math, so it runs as a narrow typed map.
+    */
+  def stubResize(m: MediaMeta, maxDim: Int): MediaMeta = {
+    val longest = math.max(m.width, m.height)
+    if (longest <= maxDim) m
+    else m.copy(
+      width = math.max(1, (m.width.toLong * maxDim / longest).toInt),
+      height = math.max(1, (m.height.toLong * maxDim / longest).toInt))
+  }
+
+  def resizeMeta(ds: Dataset[MediaMeta], maxDim: Int): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map(stubResize(_, maxDim))
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th frame
+    * index (deterministic; a real impl seeks the container). */
+  def sampleFrameIndices(frames: Int, stride: Int): Seq[Int] =
+    0 until frames by math.max(1, stride)
+
+  /** One row per sampled frame — the explode-shaped fan-out a
+    * frame-level feature extractor consumes downstream. */
+  def explodeFrames(spark: SparkSession, ds: Dataset[MediaMeta], stride: Int): DataFrame = {
+    import spark.implicits._
+    ds.flatMap(m => sampleFrameIndices(m.frames, stride).map(f => (m.doc_id, f)))
+      .toDF("doc_id", "frame_idx")
+  }
 }

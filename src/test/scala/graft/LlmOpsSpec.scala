@@ -75,6 +75,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L).byte_len === 5)
   }
 
+  test("stubResize scales proportionally; frame sampling is deterministic") {
+    val m = Multimodal.MediaMeta(1L, 100, 50L, 640, 480, 7)
+    val r = Multimodal.stubResize(m, 320)
+    assert(r.width === 320 && r.height === 240)
+    assert(Multimodal.stubResize(r, 640) === r) // no upscale
+    assert(Multimodal.sampleFrameIndices(7, 3) === Seq(0, 3, 6))
+    val df = Multimodal.explodeFrames(spark,
+      Seq(m).toDS(), stride = 3)
+    assert(df.as[(Long, Int)].collect().toSet === Set((1L, 0), (1L, 3), (1L, 6)))
+  }
+
   test("sessionize splits on >30min gaps with exact boundaries") {
     def ts(min: Int, sec: Int = 0): Timestamp =
       Timestamp.valueOf(f"2024-01-01 10:${min}%02d:${sec}%02d")
