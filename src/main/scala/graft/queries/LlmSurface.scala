@@ -196,6 +196,25 @@ object LlmSurface {
         .orderBy("user_id", "session_idx")
     }),
 
+    // ---- gridded interval join: events per maintenance window ------------
+    // graft.operators.RangeJoin: intervals explode onto fixed-width grid
+    // buckets, points map to one bucket, join is an EQUI-join + exact
+    // range predicate — work is linear-ish, never |points|×|intervals|.
+    "llm_interval_join" -> ((s, dir) => {
+      val base = lit(1704067200L) // 2024-01-01 00:00:00 UTC
+      val iv = s.range(0, 30).toDF("interval_id")
+        .withColumn("lo",
+          base + col("interval_id") * 86400L + (col("interval_id") % 7) * 3600L)
+        .withColumn("hi", col("lo") + (lit(1L) + col("interval_id") % 5) * 3600L)
+      val p = events(s, dir)
+        .select(unix_timestamp(col("ts")).as("psec"), col("value"))
+      graft.operators.RangeJoin
+        .pointInInterval(p, iv, "psec", "lo", "hi", bucketWidth = 3600L)
+        .groupBy("interval_id", "lo", "hi")
+        .agg(count(lit(1)).as("n"), EventOps.centsSum(col("value")).as("value_sum"))
+        .orderBy("interval_id")
+    }),
+
     // ---- JSON property extraction + rollup -------------------------------
     "llm_event_props" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -485,6 +504,20 @@ object LlmSurface {
       FROM sess
       GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx
+    """,
+
+    "llm_interval_join" -> """
+      WITH iv AS (
+        SELECT i AS interval_id,
+               CAST(1704067200 + i * 86400 + (i % 7) * 3600 AS BIGINT) AS lo,
+               CAST(1704067200 + i * 86400 + (i % 7) * 3600
+                    + (1 + i % 5) * 3600 AS BIGINT) AS hi
+        FROM generate_series(0, 29) t(i)),
+      p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS psec, value FROM events)
+      SELECT interval_id, lo, hi, count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
+      FROM p JOIN iv ON psec >= lo AND psec < hi
+      GROUP BY 1, 2, 3 ORDER BY 1
     """,
 
     "llm_event_props" -> """

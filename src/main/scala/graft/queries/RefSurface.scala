@@ -327,31 +327,24 @@ object RefSurface {
         .orderBy("yr")
     }),
 
-    // ---- as-of join (backward): latest purchase before each click -------
-    // Windowed-union form: ONE shuffle on user_id, instead of the naive
-    // clicks×purchases range join whose candidate set is quadratic per
-    // user. Ties at identical ts order (event_type, event_id) — the
-    // deterministic "strictly before" rule, identical in the oracle.
+    // ---- as-of join (backward): latest purchase AT-OR-BEFORE each click -
+    // graft.operators.AsOfJoin: windowed-union form, ONE shuffle on
+    // user_id, instead of the naive clicks×purchases range join whose
+    // candidate set is quadratic per user.
     "j4_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-      val w = Window.partitionBy("user_id")
-        .orderBy("ts", "event_type", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev
-        .withColumn("_pts", when(col("event_type") === "purchase", col("ts")))
-        .withColumn("_pid", when(col("event_type") === "purchase", col("event_id")))
-        .withColumn("last_purchase_ts",
-          last(col("_pts"), ignoreNulls = true).over(w))
-        .withColumn("last_purchase_id",
-          last(col("_pid"), ignoreNulls = true).over(w))
-        .filter(col("event_type") === "click")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      graft.operators.AsOfJoin
+        .backward(clicks, purchases, Seq("user_id"), "ts", "event_id",
+          payloadCols = Seq("ts", "event_id"))
         .select(
           col("user_id"), col("event_id").as("click_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
-          date_format(col("last_purchase_ts"), "yyyy-MM-dd HH:mm:ss")
-            .as("purchase_ts"),
-          col("last_purchase_id").as("purchase_id"))
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_event_id").as("purchase_id"))
         .orderBy("click_id")
     }),
 
@@ -696,6 +689,7 @@ object RefSurface {
     "j4_asof_join" -> """
       WITH ev AS (
         SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
                CASE WHEN event_type = 'purchase' THEN ts END AS pts,
                CASE WHEN event_type = 'purchase' THEN event_id END AS pid
         FROM events WHERE event_type IN ('click', 'purchase')),
@@ -704,7 +698,7 @@ object RefSurface {
                last_value(pts IGNORE NULLS) OVER w AS last_purchase_ts,
                last_value(pid IGNORE NULLS) OVER w AS last_purchase_id
         FROM ev
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type, event_id
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
                      ROWS UNBOUNDED PRECEDING))
       SELECT user_id, event_id AS click_id,
              strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
