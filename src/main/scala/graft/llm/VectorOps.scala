@@ -59,7 +59,8 @@ object VectorOps {
     * hyperplanes): bit i set iff component i ≥ 0.
     */
   def signBucket(v: Column, bits: Int): Column =
-    (0 until bits)
+    if (bits <= 0) lit(0L) // degenerate single bucket (exact search)
+    else (0 until bits)
       .map(i => when(element_at(v, i + 1).cast("double") >= 0.0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 

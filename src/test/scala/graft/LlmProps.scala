@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.llm.{TextOps, VectorOps}
+
+/** Property-based checks for the LLM operators. Few iterations — each
+  * case runs Spark jobs.
+  */
+object LlmProps extends Properties("LlmOps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(4)
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa")
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(8, 25)
+    ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield ws.mkString(" ")
+
+  /** Corpus with planted exact duplicates: every doc appears once, some
+    * twice (even id = original, odd id = copy of the previous even doc
+    * when `dup`).
+    */
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    docs <- Gen.listOfN(8, docGen)
+    dups <- Gen.listOfN(8, Gen.oneOf(true, false))
+  } yield docs.zip(dups).zipWithIndex.flatMap { case ((d, dup), i) =>
+    val base = Seq((i * 2L, d))
+    if (dup) base :+ ((i * 2L + 1, d)) else base
+  }
+
+  property("MinHash-LSH always surfaces planted exact duplicates at jaccard 1.0") =
+    forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val pairs = TextOps.nearDupPairs(df, "doc_id", "text")
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      val planted = corpus.groupBy(_._2).values.filter(_.size > 1)
+        .map(g => (g.map(_._1).min, g.map(_._1).max)).toSet
+      val found = pairs.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+      // identical shingle sets -> identical signatures -> same band keys:
+      // an exact dup pair can never be missed
+      planted.subsetOf(found)
+    }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(8, Gen.choose(-1000, 1000)).map(_.map(_ / 1000.0f).toArray)
+
+  property("annLsh with bits=0 degenerates to exact topK") =
+    forAll(Gen.listOfN(12, vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+      val qs = df.filter(col("vec_id") % 4 === 0)
+      val exact = VectorOps.topK(df, qs, "vec_id", "qv", k = 3)
+        .select("query_id", "rank", "vec_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val ann = VectorOps.annLsh(df, qs, "vec_id", "qv", "embedding", k = 3, bits = 0)
+        .select("query_id", "rank", "vec_id")
+        .as[(Long, Int, Long)].collect().toSet
+      ann == exact
+    }
+}
