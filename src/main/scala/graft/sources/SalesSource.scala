@@ -54,15 +54,30 @@ object SalesSource {
   def readSalesDirectory(
       spark: SparkSession,
       dir: String,
-      schema: StructType = salesRawSchema): DataFrame =
-    spark.read
-      .schema(schema)
-      .option("header", "true")
-      .option("mode", "PERMISSIVE")
-      .csv(s"$dir/*.csv")
+      schema: StructType = salesRawSchema): DataFrame = {
+    // Reference fidelity (etl_utils.py:200-202): an empty/absent input
+    // directory yields an EMPTY frame, not an error — Spark's glob read
+    // would throw PATH_NOT_FOUND instead. The listing check is a cheap
+    // driver-side stat, not a data read.
+    val hasCsv = {
+      val files = new java.io.File(dir).listFiles()
+      files != null && files.exists(f => f.isFile && f.getName.endsWith(".csv"))
+    }
+    val raw =
+      if (hasCsv)
+        spark.read
+          .schema(schema)
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .csv(s"$dir/*.csv")
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    raw
       .withColumn("Audit_Date", try_to_timestamp(fileStem, lit("yyyy-MM-dd")))
       .withColumn("_ingest_file", input_file_name())
       .withColumn("_ingest_id", monotonically_increasing_id())
+  }
 
   /** S2: single CSV read + optional coercing date parse
     * (`etl_utils.py:71-106`; dead code in the reference but part of its

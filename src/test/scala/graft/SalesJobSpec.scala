@@ -64,6 +64,24 @@ class SalesJobSpec extends SparkSpec {
     assert(aAmounts.nonEmpty && aAmounts.forall(a => !a.contains("USD") && !a.contains("EUR")))
   }
 
+  test("S1: empty input directory yields an empty frame, not an error") {
+    val empty = Files.createTempDirectory("graft-empty-").toString
+    val df = graft.sources.SalesSource.readSalesDirectory(spark, empty)
+    assert(df.count() === 0)
+    assert(df.columns.toSeq ===
+      Seq("Sale_ID", "Product", "Amount", "Date", "Audit_Date", "_ingest_file", "_ingest_id"))
+  }
+
+  test("S2: single CSV read with coercing date conversion") {
+    val f = Files.createTempDirectory("graft-s2-").resolve("one.csv")
+    Files.write(f, "Sale_ID,Date\na1,2024-09-22\na2,not-a-date\n".getBytes(StandardCharsets.UTF_8))
+    val df = graft.sources.SalesSource.readCsv(spark, f.toString, convertDate = true)
+    val dates = df.orderBy("Sale_ID").select("Date")
+      .collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(dates(0).exists(_.startsWith("2024-09-22")))
+    assert(dates(1).isEmpty, "unparseable date coerces to null")
+  }
+
   test("summary output: lexicographic (Mes, Producto) order") {
     val rows = readLines(written(2)).tail.map(_.split(",", -1))
     val keys = rows.map(r => (r(0), r(1)))
