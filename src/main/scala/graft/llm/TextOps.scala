@@ -220,6 +220,18 @@ object TextOps {
       round6(nStops / nWords.cast("double")).as("stop_ratio"))
   }
 
+  /** Deterministic hash bucket in [0, buckets) from an id column —
+    * md5-based so it is stable across runs, partitionings, AND engines
+    * (Spark `hash()` is engine-specific murmur3; md5 hex is universal).
+    * THE reproducible-sampling primitive for training data: sampling,
+    * train/val/test splits, and A/B assignment all reduce to ranges of
+    * this bucket, and membership of a row never changes when the corpus
+    * grows.
+    */
+  def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
+    conv(substring(md5(concat(lit(s"$salt|"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("int") % buckets
+
   /** Marker-word language-ID heuristic: score each language by counting
     * its marker words (with multiplicity); predict the argmax, ties
     * broken by language-code order. A real system would use char-n-gram

@@ -103,6 +103,46 @@ object LlmSurface {
         .orderBy("lang", "source")
     }),
 
+    // ---- deterministic train/val/test split (md5 hash buckets) -----------
+    // Membership is a pure function of doc_id: stable across runs,
+    // partitionings, engines, and corpus growth.
+    "llm_hash_split" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val b = TextOps.hashBucket(col("doc_id"), "split")
+      d.withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("total_chars"))
+        .orderBy("lang", "split")
+    }),
+
+    // ---- composed curation pipeline: quality filter -> dedup -> sample ---
+    // The end-to-end shape of a training-data curation job, as ONE lazy
+    // plan: score -> threshold -> fingerprint keep-first dedup -> 50%
+    // deterministic sample. Catalyst fuses the narrow stages; the only
+    // exchange is the dedup window.
+    "llm_curation_pipeline" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.words(col("text")).as("_w"))
+      val nWords = size(col("_w"))
+      val quality = TextOps.round6(
+        (least(nWords, lit(200)) / 200.0) * 0.5
+          + (size(array_distinct(col("_w"))) / nWords.cast("double")) * 0.3
+          + (size(filter(col("_w"), x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
+      val scored = d
+        .withColumn("quality", quality)
+        .filter(col("quality") >= 0.4)
+        .withColumn("wordset_fp", TextOps.wordsetFingerprint(col("text")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("wordset_fp")
+      scored
+        .withColumn("_rn", row_number().over(w.orderBy("doc_id")))
+        .filter(col("_rn") === 1)
+        .filter(TextOps.hashBucket(col("doc_id"), "smp") < 50)
+        .select(col("doc_id"), col("lang"), nWords.as("n_words"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus vocabulary: distributed word count -----------------------
     // The canonical explode → partial-agg → exchange → final-agg shape;
     // at 100 TB the map-side combine reduces the shuffle to |vocab| rows
@@ -351,6 +391,42 @@ object LlmSurface {
       FROM documents
       GROUP BY lang, source
       ORDER BY lang, source
+    """,
+
+    "llm_hash_split" -> """
+      WITH d AS (
+        SELECT lang, length(text) AS n_chars,
+               CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS b
+        FROM documents)
+      SELECT lang,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             sum(n_chars) AS total_chars
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    "llm_curation_pipeline" -> s"""
+      WITH d AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+      scored AS (
+        SELECT doc_id, lang, text, len(ws) AS n_words,
+               ${round6sql(
+                 "(least(len(ws), 200) / 200.0) * 0.5" +
+                 " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
+                 " + (len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)) * 0.2")} AS quality
+        FROM d),
+      kept AS (
+        SELECT *, $wordsetFpSql AS wordset_fp
+        FROM scored WHERE quality >= 0.4),
+      dedup AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY wordset_fp ORDER BY doc_id) AS rn
+          FROM kept)
+        WHERE rn = 1)
+      SELECT doc_id, lang, n_words, quality
+      FROM dedup
+      WHERE CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 50
+      ORDER BY doc_id
     """,
 
     "llm_vocab" -> """
