@@ -291,6 +291,20 @@ object RefSurface {
         .orderBy("o_orderkey")
     }),
 
+    // ---- SQL text entry path (spark.sql over temp views) ----------------
+    // Same engine, same plans — proves the SQL API surface end-to-end.
+    "q6_sql_surface" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+          FROM v_lineitem WHERE l_quantity > 10)
+        SELECT l_returnflag, sum(cents) / CAST(100 AS DOUBLE) AS revenue, count(*) AS n
+        FROM revenue GROUP BY l_returnflag ORDER BY l_returnflag
+      """)
+    }),
+
     // ---- rollup: hierarchical subtotals ---------------------------------
     "agg_rollup_revenue" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
@@ -648,6 +662,15 @@ object RefSurface {
             (SELECT count(*) FROM orders) >
             (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) FROM orders)
       ORDER BY o_orderkey
+    """,
+
+    "q6_sql_surface" -> """
+      WITH revenue AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem WHERE l_quantity > 10)
+      SELECT l_returnflag, sum(cents) / CAST(100 AS DOUBLE) AS revenue, count(*) AS n
+      FROM revenue GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 
     "agg_rollup_revenue" -> """
