@@ -168,6 +168,26 @@ object TextOps {
     verified.select("doc_a", "doc_b", "ca", "cb", "inter", "jaccard")
   }
 
+  /** Winnowing fingerprint (the MOSS algorithm): hash every shingle,
+    * slide a window of `windowK` consecutive hashes, keep each window's
+    * minimum, and fingerprint the document as the md5 of the sorted
+    * distinct selected hashes. Guarantees any shared run of ≥
+    * `windowK + shingleN - 1` words between two documents contributes a
+    * shared selected hash — positional robustness that a plain min-hash
+    * lacks — while selecting only ~2/(windowK+1) of all hashes.
+    * Pure array expressions; one narrow projection.
+    */
+  def winnowFingerprint(w: Column, shingleN: Int, windowK: Int): Column = {
+    val hashes = transform(shinglesFromWords(w, shingleN), s => md5(s))
+    val n = size(hashes)
+    val mins = when(n >= windowK,
+      transform(sequence(lit(1), n - (windowK - 1)),
+        i => array_min(slice(hashes, i, lit(windowK)))))
+      .otherwise(when(n > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<string>")))
+    md5(concat_ws("", array_sort(array_distinct(mins))))
+  }
+
   /** 60-bit SimHash over the document's words (frequency-weighted).
     *
     * Token hash = first 15 hex digits of md5 (60 bits, sign-safe in a

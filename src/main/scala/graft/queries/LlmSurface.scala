@@ -165,6 +165,18 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- winnowing (MOSS) fingerprint per document -----------------------
+    "llm_winnow_fp" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+      d.select(col("doc_id"),
+        TextOps.winnowFingerprint(col("_w"), shingleN = 3, windowK = 4).as("winnow_fp"))
+        .withColumn("n_copies",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("winnow_fp")))
+        .orderBy("doc_id")
+    }),
+
     // ---- 60-bit SimHash per document -------------------------------------
     "llm_simhash" -> ((s, dir) => {
       TextOps.simHash(Tables(s, dir, "documents"), "doc_id", "text")
@@ -457,6 +469,31 @@ object LlmSurface {
         FROM verified)
       WHERE jaccard >= 0.5
       ORDER BY doc_a, doc_b
+    """,
+
+    "llm_winnow_fp" -> s"""
+      WITH wdocs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(range(1, len(ws) - 1),
+                                        i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                    ELSE [] END AS hs
+        FROM wdocs),
+      mins AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+                    WHEN len(hs) > 0 THEN [list_min(hs)]
+                    ELSE [] END AS ms
+        FROM sh),
+      fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(ms)), '')) AS winnow_fp
+        FROM mins)
+      SELECT doc_id, winnow_fp,
+             count(*) OVER (PARTITION BY winnow_fp) AS n_copies
+      FROM fp ORDER BY doc_id
     """,
 
     "llm_simhash" -> s"""
