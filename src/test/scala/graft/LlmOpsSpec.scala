@@ -75,6 +75,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L).byte_len === 5)
   }
 
+  test("nearDupPairs degenerate corpora: empty, single doc, all-short docs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.nearDupPairs(empty, "doc_id", "text").count() === 0)
+    val single = Seq((1L, "one single document here with several words")).toDF("doc_id", "text")
+    assert(TextOps.nearDupPairs(single, "doc_id", "text").count() === 0)
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    // fewer words than the shingle width -> no shingles -> no pairs
+    assert(TextOps.nearDupPairs(short, "doc_id", "text").count() === 0)
+  }
+
+  test("writeCsvPartitioned writes one file per partition with headers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcsv-").toString + "/out"
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4)
+    graft.sinks.Sinks.writeCsvPartitioned(df, dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length === 4)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() === 100)
+    assert(back.columns.toSeq === Seq("id", "v"))
+  }
+
   test("stubResize scales proportionally; frame sampling is deterministic") {
     val m = Multimodal.MediaMeta(1L, 100, 50L, 640, 480, 7)
     val r = Multimodal.stubResize(m, 320)
