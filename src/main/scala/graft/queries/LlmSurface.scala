@@ -397,7 +397,7 @@ object LlmSurface {
     "llm_corpus_summary" -> s"""
       SELECT lang, source,
              count(*) AS n_docs,
-             sum(length(text)) AS total_chars,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
              count(DISTINCT $wordsetFpSql) AS distinct_wordsets,
              ${round6sql("sum(length(text)) / CAST(count(*) AS DOUBLE)")} AS avg_chars
       FROM documents
@@ -413,7 +413,7 @@ object LlmSurface {
       SELECT lang,
              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
              count(*) AS n_docs,
-             sum(n_chars) AS total_chars
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM d GROUP BY 1, 2 ORDER BY 1, 2
     """,
 
@@ -514,7 +514,7 @@ object LlmSurface {
       qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 100 = 0),
       d AS (
         SELECT query_id, vec_id,
-               list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qv[i])) AS dot_q
+               CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qv[i])) AS BIGINT) AS dot_q
         FROM qs, q WHERE vec_id != query_id),
       r AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
@@ -532,7 +532,7 @@ object LlmSurface {
       qs AS (SELECT vec_id AS query_id, qv AS qq, bucket FROM e WHERE vec_id % 100 = 0),
       d AS (
         SELECT query_id, e.vec_id, e.bucket,
-               list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * e.qv[i])) AS dot_q
+               CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * e.qv[i])) AS BIGINT) AS dot_q
         FROM qs JOIN e ON qs.bucket = e.bucket AND e.vec_id != qs.query_id),
       r AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
@@ -554,7 +554,7 @@ object LlmSurface {
           FROM e WHERE vec_id % 100 = 0)),
       d AS (
         SELECT query_id, e.vec_id, e.bucket,
-               list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * e.qv[i])) AS dot_q
+               CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * e.qv[i])) AS BIGINT) AS dot_q
         FROM qs JOIN e ON qs.bucket = e.bucket AND e.vec_id != qs.query_id),
       r AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
@@ -571,7 +571,7 @@ object LlmSurface {
         FROM embeddings)
       SELECT id_a, id_b, bucket, dot_q FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
-               list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS dot_q
+               CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_q
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       WHERE dot_q >= 300000
       ORDER BY id_a, id_b
@@ -606,8 +606,8 @@ object LlmSurface {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
-        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM flagged)
       SELECT user_id, session_idx,
              count(*) AS n_events,
@@ -643,16 +643,16 @@ object LlmSurface {
     """,
 
     "llm_multimodal_meta" -> """
-      SELECT doc_id,
-             length(text) AS byte_len,
-             list_sum(list_transform(range(1, length(text) + 1),
-                                     i -> ascii(substr(text, i, 1)))) AS byte_sum,
-             64 + (list_sum(list_transform(range(1, length(text) + 1),
-                                           i -> ascii(substr(text, i, 1)))) % 577) AS width,
-             64 + ((list_sum(list_transform(range(1, length(text) + 1),
-                                            i -> ascii(substr(text, i, 1)))) * 31) % 937) AS height,
-             1 + (length(text) % 7) AS frames
-      FROM documents
+      WITH m AS (
+        SELECT doc_id, length(text) AS byte_len,
+               CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                            i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
+        FROM documents)
+      SELECT doc_id, byte_len, byte_sum,
+             64 + (byte_sum % 577) AS width,
+             64 + ((byte_sum * 31) % 937) AS height,
+             1 + (byte_len % 7) AS frames
+      FROM m
       ORDER BY doc_id
     """
   )

@@ -63,13 +63,16 @@ object SalesSource {
       val files = new java.io.File(dir).listFiles()
       files != null && files.exists(f => f.isFile && f.getName.endsWith(".csv"))
     }
+    // pathGlobFilter instead of a `*.csv` glob path: the glob form trips a
+    // noisy FileStreamSink metadata probe (full WARN stack per read).
     val raw =
       if (hasCsv)
         spark.read
           .schema(schema)
           .option("header", "true")
           .option("mode", "PERMISSIVE")
-          .csv(s"$dir/*.csv")
+          .option("pathGlobFilter", "*.csv")
+          .csv(dir)
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -30,13 +30,25 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Types whose python/pandas rendering is identical across readers.
+    # HUGEINT (duckdb sum(BIGINT)) becomes float64 under pandas-based
+    # comparators ('123.0' != '123') and DECIMAL reprs as Decimal('..') —
+    # both caused silent driver-side hash mismatches in round 2.
+    SAFE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+            "VARCHAR", "DATE", "BOOLEAN", "TIMESTAMP", "BLOB"}
     for name, sql in sorted(oracle.items()):
         try:
             odf = con.sql(sql)
             ocols = list(odf.columns)
+            otypes = [str(t) for t in odf.types]
             orows = odf.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        risky = [(c, t) for c, t in zip(ocols, otypes) if t not in SAFE]
+        if risky:
+            print(f"FAIL {name}: oracle column types unsafe across readers: {risky}")
             n_fail += 1
             continue
         parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
