@@ -23,4 +23,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RefSurface.oracleSql ++ graft.queries.LlmSurface.oracleSql
+
+  /** Queries whose result must be NON-EMPTY at verify scale (sf0.01): a
+    * 0-row result that hash-matches an equally empty oracle is a vacuous
+    * green — both engines agreeing on nothing verifies nothing
+    * (`llm_curation_pipeline` shipped exactly that for two rounds).
+    * Every current query is expected to produce rows; list-valued so a
+    * future legitimately-empty query (e.g. an anti-join over clean data)
+    * can opt out explicitly rather than silently.
+    */
+  def expectNonEmpty: Set[String] = queries.keySet
 }

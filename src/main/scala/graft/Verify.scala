@@ -32,6 +32,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Names whose result must be non-empty at verify scale — consumed by
+    // tools/check_oracle.py so a 0-row result that matches an equally
+    // empty oracle fails loudly instead of passing vacuously.
+    Files.writeString(Paths.get(s"$outDir/expect_nonempty.json"),
+      SparkEntry.expectNonEmpty.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline operators for LLM training-data curation: exact / near
@@ -65,17 +64,24 @@ object TextOps {
   def seededMd5(seed: Int, s: Column): Column = md5(concat(lit(s"$seed|"), s))
 
   /** Exact content dedup: keep-first (lowest `orderCol`) per content hash,
-    * annotated with the copy count. One shuffle on the sha — at 100 TB the
-    * hash is near-unique so partitions stay balanced.
+    * annotated with the copy count. Keep-first under a total ascending
+    * order is argmin, expressed as `min_by(payload, orderCol)` + `count`
+    * in ONE hash aggregation: the map-side partial combine ships ~|keys|
+    * rows per partition instead of every row, and no per-key sort runs —
+    * at 100 TB that is the difference between a combine-style agg and the
+    * full-data sort a row_number window would do. `orderCol` must be
+    * unique per row (a total order), which every caller's ingestion id
+    * satisfies.
     */
   def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
-    val keyed = df.withColumn("content_sha", sha2(col(textCol), 256))
-    val w = Window.partitionBy("content_sha")
-    keyed
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .withColumn("_rn", row_number().over(w.orderBy(orderCol)))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val payload = df.columns
+    df.withColumn("content_sha", sha2(col(textCol), 256))
+      .groupBy("content_sha")
+      .agg(
+        min_by(struct(payload.map(col): _*), col(orderCol)).as("_first"),
+        count(lit(1)).as("n_copies"))
+      .select(payload.map(n => col(s"_first.`$n`").as(n))
+        :+ col("content_sha") :+ col("n_copies"): _*)
   }
 
   /** Bag-of-words fingerprint: md5 of the sorted distinct word list.
@@ -104,6 +110,17 @@ object TextOps {
     *
     * Returns (doc_a, doc_b, ca, cb, inter, jaccard) for verified pairs
     * with jaccard ≥ `threshold`.
+    *
+    * @param materialize hook applied to the per-doc signature table, which
+    *        feeds three consumers (both sides of the band self-join plus
+    *        the Jaccard verify) — column pruning specializes each branch's
+    *        aggregate, so without materialization the explode+hash pass
+    *        runs up to three times. The default is identity (recompute):
+    *        correct, leak-free, and cheap at test scale. At 100 TB pass a
+    *        checkpointer (`_.localCheckpoint()` or a parquet round-trip)
+    *        whose lifecycle YOU control — an earlier revision persisted
+    *        internally and leaked cached blocks into the caller's session
+    *        with no way to free them, which a library must not do.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -112,33 +129,31 @@ object TextOps {
       shingleN: Int = 3,
       numBands: Int = 4,
       rowsPerBand: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val id = col(idCol)
     // ONE explode + ONE hash aggregation computes the whole per-doc state:
     // 12 min-hashes AND the distinct shingle set (collect_set dedups, so
     // no separate distinct() shuffle, and set size IS the distinct count).
-    // Both downstream branches (band keys, Jaccard verify) read this one
-    // aggregate, whose exchange Spark reuses (ReusedExchange).
-    // Repartition by doc BEFORE the explode: a small corpus file arrives
-    // as one split, which would serialize the (explode × 12 hashes)
-    // work onto one task; hash-partitioning on doc both parallelizes it
-    // and pre-aligns the groupBy exchange (no second shuffle).
-    val exploded = df
-      .select(id.as("doc"), words(col(textCol)).as("w"))
-      .repartition(col("doc"))
-      .select(col("doc"), explode(shinglesFromWords(col("w"), shingleN)).as("s"))
+    // Repartition by doc BEFORE the explode ONLY when the scan is
+    // under-parallel (a small corpus file arrives as one split, which
+    // would serialize the explode × 12 hashes onto one task); an already
+    // parallel scan goes straight to the groupBy's own exchange — an
+    // unconditional repartition would force a full extra shuffle of the
+    // raw text at every scale.
+    val base = df.select(id.as("doc"), words(col(textCol)).as("w"))
+    val wide =
+      if (base.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
+        base.repartition(col("doc"))
+      else base
+    val exploded =
+      wide.select(col("doc"), explode(shinglesFromWords(col("w"), shingleN)).as("s"))
     val sigAggs = (0 until numHashes).map(i => min(seededMd5(i, col("s"))).as(s"h$i")) :+
       collect_set("s").as("ss")
-    // Persist the signature table: it feeds THREE consumers (both sides
-    // of the band self-join plus the Jaccard verify), and column pruning
-    // specializes each branch's aggregate so the exchange is NOT reused —
-    // without materialization the explode+hash pass runs three times.
-    // At 100 TB this intermediate is what an LSH pipeline checkpoints;
-    // MEMORY_AND_DISK spills gracefully instead of OOMing.
-    val perDoc = exploded.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
-      .withColumn("c", size(col("ss")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = materialize(
+      exploded.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
+        .withColumn("c", size(col("ss")).cast("long")))
 
     val bandCols = (0 until numBands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))

@@ -47,15 +47,19 @@ object LlmSurface {
     }),
 
     // ---- fingerprint dedup: order/repetition-invariant word-set key ------
+    // Keep-first = min_by argmin in ONE hash aggregation (map-side partial
+    // combine, no per-key sort) — same form as TextOps.exactDedup; the
+    // row_number-window spelling shuffles and sorts every row.
     "llm_fingerprint_dedup" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      Tables(s, dir, "documents")
         .withColumn("wordset_fp", TextOps.wordsetFingerprint(col("text")))
         .withColumn("minhash_fp", TextOps.minWordHash(col("text")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("wordset_fp")
-      d.withColumn("n_copies", count(lit(1)).over(w))
-        .withColumn("_rn", row_number().over(w.orderBy("doc_id")))
-        .filter(col("_rn") === 1)
-        .select("doc_id", "wordset_fp", "minhash_fp", "n_copies")
+        .groupBy("wordset_fp")
+        .agg(
+          min_by(struct(col("doc_id"), col("minhash_fp")), col("doc_id")).as("_f"),
+          count(lit(1)).as("n_copies"))
+        .select(col("_f.doc_id").as("doc_id"), col("wordset_fp"),
+          col("_f.minhash_fp").as("minhash_fp"), col("n_copies"))
         .orderBy("doc_id")
     }),
 
@@ -118,9 +122,14 @@ object LlmSurface {
 
     // ---- composed curation pipeline: quality filter -> dedup -> sample ---
     // The end-to-end shape of a training-data curation job, as ONE lazy
-    // plan: score -> threshold -> fingerprint keep-first dedup -> 50%
-    // deterministic sample. Catalyst fuses the narrow stages; the only
-    // exchange is the dedup window.
+    // plan: score -> threshold -> fingerprint keep-first dedup (min_by
+    // argmin, map-side combine) -> 50% deterministic sample. Catalyst
+    // fuses the narrow stages; the only exchange is the dedup groupBy.
+    // Threshold 0.3: the synthetic corpus's quality scores span
+    // 0.21–0.36, so the earlier 0.4 threshold made this entry a vacuous
+    // 0-row green two rounds running; 0.3 keeps ~44% of docs and every
+    // downstream stage (dedup, sample) now sees real rows — guarded by
+    // the NON_EMPTY check in Verify/check_oracle.
     "llm_curation_pipeline" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
@@ -130,16 +139,16 @@ object LlmSurface {
         (least(nWords, lit(200)) / 200.0) * 0.5
           + (size(array_distinct(col("_w"))) / nWords.cast("double")) * 0.3
           + (size(filter(col("_w"), x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
-      val scored = d
-        .withColumn("quality", quality)
-        .filter(col("quality") >= 0.4)
+      d.withColumn("quality", quality)
+        .filter(col("quality") >= 0.3)
         .withColumn("wordset_fp", TextOps.wordsetFingerprint(col("text")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("wordset_fp")
-      scored
-        .withColumn("_rn", row_number().over(w.orderBy("doc_id")))
-        .filter(col("_rn") === 1)
+        .groupBy("wordset_fp")
+        .agg(min_by(
+          struct(col("doc_id"), col("lang"), nWords.as("n_words"), col("quality")),
+          col("doc_id")).as("_f"))
+        .select(col("_f.doc_id").as("doc_id"), col("_f.lang").as("lang"),
+          col("_f.n_words").as("n_words"), col("_f.quality").as("quality"))
         .filter(TextOps.hashBucket(col("doc_id"), "smp") < 50)
-        .select(col("doc_id"), col("lang"), nWords.as("n_words"), col("quality"))
         .orderBy("doc_id")
     }),
 
@@ -429,7 +438,7 @@ object LlmSurface {
         FROM d),
       kept AS (
         SELECT *, $wordsetFpSql AS wordset_fp
-        FROM scored WHERE quality >= 0.4),
+        FROM scored WHERE quality >= 0.3),
       dedup AS (
         SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY wordset_fp ORDER BY doc_id) AS rn

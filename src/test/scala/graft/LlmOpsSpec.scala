@@ -44,6 +44,25 @@ class LlmOpsSpec extends SparkSpec {
     val pairs = TextOps.nearDupPairs(df, "doc_id", "text")
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
     assert(pairs === Seq((1L, 2L, 1.0)))
+    // The library must not leak storage it cannot free: materializing the
+    // result leaves NO cached blocks in the caller's session (an earlier
+    // revision persisted the signature table internally with no unpersist).
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("nearDupPairs materialize hook is applied and caller-controlled") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    var hookCalls = 0
+    val out = TextOps.nearDupPairs(df, "doc_id", "text",
+      materialize = d => { hookCalls += 1; d.persist() })
+    assert(out.count() === 1)
+    assert(hookCalls === 1)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty) // caller owns it...
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty) // ...and can free it
   }
 
   test("quantize + dotQ: exact integer dot product") {

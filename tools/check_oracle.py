@@ -2,7 +2,7 @@
 """Local mimic of the driver's t2 correctness gate: run each oracle SQL in
 DuckDB against the sf parquet tables, compare to the Spark parquet output
 under outDir (row count, column names, sorted-value hash)."""
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, os
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -29,11 +29,18 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify.scala-emitted list of queries whose result must be non-empty:
+    # a 0-row result matching an equally empty oracle is a vacuous green.
+    ne_path = f"{out_dir}/expect_nonempty.json"
+    nonempty = set(json.load(open(ne_path))) if os.path.exists(ne_path) else set()
     n_pass = n_fail = 0
-    # Types whose python/pandas rendering is identical across readers.
-    # HUGEINT (duckdb sum(BIGINT)) becomes float64 under pandas-based
-    # comparators ('123.0' != '123') and DECIMAL reprs as Decimal('..') —
-    # both caused silent driver-side hash mismatches in round 2.
+    # Type BASE names whose python/pandas rendering is identical across
+    # readers. HUGEINT (duckdb sum(BIGINT)) becomes float64 under
+    # pandas-based comparators ('123.0' != '123') and DECIMAL reprs as
+    # Decimal('..') — both caused silent driver-side hash mismatches in
+    # round 2. Matched on the base name (before any '(' parameters) so
+    # DECIMAL(p,s)/TIMESTAMP WITH TIME ZONE stay loud while parameterized
+    # spellings of safe types don't hard-fail spuriously.
     SAFE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
             "VARCHAR", "DATE", "BOOLEAN", "TIMESTAMP", "BLOB"}
     for name, sql in sorted(oracle.items()):
@@ -46,7 +53,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        risky = [(c, t) for c, t in zip(ocols, otypes) if t not in SAFE]
+        risky = [(c, t) for c, t in zip(ocols, otypes)
+                 if t.split("(")[0].strip() not in SAFE]
         if risky:
             print(f"FAIL {name}: oracle column types unsafe across readers: {risky}")
             n_fail += 1
@@ -64,6 +72,9 @@ def main(sf_dir, out_dir):
             problems.append(f"cols spark={scols} oracle={ocols}")
         if len(srows) != len(orows):
             problems.append(f"rows spark={len(srows)} oracle={len(orows)}")
+        if name in nonempty and len(srows) == 0 and len(orows) == 0:
+            problems.append("vacuous: both engines returned 0 rows but the "
+                            "query is declared expect-non-empty")
         if not problems:
             hs = frame_hash(srows, scols)
             ho = frame_hash(orows, ocols)
