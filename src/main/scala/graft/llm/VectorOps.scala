@@ -135,17 +135,46 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col(idCol), col("bucket"), col("dot_q"))
   }
 
-  /** Embedding-cosine near-duplicate pairs within LSH buckets: all pairs
-    * sharing a sign bucket whose quantized dot exceeds `minDotQ`.
-    * Bucket-local pairing keeps the candidate set linear-ish in corpus
-    * size (bucket sizes concentrate around |corpus|/2^bits).
+  /** Bucket-bit count that keeps bucket-local pairing sub-quadratic as
+    * the corpus grows: `ceil(log2 n) + 2` (min 4). With FIXED bits,
+    * bucket-local all-pairs is O(n²/2^bits) — still quadratic in corpus
+    * size, a scale-killer at 100 TB; growing bits with n keeps expected
+    * bucket size ~constant (n/2^bits ≈ 1/4), so candidates grow
+    * ~linearly. The recall a finer partition loses is restored by
+    * Hamming-1 multi-probe (see [[cosineNearDup]]).
+    */
+  def bitsForCorpus(n: Long): Int =
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 2)
+
+  /** Embedding-cosine near-duplicate pairs via sign-LSH buckets: pairs
+    * whose sign patterns are within Hamming distance ≤ 1 (multi-probe) —
+    * or exactly equal with `multiProbe = false` — and whose quantized dot
+    * exceeds `minDotQ`.
+    *
+    * Multi-probe shape: the LEFT side explodes each vector into its own
+    * bucket plus the `bits` Hamming-1 neighbor buckets; the RIGHT side
+    * stays in its own bucket. A pair with sign distance ≤ 1 then matches
+    * on exactly ONE probe, so the equi-join needs no candidate dedup, and
+    * the join stays a plain shuffle equi-join with (bits+1)× fan-out on
+    * one side only.
+    *
+    * Scale: pass `bits = bitsForCorpus(n)` (or larger). The rejected
+    * alternative — few fixed bits and no probing — degenerates to
+    * O(n²/2^bits) bucket-local all-pairs, which is still quadratic in
+    * corpus size no matter the constant.
     */
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
       rawVecCol: String, bits: Int, minDotQ: Long,
-      dot: (Column, Column) => Column = dotQ): DataFrame = {
-    val b = corpus.withColumn("bucket", signBucket(col(rawVecCol), bits))
-    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+      dot: (Column, Column) => Column = dotQ,
+      multiProbe: Boolean = true): DataFrame = {
+    val b = corpus.withColumn("_b0", signBucket(col(rawVecCol), bits))
+    val probes =
+      if (multiProbe)
+        array(col("_b0") +: (0 until bits).map(i => col("_b0").bitwiseXOR(lit(1L << i))): _*)
+      else array(col("_b0"))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      explode(probes).as("bucket"))
+    val r = b.select(col("_b0").as("bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot_q", dot(col("_va"), col("_vb")))

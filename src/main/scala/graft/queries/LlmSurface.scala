@@ -227,15 +227,18 @@ object LlmSurface {
     }),
 
     // ---- embedding-cosine near-dup pairs within LSH buckets --------------
-    // Bucket-local pairing (sign-LSH equi-join) keeps candidates ~linear
-    // in corpus size; quantized dot >= 300000 ~ cosine >= 0.3 on these
-    // unit-norm vectors.
+    // Sign-LSH equi-join with Hamming-1 multi-probe. bits = 12 ≈
+    // bitsForCorpus(|sf0.01 corpus|) + 1: bucket count GROWS with corpus
+    // size so bucket-local pairing stays sub-quadratic (fixed bits is
+    // O(n²/2^bits) — still quadratic — and was rejected); the recall a
+    // finer partition loses comes back via the neighbor-bucket probes.
+    // Quantized dot >= 300000 ~ cosine >= 0.3 on these unit-norm vectors.
     "llm_embed_near_dup" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorOps.quantize(col("embedding")).as("qv"))
       VectorOps.cosineNearDup(emb, "vec_id", "qv", "embedding",
-        bits = 6, minDotQ = 300000L, dot = VectorOps.dotFn(s))
+        bits = 12, minDotQ = 300000L, dot = VectorOps.dotFn(s))
         .orderBy("id_a", "id_b")
     }),
 
@@ -327,10 +330,11 @@ object LlmSurface {
   private val simhashCombine =
     (0 until 60).map(b => s"(CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
 
-  private val signBucketSql =
-    (0 until 6)
+  private def signBucketSqlBits(bits: Int): String =
+    (0 until bits)
       .map(i => s"(CASE WHEN CAST(embedding[${i + 1}] AS DOUBLE) >= 0.0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
+  private val signBucketSql = signBucketSqlBits(6)
 
   private val minhashSigs =
     (0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
@@ -576,12 +580,16 @@ object LlmSurface {
       WITH e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv,
-               $signBucketSql AS bucket
-        FROM embeddings)
+               ${signBucketSqlBits(12)} AS b0
+        FROM embeddings),
+      l AS (
+        SELECT vec_id AS id_a, qv AS va, unnest(
+          [b0, ${(0 until 12).map(i => s"xor(b0, ${1L << i})").mkString(", ")}]) AS bucket
+        FROM e)
       SELECT id_a, id_b, bucket, dot_q FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
-               CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_q
-        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT l.id_a, e.vec_id AS id_b, e.b0 AS bucket,
+               CAST(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * e.qv[i])) AS BIGINT) AS dot_q
+        FROM l JOIN e ON l.bucket = e.b0 AND l.id_a < e.vec_id)
       WHERE dot_q >= 300000
       ORDER BY id_a, id_b
     """,

@@ -93,6 +93,33 @@ object RefSurface {
       SalesEtl.formatDates(valid).orderBy("Sale_ID")
     }),
 
+    // ---- K1 end-to-end job roundtrip: run -> export -> read back --------
+    // The full reference job (main.py:182-229) through the REAL K1 sink:
+    // S1 directory scan -> Q1/Q2/Q3 -> Q4 -> three golden CSVs written to
+    // a deterministic /tmp dir, then read back as all-string frames.
+    // The oracle reads the SAME written files via DuckDB read_csv, so any
+    // sink-format defect (BOM handling, quoting, null-vs-empty encoding,
+    // header, whitespace trimming) surfaces as a cross-engine mismatch —
+    // this closes K1's oracle gap the way s1_file_roundtrip closed S1's.
+    "k1_job_roundtrip" -> ((s, dir) => {
+      val csvDir = SalesFixture.ensure(SalesFixture.sfName(dir))
+      val outDir = s"/tmp/graft_k1_out/${SalesFixture.sfName(dir)}"
+      val outs = graft.etl.SalesJob.run(s, csvDir, SalesFixture.schema)
+      graft.etl.SalesJob.export(s, outs, outDir)
+      val allCols = Seq("Sale_ID", "Product", "Amount", "Date", "Audit_Date",
+        "Reason", "Row_Idx", "Mes", "Producto", "Ventas_Totales",
+        "Numero_Transacciones", "Venta_Minima")
+      def rd(frame: String, file: String) = {
+        val df = s.read.option("header", "true").csv(s"$outDir/$file.csv")
+        df.select(lit(frame).as("frame") +: allCols.map(c =>
+          (if (df.columns.contains(c)) col(c) else lit(null).cast("string")).as(c)): _*)
+      }
+      rd("valid", "Ventas_Validas_M")
+        .unionByName(rd("invalid", "Ventas_Invalidas_M"))
+        .unionByName(rd("summary", "Ventas_Resumen_Mensual"))
+        .orderBy(("frame" +: allCols).map(col): _*)
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -520,6 +547,45 @@ object RefSurface {
              strftime(ad, '%Y-%m-%d') AS "Audit_Date"
       FROM valid ORDER BY sid
     """,
+
+    // Reads the SAME three CSVs the Spark entry just wrote via the real
+    // K1 sink (path is the sf0.01 run — Verify executes the Spark side,
+    // which writes the files, before the oracle compare runs).
+    "k1_job_roundtrip" -> {
+      val out = "/tmp/graft_k1_out/sf0.01"
+      val padNull = (cs: Seq[String]) =>
+        cs.map(c => s"""CAST(NULL AS VARCHAR) AS "$c"""").mkString(", ")
+      s"""
+      WITH v AS (SELECT * FROM read_csv('$out/Ventas_Validas_M.csv',
+                                        header=true, all_varchar=true)),
+      i AS (SELECT * FROM read_csv('$out/Ventas_Invalidas_M.csv',
+                                   header=true, all_varchar=true)),
+      m AS (SELECT * FROM read_csv('$out/Ventas_Resumen_Mensual.csv',
+                                   header=true, all_varchar=true)),
+      u AS (
+        SELECT 'valid' AS frame, "Sale_ID", "Product", "Amount", "Date",
+               "Audit_Date", ${padNull(Seq("Reason", "Row_Idx", "Mes", "Producto",
+                 "Ventas_Totales", "Numero_Transacciones", "Venta_Minima"))}
+        FROM v
+        UNION ALL
+        SELECT 'invalid' AS frame, "Sale_ID", "Product", "Amount", "Date",
+               "Audit_Date", "Reason", "Row_Idx", ${padNull(Seq("Mes", "Producto",
+                 "Ventas_Totales", "Numero_Transacciones", "Venta_Minima"))}
+        FROM i
+        UNION ALL
+        SELECT 'summary' AS frame, ${padNull(Seq("Sale_ID", "Product", "Amount",
+                 "Date", "Audit_Date", "Reason", "Row_Idx"))},
+               "Mes", "Producto", "Ventas_Totales", "Numero_Transacciones",
+               "Venta_Minima"
+        FROM m)
+      SELECT * FROM u
+      ORDER BY frame NULLS FIRST, "Sale_ID" NULLS FIRST, "Product" NULLS FIRST,
+               "Amount" NULLS FIRST, "Date" NULLS FIRST, "Audit_Date" NULLS FIRST,
+               "Reason" NULLS FIRST, "Row_Idx" NULLS FIRST, "Mes" NULLS FIRST,
+               "Producto" NULLS FIRST, "Ventas_Totales" NULLS FIRST,
+               "Numero_Transacciones" NULLS FIRST, "Venta_Minima" NULLS FIRST
+    """
+    },
 
     "p_string_ops" -> """
       SELECT p_partkey,

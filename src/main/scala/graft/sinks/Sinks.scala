@@ -27,6 +27,12 @@ object Sinks {
       .option("header", "true")
       .option("emptyValue", "")
       .option("nullValue", "")
+      // pandas to_csv writes fields verbatim; Spark's writer defaults to
+      // TRIMMING leading/trailing whitespace on write, which would
+      // silently corrupt values like the reference's " Y" product
+      // (split-last of "CAT - Y" keeps its leading space, main.py:67).
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
 
   /** K1: single CSV file at `target` with UTF-8 BOM, matching
     * `to_csv(index=False, encoding='utf-8-sig')`.

@@ -74,6 +74,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === -2500000L)
   }
 
+  test("cosineNearDup: corpus-scaled bits keep candidate growth sub-quadratic") {
+    // Deterministic pseudo-random 16-dim vectors; candidate count = pairs
+    // surviving the bucket equi-join with the dot threshold disabled.
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(42)
+      (0 until n).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+    }
+    def candidates(n: Int): Long =
+      VectorOps.cosineNearDup(corpus(n), "vec_id", "qv", "embedding",
+        bits = VectorOps.bitsForCorpus(n), minDotQ = Long.MinValue).count()
+    val c200 = candidates(200)
+    val c800 = candidates(800)
+    // Fixed bits would scale candidates by (800/200)^2 = 16x; growing
+    // bits with the corpus (bitsForCorpus: 10 -> 12 here) must hold the
+    // growth well under that — ~4x expected, 8x allowed for variance.
+    assert(c200 > 0)
+    assert(c800 < 8 * c200, s"candidates grew quadratically: $c200 -> $c800")
+  }
+
+  test("cosineNearDup multi-probe recovers Hamming-1 neighbors, no pair dups") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 300).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.quantize(col("embedding")).as("qv"))
+    val exact = VectorOps.cosineNearDup(emb, "vec_id", "qv", "embedding",
+      bits = 10, minDotQ = Long.MinValue, multiProbe = false)
+    val probed = VectorOps.cosineNearDup(emb, "vec_id", "qv", "embedding",
+      bits = 10, minDotQ = Long.MinValue)
+    assert(probed.count() > exact.count()) // neighbor buckets add recall
+    // each qualifying pair matches on exactly one probe -> no duplicates
+    assert(probed.count() === probed.select("id_a", "id_b").distinct().count())
+  }
+
   test("signBucket packs sign bits of leading components") {
     val df = Seq(Array(0.1f, -0.2f, 0.3f, 0.0f)).toDF("v")
     val got = df.select(VectorOps.signBucket(col("v"), 4)).as[Long].head()
