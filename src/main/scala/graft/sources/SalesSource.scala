@@ -57,22 +57,29 @@ object SalesSource {
       schema: StructType = salesRawSchema): DataFrame = {
     // Reference fidelity (etl_utils.py:200-202): an empty/absent input
     // directory yields an EMPTY frame, not an error — Spark's glob read
-    // would throw PATH_NOT_FOUND instead. The listing check is a cheap
+    // would throw PATH_NOT_FOUND instead. The listing is a cheap
     // driver-side stat, not a data read.
-    val hasCsv = {
+    //
+    // The TOP-LEVEL file list is passed explicitly (not a dir +
+    // pathGlobFilter, which recurses into subdirectories and runs
+    // partition discovery — a key=value subdir would append an unexpected
+    // partition column to the fixed schema and nested CSVs would be
+    // ingested, deviating from the reference's flat os.listdir semantics
+    // at etl_utils.py:166-206). At cluster scale the driver-side listing
+    // of one directory is O(files) metadata, not a data scan.
+    val csvFiles = {
       val files = new java.io.File(dir).listFiles()
-      files != null && files.exists(f => f.isFile && f.getName.endsWith(".csv"))
+      if (files == null) Array.empty[String]
+      else files.filter(f => f.isFile && f.getName.endsWith(".csv"))
+        .map(_.getPath).sorted
     }
-    // pathGlobFilter instead of a `*.csv` glob path: the glob form trips a
-    // noisy FileStreamSink metadata probe (full WARN stack per read).
     val raw =
-      if (hasCsv)
+      if (csvFiles.nonEmpty)
         spark.read
           .schema(schema)
           .option("header", "true")
           .option("mode", "PERMISSIVE")
-          .option("pathGlobFilter", "*.csv")
-          .csv(dir)
+          .csv(csvFiles: _*)
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -72,6 +72,25 @@ class SalesJobSpec extends SparkSpec {
       Seq("Sale_ID", "Product", "Amount", "Date", "Audit_Date", "_ingest_file", "_ingest_id"))
   }
 
+  test("S1: nested key=value subdirectory is NOT ingested (flat listdir semantics)") {
+    val dir = Files.createTempDirectory("graft-flat-")
+    Files.write(dir.resolve("2025-01-01.csv"),
+      "Sale_ID,Product,Amount,Date\na1,cat-a,1.00 USD,2025-01-02\n"
+        .getBytes(StandardCharsets.UTF_8))
+    // a partition-style subdir: dir+glob reads would recurse into it AND
+    // append a `region` partition column to the fixed schema
+    val sub = dir.resolve("region=eu")
+    Files.createDirectories(sub)
+    Files.write(sub.resolve("2025-02-01.csv"),
+      "Sale_ID,Product,Amount,Date\nZZ,dog-b,9.99 USD,2025-02-02\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val df = graft.sources.SalesSource.readSalesDirectory(spark, dir.toString)
+    assert(df.columns.toSeq ===
+      Seq("Sale_ID", "Product", "Amount", "Date", "Audit_Date", "_ingest_file", "_ingest_id"))
+    val sids = df.select("Sale_ID").collect().map(_.getString(0)).toSeq
+    assert(sids === Seq("a1"), "nested CSV must not be ingested")
+  }
+
   test("S2: single CSV read with coercing date conversion") {
     val f = Files.createTempDirectory("graft-s2-").resolve("one.csv")
     Files.write(f, "Sale_ID,Date\na1,2024-09-22\na2,not-a-date\n".getBytes(StandardCharsets.UTF_8))

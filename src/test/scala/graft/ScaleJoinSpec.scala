@@ -53,4 +53,32 @@ class ScaleJoinSpec extends SparkSpec {
     assert(salted === plain)
     assert(plain.nonEmpty)
   }
+
+  test("salting collapses the hot key's straggler partition (deterministic mechanism)") {
+    // 100k rows, ~90% on key 0: hash-partitioning on k alone lands them
+    // all in ONE partition — the straggler task that holds the stage at
+    // 100 TB. Salting spreads the hot key over r partitions; this checks
+    // the mechanism by row counts, with no flaky wall-clock assertion
+    // (SkewBench is the timing artifact).
+    val r = 16
+    val big = spark.range(100000).select(
+      when(col("id") % 10 === 0, (col("id") % 100) + 1).otherwise(lit(0L)).as("k"),
+      col("id"))
+    def maxPartRows(df: org.apache.spark.sql.DataFrame,
+        keys: Seq[org.apache.spark.sql.Column]): Long =
+      df.repartition(32, keys: _*)
+        .select(spark_partition_id().as("p"))
+        .groupBy("p").count()
+        .agg(max("count")).as[Long].head()
+    val unsalted = maxPartRows(big, Seq(col("k")))
+    val salted = maxPartRows(
+      big.withColumn("_salt", pmod(hash(col("id")), lit(r))),
+      Seq(col("k"), col("_salt")))
+    assert(unsalted >= 90000L, s"sanity: hot key concentrates ($unsalted)")
+    // r salt buckets can collide under hash partitioning (two buckets →
+    // one partition), so assert a conservative 4× collapse, not r×
+    // (observed ~8× with r=16 into 32 partitions).
+    assert(salted <= unsalted / 4,
+      s"salting must spread the hot key: max $unsalted -> $salted rows/partition")
+  }
 }
