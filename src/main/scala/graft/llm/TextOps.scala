@@ -229,9 +229,19 @@ object TextOps {
     bit_count(a.bitwiseXOR(b))
 
   /** Per-document text statistics: char/word/distinct counts, average
-    * word length, type-token ratio, alphabetic token count (regex), and
-    * stopword ratio. All ratios pass through [[round6]] so they compare
-    * bit-exactly across engines.
+    * word length, type-token ratio, alphabetic token count (regex),
+    * BPE-ish subword token count, bigram repetition, and stopword ratio.
+    * All ratios pass through [[round6]] so they compare bit-exactly
+    * across engines.
+    *
+    *  - `bpe_tokens`: matches of `[a-z]{1,4}|[0-9]|[^a-z0-9\s]` — long
+    *    words chunk into ≤4-char subwords, digits and punctuation
+    *    tokenize singly. A deterministic regex proxy for a trained BPE
+    *    vocabulary (greedy leftmost matching is identical in Java regex
+    *    and RE2, so it oracles exactly).
+    *  - `bigram_rep`: 1 − distinct/total word bigrams — the
+    *    repetition-detection signal used by LLM quality filters (high
+    *    value = loopy/boilerplate text); 0 for docs with <2 words.
     */
   def textStats(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String]): DataFrame = {
@@ -242,6 +252,10 @@ object TextOps {
     val nWords = size(w)
     val sumLens = aggregate(w, lit(0), (acc, x) => acc + length(x))
     val nStops = size(filter(w, x => x.isin(stopwords: _*)))
+    val bigrams = shinglesFromWords(w, 2)
+    val bigramRep = when(size(bigrams) > 0,
+      round6(lit(1.0) - size(array_distinct(bigrams)) / size(bigrams).cast("double")))
+      .otherwise(lit(0.0))
     staged.select(
       col(idCol),
       length(t).as("n_chars"),
@@ -250,8 +264,10 @@ object TextOps {
       round6(sumLens / nWords.cast("double")).as("avg_word_len"),
       round6(size(array_distinct(w)) / nWords.cast("double")).as("ttr"),
       regexp_count(t, lit("[a-z]+")).as("alpha_tokens"),
+      regexp_count(t, lit("[a-z]{1,4}|[0-9]|[^a-z0-9\\s]")).as("bpe_tokens"),
       // chars/4 — the standard LLM token-count estimate for English text
       floor((length(t) + 3) / 4).cast("int").as("est_tokens"),
+      bigramRep.as("bigram_rep"),
       round6(nStops / nWords.cast("double")).as("stop_ratio"))
   }
 

@@ -135,6 +135,57 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col(idCol), col("bucket"), col("dot_q"))
   }
 
+  /** IVF-style (inverted-file) ANN top-k — the centroid-partitioned
+    * alternative to sign-LSH bucketing ([[annLsh]]).
+    *
+    * Build: every corpus vector is assigned to its nearest centroid
+    * (highest quantized dot; ties by lowest centroid id) via a
+    * corpus × broadcast(centroids) join + one `min_by` hash aggregation —
+    * the standard IVF build cost of |corpus| × nList dot products, all
+    * map-side, no shuffle of the corpus beyond the argmax agg.
+    *
+    * Search: each query ranks the centroids, probes its `nProbe` nearest
+    * lists, and the candidate join is a plain EQUI-join on `centroid_id` —
+    * each corpus vector lives in exactly one list, so a (query, corpus)
+    * pair can match at most once and no dedup is needed. Scanned fraction
+    * ≈ nProbe / nList of the corpus per query.
+    *
+    * Scale: pick nList ≈ √n so build cost (n·√n dots) and per-probe list
+    * size (√n) balance; centroids stay broadcastable for any realistic
+    * nList. Determinism: quantized integer dots; ties broken by id —
+    * bit-identical in Spark and DuckDB.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    val cent = broadcast(
+      centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("_cv")))
+    // nearest-centroid assignment: argmax dot = min_by on (-dot, cid),
+    // matching a row_number() ORDER BY dot DESC, cid ASC oracle exactly
+    val assigned = corpus.crossJoin(cent)
+      .withColumn("_cd", dot(col(vecCol), col("_cv")))
+      .groupBy(col(idCol))
+      .agg(min_by(
+        struct(col("centroid_id"), col(vecCol).as("_v")),
+        struct((col("_cd") * -1).as("_nd"), col("centroid_id"))).as("_a"))
+      .select(col(idCol), col("_a.centroid_id").as("centroid_id"),
+        col("_a._v").as(vecCol))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(cent)
+      .withColumn("_cd", dot(col("_qv"), col("_cv")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_cd").desc, col("centroid_id"))))
+      .filter(col("_rn") <= nProbe)
+      .select("query_id", "_qv", "centroid_id")
+    val w = Window.partitionBy("query_id").orderBy(col("dot_q").desc, col(idCol))
+    assigned.join(probes, Seq("centroid_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("dot_q", dot(col("_qv"), col(vecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("centroid_id"), col("dot_q"))
+  }
+
   /** Bucket-bit count that keeps bucket-local pairing sub-quadratic as
     * the corpus grows: `ceil(log2 n) + 2` (min 4). With FIXED bits,
     * bucket-local all-pairs is O(n²/2^bits) — still quadratic in corpus

@@ -226,6 +226,22 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF (inverted-file) ANN: centroid lists + nProbe search ---------
+    // The centroid-partitioned alternative to sign-LSH: corpus assigned to
+    // nearest centroid (broadcast join + min_by argmax), queries probe
+    // their 4 nearest of 25 deterministic centroids (vec_id % 20 == 0),
+    // candidates come from an equi-join on centroid_id. Scanned fraction
+    // ~ nProbe/nList of the corpus per query.
+    "llm_ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val cents = emb.filter(col("vec_id") % 20 === 0)
+      VectorOps.ivfTopK(emb, qs, cents, "vec_id", "qv", k = 5, nProbe = 4,
+        dot = VectorOps.dotFn(s))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- embedding-cosine near-dup pairs within LSH buckets --------------
     // Sign-LSH equi-join with Hamming-1 multi-probe. bits = 12 ≈
     // bitsForCorpus(|sf0.01 corpus|) + 1: bucket count GROWS with corpus
@@ -383,9 +399,17 @@ object LlmSurface {
              ${round6sql("list_sum(list_transform(ws, x -> length(x))) / CAST(len(ws) AS DOUBLE)")} AS avg_word_len,
              ${round6sql("len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)")} AS ttr,
              len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+             len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]')) AS bpe_tokens,
              CAST(floor((length(text) + 3) / 4) AS INT) AS est_tokens,
+             CASE WHEN len(bg) > 0
+                  THEN ${round6sql("1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)")}
+                  ELSE 0.0 END AS bigram_rep,
              ${round6sql("len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)")} AS stop_ratio
-      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      FROM (SELECT doc_id, text, ws,
+                   CASE WHEN len(ws) >= 2
+                        THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                        ELSE [] END AS bg
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))
       ORDER BY doc_id
     """,
 
@@ -573,6 +597,37 @@ object LlmSurface {
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
         FROM d)
       SELECT query_id, "rank", vec_id, bucket, dot_q
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """,
+
+    "llm_ann_ivf" -> """
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id % 20 = 0),
+      ad AS (
+        SELECT e.vec_id, e.qv, c.cid,
+               CAST(list_sum(list_transform(range(1, len(e.qv) + 1), i -> e.qv[i] * c.cv[i])) AS BIGINT) AS cdot
+        FROM e, c),
+      asg AS (
+        SELECT vec_id, qv, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+          FROM ad)
+        WHERE rn = 1),
+      qp AS (
+        SELECT vec_id AS query_id, qv AS qq, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+          FROM ad WHERE vec_id % 100 = 0)
+        WHERE rn <= 4),
+      d AS (
+        SELECT qp.query_id, a.vec_id, a.cid,
+               CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * a.qv[i])) AS BIGINT) AS dot_q
+        FROM qp JOIN asg a ON qp.cid = a.cid AND a.vec_id != qp.query_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
+        FROM d)
+      SELECT query_id, "rank", vec_id, cid AS centroid_id, dot_q
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
     """,
 

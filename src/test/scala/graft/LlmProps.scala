@@ -67,4 +67,22 @@ object LlmProps extends Properties("LlmOps") {
         .as[(Long, Int, Long)].collect().toSet
       ann == exact
     }
+
+  property("ivfTopK probing ALL centroid lists degenerates to exact topK") =
+    forAll(Gen.listOfN(12, vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val qs = df.filter(col("vec_id") % 4 === 0)
+      val cents = df.filter(col("vec_id") % 3 === 0)
+      val exact = VectorOps.topK(df, qs, "vec_id", "qv", k = 3)
+        .select("query_id", "rank", "vec_id")
+        .as[(Long, Int, Long)].collect().toSet
+      // every corpus vector lives in exactly one list; probing every list
+      // makes the candidate set the whole corpus -> identical to exact
+      val ivf = VectorOps.ivfTopK(df, qs, cents, "vec_id", "qv", k = 3, nProbe = 4)
+        .select("query_id", "rank", "vec_id")
+        .as[(Long, Int, Long)].collect().toSet
+      ivf == exact
+    }
 }
