@@ -99,4 +99,16 @@ object Multimodal {
     ds.flatMap(m => sampleFrameIndices(m.frames, stride).map(f => (m.doc_id, f)))
       .toDF("doc_id", "frame_idx")
   }
+
+  /** [[explodeFrames]] carrying the (resized) dimensions along in the SAME
+    * narrow flatMap — the shape a frame-level extractor actually wants,
+    * with no join back to the metadata (which would re-run the decode or
+    * force a shuffle).
+    */
+  def frameTable(spark: SparkSession, ds: Dataset[MediaMeta], stride: Int): DataFrame = {
+    import spark.implicits._
+    ds.flatMap(m => sampleFrameIndices(m.frames, stride)
+        .map(f => (m.doc_id, f, m.width, m.height)))
+      .toDF("doc_id", "frame_idx", "width", "height")
+  }
 }

@@ -312,6 +312,17 @@ object LlmSurface {
         Multimodal.withPayload(Tables(s, dir, "documents"), "text"), "doc_id")
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: decode -> resize(256) -> stride-2 frame sample ------
+    // The full video-ish pipeline over the stub codec: one narrow
+    // per-partition decode, a typed resize map, and a flatMap fan-out to
+    // one row per sampled frame carrying the resized dims (no join back).
+    "llm_multimodal_frames" -> ((s, dir) => {
+      val meta = Multimodal.decodeMeta(s,
+        Multimodal.withPayload(Tables(s, dir, "documents"), "text"), "doc_id")
+      Multimodal.frameTable(s, Multimodal.resizeMeta(meta, 256), stride = 2)
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -726,6 +737,34 @@ object LlmSurface {
              1 + (byte_len % 7) AS frames
       FROM m
       ORDER BY doc_id
+    """,
+
+    "llm_multimodal_frames" -> """
+      WITH m AS (
+        SELECT doc_id, length(text) AS byte_len,
+               CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                            i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
+        FROM documents),
+      dims AS (
+        SELECT doc_id,
+               CAST(64 + (byte_sum % 577) AS INT) AS w0,
+               CAST(64 + ((byte_sum * 31) % 937) AS INT) AS h0,
+               CAST(1 + (byte_len % 7) AS INT) AS frames
+        FROM m),
+      rs AS (
+        SELECT doc_id, frames,
+               CASE WHEN greatest(w0, h0) <= 256 THEN w0
+                    ELSE greatest(1, CAST((CAST(w0 AS BIGINT) * 256) // greatest(w0, h0) AS INT))
+               END AS width,
+               CASE WHEN greatest(w0, h0) <= 256 THEN h0
+                    ELSE greatest(1, CAST((CAST(h0 AS BIGINT) * 256) // greatest(w0, h0) AS INT))
+               END AS height
+        FROM dims)
+      SELECT doc_id, frame_idx, width, height FROM (
+        SELECT doc_id, CAST(unnest(range(0, frames, 2)) AS INT) AS frame_idx,
+               width, height
+        FROM rs)
+      ORDER BY doc_id, frame_idx
     """
   )
 }

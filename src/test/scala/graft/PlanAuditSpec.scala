@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+import graft.llm.VectorOps
+
+/** Structural plan audits: the properties we check by eye with
+  * `.explain("formatted")` after every operator change, pinned as
+  * assertions so a regression (lost pushdown, lost map-side combine, a
+  * broadcast silently becoming a shuffle join) fails CI instead of
+  * quietly costing 10× at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection reach the parquet scan (pushdown + pruning)") {
+    val q = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 5.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"),
+      s"filter must be pushed to the scan:\n$p")
+    // ReadSchema carries only the projected columns — a scan reading all
+    // 16 lineitem columns for a 2-column projection is wrong
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("min_by keep-first dedup gets a map-side partial aggregate") {
+    val q = graft.llm.TextOps.exactDedup(
+      Tables(spark, dir, "documents"), "text", "doc_id")
+    val p = plan(q)
+    // NOTE: min_by over a struct payload compiles to SortAggregate (struct
+    // buffers aren't hash-aggregable) — but the PARTIAL mode is what
+    // matters at scale: the shuffle carries ~|keys| combined rows, not
+    // every input row. Measured: still 3× faster than the row_number
+    // window form at sf0.1 despite the per-partition sort.
+    assert(p.contains("partial_min_by"),
+      s"dedup must partial-aggregate before the exchange:\n$p")
+    // and it must NOT be the full-sort window form
+    assert(!p.contains("row_number"), "keep-first must not use a sort window")
+  }
+
+  test("topK joins the query set via broadcast, not a shuffle") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val p = plan(VectorOps.topK(emb, qs, "vec_id", "qv", k = 5))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+
+  test("vocabulary count partial-aggregates before its single exchange") {
+    val q = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val p = plan(q)
+    assert(p.contains("partial_count") || p.contains("partial count")
+      || p.toLowerCase.contains("partial"),
+      s"word count must map-side combine:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"exactly one shuffle expected:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar-heavy Q1 chain") {
+    val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
+    // AQE prints `isFinalPlan=false` with no codegen spans until the query
+    // actually runs — execute THIS dataframe (count() would plan a
+    // different query), then audit the final adaptive plan
+    q.collect()
+    val p = plan(q)
+    // the adaptive final plan marks codegen stages with the `*(n)` star
+    // prefix (the literal "WholeStageCodegen" only appears in formatted
+    // explain); the scalar chain's Project/Filter must carry it
+    assert(p.contains("*(") && p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project")),
+      s"Q1's narrow chain must run inside codegen:\n$p")
+  }
+}
