@@ -121,6 +121,13 @@ object TextOps {
     *        whose lifecycle YOU control — an earlier revision persisted
     *        internally and leaked cached blocks into the caller's session
     *        with no way to free them, which a library must not do.
+    *        (Rejected by measurement: carrying the shingle sets through
+    *        the band stack to collapse perDoc to one consumer pair — it
+    *        computes the explode+hash pass once but ships each set
+    *        numBands× through the band-join shuffle and verifies each
+    *        pair once per colliding band, netting 3.5 s vs 2.5 s at
+    *        sf0.1; at 100 TB the set-carry shuffle inflation only gets
+    *        worse relative to a checkpointed signature table.)
     */
   def nearDupPairs(
       df: DataFrame,
