@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps
+
+/** Streaming form of the training-data curation pipeline: the SAME
+  * narrow Column expressions as the batch `llm_curation_pipeline`
+  * (quality score → threshold → deterministic hash split) applied to a
+  * document stream, with exact content dedup bounded by a watermark.
+  *
+  * Every stage except the dedup is stateless (pure projection/filter —
+  * streams unchanged); the dedup uses `dropDuplicatesWithinWatermark`
+  * keyed on the content sha, so its state holds only hashes newer than
+  * the watermark delay instead of growing with the corpus — the
+  * streaming analogue of the batch keep-first rule, where "first" is
+  * arrival order within the dedup horizon.
+  *
+  * The hash split ([[TextOps.hashBucket]]) is a pure function of doc_id,
+  * so a document's train/val/test membership is identical in the batch
+  * and streaming paths — REQUIRED for an incremental corpus build to
+  * agree with its backfill.
+  */
+object DocStream {
+
+  /** Input needs (doc_id, ts timestamp, text); emits the curated stream
+    * with `quality` and `split` columns attached.
+    */
+  def curate(
+      docs: DataFrame,
+      stopwords: Seq[String],
+      minQuality: Double,
+      watermarkDelay: String): DataFrame = {
+    val d = docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("_w", TextOps.words(col("text")))
+    val nWords = size(col("_w"))
+    val quality = TextOps.round6(
+      (least(nWords, lit(200)) / 200.0) * 0.5
+        + (size(array_distinct(col("_w"))) / nWords.cast("double")) * 0.3
+        + (size(filter(col("_w"), x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
+    d.withColumn("quality", quality)
+      .filter(col("quality") >= minQuality)
+      .withColumn("content_sha", sha2(col("text"), 256))
+      .dropDuplicatesWithinWatermark("content_sha")
+      .withColumn("split",
+        when(TextOps.hashBucket(col("doc_id"), "split") < 80, "train")
+          .when(TextOps.hashBucket(col("doc_id"), "split") < 90, "val")
+          .otherwise("test"))
+      .drop("_w")
+  }
+}

@@ -57,6 +57,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: quality filter + watermarked dedup + stable hash split") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val stops = Seq("the", "a", "of", "to", "in")
+    val rich = "the quick brown fox jumps over a lazy dog in the misty morning light today"
+    val q = graft.streaming.DocStream.curate(docs, stops, minQuality = 0.3, "1 hour")
+      .writeStream.format("memory").queryName("curate_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), rich),
+        (2L, ts("2024-01-01 10:01:00"), rich), // exact dup -> dropped
+        (3L, ts("2024-01-01 10:02:00"), "tiny tiny tiny tiny")) // low quality
+      q.processAllAvailable()
+      val got = spark.table("curate_test")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(got.keySet === Set(1L))
+      // split must equal the BATCH hashBucket assignment for the same id
+      val batchSplit = Seq(1L).toDF("doc_id")
+        .select(org.apache.spark.sql.functions.when(
+          graft.llm.TextOps.hashBucket(org.apache.spark.sql.functions.col("doc_id"), "split") < 80, "train")
+          .when(graft.llm.TextOps.hashBucket(org.apache.spark.sql.functions.col("doc_id"), "split") < 90, "val")
+          .otherwise("test")).as[String].head()
+      assert(got(1L) === batchSplit)
+    } finally q.stop()
+  }
+
   test("streaming sessionization: in-batch gap close and event-time timeout close") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
