@@ -33,6 +33,33 @@ class SinksSpec extends SparkSpec {
     assert(math.abs(sums - 2 * (10.5 + 20.25 + 30.0)) < 1e-9)
   }
 
+  test("writeCsvGolden round-trips adversarial fields (commas, quotes, newlines, whitespace)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quote-").toString
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" word"),
+      (4L, "line\nbreak"),
+      (5L, " leading and trailing "),
+      (6L, null.asInstanceOf[String]))
+    val df = rows.toDF("id", "v")
+    val target = s"$dir/edge.csv"
+    Sinks.writeCsvGolden(df, target)
+    // read back with multiLine (embedded newlines live inside quotes) and
+    // whitespace preservation — values must survive byte-for-byte, and
+    // null must come back as null (written as the empty string)
+    val back = spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(target)
+      .select(col("id").cast("long"), col("v"))
+      .as[(Long, Option[String])].collect().toMap
+    rows.foreach { case (id, v) =>
+      assert(back(id) === Option(v), s"field for id=$id must round-trip")
+    }
+  }
+
   test("month-partitioned parquet layout prunes partitions at scan time") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString
     val df = (0 until 1000).map { i =>
