@@ -235,6 +235,45 @@ object TextOps {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
+    * blocked by the PIGEONHOLE principle (the Manku/Google simhash-dedup
+    * scheme): split the `bits`-bit simhash into `chunks` equal chunks —
+    * two hashes within Hamming distance k < chunks must agree EXACTLY on
+    * at least one chunk, so every qualifying pair is found by an
+    * EQUI-join on (chunk index, chunk value) and the all-pairs O(n²)
+    * comparison is rejected by construction. Candidates sharing several
+    * chunks are deduped before the exact Hamming verify.
+    *
+    * Per-chunk fan-out is bounded by how many documents collide on a
+    * 15-bit chunk value — at 100 TB that is corpus-duplication-bound,
+    * same argument as the MinHash bands in [[nearDupPairs]].
+    */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4, bits: Int = 60): DataFrame = {
+    require(chunks > maxHamming,
+      s"pigeonhole needs chunks ($chunks) > maxHamming ($maxHamming)")
+    require(bits % chunks == 0, s"$bits bits must split evenly into $chunks chunks")
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val sim = simHash(df, idCol, textCol)
+    val chunkStructs = (0 until chunks).map(i => struct(
+      lit(i).as("ci"),
+      shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit(mask)).as("cv")))
+    val chunked = sim
+      .select(col(idCol).as("doc"), col("simhash"),
+        explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("doc"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    chunked
+      .select(col("ci"), col("cv"), col("doc").as("doc_a"), col("simhash").as("sim_a"))
+      .join(chunked.select(col("ci"), col("cv"), col("doc").as("doc_b"),
+        col("simhash").as("sim_b")), Seq("ci", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Per-document text statistics: char/word/distinct counts, average
     * word length, type-token ratio, alphabetic token count (regex),
     * BPE-ish subword token count, bigram repetition, and stopword ratio.

@@ -192,6 +192,16 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- SimHash near-dup pairs: pigeonhole chunk blocking ---------------
+    // Hamming <= 3 over 4 chunks of 15 bits: a qualifying pair must agree
+    // exactly on >=1 chunk, so candidates come from an equi-join on
+    // (chunk index, chunk value) — never an all-pairs scan.
+    "llm_simhash_near_dup" -> ((s, dir) => {
+      TextOps.simHashNearDup(Tables(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- exact top-k cosine (quantized) over a broadcast query set -------
     // Baseline form: |queries| × |corpus| with the query side broadcast.
     // The corpus×corpus all-pairs form is rejected — at scale use
@@ -552,6 +562,27 @@ object LlmSurface {
       bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id)
       SELECT doc_id, $simhashCombine AS simhash
       FROM bs ORDER BY doc_id
+    """,
+
+    "llm_simhash_near_dup" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      hh AS (
+        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok),
+      bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id),
+      sims AS (SELECT doc_id, $simhashCombine AS simhash FROM bs),
+      ch AS (
+        SELECT doc_id, simhash, i AS ci, (simhash >> (i * 15)) & 32767 AS cv
+        FROM sims, generate_series(0, 3) t(i)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM ch a JOIN ch b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+      FROM pairs
+      WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      ORDER BY doc_a, doc_b
     """,
 
     "llm_topk_similarity" -> """

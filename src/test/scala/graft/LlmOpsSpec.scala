@@ -35,6 +35,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(dist > 0)
   }
 
+  test("simHashNearDup: identical docs pair at hamming 0; pigeonhole precondition enforced") {
+    val df = Seq(
+      (1L, "spark joins data fast with hash tables"),
+      (2L, "spark joins data fast with hash tables"),
+      (3L, "entirely unrelated vocabulary about citrus orchards blooming"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.simHashNearDup(df, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // hamming <= k needs more than k chunks or the pigeonhole breaks
+    assertThrows[IllegalArgumentException] {
+      TextOps.simHashNearDup(df, "doc_id", "text", maxHamming = 4, chunks = 4)
+    }
+  }
+
   test("nearDupPairs: identical docs pair at jaccard 1.0, unrelated docs don't pair") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
