@@ -186,6 +186,26 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col(idCol), col("centroid_id"), col("dot_q"))
   }
 
+  /** Element-wise per-group vector sums — the centroid-UPDATE half of a
+    * distributed k-means iteration (the assignment half is [[ivfTopK]]'s
+    * build step). `posexplode` → partial sums per (group, position) →
+    * regroup to an array in position order. All exact integer arithmetic
+    * on quantized vectors; both aggregations get map-side partial
+    * combine, so the shuffle carries |groups|×dims rows, not the corpus.
+    *
+    * Returns (groupCol, n, vec_sum: array<long>); callers derive the
+    * centroid as an element-wise mean of vec_sum / n.
+    */
+  def centroidSums(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(
+        max("n").as("n"), // every position sees the same row count
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")).as("vec_sum"))
+
   /** Bucket-bit count that keeps bucket-local pairing sub-quadratic as
     * the corpus grows: `ceil(log2 n) + 2` (min 4). With FIXED bits,
     * bucket-local all-pairs is O(n²/2^bits) — still quadratic in corpus

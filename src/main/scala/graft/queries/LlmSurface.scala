@@ -236,6 +236,22 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- per-label centroids: the k-means centroid-update step -----------
+    // Element-wise mean of each label's quantized vectors (posexplode ->
+    // two partial-combine aggregations). The centroid ships as a CSV
+    // string: array columns render differently across pandas/duckdb
+    // readers, strings never do.
+    "llm_label_centroids" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("label"), VectorOps.quantize(col("embedding")).as("qv"))
+      VectorOps.centroidSums(emb, "label", "qv")
+        .withColumn("centroid_csv", concat_ws(",",
+          transform(col("vec_sum"),
+            x => floor(x.cast("double") / col("n")).cast("long"))))
+        .select(col("label"), col("n"), col("centroid_csv"))
+        .orderBy("label")
+    }),
+
     // ---- IVF (inverted-file) ANN: centroid lists + nProbe search ---------
     // The centroid-partitioned alternative to sign-LSH: corpus assigned to
     // nearest centroid (broadcast join + min_by argmax), queries probe
@@ -640,6 +656,26 @@ object LlmSurface {
         FROM d)
       SELECT query_id, "rank", vec_id, bucket, dot_q
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """,
+
+    "llm_label_centroids" -> """
+      WITH e AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      ex AS (
+        SELECT label, i AS pos, qv[i] AS v
+        FROM e, unnest(range(1, len(qv) + 1)) t(i)),
+      ps AS (
+        SELECT label, pos, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        FROM ex GROUP BY label, pos),
+      agg AS (
+        SELECT label, max(n) AS n,
+               list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cent
+        FROM ps GROUP BY label)
+      SELECT label, CAST(n AS BIGINT) AS n,
+             array_to_string(cent, ',') AS centroid_csv
+      FROM agg ORDER BY label
     """,
 
     "llm_ann_ivf" -> """

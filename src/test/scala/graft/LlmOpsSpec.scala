@@ -127,6 +127,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(probed.count() === probed.select("id_a", "id_b").distinct().count())
   }
 
+  test("centroidSums: element-wise per-group sums in position order") {
+    val df = Seq(
+      ("a", Array(1L, 2L, 3L)),
+      ("a", Array(10L, 20L, 30L)),
+      ("b", Array(5L, 5L, 5L)))
+      .toDF("g", "qv")
+    val got = VectorOps.centroidSums(df, "g", "qv")
+      .as[(String, Long, Seq[Long])].collect()
+      .map { case (g, n, v) => g -> ((n, v)) }.toMap
+    assert(got("a") === ((2L, Seq(11L, 22L, 33L))))
+    assert(got("b") === ((1L, Seq(5L, 5L, 5L))))
+  }
+
   test("signBucket packs sign bits of leading components") {
     val df = Seq(Array(0.1f, -0.2f, 0.3f, 0.0f)).toDF("v")
     val got = df.select(VectorOps.signBucket(col("v"), 4)).as[Long].head()
