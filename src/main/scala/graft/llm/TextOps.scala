@@ -317,6 +317,34 @@ object TextOps {
       round6(nStops / nWords.cast("double")).as("stop_ratio"))
   }
 
+  /** Split each document into fixed-size overlapping word windows — the
+    * training-sample extraction step (context-window chunking) of an LLM
+    * data pipeline. Chunk k covers words [1 + k·(chunkSize−overlap),
+    * …+chunkSize); the final chunk may be short; a document shorter than
+    * one chunk yields exactly one. Emits the chunk's sha256 so chunks
+    * feed straight into [[exactDedup]]-style dedup.
+    *
+    * Pure array expressions + one explode — embarrassingly parallel,
+    * no shuffle; the fan-out is bounded by corpus size / step.
+    */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize ($chunkSize) > overlap ($overlap) >= 0")
+    val step = chunkSize - overlap
+    val d = df.select(col(idCol), words(col(textCol)).as("_w"))
+    val n = size(col("_w"))
+    val nChunks = greatest(lit(1),
+      ceil((n - overlap).cast("double") / step.toDouble).cast("int"))
+    d.select(col(idCol),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"), col("_w"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("_w"), col("chunk_idx") * step + 1, lit(chunkSize)).as("_cw"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_cw")).as("n_words"),
+        sha2(concat_ws(" ", col("_cw")), 256).as("chunk_sha"))
+  }
+
   /** Deterministic hash bucket in [0, buckets) from an id column —
     * md5-based so it is stable across runs, partitionings, AND engines
     * (Spark `hash()` is engine-specific murmur3; md5 hex is universal).

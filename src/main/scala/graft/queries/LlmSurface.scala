@@ -192,6 +192,15 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- context-window chunking: 40-word chunks, 8-word overlap ---------
+    // The training-sample extraction step: each doc explodes into
+    // overlapping word windows with a per-chunk sha for downstream dedup.
+    "llm_chunking" -> ((s, dir) => {
+      TextOps.chunkWords(Tables(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- SimHash near-dup pairs: pigeonhole chunk blocking ---------------
     // Hamming <= 3 over 4 chunks of 15 bits: a qualifying pair must agree
     // exactly on >=1 chunk, so candidates come from an equi-join on
@@ -578,6 +587,24 @@ object LlmSurface {
       bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id)
       SELECT doc_id, $simhashCombine AS simhash
       FROM bs ORDER BY doc_id
+    """,
+
+    "llm_chunking" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      c AS (
+        SELECT doc_id, ws,
+               greatest(1, CAST(ceil((len(ws) - 8) / 32.0) AS INT)) AS nc
+        FROM d),
+      ex AS (
+        SELECT doc_id, ws, CAST(k AS INT) AS chunk_idx,
+               CAST(k * 32 + 1 AS INT) AS start
+        FROM c, unnest(range(0, nc)) t(k)),
+      ch AS (
+        SELECT doc_id, chunk_idx, ws[start:start + 39] AS cw FROM ex)
+      SELECT doc_id, chunk_idx,
+             CAST(len(cw) AS INT) AS n_words,
+             sha256(array_to_string(cw, ' ')) AS chunk_sha
+      FROM ch ORDER BY doc_id, chunk_idx
     """,
 
     "llm_simhash_near_dup" -> s"""

@@ -127,6 +127,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(probed.count() === probed.select("id_a", "id_b").distinct().count())
   }
 
+  test("chunkWords: overlapping windows, short tail, short-doc single chunk") {
+    // 10 words, chunkSize 4, overlap 1 -> step 3 -> ceil(9/3)=3 chunks:
+    // [w1..w4], [w4..w7], [w7..w10]
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkWords(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "n_words")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got === Set((1L, 0, 4), (1L, 1, 4), (1L, 2, 4), (2L, 0, 2)))
+    // overlap: last word of chunk 0 is first word of chunk 1
+    val shas = TextOps.chunkWords(df, "doc_id", "text", 4, 1)
+      .filter(col("doc_id") === 1L).select("chunk_sha").as[String].collect()
+    assert(shas.distinct.length === 3, "distinct content per chunk")
+  }
+
   test("centroidSums: element-wise per-group sums in position order") {
     val df = Seq(
       ("a", Array(1L, 2L, 3L)),
