@@ -357,6 +357,24 @@ object TextOps {
     conv(substring(md5(concat(lit(s"$salt|"), id.cast("string"))), 1, 4), 16, 10)
       .cast("int") % buckets
 
+  /** PII/URL scrubbing — the redaction pass every production training
+    * pipeline runs before tokenization. Replacement order matters and is
+    * fixed: URLs first (so an address inside a URL is already gone),
+    * then emails, then long digit runs (card/phone-like). The regexes
+    * use only syntax with identical semantics in Java regex and RE2, so
+    * the scrub oracles exactly.
+    */
+  val UrlRe = "https?://[^ ]+"
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val LongDigitRe = "[0-9]{8,}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongDigitRe, "<NUM>")
+
   /** Marker-word language-ID heuristic: score each language by counting
     * its marker words (with multiplicity); predict the argmax, ties
     * broken by language-code order. A real system would use char-n-gram

@@ -192,6 +192,27 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- PII/URL scrubbing: URL -> email -> long-digit redaction ---------
+    // The synthetic corpus contains no PII, so every third doc gets a
+    // deterministically injected email + URL + digit run — the scrub then
+    // does real work and the oracle verifies the exact redacted output
+    // (an unmodified-corpus scrub would vacuously hash-match).
+    "llm_pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com or https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".test ref 1234567890123"))
+      val d = Tables(s, dir, "documents")
+        .withColumn("aug", when(col("doc_id") % 3 === 0, injected).otherwise(col("text")))
+      d.select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(TextOps.UrlRe)).as("n_urls"),
+        regexp_count(col("aug"), lit(TextOps.EmailRe)).as("n_emails"),
+        regexp_count(col("aug"), lit(TextOps.LongDigitRe)).as("n_longnums"),
+        sha2(TextOps.scrubPii(col("aug")), 256).as("scrub_sha"))
+        .orderBy("doc_id")
+    }),
+
     // ---- context-window chunking: 40-word chunks, 8-word overlap ---------
     // The training-sample extraction step: each doc explodes into
     // overlapping word windows with a per-chunk sha for downstream dedup.
@@ -587,6 +608,29 @@ object LlmSurface {
       bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id)
       SELECT doc_id, $simhashCombine AS simhash
       FROM bs ORDER BY doc_id
+    """,
+
+    "llm_pii_scrub" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or https://site'
+                         || CAST(doc_id % 7 AS VARCHAR)
+                         || '.test ref 1234567890123'
+                    ELSE text END AS aug
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, 'https?://[^ ]+')) AS INT) AS n_urls,
+             CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(aug, '[0-9]{8,}')) AS INT) AS n_longnums,
+             sha256(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(aug, 'https?://[^ ]+', '<URL>', 'g'),
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{8,}', '<NUM>', 'g')) AS scrub_sha
+      FROM d ORDER BY doc_id
     """,
 
     "llm_chunking" -> """

@@ -127,6 +127,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(probed.count() === probed.select("id_a", "id_b").distinct().count())
   }
 
+  test("scrubPii redacts URLs, then emails, then long digit runs") {
+    val df = Seq(
+      "mail ab.c%x@foo.io or https://a@b.test/x?p=123456789 card 4111111111111111 ok")
+      .toDF("t")
+    val got = df.select(TextOps.scrubPii(col("t"))).as[String].head()
+    // the URL pass also swallows its embedded @ and digits; short digit
+    // runs (<8) survive
+    assert(got === "mail <EMAIL> or <URL> card <NUM> ok")
+  }
+
   test("chunkWords: overlapping windows, short tail, short-doc single chunk") {
     // 10 words, chunkSize 4, overlap 1 -> step 3 -> ceil(9/3)=3 chunks:
     // [w1..w4], [w4..w7], [w7..w10]
