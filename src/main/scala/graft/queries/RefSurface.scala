@@ -120,6 +120,24 @@ object RefSurface {
         .orderBy(("frame" +: allCols).map(col): _*)
     }),
 
+    // ---- K3: partitioned parquet layout roundtrip + partition pruning ---
+    // The 100 TB layout pattern: month-partitioned parquet written via
+    // the real sink path, read back with a partition filter (directory
+    // pruning — SinksSpec asserts the PartitionFilters at scan), and the
+    // oracle reads the SAME files via DuckDB hive partitioning. Closes
+    // X31's oracle gap the way k1_job_roundtrip closed K1's.
+    "k3_partitioned_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_k3_out/${SalesFixture.sfName(dir)}"
+      Tables(s, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_month") >= "1995-01" && col("o_month") <= "1995-03")
+        .groupBy("o_month")
+        .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
+        .orderBy("o_month")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -586,6 +604,16 @@ object RefSurface {
                "Numero_Transacciones" NULLS FIRST, "Venta_Minima" NULLS FIRST
     """
     },
+
+    // Reads the SAME partitioned layout the Spark entry just wrote (the
+    // sf0.01 run — Verify executes the Spark side first).
+    "k3_partitioned_roundtrip" -> """
+      SELECT o_month, count(*) AS n,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+      FROM read_parquet('/tmp/graft_k3_out/sf0.01/*/*.parquet', hive_partitioning=true)
+      WHERE o_month >= '1995-01' AND o_month <= '1995-03'
+      GROUP BY o_month ORDER BY o_month
+    """,
 
     "p_string_ops" -> """
       SELECT p_partkey,
