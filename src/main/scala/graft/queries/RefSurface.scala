@@ -127,14 +127,21 @@ object RefSurface {
     // oracle reads the SAME files via DuckDB hive partitioning. Closes
     // X31's oracle gap the way k1_job_roundtrip closed K1's.
     "k3_partitioned_roundtrip" -> ((s, dir) => {
+      // Synthetic (sf-independent) rows: the entry verifies the SINK
+      // LAYOUT — hive directory structure, partition-column round-trip,
+      // pruning — so the data only has to be deterministic, letting the
+      // fixed-path oracle stay valid at every scale factor (same
+      // reasoning as the SalesFixture for s1/k1).
       val out = s"/tmp/graft_k3_out/${SalesFixture.sfName(dir)}"
-      Tables(s, dir, "orders")
-        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      s.range(0, 5000)
+        .withColumn("o_month",
+          concat(lit("1995-"), lpad(((col("id") % 6) + 1).cast("string"), 2, "0")))
+        .withColumn("price", ((col("id") * 131 % 100000) / 100.0))
         .write.mode("overwrite").partitionBy("o_month").parquet(out)
       s.read.parquet(out)
         .filter(col("o_month") >= "1995-01" && col("o_month") <= "1995-03")
         .groupBy("o_month")
-        .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n"), centsSum(col("price")).as("total"))
         .orderBy("o_month")
     }),
 
@@ -609,7 +616,7 @@ object RefSurface {
     // sf0.01 run — Verify executes the Spark side first).
     "k3_partitioned_roundtrip" -> """
       SELECT o_month, count(*) AS n,
-             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+             sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) / 100.0 AS total
       FROM read_parquet('/tmp/graft_k3_out/sf0.01/*/*.parquet', hive_partitioning=true)
       WHERE o_month >= '1995-01' AND o_month <= '1995-03'
       GROUP BY o_month ORDER BY o_month
