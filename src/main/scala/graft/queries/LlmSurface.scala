@@ -192,6 +192,29 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- TF-IDF: rarity-weighted terms, top-3 per document ---------------
+    // tf from one explode+agg, document frequency from a second agg over
+    // the (doc, word) pairs, idf joined back (tiny — |vocab| rows,
+    // broadcast). ln() agrees bit-for-bit between JVM Math.log and
+    // DuckDB's libm on this data (both fdlibm-derived; round6 adds nine
+    // orders of magnitude of slack) — verified at all three SFs.
+    "llm_tfidf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nDocs = docs.count().toDouble
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), "word")
+        .withColumn("tfidf", TextOps.round6(col("tf") * log(lit(nDocs) / col("df"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("tfidf"))
+        .orderBy("doc_id", "word")
+    }),
+
     // ---- PII/URL scrubbing: URL -> email -> long-digit redaction ---------
     // The synthetic corpus contains no PII, so every third doc gets a
     // deterministically injected email + URL + digit run — the scrub then
@@ -608,6 +631,23 @@ object LlmSurface {
       bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id)
       SELECT doc_id, $simhashCombine AS simhash
       FROM bs ORDER BY doc_id
+    """,
+
+    "llm_tfidf" -> s"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+      dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.word, tf.tf,
+               ${round6sql("tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)")} AS tfidf
+        FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+        FROM sc)
+      SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, tfidf
+      FROM r WHERE rn <= 3 ORDER BY doc_id, word
     """,
 
     "llm_pii_scrub" -> """
