@@ -54,6 +54,31 @@ class ScaleJoinSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("AQE skew-join splits the hot partition automatically (the preferred fix)") {
+    // The Skew scaladoc says: prefer AQE's skew splitting, salt only when
+    // it can't apply. Prove AQE actually does it: sort-merge join a
+    // 90%-hot-key fact against a dim with the skew thresholds lowered to
+    // test scale, and assert the final adaptive plan marks the join
+    // skew-handled.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(200000).select(
+        when(col("id") % 10 === 0, (col("id") % 100) + 1).otherwise(lit(0L)).as("k"),
+        col("id").as("v"))
+      val small = spark.range(101).select(col("id").as("k"), (col("id") * 3).as("w"))
+      val joined = big.join(small, Seq("k")).agg(sum(col("v") + col("w")))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the skewed join handled:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salting collapses the hot key's straggler partition (deterministic mechanism)") {
     // 100k rows, ~90% on key 0: hash-partitioning on k alone lands them
     // all in ONE partition — the straggler task that holds the stage at
