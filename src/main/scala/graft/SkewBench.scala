@@ -47,9 +47,10 @@ object SkewBench {
     val unsalted = (0 until reps).map(_ => time(agg(big.join(small, Seq("k")))))
     val salted = (0 until reps).map(_ =>
       time(agg(Skew.saltedJoin(big, small, Seq("k"), saltSource = col("v"), r = cpus))))
-    require(unsalted.map(_._2).distinct.size == 1 &&
-      unsalted.map(_._2).head == salted.map(_._2).head,
-      "salted and unsalted joins must agree")
+    // EVERY rep of both shapes must agree — a nondeterministic salted-join
+    // bug in a later rep must not slip into the published median.
+    require((unsalted.map(_._2) ++ salted.map(_._2)).distinct.size == 1,
+      "salted and unsalted joins must agree across all reps")
     val u = Bench.median(unsalted.map(_._1))
     val s = Bench.median(salted.map(_._1))
     println(f"""{"metric":"skew_join","unsalted_sec":$u%.3f,"salted_sec":$s%.3f,"speedup":${u / s}%.2f,"rows":$n,"hot_share":0.9,"r":$cpus}""")

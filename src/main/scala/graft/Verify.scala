@@ -29,8 +29,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracle SQL may reference fixture/roundtrip paths keyed by the scale
+    // factor under verification (e.g. /tmp/graft_k1_out/__SF__). Resolve
+    // the placeholder HERE — Verify is the only component that knows which
+    // sf it just ran — so the emitted SQL always reads the files this very
+    // run wrote, never stale state from an earlier run at a different sf.
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF__", sfName))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Names whose result must be non-empty at verify scale — consumed by
     // tools/check_oracle.py so a 0-row result that matches an equally

@@ -128,6 +128,16 @@ object TextOps {
     *        pair once per colliding band, netting 3.5 s vs 2.5 s at
     *        sf0.1; at 100 TB the set-carry shuffle inflation only gets
     *        worse relative to a checkpointed signature table.)
+    * @param repartitionInput spread the corpus across the cluster BEFORE
+    *        the shingle explode. Pass true when the scan is under-parallel
+    *        (a small corpus file arriving as one split would serialize the
+    *        explode × numHashes onto one task); leave false when the input
+    *        is already well partitioned — the groupBy has its own exchange
+    *        and an extra full shuffle of the raw text would be pure waste.
+    *        Caller-decided like `materialize`: an earlier revision guessed
+    *        via `df.rdd.getNumPartitions`, which forces physical planning
+    *        of the whole upstream plan on every call and misfires for
+    *        shuffle outputs narrower than defaultParallelism.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -137,23 +147,15 @@ object TextOps {
       numBands: Int = 4,
       rowsPerBand: Int = 3,
       threshold: Double = 0.5,
-      materialize: DataFrame => DataFrame = identity): DataFrame = {
+      materialize: DataFrame => DataFrame = identity,
+      repartitionInput: Boolean = false): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val id = col(idCol)
     // ONE explode + ONE hash aggregation computes the whole per-doc state:
     // 12 min-hashes AND the distinct shingle set (collect_set dedups, so
     // no separate distinct() shuffle, and set size IS the distinct count).
-    // Repartition by doc BEFORE the explode ONLY when the scan is
-    // under-parallel (a small corpus file arrives as one split, which
-    // would serialize the explode × 12 hashes onto one task); an already
-    // parallel scan goes straight to the groupBy's own exchange — an
-    // unconditional repartition would force a full extra shuffle of the
-    // raw text at every scale.
     val base = df.select(id.as("doc"), words(col(textCol)).as("w"))
-    val wide =
-      if (base.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
-        base.repartition(col("doc"))
-      else base
+    val wide = if (repartitionInput) base.repartition(col("doc")) else base
     val exploded =
       wide.select(col("doc"), explode(shinglesFromWords(col("w"), shingleN)).as("s"))
     val sigAggs = (0 until numHashes).map(i => min(seededMd5(i, col("s"))).as(s"h$i")) :+
@@ -364,7 +366,12 @@ object TextOps {
     * use only syntax with identical semantics in Java regex and RE2, so
     * the scrub oracles exactly.
     */
-  val UrlRe = "https?://[^ ]+"
+  // Stop at ANY whitespace (space/tab/CR/LF) — `[^ ]+` would swallow a
+  // tab or newline and everything after it up to the next space,
+  // over-redacting multi-line documents. Escapes spelled `\t`/`\n`/`\r`
+  // inside the class parse identically in Java regex and RE2 (`\s` does
+  // too, but the explicit class keeps the oracle SQL byte-identical).
+  val UrlRe = "https?://[^ \\t\\n\\r]+"
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val LongDigitRe = "[0-9]{8,}"
 

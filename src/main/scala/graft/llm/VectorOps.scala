@@ -202,9 +202,23 @@ object VectorOps {
       .agg(sum("v").as("s"), count(lit(1)).as("n"))
       .groupBy(col(groupCol))
       .agg(
-        max("n").as("n"), // every position sees the same row count
+        max("n").as("n"),
+        min("n").as("_n_min"),
         transform(array_sort(collect_list(struct(col("pos"), col("s")))),
           x => x.getField("s")).as("vec_sum"))
+      // "n" is only THE group's row count if every position saw the same
+      // number of values — i.e. all vectors in the group have equal length.
+      // Ragged or empty arrays would silently skew the downstream
+      // vec_sum/n mean, so fail loudly instead. The filter runs over
+      // |groups| rows (cheap) and cannot be pruned away like a dropped
+      // assert_true column would be.
+      .filter(when(col("_n_min") === col("n"), lit(true)).otherwise(
+        raise_error(concat(lit("centroidSums: ragged vectors in group "),
+          col(groupCol).cast("string"),
+          lit(" (a position saw "), col("_n_min").cast("string"),
+          lit(" rows, another "), col("n").cast("string"), lit(")")))
+          .cast("boolean")))
+      .drop("_n_min")
 
   /** Bucket-bit count that keeps bucket-local pairing sub-quadratic as
     * the corpus grows: `ceil(log2 n) + 2` (min 4). With FIXED bits,

@@ -169,8 +169,13 @@ object LlmSurface {
     // rows → ~0.63 Jaccard S-curve midpoint), then exact-Jaccard verify.
     // The all-pairs O(n²) similarity join is rejected by construction.
     "llm_near_dup" -> ((s, dir) => {
+      // repartitionInput: the test corpus is one small parquet file (one
+      // scan split), which would serialize the shingle explode onto a
+      // single task — the caller knows its input shape, the operator
+      // doesn't guess (TextOps.nearDupPairs scaladoc).
       TextOps.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numBands = 4, rowsPerBand = 3, threshold = 0.5)
+        shingleN = 3, numBands = 4, rowsPerBand = 3, threshold = 0.5,
+        repartitionInput = true)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -661,13 +666,13 @@ object LlmSurface {
                     ELSE text END AS aug
         FROM documents)
       SELECT doc_id,
-             CAST(len(regexp_extract_all(aug, 'https?://[^ ]+')) AS INT) AS n_urls,
+             CAST(len(regexp_extract_all(aug, 'https?://[^ \t\n\r]+')) AS INT) AS n_urls,
              CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
              CAST(len(regexp_extract_all(aug, '[0-9]{8,}')) AS INT) AS n_longnums,
              sha256(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(aug, 'https?://[^ ]+', '<URL>', 'g'),
+                   regexp_replace(aug, 'https?://[^ \t\n\r]+', '<URL>', 'g'),
                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                  '[0-9]{8,}', '<NUM>', 'g')) AS scrub_sha
       FROM d ORDER BY doc_id

@@ -530,16 +530,16 @@ object RefSurface {
       FROM orders ORDER BY o_orderkey
     """,
 
-    // NOTE: the path is the sf0.01 fixture — the driver's correctness
-    // gate runs at sf0.01; the Spark side must have materialized it
-    // (Verify runs before the oracle compare).
+    // __SF__ is resolved by Verify to the scale factor it just ran, so
+    // the oracle reads the fixture THIS run materialized — never a stale
+    // directory left by an earlier run at a different sf.
     "s1_file_roundtrip" -> """
       WITH raw AS (
         SELECT "Sale_ID", "Product", "Amount", "Date",
                CAST("Row_Idx" AS INT) AS ridx,
                regexp_extract(filename, '([^/]+)\.csv$', 1) AS stem,
                TRY_CAST(regexp_extract(filename, '([^/]+)\.csv$', 1) AS TIMESTAMP) AS ad
-        FROM read_csv('/tmp/graft_s1_sales/sf0.01/*.csv',
+        FROM read_csv('/tmp/graft_s1_sales/__SF__/*.csv',
                       header=true, all_varchar=true, filename=true)),
       up AS (
         SELECT upper("Sale_ID") AS sid, "Product" AS product,
@@ -574,10 +574,10 @@ object RefSurface {
     """,
 
     // Reads the SAME three CSVs the Spark entry just wrote via the real
-    // K1 sink (path is the sf0.01 run — Verify executes the Spark side,
-    // which writes the files, before the oracle compare runs).
+    // K1 sink (Verify executes the Spark side, which writes the files,
+    // before the oracle compare runs; __SF__ → the verified sf).
     "k1_job_roundtrip" -> {
-      val out = "/tmp/graft_k1_out/sf0.01"
+      val out = "/tmp/graft_k1_out/__SF__"
       val padNull = (cs: Seq[String]) =>
         cs.map(c => s"""CAST(NULL AS VARCHAR) AS "$c"""").mkString(", ")
       s"""
@@ -612,12 +612,12 @@ object RefSurface {
     """
     },
 
-    // Reads the SAME partitioned layout the Spark entry just wrote (the
-    // sf0.01 run — Verify executes the Spark side first).
+    // Reads the SAME partitioned layout the Spark entry just wrote
+    // (Verify executes the Spark side first; __SF__ → the verified sf).
     "k3_partitioned_roundtrip" -> """
       SELECT o_month, count(*) AS n,
              sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) / 100.0 AS total
-      FROM read_parquet('/tmp/graft_k3_out/sf0.01/*/*.parquet', hive_partitioning=true)
+      FROM read_parquet('/tmp/graft_k3_out/__SF__/*/*.parquet', hive_partitioning=true)
       WHERE o_month >= '1995-01' AND o_month <= '1995-03'
       GROUP BY o_month ORDER BY o_month
     """,

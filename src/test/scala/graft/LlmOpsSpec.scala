@@ -137,6 +137,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === "mail <EMAIL> or <URL> card <NUM> ok")
   }
 
+  test("scrubPii URL match stops at any whitespace, not only spaces") {
+    // a URL followed by tab/newline must not swallow the following text
+    val df = Seq("see https://x.test/a\tnext line\nhttps://y.test ok").toDF("t")
+    val got = df.select(TextOps.scrubPii(col("t"))).as[String].head()
+    assert(got === "see <URL>\tnext line\n<URL> ok")
+  }
+
   test("chunkWords: overlapping windows, short tail, short-doc single chunk") {
     // 10 words, chunkSize 4, overlap 1 -> step 3 -> ceil(9/3)=3 chunks:
     // [w1..w4], [w4..w7], [w7..w10]
@@ -163,6 +170,18 @@ class LlmOpsSpec extends SparkSpec {
       .map { case (g, n, v) => g -> ((n, v)) }.toMap
     assert(got("a") === ((2L, Seq(11L, 22L, 33L))))
     assert(got("b") === ((1L, Seq(5L, 5L, 5L))))
+  }
+
+  test("centroidSums fails loudly on ragged vector lengths within a group") {
+    val ragged = Seq(("a", Array(1L, 2L, 3L)), ("a", Array(4L, 5L)))
+      .toDF("g", "qv")
+    val e = intercept[Exception] {
+      VectorOps.centroidSums(ragged, "g", "qv").collect()
+    }
+    // wrapped in SparkException layers; the raise_error message survives
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("ragged vectors")))
   }
 
   test("signBucket packs sign bits of leading components") {
