@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list by iterative min-label
+  * propagation — the step that turns pairwise near-duplicate DETECTION
+  * (MinHash / SimHash / embedding-cosine pair queries) into duplicate
+  * GROUPS a curation pipeline can act on ("keep one document per
+  * cluster"). Nothing like it exists in the reference (SURVEY §2.6); this
+  * is north-star extension surface.
+  *
+  * Algorithm: every node starts labeled with its own id; each round a
+  * node takes the minimum label among itself and its neighbors; at
+  * fixpoint every node carries the minimum node id of its component.
+  * Each round is one equi-join (edges × labels, shuffle on the join key)
+  * plus one partial-combine aggregation — no driver-side graph state,
+  * no cross product, nodes never collect.
+  *
+  * Scale properties (the 100 TB story):
+  *  - rounds needed = graph diameter. Near-dup clusters are
+  *    short-diameter by construction (members pairwise-similar through a
+  *    shared representative), so a handful of rounds suffices; for
+  *    adversarially long chain graphs the alternating large-star /
+  *    small-star algorithm (Kiveris et al., "Connected Components in
+  *    MapReduce", SOCC'14) gets O(log n) rounds with the same
+  *    join+aggregate building blocks — swap it in if diameter is
+  *    unbounded.
+  *  - each round's result is materialized through `materialize` (default
+  *    `localCheckpoint(eager = true)`) — REQUIRED for any iterative
+  *    dataflow on Spark: without it round k's plan contains rounds
+  *    1..k-1 and both planning and recomputation go quadratic.
+  *    Intermediate rounds' blocks are dereferenced as `labels` is
+  *    reassigned, so the ContextCleaner reclaims them; the final
+  *    result's blocks live exactly as long as the caller holds the
+  *    returned DataFrame. On a production cluster pass a reliable
+  *    checkpoint (`spark.sparkContext.setCheckpointDir` +
+  *    `_.checkpoint()`) or a parquet round-trip instead.
+  *  - the convergence probe is `limit(1)` over changed rows on the
+  *    just-materialized frame — an early-exit scan, not a full count.
+  *
+  * Determinism: labels are min node ids — no floats, no ties, identical
+  * in any engine (the DuckDB oracle computes the same fixpoint with a
+  * recursive CTE).
+  */
+object ConnectedComponents {
+
+  /** Component label per node of the (undirected) edge list: returns
+    * (node, label) with label = min node id reachable from `node`.
+    * Nodes with no edges never appear — callers union isolated nodes
+    * back if they need total coverage.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    // both directions once; reused every round
+    val sym = materialize(
+      edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
+        .union(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))
+    var labels = materialize(
+      sym.select("node").distinct().withColumn("label", col("node")))
+    var iter = 0
+    var done = labels.isEmpty // empty edge list: already at fixpoint
+    while (!done && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy("node").agg(min("label").as("nbr_min"))
+      // left join: a node keeps its label when every neighbor is larger
+      val stepped = materialize(
+        labels.join(nbrMin, Seq("node"), "left").select(
+          col("node"), col("label").as("_old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+      done = stepped.filter(col("label") < col("_old")).limit(1).isEmpty
+      labels = stepped.select("node", "label")
+      iter += 1
+    }
+    require(done, s"labelPropagation did not converge within $maxIter rounds "
+      + "— diameter exceeds the bound; raise maxIter or use large-star/small-star")
+    labels
+  }
+
+  /** Near-duplicate groups from a pair list: (doc_id, group_id,
+    * group_size) for every document that appears in at least one pair,
+    * group_id = smallest doc id in the connected component. The window
+    * count runs over |dup docs| rows (tiny relative to the corpus — only
+    * documents with a near-dup survive to this point).
+    */
+  def dupGroups(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame =
+    labelPropagation(pairs, aCol, bCol, maxIter)
+      .select(col("node").as("doc_id"), col("label").as("group_id"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy("group_id")))
+}

@@ -260,6 +260,17 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- near-dup clustering: pairs -> duplicate groups ------------------
+    // Min-label propagation (one equi-join + one partial-combine agg per
+    // round, O(cluster diameter) rounds) turns the pair list into groups
+    // a pipeline can act on — keep min-id doc per group, drop the rest.
+    "llm_dup_groups" -> ((s, dir) => {
+      val pairs = TextOps.simHashNearDup(Tables(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3, chunks = 4)
+      graft.operators.ConnectedComponents.dupGroups(pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
     // ---- exact top-k cosine (quantized) over a broadcast query set -------
     // Baseline form: |queries| × |corpus| with the query side broadcast.
     // The corpus×corpus all-pairs form is rejected — at scale use
@@ -440,6 +451,26 @@ object LlmSurface {
       .mkString(", ")
   private val simhashCombine =
     (0 until 60).map(b => s"(CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
+  /** SimHash near-dup candidate pairs as a CTE chain ending in `pairs`
+    * (doc_a, doc_b, sim_a, sim_b) — shared by the pair query and the
+    * dup-groups clustering oracle.
+    */
+  private val simhashPairsCte = s"""
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      hh AS (
+        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok),
+      bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id),
+      sims AS (SELECT doc_id, $simhashCombine AS simhash FROM bs),
+      ch AS (
+        SELECT doc_id, simhash, i AS ci, (simhash >> (i * 15)) & 32767 AS cv
+        FROM sims, generate_series(0, 3) t(i)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM ch a JOIN ch b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)"""
 
   private def signBucketSqlBits(bits: Int): String =
     (0 until bits)
@@ -697,24 +728,33 @@ object LlmSurface {
     """,
 
     "llm_simhash_near_dup" -> s"""
-      WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      hh AS (
-        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok),
-      bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id),
-      sims AS (SELECT doc_id, $simhashCombine AS simhash FROM bs),
-      ch AS (
-        SELECT doc_id, simhash, i AS ci, (simhash >> (i * 15)) & 32767 AS cv
-        FROM sims, generate_series(0, 3) t(i)),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.simhash AS sim_a, b.simhash AS sim_b
-        FROM ch a JOIN ch b
-          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      WITH $simhashPairsCte
       SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
       FROM pairs
       WHERE bit_count(xor(sim_a, sim_b)) <= 3
       ORDER BY doc_a, doc_b
+    """,
+
+    // Recursive closure over the same simhash pair list: every node's
+    // group is the min doc_id reachable through near-dup edges — the SQL
+    // fixpoint the Spark min-label propagation must agree with exactly.
+    "llm_dup_groups" -> s"""
+      WITH RECURSIVE $simhashPairsCte,
+      edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      sym AS (
+        SELECT doc_a AS node, doc_b AS nbr FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges),
+      reach(node, label) AS (
+        SELECT node, node FROM sym
+        UNION
+        SELECT s.node, r.label FROM sym s JOIN reach r ON s.nbr = r.node),
+      cc AS (SELECT node, min(label) AS group_id FROM reach GROUP BY node)
+      SELECT node AS doc_id, group_id,
+             count(*) OVER (PARTITION BY group_id) AS group_size
+      FROM cc ORDER BY doc_id
     """,
 
     "llm_topk_similarity" -> """
