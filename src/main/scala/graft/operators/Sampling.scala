@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps
+
+/** Deterministic stratified sampling — the class-balancing step of a
+  * training-data pipeline ("cap every language/source/label at k
+  * documents, chosen uniformly but reproducibly"). No reference
+  * counterpart (SURVEY §2.6); north-star extension surface.
+  *
+  * Sample membership is a pure function of (salt, id): rows are ranked
+  * per stratum by `md5(salt | id)` and the k smallest win. Same
+  * engine-portable determinism contract as [[TextOps.hashBucket]] — the
+  * selection is stable across runs, partitionings, and engines, and
+  * re-running after a corpus append only swaps members where new hashes
+  * land inside the top k (uniform without replacement per stratum).
+  *
+  * Scale design: strata are FEW by construction (languages, sources,
+  * quality bands), so a single `row_number` window per stratum would
+  * shuffle the whole corpus onto |strata| tasks — a built-in straggler.
+  * Instead rank twice:
+  *   1. per (stratum, salt-bucket) — `rSalt` parallel sorts of
+  *      ~|stratum|/rSalt rows each, spill-safe, no hot task;
+  *   2. per stratum over the surviving ≤ rSalt·k rows — trivially small.
+  * Any row in a stratum's global top k is in its bucket's top k, so the
+  * two-phase form selects exactly the single-window result (unit-tested).
+  */
+object Sampling {
+
+  /** k rows per stratum, smallest `md5(salt|id)` first. Output keeps all
+    * input columns plus `sample_key` (the hex rank key) and `rank`
+    * (1-based position within the stratum). `idCol` must be unique — it
+    * tie-breaks and salts, making ranking total and deterministic.
+    */
+  def stratifiedTopK(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      k: Int,
+      salt: String,
+      rSalt: Int = 16): DataFrame = {
+    require(k > 0 && rSalt > 0, s"need k ($k) > 0 and rSalt ($rSalt) > 0")
+    val key = md5(concat(lit(s"$salt|"), col(idCol).cast("string")))
+    val bucket = TextOps.hashBucket(col(idCol), s"$salt#bucket", rSalt)
+    val perBucket = Window.partitionBy(col(strataCol), col("_sb"))
+      .orderBy(col("sample_key"), col(idCol))
+    val perStratum = Window.partitionBy(col(strataCol))
+      .orderBy(col("sample_key"), col(idCol))
+    df.withColumn("sample_key", key)
+      .withColumn("_sb", bucket)
+      .withColumn("_rb", row_number().over(perBucket))
+      .filter(col("_rb") <= k)
+      .withColumn("rank", row_number().over(perStratum))
+      .filter(col("rank") <= k)
+      .drop("_sb", "_rb")
+  }
+}

@@ -260,6 +260,21 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- stratified sample: k docs per language, hash-ordered ------------
+    // Class balancing with reproducible membership: rank by md5(salt|id)
+    // per stratum, keep the k smallest. Spark runs the salted TWO-PHASE
+    // form (per-bucket top-k then per-stratum merge — no straggler task
+    // when strata are few); the oracle is the plain single-window form,
+    // so the hash compare proves the two-phase plan selects exactly the
+    // same rows.
+    "llm_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedTopK(
+        Tables(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", k = 5, salt = "s5")
+        .select("lang", "doc_id", "rank", "sample_key")
+        .orderBy("lang", "rank")
+    }),
+
     // ---- near-dup clustering: pairs -> duplicate groups ------------------
     // Min-label propagation (one equi-join + one partial-combine agg per
     // round, O(cluster diameter) rounds) turns the pair list into groups
@@ -733,6 +748,19 @@ object LlmSurface {
       FROM pairs
       WHERE bit_count(xor(sim_a, sim_b)) <= 3
       ORDER BY doc_a, doc_b
+    """,
+
+    "llm_stratified_sample" -> """
+      WITH keyed AS (
+        SELECT lang, doc_id,
+               md5('s5|' || CAST(doc_id AS VARCHAR)) AS sample_key
+        FROM documents),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY sample_key, doc_id) AS "rank"
+        FROM keyed)
+      SELECT lang, doc_id, "rank", sample_key
+      FROM r WHERE "rank" <= 5 ORDER BY lang, "rank"
     """,
 
     // Recursive closure over the same simhash pair list: every node's
