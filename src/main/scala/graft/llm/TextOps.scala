@@ -149,47 +149,129 @@ object TextOps {
       threshold: Double = 0.5,
       materialize: DataFrame => DataFrame = identity,
       repartitionInput: Boolean = false): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    val id = col(idCol)
-    // ONE explode + ONE hash aggregation computes the whole per-doc state:
-    // 12 min-hashes AND the distinct shingle set (collect_set dedups, so
-    // no separate distinct() shuffle, and set size IS the distinct count).
-    val base = df.select(id.as("doc"), words(col(textCol)).as("w"))
+    val perDoc = materialize(
+      minhashState(df, idCol, textCol, shingleN, numBands * rowsPerBand,
+        repartitionInput))
+    val bands = bandRows(perDoc, numBands, rowsPerBand)
+    val cand = bands.select(col("band"), col("bkey"), col("doc").as("doc_a"))
+      .join(bands.select(col("band"), col("bkey"), col("doc").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyJaccard(cand, perDoc, perDoc, threshold)
+  }
+
+  /** Per-doc MinHash state in ONE explode + ONE hash aggregation:
+    * `numHashes` min-hashes AND the distinct shingle set (collect_set
+    * dedups, so no separate distinct() shuffle, and set size IS the
+    * distinct count). Columns: (doc, h0..h{n-1}, ss, c). Per-doc shingle
+    * sets are bounded by document length, so a per-row array is safe.
+    */
+  private def minhashState(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, repartitionInput: Boolean): DataFrame = {
+    val base = df.select(col(idCol).as("doc"), words(col(textCol)).as("w"))
     val wide = if (repartitionInput) base.repartition(col("doc")) else base
     val exploded =
       wide.select(col("doc"), explode(shinglesFromWords(col("w"), shingleN)).as("s"))
     val sigAggs = (0 until numHashes).map(i => min(seededMd5(i, col("s"))).as(s"h$i")) :+
       collect_set("s").as("ss")
-    val perDoc = materialize(
-      exploded.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
-        .withColumn("c", size(col("ss")).cast("long")))
+    exploded.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
+      .withColumn("c", size(col("ss")).cast("long"))
+  }
 
+  /** (doc, band, bkey) rows from a [[minhashState]] frame — one stack
+    * fan-out, band key = md5 of the band's signature slice.
+    */
+  private def bandRows(perDoc: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until numBands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
         .as(s"b$b")
     }
     val stackExpr = (0 until numBands).map(b => s"$b, b$b").mkString(", ")
-    val bandRows = perDoc.select(col("doc") +: bandCols: _*)
+    perDoc.select(col("doc") +: bandCols: _*)
       .selectExpr("doc", s"stack($numBands, $stackExpr) as (band, bkey)")
+  }
 
-    val cand = bandRows.select(col("band"), col("bkey"), col("doc").as("doc_a"))
-      .join(bandRows.select(col("band"), col("bkey"), col("doc").as("doc_b")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-
-    // Per-doc shingle sets are bounded by document length, so a per-row
-    // array is safe; intersection size is order-independent.
-    val sets = perDoc.select(col("doc"), col("ss"), col("c"))
-    val verified = cand
-      .join(sets.select(col("doc").as("doc_a"), col("ss").as("sa"), col("c").as("ca")), "doc_a")
-      .join(sets.select(col("doc").as("doc_b"), col("ss").as("sb"), col("c").as("cb")), "doc_b")
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the two sides' shingle sets; intersection size is order-independent.
+    */
+  private def verifyJaccard(cand: DataFrame, perDocA: DataFrame,
+      perDocB: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(perDocA.select(col("doc").as("doc_a"), col("ss").as("sa"), col("c").as("ca")), "doc_a")
+      .join(perDocB.select(col("doc").as("doc_b"), col("ss").as("sb"), col("c").as("cb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard",
         round6(col("inter") / (col("ca") + col("cb") - col("inter"))))
       .filter(col("jaccard") >= threshold)
-    verified.select("doc_a", "doc_b", "ca", "cb", "inter", "jaccard")
+      .select("doc_a", "doc_b", "ca", "cb", "inter", "jaccard")
+
+  /** BIPARTITE MinHash-LSH near-dup: pairs between a NEW batch (side a)
+    * and an existing BASE corpus (side b) — the incremental form every
+    * production pipeline runs ("dedup tonight's crawl against the corpus
+    * we already have") instead of re-self-joining the whole corpus.
+    *
+    * Same banded candidate generation as [[nearDupPairs]], but the band
+    * join is batch-bands × base-bands, so candidate work scales with
+    * |batch| collisions, not |corpus|²; the base side's signatures are
+    * recomputed here, but in a real incremental pipeline they'd be the
+    * PERSISTED signature table from previous runs — pass `materializeBase`
+    * as a reader of that table's parquet to get that behavior.
+    */
+  def nearDupAgainstBase(
+      batch: DataFrame,
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numBands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.5,
+      materializeBatch: DataFrame => DataFrame = identity,
+      materializeBase: DataFrame => DataFrame = identity,
+      repartitionInput: Boolean = false): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val pa = materializeBatch(
+      minhashState(batch, idCol, textCol, shingleN, numHashes, repartitionInput))
+    val pb = materializeBase(
+      minhashState(base, idCol, textCol, shingleN, numHashes, repartitionInput))
+    val cand = bandRows(pa, numBands, rowsPerBand)
+      .select(col("band"), col("bkey"), col("doc").as("doc_a"))
+      .join(bandRows(pb, numBands, rowsPerBand)
+        .select(col("band"), col("bkey"), col("doc").as("doc_b")),
+        Seq("band", "bkey"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyJaccard(cand, pa, pb, threshold)
+  }
+
+  /** Incremental dedup decision per batch document against a base corpus:
+    * exact duplicates via content-sha equi-join (near-unique key, no
+    * skew), near duplicates via [[nearDupAgainstBase]]. Returns one row
+    * per batch doc: (idCol, content_sha, exact_dup, n_near, keep) with
+    * keep = neither exact nor near duplicate of the base.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      repartitionInput: Boolean = false): DataFrame = {
+    val near = nearDupAgainstBase(batch, base, idCol, textCol,
+      shingleN = shingleN, threshold = threshold,
+      repartitionInput = repartitionInput)
+      .groupBy("doc_a").agg(count(lit(1)).as("n_near"))
+    val baseSha = base.select(sha2(col(textCol), 256).as("_bsha")).distinct()
+    batch.select(col(idCol), sha2(col(textCol), 256).as("content_sha"))
+      .join(baseSha, col("content_sha") === col("_bsha"), "left")
+      .join(near.withColumnRenamed("doc_a", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("content_sha"),
+        col("_bsha").isNotNull.as("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (col("_bsha").isNull && col("n_near").isNull).as("keep"))
   }
 
   /** Winnowing fingerprint (the MOSS algorithm): hash every shingle,

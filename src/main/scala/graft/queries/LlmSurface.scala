@@ -179,6 +179,20 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- incremental dedup: new batch vs existing base corpus ------------
+    // The production shape: dedup tonight's crawl against the corpus we
+    // already have. Exact dups via content-sha equi-join; near dups via
+    // BIPARTITE banded LSH (batch bands × base bands) — candidate work
+    // scales with batch collisions, never |corpus|².
+    "llm_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val base = docs.filter(col("doc_id") % 4 =!= 0)
+      TextOps.incrementalDedup(batch, base, "doc_id", "text",
+        repartitionInput = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- winnowing (MOSS) fingerprint per document -----------------------
     "llm_winnow_fp" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -647,6 +661,43 @@ object LlmSurface {
         FROM verified)
       WHERE jaccard >= 0.5
       ORDER BY doc_a, doc_b
+    """,
+
+    // Sigs/sets are computed once over all documents; the bipartite split
+    // happens in the candidate join's side predicates (doc_id % 4).
+    "llm_incremental_dedup" -> s"""
+      WITH $shinglesCte,
+      sigs AS (SELECT doc_id, $minhashSigs FROM expl GROUP BY doc_id),
+      bands AS ($bandKeys),
+      sets AS (
+        SELECT doc_id, list(s) AS ss, count(*) AS c
+        FROM expl GROUP BY doc_id),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 != 0),
+      near AS (
+        SELECT doc_a, count(*) AS n_near FROM (
+          SELECT doc_a, doc_b,
+                 ${round6sql(
+                   "len(list_intersect(x.ss, y.ss)) / CAST(x.c + y.c - len(list_intersect(x.ss, y.ss)) AS DOUBLE)")} AS j
+          FROM cand
+          JOIN sets x ON doc_a = x.doc_id
+          JOIN sets y ON doc_b = y.doc_id)
+        WHERE j >= 0.5 GROUP BY doc_a),
+      sha AS (SELECT doc_id, sha256(text) AS content_sha FROM documents),
+      basesha AS (
+        SELECT DISTINCT content_sha FROM sha WHERE doc_id % 4 != 0)
+      SELECT sh.doc_id, sh.content_sha,
+             (basesha.content_sha IS NOT NULL) AS exact_dup,
+             coalesce(near.n_near, 0) AS n_near,
+             (basesha.content_sha IS NULL AND near.doc_a IS NULL) AS keep
+      FROM sha sh
+      LEFT JOIN basesha ON sh.content_sha = basesha.content_sha
+      LEFT JOIN near ON sh.doc_id = near.doc_a
+      WHERE sh.doc_id % 4 = 0
+      ORDER BY sh.doc_id
     """,
 
     "llm_winnow_fp" -> s"""

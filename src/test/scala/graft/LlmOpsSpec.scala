@@ -204,6 +204,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L).byte_len === 5)
   }
 
+  test("nearDupAgainstBase finds batch-vs-base pairs, never base-vs-base") {
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val base = Seq(
+      (1L, common),
+      (2L, common + " extra"),
+      (3L, "completely different words about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, common), // near/exact dup of base 1 and 2
+      (11L, "unrelated fresh content that matches nothing in the base set"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.nearDupAgainstBase(batch, base, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)))
+    assert(pairs.forall { case (a, b) => a >= 10L && b < 10L },
+      "doc_a must come from the batch side, doc_b from the base side")
+    assert(!pairs.exists(_._1 == 11L))
+  }
+
+  test("incrementalDedup flags exact and near dups, keeps fresh docs") {
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val base = Seq((1L, common), (2L, "some other base document with words"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, common),                  // exact dup of base 1
+      (11L, common + " trailing"),    // near dup of base 1
+      (12L, "entirely new material never seen before anywhere at all"))
+      .toDF("doc_id", "text")
+    val got = TextOps.incrementalDedup(batch, base, "doc_id", "text")
+      .select("doc_id", "exact_dup", "n_near", "keep")
+      .as[(Long, Boolean, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L)._1 === true)
+    assert(got(10L)._3 === false)
+    assert(got(11L)._1 === false)
+    assert(got(11L)._2 >= 1L)
+    assert(got(11L)._3 === false)
+    assert(got(12L) === ((false, 0L, true)))
+  }
+
   test("nearDupPairs degenerate corpora: empty, single doc, all-short docs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.nearDupPairs(empty, "doc_id", "text").count() === 0)
