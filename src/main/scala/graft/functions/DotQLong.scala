@@ -70,9 +70,15 @@ case class DotQLong(left: Expression, right: Expression)
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_q_long"),
       new ExpressionInfo(classOf[DotQLong].getName, "dot_q_long"),
       (children: Seq[Expression]) => DotQLong(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_long"),
+      new ExpressionInfo(classOf[TopKByLong].getName, "topk_by_long"),
+      (children: Seq[Expression]) =>
+        TopKByLong(children(0), children(1), children(2))))
+  }
 }

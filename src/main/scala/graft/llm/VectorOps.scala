@@ -84,6 +84,31 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col(idCol), col("dot_q"))
   }
 
+  /** Exact top-k like [[topK]], but ranked by the bounded-heap aggregate
+    * `topk_by_long` ([[graft.functions.TopKByLong]]) instead of a
+    * `row_number` window. Same rows, different physical plan: the window
+    * form shuffles and sorts EVERY (query, candidate) row; the heap
+    * aggregate is partial-mergeable, so each map task ships at most k
+    * pairs per query through the exchange and no per-group sort runs —
+    * the plan to prefer when candidates-per-query is large. Requires the
+    * GraftExtensions session (function registered); rank/tie semantics
+    * are identical (`ord DESC, payload ASC`).
+    */
+  def topKHeap(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    corpus
+      .join(q, col(idCol) =!= col("query_id"))
+      .withColumn("dot_q", dot(col("_qv"), col(vecCol)))
+      .groupBy("query_id")
+      .agg(call_function("topk_by_long", col(idCol), col("dot_q"), lit(k)).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_e.payload").as(idCol), col("_e.ord").as("dot_q"))
+  }
+
   /** ANN top-k: like [[topK]] but candidates are pruned to the query's
     * sign-LSH bucket via an equi-join (the 100-TB path — no broadcast
     * needed, no cross product; both sides shuffle on the bucket key).

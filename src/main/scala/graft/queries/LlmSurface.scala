@@ -312,6 +312,21 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- exact top-k via the bounded-heap aggregate ----------------------
+    // Same rows as llm_topk_similarity (the oracle is literally the same
+    // SQL) from a different physical plan: the custom topk_by_long
+    // TypedImperativeAggregate partial-merges k-bounded heaps map-side,
+    // so the exchange carries <= k pairs per (query, partition) and no
+    // per-group sort runs — vs the window form's full shuffle + sort of
+    // every candidate row.
+    "llm_topk_heap" -> ((s, dir) => {
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val qs = base.filter(col("vec_id") % 100 === 0)
+      VectorOps.topKHeap(base, qs, "vec_id", "qv", k = 5, dot = VectorOps.dotFn(s))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- ANN top-k via sign-LSH bucket equi-join (the scale path) --------
     "llm_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -506,6 +521,27 @@ object LlmSurface {
       .map(i => s"(CASE WHEN CAST(embedding[${i + 1}] AS DOUBLE) >= 0.0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
   private val signBucketSql = signBucketSqlBits(6)
+
+  /** Exact top-5 cosine (quantized) as row_number SQL — the oracle for
+    * BOTH the window-form (`llm_topk_similarity`) and heap-aggregate
+    * (`llm_topk_heap`) Spark plans, which must produce identical rows.
+    */
+  private val topkSimilaritySql = """
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 100 = 0),
+      d AS (
+        SELECT query_id, vec_id,
+               CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qv[i])) AS BIGINT) AS dot_q
+        FROM qs, q WHERE vec_id != query_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
+        FROM d)
+      SELECT query_id, "rank", vec_id, dot_q
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """
 
   private val minhashSigs =
     (0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
@@ -836,22 +872,11 @@ object LlmSurface {
       FROM cc ORDER BY doc_id
     """,
 
-    "llm_topk_similarity" -> """
-      WITH q AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
-        FROM embeddings),
-      qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id % 100 = 0),
-      d AS (
-        SELECT query_id, vec_id,
-               CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qv[i])) AS BIGINT) AS dot_q
-        FROM qs, q WHERE vec_id != query_id),
-      r AS (
-        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
-        FROM d)
-      SELECT query_id, "rank", vec_id, dot_q
-      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
-    """,
+    "llm_topk_similarity" -> topkSimilaritySql,
+
+    // Identical oracle BY DESIGN: the heap-aggregate plan must reproduce
+    // the window-form rows exactly (rank and tie-break included).
+    "llm_topk_heap" -> topkSimilaritySql,
 
     "llm_ann_lsh" -> s"""
       WITH e AS (
