@@ -401,6 +401,25 @@ object TextOps {
       round6(nStops / nWords.cast("double")).as("stop_ratio"))
   }
 
+  /** Fraction of a document's word-n-gram occurrences claimed by its
+    * single most frequent n-gram — the repetition signal behind the
+    * Gopher/MassiveText quality rules (Rae et al. 2021, Table A1:
+    * "fraction of characters in most common n-gram"): loopy or
+    * boilerplate text concentrates mass on one n-gram. Two
+    * partial-combine hash aggregations (doc×gram, then doc); the
+    * (doc, gram) key is high-cardinality and skew-free. Documents with
+    * fewer than `n` words have no n-grams and are ABSENT from the
+    * output — callers left-join and coalesce to 0.
+    */
+  def topNgramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(shinglesFromWords(words(col(textCol)), n)).as("g"))
+      .groupBy("doc", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc").agg(max("c").as("_m"), sum("c").as("_t"))
+      .select(col("doc"),
+        round6(col("_m") / col("_t").cast("double")).as(s"top${n}gram_frac"))
+
   /** Split each document into fixed-size overlapping word windows — the
     * training-sample extraction step (context-window chunking) of an LLM
     * data pipeline. Chunk k covers words [1 + k·(chunkSize−overlap),

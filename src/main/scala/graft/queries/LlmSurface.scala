@@ -255,6 +255,28 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- Gopher-style repetition filter ----------------------------------
+    // Top-2-gram / top-3-gram mass fractions (Rae et al. 2021 Table A1);
+    // thresholds picked at ~p75 of this corpus so both classes of the
+    // `repetitive` flag are populated. Docs shorter than the gram width
+    // coalesce to 0.
+    "llm_repetition_filter" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id")
+      val t2 = TextOps.topNgramFraction(
+        Tables(s, dir, "documents"), "doc_id", "text", 2)
+        .withColumnRenamed("doc", "doc_id")
+      val t3 = TextOps.topNgramFraction(
+        Tables(s, dir, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("doc", "doc_id")
+      docs.join(t2, Seq("doc_id"), "left").join(t3, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top2gram_frac"), lit(0.0)).as("top2gram_frac"),
+          coalesce(col("top3gram_frac"), lit(0.0)).as("top3gram_frac"))
+        .withColumn("repetitive",
+          col("top2gram_frac") > 0.045 || col("top3gram_frac") > 0.04)
+        .orderBy("doc_id")
+    }),
+
     // ---- context-window chunking: 40-word chunks, 8-word overlap ---------
     // The training-sample extraction step: each doc explodes into
     // overlapping word windows with a per-chunk sha for downstream dedup.
@@ -809,6 +831,35 @@ object LlmSurface {
                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                  '[0-9]{8,}', '<NUM>', 'g')) AS scrub_sha
       FROM d ORDER BY doc_id
+    """,
+
+    "llm_repetition_filter" -> s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g2 AS (
+        SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+          THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+          ELSE [] END) AS g
+        FROM w),
+      c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      t2 AS (SELECT doc_id, ${round6sql("max(c) / CAST(sum(c) AS DOUBLE)")} AS f
+             FROM c2 GROUP BY doc_id),
+      g3 AS (
+        SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+          THEN list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [] END) AS g
+        FROM w),
+      c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+      t3 AS (SELECT doc_id, ${round6sql("max(c) / CAST(sum(c) AS DOUBLE)")} AS f
+             FROM c3 GROUP BY doc_id)
+      SELECT w.doc_id,
+             coalesce(t2.f, 0.0) AS top2gram_frac,
+             coalesce(t3.f, 0.0) AS top3gram_frac,
+             (coalesce(t2.f, 0.0) > 0.045 OR coalesce(t3.f, 0.0) > 0.04) AS repetitive
+      FROM w
+      LEFT JOIN t2 ON w.doc_id = t2.doc_id
+      LEFT JOIN t3 ON w.doc_id = t3.doc_id
+      ORDER BY w.doc_id
     """,
 
     "llm_chunking" -> """

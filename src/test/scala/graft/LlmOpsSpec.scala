@@ -204,6 +204,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L).byte_len === 5)
   }
 
+  test("topNgramFraction: repeated bigram dominates; short docs absent") {
+    val df = Seq(
+      (1L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab -> max 3 of 5
+      (2L, "w1 w2 w3 w4 w5"), // all distinct -> 1 of 4
+      (3L, "solo"))           // < 2 words -> no output row
+      .toDF("doc_id", "text")
+    val got = TextOps.topNgramFraction(df, "doc_id", "text", 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 0.6, 2L -> 0.25))
+  }
+
   test("nearDupAgainstBase finds batch-vs-base pairs, never base-vs-base") {
     val common = "the quick brown fox jumps over the lazy dog again and again"
     val base = Seq(
