@@ -69,6 +69,44 @@ class PlanAuditSpec extends SparkSpec {
       s"exactly one shuffle expected:\n$p")
   }
 
+  test("stratified sample never funnels the corpus onto a SinglePartition") {
+    val q = graft.operators.Sampling.stratifiedTopK(
+      Tables(spark, dir, "documents").select("doc_id", "lang"),
+      "lang", "doc_id", k = 5, salt = "audit")
+    val p = plan(q)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"two-phase top-k must not collapse to one partition:\n$p")
+    // phase 1 runs on the (stratum, salt-bucket) composite key, so the
+    // first window exchange hashes on both columns
+    assert(p.contains("hashpartitioning(lang"),
+      s"phase-1 window must partition by (stratum, bucket):\n$p")
+  }
+
+  test("incremental dedup stays equi-join: no cartesian/nested-loop") {
+    val docs = Tables(spark, dir, "documents")
+    val q = graft.llm.TextOps.incrementalDedup(
+      docs.filter(col("doc_id") % 4 === 0),
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bipartite LSH must never degenerate to an all-pairs join:\n$p")
+  }
+
+  test("connected components round is join + partial-combine aggregate") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // audit one propagation round's shape (the loop repeats it verbatim)
+    val sym = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .union(edges.select(col("b").as("node"), col("a").as("nbr")))
+    val labels = sym.select("node").distinct().withColumn("label", col("node"))
+    val round = sym.join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+      .groupBy("node").agg(min("label").as("nbr_min"))
+    val p = plan(round)
+    assert(p.contains("partial_min") || p.toLowerCase.contains("partial"),
+      s"per-round min must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"round must be an equi-join:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar-heavy Q1 chain") {
     val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
     // AQE prints `isFinalPlan=false` with no codegen spans until the query
