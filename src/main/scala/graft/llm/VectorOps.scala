@@ -245,6 +245,71 @@ object VectorOps {
           .cast("boolean")))
       .drop("_n_min")
 
+  /** Full distributed k-means over quantized vectors — the clustering
+    * primitive behind semantic dedup and diversity sampling of training
+    * corpora (cluster, then sample per cluster / drop near-centroid
+    * redundancy). Composes the two steps that already exist in this
+    * file — centroid assignment ([[ivfTopK]]'s build) and centroid
+    * update ([[centroidSums]]) — into the actual Lloyd iteration loop.
+    *
+    * Deterministic and engine-portable BY CONSTRUCTION (the DuckDB
+    * oracle replays the identical math):
+    *  - init = the k lowest-id vectors (no RNG);
+    *  - distances are exact integer sums of squared differences of
+    *    quantized components;
+    *  - the argmin is bit-packed: key = (dist² << 8) | cid, so
+    *    assignment is a plain `min` and ties break toward the lowest
+    *    centroid id (hence k ≤ 256);
+    *  - centroid update is floor(component sum / n) — integer centroids
+    *    every round, no float drift;
+    *  - a cluster that loses all members drops out (documented, same in
+    *    both engines); iteration count is FIXED (`iters` assignments,
+    *    `iters - 1` updates), not convergence-tested, so every engine
+    *    runs the same number of rounds.
+    *
+    * Scale shape per round: assignment is a narrow map over
+    * corpus × broadcast(k centroids) — linear in k, no shuffle; update
+    * is two partial-combine aggregations whose exchange carries
+    * k × dims rows, not the corpus. Only the k-row centroid table is
+    * checkpointed per round (the corpus is never re-materialized).
+    */
+  def kMeans(df: DataFrame, idCol: String, qvCol: String, k: Int,
+      iters: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    require(k > 0 && k <= 256, s"k ($k) must be in 1..256 (cid packs into 8 bits)")
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val e = df.select(col(idCol).as("_vid"), col(qvCol).as("qv"))
+    var centroids = materialize(
+      e.orderBy("_vid").limit(k).select(col("_vid").as("cid"), col("qv").as("cv")))
+    def assign(cent: DataFrame): DataFrame = {
+      val dist = aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      e.crossJoin(broadcast(cent))
+        .select(col("_vid"), shiftleft(dist, 8).bitwiseOR(col("cid")).as("_key"))
+        .groupBy("_vid").agg(min("_key").as("_k"))
+        .select(col("_vid"),
+          col("_k").bitwiseAND(lit(255L)).as("centroid_id"),
+          shiftright(col("_k"), 8).as("dist_q"))
+    }
+    (1 until iters).foreach { _ =>
+      val sums = assign(centroids).join(e, "_vid")
+        .select(col("centroid_id"), posexplode(col("qv")).as(Seq("_j", "_x")))
+        .groupBy("centroid_id", "_j")
+        .agg(sum("_x").as("_s"), count(lit(1)).as("_n"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("_j"),
+            floor(col("_s") / col("_n").cast("double")).cast("long").as("_v")))),
+          t => t.getField("_v")).as("cv"))
+      centroids = materialize(
+        sums.select(col("centroid_id").as("cid"), col("cv")))
+    }
+    assign(centroids)
+      .select(col("_vid").as(idCol), col("centroid_id"), col("dist_q"))
+  }
+
   /** Bucket-bit count that keeps bucket-local pairing sub-quadratic as
     * the corpus grows: `ceil(log2 n) + 2` (min 4). With FIXED bits,
     * bucket-local all-pairs is O(n²/2^bits) — still quadratic in corpus

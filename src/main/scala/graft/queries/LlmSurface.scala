@@ -387,6 +387,18 @@ object LlmSurface {
         .orderBy("label")
     }),
 
+    // ---- distributed k-means: 8 clusters, 3 Lloyd iterations -------------
+    // Deterministic integer k-means (init = lowest-id vectors, argmin
+    // bit-packed, floor-division centroids); the oracle replays the
+    // identical iterations in SQL, so assignment AND distance must match
+    // exactly after 3 rounds.
+    "llm_kmeans" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      VectorOps.kMeans(emb, "vec_id", "qv", k = 8, iters = 3)
+        .orderBy("vec_id")
+    }),
+
     // ---- IVF (inverted-file) ANN: centroid lists + nProbe search ---------
     // The centroid-partitioned alternative to sign-LSH: corpus assigned to
     // nearest centroid (broadcast join + min_by argmax), queries probe
@@ -564,6 +576,42 @@ object LlmSurface {
       SELECT query_id, "rank", vec_id, dot_q
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
     """
+
+  /** Deterministic k-means oracle: the same fixed Lloyd iterations the
+    * Spark operator runs (`iters` assignments, `iters - 1` floor-division
+    * centroid updates, argmin bit-packed as (dist² << 8) | cid), unrolled
+    * as a generated CTE chain. 64 dims pinned (the embeddings table).
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val init = s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM e ORDER BY vec_id LIMIT $k)"
+    def assign(i: Int) = s"""
+      a$i AS (
+        SELECT vec_id,
+               min((CAST(list_sum(list_transform(range(1, 65),
+                      j -> (qv[j] - cv[j]) * (qv[j] - cv[j]))) AS BIGINT) << 8) | cid) AS k
+        FROM e, c${i - 1} GROUP BY vec_id),
+      ax$i AS (SELECT vec_id, k & 255 AS centroid_id, k >> 8 AS dist_q FROM a$i)"""
+    def update(i: Int) = s"""
+      c$i AS (
+        SELECT centroid_id AS cid,
+               list(CAST(floor(s / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY j) AS cv
+        FROM (
+          SELECT centroid_id, j, sum(e.qv[j]) AS s, count(*) AS n
+          FROM ax$i JOIN e USING (vec_id), range(1, 65) t(j)
+          GROUP BY 1, 2)
+        GROUP BY centroid_id)"""
+    val rounds = (1 until iters).map(i => assign(i) + "," + update(i)).mkString(",")
+    s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      $init,
+      $rounds,
+      ${assign(iters)}
+      SELECT vec_id, centroid_id, dist_q FROM ax$iters ORDER BY vec_id
+    """
+  }
 
   private val minhashSigs =
     (0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
@@ -922,6 +970,8 @@ object LlmSurface {
              count(*) OVER (PARTITION BY group_id) AS group_size
       FROM cc ORDER BY doc_id
     """,
+
+    "llm_kmeans" -> kmeansSql(k = 8, iters = 3),
 
     "llm_topk_similarity" -> topkSimilaritySql,
 

@@ -184,6 +184,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("ragged vectors")))
   }
 
+  test("kMeans: k >= n degenerates to self-assignment at distance 0") {
+    val vecs = (0L until 5L).map(i => (i, Array(i * 10, i * 10 + 1)))
+      .toDF("vec_id", "qv")
+    val got = VectorOps.kMeans(vecs, "vec_id", "qv", k = 8, iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === (0L until 5L).map(i => (i, i, 0L)).toSet)
+  }
+
+  test("kMeans separates two blobs; invariant to input partitioning") {
+    // even ids cluster near +100, odd ids near -100; init (ids 0, 1)
+    // lands one centroid in each blob
+    val vecs = (0L until 40L).map { i =>
+      val c = if (i % 2 == 0) 100L else -100L
+      (i, Array(c + i % 7, c - i % 5, c))
+    }.toDF("vec_id", "qv")
+    val got = VectorOps.kMeans(vecs, "vec_id", "qv", k = 2, iters = 3)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert((0L until 40L).forall(i => got(i) === i % 2),
+      s"blob membership must follow parity: $got")
+    val reparted = VectorOps.kMeans(vecs.repartition(11), "vec_id", "qv", k = 2, iters = 3)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(reparted === got)
+  }
+
   test("signBucket packs sign bits of leading components") {
     val df = Seq(Array(0.1f, -0.2f, 0.3f, 0.0f)).toDF("v")
     val got = df.select(VectorOps.signBucket(col("v"), 4)).as[Long].head()
