@@ -84,6 +84,83 @@ object ConnectedComponents {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14) — converges in O(log n) rounds regardless of graph
+    * DIAMETER, where [[labelPropagation]] needs O(diameter) rounds. Use
+    * this when components may be long chains (link graphs, session
+    * stitching); for near-dup clusters (tiny diameter by construction)
+    * plain propagation does fewer total joins.
+    *
+    * Each round rewires edges toward component minima:
+    *  - large-star: every node's strictly-larger neighbors attach to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node's ≤-neighbors (and itself) attach to that
+    *    minimum.
+    * Both are one join (edges × per-node minima) + one partial-combine
+    * min aggregate — the same primitives as a propagation round — and
+    * the edge set stays bounded by the input edge count. At fixpoint the
+    * graph is a star forest: every node points at its component minimum.
+    *
+    * Same output contract as [[labelPropagation]]: (node, label) with
+    * label = component minimum; nodes with no edges never appear.
+    */
+  def alternatingStars(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 20,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    // canonical (a < b) distinct undirected edges, self-loops dropped
+    var cur = materialize(
+      edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"), col("b").as("nbr"))
+        .union(e.select(col("b").as("node"), col("a").as("nbr")))
+
+    // min over the CLOSED neighborhood Γ(node) ∪ {node}
+    def closedMin(e: DataFrame): DataFrame =
+      sym(e).groupBy("node").agg(min("nbr").as("_mn"))
+        .select(col("node"), least(col("node"), col("_mn")).as("m"))
+
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(e)
+      val attach = if (large) col("nbr") > col("node") else col("nbr") <= col("node")
+      val rewired = s.join(closedMin(e), "node").filter(attach)
+        .select(col("nbr").as("u"), col("m"))
+      // small-star also attaches the center itself to m
+      val withSelf =
+        if (large) rewired
+        else rewired.union(closedMin(e).select(col("node").as("u"), col("m")))
+      withSelf.filter(col("u") =!= col("m"))
+        .select(least(col("u"), col("m")).as("a"), greatest(col("u"), col("m")).as("b"))
+        .distinct()
+    }
+
+    var round = 0
+    var done = cur.isEmpty
+    while (!done && round < maxRounds) {
+      val next = materialize(star(star(cur, large = true), large = false))
+      // star forests only shrink toward the fixpoint: equal count AND
+      // empty one-way difference ⇒ the distinct edge sets are identical
+      done = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+      round += 1
+    }
+    require(done, s"alternatingStars did not converge within $maxRounds rounds")
+    // fixpoint is a star forest: leaves' labels are their single (min)
+    // neighbor; roots label themselves
+    val leaf = cur.select(col("b").as("node"), col("a").as("label"))
+    val roots = cur.select(col("a").as("node")).except(leaf.select("node"))
+      .withColumn("label", col("node"))
+    leaf.union(roots)
+  }
+
   /** Near-duplicate groups from a pair list: (doc_id, group_id,
     * group_size) for every document that appears in at least one pair,
     * group_id = smallest doc id in the connected component. The window

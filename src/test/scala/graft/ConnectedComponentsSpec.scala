@@ -63,6 +63,36 @@ class ConnectedComponentsSpec extends SparkSpec {
       (100L, 100L, 2L), (101L, 100L, 2L)))
   }
 
+  test("alternatingStars agrees with labelPropagation on mixed graphs") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (31L, 30L))
+    val viaStars = ConnectedComponents
+      .alternatingStars(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars === labels(edges))
+  }
+
+  test("alternatingStars converges in O(log n) rounds on a 200-node chain") {
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    // diameter 199: labelPropagation would need ~200 rounds; the star
+    // algorithm must finish within its default 20-round budget
+    val got = ConnectedComponents.alternatingStars(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 200 && got.values.forall(_ === 0L))
+  }
+
+  test("alternatingStars handles duplicate/reversed/self edges and empties") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 1L)).toDF("a", "b")
+    val got = ConnectedComponents.alternatingStars(messy, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.alternatingStars(empty, "a", "b").count() === 0)
+  }
+
   test("labelPropagation fails loudly when maxIter is below the diameter") {
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
