@@ -399,6 +399,33 @@ object LlmSurface {
         .orderBy("vec_id")
     }),
 
+    // ---- semantic dedup: cluster, then drop within-cluster near-copies ---
+    // The SemDeDup shape (Abbas et al. 2023): k-means partitions the
+    // corpus so the expensive pairwise cosine check runs WITHIN clusters
+    // only — Σ|cluster|² work instead of |corpus|², tuned by k. The
+    // later (higher-id) member of each high-dot pair is flagged; `keep`
+    // is the deduplicated corpus.
+    "llm_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val assign = VectorOps.kMeans(emb, "vec_id", "qv", k = 8, iters = 3)
+        .select("vec_id", "centroid_id")
+      val withC = emb.join(assign, "vec_id")
+      val dot = VectorOps.dotFn(s)
+      val dups = withC.select(col("centroid_id"), col("vec_id").as("id_a"), col("qv").as("_va"))
+        .join(withC.select(col("centroid_id"), col("vec_id").as("id_b"), col("qv").as("_vb")),
+          Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(dot(col("_va"), col("_vb")) >= 340000L) // ~p99 of in-cluster dots
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("_dup", lit(true))
+      withC.select("vec_id", "centroid_id")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("centroid_id"),
+          coalesce(col("_dup"), lit(false)).as("semantic_dup"))
+        .orderBy("vec_id")
+    }),
+
     // ---- IVF (inverted-file) ANN: centroid lists + nProbe search ---------
     // The centroid-partitioned alternative to sign-LSH: corpus assigned to
     // nearest centroid (broadcast join + min_by argmax), queries probe
@@ -582,7 +609,11 @@ object LlmSurface {
     * centroid updates, argmin bit-packed as (dist² << 8) | cid), unrolled
     * as a generated CTE chain. 64 dims pinned (the embeddings table).
     */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  /** CTE chain for the k-means iterations, ending in `ax$iters`
+    * (vec_id, centroid_id, dist_q) — shared by the llm_kmeans oracle and
+    * the semantic-dedup composite built on top of the assignment.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val init = s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM e ORDER BY vec_id LIMIT $k)"
     def assign(i: Int) = s"""
       a$i AS (
@@ -601,17 +632,19 @@ object LlmSurface {
           GROUP BY 1, 2)
         GROUP BY centroid_id)"""
     val rounds = (1 until iters).map(i => assign(i) + "," + update(i)).mkString(",")
-    s"""
-      WITH e AS (
+    s"""e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
         FROM embeddings),
       $init,
       $rounds,
-      ${assign(iters)}
+      ${assign(iters)}"""
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String = s"""
+      WITH ${kmeansCtes(k, iters)}
       SELECT vec_id, centroid_id, dist_q FROM ax$iters ORDER BY vec_id
     """
-  }
 
   private val minhashSigs =
     (0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
@@ -972,6 +1005,22 @@ object LlmSurface {
     """,
 
     "llm_kmeans" -> kmeansSql(k = 8, iters = 3),
+
+    "llm_semantic_dedup" -> s"""
+      WITH ${kmeansCtes(k = 8, iters = 3)},
+      withc AS (SELECT e.vec_id, e.qv, ax3.centroid_id
+                FROM e JOIN ax3 ON e.vec_id = ax3.vec_id),
+      dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM withc a JOIN withc b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE CAST(list_sum(list_transform(range(1, 65),
+                i -> a.qv[i] * b.qv[i])) AS BIGINT) >= 340000)
+      SELECT w.vec_id, w.centroid_id,
+             (dups.vec_id IS NOT NULL) AS semantic_dup
+      FROM withc w LEFT JOIN dups ON w.vec_id = dups.vec_id
+      ORDER BY w.vec_id
+    """,
 
     "llm_topk_similarity" -> topkSimilaritySql,
 
