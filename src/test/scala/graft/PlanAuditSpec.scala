@@ -107,6 +107,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"round must be an equi-join:\n$p")
   }
 
+  test("kMeans assignment broadcasts the centroid table, never shuffles the corpus into it") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val p = plan(VectorOps.kMeans(emb, "vec_id", "qv", k = 4, iters = 1))
+    assert(p.contains("BroadcastExchange"),
+      s"k centroids must broadcast to the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"assignment must not sort-merge the corpus:\n$p")
+  }
+
+  test("semantic-dedup pair join is a hash equi-join on the cluster id") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val withC = emb.withColumn("centroid_id", col("vec_id") % 4) // stand-in assignment
+    val q = withC.select(col("centroid_id"), col("vec_id").as("id_a"), col("qv").as("_va"))
+      .join(withC.select(col("centroid_id"), col("vec_id").as("id_b"), col("qv").as("_vb")),
+        Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster-local pairing must be an equi-join on centroid_id:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar-heavy Q1 chain") {
     val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
     // AQE prints `isFinalPlan=false` with no codegen spans until the query
