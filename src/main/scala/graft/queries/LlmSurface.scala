@@ -296,6 +296,31 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- full-corpus dedup decision table --------------------------------
+    // The end-to-end deliverable: one row PER CORPUS DOC with its exact
+    // keep-first keeper (content sha), its near-dup cluster
+    // representative (SimHash pairs -> alternating large/small-star CC —
+    // exact copies share all chunks, so they land in their keeper's
+    // cluster automatically), and the final keep flag (doc == its
+    // cluster rep). Exercises the O(log n) star CC under an oracle;
+    // llm_dup_groups covers the propagation variant.
+    "llm_dedup_corpus" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("_h"))
+      val pairs = TextOps.simHashNearDup(Tables(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3, chunks = 4)
+      val labels = graft.operators.ConnectedComponents
+        .alternatingStars(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      val keeper = docs.groupBy("_h").agg(min("doc_id").as("exact_keeper"))
+      docs.join(keeper, "_h")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_keeper"),
+          coalesce(col("label"), col("doc_id")).as("group_rep"))
+        .withColumn("keep", col("group_rep") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- stratified sample: k docs per language, hash-ordered ------------
     // Class balancing with reproducible membership: rank by md5(salt|id)
     // per stratum, keep the k smallest. Spark runs the salted TWO-PHASE
@@ -980,6 +1005,35 @@ object LlmSurface {
         FROM keyed)
       SELECT lang, doc_id, "rank", sample_key
       FROM r WHERE "rank" <= 5 ORDER BY lang, "rank"
+    """,
+
+    // Same recursive closure as llm_dup_groups plus the sha keep-first
+    // join, LEFT-joined back to every corpus doc — the Spark side runs
+    // alternating large/small-star CC, so this oracle pins BOTH
+    // implementations to the identical fixpoint.
+    "llm_dedup_corpus" -> s"""
+      WITH RECURSIVE $simhashPairsCte,
+      edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      sym AS (
+        SELECT doc_a AS node, doc_b AS nbr FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges),
+      reach(node, label) AS (
+        SELECT node, node FROM sym
+        UNION
+        SELECT s.node, r.label FROM sym s JOIN reach r ON s.nbr = r.node),
+      cc AS (SELECT node, min(label) AS group_id FROM reach GROUP BY node),
+      sha AS (SELECT doc_id, sha256(text) AS h FROM documents),
+      keeper AS (SELECT h, min(doc_id) AS exact_keeper FROM sha GROUP BY h)
+      SELECT s.doc_id, keeper.exact_keeper,
+             coalesce(cc.group_id, s.doc_id) AS group_rep,
+             (coalesce(cc.group_id, s.doc_id) = s.doc_id) AS keep
+      FROM sha s
+      JOIN keeper ON s.h = keeper.h
+      LEFT JOIN cc ON s.doc_id = cc.node
+      ORDER BY s.doc_id
     """,
 
     // Recursive closure over the same simhash pair list: every node's

@@ -51,6 +51,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     // union-find representative under min-merge = min id of the component
     assert(got === want)
     assert(got.nonEmpty)
+    // the O(log n) star algorithm must agree on the same graph
+    val viaStars = ConnectedComponents
+      .alternatingStars(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars === want)
   }
 
   test("dupGroups: group id is min doc id, sizes cover every member") {
