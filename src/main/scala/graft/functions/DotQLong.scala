@@ -80,5 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKByLong].getName, "topk_by_long"),
       (children: Seq[Expression]) =>
         TopKByLong(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))))
   }
 }

@@ -23,6 +23,13 @@ object LlmSurface {
 
   private val stopwords = Seq("the", "a", "of", "to", "in")
 
+  /** Decomposed-unicode injection for llm_normalize: 'e' + U+0301
+    * (combining acute) and 'N' + U+0303 (combining tilde) — NFC composes
+    * them to é / Ñ. Built from code points so no source-encoding or
+    * escape-processing ambiguity reaches either engine.
+    */
+  val NormSuffix: String = " cafe\u0301 NIN\u0303O" // escapes resolve to the combining marks
+
   /** Marker-word language profiles (tie-break = list order). The corpus
     * vocabulary is a 31-word synthetic soup, so the markers are chosen
     * from it; a production system would plug trained char-n-gram profiles
@@ -274,6 +281,24 @@ object LlmSurface {
           coalesce(col("top3gram_frac"), lit(0.0)).as("top3gram_frac"))
         .withColumn("repetitive",
           col("top2gram_frac") > 0.045 || col("top3gram_frac") > 0.04)
+        .orderBy("doc_id")
+    }),
+
+    // ---- unicode NFC normalization (custom Catalyst expression) ----------
+    // Every 5th doc gets a deterministically injected DECOMPOSED-unicode
+    // suffix (e + combining acute, N + combining tilde) — the same
+    // visible text as its composed form but different bytes, which would
+    // defeat every content-hash dedup upstream. nfc_normalize (native
+    // expression, codegen'd java.text.Normalizer call) composes it; the
+    // oracle uses DuckDB's built-in nfc_normalize on the same injection.
+    "llm_normalize" -> ((s, dir) => {
+      val inj = concat(col("text"), lit(LlmSurface.NormSuffix))
+      val d = Tables(s, dir, "documents")
+        .withColumn("aug", when(col("doc_id") % 5 === 0, inj).otherwise(col("text")))
+      val nfc = call_function("nfc_normalize", col("aug"))
+      d.select(col("doc_id"),
+          (nfc =!= col("aug")).as("changed"),
+          sha2(lower(nfc), 256).as("norm_sha"))
         .orderBy("doc_id")
     }),
 
@@ -966,6 +991,22 @@ object LlmSurface {
       LEFT JOIN t2 ON w.doc_id = t2.doc_id
       LEFT JOIN t3 ON w.doc_id = t3.doc_id
       ORDER BY w.doc_id
+    """,
+
+    // chr(769)/chr(771) = the combining acute/tilde code points — the
+    // SAME decomposed injection as the Spark side, with no raw combining
+    // bytes in the SQL text itself.
+    "llm_normalize" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' cafe' || chr(769) || ' NIN' || chr(771) || 'O'
+                    ELSE text END AS aug
+        FROM documents)
+      SELECT doc_id,
+             (nfc_normalize(aug) != aug) AS changed,
+             sha256(lower(nfc_normalize(aug))) AS norm_sha
+      FROM d ORDER BY doc_id
     """,
 
     "llm_chunking" -> """

@@ -184,6 +184,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("ragged vectors")))
   }
 
+  test("nfc_normalize composes decomposed sequences; composed text unchanged") {
+    val decomposed = "cafe\u0301 NIN\u0303O"
+    val composed = "caf\u00e9 NI\u00d1O"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        call_function("nfc_normalize", col("t")).as("n"),
+        (call_function("nfc_normalize", col("t")) =!= col("t")).as("changed"))
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((composed, true))) // composition happened
+    assert(got(2L) === ((composed, false)))
+    assert(got(3L) === (("plain ascii", false)))
+    // null passes through
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(call_function("nfc_normalize", col("t"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("kMeans: k >= n degenerates to self-assignment at distance 0") {
     val vecs = (0L until 5L).map(i => (i, Array(i * 10, i * 10 + 1)))
       .toDF("vec_id", "qv")
