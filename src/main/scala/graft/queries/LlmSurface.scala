@@ -284,6 +284,57 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- benchmark decontamination: n-gram overlap vs an eval set --------
+    // The GPT-3/PaLM decontamination rule: a training doc sharing any
+    // long-enough n-gram with a held-out benchmark is contaminated.
+    // Benchmark stand-in = every 50th doc; overlap via a distinct-shingle
+    // EQUI-join on the 5-gram text (rare key — join fan-out is bounded by
+    // real contamination, never corpus × benchmark).
+    "llm_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def shingled(d: org.apache.spark.sql.DataFrame, id: String) = d
+        .select(col("doc_id").as(id),
+          explode(TextOps.wordShingles(col("text"), 5)).as("s"))
+        .distinct()
+      val corpus = shingled(docs, "doc_id")
+      val bench = shingled(docs.filter(col("doc_id") % 50 === 0), "bench_id")
+      val overlap = corpus.join(bench, "s")
+        .filter(col("doc_id") =!= col("bench_id"))
+        .groupBy("doc_id")
+        .agg(countDistinct("s").as("n_shared"),
+          countDistinct("bench_id").as("n_bench_docs"))
+      docs.select("doc_id").join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"))
+        .withColumn("contaminated", col("n_shared") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // ---- unigram log-prob quality score (CCNet-style LM filter) ----------
+    // Add-one-smoothed unigram model trained on the corpus itself;
+    // per-doc score = mean token log-prob. Each ln is quantized to
+    // integer micro-nats BEFORE summing, so the cross-row reduction is
+    // exact integer math — float sums are partition-order-dependent and
+    // can never cross the engine boundary (ln itself is bit-stable here,
+    // as proven by llm_tfidf at all SFs).
+    "llm_unigram_logprob" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val totals = counts.agg(sum("c").as("n"), count(lit(1)).as("v")).collect()(0)
+      val (n, v) = (totals.getLong(0), totals.getLong(1))
+      val li = floor(log((col("c") + 1).cast("double") / lit((n + v).toDouble)) * 1e6 + 0.5)
+        .cast("long")
+      tok.join(broadcast(counts.withColumn("_li", li).select("w", "_li")), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("_li").as("_s"))
+        .select(col("doc_id"), col("n_tokens"),
+          TextOps.round6(col("_s").cast("double") / (col("n_tokens") * lit(1000000.0)))
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // ---- unicode NFC normalization (custom Catalyst expression) ----------
     // Every 5th doc gets a deterministically injected DECOMPOSED-unicode
     // suffix (e + combining acute, N + combining tilde) — the same
@@ -991,6 +1042,45 @@ object LlmSurface {
       LEFT JOIN t2 ON w.doc_id = t2.doc_id
       LEFT JOIN t3 ON w.doc_id = t3.doc_id
       ORDER BY w.doc_id
+    """,
+
+    "llm_decontaminate" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+            THEN list_transform(range(1, len(ws) - 3),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+            ELSE [] END) AS s
+          FROM w)),
+      b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0),
+      o AS (
+        SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared,
+               count(DISTINCT b.bench_id) AS n_bench_docs
+        FROM sh JOIN b ON sh.s = b.s AND sh.doc_id != b.bench_id
+        GROUP BY sh.doc_id)
+      SELECT d.doc_id,
+             coalesce(o.n_shared, 0) AS n_shared,
+             coalesce(o.n_bench_docs, 0) AS n_bench_docs,
+             (coalesce(o.n_shared, 0) > 0) AS contaminated
+      FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
+      ORDER BY d.doc_id
+    """,
+
+    "llm_unigram_logprob" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      t AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+      li AS (
+        SELECT w, CAST(floor(ln((c + 1) / CAST(n + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS li
+        FROM c, t),
+      agg AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(li) AS s
+        FROM tok JOIN li USING (w) GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             ${round6sql("CAST(s AS DOUBLE) / (n_tokens * 1000000.0)")} AS avg_logprob
+      FROM agg ORDER BY doc_id
     """,
 
     // chr(769)/chr(771) = the combining acute/tilde code points — the
