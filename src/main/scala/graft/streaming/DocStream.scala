@@ -49,4 +49,27 @@ object DocStream {
           .otherwise("test"))
       .drop("_w")
   }
+
+  /** Streaming incremental dedup against a STATIC base corpus — the
+    * streaming analogue of [[TextOps.incrementalDedup]]'s exact stage:
+    * tonight's document stream is checked against the existing corpus's
+    * content-sha table with a stream-static LEFT ANTI join (supported
+    * stateless by Structured Streaming: the static side is re-planned
+    * per micro-batch, no streaming state at all), then deduped within
+    * the stream itself by `dropDuplicatesWithinWatermark`.
+    *
+    * `baseShas` must carry a `content_sha` column (e.g. the persisted
+    * signature/sha table the batch pipeline maintains). Order matters:
+    * anti-join FIRST so base-known documents never enter the
+    * within-stream dedup state.
+    */
+  def dedupAgainstBase(
+      docs: DataFrame,
+      baseShas: DataFrame,
+      watermarkDelay: String): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("content_sha", sha2(col("text"), 256))
+      .join(baseShas.select("content_sha"), Seq("content_sha"), "left_anti")
+      .dropDuplicatesWithinWatermark("content_sha")
 }

@@ -85,6 +85,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: anti-join vs static base, then in-stream dedup") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val base = Seq("known base document").toDF("text")
+      .withColumn("content_sha", org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.col("text"), 256))
+    val q = graft.streaming.DocStream.dedupAgainstBase(
+      input.toDF().toDF("doc_id", "ts", "text"), base, "1 hour")
+      .writeStream.format("memory").queryName("incdedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "known base document"),   // in base -> dropped
+        (2L, ts("2024-01-01 10:01:00"), "fresh document content"),
+        (3L, ts("2024-01-01 10:02:00"), "fresh document content"), // in-stream dup -> dropped
+        (4L, ts("2024-01-01 10:03:00"), "another new one"))
+      q.processAllAvailable()
+      val got = spark.table("incdedup_test").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got === Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: in-batch gap close and event-time timeout close") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
