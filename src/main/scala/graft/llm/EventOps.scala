@@ -80,4 +80,44 @@ object EventOps {
     */
   def jsonIntProp(props: Column, field: String): Column =
     get_json_object(props, s"$$.$field").cast("int")
+
+  /** Ordered funnel analysis: for each user, the earliest time of
+    * `steps(0)`, then the earliest `steps(1)` STRICTLY AFTER it, and so
+    * on — the standard conversion-funnel semantics (a click before the
+    * first view does not count). Returns one row per user who reached
+    * step 1: (userCol, t_<step>... as formatted strings, reached).
+    *
+    * Shape: the cascaded-conditional-min form — one filtered aggregation
+    * per step plus a left join per transition, all on the user key. The
+    * joined frames are per-USER aggregates (|users| rows, not |events|),
+    * so each transition join is tiny relative to the event scan; at
+    * 100 TB the event table is read once per step with the type filter
+    * pushed to the scan. A per-user sort + state machine would read the
+    * data once but serializes each user's full history through one task;
+    * the cascade keeps everything partial-aggregable.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(tsCol).as("_t1"))
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
+      val prev = s"_t${i + 1}"
+      val next = s"_t${i + 2}"
+      val stepEvents = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("_ts"))
+      val carried = (1 to i + 1).map(j => s"_t$j")
+      cur = cur.join(stepEvents, Seq(userCol), "left")
+        .groupBy(userCol, carried: _*)
+        .agg(min(when(col("_ts") > col(prev), col("_ts"))).as(next))
+    }
+    // ascending fold ⇒ the final expression tests the DEEPEST step first
+    // (cascade means t_k set implies t_{k-1} set, so order matters)
+    val reached = (1 to steps.size)
+      .foldLeft(lit(0)) { (acc, k) => when(col(s"_t$k").isNotNull, lit(k)).otherwise(acc) }
+    cur.select(
+      col(userCol) +:
+        steps.zipWithIndex.map { case (s, i) => fmtTs(col(s"_t${i + 1}")).as(s"t_$s") } :+
+        reached.as("reached"): _*)
+  }
 }

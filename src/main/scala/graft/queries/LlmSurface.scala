@@ -607,6 +607,17 @@ object LlmSurface {
         .orderBy("event_type", "k_bucket")
     }),
 
+    // ---- conversion funnel: view -> click -> purchase --------------------
+    // Ordered-sequence semantics: each step's earliest occurrence
+    // STRICTLY AFTER the previous step's time (cascaded conditional
+    // mins — one filtered agg per step, per-user-sized transition
+    // joins).
+    "llm_funnel" -> ((s, dir) => {
+      EventOps.funnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
     // ---- multimodal: binary payload + batched executor-side decode -------
     "llm_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(s,
@@ -1385,6 +1396,32 @@ object LlmSurface {
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
       FROM events
       GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    "llm_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT s1.user_id, t1,
+               min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+        FROM s1 LEFT JOIN events e
+          ON s1.user_id = e.user_id AND e.event_type = 'click'
+        GROUP BY s1.user_id, t1),
+      s3 AS (
+        SELECT s2.user_id, t1, t2,
+               min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3
+        FROM s2 LEFT JOIN events e
+          ON s2.user_id = e.user_id AND e.event_type = 'purchase'
+        GROUP BY s2.user_id, t1, t2)
+      SELECT user_id,
+             strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+             strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+             strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+             (CASE WHEN t3 IS NOT NULL THEN 3
+                   WHEN t2 IS NOT NULL THEN 2
+                   ELSE 1 END) AS reached
+      FROM s3 ORDER BY user_id
     """,
 
     "llm_multimodal_meta" -> """

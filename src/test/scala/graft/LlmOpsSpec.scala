@@ -347,6 +347,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === Set((100L, 1L, 4L), (200L, 1L, 1L)))
   }
 
+  test("funnel: steps must occur in order, strictly after the previous step") {
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: full conversion in order
+      (1L, t(0), 1L, "view", 0.0), (2L, t(5), 1L, "click", 0.0), (3L, t(9), 1L, "purchase", 0.0),
+      // user 2: click BEFORE the first view -> does not count; no later click
+      (4L, t(2), 2L, "click", 0.0), (5L, t(3), 2L, "view", 0.0),
+      // user 3: purchase before click -> reached only step 2
+      (6L, t(0), 3L, "view", 0.0), (7L, t(1), 3L, "purchase", 0.0), (8L, t(4), 3L, "click", 0.0),
+      // user 4: never views -> absent from output
+      (9L, t(0), 4L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .select("user_id", "reached").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
+
   test("tumbling windows align to the hour") {
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:59:59"), 1L, "a", 1.0),
