@@ -460,6 +460,40 @@ object TextOps {
     conv(substring(md5(concat(lit(s"$salt|"), id.cast("string"))), 1, 4), 16, 10)
       .cast("int") % buckets
 
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * whose cumulative token count fits a budget — "fill the training mix
+    * to N tokens, best first". Selection granularity is a quality BUCKET
+    * (quality × 1000): a bucket is kept iff the cumulative tokens of it
+    * and all better buckets fit the budget.
+    *
+    * Scale design: the obvious spelling — global sort by quality + a
+    * running-sum window — needs a TOTAL order, which Spark executes as a
+    * single-partition window over the whole corpus: a scale-killer,
+    * rejected. Instead the cumulative sum runs over the bucket HISTOGRAM
+    * (one partial-combine aggregation → ≤1001 rows), where a
+    * single-partition window is free, and the corpus is then filtered by
+    * an equi-join against the ≤1001-row cutoff table (broadcast). Two
+    * narrow passes, no global sort, no driver loop — the one scalar
+    * (total tokens × fraction) is a legitimate driver-side aggregate.
+    */
+  def tokenBudgetSelect(df: DataFrame, qualityCol: String,
+      tokensCol: String, budgetFraction: Double): DataFrame = {
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction ($budgetFraction) must be in (0, 1]")
+    val qb = df.withColumn("_qb", floor(col(qualityCol) * 1000).cast("long"))
+    val hist = qb.groupBy("_qb").agg(sum(tokensCol).as("_bt"))
+    // ≤1001 rows: the unpartitioned window is bounded by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_qb").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("_cum", sum("_bt").over(w)).select("_qb", "_cum")
+    val total = qb.agg(sum(col(tokensCol)).cast("long")).collect()(0).getLong(0)
+    val budget = math.floor(total * budgetFraction).toLong
+    qb.join(broadcast(cum), "_qb")
+      .withColumn("selected", col("_cum") <= budget)
+      .drop("_qb", "_cum")
+  }
+
   /** PII/URL scrubbing — the redaction pass every production training
     * pipeline runs before tokenization. Replacement order matters and is
     * fixed: URLs first (so an address inside a URL is already gone),

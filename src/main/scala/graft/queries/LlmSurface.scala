@@ -335,6 +335,27 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- token-budget selection: best docs first, to a token budget ------
+    // Bucketed-histogram cutoff (quality×1000 grid): cumulative sum runs
+    // over the ≤1001-row histogram, never the corpus — the global-sort
+    // prefix-sum window is rejected as a single-partition scale-killer.
+    // Budget = 50% of corpus tokens, so semantics are sf-independent.
+    "llm_token_budget" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextOps.words(col("text")).as("_w"))
+      val w = col("_w")
+      val nWords = size(w)
+      val quality = TextOps.round6(
+        (least(nWords, lit(200)) / 200.0) * 0.5
+          + (size(array_distinct(w)) / nWords.cast("double")) * 0.3
+          + (size(filter(w, x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
+      val base = d.select(col("doc_id"), quality.as("quality"),
+        floor((length(col("text")) + 3) / 4).cast("int").as("est_tokens"))
+      TextOps.tokenBudgetSelect(base, "quality", "est_tokens", 0.5)
+        .select("doc_id", "quality", "est_tokens", "selected")
+        .orderBy("doc_id")
+    }),
+
     // ---- unicode NFC normalization (custom Catalyst expression) ----------
     // Every 5th doc gets a deterministically injected DECOMPOSED-unicode
     // suffix (e + combining acute, N + combining tilde) — the same
@@ -1053,6 +1074,31 @@ object LlmSurface {
       LEFT JOIN t2 ON w.doc_id = t2.doc_id
       LEFT JOIN t3 ON w.doc_id = t3.doc_id
       ORDER BY w.doc_id
+    """,
+
+    "llm_token_budget" -> s"""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(floor((length(text) + 3) / 4) AS INT) AS est_tokens
+        FROM documents),
+      q AS (
+        SELECT doc_id, est_tokens,
+               ${round6sql(
+                 "(least(len(ws), 200) / 200.0) * 0.5" +
+                 " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
+                 " + (len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)) * 0.2")} AS quality
+        FROM d),
+      qb AS (
+        SELECT doc_id, quality, est_tokens,
+               CAST(floor(quality * 1000) AS BIGINT) AS b
+        FROM q),
+      h AS (SELECT b, sum(est_tokens) AS bt FROM qb GROUP BY b),
+      c AS (SELECT b, sum(bt) OVER (ORDER BY b DESC) AS cum FROM h),
+      t AS (SELECT CAST(floor(sum(est_tokens) * 0.5) AS BIGINT) AS budget FROM qb)
+      SELECT qb.doc_id, qb.quality, qb.est_tokens,
+             (c.cum <= t.budget) AS selected
+      FROM qb JOIN c ON qb.b = c.b CROSS JOIN t
+      ORDER BY qb.doc_id
     """,
 
     "llm_decontaminate" -> """

@@ -247,6 +247,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L).byte_len === 5)
   }
 
+  test("tokenBudgetSelect keeps best-quality buckets up to the budget") {
+    // quality buckets: 0.9 (300 tokens), 0.5 (300), 0.1 (300); budget =
+    // 50% of 900 = 450 -> only the 0.9 bucket fits (300 <= 450, and
+    // 300 + 300 = 600 > 450)
+    val df = Seq(
+      (1L, 0.9, 100), (2L, 0.9, 200),
+      (3L, 0.5, 300),
+      (4L, 0.1, 150), (5L, 0.1, 150))
+      .toDF("doc_id", "quality", "est_tokens")
+    val got = TextOps.tokenBudgetSelect(df, "quality", "est_tokens", 0.5)
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> false))
+    // full budget selects everything
+    val all = TextOps.tokenBudgetSelect(df, "quality", "est_tokens", 1.0)
+      .select("selected").as[Boolean].collect()
+    assert(all.forall(identity))
+  }
+
   test("topNgramFraction: repeated bigram dominates; short docs absent") {
     val df = Seq(
       (1L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab -> max 3 of 5
