@@ -20,7 +20,21 @@ import graft.sources.SalesSource
   */
 object SalesJob {
 
-  final case class Outputs(valid: DataFrame, invalid: DataFrame, summary: DataFrame)
+  /** `raw` is the cached source frame both branches read — carried so
+    * [[unpersist]] can free everything [[run]] cached.
+    */
+  final case class Outputs(valid: DataFrame, invalid: DataFrame,
+      summary: DataFrame, raw: DataFrame) {
+    /** Free the caches [[run]] created. [[export]] calls this after its
+      * final write (the analogue of `engine.dispose()`, `main.py:229`) —
+      * a job must not leak storage into a long-lived session that runs
+      * many jobs (the same rule library operators follow).
+      */
+    def unpersist(): Unit = {
+      valid.unpersist()
+      raw.unpersist()
+    }
+  }
 
   private val ingestOrder = Seq(col("_ingest_file"), col("_ingest_id"))
   private val helperCols = Seq("_ingest_file", "_ingest_id", "_block")
@@ -44,7 +58,7 @@ object SalesJob {
       SalesEtl.monthlySummary(
         valid.select("Sale_ID", "Product", "Amount", "Date", "Audit_Date")),
       "sales_summary")
-    Outputs(valid, invalid, summary)
+    Outputs(valid, invalid, summary, raw)
   }
 
   /** LOAD + EXPORT (`main.py:192-196,215-224`): format dates, restore the
@@ -74,10 +88,12 @@ object SalesJob {
         Sinks.writeJdbc(df, url, name, SaveMode.Overwrite, options = jdbcOptions)
       }
     }
-    frames.map { case (name, df) =>
+    val written = frames.map { case (name, df) =>
       val target = s"$csvDir/$name.csv"
       Sinks.writeCsvGolden(df, target)
       target
     }
+    outputs.unpersist() // all sinks written; free run()'s caches
+    written
   }
 }

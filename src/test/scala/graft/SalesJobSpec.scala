@@ -23,6 +23,12 @@ class SalesJobSpec extends SparkSpec {
   private def readLines(path: String): Seq[String] =
     Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala.toSeq
 
+  test("export frees every cache run() created (no storage leak)") {
+    assert(written.size === 3) // forces the lazy run+export
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "SalesJob must not leak cached blocks into a long-lived session")
+  }
+
   test("writes the three golden CSVs with BOM, header, and rows") {
     assert(written.size === 3)
     written.foreach { p =>
