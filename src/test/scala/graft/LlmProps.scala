@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.functions._
-import graft.llm.{TextOps, VectorOps}
+import graft.llm.{EventOps, TextOps, VectorOps}
 
 /** Property-based checks for the LLM operators. Few iterations — each
   * case runs Spark jobs.
@@ -84,5 +84,44 @@ object LlmProps extends Properties("LlmOps") {
         .select("query_id", "rank", "vec_id")
         .as[(Long, Int, Long)].collect().toSet
       ivf == exact
+    }
+
+  private val eventGen: Gen[Seq[(Long, Long, Int, String)]] = for {
+    n <- Gen.choose(5, 30)
+    evs <- Gen.listOfN(n, for {
+      user <- Gen.choose(0L, 3L)
+      minute <- Gen.choose(0, 200)
+      typ <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (user, minute.toLong, typ))
+  } yield evs.zipWithIndex.map { case ((u, m, t), i) => (i.toLong, u, m.toInt, t) }
+
+  property("funnel matches a driver-side brute force on random event streams") =
+    forAll(eventGen) { evs =>
+      val df = evs.map { case (id, u, m, t) =>
+        (id, java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"), u, t)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val got = EventOps.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+        .select("user_id", "reached").as[(Long, Int)].collect().toMap
+
+      val steps = Seq("view", "click", "purchase")
+      val want = evs.groupBy(_._2).flatMap { case (u, rows) =>
+        // brute force: earliest step 1, then earliest strictly-later step k
+        val byType = steps.map(s => s -> rows.filter(_._4 == s).map(_._3).sorted)
+        var reached = 0
+        var t = Int.MinValue
+        var stalled = false
+        byType.foreach { case (_, times) =>
+          if (!stalled) {
+            val next = times.find(x => if (reached == 0) true else x > t)
+            next match {
+              case Some(x) => t = x; reached += 1
+              case None => stalled = true
+            }
+          }
+        }
+        if (reached >= 1) Some(u -> reached) else None
+      }
+      got == want
     }
 }
