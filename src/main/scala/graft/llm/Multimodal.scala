@@ -70,6 +70,56 @@ object Multimodal {
       }
   }
 
+  /** Block-mean perceptual hash over the raw payload bytes (the
+    * Blockhash/block-mean-value scheme, Yang et al. 2006, applied to the
+    * byte stream): split the payload into 64 equal windows; bit b = 1
+    * iff window b's mean byte value ≥ the global mean. Compared by
+    * cross-multiplication (`wsum · n ≥ total · wlen`) so the whole hash
+    * is exact integer math — bit-reproducible in the DuckDB oracle. A
+    * real pipeline runs the same computation over DECODED pixel blocks
+    * (swap [[stubDecode]]'s boundary); the hash shape, the Hamming
+    * near-dup join, and everything downstream are unchanged.
+    *
+    * Payloads shorter than 64 bytes leave the tail windows empty —
+    * empty windows hash to 0 (defined, not derived).
+    */
+  def blockHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xff; i += 1 }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      val start = b.toLong * n / 64
+      val end = (b + 1).toLong * n / 64
+      val wlen = end - start
+      if (wlen > 0) {
+        var wsum = 0L
+        var j = start.toInt
+        while (j < end) { wsum += bytes(j) & 0xff; j += 1 }
+        if (wsum * n >= total * wlen) hash |= (1L << b)
+      }
+      b += 1
+    }
+    hash
+  }
+
+  /** Executor-side batched perceptual-hash pass — same shape as
+    * [[decodeMeta]]; returns (idCol, phash).
+    */
+  def decodePHash(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => (id, blockHash64(bytes)) }
+        }
+      }
+      .toDF(idCol, "phash")
+  }
+
   /** STUB resize — proportional downscale to fit `maxDim` (integer
     * arithmetic, ceil-free floor scaling; a real impl calls the codec).
     * Pure metadata math, so it runs as a narrow typed map.

@@ -333,24 +333,36 @@ object TextOps {
     * same argument as the MinHash bands in [[nearDupPairs]].
     */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4, bits: Int = 60): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4, bits: Int = 60): DataFrame =
+    hammingNearDupPairs(simHash(df, idCol, textCol), idCol, "simhash",
+      maxHamming, chunks, bits)
+
+  /** Pigeonhole-blocked near-dup pairs over ANY per-doc integer hash
+    * column (SimHash, block-mean perceptual hash, …): two hashes within
+    * Hamming distance k < chunks must agree exactly on ≥1 of `chunks`
+    * equal bit-chunks, so candidates come from an equi-join on
+    * (chunk index, chunk value) and all-pairs is rejected by
+    * construction. Works for the full 64 bits — arithmetic shift-right
+    * sign-extension is masked off per chunk.
+    */
+  def hammingNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, chunks: Int, bits: Int): DataFrame = {
     require(chunks > maxHamming,
       s"pigeonhole needs chunks ($chunks) > maxHamming ($maxHamming)")
     require(bits % chunks == 0, s"$bits bits must split evenly into $chunks chunks")
     val chunkBits = bits / chunks
     val mask = (1L << chunkBits) - 1
-    val sim = simHash(df, idCol, textCol)
     val chunkStructs = (0 until chunks).map(i => struct(
       lit(i).as("ci"),
-      shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit(mask)).as("cv")))
-    val chunked = sim
-      .select(col(idCol).as("doc"), col("simhash"),
+      shiftright(col(hashCol), i * chunkBits).bitwiseAND(lit(mask)).as("cv")))
+    val chunked = hashed
+      .select(col(idCol).as("doc"), col(hashCol).as("_h"),
         explode(array(chunkStructs: _*)).as("ch"))
-      .select(col("doc"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+      .select(col("doc"), col("_h"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
     chunked
-      .select(col("ci"), col("cv"), col("doc").as("doc_a"), col("simhash").as("sim_a"))
+      .select(col("ci"), col("cv"), col("doc").as("doc_a"), col("_h").as("sim_a"))
       .join(chunked.select(col("ci"), col("cv"), col("doc").as("doc_b"),
-        col("simhash").as("sim_b")), Seq("ci", "cv"))
+        col("_h").as("sim_b")), Seq("ci", "cv"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
       .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))

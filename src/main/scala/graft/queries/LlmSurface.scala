@@ -628,6 +628,28 @@ object LlmSurface {
         .orderBy("event_type", "k_bucket")
     }),
 
+    // ---- multimodal near-dup: block-mean perceptual hash + Hamming join --
+    // Image-dedup shape: executor-side perceptual hash over the payload
+    // bytes (block-mean scheme, exact integer math), then the SAME
+    // pigeonhole chunk-blocked Hamming join the text SimHash path uses —
+    // one generic machinery, two modalities. A real pipeline swaps the
+    // byte windows for decoded pixel blocks at the stub boundary.
+    "llm_multimodal_near_dup" -> ((s, dir) => {
+      // every 10th doc gets a planted NEAR-COPY (last byte edited, id +
+      // 100000) — the corpus has no natural payload near-dups, and an
+      // empty result would verify nothing (the vacuous-green trap)
+      val docs = Tables(s, dir, "documents")
+      val variants = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text").substr(lit(1), length(col("text")) - 1), lit("x")).as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(variants)
+      val hashed = Multimodal.decodePHash(s,
+        Multimodal.withPayload(corpus, "text"), "doc_id")
+      TextOps.hammingNearDupPairs(hashed, "doc_id", "phash",
+        maxHamming = 6, chunks = 8, bits = 64)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- conversion funnel: view -> click -> purchase --------------------
     // Ordered-sequence semantics: each step's earliest occurrence
     // STRICTLY AFTER the previous step's time (cascaded conditional
@@ -778,6 +800,19 @@ object LlmSurface {
       WITH ${kmeansCtes(k, iters)}
       SELECT vec_id, centroid_id, dist_q FROM ax$iters ORDER BY vec_id
     """
+
+  /** Block-mean perceptual-hash bit terms: bit b = 1 iff window b's mean
+    * byte ≥ global mean, by exact cross-multiplication. Bit 63's literal
+    * is spelled `(-q - 1)` because `-2^63` won't parse as a single
+    * BIGINT literal.
+    */
+  private val blockhashExpr: String = (0 until 64).map { b =>
+    val ws = s"(($b * n) // 64 + 1)"
+    val we = s"((${b + 1} * n) // 64)"
+    val wlen = s"($we - ($b * n) // 64)"
+    val bit = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+    s"(CASE WHEN $wlen > 0 AND coalesce(list_sum(bytes[$ws:$we]), 0) * n >= total * $wlen THEN $bit ELSE 0 END)"
+  }.mkString(" + ")
 
   private val minhashSigs =
     (0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
@@ -1442,6 +1477,32 @@ object LlmSurface {
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
       FROM events
       GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    "llm_multimodal_near_dup" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, substr(text, 1, length(text) - 1) || 'x'
+        FROM documents WHERE doc_id % 10 = 0),
+      raw AS (
+        SELECT doc_id, length(text) AS n,
+               list_transform(range(1, length(text) + 1),
+                              i -> ascii(substr(text, i, 1))) AS bytes
+        FROM corpus),
+      tot AS (SELECT doc_id, n, bytes, list_sum(bytes) AS total FROM raw),
+      ph AS (SELECT doc_id, CAST($blockhashExpr AS BIGINT) AS phash FROM tot),
+      ch AS (
+        SELECT doc_id, phash, i AS ci, (phash >> (i * 8)) & 255 AS cv
+        FROM ph, generate_series(0, 7) t(i)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.phash AS ph_a, b.phash AS ph_b
+        FROM ch a JOIN ch b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+      FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
+      ORDER BY doc_a, doc_b
     """,
 
     "llm_funnel" -> """

@@ -234,6 +234,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === 13L)
   }
 
+  test("blockHash64: identical bytes hash equal; local edits stay near; short payloads defined") {
+    val base = Array.tabulate(256)(i => ((i * 7) % 251).toByte)
+    val same = base.clone()
+    val edited = base.clone()
+    edited(10) = (edited(10) + 120).toByte // perturb one window hard
+    val h = Multimodal.blockHash64(base)
+    assert(h === Multimodal.blockHash64(same))
+    val d = java.lang.Long.bitCount(h ^ Multimodal.blockHash64(edited))
+    assert(d <= 6, s"single-window edit must stay within the near-dup radius, got $d")
+    // < 64 bytes: tail windows are empty -> defined (0 bits), no crash
+    val short = Multimodal.blockHash64(Array[Byte](1, 2, 3))
+    assert(java.lang.Long.bitCount(short) <= 3)
+    assert(Multimodal.blockHash64(Array.emptyByteArray) === 0L)
+  }
+
+  test("perceptual-hash near-dup finds identical payloads via the generic Hamming join") {
+    val df = Seq(
+      (1L, "the same exact payload content for both documents here"),
+      (2L, "the same exact payload content for both documents here"),
+      (3L, "completely different bytes that should land far away entirely"))
+      .toDF("doc_id", "text")
+    val hashed = Multimodal.decodePHash(spark, Multimodal.withPayload(df, "text"), "doc_id")
+    val pairs = TextOps.hammingNearDupPairs(hashed, "doc_id", "phash",
+      maxHamming = 6, chunks = 8, bits = 64)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("stubDecode: deterministic metadata from payload bytes") {
     val m = Multimodal.stubDecode(7L, "ab".getBytes("UTF-8"))
     assert(m === Multimodal.MediaMeta(7L, 2, 195L, 64 + 195 % 577,
