@@ -548,6 +548,49 @@ object LlmSurface {
         .orderBy("vec_id")
     }),
 
+    // ---- joint text+embedding curation (cross-modal capstone) ------------
+    // The full curation decision in ONE pass over BOTH modalities:
+    // text-side quality score ⋈ embedding-side semantic-dup flag
+    // (k-means clusters + in-cluster cosine) ⋈ deterministic hash split.
+    // keep = quality ≥ 0.3 AND not a semantic dup. One equi-join per
+    // modality on the shared id — the shape a production curation job
+    // actually runs.
+    "llm_joint_curation" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+      val w = col("_w")
+      val nWords = size(w)
+      val quality = TextOps.round6(
+        (least(nWords, lit(200)) / 200.0) * 0.5
+          + (size(array_distinct(w)) / nWords.cast("double")) * 0.3
+          + (size(filter(w, x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
+      val scored = d.select(col("doc_id"), quality.as("quality"))
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val assign = VectorOps.kMeans(emb, "vec_id", "qv", k = 8, iters = 3)
+        .select("vec_id", "centroid_id")
+      val withC = emb.join(assign, "vec_id")
+      val dot = VectorOps.dotFn(s)
+      val dups = withC.select(col("centroid_id"), col("vec_id").as("id_a"), col("qv").as("_va"))
+        .join(withC.select(col("centroid_id"), col("vec_id").as("id_b"), col("qv").as("_vb")),
+          Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(dot(col("_va"), col("_vb")) >= 340000L)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("_dup", lit(true))
+      scored
+        .join(withC.select(col("vec_id").as("doc_id"), col("centroid_id")), "doc_id")
+        .join(dups.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"), col("centroid_id"),
+          coalesce(col("_dup"), lit(false)).as("semantic_dup"))
+        .withColumn("keep", col("quality") >= 0.3 && !col("semantic_dup"))
+        .withColumn("split",
+          when(TextOps.hashBucket(col("doc_id"), "split") < 80, "train")
+            .when(TextOps.hashBucket(col("doc_id"), "split") < 90, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    }),
+
     // ---- IVF (inverted-file) ANN: centroid lists + nProbe search ---------
     // The centroid-partitioned alternative to sign-LSH: corpus assigned to
     // nearest centroid (broadcast join + min_by argmax), queries probe
@@ -1297,6 +1340,37 @@ object LlmSurface {
              (dups.vec_id IS NOT NULL) AS semantic_dup
       FROM withc w LEFT JOIN dups ON w.vec_id = dups.vec_id
       ORDER BY w.vec_id
+    """,
+
+    "llm_joint_curation" -> s"""
+      WITH ${kmeansCtes(k = 8, iters = 3)},
+      withc AS (SELECT e.vec_id, e.qv, ax3.centroid_id
+                FROM e JOIN ax3 ON e.vec_id = ax3.vec_id),
+      dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM withc a JOIN withc b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE CAST(list_sum(list_transform(range(1, 65),
+                i -> a.qv[i] * b.qv[i])) AS BIGINT) >= 340000),
+      q AS (
+        SELECT doc_id,
+               ${round6sql(
+                 "(least(len(ws), 200) / 200.0) * 0.5" +
+                 " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
+                 " + (len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)) * 0.2")} AS quality
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      j AS (
+        SELECT q.doc_id, q.quality, w.centroid_id,
+               (dups.vec_id IS NOT NULL) AS semantic_dup,
+               CAST('0x' || substr(md5('split|' || CAST(q.doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS b
+        FROM q
+        JOIN withc w ON q.doc_id = w.vec_id
+        LEFT JOIN dups ON w.vec_id = dups.vec_id)
+      SELECT doc_id, quality, centroid_id, semantic_dup,
+             (quality >= 0.3 AND NOT semantic_dup) AS keep,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM j ORDER BY doc_id
     """,
 
     "llm_topk_similarity" -> topkSimilaritySql,
