@@ -145,7 +145,10 @@ object ConnectedComponents {
     var round = 0
     var done = cur.isEmpty
     while (!done && round < maxRounds) {
-      val next = materialize(star(star(cur, large = true), large = false))
+      // materialize BETWEEN the two half-rounds too: small-star reads its
+      // input through sym (twice) AND closedMin, so an unmaterialized
+      // large-star plan would re-execute ~4x per round
+      val next = materialize(star(materialize(star(cur, large = true)), large = false))
       // star forests only shrink toward the fixpoint: equal count AND
       // empty one-way difference ⇒ the distinct edge sets are identical
       done = next.count() == cur.count() && next.except(cur).isEmpty
