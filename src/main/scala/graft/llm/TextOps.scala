@@ -499,7 +499,8 @@ object TextOps {
       .orderBy(col("_qb").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = hist.withColumn("_cum", sum("_bt").over(w)).select("_qb", "_cum")
-    val total = qb.agg(sum(col(tokensCol)).cast("long")).collect()(0).getLong(0)
+    val totalRow = qb.agg(sum(col(tokensCol)).cast("long")).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0) // empty corpus
     val budget = math.floor(total * budgetFraction).toLong
     qb.join(broadcast(cum), "_qb")
       .withColumn("selected", col("_cum") <= budget)

@@ -292,6 +292,9 @@ class LlmOpsSpec extends SparkSpec {
     val all = TextOps.tokenBudgetSelect(df, "quality", "est_tokens", 1.0)
       .select("selected").as[Boolean].collect()
     assert(all.forall(identity))
+    // empty corpus: no rows, no NPE from the null total
+    val empty = Seq.empty[(Long, Double, Int)].toDF("doc_id", "quality", "est_tokens")
+    assert(TextOps.tokenBudgetSelect(empty, "quality", "est_tokens", 0.5).count() === 0)
   }
 
   test("topNgramFraction: repeated bigram dominates; short docs absent") {
