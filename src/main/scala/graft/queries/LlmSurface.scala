@@ -220,10 +220,15 @@ object LlmSurface {
 
     // ---- TF-IDF: rarity-weighted terms, top-3 per document ---------------
     // tf from one explode+agg, document frequency from a second agg over
-    // the (doc, word) pairs, idf joined back (tiny — |vocab| rows,
-    // broadcast). ln() agrees bit-for-bit between JVM Math.log and
-    // DuckDB's libm on this data (both fdlibm-derived; round6 adds nine
-    // orders of magnitude of slack) — verified at all three SFs.
+    // the (doc, word) pairs, idf joined back on `word` as a PLAIN
+    // equi-join: |vocab| grows with the corpus (Heaps' law — billions of
+    // distinct tokens at 100 TB), so a forced broadcast of dfreq would
+    // OOM long before real scale. AQE still picks broadcast at small
+    // scale from real stats; the fallback shuffle is tiny next to the tf
+    // explode that precedes it. ln() agrees bit-for-bit between JVM
+    // Math.log and DuckDB's libm on this data (both fdlibm-derived;
+    // round6 adds nine orders of magnitude of slack) — verified at all
+    // three SFs.
     "llm_tfidf" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val nDocs = docs.count().toDouble
@@ -231,7 +236,7 @@ object LlmSurface {
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(dfreq), "word")
+      val scored = tf.join(dfreq, "word")
         .withColumn("tfidf", TextOps.round6(col("tf") * log(lit(nDocs) / col("df"))))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
@@ -317,7 +322,9 @@ object LlmSurface {
     // integer micro-nats BEFORE summing, so the cross-row reduction is
     // exact integer math — float sums are partition-order-dependent and
     // can never cross the engine boundary (ln itself is bit-stable here,
-    // as proven by llm_tfidf at all SFs).
+    // as proven by llm_tfidf at all SFs). The per-word model table is
+    // |vocab|-sized (grows with the corpus), so it joins back as a plain
+    // equi-join — no broadcast hint; AQE decides from real stats.
     "llm_unigram_logprob" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val tok = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
@@ -326,7 +333,7 @@ object LlmSurface {
       val (n, v) = (totals.getLong(0), totals.getLong(1))
       val li = floor(log((col("c") + 1).cast("double") / lit((n + v).toDouble)) * 1e6 + 0.5)
         .cast("long")
-      tok.join(broadcast(counts.withColumn("_li", li).select("w", "_li")), "w")
+      tok.join(counts.withColumn("_li", li).select("w", "_li"), "w")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("_li").as("_s"))
         .select(col("doc_id"), col("n_tokens"),

@@ -130,6 +130,21 @@ class PlanAuditSpec extends SparkSpec {
       s"cluster-local pairing must be an equi-join on centroid_id:\n$p")
   }
 
+  test("vocab-sized joins (tfidf, unigram model) carry no mandated broadcast hint") {
+    // |vocab| grows with the corpus (Heaps' law) — a hard broadcast() on
+    // the document-frequency / unigram-model side would OOM at scale no
+    // matter what AQE wants. The hint survives analysis as ResolvedHint,
+    // so its absence in the analyzed plan proves the join strategy is
+    // left to the optimizer (which may still CHOOSE broadcast from stats
+    // at test scale — that choice is fine; mandating it is not).
+    for (name <- Seq("llm_tfidf", "llm_unigram_logprob")) {
+      val q = graft.queries.LlmSurface.queries(name)(spark, dir)
+      val analyzed = q.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$name must not force a join strategy on the vocab table:\n$analyzed")
+    }
+  }
+
   test("whole-stage codegen covers the scalar-heavy Q1 chain") {
     val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
     // AQE prints `isFinalPlan=false` with no codegen spans until the query
