@@ -98,11 +98,25 @@ object Multimodal {
         var wsum = 0L
         var j = start.toInt
         while (j < end) { wsum += bytes(j) & 0xff; j += 1 }
-        if (wsum * n >= total * wlen) hash |= (1L << b)
+        if (cmpProd(wsum, n, total, wlen) >= 0) hash |= (1L << b)
       }
       b += 1
     }
     hash
+  }
+
+  /** Exact compare of a·b vs c·d for non-negative longs via 128-bit
+    * cross multiplication (Math.multiplyHigh + unsigned low word).
+    * The naive `wsum * n >= total * wlen` overflows Long once payloads
+    * pass ~1.5 GB (wsum ≤ 255n, so wsum·n ~ 255n²) and would silently
+    * flip hash bits on exactly the large binaries a 100 TB multimodal
+    * corpus contains.
+    */
+  private[graft] def cmpProd(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
   }
 
   /** Executor-side batched perceptual-hash pass — same shape as

@@ -492,18 +492,23 @@ object TextOps {
       tokensCol: String, budgetFraction: Double): DataFrame = {
     require(budgetFraction > 0 && budgetFraction <= 1,
       s"budgetFraction ($budgetFraction) must be in (0, 1]")
+    // Null-quality rows are unrankable: they are RETAINED with
+    // selected = false (an inner join used to drop them silently) and
+    // excluded from the histogram and the budget total, so they neither
+    // vanish nor consume budget.
     val qb = df.withColumn("_qb", floor(col(qualityCol) * 1000).cast("long"))
-    val hist = qb.groupBy("_qb").agg(sum(tokensCol).as("_bt"))
+    val ranked = qb.filter(col("_qb").isNotNull)
+    val hist = ranked.groupBy("_qb").agg(sum(tokensCol).as("_bt"))
     // ≤1001 rows: the unpartitioned window is bounded by construction
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("_qb").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = hist.withColumn("_cum", sum("_bt").over(w)).select("_qb", "_cum")
-    val totalRow = qb.agg(sum(col(tokensCol)).cast("long")).collect()(0)
+    val totalRow = ranked.agg(sum(col(tokensCol)).cast("long")).collect()(0)
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0) // empty corpus
     val budget = math.floor(total * budgetFraction).toLong
-    qb.join(broadcast(cum), "_qb")
-      .withColumn("selected", col("_cum") <= budget)
+    qb.join(broadcast(cum), Seq("_qb"), "left")
+      .withColumn("selected", coalesce(col("_cum") <= budget, lit(false)))
       .drop("_qb", "_cum")
   }
 

@@ -254,12 +254,17 @@ object VectorOps {
     *
     * Deterministic and engine-portable BY CONSTRUCTION (the DuckDB
     * oracle replays the identical math):
-    *  - init = the k lowest-id vectors (no RNG);
+    *  - init = the k lowest-id vectors (no RNG), remapped to DENSE
+    *    centroid ids 0..k-1 (rank by id) — raw input ids must never be
+    *    packed as cids, or any corpus whose smallest ids exceed the cid
+    *    width silently corrupts the argmin;
     *  - distances are exact integer sums of squared differences of
     *    quantized components;
-    *  - the argmin is bit-packed: key = (dist² << 8) | cid, so
+    *  - the argmin is bit-packed: key = (dist² << [[CidBits]]) | cid, so
     *    assignment is a plain `min` and ties break toward the lowest
-    *    centroid id (hence k ≤ 256);
+    *    centroid id (hence k ≤ [[MaxK]]); dist² needs < 2^43 headroom,
+    *    which holds with ~32000× slack for 64-dim unit-range embeddings
+    *    quantized at ×1000 (dist² ≤ 64·2000² ≈ 2.6e8 < 2^28);
     *  - centroid update is floor(component sum / n) — integer centroids
     *    every round, no float drift;
     *  - a cluster that loses all members drops out (documented, same in
@@ -271,27 +276,31 @@ object VectorOps {
     * corpus × broadcast(k centroids) — linear in k, no shuffle; update
     * is two partial-combine aggregations whose exchange carries
     * k × dims rows, not the corpus. Only the k-row centroid table is
-    * checkpointed per round (the corpus is never re-materialized).
+    * checkpointed per round (the corpus is never re-materialized). The
+    * init rank window runs over the k-row limit result only — a single
+    * partition of ≤ [[MaxK]] tiny rows, once per job, never the corpus.
     */
   def kMeans(df: DataFrame, idCol: String, qvCol: String, k: Int,
       iters: Int,
       materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
       : DataFrame = {
-    require(k > 0 && k <= 256, s"k ($k) must be in 1..256 (cid packs into 8 bits)")
+    require(k > 0 && k <= MaxK, s"k ($k) must be in 1..$MaxK (cid packs into $CidBits bits)")
     require(iters >= 1, s"iters ($iters) must be >= 1")
     val e = df.select(col(idCol).as("_vid"), col(qvCol).as("qv"))
     var centroids = materialize(
-      e.orderBy("_vid").limit(k).select(col("_vid").as("cid"), col("qv").as("cv")))
+      e.orderBy("_vid").limit(k)
+        .select((row_number().over(Window.orderBy("_vid")) - 1).cast("long").as("cid"),
+          col("qv").as("cv")))
     def assign(cent: DataFrame): DataFrame = {
       val dist = aggregate(
         zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, v) => acc + v)
       e.crossJoin(broadcast(cent))
-        .select(col("_vid"), shiftleft(dist, 8).bitwiseOR(col("cid")).as("_key"))
+        .select(col("_vid"), shiftleft(dist, CidBits).bitwiseOR(col("cid")).as("_key"))
         .groupBy("_vid").agg(min("_key").as("_k"))
         .select(col("_vid"),
-          col("_k").bitwiseAND(lit(255L)).as("centroid_id"),
-          shiftright(col("_k"), 8).as("dist_q"))
+          col("_k").bitwiseAND(lit((MaxK - 1).toLong)).as("centroid_id"),
+          shiftright(col("_k"), CidBits).as("dist_q"))
     }
     (1 until iters).foreach { _ =>
       val sums = assign(centroids).join(e, "_vid")
@@ -308,6 +317,58 @@ object VectorOps {
     }
     assign(centroids)
       .select(col("_vid").as(idCol), col("centroid_id"), col("dist_q"))
+  }
+
+  /** Width of the centroid-id field in [[kMeans]]' packed argmin key:
+    * cids occupy the low 20 bits, distances the high 43 — up to ~1M
+    * clusters with vast distance headroom (see [[kMeans]] scaladoc).
+    */
+  val CidBits = 20
+  val MaxK: Int = 1 << CidBits
+
+  /** Cluster count that keeps SemDeDup-style in-cluster pairwise work
+    * sub-quadratic as the corpus grows: k = ceil(n / targetClusterSize),
+    * clamped to [1, [[MaxK]]]. With FIXED k, Σ|cluster|² ≈ n²/k is still
+    * quadratic in corpus size no matter the constant — the same argument
+    * [[bitsForCorpus]] makes against fixed LSH bits; growing k with n
+    * bounds EXPECTED cluster size by targetClusterSize, so in-cluster
+    * pairing grows ~linearly (n × targetClusterSize).
+    */
+  def kForCorpus(n: Long, targetClusterSize: Int = 64): Int = {
+    require(targetClusterSize > 0, s"targetClusterSize ($targetClusterSize) must be > 0")
+    // cap BEFORE the ceil-div: n + target - 1 overflows near Long.MaxValue
+    if (n >= MaxK.toLong * targetClusterSize) MaxK
+    else math.max(1L, (math.max(0L, n) + targetClusterSize - 1) / targetClusterSize).toInt
+  }
+
+  /** SemDeDup (Abbas et al. 2023) semantic-duplicate flags: k-means
+    * partitions the corpus so the quadratic pairwise cosine check runs
+    * WITHIN clusters only (one equi-join on centroid_id — never
+    * all-pairs); the later (higher-id) member of every pair whose
+    * quantized dot reaches `minDotQ` is flagged. Returns one row per
+    * input id: (idCol, centroid_id, semantic_dup).
+    *
+    * Pass k = [[kForCorpus]](n) — a fixed k leaves Σ|cluster|² quadratic
+    * in corpus size, which this helper exists to prevent.
+    */
+  def semanticDupFlags(emb: DataFrame, idCol: String, qvCol: String,
+      k: Int, iters: Int, minDotQ: Long,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    val assign = kMeans(emb, idCol, qvCol, k, iters)
+      .select(idCol, "centroid_id")
+    val withC = emb.select(col(idCol), col(qvCol)).join(assign, idCol)
+    val dups = withC
+      .select(col("centroid_id"), col(idCol).as("_id_a"), col(qvCol).as("_va"))
+      .join(withC.select(col("centroid_id"), col(idCol).as("_id_b"), col(qvCol).as("_vb")),
+        Seq("centroid_id"))
+      .filter(col("_id_a") < col("_id_b"))
+      .filter(dot(col("_va"), col("_vb")) >= minDotQ)
+      .select(col("_id_b").as(idCol)).distinct()
+      .withColumn("_dup", lit(true))
+    withC.select(col(idCol), col("centroid_id"))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(col("_dup"), lit(false)).as("semantic_dup"))
   }
 
   /** Bucket-bit count that keeps bucket-local pairing sub-quadratic as

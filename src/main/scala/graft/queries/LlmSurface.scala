@@ -23,6 +23,14 @@ object LlmSurface {
 
   private val stopwords = Seq("the", "a", "of", "to", "in")
 
+  /** SemDeDup tuning shared by llm_semantic_dedup / llm_joint_curation
+    * and their oracles: the in-cluster dot threshold (~p99 of in-cluster
+    * dots on this corpus) and the target expected cluster size that
+    * [[graft.llm.VectorOps.kForCorpus]] turns into a corpus-dependent k.
+    */
+  private val SemanticDupMinDotQ = 340000L
+  private val SemanticClusterTarget = 64
+
   /** Decomposed-unicode injection for llm_normalize: 'e' + U+0301
     * (combining acute) and 'N' + U+0303 (combining tilde) — NFC composes
     * them to é / Ñ. Built from code points so no source-encoding or
@@ -531,27 +539,18 @@ object LlmSurface {
     // ---- semantic dedup: cluster, then drop within-cluster near-copies ---
     // The SemDeDup shape (Abbas et al. 2023): k-means partitions the
     // corpus so the expensive pairwise cosine check runs WITHIN clusters
-    // only — Σ|cluster|² work instead of |corpus|², tuned by k. The
-    // later (higher-id) member of each high-dot pair is flagged; `keep`
-    // is the deduplicated corpus.
+    // only — Σ|cluster|² work instead of |corpus|². k GROWS with the
+    // corpus (kForCorpus: one 1-row scalar count, then k ≈ n/64) so
+    // expected cluster size stays bounded and the pairing stays
+    // ~linear — a fixed k would leave it quadratic at 100×. The later
+    // (higher-id) member of each high-dot pair is flagged; `keep` is the
+    // deduplicated corpus.
     "llm_semantic_dedup" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
-      val assign = VectorOps.kMeans(emb, "vec_id", "qv", k = 8, iters = 3)
-        .select("vec_id", "centroid_id")
-      val withC = emb.join(assign, "vec_id")
-      val dot = VectorOps.dotFn(s)
-      val dups = withC.select(col("centroid_id"), col("vec_id").as("id_a"), col("qv").as("_va"))
-        .join(withC.select(col("centroid_id"), col("vec_id").as("id_b"), col("qv").as("_vb")),
-          Seq("centroid_id"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(dot(col("_va"), col("_vb")) >= 340000L) // ~p99 of in-cluster dots
-        .select(col("id_b").as("vec_id")).distinct()
-        .withColumn("_dup", lit(true))
-      withC.select("vec_id", "centroid_id")
-        .join(dups, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("centroid_id"),
-          coalesce(col("_dup"), lit(false)).as("semantic_dup"))
+      val k = VectorOps.kForCorpus(emb.count(), SemanticClusterTarget)
+      VectorOps.semanticDupFlags(emb, "vec_id", "qv", k, iters = 3,
+        minDotQ = SemanticDupMinDotQ, dot = VectorOps.dotFn(s))
         .orderBy("vec_id")
     }),
 
@@ -574,22 +573,12 @@ object LlmSurface {
       val scored = d.select(col("doc_id"), quality.as("quality"))
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
-      val assign = VectorOps.kMeans(emb, "vec_id", "qv", k = 8, iters = 3)
-        .select("vec_id", "centroid_id")
-      val withC = emb.join(assign, "vec_id")
-      val dot = VectorOps.dotFn(s)
-      val dups = withC.select(col("centroid_id"), col("vec_id").as("id_a"), col("qv").as("_va"))
-        .join(withC.select(col("centroid_id"), col("vec_id").as("id_b"), col("qv").as("_vb")),
-          Seq("centroid_id"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(dot(col("_va"), col("_vb")) >= 340000L)
-        .select(col("id_b").as("vec_id")).distinct()
-        .withColumn("_dup", lit(true))
+      val k = VectorOps.kForCorpus(emb.count(), SemanticClusterTarget)
+      val flags = VectorOps.semanticDupFlags(emb, "vec_id", "qv", k, iters = 3,
+        minDotQ = SemanticDupMinDotQ, dot = VectorOps.dotFn(s))
       scored
-        .join(withC.select(col("vec_id").as("doc_id"), col("centroid_id")), "doc_id")
-        .join(dups.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("quality"), col("centroid_id"),
-          coalesce(col("_dup"), lit(false)).as("semantic_dup"))
+        .join(flags.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .select(col("doc_id"), col("quality"), col("centroid_id"), col("semantic_dup"))
         .withColumn("keep", col("quality") >= 0.3 && !col("semantic_dup"))
         .withColumn("split",
           when(TextOps.hashBucket(col("doc_id"), "split") < 80, "train")
@@ -685,12 +674,15 @@ object LlmSurface {
     // one generic machinery, two modalities. A real pipeline swaps the
     // byte windows for decoded pixel blocks at the stub boundary.
     "llm_multimodal_near_dup" -> ((s, dir) => {
-      // every 10th doc gets a planted NEAR-COPY (last byte edited, id +
-      // 100000) — the corpus has no natural payload near-dups, and an
-      // empty result would verify nothing (the vacuous-green trap)
+      // every 10th doc gets a planted NEAR-COPY (last byte edited, id =
+      // -doc_id - 1: real doc_ids are non-negative at every sf, so the
+      // injected ids can NEVER collide with a genuine document — an
+      // additive offset would, once the corpus outgrows it) — the corpus
+      // has no natural payload near-dups, and an empty result would
+      // verify nothing (the vacuous-green trap)
       val docs = Tables(s, dir, "documents")
       val variants = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           concat(col("text").substr(lit(1), length(col("text")) - 1), lit("x")).as("text"))
       val corpus = docs.select("doc_id", "text").unionByName(variants)
       val hashed = Multimodal.decodePHash(s,
@@ -817,16 +809,23 @@ object LlmSurface {
   /** CTE chain for the k-means iterations, ending in `ax$iters`
     * (vec_id, centroid_id, dist_q) — shared by the llm_kmeans oracle and
     * the semantic-dedup composite built on top of the assignment.
+    * `kExpr` is any scalar SQL expression (a literal, or a subquery that
+    * derives k from the corpus size à la kForCorpus); init centroids get
+    * DENSE cids 0..k-1 (rank over the k lowest ids) and the argmin packs
+    * them into the low [[graft.llm.VectorOps.CidBits]] = 20 bits,
+    * mirroring the Spark operator exactly.
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
-    val init = s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM e ORDER BY vec_id LIMIT $k)"
+  private def kmeansCtes(kExpr: String, iters: Int): String = {
+    val init = s"""c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+        FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT $kExpr))"""
     def assign(i: Int) = s"""
       a$i AS (
         SELECT vec_id,
                min((CAST(list_sum(list_transform(range(1, 65),
-                      j -> (qv[j] - cv[j]) * (qv[j] - cv[j]))) AS BIGINT) << 8) | cid) AS k
+                      j -> (qv[j] - cv[j]) * (qv[j] - cv[j]))) AS BIGINT) << 20) | cid) AS k
         FROM e, c${i - 1} GROUP BY vec_id),
-      ax$i AS (SELECT vec_id, k & 255 AS centroid_id, k >> 8 AS dist_q FROM a$i)"""
+      ax$i AS (SELECT vec_id, k & 1048575 AS centroid_id, k >> 20 AS dist_q FROM a$i)"""
     def update(i: Int) = s"""
       c$i AS (
         SELECT centroid_id AS cid,
@@ -847,9 +846,33 @@ object LlmSurface {
   }
 
   private def kmeansSql(k: Int, iters: Int): String = s"""
-      WITH ${kmeansCtes(k, iters)}
+      WITH ${kmeansCtes(k.toString, iters)}
       SELECT vec_id, centroid_id, dist_q FROM ax$iters ORDER BY vec_id
     """
+
+  /** Corpus-dependent cluster count, the SQL twin of
+    * [[graft.llm.VectorOps.kForCorpus]]: ceil(n / target), clamped to
+    * [1, 2^20]. Evaluated by DuckDB as a scalar subquery in the init
+    * CTE's LIMIT.
+    */
+  private val kForCorpusSql: String =
+    s"(SELECT greatest(1, least(1048576, CAST(ceil(count(*) / $SemanticClusterTarget.0) AS BIGINT))) FROM e)"
+
+  /** Shared CTE stack for the SemDeDup queries: corpus-derived-k k-means
+    * (3 rounds) + in-cluster pair scan at the [[SemanticDupMinDotQ]]
+    * threshold, ending in `withc` (vec_id, qv, centroid_id) and `dups`
+    * (flagged vec_ids).
+    */
+  private def semanticDupCtes: String = s"""
+      ${kmeansCtes(kForCorpusSql, iters = 3)},
+      withc AS (SELECT e.vec_id, e.qv, ax3.centroid_id
+                FROM e JOIN ax3 ON e.vec_id = ax3.vec_id),
+      dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM withc a JOIN withc b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE CAST(list_sum(list_transform(range(1, 65),
+                i -> a.qv[i] * b.qv[i])) AS BIGINT) >= $SemanticDupMinDotQ)"""
 
   /** Block-mean perceptual-hash bit terms: bit b = 1 iff window b's mean
     * byte ≥ global mean, by exact cross-multiplication. Bit 63's literal
@@ -1334,15 +1357,7 @@ object LlmSurface {
     "llm_kmeans" -> kmeansSql(k = 8, iters = 3),
 
     "llm_semantic_dedup" -> s"""
-      WITH ${kmeansCtes(k = 8, iters = 3)},
-      withc AS (SELECT e.vec_id, e.qv, ax3.centroid_id
-                FROM e JOIN ax3 ON e.vec_id = ax3.vec_id),
-      dups AS (
-        SELECT DISTINCT b.vec_id
-        FROM withc a JOIN withc b
-          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-        WHERE CAST(list_sum(list_transform(range(1, 65),
-                i -> a.qv[i] * b.qv[i])) AS BIGINT) >= 340000)
+      WITH $semanticDupCtes
       SELECT w.vec_id, w.centroid_id,
              (dups.vec_id IS NOT NULL) AS semantic_dup
       FROM withc w LEFT JOIN dups ON w.vec_id = dups.vec_id
@@ -1350,15 +1365,7 @@ object LlmSurface {
     """,
 
     "llm_joint_curation" -> s"""
-      WITH ${kmeansCtes(k = 8, iters = 3)},
-      withc AS (SELECT e.vec_id, e.qv, ax3.centroid_id
-                FROM e JOIN ax3 ON e.vec_id = ax3.vec_id),
-      dups AS (
-        SELECT DISTINCT b.vec_id
-        FROM withc a JOIN withc b
-          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-        WHERE CAST(list_sum(list_transform(range(1, 65),
-                i -> a.qv[i] * b.qv[i])) AS BIGINT) >= 340000),
+      WITH $semanticDupCtes,
       q AS (
         SELECT doc_id,
                ${round6sql(
@@ -1564,7 +1571,7 @@ object LlmSurface {
       WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000, substr(text, 1, length(text) - 1) || 'x'
+        SELECT -doc_id - 1, substr(text, 1, length(text) - 1) || 'x'
         FROM documents WHERE doc_id % 10 = 0),
       raw AS (
         SELECT doc_id, length(text) AS n,

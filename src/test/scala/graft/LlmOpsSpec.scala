@@ -227,6 +227,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(reparted === got)
   }
 
+  test("kMeans packs dense cids: ids >= 2^20 cluster correctly") {
+    // raw input ids must never be packed into the argmin key — any
+    // corpus whose smallest k ids exceed the cid width would silently
+    // corrupt both the distance compare and the recovered centroid_id.
+    // Same two-blob shape as above, ids shifted far past the cid range.
+    val base = 5000000L
+    val vecs = (0L until 40L).map { i =>
+      val c = if (i % 2 == 0) 100L else -100L
+      (base + i, Array(c + i % 7, c - i % 5, c))
+    }.toDF("vec_id", "qv")
+    val got = VectorOps.kMeans(vecs, "vec_id", "qv", k = 2, iters = 3)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(0L, 1L), s"cids must be dense 0..k-1: $got")
+    assert((0L until 40L).forall(i => got(base + i) === i % 2),
+      s"blob membership must follow parity regardless of id magnitude: $got")
+  }
+
+  test("kForCorpus bounds expected cluster size as the corpus grows") {
+    // mirror of the bitsForCorpus sub-quadratic property: with k from
+    // kForCorpus, n/k (expected cluster size) stays <= target until the
+    // MaxK cap, so SemDeDup in-cluster pairing grows ~linearly, not n².
+    val target = 64
+    for (n <- Seq(1L, 50L, 500L, 5000L, 500000L, 50000000L, 5000000000L)) {
+      val k = VectorOps.kForCorpus(n, target)
+      assert(k >= 1 && k <= VectorOps.MaxK)
+      if (k < VectorOps.MaxK)
+        assert(math.ceil(n.toDouble / k) <= target,
+          s"n=$n k=$k leaves clusters of ${n.toDouble / k}")
+    }
+    // monotone: a bigger corpus never gets fewer clusters
+    val ks = Seq(100L, 10000L, 1000000L, 100000000L).map(VectorOps.kForCorpus(_, target))
+    assert(ks === ks.sorted)
+    // degenerate edges
+    assert(VectorOps.kForCorpus(0L) === 1)
+    assert(VectorOps.kForCorpus(Long.MaxValue) === VectorOps.MaxK)
+  }
+
   test("signBucket packs sign bits of leading components") {
     val df = Seq(Array(0.1f, -0.2f, 0.3f, 0.0f)).toDF("v")
     val got = df.select(VectorOps.signBucket(col("v"), 4)).as[Long].head()
@@ -247,6 +284,31 @@ class LlmOpsSpec extends SparkSpec {
     val short = Multimodal.blockHash64(Array[Byte](1, 2, 3))
     assert(java.lang.Long.bitCount(short) <= 3)
     assert(Multimodal.blockHash64(Array.emptyByteArray) === 0L)
+  }
+
+  test("cmpProd compares 128-bit cross products exactly (no Long overflow)") {
+    import java.math.BigInteger
+    def ref(a: Long, b: Long, c: Long, d: Long): Int =
+      BigInteger.valueOf(a).multiply(BigInteger.valueOf(b))
+        .compareTo(BigInteger.valueOf(c).multiply(BigInteger.valueOf(d)))
+    // the exact regime the naive wsum*n compare gets wrong: ~2 GB
+    // payloads where wsum*n overflows Long
+    val twoGiB = 2147483648L
+    val cases = Seq(
+      (255L * twoGiB / 64, twoGiB, 255L * twoGiB, twoGiB / 64),
+      (255L * twoGiB / 64 + 1, twoGiB, 255L * twoGiB, twoGiB / 64),
+      (255L * twoGiB / 64 - 1, twoGiB, 255L * twoGiB, twoGiB / 64),
+      (0L, twoGiB, 1L, 1L), (0L, 0L, 0L, 5L),
+      (Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MaxValue - 1))
+    for ((a, b, c, d) <- cases)
+      assert(Integer.signum(Multimodal.cmpProd(a, b, c, d)) === Integer.signum(ref(a, b, c, d)),
+        s"cmpProd($a,$b,$c,$d)")
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val Seq(a, b, c, d) = Seq.fill(4)(rnd.nextLong() & Long.MaxValue)
+      assert(Integer.signum(Multimodal.cmpProd(a, b, c, d)) === Integer.signum(ref(a, b, c, d)),
+        s"cmpProd($a,$b,$c,$d)")
+    }
   }
 
   test("perceptual-hash near-dup finds identical payloads via the generic Hamming join") {
@@ -295,6 +357,16 @@ class LlmOpsSpec extends SparkSpec {
     // empty corpus: no rows, no NPE from the null total
     val empty = Seq.empty[(Long, Double, Int)].toDF("doc_id", "quality", "est_tokens")
     assert(TextOps.tokenBudgetSelect(empty, "quality", "est_tokens", 0.5).count() === 0)
+    // null quality: the row is RETAINED with selected = false, and its
+    // tokens don't count toward the budget (an inner join used to drop
+    // it silently)
+    val withNull = Seq(
+      (1L, Some(0.9), 100), (2L, None, 1000000), (3L, Some(0.5), 100))
+      .toDF("doc_id", "quality", "est_tokens")
+    val sel = TextOps.tokenBudgetSelect(withNull, "quality", "est_tokens", 0.5)
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toMap
+    assert(sel === Map(1L -> true, 2L -> false, 3L -> false),
+      s"null-quality row must survive unselected without inflating the budget: $sel")
   }
 
   test("topNgramFraction: repeated bigram dominates; short docs absent") {
