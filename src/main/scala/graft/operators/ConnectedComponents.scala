@@ -149,9 +149,17 @@ object ConnectedComponents {
       // input through sym (twice) AND closedMin, so an unmaterialized
       // large-star plan would re-execute ~4x per round
       val next = materialize(star(materialize(star(cur, large = true)), large = false))
-      // star forests only shrink toward the fixpoint: equal count AND
-      // empty one-way difference ⇒ the distinct edge sets are identical
-      done = next.count() == cur.count() && next.except(cur).isEmpty
+      // ONE action decides exact set equality (the old probe ran TWO —
+      // count() plus except().isEmpty — doubling per-round fixed cost):
+      // both sides are distinct by construction, so after tagging and a
+      // group-by, any (a, b) whose side-sum != 3 exists in only one set;
+      // take(1) over that filter short-circuits. Both inputs read back
+      // from their checkpoint, so the probe costs one exchange.
+      done = next.withColumn("_side", lit(1))
+        .unionByName(cur.withColumn("_side", lit(2)))
+        .groupBy("a", "b").agg(sum("_side").as("_s"))
+        .filter(col("_s") =!= 3)
+        .isEmpty
       cur = next
       round += 1
     }
