@@ -30,5 +30,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS), which the vectorized
+      // reader otherwise rejects; read nanos as LONG (Tables.events then
+      // converts with exact integer division). Set HERE, once, at session
+      // build — a library function silently flipping session confs
+      // mid-flight is the same leak class as persisting inside operators.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

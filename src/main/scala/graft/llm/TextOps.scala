@@ -460,6 +460,23 @@ object TextOps {
         sha2(concat_ws(" ", col("_cw")), 256).as("chunk_sha"))
   }
 
+  /** THE curation quality score, over a pre-split word array: length
+    * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
+    * (0.2), rounded to 6 dp. ONE definition consumed by the batch
+    * curation pipeline, the joint text+embedding capstone, the
+    * token-budget query, AND the streaming curate path — the
+    * batch↔streaming parity a backfill relies on holds by construction
+    * because both paths compile this same Column tree (StreamingSpec
+    * pins it with an end-to-end keep-set comparison).
+    */
+  def qualityScore(w: Column, stopwords: Seq[String]): Column = {
+    val nWords = size(w)
+    round6(
+      (least(nWords, lit(200)) / 200.0) * 0.5
+        + (size(array_distinct(w)) / nWords.cast("double")) * 0.3
+        + (size(filter(w, x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
+  }
+
   /** Deterministic hash bucket in [0, buckets) from an id column —
     * md5-based so it is stable across runs, partitionings, AND engines
     * (Spark `hash()` is engine-specific murmur3; md5 hex is universal).

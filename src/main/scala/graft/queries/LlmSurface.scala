@@ -90,13 +90,7 @@ object LlmSurface {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), TextOps.words(col("text")).as("_w"))
       val w = col("_w")
-      val nWords = size(w)
-      val nDistinct = size(array_distinct(w))
-      val nStops = size(filter(w, x => x.isin(stopwords: _*)))
-      val quality = TextOps.round6(
-        (least(nWords, lit(200)) / 200.0) * 0.5
-          + (nDistinct / nWords.cast("double")) * 0.3
-          + (nStops / nWords.cast("double")) * 0.2)
+      val quality = TextOps.qualityScore(w, stopwords)
       d.select(
         col("doc_id"), col("lang"),
         TextOps.languageIdFromWords(w, langMarkers).as("pred_lang"),
@@ -150,10 +144,7 @@ object LlmSurface {
         .select(col("doc_id"), col("lang"), col("text"),
           TextOps.words(col("text")).as("_w"))
       val nWords = size(col("_w"))
-      val quality = TextOps.round6(
-        (least(nWords, lit(200)) / 200.0) * 0.5
-          + (size(array_distinct(col("_w"))) / nWords.cast("double")) * 0.3
-          + (size(filter(col("_w"), x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
+      val quality = TextOps.qualityScore(col("_w"), stopwords)
       d.withColumn("quality", quality)
         .filter(col("quality") >= 0.3)
         .withColumn("wordset_fp", TextOps.wordsetFingerprint(col("text")))
@@ -358,12 +349,7 @@ object LlmSurface {
     "llm_token_budget" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"), TextOps.words(col("text")).as("_w"))
-      val w = col("_w")
-      val nWords = size(w)
-      val quality = TextOps.round6(
-        (least(nWords, lit(200)) / 200.0) * 0.5
-          + (size(array_distinct(w)) / nWords.cast("double")) * 0.3
-          + (size(filter(w, x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
+      val quality = TextOps.qualityScore(col("_w"), stopwords)
       val base = d.select(col("doc_id"), quality.as("quality"),
         floor((length(col("text")) + 3) / 4).cast("int").as("est_tokens"))
       TextOps.tokenBudgetSelect(base, "quality", "est_tokens", 0.5)
@@ -564,13 +550,8 @@ object LlmSurface {
     "llm_joint_curation" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
-      val w = col("_w")
-      val nWords = size(w)
-      val quality = TextOps.round6(
-        (least(nWords, lit(200)) / 200.0) * 0.5
-          + (size(array_distinct(w)) / nWords.cast("double")) * 0.3
-          + (size(filter(w, x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
-      val scored = d.select(col("doc_id"), quality.as("quality"))
+      val scored = d.select(col("doc_id"),
+        TextOps.qualityScore(col("_w"), stopwords).as("quality"))
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       val k = VectorOps.kForCorpus(emb.count(), SemanticClusterTarget)

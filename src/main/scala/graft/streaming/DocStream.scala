@@ -34,12 +34,7 @@ object DocStream {
     val d = docs
       .withWatermark("ts", watermarkDelay)
       .withColumn("_w", TextOps.words(col("text")))
-    val nWords = size(col("_w"))
-    val quality = TextOps.round6(
-      (least(nWords, lit(200)) / 200.0) * 0.5
-        + (size(array_distinct(col("_w"))) / nWords.cast("double")) * 0.3
-        + (size(filter(col("_w"), x => x.isin(stopwords: _*))) / nWords.cast("double")) * 0.2)
-    d.withColumn("quality", quality)
+    d.withColumn("quality", TextOps.qualityScore(col("_w"), stopwords))
       .filter(col("quality") >= minQuality)
       .withColumn("content_sha", sha2(col("text"), 256))
       .dropDuplicatesWithinWatermark("content_sha")

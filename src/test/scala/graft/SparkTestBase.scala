@@ -7,15 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * session is never stopped so suites can share it).
   */
 object SparkTestBase {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
+  // the production builder (same confs the mains run with — tests audit
+  // the plans users get), scaled down to 4 cores
+  lazy val spark: SparkSession = graft.GraftSession.builder(4, "graft-test")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
 

@@ -85,6 +85,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curate matches the batch policy keep-set on the real corpus") {
+    // THE backfill guarantee: replaying a corpus through DocStream.curate
+    // must keep exactly the documents the batch spelling of the same
+    // policy keeps (quality >= 0.3, exact-content dedup, hash split).
+    // Both paths share TextOps.qualityScore / hashBucket by construction;
+    // this pins the remaining glue (threshold, sha dedup, split ranges)
+    // end-to-end on sf0.001 documents. The one documented divergence:
+    // WITHIN a duplicate group the stream keeps the first ARRIVAL and the
+    // batch keep-first rule picks min doc_id, so doc-level fields are
+    // compared on singleton groups only and dedup is compared at
+    // content_sha granularity.
+    import org.apache.spark.sql.functions._
+    import graft.llm.TextOps
+    val stops = Seq("the", "a", "of", "to", "in")
+    val corpus = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.DocStream.curate(docs, stops, minQuality = 0.3, "1 hour")
+      .writeStream.format("memory").queryName("curate_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.map { case (id, text) =>
+        (id, ts("2024-01-01 10:00:00"), text)
+      })
+      q.processAllAvailable()
+      val streamed = spark.table("curate_parity")
+        .select("content_sha", "doc_id", "quality", "split")
+        .as[(String, Long, Double, String)].collect()
+
+      val batch = corpus.toDF("doc_id", "text")
+        .withColumn("_w", TextOps.words(col("text")))
+        .withColumn("quality", TextOps.qualityScore(col("_w"), stops))
+        .filter(col("quality") >= 0.3)
+        .withColumn("content_sha", sha2(col("text"), 256))
+        .groupBy("content_sha")
+        .agg(min_by(struct(col("doc_id"), col("quality")), col("doc_id")).as("_f"),
+          count(lit(1)).as("n_copies"))
+        .select(col("content_sha"), col("_f.doc_id").as("doc_id"),
+          col("_f.quality").as("quality"), col("n_copies"))
+        .withColumn("split",
+          when(TextOps.hashBucket(col("doc_id"), "split") < 80, "train")
+            .when(TextOps.hashBucket(col("doc_id"), "split") < 90, "val")
+            .otherwise("test"))
+        .as[(String, Long, Double, Long, String)].collect()
+
+      assert(streamed.nonEmpty && streamed.length < corpus.length,
+        "parity input must exercise both the quality filter and the dedup")
+      assert(streamed.map(_._1).toSet === batch.map(_._1).toSet,
+        "kept content-sha sets must be identical")
+      val streamSingletons = streamed.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      for ((sha, id, quality, nCopies, split) <- batch if nCopies == 1)
+        assert(streamSingletons(sha) === ((id, quality, split)),
+          s"doc $id diverged between batch and stream")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: anti-join vs static base, then in-stream dedup") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
