@@ -460,6 +460,59 @@ object TextOps {
         sha2(concat_ws(" ", col("_cw")), 256).as("chunk_sha"))
   }
 
+  /** Exact duplicate SPANS across documents — the curation operator of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): every k-token window is fingerprinted, and a window is a
+    * duplicate iff the same window text occurs in ≥ 2 DISTINCT
+    * documents. This catches shared boilerplate/quotes that whole-doc
+    * MinHash/SimHash miss (the docs differ overall) and that fixed-window
+    * chunk shas ([[chunkWords]]) miss too (a shared paragraph moves with
+    * its offset and straddles chunk boundaries; here every window is
+    * position-independent). The paper's suffix array yields MAXIMAL
+    * spans; per-window flags carry the same decision information (a
+    * maximal span is a run of flagged windows) while staying one
+    * aggregation deep and fully distributed.
+    *
+    * Returns one row per input document:
+    * (idCol, n_spans, n_dup_spans, max_span_docs, dup_frac) where
+    * n_dup_spans counts window occurrences (with multiplicity) whose
+    * text recurs in some other document.
+    *
+    * Scale shape: one explode (fan-out = tokens per doc, same as any
+    * n-gram op) → a partial-combine aggregate on the span fingerprint
+    * (near-unique key, no skew) → an equi-join of spans against the
+    * ≥2-doc groups, whose fan-out is bounded by TRUE cross-document
+    * duplication — the pigeonhole argument of the SimHash chunk join —
+    * → a final per-doc partial-combine aggregate. No cartesian, no
+    * window, no driver state. A production run swaps md5 for a cheap
+    * rolling (Rabin–Karp) hash; md5 is the engine-stable spelling the
+    * oracle replays.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens ($spanTokens) must be >= 2")
+    val d = df.select(col(idCol), words(col(textCol)).as("_w"))
+    val spans = d
+      .select(col(idCol), explode(shinglesFromWords(col("_w"), spanTokens)).as("_s"))
+      .select(col(idCol), md5(col("_s")).as("_h"))
+    val groups = spans.groupBy("_h")
+      .agg(countDistinct(col(idCol)).as("_ndocs"))
+      .filter(col("_ndocs") >= 2)
+    val perDoc = spans.join(groups, "_h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("_ndup"), max("_ndocs").as("_maxdocs"))
+    d.select(col(idCol),
+        greatest(lit(0), size(col("_w")) - (spanTokens - 1)).cast("long").as("n_spans"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("_ndup"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("_maxdocs"), lit(0L)).as("max_span_docs"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round6(col("n_dup_spans").cast("double") / col("n_spans")))
+          .otherwise(lit(0.0)))
+  }
+
   /** THE curation quality score, over a pre-split word array: length
     * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
     * (0.2), rounded to 6 dp. ONE definition consumed by the batch

@@ -31,6 +31,13 @@ object LlmSurface {
   private val SemanticDupMinDotQ = 340000L
   private val SemanticClusterTarget = 64
 
+  /** 18 words planted into every 25th document by llm_substring_dedup
+    * (in BOTH engines) so cross-document span sharing exists to detect.
+    */
+  private val Boilerplate =
+    "this dataset is distributed under the creative commons attribution " +
+    "license please retain this notice when redistributing any copies"
+
   /** Decomposed-unicode injection for llm_normalize: 'e' + U+0301
     * (combining acute) and 'N' + U+0303 (combining tilde) — NFC composes
     * them to é / Ñ. Built from code points so no source-encoding or
@@ -214,6 +221,21 @@ object LlmSurface {
     // ---- 60-bit SimHash per document -------------------------------------
     "llm_simhash" -> ((s, dir) => {
       TextOps.simHash(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact substring dedup (Lee et al. 2022): cross-doc k-token spans
+    // The synthetic corpus shares no long spans between non-identical
+    // docs, so every 25th doc gets the SAME 18-word boilerplate appended
+    // (both engines) — each then carries 9 shared 10-token windows while
+    // staying a whole-doc NON-duplicate: exactly the leakage this
+    // operator exists to catch and MinHash/SimHash/chunk-sha miss.
+    "llm_substring_dedup" -> ((s, dir) => {
+      val aug = Tables(s, dir, "documents")
+        .withColumn("aug",
+          when(col("doc_id") % 25 === 0, concat(col("text"), lit(" " + Boilerplate)))
+            .otherwise(col("text")))
+      TextOps.substringDupStats(aug, "doc_id", "aug", spanTokens = 10)
         .orderBy("doc_id")
     }),
 
@@ -1094,6 +1116,36 @@ object LlmSurface {
       bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id)
       SELECT doc_id, $simhashCombine AS simhash
       FROM bs ORDER BY doc_id
+    """,
+
+    "llm_substring_dedup" -> s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0 THEN text || ' $Boilerplate'
+                    ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+      sp AS (
+        SELECT doc_id, ws,
+               unnest(range(1, greatest(1, CAST(len(ws) AS BIGINT) - 8))) AS i
+        FROM w),
+      spans AS (SELECT doc_id, md5(array_to_string(ws[i:i+9], ' ')) AS h FROM sp),
+      g AS (
+        SELECT h, count(DISTINCT doc_id) AS ndocs
+        FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      pd AS (
+        SELECT s.doc_id, count(*) AS n_dup_spans, max(g.ndocs) AS max_span_docs
+        FROM spans s JOIN g USING (h) GROUP BY s.doc_id),
+      base AS (
+        SELECT doc_id, greatest(0, CAST(len(ws) AS BIGINT) - 9) AS n_spans FROM w)
+      SELECT b.doc_id, b.n_spans,
+             coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+             coalesce(pd.max_span_docs, 0) AS max_span_docs,
+             CASE WHEN b.n_spans > 0
+                  THEN ${round6sql("coalesce(pd.n_dup_spans, 0) / CAST(b.n_spans AS DOUBLE)")}
+                  ELSE 0.0 END AS dup_frac
+      FROM base b LEFT JOIN pd USING (doc_id)
+      ORDER BY b.doc_id
     """,
 
     "llm_tfidf" -> s"""

@@ -227,6 +227,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(reparted === got)
   }
 
+  test("substringDupStats flags cross-doc spans, not in-doc repeats or unique text") {
+    // docs 1 and 2 differ overall (no whole-doc dup) but share one
+    // planted 6-word run -> with k=4 that is 3 shared windows each;
+    // doc 3 repeats ITS OWN phrase (must not count: cross-doc only);
+    // doc 4 is unique; doc 5 is too short for any window.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"unique lead in text $shared and a distinct tail"),
+      (2L, s"completely different opener here $shared closing words differ"),
+      (3L, "again again again again again again again again"),
+      (4L, "nothing here repeats anywhere else in this corpus at all"),
+      (5L, "too short"))
+      .toDF("doc_id", "text")
+    val got = TextOps.substringDupStats(df, "doc_id", "text", spanTokens = 4)
+      .select("doc_id", "n_spans", "n_dup_spans", "max_span_docs")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._2 === 3L && got(1L)._3 === 2L, s"doc1: ${got(1L)}")
+    assert(got(2L)._2 === 3L && got(2L)._3 === 2L, s"doc2: ${got(2L)}")
+    // doc 3: 5 windows, all the same text "again again again again", but
+    // only ONE document contains it -> zero cross-doc dup spans
+    assert(got(3L) === ((5L, 0L, 0L)), s"doc3: ${got(3L)}")
+    assert(got(4L)._2 === 0L)
+    assert(got(5L) === ((0L, 0L, 0L)), s"doc5: ${got(5L)}")
+  }
+
   test("kMeans packs dense cids: ids >= 2^20 cluster correctly") {
     // raw input ids must never be packed into the argmin key — any
     // corpus whose smallest k ids exceed the cid width would silently
