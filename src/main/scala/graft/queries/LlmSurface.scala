@@ -267,6 +267,40 @@ object LlmSurface {
         .orderBy("doc_id", "word")
     }),
 
+    // ---- BM25: length-normalized saturating term relevance, top-3/doc ----
+    // The retrieval-grade upgrade of llm_tfidf (same explode/agg
+    // skeleton, same vocab equi-join): Lucene-form idf
+    // ln(1 + (N - df + 0.5)/(df + 0.5)) × tf saturation with k1 = 1.2,
+    // b = 0.75. All float math is per-row with an identical expression
+    // shape in both engines (constants spelled as double literals here
+    // and CAST(... AS DOUBLE) in the oracle — DuckDB would otherwise
+    // parse them as DECIMAL and take a different arithmetic path); the
+    // only cross-row reductions are integer counts. avgdl and N are
+    // 1-row scalar aggregates (legitimate driver-side collects).
+    "llm_bm25" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+      val dl = d.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
+      val scal = dl.agg(count(lit(1)).as("n"), sum("dl").as("t")).collect()(0)
+      val nDocs = scal.getLong(0)
+      val avgdl = scal.getLong(1).toDouble / nDocs.toDouble
+      val tf = d.select(col("doc_id"), explode(col("_w")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val scored = tf.join(dfreq, "word").join(dl, "doc_id")
+        .withColumn("bm25", TextOps.round6(
+          idf * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("bm25").desc, col("word"))
+      scored.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("bm25"))
+        .orderBy("doc_id", "word")
+    }),
+
     // ---- PII/URL scrubbing: URL -> email -> long-digit redaction ---------
     // The synthetic corpus contains no PII, so every third doc gets a
     // deterministically injected email + URL + digit run — the scrub then
@@ -1162,6 +1196,30 @@ object LlmSurface {
         SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
         FROM sc)
       SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, tfidf
+      FROM r WHERE rn <= 3 ORDER BY doc_id, word
+    """,
+
+    "llm_bm25" -> s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+      scal AS (
+        SELECT count(*) AS n,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl),
+      tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.doc_id, tf.word, tf.tf,
+               ${round6sql(
+                 "ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))" +
+                 " * (tf * CAST(2.2 AS DOUBLE))" +
+                 " / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))")} AS bm25
+        FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN scal),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn
+        FROM sc)
+      SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, bm25
       FROM r WHERE rn <= 3 ORDER BY doc_id, word
     """,
 
