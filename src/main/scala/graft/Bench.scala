@@ -40,6 +40,15 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val runs = selected.map { case (name, fn) =>
+      // Settle BETWEEN queries: a System.gc() lets the ContextCleaner
+      // release the previous query's localCheckpoint/broadcast blocks
+      // (cleanup is reference-triggered) so an iterative Lloyd-loop
+      // query's memory pressure doesn't bleed into whoever runs next —
+      // round 5 recorded 2-5× contamination on the four queries
+      // alphabetically following the k-means trio, reproducible only in
+      // the full-suite run. Cost: ~0.3 s × |queries|, off the clock.
+      System.gc()
+      Thread.sleep(300)
       val times = Seq.newBuilder[Double]
       var err: Option[String] = None
       var r = 0

@@ -282,20 +282,27 @@ object VectorOps {
     */
   def kMeans(df: DataFrame, idCol: String, qvCol: String, k: Int,
       iters: Int,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true),
+      dot: (Column, Column) => Column = dotQ)
       : DataFrame = {
     require(k > 0 && k <= MaxK, s"k ($k) must be in 1..$MaxK (cid packs into $CidBits bits)")
     require(iters >= 1, s"iters ($iters) must be >= 1")
-    val e = df.select(col(idCol).as("_vid"), col(qvCol).as("qv"))
+    // dist² decomposes as |a|² + |b|² - 2a·b — the SAME exact integers as
+    // Σ(aᵢ-bᵢ)², but the per-(row, centroid) hot loop shrinks to ONE dot
+    // product (a fused codegen'd loop when callers pass [[dotFn]]): the
+    // self-dots hoist to once per corpus row / once per centroid instead
+    // of being recomputed k× / n× inside the assignment's k-way fan-out.
+    val e = df.select(col(idCol).as("_vid"), col(qvCol).as("qv"),
+      dot(col(qvCol), col(qvCol)).as("_self"))
     var centroids = materialize(
       e.orderBy("_vid").limit(k)
         .select((row_number().over(Window.orderBy("_vid")) - 1).cast("long").as("cid"),
           col("qv").as("cv")))
     def assign(cent: DataFrame): DataFrame = {
-      val dist = aggregate(
-        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-      e.crossJoin(broadcast(cent))
+      val centSelf = cent.select(col("cid"), col("cv"),
+        dot(col("cv"), col("cv")).as("_cself"))
+      val dist = col("_self") + col("_cself") - lit(2L) * dot(col("qv"), col("cv"))
+      e.crossJoin(broadcast(centSelf))
         .select(col("_vid"), shiftleft(dist, CidBits).bitwiseOR(col("cid")).as("_key"))
         .groupBy("_vid").agg(min("_key").as("_k"))
         .select(col("_vid"),
@@ -354,7 +361,7 @@ object VectorOps {
   def semanticDupFlags(emb: DataFrame, idCol: String, qvCol: String,
       k: Int, iters: Int, minDotQ: Long,
       dot: (Column, Column) => Column = dotQ): DataFrame = {
-    val assign = kMeans(emb, idCol, qvCol, k, iters)
+    val assign = kMeans(emb, idCol, qvCol, k, iters, dot = dot)
       .select(idCol, "centroid_id")
     val withC = emb.select(col(idCol), col(qvCol)).join(assign, idCol)
     val dups = withC

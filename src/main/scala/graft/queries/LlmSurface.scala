@@ -574,7 +574,8 @@ object LlmSurface {
     "llm_kmeans" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
-      VectorOps.kMeans(emb, "vec_id", "qv", k = 8, iters = 3)
+      VectorOps.kMeans(emb, "vec_id", "qv", k = 8, iters = 3,
+        dot = VectorOps.dotFn(s))
         .orderBy("vec_id")
     }),
 
