@@ -513,6 +513,43 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** MAXIMAL cross-document duplicate spans — the deliverable form of
+    * [[substringDupStats]]: consecutive duplicated k-token windows merge
+    * into one row per maximal run (the span a curation pass would
+    * actually excise, à la Lee et al. 2022's suffix-array spans).
+    * Returns (idCol, span_start, span_tokens) with span_start the
+    * 1-based word position and span_tokens the merged token length
+    * (run length + k - 1).
+    *
+    * The merge is gaps-and-islands: island key = pos - rank within the
+    * doc's flagged positions, one per-DOC window — partitioned by the
+    * document id, so the sort is per-doc-sized and fully parallel
+    * (never a global or single-partition window). Everything upstream
+    * is the [[substringDupStats]] shape: explode → fingerprint agg →
+    * duplication-bounded equi-join.
+    */
+  def maximalDupSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens ($spanTokens) must be >= 2")
+    val d = df.select(col(idCol), words(col(textCol)).as("_w"))
+    val spans = d
+      .select(col(idCol),
+        posexplode(shinglesFromWords(col("_w"), spanTokens)).as(Seq("_p", "_s")))
+      .select(col(idCol), (col("_p") + 1).cast("long").as("pos"), md5(col("_s")).as("_h"))
+    val groups = spans.groupBy("_h")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    spans.join(groups, "_h")
+      .select(col(idCol), col("pos"))
+      .withColumn("_isl", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min("pos").as("span_start"), count(lit(1)).as("_run"))
+      .select(col(idCol), col("span_start"),
+        (col("_run") + (spanTokens - 1)).as("span_tokens"))
+  }
+
   /** THE curation quality score, over a pre-split word array: length
     * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
     * (0.2), rounded to 6 dp. ONE definition consumed by the batch

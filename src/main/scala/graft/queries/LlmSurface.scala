@@ -38,6 +38,15 @@ object LlmSurface {
     "this dataset is distributed under the creative commons attribution " +
     "license please retain this notice when redistributing any copies"
 
+  /** `documents` with the boilerplate planted (column `aug`) — shared by
+    * llm_substring_dedup and llm_dup_span_runs so both span queries see
+    * the same injection.
+    */
+  private def boilerplatedDocs(s: SparkSession, dir: String) =
+    Tables(s, dir, "documents").withColumn("aug",
+      when(col("doc_id") % 25 === 0, concat(col("text"), lit(" " + Boilerplate)))
+        .otherwise(col("text")))
+
   /** Decomposed-unicode injection for llm_normalize: 'e' + U+0301
     * (combining acute) and 'N' + U+0303 (combining tilde) — NFC composes
     * them to é / Ñ. Built from code points so no source-encoding or
@@ -231,12 +240,47 @@ object LlmSurface {
     // staying a whole-doc NON-duplicate: exactly the leakage this
     // operator exists to catch and MinHash/SimHash/chunk-sha miss.
     "llm_substring_dedup" -> ((s, dir) => {
-      val aug = Tables(s, dir, "documents")
-        .withColumn("aug",
-          when(col("doc_id") % 25 === 0, concat(col("text"), lit(" " + Boilerplate)))
-            .otherwise(col("text")))
-      TextOps.substringDupStats(aug, "doc_id", "aug", spanTokens = 10)
+      TextOps.substringDupStats(boilerplatedDocs(s, dir), "doc_id", "aug", spanTokens = 10)
         .orderBy("doc_id")
+    }),
+
+    // ---- maximal duplicate spans: the excisable form of the above --------
+    // Gaps-and-islands merge of consecutive flagged windows into one row
+    // per maximal run — per-DOC windows only, so the sort parallelizes
+    // by document. Injected docs surface their boilerplate as a single
+    // 18-token span; whole-doc duplicates surface as one doc-length run.
+    "llm_dup_span_runs" -> ((s, dir) => {
+      TextOps.maximalDupSpans(boilerplatedDocs(s, dir), "doc_id", "aug", spanTokens = 10)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // ---- data-mixture weights: token shares -> α=0.5 sampling weights ----
+    // The corpus-mixing step of a training run (temperature-scaled
+    // source sampling, DoReMi/GPT-3 style): per-source token share,
+    // α = 0.5 up-weighting of low-resource sources via sqrt — chosen
+    // BECAUSE IEEE sqrt is correctly rounded and therefore bit-identical
+    // across engines, where pow(x, 0.7) is not — then normalized on a
+    // micro-unit integer grid (the cross-row sum is exact integer math,
+    // never a float reduction). Everything reduces over |sources| rows;
+    // the corpus pass is one partial-combine aggregation.
+    "llm_mixture_weights" -> ((s, dir) => {
+      val per = Tables(s, dir, "documents")
+        .select(col("source"), size(TextOps.words(col("text"))).cast("long").as("_t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("_t").as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").cast("double").as("_tot"))
+      val scored = per.crossJoin(broadcast(tot))
+        .withColumn("token_share",
+          TextOps.round6(col("n_tokens").cast("double") / col("_tot")))
+        .withColumn("_pq",
+          floor(sqrt(col("n_tokens").cast("double") / col("_tot")) * 1000000.0 + 0.5)
+            .cast("long"))
+      val z = scored.agg(sum("_pq").cast("double").as("_z"))
+      scored.crossJoin(broadcast(z))
+        .withColumn("mix_weight", TextOps.round6(col("_pq").cast("double") / col("_z")))
+        .withColumn("boost", TextOps.round6(col("mix_weight") / col("token_share")))
+        .select("source", "n_docs", "n_tokens", "token_share", "mix_weight", "boost")
+        .orderBy("source")
     }),
 
     // ---- TF-IDF: rarity-weighted terms, top-3 per document ---------------
@@ -1181,6 +1225,52 @@ object LlmSurface {
                   ELSE 0.0 END AS dup_frac
       FROM base b LEFT JOIN pd USING (doc_id)
       ORDER BY b.doc_id
+    """,
+
+    "llm_dup_span_runs" -> s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0 THEN text || ' $Boilerplate'
+                    ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+      sp AS (
+        SELECT doc_id, ws,
+               unnest(range(1, greatest(1, CAST(len(ws) AS BIGINT) - 8))) AS i
+        FROM w),
+      spans AS (SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+9], ' ')) AS h FROM sp),
+      g AS (
+        SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      f AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM spans JOIN g USING (h))
+      SELECT doc_id, min(pos) AS span_start, count(*) + 9 AS span_tokens
+      FROM f GROUP BY doc_id, isl
+      ORDER BY doc_id, span_start
+    """,
+
+    "llm_mixture_weights" -> s"""
+      WITH d AS (
+        SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents),
+      per AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(t) AS BIGINT) AS n_tokens
+              FROM d GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
+      sc AS (
+        SELECT source, n_docs, n_tokens,
+               ${round6sql("n_tokens / tot")} AS token_share,
+               CAST(floor(sqrt(n_tokens / tot) * 1000000.0 + 0.5) AS BIGINT) AS pq
+        FROM per, tot),
+      z AS (SELECT CAST(sum(pq) AS DOUBLE) AS z FROM sc),
+      m AS (
+        SELECT source, n_docs, n_tokens, token_share,
+               ${round6sql("pq / z")} AS mix_weight
+        FROM sc, z)
+      SELECT source, n_docs, n_tokens, token_share, mix_weight,
+             ${round6sql("mix_weight / token_share")} AS boost
+      FROM m ORDER BY source
     """,
 
     "llm_tfidf" -> s"""

@@ -252,6 +252,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L)), s"doc5: ${got(5L)}")
   }
 
+  test("maximalDupSpans merges consecutive flagged windows into one span") {
+    // docs 1 and 2 share a 6-word run -> k=4 flags 3 consecutive windows
+    // -> ONE maximal span of 3 + (4-1) = 6 tokens; doc 1's copy starts at
+    // word 5, doc 2's at word 6. Doc 3 shares nothing.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"unique lead in text $shared and a distinct tail"),
+      (2L, s"completely different opener words here $shared closing differs"),
+      (3L, "nothing here repeats anywhere else in this corpus at all"))
+      .toDF("doc_id", "text")
+    val got = TextOps.maximalDupSpans(df, "doc_id", "text", spanTokens = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 5L, 6L), (2L, 6L, 6L)), s"got $got")
+    // two separated shared runs stay two spans (the gap breaks the island)
+    val two = Seq(
+      (10L, s"$shared filler one two three four five six $shared"),
+      (11L, s"$shared other padding words go here now then $shared"))
+      .toDF("doc_id", "text")
+    val runs = TextOps.maximalDupSpans(two, "doc_id", "text", spanTokens = 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(runs(10L).length === 2 && runs(11L).length === 2,
+      s"separated runs must not merge: $runs")
+  }
+
   test("kMeans packs dense cids: ids >= 2^20 cluster correctly") {
     // raw input ids must never be packed into the argmin key — any
     // corpus whose smallest k ids exceed the cid width would silently
