@@ -47,6 +47,15 @@ object LlmSurface {
       when(col("doc_id") % 25 === 0, concat(col("text"), lit(" " + Boilerplate)))
         .otherwise(col("text")))
 
+  /** BPE-ish tokenizer regex: alnum runs or single non-alnum marks.
+    * Whitespace is spelled as explicit characters (not `\s`) so Java
+    * regex and RE2 read the identical byte pattern.
+    */
+  private val BpeTokenRe = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+  /** Host part of the first URL in a document (group 1). */
+  private val UrlDomainRe = "https?://([^ /]+)"
+
   /** Decomposed-unicode injection for llm_normalize: 'e' + U+0301
     * (combining acute) and 'N' + U+0303 (combining tilde) — NFC composes
     * them to é / Ñ. Built from code points so no source-encoding or
@@ -252,6 +261,51 @@ object LlmSurface {
     "llm_dup_span_runs" -> ((s, dir) => {
       TextOps.maximalDupSpans(boilerplatedDocs(s, dir), "doc_id", "aug", spanTokens = 10)
         .orderBy("doc_id", "span_start")
+    }),
+
+    // ---- token counting: whitespace vs BPE-ish vs chars/4 estimate -------
+    // Three token-count estimators side by side (mix planning needs a
+    // consistent one): whitespace words, a BPE-ish regex (alnum runs +
+    // single non-alnum marks — the granularity a byte-BPE roughly lands
+    // at), and the chars/4 rule of thumb. The regex spells whitespace as
+    // explicit chars so Java regex and RE2 agree byte-for-byte.
+    "llm_token_count" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextOps.words(col("text")).as("_w"))
+      d.select(col("doc_id"),
+          size(col("_w")).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          floor((length(col("text")) + 3) / 4).cast("long").as("est_tokens"))
+        .withColumn("bpe_per_word",
+          TextOps.round6(col("n_bpe_tokens").cast("double") / col("n_ws_tokens")))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-domain capping (C4/RefinedWeb-style host budget) ------------
+    // Cap every web domain at k documents, chosen reproducibly: domain
+    // from the (injected) URL, then the SAME salted two-phase top-k the
+    // stratified sampler uses — a hot domain never lands on one task.
+    // The oracle is the single-window form, re-proving the two-phase
+    // equivalence on a second operator. Corpus has no natural URLs, so
+    // every 3rd doc gets one of 7 deterministic domains (both engines).
+    "llm_domain_caps" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("aug",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" https://site"),
+              (col("doc_id") % 7).cast("string"), lit(".test/page")))
+            .otherwise(col("text")))
+        .withColumn("domain", regexp_extract(col("aug"), UrlDomainRe, 1))
+        .filter(col("domain") =!= "")
+        .select("doc_id", "domain")
+      val kept = graft.operators.Sampling
+        .stratifiedTopK(d, "domain", "doc_id", k = 10, salt = "domcap")
+        .select(col("doc_id"), lit(true).as("_k"))
+      d.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("domain"),
+          coalesce(col("_k"), lit(false)).as("kept"))
+        .orderBy("doc_id")
     }),
 
     // ---- data-mixture weights: token shares -> α=0.5 sampling weights ----
@@ -1248,6 +1302,36 @@ object LlmSurface {
       SELECT doc_id, min(pos) AS span_start, count(*) + 9 AS span_tokens
       FROM f GROUP BY doc_id, isl
       ORDER BY doc_id, span_start
+    """,
+
+    "llm_token_count" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '$BpeTokenRe')) AS BIGINT) AS n_bpe_tokens,
+               CAST(floor((length(text) + 3) / 4) AS BIGINT) AS est_tokens
+        FROM documents)
+      SELECT doc_id, n_ws_tokens, n_bpe_tokens, est_tokens,
+             ${round6sql("n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE)")} AS bpe_per_word
+      FROM d ORDER BY doc_id
+    """,
+
+    "llm_domain_caps" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+               regexp_extract(
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' https://site' || CAST(doc_id % 7 AS VARCHAR) || '.test/page'
+                      ELSE text END,
+                 '$UrlDomainRe', 1) AS domain
+        FROM documents),
+      f AS (SELECT doc_id, domain FROM d WHERE domain <> ''),
+      r AS (
+        SELECT doc_id, domain,
+               row_number() OVER (PARTITION BY domain
+                 ORDER BY md5('domcap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM f)
+      SELECT doc_id, domain, (rn <= 10) AS kept FROM r ORDER BY doc_id
     """,
 
     "llm_mixture_weights" -> s"""

@@ -130,6 +130,16 @@ class PlanAuditSpec extends SparkSpec {
       s"cluster-local pairing must be an equi-join on centroid_id:\n$p")
   }
 
+  test("substring-span detection is equi-join + partial aggregates, never all-pairs") {
+    val q = graft.llm.TextOps.substringDupStats(
+      Tables(spark, dir, "documents"), "doc_id", "text", spanTokens = 10)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span candidates must come from the fingerprint equi-join:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"span-group and per-doc aggregates must map-side combine:\n$p")
+  }
+
   test("vocab-sized joins (tfidf, unigram model) carry no mandated broadcast hint") {
     // |vocab| grows with the corpus (Heaps' law) — a hard broadcast() on
     // the document-frequency / unigram-model side would OOM at scale no
