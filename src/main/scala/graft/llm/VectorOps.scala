@@ -284,33 +284,31 @@ object VectorOps {
       iters: Int,
       materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true),
       dot: (Column, Column) => Column = dotQ)
+      : DataFrame =
+    kmeansAssign(kmeansPrep(df, idCol, qvCol, dot),
+      kMeansCentroids(df, idCol, qvCol, k, iters, materialize, dot), dot)
+      .select(col("_vid").as(idCol), col("centroid_id"), col("dist_q"))
+
+  /** The trained model half of [[kMeans]]: the centroid table (cid, cv)
+    * after `iters - 1` Lloyd updates — what an index build (e.g. IVF
+    * list training, see [[ivfTopK]]) consumes directly. [[kMeans]] is
+    * exactly one more assignment over this table, so the two stay in
+    * lock-step by construction.
+    */
+  def kMeansCentroids(df: DataFrame, idCol: String, qvCol: String, k: Int,
+      iters: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true),
+      dot: (Column, Column) => Column = dotQ)
       : DataFrame = {
     require(k > 0 && k <= MaxK, s"k ($k) must be in 1..$MaxK (cid packs into $CidBits bits)")
     require(iters >= 1, s"iters ($iters) must be >= 1")
-    // dist² decomposes as |a|² + |b|² - 2a·b — the SAME exact integers as
-    // Σ(aᵢ-bᵢ)², but the per-(row, centroid) hot loop shrinks to ONE dot
-    // product (a fused codegen'd loop when callers pass [[dotFn]]): the
-    // self-dots hoist to once per corpus row / once per centroid instead
-    // of being recomputed k× / n× inside the assignment's k-way fan-out.
-    val e = df.select(col(idCol).as("_vid"), col(qvCol).as("qv"),
-      dot(col(qvCol), col(qvCol)).as("_self"))
+    val e = kmeansPrep(df, idCol, qvCol, dot)
     var centroids = materialize(
       e.orderBy("_vid").limit(k)
         .select((row_number().over(Window.orderBy("_vid")) - 1).cast("long").as("cid"),
           col("qv").as("cv")))
-    def assign(cent: DataFrame): DataFrame = {
-      val centSelf = cent.select(col("cid"), col("cv"),
-        dot(col("cv"), col("cv")).as("_cself"))
-      val dist = col("_self") + col("_cself") - lit(2L) * dot(col("qv"), col("cv"))
-      e.crossJoin(broadcast(centSelf))
-        .select(col("_vid"), shiftleft(dist, CidBits).bitwiseOR(col("cid")).as("_key"))
-        .groupBy("_vid").agg(min("_key").as("_k"))
-        .select(col("_vid"),
-          col("_k").bitwiseAND(lit((MaxK - 1).toLong)).as("centroid_id"),
-          shiftright(col("_k"), CidBits).as("dist_q"))
-    }
     (1 until iters).foreach { _ =>
-      val sums = assign(centroids).join(e, "_vid")
+      val sums = kmeansAssign(e, centroids, dot).join(e, "_vid")
         .select(col("centroid_id"), posexplode(col("qv")).as(Seq("_j", "_x")))
         .groupBy("centroid_id", "_j")
         .agg(sum("_x").as("_s"), count(lit(1)).as("_n"))
@@ -322,8 +320,30 @@ object VectorOps {
       centroids = materialize(
         sums.select(col("centroid_id").as("cid"), col("cv")))
     }
-    assign(centroids)
-      .select(col("_vid").as(idCol), col("centroid_id"), col("dist_q"))
+    centroids
+  }
+
+  // dist² decomposes as |a|² + |b|² - 2a·b — the SAME exact integers as
+  // Σ(aᵢ-bᵢ)², but the per-(row, centroid) hot loop shrinks to ONE dot
+  // product (a fused codegen'd loop when callers pass [[dotFn]]): the
+  // self-dots hoist to once per corpus row / once per centroid instead
+  // of being recomputed k× / n× inside the assignment's k-way fan-out.
+  private def kmeansPrep(df: DataFrame, idCol: String, qvCol: String,
+      dot: (Column, Column) => Column): DataFrame =
+    df.select(col(idCol).as("_vid"), col(qvCol).as("qv"),
+      dot(col(qvCol), col(qvCol)).as("_self"))
+
+  private def kmeansAssign(e: DataFrame, cent: DataFrame,
+      dot: (Column, Column) => Column): DataFrame = {
+    val centSelf = cent.select(col("cid"), col("cv"),
+      dot(col("cv"), col("cv")).as("_cself"))
+    val dist = col("_self") + col("_cself") - lit(2L) * dot(col("qv"), col("cv"))
+    e.crossJoin(broadcast(centSelf))
+      .select(col("_vid"), shiftleft(dist, CidBits).bitwiseOR(col("cid")).as("_key"))
+      .groupBy("_vid").agg(min("_key").as("_k"))
+      .select(col("_vid"),
+        col("_k").bitwiseAND(lit((MaxK - 1).toLong)).as("centroid_id"),
+        shiftright(col("_k"), CidBits).as("dist_q"))
   }
 
   /** Width of the centroid-id field in [[kMeans]]' packed argmin key:

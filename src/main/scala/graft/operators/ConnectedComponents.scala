@@ -62,8 +62,13 @@ object ConnectedComponents {
     val sym = materialize(
       edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
         .union(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))
+    // init = min over the CLOSED neighborhood — exactly what round 1
+    // would compute from self-labels, for the price of the distinct()
+    // the naive init needs anyway (one partial-combine agg over sym).
+    // Saves a full round (join + agg + checkpoint + probe) every run.
     var labels = materialize(
-      sym.select("node").distinct().withColumn("label", col("node")))
+      sym.groupBy("node")
+        .agg(least(col("node"), min("nbr")).as("label")))
     var iter = 0
     var done = labels.isEmpty // empty edge list: already at fixpoint
     while (!done && iter < maxIter) {

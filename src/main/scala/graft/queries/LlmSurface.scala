@@ -739,6 +739,27 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF over TRAINED lists: kMeans centroids feed the index --------
+    // The production IVF shape (train → build lists → probe), composed
+    // from the two primitives that already oracle: kMeansCentroids
+    // (2 Lloyd rounds, corpus-derived nList ≈ n/32) trains the coarse
+    // quantizer, ivfTopK builds the inverted lists and probes the 4
+    // nearest of them per query. Every stage is the broadcast/equi-join
+    // shape; the oracle replays the training CTEs and reads the final
+    // centroid table.
+    "llm_ann_ivf_trained" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val dot = VectorOps.dotFn(s)
+      val nList = VectorOps.kForCorpus(emb.count(), 32)
+      val cents = VectorOps
+        .kMeansCentroids(emb, "vec_id", "qv", k = nList, iters = 2, dot = dot)
+        .select(col("cid").as("vec_id"), col("cv").as("qv"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      VectorOps.ivfTopK(emb, qs, cents, "vec_id", "qv", k = 5, nProbe = 4, dot = dot)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- embedding-cosine near-dup pairs within LSH buckets --------------
     // Sign-LSH equi-join with Hamming-1 multi-probe. bits = 12 ≈
     // bitsForCorpus(|sf0.01 corpus|) + 1: bucket count GROWS with corpus
@@ -991,8 +1012,10 @@ object LlmSurface {
     * [1, 2^20]. Evaluated by DuckDB as a scalar subquery in the init
     * CTE's LIMIT.
     */
-  private val kForCorpusSql: String =
-    s"(SELECT greatest(1, least(1048576, CAST(ceil(count(*) / $SemanticClusterTarget.0) AS BIGINT))) FROM e)"
+  private def kForCorpusSqlFor(target: Int): String =
+    s"(SELECT greatest(1, least(1048576, CAST(ceil(count(*) / $target.0) AS BIGINT))) FROM e)"
+
+  private val kForCorpusSql: String = kForCorpusSqlFor(SemanticClusterTarget)
 
   /** Shared CTE stack for the SemDeDup queries: corpus-derived-k k-means
     * (3 rounds) + in-cluster pair scan at the [[SemanticDupMinDotQ]]
@@ -1746,6 +1769,33 @@ object LlmSurface {
       r AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
         FROM d)
+      SELECT query_id, "rank", vec_id, cid AS centroid_id, dot_q
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """,
+
+    "llm_ann_ivf_trained" -> s"""
+      WITH ${kmeansCtes(kForCorpusSqlFor(32), iters = 2)},
+      ad AS (
+        SELECT e.vec_id, e.qv, c1.cid,
+               CAST(list_sum(list_transform(range(1, len(e.qv) + 1), i -> e.qv[i] * c1.cv[i])) AS BIGINT) AS cdot
+        FROM e, c1),
+      asg AS (
+        SELECT vec_id, qv, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+          FROM ad)
+        WHERE rn = 1),
+      qp AS (
+        SELECT vec_id AS query_id, qv AS qq, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+          FROM ad WHERE vec_id % 100 = 0)
+        WHERE rn <= 4),
+      dd AS (
+        SELECT qp.query_id, a.vec_id, a.cid,
+               CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * a.qv[i])) AS BIGINT) AS dot_q
+        FROM qp JOIN asg a ON qp.cid = a.cid AND a.vec_id != qp.query_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS "rank"
+        FROM dd)
       SELECT query_id, "rank", vec_id, cid AS centroid_id, dot_q
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
     """,
