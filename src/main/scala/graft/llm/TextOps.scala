@@ -550,6 +550,80 @@ object TextOps {
         (col("_run") + (spanTokens - 1)).as("span_tokens"))
   }
 
+  /** EXACT set-similarity self-join (Jaccard >= threshold over word
+    * n-gram shingle sets) with a PPJoin-style prefix filter — the
+    * no-false-negatives complement to [[nearDupPairs]]'s probabilistic
+    * MinHash-LSH: LSH can miss a true pair whose bands never collide;
+    * this operator provably cannot, at the price of candidate counts
+    * driven by real token co-occurrence instead of tuned band width.
+    *
+    * Prefix-filter (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08,
+    * public literature): order every doc's shingles by a GLOBAL total
+    * order — ascending document frequency, rarest first, ties by token —
+    * and keep only the first `|S| - ceil(tau*|S|) + 1` as the doc's
+    * prefix. Jaccard(A,B) >= tau implies |A∩B| >= ceil(tau*max(|A|,|B|)),
+    * and two sets whose overlap is >= t must share a token within their
+    * first `|S|-t+1` tokens under any common total order — so every
+    * qualifying pair shares >= 1 PREFIX token and candidates are an
+    * EQUI-JOIN on the prefix token, never an all-pairs product. The
+    * rare-first order makes prefix tokens the least common ones, so a
+    * token shared by f docs contributes at most f²/2 candidates with f
+    * bounded by genuine co-occurrence — boilerplate-scale fan-out, not
+    * corpus-scale.
+    *
+    * Plan at 100 TB: explode+distinct on (doc, shingle) → token-frequency
+    * agg (|vocab|-row table, equi-joined back — AQE broadcasts it at
+    * small scale, shuffles at large; never a forced broadcast) → one
+    * per-doc combine agg building the ordered set → prefix explode →
+    * candidate equi-join → exact-Jaccard verify on candidates only.
+    * Output schema matches [[nearDupPairs]]:
+    * (doc_a, doc_b, ca, cb, inter, jaccard).
+    */
+  def setSimJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val perDoc = setSimPerDoc(df, idCol, textCol, shingleN, threshold)
+    verifyJaccard(setSimCandidates(perDoc), perDoc, perDoc, threshold)
+  }
+
+  /** Per-doc ordered-set state for [[setSimJoin]]: (doc, ss, c, pref)
+    * where `ss` is the distinct shingle set sorted rare-first and `pref`
+    * its prefix-filter slice. Package-visible so tests can count
+    * candidates against the brute-force pair bound.
+    */
+  private[graft] def setSimPerDoc(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    val expl = df
+      .select(col(idCol).as("doc"), words(col(textCol)).as("_w"))
+      .select(col("doc"), explode(shinglesFromWords(col("_w"), shingleN)).as("s"))
+      .distinct()
+    val freq = expl.groupBy("s").agg(count(lit(1)).as("_f"))
+    expl.join(freq, "s")
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("_f"), col("s")))).as("_ord"))
+      .withColumn("c", size(col("_ord")).cast("long"))
+      .withColumn("_plen",
+        (col("c") - ceil(col("c") * lit(threshold)) + 1).cast("int"))
+      .withColumn("ss", transform(col("_ord"), x => x.getField("s")))
+      .withColumn("pref", expr("transform(slice(_ord, 1, _plen), x -> x.s)"))
+      .select("doc", "ss", "c", "pref")
+  }
+
+  /** Distinct candidate pairs sharing at least one prefix token. */
+  private[graft] def setSimCandidates(perDoc: DataFrame): DataFrame = {
+    val pref = perDoc.select(col("doc"), explode(col("pref")).as("_tok"))
+    pref.select(col("_tok"), col("doc").as("doc_a"))
+      .join(pref.select(col("_tok"), col("doc").as("doc_b")), Seq("_tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** THE curation quality score, over a pre-split word array: length
     * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
     * (0.2), rounded to 6 dp. ONE definition consumed by the batch

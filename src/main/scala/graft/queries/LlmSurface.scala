@@ -210,6 +210,18 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- EXACT set-similarity join (PPJoin prefix filter) ----------------
+    // The no-false-negatives complement to llm_near_dup: candidates are
+    // an equi-join on rare-first prefix tokens (provably complete for
+    // Jaccard >= 0.5), then exact verification. The oracle is the
+    // brute-force all-pairs join — equality proves the prefix filter
+    // lossless on this corpus.
+    "llm_set_sim_join" -> ((s, dir) => {
+      TextOps.setSimJoin(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- incremental dedup: new batch vs existing base corpus ------------
     // The production shape: dedup tonight's crawl against the corpus we
     // already have. Exact dups via content-sha equi-join; near dups via
@@ -1198,6 +1210,24 @@ object LlmSurface {
       SELECT doc_a, doc_b, ca, cb, inter, jaccard FROM (
         SELECT *, ${round6sql("inter / CAST(ca + cb - inter AS DOUBLE)")} AS jaccard
         FROM verified)
+      WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b
+    """,
+
+    // Brute-force all-pairs exact Jaccard: the oracle for the prefix-
+    // filtered join — any pair the filter dropped would fail the hash.
+    "llm_set_sim_join" -> s"""
+      WITH $shinglesCte,
+      sets AS (
+        SELECT doc_id, list(s) AS ss, count(*) AS c
+        FROM expl GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.c AS ca, b.c AS cb,
+               CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, ca, cb, inter, jaccard FROM (
+        SELECT *, ${round6sql("inter / CAST(ca + cb - inter AS DOUBLE)")} AS jaccard
+        FROM pairs)
       WHERE jaccard >= 0.5
       ORDER BY doc_a, doc_b
     """,

@@ -66,6 +66,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("setSimJoin: equals brute-force exact Jaccard; prefix filter prunes candidates") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about apples bananas cherries dates eggs"),
+      (4L, "another entirely distinct document concerning galaxies nebulae quasars pulsars"),
+      (5L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val perDoc = TextOps.setSimPerDoc(df, "doc_id", "text", 3, 0.5)
+    // prefix filter must do real pruning: fewer candidates than all pairs
+    val n = perDoc.count()
+    assert(TextOps.setSimCandidates(perDoc).count() < n * (n - 1) / 2)
+    // exactness: identical output to the all-pairs join over the same sets
+    val a = perDoc.select(col("doc").as("doc_a"), col("ss").as("sa"), col("c").as("ca"))
+    val b = perDoc.select(col("doc").as("doc_b"), col("ss").as("sb"), col("c").as("cb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        TextOps.round6(col("inter") / (col("ca") + col("cb") - col("inter"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val got = TextOps.setSimJoin(df, "doc_id", "text")
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got === brute)
+    assert(got.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 1.0)) // identical pair
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
   test("nearDupPairs materialize hook is applied and caller-controlled") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
