@@ -624,6 +624,39 @@ object TextOps {
       .distinct()
   }
 
+  /** Per-document Shannon word entropy (nats) — the classic gibberish /
+    * boilerplate signal: keyboard-mash and template text sit at the low
+    * end, natural prose near ln(n_distinct). H = Σ (c/n)·ln(n/c) over the
+    * doc's word counts.
+    *
+    * Cross-engine determinism: each word's contribution c·ln(n/c) is
+    * quantized to INTEGER micro-nat·tokens BEFORE the per-doc sum (the
+    * X61 unigram-log-prob trick) — integer addition is associative, so
+    * partition count, merge order, and engine cannot change the result;
+    * JVM Math.log and DuckDB ln agree bit-for-bit at these magnitudes
+    * and round6 adds ~9 orders of slack.
+    *
+    * Scale: two partial-combine aggregations ((doc,word) then doc — the
+    * (doc,word) key is skew-free) plus one per-doc equi-join of the
+    * totals; no windows, no driver state. Output:
+    * (doc, n_tokens, n_distinct, entropy).
+    */
+  def wordEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wc = df
+      .select(col(idCol).as("doc"), explode(words(col(textCol))).as("_w"))
+      .groupBy("doc", "_w").agg(count(lit(1)).as("_c"))
+    val tot = wc.groupBy("doc")
+      .agg(sum("_c").as("n_tokens"), count(lit(1)).as("n_distinct"))
+    wc.join(tot, "doc")
+      .withColumn("_t",
+        floor(col("_c") * log(col("n_tokens").cast("double") / col("_c"))
+          * 1000000.0 + 0.5).cast("long"))
+      .groupBy("doc", "n_tokens", "n_distinct")
+      .agg(sum("_t").as("_st"))
+      .select(col("doc"), col("n_tokens"), col("n_distinct"),
+        round6(col("_st") / (col("n_tokens") * 1000000.0)).as("entropy"))
+  }
+
   /** THE curation quality score, over a pre-split word array: length
     * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
     * (0.2), rounded to 6 dp. ONE definition consumed by the batch

@@ -109,6 +109,15 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- Shannon word entropy (gibberish / boilerplate signal) -----------
+    // Integer micro-nat quantization per term BEFORE the per-doc sum
+    // (X61 trick) makes the float math partition- and engine-proof.
+    "llm_entropy" -> ((s, dir) => {
+      TextOps.wordEntropy(Tables(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- language-ID heuristic + quality score ---------------------------
     "llm_lang_quality" -> ((s, dir) => {
       // split once per row (own projection); every stat reads the array
@@ -1116,6 +1125,26 @@ object LlmSurface {
                         THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
                         ELSE [] END AS bg
             FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))
+      ORDER BY doc_id
+    """,
+
+    "llm_entropy" -> s"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+      tot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct
+        FROM wc GROUP BY doc_id),
+      terms AS (
+        SELECT wc.doc_id,
+               CAST(floor(c * ln(CAST(n_tokens AS DOUBLE) / c) * 1000000.0 + 0.5)
+                    AS BIGINT) AS t
+        FROM wc JOIN tot USING (doc_id)),
+      s AS (SELECT doc_id, sum(t) AS st FROM terms GROUP BY doc_id)
+      SELECT tot.doc_id, n_tokens, n_distinct,
+             ${round6sql("st / (n_tokens * 1000000.0)")} AS entropy
+      FROM tot JOIN s USING (doc_id)
       ORDER BY doc_id
     """,
 

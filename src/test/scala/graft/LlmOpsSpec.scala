@@ -66,6 +66,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("wordEntropy: hand-computed values; single-word doc is zero") {
+    val df = Seq(
+      (1L, "a a b b"),          // uniform over 2 words -> ln 2
+      (2L, "a b c d"),          // uniform over 4 words -> ln 4
+      (3L, "hello"))            // one token -> 0
+      .toDF("doc_id", "text")
+    val got = TextOps.wordEntropy(df, "doc_id", "text")
+      .select("doc", "n_tokens", "n_distinct", "entropy")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 2L, 0.693147)))
+    assert(got(2L) === ((2L, 4L, 4L, 1.386294)))
+    assert(got(3L) === ((3L, 1L, 1L, 0.0)))
+  }
+
   test("setSimJoin: equals brute-force exact Jaccard; prefix filter prunes candidates") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
