@@ -657,6 +657,55 @@ object TextOps {
         round6(col("_st") / (col("n_tokens") * 1000000.0)).as("entropy"))
   }
 
+  /** Hashed bag-of-words feature extraction (the fastText trick, public
+    * literature: Weinberger et al. ICML'09 feature hashing; Joulin et al.
+    * 2016): each token maps to `md5(salt|token) mod numBuckets`, so the
+    * feature space is FIXED-width regardless of vocabulary growth — no
+    * vocab table to build, ship, or skew. Output (doc, b, c): per-doc
+    * bucket counts from one explode + one partial-combine agg on the
+    * skew-free (doc, bucket) key.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int, salt: String): DataFrame = {
+    require(numBuckets > 0, s"numBuckets ($numBuckets) must be > 0")
+    df.select(col(idCol).as("doc"), explode(words(col(textCol))).as("_w"))
+      .select(col("doc"),
+        (conv(substring(md5(concat(lit(s"$salt|"), col("_w"))), 1, 4), 16, 10)
+          .cast("int") % numBuckets).as("b"))
+      .groupBy("doc", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Deterministic stand-in for a TRAINED linear-model weight table:
+    * numBuckets rows of (b, wt) with wt = md5-derived integer
+    * milli-units in [-1000, 1000]. In production this DataFrame is the
+    * persisted output of training; everything downstream (the join
+    * shape, the integer scoring) is identical — swap the table, keep
+    * the plan.
+    */
+  def hashModelWeights(spark: org.apache.spark.sql.SparkSession,
+      numBuckets: Int, salt: String): DataFrame =
+    spark.range(0, numBuckets)
+      .select(col("id").cast("int").as("b"),
+        (conv(substring(md5(concat(lit(s"$salt|"), col("id").cast("string"))), 1, 4),
+          16, 10).cast("int") % 2001 - 1000).as("wt"))
+
+  /** Linear classifier inference over [[hashedFeatures]]: features
+    * equi-joined to the |numBuckets|-row weight table (AQE broadcasts a
+    * small model, shuffles a huge one — never a forced hint), then ONE
+    * partial-combine agg per doc. The logit stays an exact integer
+    * (milli-unit weights × integer counts) until the final display
+    * division, and the keep/drop label compares the INTEGER logit
+    * against zero — bit-stable across engines and partitionings.
+    * Output: (doc, n_tokens, score, label).
+    */
+  def linearScore(features: DataFrame, weights: DataFrame): DataFrame =
+    features.join(weights, "b")
+      .groupBy("doc")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("wt")).as("_st"))
+      .select(col("doc"), col("n_tokens"),
+        round6(col("_st") / (col("n_tokens") * 1000.0)).as("score"),
+        when(col("_st") >= 0, "keep").otherwise("drop").as("label"))
+
   /** THE curation quality score, over a pre-split word array: length
     * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
     * (0.2), rounded to 6 dp. ONE definition consumed by the batch

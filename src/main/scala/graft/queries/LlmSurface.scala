@@ -118,6 +118,19 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- hashed linear classifier inference (fastText shape) -------------
+    // Feature-hash bag of words -> equi-join a 1024-row weight table ->
+    // per-doc integer logit. The weight table is a deterministic md5
+    // stand-in for a trained model; the plan is exactly the production
+    // inference pass (swap the table, keep the plan).
+    "llm_classifier" -> ((s, dir) => {
+      val feats = TextOps.hashedFeatures(
+        Tables(s, dir, "documents"), "doc_id", "text", 1024, "feat")
+      TextOps.linearScore(feats, TextOps.hashModelWeights(s, 1024, "wgt"))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- language-ID heuristic + quality score ---------------------------
     "llm_lang_quality" -> ((s, dir) => {
       // split once per row (own projection); every stat reads the array
@@ -1146,6 +1159,29 @@ object LlmSurface {
              ${round6sql("st / (n_tokens * 1000000.0)")} AS entropy
       FROM tot JOIN s USING (doc_id)
       ORDER BY doc_id
+    """,
+
+    "llm_classifier" -> s"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      f AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('feat|' || w), 1, 4) AS INT) % 1024 AS b
+        FROM w),
+      fc AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY doc_id, b),
+      m AS (
+        SELECT CAST(g AS INT) AS b,
+               (CAST('0x' || substr(md5('wgt|' || CAST(g AS VARCHAR)), 1, 4) AS INT)
+                % 2001) - 1000 AS wt
+        FROM generate_series(0, 1023) t(g)),
+      sc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(c * wt) AS BIGINT) AS st
+        FROM fc JOIN m USING (b) GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             ${round6sql("st / (n_tokens * 1000.0)")} AS score,
+             CASE WHEN st >= 0 THEN 'keep' ELSE 'drop' END AS label
+      FROM sc ORDER BY doc_id
     """,
 
     "llm_lang_quality" -> s"""

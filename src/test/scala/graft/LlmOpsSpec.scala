@@ -80,6 +80,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L) === ((3L, 1L, 1L, 0.0)))
   }
 
+  test("hashedFeatures: bucket counts conserve tokens and are partition-invariant") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a a a")).toDF("doc_id", "text")
+    val f = TextOps.hashedFeatures(df, "doc_id", "text", 16, "feat")
+    val perDoc = f.groupBy("doc").agg(sum("c").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc === Map(1L -> 6L, 2L -> 3L))
+    assert(f.agg(max("b"), min("b")).as[(Int, Int)].head()._1 < 16)
+    val f8 = TextOps.hashedFeatures(df.repartition(8), "doc_id", "text", 16, "feat")
+    assert(f.collect().toSet === f8.collect().toSet)
+  }
+
+  test("linearScore: integer logit, hand-computed score and label") {
+    val feats = Seq((1L, 0, 2L), (1L, 1, 1L), (2L, 1, 4L)).toDF("doc", "b", "c")
+    val weights = Seq((0, 5), (1, -3)).toDF("b", "wt")
+    val got = TextOps.linearScore(feats, weights)
+      .as[(Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 0.002333, "keep"))) // st = 2*5 - 3 = 7
+    assert(got(2L) === ((2L, 4L, -0.003, "drop")))   // st = -12
+  }
+
   test("setSimJoin: equals brute-force exact Jaccard; prefix filter prunes candidates") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
