@@ -244,6 +244,27 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- LSH recall evaluation (exact ground truth × banded LSH) ---------
+    // The tuning loop every LSH deployment needs: which TRUE pairs (from
+    // the lossless prefix-filter join) did the banded MinHash find?
+    // Per-pair detail rows so recall regressions are attributable to
+    // specific jaccard bands, not just a summary ratio. Both sides are
+    // candidate-bounded equi-joins; in production they'd share one
+    // persisted signature table via the materialize hooks.
+    "llm_lsh_recall" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val exact = TextOps.setSimJoin(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      val lsh = TextOps.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, numBands = 4, rowsPerBand = 3, threshold = 0.5,
+        repartitionInput = true)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("_hit"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          coalesce(col("_hit"), lit(false)).as("found_by_lsh"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- incremental dedup: new batch vs existing base corpus ------------
     // The production shape: dedup tonight's crawl against the corpus we
     // already have. Exact dups via content-sha equi-join; near dups via
@@ -1295,6 +1316,42 @@ object LlmSurface {
         FROM pairs)
       WHERE jaccard >= 0.5
       ORDER BY doc_a, doc_b
+    """,
+
+    // Exact side = the brute-force all-pairs truth; LSH side replays the
+    // banded candidate join + verify; left join marks which true pairs
+    // the bands caught.
+    "llm_lsh_recall" -> s"""
+      WITH $shinglesCte,
+      sets AS (
+        SELECT doc_id, list(s) AS ss, count(*) AS c
+        FROM expl GROUP BY doc_id),
+      exact AS (
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 ${round6sql(
+                   "len(list_intersect(a.ss, b.ss)) / CAST(a.c + b.c - len(list_intersect(a.ss, b.ss)) AS DOUBLE)")} AS jaccard
+          FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5),
+      sigs AS (SELECT doc_id, $minhashSigs FROM expl GROUP BY doc_id),
+      bands AS ($bandKeys),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      lshv AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b,
+                 ${round6sql(
+                   "len(list_intersect(x.ss, y.ss)) / CAST(x.c + y.c - len(list_intersect(x.ss, y.ss)) AS DOUBLE)")} AS j
+          FROM cand
+          JOIN sets x ON doc_a = x.doc_id
+          JOIN sets y ON doc_b = y.doc_id)
+        WHERE j >= 0.5)
+      SELECT e.doc_a, e.doc_b, e.jaccard,
+             (l.doc_a IS NOT NULL) AS found_by_lsh
+      FROM exact e LEFT JOIN lshv l USING (doc_a, doc_b)
+      ORDER BY e.doc_a, e.doc_b
     """,
 
     // Sigs/sets are computed once over all documents; the bipartite split
