@@ -211,6 +211,91 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col(idCol), col("centroid_id"), col("dot_q"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. TPAMI'11, public
+    * literature): the vector space splits into `m` contiguous `subDim`-
+    * wide subspaces and each gets its OWN `ksub`-centroid Lloyd
+    * codebook — so a vector compresses to `m` small codes while ADC
+    * distances ([[pqTopK]]) stay additive over subspaces. Training is m
+    * independent [[kMeansCentroids]] runs over sliced vectors (same
+    * deterministic init / fixed rounds / integer floor-division updates,
+    * so the DuckDB oracle replays each subspace exactly).
+    * Returns (sub, cid, cv) — m × ksub rows; this is the persisted
+    * "trained index" artifact of a production ANN build.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, qvCol: String,
+      m: Int, subDim: Int, ksub: Int, iters: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true),
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    require(m > 0 && subDim > 0, s"m ($m) and subDim ($subDim) must be > 0")
+    (0 until m).map { s =>
+      kMeansCentroids(
+        df.select(col(idCol), slice(col(qvCol), s * subDim + 1, subDim).as("_sq")),
+        idCol, "_sq", ksub, iters, materialize, dot)
+        .select(lit(s).as("sub"), col("cid"), col("cv"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ encoding: nearest sub-centroid per (vector, subspace) — the
+    * same packed-argmin assignment as [[kMeans]], once per subspace.
+    * Returns (idCol, sub, code): m rows per vector, each code in
+    * [0, ksub) — at scale this n×m code table (bytes per vector, not
+    * dims×8) IS the compressed index that makes 100 TB of embeddings
+    * scannable.
+    */
+  def pqEncode(df: DataFrame, idCol: String, qvCol: String,
+      codebooks: DataFrame, m: Int, subDim: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame =
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(qvCol), s * subDim + 1, subDim).as("_sq"))
+      kmeansAssign(kmeansPrep(sub, idCol, "_sq", dot),
+        codebooks.filter(col("sub") === s).select("cid", "cv"), dot)
+        .select(col("_vid").as(idCol), lit(s).as("sub"),
+          col("centroid_id").as("code"))
+    }.reduce(_ unionByName _)
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds a
+    * lookup table of exact integer distances to every sub-centroid
+    * (m × ksub rows per query — bounded by the MODEL size and the query
+    * batch, never the corpus), the code table equi-joins it on
+    * (sub, code), and one partial-combine agg sums the m per-subspace
+    * distances per (query, vector). Top-k per query runs through the
+    * bounded [[graft.functions.TopKByLong]] heap aggregate (ord is the
+    * NEGATED distance — largest ord = smallest distance, ties to the
+    * smallest vec id), so ≤ k pairs per (query, partition) cross the
+    * final exchange instead of a per-query sort of the whole corpus.
+    * Output: (query_id, rank, idCol, adist_q) — adist_q is the exact
+    * integer Σ-over-subspaces squared distance to the RECONSTRUCTED
+    * (quantized) vector, the standard PQ approximation.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      idCol: String, qvCol: String, k: Int, m: Int, subDim: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    val cb = codebooks.select(col("sub").as("_cs"), col("cid"), col("cv"),
+      dot(col("cv"), col("cv")).as("_cself"))
+    val qsub = (0 until m).map { s =>
+      queries.select(col(idCol).as("query_id"), lit(s).as("_cs"),
+        slice(col(qvCol), s * subDim + 1, subDim).as("_sq"))
+    }.reduce(_ unionByName _)
+    val lut = qsub.join(cb, "_cs")
+      .select(col("query_id"), col("_cs"), col("cid"),
+        (dot(col("_sq"), col("_sq")) + col("_cself")
+          - lit(2L) * dot(col("_sq"), col("cv"))).as("_d"))
+    val approx = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("_cs") && codes("code") === lut("cid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy("query_id", idCol)
+      .agg(sum("_d").as("adist_q"))
+    approx
+      .groupBy("query_id")
+      .agg(call_function("topk_by_long",
+        col(idCol), -col("adist_q"), lit(k)).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_e.payload").as(idCol), (-col("_e.ord")).as("adist_q"))
+  }
+
   /** Element-wise per-group vector sums — the centroid-UPDATE half of a
     * distributed k-means iteration (the assignment half is [[ivfTopK]]'s
     * build step). `posexplode` → partial sums per (group, position) →

@@ -815,6 +815,26 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- product-quantization ANN (train -> encode -> ADC top-k) ---------
+    // The compressed-index production shape: 2 subspaces × 16-centroid
+    // codebooks trained by the SAME Lloyd loop as clustering, vectors
+    // encoded to 2 small codes, queries scored via per-query distance
+    // lookup tables (m×ksub rows — model-sized, never corpus-sized) and
+    // one combine agg; top-k through the bounded heap aggregate.
+    "llm_ann_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val dot = VectorOps.dotFn(s)
+      val (m, subDim, ksub) = (2, 32, 16)
+      val cb = VectorOps.pqCodebooks(emb, "vec_id", "qv", m, subDim, ksub,
+        iters = 2, dot = dot)
+      val codes = VectorOps.pqEncode(emb, "vec_id", "qv", cb, m, subDim, dot = dot)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      VectorOps.pqTopK(codes, qs, cb, "vec_id", "qv", k = 5, m = m,
+        subDim = subDim, dot = dot)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- embedding-cosine near-dup pairs within LSH buckets --------------
     // Sign-LSH equi-join with Hamming-1 multi-probe. bits = 12 ≈
     // bitsForCorpus(|sf0.01 corpus|) + 1: bucket count GROWS with corpus
@@ -1027,35 +1047,48 @@ object LlmSurface {
     * them into the low [[graft.llm.VectorOps.CidBits]] = 20 bits,
     * mirroring the Spark operator exactly.
     */
-  private def kmeansCtes(kExpr: String, iters: Int): String = {
-    val init = s"""c0 AS (
+  /** Lloyd-loop CTE chain over an arbitrary source CTE `src(vec_id, qv)`
+    * with `dims`-wide vectors, all CTE names prefixed `p` — the
+    * generalization that lets the PQ oracle replay one loop PER SUBSPACE
+    * next to the full-vector loops the k-means/SemDeDup/IVF oracles use.
+    * Ends with `${p}ax$iters` (vec_id, centroid_id, dist_q); the trained
+    * codebook is `${p}c${iters-1}`.
+    */
+  private def kmeansCtesOver(src: String, dims: Int, p: String,
+      kExpr: String, iters: Int): String = {
+    val init = s"""${p}c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
-        FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT $kExpr))"""
+        FROM (SELECT vec_id, qv FROM $src ORDER BY vec_id LIMIT $kExpr))"""
     def assign(i: Int) = s"""
-      a$i AS (
+      ${p}a$i AS (
         SELECT vec_id,
-               min((CAST(list_sum(list_transform(range(1, 65),
+               min((CAST(list_sum(list_transform(range(1, ${dims + 1}),
                       j -> (qv[j] - cv[j]) * (qv[j] - cv[j]))) AS BIGINT) << 20) | cid) AS k
-        FROM e, c${i - 1} GROUP BY vec_id),
-      ax$i AS (SELECT vec_id, k & 1048575 AS centroid_id, k >> 20 AS dist_q FROM a$i)"""
+        FROM $src, ${p}c${i - 1} GROUP BY vec_id),
+      ${p}ax$i AS (SELECT vec_id, k & 1048575 AS centroid_id, k >> 20 AS dist_q FROM ${p}a$i)"""
     def update(i: Int) = s"""
-      c$i AS (
+      ${p}c$i AS (
         SELECT centroid_id AS cid,
                list(CAST(floor(s / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY j) AS cv
         FROM (
-          SELECT centroid_id, j, sum(e.qv[j]) AS s, count(*) AS n
-          FROM ax$i JOIN e USING (vec_id), range(1, 65) t(j)
+          SELECT centroid_id, j, sum($src.qv[j]) AS s, count(*) AS n
+          FROM ${p}ax$i JOIN $src USING (vec_id), range(1, ${dims + 1}) t(j)
           GROUP BY 1, 2)
         GROUP BY centroid_id)"""
     val rounds = (1 until iters).map(i => assign(i) + "," + update(i)).mkString(",")
-    s"""e AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
-        FROM embeddings),
-      $init,
+    s"""$init,
       $rounds,
       ${assign(iters)}"""
   }
+
+  private val embedQvCte = """e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings)"""
+
+  private def kmeansCtes(kExpr: String, iters: Int): String =
+    s"""$embedQvCte,
+      ${kmeansCtesOver("e", 64, "", kExpr, iters)}"""
 
   private def kmeansSql(k: Int, iters: Int): String = s"""
       WITH ${kmeansCtes(k.toString, iters)}
@@ -1950,6 +1983,44 @@ object LlmSurface {
         FROM dd)
       SELECT query_id, "rank", vec_id, cid AS centroid_id, dot_q
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+    """,
+
+    // Two subspace Lloyd loops (the generalized kmeansCtesOver), encode
+    // = final assignment, codebook = final update, ADC = LUT join + sum.
+    "llm_ann_pq" -> s"""
+      WITH $embedQvCte,
+      s0 AS (SELECT vec_id, qv[1:32] AS qv FROM e),
+      s1 AS (SELECT vec_id, qv[33:64] AS qv FROM e),
+      ${kmeansCtesOver("s0", 32, "p0", "16", 2)},
+      ${kmeansCtesOver("s1", 32, "p1", "16", 2)},
+      codes AS (
+        SELECT vec_id, 0 AS sub, centroid_id AS code FROM p0ax2
+        UNION ALL
+        SELECT vec_id, 1 AS sub, centroid_id AS code FROM p1ax2),
+      cb AS (
+        SELECT 0 AS sub, cid, cv FROM p0c1
+        UNION ALL
+        SELECT 1 AS sub, cid, cv FROM p1c1),
+      qs AS (
+        SELECT vec_id AS query_id, 0 AS sub, qv FROM s0 WHERE vec_id % 100 = 0
+        UNION ALL
+        SELECT vec_id AS query_id, 1 AS sub, qv FROM s1 WHERE vec_id % 100 = 0),
+      lut AS (
+        SELECT query_id, qs.sub, cid,
+               CAST(list_sum(list_transform(range(1, 33),
+                      j -> (qs.qv[j] - cv[j]) * (qs.qv[j] - cv[j]))) AS BIGINT) AS d
+        FROM qs JOIN cb ON qs.sub = cb.sub),
+      approx AS (
+        SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS adist_q
+        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+        WHERE vec_id != query_id
+        GROUP BY query_id, vec_id)
+      SELECT query_id, "rank", vec_id, adist_q FROM (
+        SELECT query_id, vec_id, adist_q,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS "rank"
+        FROM approx)
+      WHERE "rank" <= 5
+      ORDER BY query_id, "rank"
     """,
 
     "llm_embed_near_dup" -> s"""

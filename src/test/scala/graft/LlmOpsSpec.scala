@@ -80,6 +80,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L) === ((3L, 1L, 1L, 0.0)))
   }
 
+  test("pqTopK degenerates to exact L2 top-k when ksub >= corpus size") {
+    // Every vector becomes (or shares) its own sub-centroid, so the ADC
+    // distance is the exact squared distance — the PQ analogue of the
+    // IVF all-lists-degenerates-to-exact property. vecs 0..2 share the
+    // (0,0) second-half slice, exercising empty-cluster dropout too.
+    val vecs = Seq(
+      (0L, Array(0L, 0L, 0L, 0L)),
+      (1L, Array(10L, 0L, 0L, 0L)),
+      (2L, Array(0L, 10L, 0L, 0L)),
+      (3L, Array(5L, 5L, 5L, 5L)),
+      (4L, Array(9L, 9L, 9L, 9L)),
+      (5L, Array(1L, 2L, 3L, 4L)))
+    val df = vecs.toDF("vec_id", "qv")
+    val cb = VectorOps.pqCodebooks(df, "vec_id", "qv", m = 2, subDim = 2,
+      ksub = 6, iters = 2)
+    val codes = VectorOps.pqEncode(df, "vec_id", "qv", cb, m = 2, subDim = 2)
+    assert(codes.count() === 12) // m codes per vector
+    assert(codes.agg(max("code")).as[Long].head() < 6)
+    val qs = df.filter(col("vec_id") < 2)
+    val got = VectorOps.pqTopK(codes, qs, cb, "vec_id", "qv", k = 3, m = 2,
+      subDim = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val expect = (for ((qid, q) <- vecs if qid < 2) yield {
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(3)
+        .zipWithIndex.map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }).flatten.toSet
+    assert(got === expect)
+  }
+
   test("hashedFeatures: bucket counts conserve tokens and are partition-invariant") {
     val df = Seq((1L, "a b c d e f"), (2L, "a a a")).toDF("doc_id", "text")
     val f = TextOps.hashedFeatures(df, "doc_id", "text", 16, "feat")
