@@ -118,6 +118,33 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-source n-gram overlap matrix ------------------------------
+    // Corpus analytics for mixture design: how much distinct-5-gram
+    // content do sources (here: lang subsets) share? The gram join's
+    // fan-out per gram is bounded by |sources| (distinct (source, gram)
+    // rows), never corpus size; output is |sources|² rows.
+    "llm_source_overlap" -> ((s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .select(col("lang"), TextOps.words(col("text")).as("_w"))
+        .select(col("lang"),
+          explode(TextOps.shinglesFromWords(col("_w"), 5)).as("g"))
+        .distinct()
+      val sizes = grams.groupBy("lang").agg(count(lit(1)).as("n"))
+      val shared = grams.select(col("lang").as("lang_a"), col("g"))
+        .join(grams.select(col("lang").as("lang_b"), col("g")), "g")
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as("shared_grams"))
+      shared
+        .join(sizes.select(col("lang").as("lang_a"), col("n").as("grams_a")), "lang_a")
+        .join(sizes.select(col("lang").as("lang_b"), col("n").as("grams_b")), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("shared_grams"),
+          col("grams_a"), col("grams_b"),
+          TextOps.round6(col("shared_grams")
+            / least(col("grams_a"), col("grams_b")).cast("double")).as("overlap"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // ---- hashed linear classifier inference (fastText shape) -------------
     // Feature-hash bag of words -> equi-join a 1024-row weight table ->
     // per-doc integer logit. The weight table is a deterministic md5
@@ -1704,6 +1731,28 @@ object LlmSurface {
              (coalesce(o.n_shared, 0) > 0) AS contaminated
       FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
       ORDER BY d.doc_id
+    """,
+
+    "llm_source_overlap" -> s"""
+      WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+      grams AS (
+        SELECT DISTINCT lang, g FROM (
+          SELECT lang, unnest(CASE WHEN len(ws) >= 5
+            THEN list_transform(range(1, len(ws) - 3),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+            ELSE [] END) AS g
+          FROM w)),
+      sizes AS (SELECT lang, count(*) AS n FROM grams GROUP BY lang),
+      shared AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS shared_grams
+        FROM grams a JOIN grams b ON a.g = b.g AND a.lang < b.lang
+        GROUP BY 1, 2)
+      SELECT lang_a, lang_b, shared_grams, sa.n AS grams_a, sb.n AS grams_b,
+             ${round6sql("shared_grams / CAST(least(sa.n, sb.n) AS DOUBLE)")} AS overlap
+      FROM shared
+      JOIN sizes sa ON lang_a = sa.lang
+      JOIN sizes sb ON lang_b = sb.lang
+      ORDER BY lang_a, lang_b
     """,
 
     "llm_unigram_logprob" -> s"""
