@@ -669,11 +669,18 @@ object TextOps {
       numBuckets: Int, salt: String): DataFrame = {
     require(numBuckets > 0, s"numBuckets ($numBuckets) must be > 0")
     df.select(col(idCol).as("doc"), explode(words(col(textCol))).as("_w"))
-      .select(col("doc"),
-        (conv(substring(md5(concat(lit(s"$salt|"), col("_w"))), 1, 4), 16, 10)
-          .cast("int") % numBuckets).as("b"))
+      .select(col("doc"), featureBucket(col("_w"), numBuckets, salt).as("b"))
       .groupBy("doc", "b").agg(count(lit(1)).as("c"))
   }
+
+  /** The feature-hash bucket of one token: `md5(salt|token) mod
+    * numBuckets` — shared by [[hashedFeatures]] (batch, exploded) and
+    * [[graft.streaming.DocStream.classify]] (streaming, in-array) so
+    * the two inference paths bucket identically by construction.
+    */
+  def featureBucket(w: Column, numBuckets: Int, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt|"), w)), 1, 4), 16, 10)
+      .cast("int") % numBuckets
 
   /** Deterministic stand-in for a TRAINED linear-model weight table:
     * numBuckets rows of (b, wt) with wt = md5-derived integer

@@ -45,6 +45,42 @@ object DocStream {
       .drop("_w")
   }
 
+  /** STATELESS streaming classifier inference — the streaming form of
+    * the batch `TextOps.hashedFeatures` + `linearScore` pair: instead of
+    * explode → weight-table join → per-doc aggregation (a stateful
+    * streaming agg), the model ships as a MAP LITERAL and the logit
+    * folds over the in-row word array — a pure projection, so the
+    * stream needs no watermark, no state store, and no shuffle. This is
+    * the right inference shape whenever the model fits in the plan
+    * (feature hashing guarantees a fixed bucket count, so it always
+    * does); bucketing reuses [[TextOps.featureBucket]], making the two
+    * paths agree token-for-token (StreamingSpec pins the parity).
+    *
+    * `weights` must cover every bucket in [0, numBuckets) — true of any
+    * trained hashed model; uncovered buckets score 0 defensively.
+    * Output mirrors the batch scorer: (doc_id, n_tokens, score, label),
+    * with the label compared on the exact INTEGER logit.
+    */
+  def classify(docs: DataFrame, weights: Map[Int, Long], numBuckets: Int,
+      salt: String): DataFrame = {
+    val wmap = typedLit(weights)
+    docs
+      .withColumn("_w", TextOps.words(col("text")))
+      .withColumn("n_tokens", size(col("_w")).cast("long"))
+      .withColumn("_st",
+        aggregate(
+          transform(col("_w"),
+            w => coalesce(
+              element_at(wmap, TextOps.featureBucket(w, numBuckets, salt)),
+              lit(0L))),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("score",
+        TextOps.round6(col("_st") / (col("n_tokens") * 1000.0)))
+      .withColumn("label",
+        when(col("_st") >= 0, "keep").otherwise("drop"))
+      .drop("_w", "_st")
+  }
+
   /** Streaming incremental dedup against a STATIC base corpus — the
     * streaming analogue of [[TextOps.incrementalDedup]]'s exact stage:
     * tonight's document stream is checked against the existing corpus's

@@ -85,6 +85,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming classify matches the batch join-form scorer on the real corpus") {
+    // Two spellings of the same inference: batch = explode -> weight
+    // table join -> per-doc agg; streaming = map-literal fold over the
+    // in-row word array (stateless). Same md5 bucketing by construction
+    // (TextOps.featureBucket); this pins the rest — weights, integer
+    // logit, label rule — row-for-row on sf0.001 documents.
+    import org.apache.spark.sql.functions._
+    import graft.llm.TextOps
+    val corpus = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val model = TextOps.hashModelWeights(spark, 256, "wgt")
+    val wmap = model.as[(Int, Int)].collect().map { case (b, w) => b -> w.toLong }.toMap
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream
+      .classify(input.toDF().toDF("doc_id", "text"), wmap, 256, "feat")
+      .writeStream.format("memory").queryName("classify_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus)
+      q.processAllAvailable()
+      val streamed = spark.table("classify_parity")
+        .select("doc_id", "n_tokens", "score", "label")
+        .as[(Long, Long, Double, String)].collect().toSet
+      val batch = TextOps.linearScore(
+        TextOps.hashedFeatures(corpus.toDF("doc_id", "text"), "doc_id", "text", 256, "feat"),
+        model.toDF("b", "wt"))
+        .as[(Long, Long, Double, String)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming curate matches the batch policy keep-set on the real corpus") {
     // THE backfill guarantee: replaying a corpus through DocStream.curate
     // must keep exactly the documents the batch spelling of the same
