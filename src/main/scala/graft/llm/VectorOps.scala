@@ -296,6 +296,65 @@ object VectorOps {
         col("_e.payload").as(idCol), (-col("_e.ord")).as("adist_q"))
   }
 
+  /** IVF-PQ search (Jégou et al. TPAMI'11 — the production ANN index
+    * shape): a coarse quantizer partitions the corpus into lists, PQ
+    * codes compress each vector's RESIDUAL (x − list centroid), and a
+    * query probes only `nProbe` lists, scoring their members through
+    * per-(query, list) residual lookup tables. Candidate work per query
+    * is ~nProbe/nList of the corpus; per-candidate work is m lookups —
+    * both knobs independent of corpus size, which is what makes 100 TB
+    * of embeddings searchable.
+    *
+    * `codes` must carry the vector's coarse list (`centroid_id`, from
+    * [[assignToCentroids]]) plus (sub, code) residual codes from
+    * [[pqEncode]] run on the residual vectors. LUTs are
+    * |queries| × nProbe × m × ksub rows — query-batch- and model-sized,
+    * never corpus-sized. All distances exact integers; probe order and
+    * ADC ties break to the lowest id in both engines. Output:
+    * (query_id, rank, idCol, adist_q).
+    */
+  def ivfPqTopK(codes: DataFrame, queries: DataFrame, coarse: DataFrame,
+      codebooks: DataFrame, idCol: String, qvCol: String, k: Int,
+      nProbe: Int, m: Int, subDim: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    val cSelf = coarse.select(col("cid"), col("cv"),
+      dot(col("cv"), col("cv")).as("_cself"))
+    val q = queries.select(col(idCol).as("query_id"), col(qvCol).as("_qv"),
+      dot(col(qvCol), col(qvCol)).as("_qself"))
+    val probes = q.crossJoin(broadcast(cSelf))
+      .withColumn("_d",
+        col("_qself") + col("_cself") - lit(2L) * dot(col("_qv"), col("cv")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_d"), col("cid"))))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("_list"),
+        zip_with(col("_qv"), col("cv"), (a, b) => a - b).as("_qr"))
+    val cb = codebooks.select(col("sub").as("_s"), col("cid").as("_pc"),
+      col("cv").as("_pcv"), dot(col("cv"), col("cv")).as("_pself"))
+    val qsub = (0 until m).map { s =>
+      probes.select(col("query_id"), col("_list"), lit(s).as("_s"),
+        slice(col("_qr"), s * subDim + 1, subDim).as("_qs"))
+    }.reduce(_ unionByName _)
+    val lut = qsub.join(cb, "_s")
+      .select(col("query_id"), col("_list"), col("_s"), col("_pc"),
+        (dot(col("_qs"), col("_qs")) + col("_pself")
+          - lit(2L) * dot(col("_qs"), col("_pcv"))).as("_d"))
+    val approx = codes
+      .join(broadcast(lut),
+        codes("centroid_id") === lut("_list") && codes("sub") === lut("_s")
+          && codes("code") === lut("_pc"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy("query_id", idCol)
+      .agg(sum("_d").as("adist_q"))
+    approx
+      .groupBy("query_id")
+      .agg(call_function("topk_by_long",
+        col(idCol), -col("adist_q"), lit(k)).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_e.payload").as(idCol), (-col("_e.ord")).as("adist_q"))
+  }
+
   /** Element-wise per-group vector sums — the centroid-UPDATE half of a
     * distributed k-means iteration (the assignment half is [[ivfTopK]]'s
     * build step). `posexplode` → partial sums per (group, position) →
@@ -370,8 +429,20 @@ object VectorOps {
       materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true),
       dot: (Column, Column) => Column = dotQ)
       : DataFrame =
-    kmeansAssign(kmeansPrep(df, idCol, qvCol, dot),
+    assignToCentroids(df, idCol, qvCol,
       kMeansCentroids(df, idCol, qvCol, k, iters, materialize, dot), dot)
+
+  /** Nearest-centroid assignment against a GIVEN (cid, cv) table — the
+    * public form of [[kMeans]]' assignment step, for callers that hold
+    * trained centroids (IVF list assignment, residual computation in
+    * IVF-PQ). Same packed argmin, so ties break to the lowest cid
+    * exactly like the training loop and the oracle's
+    * `ORDER BY dist, cid` replay. Returns (idCol, centroid_id, dist_q).
+    */
+  def assignToCentroids(df: DataFrame, idCol: String, qvCol: String,
+      centroids: DataFrame,
+      dot: (Column, Column) => Column = dotQ): DataFrame =
+    kmeansAssign(kmeansPrep(df, idCol, qvCol, dot), centroids, dot)
       .select(col("_vid").as(idCol), col("centroid_id"), col("dist_q"))
 
   /** The trained model half of [[kMeans]]: the centroid table (cid, cv)

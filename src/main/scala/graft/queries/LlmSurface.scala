@@ -862,6 +862,36 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF-PQ: coarse lists + residual PQ codes (IndexIVFPQ shape) -----
+    // The full production index: a corpus-derived coarse quantizer
+    // partitions vectors into lists, PQ compresses each RESIDUAL to 2
+    // codes, queries probe 4 lists and score members via per-(query,
+    // list) residual LUTs. Candidate work ~nProbe/nList of the corpus;
+    // per-candidate work m lookups — both corpus-size-independent.
+    "llm_ann_ivf_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val dot = VectorOps.dotFn(s)
+      val (m, subDim, ksub) = (2, 32, 16)
+      val nList = VectorOps.kForCorpus(emb.count(), 32)
+      val coarse = VectorOps.kMeansCentroids(emb, "vec_id", "qv", k = nList,
+        iters = 2, dot = dot)
+      val resid = emb
+        .join(VectorOps.assignToCentroids(emb, "vec_id", "qv", coarse, dot), "vec_id")
+        .join(broadcast(coarse.select(col("cid").as("centroid_id"), col("cv"))),
+          "centroid_id")
+        .select(col("vec_id"), col("centroid_id"),
+          zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rv"))
+      val cb = VectorOps.pqCodebooks(resid, "vec_id", "rv", m, subDim, ksub,
+        iters = 2, dot = dot)
+      val codes = VectorOps.pqEncode(resid, "vec_id", "rv", cb, m, subDim, dot = dot)
+        .join(resid.select("vec_id", "centroid_id"), "vec_id")
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      VectorOps.ivfPqTopK(codes, qs, coarse, cb, "vec_id", "qv", k = 5,
+        nProbe = 4, m = m, subDim = subDim, dot = dot)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- embedding-cosine near-dup pairs within LSH buckets --------------
     // Sign-LSH equi-join with Hamming-1 multi-probe. bits = 12 ≈
     // bitsForCorpus(|sf0.01 corpus|) + 1: bucket count GROWS with corpus
@@ -2062,6 +2092,67 @@ object LlmSurface {
       approx AS (
         SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS adist_q
         FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+        WHERE vec_id != query_id
+        GROUP BY query_id, vec_id)
+      SELECT query_id, "rank", vec_id, adist_q FROM (
+        SELECT query_id, vec_id, adist_q,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS "rank"
+        FROM approx)
+      WHERE "rank" <= 5
+      ORDER BY query_id, "rank"
+    """,
+
+    // Coarse Lloyd loop (prefix g) + residuals + two residual-subspace
+    // Lloyd loops (p0/p1) + probe ranking + per-(query, list) LUT join.
+    "llm_ann_ivf_pq" -> s"""
+      WITH $embedQvCte,
+      ${kmeansCtesOver("e", 64, "g", kForCorpusSqlFor(32), 2)},
+      resid AS (
+        SELECT e.vec_id, gax2.centroid_id AS list_id,
+               list_transform(range(1, 65), j -> e.qv[j] - gc1.cv[j]) AS qv
+        FROM e
+        JOIN gax2 ON e.vec_id = gax2.vec_id
+        JOIN gc1 ON gax2.centroid_id = gc1.cid),
+      r0 AS (SELECT vec_id, qv[1:32] AS qv FROM resid),
+      r1 AS (SELECT vec_id, qv[33:64] AS qv FROM resid),
+      ${kmeansCtesOver("r0", 32, "p0", "16", 2)},
+      ${kmeansCtesOver("r1", 32, "p1", "16", 2)},
+      codes AS (
+        SELECT resid.list_id, c.vec_id, c.sub, c.code FROM (
+          SELECT vec_id, 0 AS sub, centroid_id AS code FROM p0ax2
+          UNION ALL
+          SELECT vec_id, 1 AS sub, centroid_id AS code FROM p1ax2) c
+        JOIN resid ON c.vec_id = resid.vec_id),
+      cb AS (
+        SELECT 0 AS sub, cid, cv FROM p0c1
+        UNION ALL
+        SELECT 1 AS sub, cid, cv FROM p1c1),
+      qv0 AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id % 100 = 0),
+      probes AS (
+        SELECT query_id, cid AS list_id,
+               list_transform(range(1, 65), j -> qq[j] - cv[j]) AS qr
+        FROM (
+          SELECT q.query_id, c.cid, c.cv, q.qv AS qq,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, 65),
+                     j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS BIGINT),
+                   c.cid) AS rn
+          FROM qv0 q, gc1 c)
+        WHERE rn <= 4),
+      qsub AS (
+        SELECT query_id, list_id, 0 AS sub, qr[1:32] AS qs FROM probes
+        UNION ALL
+        SELECT query_id, list_id, 1 AS sub, qr[33:64] AS qs FROM probes),
+      lut AS (
+        SELECT query_id, list_id, qsub.sub, cb.cid,
+               CAST(list_sum(list_transform(range(1, 33),
+                      j -> (qs[j] - cv[j]) * (qs[j] - cv[j]))) AS BIGINT) AS d
+        FROM qsub JOIN cb ON qsub.sub = cb.sub),
+      approx AS (
+        SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS adist_q
+        FROM codes
+        JOIN lut ON codes.list_id = lut.list_id AND codes.sub = lut.sub
+                AND codes.code = lut.cid
         WHERE vec_id != query_id
         GROUP BY query_id, vec_id)
       SELECT query_id, "rank", vec_id, adist_q FROM (

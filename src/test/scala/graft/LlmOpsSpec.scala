@@ -112,6 +112,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("ivfPqTopK degenerates to exact L2 top-k when all lists probed and ksub >= n") {
+    // With every residual its own sub-centroid, ADC measures
+    // (q - c) - (x - c) = q - x exactly; probing every list removes the
+    // IVF pruning — so the full index must reproduce brute-force L2.
+    val vecs = Seq(
+      (0L, Array(0L, 0L, 0L, 0L)),
+      (1L, Array(10L, 0L, 0L, 0L)),
+      (2L, Array(0L, 10L, 0L, 0L)),
+      (3L, Array(5L, 5L, 5L, 5L)),
+      (4L, Array(9L, 9L, 9L, 9L)),
+      (5L, Array(1L, 2L, 3L, 4L)))
+    val df = vecs.toDF("vec_id", "qv")
+    val coarse = VectorOps.kMeansCentroids(df, "vec_id", "qv", k = 2, iters = 2)
+    val resid = df
+      .join(VectorOps.assignToCentroids(df, "vec_id", "qv", coarse), "vec_id")
+      .join(coarse.select(col("cid").as("centroid_id"), col("cv")), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rv"))
+    val cb = VectorOps.pqCodebooks(resid, "vec_id", "rv", m = 2, subDim = 2,
+      ksub = 6, iters = 2)
+    val codes = VectorOps.pqEncode(resid, "vec_id", "rv", cb, m = 2, subDim = 2)
+      .join(resid.select("vec_id", "centroid_id"), "vec_id")
+    val qs = df.filter(col("vec_id") < 2)
+    val got = VectorOps.ivfPqTopK(codes, qs, coarse, cb, "vec_id", "qv",
+      k = 3, nProbe = 2, m = 2, subDim = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val expect = (for ((qid, q) <- vecs if qid < 2) yield {
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(3)
+        .zipWithIndex.map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }).flatten.toSet
+    assert(got === expect)
+  }
+
   test("hashedFeatures: bucket counts conserve tokens and are partition-invariant") {
     val df = Seq((1L, "a b c d e f"), (2L, "a a a")).toDF("doc_id", "text")
     val f = TextOps.hashedFeatures(df, "doc_id", "text", 16, "feat")
