@@ -579,13 +579,25 @@ object TextOps {
     * Output schema matches [[nearDupPairs]]:
     * (doc_a, doc_b, ca, cb, inter, jaccard).
     */
+  /** @param materialize applied to the per-doc ordered-set state (the
+    *        table a production run persists and reuses across joins).
+    *        The state has three consumers (prefix explode + both verify
+    *        sides), but within ONE query Spark already dedupes them via
+    *        ReusedExchange — an eager localCheckpoint here MEASURED
+    *        SLOWER at sf0.1 (4.3 → 5.2 s: extra serial job + lost AQE),
+    *        so only pass a checkpointer when the state genuinely crosses
+    *        jobs (incremental runs). Caller-owned like [[nearDupPairs]]'s
+    *        hook.
+    */
   def setSimJoin(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val perDoc = setSimPerDoc(df, idCol, textCol, shingleN, threshold)
+      threshold: Double = 0.5,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val perDoc = materialize(
+      setSimPerDoc(df, idCol, textCol, shingleN, threshold))
     verifyJaccard(setSimCandidates(perDoc), perDoc, perDoc, threshold)
   }
 

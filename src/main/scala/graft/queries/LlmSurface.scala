@@ -266,6 +266,9 @@ object LlmSurface {
     // brute-force all-pairs join — equality proves the prefix filter
     // lossless on this corpus.
     "llm_set_sim_join" -> ((s, dir) => {
+      // no materialize hook: the three consumers of the per-doc state
+      // dedupe via ReusedExchange inside this one query (a checkpoint
+      // measured slower — see setSimJoin scaladoc)
       TextOps.setSimJoin(Tables(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
@@ -876,12 +879,18 @@ object LlmSurface {
       val nList = VectorOps.kForCorpus(emb.count(), 32)
       val coarse = VectorOps.kMeansCentroids(emb, "vec_id", "qv", k = nList,
         iters = 2, dot = dot)
+      // checkpointed: the residual table feeds two Lloyd loops (each
+      // re-reading it per round), the encode pass, and the code/list
+      // join — recomputing the 3-way join per consumer measured 9 s at
+      // sf0.1; this is the "persist the index-build input" a real
+      // build does.
       val resid = emb
         .join(VectorOps.assignToCentroids(emb, "vec_id", "qv", coarse, dot), "vec_id")
         .join(broadcast(coarse.select(col("cid").as("centroid_id"), col("cv"))),
           "centroid_id")
         .select(col("vec_id"), col("centroid_id"),
           zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rv"))
+        .localCheckpoint(true)
       val cb = VectorOps.pqCodebooks(resid, "vec_id", "rv", m, subDim, ksub,
         iters = 2, dot = dot)
       val codes = VectorOps.pqEncode(resid, "vec_id", "rv", cb, m, subDim, dot = dot)
