@@ -425,6 +425,33 @@ object RefSurface {
         .select(col("c_custkey"), col("c_name"), col("rn"),
           col("o_orderkey"), col("o_totalprice"))
         .orderBy("c_custkey", "rn")
+    }),
+
+    // ---- per-key analytic window functions (lag/lead/running sum) --------
+    // The SQL-analytics surface over customer order histories: previous/
+    // next order date, day gap, and a running spend. One shuffle on the
+    // customer key; per-customer window sort only (never global). The
+    // running sum runs over integer CENTS in an explicit ROWS frame with
+    // a unique (date, key) order — float summation order and RANGE-frame
+    // tie semantics can't bite.
+    "p_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("_cents"))
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+        .withColumn("running_cents", sum("_cents").over(run))
+        .withColumn("rn", row_number().over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("string").as("order_date"),
+          col("prev_date").cast("string").as("prev_date"),
+          col("next_date").cast("string").as("next_date"),
+          col("gap_days"), col("running_cents"), col("rn"))
+        .orderBy("o_custkey", "rn")
     })
   )
 
@@ -840,6 +867,22 @@ object RefSurface {
         FROM orders) o
       JOIN customer ON o.o_custkey = c_custkey
       WHERE rn <= 3 ORDER BY c_custkey, rn
+    """,
+
+    "p_window_analytics" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS VARCHAR) AS order_date,
+             CAST(lag(o_orderdate) OVER w AS VARCHAR) AS prev_date,
+             CAST(lead(o_orderdate) OVER w AS VARCHAR) AS next_date,
+             date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days,
+             CAST(sum(cents) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+             row_number() OVER w AS rn
+      FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, rn
     """
   )
 }
