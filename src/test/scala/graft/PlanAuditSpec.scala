@@ -155,6 +155,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("set-similarity join stays equi-join: no cartesian/nested-loop") {
+    val q = graft.llm.TextOps.setSimJoin(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filtered candidates must come from an equi-join:\n$p")
+  }
+
+  test("classifier inference is equi-join + partial aggregates, no cartesian") {
+    val docs = Tables(spark, dir, "documents")
+    val q = graft.llm.TextOps.linearScore(
+      graft.llm.TextOps.hashedFeatures(docs, "doc_id", "text", 1024, "feat"),
+      graft.llm.TextOps.hashModelWeights(spark, 1024, "wgt"))
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"model scoring must equi-join the weight table:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"per-doc logit must map-side combine:\n$p")
+  }
+
+  test("PQ ADC search: code/LUT equi-join, heap-aggregate top-k (no per-query sort)") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val cb = VectorOps.pqCodebooks(emb, "vec_id", "qv", m = 2, subDim = 32,
+      ksub = 4, iters = 2)
+    val codes = VectorOps.pqEncode(emb, "vec_id", "qv", cb, m = 2, subDim = 32)
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val p = plan(VectorOps.pqTopK(codes, qs, cb, "vec_id", "qv", k = 5,
+      m = 2, subDim = 32))
+    assert(!p.contains("CartesianProduct"),
+      s"ADC scoring must join codes to LUTs, never cross:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"top-k must run through the bounded heap aggregate:\n$p")
+    assert(!p.contains("row_number"),
+      s"top-k must not sort every candidate per query:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar-heavy Q1 chain") {
     val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
     // AQE prints `isFinalPlan=false` with no codegen spans until the query
