@@ -509,6 +509,19 @@ object VectorOps {
   val CidBits = 20
   val MaxK: Int = 1 << CidBits
 
+  /** Coarse-list count for an ANN index: ~√n lists (the public FAISS
+    * guidance is 4√n..16√n; we take ceil(√n)) — balances assignment
+    * cost (n × nList dot products) against probe depth, and keeps the
+    * broadcast centroid table MODEL-sized (√n rows) where a
+    * [[kForCorpus]]-style n/c list count would make the broadcast grow
+    * linearly with the corpus and die long before 100 TB. Clustering
+    * ops keep kForCorpus (there the requirement is bounded cluster
+    * SIZE); index builds take this.
+    */
+  def nListForCorpus(n: Long): Int =
+    math.max(1L, math.min(MaxK.toLong,
+      math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)).toInt
+
   /** Cluster count that keeps SemDeDup-style in-cluster pairwise work
     * sub-quadratic as the corpus grows: k = ceil(n / targetClusterSize),
     * clamped to [1, [[MaxK]]]. With FIXED k, Σ|cluster|² ≈ n²/k is still

@@ -876,7 +876,9 @@ object LlmSurface {
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       val dot = VectorOps.dotFn(s)
       val (m, subDim, ksub) = (2, 32, 16)
-      val nList = VectorOps.kForCorpus(emb.count(), 32)
+      // √n coarse lists (FAISS guidance): the broadcast centroid table
+      // stays model-sized as the corpus grows, unlike an n/c list count
+      val nList = VectorOps.nListForCorpus(emb.count())
       val coarse = VectorOps.kMeansCentroids(emb, "vec_id", "qv", k = nList,
         iters = 2, dot = dot)
       // checkpointed: the residual table feeds two Lloyd loops (each
@@ -2115,7 +2117,8 @@ object LlmSurface {
     // Lloyd loops (p0/p1) + probe ranking + per-(query, list) LUT join.
     "llm_ann_ivf_pq" -> s"""
       WITH $embedQvCte,
-      ${kmeansCtesOver("e", 64, "g", kForCorpusSqlFor(32), 2)},
+      ${kmeansCtesOver("e", 64, "g",
+        "(SELECT greatest(1, least(1048576, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)", 2)},
       resid AS (
         SELECT e.vec_id, gax2.centroid_id AS list_id,
                list_transform(range(1, 65), j -> e.qv[j] - gc1.cv[j]) AS qv
