@@ -580,6 +580,39 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- bigram LM filter: conditional log-prob per document -------------
+    // The KenLM-shape upgrade of the unigram filter: score each bigram
+    // instance by ln P(w2|w1) with add-one smoothing, per-TYPE quantized
+    // to integer micro-nats (X61 trick) before the per-doc instance sum.
+    // Model = two aggregations joined on the first token; the vocab-
+    // sized joins carry no broadcast hint (AQE decides — same rule the
+    // round-5 verdict enforced on tfidf/unigram).
+    "llm_bigram_logprob" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+      val uni = base.select(explode(col("_w")).as("_w1"))
+        .groupBy("_w1").agg(count(lit(1)).as("c1"))
+      val vocabV = uni.count() // 1-row scalar aggregate, legitimate
+      val bi = base.select(col("doc_id"),
+        explode(TextOps.shinglesFromWords(col("_w"), 2)).as("bg"))
+      val lp = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+        .withColumn("_w1", element_at(split(col("bg"), " "), 1))
+        .join(uni, "_w1")
+        .select(col("bg"),
+          floor(log((col("c2") + 1).cast("double")
+            / (col("c1") + lit(vocabV)).cast("double")) * 1e6 + 0.5)
+            .cast("long").as("_lp"))
+      val per = bi.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("_lp").as("_st"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          TextOps.round6(col("_st") / (col("n_bigrams") * 1000000.0))
+            .as("avg_bigram_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // ---- token-budget selection: best docs first, to a token budget ------
     // Bucketed-histogram cutoff (quality×1000 grid): cumulative sum runs
     // over the ≤1001-row histogram, never the corpus — the global-sort
@@ -1771,6 +1804,32 @@ object LlmSurface {
              coalesce(o.n_bench_docs, 0) AS n_bench_docs,
              (coalesce(o.n_shared, 0) > 0) AS contaminated
       FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
+      ORDER BY d.doc_id
+    """,
+
+    "llm_bigram_logprob" -> s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      uni AS (
+        SELECT w, count(*) AS c1 FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+      vv AS (SELECT count(*) AS v FROM uni),
+      bi AS (
+        SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+          THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+          ELSE [] END) AS bg
+        FROM w),
+      lp AS (
+        SELECT bg,
+               CAST(floor(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS lp
+        FROM (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg) bc
+        JOIN uni ON string_split(bc.bg, ' ')[1] = uni.w, vv),
+      per AS (
+        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS st
+        FROM bi JOIN lp USING (bg) GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(per.n_bigrams, 0) AS n_bigrams,
+             ${round6sql("st / (per.n_bigrams * 1000000.0)")} AS avg_bigram_logprob
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       ORDER BY d.doc_id
     """,
 
