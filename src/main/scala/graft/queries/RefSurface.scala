@@ -373,6 +373,23 @@ object RefSurface {
         .orderBy(col("n_name").asc_nulls_first, col("yr").asc_nulls_first)
     }),
 
+    // ---- cube subtotals (all grouping-set combinations) ------------------
+    // Completes the grouping-sets family next to ROLLUP: CUBE emits
+    // every subset of the dims (flag×status, flag, status, grand
+    // total) in ONE aggregation pass — Spark expands grouping sets
+    // map-side, still a single exchange.
+    "agg_cube_pricing" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // ---- intersect / except (set operators) -----------------------------
     "m5_intersect_except" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -811,6 +828,16 @@ object RefSurface {
       JOIN nation ON s_nationkey = n_nationkey
       GROUP BY ROLLUP(n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT))
       ORDER BY n_name NULLS FIRST, yr NULLS FIRST
+    """,
+
+    "agg_cube_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             count(*) AS n_items
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 
     "m5_intersect_except" -> """
