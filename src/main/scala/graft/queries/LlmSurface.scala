@@ -717,6 +717,32 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- duplicate-group representative by QUALITY -----------------------
+    // Production keep-policy: within each near-dup cluster keep the
+    // BEST-quality copy (ties to the lowest id), not the arbitrary
+    // lowest id — the last step between dup detection and corpus
+    // emission. Representative = one min_by argmin per group (map-side
+    // combine), never a per-group sort.
+    "llm_dup_rep_quality" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = TextOps.simHashNearDup(docs, "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+      val groups = graft.operators.ConnectedComponents
+        .dupGroups(pairs, "doc_a", "doc_b").select("doc_id", "group_id")
+      val g = docs
+        .select(col("doc_id"),
+          TextOps.qualityScore(TextOps.words(col("text")), stopwords).as("quality"))
+        .join(groups, Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+      val reps = g.groupBy("group_id")
+        .agg(min_by(col("doc_id"),
+          struct((col("quality") * -1).as("_nq"), col("doc_id"))).as("_rep"))
+      g.join(reps, "group_id")
+        .select(col("doc_id"), col("group_id"), col("quality"),
+          (col("doc_id") === col("_rep")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact top-k cosine (quantized) over a broadcast query set -------
     // Baseline form: |queries| × |corpus| with the query side broadcast.
     // The corpus×corpus all-pairs form is rejected — at scale use
@@ -1091,6 +1117,18 @@ object LlmSurface {
     * (doc_a, doc_b, sim_a, sim_b) — shared by the pair query and the
     * dup-groups clustering oracle.
     */
+  /** The ONE SQL spelling of TextOps.qualityScore over a `ws` word-array
+    * column — shared by every oracle that scores quality, mirroring the
+    * single Scala definition (round-5 verdict: thresholds and formulas
+    * must live in exactly one place per engine).
+    */
+  private lazy val qualitySqlCol: String = round6sql(
+    "(least(len(ws), 200) / 200.0) * 0.5" +
+    " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
+    " + (len(list_filter(ws, x -> x IN (" +
+    stopwords.map(w => s"'$w'").mkString(", ") +
+    "))) / CAST(len(ws) AS DOUBLE)) * 0.2")
+
   private val simhashPairsCte = s"""
       tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -1345,10 +1383,7 @@ object LlmSurface {
         FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)),
       q AS (
         SELECT doc_id, lang, $langArgmax AS pred_lang,
-               ${round6sql(
-                 "(least(len(ws), 200) / 200.0) * 0.5" +
-                 " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
-                 " + (len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)) * 0.2")} AS quality
+               $qualitySqlCol AS quality
         FROM scored)
       SELECT doc_id, lang, pred_lang, quality,
              CASE WHEN quality >= 0.6 THEN 'high'
@@ -1385,10 +1420,7 @@ object LlmSurface {
         SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
       scored AS (
         SELECT doc_id, lang, text, len(ws) AS n_words,
-               ${round6sql(
-                 "(least(len(ws), 200) / 200.0) * 0.5" +
-                 " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
-                 " + (len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)) * 0.2")} AS quality
+               $qualitySqlCol AS quality
         FROM d),
       kept AS (
         SELECT *, $wordsetFpSql AS wordset_fp
@@ -1766,10 +1798,7 @@ object LlmSurface {
         FROM documents),
       q AS (
         SELECT doc_id, est_tokens,
-               ${round6sql(
-                 "(least(len(ws), 200) / 200.0) * 0.5" +
-                 " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
-                 " + (len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)) * 0.2")} AS quality
+               $qualitySqlCol AS quality
         FROM d),
       qb AS (
         SELECT doc_id, quality, est_tokens,
@@ -1977,6 +2006,39 @@ object LlmSurface {
       FROM cc ORDER BY doc_id
     """,
 
+    "llm_dup_rep_quality" -> s"""
+      WITH RECURSIVE $simhashPairsCte,
+      edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      sym AS (
+        SELECT doc_a AS node, doc_b AS nbr FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges),
+      reach(node, label) AS (
+        SELECT node, node FROM sym
+        UNION
+        SELECT s.node, r.label FROM sym s JOIN reach r ON s.nbr = r.node),
+      cc AS (SELECT node, min(label) AS group_id FROM reach GROUP BY node),
+      q AS (
+        SELECT doc_id, $qualitySqlCol AS quality
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      g AS (
+        SELECT q.doc_id, coalesce(cc.group_id, q.doc_id) AS group_id, q.quality
+        FROM q LEFT JOIN cc ON q.doc_id = cc.node),
+      reps AS (
+        SELECT group_id, doc_id AS rep_id FROM (
+          SELECT group_id, doc_id,
+                 row_number() OVER (PARTITION BY group_id
+                                    ORDER BY quality DESC, doc_id) AS rn
+          FROM g)
+        WHERE rn = 1)
+      SELECT g.doc_id, g.group_id, g.quality,
+             (g.doc_id = reps.rep_id) AS keep
+      FROM g JOIN reps USING (group_id)
+      ORDER BY g.doc_id
+    """,
+
     "llm_kmeans" -> kmeansSql(k = 8, iters = 3),
 
     "llm_semantic_dedup" -> s"""
@@ -1991,10 +2053,7 @@ object LlmSurface {
       WITH $semanticDupCtes,
       q AS (
         SELECT doc_id,
-               ${round6sql(
-                 "(least(len(ws), 200) / 200.0) * 0.5" +
-                 " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
-                 " + (len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', 'in'))) / CAST(len(ws) AS DOUBLE)) * 0.2")} AS quality
+               $qualitySqlCol AS quality
         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
       j AS (
         SELECT q.doc_id, q.quality, w.centroid_id,
