@@ -886,7 +886,7 @@ object LlmSurface {
     // ---- IVF over TRAINED lists: kMeans centroids feed the index --------
     // The production IVF shape (train → build lists → probe), composed
     // from the two primitives that already oracle: kMeansCentroids
-    // (2 Lloyd rounds, corpus-derived nList ≈ n/32) trains the coarse
+    // (2 Lloyd rounds, √n lists — nListForCorpus) trains the coarse
     // quantizer, ivfTopK builds the inverted lists and probes the 4
     // nearest of them per query. Every stage is the broadcast/equi-join
     // shape; the oracle replays the training CTEs and reads the final
@@ -895,7 +895,9 @@ object LlmSurface {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       val dot = VectorOps.dotFn(s)
-      val nList = VectorOps.kForCorpus(emb.count(), 32)
+      // √n lists (see nListForCorpus): an n/c list count makes the
+      // broadcast coarse quantizer grow linearly with the corpus
+      val nList = VectorOps.nListForCorpus(emb.count())
       val cents = VectorOps
         .kMeansCentroids(emb, "vec_id", "qv", k = nList, iters = 2, dot = dot)
         .select(col("cid").as("vec_id"), col("cv").as("qv"))
@@ -2167,7 +2169,9 @@ object LlmSurface {
     """,
 
     "llm_ann_ivf_trained" -> s"""
-      WITH ${kmeansCtes(kForCorpusSqlFor(32), iters = 2)},
+      WITH ${kmeansCtes(
+        "(SELECT greatest(1, least(1048576, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)",
+        iters = 2)},
       ad AS (
         SELECT e.vec_id, e.qv, c1.cid,
                CAST(list_sum(list_transform(range(1, len(e.qv) + 1), i -> e.qv[i] * c1.cv[i])) AS BIGINT) AS cdot
