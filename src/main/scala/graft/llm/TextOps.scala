@@ -725,6 +725,51 @@ object TextOps {
         round6(col("_st") / (col("n_tokens") * 1000.0)).as("score"),
         when(col("_st") >= 0, "keep").otherwise("drop").as("label"))
 
+  /** Sequence packing for training: concatenate documents in id order
+    * (with their token counts) and slice the stream into fixed
+    * `seqLen`-token windows — every doc learns its global token OFFSET
+    * and the first/last training sequence it lands in. This is the
+    * "pack to 2048 with EOS" step every LLM data pipeline runs between
+    * curation and tokenization.
+    *
+    * The global prefix sum is the scale problem: a single `ORDER BY id`
+    * running-sum window funnels the corpus onto ONE partition
+    * (rejected, same argument as the token-budget op). Instead the
+    * classic two-level parallel scan, in DataFrame ops: (1) bucket docs
+    * by `id div bucketSize` and partial-combine per-bucket token sums
+    * (corpus/bucketSize rows); (2) run the running sum over that SMALL
+    * bucket table (the only single-partition window, bounded by
+    * corpus/bucketSize — for extreme corpora apply the same step
+    * recursively, the textbook multi-level scan); (3) add a PER-BUCKET
+    * windowed cumsum, parallel across buckets. The oracle is the
+    * single-window spelling, so the decomposition is proven equivalent
+    * — the X52 oracle pattern.
+    *
+    * `idCol` must be numeric and unique (the pack order). Output:
+    * (idCol, n_tokens, tok_offset, first_seq, last_seq).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, bucketSize: Int = 4096): DataFrame = {
+    require(seqLen > 0 && bucketSize > 0,
+      s"seqLen ($seqLen) and bucketSize ($bucketSize) must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+    val t = df.select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("_bkt", floor(col(idCol) / (bucketSize * 1.0)).cast("long"))
+    val bases = t.groupBy("_bkt").agg(sum("n_tokens").as("_bsum"))
+      .withColumn("_base",
+        coalesce(sum("_bsum").over(
+          w.orderBy("_bkt").rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("_bkt", "_base")
+    val inBkt = w.partitionBy("_bkt").orderBy(idCol)
+      .rowsBetween(w.unboundedPreceding, -1)
+    t.join(bases, "_bkt")
+      .withColumn("tok_offset",
+        col("_base") + coalesce(sum("n_tokens").over(inBkt), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $seqLen").as("first_seq"),
+        expr(s"(tok_offset + n_tokens - 1) div $seqLen").as("last_seq"))
+  }
+
   /** THE curation quality score, over a pre-split word array: length
     * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
     * (0.2), rounded to 6 dp. ONE definition consumed by the batch

@@ -613,6 +613,18 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence packing: docs -> fixed-length training windows ---------
+    // Exact global token offsets via the two-level parallel scan
+    // (bucket partial sums -> small-table running sum -> per-bucket
+    // windows); bucketSize 128 so the verify corpus exercises multiple
+    // buckets. Oracle is the single-window spelling — equivalence of
+    // the decomposition is what the hash proves.
+    "llm_pack_sequences" -> ((s, dir) => {
+      TextOps.packSequences(Tables(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512, bucketSize = 128)
+        .orderBy("doc_id")
+    }),
+
     // ---- token-budget selection: best docs first, to a token budget ------
     // Bucketed-histogram cutoff (quality×1000 grid): cumulative sum runs
     // over the ≤1001-row histogram, never the corpus — the global-sort
@@ -1836,6 +1848,22 @@ object LlmSurface {
              (coalesce(o.n_shared, 0) > 0) AS contaminated
       FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
       ORDER BY d.doc_id
+    """,
+
+    "llm_pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+               coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) AS tok_offset
+        FROM t)
+      SELECT doc_id, n_tokens, tok_offset,
+             tok_offset // 512 AS first_seq,
+             (tok_offset + n_tokens - 1) // 512 AS last_seq
+      FROM o ORDER BY doc_id
     """,
 
     "llm_bigram_logprob" -> s"""

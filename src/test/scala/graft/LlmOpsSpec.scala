@@ -66,6 +66,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("packSequences: exact offsets across bucket boundaries, hand-computed") {
+    // token counts 3,4,2,6,1 -> offsets 0,3,7,9,15; seqLen 5 windows.
+    // bucketSize=2 forces three buckets so the two-level scan's
+    // cross-bucket bases are exercised, not just the within-bucket path.
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b"),
+      (4L, "a b c d e f"), (5L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.packSequences(df, "doc_id", "text", seqLen = 5, bucketSize = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 0L, 0L, 0L)))
+    assert(got(2L) === ((2L, 4L, 3L, 0L, 1L)))
+    assert(got(3L) === ((3L, 2L, 7L, 1L, 1L)))
+    assert(got(4L) === ((4L, 6L, 9L, 1L, 2L)))
+    assert(got(5L) === ((5L, 1L, 15L, 3L, 3L)))
+  }
+
   test("wordEntropy: hand-computed values; single-word doc is zero") {
     val df = Seq(
       (1L, "a a b b"),          // uniform over 2 words -> ln 2
