@@ -32,6 +32,35 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("value_sum"))
 
+  /** Stream-stream click attribution: join each click to the views by
+    * the SAME user that happened within `horizon` BEFORE it — the
+    * canonical two-stream event-time join. Both inputs need
+    * (user_id, ts, event_id).
+    *
+    * The time-range predicate is load-bearing for scale: with both
+    * sides watermarked AND the join condition bounding click_ts to
+    * [view_ts, view_ts + horizon], Structured Streaming can evict a
+    * buffered view once the watermark passes view_ts + horizon and a
+    * buffered click once it passes click_ts — state stays
+    * O(traffic × horizon), not unbounded. An equality-only stream-
+    * stream join (no range bound) buffers both streams FOREVER — the
+    * 100 TB failure mode this operator exists to avoid.
+    */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+      horizon: String, watermarkDelay: String): DataFrame = {
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    c.join(v,
+      expr(s"user_id = v_user AND click_ts >= view_ts" +
+        s" AND click_ts <= view_ts + interval $horizon"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, valueSum: Double)
   final case class SessionOut(
       user_id: Long,

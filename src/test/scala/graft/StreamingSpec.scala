@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream click attribution joins within the horizon only") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStream.attributeClicks(
+      views.toDF().toDF("user_id", "ts", "event_id"),
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      horizon = "30 minutes", watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("attrib_test")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00"), 100L),
+        (1L, ts("2024-01-01 10:20:00"), 101L), // second view, also in horizon
+        (2L, ts("2024-01-01 10:00:00"), 102L))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:25:00"), 200L), // 25 min after 100, 5 after 101
+        (2L, ts("2024-01-01 11:30:00"), 201L)) // 90 min after 102: outside
+      q.processAllAvailable()
+      val got = spark.table("attrib_test")
+        .select("user_id", "click_id", "view_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 200L, 100L), (1L, 200L, 101L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark keyed on content hash") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
