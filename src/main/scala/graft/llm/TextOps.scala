@@ -770,6 +770,29 @@ object TextOps {
         expr(s"(tok_offset + n_tokens - 1) div $seqLen").as("last_seq"))
   }
 
+  /** The loader-facing form of [[packSequences]]: one manifest row per
+    * (sequence, document) pair — which token sub-range of each doc a
+    * training sequence reads. `doc_tok_from` is 0-based within the doc;
+    * a loader materializes sequence `s` by concatenating its rows'
+    * `[doc_tok_from, doc_tok_from + n_toks)` slices in doc id order.
+    * The per-doc explode emits ≤ n_tokens/seqLen + 1 rows — output is
+    * corpus-tokens/seqLen-proportional, and everything after the pack
+    * is a narrow projection.
+    */
+  def sequenceManifest(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, bucketSize: Int = 4096): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, seqLen, bucketSize)
+    val lo = greatest(col("tok_offset"), col("seq_id") * seqLen)
+    val hi = least(col("tok_offset") + col("n_tokens"),
+      (col("seq_id") + 1) * seqLen)
+    packed
+      .withColumn("seq_id",
+        explode(sequence(col("first_seq"), col("last_seq"))))
+      .select(col("seq_id"), col(idCol),
+        (lo - col("tok_offset")).as("doc_tok_from"),
+        (hi - lo).as("n_toks"))
+  }
+
   /** THE curation quality score, over a pre-split word array: length
     * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
     * (0.2), rounded to 6 dp. ONE definition consumed by the batch

@@ -625,6 +625,13 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence manifest: (sequence, doc, token-range) loader table ----
+    "llm_seq_manifest" -> ((s, dir) => {
+      TextOps.sequenceManifest(Tables(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512, bucketSize = 128)
+        .orderBy("seq_id", "doc_id")
+    }),
+
     // ---- token-budget selection: best docs first, to a token budget ------
     // Bucketed-histogram cutoff (quality×1000 grid): cumulative sum runs
     // over the ≤1001-row histogram, never the corpus — the global-sort
@@ -1864,6 +1871,32 @@ object LlmSurface {
              tok_offset // 512 AS first_seq,
              (tok_offset + n_tokens - 1) // 512 AS last_seq
       FROM o ORDER BY doc_id
+    """,
+
+    "llm_seq_manifest" -> """
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+               coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) AS tok_offset
+        FROM t),
+      p AS (
+        SELECT doc_id, n_tokens, tok_offset,
+               tok_offset // 512 AS first_seq,
+               (tok_offset + n_tokens - 1) // 512 AS last_seq
+        FROM o),
+      m AS (
+        SELECT doc_id, n_tokens, tok_offset,
+               unnest(generate_series(first_seq, last_seq)) AS seq_id
+        FROM p)
+      SELECT seq_id, doc_id,
+             greatest(tok_offset, seq_id * 512) - tok_offset AS doc_tok_from,
+             least(tok_offset + n_tokens, (seq_id + 1) * 512)
+               - greatest(tok_offset, seq_id * 512) AS n_toks
+      FROM m ORDER BY seq_id, doc_id
     """,
 
     "llm_bigram_logprob" -> s"""

@@ -83,6 +83,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(5L) === ((5L, 1L, 15L, 3L, 3L)))
   }
 
+  test("sequenceManifest: full sequences hold exactly seqLen tokens; docs fully covered") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b"),
+      (4L, "a b c d e f"), (5L, "a"))
+      .toDF("doc_id", "text")
+    val m = TextOps.sequenceManifest(df, "doc_id", "text", seqLen = 5, bucketSize = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    // 16 tokens / seqLen 5 -> seqs 0..3; all but the last are full
+    val bySeq = m.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(bySeq === Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 1L))
+    // every doc's contributions tile [0, n_tokens) contiguously
+    val byDoc = m.groupBy(_._2)
+    val tokens = Map(1L -> 3L, 2L -> 4L, 3L -> 2L, 4L -> 6L, 5L -> 1L)
+    tokens.foreach { case (doc, n) =>
+      val spans = byDoc(doc).sortBy(_._3).map(r => (r._3, r._3 + r._4))
+      assert(spans.head._1 === 0L && spans.last._2 === n)
+      spans.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => assert(hi === lo2)
+        case _ =>
+      }
+    }
+  }
+
   test("wordEntropy: hand-computed values; single-word doc is zero") {
     val df = Seq(
       (1L, "a a b b"),          // uniform over 2 words -> ln 2

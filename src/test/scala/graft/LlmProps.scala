@@ -49,6 +49,26 @@ object LlmProps extends Properties("LlmOps") {
       planted.subsetOf(found)
     }
 
+  property("setSimJoin equals brute-force exact Jaccard on random corpora") =
+    forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val got = TextOps.setSimJoin(df, "doc_id", "text")
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // driver-side brute force over the same 3-shingle sets
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = corpus.map { case (id, t) => (id, shingles(t)) }
+        .filter(_._2.nonEmpty)
+      val brute = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        j = math.floor(inter.toDouble / (sa.size + sb.size - inter) * 1e6 + 0.5) / 1e6
+        if j >= 0.5
+      } yield (a, b, j)).toSet
+      got == brute
+    }
+
   private val vecGen: Gen[Array[Float]] =
     Gen.listOfN(8, Gen.choose(-1000, 1000)).map(_.map(_ / 1000.0f).toArray)
 
