@@ -402,24 +402,32 @@ object LlmSurface {
     // micro-unit integer grid (the cross-row sum is exact integer math,
     // never a float reduction). Everything reduces over |sources| rows;
     // the corpus pass is one partial-combine aggregation.
-    "llm_mixture_weights" -> ((s, dir) => {
-      val per = Tables(s, dir, "documents")
-        .select(col("source"), size(TextOps.words(col("text"))).cast("long").as("_t"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("_t").as("n_tokens"))
-      val tot = per.agg(sum("n_tokens").cast("double").as("_tot"))
-      val scored = per.crossJoin(broadcast(tot))
-        .withColumn("token_share",
-          TextOps.round6(col("n_tokens").cast("double") / col("_tot")))
-        .withColumn("_pq",
-          floor(sqrt(col("n_tokens").cast("double") / col("_tot")) * 1000000.0 + 0.5)
-            .cast("long"))
-      val z = scored.agg(sum("_pq").cast("double").as("_z"))
-      scored.crossJoin(broadcast(z))
-        .withColumn("mix_weight", TextOps.round6(col("_pq").cast("double") / col("_z")))
-        .withColumn("boost", TextOps.round6(col("mix_weight") / col("token_share")))
-        .select("source", "n_docs", "n_tokens", "token_share", "mix_weight", "boost")
-        .orderBy("source")
+    "llm_mixture_weights" -> ((s, dir) =>
+      mixtureWeights(s, dir).orderBy("source")),
+
+    // ---- mixture application: deterministic per-source sampling ----------
+    // Turns X70's boosts into an actual emission plan: every doc gets
+    // n_copies = floor(boost) + one md5-coin copy for the fractional
+    // part — down-sampled sources drop docs (n_copies 0), up-weighted
+    // sources repeat them. All comparisons are INTEGER (micro-unit
+    // boost vs 16-bit hash cross-multiplied), so membership is a pure
+    // function of (source boost, doc_id) — reproducible across runs,
+    // partitionings, and engines, and the |sources|-row boost table is
+    // an AQE-decided equi-join.
+    "llm_mixture_sample" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "source")
+      val h16 = conv(substring(
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+      docs.join(mixtureWeights(s, dir).select("source", "boost"), "source")
+        .withColumn("_bm", floor(col("boost") * 1000000.0 + 0.5).cast("long"))
+        .withColumn("_h", h16)
+        .withColumn("n_copies",
+          expr("_bm div 1000000")
+            + when(col("_h") * 1000000L < (col("_bm") % 1000000L) * 65536L, 1L)
+              .otherwise(0L))
+        .select("doc_id", "source", "boost", "n_copies")
+        .orderBy("doc_id")
     }),
 
     // ---- TF-IDF: rarity-weighted terms, top-3 per document ---------------
@@ -1138,6 +1146,55 @@ object LlmSurface {
     * (doc_a, doc_b, sim_a, sim_b) — shared by the pair query and the
     * dup-groups clustering oracle.
     */
+  /** Temperature-scaled (α=0.5) source mixture weights — ONE definition
+    * shared by the weights query and the sampling query that applies
+    * them (`llm_mixture_sample`). sqrt is IEEE-exact in both engines;
+    * the per-source table reduces over |sources| rows.
+    */
+  private def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "documents")
+      .select(col("source"), size(TextOps.words(col("text"))).cast("long").as("_t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_t").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("double").as("_tot"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        TextOps.round6(col("n_tokens").cast("double") / col("_tot")))
+      .withColumn("_pq",
+        floor(sqrt(col("n_tokens").cast("double") / col("_tot")) * 1000000.0 + 0.5)
+          .cast("long"))
+    val z = scored.agg(sum("_pq").cast("double").as("_z"))
+    scored.crossJoin(broadcast(z))
+      .withColumn("mix_weight", TextOps.round6(col("_pq").cast("double") / col("_z")))
+      .withColumn("boost", TextOps.round6(col("mix_weight") / col("token_share")))
+      .select("source", "n_docs", "n_tokens", "token_share", "mix_weight", "boost")
+  }
+
+  /** Oracle twin of [[mixtureWeights]], ending in CTE
+    * `mixw(source, n_docs, n_tokens, token_share, mix_weight, boost)`.
+    */
+  private lazy val mixtureCtes: String = s"""d AS (
+        SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents),
+      per AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(t) AS BIGINT) AS n_tokens
+              FROM d GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
+      sc AS (
+        SELECT source, n_docs, n_tokens,
+               ${round6sql("n_tokens / tot")} AS token_share,
+               CAST(floor(sqrt(n_tokens / tot) * 1000000.0 + 0.5) AS BIGINT) AS pq
+        FROM per, tot),
+      z AS (SELECT CAST(sum(pq) AS DOUBLE) AS z FROM sc),
+      m AS (
+        SELECT source, n_docs, n_tokens, token_share,
+               ${round6sql("pq / z")} AS mix_weight
+        FROM sc, z),
+      mixw AS (
+        SELECT source, n_docs, n_tokens, token_share, mix_weight,
+               ${round6sql("mix_weight / token_share")} AS boost
+        FROM m)"""
+
   /** The ONE SQL spelling of TextOps.qualityScore over a `ws` word-array
     * column — shared by every oracle that scores quality, mirroring the
     * single Scala definition (round-5 verdict: thresholds and formulas
@@ -1697,26 +1754,24 @@ object LlmSurface {
     """,
 
     "llm_mixture_weights" -> s"""
-      WITH d AS (
-        SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
-        FROM documents),
-      per AS (SELECT source, count(*) AS n_docs,
-                     CAST(sum(t) AS BIGINT) AS n_tokens
-              FROM d GROUP BY source),
-      tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
-      sc AS (
-        SELECT source, n_docs, n_tokens,
-               ${round6sql("n_tokens / tot")} AS token_share,
-               CAST(floor(sqrt(n_tokens / tot) * 1000000.0 + 0.5) AS BIGINT) AS pq
-        FROM per, tot),
-      z AS (SELECT CAST(sum(pq) AS DOUBLE) AS z FROM sc),
-      m AS (
-        SELECT source, n_docs, n_tokens, token_share,
-               ${round6sql("pq / z")} AS mix_weight
-        FROM sc, z)
-      SELECT source, n_docs, n_tokens, token_share, mix_weight,
-             ${round6sql("mix_weight / token_share")} AS boost
-      FROM m ORDER BY source
+      WITH $mixtureCtes
+      SELECT source, n_docs, n_tokens, token_share, mix_weight, boost
+      FROM mixw ORDER BY source
+    """,
+
+    "llm_mixture_sample" -> s"""
+      WITH $mixtureCtes,
+      j AS (
+        SELECT doc_id, dd.source, boost,
+               CAST(floor(boost * 1000000.0 + 0.5) AS BIGINT) AS bm,
+               CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                    AS BIGINT) AS h
+        FROM documents dd JOIN mixw USING (source))
+      SELECT doc_id, source, boost,
+             bm // 1000000
+               + CASE WHEN h * 1000000 < (bm % 1000000) * 65536 THEN 1 ELSE 0 END
+               AS n_copies
+      FROM j ORDER BY doc_id
     """,
 
     "llm_tfidf" -> s"""
