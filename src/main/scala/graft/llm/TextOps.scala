@@ -754,7 +754,7 @@ object TextOps {
       s"seqLen ($seqLen) and bucketSize ($bucketSize) must be > 0")
     val w = org.apache.spark.sql.expressions.Window
     val t = df.select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("_bkt", floor(col(idCol) / (bucketSize * 1.0)).cast("long"))
+      .withColumn("_bkt", expr(s"`$idCol` div $bucketSize"))
     val bases = t.groupBy("_bkt").agg(sum("n_tokens").as("_bsum"))
       .withColumn("_base",
         coalesce(sum("_bsum").over(
@@ -777,7 +777,11 @@ object TextOps {
     * `[doc_tok_from, doc_tok_from + n_toks)` slices in doc id order.
     * The per-doc explode emits ≤ n_tokens/seqLen + 1 rows — output is
     * corpus-tokens/seqLen-proportional, and everything after the pack
-    * is a narrow projection.
+    * is a narrow projection. A doc contributing 0 tokens (null text, or
+    * a tokenizer that can emit empty) has `last_seq < first_seq`; Spark's
+    * `sequence` would generate a DESCENDING range there (the same trap
+    * `shinglesFromWords` guards), so such docs are explicitly dropped —
+    * matching the oracle's `generate_series`, which returns empty.
     */
   def sequenceManifest(df: DataFrame, idCol: String, textCol: String,
       seqLen: Int, bucketSize: Int = 4096): DataFrame = {
@@ -787,7 +791,9 @@ object TextOps {
       (col("seq_id") + 1) * seqLen)
     packed
       .withColumn("seq_id",
-        explode(sequence(col("first_seq"), col("last_seq"))))
+        explode(when(col("last_seq") >= col("first_seq"),
+          sequence(col("first_seq"), col("last_seq")))
+          .otherwise(array().cast("array<bigint>"))))
       .select(col("seq_id"), col(idCol),
         (lo - col("tok_offset")).as("doc_tok_from"),
         (hi - lo).as("n_toks"))

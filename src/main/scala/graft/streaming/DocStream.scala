@@ -57,12 +57,19 @@ object DocStream {
     * paths agree token-for-token (StreamingSpec pins the parity).
     *
     * `weights` must cover every bucket in [0, numBuckets) — true of any
-    * trained hashed model; uncovered buckets score 0 defensively.
+    * trained hashed model, and ENFORCED here: a partial model would
+    * silently diverge from the batch path (the batch `linearScore`
+    * inner-joins the weight table, dropping uncovered buckets from
+    * `n_tokens` and the logit, while this coalesce-to-0 would still
+    * count the token), so it fails fast instead.
     * Output mirrors the batch scorer: (doc_id, n_tokens, score, label),
     * with the label compared on the exact INTEGER logit.
     */
   def classify(docs: DataFrame, weights: Map[Int, Long], numBuckets: Int,
       salt: String): DataFrame = {
+    require((0 until numBuckets).forall(weights.contains),
+      s"weights must cover every bucket in [0, $numBuckets) — missing " +
+        (0 until numBuckets).filterNot(weights.contains).take(5).mkString(","))
     val wmap = typedLit(weights)
     docs
       .withColumn("_w", TextOps.words(col("text")))

@@ -106,6 +106,38 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("sequenceManifest: zero-token docs emit no manifest rows, coverage of the rest intact") {
+    // A null text yields n_tokens = null (ANSI size(null)) and
+    // last_seq < first_seq semantics — without the explode guard Spark's
+    // sequence() would generate a DESCENDING range and emit bogus
+    // negative-length rows. The guarded form drops the doc, matching
+    // the oracle's empty generate_series.
+    val df = Seq((1L, "a b c"), (2L, null: String), (3L, "d e f g"))
+      .toDF("doc_id", "text")
+    val m = TextOps.sequenceManifest(df, "doc_id", "text", seqLen = 4, bucketSize = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(!m.exists(_._2 == 2L), "zero-token doc must emit no rows")
+    assert(m.forall(_._4 > 0), "no non-positive n_toks rows")
+    // 3 + 4 tokens -> seq 0 holds 4, seq 1 holds 3
+    val bySeq = m.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(bySeq === Map(0L -> 4L, 1L -> 3L))
+  }
+
+  test("packSequences: bucketing stays exact for ids beyond 2^53 (integer div, not double)") {
+    // Doubles cannot represent odd longs >= 2^53; the bucket key must be
+    // computed with integer division so borderline ids keep exact,
+    // monotone bucket assignment. Offsets here are hand-computable:
+    // token counts 2,3,1 in id order.
+    val base = 9007199254740992L // 2^53
+    val df = Seq((base, "a b"), (base + 1L, "a b c"), (base + 3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.packSequences(df, "doc_id", "text", seqLen = 4, bucketSize = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(base) === ((base, 2L, 0L, 0L, 0L)))
+    assert(got(base + 1L) === ((base + 1L, 3L, 2L, 0L, 1L)))
+    assert(got(base + 3L) === ((base + 3L, 1L, 5L, 1L, 1L)))
+  }
+
   test("wordEntropy: hand-computed values; single-word doc is zero") {
     val df = Seq(
       (1L, "a a b b"),          // uniform over 2 words -> ln 2

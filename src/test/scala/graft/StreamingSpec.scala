@@ -145,6 +145,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classify rejects a partial model (uncovered feature buckets fail fast)") {
+    // The batch linearScore inner-joins the weight table — an uncovered
+    // bucket silently drops out of n_tokens and the logit there, while
+    // the streaming coalesce-to-0 would still count the token. Rather
+    // than diverge, an incomplete model must be rejected at entry.
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val partial = Map(0 -> 5L, 1 -> -3L) // buckets 2..7 missing
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.DocStream.classify(docs, partial, 8, "feat")
+    }
+    assert(e.getMessage.contains("cover every bucket"))
+  }
+
   test("streaming curate matches the batch policy keep-set on the real corpus") {
     // THE backfill guarantee: replaying a corpus through DocStream.curate
     // must keep exactly the documents the batch spelling of the same
