@@ -868,6 +868,53 @@ object TextOps {
       .drop("_qb", "_cum")
   }
 
+  /** Line-level dedup (RefinedWeb / CCNet): drop every LINE whose exact
+    * text occurs in at least `minDocs` distinct documents — the pass
+    * that removes navigation bars, cookie banners, and boilerplate
+    * headers/footers that whole-document dedup can never touch (the
+    * docs differ) and fixed-offset chunk hashing misses (the shared
+    * line sits at different offsets per doc).
+    *
+    * Scale design: the only corpus-sized shuffles carry (line_hash) and
+    * (doc, pos) — never line TEXT. Lines stay in their origin row's
+    * array; the exploded side ships 16-byte hashes + integer positions,
+    * the common-line table is built by two partial-combine aggs
+    * (distinct (hash, doc) → count per hash), and dropped POSITIONS
+    * come back as one `collect_set(pos)` per doc (bounded by the doc's
+    * own line count). Reassembly is an in-row `filter` over the kept
+    * positions — no posting of text through any exchange. A
+    * billion-doc-hot line ("thank you") makes the probe side of the
+    * common-line join skew on one hash: AQE skew-join splitting handles
+    * it (the build side is 1 row/key), same argument as the
+    * decontamination join.
+    *
+    * Output: (idCol, n_lines, n_dropped, clean_text) — clean_text keeps
+    * surviving lines in original order, '\n'-joined ("" if everything
+    * was boilerplate).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs ($minDocs) must be >= 2")
+    val lines = df.select(col(idCol), split(col(textCol), "\n").as("_lines"))
+    val exploded = lines
+      .select(col(idCol), posexplode(col("_lines")).as(Seq("pos", "_l")))
+      .select(col(idCol), col("pos"), md5(col("_l")).as("_lh"))
+    val common = exploded.select(col("_lh"), col(idCol)).distinct()
+      .groupBy("_lh").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("_lh")
+    val dropped = exploded.join(common, "_lh")
+      .groupBy(idCol).agg(collect_set(col("pos")).as("_drop"))
+    lines.join(dropped, Seq(idCol), "left")
+      .withColumn("_drop", coalesce(col("_drop"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(col("_drop")).cast("long").as("n_dropped"),
+        array_join(
+          filter(col("_lines"), (_, i) => !array_contains(col("_drop"), i)),
+          "\n").as("clean_text"))
+  }
+
   /** PII/URL scrubbing — the redaction pass every production training
     * pipeline runs before tokenization. Replacement order matters and is
     * fixed: URLs first (so an address inside a URL is already gone),

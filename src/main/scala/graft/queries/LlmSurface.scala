@@ -47,6 +47,15 @@ object LlmSurface {
       when(col("doc_id") % 25 === 0, concat(col("text"), lit(" " + Boilerplate)))
         .otherwise(col("text")))
 
+  /** Boilerplate LINES planted by llm_line_dedup (both engines): every
+    * 10th doc gets the header prepended, every 15th the footer appended,
+    * '\n'-separated — cross-document duplicate lines inside documents
+    * that are NOT duplicates of each other, exactly what line-level
+    * dedup exists to remove.
+    */
+  private val HeaderLine = "subscribe to our newsletter for daily updates"
+  private val FooterLine = "copyright twenty twenty four all rights reserved"
+
   /** BPE-ish tokenizer regex: alnum runs or single non-alnum marks.
     * Whitespace is spelled as explicit characters (not `\s`) so Java
     * regex and RE2 read the identical byte pattern.
@@ -336,6 +345,21 @@ object LlmSurface {
     "llm_substring_dedup" -> ((s, dir) => {
       TextOps.substringDupStats(boilerplatedDocs(s, dir), "doc_id", "aug", spanTokens = 10)
         .orderBy("doc_id")
+    }),
+
+    // ---- line-level dedup (RefinedWeb/CCNet): drop cross-doc shared lines
+    // The pass whole-doc dedup can't do (the docs differ) and offset-bound
+    // chunk shas miss (the shared line floats per doc). Corpus text is
+    // single-line, so boilerplate header/footer LINES are planted (both
+    // engines); duplicate doc bodies also collapse — same rule, no
+    // special case. Shuffles carry hashes and positions, never line text.
+    "llm_line_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").withColumn("aug",
+        concat(
+          when(col("doc_id") % 10 === 0, lit(HeaderLine + "\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 15 === 0, lit("\n" + FooterLine)).otherwise(lit(""))))
+      TextOps.lineDedup(d, "doc_id", "aug").orderBy("doc_id")
     }),
 
     // ---- maximal duplicate spans: the excisable form of the above --------
@@ -1697,6 +1721,37 @@ object LlmSurface {
                   THEN ${round6sql("coalesce(pd.n_dup_spans, 0) / CAST(b.n_spans AS DOUBLE)")}
                   ELSE 0.0 END AS dup_frac
       FROM base b LEFT JOIN pd USING (doc_id)
+      ORDER BY b.doc_id
+    """,
+
+    "llm_line_dedup" -> s"""
+      WITH aug AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 10 = 0 THEN '$HeaderLine' || chr(10) ELSE '' END)
+               || text ||
+               (CASE WHEN doc_id % 15 = 0 THEN chr(10) || '$FooterLine' ELSE '' END) AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+      l AS (
+        SELECT doc_id, ls,
+               unnest(range(1, CAST(len(ls) AS BIGINT) + 1)) AS pos
+        FROM w),
+      lh AS (SELECT doc_id, pos, md5(ls[pos]) AS h, ls[pos] AS line FROM l),
+      common AS (
+        SELECT h FROM (SELECT DISTINCT h, doc_id FROM lh)
+        GROUP BY h HAVING count(*) >= 2),
+      kept AS (
+        SELECT doc_id, pos, line FROM lh
+        WHERE h NOT IN (SELECT h FROM common)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+      base AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM w)
+      SELECT b.doc_id, b.n_lines,
+             b.n_lines - coalesce(a.n_kept, 0) AS n_dropped,
+             coalesce(a.clean_text, '') AS clean_text
+      FROM base b LEFT JOIN agg a USING (doc_id)
       ORDER BY b.doc_id
     """,
 

@@ -106,6 +106,29 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup: cross-doc lines dropped, within-doc repeats kept, order preserved") {
+    val df = Seq(
+      (1L, "banner ad\nunique alpha\nbanner ad\nunique beta"), // banner also in doc 2
+      (2L, "banner ad\nunique gamma"),
+      (3L, "solo line\nsolo line"))                            // repeated but ONLY in doc 3
+      .toDF("doc_id", "text")
+    val got = TextOps.lineDedup(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // both banner positions in doc 1 drop; survivors keep original order
+    assert(got(1L) === ((1L, 4L, 2L, "unique alpha\nunique beta")))
+    assert(got(2L) === ((2L, 2L, 1L, "unique gamma")))
+    // within-doc repetition is NOT cross-doc duplication (1 distinct doc)
+    assert(got(3L) === ((3L, 2L, 0L, "solo line\nsolo line")))
+  }
+
+  test("lineDedup: a doc that is entirely boilerplate reassembles to empty text") {
+    val df = Seq((1L, "x\ny"), (2L, "x\ny"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, "")))
+    assert(got(3L) === ((3L, 1L, 1L, "")))
+  }
+
   test("sequenceManifest: zero-token docs emit no manifest rows, coverage of the rest intact") {
     // A null text yields n_tokens = null (ANSI size(null)) and
     // last_seq < first_seq semantics — without the explode guard Spark's
