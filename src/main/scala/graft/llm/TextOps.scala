@@ -694,6 +694,54 @@ object TextOps {
     conv(substring(md5(concat(lit(s"$salt|"), w)), 1, 4), 16, 10)
       .cast("int") % numBuckets
 
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-n-gram features are under a
+    * TARGET distribution (a trusted subset — here a caller-supplied
+    * predicate) than under the RAW corpus distribution:
+    * `log w(x) = Σ_b c_b(x) · (ln p_t(b) − ln p_r(b))` with
+    * Laplace-smoothed bucket models. Documents with positive log-weight
+    * are the ones importance resampling up-samples toward the target.
+    *
+    * Scale design: ONE exploded pass builds per-doc features
+    * ([[hashedFeatures]]); BOTH bucket models come out of a single
+    * partial-combine aggregation over it (raw = sum, target =
+    * conditional sum — no second corpus pass); the totals are a 1-row
+    * broadcast (the scalar-aggregate pattern, not a driver collect);
+    * and the log-ratio model is `numBuckets` rows — CONSTANT in corpus
+    * size by feature hashing, so the scoring join never meets a
+    * Heaps-law vocabulary. Per-bucket log-ratios are quantized to
+    * integer micro-nats BEFORE the per-doc sum (the X61 trick), so the
+    * cross-row reduction is associative integer math — partition- and
+    * engine-proof.
+    *
+    * Output: (doc, n_tokens, logw_micronats, avg_logw, selected).
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, numBuckets: Int, salt: String): DataFrame = {
+    val feats = hashedFeatures(df, idCol, textCol, numBuckets, salt)
+    val flags = df.select(col(idCol).as("doc"), isTarget.as("_t"))
+    val fx = feats.join(flags, "doc")
+    val buckets = fx.groupBy("b").agg(
+      sum("c").as("_cr"),
+      sum(when(col("_t"), col("c")).otherwise(lit(0L))).as("_ct"))
+    val totals = buckets.agg(
+      (sum("_cr") + numBuckets).cast("long").as("_nr"),
+      (sum("_ct") + numBuckets).cast("long").as("_nt"))
+    val lr = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(log(((col("_ct") + 1) * col("_nr"))
+            / ((col("_cr") + 1) * col("_nt")).cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("_lr"))
+    fx.join(lr, "b")
+      .groupBy("doc")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        sum(col("c") * col("_lr")).cast("long").as("logw_micronats"))
+      .select(col("doc"), col("n_tokens"), col("logw_micronats"),
+        round6(col("logw_micronats") / (col("n_tokens") * 1000000.0)).as("avg_logw"),
+        (col("logw_micronats") > 0).as("selected"))
+  }
+
   /** Deterministic stand-in for a TRAINED linear-model weight table:
     * numBuckets rows of (b, wt) with wt = md5-derived integer
     * milli-units in [-1000, 1000]. In production this DataFrame is the

@@ -167,6 +167,19 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- DSIR importance weighting (Xie et al. 2023) ---------------------
+    // Score docs by hashed-unigram log-likelihood ratio target-vs-raw;
+    // target = the 'en' subset (stand-in for any trusted domain). Both
+    // bucket models come from ONE corpus pass, the log-ratio table is
+    // 256 rows regardless of vocabulary growth, and per-bucket ratios
+    // quantize to integer micro-nats before the per-doc sum.
+    "llm_importance" -> ((s, dir) => {
+      TextOps.importanceWeights(Tables(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", 256, "dsir")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- language-ID heuristic + quality score ---------------------------
     "llm_lang_quality" -> ((s, dir) => {
       // split once per row (own projection); every stat reads the array
@@ -1454,6 +1467,40 @@ object LlmSurface {
              ${round6sql("st / (n_tokens * 1000000.0)")} AS entropy
       FROM tot JOIN s USING (doc_id)
       ORDER BY doc_id
+    """,
+
+    "llm_importance" -> s"""
+      WITH w AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      f AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5('dsir|' || w), 1, 4) AS INT) % 256 AS b
+        FROM w),
+      fc AS (
+        SELECT doc_id, b, count(*) AS c,
+               max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+        FROM f GROUP BY doc_id, b),
+      bk AS (
+        SELECT b, CAST(sum(c) AS BIGINT) AS cr,
+               CAST(sum(CASE WHEN t = 1 THEN c ELSE 0 END) AS BIGINT) AS ct
+        FROM fc GROUP BY b),
+      tot AS (
+        SELECT CAST(sum(cr) + 256 AS BIGINT) AS nr,
+               CAST(sum(ct) + 256 AS BIGINT) AS nt
+        FROM bk),
+      lr AS (
+        SELECT b,
+               CAST(floor(ln((ct + 1) * nr / CAST((cr + 1) * nt AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS lr
+        FROM bk, tot),
+      sc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(c * lr) AS BIGINT) AS logw_micronats
+        FROM fc JOIN lr USING (b) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, logw_micronats,
+             ${round6sql("logw_micronats / (n_tokens * 1000000.0)")} AS avg_logw,
+             (logw_micronats > 0) AS selected
+      FROM sc ORDER BY doc_id
     """,
 
     "llm_classifier" -> s"""

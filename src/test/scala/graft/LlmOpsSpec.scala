@@ -106,6 +106,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("importanceWeights: target-like docs score positive, target-unlike negative") {
+    // Target docs speak "alpha", raw-only docs speak "omega": the bucket
+    // log-ratio model must up-weight alpha-heavy docs and down-weight
+    // omega-heavy ones regardless of which hash buckets the words land in.
+    // Counts must dominate the +numBuckets Laplace mass or the smoothed
+    // target model is flatter than raw and even target words score
+    // negative (correct DSIR math, wrong test) — hence 10s of tokens.
+    def rep(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val df = Seq(
+      (1L, rep("alpha", 50), true),
+      (2L, rep("alpha", 30), true),
+      (3L, rep("omega", 50), false),
+      (4L, rep("alpha", 10) + " " + rep("omega", 10), false)) // mixed
+      .toDF("doc_id", "text", "is_t")
+    val got = TextOps.importanceWeights(df, "doc_id", "text", col("is_t"), 64, "tst")
+      .as[(Long, Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 > 0 && got(1L)._5)
+    assert(got(2L)._3 > 0)
+    assert(got(3L)._3 < 0 && !got(3L)._5)
+    assert(got(1L)._2 === 50L && got(4L)._2 === 20L)
+    // per-token average sits between the pure docs for the mixed one
+    assert(got(4L)._4 > got(3L)._4 && got(4L)._4 < got(1L)._4)
+  }
+
   test("lineDedup: cross-doc lines dropped, within-doc repeats kept, order preserved") {
     val df = Seq(
       (1L, "banner ad\nunique alpha\nbanner ad\nunique beta"), // banner also in doc 2
