@@ -669,6 +669,47 @@ object TextOps {
         round6(col("_st") / (col("n_tokens") * 1000000.0)).as("entropy"))
   }
 
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over word
+    * unigrams — the mixture-design diagnostic that tells you which
+    * sources speak a different language than the blend (a spiking KL on
+    * one source is the canary for scraped-content drift between corpus
+    * snapshots). No smoothing is needed: every source word exists in
+    * the corpus by construction, so p_corpus > 0 wherever p_source > 0.
+    *
+    * KL = (1/n_s)·Σ_w c_sw·ln(c_sw·N / (n_s·c_w)); each TYPE's ln is
+    * quantized to integer micro-nats before the cross-row sum (X61
+    * trick — associative integer adds, partition/engine-proof).
+    *
+    * Scale: (source, word) counts and vocab counts are partial-combine
+    * aggs on skew-free keys; the vocab join is AQE-decided (never a
+    * forced broadcast — Heaps' law says |vocab| grows with the corpus);
+    * per-source totals are a |sources|-row join and the corpus total a
+    * 1-row broadcast. Output: (source, n_tokens, n_types,
+    * kl_micronats, kl).
+    */
+  def sourceKlDrift(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(srcCol).as("source"),
+      explode(words(col(textCol))).as("_w"))
+    val sw = tok.groupBy("source", "_w").agg(count(lit(1)).as("_csw"))
+    val cw = sw.groupBy("_w").agg(sum("_csw").cast("long").as("_cwt"))
+    val ns = sw.groupBy("source")
+      .agg(sum("_csw").cast("long").as("_nst"), count(lit(1)).as("n_types"))
+    val nc = cw.agg(sum("_cwt").cast("long").as("_nct"))
+    val terms = sw.join(cw, "_w")
+      .join(ns.select("source", "_nst"), "source")
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("_csw"),
+        floor(log((col("_csw") * col("_nct"))
+            / (col("_nst") * col("_cwt")).cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("_li"))
+    terms.groupBy("source")
+      .agg(sum(col("_csw") * col("_li")).cast("long").as("kl_micronats"))
+      .join(ns, "source")
+      .select(col("source"), col("_nst").as("n_tokens"), col("n_types"),
+        col("kl_micronats"),
+        round6(col("kl_micronats") / (col("_nst") * 1000000.0)).as("kl"))
+  }
+
   /** Hashed bag-of-words feature extraction (the fastText trick, public
     * literature: Weinberger et al. ICML'09 feature hashing; Joulin et al.
     * 2016): each token maps to `md5(salt|token) mod numBuckets`, so the

@@ -132,6 +132,15 @@ object LlmSurface {
     // content do sources (here: lang subsets) share? The gram join's
     // fan-out per gram is bounded by |sources| (distinct (source, gram)
     // rows), never corpus size; output is |sources|² rows.
+    // ---- per-source KL drift vs the corpus blend -------------------------
+    // Which sources speak a different unigram language than the mix?
+    // The companion diagnostic to llm_source_overlap / mixture_weights;
+    // integer micro-nat terms, vocab join AQE-decided.
+    "llm_kl_drift" -> ((s, dir) => {
+      TextOps.sourceKlDrift(Tables(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
+
     "llm_source_overlap" -> ((s, dir) => {
       val grams = Tables(s, dir, "documents")
         .select(col("lang"), TextOps.words(col("text")).as("_w"))
@@ -2080,6 +2089,30 @@ object LlmSurface {
              ${round6sql("st / (per.n_bigrams * 1000000.0)")} AS avg_bigram_logprob
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       ORDER BY d.doc_id
+    """,
+
+    "llm_kl_drift" -> s"""
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      sw AS (SELECT source, w, count(*) AS csw FROM tok GROUP BY source, w),
+      cw AS (SELECT w, CAST(sum(csw) AS BIGINT) AS cwt FROM sw GROUP BY w),
+      ns AS (
+        SELECT source, CAST(sum(csw) AS BIGINT) AS nst,
+               count(*) AS n_types
+        FROM sw GROUP BY source),
+      nc AS (SELECT CAST(sum(cwt) AS BIGINT) AS nct FROM cw),
+      terms AS (
+        SELECT s.source, s.csw,
+               CAST(floor(ln(s.csw * nc.nct / CAST(ns.nst * c.cwt AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS li
+        FROM sw s JOIN cw c USING (w) JOIN ns USING (source), nc),
+      agg AS (
+        SELECT source, CAST(sum(csw * li) AS BIGINT) AS kl_micronats
+        FROM terms GROUP BY source)
+      SELECT a.source, ns.nst AS n_tokens, ns.n_types, a.kl_micronats,
+             ${round6sql("a.kl_micronats / (ns.nst * 1000000.0)")} AS kl
+      FROM agg a JOIN ns USING (source)
+      ORDER BY a.source
     """,
 
     "llm_source_overlap" -> s"""

@@ -106,6 +106,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("sourceKlDrift: hand-computed KL; identical-to-corpus source scores zero") {
+    // A = "a a b", B = "a b b": corpus a:3 b:3 (N=6), n_s=3 each.
+    // KL(A) = (1/3)(2·ln(2·6/(3·3)) + 1·ln(1·6/(3·3)))
+    //       = (2·287682 − 405465)/3e6 µnat = 169899/3e6 = 0.056633
+    val df = Seq(("A", "a a b"), ("B", "a b b")).toDF("source", "text")
+    val got = TextOps.sourceKlDrift(df, "source", "text")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 3L, 2L, 169899L, 0.056633)))
+    assert(got("B") === (("B", 3L, 2L, 169899L, 0.056633)))
+    // a source distributed exactly like the corpus has zero drift
+    val uni = Seq(("X", "a b"), ("Y", "a b")).toDF("source", "text")
+    val g2 = TextOps.sourceKlDrift(uni, "source", "text")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(g2.forall(r => r._4 === 0L && r._5 === 0.0))
+  }
+
   test("importanceWeights: target-like docs score positive, target-unlike negative") {
     // Target docs speak "alpha", raw-only docs speak "omega": the bucket
     // log-ratio model must up-weight alpha-heavy docs and down-weight
