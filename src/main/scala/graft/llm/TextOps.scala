@@ -669,6 +669,39 @@ object TextOps {
         round6(col("_st") / (col("n_tokens") * 1000000.0)).as("entropy"))
   }
 
+  /** Inverted-index (posting list) construction — the retrieval artifact
+    * behind BM25/decontamination lookups: per word, document frequency,
+    * total term frequency, and the ordered posting list serialized as
+    * "doc:tf,doc:tf,…" (ascending doc id; a string so the artifact is
+    * engine-portable and hash-comparable).
+    *
+    * Scale design: per-(word, doc) tf is one partial-combine agg on a
+    * skew-free key. The classic killer is the STOPWORD posting list —
+    * corpus-sized for "the" — so lists are only materialized for words
+    * with df ≤ maxDf (real systems stop-list or block-compress exactly
+    * these); hot words keep their counts but carry a NULL postings
+    * column, and the `collect_list` that builds a list is join-bounded
+    * to ≤ maxDf entries BEFORE aggregation, never built then discarded.
+    * Catalyst reuses the shared tf exchange between the two branches.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 100): DataFrame = {
+    require(maxDf > 0, s"maxDf ($maxDf) must be > 0")
+    val tf = df.select(col(idCol).as("doc"), explode(words(col(textCol))).as("w"))
+      .groupBy("w", "doc").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("w")
+      .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("total_tf"))
+    val small = stats.filter(col("df") <= maxDf).select("w")
+    val postings = tf.join(small, "w")
+      .groupBy("w")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc"), col("tf")))),
+          e => concat(e("doc").cast("string"), lit(":"), e("tf").cast("string"))),
+        ",").as("postings"))
+    stats.join(postings, Seq("w"), "left")
+      .select(col("w").as("word"), col("df"), col("total_tf"), col("postings"))
+  }
+
   /** Per-source distribution drift: KL(P_source ‖ P_corpus) over word
     * unigrams — the mixture-design diagnostic that tells you which
     * sources speak a different language than the blend (a spiking KL on

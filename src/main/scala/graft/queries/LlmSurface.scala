@@ -132,6 +132,49 @@ object LlmSurface {
     // content do sources (here: lang subsets) share? The gram join's
     // fan-out per gram is bounded by |sources| (distinct (source, gram)
     // rows), never corpus size; output is |sources|² rows.
+    // ---- inverted index (posting lists) ----------------------------------
+    // The retrieval artifact behind BM25/decontamination: per word, df +
+    // total tf + "doc:tf,…" postings. The cap that keeps stopword lists
+    // from going corpus-sized is SCALE-RELATIVE (df ≤ 80% of n_docs) —
+    // a fixed cap would flip classes as the corpus grows; the count() is
+    // the legitimate 1-value scalar the tfidf query also uses.
+    "llm_inverted_index" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val maxDf = (docs.count() * 8 / 10).toInt
+      TextOps.invertedIndex(docs, "doc_id", "text", maxDf).orderBy("word")
+    }),
+
+    // ---- quality-threshold sweep (calibration curve) ---------------------
+    // What fraction of docs/tokens survives each quality threshold? The
+    // curve a curation rollout reads before picking its cutoff. The
+    // cumulative runs over the ≤1001-row milli-quality histogram — the
+    // same bounded single-partition window the token-budget op justifies;
+    // the corpus itself never sorts globally.
+    "llm_threshold_sweep" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          size(col("_w")).cast("long").as("n_tokens"),
+          floor(TextOps.qualityScore(col("_w"), stopwords) * 1000)
+            .cast("long").as("threshold_mq"))
+      val hist = d.groupBy("threshold_mq")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("_bt"))
+      val cum = win.orderBy(col("threshold_mq").desc)
+        .rowsBetween(win.unboundedPreceding, 0)
+      val tot = hist.agg(sum("n_docs").cast("long").as("_td"),
+        sum("_bt").cast("long").as("_tt"))
+      hist
+        .withColumn("n_docs_kept", sum("n_docs").over(cum).cast("long"))
+        .withColumn("n_tokens_kept", sum("_bt").over(cum).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(col("threshold_mq"), col("n_docs").cast("long").as("n_docs"),
+          col("n_docs_kept"), col("n_tokens_kept"),
+          TextOps.round6(col("n_docs_kept") / col("_td").cast("double")).as("doc_frac"),
+          TextOps.round6(col("n_tokens_kept") / col("_tt").cast("double")).as("token_frac"))
+        .orderBy("threshold_mq")
+    }),
+
     // ---- per-source KL drift vs the corpus blend -------------------------
     // Which sources speak a different unigram language than the mix?
     // The companion diagnostic to llm_source_overlap / mixture_weights;
@@ -2089,6 +2132,50 @@ object LlmSurface {
              ${round6sql("st / (per.n_bigrams * 1000000.0)")} AS avg_bigram_logprob
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       ORDER BY d.doc_id
+    """,
+
+    "llm_inverted_index" -> s"""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS (SELECT w, doc_id, count(*) AS tf FROM t GROUP BY w, doc_id),
+      st AS (
+        SELECT w, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY w),
+      cap AS (SELECT count(*) * 8 // 10 AS maxdf FROM documents),
+      p AS (
+        SELECT w, string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                             ',' ORDER BY doc_id) AS postings
+        FROM tf
+        WHERE w IN (SELECT w FROM st, cap WHERE df <= maxdf)
+        GROUP BY w)
+      SELECT st.w AS word, st.df, st.total_tf, p.postings
+      FROM st LEFT JOIN p USING (w)
+      ORDER BY word
+    """,
+
+    "llm_threshold_sweep" -> s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      q AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(floor(($qualitySqlCol) * 1000) AS BIGINT) AS threshold_mq
+        FROM d),
+      h AS (
+        SELECT threshold_mq, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bt
+        FROM q GROUP BY threshold_mq),
+      c AS (
+        SELECT threshold_mq, n_docs,
+               CAST(sum(n_docs) OVER (ORDER BY threshold_mq DESC) AS BIGINT) AS n_docs_kept,
+               CAST(sum(bt) OVER (ORDER BY threshold_mq DESC) AS BIGINT) AS n_tokens_kept
+        FROM h),
+      tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(bt) AS BIGINT) AS tt
+        FROM h)
+      SELECT threshold_mq, n_docs, n_docs_kept, n_tokens_kept,
+             ${round6sql("n_docs_kept / CAST(td AS DOUBLE)")} AS doc_frac,
+             ${round6sql("n_tokens_kept / CAST(tt AS DOUBLE)")} AS token_frac
+      FROM c, tot
+      ORDER BY threshold_mq
     """,
 
     "llm_kl_drift" -> s"""

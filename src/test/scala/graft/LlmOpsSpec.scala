@@ -106,6 +106,18 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("invertedIndex: postings ordered by doc id, hot words capped to NULL") {
+    val df = Seq(
+      (3L, "x y w"), (1L, "x x z z w"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(df, "doc_id", "text", maxDf = 2)
+      .as[(String, Long, Long, Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(got("x") === (("x", 3L, 4L, None))) // df 3 > cap: counts kept, list suppressed
+    assert(got("w") === (("w", 2L, 2L, Some("1:1,3:1")))) // ascending doc order
+    assert(got("y") === (("y", 1L, 1L, Some("3:1"))))
+    assert(got("z") === (("z", 1L, 2L, Some("1:2"))))
+  }
+
   test("sourceKlDrift: hand-computed KL; identical-to-corpus source scores zero") {
     // A = "a a b", B = "a b b": corpus a:3 b:3 (N=6), n_s=3 each.
     // KL(A) = (1/3)(2·ln(2·6/(3·3)) + 1·ln(1·6/(3·3)))
