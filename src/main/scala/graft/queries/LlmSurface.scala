@@ -175,6 +175,27 @@ object LlmSurface {
         .orderBy("threshold_mq")
     }),
 
+    // ---- PageRank by power iteration (join-per-round graph rank) ---------
+    // Integer nano-unit damped rank over a deterministic hub-and-spoke
+    // link table derived from doc ids (the hashModelWeights argument:
+    // swap the edge table — web hosts, citation graph, dup clusters —
+    // keep the plan). Each round = one edge⋈rank equi-join + one
+    // partial-combine sum on dst; rank table checkpointed per round.
+    // Oracle replays the SAME 3 iterations as generated CTEs.
+    "llm_graph_rank" -> ((s, dir) => {
+      val nodes = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val members = nodes.filter(col("id") % 10 =!= 0)
+        .select(col("id").as("src"), (col("id") - (col("id") % 10)).as("dst"))
+      val hubs = nodes.filter(col("id") % 10 === 0 && col("id") =!= 0)
+      val edges = members
+        .union(hubs.select(col("id").as("src"), lit(0L).as("dst")))
+        .union(hubs.select(col("id").as("src"), (col("id") + 1).as("dst")))
+      graft.operators.PageRank.run(edges, nodes, iters = 3)
+        .select(col("id").as("doc_id"), col("rank").as("rank_nano"),
+          TextOps.round6(col("rank") / 1000000000.0).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-source KL drift vs the corpus blend -------------------------
     // Which sources speak a different unigram language than the mix?
     // The companion diagnostic to llm_source_overlap / mixture_weights;
@@ -1206,6 +1227,23 @@ object LlmSurface {
 
   private val round6sql = (x: String) => s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
 
+  /** Generated PageRank iteration CTEs (r1..r`iters`) replaying
+    * [[graft.operators.PageRank.run]]'s integer nano-unit update —
+    * requires CTEs nodes(id), n(nn), e(src,dst), outd(src,od), r0.
+    */
+  private def pageRankCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS (
+        SELECT nodes.id,
+               (CAST(1000000000 AS BIGINT) * 15) // (100 * (SELECT nn FROM n))
+               + (85 * coalesce(inf.i, 0)) // 100 AS rank
+        FROM nodes LEFT JOIN (
+          SELECT e.dst AS id, sum($prev.rank // outd.od) AS i
+          FROM e JOIN outd USING (src) JOIN $prev ON $prev.id = e.src
+          GROUP BY e.dst) inf USING (id))"""
+    }.mkString(",\n")
+
   private val wordsetFpSql =
     "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
 
@@ -2176,6 +2214,25 @@ object LlmSurface {
              ${round6sql("n_tokens_kept / CAST(tt AS DOUBLE)")} AS token_frac
       FROM c, tot
       ORDER BY threshold_mq
+    """,
+
+    "llm_graph_rank" -> s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      n AS (SELECT count(*) AS nn FROM nodes),
+      e AS (
+        SELECT id AS src, id - (id % 10) AS dst FROM nodes WHERE id % 10 <> 0
+        UNION ALL
+        SELECT id AS src, 0 AS dst FROM nodes WHERE id % 10 = 0 AND id <> 0
+        UNION ALL
+        SELECT id AS src, id + 1 AS dst FROM nodes WHERE id % 10 = 0 AND id <> 0),
+      outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      r0 AS (
+        SELECT id, CAST(1000000000 AS BIGINT) // (SELECT nn FROM n) AS rank
+        FROM nodes),
+      ${pageRankCtes(3)}
+      SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_nano,
+             ${round6sql("rank / 1000000000.0")} AS rank
+      FROM r3 ORDER BY doc_id
     """,
 
     "llm_kl_drift" -> s"""
