@@ -669,6 +669,37 @@ object TextOps {
         round6(col("_st") / (col("n_tokens") * 1000000.0)).as("entropy"))
   }
 
+  /** Distributed BPE merge-candidate counting — the inner loop of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016): count
+    * every adjacent symbol pair across the corpus, weighted by word
+    * frequency; the top pair is the next merge. One training round, the
+    * round a 100 TB tokenizer build runs dozens of times.
+    *
+    * Scale design: pair generation runs over the |vocab|-row word-COUNT
+    * table, not the corpus — the corpus is touched once for word counts
+    * (one explode + partial-combine agg) and each distinct word then
+    * emits its ≤len−1 pairs exactly once with its count as weight.
+    * Top-k is `orderBy.limit` (TakeOrdered: per-partition heaps, no
+    * single-partition global sort); the rank column is attached AFTER
+    * the limit, over k rows. Ties at the boundary break on the pair
+    * string so the cut is deterministic in any engine.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK ($topK) must be > 0")
+    val wc = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("_c"))
+    val pc = wc.filter(length(col("w")) >= 2) // sequence(1,0) is the descending trap
+      .select(col("_c"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("_c").cast("long").as("pair_count"))
+    pc.orderBy(col("pair_count").desc, col("pair")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pair_count").desc, col("pair"))))
+      .select("rank", "pair", "pair_count")
+  }
+
   /** Inverted-index (posting list) construction — the retrieval artifact
     * behind BM25/decontamination lookups: per word, document frequency,
     * total term frequency, and the ordered posting list serialized as

@@ -175,6 +175,41 @@ object LlmSurface {
         .orderBy("threshold_mq")
     }),
 
+    // ---- BPE merge-candidate counting (tokenizer training inner loop) ----
+    // Adjacent-pair counts weighted by word frequency over the vocab
+    // table (corpus touched once); top-20 with deterministic tiebreak.
+    "llm_bpe_pairs" -> ((s, dir) => {
+      TextOps.bpePairCounts(Tables(s, dir, "documents"), "text", topK = 20)
+    }),
+
+    // ---- corpus snapshot diff (incremental-build change table) -----------
+    // What changed between corpus v1 and v2? added / removed / changed /
+    // unchanged per doc via one full-outer join of content-sha tables on
+    // the near-unique id — the decision input for incremental dedup and
+    // index maintenance. v2 is a deterministic mutation of v1 (both
+    // engines): every 17th doc edited, every 23rd dropped, a clone of
+    // every 29th added under a new id.
+    "llm_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"), sha2(col("text"), 256).as("_s1"))
+      val v2base = docs.filter(col("doc_id") % 23 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text"))
+      val v2 = v2base.union(added)
+        .select(col("doc_id"), sha2(col("text"), 256).as("_s2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("_s1").isNull, "added")
+            .when(col("_s2").isNull, "removed")
+            .when(col("_s1") =!= col("_s2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy("doc_id")
+    }),
+
     // ---- PageRank by power iteration (join-per-round graph rank) ---------
     // Integer nano-unit damped rank over a deterministic hub-and-spoke
     // link table derived from doc ids (the hashModelWeights argument:
@@ -2214,6 +2249,38 @@ object LlmSurface {
              ${round6sql("n_tokens_kept / CAST(tt AS DOUBLE)")} AS token_frac
       FROM c, tot
       ORDER BY threshold_mq
+    """,
+
+    "llm_bpe_pairs" -> s"""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+      ex AS (
+        SELECT w, c, unnest(range(1, CAST(length(w) AS BIGINT))) AS i
+        FROM wc WHERE length(w) >= 2),
+      pc AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(c) AS BIGINT) AS pair_count
+        FROM ex GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank,
+             pair, pair_count
+      FROM pc ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+
+    "llm_snapshot_diff" -> s"""
+      WITH v1 AS (SELECT doc_id, sha256(text) AS s1 FROM documents),
+      v2 AS (
+        SELECT doc_id,
+               sha256(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS s2
+        FROM documents WHERE doc_id % 23 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, sha256(text || ' new') AS s2
+        FROM documents WHERE doc_id % 29 = 0)
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN s1 <> s2 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      ORDER BY doc_id
     """,
 
     "llm_graph_rank" -> s"""

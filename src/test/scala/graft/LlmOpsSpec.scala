@@ -106,6 +106,16 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpePairCounts: frequency-weighted pair counts, deterministic tiebreak") {
+    // "ab"×2 + "abc"×1 → ab:3, bc:1; single-char words emit nothing
+    val df = Seq((1L, "ab ab abc x"), (2L, "yx xy")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(df, "text", topK = 10)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got.head === ((1, "ab", 3L)))
+    // count ties (bc/xy/yx at 1) break on the pair string ascending
+    assert(got.tail === Seq((2, "bc", 1L), (3, "xy", 1L), (4, "yx", 1L)))
+  }
+
   test("invertedIndex: postings ordered by doc id, hot words capped to NULL") {
     val df = Seq(
       (3L, "x y w"), (1L, "x x z z w"), (2L, "x"))
