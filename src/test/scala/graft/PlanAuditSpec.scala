@@ -192,6 +192,55 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must not sort every candidate per query:\n$p")
   }
 
+  test("line dedup: equi-joins + partial aggregates, corpus never on one partition") {
+    val q = graft.llm.TextOps.lineDedup(
+      Tables(spark, dir, "documents").withColumn("aug", col("text")),
+      "doc_id", "aug")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"common-line detection must be an equi-join on the line hash:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"line-frequency count must map-side combine:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may funnel the corpus onto one partition:\n$p")
+  }
+
+  test("inverted index: stats and postings branches share one tf aggregation") {
+    val q = graft.llm.TextOps.invertedIndex(
+      Tables(spark, dir, "documents"), "doc_id", "text", maxDf = 100)
+    // AQE resolves exchange reuse at execution — run, then audit the
+    // final adaptive plan (same discipline as the codegen audit)
+    q.collect()
+    val p = plan(q)
+    // both branches aggregate the same (word, doc) tf subtree — Catalyst
+    // must reuse that exchange, not explode the corpus twice
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery")
+      || p.contains("TableCacheQueryStage"),
+      s"tf exchange must be computed once and reused:\n$p")
+    assert(!p.contains("row_number"),
+      s"posting assembly must not rank-window every row:\n$p")
+  }
+
+  test("PageRank round: edge equi-join + partial-combine inflow sum") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val p = plan(graft.operators.PageRank.run(edges, nodes, iters = 1,
+      materialize = identity))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank must flow through equi-joins only:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"inflow sum must map-side combine (celebrity dst absorbed):\n$p")
+  }
+
+  test("BPE pair top-k is TakeOrdered, never a global sort exchange") {
+    val q = graft.llm.TextOps.bpePairCounts(
+      Tables(spark, dir, "documents"), "text", topK = 20)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must run per-partition heaps + driver merge of k:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar-heavy Q1 chain") {
     val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
     // AQE prints `isFinalPlan=false` with no codegen spans until the query
