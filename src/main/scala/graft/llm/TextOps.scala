@@ -1091,6 +1091,69 @@ object TextOps {
         EmailRe, "<EMAIL>"),
       LongDigitRe, "<NUM>")
 
+  /** TRAINED language ID: add-one-smoothed Naive Bayes over char
+    * trigrams (the CLD/fastText production shape, vs the marker-word
+    * heuristic [[languageIdFromWords]]): train per-language trigram
+    * log-probs from labeled rows, then classify every row with the
+    * model — train and apply in one lazy plan here; production persists
+    * `model` and keeps the identical inference join.
+    *
+    * The Naive-Bayes trap this implementation handles explicitly: a
+    * trigram UNSEEN for language l must contribute the smoothing floor
+    * ln(1/(n_l+V)), but an inner model join silently drops it — so the
+    * score is assembled as seen-part + (n_doc − seen_tokens)·floor(l),
+    * with the (doc × language) base built by a broadcast cross join
+    * whose fan-out is |languages| (bounded, model-sized).
+    *
+    * Determinism: per-(lang, trigram) log-probs quantize to integer
+    * micro-nats before any cross-row sum; argmax ties break on the
+    * language code. Scale: training is two partial-combine aggs on
+    * skew-free keys; the model is |langs|·|trigrams| rows and joins the
+    * per-doc trigram table AQE-decided; inference fan-out per trigram
+    * is ≤ |languages|. Output: (doc, lang_true, pred_lang, correct).
+    */
+  def naiveBayesLangId(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc"), col(langCol).as("lang_true"),
+      col(textCol).as("_t"))
+    val tri = base.filter(length(col("_t")) >= 3)
+      .select(col("doc"), col("lang_true"), explode(
+        expr("transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"))
+        .as("g"))
+    // ONE pass over the exploded trigram stream: per-doc counts first
+    // (lang rides along — functional on doc, so cardinality is
+    // unchanged), then the per-language model is a rollup of the much
+    // smaller (doc, g) table instead of a second corpus explode.
+    val dg = tri.groupBy("doc", "lang_true", "g").agg(count(lit(1)).as("_c"))
+    val lg = dg.groupBy(col("lang_true").as("lang"), col("g"))
+      .agg(sum("_c").as("_clg"))
+    val nl = lg.groupBy("lang").agg(sum("_clg").cast("long").as("_nlt"))
+    val v = lg.select("g").distinct().agg(count(lit(1)).as("_v"))
+    val model = lg.join(nl, "lang").crossJoin(broadcast(v))
+      .select(col("lang"), col("g"),
+        floor(log((col("_clg") + 1) / (col("_nlt") + col("_v")).cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("_li"))
+    val langFloor = nl.crossJoin(broadcast(v))
+      .select(col("lang"),
+        floor(log(lit(1.0) / (col("_nlt") + col("_v")).cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("_fl"))
+    val docTot = base.select(col("doc"), col("lang_true"),
+      greatest(length(col("_t")) - 2, lit(0)).cast("long").as("_n"))
+    val seen = dg.join(model, "g")
+      .groupBy("doc", "lang")
+      .agg(sum(col("_c") * col("_li")).as("_s"), sum("_c").cast("long").as("_seen"))
+    docTot.crossJoin(broadcast(langFloor))
+      .join(seen, Seq("doc", "lang"), "left")
+      .select(col("doc"), col("lang_true"), col("lang"),
+        (coalesce(col("_s"), lit(0L))
+          + (col("_n") - coalesce(col("_seen"), lit(0L))) * col("_fl")).as("_score"))
+      .groupBy("doc", "lang_true")
+      .agg(min_by(col("lang"), struct((-col("_score")).as("_ns"), col("lang")))
+        .as("pred_lang"))
+      .select(col("doc"), col("lang_true"), col("pred_lang"),
+        (col("lang_true") === col("pred_lang")).as("correct"))
+  }
+
   /** Marker-word language-ID heuristic: score each language by counting
     * its marker words (with multiplicity); predict the argmax, ties
     * broken by language-code order. A real system would use char-n-gram

@@ -288,6 +288,20 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- TRAINED language ID (char-trigram Naive Bayes) ------------------
+    // The production lang-ID shape next to the marker heuristic: train
+    // per-lang trigram log-probs from the labeled corpus, classify every
+    // doc, report correctness. Synthetic labels are content-random, so
+    // accuracy hovers near the majority class — the plumbing (model
+    // training aggs, floor-handling inference join, argmax tiebreak) is
+    // what this pins cross-engine.
+    "llm_langid_trained" -> ((s, dir) => {
+      TextOps.naiveBayesLangId(Tables(s, dir, "documents"), "doc_id", "text", "lang")
+        .withColumnRenamed("doc", "doc_id")
+        .withColumnRenamed("lang_true", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---- language-ID heuristic + quality score ---------------------------
     "llm_lang_quality" -> ((s, dir) => {
       // split once per row (own projection); every stat reads the array
@@ -1592,6 +1606,51 @@ object LlmSurface {
              ${round6sql("st / (n_tokens * 1000000.0)")} AS entropy
       FROM tot JOIN s USING (doc_id)
       ORDER BY doc_id
+    """,
+
+    "llm_langid_trained" -> s"""
+      WITH base AS (
+        SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+      ex AS (
+        SELECT doc_id, lang, text,
+               unnest(range(1, CAST(length(text) AS BIGINT) - 1)) AS i
+        FROM base),
+      tri AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g FROM ex),
+      dg AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+      lg AS (SELECT lang, g, count(*) AS clg FROM tri GROUP BY lang, g),
+      nl AS (SELECT lang, CAST(sum(clg) AS BIGINT) AS nlt FROM lg GROUP BY lang),
+      v AS (SELECT count(DISTINCT g) AS vv FROM lg),
+      model AS (
+        SELECT lang, g,
+               CAST(floor(ln((clg + 1) / CAST(nlt + vv AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS li
+        FROM lg JOIN nl USING (lang), v),
+      fl AS (
+        SELECT lang,
+               CAST(floor(ln(1.0 / CAST(nlt + vv AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS fl
+        FROM nl, v),
+      dt AS (
+        SELECT doc_id, lang AS lang_true,
+               CAST(greatest(length(text) - 2, 0) AS BIGINT) AS n
+        FROM documents),
+      seen AS (
+        SELECT dg.doc_id, model.lang, CAST(sum(c * li) AS BIGINT) AS s,
+               CAST(sum(c) AS BIGINT) AS sn
+        FROM dg JOIN model USING (g) GROUP BY dg.doc_id, model.lang),
+      sc AS (
+        SELECT dt.doc_id, dt.lang_true, fl.lang,
+               coalesce(seen.s, 0) + (dt.n - coalesce(seen.sn, 0)) * fl.fl AS score
+        FROM dt CROSS JOIN fl
+        LEFT JOIN seen ON seen.doc_id = dt.doc_id AND seen.lang = fl.lang),
+      r AS (
+        SELECT doc_id, lang_true, lang AS cand,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lang) AS rn
+        FROM sc)
+      SELECT doc_id, lang_true AS lang, cand AS pred_lang,
+             (lang_true = cand) AS correct
+      FROM r WHERE rn = 1 ORDER BY doc_id
     """,
 
     "llm_importance" -> s"""

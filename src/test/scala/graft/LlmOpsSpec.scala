@@ -106,6 +106,24 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("naiveBayesLangId: separable content classifies correctly; no-trigram doc ties to first lang") {
+    val df = Seq(
+      (1L, "aaa bbb aaa bab", "xx"),
+      (2L, "aab baa aba bba", "xx"),
+      (3L, "zzz yyy zzz yzy", "yy"),
+      (4L, "zyz yzy zzy zyy", "yy"),
+      (5L, "ab", "yy")) // < 3 chars: zero trigrams, all scores equal
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.naiveBayesLangId(df, "doc_id", "text", "lang")
+      .as[(Long, String, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "xx", "xx", true)))
+    assert(got(2L) === ((2L, "xx", "xx", true)))
+    assert(got(3L) === ((3L, "yy", "yy", true)))
+    assert(got(4L) === ((4L, "yy", "yy", true)))
+    // deterministic argmax tiebreak: lexicographically smallest language
+    assert(got(5L) === ((5L, "yy", "xx", false)))
+  }
+
   test("bpePairCounts: frequency-weighted pair counts, deterministic tiebreak") {
     // "ab"×2 + "abc"×1 → ab:3, bc:1; single-char words emit nothing
     val df = Seq((1L, "ab ab abc x"), (2L, "yx xy")).toDF("doc_id", "text")
