@@ -355,6 +355,38 @@ object VectorOps {
         col("_e.payload").as(idCol), (-col("_e.ord")).as("adist_q"))
   }
 
+  /** The FAISS-style REFINE stage (IndexRefineFlat): re-rank a compressed
+    * index's shortlist with EXACT distances on the full-precision
+    * vectors. PQ distances are approximations (quantization error moves
+    * true neighbors a few ranks); production serving therefore asks the
+    * compressed index for a C ≫ k shortlist and refines it. Candidate
+    * work is |queries|·C rows — the corpus is touched only by the
+    * shortlist's id equi-join (fetching C vectors per query), the query
+    * batch broadcasts, and the final top-k runs through the bounded
+    * heap aggregate. `shortlist` needs (query_id, idCol); output
+    * mirrors [[pqTopK]] with EXACT `dist_q`.
+    */
+  def refineTopK(shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, qvCol: String, k: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    val cand = shortlist.select(col("query_id"), col(idCol))
+    val x = corpus.select(col(idCol), col(qvCol).as("_xv"),
+      dot(col(qvCol), col(qvCol)).as("_xself"))
+    val q = queries.select(col(idCol).as("query_id"), col(qvCol).as("_qv"),
+      dot(col(qvCol), col(qvCol)).as("_qself"))
+    cand.join(x, idCol)
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col(idCol),
+        (col("_qself") + col("_xself")
+          - lit(2L) * dot(col("_qv"), col("_xv"))).as("dist_q"))
+      .groupBy("query_id")
+      .agg(call_function("topk_by_long",
+        col(idCol), -col("dist_q"), lit(k)).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_e.payload").as(idCol), (-col("_e.ord")).as("dist_q"))
+  }
+
   /** Element-wise per-group vector sums — the centroid-UPDATE half of a
     * distributed k-means iteration (the assignment half is [[ivfTopK]]'s
     * build step). `posexplode` → partial sums per (group, position) →

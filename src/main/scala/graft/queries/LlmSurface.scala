@@ -87,6 +87,43 @@ object LlmSurface {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
+  /** IVF-PQ index build shared by llm_ann_ivf_pq and llm_ann_refined
+    * (one definition so the two queries cannot drift). √n coarse lists
+    * (FAISS guidance — the broadcast centroid table stays model-sized as
+    * the corpus grows, unlike an n/c list count); the residual table is
+    * checkpointed because it feeds two Lloyd loops (each re-reading it
+    * per round), the encode pass, and the code/list join — recomputing
+    * the 3-way join per consumer measured 9 s at sf0.1. This is the
+    * "persist the index-build input" a real build does.
+    */
+  private case class IvfPqIndex(emb: DataFrame, coarse: DataFrame,
+      cb: DataFrame, codes: DataFrame, qs: DataFrame,
+      dot: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      m: Int, subDim: Int)
+
+  private def ivfPqIndex(s: SparkSession, dir: String): IvfPqIndex = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val dot = VectorOps.dotFn(s)
+    val (m, subDim, ksub) = (2, 32, 16)
+    val nList = VectorOps.nListForCorpus(emb.count())
+    val coarse = VectorOps.kMeansCentroids(emb, "vec_id", "qv", k = nList,
+      iters = 2, dot = dot)
+    val resid = emb
+      .join(VectorOps.assignToCentroids(emb, "vec_id", "qv", coarse, dot), "vec_id")
+      .join(broadcast(coarse.select(col("cid").as("centroid_id"), col("cv"))),
+        "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rv"))
+      .localCheckpoint(true)
+    val cb = VectorOps.pqCodebooks(resid, "vec_id", "rv", m, subDim, ksub,
+      iters = 2, dot = dot)
+    val codes = VectorOps.pqEncode(resid, "vec_id", "rv", cb, m, subDim, dot = dot)
+      .join(resid.select("vec_id", "centroid_id"), "vec_id")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    IvfPqIndex(emb, coarse, cb, codes, qs, dot, m, subDim)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: sha256 content hash, keep-first --------------------
     "llm_exact_dedup" -> ((s, dir) => {
@@ -1119,34 +1156,25 @@ object LlmSurface {
     // list) residual LUTs. Candidate work ~nProbe/nList of the corpus;
     // per-candidate work m lookups — both corpus-size-independent.
     "llm_ann_ivf_pq" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
-      val dot = VectorOps.dotFn(s)
-      val (m, subDim, ksub) = (2, 32, 16)
-      // √n coarse lists (FAISS guidance): the broadcast centroid table
-      // stays model-sized as the corpus grows, unlike an n/c list count
-      val nList = VectorOps.nListForCorpus(emb.count())
-      val coarse = VectorOps.kMeansCentroids(emb, "vec_id", "qv", k = nList,
-        iters = 2, dot = dot)
-      // checkpointed: the residual table feeds two Lloyd loops (each
-      // re-reading it per round), the encode pass, and the code/list
-      // join — recomputing the 3-way join per consumer measured 9 s at
-      // sf0.1; this is the "persist the index-build input" a real
-      // build does.
-      val resid = emb
-        .join(VectorOps.assignToCentroids(emb, "vec_id", "qv", coarse, dot), "vec_id")
-        .join(broadcast(coarse.select(col("cid").as("centroid_id"), col("cv"))),
-          "centroid_id")
-        .select(col("vec_id"), col("centroid_id"),
-          zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rv"))
-        .localCheckpoint(true)
-      val cb = VectorOps.pqCodebooks(resid, "vec_id", "rv", m, subDim, ksub,
-        iters = 2, dot = dot)
-      val codes = VectorOps.pqEncode(resid, "vec_id", "rv", cb, m, subDim, dot = dot)
-        .join(resid.select("vec_id", "centroid_id"), "vec_id")
-      val qs = emb.filter(col("vec_id") % 100 === 0)
-      VectorOps.ivfPqTopK(codes, qs, coarse, cb, "vec_id", "qv", k = 5,
-        nProbe = 4, m = m, subDim = subDim, dot = dot)
+      val ix = ivfPqIndex(s, dir)
+      VectorOps.ivfPqTopK(ix.codes, ix.qs, ix.coarse, ix.cb, "vec_id", "qv",
+        k = 5, nProbe = 4, m = ix.m, subDim = ix.subDim, dot = ix.dot)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVF-PQ shortlist + exact refine (IndexRefineFlat serving shape) -
+    // The deployed two-stage ANN pattern: the compressed index answers a
+    // C >> k shortlist (cheap, approximate), then EXACT distances on the
+    // full-precision vectors re-rank it. The corpus is touched only by
+    // the shortlist's id equi-join (C vectors per query); the query
+    // batch broadcasts; final top-k through the bounded heap aggregate.
+    "llm_ann_refined" -> ((s, dir) => {
+      val ix = ivfPqIndex(s, dir)
+      val short = VectorOps.ivfPqTopK(ix.codes, ix.qs, ix.coarse, ix.cb,
+        "vec_id", "qv", k = 20, nProbe = 4, m = ix.m, subDim = ix.subDim,
+        dot = ix.dot)
+      VectorOps.refineTopK(short, ix.emb, ix.qs, "vec_id", "qv", k = 5,
+        dot = ix.dot)
         .orderBy("query_id", "rank")
     }),
 
@@ -1275,6 +1303,65 @@ object LlmSurface {
   // ======================================================================
 
   private val round6sql = (x: String) => s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** The IVF-PQ index-build + probe CTE chain through `approx`
+    * (query_id, vec_id, adist_q), shared verbatim by llm_ann_ivf_pq
+    * (top-k over approx) and llm_ann_refined (shortlist over approx,
+    * then exact re-rank) — one definition mirroring the Spark-side
+    * `ivfPqIndex` factoring. Also defines `e` and `qv0`, which the
+    * refine stage re-reads for full-precision vectors.
+    */
+  private lazy val ivfPqApproxCtes: String = s"""$embedQvCte,
+      ${kmeansCtesOver("e", 64, "g",
+        "(SELECT greatest(1, least(1048576, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)", 2)},
+      resid AS (
+        SELECT e.vec_id, gax2.centroid_id AS list_id,
+               list_transform(range(1, 65), j -> e.qv[j] - gc1.cv[j]) AS qv
+        FROM e
+        JOIN gax2 ON e.vec_id = gax2.vec_id
+        JOIN gc1 ON gax2.centroid_id = gc1.cid),
+      r0 AS (SELECT vec_id, qv[1:32] AS qv FROM resid),
+      r1 AS (SELECT vec_id, qv[33:64] AS qv FROM resid),
+      ${kmeansCtesOver("r0", 32, "p0", "16", 2)},
+      ${kmeansCtesOver("r1", 32, "p1", "16", 2)},
+      codes AS (
+        SELECT resid.list_id, c.vec_id, c.sub, c.code FROM (
+          SELECT vec_id, 0 AS sub, centroid_id AS code FROM p0ax2
+          UNION ALL
+          SELECT vec_id, 1 AS sub, centroid_id AS code FROM p1ax2) c
+        JOIN resid ON c.vec_id = resid.vec_id),
+      cb AS (
+        SELECT 0 AS sub, cid, cv FROM p0c1
+        UNION ALL
+        SELECT 1 AS sub, cid, cv FROM p1c1),
+      qv0 AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id % 100 = 0),
+      probes AS (
+        SELECT query_id, cid AS list_id,
+               list_transform(range(1, 65), j -> qq[j] - cv[j]) AS qr
+        FROM (
+          SELECT q.query_id, c.cid, c.cv, q.qv AS qq,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, 65),
+                     j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS BIGINT),
+                   c.cid) AS rn
+          FROM qv0 q, gc1 c)
+        WHERE rn <= 4),
+      qsub AS (
+        SELECT query_id, list_id, 0 AS sub, qr[1:32] AS qs FROM probes
+        UNION ALL
+        SELECT query_id, list_id, 1 AS sub, qr[33:64] AS qs FROM probes),
+      lut AS (
+        SELECT query_id, list_id, qsub.sub, cb.cid,
+               CAST(list_sum(list_transform(range(1, 33),
+                      j -> (qs[j] - cv[j]) * (qs[j] - cv[j]))) AS BIGINT) AS d
+        FROM qsub JOIN cb ON qsub.sub = cb.sub),
+      approx AS (
+        SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS adist_q
+        FROM codes
+        JOIN lut ON codes.list_id = lut.list_id AND codes.sub = lut.sub
+                AND codes.code = lut.cid
+        WHERE vec_id != query_id
+        GROUP BY query_id, vec_id)"""
 
   /** Generated PageRank iteration CTEs (r1..r`iters`) replaying
     * [[graft.operators.PageRank.run]]'s integer nano-unit update —
@@ -2759,61 +2846,34 @@ object LlmSurface {
     // Coarse Lloyd loop (prefix g) + residuals + two residual-subspace
     // Lloyd loops (p0/p1) + probe ranking + per-(query, list) LUT join.
     "llm_ann_ivf_pq" -> s"""
-      WITH $embedQvCte,
-      ${kmeansCtesOver("e", 64, "g",
-        "(SELECT greatest(1, least(1048576, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)", 2)},
-      resid AS (
-        SELECT e.vec_id, gax2.centroid_id AS list_id,
-               list_transform(range(1, 65), j -> e.qv[j] - gc1.cv[j]) AS qv
-        FROM e
-        JOIN gax2 ON e.vec_id = gax2.vec_id
-        JOIN gc1 ON gax2.centroid_id = gc1.cid),
-      r0 AS (SELECT vec_id, qv[1:32] AS qv FROM resid),
-      r1 AS (SELECT vec_id, qv[33:64] AS qv FROM resid),
-      ${kmeansCtesOver("r0", 32, "p0", "16", 2)},
-      ${kmeansCtesOver("r1", 32, "p1", "16", 2)},
-      codes AS (
-        SELECT resid.list_id, c.vec_id, c.sub, c.code FROM (
-          SELECT vec_id, 0 AS sub, centroid_id AS code FROM p0ax2
-          UNION ALL
-          SELECT vec_id, 1 AS sub, centroid_id AS code FROM p1ax2) c
-        JOIN resid ON c.vec_id = resid.vec_id),
-      cb AS (
-        SELECT 0 AS sub, cid, cv FROM p0c1
-        UNION ALL
-        SELECT 1 AS sub, cid, cv FROM p1c1),
-      qv0 AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id % 100 = 0),
-      probes AS (
-        SELECT query_id, cid AS list_id,
-               list_transform(range(1, 65), j -> qq[j] - cv[j]) AS qr
-        FROM (
-          SELECT q.query_id, c.cid, c.cv, q.qv AS qq,
-                 row_number() OVER (PARTITION BY q.query_id ORDER BY
-                   CAST(list_sum(list_transform(range(1, 65),
-                     j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS BIGINT),
-                   c.cid) AS rn
-          FROM qv0 q, gc1 c)
-        WHERE rn <= 4),
-      qsub AS (
-        SELECT query_id, list_id, 0 AS sub, qr[1:32] AS qs FROM probes
-        UNION ALL
-        SELECT query_id, list_id, 1 AS sub, qr[33:64] AS qs FROM probes),
-      lut AS (
-        SELECT query_id, list_id, qsub.sub, cb.cid,
-               CAST(list_sum(list_transform(range(1, 33),
-                      j -> (qs[j] - cv[j]) * (qs[j] - cv[j]))) AS BIGINT) AS d
-        FROM qsub JOIN cb ON qsub.sub = cb.sub),
-      approx AS (
-        SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS adist_q
-        FROM codes
-        JOIN lut ON codes.list_id = lut.list_id AND codes.sub = lut.sub
-                AND codes.code = lut.cid
-        WHERE vec_id != query_id
-        GROUP BY query_id, vec_id)
+      WITH $ivfPqApproxCtes
       SELECT query_id, "rank", vec_id, adist_q FROM (
         SELECT query_id, vec_id, adist_q,
                row_number() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS "rank"
         FROM approx)
+      WHERE "rank" <= 5
+      ORDER BY query_id, "rank"
+    """,
+
+    "llm_ann_refined" -> s"""
+      WITH $ivfPqApproxCtes,
+      short AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS rn
+          FROM approx)
+        WHERE rn <= 20),
+      rer AS (
+        SELECT s.query_id, s.vec_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                 j -> (q.qv[j] - x.qv[j]) * (q.qv[j] - x.qv[j]))) AS BIGINT) AS dist_q
+        FROM short s
+        JOIN e x ON s.vec_id = x.vec_id
+        JOIN qv0 q ON s.query_id = q.query_id)
+      SELECT query_id, "rank", vec_id, dist_q FROM (
+        SELECT query_id, vec_id, dist_q,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist_q, vec_id) AS "rank"
+        FROM rer)
       WHERE "rank" <= 5
       ORDER BY query_id, "rank"
     """,

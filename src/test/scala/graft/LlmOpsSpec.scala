@@ -287,6 +287,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("refineTopK over a full shortlist equals brute-force exact L2 top-k") {
+    // Refining an ALL-candidates shortlist must reproduce exact search
+    // bit-for-bit — the property that makes the two-stage result trust-
+    // worthy whenever the true neighbor survives the shortlist cut.
+    val vecs = Seq(
+      (0L, Array(0L, 0L, 0L, 0L)),
+      (1L, Array(10L, 0L, 0L, 0L)),
+      (2L, Array(0L, 10L, 0L, 0L)),
+      (3L, Array(5L, 5L, 5L, 5L)),
+      (4L, Array(9L, 9L, 9L, 9L)),
+      (5L, Array(1L, 2L, 3L, 4L)))
+    val df = vecs.toDF("vec_id", "qv")
+    val qs = df.filter(col("vec_id") < 2)
+    val full = qs.select(col("vec_id").as("query_id"))
+      .crossJoin(df.select(col("vec_id")))
+      .filter(col("query_id") =!= col("vec_id"))
+    val got = VectorOps.refineTopK(full, df, qs, "vec_id", "qv", k = 3)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val expect = (for ((qid, q) <- vecs if qid < 2) yield {
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(3)
+        .zipWithIndex.map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }).flatten.toSet
+    assert(got === expect)
+  }
+
   test("ivfPqTopK degenerates to exact L2 top-k when all lists probed and ksub >= n") {
     // With every residual its own sub-centroid, ADC measures
     // (q - c) - (x - c) = q - x exactly; probing every list removes the
