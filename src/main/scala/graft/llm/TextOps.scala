@@ -952,6 +952,46 @@ object TextOps {
         (hi - lo).as("n_toks"))
   }
 
+  /** Length-bucketed inference batching: group documents into
+    * power-of-two token-length buckets and deterministic batches, and
+    * report each batch's padding economics (pad-to-max waste) — the
+    * dynamic-batching layout every bulk-inference/training pipeline
+    * plans before spending GPU hours.
+    *
+    * Scale design: NO windows, no global order. The length bucket is
+    * the integer bit-length of the token count (exact in both engines —
+    * float log2 wobbles at exact powers of two); batch membership is a
+    * pure md5 function of the doc id modulo the bucket's batch count,
+    * so assignment is reproducible across runs/engines/partitionings
+    * and every stage is a partial-combine aggregation or a
+    * histogram-sized equi-join. Within a bucket max/min length differ
+    * < 2×, bounding worst-case padding below 50% — the hash assignment
+    * trades the sorted batcher's global sort for that bounded waste,
+    * which is the scalable trade. Output: (len_bucket, batch_idx,
+    * n_docs, max_tokens, sum_tokens, padding_frac).
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize ($batchSize) must be > 0")
+    val d = df.select(col(idCol).as("doc"),
+        size(words(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("len_bucket", length(bin(col("n_tokens"))).cast("int"))
+    val nb = d.groupBy("len_bucket").agg(count(lit(1)).as("_nd"))
+      .select(col("len_bucket"),
+        expr(s"(_nd + ${batchSize - 1}) div $batchSize").as("_nbatch"))
+    d.join(nb, "len_bucket")
+      .withColumn("batch_idx",
+        pmod(conv(substring(md5(concat(lit("batch|"), col("doc").cast("string"))),
+          1, 4), 16, 10).cast("long"), col("_nbatch")))
+      .groupBy("len_bucket", "batch_idx")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").cast("long").as("sum_tokens"))
+      .withColumn("padding_frac",
+        round6((col("max_tokens") * col("n_docs") - col("sum_tokens"))
+          / (col("max_tokens") * col("n_docs")).cast("double")))
+  }
+
   /** THE curation quality score, over a pre-split word array: length
     * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
     * (0.2), rounded to 6 dp. ONE definition consumed by the batch

@@ -212,6 +212,17 @@ object LlmSurface {
         .orderBy("threshold_mq")
     }),
 
+    // ---- length-bucketed inference batching (padding economics) ----------
+    // Power-of-two length buckets (integer bit-length — exact in both
+    // engines), md5-deterministic batch assignment, per-batch pad-to-max
+    // waste. No windows, no global order: the scalable trade vs a
+    // sorted batcher is bounded <2x in-bucket spread.
+    "llm_length_batches" -> ((s, dir) => {
+      TextOps.lengthBucketBatches(Tables(s, dir, "documents"),
+          "doc_id", "text", batchSize = 16)
+        .orderBy("len_bucket", "batch_idx")
+    }),
+
     // ---- BPE merge-candidate counting (tokenizer training inner loop) ----
     // Adjacent-pair counts weighted by word frequency over the vocab
     // table (corpus touched once); top-20 with deterministic tiebreak.
@@ -2395,6 +2406,34 @@ object LlmSurface {
              ${round6sql("n_tokens_kept / CAST(tt AS DOUBLE)")} AS token_frac
       FROM c, tot
       ORDER BY threshold_mq
+    """,
+
+    "llm_length_batches" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens,
+               CAST(length(bin(n_tokens)) AS INT) AS len_bucket
+        FROM d),
+      nb AS (
+        SELECT len_bucket, (count(*) + 15) // 16 AS nbatch
+        FROM b GROUP BY len_bucket),
+      a AS (
+        SELECT len_bucket, n_tokens,
+               CAST('0x' || substr(md5('batch|' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                 % nbatch AS batch_idx
+        FROM b JOIN nb USING (len_bucket)),
+      g AS (
+        SELECT len_bucket, CAST(batch_idx AS BIGINT) AS batch_idx,
+               count(*) AS n_docs,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM a GROUP BY 1, 2)
+      SELECT len_bucket, batch_idx, n_docs, max_tokens, sum_tokens,
+             ${round6sql("(max_tokens * n_docs - sum_tokens) / CAST(max_tokens * n_docs AS DOUBLE)")} AS padding_frac
+      FROM g ORDER BY len_bucket, batch_idx
     """,
 
     "llm_bpe_pairs" -> s"""

@@ -124,6 +124,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(5L) === ((5L, "yy", "xx", false)))
   }
 
+  test("lengthBucketBatches: bit-length buckets, hand-computed padding, full coverage") {
+    // token counts 1,2,3,5 → bit-length buckets 1,2,2,3; batchSize 2 →
+    // one batch per bucket (mod 1), so assignment is forced and stats
+    // are hand-computable.
+    val df = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lengthBucketBatches(df, "doc_id", "text", batchSize = 2)
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got((1, 0L)) === ((1, 0L, 1L, 1L, 1L, 0.0)))
+    // bucket 2: docs of 2 and 3 tokens → pad to 3: (6-5)/6
+    assert(got((2, 0L)) === ((2, 0L, 2L, 3L, 5L, 0.166667)))
+    assert(got((3, 0L)) === ((3, 0L, 1L, 5L, 5L, 0.0)))
+    // hash assignment invariants at batchSize 1: every doc in exactly one
+    // batch, batch_idx < ceil(bucket_docs / batchSize)
+    val g2 = TextOps.lengthBucketBatches(df, "doc_id", "text", batchSize = 1)
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+    assert(g2.map(_._3).sum === 4L)
+    assert(g2.forall(r => r._2 >= 0L && r._2 < 2L))
+  }
+
   test("bpePairCounts: frequency-weighted pair counts, deterministic tiebreak") {
     // "ab"×2 + "abc"×1 → ab:3, bc:1; single-char words emit nothing
     val df = Seq((1L, "ab ab abc x"), (2L, "yx xy")).toDF("doc_id", "text")
