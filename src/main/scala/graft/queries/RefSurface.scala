@@ -311,6 +311,36 @@ object RefSurface {
         .orderBy("event_type")
     }),
 
+    // ---- table profiling (ANALYZE-style column statistics) ---------------
+    // Per-column row/null/distinct counts and min/max over lineitem in
+    // ONE aggregation pass, unpivoted via stack() — the observability
+    // scan a warehouse runs before planning. Exact count(distinct)
+    // compiles to an Expand (×|cols| map-side rows) for cross-engine
+    // parity here; the 100 TB path swaps in approx_count_distinct (HLL,
+    // mergeable map-side — SketchSpec covers it) with the same shape.
+    // Profiled columns are ints + strings: float/timestamp string
+    // renderings are engine-trap territory the money/date rules already
+    // exclude elsewhere.
+    "p_profile" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max")))
+      Tables(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.length}, " + cols.map(c =>
+            s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+            .mkString(", ") +
+          ") as (column_name, n_nulls, n_distinct, min_val, max_val)"))
+        .select("column_name", "n_rows", "n_nulls", "n_distinct",
+          "min_val", "max_val")
+        .orderBy("column_name")
+    }),
+
     // ---- TPC-H Q3 shape: selective joins + agg + top-k ------------------
     "j5_shipping_priority" -> ((s, dir) => {
       val cut = lit("1998-06-01").cast("date")
@@ -783,6 +813,24 @@ object RefSurface {
              floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95,
              count(*) AS n
       FROM events GROUP BY 1 ORDER BY 1
+    """,
+
+    "p_profile" -> s"""
+      WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               ${Seq("l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber", "l_returnflag", "l_linestatus").map(c =>
+                 s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls,
+               CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_distinct,
+               CAST(min($c) AS VARCHAR) AS ${c}_min,
+               CAST(max($c) AS VARCHAR) AS ${c}_max""").mkString(",\n               ")}
+        FROM lineitem)
+      ${Seq("l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber", "l_returnflag", "l_linestatus").map(c =>
+        s"""SELECT '$c' AS column_name, n_rows, ${c}_nulls AS n_nulls,
+               ${c}_distinct AS n_distinct, ${c}_min AS min_val, ${c}_max AS max_val
+        FROM a""").mkString("\n      UNION ALL\n      ")}
+      ORDER BY column_name
     """,
 
     "j5_shipping_priority" -> """

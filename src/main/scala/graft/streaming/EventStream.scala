@@ -61,6 +61,65 @@ object EventStream {
         col("view_id"), col("view_ts"))
   }
 
+  final case class FunnelState(step: Int, lastTs: Long)
+  final case class FunnelOut(
+      user_id: Long,
+      steps_completed: Int,
+      completed: Boolean,
+      last_ts: Timestamp)
+
+  /** Streaming conversion funnel — the stateful form of
+    * [[graft.llm.EventOps.funnel]]'s strict-order semantics: each user's
+    * state is the furthest funnel step reached; an event advances it
+    * only when it matches the NEXT expected step (out-of-order arrivals
+    * of later steps are ignored, same as the batch operator's ordering
+    * constraint on in-order feeds). A user that completes the final
+    * step emits immediately and drops state; a user idle past
+    * `idleMinutes` (by EVENT time, armed against the watermark) emits
+    * partial progress and drops state — so state is one small record
+    * per user currently IN the funnel, never the event history and
+    * never forever (the unbounded-state failure mode).
+    *
+    * Input: (user_id, ts, event_type) with a watermark already applied.
+    */
+  def funnelProgress(
+      events: Dataset[(Long, Timestamp, String)],
+      steps: Seq[String],
+      idleMinutes: Int): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "steps must be non-empty")
+    val idleMs = idleMinutes * 60L * 1000L
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, String)],
+         state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => FunnelOut(user, s.step, completed = false,
+                new Timestamp(s.lastTs))).toList
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(0, 0L))
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, et) =>
+              if (s.step < steps.length && et == steps(s.step))
+                s = FunnelState(s.step + 1, ts.getTime)
+            }
+            if (s.step >= steps.length) {
+              state.remove()
+              Iterator.single(
+                FunnelOut(user, s.step, completed = true, new Timestamp(s.lastTs)))
+            } else if (s.step > 0) {
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + idleMs)
+              Iterator.empty
+            } else Iterator.empty
+          }
+      }
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, valueSum: Double)
   final case class SessionOut(
       user_id: Long,

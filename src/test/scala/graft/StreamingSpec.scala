@@ -240,6 +240,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: completion emits and drops state, idle user emits partial on timeout") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = EventStream.funnelProgress(
+      input.toDS().toDF("user_id", "ts", "event_type")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp, String)],
+      steps = Seq("view", "cart", "buy"), idleMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    try {
+      // user 1 completes in order (a stray repeat "view" is ignored);
+      // user 2 jumps straight to "buy" — strict order: no progress, no
+      // state; user 3 reaches "cart" then goes idle
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "view"),
+        (1L, ts("2024-01-01 10:01:00"), "view"),
+        (1L, ts("2024-01-01 10:02:00"), "cart"),
+        (1L, ts("2024-01-01 10:03:00"), "buy"),
+        (2L, ts("2024-01-01 10:00:00"), "buy"),
+        (3L, ts("2024-01-01 10:00:00"), "view"),
+        (3L, ts("2024-01-01 10:04:00"), "cart"))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("funnel_test")
+        .as[EventStream.FunnelOut].collect().toSeq
+      assert(afterBatch1.map(f => (f.user_id, f.steps_completed, f.completed))
+        === Seq((1L, 3, true)))
+      assert(afterBatch1.head.last_ts === ts("2024-01-01 10:03:00"))
+
+      // advance the watermark past 10:04 + 30min, then one more batch so
+      // user 3's armed timeout fires: partial progress (2 steps) emits
+      input.addData((9L, ts("2024-01-01 11:00:00"), "view"))
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 11:01:00"), "cart"))
+      q.processAllAvailable()
+      val all = spark.table("funnel_test")
+        .as[EventStream.FunnelOut].collect().toSeq
+      assert(all.filter(_.user_id == 3L)
+        .map(f => (f.steps_completed, f.completed)) === Seq((2, false)))
+      // user 2 never entered the funnel: nothing emitted, no state held
+      assert(!all.exists(_.user_id == 2L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: in-batch gap close and event-time timeout close") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
