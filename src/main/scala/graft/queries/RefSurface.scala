@@ -430,6 +430,43 @@ object RefSurface {
         .orderBy("k", "tag")
     }),
 
+    // ---- MERGE INTO / upsert (SCD-1 apply) -------------------------------
+    // The warehouse change-apply: one FULL-OUTER join of base × changes
+    // on the unique key, then per-row op semantics — delete drops,
+    // update rewrites in place, insert appends, untouched rows pass
+    // through. The changes table is synthesized deterministically from
+    // the base (update %13, delete %17 — delete wins on overlap, the
+    // documented MERGE conflict rule here — insert clones %29 under new
+    // keys) so all four classes are populated in both engines. One
+    // shuffle on the near-unique key; change-table size, not base size,
+    // drives the incremental cost at scale.
+    "m6_merge_upsert" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val upd = base.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+        .select(col("c_custkey"), lit("U").as("op"),
+          concat(col("c_name"), lit(" (updated)")).as("new_name"),
+          col("c_nationkey").as("new_nationkey"))
+      val del = base.filter(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey"), lit("D").as("op"),
+          lit(null).cast("string").as("new_name"),
+          lit(null).cast("int").as("new_nationkey"))
+      val ins = base.filter(col("c_custkey") % 29 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("I").as("op"),
+          concat(lit("NEW "), col("c_name")).as("new_name"),
+          col("c_nationkey").as("new_nationkey"))
+      val changes = upd.unionByName(del).unionByName(ins)
+      base.join(changes, Seq("c_custkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("c_custkey"),
+          when(col("op").isin("U", "I"), col("new_name"))
+            .otherwise(col("c_name")).as("c_name"),
+          when(col("op").isin("U", "I"), col("new_nationkey"))
+            .otherwise(col("c_nationkey")).as("c_nationkey"),
+          coalesce(col("op"), lit("=")).as("op"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- pivot (wide aggregation) ---------------------------------------
     "p_pivot" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -886,6 +923,30 @@ object RefSurface {
       FROM lineitem
       GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+
+    "m6_merge_upsert" -> """
+      WITH base AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+      ch AS (
+        SELECT c_custkey, 'U' AS op, c_name || ' (updated)' AS new_name,
+               c_nationkey AS new_nationkey
+        FROM base WHERE c_custkey % 13 = 0 AND c_custkey % 17 <> 0
+        UNION ALL
+        SELECT c_custkey, 'D' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+        FROM base WHERE c_custkey % 17 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS c_custkey, 'I' AS op,
+               'NEW ' || c_name AS new_name, c_nationkey AS new_nationkey
+        FROM base WHERE c_custkey % 29 = 0)
+      SELECT coalesce(base.c_custkey, ch.c_custkey) AS c_custkey,
+             CASE WHEN ch.op IN ('U', 'I') THEN ch.new_name
+                  ELSE base.c_name END AS c_name,
+             CASE WHEN ch.op IN ('U', 'I') THEN ch.new_nationkey
+                  ELSE base.c_nationkey END AS c_nationkey,
+             coalesce(ch.op, '=') AS op
+      FROM base FULL OUTER JOIN ch ON base.c_custkey = ch.c_custkey
+      WHERE ch.op IS NULL OR ch.op <> 'D'
+      ORDER BY c_custkey
     """,
 
     "m5_intersect_except" -> """
