@@ -312,32 +312,34 @@ object RefSurface {
     }),
 
     // ---- table profiling (ANALYZE-style column statistics) ---------------
-    // Per-column row/null/distinct counts and min/max over lineitem in
-    // ONE aggregation pass, unpivoted via stack() — the observability
-    // scan a warehouse runs before planning. Exact count(distinct)
-    // compiles to an Expand (×|cols| map-side rows) for cross-engine
-    // parity here; the 100 TB path swaps in approx_count_distinct (HLL,
-    // mergeable map-side — SketchSpec covers it) with the same shape.
-    // Profiled columns are ints + strings: float/timestamp string
-    // renderings are engine-trap territory the money/date rules already
-    // exclude elsewhere.
+    // Per-column row/null/distinct counts and min/max over lineitem —
+    // the observability scan a warehouse runs before planning. ONE
+    // narrow pruned scan per column: the single-pass multi-distinct
+    // spelling (count_distinct × 6 in one agg) compiles to an Expand
+    // that reads every column and multiplies rows ×|cols| — measured
+    // 8.5 s vs ~1 s for this shape at sf0.1. Each column's exact NDV is
+    // a partial-combined distinct on its own column; the 100 TB path
+    // swaps in approx_count_distinct (mergeable HLL — SketchSpec) and
+    // collapses back to one pass. Profiled columns are ints + strings:
+    // float/timestamp string renderings are engine-trap territory the
+    // money/date rules already exclude elsewhere.
     "p_profile" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_returnflag", "l_linestatus")
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        count_distinct(col(c)).as(s"${c}_distinct"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max")))
-      Tables(s, dir, "lineitem")
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("n_rows"), expr(
-          s"stack(${cols.length}, " + cols.map(c =>
-            s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
-            .mkString(", ") +
-          ") as (column_name, n_nulls, n_distinct, min_val, max_val)"))
-        .select("column_name", "n_rows", "n_nulls", "n_distinct",
-          "min_val", "max_val")
+      val li = Tables(s, dir, "lineitem")
+      cols.map { c =>
+        val d = li.select(col(c))
+        val basic = d.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+        val nd = d.where(col(c).isNotNull).distinct()
+          .agg(count(lit(1)).as("n_distinct"))
+        basic.crossJoin(nd)
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      }.reduce(_ unionByName _)
         .orderBy("column_name")
     }),
 
