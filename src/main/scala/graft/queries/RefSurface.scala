@@ -26,6 +26,28 @@ object RefSurface {
 
   private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** Deterministic change table over the customer dimension, shared by
+    * the MERGE (m6) and SCD-2 (m7) apply queries and mirrored by
+    * `custChangesSql`: update every 13th key (unless deleted — delete
+    * wins on overlap), delete every 17th, insert a clone of every 29th
+    * under a new key. All four downstream classes populated at sf0.01.
+    */
+  private def custChanges(base: DataFrame): DataFrame = {
+    val upd = base.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+      .select(col("c_custkey"), lit("U").as("op"),
+        concat(col("c_name"), lit(" (updated)")).as("new_name"),
+        col("c_nationkey").as("new_nationkey"))
+    val del = base.filter(col("c_custkey") % 17 === 0)
+      .select(col("c_custkey"), lit("D").as("op"),
+        lit(null).cast("string").as("new_name"),
+        lit(null).cast("int").as("new_nationkey"))
+    val ins = base.filter(col("c_custkey") % 29 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("I").as("op"),
+        concat(lit("NEW "), col("c_name")).as("new_name"),
+        col("c_nationkey").as("new_nationkey"))
+    upd.unionByName(del).unionByName(ins)
+  }
+
   /** Keep-first order for the synthetic sales feed: `_ord` leads, but
     * `lineitem` contains duplicate `(orderkey, linenumber)` rows with
     * different payloads, so the raw payload columns tie-break to make the
@@ -445,20 +467,7 @@ object RefSurface {
     "m6_merge_upsert" -> ((s, dir) => {
       val base = Tables(s, dir, "customer")
         .select("c_custkey", "c_name", "c_nationkey")
-      val upd = base.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
-        .select(col("c_custkey"), lit("U").as("op"),
-          concat(col("c_name"), lit(" (updated)")).as("new_name"),
-          col("c_nationkey").as("new_nationkey"))
-      val del = base.filter(col("c_custkey") % 17 === 0)
-        .select(col("c_custkey"), lit("D").as("op"),
-          lit(null).cast("string").as("new_name"),
-          lit(null).cast("int").as("new_nationkey"))
-      val ins = base.filter(col("c_custkey") % 29 === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("I").as("op"),
-          concat(lit("NEW "), col("c_name")).as("new_name"),
-          col("c_nationkey").as("new_nationkey"))
-      val changes = upd.unionByName(del).unionByName(ins)
-      base.join(changes, Seq("c_custkey"), "full_outer")
+      base.join(custChanges(base), Seq("c_custkey"), "full_outer")
         .filter(col("op").isNull || col("op") =!= "D")
         .select(col("c_custkey"),
           when(col("op").isin("U", "I"), col("new_name"))
@@ -467,6 +476,34 @@ object RefSurface {
             .otherwise(col("c_nationkey")).as("c_nationkey"),
           coalesce(col("op"), lit("=")).as("op"))
         .orderBy("c_custkey")
+    }),
+
+    // ---- SCD-2 history apply (versioned dimension) -----------------------
+    // The other half of the warehouse change-apply: instead of rewriting
+    // in place, every change CLOSES the current version (valid_to set,
+    // is_current false) and updates/inserts open a new one — the
+    // versioned-dimension layout time-travel queries read. Same change
+    // table as m6 (one builder, the two queries cannot drift); old
+    // versions come from a LEFT join base × changes, new versions from
+    // the U/I rows — two narrow passes over the change join, one shuffle
+    // on the key.
+    "m7_scd2_history" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val t1 = lit("2024-06-01")
+      val old = base.join(custChanges(base).select("c_custkey", "op"),
+          Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          lit("2024-01-01").as("valid_from"),
+          when(col("op").isin("U", "D"), t1)
+            .otherwise(lit(null).cast("string")).as("valid_to"),
+          col("op").isNull.as("is_current"))
+      val fresh = custChanges(base).filter(col("op").isin("U", "I"))
+        .select(col("c_custkey"), col("new_name").as("c_name"),
+          col("new_nationkey").as("c_nationkey"),
+          t1.as("valid_from"), lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current"))
+      old.unionByName(fresh).orderBy("c_custkey", "valid_from")
     }),
 
     // ---- pivot (wide aggregation) ---------------------------------------
@@ -580,6 +617,22 @@ object RefSurface {
       FROM amtf
       WHERE TRY_CAST(d AS TIMESTAMP) IS NOT NULL AND ad IS NOT NULL)
   """
+
+  /** SQL mirror of [[custChanges]] — base + ch CTEs shared by the
+    * m6/m7 oracles. */
+  private val custChangesSql: String = """base AS (
+        SELECT c_custkey, c_name, c_nationkey FROM customer),
+      ch AS (
+        SELECT c_custkey, 'U' AS op, c_name || ' (updated)' AS new_name,
+               c_nationkey AS new_nationkey
+        FROM base WHERE c_custkey % 13 = 0 AND c_custkey % 17 <> 0
+        UNION ALL
+        SELECT c_custkey, 'D' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+        FROM base WHERE c_custkey % 17 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS c_custkey, 'I' AS op,
+               'NEW ' || c_name AS new_name, c_nationkey AS new_nationkey
+        FROM base WHERE c_custkey % 29 = 0)"""
 
   val oracleSql: Map[String, String] = Map(
     "q1_clean_valid" -> s"""
@@ -927,19 +980,8 @@ object RefSurface {
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 
-    "m6_merge_upsert" -> """
-      WITH base AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
-      ch AS (
-        SELECT c_custkey, 'U' AS op, c_name || ' (updated)' AS new_name,
-               c_nationkey AS new_nationkey
-        FROM base WHERE c_custkey % 13 = 0 AND c_custkey % 17 <> 0
-        UNION ALL
-        SELECT c_custkey, 'D' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS INT)
-        FROM base WHERE c_custkey % 17 = 0
-        UNION ALL
-        SELECT c_custkey + 1000000 AS c_custkey, 'I' AS op,
-               'NEW ' || c_name AS new_name, c_nationkey AS new_nationkey
-        FROM base WHERE c_custkey % 29 = 0)
+    "m6_merge_upsert" -> s"""
+      WITH $custChangesSql
       SELECT coalesce(base.c_custkey, ch.c_custkey) AS c_custkey,
              CASE WHEN ch.op IN ('U', 'I') THEN ch.new_name
                   ELSE base.c_name END AS c_name,
@@ -949,6 +991,22 @@ object RefSurface {
       FROM base FULL OUTER JOIN ch ON base.c_custkey = ch.c_custkey
       WHERE ch.op IS NULL OR ch.op <> 'D'
       ORDER BY c_custkey
+    """,
+
+    "m7_scd2_history" -> s"""
+      WITH $custChangesSql
+      SELECT base.c_custkey, base.c_name, base.c_nationkey,
+             '2024-01-01' AS valid_from,
+             CASE WHEN ch.op IN ('U', 'D') THEN '2024-06-01'
+                  ELSE CAST(NULL AS VARCHAR) END AS valid_to,
+             (ch.op IS NULL) AS is_current
+      FROM base LEFT JOIN ch ON base.c_custkey = ch.c_custkey
+      UNION ALL
+      SELECT c_custkey, new_name AS c_name, new_nationkey AS c_nationkey,
+             '2024-06-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             TRUE AS is_current
+      FROM ch WHERE op IN ('U', 'I')
+      ORDER BY c_custkey, valid_from
     """,
 
     "m5_intersect_except" -> """
