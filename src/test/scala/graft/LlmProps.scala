@@ -115,6 +115,55 @@ object LlmProps extends Properties("LlmOps") {
     } yield (user, minute.toLong, typ))
   } yield evs.zipWithIndex.map { case ((u, m, t), i) => (i.toLong, u, m.toInt, t) }
 
+  property("lineDedup drops exactly the planted shared line; unique docs round-trip") =
+    forAll(Gen.listOfN(5, Gen.choose(1, 4)), Gen.listOfN(5, Gen.oneOf(vocab))) {
+      (nLines, fillers) =>
+        // doc i gets nLines(i) lines unique to it (id embedded); every
+        // EVEN doc also gets the same planted banner line appended
+        val docs = nLines.zip(fillers).zipWithIndex.map { case ((n, w), i) =>
+          val own = (0 until n).map(j => s"line_${i}_$j $w")
+          val all = if (i % 2 == 0) own :+ "shared banner line" else own
+          (i.toLong, all.mkString("\n"))
+        }
+        val got = TextOps.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+          .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+        docs.forall { case (id, text) =>
+          val (_, nl, nd, clean) = got(id)
+          val lines = text.split("\n", -1)
+          if (id % 2 == 0)
+            nl == lines.length && nd == 1L &&
+              clean == lines.init.mkString("\n") // banner was last
+          else
+            nl == lines.length && nd == 0L && clean == text
+        }
+    }
+
+  property("PageRank mass stays within [0, SCALE]; isolated nodes hold the damped base") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.choose(1L, 5L), Gen.choose(1L, 5L))).map(_.filter(e => e._1 != e._2)),
+      Gen.choose(0, 3)) { (edges, iters) =>
+      val nodes = (1L to 6L).toSeq // node 6 never appears in an edge
+      val r = graft.operators.PageRank.run(
+        edges.toDF("src", "dst"), nodes.toDF("id"), iters)
+        .as[(Long, Long)].collect().toMap
+      val base = (graft.operators.PageRank.Scale * 15) / (100 * nodes.length)
+      r.values.forall(v => v >= 0 && v <= graft.operators.PageRank.Scale) &&
+        r.values.sum <= graft.operators.PageRank.Scale &&
+        (iters == 0 || r(6L) == base)
+    }
+
+  property("BPE pair counts conserve total adjacent-pair mass") =
+    forAll(Gen.listOfN(12, Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))) { words =>
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = TextOps.bpePairCounts(df, "text", topK = 1000)
+        .as[(Int, String, Long)].collect()
+      val want = words.groupBy(identity).map { case (w, g) =>
+        g.size.toLong * math.max(w.length - 1, 0)
+      }.sum
+      got.map(_._3).sum == want
+    }
+
   property("funnel matches a driver-side brute force on random event streams") =
     forAll(eventGen) { evs =>
       val df = evs.map { case (id, u, m, t) =>
