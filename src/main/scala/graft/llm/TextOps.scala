@@ -992,6 +992,31 @@ object TextOps {
           / (col("max_tokens") * col("n_docs")).cast("double")))
   }
 
+  /** Multi-epoch shuffle plan: for every (epoch, doc), a shard
+    * assignment and a within-shard sort key, both pure md5 functions of
+    * (epoch, doc id) — each epoch reads a DIFFERENT but fully
+    * reproducible permutation of the corpus. This is how a trainer
+    * shuffles 100 TB: the "shuffle" is never a global sort (rejected —
+    * single-partition and non-reproducible under retry); the loader
+    * reads shard files and sorts WITHIN a shard by the key, so the only
+    * ordering work is per-shard and embarrassingly parallel. One narrow
+    * ×epochs explode, zero shuffles in this plan itself; pick `shards`
+    * ∝ corpus/shard-file-size.
+    * Output: (epoch, shard, idCol, sort_key).
+    */
+  def epochShufflePlan(df: DataFrame, idCol: String, epochs: Int,
+      shards: Int): DataFrame = {
+    require(epochs > 0 && shards > 0,
+      s"epochs ($epochs) and shards ($shards) must be > 0")
+    df.select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("sort_key", md5(concat(lit("shuffle|"), col("epoch"),
+        lit("|"), col(idCol).cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("sort_key"), 1, 4), 16, 10).cast("int") % shards)
+      .select(col("epoch"), col("shard"), col(idCol), col("sort_key"))
+  }
+
   /** THE curation quality score, over a pre-split word array: length
     * saturation (weight 0.5) + lexical diversity (0.3) + stopword rate
     * (0.2), rounded to 6 dp. ONE definition consumed by the batch

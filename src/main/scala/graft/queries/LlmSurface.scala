@@ -212,6 +212,17 @@ object LlmSurface {
         .orderBy("threshold_mq")
     }),
 
+    // ---- multi-epoch shuffle plan (reproducible permutations) ------------
+    // Per (epoch, doc): shard + within-shard sort key, pure md5 of
+    // (epoch, id) — different permutation per epoch, reproducible under
+    // retry, no global sort anywhere. The loader artifact next to
+    // llm_seq_manifest.
+    "llm_epoch_shuffle" -> ((s, dir) => {
+      TextOps.epochShufflePlan(Tables(s, dir, "documents"), "doc_id",
+          epochs = 3, shards = 8)
+        .orderBy("epoch", "doc_id")
+    }),
+
     // ---- length-bucketed inference batching (padding economics) ----------
     // Power-of-two length buckets (integer bit-length — exact in both
     // engines), md5-deterministic batch assignment, per-batch pad-to-max
@@ -2406,6 +2417,20 @@ object LlmSurface {
              ${round6sql("n_tokens_kept / CAST(tt AS DOUBLE)")} AS token_frac
       FROM c, tot
       ORDER BY threshold_mq
+    """,
+
+    "llm_epoch_shuffle" -> s"""
+      WITH d AS (SELECT doc_id FROM documents),
+      x AS (
+        SELECT doc_id, unnest(range(0, 3)) AS epoch FROM d),
+      k AS (
+        SELECT CAST(epoch AS INT) AS epoch, doc_id,
+               md5('shuffle|' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)) AS sort_key
+        FROM x)
+      SELECT epoch,
+             CAST('0x' || substr(sort_key, 1, 4) AS INT) % 8 AS shard,
+             doc_id, sort_key
+      FROM k ORDER BY epoch, doc_id
     """,
 
     "llm_length_batches" -> s"""

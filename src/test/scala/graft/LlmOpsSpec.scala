@@ -124,6 +124,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(5L) === ((5L, "yy", "xx", false)))
   }
 
+  test("epochShufflePlan: per-epoch distinct reproducible permutations, shards in range") {
+    val df = Seq(1L, 2L, 3L).toDF("doc_id")
+    val run = () => TextOps.epochShufflePlan(df, "doc_id", epochs = 2, shards = 4)
+      .as[(Int, Int, Long, String)].collect().toSet
+    val a = run()
+    assert(a.size === 6) // 3 docs x 2 epochs
+    assert(a === run(), "plan must be bit-reproducible across invocations")
+    assert(a.forall(r => r._2 >= 0 && r._2 < 4))
+    // the same doc gets a DIFFERENT key each epoch (epoch in the salt)
+    val byDoc = a.groupBy(_._3)
+    assert(byDoc.values.forall(_.map(_._4).size == 2))
+  }
+
   test("lengthBucketBatches: bit-length buckets, hand-computed padding, full coverage") {
     // token counts 1,2,3,5 → bit-length buckets 1,2,2,3; batchSize 2 →
     // one batch per bucket (mod 1), so assignment is forced and stats
