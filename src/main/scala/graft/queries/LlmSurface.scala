@@ -212,6 +212,33 @@ object LlmSurface {
         .orderBy("threshold_mq")
     }),
 
+    // ---- persisted dedup-index roundtrip ---------------------------------
+    // X53 claims "base signatures persistable" — this EXECUTES that
+    // path: write the base corpus's content-sha index to parquet, read
+    // it back from disk, and check tonight's batch against the WRITTEN
+    // files. The oracle reads the same parquet (k1-style engine
+    // roundtrip), so writer fidelity and membership logic are both
+    // pinned. Base = 3/4 of the corpus plus every 20th batch doc
+    // ("yesterday already ingested some of tonight's feed" — the
+    // natural dups don't cross the split), so both classes live.
+    "llm_sig_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_sig_out/${new java.io.File(dir).getName}"
+      val docs = Tables(s, dir, "documents")
+      docs.filter(col("doc_id") % 4 =!= 0 || col("doc_id") % 20 === 0)
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      val baseShas = s.read.parquet(out)
+        .select(col("content_sha").as("_b")).distinct()
+      // tonight's batch: the quarter held out of the base (the %20
+      // overlap means some of it is already indexed — known_exact=true)
+      docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
+        .join(baseShas, col("content_sha") === col("_b"), "left")
+        .select(col("doc_id"), col("content_sha"),
+          col("_b").isNotNull.as("known_exact"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multi-epoch shuffle plan (reproducible permutations) ------------
     // Per (epoch, doc): shard + within-shard sort key, pure md5 of
     // (epoch, id) — different permutation per epoch, reproducible under
@@ -2417,6 +2444,18 @@ object LlmSurface {
              ${round6sql("n_tokens_kept / CAST(tt AS DOUBLE)")} AS token_frac
       FROM c, tot
       ORDER BY threshold_mq
+    """,
+
+    "llm_sig_roundtrip" -> s"""
+      WITH batch AS (
+        SELECT doc_id, sha256(text) AS content_sha
+        FROM documents WHERE doc_id % 4 = 0),
+      b AS (
+        SELECT DISTINCT content_sha AS bsha
+        FROM read_parquet('/tmp/graft_sig_out/__SF__/*.parquet'))
+      SELECT doc_id, content_sha,
+             (content_sha IN (SELECT bsha FROM b)) AS known_exact
+      FROM batch ORDER BY doc_id
     """,
 
     "llm_epoch_shuffle" -> s"""
