@@ -1240,4 +1240,51 @@ object TextOps {
       when(s === best, lit(lang)).otherwise(acc)
     }
   }
+
+  /** URL canonicalization — the key-normalization step of crawl dedup
+    * (the same page arrives as `HTTPS://Site.com:443/p?utm_source=x#top`
+    * and `https://site.com/p`; byte-equality dedup sees two documents,
+    * canonical-URL dedup sees one). Rules, all regex-expressible so the
+    * DuckDB oracle can replay them:
+    *  - scheme and host lowercase (path/query stay case-sensitive per
+    *    RFC 3986);
+    *  - default port stripped (`:443` for https, `:80` for http);
+    *  - fragment dropped (never sent to the server);
+    *  - `utm_*` tracking parameters removed, with the `?`/`&` seam
+    *    repaired and an empty trailing `?` dropped. One scrub pass
+    *    removes every non-adjacent tracker; ADJACENT utm params would
+    *    need a fixpoint loop (replacement text is not rescanned) — at
+    *    ingest that's a bounded re-apply, not done here.
+    *
+    * Pure narrow projection (a regexp_extract/replace chain, whole-stage
+    * codegen) — the dedup that follows is one combine-style shuffle on
+    * the near-unique canonical key, X1's exact shape.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val hostNoPort =
+      when(scheme === "https", regexp_replace(host, ":443$", ""))
+        .when(scheme === "http", regexp_replace(host, ":80$", ""))
+        .otherwise(host)
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[A-Za-z0-9_]*=[^&#]*", "")
+    // a leading '&' left by scrubbing the first param becomes '?'
+    val seam = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+    val clean = regexp_replace(seam, "\\?$", "")
+    concat(scheme, lit("://"), hostNoPort, clean)
+  }
+
+  /** Keep-first dedup on the canonical URL: one row per canonical key
+    * with the lowest id and the copy count — `min_by`-free spelling not
+    * needed since min(id) IS the keep-first rule here (no payload).
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("doc_id"),
+        count(lit(1)).cast("long").as("n_copies"))
+      .select("doc_id", "canonical_url", "n_copies")
 }

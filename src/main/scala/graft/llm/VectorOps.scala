@@ -645,4 +645,38 @@ object VectorOps {
       .filter(col("dot_q") >= minDotQ)
       .select(col("id_a"), col("id_b"), col("bucket"), col("dot_q"))
   }
+
+  /** Per-DIMENSION statistics over a quantized embedding column — the
+    * normalization/whitening model (count, min, max, mean, variance per
+    * component) every serving stack computes before ANN indexing, and
+    * the sanity check that catches a dead or exploding dimension before
+    * it poisons an index build.
+    *
+    * Scale: one posexplode (×dim fan-out, the columnar spelling of a
+    * vector reduce) into ONE partial-combine aggregation keyed by the
+    * dimension index — exactly `dim` groups regardless of corpus size,
+    * so the reduce side is model-sized and skew-free by construction.
+    * All four sums run on exact integers (components quantized ×1000;
+    * Σq² for n vectors at |q| ≤ 2000 overflows long only past ~10^12
+    * rows/dim — beyond that, re-quantize coarser or shard the sum);
+    * mean/variance are derived from the integer sums at the end
+    * (E[x²] − E[x]², one double division each, round6-pinned) — never
+    * accumulated in floating point, so partition count and merge order
+    * cannot move a bit.
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(quantize(col(vecCol))).as(Seq("dim", "_q")))
+      .withColumn("_q", col("_q").cast("long"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min("_q").as("min_q"), max("_q").as("max_q"),
+        sum("_q").as("sum_q"),
+        sum(col("_q") * col("_q")).as("sumsq_q"))
+      .withColumn("mean_q",
+        floor(col("sum_q") / col("n").cast("double") * 1000000.0 + 0.5) / 1000000.0)
+      .withColumn("var_q",
+        floor((col("sumsq_q") / col("n").cast("double")
+            - (col("sum_q") / col("n").cast("double"))
+              * (col("sum_q") / col("n").cast("double")))
+          * 1000000.0 + 0.5) / 1000000.0)
 }

@@ -1327,6 +1327,70 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- URL canonicalization + keep-first dedup -------------------------
+    // The crawl-dedup key normalizer. documents has no URL column, so
+    // both engines synthesize the same messy URLs from (doc_id, source):
+    // mixed-case scheme/host, default :443 port, utm_* trackers in
+    // every position the scrubber handles, fragments. Collisions are
+    // structural (doc_id mod arithmetic), so real dup groups exist.
+    "llm_url_dedup" -> ((s, dir) => {
+      val k = (col("doc_id") % 50).cast("string")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), k,
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed"))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?id="), k, lit("&utm_campaign=x")))
+          .otherwise(concat(lit("?id="), k)),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      TextOps.urlDedup(
+        Tables(s, dir, "documents").withColumn("url", url), "doc_id", "url")
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-dimension embedding statistics (normalization model) --------
+    // count/min/max/mean/var per component from exact integer sums —
+    // |dim| groups regardless of corpus size; the integer sums are the
+    // mergeable state, mean/var derived at the end.
+    "llm_embed_stats" -> ((s, dir) => {
+      VectorOps.dimStats(Tables(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")
+    }),
+
+    // ---- incremental aggregate maintenance (mergeable monoid state) ------
+    // state(base) merged with state(delta) must equal state(full) — the
+    // oracle recomputes from the full corpus, so the hash match IS the
+    // proof of the monoid identity cross-engine. Nightly cost becomes
+    // O(|delta|) instead of O(|corpus|).
+    "llm_incr_agg" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 4 =!= 0)
+      val delta = docs.filter(col("doc_id") % 4 === 0)
+      withDerived(mergeStates(Seq(
+        state(base, "source", "doc_id", "n_chars"),
+        state(delta, "source", "doc_id", "n_chars"))))
+        .orderBy("key")
+    }),
+
+    // ---- small-file compaction plan (metadata-only table maintenance) ----
+    // File listing derived deterministically from `documents` (one
+    // "file" per doc, bytes = n_chars) in BOTH engines; the plan bins
+    // contiguous files per source toward a 4000-byte target via integer
+    // cumulative-sum division — |files|-row metadata work, no corpus
+    // movement until the plan executes.
+    "llm_compaction_plan" -> ((s, dir) => {
+      val files = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id").as("file_id"),
+          col("n_chars").as("bytes"))
+      graft.operators.Compaction
+        .compactionPlan(files, "source", "file_id", "bytes",
+          targetBytes = 4000L)
+        .orderBy("source", "out_file")
+    }),
+
     // ---- multimodal: binary payload + batched executor-side decode -------
     "llm_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(s,
@@ -3156,6 +3220,88 @@ object LlmSurface {
                width, height
         FROM rs)
       ORDER BY doc_id, frame_idx
+    """,
+
+    "llm_url_dedup" -> s"""
+      WITH u AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+          || '://WWW.' || source || '.Example.COM'
+          || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+          || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+          || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+                   WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+                   ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR) END)
+          || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+        FROM documents),
+      parts AS (
+        SELECT doc_id,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) AS rest
+        FROM u),
+      canon AS (
+        SELECT doc_id, scheme ||
+          '://' ||
+          (CASE WHEN scheme = 'https' THEN regexp_replace(host, ':443$$', '')
+                WHEN scheme = 'http'  THEN regexp_replace(host, ':80$$', '')
+                ELSE host END) ||
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            rest, '#.*$$', ''),
+            '[?&]utm_[A-Za-z0-9_]*=[^&#]*', ''),
+            '^([^?&]*)&', '\\1?'),
+            '\\?$$', '') AS canonical_url
+        FROM parts)
+      SELECT min(doc_id) AS doc_id, canonical_url,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM canon GROUP BY canonical_url ORDER BY doc_id
+    """,
+
+    "llm_embed_stats" -> s"""
+      WITH e AS (
+        SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      x AS (
+        SELECT generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS q FROM e),
+      st AS (
+        SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+               min(q) AS min_q, max(q) AS max_q,
+               CAST(sum(q) AS BIGINT) AS sum_q,
+               CAST(sum(q * q) AS BIGINT) AS sumsq_q
+        FROM x GROUP BY dim)
+      SELECT dim, n, min_q, max_q, sum_q, sumsq_q,
+             ${round6sql("CAST(sum_q AS DOUBLE) / n")} AS mean_q,
+             ${round6sql("CAST(sumsq_q AS DOUBLE) / n - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)")} AS var_q
+      FROM st ORDER BY dim
+    """,
+
+    // Full recompute — equality against the Spark-side base ⊎ delta merge
+    // proves the monoid-state identity cross-engine.
+    "llm_incr_agg" -> s"""
+      SELECT source AS key,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS sum_sz,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             ${round6sql("CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS avg_sz
+      FROM documents GROUP BY source ORDER BY key
+    """,
+
+    "llm_compaction_plan" -> """
+      WITH f AS (
+        SELECT source, doc_id AS file_id, n_chars AS bytes FROM documents),
+      b AS (
+        SELECT source, file_id, bytes,
+               coalesce(CAST(sum(bytes) OVER (PARTITION BY source
+                 ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS BIGINT), 0) AS before_b
+        FROM f)
+      SELECT source, before_b // 4000 AS out_file,
+             CAST(count(*) AS BIGINT) AS n_inputs,
+             CAST(sum(bytes) AS BIGINT) AS out_bytes,
+             min(file_id) AS first_file, max(file_id) AS last_file
+      FROM b GROUP BY source, before_b // 4000
+      ORDER BY source, out_file
     """
   )
 }

@@ -167,6 +167,31 @@ object RefSurface {
         .orderBy("o_month")
     }),
 
+    // ---- K4: parquet schema evolution (mergeSchema roundtrip) -----------
+    // The long-lived-table reality: files written before a column
+    // existed coexist with files written after. v1 (even keys) lacks
+    // `segment`; v2 (odd keys) carries it. `mergeSchema` reconciles the
+    // footers at read time and back-fills v1 rows with NULL — no rewrite
+    // of old files (at 100 TB a backfill rewrite is the thing schema
+    // evolution exists to avoid). The oracle reads the SAME files with
+    // DuckDB's union_by_name, so writer fidelity AND the evolution
+    // semantics are both cross-engine-pinned (k1-style).
+    "k4_schema_evolution" -> ((s, dir) => {
+      val out = s"/tmp/graft_k4_out/${SalesFixture.sfName(dir)}"
+      val c = Tables(s, dir, "customer")
+        .withColumn("acct_cents",
+          floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+      c.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "acct_cents")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      c.filter(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("acct_cents"),
+          col("c_mktsegment").as("segment"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .orderBy("c_custkey")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -1079,6 +1104,15 @@ object RefSurface {
             FROM orders)
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, rn
+    """,
+
+    "k4_schema_evolution" -> """
+      SELECT c_custkey, c_name, acct_cents, segment
+      FROM read_parquet(
+        ['/tmp/graft_k4_out/__SF__/v1/*.parquet',
+         '/tmp/graft_k4_out/__SF__/v2/*.parquet'],
+        union_by_name=true)
+      ORDER BY c_custkey
     """
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{TextOps, VectorOps}
+
+/** URL canonicalization edge cases + per-dimension embedding stats. */
+class UrlStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(TextOps.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalizeUrl lowercases scheme+host, keeps path case") {
+    assert(canon("HTTPS://WWW.Ex.COM/Path/File?Q=V")
+      === Seq("https://www.ex.com/Path/File?Q=V"))
+  }
+
+  test("canonicalizeUrl strips default ports only for the matching scheme") {
+    assert(canon(
+      "https://ex.com:443/a", "http://ex.com:80/a",
+      "http://ex.com:443/a", "https://ex.com:8443/a")
+      === Seq("https://ex.com/a", "http://ex.com/a",
+        "http://ex.com:443/a", "https://ex.com:8443/a"))
+  }
+
+  test("canonicalizeUrl drops fragments and scrubs utm_ in any position") {
+    assert(canon(
+      "https://ex.com/a#frag",
+      "https://ex.com/a?utm_source=x",
+      "https://ex.com/a?utm_source=x#frag",
+      "https://ex.com/a?id=1&utm_campaign=y",
+      "https://ex.com/a?utm_medium=z&id=1")
+      === Seq(
+        "https://ex.com/a",
+        "https://ex.com/a",
+        "https://ex.com/a",
+        "https://ex.com/a?id=1",
+        "https://ex.com/a?id=1"))
+  }
+
+  test("canonicalizeUrl leaves non-tracker params and userinfo-free hosts alone") {
+    assert(canon("https://ex.com/a?next=utm_source", "https://ex.com/")
+      === Seq("https://ex.com/a?next=utm_source", "https://ex.com/"))
+  }
+
+  test("urlDedup keeps the lowest id per canonical key with copy count") {
+    val df = Seq(
+      (1L, "https://ex.com/a?utm_source=x"),
+      (2L, "HTTPS://EX.COM:443/a"),
+      (3L, "https://ex.com/b")).toDF("id", "url")
+    val got = TextOps.urlDedup(df, "id", "url")
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "https://ex.com/a", 2L),
+      (3L, "https://ex.com/b", 1L)))
+  }
+
+  test("dimStats computes hand-checked per-dimension moments") {
+    val df = Seq(
+      Tuple1(Array(1.0f, 2.0f)),
+      Tuple1(Array(3.0f, 2.0f)),
+      Tuple1(Array(5.0f, 2.0f))).toDF("embedding")
+    val rows = VectorOps.dimStats(df, "embedding").orderBy("dim").collect()
+    // dim 0: q = 1000,3000,5000 → mean 3000, var E[x²]−E[x]² = 8/3·1e6
+    val d0 = rows(0)
+    assert(d0.getLong(1) === 3L)
+    assert((d0.getLong(2), d0.getLong(3)) === (1000L, 5000L))
+    assert(d0.getAs[Double]("mean_q") === 3000.0)
+    assert(d0.getAs[Double]("var_q") === math.floor(8.0 / 3.0 * 1e6 * 1e6 + 0.5) / 1e6)
+    // dim 1: constant → var exactly 0
+    assert(rows(1).getAs[Double]("var_q") === 0.0)
+    assert(rows(1).getAs[Double]("mean_q") === 2000.0)
+  }
+
+  test("dimStats group count equals dimensionality, independent of rows") {
+    val df = (0 until 37).map(i => Tuple1(Array.fill(5)(i.toFloat / 10)))
+      .toDF("embedding")
+    assert(VectorOps.dimStats(df, "embedding").count() === 5L)
+  }
+}
