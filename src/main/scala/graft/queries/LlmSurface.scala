@@ -1327,6 +1327,32 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- z-order layout vs ingestion layout: file-skipping index ---------
+    // Two 6-bit dimensions (user_id%64, event_id%64) over events, 16
+    // files per layout: z-range bucketing clusters (x,y) rectangles so
+    // the box query [8,15]×[16,31] touches ONE file; the round-robin
+    // ingestion layout smears both dims across every file and can skip
+    // nothing. The per-file min/max table is the metadata a 100 TB scan
+    // consults before reading a byte.
+    "llm_zorder_layout" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        (col("user_id") % 64).cast("int").as("x"),
+        (col("event_id") % 64).cast("int").as("y"),
+        col("event_id"))
+      val tagged = ev
+        .withColumn("layout", lit("zorder"))
+        .withColumn("_z", graft.operators.ZOrder.zValue(col("x"), col("y"), 6))
+        .withColumn("file", expr("_z div 256"))
+        .drop("_z")
+        .unionByName(ev
+          .withColumn("layout", lit("ingest"))
+          .withColumn("file", (col("event_id") % 16).cast("long")))
+      graft.operators.ZOrder
+        .skippingIndex(tagged, "layout", "file", "x", "y",
+          x0 = 8, x1 = 15, y0 = 16, y1 = 31)
+        .orderBy("layout", "file_id")
+    }),
+
     // ---- URL canonicalization + keep-first dedup -------------------------
     // The crawl-dedup key normalizer. documents has no URL column, so
     // both engines synthesize the same messy URLs from (doc_id, source):
@@ -3221,6 +3247,32 @@ object LlmSurface {
         FROM rs)
       ORDER BY doc_id, frame_idx
     """,
+
+    "llm_zorder_layout" -> {
+      val zexpr = (0 until 6).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""
+      WITH ev AS (
+        SELECT CAST(user_id % 64 AS INT) AS x,
+               CAST(event_id % 64 AS INT) AS y, event_id
+        FROM events),
+      assigned AS (
+        SELECT x, y, 'zorder' AS layout,
+               CAST(($zexpr) // 256 AS BIGINT) AS file
+        FROM ev
+        UNION ALL
+        SELECT x, y, 'ingest' AS layout,
+               CAST(event_id % 16 AS BIGINT) AS file
+        FROM ev)
+      SELECT layout, file AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y,
+             (min(x) <= 15 AND max(x) >= 8 AND
+              min(y) <= 31 AND max(y) >= 16) AS scan_needed
+      FROM assigned GROUP BY layout, file ORDER BY layout, file
+    """
+    },
 
     "llm_url_dedup" -> s"""
       WITH u AS (
