@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.UpsertSink
+
+/** Streaming MERGE via foreachBatch: versioned keyed snapshots from a
+  * change stream, with event-time last-writer-wins semantics.
+  */
+class UpsertSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("upsertSnapshot: batch updates, inserts, and leaves untouched keys") {
+    val snap = Seq((1L, ts("2024-01-01 00:00:00"), "a1"),
+      (2L, ts("2024-01-01 00:00:00"), "b1"))
+      .toDF("k", "ts", "v")
+    val batch = Seq((2L, ts("2024-01-02 00:00:00"), "b2"),
+      (3L, ts("2024-01-02 00:00:00"), "c1"))
+      .toDF("k", "ts", "v")
+    val got = UpsertSink.upsertSnapshot(Some(snap), batch, "k", "ts")
+      .orderBy("k").select("k", "v").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "a1"), (2L, "b2"), (3L, "c1")))
+  }
+
+  test("upsertSnapshot: an OLDER event-time change does not clobber newer state") {
+    val snap = Seq((1L, ts("2024-01-05 00:00:00"), "new")).toDF("k", "ts", "v")
+    val late = Seq((1L, ts("2024-01-01 00:00:00"), "stale")).toDF("k", "ts", "v")
+    val got = UpsertSink.upsertSnapshot(Some(snap), late, "k", "ts")
+      .select("v").as[String].collect().toSeq
+    assert(got === Seq("new"))
+  }
+
+  test("upsertSnapshot: equal event time — the batch wins (last writer)") {
+    val t = ts("2024-01-01 00:00:00")
+    val snap = Seq((1L, t, "old")).toDF("k", "ts", "v")
+    val batch = Seq((1L, t, "resent")).toDF("k", "ts", "v")
+    val got = UpsertSink.upsertSnapshot(Some(snap), batch, "k", "ts")
+      .select("v").as[String].collect().toSeq
+    assert(got === Seq("resent"))
+  }
+
+  test("upsertSnapshot is idempotent: re-applying the same batch is a no-op") {
+    val snap = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("k", "ts", "v")
+    val batch = Seq((1L, ts("2024-01-02 00:00:00"), "a2"),
+      (2L, ts("2024-01-02 00:00:00"), "b")).toDF("k", "ts", "v")
+    val once = UpsertSink.upsertSnapshot(Some(snap), batch, "k", "ts")
+    val twice = UpsertSink.upsertSnapshot(Some(once), batch, "k", "ts")
+    assert(twice.orderBy("k").collect().toSeq === once.orderBy("k").collect().toSeq)
+  }
+
+  test("runUpsert maintains a versioned snapshot across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = UpsertSink.runUpsert(
+      input.toDF().toDF("k", "ts", "v"), "k", "ts", dir)
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), "a1"),
+        (2L, ts("2024-01-01 00:00:00"), "b1"),
+        (2L, ts("2024-01-01 06:00:00"), "b1x")) // within-batch: latest wins
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-02 00:00:00"), "b2"),
+        (3L, ts("2024-01-02 00:00:00"), "c1"))
+      q.processAllAvailable()
+      val latest = UpsertSink.latestVersionDir(spark, dir).get
+      val got = spark.read.parquet(latest)
+        .orderBy("k").select("k", "v").as[(Long, String)].collect().toSeq
+      assert(got === Seq((1L, "a1"), (2L, "b2"), (3L, "c1")))
+      // both versions were published; v0 still readable (immutable history)
+      val v0 = spark.read.parquet(s"$dir/v0")
+        .orderBy("k").select("k", "v").as[(Long, String)].collect().toSeq
+      assert(v0 === Seq((1L, "a1"), (2L, "b1x")))
+    } finally q.stop()
+  }
+}
