@@ -193,4 +193,34 @@ object LlmProps extends Properties("LlmOps") {
       }
       got == want
     }
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTPS", "Http")
+    host <- Gen.oneOf("Ex.COM", "www.ex.com", "A.B.Example.ORG")
+    port <- Gen.oneOf("", ":443", ":80", ":8080")
+    path <- Gen.oneOf("", "/", "/a", "/A/b.html")
+    query <- Gen.oneOf("", "?id=1", "?utm_source=x", "?id=1&utm_medium=m",
+      "?utm_campaign=c&id=2", "?next=utm_source")
+    frag <- Gen.oneOf("", "#top", "#a-b")
+  } yield s"$scheme://$host$port$path$query$frag"
+
+  property("canonicalizeUrl is idempotent: canon(canon(u)) == canon(u)") =
+    forAll(Gen.listOfN(12, urlGen)) { urls =>
+      val once = urls.toDF("u")
+        .select(TextOps.canonicalizeUrl(col("u")).as("c"))
+      val twice = once.select(TextOps.canonicalizeUrl(col("c")).as("c"))
+      once.as[String].collect().toSeq == twice.as[String].collect().toSeq
+    }
+
+  property("canonicalizeUrl output carries no fragment, tracker, or default port") =
+    forAll(Gen.listOfN(12, urlGen)) { urls =>
+      urls.toDF("u").select(TextOps.canonicalizeUrl(col("u")).as("c"))
+        .as[String].collect().forall { c =>
+          !c.contains("#") && !c.contains("utm_source=x") &&
+            !c.contains("utm_medium") && !c.contains("utm_campaign") &&
+            !c.endsWith("?") &&
+            !(c.startsWith("https://") && c.contains(":443")) &&
+            !(c.startsWith("http://") && c.contains(":80/")) // :8080 survives
+        }
+    }
 }

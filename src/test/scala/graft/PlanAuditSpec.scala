@@ -241,6 +241,72 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must run per-partition heaps + driver merge of k:\n$p")
   }
 
+  test("compaction plan windows per group — the listing never hits one partition") {
+    val files = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id").as("f"), col("n_chars").as("b"))
+    val p = plan(graft.operators.Compaction
+      .compactionPlan(files, "source", "f", "b", 4000L))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"metadata window must partition by group, not collapse:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"window exchange must hash on the group column:\n$p")
+  }
+
+  test("skipping index is one partial-combine aggregation on (layout, file)") {
+    val ev = Tables.events(spark, dir).select(
+      (col("user_id") % 64).cast("int").as("x"),
+      (col("event_id") % 64).cast("int").as("y"),
+      (col("event_id") % 16).as("file"))
+      .withColumn("layout", lit("t"))
+    val p = plan(graft.operators.ZOrder
+      .skippingIndex(ev, "layout", "file", "x", "y", 0, 7, 0, 7))
+    assert(p.toLowerCase.contains("partial"),
+      s"footer stats must map-side combine:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"exactly one shuffle expected:\n$p")
+  }
+
+  test("incremental state merge partial-aggregates both levels, no collapse") {
+    import graft.operators.IncrementalAgg._
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(mergeStates(Seq(
+      state(docs.filter(col("doc_id") % 2 === 0), "source", "doc_id", "n_chars"),
+      state(docs.filter(col("doc_id") % 2 =!= 0), "source", "doc_id", "n_chars"))))
+    assert(p.toLowerCase.contains("partial"),
+      s"monoid components must map-side combine:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"no driver funnel:\n$p")
+  }
+
+  test("a selective dim filter injects a runtime BLOOM filter on the fact scan") {
+    // Spark's InjectRuntimeFilter (the semi-join reduction a 100 TB
+    // fact⋈dim lives on when the dim is too big to broadcast): the
+    // dim side's selective predicate becomes a bloom filter probed as
+    // `might_contain` on the fact side BEFORE its shuffle, cutting the
+    // exchanged rows to ~the join's selectivity. Thresholds are sized
+    // for clusters, so pin them down to make the optimizer fire at
+    // test scale — the AUDIT is that the rewrite happens at all (a
+    // Spark upgrade silently losing it would cost the full fact
+    // shuffle at scale).
+    val pairs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = pairs.map { case (k, _) => k -> util.Try(spark.conf.get(k)).toOption }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, dir, "lineitem")
+      val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+      val p = plan(li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice"))
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter must reach the fact side:\n$p")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scalar-heavy Q1 chain") {
     val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
     // AQE prints `isFinalPlan=false` with no codegen spans until the query
