@@ -664,6 +664,52 @@ object VectorOps {
     * accumulated in floating point, so partition count and merge order
     * cannot move a bit.
     */
+  /** Per-dimension outlier clipping report (winsorization bounds at
+    * mean ± nSigma·σ): which components a normalization pass would clip
+    * — the dead/exploding-dimension detector run before an index build.
+    *
+    * Determinism at any scale: the bound comparison never touches an
+    * accumulated float. With integer sums S=Σq, Q=Σq², the test
+    * `q < mean − nσ·σ` is evaluated as `n·q < S − nσ·√(n·Q − S²)`:
+    * n·q, S, and n·Q−S² are EXACT integers (see [[dimStats]] for the
+    * overflow envelope), and √ of an exact integer is correctly rounded
+    * IEEE — bit-identical in the JVM and DuckDB — so every row lands on
+    * the same side of the bound in both engines, partition count
+    * irrelevant. (The rejected spelling — interpolated percentiles —
+    * wobbles in the last ulp across engines when the interpolation
+    * formula differs, flipping boundary rows.)
+    *
+    * Two corpus passes by necessity (global stats, then clip test) with
+    * the |dim|-row stats table broadcast between them — model-sized by
+    * construction, so the hint is safe (unlike a vocab table).
+    */
+  def outlierClip(df: DataFrame, vecCol: String,
+      nSigma: Double = 2.0): DataFrame = {
+    require(nSigma > 0, s"nSigma ($nSigma) must be > 0")
+    val q = df
+      .select(posexplode(quantize(col(vecCol))).as(Seq("dim", "_q")))
+      .withColumn("_q", col("_q").cast("long"))
+    val st = q.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("_q").as("s"),
+        sum(col("_q") * col("_q")).as("qq"))
+      .withColumn("_dev", sqrt((col("n") * col("qq") - col("s") * col("s"))
+        .cast("double")))
+    q.join(broadcast(st), "dim")
+      .withColumn("_nq", (col("n") * col("_q")).cast("double"))
+      .groupBy("dim", "n", "s", "_dev")
+      .agg(
+        sum(when(col("_nq") < col("s") - lit(nSigma) * col("_dev"), 1L)
+          .otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("_nq") > col("s") + lit(nSigma) * col("_dev"), 1L)
+          .otherwise(0L)).as("n_clip_hi"))
+      .select(col("dim"), col("n"),
+        (floor((col("s") - lit(nSigma) * col("_dev")) / col("n")
+          * 1000000.0 + 0.5) / 1000000.0).as("lo_q"),
+        (floor((col("s") + lit(nSigma) * col("_dev")) / col("n")
+          * 1000000.0 + 0.5) / 1000000.0).as("hi_q"),
+        col("n_clip_lo"), col("n_clip_hi"))
+  }
+
   def dimStats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(quantize(col(vecCol))).as(Seq("dim", "_q")))
       .withColumn("_q", col("_q").cast("long"))

@@ -1385,6 +1385,16 @@ object LlmSurface {
         .orderBy("dim")
     }),
 
+    // ---- per-dimension outlier clipping (σ-winsorization report) ---------
+    // Bounds evaluated in exact integer space (n·q vs S ± nσ·√(nQ−S²))
+    // so boundary rows land identically in both engines — interpolated
+    // percentiles are rejected for last-ulp cross-engine wobble.
+    "llm_outlier_clip" -> ((s, dir) => {
+      VectorOps.outlierClip(Tables(s, dir, "embeddings"), "embedding",
+        nSigma = 2.0)
+        .orderBy("dim")
+    }),
+
     // ---- incremental aggregate maintenance (mergeable monoid state) ------
     // state(base) merged with state(delta) must equal state(full) — the
     // oracle recomputes from the full corpus, so the hash match IS the
@@ -3326,6 +3336,33 @@ object LlmSurface {
              ${round6sql("CAST(sum_q AS DOUBLE) / n")} AS mean_q,
              ${round6sql("CAST(sumsq_q AS DOUBLE) / n - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)")} AS var_q
       FROM st ORDER BY dim
+    """,
+
+    "llm_outlier_clip" -> s"""
+      WITH e AS (
+        SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      x AS (
+        SELECT generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS q FROM e),
+      st AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q * q) AS BIGINT) AS qq
+        FROM x GROUP BY dim),
+      b AS (
+        SELECT dim, n, s,
+               sqrt(CAST(n * qq - s * s AS DOUBLE)) AS dev
+        FROM st)
+      SELECT CAST(x.dim AS INT) AS dim, b.n,
+             floor((s - 2.0 * dev) / n * 1000000.0 + 0.5) / 1000000.0 AS lo_q,
+             floor((s + 2.0 * dev) / n * 1000000.0 + 0.5) / 1000000.0 AS hi_q,
+             CAST(sum(CASE WHEN CAST(n * q AS DOUBLE) < s - 2.0 * dev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             CAST(sum(CASE WHEN CAST(n * q AS DOUBLE) > s + 2.0 * dev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+      FROM x JOIN b USING (dim)
+      GROUP BY x.dim, b.n, b.s, b.dev ORDER BY dim
     """,
 
     // Full recompute — equality against the Spark-side base ⊎ delta merge

@@ -74,6 +74,36 @@ class UrlStatsSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("mean_q") === 2000.0)
   }
 
+  test("outlierClip flags exactly the hand-computed σ-outliers") {
+    // Nine flat rows + one spike per dimension. dim 0: q = 9×0, 1×10000
+    // → mean 1000, σ = 3000, 2σ high bound 7000 < 10000 → spike clipped.
+    // dim 1: 9×0, 1×50000 → bound 35000 < 50000 → clipped.
+    // dim 2: 9×1000, 1×100000 → bound ≈ 70297 < 100000 → clipped.
+    val df = Seq(
+      Tuple1(Array(0f, 0f, 1f)), Tuple1(Array(0f, 0f, 1f)),
+      Tuple1(Array(0f, 0f, 1f)), Tuple1(Array(0f, 0f, 1f)),
+      Tuple1(Array(0f, 0f, 1f)), Tuple1(Array(0f, 0f, 1f)),
+      Tuple1(Array(0f, 0f, 1f)), Tuple1(Array(0f, 0f, 1f)),
+      Tuple1(Array(0f, 0f, 1f)), Tuple1(Array(10f, 50f, 100f)))
+      .toDF("embedding")
+    val rows = graft.llm.VectorOps.outlierClip(df, "embedding", nSigma = 2.0)
+      .orderBy("dim").collect()
+    assert(rows(0).getAs[Long]("n_clip_hi") === 1L)
+    assert(rows(0).getAs[Long]("n_clip_lo") === 0L)
+    assert(rows(1).getAs[Long]("n_clip_hi") === 1L)
+    assert(rows(2).getAs[Long]("n_clip_hi") === 1L)
+    assert(rows(2).getAs[Long]("n_clip_lo") === 0L)
+  }
+
+  test("outlierClip on a constant dimension clips nothing (σ = 0, strict bounds)") {
+    val df = (0 until 20).map(_ => Tuple1(Array(3.5f, 3.5f))).toDF("embedding")
+    val rows = graft.llm.VectorOps.outlierClip(df, "embedding").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clip_lo") === 0L)
+      assert(r.getAs[Long]("n_clip_hi") === 0L)
+    }
+  }
+
   test("dimStats group count equals dimensionality, independent of rows") {
     val df = (0 until 37).map(i => Tuple1(Array.fill(5)(i.toFloat / 10)))
       .toDF("embedding")
