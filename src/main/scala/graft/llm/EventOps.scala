@@ -120,4 +120,48 @@ object EventOps {
         steps.zipWithIndex.map { case (s, i) => fmtTs(col(s"_t${i + 1}")).as(s"t_$s") } :+
         reached.as("reached"): _*)
   }
+
+  /** Cohort retention matrix — the product-analytics table every event
+    * warehouse serves: users cohorted by first-seen day, and for each
+    * (cohort_day, day_offset) the fraction of the cohort active again
+    * that day.
+    *
+    * Scale shape (everything partial-aggregable, no windows, no per-user
+    * sort):
+    *  1. distinct (user, day) — the raw stream collapses to at most
+    *     |users|×|days| rows in ONE combine-style shuffle; repeated
+    *     events that day never cross the exchange;
+    *  2. first-seen = min(day) per user — a combine agg on the same key;
+    *  3. one equi-join (user) attaches the cohort to each active day —
+    *     at 100 TB both sides hash-partition on user, AQE decides the
+    *     strategy;
+    *  4. cohort sizes and per-(cohort, offset) actives are counts over
+    *     ALREADY-DISTINCT rows — plain partial-combine counts, no
+    *     count_distinct expansion needed.
+    * Day arithmetic is integer datediff on DATE values; the ratio is
+    * round6-pinned. Output: (cohort_day string, day_offset int,
+    * n_cohort, n_active, retention), offset 0 row included (=1.0 by
+    * construction — a cheap self-check for the oracle compare).
+    */
+  def retentionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      maxOffset: Int): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset ($maxOffset) must be >= 0")
+    val days = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_day"))
+      .distinct()
+    val first = days.groupBy("_u").agg(min("_day").as("_cohort"))
+    val sizes = first.groupBy("_cohort")
+      .agg(count(lit(1)).as("n_cohort"))
+    days.join(first, "_u")
+      .withColumn("day_offset", datediff(col("_day"), col("_cohort")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("_cohort", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "_cohort")
+      .select(
+        date_format(col("_cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_cohort"), col("n_active"),
+        TextOps.round6(col("n_active") / col("n_cohort").cast("double"))
+          .as("retention"))
+  }
 }

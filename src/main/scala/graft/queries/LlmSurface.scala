@@ -1385,6 +1385,16 @@ object LlmSurface {
         .orderBy("dim")
     }),
 
+    // ---- cohort retention matrix (first-seen cohorts × day offsets) ------
+    // distinct (user, day) → first-seen combine agg → one user equi-join
+    // → partial-combine counts; no windows, no per-user history. The
+    // offset-0 diagonal is 1.0 by construction — a built-in self-check.
+    "llm_retention" -> ((s, dir) => {
+      EventOps.retentionMatrix(events(s, dir), "user_id", "ts",
+        maxOffset = 7)
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // ---- per-dimension outlier clipping (σ-winsorization report) ---------
     // Bounds evaluated in exact integer space (n·q vs S ± nσ·√(nQ−S²))
     // so boundary rows land identically in both engines — interpolated
@@ -3336,6 +3346,27 @@ object LlmSurface {
              ${round6sql("CAST(sum_q AS DOUBLE) / n")} AS mean_q,
              ${round6sql("CAST(sumsq_q AS DOUBLE) / n - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)")} AS var_q
       FROM st ORDER BY dim
+    """,
+
+    "llm_retention" -> s"""
+      WITH days AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+      first AS (
+        SELECT u, min(day) AS cohort FROM days GROUP BY u),
+      sizes AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+        FROM first GROUP BY cohort),
+      act AS (
+        SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM days JOIN first USING (u)
+        WHERE date_diff('day', cohort, day) <= 7
+        GROUP BY cohort, date_diff('day', cohort, day))
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+             CAST(day_offset AS INT) AS day_offset, n_cohort, n_active,
+             ${round6sql("n_active / CAST(n_cohort AS DOUBLE)")} AS retention
+      FROM act JOIN sizes USING (cohort)
+      ORDER BY cohort_day, day_offset
     """,
 
     "llm_outlier_clip" -> s"""
