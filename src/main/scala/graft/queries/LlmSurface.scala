@@ -1385,6 +1385,25 @@ object LlmSurface {
         .orderBy("dim")
     }),
 
+    // ---- triangle enumeration (degree-ordered, Suri-Vassilvitskii) -------
+    // Graph = the PageRank hub topology plus intra-group member rings,
+    // so triangles exist by construction (hub, k, k+1): 8 per full
+    // group, 400 at sf0.01. The operator's wedge fan-out is bounded by
+    // out-degree ≤ O(√m) regardless of hub degree — the celebrity-node
+    // case the naive middle-vertex join dies on.
+    "llm_graph_triangles" -> ((s, dir) => {
+      val nodes = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val hubEdges = nodes.filter(col("id") % 10 =!= 0)
+        .select(col("id").as("src"), (col("id") - (col("id") % 10)).as("dst"))
+      val ringEdges = nodes.filter(col("id") % 10 >= 1 && col("id") % 10 <= 8)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .join(nodes.select(col("id").as("dst")), "dst") // real nodes only
+        .select("src", "dst")
+      graft.operators.Triangles
+        .triangleList(hubEdges.unionByName(ringEdges), "src", "dst")
+        .orderBy("a", "b", "c")
+    }),
+
     // ---- cohort retention matrix (first-seen cohorts × day offsets) ------
     // distinct (user, day) → first-seen combine agg → one user equi-join
     // → partial-combine counts; no windows, no per-user history. The
@@ -3346,6 +3365,39 @@ object LlmSurface {
              ${round6sql("CAST(sum_q AS DOUBLE) / n")} AS mean_q,
              ${round6sql("CAST(sumsq_q AS DOUBLE) / n - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)")} AS var_q
       FROM st ORDER BY dim
+    """,
+
+    // Orientation details cannot leak into the result (the triangle set
+    // is orientation-invariant), so the oracle replays the same
+    // degree-ordered plan for cost symmetry, not correctness coupling.
+    "llm_graph_triangles" -> s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      raw AS (
+        SELECT id AS src, id - (id % 10) AS dst FROM nodes WHERE id % 10 <> 0
+        UNION ALL
+        SELECT n.id AS src, n.id + 1 AS dst
+        FROM nodes n JOIN nodes m ON m.id = n.id + 1
+        WHERE n.id % 10 BETWEEN 1 AND 8),
+      canon AS (
+        SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM raw WHERE src <> dst),
+      deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT lo AS v FROM canon UNION ALL SELECT hi AS v FROM canon)
+        GROUP BY v),
+      dird AS (
+        SELECT CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND lo < hi)
+                    THEN lo ELSE hi END AS u,
+               CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND lo < hi)
+                    THEN hi ELSE lo END AS w
+        FROM canon JOIN deg dl ON dl.v = lo JOIN deg dh ON dh.v = hi),
+      wedge AS (
+        SELECT x.u AS apex, x.w AS v1, y.w AS v2
+        FROM dird x JOIN dird y ON x.u = y.u AND x.w < y.w)
+      SELECT t[1] AS a, t[2] AS b, t[3] AS c FROM (
+        SELECT list_sort([apex, v1, v2]) AS t
+        FROM wedge JOIN canon ON v1 = lo AND v2 = hi)
+      ORDER BY a, b, c
     """,
 
     "llm_retention" -> s"""
