@@ -1385,6 +1385,34 @@ object LlmSurface {
         .orderBy("dim")
     }),
 
+    // ---- rank normalization via histogram CDF (no global sort) -----------
+    // Percentile-transform every doc's quality score WITHOUT percent_rank
+    // (whose window is one global sort — the single-partition collapse
+    // the token-budget op already rejects). Milli-quality histogram
+    // (≤1001 rows) → CDF over the BOUNDED histogram → broadcast join
+    // back. Midrank convention ((below + 0.5·at)/n) so ties share a
+    // value and the transform is engine-order-independent.
+    "llm_rank_normalize" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          floor(TextOps.qualityScore(col("_w"), stopwords) * 1000)
+            .cast("long").as("q_mq"))
+      val hist = d.groupBy("q_mq").agg(count(lit(1)).as("_n"))
+      val below = win.orderBy(col("q_mq"))
+        .rowsBetween(win.unboundedPreceding, -1)
+      val cdf = hist.withColumn("_below",
+        coalesce(sum("_n").over(below), lit(0L)).cast("long"))
+      val tot = hist.agg(sum("_n").cast("long").as("_tn"))
+      d.join(broadcast(cdf), "q_mq")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("q_mq"),
+          TextOps.round6((col("_below") + lit(0.5) * col("_n"))
+            / col("_tn").cast("double")).as("rank_pct"))
+        .orderBy("doc_id")
+    }),
+
     // ---- triangle enumeration (degree-ordered, Suri-Vassilvitskii) -------
     // Graph = the PageRank hub topology plus intra-group member rings,
     // so triangles exist by construction (hub, k, k+1): 8 per full
@@ -3365,6 +3393,26 @@ object LlmSurface {
              ${round6sql("CAST(sum_q AS DOUBLE) / n")} AS mean_q,
              ${round6sql("CAST(sumsq_q AS DOUBLE) / n - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)")} AS var_q
       FROM st ORDER BY dim
+    """,
+
+    "llm_rank_normalize" -> s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      q AS (
+        SELECT doc_id,
+               CAST(floor(($qualitySqlCol) * 1000) AS BIGINT) AS q_mq
+        FROM d),
+      h AS (SELECT q_mq, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY q_mq),
+      c AS (
+        SELECT q_mq, n,
+               coalesce(CAST(sum(n) OVER (ORDER BY q_mq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS n_below
+        FROM h),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM h)
+      SELECT doc_id, q_mq,
+             ${round6sql("(n_below + 0.5 * n) / CAST(tn AS DOUBLE)")} AS rank_pct
+      FROM q JOIN c USING (q_mq), tot
+      ORDER BY doc_id
     """,
 
     // Orientation details cannot leak into the result (the triangle set

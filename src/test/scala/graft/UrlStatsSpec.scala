@@ -104,6 +104,23 @@ class UrlStatsSpec extends SparkSpec {
     }
   }
 
+  test("rank normalization: midrank mean is exactly 0.5 and the transform is monotone") {
+    val out = graft.queries.LlmSurface.queries("llm_rank_normalize")(
+      spark, "/root/testdata/sf0.001")
+      .select("q_mq", "rank_pct")
+      .as[(Long, Double)].collect().toSeq
+    // midrank is sum-preserving: Σ(below + at/2) = n²/2 for ANY
+    // distribution, so the mean percentile is 0.5 up to round6 error
+    val mean = out.map(_._2).sum / out.size
+    assert(math.abs(mean - 0.5) < 1e-5, s"midrank mean was $mean")
+    // monotone: a strictly higher score never gets a lower percentile
+    val byScore = out.distinct.sortBy(_._1)
+    byScore.sliding(2).foreach {
+      case Seq((_, p1), (_, p2)) => assert(p1 < p2)
+      case _ => ()
+    }
+  }
+
   test("dimStats group count equals dimensionality, independent of rows") {
     val df = (0 until 37).map(i => Tuple1(Array.fill(5)(i.toFloat / 10)))
       .toDF("embedding")
