@@ -192,6 +192,23 @@ object RefSurface {
         .orderBy("c_custkey")
     }),
 
+    // ---- K5: JSONL roundtrip (the training-data interchange format) -----
+    // Write documents as newline-delimited JSON via the real sink path,
+    // read back with an EXPLICIT schema (schema inference on 100 TB is
+    // a full extra pass — always declare), and have DuckDB read the
+    // SAME files: writer escaping fidelity and reader agreement are
+    // both pinned, k1-style.
+    "k5_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_jsonl_out/${SalesFixture.sfName(dir)}"
+      Tables(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").json(out)
+      s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+        .json(out)
+        .orderBy("doc_id")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -1104,6 +1121,15 @@ object RefSurface {
             FROM orders)
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, rn
+    """,
+
+    "k5_jsonl_roundtrip" -> """
+      SELECT doc_id, text, lang, source
+      FROM read_json('/tmp/graft_jsonl_out/__SF__/*.json',
+        format='newline_delimited',
+        columns={doc_id: 'BIGINT', text: 'VARCHAR',
+                 lang: 'VARCHAR', source: 'VARCHAR'})
+      ORDER BY doc_id
     """,
 
     "k4_schema_evolution" -> """
