@@ -189,4 +189,61 @@ object ConnectedComponents {
       .select(col("node").as("doc_id"), col("label").as("group_id"))
       .withColumn("group_size",
         count(lit(1)).over(Window.partitionBy("group_id")))
+
+  /** INCREMENTAL component maintenance: fold a batch of new edges into
+    * an existing (node, label) table without re-running CC on the full
+    * graph — the nightly form of dup-group maintenance, completing the
+    * incremental family (X53 batch-vs-base dedup, X106 persisted sha
+    * index, X107 mergeable aggregates).
+    *
+    * Contract-and-solve: each new edge's endpoints are mapped to their
+    * existing component label (or themselves when unlabeled — new
+    * nodes), CC runs on that CONTRACTED graph, and the resulting
+    * relabeling composes back over the old label table. Correctness
+    * rests on labels being component-MINIMUM node ids: the contracted
+    * minimum of a set of old minima and new ids IS the merged
+    * component's global minimum, so the composition equals a full
+    * recompute exactly (the oracle proves it against the full-graph
+    * fixpoint).
+    *
+    * Scale: the contracted CC loop runs on a graph bounded by the
+    * BATCH's touch set (|new edges| + components they touch), never
+    * |corpus|; untouched components pass through a single left join
+    * unchanged. The old label table is the persisted state a production
+    * pipeline reads back from parquet (X106's pattern). Every step is
+    * an equi-join or the CC loop's own join+combine rounds.
+    */
+  def incrementalLabels(
+      oldLabels: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val lab = oldLabels.select(col("node"), col("label"))
+    // contract endpoints into component space
+    val contracted = newEdges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .join(lab.select(col("node").as("_s"), col("label").as("_ls")),
+        Seq("_s"), "left")
+      .join(lab.select(col("node").as("_d"), col("label").as("_ld")),
+        Seq("_d"), "left")
+      .select(coalesce(col("_ls"), col("_s")).as("cs"),
+        coalesce(col("_ld"), col("_d")).as("cd"))
+    // solve the small contracted graph; rep → merged minimum
+    val delta = labelPropagation(contracted, "cs", "cd", maxIter)
+      .select(col("node").as("_rep"), col("label").as("_merged"))
+    // compose over old nodes (rep = their old label)...
+    val oldFinal = lab
+      .join(delta, col("label") === col("_rep"), "left")
+      .select(col("node"), coalesce(col("_merged"), col("label")).as("label"))
+    // ...and over new nodes (rep = themselves)
+    val newNodes = newEdges.select(col(srcCol).as("node"))
+      .union(newEdges.select(col(dstCol).as("node")))
+      .distinct()
+      .join(lab.select("node"), Seq("node"), "left_anti")
+    val newFinal = newNodes
+      .join(delta, col("node") === col("_rep"), "left")
+      .select(col("node"), coalesce(col("_merged"), col("node")).as("label"))
+    oldFinal.unionByName(newFinal)
+  }
 }

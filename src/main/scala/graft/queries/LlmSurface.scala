@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{EventOps, Multimodal, TextOps, VectorOps}
 
@@ -1383,6 +1383,27 @@ object LlmSurface {
     "llm_embed_stats" -> ((s, dir) => {
       VectorOps.dimStats(Tables(s, dir, "embeddings"), "embedding")
         .orderBy("dim")
+    }),
+
+    // ---- incremental connected components (contract-and-solve) -----------
+    // Nightly dup-group maintenance: fold the batch's edges (any pair
+    // touching a %4==0 doc) into the base labels WITHOUT re-running CC
+    // on the full graph — the contracted loop is bounded by the batch's
+    // touch set. The oracle computes the FULL-graph fixpoint, so the
+    // hash match proves incremental ≡ full recompute.
+    "llm_incremental_cc" -> ((s, dir) => {
+      val pairs = TextOps.simHashNearDup(Tables(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3, chunks = 4)
+        .select("doc_a", "doc_b")
+      val isNew = (c: Column) => c % 4 === 0
+      val baseEdges = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+      val newEdges = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      val oldLabels = graft.operators.ConnectedComponents
+        .labelPropagation(baseEdges, "doc_a", "doc_b")
+      graft.operators.ConnectedComponents
+        .incrementalLabels(oldLabels, newEdges, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("label").as("group_id"))
+        .orderBy("doc_id")
     }),
 
     // ---- rank normalization via histogram CDF (no global sort) -----------
@@ -3393,6 +3414,25 @@ object LlmSurface {
              ${round6sql("CAST(sum_q AS DOUBLE) / n")} AS mean_q,
              ${round6sql("CAST(sumsq_q AS DOUBLE) / n - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)")} AS var_q
       FROM st ORDER BY dim
+    """,
+
+    // Full-graph fixpoint — the incremental contract-and-solve path must
+    // reproduce it exactly.
+    "llm_incremental_cc" -> s"""
+      WITH RECURSIVE $simhashPairsCte,
+      edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      sym AS (
+        SELECT doc_a AS node, doc_b AS nbr FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges),
+      reach(node, label) AS (
+        SELECT node, node FROM sym
+        UNION
+        SELECT s.node, r.label FROM sym s JOIN reach r ON s.nbr = r.node)
+      SELECT node AS doc_id, min(label) AS group_id
+      FROM reach GROUP BY node ORDER BY doc_id
     """,
 
     "llm_rank_normalize" -> s"""
