@@ -1241,6 +1241,39 @@ object TextOps {
     }
   }
 
+  /** Trending terms: per-window term counts with lift against the
+    * PREVIOUS window — the drift/emerging-topic monitor a continuously
+    * crawled corpus runs per ingest day ("which vocabulary is suddenly
+    * hot?" catches both real events and crawler traps/spam floods).
+    *
+    * Shape: one explode into a partial-combine count on the skew-free
+    * (window, term) key, then ONE self-equi-join on (window−1, term) —
+    * never a window function over terms, never a global sort. Lift is
+    * add-one-smoothed ((n+1)/(n_prev+1)) so terms newborn this window
+    * (n_prev = 0, the interesting ones) rank by their own mass instead
+    * of dividing by zero; the ratio is round6-pinned from integer
+    * counts. `minCount` bounds the output to terms with real support —
+    * at 100 TB the full (window, term) table is vocabulary-sized per
+    * window, and the filter pushes BELOW the join (both sides pruned
+    * before shuffling).
+    */
+  def trendingTerms(df: DataFrame, windowCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    val counts = df
+      .select(col(windowCol).cast("long").as("win"),
+        explode(words(col(textCol))).as("term"))
+      .groupBy("win", "term").agg(count(lit(1)).as("n"))
+    val cur = counts.filter(col("n") >= minCount)
+    val prev = counts
+      .select((col("win") + 1).as("win"), col("term"),
+        col("n").as("n_prev"))
+    cur.join(prev, Seq("win", "term"), "left")
+      .select(col("win"), col("term"), col("n"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"))
+      .withColumn("lift",
+        round6((col("n") + 1) / (col("n_prev") + lit(1)).cast("double")))
+  }
+
   /** URL canonicalization — the key-normalization step of crawl dedup
     * (the same page arrives as `HTTPS://Site.com:443/p?utm_source=x#top`
     * and `https://site.com/p`; byte-equality dedup sees two documents,

@@ -1385,6 +1385,17 @@ object LlmSurface {
         .orderBy("dim")
     }),
 
+    // ---- trending terms (per-window lift vs previous window) -------------
+    // Ingest-day windows synthesized as doc_id % 7 in both engines; the
+    // operator is the (window, term) combine agg + one self-join on
+    // (window−1, term), with the support filter pushed below the join.
+    "llm_trending_terms" -> ((s, dir) => {
+      TextOps.trendingTerms(
+        Tables(s, dir, "documents").withColumn("day", col("doc_id") % 7),
+        "day", "text", minCount = 10)
+        .orderBy("win", "term")
+    }),
+
     // ---- incremental connected components (contract-and-solve) -----------
     // Nightly dup-group maintenance: fold the batch's edges (any pair
     // touching a %4==0 doc) into the base labels WITHOUT re-running CC
@@ -1392,9 +1403,16 @@ object LlmSurface {
     // touch set. The oracle computes the FULL-graph fixpoint, so the
     // hash match proves incremental ≡ full recompute.
     "llm_incremental_cc" -> ((s, dir) => {
+      // The pair table feeds THREE independent job chains (base CC loop,
+      // contracted delta loop, new-node anti-join), each materializing
+      // through its own localCheckpoint rounds — without pinning it,
+      // every chain re-runs the full SimHash detection (measured ~9.5 s
+      // vs ~4 s at sf0.1). The pair table is tiny (dup pairs only), so
+      // this is the persisted-edge-table shape a production run uses.
       val pairs = TextOps.simHashNearDup(Tables(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3, chunks = 4)
         .select("doc_a", "doc_b")
+        .localCheckpoint(true)
       val isNew = (c: Column) => c % 4 === 0
       val baseEdges = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
       val newEdges = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
@@ -3414,6 +3432,21 @@ object LlmSurface {
              ${round6sql("CAST(sum_q AS DOUBLE) / n")} AS mean_q,
              ${round6sql("CAST(sumsq_q AS DOUBLE) / n - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)")} AS var_q
       FROM st ORDER BY dim
+    """,
+
+    "llm_trending_terms" -> s"""
+      WITH t AS (
+        SELECT doc_id % 7 AS win, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      c AS (
+        SELECT win, term, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY win, term)
+      SELECT cur.win, cur.term, cur.n,
+             coalesce(prev.n, 0) AS n_prev,
+             ${round6sql("(cur.n + 1) / CAST(coalesce(prev.n, 0) + 1 AS DOUBLE)")} AS lift
+      FROM (SELECT * FROM c WHERE n >= 10) cur
+      LEFT JOIN c prev ON prev.win = cur.win - 1 AND prev.term = cur.term
+      ORDER BY cur.win, cur.term
     """,
 
     // Full-graph fixpoint — the incremental contract-and-solve path must

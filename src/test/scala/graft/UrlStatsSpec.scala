@@ -121,6 +121,24 @@ class UrlStatsSpec extends SparkSpec {
     }
   }
 
+  test("trendingTerms: hand-computed lift, newborn terms, and support filter") {
+    val df = Seq(
+      (0L, "spark spark data"),
+      (1L, "spark data data data"),
+      (1L, "nova nova nova")).toDF("day", "text")
+    val got = TextOps.trendingTerms(df, "day", "text", minCount = 2)
+      .orderBy("win", "term")
+      .select("win", "term", "n", "n_prev", "lift")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, "spark", 2L, 0L, 3.0),          // newborn in win 0
+      (1L, "data", 3L, 1L, 2.0),           // rising: (3+1)/(1+1)
+      (1L, "nova", 3L, 0L, 4.0)))          // newborn in win 1
+    // "spark" in win 1 has n=1 < minCount → filtered; "data" in win 0
+    // has n=1 < minCount → filtered as CURRENT but still visible as
+    // win-1 PREV support for the win-1 "data" row above
+  }
+
   test("dimStats group count equals dimensionality, independent of rows") {
     val df = (0 until 37).map(i => Tuple1(Array.fill(5)(i.toFloat / 10)))
       .toDF("embedding")
