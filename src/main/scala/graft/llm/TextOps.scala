@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline operators for LLM training-data curation: exact / near
@@ -1239,6 +1240,58 @@ object TextOps {
     scores.foldRight(lit(null).cast("string")) { case ((lang, s), acc) =>
       when(s === best, lit(lang)).otherwise(acc)
     }
+  }
+
+  /** Water-filling budget allocation: split a global token budget
+    * across sources, capping each at its availability — the "how much
+    * of each source goes into this training run" decision once caps
+    * and budget conflict (uncapped proportional allocation over-asks
+    * small sources; greedy-by-size starves them).
+    *
+    * Classic water-filling, EXACT in integers: sources sorted
+    * ascending by (availability, key); source i is SATURATED (takes
+    * all it has) iff avail_i·(n−i+1) ≤ B − prefix_excl_i — the level
+    * test spelled as an integer cross-multiplication, no division, no
+    * floats. The survivors share the remaining budget R as
+    * base = R div m each, with the R mod m remainder going one token
+    * each to the first (R mod m) unsaturated sources in sort order —
+    * so Σ allocated == B EXACTLY whenever B ≤ Σ avail, in any engine,
+    * at any partitioning (every operand is a long).
+    *
+    * Scale: the allocation runs on the |sources|-row availability
+    * table — metadata, like the compaction plan — with windows over
+    * that table only; the corpus contributes one partial-combine
+    * token-count aggregation. Output: (key, avail, allocated,
+    * saturated).
+    */
+  def waterFill(avail: DataFrame, keyCol: String, availCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget ($budget) must be >= 0")
+    val w = Window.orderBy(col("avail"), col("key"))
+    val base = avail
+      .select(col(keyCol).as("key"), col(availCol).cast("long").as("avail"))
+      .withColumn("_i", row_number().over(w))
+      .withColumn("_pex",
+        coalesce(sum("avail").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("_n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("saturated",
+        col("avail") * (col("_n") - col("_i") + 1) <= lit(budget) - col("_pex"))
+    val agg = base.agg(
+      sum(when(col("saturated"), col("avail")).otherwise(0L)).as("_satsum"),
+      sum(when(col("saturated"), 0L).otherwise(1L)).as("_m"))
+    val withTot = base.crossJoin(broadcast(agg))
+      .withColumn("_r", lit(budget) - coalesce(col("_satsum"), lit(0L)))
+      .withColumn("_urank", sum(when(col("saturated"), 0L).otherwise(1L))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    withTot.select(col("key"), col("avail"),
+      when(col("saturated"), col("avail"))
+        .otherwise(
+          expr("_r div _m") +
+            when(col("_urank") <= col("_r") % col("_m"), 1L).otherwise(0L))
+        .as("allocated"),
+      col("saturated"))
   }
 
   /** Trending terms: per-window term counts with lift against the

@@ -1385,6 +1385,22 @@ object LlmSurface {
         .orderBy("dim")
     }),
 
+    // ---- water-filling token-budget allocation across sources ------------
+    // B = 90% of corpus tokens (integer: (total*9) div 10): sources
+    // below the water level take all they have (saturated), the rest
+    // share the remainder exactly — Σ allocated == B in integers, any
+    // engine, any partitioning. The 1-row total is a legitimate scalar
+    // collect.
+    "llm_budget_waterfill" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"),
+          size(TextOps.words(col("text"))).cast("long").as("_t"))
+        .groupBy("source").agg(sum("_t").as("avail"))
+      val total = toks.agg(sum("avail")).head.getLong(0)
+      TextOps.waterFill(toks, "source", "avail", budget = total * 9 / 10)
+        .orderBy("key")
+    }),
+
     // ---- trending terms (per-window lift vs previous window) -------------
     // Ingest-day windows synthesized as doc_id % 7 in both engines; the
     // operator is the (window, term) combine agg + one self-join on
@@ -3432,6 +3448,45 @@ object LlmSurface {
              ${round6sql("CAST(sum_q AS DOUBLE) / n")} AS mean_q,
              ${round6sql("CAST(sumsq_q AS DOUBLE) / n - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)")} AS var_q
       FROM st ORDER BY dim
+    """,
+
+    "llm_budget_waterfill" -> s"""
+      WITH t AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(sum(avail) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n FROM t),
+      b AS (SELECT (total * 9) // 10 AS budget, n FROM tot),
+      r AS (
+        SELECT source AS key, avail,
+               CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS i,
+               coalesce(CAST(sum(avail) OVER (ORDER BY avail, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS pex
+        FROM t),
+      s AS (
+        SELECT key, avail, i, pex,
+               (avail * (n - i + 1) <= budget - pex) AS saturated
+        FROM r, b),
+      ag AS (
+        SELECT CAST(sum(CASE WHEN saturated THEN avail ELSE 0 END) AS BIGINT) AS satsum,
+               CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END) AS BIGINT) AS m
+        FROM s),
+      u AS (
+        SELECT key, avail, saturated,
+               CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END)
+                 OVER (ORDER BY avail, key ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS urank
+        FROM s)
+      SELECT key, avail,
+             CASE WHEN saturated THEN avail
+                  ELSE (budget - satsum) // m +
+                       (CASE WHEN urank <= (budget - satsum) % m
+                             THEN 1 ELSE 0 END)
+             END AS allocated,
+             saturated
+      FROM u, ag, b ORDER BY key
     """,
 
     "llm_trending_terms" -> s"""

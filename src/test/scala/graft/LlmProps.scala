@@ -212,6 +212,31 @@ object LlmProps extends Properties("LlmOps") {
       once.as[String].collect().toSeq == twice.as[String].collect().toSeq
     }
 
+  property("waterFill allocates the budget exactly and never over-draws a source") =
+    forAll(
+      Gen.listOfN(9, Gen.choose(1L, 500L)),
+      Gen.choose(0.1, 0.99)) { (avails, frac) =>
+      val df = avails.zipWithIndex.map { case (a, i) => (s"s$i", a) }
+        .toDF("src", "avail")
+      val total = avails.sum
+      val budget = (total * frac).toLong
+      val rows = TextOps.waterFill(df, "src", "avail", budget)
+        .as[(String, Long, Long, Boolean)].collect()
+      val byKey = avails.zipWithIndex.map { case (a, i) => s"s$i" -> a }.toMap
+      rows.map(_._3).sum == budget &&
+        rows.forall { case (k, _, alloc, _) => alloc <= byKey(k) } &&
+        rows.forall { case (_, av, alloc, sat) => !sat || alloc == av }
+    }
+
+  property("waterFill with budget >= total hands every source its availability") =
+    forAll(Gen.listOfN(6, Gen.choose(1L, 100L))) { avails =>
+      val df = avails.zipWithIndex.map { case (a, i) => (s"s$i", a) }
+        .toDF("src", "avail")
+      val rows = TextOps.waterFill(df, "src", "avail", avails.sum + 7)
+        .as[(String, Long, Long, Boolean)].collect()
+      rows.forall { case (_, av, alloc, sat) => alloc == av && sat }
+    }
+
   property("canonicalizeUrl output carries no fragment, tracker, or default port") =
     forAll(Gen.listOfN(12, urlGen)) { urls =>
       urls.toDF("u").select(TextOps.canonicalizeUrl(col("u")).as("c"))
