@@ -110,4 +110,49 @@ object DocStream {
       .withColumn("content_sha", sha2(col("text"), 256))
       .join(baseShas.select("content_sha"), Seq("content_sha"), "left_anti")
       .dropDuplicatesWithinWatermark("content_sha")
+
+  /** The COMPLETE streaming-ingest loop with a GROWING index —
+    * [[dedupAgainstBase]] checks against a static snapshot; this closes
+    * the loop: per micro-batch, (1) within-batch keep-first on the
+    * content sha (`min_by` combine, never a window), (2) anti-join
+    * against the sha index accumulated by ALL previous batches, (3)
+    * append the novel documents to the corpus sink and their shas to
+    * the index. Tonight's batch dedupes against everything ever
+    * ingested, including earlier tonight.
+    *
+    * Failure ordering is deliberate: corpus append happens BEFORE index
+    * append, so a crash between the two re-emits the batch's novel docs
+    * on retry (at-least-once, dedupable downstream by the same sha)
+    * rather than silently losing them (the index-first order drops
+    * data). Exactly-once needs a transactional table format holding
+    * both writes; this is the honest filesystem spelling.
+    *
+    * Scale: the index read is a columnar scan of ONE narrow sha column;
+    * at corpus scale the anti-join hash-partitions both sides on the
+    * sha (near-unique, skew-free), and the index directory is exactly
+    * what [[graft.operators.Compaction]] exists to fold.
+    */
+  def ingestWithGrowingIndex(docs: DataFrame, corpusDir: String,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val payload = batch.columns
+        val keyed = batch
+          .withColumn("content_sha", sha2(col("text"), 256))
+          .groupBy("content_sha")
+          .agg(min_by(struct(payload.map(col): _*), col("doc_id")).as("_p"))
+          .select(col("content_sha") +: payload.map(c => col(s"_p.`$c`")): _*)
+        val novel =
+          if (new java.io.File(indexDir).exists())
+            keyed.join(s.read.parquet(indexDir).select("content_sha"),
+              Seq("content_sha"), "left_anti")
+          else keyed
+        val pinned = novel.localCheckpoint(true) // one computation, two writes
+        pinned.write.mode("append").parquet(corpusDir)
+        pinned.select("content_sha").write.mode("append").parquet(indexDir)
+        ()
+      }
+      .start()
 }

@@ -307,6 +307,53 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("triangle enumeration is equi-joins only — no cartesian/nested-loop") {
+    val edges = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("src"),
+        (col("doc_id") - (col("doc_id") % 10)).as("dst"))
+    val p = plan(graft.operators.Triangles.triangleList(edges, "src", "dst"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge and closing steps must stay equi-joins:\n$p")
+  }
+
+  test("retention matrix: distinct collapse then plain counts, no count_distinct Expand") {
+    val p = plan(graft.llm.EventOps.retentionMatrix(
+      Tables.events(spark, dir), "user_id", "ts", maxOffset = 7))
+    assert(!p.contains("Expand"),
+      s"counts must run over already-distinct rows, not a count_distinct Expand:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"aggs must map-side combine:\n$p")
+  }
+
+  test("trending terms: support filter sits below the self-join") {
+    val q = graft.llm.TextOps.trendingTerms(
+      Tables(spark, dir, "documents").withColumn("day", col("doc_id") % 7),
+      "day", "text", minCount = 10)
+    val p = q.queryExecution.optimizedPlan.toString
+    // the n >= minCount predicate must appear under the join (pushed into
+    // the aggregated side), not above it
+    val joinIdx = p.indexOf("Join")
+    val filtIdx = p.indexOf(">= 10")
+    assert(joinIdx >= 0 && filtIdx > joinIdx,
+      s"support filter must prune before the shuffle join:\n$p")
+  }
+
+  test("water-fill windows confine the single partition to the metadata table") {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("_t"))
+      .groupBy("source").agg(sum("_t").as("avail"))
+    val p = plan(graft.llm.TextOps.waterFill(toks, "source", "avail", 10000L))
+    // the corpus-side aggregation must partial-combine BEFORE any
+    // single-partition exchange; the windows themselves run over the
+    // |sources|-row table, which is the documented bounded pattern
+    val idx = p.indexOf("Exchange SinglePartition")
+    val partialIdx = p.toLowerCase.indexOf("partial")
+    assert(partialIdx >= 0, s"corpus agg must map-side combine:\n$p")
+    assert(idx < 0 || p.substring(idx).contains("hashpartitioning")
+      || partialIdx < idx,
+      s"single-partition window must sit above the combined source table:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar-heavy Q1 chain") {
     val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
     // AQE prints `isFinalPlan=false` with no codegen spans until the query

@@ -50,6 +50,30 @@ class UpsertSinkSpec extends SparkSpec {
     assert(twice.orderBy("k").collect().toSeq === once.orderBy("k").collect().toSeq)
   }
 
+  test("ingestWithGrowingIndex dedupes within batches, across batches, and accumulates the index") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.ingestWithGrowingIndex(
+      input.toDF().toDF("doc_id", "text"), corpus, index)
+    try {
+      // batch 1: an exact dup WITHIN the batch (keep-first by doc_id)
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // batch 2: a dup of batch 1 plus a novel doc
+      input.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(corpus)
+        .orderBy("doc_id").select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+      assert(got === Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+      val idx = spark.read.parquet(index).select("content_sha")
+        .as[String].collect().toSeq
+      assert(idx.length === 3 && idx.distinct.length === 3)
+    } finally q.stop()
+  }
+
   test("runUpsert maintains a versioned snapshot across micro-batches") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
