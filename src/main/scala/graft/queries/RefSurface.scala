@@ -209,6 +209,38 @@ object RefSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- K6: compaction plan EXECUTED (layout write + readback audit) ---
+    // X108 plans; this executes: join docs to their planned bin, write
+    // hive-partitioned by (source, out_file), then READ THE WRITTEN
+    // LAYOUT BACK and emit per-directory file stats. The oracle reads
+    // the same directories hive-style, so the audit proves the written
+    // layout matches the plan bin-for-bin (the k1/X106 "execute the
+    // claim" pattern applied to table maintenance).
+    "k6_compaction_exec" -> ((s, dir) => {
+      val out = s"/tmp/graft_k6_out/${SalesFixture.sfName(dir)}"
+      val files = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val plan = graft.operators.Compaction.compactionPlan(
+        files.select(col("source"), col("doc_id").as("file_id"),
+          col("n_chars").as("bytes")),
+        "source", "file_id", "bytes", targetBytes = 4000L)
+        .select(col("source").as("_psrc"), col("out_file"),
+          col("first_file"), col("last_file"))
+      files
+        .join(plan, col("source") === col("_psrc")
+          && col("doc_id").between(col("first_file"), col("last_file")))
+        .select(col("source"), col("out_file"), col("doc_id"), col("n_chars"))
+        .write.mode("overwrite")
+        .partitionBy("source", "out_file").parquet(out)
+      s.read.parquet(out)
+        .groupBy("source", "out_file")
+        .agg(count(lit(1)).as("n_inputs"),
+          sum("n_chars").as("out_bytes"),
+          min("doc_id").as("first_file"),
+          max("doc_id").as("last_file"))
+        .orderBy("source", "out_file")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -1121,6 +1153,17 @@ object RefSurface {
             FROM orders)
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, rn
+    """,
+
+    "k6_compaction_exec" -> """
+      SELECT source, CAST(out_file AS BIGINT) AS out_file,
+             CAST(count(*) AS BIGINT) AS n_inputs,
+             CAST(sum(n_chars) AS BIGINT) AS out_bytes,
+             min(doc_id) AS first_file, max(doc_id) AS last_file
+      FROM read_parquet('/tmp/graft_k6_out/__SF__/*/*/*.parquet',
+                        hive_partitioning=true)
+      GROUP BY source, CAST(out_file AS BIGINT)
+      ORDER BY source, out_file
     """,
 
     "k5_jsonl_roundtrip" -> """

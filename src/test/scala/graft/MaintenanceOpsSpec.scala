@@ -77,6 +77,23 @@ class MaintenanceOpsSpec extends SparkSpec {
     }
   }
 
+  test("executed compaction layout reproduces the plan bin-for-bin") {
+    val dir = "/root/testdata/sf0.001"
+    val executed = graft.queries.RefSurface.queries("k6_compaction_exec")(spark, dir)
+      .select(col("source"), col("out_file").cast("long"), col("n_inputs"),
+        col("out_bytes"), col("first_file"), col("last_file"))
+      .orderBy("source", "out_file").collect().toSeq
+    val planned = Compaction.compactionPlan(
+      graft.queries.Tables(spark, dir, "documents")
+        .select(col("source"), col("doc_id").as("file_id"),
+          col("n_chars").as("bytes")),
+      "source", "file_id", "bytes", targetBytes = 4000L)
+      .select(col("source"), col("out_file"), col("n_inputs"),
+        col("out_bytes"), col("first_file"), col("last_file"))
+      .orderBy("source", "out_file").collect().toSeq
+    assert(executed === planned)
+  }
+
   test("an oversized single file gets its own bin and later bins stay aligned") {
     val files = Seq(("g", 1L, 10000L), ("g", 2L, 100L), ("g", 3L, 100L))
       .toDF("g", "f", "b")
