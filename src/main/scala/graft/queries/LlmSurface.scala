@@ -1211,6 +1211,42 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- ANN recall evaluation: exact L2 ground truth × IVF-PQ -----------
+    // The llm_lsh_recall pattern applied to vectors: which TRUE top-5
+    // neighbors (exact squared-L2, brute force over the corpus — the
+    // documented ground-truth evaluator, not a serving path) did the
+    // compressed index return, at both grains a two-stage system cares
+    // about (approx top-5, and membership in the C=20 refine shortlist)?
+    // The measured numbers are LOW on this corpus (4% / 20% at sf0.01)
+    // and that is the finding, not a bug: i.i.d.-random 64-d embeddings
+    // are the pathological case for coarse quantization (no cluster
+    // structure, PQ residual error ≈ the spread between neighbors) —
+    // exactly what this evaluation exists to surface before an index
+    // ships, and why llm_ann_refined's exact re-rank stage exists.
+    // Index build shared with llm_ann_ivf_pq via ivfPqIndex — one
+    // definition, no drift.
+    "llm_ann_recall" -> ((s, dir) => {
+      val ix = ivfPqIndex(s, dir)
+      val short = VectorOps.ivfPqTopK(ix.codes, ix.qs, ix.coarse, ix.cb,
+        "vec_id", "qv", k = 20, nProbe = 4, m = ix.m, subDim = ix.subDim,
+        dot = ix.dot)
+      val top5 = short.filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"), lit(true).as("_h5"))
+      val short20 = short
+        .select(col("query_id"), col("vec_id"), lit(true).as("_h20"))
+      val allPairs = ix.qs.select(col("vec_id").as("query_id"))
+        .crossJoin(ix.emb.select(col("vec_id")))
+      val exact = VectorOps.refineTopK(allPairs, ix.emb, ix.qs,
+        "vec_id", "qv", k = 5, dot = ix.dot)
+      exact
+        .join(top5, Seq("query_id", "vec_id"), "left")
+        .join(short20, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("rank"), col("vec_id"), col("dist_q"),
+          coalesce(col("_h5"), lit(false)).as("in_approx_top5"),
+          coalesce(col("_h20"), lit(false)).as("in_shortlist20"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- IVF-PQ shortlist + exact refine (IndexRefineFlat serving shape) -
     // The deployed two-stage ANN pattern: the compressed index answers a
     // C >> k shortlist (cheap, approximate), then EXACT distances on the
@@ -3168,6 +3204,32 @@ object LlmSurface {
         FROM approx)
       WHERE "rank" <= 5
       ORDER BY query_id, "rank"
+    """,
+
+    "llm_ann_recall" -> s"""
+      WITH $ivfPqApproxCtes,
+      ar AS (
+        SELECT query_id, vec_id, rn FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS rn
+          FROM approx)
+        WHERE rn <= 20),
+      ex AS (
+        SELECT q.query_id, x.vec_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                 j -> (q.qv[j] - x.qv[j]) * (q.qv[j] - x.qv[j]))) AS BIGINT) AS dist_q
+        FROM qv0 q CROSS JOIN e x),
+      er AS (
+        SELECT query_id, vec_id, dist_q,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist_q, vec_id) AS "rank"
+        FROM ex)
+      SELECT er.query_id, er."rank", er.vec_id, er.dist_q,
+             (ar.rn IS NOT NULL AND ar.rn <= 5) AS in_approx_top5,
+             (ar.rn IS NOT NULL) AS in_shortlist20
+      FROM er LEFT JOIN ar
+        ON er.query_id = ar.query_id AND er.vec_id = ar.vec_id
+      WHERE er."rank" <= 5
+      ORDER BY er.query_id, er."rank"
     """,
 
     "llm_ann_refined" -> s"""

@@ -223,13 +223,17 @@ object RefSurface {
       val plan = graft.operators.Compaction.compactionPlan(
         files.select(col("source"), col("doc_id").as("file_id"),
           col("n_chars").as("bytes")),
-        "source", "file_id", "bytes", targetBytes = 4000L)
+        "source", "file_id", "bytes", targetBytes = 16000L)
         .select(col("source").as("_psrc"), col("out_file"),
           col("first_file"), col("last_file"))
       files
         .join(plan, col("source") === col("_psrc")
           && col("doc_id").between(col("first_file"), col("last_file")))
         .select(col("source"), col("out_file"), col("doc_id"), col("n_chars"))
+        // one writer task: the joined table is metadata-sized here, and
+        // per-partition-dir file count stays 1 (the whole point of the
+        // exercise is FEWER files)
+        .coalesce(1)
         .write.mode("overwrite")
         .partitionBy("source", "out_file").parquet(out)
       s.read.parquet(out)

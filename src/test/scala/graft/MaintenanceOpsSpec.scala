@@ -87,7 +87,7 @@ class MaintenanceOpsSpec extends SparkSpec {
       graft.queries.Tables(spark, dir, "documents")
         .select(col("source"), col("doc_id").as("file_id"),
           col("n_chars").as("bytes")),
-      "source", "file_id", "bytes", targetBytes = 4000L)
+      "source", "file_id", "bytes", targetBytes = 16000L)
       .select(col("source"), col("out_file"), col("n_inputs"),
         col("out_bytes"), col("first_file"), col("last_file"))
       .orderBy("source", "out_file").collect().toSeq
