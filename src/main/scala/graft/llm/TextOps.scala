@@ -1336,11 +1336,15 @@ object TextOps {
     *    RFC 3986);
     *  - default port stripped (`:443` for https, `:80` for http);
     *  - fragment dropped (never sent to the server);
-    *  - `utm_*` tracking parameters removed, with the `?`/`&` seam
-    *    repaired and an empty trailing `?` dropped. One scrub pass
-    *    removes every non-adjacent tracker; ADJACENT utm params would
-    *    need a fixpoint loop (replacement text is not rescanned) — at
-    *    ingest that's a bounded re-apply, not done here.
+    *  - `utm_*` tracking parameters removed POSITIONALLY — three rules
+    *    (first-with-successor keeps the `?`, sole-param drops it,
+    *    non-first drops its `&`) so no seam repair pass is needed. A
+    *    repair-based spelling (`^([^?&]*)&` → `?`) was REJECTED: it
+    *    corrupts URLs carrying a literal `&` in the path, which RFC
+    *    3986 permits. One scrub pass removes every non-adjacent
+    *    tracker; ADJACENT utm params would need a fixpoint loop
+    *    (replacement text is not rescanned) — at ingest that's a
+    *    bounded re-apply, not done here. An empty trailing `?` drops.
     *
     * Pure narrow projection (a regexp_extract/replace chain, whole-stage
     * codegen) — the dedup that follows is one combine-style shuffle on
@@ -1355,10 +1359,13 @@ object TextOps {
         .otherwise(host)
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     val noFrag = regexp_replace(rest, "#.*$", "")
-    val noUtm = regexp_replace(noFrag, "[?&]utm_[A-Za-z0-9_]*=[^&#]*", "")
-    // a leading '&' left by scrubbing the first param becomes '?'
-    val seam = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
-    val clean = regexp_replace(seam, "\\?$", "")
+    val utmFirst = regexp_replace(noFrag,
+      "\\?utm_[A-Za-z0-9_]*=[^&#]*&", "?")
+    val utmSole = regexp_replace(utmFirst,
+      "\\?utm_[A-Za-z0-9_]*=[^&#]*$", "")
+    val utmLater = regexp_replace(utmSole,
+      "&utm_[A-Za-z0-9_]*=[^&#]*", "")
+    val clean = regexp_replace(utmLater, "\\?$", "")
     concat(scheme, lit("://"), hostNoPort, clean)
   }
 

@@ -3482,10 +3482,11 @@ object LlmSurface {
           (CASE WHEN scheme = 'https' THEN regexp_replace(host, ':443$$', '')
                 WHEN scheme = 'http'  THEN regexp_replace(host, ':80$$', '')
                 ELSE host END) ||
-          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             rest, '#.*$$', ''),
-            '[?&]utm_[A-Za-z0-9_]*=[^&#]*', ''),
-            '^([^?&]*)&', '\\1?'),
+            '\\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
+            '\\?utm_[A-Za-z0-9_]*=[^&#]*$$', ''),
+            '&utm_[A-Za-z0-9_]*=[^&#]*', ''),
             '\\?$$', '') AS canonical_url
         FROM parts)
       SELECT min(doc_id) AS doc_id, canonical_url,

@@ -198,7 +198,7 @@ object LlmProps extends Properties("LlmOps") {
     scheme <- Gen.oneOf("http", "https", "HTTPS", "Http")
     host <- Gen.oneOf("Ex.COM", "www.ex.com", "A.B.Example.ORG")
     port <- Gen.oneOf("", ":443", ":80", ":8080")
-    path <- Gen.oneOf("", "/", "/a", "/A/b.html")
+    path <- Gen.oneOf("", "/", "/a", "/A/b.html", "/p&q/r")
     query <- Gen.oneOf("", "?id=1", "?utm_source=x", "?id=1&utm_medium=m",
       "?utm_campaign=c&id=2", "?next=utm_source")
     frag <- Gen.oneOf("", "#top", "#a-b")

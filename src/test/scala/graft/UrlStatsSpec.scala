@@ -44,6 +44,19 @@ class UrlStatsSpec extends SparkSpec {
       === Seq("https://ex.com/a?next=utm_source", "https://ex.com/"))
   }
 
+  test("canonicalizeUrl never corrupts a literal '&' in the path (RFC 3986)") {
+    // the rejected seam-repair spelling turned the first path '&' into
+    // '?'; the positional rules must leave these untouched
+    assert(canon(
+      "https://ex.com/a&b/c",
+      "https://ex.com/a&b/c?utm_source=x",
+      "https://ex.com/a&b/c?utm_source=x&id=1")
+      === Seq(
+        "https://ex.com/a&b/c",
+        "https://ex.com/a&b/c",
+        "https://ex.com/a&b/c?id=1"))
+  }
+
   test("urlDedup keeps the lowest id per canonical key with copy count") {
     val df = Seq(
       (1L, "https://ex.com/a?utm_source=x"),
