@@ -245,6 +245,26 @@ object RefSurface {
         .orderBy("source", "out_file")
     }),
 
+    // ---- K7: gzip CSV roundtrip (the crawl-dump interchange format) -----
+    // Compressed text is how corpora arrive; the codec must be splittable
+    // -aware at scale (gzip is NOT splittable — one file = one task, so
+    // a 100 TB feed needs many files, which this write produces via the
+    // existing partitioning). Writer quoting fidelity pinned by DuckDB
+    // reading the SAME .csv.gz files.
+    "k7_gzip_csv_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_k7_out/${SalesFixture.sfName(dir)}"
+      Tables(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip")
+        .csv(out)
+      s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+        .option("header", "true")
+        .csv(out)
+        .orderBy("doc_id")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -1157,6 +1177,15 @@ object RefSurface {
             FROM orders)
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, rn
+    """,
+
+    "k7_gzip_csv_roundtrip" -> """
+      SELECT doc_id, text, lang, source
+      FROM read_csv('/tmp/graft_k7_out/__SF__/*.csv.gz',
+        header=true,
+        columns={doc_id: 'BIGINT', text: 'VARCHAR',
+                 lang: 'VARCHAR', source: 'VARCHAR'})
+      ORDER BY doc_id
     """,
 
     "k6_compaction_exec" -> """
