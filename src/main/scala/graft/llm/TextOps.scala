@@ -1306,9 +1306,17 @@ object TextOps {
     * (n_prev = 0, the interesting ones) rank by their own mass instead
     * of dividing by zero; the ratio is round6-pinned from integer
     * counts. `minCount` bounds the output to terms with real support —
-    * at 100 TB the full (window, term) table is vocabulary-sized per
-    * window, and the filter pushes BELOW the join (both sides pruned
-    * before shuffling).
+    * the filter prunes the CUR side before its join shuffle. The prev
+    * side is INTENTIONALLY unfiltered: lift against a sub-threshold
+    * previous window is exactly the newborn-term signal this monitor
+    * exists for, so prev shuffles the per-window vocabulary — already
+    * combine-reduced to (window, term) counts (×vocab-per-window, not
+    * ×corpus). When the distinct hot-term set is small enough to
+    * broadcast, a left-semi prune of prev against it is a lossless
+    * add-on (every prev row that survives the left join belongs to a
+    * term that passed minCount in the next window); not applied by
+    * default because at crawl scale that set is itself vocabulary-sized
+    * and the semi-join would just re-shuffle prev.
     */
   def trendingTerms(df: DataFrame, windowCol: String, textCol: String,
       minCount: Long): DataFrame = {
@@ -1346,6 +1354,13 @@ object TextOps {
     *    (replacement text is not rescanned) — at ingest that's a
     *    bounded re-apply, not done here. An empty trailing `?` drops.
     *
+    * Inputs that do not look like absolute URLs (no `scheme://` —
+    * relative paths, bare hosts, malformed crawl fragments) pass
+    * through UNCHANGED: regexp_extract returns '' on no match, so the
+    * naive spelling mapped every such input to a `'://'`-prefixed
+    * remnant, letting distinct malformed URLs collide on one canonical
+    * key and be wrongly merged by [[urlDedup]].
+    *
     * Pure narrow projection (a regexp_extract/replace chain, whole-stage
     * codegen) — the dedup that follows is one combine-style shuffle on
     * the near-unique canonical key, X1's exact shape.
@@ -1366,7 +1381,9 @@ object TextOps {
     val utmLater = regexp_replace(utmSole,
       "&utm_[A-Za-z0-9_]*=[^&#]*", "")
     val clean = regexp_replace(utmLater, "\\?$", "")
-    concat(scheme, lit("://"), hostNoPort, clean)
+    when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(scheme, lit("://"), hostNoPort, clean))
+      .otherwise(url)
   }
 
   /** Keep-first dedup on the canonical URL: one row per canonical key

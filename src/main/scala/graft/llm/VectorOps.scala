@@ -646,24 +646,6 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), col("bucket"), col("dot_q"))
   }
 
-  /** Per-DIMENSION statistics over a quantized embedding column — the
-    * normalization/whitening model (count, min, max, mean, variance per
-    * component) every serving stack computes before ANN indexing, and
-    * the sanity check that catches a dead or exploding dimension before
-    * it poisons an index build.
-    *
-    * Scale: one posexplode (×dim fan-out, the columnar spelling of a
-    * vector reduce) into ONE partial-combine aggregation keyed by the
-    * dimension index — exactly `dim` groups regardless of corpus size,
-    * so the reduce side is model-sized and skew-free by construction.
-    * All four sums run on exact integers (components quantized ×1000;
-    * Σq² for n vectors at |q| ≤ 2000 overflows long only past ~10^12
-    * rows/dim — beyond that, re-quantize coarser or shard the sum);
-    * mean/variance are derived from the integer sums at the end
-    * (E[x²] − E[x]², one double division each, round6-pinned) — never
-    * accumulated in floating point, so partition count and merge order
-    * cannot move a bit.
-    */
   /** Per-dimension outlier clipping report (winsorization bounds at
     * mean ± nSigma·σ): which components a normalization pass would clip
     * — the dead/exploding-dimension detector run before an index build.
@@ -710,6 +692,24 @@ object VectorOps {
         col("n_clip_lo"), col("n_clip_hi"))
   }
 
+  /** Per-DIMENSION statistics over a quantized embedding column — the
+    * normalization/whitening model (count, min, max, mean, variance per
+    * component) every serving stack computes before ANN indexing, and
+    * the sanity check that catches a dead or exploding dimension before
+    * it poisons an index build.
+    *
+    * Scale: one posexplode (×dim fan-out, the columnar spelling of a
+    * vector reduce) into ONE partial-combine aggregation keyed by the
+    * dimension index — exactly `dim` groups regardless of corpus size,
+    * so the reduce side is model-sized and skew-free by construction.
+    * All four sums run on exact integers (components quantized ×1000;
+    * Σq² for n vectors at |q| ≤ 2000 overflows long only past ~10^12
+    * rows/dim — beyond that, re-quantize coarser or shard the sum);
+    * mean/variance are derived from the integer sums at the end
+    * (E[x²] − E[x]², one double division each, round6-pinned) — never
+    * accumulated in floating point, so partition count and merge order
+    * cannot move a bit.
+    */
   def dimStats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(quantize(col(vecCol))).as(Seq("dim", "_q")))
       .withColumn("_q", col("_q").cast("long"))

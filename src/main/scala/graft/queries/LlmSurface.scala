@@ -1217,8 +1217,13 @@ object LlmSurface {
     // documented ground-truth evaluator, not a serving path) did the
     // compressed index return, at both grains a two-stage system cares
     // about (approx top-5, and membership in the C=20 refine shortlist)?
-    // The measured numbers are LOW on this corpus (4% / 20% at sf0.01)
-    // and that is the finding, not a bug: i.i.d.-random 64-d embeddings
+    // The ground truth EXCLUDES self-matches (queries are corpus
+    // vectors; the index side filters self, so the exact side must too
+    // — otherwise the query itself is always a structural "miss" and
+    // measurable top-5 recall caps at 80%). The measured numbers are
+    // LOW on this corpus (4% / 32% at sf0.01, re-recorded after the
+    // self-match fix) and that is the finding, not a bug:
+    // i.i.d.-random 64-d embeddings
     // are the pathological case for coarse quantization (no cluster
     // structure, PQ residual error ≈ the spread between neighbors) —
     // exactly what this evaluation exists to surface before an index
@@ -1236,6 +1241,13 @@ object LlmSurface {
         .select(col("query_id"), col("vec_id"), lit(true).as("_h20"))
       val allPairs = ix.qs.select(col("vec_id").as("query_id"))
         .crossJoin(ix.emb.select(col("vec_id")))
+        // Queries ARE corpus vectors (vec_id % 100 == 0) and the index
+        // side (ivfPqTopK) excludes self-matches, so the exact ground
+        // truth must too — otherwise the query itself sits at rank 1 /
+        // distance 0 and is structurally always a "miss", capping
+        // measurable top-5 recall at 80% and shifting true neighbors'
+        // ranks.
+        .filter(col("query_id") =!= col("vec_id"))
       val exact = VectorOps.refineTopK(allPairs, ix.emb, ix.qs,
         "vec_id", "qv", k = 5, dot = ix.dot)
       exact
@@ -1440,7 +1452,9 @@ object LlmSurface {
     // ---- trending terms (per-window lift vs previous window) -------------
     // Ingest-day windows synthesized as doc_id % 7 in both engines; the
     // operator is the (window, term) combine agg + one self-join on
-    // (window−1, term), with the support filter pushed below the join.
+    // (window−1, term), with the support filter pruning the cur side
+    // before the join (prev stays unfiltered — sub-threshold n_prev is
+    // the newborn-term signal).
     "llm_trending_terms" -> ((s, dir) => {
       TextOps.trendingTerms(
         Tables(s, dir, "documents").withColumn("day", col("doc_id") % 7),
@@ -3218,7 +3232,8 @@ object LlmSurface {
         SELECT q.query_id, x.vec_id,
                CAST(list_sum(list_transform(range(1, 65),
                  j -> (q.qv[j] - x.qv[j]) * (q.qv[j] - x.qv[j]))) AS BIGINT) AS dist_q
-        FROM qv0 q CROSS JOIN e x),
+        FROM qv0 q CROSS JOIN e x
+        WHERE q.query_id <> x.vec_id),
       er AS (
         SELECT query_id, vec_id, dist_q,
                row_number() OVER (PARTITION BY query_id ORDER BY dist_q, vec_id) AS "rank"
@@ -3471,13 +3486,15 @@ object LlmSurface {
           || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
         FROM documents),
       parts AS (
-        SELECT doc_id,
+        SELECT doc_id, url,
           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) AS rest
         FROM u),
       canon AS (
-        SELECT doc_id, scheme ||
+        SELECT doc_id, CASE
+          WHEN NOT regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN url
+          ELSE scheme ||
           '://' ||
           (CASE WHEN scheme = 'https' THEN regexp_replace(host, ':443$$', '')
                 WHEN scheme = 'http'  THEN regexp_replace(host, ':80$$', '')
@@ -3487,7 +3504,7 @@ object LlmSurface {
             '\\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
             '\\?utm_[A-Za-z0-9_]*=[^&#]*$$', ''),
             '&utm_[A-Za-z0-9_]*=[^&#]*', ''),
-            '\\?$$', '') AS canonical_url
+            '\\?$$', '') END AS canonical_url
         FROM parts)
       SELECT min(doc_id) AS doc_id, canonical_url,
              CAST(count(*) AS BIGINT) AS n_copies

@@ -64,18 +64,37 @@ object UpsertSink {
     }
   }
 
-  /** Path of the highest published snapshot version, if any. */
-  def latestVersionDir(spark: SparkSession, dir: String): Option[String] = {
+  /** Path of the highest COMPLETE published snapshot version, if any.
+    *
+    * Two guards make crash-replay safe (at-least-once foreachBatch):
+    *   - a version counts only if its `_SUCCESS` marker exists, so a
+    *     directory left half-written by a mid-write crash is never
+    *     picked as the merge base;
+    *   - `beforeVersion` (the replaying batchId) excludes the version
+    *     the current batch is about to publish — otherwise a replayed
+    *     batch whose output was published but whose offset was not
+    *     committed would read `v<batchId>` while overwriting it
+    *     ("Cannot overwrite a path that is also being read from").
+    */
+  def latestVersionDir(spark: SparkSession, dir: String,
+      beforeVersion: Option[Long] = None): Option[String] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f.getPath))
+      .filter { case (id, path) =>
+        beforeVersion.forall(id < _) &&
+          new java.io.File(path, "_SUCCESS").isFile
+      }
       .sortBy(_._1).lastOption.map(_._2)
   }
 
   /** Wire a change stream into versioned snapshot maintenance. Each
     * micro-batch publishes `dir/v<batchId>` = previous snapshot merged
-    * with the batch.
+    * with the batch. The merge base is the highest complete version
+    * strictly below `batchId`, so replaying a batch after a crash
+    * recomputes `v<batchId>` from the same base it used the first time
+    * (idempotent recovery).
     */
   def runUpsert(stream: DataFrame, keyCol: String, tsCol: String,
       dir: String): StreamingQuery =
@@ -83,7 +102,8 @@ object UpsertSink {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val prev = latestVersionDir(s, dir).map(s.read.parquet(_))
+        val prev = latestVersionDir(s, dir, Some(batchId))
+          .map(s.read.parquet(_))
         upsertSnapshot(prev, batch, keyCol, tsCol)
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/v$batchId")

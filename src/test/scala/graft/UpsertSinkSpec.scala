@@ -96,6 +96,38 @@ class UpsertSinkSpec extends SparkSpec {
       val v0 = spark.read.parquet(s"$dir/v0")
         .orderBy("k").select("k", "v").as[(Long, String)].collect().toSeq
       assert(v0 === Seq((1L, "a1"), (2L, "b1x")))
+
+      // Crash-replay simulation: batch 1's version was published but the
+      // offset not committed, so foreachBatch re-runs with batchId=1. The
+      // merge base must be v0 (id < 1), NOT the v1 we are about to
+      // overwrite — re-running the exact foreachBatch body must succeed
+      // and converge to the same snapshot.
+      val base = UpsertSink.latestVersionDir(spark, dir, Some(1L))
+      assert(base.exists(_.endsWith("v0")))
+      val replayed = UpsertSink.upsertSnapshot(
+        base.map(spark.read.parquet(_)),
+        Seq((2L, ts("2024-01-02 00:00:00"), "b2"),
+          (3L, ts("2024-01-02 00:00:00"), "c1")).toDF("k", "ts", "v"),
+        "k", "ts")
+      replayed.coalesce(1).write.mode("overwrite").parquet(s"$dir/v1")
+      val afterReplay = spark.read.parquet(s"$dir/v1")
+        .orderBy("k").select("k", "v").as[(Long, String)].collect().toSeq
+      assert(afterReplay === Seq((1L, "a1"), (2L, "b2"), (3L, "c1")))
     } finally q.stop()
+  }
+
+  test("latestVersionDir skips half-written versions (no _SUCCESS) and versions >= beforeVersion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vers").toFile
+    def mk(name: String, success: Boolean): Unit = {
+      val d = new java.io.File(dir, name); d.mkdir()
+      if (success) new java.io.File(d, "_SUCCESS").createNewFile()
+    }
+    mk("v0", success = true)
+    mk("v1", success = true)
+    mk("v2", success = false) // mid-write crash: never a merge base
+    val p = dir.getPath
+    assert(UpsertSink.latestVersionDir(spark, p).exists(_.endsWith("v1")))
+    assert(UpsertSink.latestVersionDir(spark, p, Some(1L)).exists(_.endsWith("v0")))
+    assert(UpsertSink.latestVersionDir(spark, p, Some(0L)).isEmpty)
   }
 }

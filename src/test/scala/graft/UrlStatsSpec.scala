@@ -57,6 +57,27 @@ class UrlStatsSpec extends SparkSpec {
         "https://ex.com/a&b/c?id=1"))
   }
 
+  test("canonicalizeUrl passes non-absolute inputs through unchanged (no '://' collisions)") {
+    // regexp_extract returns '' on no match — the naive spelling mapped
+    // every relative path / bare host / malformed crawl URL to a
+    // '://'-prefixed remnant, merging DISTINCT inputs under one key
+    assert(canon(
+      "/relative/path?utm_source=x",
+      "example.com/page",
+      "not a url at all",
+      "ftp//typo.example.com/a")
+      === Seq(
+        "/relative/path?utm_source=x",
+        "example.com/page",
+        "not a url at all",
+        "ftp//typo.example.com/a"))
+    // and therefore urlDedup keeps distinct malformed URLs distinct
+    val got = TextOps.urlDedup(
+      Seq((1L, "example.com/a"), (2L, "other.org/b")).toDF("id", "url"),
+      "id", "url").count()
+    assert(got === 2L)
+  }
+
   test("urlDedup keeps the lowest id per canonical key with copy count") {
     val df = Seq(
       (1L, "https://ex.com/a?utm_source=x"),
