@@ -17,12 +17,14 @@ object SparkEntry {
     * LLM-data-pipeline extension surface (BASELINE.json north star).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefSurface.queries ++ graft.queries.LlmSurface.queries
+    RefSurface.queries ++ graft.queries.LlmSurface.queries ++
+      graft.queries.StreamSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefSurface.oracleSql ++ graft.queries.LlmSurface.oracleSql
+    RefSurface.oracleSql ++ graft.queries.LlmSurface.oracleSql ++
+      graft.queries.StreamSurface.oracleSql
 
   /** Queries whose result must be NON-EMPTY at verify scale (sf0.01): a
     * 0-row result that hash-matches an equally empty oracle is a vacuous

@@ -21,7 +21,7 @@ import graft.llm.{EventOps, Multimodal, TextOps, VectorOps}
   */
 object LlmSurface {
 
-  private val stopwords = Seq("the", "a", "of", "to", "in")
+  private[queries] val stopwords = Seq("the", "a", "of", "to", "in")
 
   /** SemDeDup tuning shared by llm_semantic_dedup / llm_joint_curation
     * and their oracles: the in-cluster dot threshold (~p99 of in-cluster
@@ -1774,7 +1774,7 @@ object LlmSurface {
     * single Scala definition (round-5 verdict: thresholds and formulas
     * must live in exactly one place per engine).
     */
-  private lazy val qualitySqlCol: String = round6sql(
+  private[queries] lazy val qualitySqlCol: String = round6sql(
     "(least(len(ws), 200) / 200.0) * 0.5" +
     " + (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) * 0.3" +
     " + (len(list_filter(ws, x -> x IN (" +

@@ -1,0 +1,421 @@
+package graft.queries
+
+import java.io.File
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps
+import graft.streaming.{DocStream, EventStream, StreamHarness, UpsertSink}
+
+/** Oracle-grade CORRECTNESS entries for the Structured Streaming surface
+  * (X17/X18/X45/X63/X80/X87/X101/X113/X122 — previously unit-only).
+  *
+  * Each query REPLAYS sf-table data through the real streaming runtime
+  * via [[StreamHarness]] (file-source micro-batches in event-time order,
+  * watermarks advancing batch by batch, state eviction and event-time
+  * timeouts firing), writes the streamed output to parquet, and returns
+  * a readback of what was written. The DuckDB oracle recomputes the
+  * expected result in SQL from the same tables — so a green row proves
+  * the streaming path reproduces the BATCH semantics end-to-end, which
+  * is exactly the incremental-build-equals-backfill guarantee a
+  * production pipeline needs.
+  *
+  * Batch boundaries: events replay in six 5-day micro-batches (documents
+  * in five doc_id ranges), so sessions/funnels/windows genuinely span
+  * batches and cross-batch state is exercised, while per-key event-time
+  * order across batches matches the batch operators' ORDER BY — the
+  * condition under which streaming ≡ batch holds (late data beyond the
+  * watermark is the one divergence streaming permits by design).
+  *
+  * Determinism notes baked into the ops (not worked around here):
+  * sessionize/funnel state carries epoch-MICROS and integer cents;
+  * tumbling sums integer cents; funnel advances on STRICTLY-greater
+  * event time. Queries whose within-stream dedup keeps "first arrival"
+  * (curate, dedupAgainstBase) return arrival-independent projections
+  * (the sha + quality, both identical across copies of the same text).
+  */
+object StreamSurface {
+
+  private def tmpBase(dir: String, q: String): String =
+    s"/tmp/graft_stream/${new File(dir).getName}/$q"
+
+  /** Six 5-day micro-batches of the events table, in event-time order. */
+  private def eventBatches(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val ev = Tables.events(s, dir)
+    val bucket = floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 5)
+    (0 to 5).map(i => ev.filter(bucket === i))
+  }
+
+  /** One single-row far-future batch: advances the watermark (first
+    * sentinel) and then executes under it so timers fire (second).
+    * Every column is overridden, types taken from the real frame.
+    */
+  private def sentinelOf(df: DataFrame, tsLit: String,
+      overrides: Map[String, Column]): DataFrame =
+    df.limit(1).select(df.schema.fields.map { f =>
+      overrides.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)
+    }: _*)
+
+  private def eventSentinel(ev: DataFrame, tsLit: String): DataFrame =
+    sentinelOf(ev, tsLit, Map(
+      "event_id" -> lit(-1L), "ts" -> lit(tsLit),
+      "user_id" -> lit(-1L), "event_type" -> lit("__sentinel"),
+      "value" -> lit(0.0), "props" -> lit("")))
+
+  private def eventReplayWithSentinels(s: SparkSession, dir: String,
+      inDir: String): org.apache.spark.sql.types.StructType = {
+    val ev = Tables.events(s, dir)
+    StreamHarness.stage(
+      eventBatches(s, dir) ++ Seq(
+        eventSentinel(ev, "2030-01-01 00:00:00"),
+        eventSentinel(ev, "2030-01-02 00:00:00")),
+      inDir)
+  }
+
+  /** Five doc_id-RANGE micro-batches (ascending, so the cross-batch
+    * keep-first winner is the global min doc_id — the batch rule). The
+    * synthetic ts column exists only to carry the watermark.
+    */
+  private def docBatches(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit("2024-01-01 00:00:00").cast("timestamp")
+          + make_dt_interval(lit(0), lit(0), lit(0), col("doc_id").cast("double"))).as("ts"),
+        col("text"))
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val per = maxId / 5 + 1
+    (0 until 5).map(i => d.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per))
+  }
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ========================================================================
+  // Queries
+  // ========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- X17: tumbling windows as an append-mode stream ------------------
+    // Windows finalize only once the watermark passes their end; the two
+    // sentinel batches flush the tail. Green ⇒ identical rows to the
+    // batch llm_event_windows (same oracle SQL).
+    "stream_event_windows" -> ((s, dir) => {
+      val base = tmpBase(dir, "windows")
+      val schema = eventReplayWithSentinels(s, dir, s"$base/in")
+      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+        EventStream.tumblingCounts(src, "1 hour", "10 minutes")
+      }
+      s.read.parquet(s"$base/out")
+        .filter(col("event_type") =!= "__sentinel")
+        .select(date_format(col("win_start"), tsFmt).as("win_start"),
+          col("event_type"), col("n"), col("value_sum"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    // ---- X45: gap sessionization via flatMapGroupsWithState --------------
+    // Sessions close mid-stream by in-batch gap or event-time timeout;
+    // the sentinels flush still-open ones. session_idx is re-derived at
+    // readback (sessions are disjoint per user, so ordering by start
+    // time reproduces the batch index) — the oracle is llm_sessionize's
+    // SQL verbatim.
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmpBase(dir, "sessionize")
+      val schema = eventReplayWithSentinels(s, dir, s"$base/in")
+      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+        EventStream.sessionize(
+          src.withWatermark("ts", "10 minutes")
+            .select(col("user_id"), col("ts"), col("value"))
+            .as[(Long, java.sql.Timestamp, Double)],
+          gapMinutes = 30)
+      }
+      s.read.parquet(s"$base/out")
+        .filter(col("user_id") >= 0)
+        .withColumn("session_idx",
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("session_start")).cast("long"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          date_format(col("session_start"), tsFmt).as("session_start"),
+          date_format(col("session_end"), tsFmt).as("session_end"),
+          col("value_sum"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // ---- X113: stateful conversion funnel ---------------------------------
+    // idleMinutes is set beyond the replay's span so no mid-stream
+    // timeout fires (the batch cascade has no idle concept); the
+    // sentinels flush everyone still in the funnel. A user who COMPLETES
+    // mid-stream drops state and may legitimately re-enter — readback
+    // keeps each user's FIRST attempt (min last_ts), which is exactly
+    // the batch cascade's earliest chain.
+    "stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmpBase(dir, "funnel")
+      val schema = eventReplayWithSentinels(s, dir, s"$base/in")
+      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+        EventStream.funnelProgress(
+          src.withWatermark("ts", "10 minutes")
+            .select(col("user_id"), col("ts"), col("event_type"))
+            .as[(Long, java.sql.Timestamp, String)],
+          steps = Seq("view", "click", "purchase"),
+          idleMinutes = 200000)
+      }
+      s.read.parquet(s"$base/out")
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(min_by(
+          struct(col("steps_completed"), col("completed"), col("last_ts")),
+          col("last_ts")).as("_f"))
+        .select(col("user_id"),
+          col("_f.steps_completed").as("steps_completed"),
+          col("_f.completed").as("completed"),
+          date_format(col("_f.last_ts"), tsFmt).as("t_reached"))
+        .orderBy("user_id")
+    }),
+
+    // ---- X101: stream-stream click attribution ----------------------------
+    // Inner event-time range join: pairs emit as both sides arrive, so
+    // no sentinel flush is needed; state evicts behind the watermark.
+    // Green ⇒ the streamed pair set equals the plain SQL join.
+    "stream_click_attribution" -> ((s, dir) => {
+      val base = tmpBase(dir, "attrib")
+      val schema = StreamHarness.stage(eventBatches(s, dir), s"$base/in")
+      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+        EventStream.attributeClicks(
+          src.filter(col("event_type") === "view"),
+          src.filter(col("event_type") === "click"),
+          horizon = "30 minutes", watermarkDelay = "10 minutes")
+      }
+      s.read.parquet(s"$base/out")
+        .select(col("user_id"), col("click_id"),
+          date_format(col("click_ts"), tsFmt).as("click_ts"),
+          col("view_id"), date_format(col("view_ts"), tsFmt).as("view_ts"))
+        .orderBy("click_id", "view_id")
+    }),
+
+    // ---- X63: streaming curation (quality gate + watermarked dedup) ------
+    // The within-stream dedup keeps the first ARRIVAL of each sha; the
+    // projection is arrival-independent (all copies share text ⇒ sha and
+    // quality), so the streamed keep-set is deterministic and equals the
+    // batch policy's distinct-sha keep-set.
+    "stream_curate" -> ((s, dir) => {
+      val base = tmpBase(dir, "curate")
+      val schema = StreamHarness.stage(docBatches(s, dir), s"$base/in")
+      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+        DocStream.curate(src, LlmSurface.stopwords, minQuality = 0.3, "365 days")
+          .select("content_sha", "quality")
+      }
+      s.read.parquet(s"$base/out").orderBy("content_sha")
+    }),
+
+    // ---- X80: stateless streaming classifier inference --------------------
+    // The map-literal fold (no state, no shuffle) replayed over the real
+    // corpus; oracle = the batch llm_classifier SQL verbatim, proving
+    // the two inference spellings agree row-for-row through a real
+    // streaming run, not just in a unit.
+    "stream_classify" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmpBase(dir, "classify")
+      val schema = StreamHarness.stage(docBatches(s, dir), s"$base/in")
+      val wmap = TextOps.hashModelWeights(s, 1024, "wgt")
+        .as[(Int, Int)].collect().map { case (b, w) => b -> w.toLong }.toMap
+      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+        DocStream.classify(src, wmap, 1024, "feat")
+          .select("doc_id", "n_tokens", "score", "label")
+      }
+      s.read.parquet(s"$base/out").orderBy("doc_id")
+    }),
+
+    // ---- X87: stream dedup against a static base corpus -------------------
+    // Stream-static left-anti join (stateless) then within-stream dedup;
+    // base = the even-doc_id half's sha table. Projection to the sha
+    // keeps the result arrival-independent.
+    "stream_dedup_base" -> ((s, dir) => {
+      val base = tmpBase(dir, "dedup_base")
+      val schema = StreamHarness.stage(docBatches(s, dir), s"$base/in")
+      val baseShas = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(sha2(col("text"), 256).as("content_sha"))
+      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+        DocStream.dedupAgainstBase(src, baseShas, "365 days")
+          .select("content_sha")
+      }
+      s.read.parquet(s"$base/out").orderBy("content_sha")
+    }),
+
+    // ---- X122: ingest with a growing sha index ----------------------------
+    // foreachBatch: within-batch min_by keep-first, anti-join against
+    // the index built by all PREVIOUS batches, append novel docs+shas.
+    // doc_id-ascending batches make the cross-batch winner the global
+    // min doc_id — i.e. the batch keep-first rule, which the oracle
+    // recomputes directly.
+    "stream_ingest_index" -> ((s, dir) => {
+      val base = tmpBase(dir, "ingest")
+      val schema = StreamHarness.stage(docBatches(s, dir), s"$base/in")
+      StreamHarness.deleteRecursively(new File(s"$base/corpus"))
+      StreamHarness.deleteRecursively(new File(s"$base/index"))
+      StreamHarness.runQuery(s, s"$base/in", schema) { src =>
+        DocStream.ingestWithGrowingIndex(src, s"$base/corpus", s"$base/index")
+      }
+      s.read.parquet(s"$base/corpus")
+        .select("doc_id", "content_sha")
+        .orderBy("doc_id")
+    }),
+
+    // ---- X122b: streaming MERGE into a versioned snapshot ------------------
+    // foreachBatch upsert over six event batches; the final snapshot
+    // must hold each user's LATEST event (event-time, event_id
+    // tie-break) — recomputed by the oracle as one window over the raw
+    // table. Reads back through latestVersionDir, i.e. the _SUCCESS-
+    // guarded version-selection path is part of what's verified.
+    "stream_upsert_snapshot" -> ((s, dir) => {
+      val base = tmpBase(dir, "upsert")
+      val schema = StreamHarness.stage(eventBatches(s, dir), s"$base/in")
+      StreamHarness.deleteRecursively(new File(s"$base/versions"))
+      StreamHarness.runQuery(s, s"$base/in", schema) { src =>
+        UpsertSink.runUpsert(src, "user_id", "ts", s"$base/versions")
+      }
+      val latest = UpsertSink.latestVersionDir(s, s"$base/versions")
+        .getOrElse(sys.error("upsert replay published no complete version"))
+      s.read.parquet(latest)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), date_format(col("ts"), tsFmt).as("ts"))
+        .orderBy("user_id")
+    })
+  )
+
+  // ========================================================================
+  // DuckDB oracles — each recomputes the BATCH semantics from the raw
+  // tables; a hash match proves the streaming replay reproduced them.
+  // ========================================================================
+
+  def oracleSql: Map[String, String] = Map(
+
+    "stream_event_windows" -> """
+      SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 * 1000000 AS BIGINT)),
+                      '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
+      FROM events
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    "stream_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx,
+             count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx
+    """,
+
+    "stream_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT s1.user_id, t1,
+               min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+        FROM s1 LEFT JOIN events e
+          ON s1.user_id = e.user_id AND e.event_type = 'click'
+        GROUP BY s1.user_id, t1),
+      s3 AS (
+        SELECT s2.user_id, t1, t2,
+               min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3
+        FROM s2 LEFT JOIN events e
+          ON s2.user_id = e.user_id AND e.event_type = 'purchase'
+        GROUP BY s2.user_id, t1, t2)
+      SELECT user_id,
+             CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                       WHEN t2 IS NOT NULL THEN 2
+                       ELSE 1 END AS INTEGER) AS steps_completed,
+             (t3 IS NOT NULL) AS completed,
+             strftime(coalesce(t3, t2, t1), '%Y-%m-%d %H:%M:%S') AS t_reached
+      FROM s3 ORDER BY user_id
+    """,
+
+    "stream_click_attribution" -> """
+      SELECT c.user_id,
+             c.event_id AS click_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+             v.event_id AS view_id,
+             strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+      FROM events c JOIN events v
+        ON c.user_id = v.user_id
+       AND c.event_type = 'click' AND v.event_type = 'view'
+       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      ORDER BY click_id, view_id
+    """,
+
+    "stream_curate" -> s"""
+      WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      q AS (SELECT sha256(text) AS content_sha, ${LlmSurface.qualitySqlCol} AS quality
+            FROM d)
+      SELECT DISTINCT content_sha, quality
+      FROM q WHERE quality >= 0.3
+      ORDER BY content_sha
+    """,
+
+    "stream_classify" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      f AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('feat|' || w), 1, 4) AS INT) % 1024 AS b
+        FROM w),
+      fc AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY doc_id, b),
+      m AS (
+        SELECT CAST(g AS INT) AS b,
+               (CAST('0x' || substr(md5('wgt|' || CAST(g AS VARCHAR)), 1, 4) AS INT)
+                % 2001) - 1000 AS wt
+        FROM generate_series(0, 1023) t(g)),
+      sc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(c * wt) AS BIGINT) AS st
+        FROM fc JOIN m USING (b) GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             floor((st / (n_tokens * 1000.0)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+             CASE WHEN st >= 0 THEN 'keep' ELSE 'drop' END AS label
+      FROM sc ORDER BY doc_id
+    """,
+
+    "stream_dedup_base" -> """
+      SELECT DISTINCT sha256(text) AS content_sha
+      FROM documents
+      WHERE sha256(text) NOT IN
+            (SELECT sha256(text) FROM documents WHERE doc_id % 2 = 0)
+      ORDER BY content_sha
+    """,
+
+    "stream_ingest_index" -> """
+      SELECT doc_id, content_sha FROM (
+        SELECT doc_id, sha256(text) AS content_sha,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1 ORDER BY doc_id
+    """,
+
+    "stream_upsert_snapshot" -> """
+      SELECT user_id, event_id, event_type, value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY user_id
+    """
+  )
+}

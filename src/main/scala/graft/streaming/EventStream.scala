@@ -20,16 +20,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    accumulated forever (the 100 TB failure mode of naive streaming
   *    joins).
   */
-object EventStream {
+object EventStream extends Serializable {
+
+  /** Epoch MICROseconds of a Timestamp — `getTime` alone floors to
+    * milliseconds, and the events feed carries µs precision, so
+    * gap/ordering decisions made at ms grain could disagree with the
+    * batch operators' (and the oracle's) µs-exact comparisons on
+    * boundary rows.
+    */
+  private[graft] def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private[graft] def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Tumbling event-time window counts with a watermark — streamable
-    * as-is (`outputMode("update")` or append after the watermark).
+    * as-is (`outputMode("update")` or append after the watermark). The
+    * value sum is [[graft.llm.EventOps.centsSum]] — integer cents, so
+    * the result is bit-identical to the batch operator and the oracle
+    * regardless of partitioning or batch boundaries (a raw double sum
+    * is merge-order-dependent).
     */
   def tumblingCounts(events: DataFrame, width: String, watermarkDelay: String): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .agg(count(lit(1)).as("n"),
+        graft.llm.EventOps.centsSum(col("value")).as("value_sum"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("value_sum"))
 
   /** Stream-stream click attribution: join each click to the views by
@@ -61,6 +81,7 @@ object EventStream {
         col("view_id"), col("view_ts"))
   }
 
+  /** `lastTs` is event-time epoch MICROS (see [[tsMicros]]). */
   final case class FunnelState(step: Int, lastTs: Long)
   final case class FunnelOut(
       user_id: Long,
@@ -88,7 +109,7 @@ object EventStream {
       idleMinutes: Int): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "steps must be non-empty")
-    val idleMs = idleMinutes * 60L * 1000L
+    val idleMicros = idleMinutes * 60L * 1000000L
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
@@ -98,29 +119,40 @@ object EventStream {
           if (state.hasTimedOut) {
             val out = state.getOption
               .map(s => FunnelOut(user, s.step, completed = false,
-                new Timestamp(s.lastTs))).toList
+                microsTs(s.lastTs))).toList
             state.remove()
             out.iterator
           } else {
             var s = state.getOption.getOrElse(FunnelState(0, 0L))
-            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, et) =>
-              if (s.step < steps.length && et == steps(s.step))
-                s = FunnelState(s.step + 1, ts.getTime)
+            // STRICTLY-after advance (ts > lastTs) matches the batch
+            // cascade's `min(ts > t_prev)` exactly: an event carrying the
+            // SAME event time as the one that advanced the previous step
+            // does not count, no matter the processing order.
+            rows.toSeq.sortBy(r => tsMicros(r._2)).foreach { case (_, ts, et) =>
+              val us = tsMicros(ts)
+              if (s.step < steps.length && et == steps(s.step) &&
+                  (s.step == 0 || us > s.lastTs))
+                s = FunnelState(s.step + 1, us)
             }
             if (s.step >= steps.length) {
               state.remove()
               Iterator.single(
-                FunnelOut(user, s.step, completed = true, new Timestamp(s.lastTs)))
+                FunnelOut(user, s.step, completed = true, microsTs(s.lastTs)))
             } else if (s.step > 0) {
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + idleMs)
+              state.setTimeoutTimestamp(Math.floorDiv(s.lastTs + idleMicros, 1000L) + 1L)
               Iterator.empty
             } else Iterator.empty
           }
       }
   }
 
-  final case class SessionState(start: Long, last: Long, n: Long, valueSum: Double)
+  /** `start`/`last` are event-time epoch MICROS; `valueCents` is the
+    * exact integer-cents running sum (a double accumulator would make
+    * the emitted sum depend on batch boundaries and merge order — the
+    * same failure [[graft.llm.EventOps.centsSum]] exists to prevent).
+    */
+  final case class SessionState(start: Long, last: Long, n: Long, valueCents: Long)
   final case class SessionOut(
       user_id: Long,
       session_start: Timestamp,
@@ -131,7 +163,10 @@ object EventStream {
   /** Gap-based streaming sessionization: one state entry per live user,
     * closed by an observed gap or by event-time timeout once the
     * watermark passes (last event + gap). Batch semantics match
-    * [[graft.llm.EventOps.sessionize]] for in-order feeds.
+    * [[graft.llm.EventOps.sessionize]] for in-order feeds: gap
+    * comparisons run on epoch micros (full event-time precision) and
+    * the value sum accumulates integer cents, so a session's row is
+    * byte-identical to the batch operator's for the same events.
     *
     * Input needs columns (user_id long, ts timestamp, value double) and a
     * watermark already applied when used in a stream.
@@ -140,10 +175,12 @@ object EventStream {
       events: Dataset[(Long, Timestamp, Double)],
       gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
 
     def close(user: Long, s: SessionState): SessionOut =
-      SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.valueSum)
+      SessionOut(user, microsTs(s.start), microsTs(s.last), s.n, s.valueCents / 100.0)
 
     events
       .groupByKey(_._1)
@@ -157,24 +194,25 @@ object EventStream {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            val sorted = rows.toSeq.sortBy(r => tsMicros(r._2))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { case (_, ts, v) =>
-              val t = ts.getTime
+              val t = tsMicros(ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.valueSum + v))
+                case Some(s) if t - s.last <= gapMicros =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
+                    s.valueCents + cents(v)))
                 case Some(s) =>
                   closed ::= close(user, s)
-                  cur = Some(SessionState(t, t, 1L, v))
+                  cur = Some(SessionState(t, t, 1L, cents(v)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1L, v))
+                  cur = Some(SessionState(t, t, 1L, cents(v)))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              state.setTimeoutTimestamp(Math.floorDiv(s.last + gapMicros, 1000L) + 1L)
             }
             closed.reverse.iterator
           }
