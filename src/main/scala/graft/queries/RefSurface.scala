@@ -432,17 +432,17 @@ object RefSurface {
     }),
 
     // ---- table profiling (ANALYZE-style column statistics) ---------------
-    // Per-column row/null/distinct counts and min/max over lineitem —
-    // the observability scan a warehouse runs before planning. ONE
-    // narrow pruned scan per column: the single-pass multi-distinct
-    // spelling (count_distinct × 6 in one agg) compiles to an Expand
-    // that reads every column and multiplies rows ×|cols| — measured
-    // 8.5 s vs ~1 s for this shape at sf0.1. Each column's exact NDV is
-    // a partial-combined distinct on its own column; the 100 TB path
-    // swaps in approx_count_distinct (mergeable HLL — SketchSpec) and
-    // collapses back to one pass. Profiled columns are ints + strings:
-    // float/timestamp string renderings are engine-trap territory the
-    // money/date rules already exclude elsewhere.
+    // EXACT per-column row/null/distinct counts and min/max over
+    // lineitem — the SMALL-TABLE option: each column's exact NDV is a
+    // partial-combined distinct on its own narrow pruned scan (|cols|
+    // scans), because the single-pass multi-distinct spelling
+    // (count_distinct × 6 in one agg) compiles to an Expand that reads
+    // every column and multiplies rows ×|cols| — measured 8.5 s vs ~1 s
+    // for this shape at sf0.1. The 100 TB DEFAULT is p_profile_approx
+    // below: sketches collapse the whole profile back to ONE pass.
+    // Profiled columns are ints + strings: float/timestamp string
+    // renderings are engine-trap territory the money/date rules already
+    // exclude elsewhere.
     "p_profile" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_returnflag", "l_linestatus")
@@ -460,6 +460,56 @@ object RefSurface {
           .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
             col("n_distinct"), col("min_val"), col("max_val"))
       }.reduce(_ unionByName _)
+        .orderBy("column_name")
+    }),
+
+    // ---- sketch table profile: the 100 TB default -------------------------
+    // The SAME profile through mergeable sketches in ONE corpus pass:
+    // approx_count_distinct (HyperLogLog++) per column and
+    // approx_percentile (t-digest) for the numeric columns are ordinary
+    // partial-combine aggregates — no Expand, no per-column rescan, one
+    // scan + one exchange no matter how many columns are profiled.
+    // Exact n_rows/n_nulls/min/max ride along in the same pass. At
+    // 100 TB this is the only profile that finishes; `p_profile` (exact
+    // NDV, |cols| scans) stays as the documented small-table option.
+    //
+    // Sketch estimates are engine-specific by design (X34 precedent), so
+    // this query has NO DuckDB hash oracle — the driver records the
+    // rows-only check, and SketchSpec pins the estimates to their error
+    // bounds against the exact profile plus the one-scan/no-Expand plan
+    // shape as CI assertions.
+    "p_profile_approx" -> ((s, dir) => {
+      val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val cols = intCols ++ strCols
+      val li = Tables(s, dir, "lineitem").select(cols.map(col): _*)
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_ndv"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      } ++ intCols.flatMap { c =>
+        Seq(
+          expr(s"approx_percentile($c, 0.5)").cast("double").as(s"${c}_med"),
+          expr(s"approx_percentile($c, 0.95)").cast("double").as(s"${c}_p95"))
+      }
+      li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        // one aggregate row → |cols| profile rows, still the same pass
+        .select(explode(array(cols.map { c =>
+          struct(
+            lit(c).as("column_name"),
+            col("n_rows").as("n_rows"),
+            col(s"${c}_nulls").as("n_nulls"),
+            col(s"${c}_ndv").as("n_distinct_approx"),
+            col(s"${c}_min").as("min_val"),
+            col(s"${c}_max").as("max_val"),
+            (if (intCols.contains(c)) col(s"${c}_med")
+             else lit(null).cast("double")).as("med_approx"),
+            (if (intCols.contains(c)) col(s"${c}_p95")
+             else lit(null).cast("double")).as("p95_approx"))
+        }: _*)).as("p"))
+        .select("p.*")
         .orderBy("column_name")
     }),
 

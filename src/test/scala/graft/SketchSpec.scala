@@ -31,6 +31,45 @@ class SketchSpec extends SparkSpec {
     assert(perUser.count() === 0)
   }
 
+  test("p_profile_approx: sketch profile matches the exact profile within bounds, in ONE pass") {
+    val approx = graft.queries.RefSurface.queries("p_profile_approx")(spark, dir)
+    val exact = graft.queries.RefSurface.queries("p_profile")(spark, dir)
+
+    // exact fields ride along unchanged: rows/nulls/min/max must be equal
+    val a = approx.collect().map(r => r.getString(0) -> r).toMap
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    assert(a.keySet === e.keySet && a.size === 6)
+    for ((c, er) <- e) {
+      val ar = a(c)
+      assert(ar.getLong(1) === er.getLong(1), s"$c n_rows")
+      assert(ar.getLong(2) === er.getLong(2), s"$c n_nulls")
+      assert(ar.getString(4) === er.getString(4), s"$c min_val")
+      assert(ar.getString(5) === er.getString(5), s"$c max_val")
+      // HLL++ at rsd=0.02: generous 3x bound (and never flaky — the
+      // estimate is deterministic for fixed data)
+      val (nd, ndA) = (er.getLong(3), ar.getLong(3))
+      assert(math.abs(ndA - nd).toDouble / math.max(nd, 1L) <= 0.06,
+        s"$c ndv approx $ndA vs exact $nd")
+    }
+
+    // t-digest medians track the exact percentile on the int columns
+    val med = graft.queries.Tables(spark, dir, "lineitem")
+      .agg(expr("percentile(l_partkey, 0.5)")).head().getDouble(0)
+    val medA = a("l_partkey").getDouble(6)
+    assert(math.abs(medA - med) <= math.max(1.0, med * 0.05),
+      s"l_partkey approx median $medA vs exact $med")
+
+    // the scale claim: ONE scan, no Expand (the exact multi-distinct
+    // spelling this replaces compiled to an Expand reading every column)
+    // (AQE's toString repeats the plan under "== Initial Plan ==" —
+    // count scans in the final section only)
+    val plan = approx.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), "sketch profile must not Expand")
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected exactly one scan, got $scans\n$plan")
+  }
+
   test("approx_percentile (t-digest) tracks the exact percentile") {
     val ev = graft.queries.Tables.events(spark, dir)
     val rows = ev.groupBy("event_type")
