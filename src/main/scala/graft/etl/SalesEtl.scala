@@ -74,12 +74,20 @@ object SalesEtl {
     * @param extraCols input columns to carry through to the output (e.g.
     *        ingestion-order keys, so callers can reproduce pandas' row
     *        order at the sink).
+    * @param strictAmount P8 strictness parity (`main.py:79`): pandas
+    *        `astype(float)` RAISES on unparseable text (a None passes
+    *        through as NaN), and that crash is the signal that tells an
+    *        operator their feed is garbage. Default `false` = `try_cast`
+    *        nulls the row into the drop path (documented divergence —
+    *        convenient, but silent); `true` fails the job with the
+    *        offending string in the message, matching the reference.
     */
   def cleanValidSales(
       df: DataFrame,
       orderCols: Seq[Column] = Seq(col("_ingest_file"), col("_ingest_id")),
       round2: Column => Column = numpyRound2,
-      extraCols: Seq[String] = Nil): DataFrame = {
+      extraCols: Seq[String] = Nil,
+      strictAmount: Boolean = false): DataFrame = {
     // ---- Sale_ID: upper, drop nulls, keep-first dedup (main.py:59-63).
     // Keep-first under a TOTAL ascending order is argmin — expressed as
     // min_by(payload, orderKey) so the aggregation gets a map-side
@@ -103,10 +111,19 @@ object SalesEtl {
       .filter(col("Product").isNotNull)
     // ---- Amount (main.py:75-87): strip currency tokens anywhere, float
     // cast, ×0.85 when the ORIGINAL string ends with EUR, round, drop null.
-    // try_cast = null-on-garbage (pandas astype raises; documented
-    // divergence, SURVEY P8).
+    // Default: try_cast = null-on-garbage (pandas astype raises;
+    // documented divergence, SURVEY P8). strictAmount restores the
+    // pandas raise via assert_true, evaluated in-row so the job fails on
+    // the FIRST unparseable amount with the string in the message.
     val origEndsEur = coalesce(col("Amount").endsWith("EUR"), lit(false))
-    val parsed = regexp_replace(col("Amount"), "USD|EUR", "").try_cast(DoubleType)
+    val tried = regexp_replace(col("Amount"), "USD|EUR", "").try_cast(DoubleType)
+    val parsed =
+      if (!strictAmount) tried
+      else when(
+        assert_true(col("Amount").isNull || tried.isNotNull,
+          concat(lit("could not convert string to float (strict P8, main.py:79): '"),
+            col("Amount"), lit("'"))).isNull,
+        tried)
     val amount = prod
       .withColumn(
         "Amount",

@@ -371,6 +371,75 @@ object TextOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** COMBINATORIAL pigeonhole blocking (Manku et al., WWW'07 §3) — the
+    * form of [[hammingNearDupPairs]] that survives web-scale corpora.
+    *
+    * The single-chunk scheme keys buckets on ONE chunk value
+    * (`bits/chunks` bits). Its candidate set is sub-quadratic only while
+    * n ≪ 2^(bits/chunks): at 60 bits / 4 chunks the keys are 15 bits, so
+    * by ~10⁵ documents random hashes collide constantly and candidates
+    * grow as n²/2^15 — quadratic, just with a small constant
+    * (NearDupScaleBench records the cliff empirically). This variant
+    * keys buckets on every (chunks − maxHamming)-sized SUBSET of chunks:
+    * a pair within Hamming distance k ≤ maxHamming has its differing
+    * bits inside at most k chunks, so some (chunks − k) chunks agree
+    * exactly and the pair shares that subset's bucket — still lossless
+    * by pigeonhole. The bucket key widens from bits/chunks to
+    * (chunks − maxHamming) · bits/chunks bits (e.g. 30 bits for 60/6/3),
+    * crushing random collisions back to n²/2^30-scale — negligible until
+    * billions of documents — at the cost of C(chunks, maxHamming) bucket
+    * tables instead of `chunks` (20× fan-out for 6/3 vs 4×). Fan-out is
+    * linear in n and a constant of the config; candidates are what
+    * explode — at scale the trade is strictly right, and output is
+    * IDENTICAL to the single-chunk scheme by construction (both verify
+    * exact Hamming over lossless candidate sets).
+    *
+    * Subset keys pack the selected chunk values into one LONG
+    * (positional shifts — (chunks − maxHamming) · bits/chunks ≤ bits ≤
+    * 62 by the requires), so the join key stays fixed-width integer,
+    * never a string concat.
+    */
+  def hammingNearDupPairsBlocked(hashed: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int, chunks: Int, bits: Int): DataFrame = {
+    require(chunks > maxHamming,
+      s"pigeonhole needs chunks ($chunks) > maxHamming ($maxHamming)")
+    require(bits % chunks == 0, s"$bits bits must split evenly into $chunks chunks")
+    require(bits <= 62, s"packed subset keys need bits ($bits) <= 62")
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val subsetSize = chunks - maxHamming
+    val subsets = (0 until chunks).combinations(subsetSize).toSeq
+    val keyStructs = subsets.zipWithIndex.map { case (ss, si) =>
+      val packed = ss.zipWithIndex.map { case (c, pos) =>
+        shiftleft(shiftright(col(hashCol), c * chunkBits).bitwiseAND(lit(mask)),
+          pos * chunkBits)
+      }.reduce(_ + _)
+      struct(lit(si).as("ki"), packed.as("kv"))
+    }
+    val keyed = hashed
+      .select(col(idCol).as("doc"), col(hashCol).as("_h"),
+        explode(array(keyStructs: _*)).as("k"))
+      .select(col("doc"), col("_h"), col("k.ki").as("ki"), col("k.kv").as("kv"))
+    keyed
+      .select(col("ki"), col("kv"), col("doc").as("doc_a"), col("_h").as("sim_a"))
+      .join(keyed.select(col("ki"), col("kv"), col("doc").as("doc_b"),
+        col("_h").as("sim_b")), Seq("ki", "kv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** [[simHashNearDup]] through the combinatorial blocking — the
+    * configuration to use beyond ~10⁵ documents (see
+    * [[hammingNearDupPairsBlocked]]).
+    */
+  def simHashNearDupBlocked(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 6, bits: Int = 60): DataFrame =
+    hammingNearDupPairsBlocked(simHash(df, idCol, textCol), idCol, "simhash",
+      maxHamming, chunks, bits)
+
   /** Per-document text statistics: char/word/distinct counts, average
     * word length, type-token ratio, alphabetic token count (regex),
     * BPE-ish subword token count, bigram repetition, and stopword ratio.

@@ -938,6 +938,21 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- SimHash near-dup via COMBINATORIAL blocking (Manku WWW'07) -------
+    // Same pair semantics as llm_simhash_near_dup through the
+    // web-scale blocking: buckets keyed on 3-of-6 chunk subsets (30-bit
+    // keys, 20 tables) instead of single 15-bit chunks, so random
+    // collisions stay ~n²/2^30 instead of n²/2^15 — the configuration
+    // that holds past ~10⁵ docs (NearDupScaleBench records the
+    // single-chunk cliff). The oracle here is BRUTE-FORCE all-pairs
+    // Hamming — losslessness of the subset blocking proven against
+    // ground truth cross-engine, not against another blocking scheme.
+    "llm_simhash_blocked" -> ((s, dir) => {
+      TextOps.simHashNearDupBlocked(Tables(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3, chunks = 6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- full-corpus dedup decision table --------------------------------
     // The end-to-end deliverable: one row PER CORPUS DOC with its exact
     // keep-first keeper (content sha), its near-dup cluster
@@ -2914,6 +2929,22 @@ object LlmSurface {
       SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
       FROM pairs
       WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      ORDER BY doc_a, doc_b
+    """,
+
+    // Brute-force ground truth (no blocking at all): every doc pair's
+    // exact Hamming distance — proves the subset blocking lossless.
+    "llm_simhash_blocked" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      hh AS (
+        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok),
+      bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id),
+      sims AS (SELECT doc_id, $simhashCombine AS simhash FROM bs)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY doc_a, doc_b
     """,
 

@@ -49,6 +49,36 @@ object LlmProps extends Properties("LlmOps") {
       planted.subsetOf(found)
     }
 
+  private val hashCorpusGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(6, 14)
+    bases <- Gen.listOfN(n, Gen.choose(0L, (1L << 60) - 1))
+    flips <- Gen.listOfN(n, Gen.choose(0, 59))
+    near <- Gen.listOfN(n, Gen.oneOf(true, false))
+  } yield bases.zip(flips.zip(near)).zipWithIndex.flatMap {
+    case ((h, (b, isNear)), i) =>
+      // even id = base hash; odd id (when planted) = base with ≤3 bits
+      // flipped, so some pairs land inside the radius and some outside
+      val base = Seq((i * 2L, h))
+      if (isNear) base :+ ((i * 2L + 1, h ^ (1L << b) ^ (1L << ((b + 17) % 60))))
+      else base
+  }
+
+  property("combinatorial subset blocking equals single-chunk blocking AND brute force") =
+    forAll(hashCorpusGen) { hashes =>
+      val df = hashes.toDF("doc_id", "simhash")
+      def run(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+        f.select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      val blocked = run(TextOps.hammingNearDupPairsBlocked(
+        df, "doc_id", "simhash", maxHamming = 3, chunks = 6, bits = 60))
+      val single = run(TextOps.hammingNearDupPairs(
+        df, "doc_id", "simhash", maxHamming = 3, chunks = 4, bits = 60))
+      val brute = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (a, b, d)).toSet
+      blocked == brute && single == brute
+    }
+
   property("setSimJoin equals brute-force exact Jaccard on random corpora") =
     forAll(corpusGen) { corpus =>
       val df = corpus.toDF("doc_id", "text")

@@ -105,4 +105,34 @@ class SalesEtlSpec extends SparkSpec {
     assert(a === b)
     assert(a.map(_._1).distinct.size === a.size)
   }
+
+  test("P8 strict mode raises on an unparseable Amount, naming the string (pandas astype parity)") {
+    // pandas `astype(float)` at main.py:79 RAISES on garbage text; the
+    // default try_cast drops the row silently (documented divergence)
+    val garbage = mkDf(Seq(
+      ("ok1", "cat-a", "10.00 USD", "2024-09-22", "2025-01-01", 0L),
+      ("bad1", "cat-b", "12,50 USD", "2024-09-22", "2025-01-01", 1L))) // comma decimal
+    val e = intercept[Exception] {
+      SalesEtl.cleanValidSales(garbage, orderCols = Seq(col("_ord")),
+        strictAmount = true).count()
+    }
+    assert(e.getMessage.contains("could not convert string to float") ||
+      Option(e.getCause).exists(_.getMessage.contains("could not convert string to float")),
+      s"wrong error: ${e.getMessage}")
+  }
+
+  test("P8 default mode drops the garbage-Amount row; strict mode equals default on a clean feed") {
+    val garbage = mkDf(Seq(
+      ("ok1", "cat-a", "10.00 USD", "2024-09-22", "2025-01-01", 0L),
+      ("bad1", "cat-b", "not-a-number", "2024-09-22", "2025-01-01", 1L)))
+    assert(validOf(garbage).map(_._1) === Seq("OK1"))
+    // a null Amount is NOT a strict failure (pandas: None -> NaN, no raise)
+    val withNull = mkDf(Seq(
+      ("ok1", "cat-a", "10.00 USD", "2024-09-22", "2025-01-01", 0L),
+      ("nul1", "cat-b", null, "2024-09-22", "2025-01-01", 1L)))
+    val strict = SalesEtl.cleanValidSales(withNull, orderCols = Seq(col("_ord")),
+      strictAmount = true).orderBy("Sale_ID")
+      .select("Sale_ID", "Amount").as[(String, Double)].collect().toSeq
+    assert(strict === Seq(("OK1", 10.0)))
+  }
 }

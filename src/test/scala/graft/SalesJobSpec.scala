@@ -97,6 +97,59 @@ class SalesJobSpec extends SparkSpec {
     assert(sids === Seq("a1"), "nested CSV must not be ingested")
   }
 
+  test("S1: binary-garbage .csv degrades to coerced-null rows, never a failed job") {
+    // The reference skips an entirely unreadable file per-file
+    // (etl_utils.py:193-194: log + continue). Spark's PERMISSIVE CSV read
+    // cannot throw on malformed TEXT — garbage decodes to rows whose
+    // fields fail every downstream coercion, so they exit via the Q2
+    // invalid flow instead of vanishing. Documented divergence: the rows
+    // EXIST (Reason=N material) rather than being silently dropped with
+    // the file. What must hold: the scan completes and the good file's
+    // rows are intact.
+    val dir = Files.createTempDirectory("graft-garbage-")
+    Files.write(dir.resolve("2025-03-01.csv"),
+      "Sale_ID,Product,Amount,Date\ng1,cat-a,1.00 USD,2025-03-02\n"
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("2025-03-02.csv"),
+      Array.tabulate[Byte](256)(i => (i * 131 % 251).toByte)) // binary junk
+    val df = graft.sources.SalesSource.readSalesDirectory(spark, dir.toString)
+    val good = df.filter(org.apache.spark.sql.functions.col("Sale_ID") === "g1").count()
+    assert(good === 1L, "good file's rows must survive a garbage sibling")
+  }
+
+  test("corrupt gzip member fails the job loudly by default; spark.sql.files.ignoreCorruptFiles completes it") {
+    // The real corrupt-FILE case (truncated .csv.gz in a crawl dump —
+    // the K7 interchange format): the codec throws below the parser, so
+    // PERMISSIVE can't save it. Reference parity (skip the file, keep
+    // the rest) is spark.sql.files.ignoreCorruptFiles — exercised here,
+    // not just mapped in SURVEY S1.
+    val dir = Files.createTempDirectory("graft-gz-")
+    def gz(path: java.nio.file.Path, content: String, truncate: Boolean): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(content.getBytes(StandardCharsets.UTF_8)); g.close()
+      val bytes = bos.toByteArray
+      Files.write(path, if (truncate) bytes.take(bytes.length / 2) else bytes)
+    }
+    val rows = (1 to 50).map(i => s"s$i,cat-a,1.00 USD,2025-03-0${i % 9 + 1}").mkString("\n")
+    gz(dir.resolve("good.csv.gz"), s"Sale_ID,Product,Amount,Date\n$rows\n", truncate = false)
+    gz(dir.resolve("bad.csv.gz"), s"Sale_ID,Product,Amount,Date\n$rows\n", truncate = true)
+    def read() = spark.read
+      .schema(graft.sources.SalesSource.salesRawSchema)
+      .option("header", "true")
+      .csv(dir.toString + "/*.csv.gz")
+    intercept[Exception] { read().count() } // truncated stream -> loud failure
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val n = read().filter(org.apache.spark.sql.functions.col("Sale_ID").startsWith("s")).count()
+      assert(n >= 50L, s"good member's rows must all survive, got $n")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   test("S2: single CSV read with coercing date conversion") {
     val f = Files.createTempDirectory("graft-s2-").resolve("one.csv")
     Files.write(f, "Sale_ID,Date\na1,2024-09-22\na2,not-a-date\n".getBytes(StandardCharsets.UTF_8))

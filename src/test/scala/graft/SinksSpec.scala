@@ -60,6 +60,40 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("K2 against SQL Server: dialect type mapping + replace semantics (etl_utils.py:134-160)") {
+    // No SQL Server in the sandbox; what CAN be pinned without a server
+    // is the DDL Spark would generate for the reference's three output
+    // tables — Spark resolves jdbc:sqlserver URLs to MsSqlServerDialect,
+    // and getJDBCType decides every column's database type. The
+    // reference's pandas.to_sql(if_exists='replace') creates
+    // varchar(max)/float/datetime columns via SQLAlchemy; Spark's
+    // dialect choices below are the documented equivalents (NVARCHAR
+    // (MAX) is unicode-safe where pandas' varchar(max) is not — an
+    // improvement, not a divergence, for the Spanish product names in
+    // the feed).
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val d = JdbcDialects.get("jdbc:sqlserver://host;databaseName=ventas;integratedSecurity=true")
+    assert(d.getClass.getName.contains("MsSqlServer"),
+      s"sqlserver URL must resolve the MsSqlServer dialect, got ${d.getClass}")
+    def ddl(t: DataType): Option[String] = d.getJDBCType(t).map(_.databaseTypeDefinition)
+    // the three output tables' column types: valid (string/double/
+    // timestamp), invalid (+Reason string), summary (string/double/long)
+    assert(ddl(StringType) === Some("NVARCHAR(MAX)"), s"StringType -> ${ddl(StringType)}")
+    assert(ddl(TimestampType) === Some("DATETIME"), s"TimestampType -> ${ddl(TimestampType)}")
+    // Double/Long fall through to Spark's common JDBC mapping (DOUBLE
+    // PRECISION / BIGINT) — the dialect deliberately doesn't override
+    assert(ddl(DoubleType).isEmpty && ddl(LongType).isEmpty)
+    // SaveMode.Overwrite parity with pandas if_exists='replace': Spark
+    // DROPs and recreates by default (same as to_sql replace); with
+    // option("truncate", true) it TRUNCATEs instead — keeping indexes/
+    // permissions but requiring the schema to already match. The drop
+    // default is the reference-faithful choice; the truncate statement
+    // the dialect would issue is pinned here for the day someone flips
+    // the option.
+    assert(d.getTruncateQuery("dbo.ventas_validas") === "TRUNCATE TABLE dbo.ventas_validas")
+  }
+
   test("month-partitioned parquet layout prunes partitions at scan time") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString
     val df = (0 until 1000).map { i =>
