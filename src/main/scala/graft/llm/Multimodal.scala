@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * (`spark.sql.files.maxPartitionBytes`), and metadata-only downstream
   * queries never re-read payload bytes thanks to parquet column pruning.
   */
-object Multimodal {
+object Multimodal extends Serializable {
 
   /** Typed decode result: payload size plus fake "decoded" dimensions. */
   case class MediaMeta(
@@ -49,6 +49,45 @@ object Multimodal {
       frames = 1 + (bytes.length % 7))
   }
 
+  /** REAL still-image decode at the documented stub boundary: PNG and
+    * JPEG through `javax.imageio` — the one codec stack this container
+    * ships (it is part of the JDK). Payloads that don't carry a
+    * PNG/JPEG magic number (or fail to decode) fall back to
+    * [[stubDecode]], so a mixed corpus keeps flowing instead of dying
+    * on the first non-image blob; still images report `frames = 1`.
+    * `byte_len`/`byte_sum` stay payload-derived in both branches —
+    * they're transport checksums, not pixel data.
+    *
+    * The ORACLE queries keep [[stubDecode]]: DuckDB can replay byte
+    * arithmetic but not a codec, and the point of those rows is the
+    * distributed plumbing, which is identical for both decoders
+    * (MultimodalCodecSpec proves this one on real planted images
+    * through the same `decodeMeta` path).
+    */
+  def imageDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val isPng = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte
+    val isJpeg = bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
+    if (!isPng && !isJpeg) stubDecode(docId, bytes)
+    else {
+      // a truncated/corrupt blob must degrade to the stub, not kill the
+      // job: ImageIO throws IIOException on bad streams (and returns
+      // null when no reader volunteers) — both are data problems, not
+      // code problems, at corpus scale
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) stubDecode(docId, bytes)
+      else {
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        MediaMeta(docId, bytes.length, sum, img.getWidth, img.getHeight, frames = 1)
+      }
+    }
+  }
+
   /** Attach an opaque binary payload (here: the UTF-8 bytes of a text
     * column, standing in for image bytes; a real ingest would read the
     * blobs from object storage).
@@ -57,15 +96,18 @@ object Multimodal {
     df.withColumn("payload", col(textCol).cast("binary"))
 
   /** Decode every payload to typed metadata, executor-side, in batches of
-    * 64 (mirrors an arrow-batched `mapInPandas` UDF's shape).
+    * 64 (mirrors an arrow-batched `mapInPandas` UDF's shape). `decode`
+    * picks the codec: [[stubDecode]] (default — oracle-replayable) or
+    * [[imageDecode]] (real PNG/JPEG); the distributed shape is the same.
     */
-  def decodeMeta(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaMeta] = {
+  def decodeMeta(spark: SparkSession, df: DataFrame, idCol: String,
+      decode: (Long, Array[Byte]) => MediaMeta = stubDecode): Dataset[MediaMeta] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) => stubDecode(id, bytes) }
+          batch.iterator.map { case (id, bytes) => decode(id, bytes) }
         }
       }
   }
