@@ -39,11 +39,21 @@ object StreamSurface {
   private def tmpBase(dir: String, q: String): String =
     s"/tmp/graft_stream/${new File(dir).getName}/$q"
 
-  /** Six 5-day micro-batches of the events table, in event-time order. */
+  /** 5-day micro-batches of the events table, in event-time order. The
+    * bucket count derives from the table's actual date span (one-row
+    * scalar agg — the legitimate collect pattern), so a wider feed can
+    * never be silently truncated to a hardcoded window.
+    */
   private def eventBatches(s: SparkSession, dir: String): Seq[DataFrame] = {
     val ev = Tables.events(s, dir)
-    val bucket = floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 5)
-    (0 to 5).map(i => ev.filter(bucket === i))
+    val (lo, hi) = {
+      val r = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+      (r.getDate(0), r.getDate(1))
+    }
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(lo.toLocalDate, hi.toLocalDate) + 1
+    val nBuckets = ((nDays + 4) / 5).toInt
+    val bucket = floor(datediff(to_date(col("ts")), lit(lo.toString).cast("date")) / 5)
+    (0 until nBuckets).map(i => ev.filter(bucket === i))
   }
 
   /** One single-row far-future batch: advances the watermark (first
