@@ -72,14 +72,35 @@ object StreamSurface {
       "user_id" -> lit(-1L), "event_type" -> lit("__sentinel"),
       "value" -> lit(0.0), "props" -> lit("")))
 
-  private def eventReplayWithSentinels(s: SparkSession, dir: String,
-      inDir: String): org.apache.spark.sql.types.StructType = {
-    val ev = Tables.events(s, dir)
-    StreamHarness.stage(
+  /** Shared staged-input dirs: the three batch derivations are pure
+    * functions of the sf dir, so every query replaying the same shape
+    * reads the same staged files (staged once per JVM via
+    * [[StreamHarness.stageCached]]). Sharing is safe: the input dir is
+    * read-only to the streams and each query's file-source progress
+    * lives in its own checkpoint.
+    */
+  private def stagedEventsWithSentinels(s: SparkSession,
+      dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val in = tmpBase(dir, "_in_events_sentinel")
+    val schema = StreamHarness.stageCached({
+      val ev = Tables.events(s, dir)
       eventBatches(s, dir) ++ Seq(
         eventSentinel(ev, "2030-01-01 00:00:00"),
-        eventSentinel(ev, "2030-01-02 00:00:00")),
-      inDir)
+        eventSentinel(ev, "2030-01-02 00:00:00"))
+    }, in)
+    (in, schema)
+  }
+
+  private def stagedEvents(s: SparkSession,
+      dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val in = tmpBase(dir, "_in_events")
+    (in, StreamHarness.stageCached(eventBatches(s, dir), in))
+  }
+
+  private def stagedDocs(s: SparkSession,
+      dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val in = tmpBase(dir, "_in_docs")
+    (in, StreamHarness.stageCached(docBatches(s, dir), in))
   }
 
   /** Five doc_id-RANGE micro-batches (ascending, so the cross-batch
@@ -111,8 +132,8 @@ object StreamSurface {
     // batch llm_event_windows (same oracle SQL).
     "stream_event_windows" -> ((s, dir) => {
       val base = tmpBase(dir, "windows")
-      val schema = eventReplayWithSentinels(s, dir, s"$base/in")
-      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+      val (in, schema) = stagedEventsWithSentinels(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
         EventStream.tumblingCounts(src, "1 hour", "10 minutes")
       }
       s.read.parquet(s"$base/out")
@@ -131,8 +152,8 @@ object StreamSurface {
     "stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       val base = tmpBase(dir, "sessionize")
-      val schema = eventReplayWithSentinels(s, dir, s"$base/in")
-      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+      val (in, schema) = stagedEventsWithSentinels(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
         EventStream.sessionize(
           src.withWatermark("ts", "10 minutes")
             .select(col("user_id"), col("ts"), col("value"))
@@ -161,8 +182,8 @@ object StreamSurface {
     "stream_funnel" -> ((s, dir) => {
       import s.implicits._
       val base = tmpBase(dir, "funnel")
-      val schema = eventReplayWithSentinels(s, dir, s"$base/in")
-      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+      val (in, schema) = stagedEventsWithSentinels(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
         EventStream.funnelProgress(
           src.withWatermark("ts", "10 minutes")
             .select(col("user_id"), col("ts"), col("event_type"))
@@ -189,8 +210,8 @@ object StreamSurface {
     // Green ⇒ the streamed pair set equals the plain SQL join.
     "stream_click_attribution" -> ((s, dir) => {
       val base = tmpBase(dir, "attrib")
-      val schema = StreamHarness.stage(eventBatches(s, dir), s"$base/in")
-      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+      val (in, schema) = stagedEvents(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
         EventStream.attributeClicks(
           src.filter(col("event_type") === "view"),
           src.filter(col("event_type") === "click"),
@@ -210,8 +231,8 @@ object StreamSurface {
     // batch policy's distinct-sha keep-set.
     "stream_curate" -> ((s, dir) => {
       val base = tmpBase(dir, "curate")
-      val schema = StreamHarness.stage(docBatches(s, dir), s"$base/in")
-      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+      val (in, schema) = stagedDocs(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
         DocStream.curate(src, LlmSurface.stopwords, minQuality = 0.3, "365 days")
           .select("content_sha", "quality")
       }
@@ -226,10 +247,10 @@ object StreamSurface {
     "stream_classify" -> ((s, dir) => {
       import s.implicits._
       val base = tmpBase(dir, "classify")
-      val schema = StreamHarness.stage(docBatches(s, dir), s"$base/in")
+      val (in, schema) = stagedDocs(s, dir)
       val wmap = TextOps.hashModelWeights(s, 1024, "wgt")
         .as[(Int, Int)].collect().map { case (b, w) => b -> w.toLong }.toMap
-      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
         DocStream.classify(src, wmap, 1024, "feat")
           .select("doc_id", "n_tokens", "score", "label")
       }
@@ -242,11 +263,11 @@ object StreamSurface {
     // keeps the result arrival-independent.
     "stream_dedup_base" -> ((s, dir) => {
       val base = tmpBase(dir, "dedup_base")
-      val schema = StreamHarness.stage(docBatches(s, dir), s"$base/in")
+      val (in, schema) = stagedDocs(s, dir)
       val baseShas = Tables(s, dir, "documents")
         .filter(col("doc_id") % 2 === 0)
         .select(sha2(col("text"), 256).as("content_sha"))
-      StreamHarness.run(s, s"$base/in", schema, s"$base/out") { src =>
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
         DocStream.dedupAgainstBase(src, baseShas, "365 days")
           .select("content_sha")
       }
@@ -261,10 +282,10 @@ object StreamSurface {
     // recomputes directly.
     "stream_ingest_index" -> ((s, dir) => {
       val base = tmpBase(dir, "ingest")
-      val schema = StreamHarness.stage(docBatches(s, dir), s"$base/in")
+      val (in, schema) = stagedDocs(s, dir)
       StreamHarness.deleteRecursively(new File(s"$base/corpus"))
       StreamHarness.deleteRecursively(new File(s"$base/index"))
-      StreamHarness.runQuery(s, s"$base/in", schema) { src =>
+      StreamHarness.runQuery(s, in, schema) { src =>
         DocStream.ingestWithGrowingIndex(src, s"$base/corpus", s"$base/index")
       }
       s.read.parquet(s"$base/corpus")
@@ -280,9 +301,9 @@ object StreamSurface {
     // guarded version-selection path is part of what's verified.
     "stream_upsert_snapshot" -> ((s, dir) => {
       val base = tmpBase(dir, "upsert")
-      val schema = StreamHarness.stage(eventBatches(s, dir), s"$base/in")
+      val (in, schema) = stagedEvents(s, dir)
       StreamHarness.deleteRecursively(new File(s"$base/versions"))
-      StreamHarness.runQuery(s, s"$base/in", schema) { src =>
+      StreamHarness.runQuery(s, in, schema) { src =>
         UpsertSink.runUpsert(src, "user_id", "ts", s"$base/versions")
       }
       val latest = UpsertSink.latestVersionDir(s, s"$base/versions")

@@ -39,6 +39,44 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamHarness {
 
+  /** Replay-sized shuffle/state partitioning. Every micro-batch commits
+    * EVERY state-store partition of every stateful operator (a
+    * stream-stream join carries four stores per partition), so a replay
+    * pays fixed per-partition-per-batch commit overhead that dwarfs the
+    * actual data movement at harness scale — 32 partitions × 8 batches
+    * × 4 stores ≈ 1000 commits for a join whose total input fits in one
+    * task. 8 is sized to the replay volume; a production deployment
+    * sizes this to the cluster instead. Safe to vary because every
+    * operator's results are partition-count-invariant — the property
+    * the ops' determinism rules (integer accumulation, event-time keys)
+    * exist to guarantee, and which the oracle gate re-proves on every
+    * run of this harness.
+    */
+  private val replayShufflePartitions = "8"
+
+  private def withReplayConf[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, replayShufflePartitions)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** In-JVM staging cache: `stageCached` callers' staged input is a pure
+    * function of the target directory (sf tables + deterministic batch
+    * derivation), so within one JVM a second staging of the same dir
+    * (bench reps, Verify re-runs) is a no-op. Cross-JVM runs always
+    * restage — no stale-file risk.
+    */
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  /** [[stage]], skipping the write when this JVM already staged `inDir`.
+    * Only for callers whose batches derive deterministically from
+    * `inDir` itself (the StreamSurface queries); tests use [[stage]].
+    */
+  def stageCached(batches: => Seq[DataFrame], inDir: String): StructType =
+    stagedDirs.getOrElseUpdate(inDir, stage(batches, inDir))
+
   def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete()
@@ -89,13 +127,15 @@ object StreamHarness {
     val cp = outDir + "_cp"
     deleteRecursively(new File(outDir))
     deleteRecursively(new File(cp))
-    val q = transform(source(spark, inDir, schema)).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", cp)
-      .format("parquet")
-      .option("path", outDir)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayConf(spark) {
+      val q = transform(source(spark, inDir, schema)).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
   }
 
   /** Run an operator that manages its own sink (foreachBatch ops like
@@ -103,8 +143,9 @@ object StreamHarness {
     * over the staged replay to completion.
     */
   def runQuery(spark: SparkSession, inDir: String, schema: StructType)
-      (start: DataFrame => StreamingQuery): Unit = {
-    val q = start(source(spark, inDir, schema))
-    try q.processAllAvailable() finally q.stop()
-  }
+      (start: DataFrame => StreamingQuery): Unit =
+    withReplayConf(spark) {
+      val q = start(source(spark, inDir, schema))
+      try q.processAllAvailable() finally q.stop()
+    }
 }
