@@ -807,6 +807,24 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- bloom-prefiltered suppression (anti-join fast path) -------------
+    // "Drop every doc whose sha is in the suppression index" via
+    // BloomOps.bloomAntiJoin: definitely-absent rows bypass the shuffle
+    // entirely (plan-embedded bloom probe, whole-stage codegen), only the
+    // maybe sliver meets the index in the exact anti-join. The identity
+    // result ≡ plain NOT IN is what the oracle hash-checks — the bloom
+    // changes the PLAN, never the ANSWER (no false negatives). Index
+    // stand-in = every 7th doc's sha; duplicate texts of a suppressed doc
+    // are suppressed too (sha semantics, both engines).
+    "llm_bloom_suppress" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
+      val index = docs.filter(col("doc_id") % 7 === 0).select("content_sha")
+      graft.operators.BloomOps
+        .bloomAntiJoin(docs, index, "content_sha", fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
     // ---- unigram log-prob quality score (CCNet-style LM filter) ----------
     // Add-one-smoothed unigram model trained on the corpus itself;
     // per-doc score = mean token log-prob. Each ln is quantized to
@@ -2609,6 +2627,14 @@ object LlmSurface {
              (coalesce(o.n_shared, 0) > 0) AS contaminated
       FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
       ORDER BY d.doc_id
+    """,
+
+    "llm_bloom_suppress" -> """
+      WITH d AS (SELECT doc_id, sha256(text) AS content_sha FROM documents)
+      SELECT content_sha, doc_id FROM d
+      WHERE content_sha NOT IN
+            (SELECT content_sha FROM d WHERE doc_id % 7 = 0)
+      ORDER BY doc_id
     """,
 
     "llm_pack_sequences" -> """
