@@ -1466,4 +1466,70 @@ object TextOps {
       .agg(min("doc_id").as("doc_id"),
         count(lit(1)).cast("long").as("n_copies"))
       .select("doc_id", "canonical_url", "n_copies")
+
+  /** Heavy hitters (words with count ≥ support·total) via a count-min
+    * candidate filter + exact confirmation — the frequent-items pattern
+    * that never shuffles the vocabulary long tail.
+    *
+    * The plain spelling (`groupBy(word).count.filter(≥T)`) shuffles one
+    * combine row per (word, partition): Heaps' law puts |vocab| in the
+    * billions at 100 TB, and that long tail — which by definition
+    * CANNOT contain a heavy hitter — is the entire shuffle. Here:
+    *
+    *  1. ONE pass builds a count-min sketch as a (depth × width)-row
+    *     aggregate — shuffle keys capped at depth·width CONSTANT rows
+    *     regardless of corpus or vocabulary size.
+    *  2. Every token occurrence probes the sketch via `depth` broadcast
+    *     joins (the sketch is model-sized by construction, ≤ d·w rows);
+    *     est = least over rows. CMS only ever OVER-counts, so
+    *     est ≥ true count — every true heavy hitter survives the
+    *     candidate filter (no false negatives), plus a collision-bounded
+    *     sliver of false candidates.
+    *  3. Exact `groupBy(word)` over CANDIDATE occurrences only: the
+    *     shuffle now carries ≤ (1/support + collisions) distinct words
+    *     per partition — the long tail is gone before the exchange.
+    *  4. The final `count ≥ T` filter is exact, so the result is
+    *     IDENTICAL to the plain spelling — the sketch changes the plan,
+    *     never the answer (the property the oracle row hash-checks).
+    *
+    * T derives in-plan from the total token count (a 1-row broadcast,
+    * integer `div` — exact cross-engine). With a tiny support the
+    * candidate filter passes everything and this degenerates to the
+    * plain wordcount plus sketch overhead — the pattern pays for itself
+    * when 1/support ≪ |vocab|, which is every real monitoring use.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, supportPpm: Long = 2000,
+      depth: Int = 3, width: Int = 1 << 16): DataFrame = {
+    require(supportPpm > 0 && supportPpm <= 1000000,
+      s"supportPpm ($supportPpm) must be in (0, 1e6]")
+    require(depth >= 1 && width >= 2, s"bad sketch dims ($depth × $width)")
+    val toks = df.select(explode(words(col(textCol))).as("w"))
+    val keyed = toks.select(col("w") +: (0 until depth).map(i =>
+      pmod(hash(col("w"), lit(i)), lit(width)).as(s"_b$i")): _*)
+    val cms = keyed
+      .select(posexplode(array((0 until depth).map(i => col(s"_b$i")): _*))
+        .as(Seq("_i", "_bucket")))
+      .groupBy("_i", "_bucket").agg(count(lit(1)).as("_c"))
+    // total tokens = sum of any one sketch row; threshold as exact
+    // integer arithmetic (ppm · total div 1e6), never float
+    val totals = cms.filter(col("_i") === 0)
+      .agg(sum("_c").as("_total"))
+      .select(greatest(lit(1L),
+        expr(s"_total * $supportPpm div 1000000")).as("_t"))
+    val probed = (0 until depth).foldLeft(keyed) { (acc, i) =>
+      acc.join(broadcast(cms.filter(col("_i") === i)
+        .select(col("_bucket").as(s"_b$i"), col("_c").as(s"_c$i"))),
+        Seq(s"_b$i"))
+    }
+    val est = if (depth == 1) col("_c0")
+      else least((0 until depth).map(i => col(s"_c$i")): _*)
+    probed
+      .withColumn("_est", est)
+      .crossJoin(broadcast(totals))
+      .filter(col("_est") >= col("_t"))
+      .groupBy("w", "_t")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= col("_t"))
+      .select(col("w").as("word"), col("n"))
+  }
 }

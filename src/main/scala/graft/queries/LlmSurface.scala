@@ -807,6 +807,18 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- sketch-guided heavy hitters (exact-confirmed) -------------------
+    // Words with count ≥ 0.2% of total tokens via the count-min candidate
+    // filter + exact confirmation (TextOps.heavyHitters): the vocabulary
+    // long tail — which cannot contain a heavy hitter — never reaches the
+    // exact aggregation's shuffle. The sketch changes the plan, never the
+    // answer: the oracle recomputes the plain GROUP BY/HAVING.
+    "llm_heavy_hitters" -> ((s, dir) => {
+      TextOps.heavyHitters(Tables(s, dir, "documents"), "text",
+        supportPpm = 2000L)
+        .orderBy("word")
+    }),
+
     // ---- bloom-prefiltered suppression (anti-join fast path) -------------
     // "Drop every doc whose sha is in the suppression index" via
     // BloomOps.bloomAntiJoin: definitely-absent rows bypass the shuffle
@@ -2627,6 +2639,16 @@ object LlmSurface {
              (coalesce(o.n_shared, 0) > 0) AS contaminated
       FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
       ORDER BY d.doc_id
+    """,
+
+    "llm_heavy_hitters" -> """
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      tot AS (SELECT greatest(1, count(*) * 2000 // 1000000) AS thr FROM t)
+      SELECT w AS word, count(*) AS n
+      FROM t CROSS JOIN tot
+      GROUP BY w, thr
+      HAVING count(*) >= thr
+      ORDER BY word
     """,
 
     "llm_bloom_suppress" -> """
