@@ -312,6 +312,31 @@ object StreamSurface {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), date_format(col("ts"), tsFmt).as("ts"))
         .orderBy("user_id")
+    }),
+
+    // ---- X113b: time-travel read of a non-latest snapshot version ----------
+    // Reads v3 — the snapshot after micro-batches 0..3 of the 5-day
+    // replay, i.e. the first 20 days — and the oracle recomputes
+    // latest-per-key over exactly that event-time PREFIX. Green proves
+    // each published version is a consistent point-in-time snapshot
+    // (the time-travel contract), not just that the final version is
+    // right: an off-by-one batch boundary, a merge that leaked later
+    // events backward, or a version that merged a partial batch all
+    // hash-mismatch here.
+    "stream_time_travel" -> ((s, dir) => {
+      val base = tmpBase(dir, "timetravel")
+      val (in, schema) = stagedEvents(s, dir)
+      StreamHarness.deleteRecursively(new File(s"$base/versions"))
+      StreamHarness.runQuery(s, in, schema) { src =>
+        UpsertSink.runUpsert(src, "user_id", "ts", s"$base/versions")
+      }
+      val v3 = s"$base/versions/v3"
+      require(new File(v3, "_SUCCESS").isFile,
+        s"time-travel target $v3 was not published complete")
+      s.read.parquet(v3)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), date_format(col("ts"), tsFmt).as("ts"))
+        .orderBy("user_id")
     })
   )
 
@@ -446,6 +471,19 @@ object StreamSurface {
       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                          ORDER BY ts DESC, event_id DESC) AS rn
             FROM events)
+      WHERE rn = 1 ORDER BY user_id
+    """,
+
+    "stream_time_travel" -> """
+      WITH pre AS (
+        SELECT * FROM events
+        WHERE CAST(ts AS DATE) <
+              (SELECT min(CAST(ts AS DATE)) FROM events) + INTERVAL 20 DAY)
+      SELECT user_id, event_id, event_type, value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM pre)
       WHERE rn = 1 ORDER BY user_id
     """
   )
