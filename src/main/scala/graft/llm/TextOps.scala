@@ -1467,6 +1467,54 @@ object TextOps {
         count(lit(1)).cast("long").as("n_copies"))
       .select("doc_id", "canonical_url", "n_copies")
 
+  /** PII redaction patterns, applied IN ORDER (email first: its local
+    * part and host can contain digit runs that the later numeric
+    * patterns would otherwise double-count). Deliberately conservative
+    * regexes restricted to syntax Java and RE2 share (no lookaround, no
+    * backreferences) so the same pattern is executable — and
+    * oracle-checkable — in both engines. `\b` is the ASCII word
+    * boundary in both.
+    */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{7,15}\\b", "<PHONE>"),
+    ("card", "\\b[0-9]{13,16}\\b", "<CARD>"))
+
+  /** PII scrubbing — the redaction pass every distributable training
+    * corpus runs before release (emails, IPv4s, international phone
+    * numbers, card-length digit runs → typed placeholder tokens), with
+    * per-category match counts for the compliance report.
+    *
+    * Counts are taken STAGE-WISE on the progressively-redacted text
+    * (email count on the original, IP count after emails are gone, …):
+    * categories can overlap textually (digits inside an email), and
+    * counting each pattern against the text its replace actually sees
+    * makes count and replacement provably consistent — and makes the
+    * whole chain a pure function both engines replay identically
+    * (`md5(redacted)` is hash-compared cross-engine by the oracle).
+    *
+    * Scale: one narrow projection — four codegen'd regexp_replace +
+    * four regexp_extract_all over each row, zero shuffles, zero joins;
+    * the plan is a single WholeStageCodegen span over the scan. Regex
+    * cost is linear in text length (no backtracking constructs).
+    * Recall/precision of the conservative patterns is a policy knob,
+    * not an engine property — swap patterns per deployment; the
+    * ORDERING contract (most-specific first) is what the operator owns.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val start: (Column, Seq[(String, Column)]) = (col(textCol), Nil)
+    val (redacted, counts) = piiPatterns.foldLeft(start) {
+      case ((txt, cs), (name, pat, token)) =>
+        val n = size(regexp_extract_all(txt, lit(pat), lit(0)))
+          .cast("long").as(s"n_$name")
+        (regexp_replace(txt, pat, token), cs :+ (name, n))
+    }
+    df.select(col(idCol) +: counts.map(_._2) :+
+      md5(redacted).as("redacted_md5") :+
+      length(redacted).cast("long").as("redacted_len"): _*)
+  }
+
   /** Heavy hitters (words with count ≥ support·total) via a count-min
     * candidate filter + exact confirmation — the frequent-items pattern
     * that never shuffles the vocabulary long tail.

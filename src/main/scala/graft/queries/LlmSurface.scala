@@ -807,6 +807,31 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- PII redaction (typed placeholder scrub + audit counts) ----------
+    // PII is PLANTED deterministically from doc_id (emails on every doc,
+    // IPs on evens, phones on ÷3, card runs on ÷5) because the synthetic
+    // corpus contains none — without planting, the interesting paths
+    // would be vacuously green. Both engines build the same augmented
+    // text, then the oracle replays the identical 4-stage regex chain;
+    // md5(redacted) hash-matching proves byte-identical redaction, not
+    // just equal counts.
+    "llm_pii_redact" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val planted = d.withColumn("_t", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@ex-"), pmod(col("doc_id"), lit(7)), lit(".com"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0.1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call +1415555"), pmod(col("doc_id"), lit(9000)) + 1000))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" card 4111111111111111"))
+          .otherwise(lit(""))))
+      TextOps.redactPii(planted, "doc_id", "_t").orderBy("doc_id")
+    }),
+
     // ---- sketch-guided heavy hitters (exact-confirmed) -------------------
     // Words with count ≥ 0.2% of total tokens via the count-min candidate
     // filter + exact confirmation (TextOps.heavyHitters): the vocabulary
@@ -2639,6 +2664,37 @@ object LlmSurface {
              (coalesce(o.n_shared, 0) > 0) AS contaminated
       FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
       ORDER BY d.doc_id
+    """,
+
+    "llm_pii_redact" -> """
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@ex-' || (doc_id % 7)
+                    || '.com'
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' from 10.' || (doc_id % 256) || '.0.1'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' call +1415555' || ((doc_id % 9000) + 1000)
+                            ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ' card 4111111111111111'
+                            ELSE '' END AS t
+        FROM documents),
+      s1 AS (SELECT doc_id, t AS t0,
+                    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+             FROM p),
+      s2 AS (SELECT *, regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM s1),
+      s3 AS (SELECT *, regexp_replace(t2, '\+[0-9]{7,15}\b', '<PHONE>', 'g') AS t3 FROM s2),
+      s4 AS (SELECT *, regexp_replace(t3, '\b[0-9]{13,16}\b', '<CARD>', 'g') AS t4 FROM s3)
+      SELECT doc_id,
+             len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip,
+             len(regexp_extract_all(t2, '\+[0-9]{7,15}\b')) AS n_phone,
+             len(regexp_extract_all(t3, '\b[0-9]{13,16}\b')) AS n_card,
+             md5(t4) AS redacted_md5,
+             len(t4) AS redacted_len
+      FROM s4 ORDER BY doc_id
     """,
 
     "llm_heavy_hitters" -> """

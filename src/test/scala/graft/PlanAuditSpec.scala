@@ -354,6 +354,21 @@ class PlanAuditSpec extends SparkSpec {
       s"single-partition window must sit above the combined source table:\n$p")
   }
 
+  test("heavy hitters: constant-width sketch agg combines map-side, probes broadcast") {
+    val q = graft.llm.TextOps.heavyHitters(
+      Tables(spark, dir, "documents"), "text", supportPpm = 2000L)
+    val p = plan(q)
+    // the sketch aggregation and the exact confirm must both partial-
+    // combine before their exchanges (the whole point: shuffle keys are
+    // d×w constants resp. candidate words, never the vocabulary tail)
+    assert(p.toLowerCase.contains("partial"),
+      s"sketch/confirm aggs must map-side combine:\n$p")
+    // the depth sketch probes must be broadcast joins — a shuffle join
+    // here would re-introduce the per-token exchange the sketch avoids
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"sketch probes must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar-heavy Q1 chain") {
     val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
     // AQE prints `isFinalPlan=false` with no codegen spans until the query
