@@ -267,6 +267,33 @@ object LlmProps extends Properties("LlmOps") {
       rows.forall { case (_, av, alloc, sat) => alloc == av && sat }
     }
 
+  property("bloomAntiJoin equals plain left_anti on random key sets") =
+    forAll(
+      Gen.listOfN(40, Gen.choose(0L, 60L)),
+      Gen.listOfN(15, Gen.choose(0L, 60L))) { (probeKeys, baseKeys) =>
+      val probe = probeKeys.zipWithIndex
+        .map { case (k, i) => (i.toLong, s"key_$k") }.toDF("id", "k")
+      val base = baseKeys.map(k => s"key_$k").toDF("k")
+      val got = graft.operators.BloomOps.bloomAntiJoin(probe, base, "k")
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = probe.join(base, Seq("k"), "left_anti")
+        .select("id").as[Long].collect().sorted.toSeq
+      got == want
+    }
+
+  property("heavyHitters equals brute-force wordcount at a random support") =
+    forAll(Gen.listOfN(5, docGen), Gen.choose(10000L, 200000L)) { (docs, ppm) =>
+      val df = docs.toDF("text")
+      val got = TextOps.heavyHitters(df, "text", ppm)
+        .as[(String, Long)].collect().toMap
+      val toks = df.select(explode(split(col("text"), " ")).as("w"))
+      val thr = math.max(1L, toks.count() * ppm / 1000000L)
+      val want = toks.groupBy("w").count()
+        .filter(col("count") >= thr)
+        .as[(String, Long)].collect().toMap
+      got == want
+    }
+
   property("canonicalizeUrl output carries no fragment, tracker, or default port") =
     forAll(Gen.listOfN(12, urlGen)) { urls =>
       urls.toDF("u").select(TextOps.canonicalizeUrl(col("u")).as("c"))
