@@ -710,6 +710,51 @@ object VectorOps {
     * accumulated in floating point, so partition count and merge order
     * cannot move a bit.
     */
+  /** Int8 per-dimension quantization audit — the vector-DB storage
+    * codec (scalar quantization: each dimension mapped to [0, 255] by
+    * its own min/max) applied and immediately round-tripped, reporting
+    * per-dimension reconstruction error. This is the decision table for
+    * "can this corpus serve from int8?": a dimension whose max_err is
+    * large relative to query margins needs fp16/fp32 or PQ instead.
+    *
+    * Exactness: components are already ×1000 integers ([[quantize]]);
+    * encode = round((q−min)·255/range) and decode = min +
+    * round(q8·range/255) both use the integer round-half-up identity
+    * `(2a + b) div (2b)` — no float touches any value, so encode,
+    * decode, and the error table are bit-identical in any engine at any
+    * partitioning (the oracle replays the same arithmetic in SQL).
+    * Constant dimensions (range 0) encode to 0 and decode to min —
+    * error exactly 0.
+    *
+    * Scale: two corpus passes by necessity (global per-dim min/max,
+    * then encode+audit) — the [[outlierClip]] shape: a posexplode into a
+    * \|dim\|-key combine agg (skew-free, model-sized), the stats table
+    * broadcast back, then a second \|dim\|-key combine agg for the
+    * audit. Nothing driver-side, no windows. The payoff the audit
+    * gates: 4× smaller vectors ⇒ 4× more corpus per executor-memory
+    * byte in the ANN serving tier, with error bounded by range/510 µ
+    * per component (unit-pinned).
+    */
+  def int8CodecAudit(df: DataFrame, vecCol: String): DataFrame = {
+    val q = df
+      .select(posexplode(quantize(col(vecCol))).as(Seq("dim", "_q")))
+      .withColumn("_q", col("_q").cast("long"))
+    val st = q.groupBy("dim").agg(min("_q").as("_min"), max("_q").as("_max"))
+    q.join(broadcast(st), "dim")
+      .withColumn("_range", col("_max") - col("_min"))
+      .withColumn("_q8", when(col("_range") === 0, lit(0L))
+        .otherwise(expr("(2 * (_q - _min) * 255 + _range) div (2 * _range)")))
+      .withColumn("_dec", when(col("_range") === 0, col("_min"))
+        .otherwise(col("_min") + expr("(2 * _q8 * _range + 255) div (2 * 255)")))
+      .withColumn("_err", abs(col("_q") - col("_dec")))
+      .groupBy("dim", "_min", "_max")
+      .agg(count(lit(1)).as("n"),
+        max("_err").as("max_err_mu"),
+        sum("_err").as("sum_err_mu"))
+      .select(col("dim"), col("n"), col("_min").as("min_q"),
+        col("_max").as("max_q"), col("max_err_mu"), col("sum_err_mu"))
+  }
+
   def dimStats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(quantize(col(vecCol))).as(Seq("dim", "_q")))
       .withColumn("_q", col("_q").cast("long"))

@@ -1503,6 +1503,17 @@ object LlmSurface {
         .orderBy("dim")
     }),
 
+    // ---- int8 scalar-quantization codec audit ----------------------------
+    // Per-dimension min/max scaling to [0,255], round-tripped, with the
+    // reconstruction-error table that gates "serve this corpus from
+    // int8". Pure integer round-half-up arithmetic end to end — the
+    // oracle replays encode+decode in SQL and the hash match proves the
+    // codec is bit-identical cross-engine.
+    "llm_int8_codec" -> ((s, dir) => {
+      VectorOps.int8CodecAudit(Tables(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")
+    }),
+
     // ---- water-filling token-budget allocation across sources ------------
     // B = 90% of corpus tokens (integer: (total*9) div 10): sources
     // below the water level take all they have (saturated), the rest
@@ -3644,6 +3655,33 @@ object LlmSurface {
       SELECT min(doc_id) AS doc_id, canonical_url,
              CAST(count(*) AS BIGINT) AS n_copies
       FROM canon GROUP BY canonical_url ORDER BY doc_id
+    """,
+
+    "llm_int8_codec" -> """
+      WITH e AS (
+        SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      x AS (
+        SELECT generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS q FROM e),
+      st AS (
+        SELECT dim, min(q) AS mn, max(q) AS mx FROM x GROUP BY dim),
+      enc AS (
+        SELECT x.dim, x.q, st.mn, st.mx, (st.mx - st.mn) AS rng,
+               CASE WHEN st.mx = st.mn THEN 0
+                    ELSE (2 * (x.q - st.mn) * 255 + (st.mx - st.mn))
+                         // (2 * (st.mx - st.mn)) END AS q8
+        FROM x JOIN st USING (dim)),
+      dec AS (
+        SELECT dim, q, mn, mx,
+               CASE WHEN rng = 0 THEN mn
+                    ELSE mn + (2 * q8 * rng + 255) // (2 * 255) END AS d
+        FROM enc)
+      SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+             mn AS min_q, mx AS max_q,
+             CAST(max(abs(q - d)) AS BIGINT) AS max_err_mu,
+             CAST(sum(abs(q - d)) AS BIGINT) AS sum_err_mu
+      FROM dec GROUP BY dim, mn, mx ORDER BY dim
     """,
 
     "llm_embed_stats" -> s"""

@@ -129,6 +129,29 @@ class UrlStatsSpec extends SparkSpec {
     assert(rows(2).getAs[Long]("n_clip_lo") === 0L)
   }
 
+  test("int8 codec: error bounded by range/510 + 1 µ, constant dims exact") {
+    val df = Seq(
+      Tuple1(Array(0.0f, 7.0f, -1.0f)),
+      Tuple1(Array(1.0f, 7.0f, 0.5f)),
+      Tuple1(Array(0.25f, 7.0f, 2.0f)),
+      Tuple1(Array(0.75f, 7.0f, -0.25f))).toDF("embedding")
+    val rows = VectorOps.int8CodecAudit(df, "embedding")
+      .orderBy("dim").collect()
+    rows.foreach { r =>
+      val range = r.getAs[Long]("max_q") - r.getAs[Long]("min_q")
+      val bound = range / 510L + 1L
+      assert(r.getAs[Long]("max_err_mu") <= bound,
+        s"dim ${r.get(0)}: err ${r.getAs[Long]("max_err_mu")} > bound $bound")
+    }
+    // dim 1 is constant: round-trip must be exact
+    assert(rows(1).getAs[Long]("max_err_mu") === 0L)
+    assert(rows(1).getAs[Long]("sum_err_mu") === 0L)
+    // endpoints always round-trip exactly (q8 = 0 resp. 255)
+    val wide = Seq(Tuple1(Array(-4.0f)), Tuple1(Array(9.0f))).toDF("embedding")
+    val w = VectorOps.int8CodecAudit(wide, "embedding").collect().head
+    assert(w.getAs[Long]("max_err_mu") === 0L)
+  }
+
   test("outlierClip on a constant dimension clips nothing (σ = 0, strict bounds)") {
     val df = (0 until 20).map(_ => Tuple1(Array(3.5f, 3.5f))).toDF("embedding")
     val rows = graft.llm.VectorOps.outlierClip(df, "embedding").collect()
