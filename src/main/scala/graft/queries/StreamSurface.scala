@@ -97,6 +97,32 @@ object StreamSurface {
     (in, StreamHarness.stageCached(eventBatches(s, dir), in))
   }
 
+  /** Events replay whose two sentinel batches each carry BOTH a "view"
+    * and a "click" row (user_id −1): a query that filters the source
+    * into separate view/click branches assigns its watermarks AFTER
+    * those filters, so a sentinel must survive BOTH filters or the
+    * joint watermark (the min across watermark operators) never
+    * advances and outer/timeout state never flushes.
+    */
+  private def stagedEventsWithPairSentinels(s: SparkSession,
+      dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val in = tmpBase(dir, "_in_events_pair_sentinel")
+    val schema = StreamHarness.stageCached({
+      val ev = Tables.events(s, dir)
+      def pair(tsLit: String) = sentinelOf(ev, tsLit, Map(
+        "event_id" -> lit(-1L), "ts" -> lit(tsLit),
+        "user_id" -> lit(-1L), "event_type" -> lit("view"),
+        "value" -> lit(0.0), "props" -> lit("")))
+        .unionByName(sentinelOf(ev, tsLit, Map(
+          "event_id" -> lit(-2L), "ts" -> lit(tsLit),
+          "user_id" -> lit(-1L), "event_type" -> lit("click"),
+          "value" -> lit(0.0), "props" -> lit(""))))
+      eventBatches(s, dir) ++ Seq(
+        pair("2030-01-01 00:00:00"), pair("2030-01-02 00:00:00"))
+    }, in)
+    (in, schema)
+  }
+
   private def stagedDocs(s: SparkSession,
       dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val in = tmpBase(dir, "_in_docs")
@@ -222,6 +248,29 @@ object StreamSurface {
           date_format(col("click_ts"), tsFmt).as("click_ts"),
           col("view_id"), date_format(col("view_ts"), tsFmt).as("view_ts"))
         .orderBy("click_id", "view_id")
+    }),
+
+    // ---- X131: stream-stream LEFT OUTER join (unattributed views) --------
+    // A view is provably click-less only once the watermark passes
+    // view_ts + horizon, so NULL-padded rows emit on WATERMARK EXPIRY —
+    // the semantics the sentinel pairs exist to flush. Green ⇒ the
+    // streamed outer row set (matches on arrival + null-padded views on
+    // expiry) equals the plain SQL LEFT JOIN.
+    "stream_unattributed" -> ((s, dir) => {
+      val base = tmpBase(dir, "unattrib")
+      val (in, schema) = stagedEventsWithPairSentinels(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
+        EventStream.unattributedViews(
+          src.filter(col("event_type") === "view"),
+          src.filter(col("event_type") === "click"),
+          horizon = "30 minutes", watermarkDelay = "10 minutes")
+      }
+      s.read.parquet(s"$base/out")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("view_id"),
+          date_format(col("view_ts"), tsFmt).as("view_ts"),
+          col("click_id"))
+        .orderBy("view_id", "click_id")
     }),
 
     // ---- X63: streaming curation (quality gate + watermarked dedup) ------
@@ -415,6 +464,18 @@ object StreamSurface {
        AND c.event_type = 'click' AND v.event_type = 'view'
        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
       ORDER BY click_id, view_id
+    """,
+
+    "stream_unattributed" -> """
+      SELECT v.user_id,
+             v.event_id AS view_id,
+             strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+             c.event_id AS click_id
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      ORDER BY view_id, click_id
     """,
 
     "stream_curate" -> s"""

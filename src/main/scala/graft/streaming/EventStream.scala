@@ -81,6 +81,36 @@ object EventStream extends Serializable {
         col("view_id"), col("view_ts"))
   }
 
+  /** Unattributed views: stream-stream LEFT OUTER event-time join — the
+    * complement feed of [[attributeClicks]] (views that got NO click
+    * within the horizon), which is what retargeting/abandonment
+    * pipelines consume.
+    *
+    * Outer semantics are where stream-stream joins earn their state
+    * machinery: a view cannot be declared click-less until the
+    * watermark has passed `view_ts + horizon` (only then is "no
+    * matching click will ever arrive" provable), so NULL-padded rows
+    * emit on WATERMARK EXPIRY, not on arrival. The same range bound
+    * that makes eviction possible makes the outer emission sound — an
+    * unbounded outer join would never be allowed to emit (or evict)
+    * anything. View side is the preserved (left) side.
+    */
+  def unattributedViews(views: DataFrame, clicks: DataFrame,
+      horizon: String, watermarkDelay: String): DataFrame = {
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c,
+      expr(s"user_id = c_user AND click_ts >= view_ts" +
+        s" AND click_ts <= view_ts + interval $horizon"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("click_id"))
+  }
+
   /** `lastTs` is event-time epoch MICROS (see [[tsMicros]]). */
   final case class FunnelState(step: Int, lastTs: Long)
   final case class FunnelOut(

@@ -62,6 +62,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER: click-less view emits null-padded on watermark expiry") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStream.unattributedViews(
+      views.toDF().toDF("user_id", "ts", "event_id"),
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      horizon = "30 minutes", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("unattrib_test")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00"), 100L), // will get a click
+        (2L, ts("2024-01-01 10:00:00"), 101L)) // never clicked
+      clicks.addData((1L, ts("2024-01-01 10:05:00"), 200L))
+      q.processAllAvailable()
+      // matched row emits on arrival; view 101 must NOT have emitted yet
+      // (the watermark hasn't proven no click can come)
+      val early = spark.table("unattrib_test")
+        .select("view_id").as[Long].collect().toSet
+      assert(early === Set(100L), s"only the matched view may emit early: $early")
+      // advance the watermark past 10:30 + 10 min on BOTH sides, then
+      // execute a batch under it so the expiry fires
+      views.addData((9L, ts("2024-01-01 12:00:00"), 900L))
+      clicks.addData((9L, ts("2024-01-01 12:00:00"), 901L))
+      q.processAllAvailable()
+      views.addData((9L, ts("2024-01-01 13:00:00"), 902L))
+      clicks.addData((9L, ts("2024-01-01 13:00:00"), 903L))
+      q.processAllAvailable()
+      val rows = spark.table("unattrib_test")
+        .filter(org.apache.spark.sql.functions.col("view_id") === 101L)
+        .select("user_id", "view_id", "click_id")
+        .collect()
+      assert(rows.length === 1, "expired click-less view must emit exactly once")
+      assert(rows.head.isNullAt(2), "expired view must be null-padded")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark keyed on content hash") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
