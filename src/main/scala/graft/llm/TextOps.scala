@@ -1545,11 +1545,24 @@ object TextOps {
     * candidate filter passes everything and this degenerates to the
     * plain wordcount plus sketch overhead — the pattern pays for itself
     * when 1/support ≪ |vocab|, which is every real monitoring use.
+    *
+    * Width sizing (width ≤ 0 → auto = 8/support, floor 1024): the
+    * sketch's shuffle is depth·width combine rows PER PARTITION, so an
+    * oversized width silently re-creates the per-partition shuffle
+    * volume the sketch exists to remove (HeavyHittersBench measured a
+    * 2^16-wide sketch shuffling MORE than the plain wordcount on a 6M-
+    * word tail). 8/support keeps expected bucket mass at T/8 — candidate
+    * false positives need a word to collide with a true heavy hitter in
+    * ALL depth rows, (hitters/width)^depth ≈ negligible — while keeping
+    * depth·width a few thousand rows. Exactness never depends on width;
+    * only the candidate-sliver size does.
     */
   def heavyHitters(df: DataFrame, textCol: String, supportPpm: Long = 2000,
-      depth: Int = 3, width: Int = 1 << 16): DataFrame = {
+      depth: Int = 3, width0: Int = -1): DataFrame = {
     require(supportPpm > 0 && supportPpm <= 1000000,
       s"supportPpm ($supportPpm) must be in (0, 1e6]")
+    val width = if (width0 > 0) width0
+      else math.max(1024L, 8L * 1000000L / supportPpm).toInt
     require(depth >= 1 && width >= 2, s"bad sketch dims ($depth × $width)")
     val toks = df.select(explode(words(col(textCol))).as("w"))
     val keyed = toks.select(col("w") +: (0 until depth).map(i =>

@@ -45,7 +45,7 @@ class HeavyHittersSpec extends SparkSpec {
     // every word collides into 2 buckets → almost everything becomes a
     // candidate; the exact confirmation pass must still filter precisely
     val got = asMap(TextOps.heavyHitters(corpus, "text", 30000L,
-      depth = 1, width = 2))
+      depth = 1, width0 = 2))
     assert(got === asMap(brute(30000L)))
   }
 
