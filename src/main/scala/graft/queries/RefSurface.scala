@@ -513,6 +513,44 @@ object RefSurface {
         .orderBy("column_name")
     }),
 
+    // ---- column-pair correlation matrix (feature audit) ------------------
+    // Pearson correlation for every numeric column pair in ONE combine
+    // aggregate (no Expand, no per-pair rescan): values quantize to
+    // integer cents (the money round rule), all moments (S, Q, cross
+    // products) accumulate as exact decimal(38,0) — Spark decimals and
+    // DuckDB HUGEINTs hold the SAME exact integers, so the centered
+    // moments n·Sxy − Sx·Sy are bit-identical cross-engine; only the
+    // final corr = cov/√(varx·vary) touches doubles, and identical
+    // inputs through identical IEEE ops give identical outputs (round6
+    // absorbs nothing here but keeps the cross-engine pin uniform).
+    // Listwise null drop, stated in both engines.
+    "p_correlation" -> ((s, dir) => {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables(s, dir, "lineitem")
+        .filter(cs.map(col(_).isNotNull).reduce(_ && _))
+        .select(cs.map(c =>
+          floor(col(c) * 100 + 0.5).cast("decimal(38,0)").as(c)): _*)
+      val pairs = for { i <- cs.indices; j <- cs.indices if i < j }
+        yield (cs(i), cs(j))
+      val aggs = cs.map(c => sum(col(c)).as(s"s_$c")) ++
+        cs.map(c => sum(col(c) * col(c)).as(s"q_$c")) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"x_${a}_$b") }
+      li.agg(count(lit(1)).cast("decimal(38,0)").as("n_d"), aggs: _*)
+        .select(explode(array(pairs.map { case (a, b) =>
+          val cov = (col("n_d") * col(s"x_${a}_$b") -
+            col(s"s_$a") * col(s"s_$b")).cast("double")
+          val va = (col("n_d") * col(s"q_$a") -
+            col(s"s_$a") * col(s"s_$a")).cast("double")
+          val vb = (col("n_d") * col(s"q_$b") -
+            col(s"s_$b") * col(s"s_$b")).cast("double")
+          struct(lit(a).as("col_x"), lit(b).as("col_y"),
+            col("n_d").cast("long").as("n"),
+            graft.llm.TextOps.round6(cov / sqrt(va * vb)).as("corr"))
+        }: _*)).as("p"))
+        .select("p.*")
+        .orderBy("col_x", "col_y")
+    }),
+
     // ---- TPC-H Q3 shape: selective joins + agg + top-k ------------------
     "j5_shipping_priority" -> ((s, dir) => {
       val cut = lit("1998-06-01").cast("date")
@@ -1054,6 +1092,38 @@ object RefSurface {
              count(*) AS n
       FROM events GROUP BY 1 ORDER BY 1
     """,
+
+    "p_correlation" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cs.indices; j <- cs.indices if i < j }
+        yield (cs(i), cs(j))
+      val qcols = cs.map(c =>
+        s"CAST(floor($c * 100 + 0.5) AS BIGINT) AS $c").mkString(", ")
+      val sums = (cs.map(c => s"sum($c) AS s_$c") ++
+        cs.map(c => s"sum($c * $c) AS q_$c") ++
+        pairs.map { case (a, b) => s"sum($a * $b) AS x_${a}_$b" })
+        .mkString(",\n               ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n_d AS BIGINT) AS n,
+             floor(CAST(n_d * x_${a}_$b - s_$a * s_$b AS DOUBLE)
+                   / sqrt(CAST(n_d * q_$a - s_$a * s_$a AS DOUBLE)
+                          * CAST(n_d * q_$b - s_$b * s_$b AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 AS corr
+           FROM m"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH q AS (
+        SELECT $qcols
+        FROM lineitem
+        WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+      m AS (
+        SELECT count(*) AS n_d,
+               $sums
+        FROM q)
+      $rows
+      ORDER BY col_x, col_y
+    """
+    },
 
     "p_profile" -> s"""
       WITH a AS (
