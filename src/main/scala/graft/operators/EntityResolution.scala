@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: edit-distance join of a dirty feed against a
+  * master table — the record-linkage step of any pipeline ingesting
+  * third-party catalogs, crawl titles, or OCR'd text, where keys
+  * arrive with single-character typos. No reference counterpart
+  * (SURVEY §2.6); north-star extension surface.
+  *
+  * The all-pairs spelling (`probe × master` + levenshtein filter) is a
+  * cross product — quadratic in corpus and rejected by construction.
+  * Instead: the PassJoin two-segment pigeonhole (Li et al., VLDB'11).
+  * Split each MASTER string s (length m) into its left half
+  * `s[1..⌈m/2⌉]` and right half `s[⌈m/2⌉+1..m]`. A single edit
+  * (substitution, deletion, or insertion) touches at most one half, so
+  * for every pair within distance 1 either
+  *   - the left half survives intact as the probe's PREFIX, or
+  *   - the right half survives intact as the probe's SUFFIX
+  * (if the edit position p ≤ ⌈m/2⌉ the right half is untouched and
+  * alignment shifts it to the probe's end; if p > ⌈m/2⌉ the left half
+  * is untouched in place — one of the two always holds). The probe
+  * (length n) cannot know m, but distance ≤ 1 forces m ∈ {n−1, n, n+1},
+  * so it emits at most six candidate keys — (side, segment, m) for each
+  * hypothetical m — and the join is a plain EQUI-join on that key,
+  * candidates bounded by true segment collisions. The confirm step runs
+  * `levenshtein(s, t, 1)` (the threshold form: early-exits the DP once
+  * the band exceeds 1, O(n) not O(n²) per candidate).
+  *
+  * 100 TB design: master and probe shuffle once each on ~half-length
+  * string keys (constant ×2 / ×6 fan-out, no explode-by-data);
+  * verification cost is |true collisions|, not |probe|·|master|. Skewed
+  * segments (a million names sharing "small") stay bounded because the
+  * key includes the hypothesized length AND the side; residual skew is
+  * AQE's to split. The blocking is LOSSLESS for distance ≤ 1 — proven
+  * against a brute-force oracle (`llm_fuzzy_join`), not asserted.
+  */
+object EntityResolution {
+
+  /** All (probeId, masterId, dist) pairs with edit distance ≤ 1 between
+    * `probeName` and `masterName`. Exact — the pigeonhole generates a
+    * superset of the true pairs and the threshold-levenshtein confirm
+    * keeps exactly those within distance 1.
+    */
+  def editDistance1Join(
+      master: DataFrame,
+      probe: DataFrame,
+      masterId: String,
+      masterName: String,
+      probeId: String,
+      probeName: String): DataFrame = {
+    // Master side: its own two halves, tagged with its own length.
+    val m = master.select(
+      col(masterId).as("_mid"), col(masterName).as("_mname"),
+      length(col(masterName)).as("_ml"))
+    val mKeys = m.select(col("_mid"), col("_mname"), col("_ml"),
+      explode(array(
+        struct(lit("P").as("side"),
+          expr(s"substring(_mname, 1, (_ml + 1) div 2)").as("seg"),
+          col("_ml").as("m")),
+        struct(lit("S").as("side"),
+          expr(s"substring(_mname, (_ml + 1) div 2 + 1, _ml)").as("seg"),
+          col("_ml").as("m")))).as("k"))
+      .select(col("_mid"), col("_mname"), col("k.*"))
+    // Probe side: for each hypothetical master length m ∈ {n−1, n, n+1},
+    // its prefix of ⌈m/2⌉ chars and suffix of ⌊m/2⌋ chars.
+    val p = probe.select(
+      col(probeId).as("_pid"), col(probeName).as("_pname"),
+      length(col(probeName)).as("_pl"))
+    val pKeys = p.select(col("_pid"), col("_pname"),
+      explode(flatten(expr(
+        """transform(array(_pl - 1, _pl, _pl + 1), m ->
+             CASE WHEN m >= 2 THEN array(
+               named_struct('side', 'P',
+                 'seg', substring(_pname, 1, (m + 1) div 2), 'm', m),
+               named_struct('side', 'S',
+                 'seg', substring(_pname, _pl - m div 2 + 1, m div 2),
+                 'm', m))
+             ELSE CAST(array()
+                  AS array<struct<side:string,seg:string,m:int>>) END)""")))
+        .as("k"))
+      .select(col("_pid"), col("_pname"), col("k.*"))
+    mKeys.join(pKeys, Seq("side", "seg", "m"))
+      .withColumn("dist", expr("levenshtein(_mname, _pname, 1)"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
+      .select(col("_pid").as(probeId), col("_mid").as(masterId),
+        col("dist"))
+      .dropDuplicates(probeId, masterId)
+  }
+
+  /** Best-match resolution: one row per probe record (LEFT semantics —
+    * unresolved records keep null master/dist), picking the minimum
+    * distance and breaking ties on the smallest master id. One
+    * partial-combining `min_by` aggregate over the confirmed pairs.
+    */
+  def resolveBest(
+      pairs: DataFrame,
+      probe: DataFrame,
+      probeId: String,
+      masterId: String): DataFrame = {
+    val best = pairs.groupBy(probeId).agg(
+      min_by(col(masterId), struct(col("dist"), col(masterId)))
+        .as(masterId),
+      min(col("dist")).as("dist"))
+    probe.select(col(probeId)).distinct()
+      .join(best, Seq(probeId), "left")
+  }
+}

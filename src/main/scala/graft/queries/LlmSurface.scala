@@ -1008,6 +1008,38 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- fuzzy entity resolution: dirty feed vs master (PassJoin) --------
+    // Record linkage under single-character typos: a dirty feed derived
+    // deterministically from part names (one deletion / exact copy /
+    // two-char substitution per id class) resolves back to the master
+    // catalog through the two-segment pigeonhole equi-join
+    // (EntityResolution.editDistance1Join) + threshold-levenshtein
+    // confirm + min_by best-match. The oracle is BRUTE-FORCE all-pairs
+    // levenshtein — the blocking is proven lossless against ground
+    // truth, not against another blocking. LEFT semantics: the
+    // distance-2 class resolves to null (no match within threshold).
+    "llm_fuzzy_join" -> ((s, dir) => {
+      val master = Tables(s, dir, "part").select("p_partkey", "p_name")
+      val delPos = // deletion point ≥ 6, derived from the id — engine-portable
+        "CAST(p_partkey % greatest(length(p_name) - 6, 1) AS INT)"
+      val dirty = master.filter(col("p_partkey") % 5 <= 2).select(
+        col("p_partkey").as("dirty_id"),
+        when(col("p_partkey") % 5 === 0,
+          expr(s"""concat(substring(p_name, 1, 5 + $delPos),
+                   substring(p_name, 7 + $delPos, length(p_name)))"""))
+          .when(col("p_partkey") % 5 === 1, col("p_name"))
+          .otherwise(concat(
+            expr("substring(p_name, 1, length(p_name) - 2)"), lit("00")))
+          .as("dirty_name"))
+      val pairs = graft.operators.EntityResolution.editDistance1Join(
+        master, dirty, "p_partkey", "p_name", "dirty_id", "dirty_name")
+      graft.operators.EntityResolution
+        .resolveBest(pairs, dirty, "dirty_id", "p_partkey")
+        .select(col("dirty_id"), col("p_partkey").as("master_id"),
+          col("dist"))
+        .orderBy("dirty_id")
+    }),
+
     // ---- full-corpus dedup decision table --------------------------------
     // The end-to-end deliverable: one row PER CORPUS DOC with its exact
     // keep-first keeper (content sha), its near-dup cluster
@@ -3061,6 +3093,41 @@ object LlmSurface {
       FROM sims a JOIN sims b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY doc_a, doc_b
+    """,
+
+    // Brute-force ground truth: every (dirty, master) pair's exact
+    // levenshtein (length prefilter only cuts |len diff| > 1, which the
+    // threshold already implies) — proves the PassJoin segment blocking
+    // lossless for distance <= 1.
+    "llm_fuzzy_join" -> """
+      WITH d AS (
+        SELECT p_partkey AS dirty_id,
+               CASE
+                 WHEN p_partkey % 5 = 0 THEN
+                   substr(p_name, 1,
+                          5 + CAST(p_partkey % greatest(length(p_name) - 6, 1) AS INT))
+                   || substr(p_name,
+                             7 + CAST(p_partkey % greatest(length(p_name) - 6, 1) AS INT),
+                             length(p_name))
+                 WHEN p_partkey % 5 = 1 THEN p_name
+                 ELSE substr(p_name, 1, length(p_name) - 2) || '00'
+               END AS dirty_name
+        FROM part WHERE p_partkey % 5 <= 2),
+      pairs AS (
+        SELECT d.dirty_id, m.p_partkey AS master_id,
+               levenshtein(d.dirty_name, m.p_name) AS dist
+        FROM d, part m
+        WHERE abs(length(d.dirty_name) - length(m.p_name)) <= 1
+          AND levenshtein(d.dirty_name, m.p_name) <= 1),
+      best AS (SELECT dirty_id, min(dist) AS dist FROM pairs GROUP BY 1),
+      pick AS (
+        SELECT p.dirty_id, min(p.master_id) AS master_id, b.dist
+        FROM pairs p JOIN best b ON p.dirty_id = b.dirty_id
+                                AND p.dist = b.dist
+        GROUP BY p.dirty_id, b.dist)
+      SELECT d.dirty_id, pick.master_id, CAST(pick.dist AS INT) AS dist
+      FROM d LEFT JOIN pick ON d.dirty_id = pick.dirty_id
+      ORDER BY d.dirty_id
     """,
 
     "llm_stratified_sample" -> """
