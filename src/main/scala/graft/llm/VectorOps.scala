@@ -770,4 +770,48 @@ object VectorOps {
             - (col("sum_q") / col("n").cast("double"))
               * (col("sum_q") / col("n").cast("double")))
           * 1000000.0 + 0.5) / 1000000.0)
+
+  /** Deterministic Rademacher random projection (the JL / rotation step
+    * of an ANN or semantic-hash pipeline): project each `dims`-vector
+    * to `outDims` components with a ±1 matrix whose sign at (d, o) is
+    * the parity of md5("d|o")'s first hex digit — a formula any engine
+    * can replay, so the projection is portable by construction. Values
+    * are quantized first ([[quantize]]) and every output component is
+    * an exact integer sum: partitioning and engines cannot move a bit.
+    *
+    * Scale: the matrix is model-sized (dims × outDims ints) and is
+    * folded into the plan as a LITERAL — no broadcast table, no join,
+    * no shuffle anywhere. Each row computes all `outDims` outputs in
+    * one pass over its own vector (transform + aggregate over a
+    * zip_with), i.e. a pure linear scan: the cost is O(n · dims ·
+    * outDims) multiply-adds map-side and nothing else. The
+    * explode-join-agg spelling (n × dims rows through a shuffle) is
+    * rejected — it moves dims× the data to compute the same sums.
+    * Output is long format (id, out_dim, value) for downstream
+    * bucketing/indexing.
+    */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      outDims: Int): DataFrame = {
+    require(dims > 0 && outDims > 0, s"bad shape: $dims -> $outDims")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: Seq[Seq[Long]] = (0 until outDims).map { o =>
+      (0 until dims).map { d =>
+        val firstHex = (md.digest(s"$d|$o".getBytes("UTF-8"))(0) >> 4) & 0xf
+        if (firstHex % 2 == 0) 1L else -1L
+      }
+    }
+    df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol), quantize(col(vecCol)).as("_q"),
+        typedlit(signs).as("_m"))
+      .select(col(idCol), posexplode(expr(
+        """transform(_m, s ->
+             aggregate(zip_with(_q, s, (x, g) -> x * g),
+                       CAST(0 AS BIGINT), (a, b) -> a + b))""")))
+      .select(col(idCol), col("pos").cast("int").as("out_dim"),
+        col("col").as("value"))
+  }
 }

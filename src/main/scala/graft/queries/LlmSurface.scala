@@ -1535,6 +1535,19 @@ object LlmSurface {
         .orderBy("dim")
     }),
 
+    // ---- deterministic random projection (JL transform, 64 -> 8) ---------
+    // Rademacher matrix from md5-parity signs, folded into the plan as
+    // a literal: zero shuffle, zero joins — one linear scan computing
+    // all 8 output components per row as exact integer sums. The
+    // oracle recomputes the same signs in SQL and reduces via
+    // unnest + group-by; the hash match proves the projection
+    // bit-identical cross-engine.
+    "llm_random_projection" -> ((s, dir) => {
+      VectorOps.randomProjection(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", dims = 64, outDims = 8)
+        .orderBy("vec_id", "out_dim")
+    }),
+
     // ---- int8 scalar-quantization codec audit ----------------------------
     // Per-dimension min/max scaling to [0,255], round-tripped, with the
     // reconstruction-error table that gates "serve this corpus from
@@ -3722,6 +3735,28 @@ object LlmSurface {
       SELECT min(doc_id) AS doc_id, canonical_url,
              CAST(count(*) AS BIGINT) AS n_copies
       FROM canon GROUP BY canonical_url ORDER BY doc_id
+    """,
+
+    // Same md5-parity sign matrix, reduced the relational way (unnest +
+    // equi-join on dim + group-by) — proves the plan-literal Spark
+    // spelling computes the identical exact-integer projection.
+    "llm_random_projection" -> """
+      WITH sgn AS (
+        SELECT d.range AS d, o.range AS o,
+               CASE WHEN CAST('0x' || substr(md5(CAST(d.range AS VARCHAR)
+                         || '|' || CAST(o.range AS VARCHAR)), 1, 1) AS INT)
+                         % 2 = 0
+                    THEN 1 ELSE -1 END AS g
+        FROM range(64) d, range(8) o),
+      e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM embeddings WHERE len(embedding) = 64)
+      SELECT e.vec_id, CAST(s.o AS INT) AS out_dim,
+             CAST(sum(e.q * s.g) AS BIGINT) AS value
+      FROM e JOIN sgn s ON e.d = s.d
+      GROUP BY 1, 2
+      ORDER BY vec_id, out_dim
     """,
 
     "llm_int8_codec" -> """
