@@ -143,6 +143,37 @@ object EventOps {
     * n_cohort, n_active, retention), offset 0 row included (=1.0 by
     * construction — a cheap self-check for the oracle compare).
     */
+  /** First-order Markov transition matrix over per-user event paths —
+    * the path-analysis model behind "what happens after X" dashboards
+    * and the behavioral-bigram counts a next-action model trains on.
+    * Each user's events are ordered by (ts, idCol) — the id tie-break
+    * makes the order total, so results are deterministic and
+    * engine-portable even with same-timestamp events — and a synthetic
+    * `^start` state precedes each user's first event, making row
+    * probabilities from `^start` the entry-point distribution. Output:
+    * (prev_type, next_type, n, p) with p the row-normalized transition
+    * probability, round6-pinned.
+    *
+    * Scale: one shuffle on user_id for the lag window (key cardinality
+    * is |users| — fine-grained, no straggler; a pathological power-user
+    * key salts by day first, same note as [[sessionize]]), then a
+    * partial-combining count down to at most (|types|+1)·|types| rows.
+    * The normalizing window runs over that MODEL-SIZED aggregate, never
+    * over the corpus.
+    */
+  def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .withColumn("prev_type",
+        coalesce(lag(col(typeCol), 1).over(byUser), lit("^start")))
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy("prev_type")
+    counts.withColumn("p",
+      TextOps.round6(col("n") / sum(col("n")).over(byPrev).cast("double")))
+  }
+
   def retentionMatrix(events: DataFrame, userCol: String, tsCol: String,
       maxOffset: Int): DataFrame = {
     require(maxOffset >= 0, s"maxOffset ($maxOffset) must be >= 0")

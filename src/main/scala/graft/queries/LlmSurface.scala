@@ -1477,6 +1477,18 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- first-order Markov transition matrix (path analysis) ------------
+    // Per-user (prev, next) event bigrams with a ^start entry state:
+    // one user-keyed lag window, a partial-combining count to
+    // |types|²-ish rows, and row normalization over that model-sized
+    // aggregate only. (ts, event_id) ordering is total — deterministic
+    // under same-timestamp events in any engine.
+    "llm_markov_transitions" -> ((s, dir) => {
+      EventOps.markovTransitions(events(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("prev_type", "next_type")
+    }),
+
     // ---- z-order layout vs ingestion layout: file-skipping index ---------
     // Two 6-bit dimensions (user_id%64, event_id%64) over events, 16
     // files per layout: z-range bucketing clusters (x,y) rectangles so
@@ -3603,6 +3615,23 @@ object LlmSurface {
       SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
       FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b
+    """,
+
+    "llm_markov_transitions" -> s"""
+      WITH ordered AS (
+        SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id),
+                        '^start') AS prev_type,
+               event_type AS next_type
+        FROM events),
+      c AS (
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM ordered GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+             ${round6sql(
+        "n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)")} AS p
+      FROM c
+      ORDER BY prev_type, next_type
     """,
 
     "llm_funnel" -> """
