@@ -265,6 +265,32 @@ object RefSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- Merkle-bucket table diff (anti-entropy replica check) ----------
+    // "Other" replica = lineitem with a deterministic drift injected in
+    // both engines (rows with l_orderkey%991==0 missing; %997==0 have
+    // l_quantity+1). Spark runs the REAL two-phase protocol — 64-row
+    // bucket digests per side, drill-down reads ONLY diverged buckets
+    // via a broadcast semi-join; the oracle computes the brute-force
+    // full multiset diff with no bucketing at all, so the hash match
+    // proves the Merkle prune finds exactly the true diff.
+    "k8_merkle_diff" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val other = li.filter(col("l_orderkey") % 991 =!= 0)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 997 === 0, col("l_quantity") + 1)
+            .otherwise(col("l_quantity")))
+      def cents(c: String) = floor(col(c) * 100 + 0.5).cast("long")
+      val digest = graft.operators.MerkleDiff.rowDigest(Seq(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), cents("l_quantity"), cents("l_extendedprice"),
+        cents("l_discount"), cents("l_tax"), col("l_returnflag"),
+        col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")))
+      graft.operators.MerkleDiff.diff(li, other, digest,
+        Seq("l_orderkey", "l_linenumber"), buckets = 64)
+        .orderBy("bucket", "l_orderkey", "l_linenumber", "n_base")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -1297,6 +1323,63 @@ object RefSurface {
             FROM orders)
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, rn
+    """,
+
+    // Brute-force ground truth: the FULL multiset diff (per-content
+    // copy counts via the same 60-bit md5 digest), no bucket pruning —
+    // proves the Merkle drill-down path returns exactly the true diff.
+    "k8_merkle_diff" -> """
+      WITH canon AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST('0x' || substr(md5(concat_ws('|',
+                 coalesce(CAST(l_orderkey AS VARCHAR), '~'),
+                 coalesce(CAST(l_partkey AS VARCHAR), '~'),
+                 coalesce(CAST(l_suppkey AS VARCHAR), '~'),
+                 coalesce(CAST(l_linenumber AS VARCHAR), '~'),
+                 coalesce(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR), '~'),
+                 coalesce(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), '~'),
+                 coalesce(CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS VARCHAR), '~'),
+                 coalesce(CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR), '~'),
+                 coalesce(l_returnflag, '~'),
+                 coalesce(l_linestatus, '~'),
+                 coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), '~')
+               )), 1, 15) AS BIGINT) AS h
+        FROM lineitem),
+      base AS (
+        SELECT h % 64 AS bucket, h, l_orderkey, l_linenumber,
+               CAST(count(*) AS BIGINT) AS n_base
+        FROM canon GROUP BY 1, 2, 3, 4),
+      othercanon AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST('0x' || substr(md5(concat_ws('|',
+                 coalesce(CAST(l_orderkey AS VARCHAR), '~'),
+                 coalesce(CAST(l_partkey AS VARCHAR), '~'),
+                 coalesce(CAST(l_suppkey AS VARCHAR), '~'),
+                 coalesce(CAST(l_linenumber AS VARCHAR), '~'),
+                 coalesce(CAST(CAST(floor(
+                   (CASE WHEN l_orderkey % 997 = 0 THEN l_quantity + 1
+                         ELSE l_quantity END) * 100 + 0.5) AS BIGINT) AS VARCHAR), '~'),
+                 coalesce(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), '~'),
+                 coalesce(CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS VARCHAR), '~'),
+                 coalesce(CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR), '~'),
+                 coalesce(l_returnflag, '~'),
+                 coalesce(l_linestatus, '~'),
+                 coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), '~')
+               )), 1, 15) AS BIGINT) AS h
+        FROM lineitem WHERE l_orderkey % 991 <> 0),
+      oth AS (
+        SELECT h % 64 AS bucket, h, l_orderkey, l_linenumber,
+               CAST(count(*) AS BIGINT) AS n_other
+        FROM othercanon GROUP BY 1, 2, 3, 4)
+      SELECT coalesce(base.bucket, oth.bucket) AS bucket,
+             coalesce(base.l_orderkey, oth.l_orderkey) AS l_orderkey,
+             coalesce(base.l_linenumber, oth.l_linenumber) AS l_linenumber,
+             coalesce(n_base, 0) AS n_base,
+             coalesce(n_other, 0) AS n_other
+      FROM base FULL OUTER JOIN oth
+        ON base.bucket = oth.bucket AND base.h = oth.h
+      WHERE coalesce(n_base, 0) <> coalesce(n_other, 0)
+      ORDER BY bucket, l_orderkey, l_linenumber, n_base
     """,
 
     "k7_gzip_csv_roundtrip" -> """
