@@ -121,6 +121,101 @@ object EventOps {
         reached.as("reached"): _*)
   }
 
+  /** Time-weighted average value per user — the monitoring/billing
+    * statistic for sampled state ("what was the average held value"),
+    * where a value holds from its event until the next one: TWA =
+    * Σ vᵢ·Δtᵢ / Σ Δtᵢ over consecutive-event intervals (each user's
+    * last event opens no interval; single-event users drop out).
+    *
+    * Exactness: Δt in integer MICROSECONDS (the data carries sub-second
+    * timestamps — second truncation would corrupt weights), values in
+    * integer cents, products and sums accumulated as decimal(38,0) —
+    * a year-long interval at max cents is ~10¹⁸ per term, so long sums
+    * would overflow where decimals cannot; one double division at the
+    * end, round6-pinned.
+    *
+    * Scale: one shuffle on the user key for the lead window (same
+    * note as [[sessionize]]), then a partial-combining agg per user.
+    */
+  def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_dt",
+        unix_micros(lead(col(tsCol), 1).over(byUser))
+          - unix_micros(col(tsCol)))
+      .filter(col("_dt").isNotNull)
+      .withColumn("_vc",
+        coalesce(floor(col(valueCol) * 100 + 0.5).cast("long"), lit(0L)))
+      .groupBy(userCol)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("_dt").cast("decimal(38,0)")).as("_sdt"),
+        sum(col("_vc").cast("decimal(38,0)")
+          * col("_dt").cast("decimal(38,0)")).as("_svdt"))
+      .select(col(userCol), col("n_intervals"),
+        col("_sdt").cast("long").as("held_micros"),
+        TextOps.round6(col("_svdt").cast("double")
+          / (col("_sdt").cast("double") * 100.0)).as("twa"))
+  }
+
+  /** Association rules over per-user behavior baskets — the
+    * market-basket / co-engagement table ("users who do A also do B"):
+    * for every ordered pair of event types, support, confidence, and
+    * lift, with the Apriori antimonotone prune applied as a real plan
+    * step (items below minSupport are dropped BEFORE the pair join —
+    * a pair can never be frequent if an item isn't, so the prune is
+    * lossless for the emitted rules).
+    *
+    * Scale (the SON/Apriori first pass, relationalized):
+    *  1. baskets collapse to distinct (user, item) in ONE combine
+    *     shuffle — repeated events never cross the exchange;
+    *  2. item supports are a |types|-key combine agg (model-sized);
+    *  3. the candidate-pair self-join is keyed on user with both sides
+    *     semi-joined to the frequent-item list (broadcast — it is at
+    *     most |types| rows), and `a < b` halves the fan-out: per-user
+    *     cost is C(k,2) over its own ≤|frequent| distinct items, not
+    *     |events|²;
+    *  4. pair counts are a combine agg on (a, b) — ≤ C(|types|,2)
+    *     groups; totals attach via broadcast joins of the model-sized
+    *     count tables.
+    * All ratios derive from exact integer counts (round6-pinned).
+    */
+  def assocRules(events: DataFrame, userCol: String, typeCol: String,
+      minSupport: Double): DataFrame = {
+    val ut = events.select(col(userCol).as("_u"), col(typeCol).as("_i"))
+      .distinct()
+    val totals = ut.select(countDistinct(col("_u")).as("n_users"))
+    val items = ut.groupBy("_i").agg(count(lit(1)).as("n_i"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n_i") >= col("n_users") * minSupport)
+    val freq = items.select("_i")
+    val a = ut.join(broadcast(freq), "_i").select(col("_u"), col("_i").as("_a"))
+    val b = ut.join(broadcast(freq), "_i").select(col("_u"), col("_i").as("_b"))
+    val pairCounts = a.join(b, Seq("_u")).filter(col("_a") < col("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("n_ab"))
+    // emit both rule directions from each unordered frequent pair
+    val directed = pairCounts.select(
+      col("_a").as("antecedent"), col("_b").as("consequent"), col("n_ab"))
+      .unionByName(pairCounts.select(
+        col("_b").as("antecedent"), col("_a").as("consequent"), col("n_ab")))
+    directed
+      .join(broadcast(items.select(col("_i").as("antecedent"),
+        col("n_i").as("n_ante"))), "antecedent")
+      .join(broadcast(items.select(col("_i").as("consequent"),
+        col("n_i").as("n_cons"))), "consequent")
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_users"),
+        col("n_ante"), col("n_cons"), col("n_ab"),
+        TextOps.round6(col("n_ab") / col("n_users").cast("double"))
+          .as("support"),
+        TextOps.round6(col("n_ab") / col("n_ante").cast("double"))
+          .as("confidence"),
+        TextOps.round6(col("n_ab").cast("double")
+          * col("n_users").cast("double")
+          / (col("n_ante").cast("double") * col("n_cons").cast("double")))
+          .as("lift"))
+  }
+
   /** Cohort retention matrix — the product-analytics table every event
     * warehouse serves: users cohorted by first-seen day, and for each
     * (cohort_day, day_offset) the fraction of the cohort active again

@@ -1477,6 +1477,48 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- time-weighted average held value per user ------------------------
+    // Integral of the step function each user's events trace: exact
+    // microsecond × cent products in decimal(38,0), one round6 division
+    // at the end. Single-event users drop (no interval).
+    "llm_time_weighted_avg" -> ((s, dir) => {
+      EventOps.timeWeightedAvg(events(s, dir),
+        "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    }),
+
+    // ---- dense time series: gap-filled (day × type) scaffold --------------
+    // The dashboard-feed shape: every (day, event_type) cell in the
+    // observed date span, zero-filled where no events landed. The
+    // scaffold cross join is METADATA-sized (|days| × |types|) by
+    // construction — the corpus itself is touched once by the count
+    // agg and once by the two tiny bound/distinct aggs.
+    "llm_dense_timeseries" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val types = ev.select("event_type").distinct()
+      val actual = ev.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"))
+      days.crossJoin(broadcast(types))
+        .join(actual, Seq("day", "event_type"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day", "event_type")
+    }),
+
+    // ---- association rules over per-user behavior baskets ----------------
+    // Market-basket support/confidence/lift per ordered event-type
+    // pair, with the Apriori prune (items below minSupport dropped
+    // before the pair join) as a real plan step. All ratios from exact
+    // integer counts, round6-pinned.
+    "llm_assoc_rules" -> ((s, dir) => {
+      EventOps.assocRules(events(s, dir), "user_id", "event_type",
+        minSupport = 0.05)
+        .orderBy("antecedent", "consequent")
+    }),
+
     // ---- first-order Markov transition matrix (path analysis) ------------
     // Per-user (prev, next) event bigrams with a ^start entry state:
     // one user-keyed lag window, a partial-combining count to
@@ -3615,6 +3657,77 @@ object LlmSurface {
       SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
       FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b
+    """,
+
+    "llm_time_weighted_avg" -> s"""
+      WITH iv AS (
+        SELECT user_id,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                 - epoch_us(ts) AS dt,
+               coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0) AS vc
+        FROM events),
+      agg AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+               sum(CAST(dt AS HUGEINT)) AS sdt,
+               sum(CAST(vc AS HUGEINT) * CAST(dt AS HUGEINT)) AS svdt
+        FROM iv WHERE dt IS NOT NULL GROUP BY user_id)
+      SELECT user_id, n_intervals, CAST(sdt AS BIGINT) AS held_micros,
+             ${round6sql(
+        "CAST(svdt AS DOUBLE) / (CAST(sdt AS DOUBLE) * 100.0)")} AS twa
+      FROM agg
+      ORDER BY user_id
+    """,
+
+    "llm_dense_timeseries" -> """
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+      types AS (SELECT DISTINCT event_type FROM ev),
+      actual AS (
+        SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2)
+      SELECT strftime(d.day, '%Y-%m-%d') AS day, t.event_type,
+             coalesce(a.n, 0) AS n
+      FROM days d CROSS JOIN types t
+      LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+      ORDER BY 1, 2
+    """,
+
+    "llm_assoc_rules" -> s"""
+      WITH ut AS (
+        SELECT DISTINCT user_id AS u, event_type AS i FROM events),
+      tot AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM ut),
+      items AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS n_i
+        FROM ut GROUP BY i
+        HAVING count(*) >= (SELECT n_users FROM tot) * 0.05),
+      pc AS (
+        SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS n_ab
+        FROM ut a JOIN ut b ON a.u = b.u AND a.i < b.i
+        WHERE a.i IN (SELECT i FROM items) AND b.i IN (SELECT i FROM items)
+        GROUP BY a.i, b.i),
+      directed AS (
+        SELECT ia AS antecedent, ib AS consequent, n_ab FROM pc
+        UNION ALL
+        SELECT ib, ia, n_ab FROM pc)
+      SELECT d.antecedent, d.consequent, t.n_users,
+             ia.n_i AS n_ante, ic.n_i AS n_cons, d.n_ab,
+             ${round6sql("d.n_ab / CAST(t.n_users AS DOUBLE)")} AS support,
+             ${round6sql("d.n_ab / CAST(ia.n_i AS DOUBLE)")} AS confidence,
+             ${round6sql(
+        "CAST(d.n_ab AS DOUBLE) * CAST(t.n_users AS DOUBLE)" +
+          " / (CAST(ia.n_i AS DOUBLE) * CAST(ic.n_i AS DOUBLE))")} AS lift
+      FROM directed d
+      JOIN items ia ON d.antecedent = ia.i
+      JOIN items ic ON d.consequent = ic.i
+      CROSS JOIN tot t
+      ORDER BY antecedent, consequent
     """,
 
     "llm_markov_transitions" -> s"""

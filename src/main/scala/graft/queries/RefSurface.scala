@@ -291,6 +291,55 @@ object RefSurface {
         .orderBy("bucket", "l_orderkey", "l_linenumber", "n_base")
     }),
 
+    // ---- unpivot / melt (wide -> long) ----------------------------------
+    // The pandas `melt` analog and p_pivot's inverse: per-row metric
+    // columns rotate into (id, metric, value) rows. Spark's native
+    // unpivot is a zero-shuffle Expand (each input row emits one row
+    // per value column map-side — no exchange, no join).
+    "p_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size_d"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size_d")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }),
+
+    // ---- group-wise OLS regression (y = a + b·x per group) --------------
+    // Per-l_returnflag least squares of extendedprice on quantity from
+    // the same exact-decimal moment machinery as p_correlation: values
+    // quantize to integer cents, all five moments accumulate as
+    // decimal(38,0) in ONE combine aggregate per group, and the
+    // closed-form slope/intercept are derived by double division at
+    // the end (identical IEEE ops on identical integers cross-engine,
+    // round6-pinned). Intercept reported in dollars (cents/100).
+    "p_groupwise_ols" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull
+          && col("l_extendedprice").isNotNull)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity") * 100 + 0.5).cast("decimal(38,0)")
+            .as("x"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("decimal(38,0)")
+            .as("y"))
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n_d"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val den = (col("n_d") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      m.select(col("l_returnflag"), col("n_d").cast("long").as("n"),
+        graft.llm.TextOps.round6(
+          (col("n_d") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / den).as("slope"),
+        graft.llm.TextOps.round6(
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+            / den / 100.0).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -1150,6 +1199,37 @@ object RefSurface {
       ORDER BY col_x, col_y
     """
     },
+
+    "p_unpivot" -> """
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_size_d', CAST(p_size AS DOUBLE) FROM part
+      ORDER BY p_partkey, metric
+    """,
+
+    "p_groupwise_ols" -> """
+      WITH q AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      m AS (
+        SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n_d,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM q GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(n_d AS BIGINT) AS n,
+             floor(CAST(n_d * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_d * sxx - sx * sx AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS slope,
+             floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                   / CAST(n_d * sxx - sx * sx AS DOUBLE) / 100.0
+                   * 1000000.0 + 0.5) / 1000000.0 AS intercept
+      FROM m
+      ORDER BY l_returnflag
+    """,
 
     "p_profile" -> s"""
       WITH a AS (
