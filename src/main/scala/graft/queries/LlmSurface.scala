@@ -1477,6 +1477,32 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- chi-square contingency cells (corpus-composition audit) ---------
+    // Independence test between lang and source: per-cell observed
+    // count, expected count under independence (row·col/total), and
+    // chi-square contribution — the "is my corpus mix confounded"
+    // audit. ZERO cells are included via the marginal scaffold (the
+    // dense-grid pattern: the cross join is |langs|×|sources|,
+    // metadata-sized). Per-cell output deliberately — summing the
+    // statistic would order doubles across partitions; the cells are
+    // exact-count-derived and round6-pinned, the reader sums 100 rows.
+    "llm_chi_square" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("lang", "source")
+      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+      val rowm = d.groupBy("lang").agg(count(lit(1)).as("n_x"))
+      val colm = d.groupBy("source").agg(count(lit(1)).as("n_y"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      val e = col("n_x").cast("double") * col("n_y") / col("n")
+      val dev = col("n_xy").cast("double") - e
+      rowm.crossJoin(broadcast(colm)).crossJoin(broadcast(tot))
+        .join(cells, Seq("lang", "source"), "left")
+        .withColumn("n_xy", coalesce(col("n_xy"), lit(0L)))
+        .select(col("lang"), col("source"), col("n_xy"),
+          TextOps.round6(e).as("expected"),
+          TextOps.round6(dev * dev / e).as("contribution"))
+        .orderBy("lang", "source")
+    }),
+
     // ---- time-weighted average held value per user ------------------------
     // Integral of the step function each user's events trace: exact
     // microsecond × cent products in decimal(38,0), one round6 division
@@ -3657,6 +3683,31 @@ object LlmSurface {
       SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
       FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b
+    """,
+
+    "llm_chi_square" -> s"""
+      WITH d AS (SELECT lang, source FROM documents),
+      cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        FROM d GROUP BY 1, 2),
+      rowm AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_x
+               FROM d GROUP BY 1),
+      colm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_y
+               FROM d GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      grid AS (
+        SELECT r.lang, c.source, r.n_x, c.n_y, t.n,
+               coalesce(cl.n_xy, 0) AS n_xy
+        FROM rowm r CROSS JOIN colm c CROSS JOIN tot t
+        LEFT JOIN cells cl ON cl.lang = r.lang AND cl.source = c.source)
+      SELECT lang, source, n_xy,
+             ${round6sql("CAST(n_x AS DOUBLE) * n_y / n")} AS expected,
+             ${round6sql(
+        "(CAST(n_xy AS DOUBLE) - CAST(n_x AS DOUBLE) * n_y / n)" +
+          " * (CAST(n_xy AS DOUBLE) - CAST(n_x AS DOUBLE) * n_y / n)" +
+          " / (CAST(n_x AS DOUBLE) * n_y / n)")} AS contribution
+      FROM grid
+      ORDER BY lang, source
     """,
 
     "llm_time_weighted_avg" -> s"""

@@ -340,6 +340,50 @@ object RefSurface {
         .orderBy("l_returnflag")
     }),
 
+    // ---- join-key skew profile (the "should I salt this" table) ---------
+    // Distribution of per-key row counts for a prospective join/agg
+    // key: key count, row count, max, exact percentiles of the count
+    // distribution, and max-over-mean — the inputs to the salting
+    // decision (operators/Skew.scala, X23) and the heavy-hitters
+    // sketch sizing (X127). One combine agg to |keys| rows, then one
+    // reduce over the count column; percentiles run over |keys|
+    // integers, never over the corpus.
+    "p_skew_profile" -> ((s, dir) => {
+      val r6 = graft.llm.TextOps.round6 _
+      val counts = Tables(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("c"))
+      counts.agg(
+        sum("c").cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("c").as("max_c"),
+        expr("percentile(c, 0.5)").as("_p50"),
+        expr("percentile(c, 0.9)").as("_p90"),
+        expr("percentile(c, 0.99)").as("_p99"))
+        .select(col("n_rows"), col("n_keys"), col("max_c"),
+          r6(col("_p50")).as("p50_c"), r6(col("_p90")).as("p90_c"),
+          r6(col("_p99")).as("p99_c"),
+          r6(col("n_rows").cast("double") / col("n_keys")).as("mean_c"),
+          r6(col("max_c").cast("double") * col("n_keys") / col("n_rows"))
+            .as("max_over_mean"))
+    }),
+
+    // ---- functional-dependency audit (data-quality rule check) ----------
+    // "Does p_name determine p_brand?" — the violation table: every
+    // LHS value mapping to more than one RHS, with row mass, distinct
+    // RHS count, and min/max example values. One partial-combining
+    // aggregate on the LHS key (a single-column count DISTINCT plans
+    // as a two-phase agg on (lhs, rhs) — no Expand, no self-join).
+    "p_fd_audit" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .groupBy("p_name")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("p_brand").as("n_brands"),
+          min("p_brand").as("brand_min"),
+          max("p_brand").as("brand_max"))
+        .filter(col("n_brands") > 1)
+        .orderBy("p_name")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -1229,6 +1273,33 @@ object RefSurface {
                    * 1000000.0 + 0.5) / 1000000.0 AS intercept
       FROM m
       ORDER BY l_returnflag
+    """,
+
+    "p_skew_profile" -> """
+      WITH c AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             max(c) AS max_c,
+             floor(quantile_cont(c, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50_c,
+             floor(quantile_cont(c, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90_c,
+             floor(quantile_cont(c, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99_c,
+             floor(CAST(sum(c) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+               / 1000000.0 AS mean_c,
+             floor(CAST(max(c) AS DOUBLE) * count(*) / sum(c)
+               * 1000000.0 + 0.5) / 1000000.0 AS max_over_mean
+      FROM c
+    """,
+
+    "p_fd_audit" -> """
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+             min(p_brand) AS brand_min, max(p_brand) AS brand_max
+      FROM part
+      GROUP BY p_name
+      HAVING count(DISTINCT p_brand) > 1
+      ORDER BY p_name
     """,
 
     "p_profile" -> s"""
