@@ -121,6 +121,51 @@ object EventOps {
         reached.as("reached"): _*)
   }
 
+  /** Trailing-window rate anomaly detection — the ops alarm ("did
+    * error volume spike today?") over daily per-type counts: each
+    * (day, type) cell scores against the mean/std of its own trailing
+    * `window`-day history, z-scored, flagged at |z| ≥ 3.
+    *
+    * Built ON the dense scaffold (gap days must be ZERO cells, not
+    * absent — a rows-window over sparse days would silently stretch
+    * the trailing week across gaps): the scaffold is |days|×|types|
+    * metadata, so the analytic window runs over the aggregate, never
+    * the corpus. Mean/var derive from exact integer sums in identical
+    * double ops (var clamped at 0 before sqrt — IEEE sqrt is correctly
+    * rounded, hence engine-portable); z is round6-pinned and null
+    * until a full window of history exists or when std is 0.
+    */
+  def rateAnomaly(events: DataFrame, tsCol: String, typeCol: String,
+      window: Int): DataFrame = {
+    require(window > 0, s"window ($window) must be > 0")
+    val ev = events
+      .select(to_date(col(tsCol)).as("day"), col(typeCol).as("event_type"))
+    val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    val actual = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val dense = days.crossJoin(broadcast(types))
+      .join(actual, Seq("day", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-window, -1)
+    val nPrev = count(lit(1)).over(w)
+    val mean = sum(col("n")).over(w).cast("double") / nPrev
+    val varr = greatest(
+      sum(col("n") * col("n")).over(w).cast("double") / nPrev - mean * mean,
+      lit(0.0))
+    val z = (col("n").cast("double") - mean) / sqrt(varr)
+    dense
+      .withColumn("n_prev", nPrev)
+      .withColumn("z", TextOps.round6(
+        when(col("n_prev") === window && sqrt(varr) > 0.0, z)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("n_prev"),
+        TextOps.round6(when(col("n_prev") === window, mean)).as("mean_prev"),
+        col("z"),
+        (col("z").isNotNull && abs(col("z")) >= 3.0).as("is_anomaly"))
+  }
+
   /** Time-weighted average value per user — the monitoring/billing
     * statistic for sampled state ("what was the average held value"),
     * where a value holds from its event until the next one: TWA =

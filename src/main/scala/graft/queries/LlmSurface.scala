@@ -1477,6 +1477,27 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- MinHash source-overlap matrix (sketch algebra) ------------------
+    // Estimated pairwise shingle-Jaccard between sources from k=32
+    // per-source min-hashes — the mergeable-sketch form of X79's exact
+    // overlap. Deterministic md5 slot hashes make even the ESTIMATES
+    // hash-comparable cross-engine.
+    "llm_minhash_overlap" -> ((s, dir) => {
+      TextOps.minhashSourceOverlap(Tables(s, dir, "documents"),
+        "source", "text", k = 32)
+        .orderBy("src_a", "src_b")
+    }),
+
+    // ---- trailing-window rate anomaly detection ---------------------------
+    // Daily per-type counts z-scored against their own trailing 7-day
+    // history, over the DENSE scaffold (gap days are zero cells — a
+    // rows-window over sparse days would stretch the week across
+    // gaps). The analytic window runs over |days|×|types| metadata.
+    "llm_rate_anomaly" -> ((s, dir) => {
+      EventOps.rateAnomaly(events(s, dir), "ts", "event_type", window = 7)
+        .orderBy("day", "event_type")
+    }),
+
     // ---- chi-square contingency cells (corpus-composition audit) ---------
     // Independence test between lang and source: per-cell observed
     // count, expected count under independence (row·col/total), and
@@ -3683,6 +3704,92 @@ object LlmSurface {
       SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
       FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b
+    """,
+
+    "llm_minhash_overlap" -> s"""
+      WITH wdocs AS (
+        SELECT source AS src, string_split(text, ' ') AS ws FROM documents),
+      shing AS (
+        SELECT src,
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(range(1, len(ws) - 1),
+                                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                    ELSE [] END AS shs
+        FROM wdocs),
+      expl AS (SELECT src, unnest(shs) AS s FROM shing),
+      based AS (
+        SELECT src,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1073741824
+                 AS h
+        FROM expl),
+      hashed AS (
+        SELECT e.src, sl.range AS slot,
+               (((2654435761 * (sl.range + 1)) % 536870912) * 2 + 1) * e.h
+                 + ((40503 * (sl.range + 1)) % 1073741824) AS hraw
+        FROM based e CROSS JOIN range(32) sl),
+      sk AS (
+        SELECT src, CAST(slot AS INT) AS slot,
+               min(hraw % 1073741789) AS mh
+        FROM hashed GROUP BY 1, 2)
+      SELECT a.src AS src_a, b.src AS src_b, 32 AS k,
+             CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             ${round6sql(
+        "CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)" +
+          " / CAST(32 AS DOUBLE)")} AS j_est
+      FROM sk a JOIN sk b ON a.slot = b.slot AND a.src < b.src
+      GROUP BY a.src, b.src
+      ORDER BY src_a, src_b
+    """,
+
+    "llm_rate_anomaly" -> s"""
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+      types AS (SELECT DISTINCT event_type FROM ev),
+      actual AS (
+        SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2),
+      dense AS (
+        SELECT d.day, t.event_type, coalesce(a.n, 0) AS n
+        FROM days d CROSS JOIN types t
+        LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type),
+      wn AS (
+        SELECT day, event_type, n,
+               CAST(count(*) OVER wprev AS BIGINT) AS n_prev,
+               sum(n) OVER wprev AS s_prev,
+               sum(n * n) OVER wprev AS q_prev
+        FROM dense
+        WINDOW wprev AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      scored AS (
+        SELECT day, event_type, n, n_prev,
+               CAST(s_prev AS DOUBLE) / n_prev AS mean,
+               greatest(CAST(q_prev AS DOUBLE) / n_prev
+                          - (CAST(s_prev AS DOUBLE) / n_prev)
+                            * (CAST(s_prev AS DOUBLE) / n_prev),
+                        0.0) AS varr
+        FROM wn)
+      SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, n_prev,
+             CASE WHEN n_prev = 7
+                  THEN ${round6sql("mean")} END AS mean_prev,
+             CASE WHEN n_prev = 7 AND sqrt(varr) > 0.0
+                  THEN ${round6sql(
+        "(CAST(n AS DOUBLE) - mean) / sqrt(varr)")} END AS z,
+             (CASE WHEN n_prev = 7 AND sqrt(varr) > 0.0
+                   THEN ${round6sql(
+        "(CAST(n AS DOUBLE) - mean) / sqrt(varr)")} END IS NOT NULL
+              AND abs(CASE WHEN n_prev = 7 AND sqrt(varr) > 0.0
+                           THEN ${round6sql(
+        "(CAST(n AS DOUBLE) - mean) / sqrt(varr)")} END) >= 3.0)
+               AS is_anomaly
+      FROM scored
+      ORDER BY day, event_type
     """,
 
     "llm_chi_square" -> s"""
