@@ -60,15 +60,50 @@ object MerkleDiff {
     * digest). Output: (bucket, keyCols..., n_base, n_other) for every
     * distinct row content whose copy count differs between sides.
     */
+  /** The per-replica digest table (bucket, _h, keys...) — the state an
+    * anti-entropy system MAINTAINS (incrementally, on write) rather
+    * than recomputes: reconciliation then never touches the raw table.
+    * [[diffDigested]] consumes two of these.
+    */
+  def digestTable(
+      df: DataFrame,
+      digest: Column,
+      keyCols: Seq[String],
+      buckets: Int): DataFrame =
+    df.select(pmod(digest, lit(buckets.toLong)).as("bucket") +:
+      digest.as("_h") +: keyCols.map(col): _*)
+
+  /** One-shot diff of two raw tables. Each side is digested ONCE into a
+    * checkpointed projection reused by both the bucket summary and the
+    * drill-down — without this the two-branch plan re-scans and
+    * re-hashes everything for the drill-down (MerkleScaleBench caught
+    * it: 4 scans lost to the brute-force diff's 2 on wall-clock even
+    * with a 7× shuffle cut). When digest tables are already maintained
+    * (the steady-state protocol), call [[diffDigested]] on them
+    * directly and skip the raw scans entirely.
+    */
   def diff(
       base: DataFrame,
       other: DataFrame,
       digest: Column,
       keyCols: Seq[String],
-      buckets: Int): DataFrame = {
-    val bs = bucketSummary(base, digest, buckets)
-    val os = bucketSummary(other, digest, buckets)
-    val diverged = bs.as("b").join(os.as("o"), Seq("bucket"), "full_outer")
+      buckets: Int): DataFrame =
+    diffDigested(
+      digestTable(base, digest, keyCols, buckets).localCheckpoint(),
+      digestTable(other, digest, keyCols, buckets).localCheckpoint(),
+      keyCols)
+
+  /** Reconcile two (materialized) digest tables — see [[diff]]. */
+  def diffDigested(
+      db: DataFrame,
+      dn: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    def summary(d: DataFrame): DataFrame =
+      d.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), bit_xor(col("_h")).as("x"),
+          sum(col("_h").cast("decimal(38,0)")).as("hsum"))
+    val diverged = summary(db).as("b")
+      .join(summary(dn).as("o"), Seq("bucket"), "full_outer")
       .filter(
         col("b.n").isNull || col("o.n").isNull ||
           col("b.n") =!= col("o.n") || col("b.x") =!= col("o.x") ||
@@ -78,14 +113,12 @@ object MerkleDiff {
     // row content including the display keys (carried via min), so the
     // reconciliation join stays null-safe even when key columns are
     // null. Copy counts per distinct content = multiset semantics.
-    def sideCounts(df: DataFrame, nCol: String): DataFrame =
-      df.select(pmod(digest, lit(buckets.toLong)).as("bucket") +:
-        digest.as("_h") +: keyCols.map(col): _*)
-        .join(broadcast(diverged), Seq("bucket"), "left_semi")
+    def sideCounts(d: DataFrame, nCol: String): DataFrame =
+      d.join(broadcast(diverged), Seq("bucket"), "left_semi")
         .groupBy(col("bucket"), col("_h"))
         .agg(count(lit(1)).as(nCol), keyCols.map(k => min(col(k)).as(k)): _*)
-    sideCounts(base, "n_base").as("b")
-      .join(sideCounts(other, "n_other").as("o"),
+    sideCounts(db, "n_base").as("b")
+      .join(sideCounts(dn, "n_other").as("o"),
         Seq("bucket", "_h"), "full_outer")
       .select(
         col("bucket") +:
