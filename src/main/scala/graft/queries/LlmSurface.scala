@@ -1477,6 +1477,24 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- k-core decomposition (iterative graph peeling) ------------------
+    // 2-core of the sparse order-part bipartite graph (l_quantity < 8
+    // keeps it sparse enough that peeling cascades ~14 rounds deep at
+    // sf0.01 — pendant chains strip one layer per round before the
+    // cyclic core stabilizes). The oracle unrolls 30 peel rounds: the
+    // fixpoint is monotone, so extra rounds are no-ops and too few
+    // would fail the hash gate loudly.
+    "llm_graph_kcore" -> ((s, dir) => {
+      val edges = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull
+          && col("l_quantity") < 8)
+        .select((col("l_orderkey") * 2).as("a"),
+          (col("l_partkey") * 2 + 1).as("b"))
+        .distinct()
+      graft.operators.KCore.kCore(edges, "a", "b", k = 2)
+        .orderBy("n")
+    }),
+
     // ---- MinHash source-overlap matrix (sketch algebra) ------------------
     // Estimated pairwise shingle-Jaccard between sources from k=32
     // per-source min-hashes — the mergeable-sketch form of X79's exact
@@ -3705,6 +3723,34 @@ object LlmSurface {
       FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b
     """,
+
+    "llm_graph_kcore" -> {
+      // AS MATERIALIZED is load-bearing: each round references the
+      // previous one three times, so default CTE inlining would expand
+      // the chain exponentially (observed as fd exhaustion on the base
+      // parquet scan).
+      val rounds = (1 to 30).map { i =>
+        s"""k$i AS MATERIALIZED (
+             SELECT n FROM (SELECT a AS n FROM e${i - 1}
+                            UNION ALL SELECT b FROM e${i - 1})
+             GROUP BY n HAVING count(*) >= 2),
+           e$i AS MATERIALIZED (
+             SELECT a, b FROM e${i - 1}
+             WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+          AND l_quantity < 8),
+      $rounds
+      SELECT n, CAST(count(*) AS BIGINT) AS core_deg
+      FROM (SELECT a AS n FROM e30 UNION ALL SELECT b FROM e30)
+      GROUP BY n
+      ORDER BY n
+    """
+    },
 
     "llm_minhash_overlap" -> s"""
       WITH wdocs AS (
