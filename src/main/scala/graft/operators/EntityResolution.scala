@@ -49,6 +49,27 @@ object EntityResolution {
       masterId: String,
       masterName: String,
       probeId: String,
+      probeName: String): DataFrame =
+    editDistance1Candidates(master, probe, masterId, masterName,
+      probeId, probeName)
+      .withColumn("dist", expr("levenshtein(_mname, _pname, 1)"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
+      .select(col("_pid").as(probeId), col("_mid").as(masterId),
+        col("dist"))
+      .dropDuplicates(probeId, masterId)
+
+  /** The pre-confirm candidate pairs (one row per distinct segment-key
+    * collision — a (probe, master) pair colliding on several keys
+    * appears several times; the confirm step dedups). Exposed so the
+    * scale artifact (FuzzyJoinScaleBench) can measure candidate growth
+    * directly — the quantity the pigeonhole bounds.
+    */
+  def editDistance1Candidates(
+      master: DataFrame,
+      probe: DataFrame,
+      masterId: String,
+      masterName: String,
+      probeId: String,
       probeName: String): DataFrame = {
     // Master side: its own two halves, tagged with its own length.
     val m = master.select(
@@ -82,11 +103,6 @@ object EntityResolution {
         .as("k"))
       .select(col("_pid"), col("_pname"), col("k.*"))
     mKeys.join(pKeys, Seq("side", "seg", "m"))
-      .withColumn("dist", expr("levenshtein(_mname, _pname, 1)"))
-      .filter(col("dist") >= 0 && col("dist") <= 1)
-      .select(col("_pid").as(probeId), col("_mid").as(masterId),
-        col("dist"))
-      .dropDuplicates(probeId, masterId)
   }
 
   /** Best-match resolution: one row per probe record (LEFT semantics —
