@@ -121,6 +121,45 @@ object EventOps {
         reached.as("reached"): _*)
   }
 
+  /** Rolling distinct engagement (DAU / trailing-7-day WAU /
+    * stickiness) — the growth-metrics table. Rolling DISTINCT does not
+    * decompose into daily partials (distinct isn't a monoid), so the
+    * scalable exact spelling is the window-explode trick: each
+    * distinct (user, day) activity row is charged to the ≤7 window
+    * ends it can serve (day .. day+6), then ONE distinct-combine per
+    * (window_end, user) and a count — bounded ×7 fan-out of the
+    * already-collapsed activity table, no range join, no per-day
+    * rescan. The oracle deliberately uses the OTHER spelling (a range
+    * join `ud.day BETWEEN we.day-6 AND we.day` + count DISTINCT) —
+    * the hash match proves the two equivalent.
+    *
+    * Leading windows (fewer than 7 days of history) count what exists
+    * — the standard dashboard convention; stickiness = dau/wau,
+    * round6. 100 TB note: distinct (user, day) is the one corpus-sized
+    * shuffle; everything after is |days|×|active users/window| with
+    * combine-style partials.
+    */
+  def rollingEngagement(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val maxDay = ud.agg(max("day").as("_dmax"))
+    val wau = ud
+      .select(col("_u"), explode(sequence(col("day"),
+        date_add(col("day"), 6))).as("window_end"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .filter(col("window_end") <= col("_dmax"))
+      .groupBy("window_end").agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, dau("day") === wau("window_end"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        TextOps.round6(col("dau") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
+
   /** Trailing-window rate anomaly detection — the ops alarm ("did
     * error volume spike today?") over daily per-type counts: each
     * (day, type) cell scores against the mean/std of its own trailing

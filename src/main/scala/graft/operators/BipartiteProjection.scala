@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Capped bipartite projection — turn a (basket, item) relation into
+  * the item-item co-occurrence graph ("parts ordered together", "docs
+  * sharing a cluster", "users co-editing a page"), the construction
+  * step feeding CC/PageRank/k-core. No reference counterpart (SURVEY
+  * §2.6); north-star extension surface.
+  *
+  * The naive projection explodes C(|basket|, 2) pairs per basket — one
+  * whale basket with 10⁵ items emits 5×10⁹ pairs and kills the job
+  * (the projection cousin of the X23 skew problem). The standard
+  * production mitigation is a PER-BASKET CAP: keep at most `cap` items
+  * per basket before pairing, so fan-out is bounded by C(cap, 2)
+  * regardless of skew. The cap must be DETERMINISTIC to be
+  * reproducible and oracle-checkable — here the `cap` smallest item
+  * ids win (rank via row_number per basket; a hash-salted rank
+  * de-biases toward no particular id range if preferred — same
+  * machinery). Capping bias is a documented property: pairs touching a
+  * whale basket's dropped items are undercounted, which is exactly the
+  * trade production systems accept (or correct with sampling weights).
+  *
+  * Scale: one row_number window per basket key (fine-grained — |baskets|
+  * partitions), one self-join on the basket key with bounded ≤cap×cap
+  * fan-out, one combine count per (a, b). minWeight prunes the long
+  * tail before the result materializes.
+  */
+object BipartiteProjection {
+
+  def project(
+      rel: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      cap: Int,
+      minWeight: Long): DataFrame = {
+    require(cap >= 2, s"cap ($cap) must be >= 2")
+    val w = Window.partitionBy("_b").orderBy("_i")
+    val capped = rel
+      .select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= cap)
+      .select("_b", "_i")
+    capped.as("x").join(capped.as("y"), Seq("_b"))
+      .filter(col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+}

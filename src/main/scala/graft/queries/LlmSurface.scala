@@ -1477,6 +1477,31 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- capped bipartite projection (co-order item graph) ---------------
+    // Parts co-ordered in the same order, per-order cap 5 (smallest
+    // partkeys, deterministic), weight >= 2 — the graph-construction
+    // step whose whale-basket blowup the cap bounds at C(cap,2)
+    // regardless of skew.
+    "llm_coorder_graph" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+        .orderBy("item_a", "item_b")
+    }),
+
+    // ---- rolling distinct engagement (DAU / WAU / stickiness) ------------
+    // Exact trailing-7-day distinct users via the window-explode
+    // spelling (each activity day charged to the <=7 window ends it
+    // serves; distinct isn't a monoid, so daily partials can't merge);
+    // the oracle uses the range-join spelling — the hash match proves
+    // the two equivalent.
+    "llm_rolling_engagement" -> ((s, dir) => {
+      EventOps.rollingEngagement(events(s, dir), "user_id", "ts")
+        .orderBy("day")
+    }),
+
     // ---- k-core decomposition (iterative graph peeling) ------------------
     // 2-core of the sparse order-part bipartite graph (l_quantity < 8
     // keeps it sparse enough that peeling cascades ~14 rounds deep at
@@ -3722,6 +3747,42 @@ object LlmSurface {
       SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
       FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b
+    """,
+
+    "llm_coorder_graph" -> """
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      capped AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5)
+      SELECT x.i AS item_a, y.i AS item_b,
+             CAST(count(*) AS BIGINT) AS weight
+      FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+      ORDER BY item_a, item_b
+    """,
+
+    // Range-join spelling of the rolling distinct — deliberately a
+    // DIFFERENT algorithm from the Spark window-explode (see op doc).
+    "llm_rolling_engagement" -> s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+      dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      wau AS (
+        SELECT d.day, CAST(count(DISTINCT a.u) AS BIGINT) AS wau
+        FROM (SELECT DISTINCT day FROM ud) d
+        JOIN ud a ON a.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day)
+      SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+             ${round6sql("dau.dau / CAST(wau.wau AS DOUBLE)")} AS stickiness
+      FROM dau JOIN wau ON dau.day = wau.day
+      ORDER BY day
     """,
 
     "llm_graph_kcore" -> {
