@@ -121,6 +121,74 @@ object EventOps {
         reached.as("reached"): _*)
   }
 
+  /** Top user journeys — the "most common paths" table of product
+    * analytics: each session's ordered event-type sequence rendered as
+    * a `>`-joined path string, counted across sessions, top-N by
+    * support with deterministic (count desc, path) ordering.
+    *
+    * Determinism: the in-session order is the total (ts, idCol) order;
+    * the sequence is materialized by sorting an array of
+    * (ts, id, type) structs — struct sort = lexicographic on the total
+    * key, so the path string is identical in any engine and under any
+    * partitioning (the oracle spells it `string_agg(... ORDER BY)`).
+    *
+    * Scale: sessionization's user-keyed window, then ONE combine agg
+    * per session building a bounded array (session length is bounded
+    * by the gap rule in practice; a runaway session bounds at the
+    * array limit long before memory), then a combine count per path —
+    * |paths| ≤ |sessions| keys. No cross-session state.
+    */
+  def userJourneys(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapMinutes: Int,
+      topN: Int): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(byUser)
+    val newSession =
+      when(prev.isNull
+        || col(tsCol) > prev + expr(s"INTERVAL $gapMinutes MINUTES"), 1)
+        .otherwise(0)
+    val paths = events
+      .withColumn("_new", newSession)
+      .withColumn("_sess", sum(col("_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("_sess"))
+      .agg(array_join(expr(
+        s"transform(array_sort(collect_list(struct($tsCol AS t, " +
+          s"$idCol AS i, $typeCol AS y))), s -> s.y)"), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(topN)
+  }
+
+  /** Inter-event latency histogram in power-of-2 buckets — the
+    * latency-distribution table every monitoring stack keeps, exact
+    * and engine-portable: the bucket of a positive integer delay is
+    * the LENGTH OF ITS BINARY STRING (Spark `bin()`, DuckDB
+    * `format('{:b}')` — both render minimal binary), i.e.
+    * ⌊log₂ dt⌋ + 1 computed without any floating-point log whose
+    * rounding could flip a boundary. Delays in integer seconds from
+    * the (ts, idCol)-ordered per-user stream; zero-second gaps land in
+    * a dedicated bucket 0.
+    *
+    * Scale: one user-keyed lag window, one combine agg over ≤ ~40
+    * bucket keys.
+    */
+  def latencyHistogram(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val dt = unix_timestamp(col(tsCol)) -
+      unix_timestamp(lag(col(tsCol), 1).over(byUser))
+    events
+      .withColumn("_dt", dt)
+      .filter(col("_dt").isNotNull)
+      .withColumn("bucket",
+        when(col("_dt") <= 0, lit(0))
+          .otherwise(length(expr("bin(_dt)"))).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("_dt").as("min_s"), max("_dt").as("max_s"))
+  }
+
   /** Rolling distinct engagement (DAU / trailing-7-day WAU /
     * stickiness) — the growth-metrics table. Rolling DISTINCT does not
     * decompose into daily partials (distinct isn't a monoid), so the

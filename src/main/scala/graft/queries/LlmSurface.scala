@@ -1477,6 +1477,26 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- top user journeys (most common session paths) -------------------
+    // 30-minute-gap sessions rendered as ">"-joined type sequences,
+    // top 25 by support. The struct-sorted path build makes the string
+    // identical under any partitioning; the oracle spells the same
+    // path via string_agg(ORDER BY).
+    "llm_user_journeys" -> ((s, dir) => {
+      EventOps.userJourneys(events(s, dir), "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30, topN = 25)
+    }),
+
+    // ---- inter-event latency histogram (power-of-2 buckets) --------------
+    // Bucket = binary-string length of the integer-second delay — the
+    // no-floating-log spelling of floor(log2)+1, portable by
+    // construction (Spark bin() vs DuckDB format('{:b}')).
+    "llm_latency_histogram" -> ((s, dir) => {
+      EventOps.latencyHistogram(events(s, dir), "user_id", "ts",
+        "event_id")
+        .orderBy("bucket")
+    }),
+
     // ---- capped bipartite projection (co-order item graph) ---------------
     // Parts co-ordered in the same order, per-order cap 5 (smallest
     // partkeys, deterministic), weight >= 2 — the graph-construction
@@ -3747,6 +3767,45 @@ object LlmSurface {
       SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
       FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b
+    """,
+
+    "llm_user_journeys" -> """
+      WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked),
+      paths AS (
+        SELECT user_id, sess_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY user_id, sess_id)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM paths
+      GROUP BY path
+      ORDER BY n_sessions DESC, path
+      LIMIT 25
+    """,
+
+    "llm_latency_histogram" -> """
+      WITH d AS (
+        SELECT date_diff('second',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS dt
+        FROM events)
+      SELECT CASE WHEN dt <= 0 THEN 0
+                  ELSE length(format('{:b}', dt)) END AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             min(dt) AS min_s, max(dt) AS max_s
+      FROM d WHERE dt IS NOT NULL
+      GROUP BY 1
+      ORDER BY bucket
     """,
 
     "llm_coorder_graph" -> """
