@@ -1477,6 +1477,25 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
+    // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
+    // through the capped co-order graph (X148, weight >= 2): min-hop
+    // exposure within 3 hops. The oracle unrolls 3 frontier rounds —
+    // monotone closure, surplus rounds are no-ops (the X147 argument).
+    "llm_blast_radius" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      val nodes = edges.select(col("item_a").as("n"))
+        .unionAll(edges.select(col("item_b").as("n"))).distinct()
+      val seeds = nodes.filter(col("n") % 97 === 0)
+      graft.operators.Bfs.minHops(edges, "item_a", "item_b", seeds,
+        maxHops = 3)
+        .orderBy("n")
+    }),
+
     // ---- top user journeys (most common session paths) -------------------
     // 30-minute-gap sessions rendered as ">"-joined type sequences,
     // top 25 by support. The struct-sorted path build makes the string
@@ -3768,6 +3787,47 @@ object LlmSurface {
       FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b
     """,
+
+    "llm_blast_radius" -> {
+      val rounds = (1 to 3).map { i =>
+        val prevReached = (0 until i).map(j => s"SELECT n FROM r$j")
+          .mkString(" UNION ")
+        s"""f$i AS MATERIALIZED (
+             SELECT DISTINCT n FROM (
+               SELECT e.item_b AS n FROM e JOIN r${i - 1} p ON e.item_a = p.n
+               UNION ALL
+               SELECT e.item_a FROM e JOIN r${i - 1} p ON e.item_b = p.n)
+             WHERE n NOT IN ($prevReached)),
+           r$i AS MATERIALIZED (SELECT n FROM f$i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH rel AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      capped AS MATERIALIZED (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      e AS MATERIALIZED (
+        SELECT x.i AS item_a, y.i AS item_b
+        FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT n FROM (
+          SELECT item_a AS n FROM e UNION ALL SELECT item_b FROM e)),
+      r0 AS MATERIALIZED (SELECT n FROM nodes WHERE n % 97 = 0),
+      $rounds
+      SELECT n, hop FROM (
+        SELECT n, 0 AS hop FROM r0
+        UNION ALL SELECT n, 1 FROM f1
+        UNION ALL SELECT n, 2 FROM f2
+        UNION ALL SELECT n, 3 FROM f3)
+      ORDER BY n
+    """
+    },
 
     "llm_user_journeys" -> """
       WITH marked AS (
