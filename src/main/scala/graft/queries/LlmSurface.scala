@@ -1477,6 +1477,33 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- entity canonicalization (fuzzy pairs -> CC -> canonical) --------
+    // The full ER pipeline composed from proven parts: distinct part
+    // names pair via the PassJoin edit-distance join (X133), clusters
+    // form via alternating-star CC (X51), and each name maps to its
+    // cluster's lexicographic-min canonical form ("cold ring" and
+    // "old ring" unify). Oracle: brute-force levenshtein pairs + the
+    // recursive-CTE CC (the llm_dedup_corpus pattern) — both STAGES of
+    // the composition are ground-truth-checked end to end.
+    "llm_entity_canonical" -> ((s, dir) => {
+      val names = Tables(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).as("n_rows"))
+      val ma = names.select(col("p_name").as("name_b"),
+        col("p_name").as("nm_b"))
+      val pr = names.select(col("p_name").as("name_a"),
+        col("p_name").as("nm_a"))
+      val edges = graft.operators.EntityResolution
+        .editDistance1Join(ma, pr, "name_b", "nm_b", "name_a", "nm_a")
+        .filter(col("dist") === 1 && col("name_a") < col("name_b"))
+      val labels = graft.operators.ConnectedComponents
+        .alternatingStars(edges, "name_a", "name_b")
+      names.join(labels, names("p_name") === labels("node"), "left")
+        .select(col("p_name"),
+          coalesce(col("label"), col("p_name")).as("canonical"),
+          col("n_rows"))
+        .orderBy("p_name")
+    }),
+
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
     // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
     // through the capped co-order graph (X148, weight >= 2): min-hop
@@ -3786,6 +3813,32 @@ object LlmSurface {
       SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
       FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b
+    """,
+
+    // Brute-force pairs + recursive-CTE min-label CC — both stages of
+    // the Spark composition checked against ground truth at once.
+    "llm_entity_canonical" -> """
+      WITH RECURSIVE names AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows
+        FROM part GROUP BY 1),
+      e AS (
+        SELECT a.p_name AS na, b.p_name AS nb
+        FROM names a JOIN names b
+          ON a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= 1
+         AND levenshtein(a.p_name, b.p_name) = 1),
+      sym AS (
+        SELECT na AS node, nb AS nbr FROM e
+        UNION ALL SELECT nb, na FROM e),
+      reach(node, label) AS (
+        SELECT node, node FROM sym
+        UNION
+        SELECT s.node, r.label FROM sym s JOIN reach r ON s.nbr = r.node),
+      cc AS (SELECT node, min(label) AS canonical FROM reach GROUP BY node)
+      SELECT n.p_name, coalesce(cc.canonical, n.p_name) AS canonical,
+             n.n_rows
+      FROM names n LEFT JOIN cc ON n.p_name = cc.node
+      ORDER BY p_name
     """,
 
     "llm_blast_radius" -> {

@@ -59,6 +59,28 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, 1L), (20L, 1L), (99L, -1L)))
   }
 
+  test("canonicalization is transitive: chains unify through CC") {
+    // bolt ~ bolte ~ boltee: bolt/boltee are distance 2 (no direct
+    // edge) but must share a canonical form via the middle link
+    val names = Seq("bolt", "bolte", "boltee", "ring").toDF("p_name")
+    val ma = names.select(col("p_name").as("name_b"),
+      col("p_name").as("nm_b"))
+    val pr = names.select(col("p_name").as("name_a"),
+      col("p_name").as("nm_a"))
+    val edges = EntityResolution
+      .editDistance1Join(ma, pr, "name_b", "nm_b", "name_a", "nm_a")
+      .filter(col("dist") === 1 && col("name_a") < col("name_b"))
+    val labels = graft.operators.ConnectedComponents
+      .alternatingStars(edges, "name_a", "name_b")
+    val canon = names.join(labels, names("p_name") === labels("node"),
+      "left")
+      .select(col("p_name"),
+        coalesce(col("label"), col("p_name")).as("canonical"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(canon("bolt") === "bolt" && canon("bolte") === "bolt" &&
+      canon("boltee") === "bolt" && canon("ring") === "ring")
+  }
+
   test("llm_fuzzy_join plan is equi-join only — no cartesian product") {
     val q = graft.queries.LlmSurface.queries("llm_fuzzy_join")(
       spark, "/root/testdata/sf0.001")
