@@ -340,6 +340,72 @@ object RefSurface {
         .orderBy("l_returnflag")
     }),
 
+    // ---- Benford first-digit audit (forensic data-quality check) --------
+    // First significant digit of each positive amount (integer-cents
+    // string arithmetic — no float log anywhere) against the Benford
+    // expectation, which is supplied as SIX-DECIMAL LITERALS
+    // (log10(1+1/d) precomputed) so neither engine evaluates a
+    // transcendental whose last-ulp rounding could differ. The
+    // fabricated-data alarm: uniform synthetic amounts will deviate
+    // hard from Benford — the AUDIT table is the deliverable, not a
+    // conformity claim.
+    "p_benford" -> ((s, dir) => {
+      import s.implicits._
+      val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910,
+        0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val digits = Tables(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull && cents > 0)
+        .select(substring(cents.cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum("n").as("_t"))
+      val expected = benford.zipWithIndex
+        .map { case (p, i) => (i + 1, p) }
+        .toDF("digit", "benford")
+      digits.crossJoin(broadcast(tot))
+        .join(broadcast(expected), Seq("digit"))
+        .select(col("digit"), col("n"),
+          graft.llm.TextOps.round6(col("n") / col("_t").cast("double"))
+            .as("share"),
+          col("benford"),
+          graft.llm.TextOps.round6(
+            col("n") / col("_t").cast("double") - col("benford"))
+            .as("deviation"))
+        .orderBy("digit")
+    }),
+
+    // ---- per-group IQR outlier fences (Tukey box-plot audit) ------------
+    // Exact quartiles on integer cents per group, 1.5·IQR fences, and
+    // the outlier mass outside them — the robust cousin of X114's
+    // σ-winsorization (quartiles shrug off the very outliers a σ rule
+    // lets drag the threshold). One |groups|-key quantile agg, fences
+    // broadcast back, one combine count — the corpus is scanned twice,
+    // quantiles never see more than the group's cents column.
+    "p_outlier_iqr" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull)
+        .select(col("l_returnflag"), cents.as("c"))
+      val fences = li.groupBy("l_returnflag").agg(
+        expr("percentile(c, 0.25)").as("q1"),
+        expr("percentile(c, 0.75)").as("q3"),
+        count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("q1"), col("q3"), col("n"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      li.join(broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(first("n").as("n"),
+          graft.llm.TextOps.round6(first(col("q1")) / 100.0).as("q1"),
+          graft.llm.TextOps.round6(first(col("q3")) / 100.0).as("q3"),
+          sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+        .withColumn("out_pct", graft.llm.TextOps.round6(
+          (col("n_low") + col("n_high")) / col("n").cast("double")))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- join-key skew profile (the "should I salt this" table) ---------
     // Distribution of per-key row counts for a prospective join/agg
     // key: key count, row count, max, exact percentiles of the count
@@ -1273,6 +1339,64 @@ object RefSurface {
                    * 1000000.0 + 0.5) / 1000000.0 AS intercept
       FROM m
       ORDER BY l_returnflag
+    """,
+
+    "p_benford" -> """
+      WITH c AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) > 0),
+      d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d),
+      b(digit, benford) AS (VALUES
+        (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        (9, 0.045757))
+      SELECT d.digit, d.n,
+             floor(d.n / CAST(t.tot AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS share,
+             CAST(b.benford AS DOUBLE) AS benford,
+             floor((d.n / CAST(t.tot AS DOUBLE)
+                    - CAST(b.benford AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS deviation
+      FROM d CROSS JOIN t JOIN b ON d.digit = b.digit
+      ORDER BY d.digit
+    """,
+
+    "p_outlier_iqr" -> """
+      WITH li AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      fences AS (
+        SELECT l_returnflag,
+               quantile_cont(c, 0.25) AS q1,
+               quantile_cont(c, 0.75) AS q3,
+               CAST(count(*) AS BIGINT) AS n
+        FROM li GROUP BY 1),
+      f2 AS (
+        SELECT l_returnflag, q1, q3, n,
+               q1 - (q3 - q1) * 1.5 AS lo,
+               q3 + (q3 - q1) * 1.5 AS hi
+        FROM fences)
+      SELECT li.l_returnflag, f2.n,
+             floor(f2.q1 / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS q1,
+             floor(f2.q3 / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS q3,
+             CAST(sum(CASE WHEN li.c < f2.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low,
+             CAST(sum(CASE WHEN li.c > f2.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high,
+             floor((sum(CASE WHEN li.c < f2.lo THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN li.c > f2.hi THEN 1 ELSE 0 END))
+                   / CAST(f2.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+               AS out_pct
+      FROM li JOIN f2 ON li.l_returnflag = f2.l_returnflag
+      GROUP BY li.l_returnflag, f2.n, f2.q1, f2.q3
+      ORDER BY li.l_returnflag
     """,
 
     "p_skew_profile" -> """

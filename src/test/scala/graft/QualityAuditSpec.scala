@@ -51,6 +51,39 @@ class QualityAuditSpec extends SparkSpec {
     assert(maxOverMean === expect)
   }
 
+  test("benford digits: first significant digit from integer cents") {
+    // cents values: 1, 19, 205, 999 -> digits 1, 1, 2, 9
+    val cents = Seq(1L, 19L, 205L, 999L).toDF("c")
+    val got = cents
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .orderBy("digit")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1, 2L), (2, 1L), (9, 1L)))
+  }
+
+  test("IQR fences: hand-computed quartiles flag the planted outlier") {
+    // group A cents: 100..109 plus outlier 10000
+    val df = (Seq.tabulate(10)(i => ("A", (100 + i) / 100.0)) :+
+      (("A", 100.0)))
+      .toDF("l_returnflag", "l_extendedprice")
+    df.createOrReplaceTempView("_iqr_in")
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val li = df.select(col("l_returnflag"), cents.as("c"))
+    val fences = li.groupBy("l_returnflag").agg(
+      expr("percentile(c, 0.25)").as("q1"),
+      expr("percentile(c, 0.75)").as("q3"))
+      .select(col("l_returnflag"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    val out = li.join(fences, "l_returnflag")
+      .agg(sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_low"))
+      .collect().head
+    assert(out.getLong(0) === 1L && out.getLong(1) === 0L)
+  }
+
   test("FD audit reports only violating LHS values with correct mass") {
     val df = Seq(
       ("ring", "B1"), ("ring", "B1"),          // clean
