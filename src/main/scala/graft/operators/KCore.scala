@@ -41,6 +41,9 @@ object KCore {
     require(k >= 1, s"k ($k) must be >= 1")
     var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint()
+    // carry the edge count across rounds: one count action per round,
+    // not a before/after pair (the fixpoint test only needs the delta)
+    var prevCount = e.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -53,10 +56,10 @@ object KCore {
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint()
-      val before = e.count()
       val after = pruned.count()
       e = pruned
-      done = after == before
+      done = after == prevCount
+      prevCount = after
       rounds += 1
     }
     e.select(col("a").as("n"))
