@@ -340,6 +340,53 @@ object RefSurface {
         .orderBy("l_returnflag")
     }),
 
+    // ---- malformed-row quarantine (S1's per-ROW error routing) ----------
+    // The operational counterpart of the reference's per-FILE
+    // skip-on-error (etl_utils.py:193-194): PERMISSIVE parse with
+    // columnNameOfCorruptRecord routes unparseable rows (bad number,
+    // bad date, wrong arity) to a quarantine table carrying the RAW
+    // line for triage, clean rows flow on typed. Both outputs are
+    // WRITTEN and read back — the k1 "execute the claim" pattern: the
+    // oracle reads the same parquet, and the split semantics are
+    // pinned by QualityAuditSpec.
+    "s2_quarantine" -> ((s, dir) => {
+      val work = s"/tmp/graft_s2q/${SalesFixture.sfName(dir)}"
+      val in = new java.io.File(s"$work/in")
+      in.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$work/in/feed.csv"),
+        Seq("id,amount,day",
+          "1,10.50,2024-01-01",
+          "2,20.25,2024-01-02",
+          "3,notanumber,2024-01-03",
+          "4,40.00,not-a-date",
+          "garbage unparseable line",
+          "5,50.75,2024-01-05").mkString("\n").getBytes("UTF-8"))
+      val df = s.read
+        .schema("id INT, amount DOUBLE, day DATE, _corrupt STRING")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(s"$work/in")
+        .cache()
+      df.filter(col("_corrupt").isNull).drop("_corrupt")
+        .write.mode("overwrite").parquet(s"$work/good")
+      df.filter(col("_corrupt").isNotNull)
+        .select(col("_corrupt").as("raw_line"))
+        .write.mode("overwrite").parquet(s"$work/quarantine")
+      df.unpersist()
+      val good = s.read.parquet(s"$work/good")
+        .select(lit("good").as("status"), col("id"), col("amount"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          lit(null).cast("string").as("raw_line"))
+      val quar = s.read.parquet(s"$work/quarantine")
+        .select(lit("quarantine").as("status"),
+          lit(null).cast("int").as("id"),
+          lit(null).cast("double").as("amount"),
+          lit(null).cast("string").as("day"), col("raw_line"))
+      good.unionByName(quar).orderBy("status", "id", "raw_line")
+    }),
+
     // ---- Benford first-digit audit (forensic data-quality check) --------
     // First significant digit of each positive amount (integer-cents
     // string arithmetic — no float log anywhere) against the Benford
@@ -1340,6 +1387,21 @@ object RefSurface {
       FROM m
       ORDER BY l_returnflag
     """,
+
+    "s2_quarantine" -> {
+      val work = "/tmp/graft_s2q/__SF__"
+      s"""
+      SELECT 'good' AS status, id, amount,
+             strftime(day, '%Y-%m-%d') AS day,
+             CAST(NULL AS VARCHAR) AS raw_line
+      FROM parquet_scan('$work/good/*.parquet')
+      UNION ALL
+      SELECT 'quarantine', CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+             CAST(NULL AS VARCHAR), raw_line
+      FROM parquet_scan('$work/quarantine/*.parquet')
+      ORDER BY status, id, raw_line
+    """
+    },
 
     "p_benford" -> """
       WITH c AS (

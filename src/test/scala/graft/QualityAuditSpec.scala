@@ -84,6 +84,18 @@ class QualityAuditSpec extends SparkSpec {
     assert(out.getLong(0) === 1L && out.getLong(1) === 0L)
   }
 
+  test("quarantine routes bad number, bad date, and wrong arity rows") {
+    val rows = graft.queries.RefSurface.queries("s2_quarantine")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+    val good = rows.filter(_.getString(0) == "good")
+    val quar = rows.filter(_.getString(0) == "quarantine")
+    assert(good.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 5))
+    assert(quar.map(_.getString(4)).sorted.toSeq === Seq(
+      "3,notanumber,2024-01-03", "4,40.00,not-a-date",
+      "garbage unparseable line"))
+  }
+
   test("FD audit reports only violating LHS values with correct mass") {
     val df = Seq(
       ("ring", "B1"), ("ring", "B1"),          // clean
