@@ -1477,6 +1477,31 @@ object LlmSurface {
         .orderBy("user_id")
     }),
 
+    // ---- funnel conversion-rate summary (the X62 dashboard table) --------
+    // Per step: users reaching it, conversion from the previous step,
+    // and from the top — one aggregate over the per-user funnel output
+    // (|steps| rows; the window runs over that aggregate only).
+    "llm_funnel_rates" -> ((s, dir) => {
+      val f = EventOps.funnel(events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      val steps = Seq("view", "click", "purchase")
+      val wide = f.agg(
+        sum(when(col("reached") >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("reached") >= 3, 1L).otherwise(0L)).as("n3"))
+      wide.select(explode(array(steps.zipWithIndex.map { case (nm, i) =>
+        struct(lit(i + 1).as("step"), lit(nm).as("step_name"),
+          col(s"n${i + 1}").as("n_reached"),
+          TextOps.round6(col(s"n${i + 1}") /
+            col(s"n${if (i == 0) 1 else i}").cast("double"))
+            .as("conv_from_prev"),
+          TextOps.round6(col(s"n${i + 1}") / col("n1").cast("double"))
+            .as("conv_from_start"))
+      }: _*)).as("r"))
+        .select("r.*")
+        .orderBy("step")
+    }),
+
     // ---- entity canonicalization (fuzzy pairs -> CC -> canonical) --------
     // The full ER pipeline composed from proven parts: distinct part
     // names pair via the PassJoin edit-distance join (X133), clusters
@@ -4182,6 +4207,46 @@ object LlmSurface {
         "n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)")} AS p
       FROM c
       ORDER BY prev_type, next_type
+    """,
+
+    "llm_funnel_rates" -> s"""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT s1.user_id, t1,
+               min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+        FROM s1 LEFT JOIN events e
+          ON s1.user_id = e.user_id AND e.event_type = 'click'
+        GROUP BY s1.user_id, t1),
+      s3 AS (
+        SELECT s2.user_id, t1, t2,
+               min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3
+        FROM s2 LEFT JOIN events e
+          ON s2.user_id = e.user_id AND e.event_type = 'purchase'
+        GROUP BY s2.user_id, t1, t2),
+      wide AS (
+        SELECT CAST(count(*) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n3
+        FROM s3)
+      SELECT 1 AS step, 'view' AS step_name, n1 AS n_reached,
+             ${round6sql("n1 / CAST(n1 AS DOUBLE)")} AS conv_from_prev,
+             ${round6sql("n1 / CAST(n1 AS DOUBLE)")} AS conv_from_start
+      FROM wide
+      UNION ALL
+      SELECT 2, 'click', n2,
+             ${round6sql("n2 / CAST(n1 AS DOUBLE)")},
+             ${round6sql("n2 / CAST(n1 AS DOUBLE)")}
+      FROM wide
+      UNION ALL
+      SELECT 3, 'purchase', n3,
+             ${round6sql("n3 / CAST(n2 AS DOUBLE)")},
+             ${round6sql("n3 / CAST(n1 AS DOUBLE)")}
+      FROM wide
+      ORDER BY step
     """,
 
     "llm_funnel" -> """

@@ -387,6 +387,35 @@ object RefSurface {
       good.unionByName(quar).orderBy("status", "id", "raw_line")
     }),
 
+    // ---- Pareto cumulative-contribution table (80/20 analysis) ----------
+    // Parts ranked by revenue with running share of total — the
+    // concentration report behind "which 20% of items carry 80% of
+    // revenue". The global-order window runs over the |parts|-row
+    // AGGREGATE (report-grade, like M4's golden-order sort), never the
+    // corpus; sums are exact integer cents, shares round6, and the
+    // top-80 flag tests the ROUNDED share so no boundary can flip
+    // cross-engine.
+    "p_running_share" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull
+          && col("l_partkey").isNotNull)
+        .groupBy("l_partkey").agg(sum(cents).as("rev_c"))
+      val tot = rev.agg(sum("rev_c").as("_t"))
+      val w = Window.orderBy(desc("rev_c"), col("l_partkey"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_share", graft.llm.TextOps.round6(
+          sum(col("rev_c")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / col("_t")))
+        .select(col("rank"), col("l_partkey"),
+          graft.llm.TextOps.round6(col("rev_c") / 100.0).as("revenue"),
+          col("cum_share"),
+          (col("cum_share") <= 0.8).as("in_top80"))
+        .orderBy("rank")
+    }),
+
     // ---- Benford first-digit audit (forensic data-quality check) --------
     // First significant digit of each positive amount (integer-cents
     // string arithmetic — no float log anywhere) against the Benford
@@ -1386,6 +1415,32 @@ object RefSurface {
                    * 1000000.0 + 0.5) / 1000000.0 AS intercept
       FROM m
       ORDER BY l_returnflag
+    """,
+
+    "p_running_share" -> """
+      WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS rev_c
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_partkey IS NOT NULL
+        GROUP BY l_partkey),
+      t AS (SELECT sum(rev_c) AS tot FROM rev),
+      r AS (
+        SELECT l_partkey, rev_c,
+               row_number() OVER (ORDER BY rev_c DESC, l_partkey) AS "rank",
+               sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rev)
+      SELECT r."rank", r.l_partkey,
+             floor(r.rev_c / 100.0 * 1000000.0 + 0.5) / 1000000.0
+               AS revenue,
+             floor(CAST(r.cum AS DOUBLE) / t.tot * 1000000.0 + 0.5)
+               / 1000000.0 AS cum_share,
+             (floor(CAST(r.cum AS DOUBLE) / t.tot * 1000000.0 + 0.5)
+               / 1000000.0 <= 0.8) AS in_top80
+      FROM r CROSS JOIN t
+      ORDER BY r."rank"
     """,
 
     "s2_quarantine" -> {

@@ -71,6 +71,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join expected:\n$p")
   }
 
+  test("funnel rates: hand-checked conversion table") {
+    // u1 view>click>purchase, u2 view>click, u3 view, u4 click only
+    // (never enters: no view)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase"),
+      (4L, ts("2024-01-01 11:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 11:01:00"), 2L, "click"),
+      (6L, ts("2024-01-01 12:00:00"), 3L, "view"),
+      (7L, ts("2024-01-01 13:00:00"), 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val f = EventOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    val n = (1 to 3).map(k =>
+      f.filter(col("reached") >= k).count())
+    assert(n === Seq(3L, 2L, 1L))
+    // rates derived from those counts: 2/3 then 1/2
+    assert(math.abs(n(1).toDouble / n(0) - 0.666667) < 1e-3)
+    assert(n(2).toDouble / n(1) === 0.5)
+  }
+
+  test("running share: cumulative contribution and the 80% boundary") {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Seq((1L, 5000L), (2L, 3000L), (3L, 2000L))
+      .toDF("l_partkey", "rev_c")
+    val tot = rev.agg(sum("rev_c").as("_t"))
+    val w = Window.orderBy(desc("rev_c"), col("l_partkey"))
+    val got = rev.crossJoin(tot)
+      .withColumn("cum_share", graft.llm.TextOps.round6(
+        sum(col("rev_c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("_t")))
+      .withColumn("in_top80", col("cum_share") <= 0.8)
+      .orderBy(desc("rev_c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0.5, true), (2L, 0.8, true), (3L, 1.0, false)))
+  }
+
   test("groupwise OLS recovers an exact line per group") {
     val df = Seq(
       ("A", 1.0, 5.0), ("A", 2.0, 7.0), ("A", 3.0, 9.0),  // y = 2x + 3
