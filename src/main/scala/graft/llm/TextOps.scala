@@ -1676,4 +1676,73 @@ object TextOps {
       .select(col("src_a"), col("src_b"), lit(k).as("k"), col("n_match"),
         round6(col("n_match") / lit(k).cast("double")).as("j_est"))
   }
+
+  /** Asymmetric set-CONTAINMENT join (Broder 1997: C(A→B) = |A∩B|/|A|):
+    * pairs where doc A's shingle set is (nearly) a subset of doc B's —
+    * the quote-page / boilerplate-wrapper duplication that SYMMETRIC
+    * Jaccard misses by construction (a 30-word quote inside a 400-word
+    * page has Jaccard ≈ 0.07 but containment 1.0), which is why
+    * production dedup (e.g. the Lee et al. 2022 discussion of
+    * near-duplicate supersets) needs both measures.
+    *
+    * Candidate generation prefix-filters the CONTAINED side only: if
+    * |A∩B| ≥ ⌈t·|A|⌉, at least one of A's (|A| − ⌈t·|A|⌉ + 1) rarest
+    * shingles appears in B, so A explodes that prefix while B explodes
+    * its FULL set (the containing side cannot be pruned — containment
+    * puts no lower bound on B's share). Per-token fan-out is
+    * f_prefix(tok) × f_full(tok): the unbounded factor pairs with the
+    * rare-first prefix one, so candidates stay bounded by true
+    * rare-token co-occurrence, never corpus². The threshold travels as
+    * integer MICRO-units and every comparison — the prefix length's
+    * ⌈t·c⌉ and the final `inter·10⁶ ≥ ca·tµ` test — is exact integer
+    * arithmetic, so no engine's float rounding can flip a boundary
+    * (0.8·10⁶ is NOT 800000 in doubles; a Double-threshold API would
+    * ship that bug silently).
+    *
+    * Output: (doc_a, doc_b, ca, cb, inter, containment) — doc_a
+    * contained in doc_b; a mutual pair appears in both directions.
+    */
+  def containmentJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      thresholdMicro: Long = 800000L): DataFrame = {
+    require(thresholdMicro > 0L && thresholdMicro <= 1000000L,
+      s"thresholdMicro ($thresholdMicro) must be in (0, 1000000]")
+    val expl = df
+      .select(col(idCol).as("doc"), words(col(textCol)).as("_w"))
+      .select(col("doc"),
+        explode(shinglesFromWords(col("_w"), shingleN)).as("s"))
+      .distinct()
+    val freq = expl.groupBy("s").agg(count(lit(1)).as("_f"))
+    val perDoc = expl.join(freq, "s")
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("_f"), col("s")))).as("_ord"))
+      .withColumn("c", size(col("_ord")).cast("long"))
+      // ⌈c·t⌉ in exact integers: (c·tµ + 10⁶ − 1) div 10⁶
+      .withColumn("_plen",
+        (col("c") - expr(s"(c * $thresholdMicro + 999999) div 1000000") + 1)
+          .cast("int"))
+      .withColumn("ss", transform(col("_ord"), x => x.getField("s")))
+      .withColumn("pref", expr("transform(slice(_ord, 1, _plen), x -> x.s)"))
+      .select("doc", "ss", "c", "pref")
+    val prefA = perDoc.select(col("doc").as("doc_a"),
+      explode(col("pref")).as("_tok"))
+    val fullB = perDoc.select(col("doc").as("doc_b"),
+      explode(col("ss")).as("_tok"))
+    val cand = prefA.join(fullB, "_tok")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(perDoc.select(col("doc").as("doc_a"), col("ss").as("sa"),
+        col("c").as("ca")), "doc_a")
+      .join(perDoc.select(col("doc").as("doc_b"), col("ss").as("sb"),
+        col("c").as("cb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter") * lit(1000000L) >= col("ca") * lit(thresholdMicro))
+      .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("inter"),
+        round6(col("inter") / col("ca")).as("containment"))
+  }
 }

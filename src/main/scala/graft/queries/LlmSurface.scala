@@ -47,6 +47,24 @@ object LlmSurface {
       when(col("doc_id") % 25 === 0, concat(col("text"), lit(" " + Boilerplate)))
         .otherwise(col("text")))
 
+  /** `documents` with every 40th doc (doc_id % 40 == 1) replaced by the
+    * first 60% of the PREVIOUS doc's characters — a planted "quote page"
+    * whose shingle set is nearly contained in its source. Both engines
+    * plant identically; the cut may split a trailing word (one shingle
+    * lost), which is why llm_containment_join thresholds at 0.8, not 1.0.
+    */
+  private def quotedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val prev = d.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("_ptext"), col("n_chars").as("_pn"))
+    d.join(prev, Seq("doc_id"), "left")
+      .withColumn("aug",
+        when(col("doc_id") % 40 === 1 && col("_ptext").isNotNull,
+          expr("substring(_ptext, 1, cast(_pn * 6 div 10 as int))"))
+          .otherwise(col("text")))
+      .select("doc_id", "aug")
+  }
+
   /** Boilerplate LINES planted by llm_line_dedup (both engines): every
     * 10th doc gets the header prepended, every 15th the footer appended,
     * '\n'-separated — cross-document duplicate lines inside documents
@@ -1527,6 +1545,18 @@ object LlmSurface {
           coalesce(col("label"), col("p_name")).as("canonical"),
           col("n_rows"))
         .orderBy("p_name")
+    }),
+
+    // ---- asymmetric containment join (quote/superset dedup) --------------
+    // C(A→B) = |A∩B|/|A| over word-3-shingle sets: finds planted quote
+    // pages (every 40th doc = 60% prefix of its neighbor) inside their
+    // source docs — the near-superset duplication symmetric Jaccard
+    // misses. Prefix filter on the contained side only; threshold and
+    // prefix math in exact integer micro-units (no float boundaries).
+    "llm_containment_join" -> ((s, dir) => {
+      TextOps.containmentJoin(quotedDocs(s, dir), "doc_id", "aug",
+          shingleN = 3, thresholdMicro = 800000L)
+        .orderBy("doc_a", "doc_b")
     }),
 
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
@@ -3864,6 +3894,40 @@ object LlmSurface {
              n.n_rows
       FROM names n LEFT JOIN cc ON n.p_name = cc.node
       ORDER BY p_name
+    """,
+
+    // Brute force: every pair sharing a shingle, exact intersection
+    // counts, same integer micro-unit threshold — proves the prefix
+    // filter lossless for the asymmetric measure.
+    "llm_containment_join" -> s"""
+      WITH aug AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 40 = 1 AND p.text IS NOT NULL
+                    THEN substr(p.text, 1, CAST((p.n_chars * 6) // 10 AS INT))
+                    ELSE d.text END AS aug
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+      w AS (SELECT doc_id, string_split(aug, ' ') AS ws FROM aug),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+            THEN list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+            ELSE [] END) AS s
+          FROM w)),
+      sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, sa.c AS ca, sb.c AS cb, inter,
+             ${round6sql("inter / CAST(sa.c AS DOUBLE)")} AS containment
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter * 1000000 >= sa.c * 800000
+      ORDER BY doc_a, doc_b
     """,
 
     "llm_blast_radius" -> {

@@ -433,6 +433,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentJoin: asymmetric (quote⊂page found, reverse not); equals brute force; exact boundary") {
+    // doc 1 is a strict prefix of doc 2: every 3-shingle of 1 appears in
+    // 2 (containment 1.0) but 2 has many shingles outside 1 (reverse
+    // containment far below 0.8). Jaccard for the pair is 5/12 — below
+    // any symmetric near-dup bar, which is the point of the measure.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"),
+      (3L, "totally unrelated words about ships and harbors and tides"))
+      .toDF("doc_id", "text")
+    val got = TextOps.containmentJoin(df, "doc_id", "text")
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 1.0))) // forward only; doc 3 pairs with nothing
+    // brute-force agreement at the same integer threshold
+    val all = Seq(
+      (1L, "p q r s t u"), (2L, "p q r s t u v w"), (3L, "p q r s x y"),
+      (4L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val sh = all.select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("s")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val brute = sh.as("a").join(sh.as("b"), $"a.s" === $"b.s" &&
+        $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .filter(col("inter") * 1000000L >= col("ca") * 800000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got2 = TextOps.containmentJoin(all, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got2 === brute)
+    // doc 3 ("p q r s x y", 4 shingles, 2 shared with doc 1/2) is at
+    // containment 0.5 — proves sub-threshold pairs are dropped even
+    // though the prefix filter surfaced them as candidates
+    assert(!got2.exists(p => p._1 == 3L))
+  }
+
   test("nearDupPairs materialize hook is applied and caller-controlled") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
