@@ -421,6 +421,56 @@ object VectorOps {
           .cast("boolean")))
       .drop("_n_min")
 
+  /** Prototypicality scoring + bottom-decile prune flag — the
+    * data-pruning signal of Sorscher et al. 2022 ("Beyond neural
+    * scaling laws"): rank each vector by its distance to its group's
+    * centroid; in the big-data regime the MOST prototypical
+    * (centroid-nearest, most redundant) examples are the ones to drop,
+    * so `prune` marks the bottom `pruneFrac` of each label group by
+    * squared centroid distance.
+    *
+    * Determinism: the centroid is the FLOORED integer mean
+    * (`floor(s/n)` per component via double division — the [[kMeans]]
+    * spelling, identical in DuckDB), so `dist2 = Σ(x−c)²` is exact
+    * integer arithmetic bounded by dims·(2·range)² regardless of group
+    * size — unlike the `Σ(n·x−s)²` spelling, whose d² term grows with
+    * n² and overflows Long for groups past ~10⁸ rows. The threshold is
+    * an exact interpolated percentile over integer dist2 (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the X32-pinned identity);
+    * the flag compares integers against that double, where a boundary
+    * flip would need the interpolant to land within one ulp of an
+    * integer AND the engines to round differently — both formulas are
+    * the same IEEE expression, so they round identically (the X155
+    * fence-comparison precedent).
+    *
+    * Scale shape: [[centroidSums]]' exchange carries |labels|×dims
+    * rows; the distance pass is one narrow map of the corpus against
+    * the broadcast |labels|-row centroid table; the threshold agg and
+    * its join-back are |labels|-row; no window or global sort anywhere.
+    *
+    * Output: (idCol, labelCol, n_label, dist2, thr, prune 0/1).
+    */
+  def prototypicality(df: DataFrame, idCol: String, qvCol: String,
+      labelCol: String, pruneFrac: Double): DataFrame = {
+    require(pruneFrac > 0.0 && pruneFrac < 1.0,
+      s"pruneFrac ($pruneFrac) must be in (0, 1)")
+    val cent = centroidSums(df, labelCol, qvCol)
+      .select(col(labelCol), col("n"),
+        transform(col("vec_sum"),
+          s => floor(s / col("n").cast("double")).cast("long")).as("_cent"))
+    val scored = df.join(cent, labelCol)
+      .withColumn("dist2",
+        aggregate(zip_with(col(qvCol), col("_cent"),
+          (x, c) => (x - c) * (x - c)), lit(0L), (a, v) => a + v))
+      .select(col(idCol), col(labelCol), col("n"), col("dist2"))
+    val thr = scored.groupBy(labelCol)
+      .agg(expr(s"percentile(dist2, $pruneFrac)").as("_thr"))
+    scored.join(thr, Seq(labelCol))
+      .select(col(idCol), col(labelCol), col("n").as("n_label"), col("dist2"),
+        (floor(col("_thr") * 1000000.0 + 0.5) / 1000000.0).as("thr"),
+        when(col("dist2") <= col("_thr"), 1).otherwise(0).as("prune"))
+  }
+
   /** Full distributed k-means over quantized vectors — the clustering
     * primitive behind semantic dedup and diversity sampling of training
     * corpora (cluster, then sample per cluster / drop near-centroid

@@ -1559,6 +1559,20 @@ object LlmSurface {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- prototypicality pruning (Sorscher et al. 2022) ------------------
+    // Squared distance to the label's floored-integer centroid, exact
+    // integers end to end; bottom decile per label flagged for pruning
+    // (the big-data regime drops the most redundant, centroid-nearest
+    // examples). Centroid table is |labels|x dims; no window anywhere.
+    "llm_prototypicality" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+      VectorOps.prototypicality(emb, "vec_id", "qv", "label",
+          pruneFrac = 0.1)
+        .orderBy("vec_id")
+    }),
+
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
     // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
     // through the capped co-order graph (X148, weight >= 2): min-hop
@@ -3928,6 +3942,40 @@ object LlmSurface {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE inter * 1000000 >= sa.c * 800000
       ORDER BY doc_a, doc_b
+    """,
+
+    // Same floored-integer centroid and exact integer dist2; threshold
+    // via quantile_cont ≡ Spark percentile (X32 identity).
+    "llm_prototypicality" -> s"""
+      WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      x AS (
+        SELECT vec_id, label, generate_subscripts(qv, 1) AS pos,
+               unnest(qv) AS v
+        FROM q),
+      cs AS (
+        SELECT label, pos, CAST(sum(v) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM x GROUP BY label, pos),
+      cent AS (
+        SELECT label, pos, n,
+               CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS c
+        FROM cs),
+      d AS (
+        SELECT x.vec_id, x.label, max(cent.n) AS n,
+               CAST(sum((x.v - cent.c) * (x.v - cent.c)) AS BIGINT) AS dist2
+        FROM x JOIN cent ON x.label = cent.label AND x.pos = cent.pos
+        GROUP BY x.vec_id, x.label),
+      t AS (
+        SELECT label, quantile_cont(dist2, 0.1) AS thr FROM d GROUP BY label)
+      SELECT d.vec_id, d.label, d.n AS n_label, d.dist2,
+             floor(t.thr * 1000000.0 + 0.5) / 1000000.0 AS thr,
+             CAST(CASE WHEN d.dist2 <= t.thr THEN 1 ELSE 0 END AS INT) AS prune
+      FROM d JOIN t USING (label)
+      ORDER BY vec_id
     """,
 
     "llm_blast_radius" -> {

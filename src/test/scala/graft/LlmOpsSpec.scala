@@ -471,6 +471,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got2.exists(p => p._1 == 3L))
   }
 
+  test("prototypicality: hand-checked centroid distances; bottom decile pruned, outlier kept") {
+    // label 0: three identical vectors + one outlier. Sums (3000,1000),
+    // n=4, floored centroid (750,250). dist2 near = 250²+250² = 125000;
+    // outlier = 750²+750² = 1125000. percentile(·,0.1) over
+    // [125000,125000,125000,1125000] interpolates at rank 0.3 → 125000,
+    // so the three redundant copies are pruned (ties AT the threshold
+    // prune) and the informative outlier survives — the Sorscher
+    // big-data-regime policy.
+    val df = Seq(
+      (1L, 0, Seq(1000L, 0L)), (2L, 0, Seq(1000L, 0L)),
+      (3L, 0, Seq(1000L, 0L)), (4L, 0, Seq(0L, 1000L)))
+      .toDF("vec_id", "label", "qv")
+    val got = VectorOps.prototypicality(df, "vec_id", "qv", "label", 0.1)
+      .select("vec_id", "dist2", "prune")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(125000L, 125000L, 125000L, 1125000L))
+    assert(got.map(_._3).toSeq === Seq(1, 1, 1, 0))
+  }
+
   test("nearDupPairs materialize hook is applied and caller-controlled") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
