@@ -1677,6 +1677,53 @@ object TextOps {
         round6(col("n_match") / lit(k).cast("double")).as("j_est"))
   }
 
+  /** PMI phrase detection — the word2vec phrase-merging pass (Mikolov
+    * et al. 2013 §4): score every adjacent word pair by
+    * `(c_ab − δ)·N / (c_a·c_b)` (≈ e^PMI with a discount δ that kills
+    * rare-pair noise) and flag pairs above `threshold` as phrase
+    * candidates ("machine learning" → "machine_learning" before
+    * tokenizer training). Using Mikolov's RAW ratio instead of log-PMI
+    * keeps the decision in exact integer arithmetic — no `ln` near a
+    * threshold boundary — and the flag's cross-multiplied compare runs
+    * in DECIMAL(38,0) (DuckDB HUGEINT), so `c_ab·N·10⁶` cannot overflow
+    * Long even at web-corpus token counts where N ~ 10¹².
+    *
+    * Scale shape: bigrams come from an ARRAY zip on each doc's word
+    * list (no per-doc window, no sort); unigram and bigram counts are
+    * two combine-style aggs; the support filter (`c_ab ≥ minCount`,
+    * word2phrase's min-count) prunes the pair table BEFORE the two
+    * |vocab|-row count joins; N joins in as a broadcast 1-row frame.
+    *
+    * Output: (w1, w2, c_ab, c_a, c_b, n_tokens, score, phrase 0/1).
+    */
+  def pmiPhrases(df: DataFrame, textCol: String, discount: Long = 5L,
+      minCount: Long = 5L, thresholdMicro: Long = 3000000L): DataFrame = {
+    require(minCount > discount, // below δ the score is ≤ 0 by construction
+      s"minCount ($minCount) must exceed discount ($discount)")
+    val w = df.select(words(col(textCol)).as("_w"))
+    val uni = w.select(explode(col("_w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n_tokens"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    w.select(explode(shinglesFromWords(col("_w"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_tokens"),
+        round6((dec(col("c_ab") - lit(discount)) * dec(col("n_tokens")))
+            .cast("double")
+          / (dec(col("c_a")) * dec(col("c_b"))).cast("double")).as("score"),
+        when(dec(col("c_ab") - lit(discount)) * dec(col("n_tokens"))
+            * dec(lit(1000000L))
+            >= dec(lit(thresholdMicro)) * dec(col("c_a")) * dec(col("c_b")),
+          1).otherwise(0).as("phrase"))
+  }
+
   /** Asymmetric set-CONTAINMENT join (Broder 1997: C(A→B) = |A∩B|/|A|):
     * pairs where doc A's shingle set is (nearly) a subset of doc B's —
     * the quote-page / boilerplate-wrapper duplication that SYMMETRIC

@@ -1573,6 +1573,22 @@ object LlmSurface {
         .orderBy("vec_id")
     }),
 
+    // ---- PMI phrase detection (word2vec phrase merging) ------------------
+    // Mikolov discounted ratio over adjacent word pairs; " machine
+    // learning" planted on every 7th doc is the only pair whose
+    // co-occurrence beats 3x independence (the soup vocabulary's
+    // natural bigrams hover at ratio ~1). Flag decided by HUGEINT
+    // cross-multiplication — no ln, no float boundary.
+    "llm_pmi_phrases" -> ((s, dir) => {
+      val aug = Tables(s, dir, "documents").select(
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" machine learning")))
+          .otherwise(col("text")).as("text"))
+      TextOps.pmiPhrases(aug, "text", discount = 5L, minCount = 6L,
+          thresholdMicro = 3000000L)
+        .orderBy("w1", "w2")
+    }),
+
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
     // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
     // through the capped co-order graph (X148, weight >= 2): min-hop
@@ -3976,6 +3992,44 @@ object LlmSurface {
              CAST(CASE WHEN d.dist2 <= t.thr THEN 1 ELSE 0 END AS INT) AS prune
       FROM d JOIN t USING (label)
       ORDER BY vec_id
+    """,
+
+    // Same discounted-ratio spelling; the phrase flag cross-multiplies
+    // in HUGEINT (Spark: DECIMAL(38,0)) so no division reaches the
+    // threshold compare.
+    "llm_pmi_phrases" -> s"""
+      WITH aug AS (
+        SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' machine learning'
+                    ELSE text END AS text
+        FROM documents),
+      w AS (SELECT string_split(text, ' ') AS ws FROM aug),
+      uc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uc),
+      bc AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM (
+          SELECT unnest(CASE WHEN len(ws) >= 2
+            THEN list_transform(range(1, len(ws)),
+                   i -> ws[i] || ' ' || ws[i+1])
+            ELSE [] END) AS bg
+          FROM w)
+        GROUP BY bg HAVING count(*) >= 6),
+      sp AS (
+        SELECT c_ab, string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2
+        FROM bc)
+      SELECT w1, w2, c_ab, ca.c AS c_a, cb.c AS c_b, n.n_tokens,
+             ${round6sql(
+               """CAST(CAST(c_ab - 5 AS HUGEINT) * n.n_tokens AS DOUBLE)
+                  / CAST(CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE)""")} AS score,
+             CAST(CASE WHEN CAST(c_ab - 5 AS HUGEINT) * n.n_tokens * 1000000
+                            >= CAST(3000000 AS HUGEINT) * ca.c * cb.c
+                       THEN 1 ELSE 0 END AS INT) AS phrase
+      FROM sp
+      JOIN uc ca ON ca.w = sp.w1
+      JOIN uc cb ON cb.w = sp.w2, n
+      ORDER BY w1, w2
     """,
 
     "llm_blast_radius" -> {

@@ -490,6 +490,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.map(_._3).toSeq === Seq(1, 1, 1, 0))
   }
 
+  test("pmiPhrases: hand-checked counts and scores; threshold flag exact; guard") {
+    // corpus "a b a b" + "a b c": N=7, c(a)=3, c(b)=3, c(c)=1;
+    // bigrams: "a b"x3, "b a"x1, "b c"x1. With delta=0, theta=2:
+    // score(a,b) = 3*7/9 = 2.333333 -> phrase; score(b,a) = 7/9 = 0.777778
+    // -> not; score(b,c) = 7/3 = 2.333333 -> phrase.
+    val df = Seq("a b a b", "a b c").toDF("text")
+    val got = TextOps.pmiPhrases(df, "text", discount = 0L, minCount = 1L,
+        thresholdMicro = 2000000L)
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "n_tokens", "score", "phrase")
+      .as[(String, String, Long, Long, Long, Long, Double, Int)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("a", "b")) === (("a", "b", 3L, 3L, 3L, 7L, 2.333333, 1)))
+    assert(got(("b", "a")) === (("b", "a", 1L, 3L, 3L, 7L, 0.777778, 0)))
+    assert(got(("b", "c")) === (("b", "c", 1L, 3L, 1L, 7L, 2.333333, 1)))
+    assert(got.size === 3)
+    // a minCount at or below the discount would emit score <= 0 rows
+    intercept[IllegalArgumentException] {
+      TextOps.pmiPhrases(df, "text", discount = 5L, minCount = 5L)
+    }
+  }
+
   test("nearDupPairs materialize hook is applied and caller-controlled") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
