@@ -1589,6 +1589,27 @@ object LlmSurface {
         .orderBy("w1", "w2")
     }),
 
+    // ---- personalized PageRank (seed-teleport relevance) -----------------
+    // Teleport mass returns to the seed docs (id % 50 == 0) on the same
+    // hub-and-spoke link table as llm_graph_rank: rank = damped
+    // proximity to the flagged set (how much seed influence reaches
+    // each node), the weighted complement of llm_blast_radius' hop
+    // closure. Unreachable nodes hold rank 0 exactly.
+    "llm_graph_ppr" -> ((s, dir) => {
+      val nodes = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val members = nodes.filter(col("id") % 10 =!= 0)
+        .select(col("id").as("src"), (col("id") - (col("id") % 10)).as("dst"))
+      val hubs = nodes.filter(col("id") % 10 === 0 && col("id") =!= 0)
+      val edges = members
+        .union(hubs.select(col("id").as("src"), lit(0L).as("dst")))
+        .union(hubs.select(col("id").as("src"), (col("id") + 1).as("dst")))
+      val seeds = nodes.filter(col("id") % 50 === 0)
+      graft.operators.PageRank.personalized(edges, nodes, seeds, iters = 3)
+        .select(col("id").as("doc_id"), col("rank").as("rank_nano"),
+          TextOps.round6(col("rank") / 1000000000.0).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
     // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
     // through the capped co-order graph (X148, weight >= 2): min-hop
@@ -2107,6 +2128,27 @@ object LlmSurface {
                (CAST(1000000000 AS BIGINT) * 15) // (100 * (SELECT nn FROM n))
                + (85 * coalesce(inf.i, 0)) // 100 AS rank
         FROM nodes LEFT JOIN (
+          SELECT e.dst AS id, sum($prev.rank // outd.od) AS i
+          FROM e JOIN outd USING (src) JOIN $prev ON $prev.id = e.src
+          GROUP BY e.dst) inf USING (id))"""
+    }.mkString(",\n")
+
+  /** Generated PERSONALIZED PageRank iteration CTEs replaying
+    * [[graft.operators.PageRank.personalized]]: teleport lands on seed
+    * nodes only. Requires CTEs st(id, is_seed), ns(n_seeds),
+    * e(src,dst), outd(src,od), r0.
+    */
+  private def pprCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS (
+        SELECT st.id,
+               CASE WHEN st.is_seed = 1
+                    THEN (CAST(1000000000 AS BIGINT) * 15)
+                         // (100 * (SELECT n_seeds FROM ns))
+                    ELSE 0 END
+               + (85 * coalesce(inf.i, 0)) // 100 AS rank
+        FROM st LEFT JOIN (
           SELECT e.dst AS id, sum($prev.rank // outd.od) AS i
           FROM e JOIN outd USING (src) JOIN $prev ON $prev.id = e.src
           GROUP BY e.dst) inf USING (id))"""
@@ -4030,6 +4072,32 @@ object LlmSurface {
       JOIN uc ca ON ca.w = sp.w1
       JOIN uc cb ON cb.w = sp.w2, n
       ORDER BY w1, w2
+    """,
+
+    "llm_graph_ppr" -> s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      st AS (
+        SELECT id, CASE WHEN id % 50 = 0 THEN 1 ELSE 0 END AS is_seed
+        FROM nodes),
+      ns AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds
+             FROM st WHERE is_seed = 1),
+      e AS (
+        SELECT id AS src, id - (id % 10) AS dst FROM nodes WHERE id % 10 <> 0
+        UNION ALL
+        SELECT id AS src, 0 AS dst FROM nodes WHERE id % 10 = 0 AND id <> 0
+        UNION ALL
+        SELECT id AS src, id + 1 AS dst FROM nodes WHERE id % 10 = 0 AND id <> 0),
+      outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      r0 AS (
+        SELECT id, CASE WHEN is_seed = 1
+                        THEN CAST(1000000000 AS BIGINT)
+                             // (SELECT n_seeds FROM ns)
+                        ELSE 0 END AS rank
+        FROM st),
+      ${pprCtes(3)}
+      SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_nano,
+             ${round6sql("rank / 1000000000.0")} AS rank
+      FROM r3 ORDER BY doc_id
     """,
 
     "llm_blast_radius" -> {
