@@ -1610,6 +1610,32 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- rendezvous-hash shard assignment (minimal-movement audit) -------
+    // HRW-assign docs to 8 shards, re-assign at 9, and report per-shard
+    // load plus how much moved: rendezvous moves ONLY rows whose new
+    // argmax is the new shard (~1/9), where hash-mod would reshuffle
+    // ~8/9 of the corpus. Assignment is a zero-shuffle narrow map
+    // (argmax inside an array expression); the audit agg is 8 rows.
+    "llm_shard_assign" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id")
+      val a8 = graft.operators.Rendezvous.assign(docs, "doc_id", 8, "v1")
+        .withColumnRenamed("shard", "shard8")
+      val a9 = graft.operators.Rendezvous.assign(docs, "doc_id", 9, "v1")
+        .withColumnRenamed("shard", "shard9")
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+      a8.join(a9, "doc_id")
+        .groupBy(col("shard8").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .crossJoin(broadcast(tot))
+        .select(col("shard").cast("int").as("shard"), col("n_docs"),
+          col("n_moved"),
+          TextOps.round6(col("n_moved") / col("n_docs")).as("moved_frac"),
+          TextOps.round6(col("n_docs") / col("n_total")).as("share"))
+        .orderBy("shard")
+    }),
+
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
     // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
     // through the capped co-order graph (X148, weight >= 2): min-hop
@@ -4072,6 +4098,38 @@ object LlmSurface {
       JOIN uc ca ON ca.w = sp.w1
       JOIN uc cb ON cb.w = sp.w2, n
       ORDER BY w1, w2
+    """,
+
+    // Oracle spells the argmax as unnest + arg_max (ties impossible:
+    // md5 weights are distinct); the hash match proves it equivalent
+    // to the Spark side's in-array argmax.
+    "llm_shard_assign" -> s"""
+      WITH docs AS (SELECT doc_id FROM documents),
+      a8 AS (
+        SELECT doc_id, arg_max(s, h) AS shard8 FROM (
+          SELECT doc_id, s,
+                 md5(CAST(s AS VARCHAR) || '|v1|' || CAST(doc_id AS VARCHAR))
+                   AS h
+          FROM docs, (SELECT unnest(range(0, 8)) AS s))
+        GROUP BY doc_id),
+      a9 AS (
+        SELECT doc_id, arg_max(s, h) AS shard9 FROM (
+          SELECT doc_id, s,
+                 md5(CAST(s AS VARCHAR) || '|v1|' || CAST(doc_id AS VARCHAR))
+                   AS h
+          FROM docs, (SELECT unnest(range(0, 9)) AS s))
+        GROUP BY doc_id),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM docs)
+      SELECT CAST(shard8 AS INT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved,
+             ${round6sql("""sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE)""")} AS moved_frac,
+             ${round6sql("count(*) / CAST(tot.n_total AS DOUBLE)")} AS share
+      FROM a8 JOIN a9 USING (doc_id), tot
+      GROUP BY shard8, tot.n_total
+      ORDER BY shard
     """,
 
     "llm_graph_ppr" -> s"""

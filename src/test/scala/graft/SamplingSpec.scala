@@ -47,4 +47,22 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(s1 !== s2)
   }
+
+  test("rendezvous assign: n->n+1 moves rows ONLY into the new shard; partition-independent; hash-mod moves most") {
+    import graft.operators.Rendezvous
+    val ids = (0L until 400L).toDF("id")
+    val a4 = Rendezvous.assign(ids, "id", 4, "s").withColumnRenamed("shard", "s4")
+    val a5 = Rendezvous.assign(ids, "id", 5, "s").withColumnRenamed("shard", "s5")
+    val moved = a4.join(a5, "id").filter($"s4" =!= $"s5")
+      .select("s5").as[Int].collect()
+    assert(moved.nonEmpty && moved.forall(_ === 4)) // movers land on the NEW shard only
+    assert(moved.length < 400 / 3)                  // ~1/5 expected, never mass reshuffle
+    // hash(id) % n for contrast: growing 4->5 re-homes the large majority
+    val modMoved = ids.filter(abs(hash($"id")) % 4 =!= abs(hash($"id")) % 5).count()
+    assert(modMoved > 400 / 2)
+    // pure function of (id, n, salt): partitioning cannot change it
+    val b4 = Rendezvous.assign(ids.repartition(13), "id", 4, "s")
+      .withColumnRenamed("shard", "s4b")
+    assert(a4.join(b4, "id").filter($"s4" =!= $"s4b").count() === 0)
+  }
 }
