@@ -265,6 +265,40 @@ object RefSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- K9: range-partitioned SORTED export (layout audit) -------------
+    // The "sorted export" contract downstream merge/binary-search
+    // consumers rely on: repartitionByRange + sortWithinPartitions
+    // writes range-DISJOINT parquet files. The audit reads the WRITTEN
+    // files back and emits per-file (rank-by-min, rows, min, max,
+    // gap_ok): gap_ok=1 on every row proves no two files overlap — the
+    // k1/k6 "execute the claim" pattern applied to sort layout. File
+    // names carry writer UUIDs, so files are identified by their min
+    // key's rank, never by name. In-file row order is pinned by
+    // MaintenanceOpsSpec (per-file monotonicity), since read-order
+    // through the audit agg can't witness it.
+    "k9_sorted_export" -> ((s, dir) => {
+      val out = s"/tmp/graft_k9_out/${SalesFixture.sfName(dir)}"
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(out)
+      val perFile = s.read.parquet(out)
+        .select(col("o_orderkey"), col("_metadata.file_name").as("_f"))
+        .groupBy("_f")
+        .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+      // |files|-row window (16 rows): report-grade, the M4 note
+      val w = org.apache.spark.sql.expressions.Window.orderBy("min_key")
+      perFile
+        .select(row_number().over(w).as("file_rank"), col("n_rows"),
+          col("min_key"), col("max_key"),
+          when(lag("max_key", 1).over(w).isNull
+              || col("min_key") > lag("max_key", 1).over(w), 1)
+            .otherwise(0).as("gap_ok"))
+        .orderBy("file_rank")
+    }),
+
     // ---- Merkle-bucket table diff (anti-entropy replica check) ----------
     // "Other" replica = lineitem with a deterministic drift injected in
     // both engines (rows with l_orderkey%991==0 missing; %997==0 have
@@ -1781,6 +1815,22 @@ object RefSurface {
         columns={doc_id: 'BIGINT', text: 'VARCHAR',
                  lang: 'VARCHAR', source: 'VARCHAR'})
       ORDER BY doc_id
+    """,
+
+    "k9_sorted_export" -> """
+      WITH pf AS (
+        SELECT filename AS f, CAST(count(*) AS BIGINT) AS n_rows,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM read_parquet('/tmp/graft_k9_out/__SF__/*.parquet',
+                          filename=true)
+        GROUP BY filename)
+      SELECT CAST(row_number() OVER (ORDER BY min_key) AS INT) AS file_rank,
+             n_rows, min_key, max_key,
+             CAST(CASE WHEN lag(max_key) OVER (ORDER BY min_key) IS NULL
+                         OR min_key > lag(max_key) OVER (ORDER BY min_key)
+                       THEN 1 ELSE 0 END AS INT) AS gap_ok
+      FROM pf
+      ORDER BY file_rank
     """,
 
     "k6_compaction_exec" -> """

@@ -102,4 +102,25 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(plan.head.getLong(2) === 1L) // the whale compacts alone
     assert(plan.head.getLong(3) === 10000L)
   }
+
+  test("sorted export: files are range-disjoint AND each file is internally sorted") {
+    // The k9 audit pins disjointness cross-engine; this pins the half
+    // the audit cannot witness — physical row order INSIDE each file —
+    // by reading every file individually (one task, parquet row order).
+    val out = "/tmp/graft_k9_unit"
+    spark.range(0, 2000).select((col("id") * 7919 % 2000).as("k"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length === 4)
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"file $f not internally sorted")
+      (ks.head, ks.last)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, aMax), (bMin, _)) =>
+      assert(aMax < bMin, "file key ranges overlap")
+    }
+  }
 }
