@@ -442,4 +442,235 @@ object EventOps {
         TextOps.round6(col("n_active") / col("n_cohort").cast("double"))
           .as("retention"))
   }
+
+  /** Poisson-bootstrap confidence interval for the per-type mean value —
+    * the production bootstrap (Chamandy et al. 2012): instead of R
+    * resampling passes, each row carries R independent Poisson(1)
+    * replicate weights, so ONE corpus pass computes every replicate's
+    * weighted mean and the CI is a percentile over R numbers.
+    *
+    * Determinism: the "randomness" is md5(salt|id|rep) reduced to a
+    * 48-bit integer and compared against the Poisson(1) CDF as SIX
+    * INTEGER threshold literals (⌊cdf_k·2⁴⁸⌋ — the weight never touches
+    * a float, and truncation at w=6 drops 1.4e-5 of the mass,
+    * identically in both engines). Replicate means are exact
+    * micro-unit-sum / weight-count rationals pinned round6; the
+    * percentile interpolation then runs over R pinned doubles with the
+    * same (quantile_cont ≡ Spark percentile) formula both engines use.
+    *
+    * Shape: the ×R explode collapses in the SAME stage's map-side
+    * combine — the shuffle carries |types|·R partial rows, never the
+    * corpus; the percentile agg runs over R rows per type. Weighted
+    * sums accumulate as decimal(38,0) (micro-values × weight ≤ 6
+    * overflow long sums at ~10¹⁰ rows; decimal does not).
+    *
+    * Output: (event_type, n, mean_full, n_reps, ci_lo, ci_mid, ci_hi)
+    * at 2.5/50/97.5 percent.
+    */
+  def poissonBootstrapCi(events: DataFrame, idCol: String, typeCol: String,
+      valueCol: String, reps: Int, salt: String): DataFrame = {
+    require(reps >= 4, s"reps ($reps) must be >= 4 for a percentile CI")
+    // ⌊cdf·2⁴⁸⌋ of Poisson(1) at k = 0..5; weight = #(thresholds ≤ h)
+    val thresholds = Seq(103548857136060L, 207097714272121L,
+      258872142840152L, 276130285696162L, 280444821410164L,
+      281307728552965L)
+    val base = events
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("event_type"), col(idCol).cast("string").as("_id"),
+        floor(col(valueCol) * 1000000 + 0.5).cast("decimal(38,0)").as("_vmu"))
+    val h = conv(substring(md5(concat(lit(s"$salt|"), col("_id"), lit("|"),
+      col("_r").cast("string"))), 1, 12), 16, 10).cast("long")
+    val w = thresholds.map(t => when(h >= t, 1L).otherwise(0L))
+      .reduce(_ + _).cast("decimal(38,0)")
+    val repMeans = base
+      .select(col("event_type"), col("_id"), col("_vmu"),
+        explode(sequence(lit(0), lit(reps - 1))).as("_r"))
+      .withColumn("_w", w)
+      .groupBy("event_type", "_r")
+      .agg(sum(col("_w")).as("_neff"), sum(col("_w") * col("_vmu")).as("_s"))
+      .filter(col("_neff") > 0)
+      .withColumn("_mean_r", TextOps.round6(col("_s").cast("double")
+        / col("_neff").cast("double") / 1e6))
+    val ci = repMeans.groupBy("event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        TextOps.round6(expr("percentile(_mean_r, 0.025)")).as("ci_lo"),
+        TextOps.round6(expr("percentile(_mean_r, 0.5)")).as("ci_mid"),
+        TextOps.round6(expr("percentile(_mean_r, 0.975)")).as("ci_hi"))
+    base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        TextOps.round6(sum(col("_vmu")).cast("double")
+          / count(lit(1)).cast("double") / 1e6).as("mean_full"))
+      .join(ci, "event_type")
+      .select(col("event_type"), col("n"), col("mean_full"), col("n_reps"),
+        col("ci_lo"), col("ci_mid"), col("ci_hi"))
+  }
+
+  /** One-sided CUSUM drift detection over a DAILY count table (Page
+    * 1954): per type, S_t = max(0, S_{t−1} + (x_t − μ)) flags sustained
+    * upward rate drift that a per-day z-test ([[rateAnomaly]]) dilutes —
+    * ten days of +2σ never trips a daily threshold but accumulates
+    * linearly in S.
+    *
+    * Exactness: the recursion is the textbook prefix identity
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the prefix sum of
+    * deviations, and deviations stay INTEGER by working in N-units
+    * (dev = N·x_t − T, so μ = T/N never becomes a float inside the
+    * accumulation); the only doubles are the final /N re-scale and the
+    * √μ threshold, both round6-pinned, and the alarm compares the two
+    * ROUNDED values so no boundary row can flip cross-engine. Overflow
+    * envelope: N·x fits a long to x ~ 10¹²·days⁻¹-scale counts.
+    *
+    * Input must be the DENSE scaffold (gap days as ZERO rows — the
+    * rateAnomaly contract): a missing day would silently splice two
+    * windows. Both analytic windows run over the |days|×|types|
+    * aggregate, never the event corpus.
+    *
+    * Output: (type, day, n, cusum_stat, threshold, alarm) where
+    * cusum_stat = S_t/N in per-day row units and threshold =
+    * sigmas·√μ.
+    */
+  def cusumDrift(daily: DataFrame, typeCol: String, dayCol: String,
+      nCol: String, sigmas: Double = 4.0): DataFrame = {
+    require(sigmas > 0, s"sigmas ($sigmas) must be > 0")
+    val tot = daily.groupBy(col(typeCol))
+      .agg(sum(col(nCol)).as("_T"), count(lit(1)).as("_N"))
+    val wPre = Window.partitionBy(col(typeCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(tot), typeCol)
+      .withColumn("_dev", col(nCol) * col("_N") - col("_T"))
+      .withColumn("_pre", sum(col("_dev")).over(wPre))
+      .withColumn("_s", col("_pre")
+        - least(lit(0L), min(col("_pre")).over(wPre)))
+      .select(col(typeCol), col(dayCol), col(nCol),
+        TextOps.round6(col("_s").cast("double") / col("_N").cast("double"))
+          .as("cusum_stat"),
+        TextOps.round6(lit(sigmas)
+          * sqrt(col("_T").cast("double") / col("_N").cast("double")))
+          .as("threshold"))
+      .withColumn("alarm", col("cusum_stat") > col("threshold"))
+  }
+
+  /** U-shaped (position-based) multi-touch attribution: each
+    * conversion's value credits the user's touch events in the trailing
+    * `windowDays`: 40% to the first touch, 40% to the last, 20% split
+    * evenly across the middle (1 touch → 100%, 2 → 50/50); conversions
+    * with no in-window touch report as the "(direct)" channel, so the
+    * output column sums to total conversion value (up to the documented
+    * ≤ m/2 micro-unit rounding drift per conversion).
+    *
+    * Determinism: position comes from the (ts, touch_id) total order —
+    * same-timestamp touches cannot swap cross-engine; the basis-point
+    * share is double arithmetic on exact integers in one spelled order,
+    * pinned to micro-units PER TOUCH, then integer-summed per channel.
+    *
+    * Shape: the conversion×touch pairing is a user-keyed equi-join with
+    * the time filter applied on the join output (per-user fan-out =
+    * that user's own activity, the sessionize skew note applies); the
+    * position window is conversion-keyed; everything after is a
+    * |channels|-key combine agg. The anti-join for direct conversions
+    * reuses the credited conv_id set, which is conversion-sized, not
+    * corpus-sized.
+    */
+  def attributionUShape(events: DataFrame, userCol: String, idCol: String,
+      tsCol: String, typeCol: String, valueCol: String, convType: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays ($windowDays) must be > 0")
+    val conv = events
+      .filter(col(typeCol) === convType && col(userCol).isNotNull
+        && col(valueCol).isNotNull)
+      .select(col(userCol).as("_u"), col(idCol).as("conv_id"),
+        col(tsCol).as("_cts"),
+        floor(col(valueCol) * 1000000 + 0.5).cast("long").as("_vmu"))
+    val touch = events
+      .filter(col(typeCol) =!= convType && col(userCol).isNotNull)
+      .select(col(userCol).as("_u"), col(idCol).as("touch_id"),
+        col(tsCol).as("_tts"), col(typeCol).as("channel"))
+    val wPos = Window.partitionBy("conv_id")
+      .orderBy(col("_tts"), col("touch_id"))
+    val credit = conv.join(touch, Seq("_u"))
+      .filter(col("_tts") < col("_cts")
+        && col("_tts") >= col("_cts") - expr(s"INTERVAL $windowDays DAYS"))
+      .withColumn("_pos", row_number().over(wPos))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy("conv_id")))
+      .withColumn("_bp",
+        when(col("_m") === 1, lit(10000.0))
+          .when(col("_m") === 2, lit(5000.0))
+          .when(col("_pos") === 1 || col("_pos") === col("_m"), lit(4000.0))
+          .otherwise(lit(2000.0) / (col("_m") - 2).cast("double")))
+      .withColumn("_cmu",
+        floor(col("_vmu").cast("double") * col("_bp") / 10000.0 + 0.5)
+          .cast("long"))
+    val attributed = credit.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        TextOps.round6(sum(col("_cmu")).cast("double") / 1e6)
+          .as("attributed_value"))
+    val direct = conv
+      .join(credit.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"),
+        TextOps.round6(coalesce(sum(col("_vmu")), lit(0L)).cast("double")
+          / 1e6).as("attributed_value"))
+      .withColumn("channel", lit("(direct)"))
+      .select("channel", "n_touches", "attributed_value")
+    attributed.unionByName(direct)
+  }
+
+  /** Welch two-sample A/B report per event type — the continuous-metric
+    * counterpart of the chi-square composition audit: is variant B's
+    * mean `value` different from A's, per event type, without assuming
+    * equal variances (Welch 1947)? Variant = `userCol % 2` here so both
+    * engines agree by parity alone; a production assignment would be
+    * [[TextOps.hashBucket]] ranges, same shape.
+    *
+    * Numeric contract (the p_groupwise_ols argument): values quantize
+    * to integer MICRO-units; all six moments (n, Σv, Σv² per variant)
+    * accumulate as decimal(38,0) in ONE combine aggregate per type —
+    * Σv² stays under 38 digits up to ~10¹² rows of 10⁹-micro values.
+    * Mean, Welch t and Satterthwaite df are derived by double
+    * arithmetic on those exact integers over the |types|-row tail, in
+    * an operation order the oracle spells identically, then
+    * round6-pinned. Types where either arm has < 2 samples drop (no
+    * variance estimate).
+    *
+    * Output: (event_type, n_a, n_b, mean_a, mean_b, lift, t_stat, df).
+    */
+  def abWelch(events: DataFrame, userCol: String, typeCol: String,
+      valueCol: String): DataFrame = {
+    val ev = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("event_type"),
+        (col(userCol) % 2).as("_v"),
+        floor(col(valueCol) * 1000000 + 0.5).cast("decimal(38,0)").as("v"))
+    val m = ev.groupBy("event_type").agg(
+      sum(when(col("_v") === 0, 1L).otherwise(0L)).cast("decimal(38,0)")
+        .as("na"),
+      sum(when(col("_v") === 1, 1L).otherwise(0L)).cast("decimal(38,0)")
+        .as("nb"),
+      sum(when(col("_v") === 0, col("v")).otherwise(lit(0))).as("sa"),
+      sum(when(col("_v") === 1, col("v")).otherwise(lit(0))).as("sb"),
+      sum(when(col("_v") === 0, col("v") * col("v")).otherwise(lit(0)))
+        .as("ssa"),
+      sum(when(col("_v") === 1, col("v") * col("v")).otherwise(lit(0)))
+        .as("ssb"))
+    def meanD(s: Column, n: Column): Column =
+      s.cast("double") / n.cast("double") / 1e6
+    // sample variance in value² units: (n·Σv² − (Σv)²) / (n·(n−1)) / 10¹²
+    def varD(n: Column, s: Column, ss: Column): Column =
+      (n * ss - s * s).cast("double") /
+        (n * (n - lit(1))).cast("double") / 1e12
+    val ma = meanD(col("sa"), col("na"))
+    val mb = meanD(col("sb"), col("nb"))
+    val sea = varD(col("na"), col("sa"), col("ssa")) / col("na").cast("double")
+    val seb = varD(col("nb"), col("sb"), col("ssb")) / col("nb").cast("double")
+    val t = (mb - ma) / sqrt(sea + seb)
+    val welchDf = (sea + seb) * (sea + seb) /
+      (sea * sea / (col("na").cast("double") - 1.0)
+        + seb * seb / (col("nb").cast("double") - 1.0))
+    m.filter(col("na") > 1 && col("nb") > 1)
+      .select(col("event_type"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        TextOps.round6(ma).as("mean_a"), TextOps.round6(mb).as("mean_b"),
+        TextOps.round6((mb - ma) / ma).as("lift"),
+        TextOps.round6(t).as("t_stat"),
+        TextOps.round6(welchDf).as("df"))
+  }
 }

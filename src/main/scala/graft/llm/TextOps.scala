@@ -1792,4 +1792,89 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("inter"),
         round6(col("inter") / col("ca")).as("containment"))
   }
+
+  /** Longest consecutive repeated-token run per document — the
+    * degenerate-repetition quality signal ("buy buy buy … ×500",
+    * decoder loops, scraped keyword stuffing) that distinct-token
+    * ratios dilute on long documents and global n-gram frequency
+    * misses entirely (a doc-local run is globally rare when its token
+    * is).
+    *
+    * One `aggregate` higher-order expression over the in-row token
+    * array: zero shuffle, no explode, no per-doc window — the corpus
+    * is never row-inflated |tokens|×. State is (prev, run, best,
+    * btok); `best` updates only on STRICTLY greater run length, so
+    * the FIRST run of the maximum length owns the report — the same
+    * rule an oracle spells as rank by (len DESC, start ASC).
+    *
+    * Returns a struct (n_tokens, max_run, run_token).
+    */
+  /** Bigram language-model cross-entropy per document — the classic
+    * statistical quality/perplexity gate (low entropy ⇒ repetitive or
+    * template text, high ⇒ rare constructions or noise) run with the
+    * corpus itself as training data. Add-ONE smoothing keeps every
+    * probability the exact rational (c₁₂+1)/(c₁+V) of three integer
+    * counts, so both engines evaluate ln of the SAME rational.
+    *
+    * Cross-engine determinism for a SUM of logarithms: a float sum
+    * across partitions orders its roundings nondeterministically, so
+    * each bigram's −ln p is pinned to integer MICRO-nats first
+    * (`floor(ln·1e6+0.5)` of a ≤1-ulp-accurate double — the round6
+    * discipline applied per term), and only those integers are summed:
+    * exact, order-free, and identical in DuckDB. The per-doc mean is
+    * one double division at the |docs|-row tail.
+    *
+    * Shape: bigrams come from an in-row `zip_with` over the token
+    * array (zero shuffle — the window-lag spelling would shuffle the
+    * exploded corpus just to pair neighbors); bigram and unigram-start
+    * counts are partial-combining aggs on skew-bounded keys; the two
+    * model joins are equi-joins against those aggregates; V broadcasts
+    * as the legitimate 1-row scalar (tfidf precedent). Docs with < 2
+    * tokens have no bigrams and drop by contract.
+    *
+    * Output: (id, n_bigrams, avg_nll) — avg_nll in nats, round6.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), words(col(textCol)).as("_w"))
+    val bg = toks.select(col(idCol),
+        explode(zip_with(
+          slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0))),
+          slice(col("_w"), lit(2), greatest(size(col("_w")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("_w")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_nll_mu",
+        floor(-log((col("c12") + 1).cast("double")
+          / (col("c1") + col("v")).cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round6(sum(col("_nll_mu")).cast("double")
+          / count(lit(1)).cast("double") / 1000000.0).as("avg_nll"))
+  }
+
+  def maxRun(tokens: Column): Column = {
+    val st = aggregate(
+      tokens,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit("").as("btok")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          when(run > acc.getField("best"), run)
+            .otherwise(acc.getField("best")).as("best"),
+          when(run > acc.getField("best"), t)
+            .otherwise(acc.getField("btok")).as("btok"))
+      })
+    struct(size(tokens).cast("long").as("n_tokens"),
+      st.getField("best").as("max_run"),
+      st.getField("btok").as("run_token"))
+  }
 }

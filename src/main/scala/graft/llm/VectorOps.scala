@@ -805,6 +805,16 @@ object VectorOps {
         col("_max").as("max_q"), col("max_err_mu"), col("sum_err_mu"))
   }
 
+  /** Per-dimension statistics table (n, min, max, Σq, Σq², mean, var)
+    * over [[quantize]]d micro-unit components — the |dim|-row summary
+    * that [[outlierClip]] and [[int8CodecAudit]] derive their bounds
+    * from. One posexplode into a single combine agg on the skew-free
+    * `dim` key; moments accumulate as exact integers (overflow
+    * envelope: Σq² of ±10⁹-micro components stays inside a long up to
+    * ~9·10⁶ rows per dim, and inside decimal(38,0) far beyond corpus
+    * scale), with mean/var derived in double and micro-pinned only at
+    * the |dim|-row tail.
+    */
   def dimStats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(quantize(col(vecCol))).as(Seq("dim", "_q")))
       .withColumn("_q", col("_q").cast("long"))

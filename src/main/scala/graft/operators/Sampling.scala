@@ -56,4 +56,37 @@ object Sampling {
       .filter(col("rank") <= k)
       .drop("_sb", "_rb")
   }
+
+  /** Few-shot prompt assembly: per class, take the [[stratifiedTopK]]
+    * sample in hash-rank order and keep the PREFIX whose cumulative
+    * token count fits `budgetTokens` — "pick reproducible few-shot
+    * examples per label, stop before the prompt overflows". Prefix-stop
+    * deliberately, not skip-and-continue (that is waterFill's bin
+    * packing): few-shot examples are an ordered list, and skipping a
+    * long example mid-list would silently reorder the prompt. With
+    * positive token counts the cumulative sum is strictly increasing,
+    * so `cum <= budget` IS the prefix — no second pass needed.
+    *
+    * Scale: ranking is stratifiedTopK's two-phase form (no per-class
+    * straggler task); the cumulative window and the final aggregate run
+    * over ≤ k rows per class. Output: (strataCol, n_examples,
+    * total_tokens, example_ids) with example_ids a rank-ordered CSV.
+    */
+  def promptPack(df: DataFrame, strataCol: String, idCol: String,
+      tokensCol: String, budgetTokens: Long, maxExamples: Int,
+      salt: String): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens ($budgetTokens) must be > 0")
+    val cumW = Window.partitionBy(col(strataCol)).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    stratifiedTopK(df, strataCol, idCol, maxExamples, salt)
+      .withColumn("_cum", sum(col(tokensCol)).over(cumW))
+      .filter(col("_cum") <= budgetTokens)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col(tokensCol)).as("total_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rank"),
+            col(idCol).cast("string").as("_id")))),
+          x => x.getField("_id")), ",").as("example_ids"))
+  }
 }

@@ -1636,6 +1636,89 @@ object LlmSurface {
         .orderBy("shard")
     }),
 
+    // ---- repetition max-run-length (degenerate-text quality gate) --------
+    // Longest consecutive repeated-token run per doc, one zero-shuffle
+    // `aggregate` expression over the in-row token array (no explode,
+    // no per-doc window — the corpus is never row-inflated |tokens|×).
+    // Every 30th doc gets 12 planted "spam" tokens appended (both
+    // engines) so the gate has something to catch: natural soup runs
+    // sit at 1–3, planted docs report exactly 12. The oracle spells
+    // the same first-longest-run rule as gaps-and-islands with a
+    // (len DESC, start ASC) rank.
+    "llm_max_run" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").withColumn("aug",
+        when(col("doc_id") % 30 === 0,
+          concat(col("text"), lit(" " + Seq.fill(12)("spam").mkString(" "))))
+          .otherwise(col("text")))
+      d.select(col("doc_id"), TextOps.maxRun(split(col("aug"), " ")).as("_r"))
+        .select(col("doc_id"), col("_r.n_tokens").as("n_tokens"),
+          col("_r.max_run").as("max_run"),
+          col("_r.run_token").as("run_token"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Welch two-sample A/B lift report --------------------------------
+    // Per-event-type Welch t and Satterthwaite df for variant parity
+    // user_id % 2 — the continuous-metric counterpart of llm_chi_square
+    // (counts there, means here). Exact micro-unit moments in ONE
+    // combine agg; doubles only at the |types|-row tail, in an
+    // operation order the oracle spells identically. The synthetic
+    // variants are exchangeable, so t hovers near 0 — the report
+    // PROVES no effect, which is the correct answer for a parity split.
+    "llm_ab_welch" -> ((s, dir) => {
+      EventOps.abWelch(events(s, dir), "user_id", "event_type", "value")
+        .orderBy("event_type")
+    }),
+
+    // ---- anchor-text aggregation per link target -------------------------
+    // The web-corpus relevance signal (Craswell et al. 2001: inbound
+    // anchors describe a page better than its own text): every link's
+    // anchor aggregated per TARGET, top-3 anchors by (count DESC,
+    // anchor ASC) plus totals. Deterministic synthetic link graph —
+    // doc i → target (i·7) mod 1000, anchor = source's first three
+    // words; a real crawl supplies (src, dst, anchor) edges into the
+    // same shape. Anchor counts partial-combine to (target, anchor)
+    // rows BEFORE any window; the rank window and both final aggs run
+    // over that aggregate, never the corpus (the X150 altitude rule).
+    "llm_anchor_text" -> ((s, dir) => {
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id").as("src"),
+          (col("doc_id") * 7 % 1000).as("target"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ")
+            .as("anchor"))
+      val ac = edges.groupBy("target", "anchor")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("target")
+        .orderBy(col("n").desc, col("anchor"))
+      val totals = ac.groupBy("target").agg(sum("n").as("n_links"),
+        count(lit(1)).as("n_anchors"))
+      val top3 = ac.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= 3)
+        .groupBy("target")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("_r"), col("anchor")))),
+          x => x.getField("anchor")), " | ").as("top_anchors"))
+      totals.join(top3, "target")
+        .select(col("target"), col("n_links"), col("n_anchors"),
+          col("top_anchors"))
+        .orderBy("target")
+    }),
+
+    // ---- few-shot prompt assembly under a token budget -------------------
+    // Per language: reproducible hash-ranked examples (the X52
+    // two-phase stratified top-k — no per-class straggler), kept as the
+    // PREFIX whose cumulative whitespace-token count fits 160 tokens,
+    // capped at 8 examples. Prefix-stop, not skip-and-continue: few-shot
+    // lists are ordered, a skipped long example would reorder meaning.
+    // The cumulative window runs over ≤ 8 rows per class.
+    "llm_prompt_pack" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      graft.operators.Sampling.promptPack(d, "lang", "doc_id", "n_tok",
+        budgetTokens = 160L, maxExamples = 8, salt = "fewshot-v1")
+        .orderBy("lang")
+    }),
+
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
     // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
     // through the capped co-order graph (X148, weight >= 2): min-hop
@@ -4156,6 +4239,125 @@ object LlmSurface {
       SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_nano,
              ${round6sql("rank / 1000000000.0")} AS rank
       FROM r3 ORDER BY doc_id
+    """,
+
+    "llm_max_run" -> """
+      WITH d AS (
+        SELECT doc_id,
+               string_split(CASE WHEN doc_id % 30 = 0
+                 THEN text || ' spam spam spam spam spam spam spam spam spam spam spam spam'
+                 ELSE text END, ' ') AS toks
+        FROM documents),
+      t AS (
+        SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS tok,
+               CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos
+        FROM d),
+      isl AS (
+        SELECT doc_id, n_tokens, tok, pos,
+               pos - row_number() OVER (PARTITION BY doc_id, tok
+                                        ORDER BY pos) AS g
+        FROM t),
+      runs AS (
+        SELECT doc_id, min(n_tokens) AS n_tokens, tok,
+               CAST(count(*) AS BIGINT) AS len, min(pos) AS start
+        FROM isl GROUP BY doc_id, tok, g),
+      best AS (
+        SELECT doc_id, n_tokens, tok, len,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY len DESC, start ASC) AS rnk
+        FROM runs)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             len AS max_run, tok AS run_token
+      FROM best WHERE rnk = 1
+      ORDER BY doc_id
+    """,
+
+    "llm_ab_welch" -> s"""
+      WITH ev AS (
+        SELECT event_type, user_id % 2 AS v,
+               CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS val
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      m AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+               CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+               sum(CASE WHEN v = 0 THEN val ELSE 0 END) AS sa,
+               sum(CASE WHEN v = 1 THEN val ELSE 0 END) AS sb,
+               sum(CASE WHEN v = 0 THEN val * val ELSE 0 END) AS ssa,
+               sum(CASE WHEN v = 1 THEN val * val ELSE 0 END) AS ssb
+        FROM ev GROUP BY event_type),
+      d AS (
+        SELECT event_type, na, nb,
+               CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma,
+               CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mb,
+               CAST(na * ssa - sa * sa AS DOUBLE)
+                 / CAST(na * (na - 1) AS DOUBLE) / 1e12
+                 / CAST(na AS DOUBLE) AS sea,
+               CAST(nb * ssb - sb * sb AS DOUBLE)
+                 / CAST(nb * (nb - 1) AS DOUBLE) / 1e12
+                 / CAST(nb AS DOUBLE) AS seb
+        FROM m WHERE na > 1 AND nb > 1)
+      SELECT event_type,
+             CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             ${round6sql("ma")} AS mean_a, ${round6sql("mb")} AS mean_b,
+             ${round6sql("(mb - ma) / ma")} AS lift,
+             ${round6sql("(mb - ma) / sqrt(sea + seb)")} AS t_stat,
+             ${round6sql(
+               "(sea + seb) * (sea + seb) / (sea * sea / (CAST(na AS DOUBLE) - 1.0)" +
+               " + seb * seb / (CAST(nb AS DOUBLE) - 1.0))")} AS df
+      FROM d
+      ORDER BY event_type
+    """,
+
+    "llm_anchor_text" -> """
+      WITH e AS (
+        SELECT doc_id AS src, (doc_id * 7) % 1000 AS target,
+               array_to_string((string_split(text, ' '))[1:3], ' ')
+                 AS anchor
+        FROM documents),
+      ac AS (
+        SELECT target, anchor, CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY target, anchor),
+      rk AS (
+        SELECT target, anchor, n,
+               row_number() OVER (PARTITION BY target
+                                  ORDER BY n DESC, anchor) AS r
+        FROM ac)
+      SELECT t.target, t.n_links, t.n_anchors, s.top_anchors
+      FROM (SELECT target, CAST(sum(n) AS BIGINT) AS n_links,
+                   CAST(count(*) AS BIGINT) AS n_anchors
+            FROM ac GROUP BY target) t
+      JOIN (SELECT target, string_agg(anchor, ' | ' ORDER BY r)
+                     AS top_anchors
+            FROM rk WHERE r <= 3 GROUP BY target) s USING (target)
+      ORDER BY t.target
+    """,
+
+    "llm_prompt_pack" -> """
+      WITH d AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               md5('fewshot-v1|' || CAST(doc_id AS VARCHAR)) AS sk
+        FROM documents),
+      rk AS (
+        SELECT lang, doc_id, n_tok,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY sk, doc_id) AS rank
+        FROM d),
+      pre AS (
+        SELECT lang, doc_id, n_tok, rank,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY rank
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM rk WHERE rank <= 8)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_examples,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank)
+               AS example_ids
+      FROM pre WHERE cum <= 160
+      GROUP BY lang
+      ORDER BY lang
     """,
 
     "llm_blast_radius" -> {

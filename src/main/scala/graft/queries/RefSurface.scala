@@ -374,6 +374,35 @@ object RefSurface {
         .orderBy("l_returnflag")
     }),
 
+    // ---- time-RANGE window frame: trailing 7-day customer spend ---------
+    // RANGE BETWEEN 6 days PRECEDING AND CURRENT ROW over event TIME,
+    // not row position: each order sees the sum of everything its
+    // customer spent in the 7 calendar days ending on its date. The
+    // point of a RANGE frame (vs ROWS): same-day ties all see the
+    // IDENTICAL frame — the result needs no tie-break to be
+    // deterministic, where a ROWS spelling would differ per engine on
+    // duplicate dates. Frame bounds are integer epoch-DAYS on both
+    // sides (never date→timestamp casts, which drag in the session
+    // timezone); spend is exact cents. The window is customer-keyed —
+    // partition-parallel, no global sort anywhere.
+    "p_trailing_spend" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull
+          && col("o_totalprice").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("day"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
+        .rangeBetween(-6, 0)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("cents"),
+          sum("cents").over(w).as("spend_7d_cents"),
+          count(lit(1)).over(w).as("n_orders_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- malformed-row quarantine (S1's per-ROW error routing) ----------
     // The operational counterpart of the reference's per-FILE
     // skip-on-error (etl_utils.py:193-194): PERMISSIVE parse with
@@ -1449,6 +1478,24 @@ object RefSurface {
                    * 1000000.0 + 0.5) / 1000000.0 AS intercept
       FROM m
       ORDER BY l_returnflag
+    """,
+
+    "p_trailing_spend" -> """
+      WITH o AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL)
+      SELECT o_custkey, o_orderkey, strftime(day, '%Y-%m-%d') AS day,
+             cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS spend_7d_cents,
+             CAST(count(*) OVER w AS BIGINT) AS n_orders_7d
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey
     """,
 
     "p_running_share" -> """
