@@ -1719,6 +1719,88 @@ object LlmSurface {
         .orderBy("lang")
     }),
 
+    // ---- bigram-LM cross-entropy quality score ---------------------------
+    // The statistical perplexity gate, self-trained: add-one-smoothed
+    // bigram probabilities are exact rationals of three integer counts,
+    // each bigram's −ln p is pinned to integer micro-nats BEFORE the
+    // per-doc sum (a cross-partition float sum would order its
+    // roundings nondeterministically), and the mean is one division at
+    // the |docs| tail. Bigrams come from an in-row zip_with — no window
+    // shuffle of the exploded corpus.
+    "llm_bigram_lm" -> ((s, dir) => {
+      TextOps.bigramCrossEntropy(Tables(s, dir, "documents"), "doc_id",
+        "text").orderBy("doc_id")
+    }),
+
+    // ---- Poisson-bootstrap CI for the per-type mean value ----------------
+    // One-pass bootstrap (Chamandy et al. 2012): 32 deterministic
+    // Poisson(1) replicate weights per row from md5 against integer
+    // ⌊cdf·2⁴⁸⌋ thresholds — the weight never touches a float. The ×32
+    // explode collapses in map-side combine (shuffle carries |types|·32
+    // rows); the CI is a percentile over 32 round6-pinned replicate
+    // means.
+    "llm_bootstrap_ci" -> ((s, dir) => {
+      EventOps.poissonBootstrapCi(events(s, dir), "event_id", "event_type",
+        "value", reps = 32, salt = "boot-v1").orderBy("event_type")
+    }),
+
+    // ---- CUSUM drift detection over the dense daily scaffold -------------
+    // Page's one-sided CUSUM via the exact prefix identity
+    // S = P − min(0, running-min P) in integer N-units — the sustained-
+    // drift alarm a per-day z-test dilutes. Error-type counts are
+    // tripled from Jan 26 (both engines) so the alarm has a real drift
+    // to catch: S accumulates ~110 rows/day against a 4σ≈38 threshold.
+    // Both windows run over the |days|×|types| scaffold, never events.
+    "llm_cusum_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val daily = days.crossJoin(broadcast(ev.select("event_type").distinct()))
+        .join(ev.groupBy("day", "event_type").agg(count(lit(1)).as("n")),
+          Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          when(col("event_type") === "error"
+              && col("day") >= to_date(lit("2024-01-26")),
+            coalesce(col("n"), lit(0L)) * 3)
+          .otherwise(coalesce(col("n"), lit(0L))).as("n"))
+      EventOps.cusumDrift(daily, "event_type", "day", "n", sigmas = 4.0)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          col("cusum_stat"), col("threshold"), col("alarm"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ---- U-shaped multi-touch attribution --------------------------------
+    // Each purchase credits its user's trailing-7-day touches 40/20/40
+    // (first/middles/last); credits are pinned to micro-units per touch
+    // then integer-summed, and untouched conversions land in "(direct)"
+    // so the column conserves total conversion value. The pairing is a
+    // user-keyed equi-join; the position window is conversion-keyed.
+    "llm_attribution" -> ((s, dir) => {
+      EventOps.attributionUShape(events(s, dir), "user_id", "event_id",
+        "ts", "event_type", "value", convType = "purchase", windowDays = 7)
+        .orderBy("channel")
+    }),
+
+    // ---- grid-bucketed proximity join (spatial LSH analog) ---------------
+    // All embedding pairs within L2 distance 40 milli-units in the
+    // first-two-dims plane, via the cell trick: equi-join home cells
+    // against a 3×3 neighbor explode — n² never materializes, the
+    // id<id_b cut dedupes the double generation, and the distance test
+    // is exact integer dist². Oracle is the BRUTE-FORCE all-pairs
+    // filter, proving the grid candidates lossless.
+    "llm_grid_join" -> ((s, dir) => {
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000.0)
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1000.0)
+            .cast("long").as("y"))
+      graft.operators.GridJoin.proximityJoin(pts, "vec_id", "x", "y",
+        maxDist = 40L).orderBy("id_a", "id_b")
+    }),
+
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
     // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
     // through the capped co-order graph (X148, weight >= 2): min-hop
@@ -4358,6 +4440,189 @@ object LlmSurface {
       FROM pre WHERE cum <= 160
       GROUP BY lang
       ORDER BY lang
+    """,
+
+    "llm_bigram_lm" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      t AS (
+        SELECT doc_id, unnest(w) AS tok,
+               CAST(unnest(range(1, len(w) + 1)) AS BIGINT) AS pos
+        FROM toks),
+      bg AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM t),
+      b AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+      big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM b GROUP BY 1, 2),
+      uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+      voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM t),
+      scored AS (
+        SELECT b.doc_id,
+               CAST(floor(-ln(CAST(c12 + 1 AS DOUBLE)
+                              / CAST(c1 + v AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS nll_mu
+        FROM b JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             ${round6sql(
+               "CAST(sum(nll_mu) AS DOUBLE) / CAST(count(*) AS DOUBLE)" +
+               " / 1000000.0")} AS avg_nll
+      FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+
+    "llm_bootstrap_ci" -> s"""
+      WITH base AS (
+        SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+               CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS vmu
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+      wt AS (
+        SELECT event_type, CAST(t.r AS BIGINT) AS r, vmu,
+               CAST('0x' || substr(md5('boot-v1|' || id || '|'
+                 || CAST(t.r AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        FROM base, range(0, 32) t(r)),
+      rm AS (
+        SELECT event_type, r,
+               sum(CAST((h >= 103548857136060) AS BIGINT)
+                 + CAST((h >= 207097714272121) AS BIGINT)
+                 + CAST((h >= 258872142840152) AS BIGINT)
+                 + CAST((h >= 276130285696162) AS BIGINT)
+                 + CAST((h >= 280444821410164) AS BIGINT)
+                 + CAST((h >= 281307728552965) AS BIGINT)) AS neff,
+               sum((CAST((h >= 103548857136060) AS BIGINT)
+                 + CAST((h >= 207097714272121) AS BIGINT)
+                 + CAST((h >= 258872142840152) AS BIGINT)
+                 + CAST((h >= 276130285696162) AS BIGINT)
+                 + CAST((h >= 280444821410164) AS BIGINT)
+                 + CAST((h >= 281307728552965) AS BIGINT)) * vmu) AS s
+        FROM wt GROUP BY 1, 2),
+      rmeans AS (
+        SELECT event_type,
+               ${round6sql(
+                 "CAST(s AS DOUBLE) / CAST(neff AS DOUBLE) / 1e6")} AS mean_r
+        FROM rm WHERE neff > 0),
+      f AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               ${round6sql(
+                 "CAST(sum(vmu) AS DOUBLE) / CAST(count(*) AS DOUBLE)" +
+                 " / 1e6")} AS mean_full
+        FROM base GROUP BY 1),
+      ci AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps,
+               ${round6sql("quantile_cont(mean_r, 0.025)")} AS ci_lo,
+               ${round6sql("quantile_cont(mean_r, 0.5)")} AS ci_mid,
+               ${round6sql("quantile_cont(mean_r, 0.975)")} AS ci_hi
+        FROM rmeans GROUP BY 1)
+      SELECT f.event_type, f.n, f.mean_full, ci.n_reps,
+             ci.ci_lo, ci.ci_mid, ci.ci_hi
+      FROM f JOIN ci USING (event_type) ORDER BY event_type
+    """,
+
+    "llm_cusum_drift" -> s"""
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bnd),
+      types AS (SELECT DISTINCT event_type FROM ev),
+      actual AS (
+        SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2),
+      daily AS (
+        SELECT d.day, t.event_type,
+               CASE WHEN t.event_type = 'error' AND d.day >= DATE '2024-01-26'
+                    THEN coalesce(a.n, 0) * 3
+                    ELSE coalesce(a.n, 0) END AS n
+        FROM days d CROSS JOIN types t
+        LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type),
+      tot AS (
+        SELECT event_type, sum(n) AS tt, CAST(count(*) AS BIGINT) AS nn
+        FROM daily GROUP BY 1),
+      pre AS (
+        SELECT daily.event_type, day, n, tt, nn,
+               sum(n * nn - tt) OVER (PARTITION BY daily.event_type
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS p
+        FROM daily JOIN tot USING (event_type)),
+      sv AS (
+        SELECT event_type, day, n, tt, nn,
+               p - least(0, min(p) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)) AS s
+        FROM pre)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+             ${round6sql("CAST(s AS DOUBLE) / CAST(nn AS DOUBLE)")}
+               AS cusum_stat,
+             ${round6sql(
+               "4.0 * sqrt(CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))")}
+               AS threshold,
+             (${round6sql("CAST(s AS DOUBLE) / CAST(nn AS DOUBLE)")})
+               > (${round6sql(
+                 "4.0 * sqrt(CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))")})
+               AS alarm
+      FROM sv ORDER BY event_type, day
+    """,
+
+    "llm_attribution" -> s"""
+      WITH conv AS (
+        SELECT user_id AS u, event_id AS conv_id, ts AS cts,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vmu
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          AND value IS NOT NULL),
+      touch AS (
+        SELECT user_id AS u, event_id AS touch_id, ts AS tts,
+               event_type AS channel
+        FROM events
+        WHERE event_type <> 'purchase' AND user_id IS NOT NULL),
+      j AS (
+        SELECT conv_id, vmu, channel, tts, touch_id
+        FROM conv JOIN touch USING (u)
+        WHERE tts < cts AND tts >= cts - INTERVAL 7 DAY),
+      pos AS (
+        SELECT conv_id, vmu, channel,
+               row_number() OVER (PARTITION BY conv_id
+                 ORDER BY tts, touch_id) AS p,
+               count(*) OVER (PARTITION BY conv_id) AS m
+        FROM j),
+      cr AS (
+        SELECT channel,
+               CAST(floor(CAST(vmu AS DOUBLE)
+                 * (CASE WHEN m = 1 THEN 10000.0
+                         WHEN m = 2 THEN 5000.0
+                         WHEN p = 1 OR p = m THEN 4000.0
+                         ELSE 2000.0 / CAST(m - 2 AS DOUBLE) END)
+                 / 10000.0 + 0.5) AS BIGINT) AS cmu
+        FROM pos),
+      att AS (
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+               ${round6sql("CAST(sum(cmu) AS DOUBLE) / 1e6")}
+                 AS attributed_value
+        FROM cr GROUP BY 1),
+      direct AS (
+        SELECT '(direct)' AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+               ${round6sql("CAST(coalesce(sum(vmu), 0) AS DOUBLE) / 1e6")}
+                 AS attributed_value
+        FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM j))
+      SELECT * FROM att UNION ALL SELECT * FROM direct ORDER BY channel
+    """,
+
+    "llm_grid_join" -> """
+      WITH p AS (
+        SELECT vec_id AS id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS x,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS y
+        FROM embeddings)
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM p a JOIN p b ON a.id < b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1600
+      ORDER BY id_a, id_b
     """,
 
     "llm_blast_radius" -> {
