@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-diagnostics and governed-release operators: the model-prep
+  * audits (predictive-power binning) and the privacy-preserving stats
+  * release a training-data platform publishes about its corpus.
+  */
+object FeatureOps {
+
+  /** Weight-of-evidence / information-value table — the classic
+    * feature-screening audit (credit-scoring lineage): bin a numeric
+    * feature into equi-depth deciles and report, per bin, how the
+    * good/bad label mix deviates from the global mix. IV ≳ 0.3 ⇒
+    * strong feature; ≈ 0 ⇒ carries nothing.
+    *
+    * Determinism: the feature is micro-quantized BEFORE percentiles, so
+    * edges are interpolations of exact integers with the shared
+    * (quantile_cont ≡ Spark percentile) formula; bin membership is
+    * VALUE-based (1 + Σ [v > edge_i]) so equal values land in the same
+    * bin regardless of partition order — an ntile/row-position spelling
+    * would tie-break differently per engine and was rejected. WOE uses
+    * add-half smoothing — ln of an exact rational of integer counts —
+    * round6-pinned per bin; per-bin IV contributions are emitted
+    * instead of a float total (the X142 chi-square rule: summing
+    * doubles across rows is the reader's one fold, not the engine's).
+    *
+    * Shape: one percentile agg for the edge row (broadcast back — it is
+    * |bins| numbers), one combine agg to |bins| rows. Two corpus passes
+    * by necessity (global edges, then binning).
+    *
+    * Output: (bin, n, n_bad, bad_rate, woe, iv_contrib), bin ∈ 1..bins.
+    */
+  def woeIv(df: DataFrame, featureCol: String, badLabel: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins ($bins) must be >= 2")
+    val base = df.filter(col(featureCol).isNotNull)
+      .select(floor(col(featureCol) * 1000000 + 0.5).cast("long").as("_f"),
+        when(badLabel, 1L).otherwise(0L).as("_bad"))
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val edges = base.agg(
+      expr(s"percentile(_f, array(${qs.mkString(",")}))").as("_edges"))
+    val binned = base.crossJoin(broadcast(edges))
+      .withColumn("_bin", lit(1) + aggregate(col("_edges"), lit(0),
+        (acc, e) => acc + when(col("_f") > e, 1).otherwise(0)))
+    val counts = binned.groupBy("_bin")
+      .agg(count(lit(1)).as("n"), sum("_bad").as("n_bad"))
+    val tot = counts.agg(sum("n").as("_tn"), sum("n_bad").as("_tb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("_g", col("n") - col("n_bad"))
+      .withColumn("_tg", col("_tn") - col("_tb"))
+      .withColumn("_gs", (col("_g").cast("double") + 0.5)
+        / (col("_tg").cast("double") + 0.5 * bins))
+      .withColumn("_bs", (col("n_bad").cast("double") + 0.5)
+        / (col("_tb").cast("double") + 0.5 * bins))
+      .select(col("_bin").as("bin"), col("n"), col("n_bad"),
+        TextOps.round6(col("n_bad").cast("double") / col("n").cast("double"))
+          .as("bad_rate"),
+        TextOps.round6(log(col("_gs") / col("_bs"))).as("woe"),
+        TextOps.round6((col("_gs") - col("_bs")) * log(col("_gs") / col("_bs")))
+          .as("iv_contrib"))
+  }
+
+  /** Differentially-private noised count release (ε-DP Laplace
+    * mechanism, Dwork et al. 2006): per-group counts plus
+    * Laplace(1/ε) noise — the mechanism a platform uses to publish
+    * corpus composition without revealing any single document's
+    * membership. Sensitivity of a count is 1, so scale b = 1/ε.
+    *
+    * Deterministic-noise contract (what makes this oracle-checkable
+    * AND operationally sane): the noise draw is the inverse-CDF
+    * transform noise = −b·sign(u−½)·ln(1−2·|u−½|) of u =
+    * (h+½)/2⁴⁸ with h the 48-bit md5 of salt|group — one draw PER
+    * GROUP, fixed by the salt, so re-running the release never leaks a
+    * fresh-noise average of the true count (the known repeated-query
+    * attack on naive re-randomization; the salt IS the release epoch).
+    *
+    * Shape: one combine count agg; the noise expression is evaluated
+    * on the |groups|-row aggregate. `n_true` is emitted for the audit/
+    * oracle surface — a production release publishes only `released`.
+    *
+    * Output: (groupCols…, n_true, released round6).
+    */
+  def dpNoisedCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon ($epsilon) must be > 0")
+    val b = 1.0 / epsilon
+    val keyStr = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    val h = conv(substring(md5(concat(lit(s"$salt|"), keyStr)), 1, 12),
+      16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / 281474976710656.0
+    val noise = -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("released",
+        TextOps.round6(col("n_true").cast("double") + noise))
+  }
+}

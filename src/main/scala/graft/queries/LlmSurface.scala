@@ -1801,6 +1801,37 @@ object LlmSurface {
         maxDist = 40L).orderBy("id_a", "id_b")
     }),
 
+    // ---- WOE / information-value feature screening -----------------------
+    // Weight-of-evidence deciles of a PLANTED signal: error events'
+    // value is shifted +20 (both engines), so top bins enrich in the
+    // bad label and the IV contributions show a real feature. Bin
+    // membership is VALUE-based (ties share a bin — an ntile spelling
+    // would tie-break per engine); WOE is ln of add-half-smoothed exact
+    // count ratios, round6 per bin; per-bin IV is emitted, the reader
+    // folds (the chi-square rule).
+    "llm_woe_iv" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .withColumn("feature",
+          when(col("event_type") === "error", col("value") + 20.0)
+            .otherwise(col("value")))
+      graft.llm.FeatureOps.woeIv(ev, "feature",
+        col("event_type") === "error", bins = 10)
+        .orderBy("bin")
+    }),
+
+    // ---- ε-differentially-private noised count release -------------------
+    // Laplace(1/ε) counts per (lang, source) with DETERMINISTIC
+    // inverse-CDF noise from md5(salt|group): one draw per group fixed
+    // by the release-epoch salt, so re-running never averages fresh
+    // noise over the true count (the repeated-query attack on naive
+    // re-randomization). n_true is the audit surface; production
+    // publishes `released` only.
+    "llm_dp_release" -> ((s, dir) => {
+      graft.llm.FeatureOps.dpNoisedCounts(Tables(s, dir, "documents"),
+        Seq("lang", "source"), epsilon = 1.0, salt = "dp-epoch-1")
+        .orderBy("lang", "source")
+    }),
+
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
     // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
     // through the capped co-order graph (X148, weight >= 2): min-hop
@@ -4623,6 +4654,56 @@ object LlmSurface {
       FROM p a JOIN p b ON a.id < b.id
       WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1600
       ORDER BY id_a, id_b
+    """,
+
+    "llm_woe_iv" -> s"""
+      WITH base AS (
+        SELECT CAST(floor((CASE WHEN event_type = 'error' THEN value + 20.0
+                 ELSE value END) * 1000000 + 0.5) AS BIGINT) AS f,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad
+        FROM events WHERE value IS NOT NULL),
+      e AS (
+        SELECT quantile_cont(f, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+                                 0.9]) AS edges
+        FROM base),
+      binned AS (
+        SELECT 1 + list_sum(list_transform(edges,
+                 x -> CASE WHEN f > x THEN 1 ELSE 0 END)) AS bin, bad
+        FROM base CROSS JOIN e),
+      counts AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(bad) AS BIGINT) AS n_bad
+        FROM binned GROUP BY bin),
+      tot AS (SELECT sum(n) AS tn, sum(n_bad) AS tb FROM counts),
+      d AS (
+        SELECT bin, n, n_bad,
+               (CAST(n - n_bad AS DOUBLE) + 0.5)
+                 / (CAST(tn - tb AS DOUBLE) + 5.0) AS gs,
+               (CAST(n_bad AS DOUBLE) + 0.5)
+                 / (CAST(tb AS DOUBLE) + 5.0) AS bs
+        FROM counts CROSS JOIN tot)
+      SELECT CAST(bin AS INT) AS bin, n, n_bad,
+             ${round6sql("CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE)")}
+               AS bad_rate,
+             ${round6sql("ln(gs / bs)")} AS woe,
+             ${round6sql("(gs - bs) * ln(gs / bs)")} AS iv_contrib
+      FROM d ORDER BY bin
+    """,
+
+    "llm_dp_release" -> s"""
+      WITH g AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+        FROM documents GROUP BY 1, 2),
+      h AS (
+        SELECT lang, source, n_true,
+               (CAST(CAST('0x' || substr(md5('dp-epoch-1|' || lang || '|'
+                  || source), 1, 12) AS BIGINT) AS DOUBLE) + 0.5)
+                 / 281474976710656.0 AS u
+        FROM g)
+      SELECT lang, source, n_true,
+             ${round6sql("CAST(n_true AS DOUBLE) + (-(1.0) * sign(u - 0.5)" +
+               " * ln(1.0 - 2.0 * abs(u - 0.5)))")} AS released
+      FROM h ORDER BY lang, source
     """,
 
     "llm_blast_radius" -> {

@@ -403,6 +403,49 @@ object RefSurface {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- declarative expectation-suite audit (data contract) ------------
+    // Great-Expectations shape: five violation predicates + a PK
+    // uniqueness contract over lineitem, ALL in one aggregate pass
+    // (uniqueness rides the same agg as count_distinct). The PK check
+    // FAILS by design — lineitem ships duplicate (orderkey,linenumber)
+    // rows (the known tie-break hazard), and the audit is what makes
+    // that a visible contract violation instead of tribal knowledge.
+    "p_expectations" -> ((s, dir) => {
+      graft.operators.Expectations.audit(Tables(s, dir, "lineitem"),
+        violations = Seq(
+          "quantity_range" ->
+            (col("l_quantity") < 1 || col("l_quantity") > 50),
+          "price_positive" -> (col("l_extendedprice") <= 0),
+          "discount_range" ->
+            (col("l_discount") < 0 || col("l_discount") > 0.1),
+          "shipdate_not_null" -> col("l_shipdate").isNull,
+          "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R")),
+        uniqueContracts = Seq(
+          "pk_unique" -> Seq("l_orderkey", "l_linenumber")))
+        .orderBy("check")
+    }),
+
+    // ---- schema-drift audit between parquet snapshot versions -----------
+    // Execute-the-claim: write v1/v2 of an orders projection with a
+    // dropped column, a float→double widening, and an added column,
+    // then audit the two footers. Schema reads are metadata-only (zero
+    // data rows); the |columns|-row report is the cross-engine surface
+    // — the oracle re-derives it from DuckDB's DESCRIBE of the SAME
+    // files.
+    "k9_schema_drift" -> ((s, dir) => {
+      val out = s"/tmp/graft_k9_out/${SalesFixture.sfName(dir)}"
+      val o = Tables(s, dir, "orders").limit(100)
+      o.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("float").as("o_score"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/v1")
+      o.select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("o_score"),
+          lit("backfilled").as("o_note"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/v2")
+      graft.sources.SchemaDrift.drift(s, s"$out/v1", s"$out/v2")
+        .orderBy("column")
+    }),
+
     // ---- malformed-row quarantine (S1's per-ROW error routing) ----------
     // The operational counterpart of the reference's per-FILE
     // skip-on-error (etl_utils.py:193-194): PERMISSIVE parse with
@@ -1478,6 +1521,54 @@ object RefSurface {
                    * 1000000.0 + 0.5) / 1000000.0 AS intercept
       FROM m
       ORDER BY l_returnflag
+    """,
+
+    "p_expectations" -> """
+      WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_quantity_range,
+               CAST(sum(CASE WHEN l_extendedprice <= 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_range,
+               CAST(sum(CASE WHEN l_shipdate IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_shipdate_not_null,
+               CAST(sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R'))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_returnflag_domain,
+               CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                 AS BIGINT) AS v_pk_unique
+        FROM lineitem),
+      u AS (
+        SELECT 'quantity_range' AS "check", n, v_quantity_range AS v FROM a
+        UNION ALL SELECT 'price_positive', n, v_price_positive FROM a
+        UNION ALL SELECT 'discount_range', n, v_discount_range FROM a
+        UNION ALL SELECT 'shipdate_not_null', n, v_shipdate_not_null FROM a
+        UNION ALL SELECT 'returnflag_domain', n, v_returnflag_domain FROM a
+        UNION ALL SELECT 'pk_unique', n, v_pk_unique FROM a)
+      SELECT "check", n AS n_rows, v AS n_violations,
+             floor(CAST(v AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS violation_rate,
+             v = 0 AS pass
+      FROM u ORDER BY "check"
+    """,
+
+    "k9_schema_drift" -> """
+      WITH o AS (
+        SELECT column_name AS c, column_type AS t
+        FROM (DESCRIBE SELECT * FROM
+          read_parquet('/tmp/graft_k9_out/__SF__/v1/*.parquet'))),
+      n AS (
+        SELECT column_name AS c, column_type AS t
+        FROM (DESCRIBE SELECT * FROM
+          read_parquet('/tmp/graft_k9_out/__SF__/v2/*.parquet')))
+      SELECT coalesce(o.c, n.c) AS "column",
+             CASE WHEN o.c IS NULL THEN 'added'
+                  WHEN n.c IS NULL THEN 'removed'
+                  WHEN o.t <> n.t THEN 'type_changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n ON o.c = n.c
+      ORDER BY 1
     """,
 
     "p_trailing_spend" -> """
