@@ -62,6 +62,49 @@ object FeatureOps {
           .as("iv_contrib"))
   }
 
+  /** Quantile (rank) normalization: map each value to its mid-rank
+    * fractional position r = (#below + ½·#equal)/n ∈ (0,1) — the
+    * distribution-free feature transform (uniformizes any marginal,
+    * ties share one rank) used before mixing features of wildly
+    * different scales.
+    *
+    * Exactness: r is a rational of three integer counts; the only
+    * double is the final division, round6-pinned. Mid-rank (not
+    * min-rank) so the transform is symmetric: reversing the sort
+    * reverses r around ½ exactly.
+    *
+    * Shape: counts come from the value HISTOGRAM — one combine agg to
+    * |distinct micro-values| rows; micro-quantization bounds that by
+    * the value DOMAIN, not the corpus (a 2-decimal metric has ≤ 10⁴
+    * cells per unit range). The prefix-sum window runs single-partition
+    * over that aggregate — the M4/X158 report-grade argument; at a
+    * domain too wide for one partition the same prefix decomposes into
+    * per-range sums + broadcast offsets. The corpus itself is touched
+    * by one agg and one equi-join back on the micro key.
+    *
+    * Output: df's idCol, value_micro, qnorm (round6).
+    */
+  def quantileNormalize(df: DataFrame, idCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol),
+        floor(col(valueCol) * 1000000 + 0.5).cast("long").as("value_micro"))
+    val hist = base.groupBy("value_micro").agg(count(lit(1)).as("_c"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("value_micro")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val tot = hist.agg(sum("_c").as("_n"))
+    val ranked = hist
+      .withColumn("_below", coalesce(sum(col("_c")).over(wOrd), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("value_micro"),
+        TextOps.round6((col("_below").cast("double")
+          + lit(0.5) * col("_c").cast("double")) / col("_n").cast("double"))
+          .as("qnorm"))
+    base.join(ranked, "value_micro")
+      .select(col(idCol), col("value_micro"), col("qnorm"))
+  }
+
   /** Differentially-private noised count release (ε-DP Laplace
     * mechanism, Dwork et al. 2006): per-group counts plus
     * Laplace(1/ε) noise — the mechanism a platform uses to publish

@@ -1809,6 +1809,84 @@ object TextOps {
     *
     * Returns a struct (n_tokens, max_run, run_token).
     */
+  /** N-gram novelty rate of candidate documents against a reference
+    * corpus: the share of a doc's DISTINCT n-gram shingles never seen
+    * in the reference — the incremental-ingest counterpart of
+    * decontamination (there: does the train set leak the benchmark;
+    * here: does the new batch add anything, or is it re-crawl). Low
+    * novelty ⇒ near-duplicate of existing data, skip before paying for
+    * dedup.
+    *
+    * Shape: candidate (doc, shingle) pairs are per-doc DISTINCT
+    * in-row (array_distinct before explode — no post-explode distinct
+    * shuffle); the reference collapses to its distinct shingle set in
+    * one combine agg; novelty is ONE left-anti equi-join + two
+    * |docs|-key combine aggs. The anti-join probes can pre-prune
+    * through a bloom filter of the reference set (X84's
+    * bloomMightContain) when the reference is corpus-sized — exactness
+    * then needs the confirm join only for bloom positives.
+    *
+    * Docs with fewer than n words have no shingles and drop by
+    * contract. Output: (id, n_shingles, n_novel, novelty round6).
+    */
+  def noveltyRate(cand: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n ($n) must be > 0")
+    val cs = cand.select(col(idCol),
+      explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+    val rs = ref.select(explode(wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val totals = cs.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val novel = cs.join(rs, Seq("sh"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round6(coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double")).as("novelty"))
+  }
+
+  /** Per-term Jensen–Shannon divergence contributions between two
+    * corpus snapshots' term distributions — the vocabulary-drift
+    * monitor ("did this month's crawl change what the model will
+    * read"). JSD = Σ_t ½p·ln(p/m) + ½q·ln(q/m) with m = (p+q)/2;
+    * the table emits each term's contribution and counts, the reader
+    * folds the scalar (the X142 rule — never sum doubles across
+    * partitions engine-side).
+    *
+    * Exactness: p, q, m are doubles derived from exact integer counts
+    * in one spelled operation order; each term's contribution is
+    * pinned to integer NANO-units (contributions sit at the 1e-4…1e-7
+    * scale — micro-pinning would zero the tail, nano keeps 3+ digits
+    * on every term while ln's ≤1-ulp error stays 5 orders below the
+    * pin). Terms absent from one side contribute only the other side's
+    * ½·ln 2 term, spelled with explicit zero guards — the CASE arms
+    * both engines share.
+    *
+    * Shape: two vocab-key combine count aggs, one full-outer equi-join
+    * on term, totals broadcast as a 1-row frame; everything after the
+    * counts is |vocab|-sized.
+    */
+  def vocabJsd(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    val ca = a.select(explode(words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_a"))
+    val cb = b.select(explode(words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_b"))
+    val joined = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = joined.agg(sum("c_a").as("_ta"), sum("c_b").as("_tb"))
+    val p = col("c_a").cast("double") / col("_ta").cast("double")
+    val q = col("c_b").cast("double") / col("_tb").cast("double")
+    val m = (p + q) / 2.0
+    val contrib =
+      when(col("c_a") === 0, lit(0.0)).otherwise(lit(0.5) * p * log(p / m)) +
+      when(col("c_b") === 0, lit(0.0)).otherwise(lit(0.5) * q * log(q / m))
+    joined.crossJoin(broadcast(tot))
+      .select(col("term"), col("c_a"), col("c_b"),
+        floor(contrib * 1000000000.0 + 0.5).cast("long").as("jsd_nano"))
+  }
+
   /** Bigram language-model cross-entropy per document — the classic
     * statistical quality/perplexity gate (low entropy ⇒ repetitive or
     * template text, high ⇒ rare constructions or noise) run with the

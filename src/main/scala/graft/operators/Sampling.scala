@@ -57,6 +57,51 @@ object Sampling {
       .drop("_sb", "_rb")
   }
 
+  /** Weighted bottom-k sample per stratum (the weighted bottom-k sketch
+    * of Cohen & Kaplan 2007, integer-weight form): an item with weight w
+    * draws w independent 48-bit md5 keys and keeps the MINIMUM; the k
+    * smallest keys per stratum are the sample. Min-of-w-uniforms has
+    * CDF 1−(1−u)^w, so inclusion probability rises with weight — the
+    * heavy documents a token-weighted corpus audit should oversample —
+    * while membership stays a pure function of (salt, id, weight):
+    * reproducible across runs, partitionings, and engines, and the
+    * sketch is MERGEABLE (min is a monoid) like X145's minhash.
+    *
+    * Exactness: keys are integers (no float, no u^(1/w) pow whose
+    * last-ulp rounding could swap adjacent ranks cross-engine — that
+    * spelling was rejected); ties break on (key, id). Weights clamp to
+    * [1, maxWeight] — the cap bounds per-row hashing at maxWeight md5s
+    * computed IN-ROW (transform over sequence, no row inflation).
+    *
+    * Shape: [[stratifiedTopK]]'s two-phase rank (random sub-bucket
+    * prune, then the stratum rank over ≤ rSalt·k survivors) — lossless
+    * because a stratum-top-k row is its bucket's top-k a fortiori.
+    */
+  def weightedBottomK(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String, maxWeight: Int = 32,
+      rSalt: Int = 16): DataFrame = {
+    require(k > 0 && maxWeight > 0 && rSalt > 0,
+      s"need k ($k), maxWeight ($maxWeight), rSalt ($rSalt) > 0")
+    val w = least(greatest(col(weightCol).cast("long"), lit(1L)),
+      lit(maxWeight.toLong))
+    val key = array_min(transform(sequence(lit(1L), w),
+      j => conv(substring(md5(concat(lit(s"$salt|"),
+        col(idCol).cast("string"), lit("|"), j.cast("string"))), 1, 12),
+        16, 10).cast("long")))
+    val bucket = TextOps.hashBucket(col(idCol), s"$salt#bucket", rSalt)
+    val perBucket = Window.partitionBy(col(strataCol), col("_sb"))
+      .orderBy(col("sample_key"), col(idCol))
+    val perStratum = Window.partitionBy(col(strataCol))
+      .orderBy(col("sample_key"), col(idCol))
+    df.withColumn("sample_key", key)
+      .withColumn("_sb", bucket)
+      .withColumn("_rb", row_number().over(perBucket))
+      .filter(col("_rb") <= k)
+      .withColumn("rank", row_number().over(perStratum))
+      .filter(col("rank") <= k)
+      .drop("_sb", "_rb")
+  }
+
   /** Few-shot prompt assembly: per class, take the [[stratifiedTopK]]
     * sample in hash-rank order and keep the PREFIX whose cumulative
     * token count fits `budgetTokens` — "pick reproducible few-shot

@@ -1832,6 +1832,62 @@ object LlmSurface {
         .orderBy("lang", "source")
     }),
 
+    // ---- weighted bottom-k corpus sample ---------------------------------
+    // Cohen-Kaplan weighted bottom-k per language, weight = token
+    // count capped at 32: min-of-w integer md5 keys, so heavy docs
+    // oversample while membership stays a pure (salt,id,weight)
+    // function — no float pow whose ulp could swap ranks. Two-phase
+    // rank (the X52 shape), oracle is the plain lossless rank.
+    "llm_weighted_sample" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      graft.operators.Sampling.weightedBottomK(d, "lang", "doc_id",
+        "n_tok", k = 5, salt = "wbk-v1")
+        .select(col("lang"), col("rank"), col("doc_id"), col("n_tok"),
+          col("sample_key"))
+        .orderBy("lang", "rank")
+    }),
+
+    // ---- quantile (rank) normalization -----------------------------------
+    // Mid-rank fractional position from the micro-value histogram:
+    // counts are exact integers, the prefix window runs over the
+    // |distinct-values| aggregate (domain-bounded, not corpus-bounded),
+    // and the corpus is touched by one agg + one equi-join back.
+    "llm_quantile_norm" -> ((s, dir) => {
+      graft.llm.FeatureOps.quantileNormalize(events(s, dir), "event_id",
+        "value").orderBy("event_id")
+    }),
+
+    // ---- n-gram novelty of the odd half vs the even reference ------------
+    // Incremental-ingest counterpart of decontamination: per candidate
+    // doc, the share of its distinct 3-gram shingles absent from the
+    // reference half — one left-anti equi-join, per-doc distinct done
+    // in-row before the explode. Synthetic soup is heavily shared, so
+    // low novelty IS the expected (and verified) answer.
+    "llm_novelty" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      TextOps.noveltyRate(d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- vocabulary JSD drift between corpus halves ----------------------
+    // Per-term Jensen-Shannon contributions in integer NANO-units (the
+    // bigram-LM pinning discipline at a finer grain — contributions sit
+    // at 1e-4..1e-7); a planted "newslang" token on part of the odd
+    // half exercises the absent-from-A zero guard with a real drift
+    // term. The reader folds the scalar (the chi-square rule).
+    "llm_vocab_jsd" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 10 === 1, concat(col("text"), lit(" newslang")))
+          .otherwise(col("text")))
+      TextOps.vocabJsd(
+        d.filter(col("doc_id") % 2 === 0).select(col("text2").as("text")),
+        d.filter(col("doc_id") % 2 === 1).select(col("text2").as("text")),
+        "text")
+        .orderBy("term")
+    }),
+
     // ---- blast radius: bounded-hop BFS from flagged nodes ----------------
     // "Recalled" parts (partkey % 97 == 0 among graph nodes) spreading
     // through the capped co-order graph (X148, weight >= 2): min-hop
@@ -4704,6 +4760,112 @@ object LlmSurface {
              ${round6sql("CAST(n_true AS DOUBLE) + (-(1.0) * sign(u - 0.5)" +
                " * ln(1.0 - 2.0 * abs(u - 0.5)))")} AS released
       FROM h ORDER BY lang, source
+    """,
+
+    "llm_weighted_sample" -> """
+      WITH d AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      k AS (
+        SELECT lang, doc_id, n_tok,
+               list_min(list_transform(
+                 range(1, least(greatest(n_tok, 1), 32) + 1),
+                 j -> CAST('0x' || substr(md5('wbk-v1|'
+                   || CAST(doc_id AS VARCHAR) || '|'
+                   || CAST(j AS VARCHAR)), 1, 12) AS BIGINT)))
+                 AS sample_key
+        FROM d),
+      r AS (
+        SELECT lang, doc_id, n_tok, sample_key,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY sample_key, doc_id) AS rnk
+        FROM k)
+      SELECT lang, CAST(rnk AS INT) AS rank, doc_id, n_tok, sample_key
+      FROM r WHERE rnk <= 5
+      ORDER BY lang, rnk
+    """,
+
+    "llm_quantile_norm" -> s"""
+      WITH base AS (
+        SELECT event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_micro
+        FROM events WHERE value IS NOT NULL),
+      hist AS (
+        SELECT value_micro, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1),
+      tot AS (SELECT sum(c) AS n FROM hist),
+      ranked AS (
+        SELECT value_micro, c,
+               coalesce(sum(c) OVER (ORDER BY value_micro
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+        FROM hist)
+      SELECT b.event_id, b.value_micro,
+             ${round6sql("(CAST(below AS DOUBLE) + 0.5 * CAST(c AS DOUBLE))" +
+               " / CAST(n AS DOUBLE)")} AS qnorm
+      FROM base b JOIN ranked USING (value_micro) CROSS JOIN tot
+      ORDER BY b.event_id
+    """,
+
+    "llm_novelty" -> s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+          THEN list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [] END) AS s
+        FROM w),
+      cs AS (
+        SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 2 = 1),
+      rs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+      totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM cs GROUP BY 1),
+      novel AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        FROM cs ANTI JOIN rs USING (s) GROUP BY doc_id)
+      SELECT t.doc_id, t.n_shingles, coalesce(v.n_novel, 0) AS n_novel,
+             ${round6sql("CAST(coalesce(v.n_novel, 0) AS DOUBLE)" +
+               " / CAST(t.n_shingles AS DOUBLE)")} AS novelty
+      FROM totals t LEFT JOIN novel v USING (doc_id)
+      ORDER BY t.doc_id
+    """,
+
+    "llm_vocab_jsd" -> """
+      WITH d AS (
+        SELECT doc_id, CASE WHEN doc_id % 10 = 1
+                 THEN text || ' newslang' ELSE text END AS text2
+        FROM documents),
+      ta AS (
+        SELECT unnest(string_split(text2, ' ')) AS term
+        FROM d WHERE doc_id % 2 = 0),
+      tb AS (
+        SELECT unnest(string_split(text2, ' ')) AS term
+        FROM d WHERE doc_id % 2 = 1),
+      ca AS (SELECT term, CAST(count(*) AS BIGINT) AS c_a
+             FROM ta GROUP BY 1),
+      cb AS (SELECT term, CAST(count(*) AS BIGINT) AS c_b
+             FROM tb GROUP BY 1),
+      j AS (
+        SELECT coalesce(ca.term, cb.term) AS term,
+               coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+      tot AS (SELECT sum(c_a) AS tta, sum(c_b) AS ttb FROM j),
+      e AS (
+        SELECT term, c_a, c_b,
+               CAST(c_a AS DOUBLE) / CAST(tta AS DOUBLE) AS p,
+               CAST(c_b AS DOUBLE) / CAST(ttb AS DOUBLE) AS q
+        FROM j CROSS JOIN tot)
+      SELECT term, c_a, c_b,
+             CAST(floor(
+               ((CASE WHEN c_a = 0 THEN 0.0
+                      ELSE 0.5 * p * ln(p / ((p + q) / 2.0)) END)
+                + (CASE WHEN c_b = 0 THEN 0.0
+                       ELSE 0.5 * q * ln(q / ((p + q) / 2.0)) END))
+               * 1000000000.0 + 0.5) AS BIGINT) AS jsd_nano
+      FROM e ORDER BY term
     """,
 
     "llm_blast_radius" -> {

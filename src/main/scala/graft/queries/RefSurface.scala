@@ -432,8 +432,8 @@ object RefSurface {
     // data rows); the |columns|-row report is the cross-engine surface
     // — the oracle re-derives it from DuckDB's DESCRIBE of the SAME
     // files.
-    "k9_schema_drift" -> ((s, dir) => {
-      val out = s"/tmp/graft_k9_out/${SalesFixture.sfName(dir)}"
+    "k10_schema_drift" -> ((s, dir) => {
+      val out = s"/tmp/graft_k10_out/${SalesFixture.sfName(dir)}"
       val o = Tables(s, dir, "orders").limit(100)
       o.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
           col("o_totalprice").cast("float").as("o_score"))
@@ -1553,15 +1553,15 @@ object RefSurface {
       FROM u ORDER BY "check"
     """,
 
-    "k9_schema_drift" -> """
+    "k10_schema_drift" -> """
       WITH o AS (
         SELECT column_name AS c, column_type AS t
         FROM (DESCRIBE SELECT * FROM
-          read_parquet('/tmp/graft_k9_out/__SF__/v1/*.parquet'))),
+          read_parquet('/tmp/graft_k10_out/__SF__/v1/*.parquet'))),
       n AS (
         SELECT column_name AS c, column_type AS t
         FROM (DESCRIBE SELECT * FROM
-          read_parquet('/tmp/graft_k9_out/__SF__/v2/*.parquet')))
+          read_parquet('/tmp/graft_k10_out/__SF__/v2/*.parquet')))
       SELECT coalesce(o.c, n.c) AS "column",
              CASE WHEN o.c IS NULL THEN 'added'
                   WHEN n.c IS NULL THEN 'removed'
