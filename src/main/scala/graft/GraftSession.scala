@@ -30,10 +30,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS), which the vectorized
-      // reader otherwise rejects; read nanos as LONG (Tables.events then
-      // converts with exact integer division). Set HERE, once, at session
-      // build — a library function silently flipping session confs
+      // events.parquet has shipped as both TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across harness generations. NANOS is rejected by
+      // the vectorized reader, so keep reading nanos as LONG (Tables.events
+      // branches on the loaded schema and converts with exact integer
+      // division); the flag is a no-op for MICROS files. Set HERE, once, at
+      // session build — a library function silently flipping session confs
       // mid-flight is the same leak class as persisting inside operators.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
