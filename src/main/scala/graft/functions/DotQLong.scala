@@ -88,5 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bottomk_distinct_long"),
+      new ExpressionInfo(classOf[BottomKDistinctLong].getName, "bottomk_distinct_long"),
+      (children: Seq[Expression]) =>
+        BottomKDistinctLong(children(0), children(1))))
   }
 }

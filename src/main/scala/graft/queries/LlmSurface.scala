@@ -1352,14 +1352,30 @@ object LlmSurface {
     // definition, no drift.
     "llm_ann_recall" -> ((s, dir) => {
       val ix = ivfPqIndex(s, dir)
-      val short = VectorOps.ivfPqTopK(ix.codes, ix.qs, ix.coarse, ix.cb,
+      // Recall is evaluated on a FIXED 64-query panel, md5-sampled from
+      // the query set: the exact ground truth below is a deliberate
+      // brute-force (panel × corpus), and without the cap it is the one
+      // plan in the repo that grows quadratically (|queries| = n/100 ⇒
+      // O(n²/100) pairs). A constant panel keeps the evaluator linear in
+      // the corpus at any scale while every per-query number stays exact;
+      // 64 queries bound the recall estimate's own sampling error at
+      // ~±6% (binomial, p≈0.5) — the resolution this eval needs. The
+      // row_number is a global sort over |queries| rows (n/100, ~10⁴ at
+      // 100 TB-scale embeddings tables' query rate), not over the corpus.
+      val panel = ix.qs
+        .withColumn("_ph", expr("cast(conv(substring(md5(concat('panel|', " +
+          "cast(vec_id as string))), 1, 15), 16, 10) as bigint)"))
+        .withColumn("_pr", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("_ph"), col("vec_id"))))
+        .filter(col("_pr") <= 64).drop("_ph", "_pr")
+      val short = VectorOps.ivfPqTopK(ix.codes, panel, ix.coarse, ix.cb,
         "vec_id", "qv", k = 20, nProbe = 4, m = ix.m, subDim = ix.subDim,
         dot = ix.dot)
       val top5 = short.filter(col("rank") <= 5)
         .select(col("query_id"), col("vec_id"), lit(true).as("_h5"))
       val short20 = short
         .select(col("query_id"), col("vec_id"), lit(true).as("_h20"))
-      val allPairs = ix.qs.select(col("vec_id").as("query_id"))
+      val allPairs = panel.select(col("vec_id").as("query_id"))
         .crossJoin(ix.emb.select(col("vec_id")))
         // Queries ARE corpus vectors (vec_id % 100 == 0) and the index
         // side (ivfPqTopK) excludes self-matches, so the exact ground
@@ -1368,7 +1384,7 @@ object LlmSurface {
         // measurable top-5 recall at 80% and shifting true neighbors'
         // ranks.
         .filter(col("query_id") =!= col("vec_id"))
-      val exact = VectorOps.refineTopK(allPairs, ix.emb, ix.qs,
+      val exact = VectorOps.refineTopK(allPairs, ix.emb, panel,
         "vec_id", "qv", k = 5, dot = ix.dot)
       exact
         .join(top5, Seq("query_id", "vec_id"), "left")
@@ -4063,6 +4079,14 @@ object LlmSurface {
 
     "llm_ann_recall" -> s"""
       WITH $ivfPqApproxCtes,
+      pq AS (
+        SELECT query_id, qv FROM (
+          SELECT query_id, qv,
+                 row_number() OVER (ORDER BY
+                   CAST('0x' || substr(md5('panel|' || CAST(query_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   query_id) AS pr
+          FROM qv0)
+        WHERE pr <= 64),
       ar AS (
         SELECT query_id, vec_id, rn FROM (
           SELECT query_id, vec_id,
@@ -4073,7 +4097,7 @@ object LlmSurface {
         SELECT q.query_id, x.vec_id,
                CAST(list_sum(list_transform(range(1, 65),
                  j -> (q.qv[j] - x.qv[j]) * (q.qv[j] - x.qv[j]))) AS BIGINT) AS dist_q
-        FROM qv0 q CROSS JOIN e x
+        FROM pq q CROSS JOIN e x
         WHERE q.query_id <> x.vec_id),
       er AS (
         SELECT query_id, vec_id, dist_q,

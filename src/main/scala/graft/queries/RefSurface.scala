@@ -831,36 +831,66 @@ object RefSurface {
     }),
 
     // ---- sketch table profile: the 100 TB default -------------------------
-    // The SAME profile through mergeable sketches in ONE corpus pass:
-    // approx_count_distinct (HyperLogLog++) per column and
-    // approx_percentile (t-digest) for the numeric columns are ordinary
-    // partial-combine aggregates — no Expand, no per-column rescan, one
-    // scan + one exchange no matter how many columns are profiled.
-    // Exact n_rows/n_nulls/min/max ride along in the same pass. At
-    // 100 TB this is the only profile that finishes; `p_profile` (exact
-    // NDV, |cols| scans) stays as the documented small-table option.
+    // The SAME profile through mergeable sketches in ONE corpus pass — no
+    // Expand, no per-column rescan, one scan + one exchange no matter how
+    // many columns are profiled. Exact n_rows/n_nulls/min/max ride along
+    // in the same pass. At 100 TB this is the only profile that finishes;
+    // `p_profile` (exact NDV, |cols| scans) stays as the documented
+    // small-table option.
     //
-    // Sketch estimates are engine-specific by design (X34 precedent), so
-    // this query has NO DuckDB hash oracle — the driver records the
-    // rows-only check, and SketchSpec pins the estimates to their error
-    // bounds against the exact profile plus the one-scan/no-Expand plan
-    // shape as CI assertions.
+    // Unlike HLL++/t-digest (whose register layouts are engine-private,
+    // X34 precedent), the sketches here are ENGINE-INDEPENDENT, so the
+    // query carries a full DuckDB hash oracle:
+    //  - NDV via KMV [Beyer et al., SIGMOD'07]: the k=256 smallest
+    //    DISTINCT 60-bit md5 values of each column are a pure function of
+    //    the data (`bottomk_distinct_long`, a bounded TypedImperative
+    //    aggregate; the oracle replays it as DISTINCT…ORDER BY…LIMIT k),
+    //    and the estimate (k−1)·2⁶⁰/h₍ₖ₎ goes through bit-identical IEEE
+    //    ops in both engines. |K|<k means the column's full distinct-hash
+    //    set fits the sketch → exact count.
+    //  - Quantiles via a deterministic bottom-k-by-hash row sample
+    //    (k=1024): `topk_by_long(value, −rowhash, k)` keeps the sample
+    //    rows with the smallest row hashes (ties → smallest value, the
+    //    oracle's ORDER BY rh, v), then the explicit rank rule
+    //    s[⌊(n−1)·q⌋] on the sorted sample — reproducible exactly, with
+    //    the usual O(1/√k) sample-quantile error vs the population.
+    // Both sketch states are O(k) and partial-mergeable, so the map side
+    // ships ~2–16 KB per column per task regardless of row count —
+    // SketchSpec pins the one-scan/no-Expand plan shape and the error
+    // bounds vs the exact profile.
     "p_profile_approx" -> ((s, dir) => {
       val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
       val strCols = Seq("l_returnflag", "l_linestatus")
       val cols = intCols ++ strCols
-      val li = Tables(s, dir, "lineitem").select(cols.map(col): _*)
+      val kN = 256   // KMV sketch size
+      val kS = 1024  // quantile sample size
+      val pow60 = "cast(255 as double) * cast(1152921504606846976 as double)" // (k-1)·2^60
+      val li = Tables(s, dir, "lineitem")
+        .select(cols.map(col): _*)
+        // 60-bit row key for the quantile sample; duplicate (orderkey,
+        // linenumber) rows (they exist — see lineitem gotcha) collide to
+        // the same (key, value) pair, which both engines' tie rule keeps
+        // as an identical multiset
+        .withColumn("_rh", expr(
+          "cast(conv(substring(md5(concat('smp|', cast(l_orderkey as string), '|', " +
+            "cast(l_linenumber as string), '|', cast(l_partkey as string), '|', " +
+            "cast(l_suppkey as string))), 1, 15), 16, 10) as bigint)"))
       val aggs = cols.flatMap { c =>
         Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-          approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_ndv"),
           min(col(c)).cast("string").as(s"${c}_min"),
-          max(col(c)).cast("string").as(s"${c}_max"))
-      } ++ intCols.flatMap { c =>
-        Seq(
-          expr(s"approx_percentile($c, 0.5)").cast("double").as(s"${c}_med"),
-          expr(s"approx_percentile($c, 0.95)").cast("double").as(s"${c}_p95"))
+          max(col(c)).cast("string").as(s"${c}_max"),
+          expr(s"bottomk_distinct_long(cast(conv(substring(md5(concat('kmv|', " +
+            s"cast($c as string))), 1, 15), 16, 10) as bigint), $kN)").as(s"${c}_kmv"))
+      } ++ intCols.map { c =>
+        expr(s"topk_by_long(cast($c as bigint), -_rh, $kS)").as(s"${c}_smp")
       }
+      def ndv(c: String) =
+        expr(s"case when size(${c}_kmv) < $kN then cast(size(${c}_kmv) as bigint) " +
+          s"else cast(floor($pow60 / cast(element_at(${c}_kmv, $kN) as double)) as bigint) end")
+      def quantile(c: String, q: String) =
+        expr(s"cast(element_at(array_sort(transform(${c}_smp, x -> x.payload)), " +
+          s"cast(floor(cast(size(${c}_smp) - 1 as double) * $q) as int) + 1) as double)")
       li.agg(count(lit(1)).as("n_rows"), aggs: _*)
         // one aggregate row → |cols| profile rows, still the same pass
         .select(explode(array(cols.map { c =>
@@ -868,12 +898,12 @@ object RefSurface {
             lit(c).as("column_name"),
             col("n_rows").as("n_rows"),
             col(s"${c}_nulls").as("n_nulls"),
-            col(s"${c}_ndv").as("n_distinct_approx"),
+            ndv(c).as("n_distinct_approx"),
             col(s"${c}_min").as("min_val"),
             col(s"${c}_max").as("max_val"),
-            (if (intCols.contains(c)) col(s"${c}_med")
+            (if (intCols.contains(c)) quantile(c, "0.5")
              else lit(null).cast("double")).as("med_approx"),
-            (if (intCols.contains(c)) col(s"${c}_p95")
+            (if (intCols.contains(c)) quantile(c, "0.95")
              else lit(null).cast("double")).as("p95_approx"))
         }: _*)).as("p"))
         .select("p.*")
@@ -1732,6 +1762,65 @@ object RefSurface {
         FROM a""").mkString("\n      UNION ALL\n      ")}
       ORDER BY column_name
     """,
+
+    // DuckDB replay of the engine-independent sketches (see the query's
+    // design comment): KMV = DISTINCT hash → ORDER BY → LIMIT k; quantile
+    // sample = the 1024 rows with the smallest row hashes (ties → smallest
+    // value, matching topk_by_long's ord-then-payload contract), exact
+    // rank rule s[⌊(n−1)·q⌋] over the sorted sample. Every arithmetic step
+    // mirrors the Spark expression bit-for-bit (same 60-bit md5 prefix,
+    // same DOUBLE casts, same floor), so the values hash-match.
+    "p_profile_approx" -> {
+      val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val cols = intCols ++ strCols
+      val rh = "CAST('0x' || substr(md5('smp|' || CAST(l_orderkey AS VARCHAR) || '|' || " +
+        "CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || " +
+        "CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT)"
+      def kmvCte(c: String) =
+        s"""kmv_$c AS (
+        SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS BIGINT)
+               ELSE CAST(floor(CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                               / CAST(max(h) AS DOUBLE)) AS BIGINT) END AS ndv
+        FROM (SELECT h FROM (
+                SELECT DISTINCT CAST('0x' || substr(md5('kmv|' || CAST($c AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                FROM lineitem WHERE $c IS NOT NULL)
+              ORDER BY h LIMIT 256))"""
+      def smpCte(c: String) =
+        s"""smp_$c AS (
+        SELECT list_sort(list(v)) AS vals FROM (
+          SELECT CAST($c AS BIGINT) AS v, $rh AS rh
+          FROM lineitem WHERE $c IS NOT NULL
+          ORDER BY rh, v LIMIT 1024)),
+      q_$c AS (
+        SELECT CAST(vals[CAST(floor(CAST(len(vals) - 1 AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE) AS med,
+               CAST(vals[CAST(floor(CAST(len(vals) - 1 AS DOUBLE) * 0.95) AS INT) + 1] AS DOUBLE) AS p95
+        FROM smp_$c)"""
+      def row(c: String) = {
+        val (med, p95) =
+          if (intCols.contains(c))
+            (s"(SELECT med FROM q_$c)", s"(SELECT p95 FROM q_$c)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        s"""SELECT '$c' AS column_name, n_rows, ${c}_nulls AS n_nulls,
+             (SELECT ndv FROM kmv_$c) AS n_distinct_approx,
+             ${c}_min AS min_val, ${c}_max AS max_val,
+             $med AS med_approx, $p95 AS p95_approx
+        FROM exact"""
+      }
+      s"""
+      WITH exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               ${cols.map(c =>
+                 s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls,
+               CAST(min($c) AS VARCHAR) AS ${c}_min,
+               CAST(max($c) AS VARCHAR) AS ${c}_max""").mkString(",\n               ")}
+        FROM lineitem),
+      ${cols.map(kmvCte).mkString(",\n      ")},
+      ${intCols.map(smpCte).mkString(",\n      ")}
+      ${cols.map(row).mkString("\n      UNION ALL\n      ")}
+      ORDER BY column_name
+    """
+    },
 
     "j5_shipping_priority" -> """
       SELECT l_orderkey,

@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximations — the 100 TB substitutes for exact
-  * distinct counts and sort-based quantiles. Sketches aren't
-  * bit-comparable across engines, so they're bounds-tested here instead
-  * of oracle-compared: HyperLogLog++ within its configured relative
-  * error, t-digest percentile within a small band of the exact value.
+  * distinct counts and sort-based quantiles. The built-in HLL++/t-digest
+  * aggregates aren't bit-comparable across engines, so they're
+  * bounds-tested here; `p_profile_approx`'s KMV/hash-sample sketches ARE
+  * engine-independent (and hash-oracle-checked by the driver) — this spec
+  * additionally pins their error vs the exact profile and the
+  * one-scan/no-Expand plan shape.
   */
 class SketchSpec extends SparkSpec {
   import spark.implicits._
@@ -45,18 +47,22 @@ class SketchSpec extends SparkSpec {
       assert(ar.getLong(2) === er.getLong(2), s"$c n_nulls")
       assert(ar.getString(4) === er.getString(4), s"$c min_val")
       assert(ar.getString(5) === er.getString(5), s"$c max_val")
-      // HLL++ at rsd=0.02: generous 3x bound (and never flaky — the
-      // estimate is deterministic for fixed data)
+      // KMV at k=256: expected relative error ≈ 1/√(k−2) ≈ 6.3%; the
+      // estimate is deterministic for fixed data, so a 2.5σ-ish bound is
+      // never flaky. Columns whose distinct-hash set fits the sketch
+      // (|K| < k) are EXACT — assert that stronger contract directly.
       val (nd, ndA) = (er.getLong(3), ar.getLong(3))
-      assert(math.abs(ndA - nd).toDouble / math.max(nd, 1L) <= 0.06,
+      if (nd < 256) assert(ndA === nd, s"$c small-NDV must be exact")
+      else assert(math.abs(ndA - nd).toDouble / nd <= 0.16,
         s"$c ndv approx $ndA vs exact $nd")
     }
 
-    // t-digest medians track the exact percentile on the int columns
+    // 1024-row hash-sample medians track the exact percentile on the int
+    // columns (rank error ~1/√k ≈ 3%; value bound is loose for safety)
     val med = graft.queries.Tables(spark, dir, "lineitem")
       .agg(expr("percentile(l_partkey, 0.5)")).head().getDouble(0)
     val medA = a("l_partkey").getDouble(6)
-    assert(math.abs(medA - med) <= math.max(1.0, med * 0.05),
+    assert(math.abs(medA - med) <= math.max(1.0, med * 0.12),
       s"l_partkey approx median $medA vs exact $med")
 
     // the scale claim: ONE scan, no Expand (the exact multi-distinct
