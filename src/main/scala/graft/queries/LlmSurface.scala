@@ -142,6 +142,32 @@ object LlmSurface {
     IvfPqIndex(emb, coarse, cb, codes, qs, dot, m, subDim)
   }
 
+  /** Fixed 64-query evaluation panel, md5-sampled from the query set —
+    * shared by the ANN evaluation queries (recall, retrieval metrics) so
+    * they grade the same queries. The row_number is a global sort over
+    * |queries| rows (n/100), never the corpus.
+    */
+  private def annPanel(qs: DataFrame): DataFrame = qs
+    .withColumn("_ph", expr("cast(conv(substring(md5(concat('panel|', " +
+      "cast(vec_id as string))), 1, 15), 16, 10) as bigint)"))
+    .withColumn("_pr", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("_ph"), col("vec_id"))))
+    .filter(col("_pr") <= 64).drop("_ph", "_pr")
+
+  /** Deterministic "cross-encoder" weight vector for the rerank stage:
+    * 64 md5-derived ints in [−1000, 1000] (1-based dim labels). A real
+    * deployment loads trained weights; the PLUMBING — model-sized
+    * broadcast literal, shortlist equi-join, elementwise interaction
+    * s(q,d) = w·(q⊙d), per-query re-rank — is what this exercises, and
+    * the md5 derivation lets the DuckDB oracle rebuild the same model.
+    */
+  private val CeWeights: Seq[Long] = (1 to 64).map { j =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ce|$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: sha256 content hash, keep-first --------------------
     "llm_exact_dedup" -> ((s, dir) => {
@@ -584,6 +610,23 @@ object LlmSurface {
     "llm_substring_dedup" -> ((s, dir) => {
       TextOps.substringDupStats(boilerplatedDocs(s, dir), "doc_id", "aug", spanTokens = 10)
         .orderBy("doc_id")
+    }),
+
+    // ---- suffix-array longest repeats (Lee et al. 2022, ExactSubstr) -----
+    // The true suffix-array form of substring dedup: prefix-doubling
+    // ranks (O(log maxDocLen) shuffle rounds over (doc, pos, rank) rows,
+    // suffixes never materialized), SA adjacency, LCP by binary descent
+    // over the stored rank tables, left-maximal filter, top-k by LCP.
+    // Unlike the fixed-window family above, no span length is chosen
+    // before the scan — this answers "what ARE the longest repeats",
+    // which is how Lee et al. pick what to excise. Runs on the
+    // boilerplated corpus so the planted 18-word notice dominates the
+    // top pairs; natural corpus repeats fill the rest. The oracle
+    // materializes and sorts the O(n·len) suffix lists — viable only at
+    // test scale, which is exactly the point of the distributed build.
+    "llm_suffix_repeats" -> ((s, dir) => {
+      graft.operators.SuffixArray.longestRepeats(
+        boilerplatedDocs(s, dir), "doc_id", "aug", topK = 40, minTokens = 5)
     }),
 
     // ---- line-level dedup (RefinedWeb/CCNet): drop cross-doc shared lines
@@ -1359,15 +1402,8 @@ object LlmSurface {
       // O(n²/100) pairs). A constant panel keeps the evaluator linear in
       // the corpus at any scale while every per-query number stays exact;
       // 64 queries bound the recall estimate's own sampling error at
-      // ~±6% (binomial, p≈0.5) — the resolution this eval needs. The
-      // row_number is a global sort over |queries| rows (n/100, ~10⁴ at
-      // 100 TB-scale embeddings tables' query rate), not over the corpus.
-      val panel = ix.qs
-        .withColumn("_ph", expr("cast(conv(substring(md5(concat('panel|', " +
-          "cast(vec_id as string))), 1, 15), 16, 10) as bigint)"))
-        .withColumn("_pr", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("_ph"), col("vec_id"))))
-        .filter(col("_pr") <= 64).drop("_ph", "_pr")
+      // ~±6% (binomial, p≈0.5) — the resolution this eval needs.
+      val panel = annPanel(ix.qs)
       val short = VectorOps.ivfPqTopK(ix.codes, panel, ix.coarse, ix.cb,
         "vec_id", "qv", k = 20, nProbe = 4, m = ix.m, subDim = ix.subDim,
         dot = ix.dot)
@@ -1409,6 +1445,77 @@ object LlmSurface {
       VectorOps.refineTopK(short, ix.emb, ix.qs, "vec_id", "qv", k = 5,
         dot = ix.dot)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- cross-encoder-style rerank over the refine shortlist ------------
+    // The third stage of a deployed retrieval stack (bi-encoder ANN →
+    // exact refine → cross-encoder rerank): the C=20 shortlist joins its
+    // full-precision vectors, a model-sized weight vector broadcasts as a
+    // plan literal, and the interaction score s(q,d) = w·(q⊙d) re-ranks
+    // per query. Corpus cost is the shortlist equi-join only (C rows per
+    // query); the "model" here is md5-derived so both engines rebuild it
+    // (a trained checkpoint would load the same shape). All-integer
+    // scores: |w·(q⊙d)| ≤ 64·10⁹ — exact in both engines.
+    "llm_rerank_cross" -> ((s, dir) => {
+      val ix = ivfPqIndex(s, dir)
+      val short = VectorOps.ivfPqTopK(ix.codes, ix.qs, ix.coarse, ix.cb,
+        "vec_id", "qv", k = 20, nProbe = 4, m = ix.m, subDim = ix.subDim,
+        dot = ix.dot)
+      val w = array(CeWeights.map(lit): _*)
+      val cand = short.select(col("query_id"), col("vec_id"))
+        .join(ix.emb.select(col("vec_id"), col("qv").as("_dv")), "vec_id")
+        .join(broadcast(ix.qs.select(col("vec_id").as("query_id"),
+          col("qv").as("_qv"))), "query_id")
+        .withColumn("ce_score", ix.dot(col("_qv"), zip_with(col("_dv"), w,
+          (d, wj) => d * wj)))
+      cand.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("ce_score").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "ce_score")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- retrieval quality metrics: MRR / nDCG@5 / recall on the panel ---
+    // The evaluation table a retrieval stack ships with: per panel query,
+    // reciprocal rank of the TRUE nearest neighbor in the approx ranking,
+    // binary-relevance nDCG@5 against the exact top-5, and recall@5/@20.
+    // Reuses the llm_ann_recall machinery (same md5 panel, same exact
+    // ground truth, same shortlist), so the numbers grade the identical
+    // system. Doubles appear only in final per-query ratios (identical
+    // operands both engines; round6 absorbs log2 ulp differences).
+    "llm_retrieval_metrics" -> ((s, dir) => {
+      val ix = ivfPqIndex(s, dir)
+      val panel = annPanel(ix.qs)
+      val short = VectorOps.ivfPqTopK(ix.codes, panel, ix.coarse, ix.cb,
+        "vec_id", "qv", k = 20, nProbe = 4, m = ix.m, subDim = ix.subDim,
+        dot = ix.dot)
+        .select(col("query_id"), col("vec_id"), col("rank").as("arank"))
+      val allPairs = panel.select(col("vec_id").as("query_id"))
+        .crossJoin(ix.emb.select(col("vec_id")))
+        .filter(col("query_id") =!= col("vec_id"))
+      val gt = VectorOps.refineTopK(allPairs, ix.emb, panel,
+        "vec_id", "qv", k = 5, dot = ix.dot)
+        .select(col("query_id"), col("vec_id"), col("rank").as("grank"))
+      val idcg = (1 to 5).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+      val joined = gt.join(short, Seq("query_id", "vec_id"), "left")
+      joined.groupBy("query_id")
+        .agg(
+          // rr: the true rank-1 neighbor's position in the approx list
+          max(when(col("grank") === 1 && col("arank").isNotNull,
+            col("arank"))).as("_r1pos"),
+          sum(when(col("arank") <= 5, 1L).otherwise(0L)).as("_hit5"),
+          sum(when(col("arank") <= 20, 1L).otherwise(0L)).as("_hit20"),
+          sum(when(col("arank") <= 5,
+              lit(1.0) / log2(col("arank") + 1)).otherwise(lit(0.0)))
+            .as("_dcg"))
+        .select(col("query_id"),
+          TextOps.round6(coalesce(lit(1.0) / col("_r1pos"), lit(0.0)))
+            .as("mrr"),
+          TextOps.round6(col("_hit5") / lit(5.0)).as("recall5"),
+          TextOps.round6(col("_hit20") / lit(5.0)).as("recall20"),
+          TextOps.round6(col("_dcg") / lit(idcg)).as("ndcg5"))
+        .orderBy("query_id")
     }),
 
     // ---- embedding-cosine near-dup pairs within LSH buckets --------------
@@ -3110,6 +3217,50 @@ object LlmSurface {
       ORDER BY b.doc_id
     """,
 
+    // Brute-force suffix-array replay: materialize every suffix's word
+    // list (O(n·len) — oracle-only, the engine never does this), sort by
+    // DuckDB's native list comparison (lexicographic, shorter-prefix
+    // first — exactly the sentinel order of the prefix-doubling build),
+    // LCP of adjacent suffixes via first-mismatch position, then the
+    // same left-maximal filter and (lcp DESC, ids) top-k.
+    "llm_suffix_repeats" -> s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0 THEN text || ' $Boilerplate'
+                    ELSE text END AS text
+        FROM documents),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+      suf AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[CAST(i AS INTEGER):] AS s,
+               CASE WHEN i > 1 THEN ws[CAST(i AS INTEGER) - 1] ELSE NULL END AS pw
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, CAST(len(ws) AS BIGINT) + 1)) AS i
+              FROM tok)),
+      ord AS (
+        SELECT *, row_number() OVER (ORDER BY s, doc_id, pos) AS r FROM suf),
+      pr AS (
+        SELECT a.doc_id AS doc_a, a.pos AS pos_a, a.s AS sa, a.pw AS pwa,
+               b.doc_id AS doc_b, b.pos AS pos_b, b.s AS sb, b.pw AS pwb
+        FROM ord a JOIN ord b ON b.r = a.r + 1),
+      lc AS (
+        -- nullif guard: list_position returns 0 (not NULL) when no
+        -- mismatch exists, i.e. one suffix is a prefix of the other —
+        -- there the LCP is the shorter length
+        SELECT doc_a, pos_a, doc_b, pos_b, pwa, pwb,
+               CAST(coalesce(
+                 nullif(list_position(list_transform(
+                   range(1, least(len(sa), len(sb)) + 1),
+                   i -> sa[i] = sb[i]), false), 0) - 1,
+                 least(len(sa), len(sb))) AS BIGINT) AS lcp_tokens
+        FROM pr)
+      SELECT doc_a, pos_a, doc_b, pos_b, lcp_tokens
+      FROM lc
+      WHERE (pwa IS DISTINCT FROM pwb OR (pwa IS NULL AND pwb IS NULL))
+        AND lcp_tokens >= 5
+      ORDER BY lcp_tokens DESC, doc_a, pos_a, doc_b, pos_b
+      LIMIT 40
+    """,
+
     "llm_line_dedup" -> s"""
       WITH aug AS (
         SELECT doc_id,
@@ -4133,6 +4284,83 @@ object LlmSurface {
         FROM rer)
       WHERE "rank" <= 5
       ORDER BY query_id, "rank"
+    """,
+
+    // Same md5-derived weight vector as the Spark side (1-based dim
+    // labels), same integer interaction score w·(q⊙d), same per-query
+    // re-rank of the C=20 shortlist.
+    "llm_rerank_cross" -> s"""
+      WITH $ivfPqApproxCtes,
+      short AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS rn
+          FROM approx)
+        WHERE rn <= 20),
+      wv AS (
+        SELECT list_transform(range(1, 65),
+                 j -> (CAST('0x' || substr(md5('ce|' || CAST(j AS VARCHAR)), 1, 4) AS INT) % 2001) - 1000) AS w),
+      scored AS (
+        SELECT s.query_id, s.vec_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                 j -> q.qv[j] * x.qv[j] * w[j])) AS BIGINT) AS ce_score
+        FROM short s
+        JOIN e x ON s.vec_id = x.vec_id
+        JOIN qv0 q ON s.query_id = q.query_id
+        CROSS JOIN wv)
+      SELECT query_id, "rank", vec_id, ce_score FROM (
+        SELECT query_id, vec_id, ce_score,
+               row_number() OVER (PARTITION BY query_id ORDER BY ce_score DESC, vec_id) AS "rank"
+        FROM scored)
+      WHERE "rank" <= 5
+      ORDER BY query_id, "rank"
+    """,
+
+    // Same panel, ground truth, and shortlist as llm_ann_recall; binary
+    // relevance vs the exact top-5. log2 may differ from the JVM's by an
+    // ulp — round6 absorbs it.
+    "llm_retrieval_metrics" -> s"""
+      WITH $ivfPqApproxCtes,
+      pq AS (
+        SELECT query_id, qv FROM (
+          SELECT query_id, qv,
+                 row_number() OVER (ORDER BY
+                   CAST('0x' || substr(md5('panel|' || CAST(query_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   query_id) AS pr
+          FROM qv0)
+        WHERE pr <= 64),
+      ar AS (
+        SELECT query_id, vec_id, rn AS arank FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS rn
+          FROM approx)
+        WHERE rn <= 20),
+      ex AS (
+        SELECT q.query_id, x.vec_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                 j -> (q.qv[j] - x.qv[j]) * (q.qv[j] - x.qv[j]))) AS BIGINT) AS dist_q
+        FROM pq q CROSS JOIN e x
+        WHERE q.query_id <> x.vec_id),
+      gt AS (
+        SELECT query_id, vec_id, grank FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY dist_q, vec_id) AS grank
+          FROM ex)
+        WHERE grank <= 5),
+      j AS (
+        SELECT gt.query_id, gt.grank, ar.arank
+        FROM gt LEFT JOIN ar
+          ON gt.query_id = ar.query_id AND gt.vec_id = ar.vec_id)
+      SELECT query_id,
+             ${round6sql("coalesce(1.0 / max(CASE WHEN grank = 1 THEN arank END), 0.0)")} AS mrr,
+             ${round6sql("sum(CASE WHEN arank <= 5 THEN 1 ELSE 0 END) / 5.0")} AS recall5,
+             ${round6sql("sum(CASE WHEN arank <= 20 THEN 1 ELSE 0 END) / 5.0")} AS recall20,
+             ${round6sql(
+               "sum(CASE WHEN arank <= 5 THEN 1.0 / log2(arank + 1) ELSE 0.0 END) / " +
+               "(1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0) + 1.0/log2(5.0) + 1.0/log2(6.0))")} AS ndcg5
+      FROM j
+      GROUP BY query_id
+      ORDER BY query_id
     """,
 
     "llm_embed_near_dup" -> s"""

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SuffixArray
+
+/** Prefix-doubling suffix array + LCP longest-repeat extraction, pinned
+  * on a hand-computed corpus (every expected row derived on paper from
+  * the SA order) plus structural properties on the real test corpus.
+  */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a quick brown fox leaps over things"),
+    (3L, "totally unrelated words here"),
+    (4L, "the quick brown fox jumps high"),
+    (5L, "x y z w x y z q")
+  ).toDF("doc_id", "text")
+
+  test("longestRepeats finds the hand-computed maximal repeats") {
+    val got = SuffixArray.longestRepeats(docs, "doc_id", "text",
+      topK = 10, minTokens = 3)
+      .as[(Long, Int, Long, Int, Long)].collect().toSeq
+
+    // Hand derivation:
+    //  - "the quick brown fox jumps" docs 1&4, pos 1&1: LCP 5. Both at
+    //    doc start (prev null/null) → left-maximal, kept. SA order puts
+    //    doc 4 first ("… jumps high" < "… jumps over …": 'h' < 'o').
+    //  - "quick brown fox jumps …" docs 4&1 pos 2: prev "the"/"the" →
+    //    extends left, DROPPED.
+    //  - "quick brown fox" docs 1&2 pos 2&2: adjacent pair is
+    //    (d1p2 "quick brown fox jumps…", d2p2 "quick brown fox leaps…"),
+    //    LCP 3, prev "the"/"a" differ → kept.
+    //  - "x y z" within doc 5, pos 5&1 ("x y z q" < "x y z w …"):
+    //    LCP 3, prev "w"/null differ → kept.
+    assert(got === Seq(
+      (4L, 1, 1L, 1, 5L),
+      (1L, 2, 2L, 2, 3L),
+      (5L, 5, 5L, 1, 3L)))
+  }
+
+  test("minTokens gates short repeats; topK truncates deterministically") {
+    val all = SuffixArray.longestRepeats(docs, "doc_id", "text",
+      topK = 100, minTokens = 1)
+      .as[(Long, Int, Long, Int, Long)].collect().toSeq
+    // lcp=1 pairs exist (e.g. "over …" docs 1&2, prev jumps/leaps) and
+    // sit below every lcp>=3 row
+    assert(all.size > 3 && all.take(3).forall(_._5 >= 3) &&
+      all.drop(3).forall(_._5 < 3))
+    val top1 = SuffixArray.longestRepeats(docs, "doc_id", "text",
+      topK = 1, minTokens = 3).as[(Long, Int, Long, Int, Long)].collect()
+    assert(top1.toSeq === Seq((4L, 1, 1L, 1, 5L)))
+  }
+
+  test("rank tables converge to the lexicographic suffix order") {
+    val tables = SuffixArray.rankTables(docs, "doc_id", "text")
+    val fin = tables.last._2
+    // brute-force oracle in-memory: suffix word-lists, Spark-side order
+    val texts = docs.as[(Long, String)].collect().toMap
+    val sufs = texts.toSeq.flatMap { case (d, t) =>
+      val ws = t.split(" ", -1)
+      ws.indices.map(i => (d, i + 1, ws.drop(i).toSeq))
+    }
+    implicit val ord: Ordering[Seq[String]] = Ordering.Implicits.seqOrdering
+    val expect = sufs.sortBy { case (d, p, s) => (s, d, p.toLong) }
+      .map { case (d, p, _) => (d, p) }
+    val got = fin.orderBy(col("rank"), col("doc"), col("pos"))
+      .select("doc", "pos").as[(Long, Int)].collect().toSeq
+    assert(got === expect)
+    // equal ranks ⟺ equal suffixes (doc 5 has none equal; none expected
+    // in this corpus), so ranks must be all-distinct here
+    assert(fin.select("rank").distinct().count() === fin.count())
+  }
+
+  test("structural: real corpus run returns sane, planted-boilerplate-dominated repeats") {
+    val real = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val top = SuffixArray.longestRepeats(real, "doc_id", "text",
+      topK = 20, minTokens = 5)
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    // pairs reference distinct occurrences and honest lengths
+    rows.foreach { r =>
+      val (da, pa, db, pb, l) = (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))
+      assert(l >= 5 && (da != db || pa != pb))
+    }
+  }
+}
