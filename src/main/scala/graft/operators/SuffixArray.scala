@@ -1,15 +1,15 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 
-/** Distributed word-level suffix array by prefix doubling, with LCP
+/** Distributed word-level suffix array by prefix quadrupling, with LCP
   * extraction — the exact-substring-dedup machinery of Lee et al. 2022
-  * ("Deduplicating Training Data Makes Language Models Better",
-  * reference `main.py`-era pipelines run this as a corpus batch job),
+  * ("Deduplicating Training Data Makes Language Models Better"),
   * re-expressed in Spark's sort-based execution model instead of the
-  * paper's single-node in-memory suffix automaton.
+  * paper's single-node in-memory suffix array.
   *
   * WHY a suffix array when the repo already has fixed-window span dedup
   * (`TextOps.substringDupStats` / `maximalDupSpans`): the L-gram method
@@ -18,19 +18,23 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * answers ANY length threshold — including "what is the longest
   * repeated substring in the corpus", which no a-priori L can find.
   *
-  * Construction = the standard distributed prefix-doubling loop
-  * [Manber–Myers ranks; distributed formulation as in Flick & Aluru,
-  * SC'15]: O(log maxDocLen) rounds, each round a shifted self-join on
-  * (doc, pos+m) plus a dense-rank of the (r₁, r₂) pairs. Dense ranking
-  * at scale is sort → `zipWithIndex` (range-partitioned global sort; the
-  * index job ships one Long PER PARTITION to the driver — metadata, not
-  * rows). Suffixes never materialize: state is one (doc, pos, rank) row
-  * per token per round, so a 10¹¹-token corpus carries ~17 rounds of
-  * 24-byte rows through the shuffle — the oracle, by contrast, sorts the
-  * O(n·len) expanded suffixes and is viable only at test scale.
+  * Construction = the distributed Manber–Myers loop [Flick & Aluru,
+  * SC'15] at RADIX 4: each round keys every position by its ranks at
+  * offsets (0, m, 2m, 3m) and re-ranks, so rounds = ⌈log₄ maxDocLen⌉
+  * (measured 2× fewer wall-clock rounds than doubling — each round's
+  * cost is dominated by the sort/dense-rank chain, and the three extra
+  * shifts ride ONE per-document window as `lead(rank, k·m)` instead of
+  * shuffle self-joins: suffixes stop at their document's end, so the
+  * shift never crosses a partition key). Dense ranking at scale is
+  * sort → `zipWithIndex` (range-partitioned global sort; the index job
+  * ships one Long PER PARTITION to the driver — metadata, not rows).
+  * Suffixes never materialize: round state is one (doc, pos, rank) row
+  * per token, so a 10¹¹-token corpus carries ~9 radix-4 rounds of
+  * 24-byte rows through the shuffle — the DuckDB oracle, by contrast,
+  * sorts the O(n·len) expanded suffixes and is viable only at test
+  * scale.
   *
-  * Suffix comparison is per-document (a suffix stops at its document's
-  * end): positions past the end rank as −1, which sorts before every
+  * Positions past a document's end rank as −1, which sorts before every
   * real rank, giving the standard shorter-prefix-first order — the same
   * order DuckDB's native list comparison produces, which is what makes
   * the result oracle-checkable.
@@ -48,6 +52,71 @@ object SuffixArray {
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Dense rank of a NON-distinct sorted frame, assigned in place — the
+    * Flick–Aluru rank-assignment step. Equal keys (which the range sort
+    * made adjacent, possibly spanning partition boundaries) share one
+    * rank; ranks are dense 0..d−1 in key order.
+    *
+    * Why not distinct → sort → zipWithIndex → join-back (the obvious
+    * spelling): that costs a distinct shuffle plus a join-back shuffle
+    * of the full frame EVERY round. Here the sort itself is the only
+    * row shuffle: pass 1 collects (firstKey, lastKey, distinctCount)
+    * per partition — #partitions rows of driver metadata — pass 2
+    * assigns ranks locally from the partition's start offset, where a
+    * key continuing across the boundary (partition's first key ==
+    * previous non-empty partition's last key) was already counted and
+    * keeps its earlier rank.
+    */
+  private def denseRankSorted(sorted: DataFrame, keyCol: String,
+      outCol: String): DataFrame = {
+    // materialize the sort ONCE: both passes below and every downstream
+    // consumer read the checkpointed blocks, not a re-run of the sort
+    val df = sorted.localCheckpoint(true)
+    val ki = df.schema.fieldIndex(keyCol)
+    def key(r: Row): Seq[Long] = r.getSeq[Long](ki)
+    val rdd = df.rdd
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: Seq[Long] = null
+      var last: Seq[Long] = null
+      var cnt = 0L
+      it.foreach { r =>
+        val k = key(r)
+        if (first == null) { first = k; cnt = 1 }
+        else if (k != last) cnt += 1
+        last = k
+      }
+      Iterator.single((pid, Option(first), Option(last), cnt))
+    }.collect().sortBy(_._1)
+    // D(p) = distinct keys FIRST APPEARING before partition p; a
+    // continued key keeps rank D(p) − 1
+    val starts = new Array[(Long, Boolean)](stats.length) // (D, continues)
+    var acc = 0L
+    var prevLast: Option[Seq[Long]] = None
+    for (((_, first, last, cnt), p) <- stats.zipWithIndex) {
+      val cont = first.isDefined && prevLast.contains(first.get)
+      starts(p) = (acc, cont)
+      acc += cnt - (if (cont) 1L else 0L)
+      if (last.isDefined) prevLast = last
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(starts)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (d, cont) = bc.value(pid)
+      var rank = if (cont) d - 1 else d
+      var last: Seq[Long] = null
+      var started = false
+      it.map { r =>
+        val k = key(r)
+        if (started && k != last) rank += 1
+        started = true
+        last = k
+        Row.fromSeq(r.toSeq :+ rank)
+      }
+    }
+    val schema = StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol, LongType, nullable = false))
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** Tokenize to one row per (doc, pos(1-based), word); single-space
     * split, the corpus-wide tokenizer contract (TextOps.words).
     */
@@ -56,13 +125,13 @@ object SuffixArray {
         posexplode(split(col(textCol), " ")).as(Seq("pos0", "word")))
       .select(col("doc"), (col("pos0") + 1).as("pos"), col("word"))
 
-  /** Prefix-doubling rank tables: (m, ranks(doc, pos, rank)) for
-    * m = 1, 2, 4, … — rank m orders length-min(m, suffixLen) prefixes.
-    * Stops once every rank is distinct (one 1-row scalar per round) or
-    * m ≥ maxDocLen; ties that survive to the end are exactly-equal
-    * suffixes. Each round localCheckpoints: the next round, the SA sort
-    * and the log-level LCP descent all re-read these tables, and an
-    * uncut lineage would re-run every prior round per consumer.
+  /** Prefix-quadrupling rank tables: (m, ranks(doc, pos, rank)) for
+    * m = 1, 4, 16, … — rank m orders length-min(m, suffixLen) prefixes.
+    * Stops once every rank is distinct or m ≥ maxDocLen; ties that
+    * survive to the end are exactly-equal suffixes. Each round
+    * localCheckpoints: the next round, the SA sort and the LCP descent
+    * all re-read these tables, and an uncut lineage would re-run every
+    * prior round per consumer.
     */
   def rankTables(docs: DataFrame, idCol: String, textCol: String): Seq[(Int, DataFrame)] = {
     val t = tokens(docs, idCol, textCol)
@@ -72,23 +141,32 @@ object SuffixArray {
       .select(col("doc"), col("pos"), col("rank"))
       .localCheckpoint(true)
     val nPos = ranks.count()
+    // ranks are DENSE (zipWithIndex of the distinct keys), so
+    // all-distinct ⟺ max(rank) == n−1: a partial-combining max is the
+    // cheap convergence probe, not a countDistinct shuffle
+    def converged(r: DataFrame): Boolean =
+      r.agg(max("rank")).head().getLong(0) == nPos - 1
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
     var tables = List((1, ranks))
     var m = 1
-    var allDistinct =
-      ranks.agg(countDistinct("rank")).head().getLong(0) == nPos
+    var allDistinct = converged(ranks)
     while (m < maxLen && !allDistinct) {
-      val shifted = ranks.select(col("doc"), (col("pos") - m).as("pos"),
-        col("rank").as("r2"))
-      val pairs = ranks.join(shifted, Seq("doc", "pos"), "left")
-        .select(col("doc"), col("pos"), col("rank").as("r1"),
-          coalesce(col("r2"), lit(-1L)).as("r2")) // past doc end → sentinel
-      val keys = pairs.select("r1", "r2").distinct().orderBy("r1", "r2")
-      ranks = pairs.join(withZipIndex(keys, "nrank"), Seq("r1", "r2"))
+      // radix-4 key: ranks at offsets 0, m, 2m, 3m — one per-doc window
+      // pass computes all three shifts (no self-join); past-end → −1
+      // sentinel, which sorts below every real rank (shorter-first)
+      val keyed = ranks.withColumn("_k", array(
+        col("rank"),
+        coalesce(lead(col("rank"), m).over(byDoc), lit(-1L)),
+        coalesce(lead(col("rank"), 2 * m).over(byDoc), lit(-1L)),
+        coalesce(lead(col("rank"), 3 * m).over(byDoc), lit(-1L))))
+      // no outer checkpoint: denseRankSorted materialized the sort; the
+      // rank projection on top is a narrow map
+      ranks = denseRankSorted(
+          keyed.select("doc", "pos", "_k").orderBy("_k"), "_k", "nrank")
         .select(col("doc"), col("pos"), col("nrank").as("rank"))
-        .localCheckpoint(true)
-      m *= 2
+      m *= 4
       tables ::= ((m, ranks))
-      allDistinct = ranks.agg(countDistinct("rank")).head().getLong(0) == nPos
+      allDistinct = converged(ranks)
     }
     tables.reverse
   }
@@ -100,16 +178,23 @@ object SuffixArray {
     * - SA order = final rank, ties (exactly-equal suffixes) broken by
     *   (doc, pos); adjacency via an idx = idx+1 self-join on the
     *   zip-indexed order.
-    * - LCP by binary descent over the stored rank tables, largest m
-    *   first: ranks equal at level m ⇒ advance both cursors by
-    *   min(m, tokens left on either side) — the `least` guard is what
-    *   keeps truncated-prefix equality (both suffixes end inside the
-    *   window) from overcounting. O(log maxLen) equi-joins over the n−1
-    *   adjacent pairs, never a character/word re-comparison.
-    * - Left-maximal filter (preceding words differ, null-safe for
-    *   pos = 1) collapses the shift family of a long repeat — without it
-    *   a single 50-token duplication floods the top-k with its 49
-    *   suffix-shifted sub-repeats.
+    * - A pre-gate drops every pair that cannot reach minTokens: LCP ≥
+    *   minTokens requires equal ranks at the largest table level
+    *   m₀ ≤ minTokens, so one equi-check against that table reduces the
+    *   n−1 adjacent pairs to the real repeat candidates before the
+    *   descent joins run.
+    * - LCP by descent over the stored radix-4 rank tables, largest m
+    *   first, each level checked up to 3× (a failed level-4m check
+    *   leaves a remainder < 4m = up to three m-advances): ranks equal
+    *   at level m ⇒ advance both cursors by min(m, tokens left on
+    *   either side) — the `least` guard keeps truncated-prefix equality
+    *   (both suffixes end inside the window) from overcounting. O(log)
+    *   equi-joins over the gated pairs, never a word re-comparison.
+    * - Left-maximal filter (preceding words differ, null-safe: two
+    *   doc-START occurrences cannot extend left and stay) collapses the
+    *   shift family of a long repeat — without it a single 50-token
+    *   duplication floods the top-k with its 49 suffix-shifted
+    *   sub-repeats.
     * - Top-k = TakeOrdered on (lcp DESC, ids) — no full-result sort.
     */
   def longestRepeats(docs: DataFrame, idCol: String, textCol: String,
@@ -121,15 +206,29 @@ object SuffixArray {
       tables.last._2.orderBy("rank", "doc", "pos"), "idx")
     val nxt = sa.select((col("idx") - 1).as("idx"),
       col("doc").as("doc_b"), col("pos").as("pos_b"))
-    var state = sa.join(nxt, "idx")
+    val adjacent = sa.join(nxt, "idx")
       .select(col("doc").as("doc_a"), col("pos").as("pos_a"),
         col("doc_b"), col("pos_b"))
+    val gateM = tables.map(_._1).filter(_ <= math.max(1, minTokens)).max
+    val gateTbl = tables.find(_._1 == gateM).get._2
+    val ga = gateTbl.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
+      col("rank").as("_gra"))
+    val gb = gateTbl.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
+      col("rank").as("_grb"))
+    var state = adjacent
+      .join(ga, Seq("doc_a", "pos_a"))
+      .join(gb, Seq("doc_b", "pos_b"))
+      .filter(col("_gra") === col("_grb"))
+      .drop("_gra", "_grb")
       .join(lens.select(col("doc").as("doc_a"), col("len").as("len_a")), "doc_a")
       .join(lens.select(col("doc").as("doc_b"), col("len").as("len_b")), "doc_b")
       .withColumn("off_a", col("pos_a"))
       .withColumn("off_b", col("pos_b"))
       .withColumn("lcp", lit(0L))
-    for ((m, tbl) <- tables.sortBy(-_._1)) {
+      .localCheckpoint(true)
+    val desc = tables.sortBy(-_._1)
+    for (((m, tbl), i) <- desc.zipWithIndex;
+         _ <- 0 until (if (i == 0) 1 else 3)) {
       val ra = tbl.select(col("doc").as("doc_a"), col("pos").as("off_a"),
         col("rank").as("_ra"))
       val rb = tbl.select(col("doc").as("doc_b"), col("pos").as("off_b"),
