@@ -171,18 +171,21 @@ object SuffixArray {
     tables.reverse
   }
 
-  /** Top-k longest left-maximal repeated substrings in the corpus:
-    * (doc_a, pos_a, doc_b, pos_b, lcp_tokens), k pairs with the largest
-    * adjacent-suffix LCP ≥ minTokens.
+  /** SA-adjacent suffix pairs with their exact LCP, pre-gated so only
+    * pairs that can reach `minTokens` flow through the descent —
+    * the shared core of [[longestRepeats]] and [[dupSpans]].
+    *
+    * Returns (doc_a, pos_a, doc_b, pos_b, len_a, len_b, lcp) where
+    * (a, b) are consecutive suffixes in SA order.
     *
     * - SA order = final rank, ties (exactly-equal suffixes) broken by
     *   (doc, pos); adjacency via an idx = idx+1 self-join on the
     *   zip-indexed order.
-    * - A pre-gate drops every pair that cannot reach minTokens: LCP ≥
-    *   minTokens requires equal ranks at the largest table level
-    *   m₀ ≤ minTokens, so one equi-check against that table reduces the
-    *   n−1 adjacent pairs to the real repeat candidates before the
-    *   descent joins run.
+    * - The pre-gate: LCP ≥ minTokens requires equal ranks at the
+    *   largest table level m₀ ≤ minTokens, so one equi-check against
+    *   that table reduces the n−1 adjacent pairs to the real repeat
+    *   candidates before the descent joins run. Pairs failing the gate
+    *   are DROPPED (their LCP < m₀ is never computed).
     * - LCP by descent over the stored radix-4 rank tables, largest m
     *   first, each level checked up to 3× (a failed level-4m check
     *   leaves a remainder < 4m = up to three m-advances): ranks equal
@@ -190,15 +193,9 @@ object SuffixArray {
     *   either side) — the `least` guard keeps truncated-prefix equality
     *   (both suffixes end inside the window) from overcounting. O(log)
     *   equi-joins over the gated pairs, never a word re-comparison.
-    * - Left-maximal filter (preceding words differ, null-safe: two
-    *   doc-START occurrences cannot extend left and stay) collapses the
-    *   shift family of a long repeat — without it a single 50-token
-    *   duplication floods the top-k with its 49 suffix-shifted
-    *   sub-repeats.
-    * - Top-k = TakeOrdered on (lcp DESC, ids) — no full-result sort.
     */
-  def longestRepeats(docs: DataFrame, idCol: String, textCol: String,
-      topK: Int, minTokens: Int): DataFrame = {
+  def adjacentLcp(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
     val tables = rankTables(docs, idCol, textCol)
     val t = tokens(docs, idCol, textCol)
     val lens = t.groupBy("doc").agg(max("pos").as("len"))
@@ -251,6 +248,67 @@ object SuffixArray {
         .withColumn("off_b", col("off_b") + col("_adv"))
         .drop("_ra", "_rb", "_adv")
     }
+    state.select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+      col("len_a"), col("len_b"), col("lcp"))
+  }
+
+  /** Per-document maximal duplicated spans of ≥ `spanTokens` tokens —
+    * the excision list of Lee et al. 2022's ExactSubstr dedup, derived
+    * from the suffix array.
+    *
+    * A position p starts a duplicated `spanTokens`-gram iff some OTHER
+    * suffix (any document, including p's own) shares a prefix of ≥
+    * spanTokens with p's — and the suffixes maximizing LCP with p are
+    * exactly its SA neighbors, so p is flagged iff one of its two
+    * adjacent pairs has lcp ≥ spanTokens. Flagged positions then merge
+    * per document into maximal runs (gaps-and-islands; per-DOC windows,
+    * so the sort is document-sized and fully parallel): a run of r
+    * consecutive flagged positions is one duplicated span of
+    * r + spanTokens − 1 tokens.
+    *
+    * Returns (idCol, span_start, span_tokens), one row per maximal
+    * span. Differs from `TextOps.maximalDupSpans` (X69) in both
+    * mechanism and scope: that operator hashes fixed windows and only
+    * counts CROSS-document sharing; this one derives the same span
+    * semantics from SA adjacency and flags within-document repeats too
+    * (a doc that repeats its own boilerplate is still training-data
+    * duplication). The DuckDB oracle recomputes the result by the
+    * L-gram method — an INDEPENDENT algorithm agreeing on the output is
+    * the strongest equivalence check the harness can express.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens ($spanTokens) must be >= 2")
+    val pairs = adjacentLcp(docs, idCol, textCol, spanTokens)
+      .filter(col("lcp") >= spanTokens)
+    val flagged = pairs.select(col("doc_a").as("doc"), col("pos_a").as("pos"))
+      .unionByName(pairs.select(col("doc_b").as("doc"), col("pos_b").as("pos")))
+      .distinct()
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
+    flagged
+      .withColumn("_isl", col("pos") - row_number().over(byDoc))
+      .groupBy("doc", "_isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + spanTokens).cast("long").as("span_tokens"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_tokens"))
+      .orderBy(idCol, "span_start")
+  }
+
+  /** Top-k longest left-maximal repeated substrings in the corpus:
+    * (doc_a, pos_a, doc_b, pos_b, lcp_tokens), k pairs with the largest
+    * adjacent-suffix LCP ≥ minTokens, over [[adjacentLcp]]'s pairs.
+    *
+    * - Left-maximal filter (preceding words differ, null-safe: two
+    *   doc-START occurrences cannot extend left and stay) collapses the
+    *   shift family of a long repeat — without it a single 50-token
+    *   duplication floods the top-k with its 49 suffix-shifted
+    *   sub-repeats.
+    * - Top-k = TakeOrdered on (lcp DESC, ids) — no full-result sort.
+    */
+  def longestRepeats(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int, minTokens: Int): DataFrame = {
+    val t = tokens(docs, idCol, textCol)
+    val state = adjacentLcp(docs, idCol, textCol, minTokens)
     // left-maximality: the words before each occurrence differ (or one
     // occurrence starts its document)
     val prev = t.select(col("doc"), (col("pos") + 1).as("nxtpos"), col("word"))

@@ -629,6 +629,20 @@ object LlmSurface {
         boilerplatedDocs(s, dir), "doc_id", "aug", topK = 40, minTokens = 5)
     }),
 
+    // ---- SA-driven duplicate-span excision list --------------------------
+    // The deliverable of Lee et al.'s ExactSubstr dedup: per-doc maximal
+    // spans of ≥10 tokens whose content occurs elsewhere (any doc,
+    // including the doc itself). Spark derives spans from SA adjacency
+    // (a position is duplicated iff an SA-neighbor suffix shares ≥10
+    // tokens); the oracle recomputes them by the independent L-gram
+    // method (duplicated-window flags → islands) — two different
+    // algorithms required to agree on the rows. Planted boilerplate
+    // surfaces as one 18-token span per injected doc.
+    "llm_suffix_dup_spans" -> ((s, dir) => {
+      graft.operators.SuffixArray.dupSpans(
+        boilerplatedDocs(s, dir), "doc_id", "aug", spanTokens = 10)
+    }),
+
     // ---- line-level dedup (RefinedWeb/CCNet): drop cross-doc shared lines
     // The pass whole-doc dedup can't do (the docs differ) and offset-bound
     // chunk shas miss (the shared line floats per doc). Corpus text is
@@ -3259,6 +3273,38 @@ object LlmSurface {
         AND lcp_tokens >= 5
       ORDER BY lcp_tokens DESC, doc_a, pos_a, doc_b, pos_b
       LIMIT 40
+    """,
+
+    // Independent-algorithm oracle: duplicated 10-gram flags (count of
+    // OCCURRENCES ≥ 2 — within-doc repeats count, unlike the
+    // cross-doc-only llm_substring_dedup family) merged into maximal
+    // runs by gaps-and-islands. A run of r flagged starts is one
+    // duplicated span of r + 9 tokens — provably the same spans the
+    // suffix-array side derives from adjacent-suffix LCPs.
+    "llm_suffix_dup_spans" -> s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0 THEN text || ' $Boilerplate'
+                    ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+      sp AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               md5(array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, greatest(CAST(len(ws) AS BIGINT) - 8, 1))) AS i
+              FROM w)),
+      g AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+      f AS (SELECT DISTINCT doc_id, pos FROM sp JOIN g USING (h)),
+      isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM f)
+      SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+             CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_tokens
+      FROM isl
+      GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start
     """,
 
     "llm_line_dedup" -> s"""

@@ -73,6 +73,49 @@ class SuffixArraySpec extends SparkSpec {
     assert(fin.select("rank").distinct().count() === fin.count())
   }
 
+  test("dupSpans: hand-computed excision list (incl. within-doc repeats)") {
+    val got = SuffixArray.dupSpans(docs, "doc_id", "text", spanTokens = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    // duplicated 3-gram starts: doc1 {1,2,3} ("the quick brown"/"quick
+    // brown fox"/"brown fox jumps" all recur in docs 2/4), doc2 {2},
+    // doc4 {1,2,3}, doc5 {1,5} (within-doc "x y z"); runs merge to:
+    assert(got === Seq(
+      (1L, 1, 5L),
+      (2L, 2, 3L),
+      (4L, 1, 5L),
+      (5L, 1, 3L),
+      (5L, 5, 3L)))
+  }
+
+  test("dupSpans ≡ the independent L-gram islands algorithm on the real corpus") {
+    val real = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200)
+    val viaSa = SuffixArray.dupSpans(real, "doc_id", "text", spanTokens = 8)
+      .as[(Long, Int, Long)].collect().toSeq
+    // independent recomputation: duplicated 8-gram position flags
+    // (occurrence count ≥ 2) merged by gaps-and-islands — the oracle's
+    // algorithm, run in Spark on the same input
+    import org.apache.spark.sql.expressions.Window
+    val w = real.select(col("doc_id"),
+      graft.llm.TextOps.words(col("text")).as("_w"))
+    val grams = w.select(col("doc_id"),
+        posexplode(graft.llm.TextOps.shinglesFromWords(col("_w"), 8))
+          .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), md5(col("g")).as("h"))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val flagged = grams.join(dup, "h").select("doc_id", "pos").distinct()
+    val viaGrams = flagged
+      .withColumn("_isl", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "_isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + 8).cast("long").as("span_tokens"))
+      .select("doc_id", "span_start", "span_tokens")
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(viaSa === viaGrams && viaSa.nonEmpty)
+  }
+
   test("structural: real corpus run returns sane, planted-boilerplate-dominated repeats") {
     val real = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     val top = SuffixArray.longestRepeats(real, "doc_id", "text",
