@@ -643,6 +643,47 @@ object LlmSurface {
         boilerplatedDocs(s, dir), "doc_id", "aug", spanTokens = 10)
     }),
 
+    // ---- KMV set algebra: vocabulary overlap cardinalities per source ----
+    // Theta-sketch-style set operations on the engine-independent KMV
+    // sketch (X102's r9 machinery): per-source vocabulary NDV, pairwise
+    // union NDV from the MERGED sketch (k smallest of A∪B ⊆ K_A ∪ K_B —
+    // the standard mergeability argument), intersection by
+    // inclusion–exclusion (clamped at 0; error ~2·1/√(k−2) per operand,
+    // the documented cost of the composed estimator), and the implied
+    // Jaccard. One corpus pass builds all |sources| sketches; the
+    // pairwise matrix is a broadcast self-join of the |sources|-row
+    // sketch table — the corpus is never touched again. Differs from
+    // llm_minhash_overlap (X145): that estimates similarity directly;
+    // this estimates CARDINALITIES (the numbers a mixture planner needs
+    // to size union corpora and shared-vocabulary budgets). Every value
+    // is a pure function of the data — full hash oracle.
+    "llm_kmv_set_ops" -> ((s, dir) => {
+      val k = 128
+      val pow = s"cast(${k - 1} as double) * cast(1152921504606846976 as double)"
+      def est(c: String) =
+        expr(s"case when size($c) < $k then cast(size($c) as bigint) " +
+          s"else cast(floor($pow / cast(element_at($c, $k) as double)) as bigint) end")
+      val sk = Tables(s, dir, "documents")
+        .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+        .select(col("source"), expr(
+          "cast(conv(substring(md5(concat('kmv|', w)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+        .groupBy("source")
+        .agg(expr(s"bottomk_distinct_long(h, $k)").as("kmv"))
+      sk.select(col("source").as("source_a"), col("kmv").as("ka"))
+        .join(broadcast(sk.select(col("source").as("source_b"), col("kmv").as("kb"))),
+          col("source_a") < col("source_b"))
+        .withColumn("ku", expr(s"slice(array_sort(array_distinct(concat(ka, kb))), 1, $k)"))
+        .select(col("source_a"), col("source_b"),
+          est("ka").as("vocab_a_est"), est("kb").as("vocab_b_est"),
+          est("ku").as("union_est"))
+        .withColumn("intersect_est", greatest(lit(0L),
+          col("vocab_a_est") + col("vocab_b_est") - col("union_est")))
+        .withColumn("jaccard_est", TextOps.round6(
+          col("intersect_est").cast("double") / col("union_est").cast("double")))
+        .orderBy("source_a", "source_b")
+    }),
+
     // ---- line-level dedup (RefinedWeb/CCNet): drop cross-doc shared lines
     // The pass whole-doc dedup can't do (the docs differ) and offset-bound
     // chunk shas miss (the shared line floats per doc). Corpus text is
@@ -1137,6 +1178,37 @@ object LlmSurface {
         .select(col("doc_id"), col("exact_keeper"),
           coalesce(col("label"), col("doc_id")).as("group_rep"))
         .withColumn("keep", col("group_rep") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- leakage-safe train/val/test split (group-aware) -----------------
+    // The plain md5 split (llm_train_split) leaks at evaluation time:
+    // near-duplicate docs hash independently, so the val/test sets
+    // contain paraphrases of training docs and eval scores inflate. Split
+    // on the DUP-GROUP key instead: group_rep from the same SimHash+CC
+    // machinery as llm_dedup_corpus (exact copies share a simhash, so
+    // they fold into the same component), then one md5 bucket per GROUP —
+    // every member inherits its group's split by construction, which the
+    // spec pins as "no group straddles splits". Membership stays a pure
+    // function of (salt, corpus content); the corpus-scale cost is the
+    // dedup pass itself, which a pipeline runs anyway — the split adds
+    // one |docs|-row projection.
+    "llm_leakage_split" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val pairs = TextOps.simHashNearDup(Tables(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3, chunks = 4)
+      val labels = graft.operators.ConnectedComponents
+        .alternatingStars(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("group_rep"))
+        .withColumn("bucket", expr("cast(conv(substring(md5(concat('lsplit|', " +
+          "cast(group_rep as string))), 1, 4), 16, 10) as int) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "group_rep", "bucket", "split")
         .orderBy("doc_id")
     }),
 
@@ -3307,6 +3379,39 @@ object LlmSurface {
       ORDER BY doc_id, span_start
     """,
 
+    // Exact KMV replay: k smallest distinct 60-bit md5s per source, the
+    // union sketch as the k smallest of the concatenated sketches, the
+    // same (k−1)·2⁶⁰/h₍ₖ₎ estimator arithmetic step for step.
+    "llm_kmv_set_ops" -> s"""
+      WITH tok AS (
+        SELECT source, CAST('0x' || substr(md5('kmv|' || w), 1, 15) AS BIGINT) AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)),
+      dh AS (SELECT DISTINCT source, h FROM tok),
+      rk AS (SELECT source, h,
+                    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM dh),
+      sk AS (SELECT source, list(h ORDER BY h) AS kmv
+             FROM rk WHERE rn <= 128 GROUP BY source),
+      pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                    a.kmv AS ka, b.kmv AS kb,
+                    list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:128] AS ku
+             FROM sk a JOIN sk b ON a.source < b.source),
+      e AS (SELECT source_a, source_b,
+                   ${Seq("ka" -> "vocab_a_est", "kb" -> "vocab_b_est",
+                         "ku" -> "union_est").map { case (c, n) =>
+                     s"""CASE WHEN len($c) < 128 THEN CAST(len($c) AS BIGINT)
+                        ELSE CAST(floor(CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                                        / CAST($c[128] AS DOUBLE)) AS BIGINT) END AS $n"""
+                   }.mkString(",\n                   ")}
+            FROM pr)
+      SELECT source_a, source_b, vocab_a_est, vocab_b_est, union_est,
+             greatest(0, vocab_a_est + vocab_b_est - union_est) AS intersect_est,
+             ${round6sql(
+               "CAST(greatest(0, vocab_a_est + vocab_b_est - union_est) AS DOUBLE) / CAST(union_est AS DOUBLE)")} AS jaccard_est
+      FROM e
+      ORDER BY source_a, source_b
+    """,
+
     "llm_line_dedup" -> s"""
       WITH aug AS (
         SELECT doc_id,
@@ -4011,6 +4116,37 @@ object LlmSurface {
       JOIN keeper ON s.h = keeper.h
       LEFT JOIN cc ON s.doc_id = cc.node
       ORDER BY s.doc_id
+    """,
+
+    // Same recursive-CTE dup groups as llm_dedup_corpus, then one md5
+    // bucket per GROUP key — the leakage guarantee is structural in both
+    // engines (members inherit the group's bucket).
+    "llm_leakage_split" -> s"""
+      WITH RECURSIVE $simhashPairsCte,
+      edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      sym AS (
+        SELECT doc_a AS node, doc_b AS nbr FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges),
+      reach(node, label) AS (
+        SELECT node, node FROM sym
+        UNION
+        SELECT s.node, r.label FROM sym s JOIN reach r ON s.nbr = r.node),
+      cc AS (SELECT node, min(label) AS group_id FROM reach GROUP BY node),
+      rep AS (
+        SELECT d.doc_id, coalesce(cc.group_id, d.doc_id) AS group_rep
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+      b AS (
+        SELECT doc_id, group_rep,
+               CAST('0x' || substr(md5('lsplit|' || CAST(group_rep AS VARCHAR)), 1, 4) AS INT) % 100 AS bucket
+        FROM rep)
+      SELECT doc_id, group_rep, bucket,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b ORDER BY doc_id
     """,
 
     // Recursive closure over the same simhash pair list: every node's

@@ -15,6 +15,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("llm_leakage_split: no dup group straddles splits; buckets cover 80/10/10") {
+    val rows = graft.queries.LlmSurface.queries("llm_leakage_split")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 500)
+    // the leakage guarantee: every member of a group carries the group's
+    // split (structural, but pin it against regressions in the bucket
+    // derivation)
+    val perGroup = rows.groupBy(_.getLong(1)).values
+    assert(perGroup.forall(g => g.map(_.getString(3)).toSet.size === 1))
+    assert(perGroup.exists(_.length > 1), "corpus must contain dup groups")
+    // buckets derive from md5 of the group key and land in [0, 100)
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 100))
+    val splits = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(splits.keySet === Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
   test("exactDedup keeps lowest-order copy and counts all copies") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
       .toDF("doc_id", "text")

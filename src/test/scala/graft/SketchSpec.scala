@@ -76,6 +76,28 @@ class SketchSpec extends SparkSpec {
     assert(scans === 1, s"expected exactly one scan, got $scans\n$plan")
   }
 
+  test("llm_kmv_set_ops: union/intersection estimates track exact set sizes") {
+    val rows = graft.queries.LlmSurface.queries("llm_kmv_set_ops")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    val vocab = graft.queries.Tables(spark, dir, "documents")
+      .select(col("source"), explode(graft.llm.TextOps.words(col("text"))).as("w"))
+      .distinct().collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    // every pair: estimated union/intersection within a generous KMV
+    // bound of the exact values (k=128 ⇒ σ ≈ 1/√126 ≈ 9%; estimates are
+    // deterministic, so the 3σ-ish bound can never flake)
+    for (((a, b), (uEst, iEst)) <- rows) {
+      val u = (vocab(a) ++ vocab(b)).size
+      val i = (vocab(a) & vocab(b)).size
+      assert(math.abs(uEst - u).toDouble / u <= 0.27, s"union $a-$b: $uEst vs $u")
+      // intersection inherits error from three operands; bound in UNION
+      // units (the estimator's natural scale), not intersection units
+      assert(math.abs(iEst - i).toDouble / u <= 0.4, s"intersect $a-$b: $iEst vs $i")
+    }
+    assert(rows.size === 190)
+  }
+
   test("approx_percentile (t-digest) tracks the exact percentile") {
     val ev = graft.queries.Tables.events(spark, dir)
     val rows = ev.groupBy("event_type")
