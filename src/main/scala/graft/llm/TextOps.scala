@@ -371,6 +371,62 @@ object TextOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Probe-vs-index form of [[hammingNearDupPairs]] for incremental
+    * pipelines: candidate pairs couple a PROBE doc with any corpus doc
+    * sharing a bit-chunk — the corpus×corpus pair space is never
+    * enumerated, which is the difference between a nightly batch costing
+    * |batch|·collisions and re-running the full-corpus dedup. The
+    * chunked corpus projection is exactly the (chunk, value) posting
+    * table a maintained dedup service persists; the probe side hashes
+    * into the same buckets and equi-joins it. Returns every pair with at
+    * least one probe member (probe↔corpus and probe↔probe when the
+    * corpus contains the probe docs), normalized to doc_a < doc_b —
+    * byte-identical to the full self-join's pairs restricted to that
+    * subset (pinned in LlmOpsSpec).
+    */
+  def hammingNearDupProbe(corpusHashed: DataFrame, probeHashed: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int, chunks: Int,
+      bits: Int): DataFrame = {
+    require(chunks > maxHamming,
+      s"pigeonhole needs chunks ($chunks) > maxHamming ($maxHamming)")
+    require(bits % chunks == 0, s"$bits bits must split evenly into $chunks chunks")
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    def chunked(df: DataFrame) = {
+      val cs = (0 until chunks).map(i => struct(
+        lit(i).as("ci"),
+        shiftright(col(hashCol), i * chunkBits).bitwiseAND(lit(mask)).as("cv")))
+      df.select(col(idCol).as("doc"), col(hashCol).as("_h"),
+          explode(array(cs: _*)).as("ch"))
+        .select(col("doc"), col("_h"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    }
+    chunked(probeHashed)
+      .select(col("ci"), col("cv"), col("doc").as("pa"), col("_h").as("ha"))
+      .join(chunked(corpusHashed).select(col("ci"), col("cv"),
+        col("doc").as("pb"), col("_h").as("hb")), Seq("ci", "cv"))
+      .filter(col("pa") =!= col("pb"))
+      // normalize orientation so probe↔probe pairs (seen from both
+      // sides) collapse in the distinct
+      .select(
+        least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"),
+        when(col("pa") < col("pb"), col("ha")).otherwise(col("hb")).as("sim_a"),
+        when(col("pa") < col("pb"), col("hb")).otherwise(col("ha")).as("sim_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** [[simHashNearDup]]'s probe-vs-index form: SimHash both sides, then
+    * [[hammingNearDupProbe]].
+    */
+  def simHashNearDupProbe(corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3, chunks: Int = 4,
+      bits: Int = 60): DataFrame =
+    hammingNearDupProbe(simHash(corpus, idCol, textCol),
+      simHash(probe, idCol, textCol), idCol, "simhash", maxHamming, chunks, bits)
+
   /** COMBINATORIAL pigeonhole blocking (Manku et al., WWW'07 §3) — the
     * form of [[hammingNearDupPairs]] that survives web-scale corpora.
     *

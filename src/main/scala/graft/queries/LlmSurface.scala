@@ -340,6 +340,77 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- incremental snapshot curation (X97 ∘ X58 composition) -----------
+    // The nightly question for a continuously-crawled corpus: which docs
+    // of the NEW batch survive against the curated base? Planted batch
+    // (both engines): exact re-crawls (id%31, verbatim copy), light
+    // edits (id%29, one appended token), and genuinely new docs (id%37).
+    // Decision cascade per batch doc, first match wins:
+    //   1 exact_dup_of_v1  — content sha already in the base (keeper =
+    //     min base doc with that sha; a |batch|⋈|base| equi-join on sha)
+    //   2 near_dup_of_v1   — SimHash ≤3 bits from a base doc (the chunk
+    //     -key equi-join over base ∪ batch doubles as the persisted-
+    //     index probe at scale: batch rows hash into the SAME buckets a
+    //     maintained index stores, so only bucket-mates pair)
+    //   3 near_dup_in_batch / kept_group_rep — survivors cluster among
+    //     THEMSELVES (CC bounded by the batch's touch set, the X119
+    //     argument); min-id member represents the group
+    //   4 novel            — keep.
+    // Statuses depend on actual simhash distances — deterministic for
+    // the fixed corpus, and the oracle recomputes them from scratch
+    // (recursive-CTE CC over the same planted union).
+    "llm_incremental_curate" -> ((s, dir) => {
+      val v1 = Tables(s, dir, "documents").select("doc_id", "text")
+      val batch = v1.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(v1.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+        .unionByName(v1.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("novel doc "), col("doc_id").cast("string"),
+              lit(" standalone content")).as("text")))
+      val v1sha = v1.select(sha2(col("text"), 256).as("_h"), col("doc_id"))
+        .groupBy("_h").agg(min("doc_id").as("_v1keeper"))
+      val bsha = batch.select(col("doc_id"), sha2(col("text"), 256).as("_h"))
+        .join(v1sha, Seq("_h"), "left")
+        .select("doc_id", "_v1keeper")
+      // probe-vs-index, not a union self-join: the corpus×corpus pair
+      // space is never enumerated — at scale the chunked corpus side is
+      // the persisted posting table and the nightly batch probes it
+      val pairs = TextOps.simHashNearDupProbe(v1.unionByName(batch), batch,
+        "doc_id", "text", maxHamming = 3, chunks = 4)
+      def isBatch(c: Column) = c >= 1000000L
+      val crossPairs = pairs
+        .select(col("doc_a").as("b"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("b"), col("doc_a").as("v")))
+        .filter(isBatch(col("b")) && !isBatch(col("v")))
+        .groupBy("b").agg(min("v").as("_nearv1"))
+        .withColumnRenamed("b", "doc_id")
+      val claimed = bsha.filter(col("_v1keeper").isNotNull).select("doc_id")
+        .unionByName(crossPairs.select("doc_id")).distinct()
+      val bb = pairs.filter(isBatch(col("doc_a")) && isBatch(col("doc_b")))
+        .join(claimed.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+        .join(claimed.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+      val labels = graft.operators.ConnectedComponents
+        .alternatingStars(bb, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      bsha
+        .join(crossPairs, Seq("doc_id"), "left")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("_v1keeper").isNotNull, lit("exact_dup_of_v1"))
+            .when(col("_nearv1").isNotNull, lit("near_dup_of_v1"))
+            .when(col("label").isNotNull && col("label") =!= col("doc_id"),
+              lit("near_dup_in_batch"))
+            .when(col("label").isNotNull, lit("kept_group_rep"))
+            .otherwise(lit("novel")).as("status"),
+          coalesce(col("_v1keeper"), col("_nearv1"), col("label"),
+            col("doc_id")).as("keeper"))
+        .withColumn("keep", col("keeper") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- PageRank by power iteration (join-per-round graph rank) ---------
     // Integer nano-unit damped rank over a deterministic hub-and-spoke
     // link table derived from doc ids (the hashModelWeights argument:
@@ -2731,9 +2802,13 @@ object LlmSurface {
     stopwords.map(w => s"'$w'").mkString(", ") +
     "))) / CAST(len(ws) AS DOUBLE)) * 0.2")
 
-  private val simhashPairsCte = s"""
+  /** SimHash chunk-bucket candidate pairs over an arbitrary (doc_id,
+    * text) relation — `simhashPairsCte` is the `documents` instance;
+    * llm_incremental_curate runs it over the v1 ∪ batch union.
+    */
+  private def simhashPairsCteOver(src: String) = s"""
       tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $src),
       hh AS (
         SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok),
       bs AS (SELECT doc_id, $simhashBitSums FROM hh GROUP BY doc_id),
@@ -2746,6 +2821,8 @@ object LlmSurface {
                a.simhash AS sim_a, b.simhash AS sim_b
         FROM ch a JOIN ch b
           ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)"""
+
+  private lazy val simhashPairsCte: String = simhashPairsCteOver("documents")
 
   private def signBucketSqlBits(bits: Int): String =
     (0 until bits)
@@ -3900,6 +3977,73 @@ object LlmSurface {
                   ELSE 'unchanged' END AS status
       FROM v1 FULL OUTER JOIN v2 USING (doc_id)
       ORDER BY doc_id
+    """,
+
+    // Same planted batch, same decision cascade; simhash pairs over the
+    // v1 ∪ batch union via the parameterized CTE, within-batch groups by
+    // recursive closure restricted to unclaimed batch docs.
+    "llm_incremental_curate" -> s"""
+      WITH RECURSIVE v2b AS (
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 31 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+        FROM documents WHERE doc_id % 29 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               'novel doc ' || CAST(doc_id AS VARCHAR) || ' standalone content' AS text
+        FROM documents WHERE doc_id % 37 = 0),
+      corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id, text FROM v2b),
+      ${simhashPairsCteOver("corpus")},
+      near AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      sha1 AS (SELECT sha256(text) AS h, min(doc_id) AS v1keeper
+               FROM documents GROUP BY 1),
+      r1 AS (
+        SELECT b.doc_id, sha1.v1keeper
+        FROM (SELECT doc_id, sha256(text) AS h FROM v2b) b
+        LEFT JOIN sha1 USING (h)),
+      np AS (
+        SELECT doc_a AS b, doc_b AS v FROM near
+        UNION ALL
+        SELECT doc_b, doc_a FROM near),
+      nv AS (
+        SELECT b AS doc_id, min(v) AS nearv1 FROM np
+        WHERE b >= 1000000 AND v < 1000000 GROUP BY b),
+      claimed AS (
+        SELECT doc_id FROM r1 WHERE v1keeper IS NOT NULL
+        UNION
+        SELECT doc_id FROM nv),
+      bbe AS (
+        SELECT doc_a, doc_b FROM near
+        WHERE doc_a >= 1000000 AND doc_b >= 1000000
+          AND doc_a NOT IN (SELECT doc_id FROM claimed)
+          AND doc_b NOT IN (SELECT doc_id FROM claimed)),
+      sym AS (
+        SELECT doc_a AS node, doc_b AS nbr FROM bbe
+        UNION ALL
+        SELECT doc_b, doc_a FROM bbe),
+      reach(node, label) AS (
+        SELECT node, node FROM sym
+        UNION
+        SELECT s.node, r.label FROM sym s JOIN reach r ON s.nbr = r.node),
+      cc AS (SELECT node, min(label) AS group_id FROM reach GROUP BY node)
+      SELECT r1.doc_id,
+             CASE WHEN r1.v1keeper IS NOT NULL THEN 'exact_dup_of_v1'
+                  WHEN nv.nearv1 IS NOT NULL THEN 'near_dup_of_v1'
+                  WHEN cc.group_id IS NOT NULL AND cc.group_id <> r1.doc_id
+                       THEN 'near_dup_in_batch'
+                  WHEN cc.group_id IS NOT NULL THEN 'kept_group_rep'
+                  ELSE 'novel' END AS status,
+             coalesce(r1.v1keeper, nv.nearv1, cc.group_id, r1.doc_id) AS keeper,
+             (coalesce(r1.v1keeper, nv.nearv1, cc.group_id, r1.doc_id) = r1.doc_id) AS keep
+      FROM r1
+      LEFT JOIN nv ON r1.doc_id = nv.doc_id
+      LEFT JOIN cc ON r1.doc_id = cc.node
+      ORDER BY r1.doc_id
     """,
 
     "llm_graph_rank" -> s"""

@@ -15,6 +15,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("simHashNearDupProbe == full self-join pairs restricted to >=1 probe member") {
+    val corpus = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val probe = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" probed")).as("text"))
+    val union = corpus.unionByName(probe)
+    val full = TextOps.simHashNearDup(union, "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+      .filter(col("doc_a") >= 500000L || col("doc_b") >= 500000L)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Int)].collect().toSeq
+    val probed = TextOps.simHashNearDupProbe(union, probe, "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(probed === full && probed.nonEmpty)
+  }
+
   test("llm_leakage_split: no dup group straddles splits; buckets cover 80/10/10") {
     val rows = graft.queries.LlmSurface.queries("llm_leakage_split")(
       spark, "/root/testdata/sf0.001").collect()
