@@ -734,6 +734,10 @@ object LlmSurface {
       def est(c: String) =
         expr(s"case when size($c) < $k then cast(size($c) as bigint) " +
           s"else cast(floor($pow / cast(element_at($c, $k) as double)) as bigint) end")
+      // localCheckpoint: the |sources|-row sketch table is referenced on
+      // BOTH sides of the pair self-join — without materialization each
+      // reference re-runs the corpus scan + aggregation (PlanAuditSpec
+      // pins the single scan)
       val sk = Tables(s, dir, "documents")
         .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
         .select(col("source"), expr(
@@ -741,6 +745,7 @@ object LlmSurface {
           .as("h"))
         .groupBy("source")
         .agg(expr(s"bottomk_distinct_long(h, $k)").as("kmv"))
+        .localCheckpoint(true)
       sk.select(col("source").as("source_a"), col("kmv").as("ka"))
         .join(broadcast(sk.select(col("source").as("source_b"), col("kmv").as("kb"))),
           col("source_a") < col("source_b"))

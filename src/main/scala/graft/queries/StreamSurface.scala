@@ -169,6 +169,25 @@ object StreamSurface {
         .orderBy("win_start", "event_type")
     }),
 
+    // ---- streaming approximate distinct: KMV state per daily window ------
+    // COUNT DISTINCT over an unbounded key space with O(k) state per
+    // window (EventStream.kmvDailyUsers). The estimate itself is
+    // oracle-checked bit-for-bit — possible only because the KMV sketch
+    // is a pure function of each window's user set (the X102-r9
+    // property), unlike HLL state. Small days (< k distinct) come back
+    // exact; full-sketch days exercise the estimator.
+    "stream_kmv_users" -> ((s, dir) => {
+      val base = tmpBase(dir, "kmvusers")
+      val (in, schema) = stagedEventsWithSentinels(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
+        EventStream.kmvDailyUsers(src, "10 minutes", k = 64)
+      }
+      s.read.parquet(s"$base/out")
+        .select(date_format(col("win_start"), tsFmt).as("win_start"),
+          col("n_events"), col("users_est"), col("sketch_full"))
+        .orderBy("win_start")
+    }),
+
     // ---- X45: gap sessionization via flatMapGroupsWithState --------------
     // Sessions close mid-stream by in-batch gap or event-time timeout;
     // the sentinels flush still-open ones. session_idx is re-derived at
@@ -404,6 +423,33 @@ object StreamSurface {
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
       FROM events
       GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+
+    // Batch replay of the daily KMV sketch: k smallest distinct user
+    // hashes per UTC day, same estimator arithmetic — bit-equality here
+    // proves the STREAMING sketch state (merged across micro-batches)
+    // equals the batch sketch of the same set.
+    "stream_kmv_users" -> """
+      WITH uh AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST('0x' || substr(md5('kmvu|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM events),
+      dh AS (SELECT DISTINCT d, h FROM uh),
+      rk AS (SELECT d, h,
+                    row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+             FROM dh),
+      sk AS (SELECT d, list(h ORDER BY h) AS kmv
+             FROM rk WHERE rn <= 64 GROUP BY d),
+      ev AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+             FROM events GROUP BY 1)
+      SELECT strftime(CAST(ev.d AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS win_start,
+             ev.n_events,
+             CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
+                  ELSE CAST(floor(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                                  / CAST(kmv[64] AS DOUBLE)) AS BIGINT) END AS users_est,
+             (len(kmv) = 64) AS sketch_full
+      FROM ev JOIN sk ON ev.d = sk.d
+      ORDER BY win_start
     """,
 
     "stream_sessionize" -> """

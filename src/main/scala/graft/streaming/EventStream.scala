@@ -52,6 +52,51 @@ object EventStream extends Serializable {
         graft.llm.EventOps.centsSum(col("value")).as("value_sum"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("value_sum"))
 
+  /** Daily approximate distinct users through a KMV sketch aggregate —
+    * streaming COUNT DISTINCT with BOUNDED state.
+    *
+    * Exact streaming distinct keeps every key seen per window in the
+    * state store: O(distinct users) per open window, the state-blowup
+    * failure mode for high-cardinality keys at 100 TB. The KMV
+    * aggregate (`bottomk_distinct_long`, a TypedImperativeAggregate —
+    * the same buffer-serialization contract approx_count_distinct uses
+    * in streaming) caps each window's state at k longs (~0.5 KB at
+    * k=64) no matter how many users arrive, and unlike HLL the sketch
+    * is ENGINE-INDEPENDENT: the emitted estimate is a pure function of
+    * the window's user SET, so the DuckDB oracle replays the exact
+    * values and streaming ≡ batch is hash-provable even for the
+    * approximation. Windows whose distinct-hash set fits the sketch
+    * (size < k) report exactly.
+    *
+    * Sentinel handling is deliberately FILTER-FREE: a `filter` between
+    * `withWatermark` and the aggregation can be pushed below the
+    * watermark node by the optimizer, and then the harness's far-future
+    * flush rows never advance the watermark and the final windows never
+    * close (observed: the last replay day went missing). Instead the
+    * sentinel's hash is NULLed inside the aggregate input (null inputs
+    * are skipped by the sketch) and the event count is conditional —
+    * the sentinel still drives the watermark, lands in its own
+    * never-finalized far-future window, and touches no real window's
+    * state.
+    */
+  def kmvDailyUsers(events: DataFrame, watermarkDelay: String, k: Int): DataFrame = {
+    val pow = s"cast(${k - 1} as double) * cast(1152921504606846976 as double)"
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("_uh", expr("cast(case when event_type = '__sentinel' then null " +
+        "else conv(substring(md5(concat('kmvu|', " +
+        "cast(user_id as string))), 1, 15), 16, 10) end as bigint)"))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(sum(when(col("event_type") =!= "__sentinel", 1L).otherwise(0L))
+          .as("n_events"),
+        expr(s"bottomk_distinct_long(_uh, $k)").as("_kmv"))
+      .select(col("w.start").as("win_start"), col("n_events"),
+        expr(s"case when size(_kmv) < $k then cast(size(_kmv) as bigint) " +
+          s"else cast(floor($pow / cast(element_at(_kmv, $k) as double)) as bigint) end")
+          .as("users_est"),
+        (size(col("_kmv")) === k).as("sketch_full"))
+  }
+
   /** Stream-stream click attribution: join each click to the views by
     * the SAME user that happened within `horizon` BEFORE it — the
     * canonical two-stream event-time join. Both inputs need

@@ -369,6 +369,58 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch probes must broadcast:\n$p")
   }
 
+  test("suffix-array construction: per-doc windows, no cartesian, no single-partition window") {
+    val docs = Tables(spark, dir, "documents").limit(100)
+    val tables = graft.operators.SuffixArray.rankTables(docs, "doc_id", "text")
+    // rounds = 1 (words) + ceil(log4(maxDocLen ~100)) — quadrupling, not
+    // doubling: the round count IS the scale claim
+    assert(tables.size >= 3 && tables.size <= 6, s"rounds: ${tables.size}")
+    val final_ = tables.last._2
+    val p = plan(final_.filter(col("rank") >= 0))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"construction must stay equi-join/window shaped:\n$p")
+  }
+
+  test("KMV set ops: one corpus scan, sketch matrix via broadcast self-join") {
+    // the sketch-BUILD half (one scan, partial-combining object-hash agg)
+    val build = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.llm.TextOps.words(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(expr("bottomk_distinct_long(cast(conv(substring(md5(concat('kmv|', w)), 1, 15), 16, 10) as bigint), 128)"))
+    val bp = plan(build)
+    assert("Scan parquet".r.findAllIn(bp).size === 1,
+      s"sketch build must scan the corpus once:\n$bp")
+    assert(bp.contains("ObjectHashAggregate"),
+      s"bottomk_distinct_long must plan as partial-combining ObjectHashAggregate:\n$bp")
+    // the PAIR half: the registered query checkpoints the |sources|-row
+    // sketch table (so the corpus scan is not re-run per join side — the
+    // plan must carry ZERO parquet scans) and broadcasts the matrix join
+    val q = graft.queries.LlmSurface.queries("llm_kmv_set_ops")(spark, dir)
+    q.collect() // resolve AQE final plan
+    val p = plan(q)
+    assert(!p.contains("Scan parquet"),
+      s"pair matrix must read the materialized sketches, not rescan the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"the |sources|-row pair matrix must broadcast:\n$p")
+  }
+
+  test("incremental curate: probe join only — corpus never self-pairs") {
+    // the probe form's join inputs: one side is the |batch|-sized probe.
+    // Pin the pair count instead of the plan string (the plan is deep):
+    // a union SELF-join at sf0.001 yields hundreds of v1×v1 pairs; the
+    // probe form must emit none.
+    val v1 = Tables(spark, dir, "documents").select("doc_id", "text")
+    val batch = v1.filter(col("doc_id") % 29 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" new")).as("text"))
+    val pairs = graft.llm.TextOps.simHashNearDupProbe(
+      v1.unionByName(batch), batch, "doc_id", "text", maxHamming = 3, chunks = 4)
+    val v1v1 = pairs.filter(col("doc_a") < 1000000L && col("doc_b") < 1000000L)
+    assert(v1v1.count() === 0, "probe output must contain no corpus-corpus pair")
+    assert(pairs.count() > 0)
+  }
+
   test("whole-stage codegen covers the scalar-heavy Q1 chain") {
     val q = graft.queries.RefSurface.queries("q1_clean_valid")(spark, dir)
     // AQE prints `isFinalPlan=false` with no codegen spans until the query
