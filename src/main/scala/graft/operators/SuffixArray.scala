@@ -1,9 +1,29 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Round state rows with primitive fields: Dataset encoders compile
+  * these to direct long/int accessors, so the per-round sort and the
+  * rank-assignment `mapPartitions` stay off the GenericRow + boxed-Seq
+  * path that dominated the r9 profile (VERDICT r9 item 4).
+  */
+private[operators] case class SaRank(doc: Long, pos: Int, rank: Long)
+private[operators] case class SaKeyed(doc: Long, pos: Int,
+    k0: Long, k1: Long, k2: Long, k3: Long)
+private[operators] case class SaRankK(doc: Long, pos: Int,
+    k0: Long, k1: Long, k2: Long, k3: Long, rank: Long)
+private[operators] case class SaTok(doc: Long, pos: Int, word: String)
+private[operators] case class SaPair(doc_a: Long, pos_a: Int,
+    doc_b: Long, pos_b: Int)
+private[operators] case class SaPairK(doc_a: Long, pos_a: Int,
+    doc_b: Long, pos_b: Int,
+    _qa0: Long, _qa1: Long, _qa2: Long, _qa3: Long,
+    _qb0: Long, _qb1: Long, _qb2: Long, _qb3: Long)
 
 /** Distributed word-level suffix array by prefix quadrupling, with LCP
   * extraction — the exact-substring-dedup machinery of Lee et al. 2022
@@ -25,187 +45,324 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * cost is dominated by the sort/dense-rank chain, and the three extra
   * shifts ride ONE per-document window as `lead(rank, k·m)` instead of
   * shuffle self-joins: suffixes stop at their document's end, so the
-  * shift never crosses a partition key). Dense ranking at scale is
-  * sort → `zipWithIndex` (range-partitioned global sort; the index job
-  * ships one Long PER PARTITION to the driver — metadata, not rows).
-  * Suffixes never materialize: round state is one (doc, pos, rank) row
-  * per token, so a 10¹¹-token corpus carries ~9 radix-4 rounds of
-  * 24-byte rows through the shuffle — the DuckDB oracle, by contrast,
-  * sorts the O(n·len) expanded suffixes and is viable only at test
-  * scale.
+  * shift never crosses a partition key).
+  *
+  * A round is ONE job: sort by the radix-4 key, then a single
+  * `mapPartitions` pass assigns partition-LOCAL dense ranks while
+  * pushing one ~70-byte stat tuple (first/last key, distinct and row
+  * counts) per partition through an accumulator — metadata, not rows —
+  * and the result is local-checkpointed. The driver turns the stats
+  * into one additive offset per partition (a key continuing across a
+  * partition boundary was counted once before and keeps its earlier
+  * rank), applied as a codegen'd literal-array lookup on
+  * `spark_partition_id()` — no second pass, no broadcast, nothing
+  * pinned (ADVICE r9). Convergence (`all ranks distinct`) falls out of
+  * the same stats — total distinct = total rows — so no extra probe
+  * job runs. Suffixes never materialize: round state is one
+  * (doc, pos, rank) row per token, so a 10¹¹-token corpus carries
+  * ~9 radix-4 rounds of 24-byte rows through the shuffle — the DuckDB
+  * oracle, by contrast, sorts the O(n·len) expanded suffixes and is
+  * viable only at test scale.
   *
   * Positions past a document's end rank as −1, which sorts before every
   * real rank, giving the standard shorter-prefix-first order — the same
   * order DuckDB's native list comparison produces, which is what makes
   * the result oracle-checkable.
+  *
+  * Memory lifecycle (ADVICE r9): the public one-shot entry points
+  * ([[longestRepeats]], [[dupSpans]], [[adjacentLcp]]) return a
+  * SELF-CONTAINED materialized result and free every checkpoint
+  * beneath it, so repeated invocations in one JVM (the bench, the test
+  * suites) don't accumulate executor memory; [[rankTables]] /
+  * [[adjacentLcpFromTables]] leave their results alive for the caller
+  * (the shared-build and incremental paths) to release via
+  * [[freeCheckpoint]].
   */
 object SuffixArray {
 
-  /** Dense rank 0..d−1 for an already-distinct, already-sorted frame:
-    * `zipWithIndex` preserves the range-partitioned sort order and runs
-    * one lightweight count job (one Long per partition to the driver).
+  /** Release the cached blocks behind an (eager) `localCheckpoint`
+    * anywhere under `ds`'s plan once every consumer has materialized.
+    * A local checkpoint TRUNCATES lineage, so this must only run when
+    * the frame is truly dead — recomputation is impossible afterwards.
     */
-  private def withZipIndex(sorted: DataFrame, idxCol: String): DataFrame = {
-    val schema = StructType(sorted.schema.fields :+
-      org.apache.spark.sql.types.StructField(idxCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    sorted.sparkSession.createDataFrame(rdd, schema)
-  }
-
-  /** Dense rank of a NON-distinct sorted frame, assigned in place — the
-    * Flick–Aluru rank-assignment step. Equal keys (which the range sort
-    * made adjacent, possibly spanning partition boundaries) share one
-    * rank; ranks are dense 0..d−1 in key order.
-    *
-    * Why not distinct → sort → zipWithIndex → join-back (the obvious
-    * spelling): that costs a distinct shuffle plus a join-back shuffle
-    * of the full frame EVERY round. Here the sort itself is the only
-    * row shuffle: pass 1 collects (firstKey, lastKey, distinctCount)
-    * per partition — #partitions rows of driver metadata — pass 2
-    * assigns ranks locally from the partition's start offset, where a
-    * key continuing across the boundary (partition's first key ==
-    * previous non-empty partition's last key) was already counted and
-    * keeps its earlier rank.
-    */
-  private def denseRankSorted(sorted: DataFrame, keyCol: String,
-      outCol: String): DataFrame = {
-    // materialize the sort ONCE: both passes below and every downstream
-    // consumer read the checkpointed blocks, not a re-run of the sort
-    val df = sorted.localCheckpoint(true)
-    val ki = df.schema.fieldIndex(keyCol)
-    def key(r: Row): Seq[Long] = r.getSeq[Long](ki)
-    val rdd = df.rdd
-    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var first: Seq[Long] = null
-      var last: Seq[Long] = null
-      var cnt = 0L
-      it.foreach { r =>
-        val k = key(r)
-        if (first == null) { first = k; cnt = 1 }
-        else if (k != last) cnt += 1
-        last = k
-      }
-      Iterator.single((pid, Option(first), Option(last), cnt))
-    }.collect().sortBy(_._1)
-    // D(p) = distinct keys FIRST APPEARING before partition p; a
-    // continued key keeps rank D(p) − 1
-    val starts = new Array[(Long, Boolean)](stats.length) // (D, continues)
-    var acc = 0L
-    var prevLast: Option[Seq[Long]] = None
-    for (((_, first, last, cnt), p) <- stats.zipWithIndex) {
-      val cont = first.isDefined && prevLast.contains(first.get)
-      starts(p) = (acc, cont)
-      acc += cnt - (if (cont) 1L else 0L)
-      if (last.isDefined) prevLast = last
+  def freeCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
     }
-    val bc = df.sparkSession.sparkContext.broadcast(starts)
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val (d, cont) = bc.value(pid)
-      var rank = if (cont) d - 1 else d
-      var last: Seq[Long] = null
-      var started = false
-      it.map { r =>
-        val k = key(r)
-        if (started && k != last) rank += 1
-        started = true
-        last = k
-        Row.fromSeq(r.toSeq :+ rank)
-      }
-    }
-    val schema = StructType(df.schema.fields :+
-      org.apache.spark.sql.types.StructField(outCol, LongType, nullable = false))
-    df.sparkSession.createDataFrame(out, schema)
-  }
 
   /** Tokenize to one row per (doc, pos(1-based), word); single-space
-    * split, the corpus-wide tokenizer contract (TextOps.words).
+    * split, the corpus-wide tokenizer contract (TextOps.words). Doc ids
+    * are cast to long — the primitive round state requires integral ids
+    * (every corpus table in the harness keys documents by a long).
     */
-  private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc"),
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc"),
         posexplode(split(col(textCol), " ")).as(Seq("pos0", "word")))
-      .select(col("doc"), (col("pos0") + 1).as("pos"), col("word"))
+      .select(col("doc"), (col("pos0") + 1).cast("int").as("pos"), col("word"))
+
+  /** Emit `it` unchanged; when it exhausts, run `push` exactly once —
+    * the hook that lets one pass both produce rows and report its
+    * partition's boundary stats.
+    */
+  private def onExhaust[T](it: Iterator[T], push: () => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var pushed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !pushed) { push(); pushed = true }
+        h
+      }
+      def next(): T = it.next()
+    }
+
+  /** Per-partition rank metadata → (additive offset per partition,
+    * total distinct keys, total rows). Input tuples are
+    * (pid, nonEmpty, firstKey, lastKey, distinctInPartition, rows);
+    * retried tasks push duplicate tuples with identical payloads, so a
+    * `distinct` collapse makes the accumulator exactly-once.
+    */
+  private def rankMeta[K](raw: Seq[(Int, Boolean, K, K, Long, Long)])
+      : (Array[Long], Long, Long) = {
+    val stats = raw.distinct.sortBy(_._1)
+    require(stats.map(_._1) == stats.indices.map(identity),
+      s"partition stats must cover 0..n-1, got pids ${stats.map(_._1)}")
+    val adj = new Array[Long](stats.length)
+    var acc = 0L
+    var rows = 0L
+    var prevLast: Option[K] = None
+    for (((_, nonEmpty, first, last, cnt, rc), i) <- stats.zipWithIndex) {
+      val cont = nonEmpty && prevLast.contains(first)
+      adj(i) = acc - (if (cont) 1L else 0L)
+      acc += cnt - (if (cont) 1L else 0L)
+      rows += rc
+      if (nonEmpty) prevLast = Some(last)
+    }
+    (adj, acc, rows)
+  }
+
+  /** Globalize partition-local dense ranks: add the per-partition
+    * offset as a codegen'd literal-array lookup — a narrow projection
+    * straight over the checkpointed blocks, no encoder round-trip, no
+    * broadcast. Valid only because nothing re-partitions between the
+    * checkpoint and this projection.
+    */
+  private def addOffsets(localRanked: DataFrame, adj: Array[Long]): DataFrame =
+    if (adj.isEmpty) localRanked
+    else localRanked.withColumn("rank",
+      col("rank") + array(adj.map(lit).toIndexedSeq: _*)(spark_partition_id()))
+
+  /** One construction round: sort by key, assign local dense ranks and
+    * collect boundary stats in the same pass, checkpoint, fix up with
+    * driver offsets. Returns (table, nDistinct, nRows).
+    *
+    * The table RETAINS its radix-4 key columns k0..k3: for the round
+    * that produced rank_{4s}, those are exactly rank_s at offsets
+    * (0, s, 2s, 3s) — which is everything the LCP descent needs to
+    * resolve a level's 0–3 sub-advances as pure column expressions
+    * instead of three join passes (the r9 descent ran 26 equi-joins;
+    * retained keys cut it to one join pair per table). Costs 32 bytes
+    * per row of CHECKPOINT storage only — the construction shuffle
+    * already carried these columns.
+    */
+  private def denseRankByKey(keyed: Dataset[SaKeyed]): (DataFrame, Long, Long) = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val acc = spark.sparkContext.collectionAccumulator[
+      (Int, Boolean, (Long, Long, Long, Long), (Long, Long, Long, Long), Long, Long)]("saKeyStats")
+    val localRanked = keyed.sort("k0", "k1", "k2", "k3").mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var started = false
+      var f0, f1, f2, f3 = 0L
+      var l0, l1, l2, l3 = 0L
+      var distinct = 0L
+      var rows = 0L
+      var rank = -1L
+      val out = it.map { t =>
+        if (!started) {
+          started = true; distinct = 1; rank = 0
+          f0 = t.k0; f1 = t.k1; f2 = t.k2; f3 = t.k3
+        } else if (t.k0 != l0 || t.k1 != l1 || t.k2 != l2 || t.k3 != l3) {
+          distinct += 1; rank += 1
+        }
+        l0 = t.k0; l1 = t.k1; l2 = t.k2; l3 = t.k3
+        rows += 1
+        SaRankK(t.doc, t.pos, t.k0, t.k1, t.k2, t.k3, rank)
+      }
+      onExhaust(out, () => acc.add(
+        (pid, started, (f0, f1, f2, f3), (l0, l1, l2, l3), distinct, rows)))
+    }.toDF().localCheckpoint(true)
+    val (adj, nDistinct, nRows) = rankMeta(acc.value.asScala.toSeq)
+    (addOffsets(localRanked, adj), nDistinct, nRows)
+  }
+
+  /** Round 0: dense rank of the token frame by WORD. One sort of the n
+    * token rows + the same single stats-carrying pass; replaces r9's
+    * distinct-vocab sort + zipWithIndex + join-back, which shuffled the
+    * corpus twice.
+    */
+  private def denseRankByWord(toks: Dataset[SaTok]): (DataFrame, Long, Long) = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val acc = spark.sparkContext.collectionAccumulator[
+      (Int, Boolean, String, String, Long, Long)]("saWordStats")
+    val localRanked = toks.sort("word").mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var started = false
+      var first: String = null
+      var last: String = null
+      var distinct = 0L
+      var rows = 0L
+      var rank = -1L
+      val out = it.map { t =>
+        if (!started) { started = true; distinct = 1; rank = 0; first = t.word }
+        else if (t.word != last) { distinct += 1; rank += 1 }
+        last = t.word
+        rows += 1
+        SaRank(t.doc, t.pos, rank)
+      }
+      onExhaust(out, () => acc.add((pid, started, first, last, distinct, rows)))
+    }.toDF().localCheckpoint(true)
+    val (adj, nDistinct, nRows) = rankMeta(acc.value.asScala.toSeq)
+    (addOffsets(localRanked, adj), nDistinct, nRows)
+  }
 
   /** Prefix-quadrupling rank tables: (m, ranks(doc, pos, rank)) for
     * m = 1, 4, 16, … — rank m orders length-min(m, suffixLen) prefixes.
     * Stops once every rank is distinct or m ≥ maxDocLen; ties that
-    * survive to the end are exactly-equal suffixes. Each round
-    * localCheckpoints: the next round, the SA sort and the LCP descent
-    * all re-read these tables, and an uncut lineage would re-run every
-    * prior round per consumer.
+    * survive to the end are exactly-equal suffixes. Each round costs
+    * exactly one materialization (its checkpoint); the RETURNED tables
+    * stay alive — callers free them via [[freeCheckpoint]] when done
+    * (the one-shot wrappers below do).
     */
   def rankTables(docs: DataFrame, idCol: String, textCol: String): Seq[(Int, DataFrame)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val t = tokens(docs, idCol, textCol)
     val maxLen = t.groupBy("doc").count().agg(max("count")).head().getLong(0).toInt
-    val words = t.select("word").distinct().orderBy("word")
-    var ranks = t.join(withZipIndex(words, "rank"), "word")
-      .select(col("doc"), col("pos"), col("rank"))
-      .localCheckpoint(true)
-    val nPos = ranks.count()
-    // ranks are DENSE (zipWithIndex of the distinct keys), so
-    // all-distinct ⟺ max(rank) == n−1: a partial-combining max is the
-    // cheap convergence probe, not a countDistinct shuffle
-    def converged(r: DataFrame): Boolean =
-      r.agg(max("rank")).head().getLong(0) == nPos - 1
+    var (ranks, nDistinct, nPos) = denseRankByWord(t.as[SaTok])
     val byDoc = Window.partitionBy("doc").orderBy("pos")
     var tables = List((1, ranks))
     var m = 1
-    var allDistinct = converged(ranks)
-    while (m < maxLen && !allDistinct) {
+    while (m < maxLen && nDistinct < nPos) {
       // radix-4 key: ranks at offsets 0, m, 2m, 3m — one per-doc window
       // pass computes all three shifts (no self-join); past-end → −1
       // sentinel, which sorts below every real rank (shorter-first)
-      val keyed = ranks.withColumn("_k", array(
-        col("rank"),
-        coalesce(lead(col("rank"), m).over(byDoc), lit(-1L)),
-        coalesce(lead(col("rank"), 2 * m).over(byDoc), lit(-1L)),
-        coalesce(lead(col("rank"), 3 * m).over(byDoc), lit(-1L))))
-      // no outer checkpoint: denseRankSorted materialized the sort; the
-      // rank projection on top is a narrow map
-      ranks = denseRankSorted(
-          keyed.select("doc", "pos", "_k").orderBy("_k"), "_k", "nrank")
-        .select(col("doc"), col("pos"), col("nrank").as("rank"))
+      val keyed = ranks.select(col("doc"), col("pos"),
+          col("rank").as("k0"),
+          coalesce(lead(col("rank"), m).over(byDoc), lit(-1L)).as("k1"),
+          coalesce(lead(col("rank"), 2 * m).over(byDoc), lit(-1L)).as("k2"),
+          coalesce(lead(col("rank"), 3 * m).over(byDoc), lit(-1L)).as("k3"))
+        .as[SaKeyed]
+      val (r, d, _) = denseRankByKey(keyed)
+      ranks = r
+      nDistinct = d
       m *= 4
       tables ::= ((m, ranks))
-      allDistinct = converged(ranks)
     }
     tables.reverse
+  }
+
+  /** SA-consecutive suffix pairs, WITHOUT the r9 zip-index + idx=idx+1
+    * self-join (a full-corpus shuffle join): pair consecutive rows
+    * inside each partition of the materialized SA sort, and stitch the
+    * ≤ #partitions−1 cross-boundary pairs on the driver from the same
+    * accumulator metadata the rank rounds use. One sort, zero joins.
+    *
+    * Each pair CARRIES both rows' retained key vectors — the top
+    * descent level's lookup values — so the descent's first (and
+    * biggest: nothing is gated yet there) join pair disappears
+    * entirely. Returns (lazyPairs, checkpoint handle for the caller to
+    * free once its consumers have materialized).
+    */
+  private def adjacentPairs(finalTbl: DataFrame): (DataFrame, DataFrame) = {
+    val spark = finalTbl.sparkSession
+    import spark.implicits._
+    // a single-round corpus's word table has no retained keys; the
+    // descent never reads them there, so sentinel-fill
+    val withK =
+      if (finalTbl.columns.contains("k0")) finalTbl
+      else Seq("k0", "k1", "k2", "k3").foldLeft(finalTbl)(
+        (d, c) => d.withColumn(c, lit(-1L)))
+    val acc = spark.sparkContext.collectionAccumulator[
+      (Int, (Long, Int, Long, Long, Long, Long),
+            (Long, Int, Long, Long, Long, Long))]("saEnds")
+    val sorted = withK.orderBy("rank", "doc", "pos").as[SaRankK]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var started = false
+        var f: SaRankK = null
+        var l: SaRankK = null
+        val out = it.map { r =>
+          if (!started) { started = true; f = r }
+          l = r
+          r
+        }
+        onExhaust(out, () => if (started) acc.add((pid,
+          (f.doc, f.pos, f.k0, f.k1, f.k2, f.k3),
+          (l.doc, l.pos, l.k0, l.k1, l.k2, l.k3))))
+      }.toDF().localCheckpoint(true)
+    val ends = acc.value.asScala.toSeq.distinct.sortBy(_._1)
+    val within = sorted.as[SaRankK].mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var prev = it.next()
+        it.map { cur =>
+          val p = SaPairK(prev.doc, prev.pos, cur.doc, cur.pos,
+            prev.k0, prev.k1, prev.k2, prev.k3,
+            cur.k0, cur.k1, cur.k2, cur.k3)
+          prev = cur
+          p
+        }
+      }
+    }
+    val cross = ends.zip(ends.drop(1)).map {
+      case ((_, (lDoc, lPos, la0, la1, la2, la3), _),
+            (_, _, (fDoc, fPos, fb0, fb1, fb2, fb3))) =>
+        SaPairK(lDoc, lPos, fDoc, fPos,
+          la0, la1, la2, la3, fb0, fb1, fb2, fb3)
+    }
+    (within.toDF().unionByName(spark.createDataset(cross).toDF()), sorted)
   }
 
   /** SA-adjacent suffix pairs with their exact LCP, pre-gated so only
     * pairs that can reach `minTokens` flow through the descent —
     * the shared core of [[longestRepeats]] and [[dupSpans]].
     *
-    * Returns (doc_a, pos_a, doc_b, pos_b, len_a, len_b, lcp) where
-    * (a, b) are consecutive suffixes in SA order.
+    * Returns a MATERIALIZED (doc_a, pos_a, doc_b, pos_b, len_a, len_b,
+    * lcp) frame where (a, b) are consecutive suffixes in SA order; all
+    * scratch beneath it is freed before returning, so a caller sharing
+    * one build across several outputs (SuffixScaleBench, the
+    * llm_suffix_shared composite) holds exactly `tables` + this frame.
     *
     * - SA order = final rank, ties (exactly-equal suffixes) broken by
-    *   (doc, pos); adjacency via an idx = idx+1 self-join on the
-    *   zip-indexed order.
+    *   (doc, pos); adjacency via [[adjacentPairs]].
     * - The pre-gate: LCP ≥ minTokens requires equal ranks at the
     *   largest table level m₀ ≤ minTokens, so one equi-check against
     *   that table reduces the n−1 adjacent pairs to the real repeat
     *   candidates before the descent joins run. Pairs failing the gate
     *   are DROPPED (their LCP < m₀ is never computed).
-    * - LCP by descent over the stored radix-4 rank tables, largest m
-    *   first, each level checked up to 3× (a failed level-4m check
-    *   leaves a remainder < 4m = up to three m-advances): ranks equal
-    *   at level m ⇒ advance both cursors by min(m, tokens left on
-    *   either side) — the `least` guard keeps truncated-prefix equality
-    *   (both suffixes end inside the window) from overcounting. O(log)
-    *   equi-joins over the gated pairs, never a word re-comparison.
+    * - LCP by descent over the stored rank tables, largest m first,
+    *   ONE join pair per table: the table at level m retained its
+    *   construction keys k0..k3 = rank_{m/4} at offsets (0, m/4, 2m/4,
+    *   3m/4), so a single lookup at the current cursor yields the whole
+    *   level's sub-advance — the count of leading equal (and
+    *   non-sentinel) kᵢ pairs, times m/4, capped by the tokens left on
+    *   either side (equal ranks mean equal content only to
+    *   min(m/4, remaining); the cap keeps truncated-prefix equality
+    *   from overcounting, and the sub-m/4 tail is exactly what the next
+    *   table down resolves). Below the top table the count can never
+    *   reach 4 (all four equal would force equal level-m ranks, which
+    *   the level above already refuted); at the top, count 4 is the
+    *   total-match case and the cap yields min(len_a, len_b) directly.
+    *   O(log) equi-joins over the gated pairs, never a word
+    *   re-comparison.
     */
-  def adjacentLcp(docs: DataFrame, idCol: String, textCol: String,
+  def adjacentLcpFromTables(tables: Seq[(Int, DataFrame)], toks: DataFrame,
       minTokens: Int): DataFrame = {
-    val tables = rankTables(docs, idCol, textCol)
-    val t = tokens(docs, idCol, textCol)
-    val lens = t.groupBy("doc").agg(max("pos").as("len"))
-    val sa = withZipIndex(
-      tables.last._2.orderBy("rank", "doc", "pos"), "idx")
-    val nxt = sa.select((col("idx") - 1).as("idx"),
-      col("doc").as("doc_b"), col("pos").as("pos_b"))
-    val adjacent = sa.join(nxt, "idx")
-      .select(col("doc").as("doc_a"), col("pos").as("pos_a"),
-        col("doc_b"), col("pos_b"))
+    val lens = toks.groupBy("doc").agg(max("pos").as("len"))
+    val (adjacent, adjCkpt) = adjacentPairs(tables.last._2)
     val gateM = tables.map(_._1).filter(_ <= math.max(1, minTokens)).max
     val gateTbl = tables.find(_._1 == gateM).get._2
     val ga = gateTbl.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
@@ -222,70 +379,83 @@ object SuffixArray {
       .withColumn("off_a", col("pos_a"))
       .withColumn("off_b", col("pos_b"))
       .withColumn("lcp", lit(0L))
-      .localCheckpoint(true)
-    val desc = tables.sortBy(-_._1)
-    for (((m, tbl), i) <- desc.zipWithIndex;
-         _ <- 0 until (if (i == 0) 1 else 3)) {
-      val ra = tbl.select(col("doc").as("doc_a"), col("pos").as("off_a"),
-        col("rank").as("_ra"))
-      val rb = tbl.select(col("doc").as("doc_b"), col("pos").as("off_b"),
-        col("rank").as("_rb"))
-      state = state
-        .join(ra, Seq("doc_a", "off_a"), "left")
-        .join(rb, Seq("doc_b", "off_b"), "left")
-        // materialize the advance BEFORE touching the cursors: off_a and
-        // off_b must both advance by the advance computed from the OLD
-        // cursor positions
+    val desc = tables.filter(_._1 >= 4).sortBy(-_._1)
+    if (desc.isEmpty) {
+      // single-table corpus (every doc is one token): the gate already
+      // proved the word ranks equal, so every surviving pair's LCP is 1
+      state = state.withColumn("lcp", lit(1L))
+    }
+    for (((m, tbl), i) <- desc.zipWithIndex) {
+      val s = (m / 4).toLong
+      // the TOP level's lookup values rode along from adjacentPairs
+      // (the pair rows ARE the top-table rows); lower levels join the
+      // table at the advanced cursors
+      val withQ = if (i == 0) state else {
+        val qa = tbl.select(col("doc").as("doc_a"), col("pos").as("off_a"),
+          col("k0").as("_qa0"), col("k1").as("_qa1"),
+          col("k2").as("_qa2"), col("k3").as("_qa3"))
+        val qb = tbl.select(col("doc").as("doc_b"), col("pos").as("off_b"),
+          col("k0").as("_qb0"), col("k1").as("_qb1"),
+          col("k2").as("_qb2"), col("k3").as("_qb3"))
+        state.join(qa, Seq("doc_a", "off_a"), "left")
+          .join(qb, Seq("doc_b", "off_b"), "left")
+      }
+      // leading equal kᵢ pairs; a missing row (cursor past doc end)
+      // nulls _qa0/_qb0 and stops at 0, the −1 past-end sentinel stops
+      // the cascade (two exhausted suffixes share no further content).
+      // k0 is a real rank whenever the row exists, so only i ≥ 1 needs
+      // the sentinel check.
+      state = withQ
+        .withColumn("_cnt",
+          when(col("_qa0").isNull || col("_qb0").isNull ||
+               col("_qa0") =!= col("_qb0"), lit(0L))
+          .when(col("_qa1") =!= col("_qb1") || col("_qa1") === lit(-1L), lit(1L))
+          .when(col("_qa2") =!= col("_qb2") || col("_qa2") === lit(-1L), lit(2L))
+          .when(col("_qa3") =!= col("_qb3") || col("_qa3") === lit(-1L), lit(3L))
+          .otherwise(lit(4L)))
         .withColumn("_adv",
-          when(col("_ra").isNotNull && col("_rb").isNotNull &&
-               col("_ra") === col("_rb"),
-            least(lit(m.toLong),
+          when(col("_cnt") === 0, lit(0L))
+            .otherwise(least(col("_cnt") * s,
               col("len_a") - col("off_a") + 1,
-              col("len_b") - col("off_b") + 1))
-            .otherwise(lit(0L)))
+              col("len_b") - col("off_b") + 1)))
         .withColumn("lcp", col("lcp") + col("_adv"))
         .withColumn("off_a", col("off_a") + col("_adv"))
         .withColumn("off_b", col("off_b") + col("_adv"))
-        .drop("_ra", "_rb", "_adv")
+        .drop("_qa0", "_qa1", "_qa2", "_qa3",
+          "_qb0", "_qb1", "_qb2", "_qb3", "_cnt", "_adv")
     }
-    state.select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
-      col("len_a"), col("len_b"), col("lcp"))
+    val out = state.select(col("doc_a"), col("pos_a"), col("doc_b"),
+        col("pos_b"), col("len_a"), col("len_b"), col("lcp"))
+      .localCheckpoint(true)
+    freeCheckpoint(adjCkpt)
+    out
   }
 
-  /** Per-document maximal duplicated spans of ≥ `spanTokens` tokens —
-    * the excision list of Lee et al. 2022's ExactSubstr dedup, derived
-    * from the suffix array.
-    *
-    * A position p starts a duplicated `spanTokens`-gram iff some OTHER
-    * suffix (any document, including p's own) shares a prefix of ≥
-    * spanTokens with p's — and the suffixes maximizing LCP with p are
-    * exactly its SA neighbors, so p is flagged iff one of its two
-    * adjacent pairs has lcp ≥ spanTokens. Flagged positions then merge
-    * per document into maximal runs (gaps-and-islands; per-DOC windows,
-    * so the sort is document-sized and fully parallel): a run of r
-    * consecutive flagged positions is one duplicated span of
-    * r + spanTokens − 1 tokens.
-    *
-    * Returns (idCol, span_start, span_tokens), one row per maximal
-    * span. Differs from `TextOps.maximalDupSpans` (X69) in both
-    * mechanism and scope: that operator hashes fixed windows and only
-    * counts CROSS-document sharing; this one derives the same span
-    * semantics from SA adjacency and flags within-document repeats too
-    * (a doc that repeats its own boilerplate is still training-data
-    * duplication). The DuckDB oracle recomputes the result by the
-    * L-gram method — an INDEPENDENT algorithm agreeing on the output is
-    * the strongest equivalence check the harness can express.
+  /** One-shot [[adjacentLcpFromTables]]: builds the rank tables, frees
+    * them, returns the self-contained materialized pairs frame.
     */
-  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+  def adjacentLcp(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    val tables = rankTables(docs, idCol, textCol)
+    val out = adjacentLcpFromTables(tables, tokens(docs, idCol, textCol), minTokens)
+    tables.foreach(t => freeCheckpoint(t._2))
+    out
+  }
+
+  /** Maximal per-doc duplicated spans from a materialized LCP-pairs
+    * frame — a position is flagged iff one of its SA-adjacent pairs
+    * has lcp ≥ spanTokens, then flagged positions merge per document
+    * into maximal runs (gaps-and-islands; per-DOC windows, so the sort
+    * is document-sized and fully parallel).
+    */
+  private[graft] def spansFromPairs(pairs: DataFrame, idCol: String,
       spanTokens: Int): DataFrame = {
-    require(spanTokens >= 2, s"spanTokens ($spanTokens) must be >= 2")
-    val pairs = adjacentLcp(docs, idCol, textCol, spanTokens)
-      .filter(col("lcp") >= spanTokens)
-    val flagged = pairs.select(col("doc_a").as("doc"), col("pos_a").as("pos"))
-      .unionByName(pairs.select(col("doc_b").as("doc"), col("pos_b").as("pos")))
+    val flagged = pairs.filter(col("lcp") >= spanTokens)
+    val pos = flagged.select(col("doc_a").as("doc"), col("pos_a").as("pos"))
+      .unionByName(flagged.select(col("doc_b").as("doc"), col("pos_b").as("pos")))
       .distinct()
     val byDoc = Window.partitionBy("doc").orderBy("pos")
-    flagged
+    pos
       .withColumn("_isl", col("pos") - row_number().over(byDoc))
       .groupBy("doc", "_isl")
       .agg(min("pos").as("span_start"),
@@ -294,25 +464,15 @@ object SuffixArray {
       .orderBy(idCol, "span_start")
   }
 
-  /** Top-k longest left-maximal repeated substrings in the corpus:
-    * (doc_a, pos_a, doc_b, pos_b, lcp_tokens), k pairs with the largest
-    * adjacent-suffix LCP ≥ minTokens, over [[adjacentLcp]]'s pairs.
-    *
-    * - Left-maximal filter (preceding words differ, null-safe: two
-    *   doc-START occurrences cannot extend left and stay) collapses the
-    *   shift family of a long repeat — without it a single 50-token
-    *   duplication floods the top-k with its 49 suffix-shifted
-    *   sub-repeats.
-    * - Top-k = TakeOrdered on (lcp DESC, ids) — no full-result sort.
+  /** Top-k longest left-maximal repeats from a materialized LCP-pairs
+    * frame; `toks` supplies the preceding-word left-maximality check.
     */
-  def longestRepeats(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def leftMaxTopK(pairs: DataFrame, toks: DataFrame,
       topK: Int, minTokens: Int): DataFrame = {
-    val t = tokens(docs, idCol, textCol)
-    val state = adjacentLcp(docs, idCol, textCol, minTokens)
     // left-maximality: the words before each occurrence differ (or one
     // occurrence starts its document)
-    val prev = t.select(col("doc"), (col("pos") + 1).as("nxtpos"), col("word"))
-    state
+    val prev = toks.select(col("doc"), (col("pos") + 1).as("nxtpos"), col("word"))
+    pairs
       .join(prev.select(col("doc").as("doc_a"), col("nxtpos").as("pos_a"),
         col("word").as("_wa")), Seq("doc_a", "pos_a"), "left")
       .join(prev.select(col("doc").as("doc_b"), col("nxtpos").as("pos_b"),
@@ -327,5 +487,62 @@ object SuffixArray {
       .orderBy(col("lcp_tokens").desc, col("doc_a"), col("pos_a"),
         col("doc_b"), col("pos_b"))
       .limit(topK)
+  }
+
+  /** Per-document maximal duplicated spans of ≥ `spanTokens` tokens —
+    * the excision list of Lee et al. 2022's ExactSubstr dedup, derived
+    * from the suffix array.
+    *
+    * A position p starts a duplicated `spanTokens`-gram iff some OTHER
+    * suffix (any document, including p's own) shares a prefix of ≥
+    * spanTokens with p's — and the suffixes maximizing LCP with p are
+    * exactly its SA neighbors, so p is flagged iff one of its two
+    * adjacent pairs has lcp ≥ spanTokens. A run of r consecutive
+    * flagged positions is one duplicated span of r + spanTokens − 1
+    * tokens.
+    *
+    * Returns (idCol, span_start, span_tokens), one row per maximal
+    * span, as a SELF-CONTAINED materialized frame (all SA scratch
+    * freed). Differs from `TextOps.maximalDupSpans` (X69) in both
+    * mechanism and scope: that operator hashes fixed windows and only
+    * counts CROSS-document sharing; this one derives the same span
+    * semantics from SA adjacency and flags within-document repeats too
+    * (a doc that repeats its own boilerplate is still training-data
+    * duplication). The DuckDB oracle recomputes the result by the
+    * L-gram method — an INDEPENDENT algorithm agreeing on the output is
+    * the strongest equivalence check the harness can express.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens ($spanTokens) must be >= 2")
+    val tables = rankTables(docs, idCol, textCol)
+    val pairs = adjacentLcpFromTables(tables, tokens(docs, idCol, textCol), spanTokens)
+    val out = spansFromPairs(pairs, idCol, spanTokens).localCheckpoint(true)
+    tables.foreach(t => freeCheckpoint(t._2))
+    freeCheckpoint(pairs)
+    out
+  }
+
+  /** Top-k longest left-maximal repeated substrings in the corpus:
+    * (doc_a, pos_a, doc_b, pos_b, lcp_tokens), k pairs with the largest
+    * adjacent-suffix LCP ≥ minTokens, over [[adjacentLcpFromTables]]'s
+    * pairs, as a self-contained materialized frame.
+    *
+    * - Left-maximal filter (preceding words differ, null-safe: two
+    *   doc-START occurrences cannot extend left and stay) collapses the
+    *   shift family of a long repeat — without it a single 50-token
+    *   duplication floods the top-k with its 49 suffix-shifted
+    *   sub-repeats.
+    * - Top-k = sort + limit on the gated pairs — no full-result sort.
+    */
+  def longestRepeats(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int, minTokens: Int): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val tables = rankTables(docs, idCol, textCol)
+    val pairs = adjacentLcpFromTables(tables, toks, minTokens)
+    val out = leftMaxTopK(pairs, toks, topK, minTokens).localCheckpoint(true)
+    tables.foreach(t => freeCheckpoint(t._2))
+    freeCheckpoint(pairs)
+    out
   }
 }

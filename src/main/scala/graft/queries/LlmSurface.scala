@@ -733,7 +733,11 @@ object LlmSurface {
       val pow = s"cast(${k - 1} as double) * cast(1152921504606846976 as double)"
       def est(c: String) =
         expr(s"case when size($c) < $k then cast(size($c) as bigint) " +
-          s"else cast(floor($pow / cast(element_at($c, $k) as double)) as bigint) end")
+          // least(·, 2^62) guards the pathological tiny-h_k quotient: Spark's
+          // non-ANSI cast would clamp to Long.MaxValue while DuckDB raises,
+          // so both engines clamp BEFORE the cast (ADVICE r9)
+          s"else cast(least(floor($pow / cast(element_at($c, $k) as double)), " +
+          s"cast(4611686018427387904 as double)) as bigint) end")
       // localCheckpoint: the |sources|-row sketch table is referenced on
       // BOTH sides of the pair self-join — without materialization each
       // reference re-runs the corpus scan + aggregation (PlanAuditSpec
@@ -3482,8 +3486,8 @@ object LlmSurface {
                    ${Seq("ka" -> "vocab_a_est", "kb" -> "vocab_b_est",
                          "ku" -> "union_est").map { case (c, n) =>
                      s"""CASE WHEN len($c) < 128 THEN CAST(len($c) AS BIGINT)
-                        ELSE CAST(floor(CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
-                                        / CAST($c[128] AS DOUBLE)) AS BIGINT) END AS $n"""
+                        ELSE CAST(least(floor(CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                                        / CAST($c[128] AS DOUBLE)), CAST(4611686018427387904 AS DOUBLE)) AS BIGINT) END AS $n"""
                    }.mkString(",\n                   ")}
             FROM pr)
       SELECT source_a, source_b, vocab_a_est, vocab_b_est, union_est,

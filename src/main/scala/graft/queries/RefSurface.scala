@@ -887,7 +887,9 @@ object RefSurface {
       }
       def ndv(c: String) =
         expr(s"case when size(${c}_kmv) < $kN then cast(size(${c}_kmv) as bigint) " +
-          s"else cast(floor($pow60 / cast(element_at(${c}_kmv, $kN) as double)) as bigint) end")
+          // clamp before the cast — see llm_kmv_set_ops rationale (ADVICE r9)
+          s"else cast(least(floor($pow60 / cast(element_at(${c}_kmv, $kN) as double)), " +
+          s"cast(4611686018427387904 as double)) as bigint) end")
       def quantile(c: String, q: String) =
         expr(s"cast(element_at(array_sort(transform(${c}_smp, x -> x.payload)), " +
           s"cast(floor(cast(size(${c}_smp) - 1 as double) * $q) as int) + 1) as double)")
@@ -1780,8 +1782,8 @@ object RefSurface {
       def kmvCte(c: String) =
         s"""kmv_$c AS (
         SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS BIGINT)
-               ELSE CAST(floor(CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
-                               / CAST(max(h) AS DOUBLE)) AS BIGINT) END AS ndv
+               ELSE CAST(least(floor(CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                               / CAST(max(h) AS DOUBLE)), CAST(4611686018427387904 AS DOUBLE)) AS BIGINT) END AS ndv
         FROM (SELECT h FROM (
                 SELECT DISTINCT CAST('0x' || substr(md5('kmv|' || CAST($c AS VARCHAR)), 1, 15) AS BIGINT) AS h
                 FROM lineitem WHERE $c IS NOT NULL)

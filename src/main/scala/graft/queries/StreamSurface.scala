@@ -445,8 +445,8 @@ object StreamSurface {
       SELECT strftime(CAST(ev.d AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS win_start,
              ev.n_events,
              CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
-                  ELSE CAST(floor(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
-                                  / CAST(kmv[64] AS DOUBLE)) AS BIGINT) END AS users_est,
+                  ELSE CAST(least(floor(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                                  / CAST(kmv[64] AS DOUBLE)), CAST(4611686018427387904 AS DOUBLE)) AS BIGINT) END AS users_est,
              (len(kmv) = 64) AS sketch_full
       FROM ev JOIN sk ON ev.d = sk.d
       ORDER BY win_start

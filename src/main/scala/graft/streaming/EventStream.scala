@@ -92,7 +92,9 @@ object EventStream extends Serializable {
         expr(s"bottomk_distinct_long(_uh, $k)").as("_kmv"))
       .select(col("w.start").as("win_start"), col("n_events"),
         expr(s"case when size(_kmv) < $k then cast(size(_kmv) as bigint) " +
-          s"else cast(floor($pow / cast(element_at(_kmv, $k) as double)) as bigint) end")
+          // clamp before the cast — see llm_kmv_set_ops rationale (ADVICE r9)
+          s"else cast(least(floor($pow / cast(element_at(_kmv, $k) as double)), " +
+          s"cast(4611686018427387904 as double)) as bigint) end")
           .as("users_est"),
         (size(col("_kmv")) === k).as("sketch_full"))
   }
