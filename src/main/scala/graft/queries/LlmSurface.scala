@@ -714,6 +714,41 @@ object LlmSurface {
         boilerplatedDocs(s, dir), "doc_id", "aug", spanTokens = 10)
     }),
 
+    // ---- shared-build SA composite: repeats + excision in ONE pass -------
+    // The production shape of the two queries above (X190): the rank
+    // tables, SA adjacency and LCP descent are built ONCE (gated at the
+    // smaller of the two thresholds — every lcp ≥ 10 pair survives a
+    // level-4 gate, so the span half loses nothing), then BOTH
+    // deliverables derive from the same materialized pairs frame: the
+    // top-40 left-maximal repeats (tagged 'repeat') and the ≥10-token
+    // excision spans (tagged 'span'), union'd with a part discriminator.
+    // Until r10 this sharing claim lived in a comment; now it is an
+    // executed, oracle-checked query — and the bench row prices it at
+    // roughly HALF the cost of running the pair separately, which is
+    // the number a 100 TB curation run cares about (one corpus-scale
+    // build, k deliverables).
+    "llm_suffix_shared" -> ((s, dir) => {
+      import graft.operators.SuffixArray
+      val docs = boilerplatedDocs(s, dir)
+      val toks = SuffixArray.tokens(docs, "doc_id", "aug")
+      val tables = SuffixArray.rankTables(docs, "doc_id", "aug")
+      val pairs = SuffixArray.adjacentLcpFromTables(tables, toks, minTokens = 5)
+      val repeats = SuffixArray.leftMaxTopK(pairs, toks, topK = 40, minTokens = 5)
+        .select(lit("repeat").as("part"), col("doc_a").as("id_a"), col("pos_a"),
+          col("doc_b").as("id_b"), col("pos_b"),
+          col("lcp_tokens").as("n_tokens"))
+      val spans = SuffixArray.spansFromPairs(pairs, "doc_id", spanTokens = 10)
+        .select(lit("span").as("part"), col("doc_id").as("id_a"),
+          col("span_start").as("pos_a"), lit(null).cast("long").as("id_b"),
+          lit(null).cast("int").as("pos_b"), col("span_tokens").as("n_tokens"))
+      val out = repeats.unionByName(spans)
+        .orderBy("part", "id_a", "pos_a", "id_b", "pos_b")
+        .localCheckpoint(true)
+      tables.foreach(t => SuffixArray.freeCheckpoint(t._2))
+      SuffixArray.freeCheckpoint(pairs)
+      out
+    }),
+
     // ---- KMV set algebra: vocabulary overlap cardinalities per source ----
     // Theta-sketch-style set operations on the engine-independent KMV
     // sketch (X102's r9 machinery): per-source vocabulary NDV, pairwise
@@ -3431,6 +3466,73 @@ object LlmSurface {
         AND lcp_tokens >= 5
       ORDER BY lcp_tokens DESC, doc_a, pos_a, doc_b, pos_b
       LIMIT 40
+    """,
+
+    // Shared-build composite oracle: the repeat half replays the suffix
+    // sort + LCP + left-max + top-k, the span half replays the
+    // INDEPENDENT L-gram islands algorithm (same as llm_suffix_dup_spans
+    // — the two halves must agree with ONE Spark build).
+    "llm_suffix_shared" -> s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0 THEN text || ' $Boilerplate'
+                    ELSE text END AS text
+        FROM documents),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+      suf AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[CAST(i AS INTEGER):] AS s,
+               CASE WHEN i > 1 THEN ws[CAST(i AS INTEGER) - 1] ELSE NULL END AS pw
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, CAST(len(ws) AS BIGINT) + 1)) AS i
+              FROM tok)),
+      ord AS (
+        SELECT *, row_number() OVER (ORDER BY s, doc_id, pos) AS r FROM suf),
+      pr AS (
+        SELECT a.doc_id AS doc_a, a.pos AS pos_a, a.s AS sa, a.pw AS pwa,
+               b.doc_id AS doc_b, b.pos AS pos_b, b.s AS sb, b.pw AS pwb
+        FROM ord a JOIN ord b ON b.r = a.r + 1),
+      lc AS (
+        SELECT doc_a, pos_a, doc_b, pos_b, pwa, pwb,
+               CAST(coalesce(
+                 nullif(list_position(list_transform(
+                   range(1, least(len(sa), len(sb)) + 1),
+                   i -> sa[i] = sb[i]), false), 0) - 1,
+                 least(len(sa), len(sb))) AS BIGINT) AS lcp_tokens
+        FROM pr),
+      rep AS (
+        SELECT doc_a, pos_a, doc_b, pos_b, lcp_tokens
+        FROM lc
+        WHERE (pwa IS DISTINCT FROM pwb OR (pwa IS NULL AND pwb IS NULL))
+          AND lcp_tokens >= 5
+        ORDER BY lcp_tokens DESC, doc_a, pos_a, doc_b, pos_b
+        LIMIT 40),
+      sp AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               md5(array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, greatest(CAST(len(ws) AS BIGINT) - 8, 1))) AS i
+              FROM tok)),
+      g AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+      f AS (SELECT DISTINCT doc_id, pos FROM sp JOIN g USING (h)),
+      isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM f),
+      spans AS (
+        SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+               CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_tokens
+        FROM isl
+        GROUP BY doc_id, grp)
+      SELECT part, id_a, pos_a, id_b, pos_b, n_tokens FROM (
+        SELECT 'repeat' AS part, doc_a AS id_a, pos_a,
+               doc_b AS id_b, pos_b, lcp_tokens AS n_tokens
+        FROM rep
+        UNION ALL
+        SELECT 'span' AS part, doc_id AS id_a, span_start AS pos_a,
+               CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS INTEGER) AS pos_b,
+               span_tokens AS n_tokens
+        FROM spans)
+      ORDER BY part, id_a, pos_a, id_b, pos_b
     """,
 
     // Independent-algorithm oracle: duplicated 10-gram flags (count of
