@@ -523,6 +523,80 @@ object SuffixArray {
     out
   }
 
+  /** Incremental ExactSubstr excision — the nightly-batch form of
+    * [[dupSpans]]: given the PERSISTED base-corpus index and a new
+    * batch, emit the full-union excision list without rebuilding the
+    * suffix array over base ∪ batch.
+    *
+    * WHY this is exact, and why it probes a single index level: for a
+    * FIXED excision threshold K, position p carries a duplicated-span
+    * flag iff its K-gram occurs ≥ 2 times in the union — that is the
+    * entire contribution of the suffix array to [[dupSpans]] (an
+    * SA-adjacent neighbor with lcp ≥ K exists iff the K-gram repeats;
+    * the r9 oracle already exploits this equivalence by replaying the
+    * L-gram algorithm). So the only piece of the SA index the fixed-K
+    * deliverable needs is its LEVEL-K PROJECTION: the K-gram postings
+    * table (hash, doc, pos). That projection has a clean probe-vs-index
+    * story (X188): batch flags = batch postings ⋈ union hash counts;
+    * base docs whose content a batch doc newly duplicates surface from
+    * the SAME join in the other direction — every shuffle keys on gram
+    * hashes, candidates bounded by true collisions, base TEXT is never
+    * re-read (only its postings). Incremental maintenance of the FULL
+    * rank-table index — what the any-length [[longestRepeats]] query
+    * would need — is deliberately not offered: inserting new suffixes
+    * into the merged SA order seeds per-suffix candidate sets from the
+    * highest matching level, and for suffixes whose top match is a
+    * frequent short prefix the seed set is that prefix's full posting
+    * list — corpus-frequency fan-out, the exact blowup that makes
+    * Lee et al. 2022 rebuild their array per corpus release. Fixed-K
+    * excision is the deliverable that ships nightly; the rebuild stays
+    * the (amortized, shared — see llm_suffix_shared) weekly batch job.
+    *
+    * Returns (idCol, span_start, span_tokens) over base AND batch docs
+    * — provably identical to `dupSpans(base ∪ batch, K)`: the flag sets
+    * coincide position-by-position, so the islands merge coincides.
+    * `SuffixArraySpec` pins that equivalence Spark-vs-Spark; the
+    * registered oracle replays the full-rebuild L-gram algorithm on the
+    * union.
+    */
+  def incrementalDupSpans(base: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens ($spanTokens) must be >= 2")
+    import graft.llm.TextOps
+    def postings(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("doc"),
+          posexplode(TextOps.shinglesFromWords(
+            TextOps.words(col(textCol)), spanTokens)).as(Seq("_p", "_s")))
+        .select(col("doc"), (col("_p") + 1).cast("int").as("pos"),
+          md5(col("_s")).as("h"))
+    // the persisted index: in production a bucketed-by-hash table merged
+    // per batch; materialized here because harness queries are stateless
+    val basePost = postings(base).localCheckpoint(true)
+    val batchPost = postings(batch)
+    // index-side and batch-side gram frequencies — partial-combining
+    // aggs whose shuffle keys are gram hashes, never corpus positions
+    val baseCnt = basePost.groupBy("h").agg(count(lit(1)).as("_nb"))
+    val batchCnt = batchPost.groupBy("h").agg(count(lit(1)).as("_nn"))
+    val dupHash = baseCnt.join(batchCnt, Seq("h"), "full")
+      .filter(coalesce(col("_nb"), lit(0L)) + coalesce(col("_nn"), lit(0L)) >= 2)
+      .select("h")
+    val flagged = basePost.unionByName(batchPost)
+      .join(dupHash, "h")
+      .select(col("doc"), col("pos"))
+      .distinct()
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
+    val out = flagged
+      .withColumn("_isl", col("pos") - row_number().over(byDoc))
+      .groupBy("doc", "_isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + spanTokens).cast("long").as("span_tokens"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_tokens"))
+      .orderBy(idCol, "span_start")
+      .localCheckpoint(true)
+    freeCheckpoint(basePost)
+    out
+  }
+
   /** Top-k longest left-maximal repeated substrings in the corpus:
     * (doc_a, pos_a, doc_b, pos_b, lcp_tokens), k pairs with the largest
     * adjacent-suffix LCP ≥ minTokens, over [[adjacentLcpFromTables]]'s

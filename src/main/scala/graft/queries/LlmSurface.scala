@@ -749,6 +749,25 @@ object LlmSurface {
       out
     }),
 
+    // ---- incremental ExactSubstr excision (probe-vs-index, X191) ---------
+    // The nightly-batch form of llm_suffix_dup_spans: docs split into a
+    // persisted BASE corpus (doc_id % 4 != 1) and an arriving BATCH
+    // (doc_id % 4 == 1 — includes every 4th boilerplate carrier, so
+    // cross base↔batch duplicates exist); the excision list for the
+    // UNION is computed by probing K-gram postings (the level-K
+    // projection of the SA index — the only slice a fixed-K deliverable
+    // needs, see SuffixArray.incrementalDupSpans scaladoc for why
+    // any-length repeats still require the rebuild) instead of
+    // rebuilding the suffix array. The oracle replays the FULL-REBUILD
+    // L-gram algorithm on the union — incremental ≡ full recompute,
+    // the X119 equivalence pattern.
+    "llm_suffix_incremental" -> ((s, dir) => {
+      val d = boilerplatedDocs(s, dir)
+      graft.operators.SuffixArray.incrementalDupSpans(
+        d.filter(col("doc_id") % 4 =!= 1), d.filter(col("doc_id") % 4 === 1),
+        "doc_id", "aug", spanTokens = 10)
+    }),
+
     // ---- KMV set algebra: vocabulary overlap cardinalities per source ----
     // Theta-sketch-style set operations on the engine-independent KMV
     // sketch (X102's r9 machinery): per-source vocabulary NDV, pairwise
@@ -3533,6 +3552,37 @@ object LlmSurface {
                span_tokens AS n_tokens
         FROM spans)
       ORDER BY part, id_a, pos_a, id_b, pos_b
+    """,
+
+    // Full-rebuild oracle for the INCREMENTAL query: the L-gram islands
+    // algorithm over the whole union corpus, oblivious to the base/batch
+    // split — if the probe-vs-index Spark side drops or invents a span
+    // anywhere (batch docs, base docs newly duplicated by the batch, or
+    // runs that fuse across the two), the hash mismatches.
+    "llm_suffix_incremental" -> s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0 THEN text || ' $Boilerplate'
+                    ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+      sp AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               md5(array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, greatest(CAST(len(ws) AS BIGINT) - 8, 1))) AS i
+              FROM w)),
+      g AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+      f AS (SELECT DISTINCT doc_id, pos FROM sp JOIN g USING (h)),
+      isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM f)
+      SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+             CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_tokens
+      FROM isl
+      GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start
     """,
 
     // Independent-algorithm oracle: duplicated 10-gram flags (count of

@@ -116,6 +116,29 @@ class SuffixArraySpec extends SparkSpec {
     assert(viaSa === viaGrams && viaSa.nonEmpty)
   }
 
+  test("incrementalDupSpans(base, batch) ≡ dupSpans(base ∪ batch) — hand corpus + real corpus") {
+    // hand corpus: within-doc repeat (doc 5 here has none ≥3; doc 1&4
+    // share a 5-token prefix) — split so the shared content straddles
+    // base and batch, the case the probe exists for
+    val base = docs.filter(col("doc_id") =!= 4)
+    val batch = docs.filter(col("doc_id") === 4)
+    val inc = SuffixArray.incrementalDupSpans(base, batch, "doc_id", "text", 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    val full = SuffixArray.dupSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(inc === full && inc.nonEmpty)
+
+    val real = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200)
+    val rBase = real.filter(col("doc_id") % 3 =!= 0)
+    val rBatch = real.filter(col("doc_id") % 3 === 0)
+    val rInc = SuffixArray.incrementalDupSpans(rBase, rBatch, "doc_id", "text", 8)
+      .as[(Long, Int, Long)].collect().toSeq
+    val rFull = SuffixArray.dupSpans(real, "doc_id", "text", 8)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(rInc === rFull && rInc.nonEmpty)
+  }
+
   test("structural: real corpus run returns sane, planted-boilerplate-dominated repeats") {
     val real = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     val top = SuffixArray.longestRepeats(real, "doc_id", "text",
