@@ -826,6 +826,97 @@ object TextOps {
       .select("rank", "pair", "pair_count")
   }
 
+  /** Full BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterated
+    * form of [[bpePairCounts]] (which counts one round's candidates but
+    * never produces a merge list): `merges` rounds of
+    * count-pairs → argmax → apply-merge over the vocabulary table,
+    * followed by encoding the corpus with the trained merges. Returns
+    * one frame, part-tagged:
+    *   - part='merge':  (rank, sym = "left right", n = pair count at
+    *     selection time) — the ordered merge list, the tokenizer
+    *     artifact a training pipeline ships;
+    *   - part='encode': (rank = null, sym = source, n = total encoded
+    *     token count per corpus source) — the number a mixture planner
+    *     actually consumes, now from a TRAINED tokenizer rather than
+    *     llm_token_count's BPE-ish regex estimate.
+    *
+    * Segmentation state is a flat string with every symbol wrapped in
+    * single spaces (so adjacent symbols meet at a DOUBLE space):
+    * "hello" → " h  e  l  l  o ". A merge of (a, b) is then literal
+    * `replace(state, ' a  b ', ' ab ')` — both engines' replace scans
+    * left-to-right without overlap, which IS greedy BPE merge order,
+    * and each symbol owning its flanking spaces makes " a  a  a  a "
+    * collapse to " aa  aa ", not the shared-boundary off-by-one.
+    * Symbols never contain spaces ((?s) wraps EVERY char, newlines
+    * included), so the representation is unambiguous and the whole
+    * round — pair explode, argmax, merge application — is string
+    * expressions DuckDB replays verbatim as `merges` unrolled CTE
+    * blocks (the X56 kMeans unrolled-loop oracle pattern).
+    *
+    * Scale design: the corpus is touched ONCE (word counts, then
+    * per-source word counts for the encode half — both partial-combine
+    * aggs); every training round runs over the |vocab|-row table.
+    * Per-round driver traffic is the argmax row alone (a 1-row collect,
+    * the same scalar-aggregate exception the kMeans loop uses); the
+    * merge lands back as a LITERAL in the next projection, so round r
+    * is r narrow string maps over the vocab checkpoint — no joins, no
+    * shuffles beyond the pair-count agg whose keys are symbol pairs.
+    * Encoding reuses the trained states directly: for in-vocabulary
+    * words, greedy rank-order encode ≡ the training-time segmentation,
+    * so no second pass is ever computed. Ties in the argmax break on
+    * the pair string — deterministic in any engine.
+    */
+  def bpeTrain(df: DataFrame, sourceCol: String, textCol: String,
+      merges: Int): DataFrame = {
+    require(merges >= 1, s"merges ($merges) must be >= 1")
+    val spark = df.sparkSession
+    val swc = df.select(col(sourceCol).as("source"),
+        explode(words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    var vocab = swc.groupBy("w").agg(sum("c").as("c"))
+      .withColumn("st", regexp_replace(col("w"), "(?s)(.)", " $1 "))
+      .localCheckpoint(true)
+    val picked = Seq.newBuilder[(Long, String, Long)]
+    for (r <- 1 to merges) {
+      val best = vocab
+        .select(col("c"), split(trim(col("st")), "  ").as("sy"))
+        .filter(size(col("sy")) >= 2) // sequence(1,0) is the descending trap
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(sy) - 1)," +
+            " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("c").cast("long").as("pc"))
+        .orderBy(col("pc").desc, col("pair")).limit(1)
+        .collect()
+      require(best.nonEmpty, s"BPE round $r: vocabulary fully merged, " +
+        s"lower `merges` below $merges")
+      val pair = best(0).getString(0)
+      val pc = best(0).getLong(1)
+      val Array(pl, pr) = pair.split(" ", 2)
+      picked += ((r.toLong, pair, pc))
+      vocab = vocab.withColumn("st",
+        replace(col("st"), lit(s" $pl  $pr "), lit(s" $pl$pr ")))
+    }
+    import spark.implicits._
+    val mergeRows = spark.createDataset(picked.result()).toDF("rank", "sym", "n")
+      .select(lit("merge").as("part"), col("rank"), col("sym"), col("n"))
+    val enc = swc
+      .join(vocab.select(col("w"),
+        size(split(trim(col("st")), "  ")).cast("long").as("_ntok")), "w")
+      .groupBy("source")
+      .agg(sum(col("c") * col("_ntok")).cast("long").as("n"))
+      .select(lit("encode").as("part"), lit(null).cast("long").as("rank"),
+        col("source").as("sym"), col("n"))
+    val out = mergeRows.unionByName(enc)
+      .orderBy("part", "rank", "sym")
+      .localCheckpoint(true)
+    graft.operators.SuffixArray.freeCheckpoint(swc)
+    graft.operators.SuffixArray.freeCheckpoint(vocab)
+    out
+  }
+
   /** Inverted-index (posting list) construction — the retrieval artifact
     * behind BM25/decontamination lookups: per word, document frequency,
     * total term frequency, and the ordered posting list serialized as

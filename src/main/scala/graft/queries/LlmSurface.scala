@@ -312,6 +312,19 @@ object LlmSurface {
       TextOps.bpePairCounts(Tables(s, dir, "documents"), "text", topK = 20)
     }),
 
+    // ---- full BPE tokenizer TRAINING + corpus encoding (X192) ------------
+    // The iterated closure of llm_bpe_pairs: 12 rounds of
+    // count → argmax → merge over the vocab table produce the ordered
+    // merge list, then the corpus is encoded with it (per-source token
+    // totals from the trained segmentation — graduating llm_token_count
+    // from "BPE-ish regex" to a real trained tokenizer). The oracle
+    // replays all 12 rounds as unrolled CTEs (the kMeans X56 pattern);
+    // every merge row and every encoded count must hash-match.
+    "llm_bpe_train" -> ((s, dir) => {
+      TextOps.bpeTrain(Tables(s, dir, "documents"), "source", "text",
+        merges = 12)
+    }),
+
     // ---- corpus snapshot diff (incremental-build change table) -----------
     // What changed between corpus v1 and v2? added / removed / changed /
     // unchanged per doc via one full-outer join of content-sha tables on
@@ -4121,6 +4134,57 @@ object LlmSurface {
              pair, pair_count
       FROM pc ORDER BY pair_count DESC, pair LIMIT 20
     """,
+
+    // 12 unrolled training rounds (the X56 kMeans pattern): each block
+    // re-derives pair counts from the previous vocab state, picks the
+    // argmax with the same (count DESC, pair) tiebreak, and applies the
+    // merge with the same literal replace the Spark side uses — replace
+    // is left-to-right non-overlapping in both engines, which IS greedy
+    // BPE merge order under the space-wrapped symbol representation.
+    "llm_bpe_train" -> {
+      // AS MATERIALIZED is load-bearing: v{r-1} is referenced twice per
+      // round (pair counts + merge application) and DuckDB would inline
+      // both references, doubling the plan per round — 2^12 copies of
+      // v0 by the last block
+      val rounds = (1 to 12).map { r =>
+        s"""      p$r AS (
+        SELECT sy[CAST(i AS INTEGER)] || ' ' || sy[CAST(i AS INTEGER) + 1] AS pair,
+               sum(c) AS pc
+        FROM (SELECT c, sy, unnest(range(1, CAST(len(sy) AS BIGINT))) AS i
+              FROM (SELECT c, string_split(trim(st), '  ') AS sy FROM v${r - 1}))
+        GROUP BY 1),
+      b$r AS (SELECT pair, pc,
+                     string_split(pair, ' ')[1] AS pl,
+                     string_split(pair, ' ')[2] AS prt
+              FROM p$r ORDER BY pc DESC, pair LIMIT 1),
+      v$r AS MATERIALIZED (SELECT w, c,
+                     replace(st, ' ' || pl || '  ' || prt || ' ',
+                             ' ' || pl || prt || ' ') AS st
+              FROM v${r - 1}, b$r)"""
+      }.mkString(",\n")
+      val mergeUnion = (1 to 12).map(r =>
+        s"SELECT $r AS r, pair, pc FROM b$r").mkString("\n        UNION ALL ")
+      s"""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w),
+      v0 AS MATERIALIZED (SELECT w, c, regexp_replace(w, '(?s)(.)', ' \\1 ', 'g') AS st FROM wc),
+$rounds,
+      swc AS (SELECT source, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY source, w),
+      enc AS (
+        SELECT source,
+               sum(swc.c * len(string_split(trim(v.st), '  '))) AS n
+        FROM swc JOIN v12 v USING (w) GROUP BY source)
+      SELECT part, rank, sym, n FROM (
+        SELECT 'merge' AS part, CAST(r AS BIGINT) AS rank, pair AS sym,
+               CAST(pc AS BIGINT) AS n
+        FROM ($mergeUnion)
+        UNION ALL
+        SELECT 'encode' AS part, CAST(NULL AS BIGINT) AS rank,
+               source AS sym, CAST(n AS BIGINT) AS n
+        FROM enc)
+      ORDER BY part, rank, sym
+    """
+    },
 
     "llm_snapshot_diff" -> s"""
       WITH v1 AS (SELECT doc_id, sha256(text) AS s1 FROM documents),

@@ -1026,4 +1026,22 @@ class LlmOpsSpec extends SparkSpec {
       .select("win_start", "n").as[(String, Long)].collect().toSet
     assert(got === Set(("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 1L)))
   }
+
+  test("bpeTrain: hand-computed merges incl. the shared-boundary greedy case") {
+    val docs = Seq(("s1", "aaaa aaaa ab"), ("s2", "aaaa"))
+      .toDF("source", "text")
+    val got = TextOps.bpeTrain(docs, "source", "text", merges = 3)
+      .as[(String, Option[Long], String, Long)].collect().toSeq
+    // round 1: pair (a,a) has weight 3·3=9 (> (a,b)=1) → merge; the
+    // state " a  a  a  a " must become " aa  aa " (left-to-right
+    // non-overlapping replace = greedy BPE), NOT " aa  a  a "-style
+    // shared-boundary misses. round 2: (aa,aa)=3. round 3: (a,b)=1.
+    // encode: s1 = aaaa + aaaa + ab = 3 tokens, s2 = aaaa = 1.
+    assert(got === Seq(
+      ("encode", None, "s1", 3L),
+      ("encode", None, "s2", 1L),
+      ("merge", Some(1L), "a a", 9L),
+      ("merge", Some(2L), "aa aa", 3L),
+      ("merge", Some(3L), "a b", 1L)))
+  }
 }
