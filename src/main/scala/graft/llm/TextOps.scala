@@ -1095,6 +1095,127 @@ object TextOps {
         round6(col("_st") / (col("n_tokens") * 1000.0)).as("score"),
         when(col("_st") >= 0, "keep").otherwise("drop").as("label"))
 
+  /** Linear quality-classifier TRAINING over [[hashedFeatures]] — the
+    * missing half of [[linearScore]] (whose r9 weight table was an
+    * md5 stand-in): `rounds` rounds of full-batch logistic gradient
+    * descent with a hard-sigmoid link, all in exact integer arithmetic,
+    * the X56 kMeans determinism discipline applied to a classifier.
+    *
+    * Why full-batch, and why hard-sigmoid:
+    *  - per-SAMPLE SGD is a sequential dependency chain (weights after
+    *    doc i feed doc i+1) — inherently unparallelizable and
+    *    order-dependent, the opposite of an engine-portable distributed
+    *    op. Full-batch GD makes each round two partial-combine
+    *    aggregations (per-doc logits, then per-bucket gradients) whose
+    *    shuffle keys are docs resp. buckets — the Lloyd-iteration shape.
+    *  - the logistic sigmoid is transcendental; exp() is not guaranteed
+    *    bit-identical across engines. The hard sigmoid
+    *    hσ(z) = clamp((z + 2)/4, 0, 1) (the standard quantized-network
+    *    surrogate) evaluates in integer micro-units exactly:
+    *    clamp((z_milli + 2000)·250, 0, 10⁶).
+    *
+    * Round r: z_d = floor(Σ_b c_db·w_b / Σ_b c_db)  (milli-units,
+    * length-normalized so the link never saturates on long docs);
+    * e_d = hσ_micro(z_d) − y_d·10⁶; the GRADIENT weights each doc's
+    * error by the OPPOSITE class count — g_b = Σ_d e_d·N_{1−y_d}·c_db —
+    * the standard integer-exact class-balancing that stops the majority
+    * class from dragging every weight its way (without it the model
+    * collapsed to majority-vote — observed, not hypothetical; a bias
+    * feature cannot fix it here because length normalization dilutes a
+    * unit-count bias by 1/n). Balanced gradients also make the
+    * threshold-0 decision of [[linearScore]] the natural operating
+    * point. Update: w_b ← w_b − clamp(floor(g_b / (N₀·N₁·lrDiv)),
+    * ±clipMilli) — per-feature gradient CLIPPING, the standard
+    * heavy-tail defense: word frequencies are Zipfian, so a shared
+    * stopword bucket's gradient is orders of magnitude above a rare
+    * content bucket's, and one learning rate serves both only if the
+    * head is clipped (unclipped, the head buckets slammed every weight
+    * to saturation and the loss oscillated — observed). Integers end to
+    * end; floor of an exact double division (magnitudes ≪ 2^53) is
+    * bit-stable in both engines. Fixed round count, no convergence
+    * test.
+    *
+    * Output, part-tagged (one frame, the X190 composite convention):
+    *  - part='round':  (k = round, n = Σ|e| micro) — the training curve;
+    *  - part='weight': (k = bucket, n = trained w_b milli) — top
+    *    `topW` by |w| (ties → lower bucket), the shipped model;
+    *  - part='confusion': (sym = 'keep|y', n = docs) — the trained
+    *    weights fed through the SAME [[linearScore]] inference the
+    *    llm_classifier row runs, crossed with the true label.
+    *
+    * Scale: the corpus is featurized ONCE (checkpoint); each round
+    * touches only (doc,b,c) rows and the numBuckets-row weight table;
+    * per-round driver traffic is one scalar (the error sum). The model
+    * stays a DataFrame — nothing corpus-sized is ever collected.
+    */
+  def trainLinearClassifier(df: DataFrame, idCol: String, textCol: String,
+      label: Column, numBuckets: Int, salt: String, rounds: Int,
+      lrDiv: Long, clipMilli: Long, topW: Int): DataFrame = {
+    require(rounds >= 1 && numBuckets > 0 && lrDiv > 0 && clipMilli > 0 && topW > 0,
+      s"bad hyperparameters: rounds=$rounds buckets=$numBuckets lrDiv=$lrDiv " +
+        s"clip=$clipMilli topW=$topW")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = hashedFeatures(df, idCol, textCol, numBuckets, salt)
+      .localCheckpoint(true)
+    val labels = df.select(col(idCol).as("doc"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .localCheckpoint(true)
+    val Array(n0, n1) = labels.agg(
+      sum(lit(1L) - col("_y")), sum(col("_y"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n0 > 0 && n1 > 0,
+      s"class-balanced training needs both classes present (n0=$n0, n1=$n1)")
+    var w = spark.range(numBuckets)
+      .select(col("id").cast("int").as("b"), lit(0L).as("wt"))
+      .localCheckpoint(true)
+    val curve = Seq.newBuilder[(Long, Long)]
+    for (r <- 1 to rounds) {
+      val z = feats.join(w, "b")
+        .groupBy("doc")
+        .agg(sum(col("c") * col("wt")).as("_zw"), sum("c").as("_n"))
+        .select(col("doc"),
+          floor(col("_zw").cast("double") / col("_n")).cast("long").as("_z"))
+      val err = z.join(labels, "doc")
+        .select(col("doc"),
+          (least(lit(1000000L), greatest(lit(0L), (col("_z") + 2000L) * 250L))
+            - col("_y") * 1000000L).as("_e"),
+          when(col("_y") === 1L, lit(n0)).otherwise(lit(n1)).as("_cw"))
+        .localCheckpoint(true)
+      curve += ((r.toLong, err.agg(sum(abs(col("_e")))).head().getLong(0)))
+      val grad = feats.join(err, "doc")
+        .groupBy("b").agg(sum(col("c") * col("_e") * col("_cw")).as("_g"))
+      val wNext = w.join(grad, Seq("b"), "left")
+        .select(col("b"), (col("wt") -
+          least(lit(clipMilli), greatest(lit(-clipMilli),
+            floor(coalesce(col("_g"), lit(0L)).cast("double")
+              / lit(n0.toDouble * n1 * lrDiv)).cast("long")))).as("wt"))
+        .localCheckpoint(true)
+      graft.operators.SuffixArray.freeCheckpoint(w)
+      graft.operators.SuffixArray.freeCheckpoint(err)
+      w = wNext
+    }
+    val roundRows = spark.createDataset(curve.result()).toDF("k", "n")
+      .select(lit("round").as("part"), col("k"), lit("").as("sym"), col("n"))
+    val weightRows = w.orderBy(abs(col("wt")).desc, col("b"))
+      .limit(topW)
+      .select(lit("weight").as("part"), col("b").cast("long").as("k"),
+        lit("").as("sym"), col("wt").as("n"))
+    val confusion = linearScore(feats, w)
+      .join(labels, "doc")
+      .groupBy(concat(col("label"), lit("|"), col("_y").cast("string")).as("sym"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("confusion").as("part"), lit(null).cast("long").as("k"),
+        col("sym"), col("n"))
+    val out = roundRows.unionByName(weightRows).unionByName(confusion)
+      .orderBy("part", "k", "sym")
+      .localCheckpoint(true)
+    graft.operators.SuffixArray.freeCheckpoint(feats)
+    graft.operators.SuffixArray.freeCheckpoint(labels)
+    graft.operators.SuffixArray.freeCheckpoint(w)
+    out
+  }
+
   /** Sequence packing for training: concatenate documents in id order
     * (with their token counts) and slice the stream into fixed
     * `seqLen`-token windows — every doc learns its global token OFFSET

@@ -489,6 +489,34 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- classifier TRAINING (X193): the missing half of llm_classifier --
+    // 10 rounds of full-batch hard-sigmoid logistic GD in exact integer
+    // arithmetic (per-sample SGD is a sequential chain — rejected; the
+    // hard sigmoid replaces transcendental exp, which is not bit-stable
+    // cross-engine), with class-balanced gradients and per-feature
+    // gradient clipping (Zipfian word-frequency heads otherwise slam
+    // the weights to saturation — observed). Target = DISTILLING a
+    // heuristic quality gate (stopword per-mille ≥ the corpus median of
+    // 61) into the hashed linear model — the fastText-classifier
+    // pattern production pipelines run: train a cheap model to
+    // reproduce an expensive teacher rule. (The corpus's `lang` column
+    // was tried first and is UNLEARNABLE by construction — the
+    // synthetic text shares one vocabulary across langs; a target the
+    // features can't express proves nothing about the training loop.)
+    // Output: training curve, top-32 trained weights, and the confusion
+    // counts from feeding the trained table through the SAME
+    // linearScore inference op the llm_classifier row uses. Oracle
+    // replays all 10 rounds as unrolled MATERIALIZED CTEs.
+    "llm_classifier_train" -> ((s, dir) => {
+      val ws = TextOps.words(col("text"))
+      val stopCount = size(filter(ws,
+        w => w.isin("the", "a", "of", "to", "and")))
+      TextOps.trainLinearClassifier(Tables(s, dir, "documents"),
+        "doc_id", "text", stopCount * 1000 >= lit(61) * size(ws),
+        numBuckets = 4096, salt = "clf", rounds = 10, lrDiv = 200L,
+        clipMilli = 300L, topW = 32)
+    }),
+
     // ---- DSIR importance weighting (Xie et al. 2023) ---------------------
     // Score docs by hashed-unigram log-likelihood ratio target-vs-raw;
     // target = the 'en' subset (stand-in for any trusted domain). Both
@@ -3210,6 +3238,72 @@ object LlmSurface {
              CASE WHEN st >= 0 THEN 'keep' ELSE 'drop' END AS label
       FROM sc ORDER BY doc_id
     """,
+
+    // 10 unrolled GD rounds; MATERIALIZED is load-bearing on fc/lab/w{r}
+    // (each is referenced twice per round — inlining doubles the plan
+    // per round). Same integer hard-sigmoid math and class-balanced
+    // gradient weighting (cw = opposite class count) as the Spark side.
+    "llm_classifier_train" -> {
+      val rounds = (1 to 10).map { r =>
+        val p = r - 1
+        s"""      z$r AS (
+        SELECT doc, CAST(floor(CAST(sum(c * wt) AS DOUBLE) / sum(c)) AS BIGINT) AS z
+        FROM fc JOIN w$p USING (b) GROUP BY doc),
+      e$r AS MATERIALIZED (
+        SELECT doc,
+               least(1000000, greatest(0, (z + 2000) * 250)) - y * 1000000 AS e,
+               CASE WHEN y = 1 THEN nd.n0 ELSE nd.n1 END AS cw
+        FROM (z$r JOIN lab USING (doc)) CROSS JOIN nd),
+      g$r AS (
+        SELECT b, sum(c * e * cw) AS g FROM fc JOIN e$r USING (doc) GROUP BY b),
+      w$r AS MATERIALIZED (
+        SELECT b, wt - least(300, greatest(-300,
+                        CAST(floor(CAST(coalesce(g, 0) AS DOUBLE)
+                                  / (CAST(nd.n0 AS DOUBLE) * nd.n1 * 200.0)) AS BIGINT))) AS wt
+        FROM (w$p LEFT JOIN g$r USING (b)) CROSS JOIN nd)"""
+      }.mkString(",\n")
+      val curveUnion = (1 to 10).map(r =>
+        s"SELECT $r AS k, sum(abs(e)) AS n FROM e$r").mkString("\n        UNION ALL ")
+      s"""
+      WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS w FROM documents),
+      fc AS MATERIALIZED (
+        SELECT doc, CAST('0x' || substr(md5('clf|' || w), 1, 4) AS INT) % 4096 AS b,
+               count(*) AS c
+        FROM tok GROUP BY doc, b),
+      lab AS MATERIALIZED (
+        SELECT doc_id AS doc,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the', 'a', 'of', 'to', 'and'))) * 1000
+                    >= 61 * len(string_split(text, ' '))
+                    THEN 1 ELSE 0 END AS y
+        FROM documents),
+      nd AS MATERIALIZED (
+        SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1
+        FROM lab),
+      w0 AS MATERIALIZED (
+        SELECT CAST(g AS INT) AS b, CAST(0 AS BIGINT) AS wt
+        FROM generate_series(0, 4095) t(g)),
+$rounds,
+      sc AS (
+        SELECT doc, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(c * wt) AS BIGINT) AS st
+        FROM fc JOIN w10 USING (b) GROUP BY doc)
+      SELECT part, k, sym, n FROM (
+        SELECT 'round' AS part, CAST(k AS BIGINT) AS k, '' AS sym, CAST(n AS BIGINT) AS n
+        FROM ($curveUnion)
+        UNION ALL
+        SELECT 'weight' AS part, CAST(b AS BIGINT) AS k, '' AS sym, CAST(wt AS BIGINT) AS n
+        FROM (SELECT b, wt FROM w10 ORDER BY abs(wt) DESC, b LIMIT 32)
+        UNION ALL
+        SELECT 'confusion' AS part, CAST(NULL AS BIGINT) AS k,
+               (CASE WHEN st >= 0 THEN 'keep' ELSE 'drop' END)
+                 || '|' || CAST(y AS VARCHAR) AS sym,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sc JOIN lab USING (doc) GROUP BY 3)
+      ORDER BY part, k, sym
+    """
+    },
 
     "llm_lang_quality" -> s"""
       WITH scored AS (

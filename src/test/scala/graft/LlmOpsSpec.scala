@@ -1027,6 +1027,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === Set(("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 1L)))
   }
 
+  test("trainLinearClassifier separates a linearly-separable corpus") {
+    val docs = Seq(
+      ("good stuff here", 1), ("good clean prose", 1), ("clean good text", 1),
+      ("spam junk noise", 0), ("junk spam words", 0), ("noise junk spam", 0))
+      .zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "y")
+    val got = TextOps.trainLinearClassifier(docs, "doc_id", "text",
+        col("y") === 1, numBuckets = 256, salt = "t", rounds = 8,
+        lrDiv = 1L, clipMilli = 500L, topW = 4)
+      .collect().map(r => (r.getString(0), Option(r.get(1)),
+        r.getString(2), r.getLong(3))).toSeq
+    val confusion = got.filter(_._1 == "confusion")
+      .map(r => r._3 -> r._4).toMap
+    // disjoint vocabularies: the trained model must classify its own
+    // training set perfectly (keep ⟺ y=1)
+    assert(confusion === Map("keep|1" -> 3L, "drop|0" -> 3L))
+    // the loss curve must be non-increasing
+    val curve = got.filter(_._1 == "round").map(_._4)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a })
+  }
+
   test("bpeTrain: hand-computed merges incl. the shared-boundary greedy case") {
     val docs = Seq(("s1", "aaaa aaaa ab"), ("s2", "aaaa"))
       .toDF("source", "text")
