@@ -15,7 +15,17 @@ class SalesJobSpec extends SparkSpec {
   private lazy val inputDir = SalesFixture.ensure("unittest")
   private lazy val outDir = Files.createTempDirectory("graft-job-").toString
 
+  // snapshot of blocks cached by OTHER suites sharing this session
+  // (r10: operators return self-contained eager localCheckpoints, so
+  // earlier suites legitimately leave their RESULT blocks resident
+  // until GC); the leak assertion below must count only SalesJob's own
+  private lazy val preExistingCached: Set[Int] = {
+    val ids = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    ids
+  }
+
   private lazy val written: Seq[String] = {
+    preExistingCached // force the snapshot BEFORE the job runs
     val outputs = SalesJob.run(spark, inputDir, SalesFixture.schema)
     SalesJob.export(spark, outputs, outDir)
   }
@@ -25,8 +35,9 @@ class SalesJobSpec extends SparkSpec {
 
   test("export frees every cache run() created (no storage leak)") {
     assert(written.size === 3) // forces the lazy run+export
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "SalesJob must not leak cached blocks into a long-lived session")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- preExistingCached
+    assert(leaked.isEmpty,
+      s"SalesJob must not leak cached blocks into a long-lived session (new ids: $leaked)")
   }
 
   test("writes the three golden CSVs with BOM, header, and rows") {
