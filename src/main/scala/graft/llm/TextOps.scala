@@ -2205,6 +2205,58 @@ object TextOps {
           / count(lit(1)).cast("double") / 1000000.0).as("avg_nll"))
   }
 
+  /** Positional phrase search: find every occurrence of each query
+    * phrase (an exact consecutive word sequence) across the corpus —
+    * the retrieval primitive [[invertedIndex]]'s doc-level postings
+    * cannot answer (df tells you the words co-occur in a doc, not that
+    * they are ADJACENT). Output: one row per (phrase, doc) with the
+    * occurrence count and the first 0-based token position, ordered.
+    *
+    * Algorithm — the single-shuffle anchor trick, not a k-way postings
+    * join: tokenize with positions, equi-join to the broadcast
+    * (word → phrase, idx) table (this prunes the corpus to phrase-
+    * vocabulary tokens BEFORE any shuffle — for realistic phrase
+    * panels that's a tiny fraction of tokens, and the pushed filter
+    * is the scale story), project each candidate token to its implied
+    * phrase ANCHOR `pos − idx`, and group by (phrase, doc, anchor):
+    * the phrase occurs at the anchor iff all `len` slots matched,
+    * i.e. `count(DISTINCT idx) = len`. One shuffle, keyed by true
+    * candidate positions. The alternative — len−1 self-joins of a
+    * positional postings table on `pos_b = pos_a + 1` — costs len−1
+    * shuffles of the same data and was rejected.
+    *
+    * Repeated words in a phrase ("table table") are handled by the
+    * DISTINCT: a lone "table" at position p yields candidates at
+    * anchors p and p−1, each with one distinct idx — never len. A
+    * genuine repeat contributes every idx at the shared anchor.
+    * Occurrences may overlap ("table table table" matches "table
+    * table" at two anchors) — both are reported, matching the sliding-
+    * window reading.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
+      "phrase panel must be non-empty phrases")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pt = broadcast(phrases.flatMap { p =>
+      val ws = p.split(" ")
+      ws.zipWithIndex.map { case (w, i) => (p, ws.length, i, w) }
+    }.toDF("phrase", "len", "idx", "w"))
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    toks.join(pt, "w")
+      .select(col("phrase"), col("len"), col("doc"),
+        (col("pos") - col("idx")).as("anchor"), col("idx"))
+      .where(col("anchor") >= 0)
+      .groupBy("phrase", "len", "doc", "anchor")
+      .agg(countDistinct("idx").as("_nidx"))
+      .where(col("_nidx") === col("len"))
+      .groupBy("phrase", "doc")
+      .agg(count(lit(1)).as("n_occ"),
+        min("anchor").cast("long").as("first_pos"))
+  }
+
   def maxRun(tokens: Column): Column = {
     val st = aggregate(
       tokens,

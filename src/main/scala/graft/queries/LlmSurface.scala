@@ -38,6 +38,15 @@ object LlmSurface {
     "this dataset is distributed under the creative commons attribution " +
     "license please retain this notice when redistributing any copies"
 
+  /** Phrase panel for llm_phrase_search — fixed in BOTH engines. Chosen
+    * against the shared soup vocabulary: a frequent bigram, a rarer
+    * trigram, and two REPEATED-WORD phrases (the positional-match
+    * correctness trap: adjacency must be per-slot, not per-word).
+    */
+  private val PhrasePanel = Seq(
+    "table hash", "slow hash batch", "filter value small value",
+    "table table")
+
   /** `documents` with the boilerplate planted (column `aug`) — shared by
     * llm_substring_dedup and llm_dup_span_runs so both span queries see
     * the same injection.
@@ -2710,6 +2719,22 @@ object LlmSurface {
         Multimodal.withPayload(Tables(s, dir, "documents"), "text"), "doc_id")
       Multimodal.frameTable(s, Multimodal.resizeMeta(meta, 256), stride = 2)
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- positional phrase search (X194) ---------------------------------
+    // The retrieval primitive doc-level postings (X93) can't answer:
+    // exact consecutive-word occurrence. Panel deliberately includes
+    // repeated-word phrases ("table table", "filter value small value")
+    // — the case where a naive per-word join false-positives and the
+    // count(DISTINCT idx)=len anchor trick is load-bearing. One corpus
+    // tokenize pruned by the broadcast phrase vocabulary, ONE shuffle
+    // on (phrase, doc, anchor); the (len−1)-self-join positional-
+    // postings spelling is the rejected alternative.
+    "llm_phrase_search" -> ((s, dir) => {
+      TextOps.phraseSearch(Tables(s, dir, "documents"), "doc_id", "text",
+          PhrasePanel)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("phrase", "doc_id")
     })
   )
 
@@ -6548,6 +6573,34 @@ $rounds,
              min(file_id) AS first_file, max(file_id) AS last_file
       FROM b GROUP BY source, before_b // 4000
       ORDER BY source, out_file
+    """,
+
+    // Same anchor algorithm spelled in SQL: candidate tokens from the
+    // phrase-vocabulary join, grouped by implied anchor, a hit iff all
+    // len slots matched (count DISTINCT idx).
+    "llm_phrase_search" -> {
+      val ptRows = PhrasePanel.flatMap { p =>
+        val ws = p.split(" ")
+        ws.zipWithIndex.map { case (w, i) =>
+          s"('${p}', ${ws.length}, $i, '$w')" }
+      }.mkString(", ")
+      s"""
+      WITH pt(phrase, len, idx, w) AS (VALUES $ptRows),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      e AS (SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS w
+            FROM tok),
+      m AS (SELECT p.phrase, p.len, e.doc_id, e.pos - p.idx AS anchor, p.idx
+            FROM e JOIN pt p USING (w)
+            WHERE e.pos - p.idx >= 0),
+      hits AS (
+        SELECT phrase, doc_id, anchor
+        FROM m GROUP BY phrase, len, doc_id, anchor
+        HAVING count(DISTINCT idx) = len)
+      SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(min(anchor) AS BIGINT) AS first_pos
+      FROM hits GROUP BY phrase, doc_id
+      ORDER BY phrase, doc_id
     """
+    }
   )
 }

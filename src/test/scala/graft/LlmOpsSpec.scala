@@ -1065,4 +1065,23 @@ class LlmOpsSpec extends SparkSpec {
       ("merge", Some(2L), "aa aa", 3L),
       ("merge", Some(3L), "a b", 1L)))
   }
+
+  test("phraseSearch: overlap, repeated-word phrases, no lone-word false " +
+    "positives") {
+    val docs = Seq(
+      (1L, "x table hash y table hash"),   // plain bigram, twice
+      (2L, "table table table"),           // overlapping repeat-word hits
+      (3L, "table value table"),           // lone words — must NOT match
+      (4L, "filter value small value z"),  // repeated word at idx 1 and 3
+      (5L, "filter value small x value")   // broken at idx 3 — no match
+    ).toDF("doc_id", "text")
+    val got = TextOps.phraseSearch(docs, "doc_id", "text",
+        Seq("table hash", "table table", "filter value small value"))
+      .orderBy("phrase", "doc")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("filter value small value", 4L, 1L, 0L),
+      ("table hash", 1L, 2L, 1L),
+      ("table table", 2L, 2L, 0L)))
+  }
 }
