@@ -2257,6 +2257,84 @@ object TextOps {
         min("anchor").cast("long").as("first_pos"))
   }
 
+  /** Iterative proportional fitting (raking) of per-(source, lang)
+    * sampling weights so the weighted token mass hits UNIFORM marginals
+    * over sources AND over langs simultaneously — the classic survey-
+    * statistics algorithm (Deming & Stephan 1940) applied to training-
+    * data mixture design: "equal token share per source and per
+    * language" is a joint constraint no single-pass reweighting
+    * satisfies when the contingency table is unbalanced.
+    *
+    * Round r = one source step then one lang step; each step scales
+    * every cell's weight by target/current for its marginal. All
+    * arithmetic is INTEGER: weights live in micro-units, factors are
+    * `(target_micro * 10^6) div W` with integer `div` end to end —
+    * `floor(double)` is NOT usable here because the intermediates
+    * (total_tokens × 10^12) exceed 2^53 at real scales; bigint integer
+    * division is exact and identical in both engines. Magnitudes are
+    * bounded by corpus_tokens × 10^12 — fine in int64 to ~10^6-token
+    * corpora per the test SFs; a 100 TB run lifts the same expressions
+    * to DECIMAL(38,0), the plan shape unchanged.
+    *
+    * Scale shape: ONE corpus pass builds the |S|×|L| cell table
+    * (partial-combine agg); every subsequent step is a groupBy + join
+    * over that TINY table — the iteration never touches the corpus
+    * again, and applying the final weights downstream is a broadcast
+    * join (the X89 mixture-application shape). The only collect is the
+    * 1-row (total, nS, nL) scalar.
+    *
+    * Output, part-tagged (X190 convention), ordered:
+    *  - part='cell': (source, lang, toks, w_micro, weighted_micro) —
+    *    the shipped weight table after `rounds` rounds;
+    *  - part='src' / part='lang': achieved marginal per source/lang
+    *    (weighted_micro vs the uniform target — the convergence
+    *    deliverable; lang resp. source is '').
+    */
+  def ipfRaking(df: DataFrame, srcCol: String, langCol: String,
+      textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val spark = df.sparkSession
+    val cells = df
+      .groupBy(col(srcCol).as("source"), col(langCol).as("lang"))
+      .agg(sum(size(words(col(textCol)))).cast("long").as("toks"))
+      .localCheckpoint(true)
+    val Seq(tot, ns, nl) = {
+      val r = cells.agg(sum("toks"), countDistinct("source"),
+        countDistinct("lang")).head()
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val tgtS = (tot * 1000000L) / ns // micro-tokens, exact integer div
+    val tgtL = (tot * 1000000L) / nl
+    var w = cells.withColumn("w", lit(1000000L))
+    def step(keyCol: String, tgt: Long): Unit = {
+      val m = w.groupBy(keyCol)
+        .agg(sum(expr("w * toks")).as("_W"))
+      w = w.join(m, keyCol)
+        .withColumn("w",
+          expr(s"(w * ((${tgt}L * 1000000L) div _W)) div 1000000L"))
+        .drop("_W")
+        .localCheckpoint(true)
+    }
+    for (_ <- 1 to rounds) { step("source", tgtS); step("lang", tgtL) }
+    val cell = w.select(lit("cell").as("part"), col("source"), col("lang"),
+      col("toks"), col("w").as("w_micro"),
+      expr("w * toks").as("weighted_micro"))
+    val ms = w.groupBy("source")
+      .agg(sum("toks").cast("long").as("toks"),
+        sum(expr("w * toks")).as("weighted_micro"))
+      .select(lit("src").as("part"), col("source"), lit("").as("lang"),
+        col("toks"), lit(null).cast("long").as("w_micro"),
+        col("weighted_micro"))
+    val ml = w.groupBy("lang")
+      .agg(sum("toks").cast("long").as("toks"),
+        sum(expr("w * toks")).as("weighted_micro"))
+      .select(lit("lang").as("part"), lit("").as("source"), col("lang"),
+        col("toks"), lit(null).cast("long").as("w_micro"),
+        col("weighted_micro"))
+    cell.unionByName(ms).unionByName(ml)
+      .orderBy("part", "source", "lang")
+  }
+
   def maxRun(tokens: Column): Column = {
     val st = aggregate(
       tokens,

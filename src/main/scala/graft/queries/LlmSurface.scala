@@ -2721,6 +2721,20 @@ object LlmSurface {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- IPF raking of mixture weights to joint marginals (X195) ---------
+    // Deming–Stephan iterative proportional fitting over the
+    // (source × lang) token contingency table: 5 rounds of alternating
+    // marginal scaling toward UNIFORM source AND lang token shares —
+    // the joint constraint the one-shot X70 temperature weights can't
+    // express. Corpus touched ONCE (the cell-table agg); the iteration
+    // runs on the |S|×|L| table in exact integer micro-units (bigint
+    // `div`, never float — intermediates exceed 2^53). Oracle replays
+    // all 5 rounds as unrolled MATERIALIZED CTEs.
+    "llm_ipf_raking" -> ((s, dir) => {
+      TextOps.ipfRaking(Tables(s, dir, "documents"), "source", "lang",
+        "text", rounds = 5)
+    }),
+
     // ---- positional phrase search (X194) ---------------------------------
     // The retrieval primitive doc-level postings (X93) can't answer:
     // exact consecutive-word occurrence. Panel deliberately includes
@@ -6574,6 +6588,58 @@ $rounds,
       FROM b GROUP BY source, before_b // 4000
       ORDER BY source, out_file
     """,
+
+    // All 5 IPF rounds unrolled; integer `//` end to end (the same
+    // bigint-division bit-stability argument as the Spark side), sums
+    // CAST from HUGEINT back to BIGINT at every boundary.
+    "llm_ipf_raking" -> {
+      val rounds = (1 to 5).map { r =>
+        val p = r - 1
+        s"""      s$r AS (
+        SELECT source, CAST(sum(w * toks) AS BIGINT) AS mw
+        FROM w$p GROUP BY source),
+      a$r AS MATERIALIZED (
+        SELECT w.source, w.lang, w.toks,
+               (w.w * ((t.tgt_s * 1000000) // s.mw)) // 1000000 AS w
+        FROM (w$p w JOIN s$r s USING (source)) CROSS JOIN tgt t),
+      l$r AS (
+        SELECT lang, CAST(sum(w * toks) AS BIGINT) AS mw
+        FROM a$r GROUP BY lang),
+      w$r AS MATERIALIZED (
+        SELECT a.source, a.lang, a.toks,
+               (a.w * ((t.tgt_l * 1000000) // l.mw)) // 1000000 AS w
+        FROM (a$r a JOIN l$r l USING (lang)) CROSS JOIN tgt t)"""
+      }.mkString(",\n")
+      s"""
+      WITH cells AS MATERIALIZED (
+        SELECT source, lang,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY source, lang),
+      tgt AS MATERIALIZED (
+        SELECT (CAST(sum(toks) AS BIGINT) * 1000000)
+                 // count(DISTINCT source) AS tgt_s,
+               (CAST(sum(toks) AS BIGINT) * 1000000)
+                 // count(DISTINCT lang) AS tgt_l
+        FROM cells),
+      w0 AS MATERIALIZED (
+        SELECT source, lang, toks, CAST(1000000 AS BIGINT) AS w FROM cells),
+$rounds
+      SELECT part, source, lang, toks, w_micro, weighted_micro FROM (
+        SELECT 'cell' AS part, source, lang, toks,
+               CAST(w AS BIGINT) AS w_micro,
+               CAST(w * toks AS BIGINT) AS weighted_micro
+        FROM w5
+        UNION ALL
+        SELECT 'src', source, '', CAST(sum(toks) AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(sum(w * toks) AS BIGINT)
+        FROM w5 GROUP BY source
+        UNION ALL
+        SELECT 'lang', '', lang, CAST(sum(toks) AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(sum(w * toks) AS BIGINT)
+        FROM w5 GROUP BY lang)
+      ORDER BY part, source, lang
+    """
+    },
 
     // Same anchor algorithm spelled in SQL: candidate tokens from the
     // phrase-vocabulary join, grouped by implied anchor, a hit iff all

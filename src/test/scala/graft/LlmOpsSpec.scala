@@ -1066,6 +1066,28 @@ class LlmOpsSpec extends SparkSpec {
       ("merge", Some(3L), "a b", 1L)))
   }
 
+  test("ipfRaking: converges to uniform joint marginals on an unbalanced " +
+    "2x2 table") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      ("A", "x", txt(30)), ("A", "y", txt(10)),
+      ("B", "x", txt(10)), ("B", "y", txt(30))
+    ).toDF("source", "lang", "text")
+    val got = TextOps.ipfRaking(docs, "source", "lang", "text", rounds = 5)
+    val cells = got.filter(col("part") === "cell").count()
+    assert(cells === 4)
+    // total 80 tokens, 2 sources, 2 langs -> every marginal targets
+    // 40e6 micro-tokens; IPF on this symmetric table converges fast
+    val marg = got.filter(col("part") =!= "cell")
+      .select("weighted_micro").as[Long].collect()
+    assert(marg.length === 4)
+    marg.foreach(m => assert(math.abs(m - 40000000L) < 400000L,
+      s"marginal $m not within 1% of 40e6"))
+    // deterministic: a rerun is bit-identical
+    val again = TextOps.ipfRaking(docs, "source", "lang", "text", rounds = 5)
+    assert(got.collect().toSeq === again.collect().toSeq)
+  }
+
   test("phraseSearch: overlap, repeated-word phrases, no lone-word false " +
     "positives") {
     val docs = Seq(
