@@ -2335,6 +2335,106 @@ object TextOps {
       .orderBy("part", "source", "lang")
   }
 
+  /** Platt-style score calibration + reliability diagram / ECE — the
+    * post-training step every production quality classifier runs: raw
+    * margin scores are NOT probabilities, and downstream mixture
+    * planners that threshold on "p(keep) > 0.9" need them to be.
+    * Fits p = hσ(a·z + b) over (score z, teacher label y) by `rounds`
+    * rounds of full-batch gradient descent on squared loss — the same
+    * integer hard-sigmoid link as [[trainLinearClassifier]] (exp is
+    * not bit-stable cross-engine), so the whole fit is exact integer /
+    * guarded-floor arithmetic, bit-identical in both engines.
+    *
+    * Input `scored`: (doc, z, y) with z an integer MILLI-unit score
+    * and y ∈ {0,1}. Round r: t = floor(a·z/10⁶) + b (a micro-scale
+    * slope, b milli intercept); p = clamp((t+2000)·250, 0, 10⁶);
+    * e = p − y·10⁶; gradients masked to the hard-sigmoid linear
+    * region (σ' = 0 outside — exactly, not approximately):
+    * g_a = Σ e·z·1[|t|≤2000], g_b = Σ e·1[|t|≤2000]. Updates are
+    * damped-Newton-scaled floor divisions with per-round clips
+    * (lrDivB = 250 = the link slope makes the b-step the exact Newton
+    * step for the intercept). Magnitudes stay ≪ 2^53 so
+    * floor(double-division) is bit-stable — the X193 argument.
+    *
+    * Scale shape: the scored table is checkpointed once; each round is
+    * ONE partial-combine aggregation returning 3 scalars to the
+    * driver (a, b are model-sized driver state, the allowed class);
+    * the reliability bins are one more groupBy over ≤ `bins` keys.
+    *
+    * Output (part, k, sym, n), ordered:
+    *  - part='round': k=r, n=Σ|e| — the training curve;
+    *  - part='param': sym='a'|'b', n = fitted value;
+    *  - part='bin': k = calibrated-confidence decile, sym =
+    *    'n'|'conf'|'pos' — the reliability diagram (count, Σp_micro,
+    *    positives) per bin;
+    *  - part='ece': sym='before'|'after', n = expected calibration
+    *    error in micro-units (Σ_bins |Σp − 10⁶·pos| div N), binned by
+    *    the respective probability.
+    */
+  def calibrateScores(scored: DataFrame, rounds: Int, lrDivA: Long,
+      lrDivB: Long, clipA: Long, clipB: Long, bins: Int = 10): DataFrame = {
+    require(rounds >= 1 && lrDivA > 0 && lrDivB > 0 && clipA > 0 &&
+      clipB > 0 && bins >= 2, "bad calibration hyperparameters")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val sc = scored.select(col("doc"), col("z").cast("long").as("z"),
+      col("y").cast("long").as("y")).localCheckpoint(true)
+    val n = sc.count()
+    require(n > 0, "empty score table")
+    def withP(a: Long, b: Long): DataFrame = sc
+      .withColumn("t",
+        floor((lit(a) * col("z")).cast("double") / 1000000.0).cast("long")
+          + lit(b))
+      .withColumn("p", least(lit(1000000L),
+        greatest(lit(0L), (col("t") + 2000L) * 250L)))
+      .withColumn("e", col("p") - col("y") * 1000000L)
+      .withColumn("in", when(abs(col("t")) <= 2000L, 1L).otherwise(0L))
+    var a = 1000000L
+    var b = 0L
+    val curve = Seq.newBuilder[(Long, Long)]
+    def clamp(v: Long, c: Long): Long = math.max(-c, math.min(c, v))
+    for (r <- 1 to rounds) {
+      val row = withP(a, b).agg(
+        sum(abs(col("e"))), sum(col("e") * col("z") * col("in")),
+        sum(col("e") * col("in"))).head()
+      val (lossSum, ga, gb) =
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      curve += ((r.toLong, lossSum))
+      a -= clamp(math.floor(ga.toDouble / (n.toDouble * lrDivA)).toLong, clipA)
+      b -= clamp(math.floor(gb.toDouble / (n.toDouble * lrDivB)).toLong, clipB)
+    }
+    def eceBins(df: DataFrame): DataFrame = df
+      .withColumn("bin", least(expr("p div 100000"), lit(bins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("nb"), sum("p").as("conf"), sum("y").as("pos"))
+    val binsAfter = eceBins(withP(a, b)).localCheckpoint(true)
+    val eceOf = (bdf: DataFrame) => bdf
+      .agg(floor(sum(abs(col("conf") - col("pos") * 1000000L)).cast("double")
+        / n.toDouble).cast("long")).as[Long].head()
+    val eceBefore = eceOf(eceBins(withP(1000000L, 0L)))
+    val eceAfter = eceOf(binsAfter)
+    val roundRows = spark.createDataset(curve.result()).toDF("k", "n")
+      .select(lit("round").as("part"), col("k"), lit("").as("sym"), col("n"))
+    val paramRows = Seq(("a", a), ("b", b)).toDF("sym", "n")
+      .select(lit("param").as("part"), lit(null).cast("long").as("k"),
+        col("sym"), col("n"))
+    val binRows = binsAfter.select(col("bin"),
+        map(lit("n"), col("nb"), lit("conf"), col("conf"),
+          lit("pos"), col("pos")).as("m"))
+      .select(col("bin"), explode(col("m")).as(Seq("sym", "n")))
+      .select(lit("bin").as("part"), col("bin").as("k"), col("sym"), col("n"))
+    val eceRows = Seq(("before", eceBefore), ("after", eceAfter))
+      .toDF("sym", "n")
+      .select(lit("ece").as("part"), lit(null).cast("long").as("k"),
+        col("sym"), col("n"))
+    val out = roundRows.unionByName(paramRows).unionByName(binRows)
+      .unionByName(eceRows).orderBy("part", "k", "sym")
+      .localCheckpoint(true)
+    graft.operators.SuffixArray.freeCheckpoint(sc)
+    graft.operators.SuffixArray.freeCheckpoint(binsAfter)
+    out
+  }
+
   def maxRun(tokens: Column): Column = {
     val st = aggregate(
       tokens,

@@ -2721,6 +2721,29 @@ object LlmSurface {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- classifier score calibration + reliability/ECE (X196) -----------
+    // The post-training step llm_classifier_train doesn't cover: raw
+    // margins → probabilities via a 2-parameter integer hard-sigmoid
+    // Platt fit (8 GD rounds, damped-Newton steps, region-masked
+    // gradients), then the reliability diagram and before/after ECE.
+    // Scores are the SAME (feat/wgt, 1024-bucket) table llm_classifier
+    // ships; the teacher label is the same stopword rule
+    // llm_classifier_train distills. Oracle replays all 8 rounds.
+    "llm_calibration" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val feats = TextOps.hashedFeatures(docs, "doc_id", "text", 1024, "feat")
+      val z = feats.join(TextOps.hashModelWeights(s, 1024, "wgt"), "b")
+        .groupBy("doc")
+        .agg(floor(sum(col("c") * col("wt")).cast("double") / sum("c"))
+          .cast("long").as("z"))
+      val ws = TextOps.words(col("text"))
+      val y = docs.select(col("doc_id").as("doc"),
+        when(size(filter(ws, w => w.isin("the", "a", "of", "to", "and")))
+          * 1000 >= lit(61) * size(ws), 1L).otherwise(0L).as("y"))
+      TextOps.calibrateScores(z.join(y, "doc"), rounds = 8,
+        lrDivA = 5L, lrDivB = 250L, clipA = 100000L, clipB = 2000L)
+    }),
+
     // ---- IPF raking of mixture weights to joint marginals (X195) ---------
     // Deming–Stephan iterative proportional fitting over the
     // (source × lang) token contingency table: 5 rounds of alternating
@@ -6588,6 +6611,107 @@ $rounds,
       FROM b GROUP BY source, before_b // 4000
       ORDER BY source, out_file
     """,
+
+    // 8 unrolled Platt-GD rounds over the llm_classifier score table;
+    // same guarded-floor double divisions (all magnitudes < 2^53) and
+    // hard-sigmoid region masks as the Spark side.
+    "llm_calibration" -> {
+      val (lrA, lrB, clA, clB) = (5, 250, 100000, 2000)
+      val rounds = (1 to 8).map { r =>
+        val p = r - 1
+        s"""      d$r AS MATERIALIZED (
+        SELECT s.doc_id, s.z, l.y,
+               CAST(floor(CAST(ab.a * s.z AS DOUBLE) / 1000000.0) AS BIGINT)
+                 + ab.b AS t
+        FROM (z s JOIN lab l USING (doc_id)) CROSS JOIN ab$p ab),
+      e$r AS MATERIALIZED (
+        SELECT doc_id, z, y,
+               least(1000000, greatest(0, (t + 2000) * 250)) - y * 1000000 AS e,
+               CASE WHEN abs(t) <= 2000 THEN 1 ELSE 0 END AS inr
+        FROM d$r),
+      ab$r AS MATERIALIZED (
+        SELECT ab.a - least($clA, greatest(-$clA,
+                 CAST(floor(CAST(g.ga AS DOUBLE) / (nn.n * $lrA)) AS BIGINT))) AS a,
+               ab.b - least($clB, greatest(-$clB,
+                 CAST(floor(CAST(g.gb AS DOUBLE) / (nn.n * $lrB)) AS BIGINT))) AS b
+        FROM ab$p ab
+        CROSS JOIN (SELECT CAST(sum(e * z * inr) AS BIGINT) AS ga,
+                           CAST(sum(e * inr) AS BIGINT) AS gb FROM e$r) g
+        CROSS JOIN nn)"""
+      }.mkString(",\n")
+      val curveUnion = (1 to 8).map(r =>
+        s"SELECT $r AS k, CAST(sum(abs(e)) AS BIGINT) AS n FROM e$r")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      f AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('feat|' || w), 1, 4) AS INT) % 1024 AS b
+        FROM w),
+      fc AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY doc_id, b),
+      m AS (
+        SELECT CAST(g AS INT) AS b,
+               (CAST('0x' || substr(md5('wgt|' || CAST(g AS VARCHAR)), 1, 4) AS INT)
+                % 2001) - 1000 AS wt
+        FROM generate_series(0, 1023) t(g)),
+      z AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(floor(CAST(sum(c * wt) AS DOUBLE) / sum(c)) AS BIGINT) AS z
+        FROM fc JOIN m USING (b) GROUP BY doc_id),
+      lab AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the', 'a', 'of', 'to', 'and'))) * 1000
+                    >= 61 * len(string_split(text, ' '))
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+        FROM documents),
+      nn AS (SELECT count(*) AS n FROM z),
+      ab0 AS MATERIALIZED (
+        SELECT CAST(1000000 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b),
+$rounds,
+      pf AS MATERIALIZED (
+        SELECT s.doc_id, l.y,
+               least(1000000, greatest(0,
+                 (CAST(floor(CAST(ab.a * s.z AS DOUBLE) / 1000000.0) AS BIGINT)
+                  + ab.b + 2000) * 250)) AS p
+        FROM (z s JOIN lab l USING (doc_id)) CROSS JOIN ab8 ab),
+      p0 AS (
+        SELECT s.doc_id, l.y,
+               least(1000000, greatest(0, (s.z + 2000) * 250)) AS p
+        FROM z s JOIN lab l USING (doc_id)),
+      binf AS MATERIALIZED (
+        SELECT least(p // 100000, 9) AS bin, CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(p) AS BIGINT) AS conf, CAST(sum(y) AS BIGINT) AS pos
+        FROM pf GROUP BY 1),
+      bin0 AS (
+        SELECT least(p // 100000, 9) AS bin,
+               CAST(sum(p) AS BIGINT) AS conf, CAST(sum(y) AS BIGINT) AS pos
+        FROM p0 GROUP BY 1)
+      SELECT part, k, sym, n FROM (
+        SELECT 'round' AS part, CAST(k AS BIGINT) AS k, '' AS sym, n
+        FROM ($curveUnion)
+        UNION ALL
+        SELECT 'param', CAST(NULL AS BIGINT), 'a', a FROM ab8
+        UNION ALL
+        SELECT 'param', CAST(NULL AS BIGINT), 'b', b FROM ab8
+        UNION ALL
+        SELECT 'bin', bin, 'n', nb FROM binf
+        UNION ALL
+        SELECT 'bin', bin, 'conf', conf FROM binf
+        UNION ALL
+        SELECT 'bin', bin, 'pos', pos FROM binf
+        UNION ALL
+        SELECT 'ece', CAST(NULL AS BIGINT), 'before',
+               CAST(floor(CAST((SELECT sum(abs(conf - pos * 1000000)) FROM bin0)
+                 AS DOUBLE) / (SELECT n FROM nn)) AS BIGINT)
+        UNION ALL
+        SELECT 'ece', CAST(NULL AS BIGINT), 'after',
+               CAST(floor(CAST((SELECT sum(abs(conf - pos * 1000000)) FROM binf)
+                 AS DOUBLE) / (SELECT n FROM nn)) AS BIGINT))
+      ORDER BY part, k, sym
+    """
+    },
 
     // All 5 IPF rounds unrolled; integer `//` end to end (the same
     // bigint-division bit-stability argument as the Spark side), sums

@@ -1066,6 +1066,24 @@ class LlmOpsSpec extends SparkSpec {
       ("merge", Some(3L), "a b", 1L)))
   }
 
+  test("calibrateScores: separable scores calibrate toward the labels " +
+    "(ECE drops, slope grows, loss falls)") {
+    val scored = ((0 until 50).map(i => (i.toLong, 500L, 1L)) ++
+      (50 until 100).map(i => (i.toLong, -500L, 0L))).toDF("doc", "z", "y")
+    val got = TextOps.calibrateScores(scored, rounds = 8, lrDivA = 5L,
+      lrDivB = 250L, clipA = 100000L, clipB = 2000L)
+    val ece = got.filter(col("part") === "ece")
+      .select("sym", "n").as[(String, Long)].collect().toMap
+    assert(ece("after") < ece("before"),
+      s"calibration must reduce ECE: $ece")
+    val a = got.filter(col("part") === "param" && col("sym") === "a")
+      .select("n").as[Long].head()
+    assert(a > 1000000L, s"slope should grow on separable data, got $a")
+    val curve = got.filter(col("part") === "round").orderBy("k")
+      .select("n").as[Long].collect()
+    assert(curve.head > curve.last, s"loss must fall: ${curve.toSeq}")
+  }
+
   test("ipfRaking: converges to uniform joint marginals on an unbalanced " +
     "2x2 table") {
     def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
