@@ -2435,6 +2435,130 @@ object TextOps {
     out
   }
 
+  /** Data scaling-law estimation: how fast does held-out loss fall as
+    * the training corpus grows? The experiment every data-curation
+    * decision ultimately answers to (Kaplan et al. 2020 / Hestness et
+    * al. 2017 measure exactly this curve): train the same model on
+    * NESTED subsets at 1/8, 1/4, 1/2, 1× of the pool, evaluate each on
+    * one fixed held-out set, and fit log-loss vs log-tokens by ordinary
+    * least squares — the slope is the data-scaling exponent.
+    *
+    * The "model" is the hashed-unigram LM the suite already trains for
+    * quality filtering (the X61 CCNet shape, add-one smoothing over
+    * `buckets` hash buckets) — cheap enough to train 4× in one pass:
+    *  - subsets are NESTED BY CONSTRUCTION: each train doc gets a level
+    *    `md5(lvlSalt|id) % 8` and subset k keeps levels < k, so the 4
+    *    models come from ONE (level, bucket) count table cumulated 4
+    *    ways — the corpus is tokenized ONCE, and membership is a pure
+    *    function of (salt, id), reproducible across engines and runs;
+    *  - the held-out set (`md5(hoSalt|id) % 8 == 0`, ~12.5%) is
+    *    disjoint from every subset — the same split discipline as the
+    *    X83 LM gate;
+    *  - ln runs only on the (4 × buckets)-row smoothed model table,
+    *    quantized to integer micro-nats `floor(ln·10⁶ + 0.5)` BEFORE
+    *    any cross-row sum (the X61 float-summation-order-proof);
+    *  - per-size loss = one partial-combine agg over held-out tokens
+    *    fanned out ×4 by the model join; OLS over the 4 (x, y) pairs is
+    *    a single aggregation — the integer moment sums are exact, and
+    *    the final slope/intercept divisions are fixed-order IEEE double
+    *    expressions (inputs < 2^53), identical in both engines.
+    *
+    * Output (part, k, sym, n), ordered:
+    *  - part='size': k = subset index 1..4, sym = 'train_tokens' |
+    *    'xent_micro' (held-out cross-entropy, micro-nats/token);
+    *  - part='fit': sym = 'slope_micro' | 'intercept_micro' |
+    *    'n_heldout_tokens'. slope_micro ≈ −β·10⁶ for L ∝ N^(−β).
+    */
+  def scalingLawFit(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, lvlSalt: String, hoSalt: String): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val levels = Seq(1, 2, 4, 8)
+    def h(salt: String): Column =
+      conv(substring(md5(concat(lit(s"$salt|"),
+        col(idCol).cast("string"))), 1, 4), 16, 10).cast("int") % 8
+    val toks = df
+      .withColumn("_ho", h(hoSalt) === 0)
+      .withColumn("_lvl", h(lvlSalt))
+      .select(col("_ho"), col("_lvl"),
+        explode(words(col(textCol))).as("w"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("slm|"), col("w"))), 1, 4), 16, 10)
+          .cast("int") % buckets)
+      .localCheckpoint(true)
+    val lvlCounts = toks.where(!col("_ho"))
+      .groupBy("_lvl", "b").agg(count(lit(1)).as("c"))
+    val lvlTable = broadcast(levels.zipWithIndex
+      .map { case (k, i) => (i + 1, k) }.toDF("i", "k"))
+    // cumulate: model i = counts over levels < k_i, on the full
+    // (i × buckets) grid so zero-count buckets get the add-one smoothing
+    val grid = broadcast(lvlTable.as("l"))
+      .crossJoin(spark.range(buckets).select(col("id").cast("int").as("b")))
+    val modelCounts = grid
+      .join(lvlCounts.crossJoin(broadcast(lvlTable))
+          .where(col("_lvl") < col("k"))
+          .groupBy("i", "b").agg(sum("c").as("c")),
+        Seq("i", "b"), "left")
+      .select(col("i"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val sizes = modelCounts.groupBy("i").agg(sum("c").as("n_train"))
+    val nll = modelCounts.join(sizes, "i")
+      .select(col("i"), col("b"),
+        floor(-log((col("c") + 1).cast("double")
+            / (col("n_train") + buckets).cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("nll_mu"))
+    val ho = toks.where(col("_ho")).select("b")
+    val perSize = ho.join(broadcast(nll), "b")
+      .groupBy("i").agg(sum("nll_mu").as("_s"), count(lit(1)).as("_n"))
+      .join(sizes, "i")
+      .select(col("i"), col("n_train"),
+        floor(col("_s").cast("double") / col("_n")).cast("long")
+          .as("xent_micro"),
+        col("_n").as("n_ho"))
+      .localCheckpoint(true)
+    // log-log OLS over the 4 points, moments exact in int64, final
+    // divisions fixed-order IEEE double (inputs < 2^53 by construction)
+    val pts = perSize.select(col("i"),
+      floor(log(col("n_train").cast("double")) * 1000000.0 + 0.5)
+        .cast("long").as("x"),
+      floor(log(col("xent_micro").cast("double")) * 1000000.0 + 0.5)
+        .cast("long").as("y"))
+    val fit = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      .select(
+        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * 1000000.0
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          + 0.5).cast("long").as("slope_micro"),
+        col("n"), col("sx"), col("sy"))
+      .select(col("slope_micro"),
+        floor((col("sy").cast("double")
+            - col("slope_micro").cast("double") / 1000000.0
+              * col("sx").cast("double"))
+            / col("n").cast("double") + 0.5).cast("long")
+          .as("intercept_micro"))
+    val sizeRows = perSize.select(col("i").cast("long").as("k"),
+        map(lit("train_tokens"), col("n_train"),
+          lit("xent_micro"), col("xent_micro")).as("m"))
+      .select(lit("size").as("part"), col("k"),
+        explode(col("m")).as(Seq("sym", "n")))
+      .select("part", "k", "sym", "n")
+    val nHo = perSize.agg(max("n_ho")).as[Long].head()
+    val fitRows = fit.select(
+        map(lit("slope_micro"), col("slope_micro"),
+          lit("intercept_micro"), col("intercept_micro"),
+          lit("n_heldout_tokens"), lit(nHo)).as("m"))
+      .select(lit("fit").as("part"), lit(null).cast("long").as("k"),
+        explode(col("m")).as(Seq("sym", "n")))
+      .select("part", "k", "sym", "n")
+    val out = sizeRows.unionByName(fitRows).orderBy("part", "k", "sym")
+      .localCheckpoint(true)
+    graft.operators.SuffixArray.freeCheckpoint(toks)
+    graft.operators.SuffixArray.freeCheckpoint(perSize)
+    out
+  }
+
   def maxRun(tokens: Column): Column = {
     val st = aggregate(
       tokens,

@@ -2721,6 +2721,18 @@ object LlmSurface {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- data scaling-law estimation (X197) ------------------------------
+    // Held-out unigram-LM cross-entropy at nested 1/8..1× training
+    // subsets + log-log OLS slope — the data-scaling exponent
+    // (Hestness'17/Kaplan'20 shape) a curation team reads before
+    // buying more data. One tokenize pass: subsets share a cumulated
+    // (level, bucket) count table; ln only ever touches the 4×256-row
+    // model; OLS moments are exact int64.
+    "llm_scaling_law" -> ((s, dir) => {
+      TextOps.scalingLawFit(Tables(s, dir, "documents"), "doc_id", "text",
+        buckets = 256, lvlSalt = "lvl", hoSalt = "ho")
+    }),
+
     // ---- classifier score calibration + reliability/ECE (X196) -----------
     // The post-training step llm_classifier_train doesn't cover: raw
     // margins → probabilities via a 2-parameter integer hard-sigmoid
@@ -6610,6 +6622,84 @@ $rounds,
              min(file_id) AS first_file, max(file_id) AS last_file
       FROM b GROUP BY source, before_b // 4000
       ORDER BY source, out_file
+    """,
+
+    // No loops to unroll — nested subsets cumulate from one (level,
+    // bucket) table and the OLS is closed-form; every float step is the
+    // same fixed-order IEEE expression as the Spark side.
+    "llm_scaling_law" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST('0x' || substr(md5('ho|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS INT) % 8 = 0 AS ho,
+               CAST('0x' || substr(md5('lvl|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS INT) % 8 AS lvl
+        FROM documents),
+      tok AS MATERIALIZED (
+        SELECT ho, lvl,
+               CAST('0x' || substr(md5('slm|' || w), 1, 4) AS INT) % 256 AS b
+        FROM (SELECT ho, lvl, unnest(ws) AS w FROM d)),
+      lc AS (SELECT lvl, b, count(*) AS c FROM tok WHERE NOT ho GROUP BY 1, 2),
+      lt(i, kk) AS (VALUES (1, 1), (2, 2), (3, 4), (4, 8)),
+      mc AS MATERIALIZED (
+        SELECT g.i, g.b, coalesce(s.c, 0) AS c
+        FROM (SELECT lt.i, t.b
+              FROM lt CROSS JOIN (SELECT unnest(range(256)) AS b) t) g
+        LEFT JOIN (SELECT lt.i, lc.b, CAST(sum(c) AS BIGINT) AS c
+                   FROM lc CROSS JOIN lt WHERE lc.lvl < lt.kk
+                   GROUP BY 1, 2) s USING (i, b)),
+      sz AS MATERIALIZED (
+        SELECT i, CAST(sum(c) AS BIGINT) AS n_train FROM mc GROUP BY i),
+      nll AS MATERIALIZED (
+        SELECT mc.i, mc.b,
+               CAST(floor(-ln(CAST(mc.c + 1 AS DOUBLE)
+                 / CAST(sz.n_train + 256 AS DOUBLE)) * 1000000.0 + 0.5)
+                 AS BIGINT) AS nll_mu
+        FROM mc JOIN sz USING (i)),
+      ps AS MATERIALIZED (
+        SELECT i, sz.n_train,
+               CAST(floor(CAST(sum(nll_mu) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS xent_micro,
+               CAST(count(*) AS BIGINT) AS n_ho
+        FROM (SELECT b FROM tok WHERE ho) h
+        JOIN nll USING (b) JOIN sz USING (i)
+        GROUP BY i, sz.n_train),
+      pts AS (
+        SELECT i,
+               CAST(floor(ln(CAST(n_train AS DOUBLE)) * 1000000.0 + 0.5)
+                 AS BIGINT) AS x,
+               CAST(floor(ln(CAST(xent_micro AS DOUBLE)) * 1000000.0 + 0.5)
+                 AS BIGINT) AS y
+        FROM ps),
+      mom AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts),
+      fit1 AS MATERIALIZED (
+        SELECT CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                 / CAST(n * sxx - sx * sx AS DOUBLE) + 0.5) AS BIGINT)
+                 AS slope
+        FROM mom),
+      fit2 AS (
+        SELECT f.slope,
+               CAST(floor((CAST(m.sy AS DOUBLE)
+                 - CAST(f.slope AS DOUBLE) / 1000000.0 * CAST(m.sx AS DOUBLE))
+                 / CAST(m.n AS DOUBLE) + 0.5) AS BIGINT) AS icept
+        FROM fit1 f CROSS JOIN mom m)
+      SELECT part, k, sym, n FROM (
+        SELECT 'size' AS part, CAST(i AS BIGINT) AS k, 'train_tokens' AS sym,
+               n_train AS n FROM ps
+        UNION ALL
+        SELECT 'size', CAST(i AS BIGINT), 'xent_micro', xent_micro FROM ps
+        UNION ALL
+        SELECT 'fit', CAST(NULL AS BIGINT), 'slope_micro', slope FROM fit2
+        UNION ALL
+        SELECT 'fit', CAST(NULL AS BIGINT), 'intercept_micro', icept FROM fit2
+        UNION ALL
+        SELECT 'fit', CAST(NULL AS BIGINT), 'n_heldout_tokens',
+               (SELECT max(n_ho) FROM ps))
+      ORDER BY part, k, sym
     """,
 
     // 8 unrolled Platt-GD rounds over the llm_classifier score table;

@@ -1066,6 +1066,27 @@ class LlmOpsSpec extends SparkSpec {
       ("merge", Some(3L), "a b", 1L)))
   }
 
+  test("scalingLawFit: held-out xent falls monotonically with training " +
+    "size and the log-log slope is negative") {
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val got = TextOps.scalingLawFit(docs, "doc_id", "text", buckets = 256,
+      lvlSalt = "lvl", hoSalt = "ho")
+    val xent = got.filter(col("part") === "size" && col("sym") === "xent_micro")
+      .orderBy("k").select("n").as[Long].collect().toSeq
+    assert(xent.length === 4)
+    assert(xent === xent.sorted.reverse && xent.distinct.length === 4,
+      s"xent must strictly fall with more data: $xent")
+    val toksBySize = got
+      .filter(col("part") === "size" && col("sym") === "train_tokens")
+      .orderBy("k").select("n").as[Long].collect().toSeq
+    assert(toksBySize === toksBySize.sorted && toksBySize.last > 0,
+      s"nested subsets must grow: $toksBySize")
+    val slope = got.filter(col("sym") === "slope_micro")
+      .select("n").as[Long].head()
+    assert(slope < 0L, s"scaling-law slope must be negative, got $slope")
+  }
+
   test("calibrateScores: separable scores calibrate toward the labels " +
     "(ECE drops, slope grows, loss falls)") {
     val scored = ((0 until 50).map(i => (i.toLong, 500L, 1L)) ++
