@@ -2559,6 +2559,95 @@ object TextOps {
     out
   }
 
+  /** Group-aware k-fold cross-validation of the hashed-unigram LM —
+    * the variance-estimation companion to the X187 leakage-safe split:
+    * every doc's fold keys on its near-dup GROUP representative
+    * (`repCol`), so paraphrases can never sit in both a training
+    * complement and its evaluation fold, and the per-fold spread of
+    * held-out cross-entropy is an honest stability estimate.
+    *
+    * The k leave-one-fold-out models cost ONE corpus pass via the
+    * complement trick: tokenize once into a (fold, bucket) count
+    * table, then model_f = column_total − counts_f — training "all
+    * but fold f" is a subtraction on the (k × buckets)-row table, not
+    * k corpus passes. Evaluation joins each fold's tokens to ITS OWN
+    * complement model on (fold, bucket) — an equi-join, no fan-out.
+    * ln only touches the small model table, micro-nat-quantized
+    * before any cross-row sum (X61 discipline). The per-fold xent
+    * vector (k rows, model-sized) comes to the driver for the exact
+    * integer mean/variance; everything corpus-sized stays distributed.
+    *
+    * Output (part, k, sym, n), ordered:
+    *  - part='fold': k = fold 0..k−1, sym = 'n_docs' | 'n_tokens' |
+    *    'xent_micro';
+    *  - part='cv': sym = 'n_groups' | 'mean_micro' | 'var_micro2'
+    *    (variance around the FLOORED mean, in micro-nats² — exact
+    *    integer, replicated identically in the oracle).
+    */
+  def cvFoldsLm(df: DataFrame, idCol: String, textCol: String,
+      repCol: String, k: Int, buckets: Int, foldSalt: String): DataFrame = {
+    require(k >= 2 && buckets > 0, s"bad cv config: k=$k buckets=$buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("doc"), col(textCol).as("_txt"),
+        col(repCol).as("rep"),
+        (conv(substring(md5(concat(lit(s"$foldSalt|"),
+          col(repCol).cast("string"))), 1, 4), 16, 10).cast("int") % k)
+          .as("fold"))
+      .localCheckpoint(true)
+    val toks = base
+      .select(col("fold"), explode(words(col("_txt"))).as("w"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("slm|"), col("w"))), 1, 4), 16, 10)
+          .cast("int") % buckets)
+      .localCheckpoint(true)
+    val grid = spark.range(k).select(col("id").cast("int").as("fold"))
+      .crossJoin(spark.range(buckets).select(col("id").cast("int").as("b")))
+    val fb = grid
+      .join(toks.groupBy("fold", "b").agg(count(lit(1)).as("c")),
+        Seq("fold", "b"), "left")
+      .select(col("fold"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val totB = fb.groupBy("b").agg(sum("c").as("tc"))
+    val nFold = fb.groupBy("fold").agg(sum("c").as("nf"))
+    val tot = fb.agg(sum("c").as("tt"))
+    val nll = fb.join(totB, "b").join(nFold, "fold")
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("b"),
+        floor(-log((col("tc") - col("c") + 1).cast("double")
+            / (col("tt") - col("nf") + buckets).cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("nll_mu"))
+    val perFold = toks.join(broadcast(nll), Seq("fold", "b"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_tokens"), sum("nll_mu").as("_s"))
+      .select(col("fold"), col("n_tokens"),
+        floor(col("_s").cast("double") / col("n_tokens")).cast("long")
+          .as("xent_micro"))
+      .join(base.groupBy("fold").agg(count(lit(1)).as("n_docs")), "fold")
+      .localCheckpoint(true)
+    val xs = perFold.select("xent_micro").as[Long].collect().sorted
+    require(xs.length == k, s"expected $k folds with tokens, got ${xs.length}")
+    val mean = math.floor(xs.sum.toDouble / k).toLong
+    val varl = math.floor(xs.map(x => (x - mean) * (x - mean)).sum.toDouble
+      / k).toLong
+    val nGroups = base.agg(countDistinct("rep")).as[Long].head()
+    val foldRows = perFold.select(col("fold").cast("long").as("k"),
+        map(lit("n_docs"), col("n_docs"), lit("n_tokens"), col("n_tokens"),
+          lit("xent_micro"), col("xent_micro")).as("m"))
+      .select(lit("fold").as("part"), col("k"),
+        explode(col("m")).as(Seq("sym", "n")))
+      .select("part", "k", "sym", "n")
+    val cvRows = Seq(("n_groups", nGroups), ("mean_micro", mean),
+        ("var_micro2", varl)).toDF("sym", "n")
+      .select(lit("cv").as("part"), lit(null).cast("long").as("k"),
+        col("sym"), col("n"))
+    val out = foldRows.unionByName(cvRows).orderBy("part", "k", "sym")
+      .localCheckpoint(true)
+    graft.operators.SuffixArray.freeCheckpoint(base)
+    graft.operators.SuffixArray.freeCheckpoint(toks)
+    graft.operators.SuffixArray.freeCheckpoint(perFold)
+    out
+  }
+
   def maxRun(tokens: Column): Column = {
     val st = aggregate(
       tokens,

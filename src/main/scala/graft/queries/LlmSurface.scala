@@ -2721,6 +2721,26 @@ object LlmSurface {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- group-aware k-fold cross-validation (X198) ----------------------
+    // The variance-estimation companion to llm_leakage_split: folds key
+    // on the near-dup GROUP representative (no paraphrase straddles a
+    // train-complement/eval boundary), and the k leave-one-fold-out
+    // unigram LMs cost ONE corpus pass via the complement trick
+    // (model_f = column_total − counts_f on the k×256 table).
+    "llm_cv_folds" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = TextOps.simHashNearDup(docs, "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+      val labels = graft.operators.ConnectedComponents
+        .alternatingStars(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      val withRep = docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("label"), col("doc_id")).as("group_rep"))
+      TextOps.cvFoldsLm(withRep, "doc_id", "text", "group_rep",
+        k = 5, buckets = 256, foldSalt = "cvf")
+    }),
+
     // ---- data scaling-law estimation (X197) ------------------------------
     // Held-out unigram-LM cross-entropy at nested 1/8..1× training
     // subsets + log-log OLS slope — the data-scaling exponent
@@ -6622,6 +6642,80 @@ $rounds,
              min(file_id) AS first_file, max(file_id) AS last_file
       FROM b GROUP BY source, before_b // 4000
       ORDER BY source, out_file
+    """,
+
+    // Recursive-CTE dup groups (the X187 oracle machinery) feed the
+    // fold key; the k complement models and the exact integer
+    // mean/variance replay the Spark math verbatim.
+    "llm_cv_folds" -> s"""
+      WITH RECURSIVE $simhashPairsCte,
+      edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      sym AS (
+        SELECT doc_a AS node, doc_b AS nbr FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges),
+      reach(node, label) AS (
+        SELECT node, node FROM sym
+        UNION
+        SELECT s.node, r.label FROM sym s JOIN reach r ON s.nbr = r.node),
+      cc AS (SELECT node, min(label) AS group_id FROM reach GROUP BY node),
+      rep AS (
+        SELECT d.doc_id, d.text, coalesce(cc.group_id, d.doc_id) AS group_rep
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+      basef AS MATERIALIZED (
+        SELECT doc_id, text, group_rep,
+               CAST('0x' || substr(md5('cvf|' || CAST(group_rep AS VARCHAR)),
+                 1, 4) AS INT) % 5 AS fold
+        FROM rep),
+      cvt AS MATERIALIZED (
+        SELECT fold,
+               CAST('0x' || substr(md5('slm|' || w), 1, 4) AS INT) % 256 AS b
+        FROM (SELECT fold, unnest(string_split(text, ' ')) AS w FROM basef)),
+      fb AS MATERIALIZED (
+        SELECT g.fold, g.b, coalesce(s.c, 0) AS c
+        FROM (SELECT f.fold, t.b
+              FROM (SELECT unnest(range(5)) AS fold) f
+              CROSS JOIN (SELECT unnest(range(256)) AS b) t) g
+        LEFT JOIN (SELECT fold, b, count(*) AS c FROM cvt GROUP BY 1, 2) s
+          USING (fold, b)),
+      tb AS (SELECT b, CAST(sum(c) AS BIGINT) AS tc FROM fb GROUP BY b),
+      nf AS (SELECT fold, CAST(sum(c) AS BIGINT) AS nf FROM fb GROUP BY fold),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM fb),
+      nll AS MATERIALIZED (
+        SELECT fb.fold, fb.b,
+               CAST(floor(-ln(CAST(tb.tc - fb.c + 1 AS DOUBLE)
+                 / CAST(tt.tt - nf.nf + 256 AS DOUBLE)) * 1000000.0 + 0.5)
+                 AS BIGINT) AS nll_mu
+        FROM (fb JOIN tb USING (b)) JOIN nf USING (fold) CROSS JOIN tt),
+      pf AS MATERIALIZED (
+        SELECT fold, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(floor(CAST(sum(nll_mu) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS xent_micro
+        FROM cvt JOIN nll USING (fold, b) GROUP BY fold),
+      nd AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_docs
+             FROM basef GROUP BY fold),
+      mv1 AS (SELECT CAST(floor(CAST(sum(xent_micro) AS DOUBLE) / 5)
+                AS BIGINT) AS mean FROM pf),
+      mv2 AS (SELECT CAST(floor(CAST(sum((xent_micro - mean)
+                * (xent_micro - mean)) AS DOUBLE) / 5) AS BIGINT) AS varr
+              FROM pf CROSS JOIN mv1)
+      SELECT part, k, sym, n FROM (
+        SELECT 'fold' AS part, CAST(fold AS BIGINT) AS k, 'n_docs' AS sym,
+               n_docs AS n FROM nd
+        UNION ALL
+        SELECT 'fold', CAST(fold AS BIGINT), 'n_tokens', n_tokens FROM pf
+        UNION ALL
+        SELECT 'fold', CAST(fold AS BIGINT), 'xent_micro', xent_micro FROM pf
+        UNION ALL
+        SELECT 'cv', CAST(NULL AS BIGINT), 'n_groups',
+               CAST(count(DISTINCT group_rep) AS BIGINT) FROM basef
+        UNION ALL
+        SELECT 'cv', CAST(NULL AS BIGINT), 'mean_micro', mean FROM mv1
+        UNION ALL
+        SELECT 'cv', CAST(NULL AS BIGINT), 'var_micro2', varr FROM mv2)
+      ORDER BY part, k, sym
     """,
 
     // No loops to unroll — nested subsets cumulate from one (level,

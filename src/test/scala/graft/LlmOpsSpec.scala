@@ -1066,6 +1066,27 @@ class LlmOpsSpec extends SparkSpec {
       ("merge", Some(3L), "a b", 1L)))
   }
 
+  test("cvFoldsLm: single-bucket complement identity (xent exactly 0) " +
+    "and fold partition") {
+    // with buckets=1 every token lands in bucket 0, so the complement
+    // model's smoothed probability is (T-n_f+1)/(T-n_f+1) = 1 and the
+    // held-out cross-entropy must be EXACTLY zero in integer micro-nats
+    // — a closed-form pin of the complement-trick arithmetic
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select(col("doc_id"), col("text"), col("doc_id").as("group_rep"))
+    val got = TextOps.cvFoldsLm(docs, "doc_id", "text", "group_rep",
+      k = 5, buckets = 1, foldSalt = "cvf")
+    val xent = got.filter(col("sym") === "xent_micro")
+      .select("n").as[Long].collect().toSeq
+    assert(xent.length === 5 && xent.forall(_ == 0L), s"got $xent")
+    val nDocs = got.filter(col("sym") === "n_docs")
+      .select("n").as[Long].collect().sum
+    assert(nDocs === docs.count())
+    val v = got.filter(col("sym") === "var_micro2").select("n").as[Long].head()
+    assert(v === 0L)
+  }
+
   test("scalingLawFit: held-out xent falls monotonically with training " +
     "size and the log-log slope is negative") {
     val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001",
