@@ -47,6 +47,17 @@ object LlmSurface {
     "table hash", "slow hash batch", "filter value small value",
     "table table")
 
+  /** Blocklist panel for llm_blocklist — fixed in BOTH engines.
+    * Char-level substrings chosen to pin every Aho–Corasick correctness
+    * trap: "ar" nests inside "spark"/"part" (dict-suffix outputs),
+    * "able" inside "table", "a a" self-overlaps ("a a a" contains TWO
+    * occurrences — all-end-position semantics), "zzz" is absent (no
+    * phantom rows), plus two multi-word literals.
+    */
+  private val BlocklistPanel = Seq(
+    "spark", "ar", "able", "hash value", "scan slow", "a a",
+    "merge batch", "zzz")
+
   /** `documents` with the boilerplate planted (column `aug`) — shared by
     * llm_substring_dedup and llm_dup_span_runs so both span queries see
     * the same injection.
@@ -2804,6 +2815,22 @@ object LlmSurface {
           PhrasePanel)
         .withColumnRenamed("doc", "doc_id")
         .orderBy("phrase", "doc_id")
+    }),
+
+    // ---- Aho–Corasick blocklist scan (X199) ------------------------------
+    // Multi-pattern SUBSTRING screening (blocklists, gazetteers, PII
+    // trigger phrases): ONE automaton pass per document matches the
+    // whole panel — the N-regex-passes and giant-alternation spellings
+    // are rejected in the operator scaladoc. Counts every occurrence at
+    // every end position (overlapping + nested), which the position-scan
+    // oracle replays with an INDEPENDENT algorithm (brute-force
+    // substr-at-every-position). Differs from llm_phrase_search (X194):
+    // that matches whole-WORD sequences via tokenized anchors; this
+    // matches raw char substrings ("ar" hits inside "spark" and "part").
+    "llm_blocklist" -> ((s, dir) => {
+      graft.operators.AhoCorasick.scanCounts(
+        Tables(s, dir, "documents"), "doc_id", "text", "source",
+        BlocklistPanel)
     })
   )
 
@@ -6974,6 +7001,28 @@ $rounds
              CAST(min(anchor) AS BIGINT) AS first_pos
       FROM hits GROUP BY phrase, doc_id
       ORDER BY phrase, doc_id
+    """
+    },
+
+    // INDEPENDENT algorithm: brute-force substr comparison at every char
+    // position (all-end-position semantics — overlapping and nested
+    // occurrences all count, exactly what the automaton emits).
+    "llm_blocklist" -> {
+      val patRows = BlocklistPanel.map(p => s"('$p')").mkString(", ")
+      s"""
+      WITH pats(pat) AS (VALUES $patRows),
+      pos AS (SELECT doc_id, source, text,
+                     unnest(range(1, len(text) + 1)) AS i
+              FROM documents),
+      hits AS (
+        SELECT p.pat, pos.source, pos.doc_id, count(*) AS hits
+        FROM pos, pats p
+        WHERE substr(pos.text, CAST(pos.i AS INTEGER), len(p.pat)) = p.pat
+        GROUP BY 1, 2, 3)
+      SELECT pat, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(hits) AS BIGINT) AS total_hits
+      FROM hits GROUP BY pat, source
+      ORDER BY pat, source
     """
     }
   )
