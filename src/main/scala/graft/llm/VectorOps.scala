@@ -874,4 +874,84 @@ object VectorOps {
       .select(col(idCol), col("pos").cast("int").as("out_dim"),
         col("col").as("value"))
   }
+
+  /** Top principal component by fixed-round power iteration on the EXACT
+    * integer covariance of the quantized embeddings — the whitening /
+    * dominant-direction audit an embedding-curation run reads before
+    * trusting cosine geometry (SemDeDup, prototypicality, ANN recall all
+    * degrade when one direction hoards the variance; the var_share row is
+    * the one-number check).
+    *
+    * Determinism discipline (the X56 kMeans / X95 PageRank pattern):
+    *  - covariance is computed as n·Σxᵢxⱼ − Σxᵢ·Σxⱼ over floor-quantized
+    *    milli-unit components — exact int64, no float reduction order;
+    *    the n² denominator is applied by integer `div` so C entries stay
+    *    scale-invariant (cov in milli², magnitude ~10⁴) and the matvec
+    *    can never overflow at ANY corpus size;
+    *  - each round is an exact integer matvec (Σ over 64 terms of
+    *    c·v ≤ 64·10⁵·10⁶ — far inside int64) followed by an integer
+    *    rescale to max|v| = vScale; both engines truncate toward zero
+    *    (Spark `div`, DuckDB `//`), so rounds replay bit-identically;
+    *  - the start vector is all +vScale (deterministic sign), and the
+    *    report is "after `rounds` rounds" — convergence is an accuracy
+    *    statement, not a semantics one.
+    *
+    * Scale shape: the corpus pass is ONE explode² + partial-combine agg —
+    * shuffle volume is d² = 4096 rows PER PARTITION regardless of corpus
+    * size (map-side combine carries the d×d partial sums), the canonical
+    * exact-covariance layout. The iteration then runs entirely on the
+    * d²-row model table (localCheckpoint-pinned; the corpus is never
+    * touched again); nothing corpus-sized reaches the driver.
+    *
+    * Output: ('loading', dim, vᵢ/vScale) × d, plus ('eigenvalue_q', −1,
+    * Rayleigh λ in milli² units) and ('var_share', −1, λ/trace).
+    */
+  def topPrincipalComponent(df: DataFrame, vecCol: String, rounds: Int = 8,
+      vScale: Long = 100000L,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val q = df.select(quantize(col(vecCol)).as("qv"))
+    val nDf = q.agg(count(lit(1)).as("n"))
+    val sx = q.select(posexplode(col("qv")).as(Seq("i", "xi")))
+      .groupBy("i").agg(sum("xi").as("sxi"))
+    val pairs = q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+    val sxx = pairs.groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sxx"))
+    val mat = materialize(
+      sxx.join(broadcast(sx), "i")
+        .join(broadcast(sx.select(col("i").as("j"), col("sxi").as("sxj"))), "j")
+        .crossJoin(broadcast(nDf))
+        .select(col("i"), col("j"),
+          expr("(n * sxx - sxi * sxj) div (n * n)").as("c")))
+    var v = materialize(sx.select(col("i").as("j"), lit(vScale).as("vv")))
+    def matvec(vt: DataFrame): DataFrame =
+      mat.join(vt, "j").groupBy("i").agg(sum(col("c") * col("vv")).as("w"))
+    (1 to rounds).foreach { _ =>
+      val w = matvec(v)
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = materialize(w.crossJoin(broadcast(m))
+        .select(col("i").as("j"), expr(s"(w * ${vScale}L) div m").as("vv")))
+    }
+    val rq = materialize(
+      matvec(v).join(v.select(col("j").as("i"), col("vv")), "i")
+        .agg(sum(col("vv") * col("w")).as("num"),
+          sum(col("vv") * col("vv")).as("den")))
+    val trace = mat.filter(col("i") === col("j")).agg(sum("c").as("tr"))
+    val loadings = v.select(lit("loading").as("stat"),
+      col("j").cast("long").as("dim"),
+      TextOps.round6(col("vv").cast("double") / lit(vScale.toDouble)).as("value"))
+    val summary = rq.crossJoin(broadcast(trace)).select(
+      array(
+        struct(lit("eigenvalue_q").as("stat"), lit(-1L).as("dim"),
+          TextOps.round6(col("num").cast("double") / col("den").cast("double"))
+            .as("value")),
+        struct(lit("var_share").as("stat"), lit(-1L).as("dim"),
+          TextOps.round6(col("num").cast("double") /
+            (col("den").cast("double") * col("tr").cast("double"))).as("value")))
+        .as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.stat"), col("r.dim"), col("r.value"))
+    loadings.unionByName(summary).orderBy("stat", "dim")
+  }
 }

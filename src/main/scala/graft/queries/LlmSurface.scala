@@ -2831,6 +2831,19 @@ object LlmSurface {
       graft.operators.AhoCorasick.scanCounts(
         Tables(s, dir, "documents"), "doc_id", "text", "source",
         BlocklistPanel)
+    }),
+
+    // ---- power-iteration top principal component (X200) ------------------
+    // The embedding-geometry audit SemDeDup / prototypicality / ANN all
+    // implicitly assume away: does one direction hoard the variance?
+    // Exact integer covariance (ONE explode² corpus pass, shuffle volume
+    // d²=4096 rows per partition via map-side combine), then 8 exact
+    // integer matvec+rescale rounds on the d²-row model table — the
+    // corpus is never touched again. Oracle replays every round as
+    // unrolled MATERIALIZED CTEs (the X56/X95 discipline).
+    "llm_pca_power" -> ((s, dir) => {
+      VectorOps.topPrincipalComponent(
+        Tables(s, dir, "embeddings"), "embedding", rounds = 8)
     })
   )
 
@@ -7023,6 +7036,63 @@ $rounds
              CAST(sum(hits) AS BIGINT) AS total_hits
       FROM hits GROUP BY pat, source
       ORDER BY pat, source
+    """
+    },
+
+    // Replays the full construction: floor-quantized milli components,
+    // exact integer covariance n·Σxixj − Σxi·Σxj scaled by `// n²`, then
+    // 8 unrolled matvec+rescale rounds (MATERIALIZED — each round's w is
+    // referenced twice: values + the max|w| rescale scalar). Both
+    // engines truncate integer division toward zero (Spark `div`,
+    // DuckDB `//`), so rounds replay bit-identically.
+    "llm_pca_power" -> {
+      val rounds = (1 to 8).map { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s"""w$r AS MATERIALIZED (
+        SELECT m.i, CAST(sum(m.c * v.vv) AS BIGINT) AS w
+        FROM mat m JOIN $prev v ON v.j = m.j GROUP BY m.i),
+      v$r AS MATERIALIZED (
+        SELECT w.i AS j, CAST((w.w * 100000) // mx.m AS BIGINT) AS vv
+        FROM w$r w, (SELECT max(abs(w)) AS m FROM w$r) mx)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      x AS (SELECT generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS xi, qv
+            FROM e),
+      p AS (SELECT i, xi, generate_subscripts(qv, 1) - 1 AS j, unnest(qv) AS xj
+            FROM x),
+      sx AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sxi FROM x GROUP BY i),
+      sxx AS (SELECT i, j, CAST(sum(xi * xj) AS BIGINT) AS sxx
+              FROM p GROUP BY i, j),
+      mat AS MATERIALIZED (
+        SELECT s.i, s.j,
+               CAST((nn.n * s.sxx - a.sxi * b.sxi) // (nn.n * nn.n) AS BIGINT) AS c
+        FROM sxx s, nn, sx a, sx b WHERE a.i = s.i AND b.i = s.j),
+      v0 AS (SELECT i AS j, CAST(100000 AS BIGINT) AS vv FROM sx),
+      $rounds,
+      wf AS (SELECT m.i, CAST(sum(m.c * v.vv) AS BIGINT) AS w
+             FROM mat m JOIN v8 v ON v.j = m.j GROUP BY m.i),
+      rq AS (SELECT CAST(sum(v.vv * w.w) AS BIGINT) AS num,
+                    CAST(sum(v.vv * v.vv) AS BIGINT) AS den
+             FROM wf w JOIN v8 v ON v.j = w.i),
+      tr AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM mat WHERE i = j)
+      SELECT 'eigenvalue_q' AS stat, CAST(-1 AS BIGINT) AS dim,
+             ${round6sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")} AS value
+      FROM rq
+      UNION ALL
+      SELECT 'loading', CAST(j AS BIGINT),
+             ${round6sql("CAST(vv AS DOUBLE) / 100000.0")}
+      FROM v8
+      UNION ALL
+      SELECT 'var_share', CAST(-1 AS BIGINT),
+             ${round6sql(
+               "CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * CAST(t AS DOUBLE))")}
+      FROM rq, tr
+      ORDER BY stat, dim
     """
     }
   )
