@@ -2666,4 +2666,69 @@ object TextOps {
       st.getField("best").as("max_run"),
       st.getField("btok").as("run_token"))
   }
+
+  /** Content-defined chunking (CDC) dedup audit — the rsync/LBFS/restic
+    * chunk-store idea applied at word granularity: a chunk boundary falls
+    * AFTER word w iff md5(w) mod `avgChunk` == 0, so boundaries are a
+    * pure function of LOCAL content. That buys the property fixed-size
+    * or fixed-shingle chunking lacks: inserting or deleting words in one
+    * place re-chunks only the containing chunk — every chunk after the
+    * edit re-aligns (boundaries downstream are decided by the same
+    * words), so shared regions between near-identical documents
+    * deduplicate at chunk granularity no matter how far they shifted.
+    * Repeated boilerplate blocks yield identical INTERIOR chunks in
+    * every carrier (the prefix/suffix chunks merge with surrounding text
+    * — exactly CDC's documented boundary behavior).
+    *
+    * Report (per source + a global `__ALL__` row — chunks dedup ACROSS
+    * sources, the content-addressed-store framing): chunk count,
+    * distinct-chunk count, total vs distinct-store words, the implied
+    * savings ratio, and the achieved average chunk size (audits that the
+    * boundary density matches the 1/avgChunk design point).
+    *
+    * Scale shape: one tokenize, chunk assembly is a window + groupBy
+    * both keyed by doc (one shuffle, no skew — docs are near-uniform);
+    * the distinct-store rollup shuffles the CHUNK-HASH table (corpus
+    * words / avgChunk rows), with map-side combine. No pairwise
+    * comparisons anywhere — dedup is pure hash aggregation.
+    */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, avgChunk: Int = 4): DataFrame = {
+    require(avgChunk >= 2, s"avgChunk ($avgChunk) must be >= 2")
+    val toks = df.select(col(idCol).as("doc"), col(sourceCol).as("source"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val bdy = toks.withColumn("bdy",
+      when(expr("cast(conv(substring(md5(concat('cdc|', w)), 1, 15), 16, 10) as bigint)")
+        % avgChunk === 0, 1L).otherwise(0L))
+    val chunkNo = bdy.withColumn("chunk_no",
+      coalesce(sum("bdy").over(Window.partitionBy("doc").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = chunkNo.groupBy("doc", "source", "chunk_no")
+      .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          t => t.getField("w")), " ")).as("chash"),
+        count(lit(1)).as("n_words"))
+      .select("source", "chash", "n_words")
+      .localCheckpoint(true)
+    def totals(g: DataFrame, key: Seq[String]) =
+      g.groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as("n_chunks"), sum("n_words").as("total_words"))
+    def store(g: DataFrame, key: Seq[String]) =
+      g.groupBy((key :+ "chash").map(col): _*)
+        .agg(min("n_words").as("cw"))
+        .groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as("n_distinct"), sum("cw").as("distinct_words"))
+    val perSrc = totals(chunks, Seq("source")).join(store(chunks, Seq("source")), "source")
+    val global = totals(chunks, Seq.empty).crossJoin(store(chunks, Seq.empty))
+      .select(lit("__ALL__").as("source"), col("n_chunks"), col("total_words"),
+        col("n_distinct"), col("distinct_words"))
+    perSrc.unionByName(global)
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        col("total_words"), col("distinct_words"),
+        round6(lit(1.0) - col("distinct_words").cast("double")
+          / col("total_words").cast("double")).as("savings_ratio"),
+        round6(col("total_words").cast("double")
+          / col("n_chunks").cast("double")).as("avg_chunk_words"))
+      .orderBy("source")
+  }
 }

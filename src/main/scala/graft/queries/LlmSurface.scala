@@ -2844,6 +2844,20 @@ object LlmSurface {
     "llm_pca_power" -> ((s, dir) => {
       VectorOps.topPrincipalComponent(
         Tables(s, dir, "embeddings"), "embedding", rounds = 8)
+    }),
+
+    // ---- content-defined chunking dedup (X201) ---------------------------
+    // The rsync/LBFS chunk-store idea at word granularity: boundaries
+    // are a pure function of LOCAL content (md5(word) mod 4 == 0), so a
+    // boilerplate block planted at DIFFERENT offsets in every carrier
+    // still yields identical interior chunks — the shift-robustness
+    // fixed shingles lack. Runs on the boilerplated corpus so cross-doc
+    // chunk sharing exists to find; dedup is pure hash aggregation (no
+    // pairwise compares). Global __ALL__ row = the content-addressed
+    // store view (chunks dedup ACROSS sources).
+    "llm_cdc_chunks" -> ((s, dir) => {
+      TextOps.cdcChunkStats(boilerplatedDocs(s, dir), "doc_id", "aug",
+        "source", avgChunk = 4)
     })
   )
 
@@ -7094,6 +7108,60 @@ $rounds
       FROM rq, tr
       ORDER BY stat, dim
     """
-    }
+    },
+
+    // Replays the memoryless boundary rule (md5(word) mod 4) and the
+    // window-cumsum chunk assignment; chunk identity is md5 of the
+    // reassembled chunk text in both engines.
+    "llm_cdc_chunks" -> s"""
+      WITH aug AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 25 = 0 THEN text || ' $Boilerplate'
+                    ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, source, generate_subscripts(ws, 1) - 1 AS pos,
+                   unnest(ws) AS w
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+                  FROM aug)),
+      b AS (SELECT doc_id, source, pos, w,
+                   CASE WHEN CAST('0x' || substr(md5('cdc|' || w), 1, 15)
+                             AS BIGINT) % 4 = 0 THEN 1 ELSE 0 END AS bdy
+            FROM w),
+      cn AS (SELECT doc_id, source, pos, w,
+                    COALESCE(sum(bdy) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS chunk_no
+             FROM b),
+      ch AS (SELECT source, md5(string_agg(w, ' ' ORDER BY pos)) AS chash,
+                    CAST(count(*) AS BIGINT) AS n_words
+             FROM cn GROUP BY doc_id, source, chunk_no),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+                     CAST(sum(n_words) AS BIGINT) AS total_words
+              FROM ch GROUP BY source),
+      st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+                    CAST(sum(cw) AS BIGINT) AS distinct_words
+             FROM (SELECT source, chash, min(n_words) AS cw
+                   FROM ch GROUP BY source, chash)
+             GROUP BY source),
+      ga AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                    CAST(sum(n_words) AS BIGINT) AS total_words FROM ch),
+      gs AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+                    CAST(sum(cw) AS BIGINT) AS distinct_words
+             FROM (SELECT chash, min(n_words) AS cw FROM ch GROUP BY chash))
+      SELECT source, n_chunks, n_distinct, total_words, distinct_words,
+             ${round6sql(
+               "1.0 - CAST(distinct_words AS DOUBLE) / CAST(total_words AS DOUBLE)")}
+               AS savings_ratio,
+             ${round6sql(
+               "CAST(total_words AS DOUBLE) / CAST(n_chunks AS DOUBLE)")}
+               AS avg_chunk_words
+      FROM (SELECT p.source, n_chunks, n_distinct, total_words, distinct_words
+            FROM per p JOIN st USING (source)
+            UNION ALL
+            SELECT '__ALL__', ga.n_chunks, gs.n_distinct, ga.total_words,
+                   gs.distinct_words
+            FROM ga, gs)
+      ORDER BY source
+    """
   )
 }
