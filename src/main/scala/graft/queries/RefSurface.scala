@@ -446,6 +446,32 @@ object RefSurface {
         .orderBy("column")
     }),
 
+    // ---- K11: ORC interchange roundtrip ----------------------------------
+    // The third interchange format after JSONL (k5) and gzip CSV (k7):
+    // columnar-with-indexes, the Hive-ecosystem sibling of parquet.
+    // DuckDB cannot read ORC, so the oracle asserts roundtrip FIDELITY
+    // instead of re-reading the files: Spark writes the documents table
+    // to ORC, reads it back THROUGH a pushed-down predicate (the ORC
+    // reader serves it from min/max stripe stats — `.explain` shows
+    // PushedFilters), and emits per-source counts + an order-insensitive
+    // content checksum (sum of 48-bit row hashes — 48 so a 100×-bigger
+    // corpus still sums inside int64); the oracle computes the same
+    // aggregates from the ORIGINAL parquet. Any row the ORC path drops,
+    // duplicates, or mutates moves the checksum.
+    "k11_orc_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_k11_out/${SalesFixture.sfName(dir)}"
+      Tables(s, dir, "documents").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("n_chars") >= 50)
+        .select(col("source"), col("n_chars"),
+          expr("cast(conv(substring(md5(concat_ws('|', doc_id, text, lang, " +
+            "source, n_chars)), 1, 12), 16, 10) as bigint)").as("rh"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"),
+          sum("rh").as("content_sum"))
+        .orderBy("source")
+    }),
+
     // ---- malformed-row quarantine (S1's per-ROW error routing) ----------
     // The operational counterpart of the reference's per-FILE
     // skip-on-error (etl_utils.py:193-194): PERMISSIVE parse with
@@ -2080,6 +2106,20 @@ object RefSurface {
         columns={doc_id: 'BIGINT', text: 'VARCHAR',
                  lang: 'VARCHAR', source: 'VARCHAR'})
       ORDER BY doc_id
+    """,
+
+    // Fidelity oracle from the ORIGINAL parquet (DuckDB cannot read
+    // ORC): identical filter + per-source counts and row-hash checksum.
+    "k11_orc_roundtrip" -> """
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(CAST('0x' || substr(md5(
+               concat_ws('|', doc_id, text, lang, source, n_chars)),
+               1, 12) AS BIGINT)) AS BIGINT) AS content_sum
+      FROM documents
+      WHERE n_chars >= 50
+      GROUP BY source
+      ORDER BY source
     """,
 
     "k4_schema_evolution" -> """

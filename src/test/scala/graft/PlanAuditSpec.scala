@@ -435,4 +435,27 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("*(") && l.contains("Project")),
       s"Q1's narrow chain must run inside codegen:\n$p")
   }
+
+  test("ORC readback pushes the predicate to the stripe reader") {
+    val out = "/tmp/graft_k11_plan_audit"
+    Tables(spark, dir, "documents").write.mode("overwrite").orc(out)
+    val q = spark.read.orc(out).filter(col("n_chars") >= 50)
+      .select("doc_id", "n_chars")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars"),
+      s"ORC scan must carry the pushed predicate:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"ORC column pruning lost: $readSchema")
+  }
+
+  test("blocklist scan: no shuffle before the hit aggregation, pattern table broadcast") {
+    val q = graft.queries.LlmSurface.queries("llm_blocklist")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"pattern lookup must be a broadcast join:\n$p")
+    // exactly the agg exchange (partial → final) plus the final sort's
+    // range exchange — the corpus scan itself must not shuffle first
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (agg + sort), got $exchanges:\n$p")
+  }
 }
