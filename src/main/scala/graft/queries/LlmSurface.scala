@@ -2858,6 +2858,65 @@ object LlmSurface {
     "llm_cdc_chunks" -> ((s, dir) => {
       TextOps.cdcChunkStats(boilerplatedDocs(s, dir), "doc_id", "aug",
         "source", avgChunk = 4)
+    }),
+
+    // ---- reciprocal-rank fusion hybrid retrieval (X203) ------------------
+    // The modern serving shape: a LEXICAL retriever (inverted-index
+    // candidates over shared low-df terms, integer-idf scoring) and a
+    // DENSE retriever (quantized-dot cosine) each produce a top-20 per
+    // query; RRF (Cormack et al. 2009) fuses the two rank lists with
+    // Σ 1/(60+rank) in exact integer micro-units. Every score is pure
+    // integer arithmetic (idf_i = 10⁶ div df; dot on quantized vectors;
+    // 10⁶ div (60+rank)), so ranks and the fusion replay bit-identically.
+    // Scale: lexical candidates come from the term EQUI-join with
+    // high-df terms dropped (df·10 ≤ N — the stop-term prune every real
+    // inverted index applies), dense is panel-bounded broadcast (the
+    // X9 shape); nothing corpus×corpus.
+    "llm_rank_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+      val nDocs = d.count()
+      val terms = d.select(col("doc_id"),
+        explode(array_distinct(col("_w"))).as("w"))
+      val kept = terms.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") * 10 <= nDocs)
+      val qTerms = terms.join(kept, "w")
+        .filter(col("doc_id") % 101 === 7)
+        .select(col("doc_id").as("q_id"), col("w"),
+          expr("1000000 div df").as("idf_i"))
+      val lex20 = qTerms
+        .join(terms.withColumnRenamed("doc_id", "d_id"), "w")
+        .filter(col("d_id") =!= col("q_id"))
+        .groupBy("q_id", "d_id").agg(sum("idf_i").as("lex_score"))
+        .withColumn("lex_rank", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("lex_score").desc, col("d_id"))).cast("long"))
+        .filter(col("lex_rank") <= 20)
+        .select("q_id", "d_id", "lex_rank")
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+      val dot = VectorOps.dotFn(s)
+      val emb20 = emb.filter(col("doc_id") % 101 === 7)
+        .select(col("doc_id").as("q_id"), col("qv").as("_qqv"))
+        .crossJoin(emb.select(col("doc_id").as("d_id"), col("qv")))
+        .filter(col("d_id") =!= col("q_id"))
+        .select(col("q_id"), col("d_id"),
+          dot(col("_qqv"), col("qv")).as("emb_score"))
+        .withColumn("emb_rank", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("emb_score").desc, col("d_id"))).cast("long"))
+        .filter(col("emb_rank") <= 20)
+        .select("q_id", "d_id", "emb_rank")
+      lex20.join(emb20, Seq("q_id", "d_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + emb_rank)"), lit(0L)))
+        .withColumn("_rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("rrf_micro").desc, col("d_id"))))
+        .filter(col("_rn") <= 5)
+        .select(col("q_id"), col("d_id").as("doc_id"), col("lex_rank"),
+          col("emb_rank"), col("rrf_micro"))
+        .orderBy("q_id", "doc_id")
     })
   )
 
@@ -7162,6 +7221,64 @@ $rounds
                    gs.distinct_words
             FROM ga, gs)
       ORDER BY source
+    """,
+
+    // Replays both retrievers (integer idf-sum lexical with stop-term
+    // prune; quantized-dot dense) and the integer RRF fusion; every
+    // rank tie-breaks (score DESC, d_id).
+    "llm_rank_fusion" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+      terms AS (SELECT DISTINCT doc_id, w
+                FROM (SELECT doc_id, unnest(ws) AS w FROM d)),
+      kept AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+               FROM terms GROUP BY w
+               HAVING CAST(count(*) AS BIGINT) * 10 <= (SELECT nd FROM n)),
+      q AS (SELECT t.doc_id AS q_id, t.w, 1000000 // k.df AS idf_i
+            FROM terms t JOIN kept k USING (w)
+            WHERE t.doc_id % 101 = 7),
+      lexs AS (SELECT q.q_id, t.doc_id AS d_id,
+                      CAST(sum(idf_i) AS BIGINT) AS lex_score
+               FROM q JOIN terms t USING (w)
+               WHERE t.doc_id <> q.q_id
+               GROUP BY 1, 2),
+      lex20 AS (SELECT q_id, d_id, lex_rank FROM (
+                  SELECT q_id, d_id,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY lex_score DESC, d_id) AS BIGINT) AS lex_rank
+                  FROM lexs)
+                WHERE lex_rank <= 20),
+      e AS (SELECT vec_id AS doc_id,
+                   list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+            FROM embeddings),
+      qe AS (SELECT doc_id AS q_id, qv AS qqv FROM e WHERE doc_id % 101 = 7),
+      embs AS (SELECT qe.q_id, e.doc_id AS d_id,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> qe.qqv[i] * e.qv[i])) AS BIGINT) AS emb_score
+               FROM qe, e WHERE e.doc_id <> qe.q_id),
+      emb20 AS (SELECT q_id, d_id, emb_rank FROM (
+                  SELECT q_id, d_id,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY emb_score DESC, d_id) AS BIGINT) AS emb_rank
+                  FROM embs)
+                WHERE emb_rank <= 20),
+      cand AS (SELECT coalesce(l.q_id, m.q_id) AS q_id,
+                      coalesce(l.d_id, m.d_id) AS d_id,
+                      l.lex_rank, m.emb_rank
+               FROM lex20 l FULL JOIN emb20 m
+                 ON l.q_id = m.q_id AND l.d_id = m.d_id),
+      fused AS (SELECT q_id, d_id, lex_rank, emb_rank,
+                       CAST(coalesce(1000000 // (60 + lex_rank), 0)
+                          + coalesce(1000000 // (60 + emb_rank), 0) AS BIGINT)
+                         AS rrf_micro
+                FROM cand)
+      SELECT q_id, d_id AS doc_id, lex_rank, emb_rank, rrf_micro FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf_micro DESC, d_id) AS rn
+        FROM fused)
+      WHERE rn <= 5
+      ORDER BY q_id, doc_id
     """
   )
 }
