@@ -2917,6 +2917,74 @@ object LlmSurface {
         .select(col("q_id"), col("d_id").as("doc_id"), col("lex_rank"),
           col("emb_rank"), col("rrf_micro"))
         .orderBy("q_id", "doc_id")
+    }),
+
+    // ---- hard-negative mining (X204) -------------------------------------
+    // Contrastive-training data prep: for each anchor, the top-k most
+    // SIMILAR vectors with a DIFFERENT label — similar enough to be
+    // informative, excluded from the positive class by supervision (the
+    // in-batch-negatives upgrade every dense-retriever recipe ships).
+    // Exact quantized dots, rank ties broken (dot DESC, neg_id). Scale:
+    // anchors are panel-bounded and BROADCAST against the corpus (the
+    // X9 shape — corpus never self-pairs); at 100 TB the corpus side
+    // swaps to the IVF/PQ shortlist (X99) with this exact refine.
+    "llm_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"),
+        col("label"), VectorOps.quantize(col("embedding")).as("qv"))
+      val dot = VectorOps.dotFn(s)
+      val anchors = emb.filter(col("vec_id") % 97 === 11)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("_aqv"))
+      emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("q_id")
+          && col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), dot(col("_aqv"), col("qv")).as("dot_q"))
+        .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("dot_q").desc, col("neg_id"))).cast("long"))
+        .filter(col("rank") <= 8)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- self-join size forecast from key statistics (X205) --------------
+    // The planner/AQE number behind every salting and cluster-sizing
+    // decision: predict |events ⋈ events ON user_id| = Σ f_u² from
+    // SKETCH-sized statistics — exact counts for the top-16 heavy keys
+    // plus a (row count, NDV) pair for the residual under the uniformity
+    // assumption (the System-R estimator with a heavy-hitter patch; the
+    // X143 skew profile DESCRIBES the skew, this turns it into the
+    // forecast). Statistics cost one combine-agg pass; the forecast is
+    // arithmetic on 17 numbers. The exact Σ f_u² is computed from the
+    // same frequency table (never by materializing the join), so the
+    // err_ppm row audits the estimator honestly at any scale. All
+    // integer (div), bit-stable cross-engine.
+    "p_join_forecast" -> ((s, dir) => {
+      val f = Tables(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("f")).localCheckpoint(true)
+      val heavy = f.orderBy(col("f").desc, col("user_id")).limit(16)
+        .localCheckpoint(true)
+      val hs = heavy.agg(sum(col("f") * col("f")).as("hv"),
+        sum("f").as("hn"), count(lit(1)).as("hd"))
+      val tot = f.agg(sum(col("f") * col("f")).as("exact"),
+        sum("f").as("n"), count(lit(1)).as("d"))
+      val summary = tot.crossJoin(hs)
+        .withColumn("est", col("hv") +
+          expr("case when d - hd > 0 then ((n - hn) * (n - hn)) div (d - hd) else 0 end"))
+        .select(array(
+          struct(lit("exact").as("part"), lit(-1L).as("key"),
+            col("exact").as("value")),
+          struct(lit("estimate").as("part"), lit(-1L).as("key"),
+            col("est").as("value")),
+          struct(lit("err_ppm").as("part"), lit(-1L).as("key"),
+            expr("abs(est - exact) * 1000000 div exact").as("value")))
+          .as("rows"))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.part"), col("r.key"), col("r.value"))
+      heavy.select(lit("heavy_key").as("part"), col("user_id").as("key"),
+          col("f").as("value"))
+        .unionByName(summary)
+        .orderBy("part", "key")
     })
   )
 
@@ -7279,6 +7347,62 @@ $rounds
         FROM fused)
       WHERE rn <= 5
       ORDER BY q_id, doc_id
+    """,
+
+    // Brute-force replay: same quantized dots, same label exclusion,
+    // same (dot DESC, neg_id) tie-break.
+    "llm_hard_negatives" -> """
+      WITH e AS (SELECT vec_id, label,
+                        list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+                 FROM embeddings),
+      a AS (SELECT vec_id AS q_id, label AS q_label, qv AS aqv
+            FROM e WHERE vec_id % 97 = 11),
+      scored AS (SELECT a.q_id, CAST(a.q_label AS INT) AS q_label,
+                        e.vec_id AS neg_id, CAST(e.label AS INT) AS neg_label,
+                        CAST(list_sum(list_transform(range(1, 65),
+                          i -> a.aqv[i] * e.qv[i])) AS BIGINT) AS dot_q
+                 FROM a, e
+                 WHERE e.vec_id <> a.q_id AND e.label <> a.q_label)
+      SELECT q_id, q_label, neg_id, neg_label, dot_q, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot_q DESC, neg_id) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 8
+      ORDER BY q_id, rank
+    """,
+
+    // Replays the System-R-with-heavy-hitters estimator: top-16 exact
+    // keys (count DESC, user_id), residual under uniformity, integer
+    // division throughout.
+    "p_join_forecast" -> """
+      WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS f
+                 FROM events GROUP BY user_id),
+      heavy AS (SELECT user_id, f FROM f
+                ORDER BY f DESC, user_id LIMIT 16),
+      hs AS (SELECT CAST(sum(f * f) AS BIGINT) AS hv,
+                    CAST(sum(f) AS BIGINT) AS hn,
+                    CAST(count(*) AS BIGINT) AS hd
+             FROM heavy),
+      tot AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact,
+                     CAST(sum(f) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS d
+              FROM f),
+      est AS (SELECT exact,
+                     hv + CASE WHEN d - hd > 0
+                               THEN ((n - hn) * (n - hn)) // (d - hd)
+                               ELSE 0 END AS e
+              FROM tot, hs)
+      SELECT part, key, value FROM (
+        SELECT 'heavy_key' AS part, user_id AS key, f AS value FROM heavy
+        UNION ALL
+        SELECT 'exact', CAST(-1 AS BIGINT), exact FROM est
+        UNION ALL
+        SELECT 'estimate', CAST(-1 AS BIGINT), CAST(e AS BIGINT) FROM est
+        UNION ALL
+        SELECT 'err_ppm', CAST(-1 AS BIGINT),
+               CAST(abs(e - exact) * 1000000 // exact AS BIGINT) FROM est)
+      ORDER BY part, key
     """
   )
 }
