@@ -446,6 +446,38 @@ object RefSurface {
         .orderBy("column")
     }),
 
+    // ---- K12: bucketed co-located join EXECUTED --------------------------
+    // X28's ScaleJoinSpec proves zero-exchange bucketed joins as a unit
+    // test; this executes the claim as an oracle query (the k1/X106
+    // pattern): both sides written `bucketBy(8)` on the join key into
+    // the session catalog, joined back WITHOUT a broadcast (threshold
+    // disabled around materialization), aggregated per (source, label).
+    // PlanAuditSpec pins the join itself exchange-free — the only
+    // shuffles left are the aggregation and the output sort. At 100 TB
+    // this is the shape for every repeated fact⋈fact join: pay the
+    // bucketed write once, join shuffle-free every run after.
+    "k12_bucketed_join" -> ((s, dir) => {
+      val sf = SalesFixture.sfName(dir).replace('.', '_')
+      Tables(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(s"k12_docs_$sf")
+      Tables(s, dir, "embeddings").select("vec_id", "label")
+        .write.mode("overwrite")
+        .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(s"k12_emb_$sf")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        s.table(s"k12_docs_$sf")
+          .join(s.table(s"k12_emb_$sf"), col("doc_id") === col("vec_id"))
+          .groupBy("source", "label")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+          .orderBy("source", "label")
+          // materialize UNDER the no-broadcast conf so the co-located
+          // plan is the one that actually runs
+          .localCheckpoint(true)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // ---- K11: ORC interchange roundtrip ----------------------------------
     // The third interchange format after JSONL (k5) and gzip CSV (k7):
     // columnar-with-indexes, the Hive-ecosystem sibling of parquet.
@@ -2106,6 +2138,18 @@ object RefSurface {
         columns={doc_id: 'BIGINT', text: 'VARCHAR',
                  lang: 'VARCHAR', source: 'VARCHAR'})
       ORDER BY doc_id
+    """,
+
+    // The bucketed-join result must equal the same join computed from
+    // the original parquet — bucketing is a layout choice, never a
+    // semantics one.
+    "k12_bucketed_join" -> """
+      SELECT d.source, CAST(e.label AS INT) AS label,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2
     """,
 
     // Fidelity oracle from the ORIGINAL parquet (DuckDB cannot read

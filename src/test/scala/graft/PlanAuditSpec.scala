@@ -448,6 +448,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("text"), s"ORC column pruning lost: $readSchema")
   }
 
+  test("k12 bucketed join: the join itself is exchange-free (shuffles only for agg + sort)") {
+    graft.queries.RefSurface.queries("k12_bucketed_join")(spark, dir).collect()
+    // re-derive the join part from the written bucketed tables, under
+    // the same no-broadcast condition the query materializes with
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("k12_docs_sf0_001")
+        .join(spark.table("k12_emb_sf0_001"), col("doc_id") === col("vec_id"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), s"expected bucketed SMJ:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("blocklist scan: no shuffle before the hit aggregation, pattern table broadcast") {
     val q = graft.queries.LlmSurface.queries("llm_blocklist")(spark, dir)
     val p = plan(q)
