@@ -673,4 +673,58 @@ object EventOps {
         TextOps.round6(t).as("t_stat"),
         TextOps.round6(welchDf).as("df"))
   }
+
+  /** Holt linear-trend (double exponential) smoothing over the daily
+    * event-count series, with an h-step-ahead forecast — the capacity /
+    * ingest-volume forecast an ops team reads next to the CUSUM (X171)
+    * and trailing-rate (X146) alarms: those detect level shifts, this
+    * EXTRAPOLATES level + trend.
+    *
+    * Fixed smoothing weights α=3/10, β=1/10 in exact integer micro-units
+    * (the recurrence is `div`-only, truncation toward zero in both
+    * engines):
+    *   l_t = (3·y_t·10⁶ + 7·(l+b)) div 10,
+    *   b_t = ((l_t − l) + 9·b) div 10,  init l₁=y₁·10⁶, b₁=(y₂−y₁)·10⁶.
+    * One-step forecast f_t = l+b pre-update; err_t = y_t·10⁶ − f_t is
+    * the in-sample residual an α/β retune would minimize.
+    *
+    * Scale shape: the ONLY corpus-scale work is the daily combine-agg
+    * (100 TB of events reduce map-side to |days| rows). The recurrence
+    * is inherently sequential in t and runs on the CALENDAR-sized series
+    * driver-side — |days| rows, corpus-independent, the same "model
+    * table on the driver" budget a centroid collect has. Output dates
+    * cross the engine boundary as `yyyy-MM-dd` strings.
+    */
+  def holtLinear(events: DataFrame, tsCol: String, horizon: Int = 7)
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.select(to_date(col(tsCol)).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("y"))
+      .orderBy("d")
+      .select(col("d").cast("string"), col("y"))
+      .as[(String, Long)].collect()
+    require(daily.length >= 2, s"need >=2 days, got ${daily.length}")
+    val M = 1000000L
+    val out = Seq.newBuilder[(String, Option[Long], Option[Long],
+      Option[Long], Option[Long], Option[Long])]
+    var l = daily(0)._2 * M
+    var b = (daily(1)._2 - daily(0)._2) * M
+    out += ((daily(0)._1, Some(daily(0)._2), Some(l), Some(b), None, None))
+    (1 until daily.length).foreach { t =>
+      val (ds, y) = daily(t)
+      val f = l + b
+      val lNew = (3L * y * M + 7L * (l + b)) / 10L
+      val bNew = ((lNew - l) + 9L * b) / 10L
+      out += ((ds, Some(y), Some(lNew), Some(bNew), Some(f), Some(y * M - f)))
+      l = lNew; b = bNew
+    }
+    val lastDay = java.time.LocalDate.parse(daily.last._1)
+    (1 to horizon).foreach { h =>
+      out += ((lastDay.plusDays(h.toLong).toString, None, None, None,
+        Some(l + h.toLong * b), None))
+    }
+    out.result().toDF("ds", "y", "level_micro", "trend_micro",
+      "forecast_micro", "err_micro").orderBy("ds")
+  }
 }

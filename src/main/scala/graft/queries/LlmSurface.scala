@@ -2985,6 +2985,16 @@ object LlmSurface {
           col("f").as("value"))
         .unionByName(summary)
         .orderBy("part", "key")
+    }),
+
+    // ---- Holt linear-trend forecast (X206) -------------------------------
+    // Level+trend extrapolation of the daily ingest volume — the
+    // forward-looking companion to CUSUM (X171) and trailing-rate
+    // (X146) detection. Integer-micro recurrence (div-only), daily agg
+    // is the only corpus-scale work; oracle replays the recurrence as a
+    // RECURSIVE CTE over the day index.
+    "p_holt_forecast" -> ((s, dir) => {
+      EventOps.holtLinear(Tables(s, dir, "events"), "ts", horizon = 7)
     })
   )
 
@@ -7403,6 +7413,48 @@ $rounds
         SELECT 'err_ppm', CAST(-1 AS BIGINT),
                CAST(abs(e - exact) * 1000000 // exact AS BIGINT) FROM est)
       ORDER BY part, key
+    """,
+
+    // Replays the integer Holt recurrence as a RECURSIVE CTE (the l_t
+    // expression is repeated inside b_t — identical arithmetic, `//`
+    // truncates toward zero exactly like the Spark-side Long division).
+    "p_holt_forecast" -> """
+      WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      idx AS (SELECT d, y,
+                     CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+              FROM daily),
+      hw AS (
+        SELECT i1.t, i1.d, i1.y,
+               i1.y * 1000000 AS l, (i2.y - i1.y) * 1000000 AS b,
+               CAST(NULL AS BIGINT) AS f, CAST(NULL AS BIGINT) AS e
+        FROM idx i1, idx i2 WHERE i1.t = 1 AND i2.t = 2
+        UNION ALL
+        SELECT i.t, i.d, i.y,
+               (3 * i.y * 1000000 + 7 * (hw.l + hw.b)) // 10,
+               ((((3 * i.y * 1000000 + 7 * (hw.l + hw.b)) // 10) - hw.l)
+                 + 9 * hw.b) // 10,
+               hw.l + hw.b,
+               i.y * 1000000 - (hw.l + hw.b)
+        FROM hw JOIN idx i ON i.t = hw.t + 1),
+      lastrow AS (SELECT hw.* FROM hw, (SELECT max(t) AS n FROM idx) n
+                  WHERE hw.t = n.n),
+      fc AS (SELECT strftime(lastrow.d + hs.h * INTERVAL 1 DAY,
+                             '%Y-%m-%d') AS ds,
+                    CAST(NULL AS BIGINT) AS y,
+                    CAST(NULL AS BIGINT) AS level_micro,
+                    CAST(NULL AS BIGINT) AS trend_micro,
+                    CAST(l + hs.h * b AS BIGINT) AS forecast_micro,
+                    CAST(NULL AS BIGINT) AS err_micro
+             FROM lastrow, (SELECT unnest(range(1, 8)) AS h) hs)
+      SELECT ds, y, level_micro, trend_micro, forecast_micro, err_micro
+      FROM (SELECT strftime(d, '%Y-%m-%d') AS ds, y, l AS level_micro,
+                   b AS trend_micro, f AS forecast_micro, e AS err_micro
+            FROM hw
+            UNION ALL
+            SELECT * FROM fc)
+      ORDER BY ds
     """
   )
 }
