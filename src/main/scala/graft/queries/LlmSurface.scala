@@ -54,7 +54,7 @@ object LlmSurface {
     * occurrences — all-end-position semantics), "zzz" is absent (no
     * phantom rows), plus two multi-word literals.
     */
-  private val BlocklistPanel = Seq(
+  private[queries] val BlocklistPanel = Seq(
     "spark", "ar", "able", "hash value", "scan slow", "a a",
     "merge batch", "zzz")
 

@@ -351,6 +351,28 @@ object StreamSurface {
       s.read.parquet(s"$base/out").orderBy("doc_id")
     }),
 
+    // ---- X207: streaming multi-pattern blocklist screen ------------------
+    // The Aho–Corasick scan (X199) composed into a micro-batch plan:
+    // stateless broadcast-automaton mapPartitions per batch, per-doc hit
+    // rows to the sink, aggregated after replay. Green ⇒ identical
+    // totals to the batch position-scan oracle — replay order and batch
+    // boundaries cannot move a per-doc count.
+    "stream_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmpBase(dir, "blocklist")
+      val (in, schema) = stagedDocs(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
+        DocStream.blocklistScreen(src, LlmSurface.BlocklistPanel)
+      }
+      val pats = broadcast(LlmSurface.BlocklistPanel.zipWithIndex
+        .map { case (p, i) => (i, p) }.toDF("pat_id", "pat"))
+      s.read.parquet(s"$base/out")
+        .join(pats, "pat_id")
+        .groupBy("pat")
+        .agg(count(lit(1)).as("n_docs"), sum("hits").as("total_hits"))
+        .orderBy("pat")
+    }),
+
     // ---- X87: stream dedup against a static base corpus -------------------
     // Stream-static left-anti join (stateless) then within-stream dedup;
     // base = the even-doc_id half's sha table. Projection to the sha
@@ -560,6 +582,27 @@ object StreamSurface {
       FROM q WHERE quality >= 0.3
       ORDER BY content_sha
     """,
+
+    // Same independent position-scan algorithm as llm_blocklist's
+    // oracle, aggregated per pattern only (batches carry no source).
+    "stream_blocklist" -> {
+      val patRows = LlmSurface.BlocklistPanel.map(p => s"('$p')").mkString(", ")
+      s"""
+      WITH pats(pat) AS (VALUES $patRows),
+      pos AS (SELECT doc_id, text,
+                     unnest(range(1, len(text) + 1)) AS i
+              FROM documents),
+      hits AS (
+        SELECT p.pat, pos.doc_id, count(*) AS hits
+        FROM pos, pats p
+        WHERE substr(pos.text, CAST(pos.i AS INTEGER), len(p.pat)) = p.pat
+        GROUP BY 1, 2)
+      SELECT pat, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(hits) AS BIGINT) AS total_hits
+      FROM hits GROUP BY pat
+      ORDER BY pat
+    """
+    },
 
     "stream_classify" -> """
       WITH w AS (

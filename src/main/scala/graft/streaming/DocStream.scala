@@ -88,6 +88,34 @@ object DocStream {
       .drop("_w", "_st")
   }
 
+  /** Streaming multi-pattern blocklist screen — the Aho–Corasick scan
+    * (X199) composed into a micro-batch plan. Stateless: the broadcast
+    * automaton is applied per batch via the same typed `mapPartitions`
+    * the batch operator uses (per-row work is O(|text|), no state store,
+    * no shuffle inside the stream), emitting one (doc_id, pat_id, hits)
+    * row per matched pattern. The caller aggregates the sink parquet
+    * after replay — in production the same output feeds a `foreachBatch`
+    * MERGE into the screening ledger.
+    */
+  def blocklistScreen(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      graft.operators.AhoCorasick.build(patterns))
+    val nPat = patterns.length
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.flatMap { case (id, text) =>
+          val counts = ac.countAll(if (text == null) "" else text, nPat)
+          Iterator.range(0, nPat).filter(counts(_) > 0L)
+            .map(p => (id, p, counts(p)))
+        }
+      }
+      .toDF("doc_id", "pat_id", "hits")
+  }
+
   /** Streaming incremental dedup against a STATIC base corpus — the
     * streaming analogue of [[TextOps.incrementalDedup]]'s exact stage:
     * tonight's document stream is checked against the existing corpus's
