@@ -2987,6 +2987,24 @@ object LlmSurface {
         .orderBy("part", "key")
     }),
 
+    // ---- label propagation communities (X208) ----------------------------
+    // Weighted synchronous LPA over the co-order graph (X148's edges):
+    // the density-aware refinement CC can't give — CC merges everything
+    // reachable, LPA splits a component along weighted structure. Five
+    // synchronous rounds, votes argmax'd by max(struct(w, -lbl)) — a
+    // combine agg, not a window — so each round is exactly two
+    // exchanges. Oracle replays every round unrolled (MATERIALIZED).
+    "llm_label_prop" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      graft.operators.LabelPropagation.communities(
+        edges, "item_a", "item_b", "weight", rounds = 5)
+        .orderBy("n")
+    }),
+
     // ---- Holt linear-trend forecast (X206) -------------------------------
     // Level+trend extrapolation of the daily ingest volume — the
     // forward-looking companion to CUSUM (X171) and trailing-rate
@@ -7414,6 +7432,47 @@ $rounds
                CAST(abs(e - exact) * 1000000 // exact AS BIGINT) FROM est)
       ORDER BY part, key
     """,
+
+    // Unrolled synchronous LPA replay: same co-order edges (X148 SQL),
+    // same (vote DESC, label ASC) adoption rule per round.
+    "llm_label_prop" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""v$r AS MATERIALIZED (
+        SELECT s.n, l.lbl, CAST(sum(s.w) AS BIGINT) AS vw
+        FROM sym s JOIN l${r - 1} l ON l.n = s.m
+        GROUP BY s.n, l.lbl),
+      l$r AS MATERIALIZED (
+        SELECT n, lbl FROM (
+          SELECT n, lbl,
+                 row_number() OVER (PARTITION BY n
+                   ORDER BY vw DESC, lbl) AS rk
+          FROM v$r)
+        WHERE rk = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      capped AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      e AS (
+        SELECT x.i AS a, y.i AS bb, CAST(count(*) AS BIGINT) AS w
+        FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      sym AS MATERIALIZED (
+        SELECT a AS n, bb AS m, w FROM e
+        UNION ALL
+        SELECT bb AS n, a AS m, w FROM e),
+      l0 AS (SELECT DISTINCT n, n AS lbl FROM sym),
+      $rounds
+      SELECT n, CAST(lbl AS BIGINT) AS lbl FROM l5 ORDER BY n
+    """
+    },
 
     // Replays the integer Holt recurrence as a RECURSIVE CTE (the l_t
     // expression is repeated inside b_t — identical arithmetic, `//`
