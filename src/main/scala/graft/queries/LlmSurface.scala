@@ -3005,6 +3005,27 @@ object LlmSurface {
         .orderBy("n")
     }),
 
+    // ---- sort-key / RLE encoding advisor (X209) --------------------------
+    // Prices candidate single-key layouts for the lineitem rewrite:
+    // exact RLE run counts for each (sort key, column) pair WITHOUT a
+    // global data sort (the Σ ndv_k − boundary-merges decomposition —
+    // one groupBy pass per key, lag window over the |K|-row metadata
+    // only). The K=C diagonal self-checks runs = ndv. Complements X110
+    // z-order (multi-column) with the single-key alternatives.
+    "p_sortkey_advisor" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      graft.operators.EncodingAdvisor.rleAdvisor(li,
+        keys = Seq(
+          "l_returnflag" -> col("l_returnflag"),
+          "ship_month" -> month(col("l_shipdate")),
+          "l_suppkey" -> col("l_suppkey")),
+        targets = Seq(
+          "l_returnflag" -> col("l_returnflag"),
+          "l_linestatus" -> col("l_linestatus"),
+          "l_quantity" -> col("l_quantity"),
+          "l_suppkey" -> col("l_suppkey")))
+    }),
+
     // ---- Holt linear-trend forecast (X206) -------------------------------
     // Level+trend extrapolation of the daily ingest volume — the
     // forward-looking companion to CUSUM (X171) and trailing-rate
@@ -7432,6 +7453,37 @@ $rounds
                CAST(abs(e - exact) * 1000000 // exact AS BIGINT) FROM est)
       ORDER BY part, key
     """,
+
+    // Replays the runs(C|K) = Σ ndv_k − boundary-merges decomposition
+    // per (key, target) pair; ndv and n from one global scan.
+    "p_sortkey_advisor" -> {
+      val keys = Seq("l_returnflag" -> "l_returnflag",
+        "ship_month" -> "month(l_shipdate)", "l_suppkey" -> "l_suppkey")
+      val targets = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_suppkey")
+      val pairSql = (for { (kn, ke) <- keys; cn <- targets } yield s"""
+      SELECT '$kn' AS sort_key, '$cn' AS target_col,
+             CAST(sum(ndvk) - sum(m) AS BIGINT) AS runs
+      FROM (SELECT ndvk, mn, mx,
+                   CASE WHEN lag(mx) OVER (ORDER BY k) = mn
+                        THEN 1 ELSE 0 END AS m
+            FROM (SELECT $ke AS k, count(DISTINCT $cn) AS ndvk,
+                         min($cn) AS mn, max($cn) AS mx
+                  FROM lineitem GROUP BY 1))""").mkString("\n      UNION ALL")
+      s"""
+      WITH pairs AS ($pairSql),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+      nd AS (${targets.map(cn =>
+        s"SELECT '$cn' AS target_col, CAST(count(DISTINCT $cn) AS BIGINT) AS ndv FROM lineitem")
+        .mkString("\n      UNION ALL ")})
+      SELECT p.sort_key, p.target_col, g.n, nd.ndv, p.runs,
+             ${round6sql("CAST(p.runs AS DOUBLE) / CAST(g.n AS DOUBLE)")}
+               AS run_ratio
+      FROM pairs p, g
+      JOIN nd ON nd.target_col = p.target_col
+      ORDER BY p.sort_key, p.target_col
+    """
+    },
 
     // Unrolled synchronous LPA replay: same co-order edges (X148 SQL),
     // same (vote DESC, label ASC) adoption rule per round.
