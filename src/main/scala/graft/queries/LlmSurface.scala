@@ -3005,6 +3005,24 @@ object LlmSurface {
         .orderBy("n")
     }),
 
+    // ---- 2D skyline: the quality × length Pareto frontier (X210) ---------
+    // Multi-objective curation: which documents are not strictly beaten
+    // on BOTH quality and length? Prune-then-verify (bucket max + the
+    // strictly-higher-bucket prefix max prune the corpus to frontier-
+    // sized candidates; exact dominance anti-join only there). The
+    // oracle runs the INDEPENDENT quadratic NOT-EXISTS dominance test.
+    "llm_skyline" -> ((s, dir) => {
+      val sc = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextOps.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          floor(TextOps.qualityScore(col("_w"), stopwords) * 1000000.0
+            + 0.5).cast("long").as("q_micro"),
+          col("n_chars"))
+      graft.operators.Skyline.skyline2D(sc, "doc_id", "q_micro", "n_chars",
+        xBucketWidth = 31250L)
+    }),
+
     // ---- sort-key / RLE encoding advisor (X209) --------------------------
     // Prices candidate single-key layouts for the lineitem rewrite:
     // exact RLE run counts for each (sort key, column) pair WITHOUT a
@@ -7452,6 +7470,25 @@ $rounds
         SELECT 'err_ppm', CAST(-1 AS BIGINT),
                CAST(abs(e - exact) * 1000000 // exact AS BIGINT) FROM est)
       ORDER BY part, key
+    """,
+
+    // INDEPENDENT algorithm: the quadratic NOT-EXISTS dominance test
+    // (the textbook skyline definition, no pruning).
+    "llm_skyline" -> s"""
+      WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+                 FROM documents),
+      sc AS (SELECT doc_id,
+                    CAST(floor(($qualitySqlCol) * 1000000.0 + 0.5)
+                      AS BIGINT) AS q_micro,
+                    n_chars
+             FROM d)
+      SELECT r.doc_id, r.q_micro, r.n_chars
+      FROM sc r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sc s
+        WHERE s.q_micro >= r.q_micro AND s.n_chars >= r.n_chars
+          AND (s.q_micro > r.q_micro OR s.n_chars > r.n_chars))
+      ORDER BY r.doc_id
     """,
 
     // Replays the runs(C|K) = Σ ndv_k − boundary-merges decomposition
