@@ -909,8 +909,18 @@ object VectorOps {
   def topPrincipalComponent(df: DataFrame, vecCol: String, rounds: Int = 8,
       vScale: Long = 100000L,
       materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
-      : DataFrame = {
-    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+      : DataFrame =
+    pcaFromStats(covStats(df, vecCol), rounds, vScale, materialize)
+
+  /** The covariance sufficient statistics (n, Σxᵢ, Σxᵢxⱼ) of a
+    * quantized-vector frame — a MONOID: stats of a union are the
+    * element-wise sums of the parts' stats, exactly. This is what makes
+    * [[topPrincipalComponentIncremental]] possible, and what a
+    * production run persists nightly (the X107 incremental-aggregate
+    * discipline applied to the PCA family).
+    */
+  def covStats(df: DataFrame, vecCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val q = df.select(quantize(col(vecCol)).as("qv"))
     val nDf = q.agg(count(lit(1)).as("n"))
     val sx = q.select(posexplode(col("qv")).as(Seq("i", "xi")))
@@ -918,6 +928,34 @@ object VectorOps {
     val pairs = q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
     val sxx = pairs.groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sxx"))
+    (nDf, sx, sxx)
+  }
+
+  /** Incremental top-PC: merge the BASE corpus's persisted covariance
+    * stats with a nightly batch's stats (pure monoid addition on the
+    * d-row / d²-row stat tables — the base embeddings are never
+    * re-read), then run the identical fixed-round iteration. Output is
+    * bit-identical to [[topPrincipalComponent]] over the union BY
+    * CONSTRUCTION of the monoid (n·Σxx − Σx·Σx only consumes the merged
+    * sums), which the split-oblivious oracle and PcaPowerSpec pin.
+    */
+  def topPrincipalComponentIncremental(base: DataFrame, batch: DataFrame,
+      vecCol: String, rounds: Int = 8, vScale: Long = 100000L,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    val (nA, sxA, sxxA) = covStats(base, vecCol)
+    val (nB, sxB, sxxB) = covStats(batch, vecCol)
+    val n = nA.unionAll(nB).agg(sum("n").as("n"))
+    val sx = sxA.unionAll(sxB).groupBy("i").agg(sum("sxi").as("sxi"))
+    val sxx = sxxA.unionAll(sxxB).groupBy("i", "j").agg(sum("sxx").as("sxx"))
+    pcaFromStats((n, sx, sxx), rounds, vScale, materialize)
+  }
+
+  private def pcaFromStats(stats: (DataFrame, DataFrame, DataFrame),
+      rounds: Int, vScale: Long, materialize: DataFrame => DataFrame)
+      : DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val (nDf, sx, sxx) = stats
     val mat = materialize(
       sxx.join(broadcast(sx), "i")
         .join(broadcast(sx.select(col("i").as("j"), col("sxi").as("sxj"))), "j")

@@ -3005,6 +3005,21 @@ object LlmSurface {
         .orderBy("n")
     }),
 
+    // ---- incremental top-PC: monoid-merged covariance stats (X211) -------
+    // The X107/X119 incremental discipline applied to the PCA family:
+    // the base corpus's (n, Σx, Σxx) stat tables are persisted once and
+    // MERGED with the nightly batch's stats by pure addition (d- and
+    // d²-row tables — the base embeddings are never re-read); the
+    // fixed-round iteration then runs identically. The oracle is the
+    // SPLIT-OBLIVIOUS full recompute (same SQL as llm_pca_power), so
+    // green means incremental ≡ full, bit for bit.
+    "llm_pca_incremental" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      VectorOps.topPrincipalComponentIncremental(
+        e.filter(col("vec_id") % 4 =!= 1), e.filter(col("vec_id") % 4 === 1),
+        "embedding", rounds = 8)
+    }),
+
     // ---- 2D skyline: the quality × length Pareto frontier (X210) ---------
     // Multi-objective curation: which documents are not strictly beaten
     // on BOTH quality and length? Prune-then-verify (bucket max + the
@@ -3416,6 +3431,59 @@ object LlmSurface {
       .mkString(" ")
     s"CASE $cases END"
   }
+
+  /** Full-recompute PCA replay — shared by llm_pca_power and the
+    * split-oblivious llm_pca_incremental oracle. */
+  private lazy val pcaPowerSql: String = {
+      val rounds = (1 to 8).map { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s"""w$r AS MATERIALIZED (
+        SELECT m.i, CAST(sum(m.c * v.vv) AS BIGINT) AS w
+        FROM mat m JOIN $prev v ON v.j = m.j GROUP BY m.i),
+      v$r AS MATERIALIZED (
+        SELECT w.i AS j, CAST((w.w * 100000) // mx.m AS BIGINT) AS vv
+        FROM w$r w, (SELECT max(abs(w)) AS m FROM w$r) mx)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        FROM embeddings),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      x AS (SELECT generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS xi, qv
+            FROM e),
+      p AS (SELECT i, xi, generate_subscripts(qv, 1) - 1 AS j, unnest(qv) AS xj
+            FROM x),
+      sx AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sxi FROM x GROUP BY i),
+      sxx AS (SELECT i, j, CAST(sum(xi * xj) AS BIGINT) AS sxx
+              FROM p GROUP BY i, j),
+      mat AS MATERIALIZED (
+        SELECT s.i, s.j,
+               CAST((nn.n * s.sxx - a.sxi * b.sxi) // (nn.n * nn.n) AS BIGINT) AS c
+        FROM sxx s, nn, sx a, sx b WHERE a.i = s.i AND b.i = s.j),
+      v0 AS (SELECT i AS j, CAST(100000 AS BIGINT) AS vv FROM sx),
+      $rounds,
+      wf AS (SELECT m.i, CAST(sum(m.c * v.vv) AS BIGINT) AS w
+             FROM mat m JOIN v8 v ON v.j = m.j GROUP BY m.i),
+      rq AS (SELECT CAST(sum(v.vv * w.w) AS BIGINT) AS num,
+                    CAST(sum(v.vv * v.vv) AS BIGINT) AS den
+             FROM wf w JOIN v8 v ON v.j = w.i),
+      tr AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM mat WHERE i = j)
+      SELECT 'eigenvalue_q' AS stat, CAST(-1 AS BIGINT) AS dim,
+             ${round6sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")} AS value
+      FROM rq
+      UNION ALL
+      SELECT 'loading', CAST(j AS BIGINT),
+             ${round6sql("CAST(vv AS DOUBLE) / 100000.0")}
+      FROM v8
+      UNION ALL
+      SELECT 'var_share', CAST(-1 AS BIGINT),
+             ${round6sql(
+               "CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * CAST(t AS DOUBLE))")}
+      FROM rq, tr
+      ORDER BY stat, dim
+    """
+    }
 
   val oracleSql: Map[String, String] = Map(
     "llm_exact_dedup" -> """
@@ -7253,56 +7321,11 @@ $rounds
     // referenced twice: values + the max|w| rescale scalar). Both
     // engines truncate integer division toward zero (Spark `div`,
     // DuckDB `//`), so rounds replay bit-identically.
-    "llm_pca_power" -> {
-      val rounds = (1 to 8).map { r =>
-        val prev = if (r == 1) "v0" else s"v${r - 1}"
-        s"""w$r AS MATERIALIZED (
-        SELECT m.i, CAST(sum(m.c * v.vv) AS BIGINT) AS w
-        FROM mat m JOIN $prev v ON v.j = m.j GROUP BY m.i),
-      v$r AS MATERIALIZED (
-        SELECT w.i AS j, CAST((w.w * 100000) // mx.m AS BIGINT) AS vv
-        FROM w$r w, (SELECT max(abs(w)) AS m FROM w$r) mx)"""
-      }.mkString(",\n      ")
-      s"""
-      WITH e AS (
-        SELECT list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
-        FROM embeddings),
-      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-      x AS (SELECT generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS xi, qv
-            FROM e),
-      p AS (SELECT i, xi, generate_subscripts(qv, 1) - 1 AS j, unnest(qv) AS xj
-            FROM x),
-      sx AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sxi FROM x GROUP BY i),
-      sxx AS (SELECT i, j, CAST(sum(xi * xj) AS BIGINT) AS sxx
-              FROM p GROUP BY i, j),
-      mat AS MATERIALIZED (
-        SELECT s.i, s.j,
-               CAST((nn.n * s.sxx - a.sxi * b.sxi) // (nn.n * nn.n) AS BIGINT) AS c
-        FROM sxx s, nn, sx a, sx b WHERE a.i = s.i AND b.i = s.j),
-      v0 AS (SELECT i AS j, CAST(100000 AS BIGINT) AS vv FROM sx),
-      $rounds,
-      wf AS (SELECT m.i, CAST(sum(m.c * v.vv) AS BIGINT) AS w
-             FROM mat m JOIN v8 v ON v.j = m.j GROUP BY m.i),
-      rq AS (SELECT CAST(sum(v.vv * w.w) AS BIGINT) AS num,
-                    CAST(sum(v.vv * v.vv) AS BIGINT) AS den
-             FROM wf w JOIN v8 v ON v.j = w.i),
-      tr AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM mat WHERE i = j)
-      SELECT 'eigenvalue_q' AS stat, CAST(-1 AS BIGINT) AS dim,
-             ${round6sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")} AS value
-      FROM rq
-      UNION ALL
-      SELECT 'loading', CAST(j AS BIGINT),
-             ${round6sql("CAST(vv AS DOUBLE) / 100000.0")}
-      FROM v8
-      UNION ALL
-      SELECT 'var_share', CAST(-1 AS BIGINT),
-             ${round6sql(
-               "CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * CAST(t AS DOUBLE))")}
-      FROM rq, tr
-      ORDER BY stat, dim
-    """
-    },
+    "llm_pca_power" -> pcaPowerSql,
+
+    // Split-oblivious by design: the SAME full-recompute replay. Green
+    // for the incremental query means merged-stats ≡ full, bit for bit.
+    "llm_pca_incremental" -> pcaPowerSql,
 
     // Replays the memoryless boundary rule (md5(word) mod 4) and the
     // window-cumsum chunk assignment; chunk identity is md5 of the

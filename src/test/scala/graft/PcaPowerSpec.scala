@@ -40,6 +40,16 @@ class PcaPowerSpec extends SparkSpec {
     assert(eig > 700000.0 && eig < 900000.0, s"eigenvalue_q $eig")
   }
 
+  test("incremental (monoid-merged stats) equals full recompute bit for bit") {
+    val df = planted()
+    val full = VectorOps.topPrincipalComponent(df, "embedding", rounds = 6)
+      .collect().toSeq
+    val incr = VectorOps.topPrincipalComponentIncremental(
+      df.filter(col("vec_id") % 3 =!= 0), df.filter(col("vec_id") % 3 === 0),
+      "embedding", rounds = 6).collect().toSeq
+    assert(incr === full)
+  }
+
   test("deterministic across invocations") {
     val a = VectorOps.topPrincipalComponent(planted(), "embedding", rounds = 4)
       .collect().toSeq
