@@ -458,6 +458,21 @@ object RefSurface {
     // bucketed write once, join shuffle-free every run after.
     "k12_bucketed_join" -> ((s, dir) => {
       val sf = SalesFixture.sfName(dir).replace('.', '_')
+      // A fresh JVM has an empty in-memory catalog but the warehouse
+      // DIRECTORY survives on disk from earlier runs — saveAsTable then
+      // fails with LOCATION_ALREADY_EXISTS instead of overwriting. Drop
+      // any registration AND clear the stale location first.
+      Seq(s"k12_docs_$sf", s"k12_emb_$sf").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        val loc = new java.io.File(wh, t)
+        if (loc.exists) rm(loc)
+      }
       Tables(s, dir, "documents").select("doc_id", "source", "n_chars")
         .write.mode("overwrite")
         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(s"k12_docs_$sf")
