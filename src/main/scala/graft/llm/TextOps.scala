@@ -46,10 +46,20 @@ object TextOps {
     * 5k-doc explode).
     */
   def shinglesFromWords(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
-      .otherwise(array().cast("array<string>"))
+    // `w` is BOUND to a lambda variable (transform over a 1-element
+    // array) so it is evaluated ONCE per row. Inlining it directly
+    // would re-evaluate the whole `w` expression inside every
+    // element_at — n × |shingles| times per row; higher-order-function
+    // lambdas defeat codegen's common-subexpression elimination, and a
+    // caller passing `words(text)` unprojected paid ~20× (measured
+    // 10.6 s → 0.5 s on the sf0.1 10-gram postings build).
+    element_at(
+      transform(array(w), arr =>
+        when(size(arr) >= n,
+          transform(sequence(lit(1), size(arr) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(k => element_at(arr, i + lit(k))): _*)))
+          .otherwise(array().cast("array<string>"))), 1)
 
   /** Convenience single-expression form (fine for small inputs / tests;
     * prefer [[shinglesFromWords]] over a pre-projected split in hot
