@@ -45,6 +45,18 @@ object TextOps {
     * inlined split costs ~(n+2)× per shingle (measured 4.3s → 0.6s on a
     * 5k-doc explode).
     */
+  /** Evaluate `a` ONCE per row and hand the bound value to `f` — the
+    * lambda-variable binding trick (transform over a one-element
+    * array). Use whenever an expression is referenced several times
+    * inside a higher-order-function lambda: HOF lambdas defeat
+    * codegen's common-subexpression elimination, so an unbound
+    * reference re-evaluates its whole subtree per lambda iteration
+    * (measured 20× on the 10-gram postings build, see
+    * [[shinglesFromWords]]).
+    */
+  def bindOnce(a: Column)(f: Column => Column): Column =
+    element_at(transform(array(a), f), 1)
+
   def shinglesFromWords(w: Column, n: Int): Column =
     // `w` is BOUND to a lambda variable (transform over a 1-element
     // array) so it is evaluated ONCE per row. Inlining it directly
@@ -53,13 +65,13 @@ object TextOps {
     // lambdas defeat codegen's common-subexpression elimination, and a
     // caller passing `words(text)` unprojected paid ~20× (measured
     // 10.6 s → 0.5 s on the sf0.1 10-gram postings build).
-    element_at(
-      transform(array(w), arr =>
-        when(size(arr) >= n,
-          transform(sequence(lit(1), size(arr) - (n - 1)),
-            i => concat_ws(" ",
-              (0 until n).map(k => element_at(arr, i + lit(k))): _*)))
-          .otherwise(array().cast("array<string>"))), 1)
+    bindOnce(w) { arr =>
+      when(size(arr) >= n,
+        transform(sequence(lit(1), size(arr) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(arr, i + lit(k))): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Convenience single-expression form (fine for small inputs / tests;
     * prefer [[shinglesFromWords]] over a pre-projected split in hot
@@ -294,16 +306,19 @@ object TextOps {
     * lacks — while selecting only ~2/(windowK+1) of all hashes.
     * Pure array expressions; one narrow projection.
     */
-  def winnowFingerprint(w: Column, shingleN: Int, windowK: Int): Column = {
-    val hashes = transform(shinglesFromWords(w, shingleN), s => md5(s))
-    val n = size(hashes)
-    val mins = when(n >= windowK,
-      transform(sequence(lit(1), n - (windowK - 1)),
-        i => array_min(slice(hashes, i, lit(windowK)))))
-      .otherwise(when(n > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<string>")))
-    md5(concat_ws("", array_sort(array_distinct(mins))))
-  }
+  def winnowFingerprint(w: Column, shingleN: Int, windowK: Int): Column =
+    // hashes is referenced inside the window lambda — bindOnce, or the
+    // whole shingle+md5 subtree re-evaluates per window position
+    // (quadratic per row)
+    bindOnce(transform(shinglesFromWords(w, shingleN), s => md5(s))) { hashes =>
+      val n = size(hashes)
+      val mins = when(n >= windowK,
+        transform(sequence(lit(1), n - (windowK - 1)),
+          i => array_min(slice(hashes, i, lit(windowK)))))
+        .otherwise(when(n > 0, array(array_min(hashes)))
+          .otherwise(array().cast("array<string>")))
+      md5(concat_ws("", array_sort(array_distinct(mins))))
+    }
 
   /** 60-bit SimHash over the document's words (frequency-weighted).
     *
