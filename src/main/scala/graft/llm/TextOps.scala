@@ -2067,6 +2067,12 @@ object TextOps {
       .withColumn("ss", transform(col("_ord"), x => x.getField("s")))
       .withColumn("pref", expr("transform(slice(_ord, 1, _plen), x -> x.s)"))
       .select("doc", "ss", "c", "pref")
+      // referenced FOUR times below (asymmetric candidate sides + both
+      // verify joins) — unlike setSimJoin's three symmetric consumers,
+      // the asymmetric projections defeat ReusedExchange here: measured
+      // unmaterialized 9.4 s median / 2-5× GC-driven rep variance vs
+      // ~3 s checkpointed at sf0.1
+      .localCheckpoint(true)
     val prefA = perDoc.select(col("doc").as("doc_a"),
       explode(col("pref")).as("_tok"))
     val fullB = perDoc.select(col("doc").as("doc_b"),
