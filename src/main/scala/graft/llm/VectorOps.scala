@@ -619,6 +619,67 @@ object VectorOps {
     else math.max(1L, (math.max(0L, n) + targetClusterSize - 1) / targetClusterSize).toInt
   }
 
+  /** Greedy k-center coreset selection (farthest-point traversal,
+    * Gonzalez 1985): pick the lowest-id vector, then k−1 times pick the
+    * vector FARTHEST from everything selected so far — the classic
+    * 2-approximation to the k-center objective, and the
+    * diversity-driven complement to density-based selection
+    * (`prototypicality` keeps what is typical; this keeps what SPANS).
+    * Returns the selection log — (sel_idx, idCol, dist_q) — where
+    * dist_q is the squared quantized distance from the pick to its
+    * nearest earlier center at selection time: the greedy radius
+    * sequence, non-increasing by construction (each pick covers
+    * everything within its own distance): row i's dist is the coverage
+    * radius the first i−1 centers had achieved.
+    *
+    * Scale shape per round: ONE new center broadcast (1 row) onto the
+    * corpus, a narrow `least` update of the running min-distance, a
+    * TakeOrdered(1) argmax, and a checkpoint of the slim
+    * (id, qv, best) state — the min-distance column is iterated state
+    * (like Mondrian's region ids, unlike kMeans' static corpus), so
+    * the per-round materialization is the honest cost: k linear
+    * passes total, never a k×corpus distance matrix. Ties on the
+    * argmax break to the lowest id (DESC dist, ASC id), so the
+    * trajectory is deterministic and a SQL oracle replays every round
+    * bit-for-bit. Requires k ≤ the number of distinct vectors (with
+    * fewer, the all-zero-distance tail would re-pick covered points).
+    */
+  def kCenterGreedy(df: DataFrame, idCol: String, qvCol: String, k: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true),
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k ($k) must be in 1..1024")
+    val e = kmeansPrep(df, idCol, qvCol, dot)
+    val seed = materialize(e.orderBy("_vid").limit(1)
+      .select(col("_vid").as("_cid"), col("qv").as("cv"),
+        col("_self").as("_cself"), lit(0L).as("_seldist")))
+    var state = materialize(e.crossJoin(broadcast(
+        seed.select(col("cv"), col("_cself"))))
+      .select(col("_vid"), col("qv"), col("_self"),
+        (col("_self") + col("_cself") - lit(2L) * dot(col("qv"), col("cv")))
+          .as("_best")))
+    val picks = collection.mutable.Buffer(seed)
+    (2 to k).foreach { _ =>
+      val next = materialize(
+        state.orderBy(col("_best").desc, col("_vid").asc).limit(1)
+          .select(col("_vid").as("_cid"), col("qv").as("cv"),
+            col("_self").as("_cself"), col("_best").as("_seldist")))
+      picks += next
+      val prev = state
+      state = materialize(state.crossJoin(broadcast(
+          next.select(col("cv"), col("_cself"))))
+        .select(col("_vid"), col("qv"), col("_self"),
+          least(col("_best"),
+            col("_self") + col("_cself") - lit(2L) * dot(col("qv"), col("cv")))
+            .as("_best")))
+      graft.operators.SuffixArray.freeCheckpoint(prev)
+    }
+    graft.operators.SuffixArray.freeCheckpoint(state)
+    picks.zipWithIndex.map { case (p, i) =>
+      p.select(lit(i + 1).as("sel_idx"), col("_cid").as(idCol),
+        col("_seldist").as("dist_q"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** SemDeDup (Abbas et al. 2023) semantic-duplicate flags: k-means
     * partitions the corpus so the quadratic pairwise cosine check runs
     * WITHIN clusters only (one equi-join on centroid_id — never

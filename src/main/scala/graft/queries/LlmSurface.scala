@@ -1537,6 +1537,20 @@ object LlmSurface {
         .orderBy("vec_id")
     }),
 
+    // ---- greedy k-center coreset: diversity-driven selection --------------
+    // Farthest-point traversal (Gonzalez 1985) over the quantized
+    // embeddings: the 12-row selection log whose dist_q column is the
+    // non-increasing greedy radius sequence — the diversity complement
+    // to llm_prototypicality's density ranking. The oracle replays all
+    // 12 rounds unrolled (argmax ties to lowest id in both engines).
+    "llm_coreset" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      VectorOps.kCenterGreedy(emb, "vec_id", "qv", k = 12,
+        dot = VectorOps.dotFn(s))
+        .orderBy("sel_idx")
+    }),
+
     // ---- semantic dedup: cluster, then drop within-cluster near-copies ---
     // The SemDeDup shape (Abbas et al. 2023): k-means partitions the
     // corpus so the expensive pairwise cosine check runs WITHIN clusters
@@ -5078,6 +5092,38 @@ $rounds,
     """,
 
     "llm_kmeans" -> kmeansSql(k = 8, iters = 3),
+
+    // 12 unrolled farthest-point rounds; every CTE MATERIALIZED (round
+    // state is referenced twice — the inlining gotcha)
+    "llm_coreset" -> {
+      val k = 12
+      def d2(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), " +
+          s"j -> ($a.qv[j] - $b.cv[j]) * ($a.qv[j] - $b.cv[j]))) AS BIGINT)"
+      val rounds = (2 to k).map { i =>
+        s"""
+      s$i AS MATERIALIZED (
+        SELECT vec_id, qv, qv AS cv, best FROM st${i - 1}
+        ORDER BY best DESC, vec_id LIMIT 1),
+      st$i AS MATERIALIZED (
+        SELECT st.vec_id, st.qv,
+               least(st.best, ${d2("st", s"s$i")}) AS best
+        FROM st${i - 1} st, s$i)"""
+      }.mkString(",")
+      val out = (2 to k)
+        .map(i => s"SELECT $i AS sel_idx, vec_id, best AS dist_q FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $embedQvCte,
+      s1 AS MATERIALIZED (
+        SELECT vec_id, qv, qv AS cv FROM e ORDER BY vec_id LIMIT 1),
+      st1 AS MATERIALIZED (
+        SELECT e.vec_id, e.qv, ${d2("e", "s1")} AS best FROM e, s1),$rounds
+      SELECT 1 AS sel_idx, vec_id, CAST(0 AS BIGINT) AS dist_q FROM s1
+      UNION ALL $out
+      ORDER BY sel_idx
+    """
+    },
 
     "llm_semantic_dedup" -> s"""
       WITH $semanticDupCtes

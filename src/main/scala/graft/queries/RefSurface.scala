@@ -705,6 +705,58 @@ object RefSurface {
         .orderBy("p_name")
     }),
 
+    // ---- k-anonymity / l-diversity privacy audit ------------------------
+    // Pre-release privacy gate over a fact table: for each
+    // quasi-identifier combination (priority, order month, status),
+    // the group size (k-anonymity), the number of distinct sensitive
+    // values (l-diversity over o_custkey), and the top sensitive
+    // value's share (the distinctness input to t-closeness). Emits
+    // only the violating groups (k < 5 or l < 3) — the table a
+    // release reviewer reads. Two partial-combining aggregations:
+    // (quasi, sensitive) cells first, then per-quasi reduce — never a
+    // per-row window, so it holds at any corpus size; cell count is
+    // bounded by true (quasi x sensitive) support, not rows².
+    "p_kanonymity" -> ((s, dir) => {
+      val r6 = graft.llm.TextOps.round6 _
+      val cell = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+          col("o_orderstatus"), col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      cell.groupBy("o_orderpriority", "order_month", "o_orderstatus")
+        .agg(sum("cnt").cast("long").as("group_n"),
+          count(lit(1)).as("l_distinct"),
+          max("cnt").as("top_cnt"))
+        .filter(col("group_n") < 5 || col("l_distinct") < 3)
+        .select(col("o_orderpriority"), col("order_month"),
+          col("o_orderstatus"), col("group_n"), col("l_distinct"),
+          r6(col("top_cnt").cast("double") / col("group_n")).as("max_share"),
+          (col("group_n") < 5).as("k_violation"),
+          (col("l_distinct") < 3).as("l_violation"))
+        .orderBy("o_orderpriority", "order_month", "o_orderstatus")
+    }),
+
+    // ---- Mondrian k-anonymization (the generalization step) -------------
+    // Recursive bucketed-median bisection of orders in (price cents,
+    // epoch day) quasi-space, depth 8, k = 50 — every published range
+    // holds >= 50 orders. All-integer rounds; the oracle replays the 8
+    // cuts unrolled. operators/Mondrian.scala documents the two
+    // deliberate departures from LeFevre'06 (round-robin dimension,
+    // bucket-boundary cuts) and the per-round scale shape.
+    "p_mondrian" -> ((s, dir) => {
+      val rows = Tables(s, dir, "orders").select(
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("eday"))
+      graft.operators.Mondrian.generalize(
+        graft.operators.Mondrian.partition(rows, "cents", "eday",
+          k = 50, depth = 8, w1 = 500000L, w2 = 30L))
+        .select(col("a1_lo").as("price_lo"), col("a1_hi").as("price_hi"),
+          col("a2_lo").as("day_lo"), col("a2_hi").as("day_hi"),
+          col("n_rows"))
+        .orderBy("price_lo", "price_hi", "day_lo", "day_hi", "n_rows")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -1819,6 +1871,66 @@ object RefSurface {
       HAVING count(DISTINCT p_brand) > 1
       ORDER BY p_name
     """,
+
+    "p_kanonymity" -> """
+      WITH cell AS (
+        SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS order_month,
+               o_orderstatus, o_custkey, count(*) AS cnt
+        FROM orders GROUP BY 1, 2, 3, 4)
+      SELECT o_orderpriority, order_month, o_orderstatus,
+             CAST(sum(cnt) AS BIGINT) AS group_n,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             floor(CAST(max(cnt) AS DOUBLE) / sum(cnt) * 1000000.0 + 0.5)
+               / 1000000.0 AS max_share,
+             (sum(cnt) < 5) AS k_violation,
+             (count(*) < 3) AS l_violation
+      FROM cell
+      GROUP BY 1, 2, 3
+      HAVING sum(cnt) < 5 OR count(*) < 3
+      ORDER BY 1, 2, 3
+    """,
+
+    // unrolled 8-round Mondrian replay; every CTE is MATERIALIZED
+    // (round CTEs are referenced twice — the inlining gotcha)
+    "p_mondrian" -> {
+      val depth = 8; val k = 50
+      val rounds = (0 until depth).map { r =>
+        val (attr, w) = if (r % 2 == 0) ("a1", 500000L) else ("a2", 30L)
+        s"""
+      b$r AS MATERIALIZED (
+        SELECT a1, a2, region, $attr // $w AS b FROM r$r),
+      d$r AS MATERIALIZED (
+        SELECT region, b AS bcut, (cum >= $k AND tot - cum >= $k) AS docut
+        FROM (
+          SELECT region, b, cum, tot,
+                 row_number() OVER (PARTITION BY region ORDER BY b) AS rn
+          FROM (
+            SELECT region, b,
+                   sum(n) OVER (PARTITION BY region ORDER BY b) AS cum,
+                   sum(n) OVER (PARTITION BY region) AS tot
+            FROM (SELECT region, b, count(*) AS n FROM b$r GROUP BY 1, 2))
+          WHERE 2 * cum >= tot)
+        WHERE rn = 1),
+      r${r + 1} AS MATERIALIZED (
+        SELECT x.a1, x.a2,
+               CASE WHEN d.docut AND x.b > d.bcut THEN x.region * 2 + 1
+                    ELSE x.region * 2 END AS region
+        FROM b$r x JOIN d$r d USING (region))"""
+      }.mkString(",")
+      s"""
+      WITH r0 AS MATERIALIZED (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS a1,
+               CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS a2,
+               CAST(0 AS BIGINT) AS region
+        FROM orders),$rounds
+      SELECT min(a1) AS price_lo, max(a1) AS price_hi,
+             min(a2) AS day_lo, max(a2) AS day_hi,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM r$depth GROUP BY region
+      ORDER BY 1, 2, 3, 4, 5
+    """
+    },
 
     "p_profile" -> s"""
       WITH a AS (

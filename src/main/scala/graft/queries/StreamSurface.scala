@@ -214,6 +214,47 @@ object StreamSurface {
         .orderBy("win_start")
     }),
 
+    // ---- streaming count-min sketch: bounded-state per-key counts --------
+    // The stream maintains ONLY the depth x width cell table per daily
+    // window (EventStream.cmsDailyCells); the per-user point estimates
+    // for a fixed 32-user panel are served at readback as min over each
+    // user's depth cells (absent cell = 0). Cell counters are pure sums
+    // so streaming state == batch sketch bit-for-bit, which is what
+    // lets the oracle replay the ESTIMATES, overcounts and all. day_n
+    // comes from the sketch itself (row 0 sums to the day's traffic).
+    "stream_cms_users" -> ((s, dir) => {
+      val depth = 4; val width = 256
+      val base = tmpBase(dir, "cmsusers")
+      val (in, schema) = stagedEventsWithSentinels(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
+        EventStream.cmsDailyCells(src, "10 minutes", depth, width)
+      }
+      val cells = s.read.parquet(s"$base/out").filter(col("r") >= 0)
+      val days = cells.select("win_start").distinct()
+      val dayN = cells.filter(col("r") === 0)
+        .groupBy("win_start").agg(sum("n").cast("long").as("day_n"))
+      val panelCells = s.range(0, 32).select(col("id").as("user_id"))
+        .select(col("user_id"), explode(array((0 until depth).map { r =>
+          struct(lit(r).as("r"),
+            expr(s"cast(conv(substring(md5(concat('cms$r|', " +
+              s"cast(user_id as string))), 1, 15), 16, 10) as bigint) % $width")
+              .as("c"))
+        }: _*)).as("cell"))
+        .select(col("user_id"), col("cell.r").as("r"), col("cell.c").as("c"))
+      // panel x days is model-sized (128 x |days|); the corpus-sized
+      // cell table joins it by (win_start, r, c) equi-key.
+      days.crossJoin(broadcast(panelCells))
+        .join(cells, Seq("win_start", "r", "c"), "left")
+        .na.fill(0L, Seq("n"))
+        .groupBy("win_start", "user_id").agg(min("n").cast("long").as("est_n"))
+        .join(broadcast(dayN), "win_start")
+        .select(date_format(col("win_start"), tsFmt).as("win_start"),
+          col("user_id"), col("est_n"), col("day_n"),
+          TextOps.round6(col("est_n").cast("double") / col("day_n"))
+            .as("est_share"))
+        .orderBy("win_start", "user_id")
+    }),
+
     // ---- X45: gap sessionization via flatMapGroupsWithState --------------
     // Sessions close mid-stream by in-batch gap or event-time timeout;
     // the sentinels flush still-open ones. session_idx is re-derived at
@@ -500,6 +541,41 @@ object StreamSurface {
              (len(kmv) = 64) AS sketch_full
       FROM ev JOIN sk ON ev.d = sk.d
       ORDER BY win_start
+    """,
+
+    // Batch replay of the daily count-min sketch: identical per-row
+    // hashes, identical cell counts (sums are order-insensitive), so
+    // the panel point estimates — including any collision overcounts —
+    // match the streaming sketch exactly.
+    "stream_cms_users" -> """
+      WITH rws AS (SELECT unnest(range(0, 4)) AS r),
+      cells AS (
+        SELECT CAST(ts AS DATE) AS d, rws.r AS r,
+               CAST('0x' || substr(md5('cms' || CAST(rws.r AS VARCHAR) || '|'
+                 || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS c
+        FROM events CROSS JOIN rws),
+      cc AS (SELECT d, r, c, count(*) AS n FROM cells GROUP BY 1, 2, 3),
+      dayn AS (SELECT d, CAST(sum(n) AS BIGINT) AS day_n FROM cc
+               WHERE r = 0 GROUP BY 1),
+      panel AS (SELECT unnest(range(0, 32)) AS user_id),
+      pc AS (
+        SELECT panel.user_id, rws.r AS r,
+               CAST('0x' || substr(md5('cms' || CAST(rws.r AS VARCHAR) || '|'
+                 || CAST(panel.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS c
+        FROM panel CROSS JOIN rws),
+      est AS (
+        SELECT days.d, pc.user_id,
+               CAST(min(coalesce(cc.n, 0)) AS BIGINT) AS est_n
+        FROM (SELECT DISTINCT d FROM cc) days
+        CROSS JOIN pc
+        LEFT JOIN cc ON cc.d = days.d AND cc.r = pc.r AND cc.c = pc.c
+        GROUP BY 1, 2)
+      SELECT strftime(CAST(est.d AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS win_start,
+             est.user_id, est.est_n, dayn.day_n,
+             floor(CAST(est.est_n AS DOUBLE) / dayn.day_n * 1000000.0 + 0.5)
+               / 1000000.0 AS est_share
+      FROM est JOIN dayn ON est.d = dayn.d
+      ORDER BY win_start, user_id
     """,
 
     "stream_sessionize" -> """

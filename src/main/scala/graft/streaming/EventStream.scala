@@ -99,6 +99,51 @@ object EventStream extends Serializable {
         (size(col("_kmv")) === k).as("sketch_full"))
   }
 
+  /** Count-min sketch maintained AS streaming aggregation state: each
+    * event increments `depth` (row, col) cells keyed by independent
+    * hashes of its user_id; the streaming `groupBy(window, r, c).count`
+    * IS the distributed sketch — cell counters are pure sums, so the
+    * merged cross-micro-batch state is bit-identical to the batch
+    * sketch of the same multiset (order-insensitivity is what makes
+    * the DuckDB oracle able to replay the ESTIMATES exactly, the same
+    * property the KMV sketch above exploits for distinct counts).
+    *
+    * Scale contract: state per daily window is ≤ depth × width cells
+    * (1024 longs at 4×256) no matter how many events or distinct users
+    * arrive — the point-query answer for ANY key is then min over its
+    * `depth` counters, served offline from the emitted cell table.
+    * This is the bounded-state alternative to a streaming
+    * `groupBy(user)` count whose state grows with key cardinality —
+    * the 100 TB failure mode — at the cost of one bounded
+    * `explode` (×depth) before the shuffle.
+    *
+    * Sentinels use the kmvDailyUsers discipline (no filter between
+    * watermark and agg — the optimizer can push it below the watermark
+    * node and windows never close): the sentinel maps to the single
+    * cell (-1, -1), still drives the watermark in its far-future
+    * window, and is dropped at readback.
+    */
+  def cmsDailyCells(events: DataFrame, watermarkDelay: String,
+      depth: Int, width: Int): DataFrame = {
+    val cells = (0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        expr(s"cast(conv(substring(md5(concat('cms$r|', " +
+          s"cast(user_id as string))), 1, 15), 16, 10) as bigint) % $width")
+          .as("c"))
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("_cells",
+        when(col("event_type") === "__sentinel",
+          array(struct(lit(-1).as("r"), lit(-1L).as("c"))))
+          .otherwise(array(cells: _*)))
+      .select(col("ts"), explode(col("_cells")).as("cell"))
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        col("cell.r").as("r"), col("cell.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("r"), col("c"), col("n"))
+  }
+
   /** Stream-stream click attribution: join each click to the views by
     * the SAME user that happened within `horizon` BEFORE it — the
     * canonical two-stream event-time join. Both inputs need
