@@ -757,6 +757,60 @@ object RefSurface {
         .orderBy("price_lo", "price_hi", "day_lo", "day_hi", "n_rows")
     }),
 
+    // ---- equi-depth histogram + range-selectivity audit ------------------
+    // The System-R/ANALYZE stats loop the advisor family (p_join_forecast,
+    // p_sortkey_advisor) assumes: build an 8-bucket equi-depth histogram
+    // on price cents, then ESTIMATE a fixed panel of range predicates
+    // from the published (nb, lo, hi) stats alone — uniform-within-
+    // bucket interpolation, the textbook optimizer rule — and audit
+    // against exact counts. Determinism is structural, not rounded:
+    // boundary fractions i/8 are dyadic and the data integer, so
+    // p*(n-1) and the interpolation are EXACT in doubles (bit-identical
+    // across engines), and the estimate is all-integer ppm arithmetic
+    // (per-bucket floor'd rate x overlap, summed as longs). The exact
+    // side is one corpus pass x |panel| (the audit's inherent cost;
+    // production ships est only). percentile() is the exact small-table
+    // spelling — the 100 TB stats build swaps in approx_percentile,
+    // same downstream estimator (the p_profile / p_profile_approx
+    // split).
+    "p_histogram_stats" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select(
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+      val qs = li.agg(expr("percentile(c, array(0.125, 0.25, 0.375, " +
+        "0.5, 0.625, 0.75, 0.875))").as("qs"))
+      val bucket = (1 to 7).map(i =>
+        when(col("c").cast("double") > element_at(col("qs"), i), 1)
+          .otherwise(0)).reduce(_ + _)
+      val hist = li.crossJoin(broadcast(qs))
+        .select(col("c"), bucket.as("b"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("nb"), min("c").as("lo"), max("c").as("hi"))
+      val panel = Seq(
+        (1, 100000L, 500000L), (2, 500000L, 1500000L),
+        (3, 1500000L, 3000000L), (4, 3000000L, 6000000L),
+        (5, 6000000L, 9000000L), (6, 9000000L, 10500000L),
+        (7, 2000000L, 2100000L), (8, 0L, 20000000L))
+        .toDF("pred_id", "lo_pred", "hi_pred")
+      val olen = greatest(lit(0L),
+        least(col("hi"), col("hi_pred")) -
+          greatest(col("lo"), col("lo_pred")) + 1)
+      val est = panel.crossJoin(broadcast(hist))
+        .select(col("pred_id"), col("lo_pred"), col("hi_pred"),
+          (expr("nb * 1000000 DIV (hi - lo + 1)") * olen).as("part"))
+        .groupBy("pred_id", "lo_pred", "hi_pred")
+        .agg(sum("part").cast("long").as("est_rows_e6"))
+      val exact = li.crossJoin(broadcast(panel))
+        .filter(col("c").between(col("lo_pred"), col("hi_pred")))
+        .groupBy("pred_id").agg(count(lit(1)).as("exact_rows"))
+      est.join(exact, Seq("pred_id"), "left")
+        .na.fill(0L, Seq("exact_rows"))
+        .select(col("pred_id"), col("lo_pred"), col("hi_pred"),
+          col("est_rows_e6"), col("exact_rows"),
+          (col("est_rows_e6") - col("exact_rows") * 1000000L).as("err_e6"))
+        .orderBy("pred_id")
+    }),
+
     // ---- P1-P7 string scalar ops ----------------------------------------
     "p_string_ops" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
@@ -1929,6 +1983,46 @@ object RefSurface {
              CAST(count(*) AS BIGINT) AS n_rows
       FROM r$depth GROUP BY region
       ORDER BY 1, 2, 3, 4, 5
+    """
+    },
+
+    "p_histogram_stats" -> {
+      val cases = (1 to 7).map(i =>
+        s"(CASE WHEN CAST(c AS DOUBLE) > qs[$i] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val values = Seq(
+        (1, 100000L, 500000L), (2, 500000L, 1500000L),
+        (3, 1500000L, 3000000L), (4, 3000000L, 6000000L),
+        (5, 6000000L, 9000000L), (6, 9000000L, 10500000L),
+        (7, 2000000L, 2100000L), (8, 0L, 20000000L))
+        .map { case (i, a, b) =>
+          s"($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
+      s"""
+      WITH li AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem),
+      q AS (SELECT quantile_cont(c, [0.125, 0.25, 0.375, 0.5,
+                                     0.625, 0.75, 0.875]) AS qs FROM li),
+      hist AS (
+        SELECT b, count(*) AS nb, min(c) AS lo, max(c) AS hi
+        FROM (SELECT c, ($cases) AS b FROM li, q) GROUP BY 1),
+      panel(pred_id, lo_pred, hi_pred) AS (VALUES $values),
+      est AS (
+        SELECT pred_id, lo_pred, hi_pred,
+               CAST(sum((nb * 1000000 // (hi - lo + 1))
+                 * greatest(0, least(hi, hi_pred) - greatest(lo, lo_pred) + 1))
+                 AS BIGINT) AS est_rows_e6
+        FROM panel, hist GROUP BY 1, 2, 3),
+      ex AS (SELECT pred_id, count(*) AS exact_rows
+             FROM li JOIN panel ON c BETWEEN lo_pred AND hi_pred
+             GROUP BY 1)
+      SELECT est.pred_id, est.lo_pred, est.hi_pred, est.est_rows_e6,
+             CAST(coalesce(ex.exact_rows, 0) AS BIGINT) AS exact_rows,
+             est.est_rows_e6 - CAST(coalesce(ex.exact_rows, 0) AS BIGINT)
+               * 1000000 AS err_e6
+      FROM est LEFT JOIN ex USING (pred_id)
+      ORDER BY est.pred_id
     """
     },
 

@@ -138,4 +138,32 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
     assert(got.toSeq === Seq(("A", 2.0, 3.0), ("B", -0.5, 1.5)))
   }
+
+  test("p_histogram_stats: estimates track exact counts within the " +
+    "equi-depth error budget; full-domain estimate ~= corpus size") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.RefSurface.queries("p_histogram_stats")(
+      spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 8)
+    val n = graft.queries.Tables(spark, dir, "lineitem").count()
+    rows.foreach { case (pred, estE6, exact) =>
+      val est = estE6 / 1e6
+      // wide predicates: uniform-within-bucket is good to a few percent
+      // of the CORPUS (each of the <= 8 partially-covered buckets can
+      // err by at most its own mass); pred 7 is deliberately narrower
+      // than one bucket — there the bound is one bucket's mass (n/8)
+      val slack = if (pred == 7) n / 8.0 else 0.05 * n
+      assert(math.abs(est - exact) <= slack,
+        s"pred $pred: est $est vs exact $exact (slack $slack)")
+    }
+    // full-domain predicate covers every bucket fully: estimate equals
+    // n up to the per-bucket rate floors — each bucket's floor'd ppm
+    // rate under-counts by < 1 ppm PER CENT of width, so the total
+    // shortfall is bounded by the domain span in cents (~1.05e7 e6
+    // units ~= 10 rows), never proportional to n
+    val (_, fullE6, fullExact) = rows.last
+    assert(fullExact === n)
+    assert(fullE6 <= n * 1000000L && n * 1000000L - fullE6 <= 20000000L)
+  }
 }
