@@ -674,6 +674,76 @@ object EventOps {
         TextOps.round6(welchDf).as("df"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi, Walker, WSDM 2013):
+    * the standard experimentation-platform companion to [[abWelch]].
+    * Each user's experiment-period metric y is adjusted by their OWN
+    * pre-period metric x — y′ = y − θ·(x − x̄) with the pooled
+    * θ = cov(x, y)/var(x) — which removes the between-user variance
+    * that x predicts without biasing the treatment contrast (x predates
+    * assignment, so E[x|variant] is equal across arms). The output's
+    * var_raw vs var_adj columns show the reduction the platform buys.
+    *
+    * Determinism discipline: per-user sums are exact micro-units
+    * (longs), the θ/x̄ moments are decimal(38,0) (squares overflow
+    * int64), θ and x̄ are floored to micro ONCE (double cast of exact
+    * decimals — deterministic IEEE in both engines, the X197 slope
+    * pattern), and every adjusted value is then pure int64 arithmetic
+    * (`DIV`), so the per-variant second moments replay bit-for-bit.
+    *
+    * Scale shape: one combine-agg to the per-user table (|users| rows),
+    * one 1-row moment aggregate broadcast back, one combine-agg to the
+    * 2-row output — no windows, no per-user driver traffic.
+    */
+  def abCuped(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitDate: String): DataFrame = {
+    val split = lit(splitDate).cast("timestamp")
+    val micro = floor(col(valueCol) * 1000000 + 0.5).cast("long")
+    val per = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol).as("u"), (col(userCol) % 2).as("variant"),
+        when(col(tsCol) < split, micro).otherwise(0L).as("xv"),
+        when(col(tsCol) >= split, micro).otherwise(0L).as("yv"))
+      .groupBy("u", "variant")
+      .agg(sum("xv").as("x"), sum("yv").as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val theta = per.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      .select(
+        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1000000.0 + 0.5).cast("long").as("theta_mu"),
+        floor(col("sx").cast("double") / col("n").cast("double"))
+          .cast("long").as("xbar_mu"))
+    val adj = per.crossJoin(broadcast(theta))
+      .select(col("variant"), col("y"),
+        (col("y") - expr("(theta_mu * (x - xbar_mu)) DIV 1000000"))
+          .as("ya"),
+        col("theta_mu"))
+    def meanD(s: Column, n: Column): Column =
+      s.cast("double") / n.cast("double") / 1e6
+    def varD(n: Column, s: Column, ss: Column): Column =
+      (n * ss - s * s).cast("double") /
+        (n * (n - lit(1))).cast("double") / 1e12
+    val m = adj.groupBy("variant").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("y"))).as("sy"), sum(dec(col("y")) * dec(col("y"))).as("syy"),
+      sum(dec(col("ya"))).as("sa"),
+      sum(dec(col("ya")) * dec(col("ya"))).as("saa"),
+      first("theta_mu").as("theta_mu"))
+    m.select(col("variant"), col("n").cast("long").as("n_users"),
+        col("theta_mu"),
+        TextOps.round6(meanD(col("sy"), col("n"))).as("mean_raw"),
+        TextOps.round6(meanD(col("sa"), col("n"))).as("mean_adj"),
+        TextOps.round6(varD(col("n"), col("sy"), col("syy"))).as("var_raw"),
+        TextOps.round6(varD(col("n"), col("sa"), col("saa"))).as("var_adj"),
+        TextOps.round6(lit(1.0) -
+          varD(col("n"), col("sa"), col("saa"))
+            / varD(col("n"), col("sy"), col("syy"))).as("var_reduction"))
+      .orderBy("variant")
+  }
+
   /** Holt linear-trend (double exponential) smoothing over the daily
     * event-count series, with an h-step-ahead forecast — the capacity /
     * ingest-volume forecast an ops team reads next to the CUSUM (X171)

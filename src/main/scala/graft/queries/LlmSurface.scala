@@ -2088,6 +2088,17 @@ object LlmSurface {
         .orderBy("event_type")
     }),
 
+    // ---- CUPED variance reduction (Deng et al. WSDM'13) ------------------
+    // Each user's experiment-half metric adjusted by their own
+    // pre-period metric with the pooled theta; var_raw vs var_adj is
+    // the sensitivity the platform buys. All adjusted values are pure
+    // int64 arithmetic after a single floored theta/xbar — the oracle
+    // replays the second moments bit-for-bit.
+    "llm_ab_cuped" -> ((s, dir) => {
+      EventOps.abCuped(events(s, dir), "user_id", "ts", "value",
+        "2024-01-16")
+    }),
+
     // ---- anchor-text aggregation per link target -------------------------
     // The web-corpus relevance signal (Craswell et al. 2001: inbound
     // anchors describe a page better than its own text): every link's
@@ -5792,6 +5803,59 @@ $rounds,
              len AS max_run, tok AS run_token
       FROM best WHERE rnk = 1
       ORDER BY doc_id
+    """,
+
+    "llm_ab_cuped" -> s"""
+      WITH per AS (
+        SELECT user_id AS u, user_id % 2 AS variant,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2),
+      mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        FROM per),
+      t AS (
+        SELECT CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT) AS theta_mu,
+               CAST(floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 AS BIGINT) AS xbar_mu
+        FROM mom),
+      adj AS (
+        SELECT variant, y,
+               y - (theta_mu * (x - xbar_mu)) // 1000000 AS ya,
+               theta_mu
+        FROM per, t),
+      m AS (
+        SELECT variant, CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+               sum(CAST(ya AS HUGEINT)) AS sa,
+               sum(CAST(ya AS HUGEINT) * CAST(ya AS HUGEINT)) AS saa,
+               any_value(theta_mu) AS theta_mu
+        FROM adj GROUP BY variant)
+      SELECT variant, CAST(n AS BIGINT) AS n_users, theta_mu,
+             ${round6sql("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6")}
+               AS mean_raw,
+             ${round6sql("CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) / 1e6")}
+               AS mean_adj,
+             ${round6sql("CAST(n * syy - sy * sy AS DOUBLE)" +
+               " / CAST(n * (n - 1) AS DOUBLE) / 1e12")} AS var_raw,
+             ${round6sql("CAST(n * saa - sa * sa AS DOUBLE)" +
+               " / CAST(n * (n - 1) AS DOUBLE) / 1e12")} AS var_adj,
+             ${round6sql("1.0 - (CAST(n * saa - sa * sa AS DOUBLE)" +
+               " / CAST(n * (n - 1) AS DOUBLE) / 1e12)" +
+               " / (CAST(n * syy - sy * sy AS DOUBLE)" +
+               " / CAST(n * (n - 1) AS DOUBLE) / 1e12)")} AS var_reduction
+      FROM m
+      ORDER BY variant
     """,
 
     "llm_ab_welch" -> s"""

@@ -166,4 +166,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(fullExact === n)
     assert(fullE6 <= n * 1000000L && n * 1000000L - fullE6 <= 20000000L)
   }
+
+  test("abCuped: strongly predictive pre-period collapses the variance, " +
+    "weakly predictive real data leaves it near-unchanged") {
+    // hand data: 20 users; experiment metric = 2x the pre metric plus a
+    // per-variant offset, so x explains almost everything and theta ~ 2
+    val ev = (0 until 20).flatMap { u =>
+      Seq((u.toLong, ts(s"2024-01-05 00:00:00"), (10.0 + u * 3)),
+        (u.toLong, ts(s"2024-01-20 00:00:00"), (10.0 + u * 3) * 2 + u % 2))
+    }.toDF("user_id", "ts", "value")
+    val out = EventOps.abCuped(ev, "user_id", "ts", "value", "2024-01-16")
+      .collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      val theta = r.getLong(2)
+      assert(math.abs(theta - 2000000L) < 20000L,
+        s"theta should be ~2.0, got $theta micro")
+      val varRaw = r.getDouble(5); val varAdj = r.getDouble(6)
+      assert(varAdj < 0.01 * varRaw,
+        s"predictive covariate must collapse variance: $varAdj vs $varRaw")
+    }
+    // real events: values are i.i.d. across the split, so the honest
+    // result is theta ~ 0 and only marginal reduction — but never a
+    // large INCREASE (theta is the pooled in-sample minimizer)
+    val real = graft.queries.LlmSurface.queries("llm_ab_cuped")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(real.length === 2)
+    real.foreach { r =>
+      val varRaw = r.getDouble(5); val varAdj = r.getDouble(6)
+      assert(varAdj < varRaw * 1.05,
+        s"pooled theta must not inflate variance: $varAdj vs $varRaw")
+      assert(r.getDouble(7) === floorR6(1.0 - varAdj / varRaw) ||
+        math.abs(r.getDouble(7) - (1.0 - varAdj / varRaw)) < 1e-5)
+    }
+  }
+
+  private def floorR6(x: Double): Double =
+    math.floor(x * 1000000.0 + 0.5) / 1000000.0
 }

@@ -473,4 +473,54 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 2, s"expected <=2 exchanges (agg + sort), got $exchanges:\n$p")
   }
+
+  test("Mondrian round: decision table broadcast onto the corpus, " +
+    "no cartesian, cut window keyed by region") {
+    // two rounds, materialize = identity so the round plans are
+    // visible. Round 0's region is the constant 0, so Catalyst folds
+    // its decision join into an inner join on a 1-ROW broadcast (a
+    // BroadcastNestedLoopJoin whose build side is the single round-0
+    // decision — the accepted 1-row-broadcast shape); round 1 is the
+    // steady state this audit pins: a broadcast HASH join on the now
+    // varying region key, and a region-partitioned decision window.
+    val rows = Tables(spark, dir, "orders").select(
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+        .cast("long").as("eday"))
+    val q = graft.operators.Mondrian.partition(rows, "cents", "eday",
+      k = 50, depth = 2, w1 = 500000L, w2 = 30L, materialize = identity)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"),
+      s"steady-state decisions must broadcast-HASH-join the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"Mondrian must never pair corpus rows:\n$p")
+    // the steady-state cut window runs over the region x bucket
+    // metadata table, keyed by region — never over raw corpus rows
+    assert(p.contains("hashpartitioning(region"),
+      s"decision window must partition by region:\n$p")
+  }
+
+  test("k-center argmax is TakeOrdered, never a global sort exchange") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val q = VectorOps.kCenterGreedy(emb, "vec_id", "qv", k = 2,
+      materialize = identity)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"per-round argmax must be TakeOrdered(1):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort exchange for a 1-row argmax:\n$p")
+  }
+
+  test("histogram stats: every corpus scan pruned to the price column") {
+    val q = graft.queries.RefSurface.queries("p_histogram_stats")(spark, dir)
+    val p = plan(q)
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { rs =>
+      assert(rs.contains("l_extendedprice") && !rs.contains("l_comment")
+        && !rs.contains("l_orderkey"),
+        s"scan must read only l_extendedprice: $rs")
+    }
+  }
 }
