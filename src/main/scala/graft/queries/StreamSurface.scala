@@ -255,6 +255,40 @@ object StreamSurface {
         .orderBy("win_start", "user_id")
     }),
 
+    // ---- streaming latency quantiles: fixed histogram as agg state -------
+    // The third bounded-state streaming sketch (KMV distincts, CMS
+    // counts, now quantiles): the stream maintains ONLY the <=64-cell
+    // per-day histogram (EventStream.valueHistDailyCells); p50/p95 are
+    // extracted at readback by an all-integer rank walk over the
+    // per-day metadata. Sums are order-insensitive, so the estimates
+    // replay bit-for-bit in the oracle.
+    "stream_value_quantiles" -> ((s, dir) => {
+      val W = 800L
+      val base = tmpBase(dir, "valquant")
+      val (in, schema) = stagedEventsWithSentinels(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
+        EventStream.valueHistDailyCells(src, "10 minutes", W, 64)
+      }
+      val cells = s.read.parquet(s"$base/out").filter(col("b") >= 0)
+      val byB = Window.partitionBy("win_start").orderBy("b")
+      val cum = cells
+        .withColumn("cum", sum("n").over(byB))
+        .withColumn("tot", sum("n").over(Window.partitionBy("win_start")))
+      def qext(p: Int) = cum
+        .filter(col("cum") >= expr(s"($p * tot + 99) DIV 100"))
+        .withColumn("_rn", row_number().over(byB))
+        .filter(col("_rn") === 1)
+        .select(col("win_start"), col("tot"),
+          (col("b") * W + expr(
+            s"(((($p * tot + 99) DIV 100) - (cum - n)) * $W) DIV n"))
+            .as(s"p${p}_cents"))
+      qext(50).join(qext(95).drop("tot"), "win_start")
+        .select(date_format(col("win_start"), tsFmt).as("win_start"),
+          col("tot").cast("long").as("n_events"),
+          col("p50_cents").cast("long"), col("p95_cents").cast("long"))
+        .orderBy("win_start")
+    }),
+
     // ---- X45: gap sessionization via flatMapGroupsWithState --------------
     // Sessions close mid-stream by in-batch gap or event-time timeout;
     // the sentinels flush still-open ones. session_idx is re-derived at
@@ -576,6 +610,45 @@ object StreamSurface {
                / 1000000.0 AS est_share
       FROM est JOIN dayn ON est.d = dayn.d
       ORDER BY win_start, user_id
+    """,
+
+    // Batch replay of the daily value histogram + the identical integer
+    // rank walk: sums are order-insensitive, so the streaming cells and
+    // every quantile read off them match bit-for-bit.
+    "stream_value_quantiles" -> """
+      WITH h AS (
+        SELECT CAST(ts AS DATE) AS d,
+               least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 800, 63) AS b,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      c AS (SELECT d, b, n,
+                   sum(n) OVER (PARTITION BY d ORDER BY b) AS cum,
+                   sum(n) OVER (PARTITION BY d) AS tot FROM h),
+      r50 AS (
+        SELECT d, b, n, cum, tot,
+               row_number() OVER (PARTITION BY d ORDER BY b) AS rn
+        FROM c WHERE cum >= (50 * tot + 99) // 100),
+      e50 AS (
+        SELECT d, tot,
+               b * 800 + (((((50 * tot + 99) // 100)) - (cum - n)) * 800) // n
+                 AS p50_cents
+        FROM r50 WHERE rn = 1),
+      r95 AS (
+        SELECT d, b, n, cum, tot,
+               row_number() OVER (PARTITION BY d ORDER BY b) AS rn
+        FROM c WHERE cum >= (95 * tot + 99) // 100),
+      e95 AS (
+        SELECT d,
+               b * 800 + (((((95 * tot + 99) // 100)) - (cum - n)) * 800) // n
+                 AS p95_cents
+        FROM r95 WHERE rn = 1)
+      SELECT strftime(CAST(e50.d AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+               AS win_start,
+             CAST(e50.tot AS BIGINT) AS n_events,
+             CAST(p50_cents AS BIGINT) AS p50_cents,
+             CAST(p95_cents AS BIGINT) AS p95_cents
+      FROM e50 JOIN e95 USING (d)
+      ORDER BY win_start
     """,
 
     "stream_sessionize" -> """

@@ -144,6 +144,37 @@ object EventStream extends Serializable {
       .select(col("w.start").as("win_start"), col("r"), col("c"), col("n"))
   }
 
+  /** Fixed-width value histogram as streaming aggregation state — the
+    * third bounded-state sketch next to [[kmvDailyUsers]] (distincts)
+    * and [[cmsDailyCells]] (per-key counts): what a streaming metrics
+    * service maintains to answer latency-quantile queries. State per
+    * daily window is ≤ `buckets` cells no matter the traffic (a
+    * streaming `percentile` would buffer every value); like the other
+    * two, cell counters are pure sums, so the merged cross-micro-batch
+    * state — and every quantile READ off it — is bit-identical to the
+    * batch histogram of the same multiset and fully oracle-replayable.
+    * Values are cent-quantized; the top bucket absorbs the tail
+    * (`least(·, buckets−1)`). Quantile extraction happens at readback
+    * over the per-day ≤`buckets`-row metadata (integer rank walk +
+    * in-bucket interpolation, all `DIV` arithmetic).
+    *
+    * Sentinel discipline as in [[kmvDailyUsers]]: no filter between
+    * watermark and agg; the sentinel maps to bucket −1, drives the
+    * watermark from its far-future window, and drops at readback.
+    */
+  def valueHistDailyCells(events: DataFrame, watermarkDelay: String,
+      widthCents: Long, buckets: Int): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("_b",
+        when(col("event_type") === "__sentinel", lit(-1L))
+          .otherwise(least(
+            expr(s"CAST(floor(value * 100 + 0.5) AS BIGINT) DIV $widthCents"),
+            lit(buckets - 1L))))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("_b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("b"), col("n"))
+
   /** Stream-stream click attribution: join each click to the views by
     * the SAME user that happened within `horizon` BEFORE it — the
     * canonical two-stream event-time join. Both inputs need

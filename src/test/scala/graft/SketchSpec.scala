@@ -111,4 +111,32 @@ class SketchSpec extends SparkSpec {
         s"$t: approx median $a vs exact $e")
     }
   }
+
+  test("stream_value_quantiles: histogram estimates land within one " +
+    "bucket width of the exact order statistic, every day") {
+    val W = 800L
+    val out = graft.queries.StreamSurface.queries("stream_value_quantiles")(
+      spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.nonEmpty)
+    // exact per-day rank-r order statistics (r = ceil(p·n), the same
+    // rank the histogram walk targets)
+    val byDay = graft.queries.Tables.events(spark, dir)
+      .select(date_format(date_trunc("day", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("d"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (d, rs) => d -> rs.map(_._2).sorted }
+    assert(out.keySet === byDay.keySet)
+    byDay.foreach { case (d, sorted) =>
+      val (n, p50, p95) = out(d)
+      assert(n === sorted.length.toLong)
+      def kth(p: Int) = sorted((p * sorted.length + 99) / 100 - 1)
+      assert(math.abs(p50 - kth(50)) <= W,
+        s"$d: p50 $p50 vs exact ${kth(50)}")
+      assert(math.abs(p95 - kth(95)) <= W,
+        s"$d: p95 $p95 vs exact ${kth(95)}")
+    }
+  }
 }
