@@ -3030,6 +3030,65 @@ object LlmSurface {
         .orderBy("n")
     }),
 
+    // ---- modularity of the LPA communities (Newman 2004, weighted) -------
+    // The quality score for X208's partition: Q_c = 2·in_c/m₂ −
+    // (tot_c/m₂)² per community plus the lbl = −1 corpus total (summed
+    // over ALL communities, singletons included, before its single
+    // rounding). Numerators are exact decimal integers; everything is
+    // equi-joins + combine aggs over the edge list — the in-community
+    // weight is the edge table joined to labels twice, never a
+    // node-pair enumeration.
+    "llm_modularity" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      // edges feed the LPA loop AND three downstream consumers — the
+      // containment-join lesson: materialize once
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+        .localCheckpoint(eager = true)
+      val labels = graft.operators.LabelPropagation.communities(
+        edges, "item_a", "item_b", "weight", rounds = 5)
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val deg = edges.select(col("item_a").as("n"), col("weight").as("w"))
+        .unionAll(edges.select(col("item_b").as("n"), col("weight").as("w")))
+        .groupBy("n").agg(sum("w").as("k"))
+      val m2t = deg.agg(sum(dec(col("k"))).as("m2"))
+      val tot = deg.join(labels, "n").groupBy("lbl")
+        .agg(sum(dec(col("k"))).as("tot_k"), count(lit(1)).as("n_nodes"))
+      val inw = edges
+        .join(labels.select(col("n").as("item_a"), col("lbl").as("la")),
+          "item_a")
+        .join(labels.select(col("n").as("item_b"), col("lbl").as("lb")),
+          "item_b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl"))
+        .agg(sum(dec(col("weight"))).as("in_w"))
+      val perc = tot.join(inw, Seq("lbl"), "left")
+        .select(col("lbl"), col("n_nodes"), col("tot_k"),
+          coalesce(col("in_w"), lit(0).cast("decimal(38,0)")).as("in_w"))
+        .crossJoin(broadcast(m2t))
+      val num = (lit(2) * col("in_w") * col("m2")) -
+        (col("tot_k") * col("tot_k"))
+      def qOf(n: Column, m2sq: Column): Column =
+        floor(n.cast("double") / m2sq.cast("double") * 1000000.0 + 0.5)
+          .cast("long")
+      val rows = perc.filter(col("n_nodes") >= 2)
+        .select(col("lbl").cast("long").as("lbl"), col("n_nodes"),
+          col("tot_k").cast("long").as("tot_k"),
+          col("in_w").cast("long").as("in_w"),
+          qOf(num, col("m2") * col("m2")).as("q_ppm"))
+      val total = perc
+        .agg(sum("n_nodes").as("n_nodes"), sum("tot_k").as("tot_k"),
+          sum("in_w").as("in_w"), sum(num).as("_num"),
+          first("m2").as("m2"))
+        .select(lit(-1L).as("lbl"), col("n_nodes").cast("long").as("n_nodes"),
+          col("tot_k").cast("long").as("tot_k"),
+          col("in_w").cast("long").as("in_w"),
+          qOf(col("_num"), col("m2") * col("m2")).as("q_ppm"))
+      total.unionByName(rows).orderBy("lbl")
+    }),
+
     // ---- incremental top-PC: monoid-merged covariance stats (X211) -------
     // The X107/X119 incremental discipline applied to the PCA family:
     // the base corpus's (n, Σx, Σxx) stat tables are persisted once and
@@ -3383,6 +3442,48 @@ object LlmSurface {
     s"""$init,
       $rounds,
       ${assign(iters)}"""
+  }
+
+  /** Shared CTE stack for the co-order-graph LPA queries
+    * (llm_label_prop, llm_modularity): the capped bipartite projection
+    * (`e`: a < bb edges, `sym`: both directions) and 5 synchronous LPA
+    * rounds ending in `l5` (n, lbl). Round CTEs referenced twice are
+    * MATERIALIZED (the inlining gotcha).
+    */
+  private def coorderLpaCtes: String = {
+    val rounds = (1 to 5).map { r =>
+      s"""v$r AS MATERIALIZED (
+        SELECT s.n, l.lbl, CAST(sum(s.w) AS BIGINT) AS vw
+        FROM sym s JOIN l${r - 1} l ON l.n = s.m
+        GROUP BY s.n, l.lbl),
+      l$r AS MATERIALIZED (
+        SELECT n, lbl FROM (
+          SELECT n, lbl,
+                 row_number() OVER (PARTITION BY n
+                   ORDER BY vw DESC, lbl) AS rk
+          FROM v$r)
+        WHERE rk = 1)"""
+    }.mkString(",\n      ")
+    s"""rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      capped AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      e AS MATERIALIZED (
+        SELECT x.i AS a, y.i AS bb, CAST(count(*) AS BIGINT) AS w
+        FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      sym AS MATERIALIZED (
+        SELECT a AS n, bb AS m, w FROM e
+        UNION ALL
+        SELECT bb AS n, a AS m, w FROM e),
+      l0 AS (SELECT DISTINCT n, n AS lbl FROM sym),
+      $rounds"""
   }
 
   private val embedQvCte = """e AS (
@@ -7657,44 +7758,52 @@ $rounds
 
     // Unrolled synchronous LPA replay: same co-order edges (X148 SQL),
     // same (vote DESC, label ASC) adoption rule per round.
-    "llm_label_prop" -> {
-      val rounds = (1 to 5).map { r =>
-        s"""v$r AS MATERIALIZED (
-        SELECT s.n, l.lbl, CAST(sum(s.w) AS BIGINT) AS vw
-        FROM sym s JOIN l${r - 1} l ON l.n = s.m
-        GROUP BY s.n, l.lbl),
-      l$r AS MATERIALIZED (
-        SELECT n, lbl FROM (
-          SELECT n, lbl,
-                 row_number() OVER (PARTITION BY n
-                   ORDER BY vw DESC, lbl) AS rk
-          FROM v$r)
-        WHERE rk = 1)"""
-      }.mkString(",\n      ")
-      s"""
-      WITH rel AS (
-        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
-        FROM lineitem
-        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-      capped AS (
-        SELECT b, i FROM (
-          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
-          FROM rel)
-        WHERE r <= 5),
-      e AS (
-        SELECT x.i AS a, y.i AS bb, CAST(count(*) AS BIGINT) AS w
-        FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
-        GROUP BY 1, 2
-        HAVING count(*) >= 2),
-      sym AS MATERIALIZED (
-        SELECT a AS n, bb AS m, w FROM e
-        UNION ALL
-        SELECT bb AS n, a AS m, w FROM e),
-      l0 AS (SELECT DISTINCT n, n AS lbl FROM sym),
-      $rounds
+    "llm_label_prop" -> s"""
+      WITH $coorderLpaCtes
       SELECT n, CAST(lbl AS BIGINT) AS lbl FROM l5 ORDER BY n
-    """
-    },
+    """,
+
+    // Modularity over the SAME LPA communities (Newman 2004, weighted):
+    // Q_c = 2·in_c/m₂ − (tot_c/m₂)², m₂ = Σ degrees. Numerators are
+    // exact HUGEINT, one double division per row, rounded half-up to
+    // ppm. The lbl = −1 summary row sums the UNROUNDED terms over ALL
+    // communities (singletons included) before its single rounding.
+    "llm_modularity" -> s"""
+      WITH $coorderLpaCtes,
+      deg AS (SELECT n, CAST(sum(w) AS BIGINT) AS k FROM sym GROUP BY 1),
+      m2t AS (SELECT CAST(sum(k) AS HUGEINT) AS m2 FROM deg),
+      tot AS (
+        SELECT lbl, CAST(sum(k) AS HUGEINT) AS tot_k,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg JOIN l5 USING (n) GROUP BY 1),
+      inw AS (
+        SELECT la.lbl AS lbl, CAST(sum(e.w) AS HUGEINT) AS in_w
+        FROM e JOIN l5 la ON e.a = la.n JOIN l5 lb ON e.bb = lb.n
+        WHERE la.lbl = lb.lbl GROUP BY 1),
+      perc AS (
+        SELECT t.lbl, t.n_nodes, t.tot_k, coalesce(i.in_w, 0) AS in_w
+        FROM tot t LEFT JOIN inw i USING (lbl)),
+      rows_ AS (
+        SELECT CAST(lbl AS BIGINT) AS lbl, n_nodes,
+               CAST(tot_k AS BIGINT) AS tot_k, CAST(in_w AS BIGINT) AS in_w,
+               CAST(floor(CAST(2 * in_w * m2 - tot_k * tot_k AS DOUBLE)
+                 / CAST(m2 * m2 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                 AS q_ppm
+        FROM perc, m2t WHERE n_nodes >= 2),
+      total AS (
+        SELECT CAST(-1 AS BIGINT) AS lbl,
+               CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+               CAST(sum(tot_k) AS BIGINT) AS tot_k,
+               CAST(sum(in_w) AS BIGINT) AS in_w,
+               CAST(floor(CAST(sum(2 * in_w * m2 - tot_k * tot_k) AS DOUBLE)
+                 / CAST(any_value(m2) * any_value(m2) AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT) AS q_ppm
+        FROM perc, m2t)
+      SELECT * FROM total
+      UNION ALL
+      SELECT * FROM rows_
+      ORDER BY lbl
+    """,
 
     // Replays the integer Holt recurrence as a RECURSIVE CTE (the l_t
     // expression is repeated inside b_t — identical arithmetic, `//`

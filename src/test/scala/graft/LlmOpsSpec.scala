@@ -97,9 +97,14 @@ class LlmOpsSpec extends SparkSpec {
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
     assert(pairs === Seq((1L, 2L, 1.0)))
     // The library must not leak storage it cannot free: materializing the
-    // result leaves NO cached blocks in the caller's session (an earlier
-    // revision persisted the signature table internally with no unpersist).
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // result leaves NO cached blocks from THIS operator in the caller's
+    // session (an earlier revision persisted the signature table
+    // internally with no unpersist). Scoped to TextOps creation sites —
+    // suites run in parallel in one JVM, so a concurrent suite's
+    // in-flight checkpoint (observed: a CC round) must not flake this.
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.toString.contains("TextOps"))
+    assert(leaked.isEmpty, s"nearDupPairs leaked storage: $leaked")
   }
 
   test("packSequences: exact offsets across bucket boundaries, hand-computed") {
