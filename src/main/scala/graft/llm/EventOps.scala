@@ -744,6 +744,74 @@ object EventOps {
       .orderBy("variant")
   }
 
+  /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) with
+    * right-censoring — time-to-event analysis over user activity: each
+    * user enters at their first event, "dies" at their first event
+    * matching `eventCond` (observed), or is censored at their last
+    * activity if it never fires. The product-limit curve
+    * S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) is the estimator an activation /
+    * churn / time-to-conversion readout uses when censoring makes the
+    * naive ECDF wrong (censored users still contribute to risk sets
+    * until they leave).
+    *
+    * Determinism + scale: one combine-agg over events to the per-user
+    * (duration, observed) table, one duration histogram, then
+    * EVERYTHING else — risk sets via a cumulative window, the
+    * product-limit fold — runs over the ≤(max duration + 1)-row
+    * METADATA table (a calendar-bounded window, the water-fill/Holt
+    * precedent), never the corpus. The fold is the integer ppm
+    * recurrence S_k = (S_{k−1} · (n_k − d_k)) div n_k, sequenced by an
+    * `aggregate` HOF over the sorted step array — values stay < 2⁵³ so
+    * the double spelling is exact and matches the oracle's HUGEINT
+    * `//` recurrence bit-for-bit. Ties follow the standard convention:
+    * deaths at t precede censorings at t (censored-at-t users count in
+    * n(t)).
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      eventCond: Column): DataFrame = {
+    val per = events.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("f"),
+        max(to_date(col(tsCol))).as("l"),
+        min(when(eventCond, to_date(col(tsCol)))).as("pt"))
+      .select(
+        when(col("pt").isNotNull, datediff(col("pt"), col("f")))
+          .otherwise(datediff(col("l"), col("f"))).cast("long").as("d"),
+        when(col("pt").isNotNull, 1L).otherwise(0L).as("obs"))
+    val hist = per.groupBy("d")
+      .agg(count(lit(1)).as("c_all"), sum("obs").as("c_obs"))
+    val nTot = per.agg(count(lit(1)).cast("long").as("n_tot"))
+    // cumulative risk over the <=31-row duration histogram only
+    val before = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = hist
+      .withColumn("cum_before", coalesce(sum("c_all").over(before), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .filter(col("c_obs") > 0)
+      .select(col("d"), (col("n_tot") - col("cum_before")).as("n_risk"),
+        col("c_obs"))
+    steps
+      .agg(sort_array(collect_list(
+        struct(col("d"), col("n_risk"), col("c_obs")))).as("steps"))
+      .select(explode(aggregate(col("steps"),
+        struct(lit(1000000L).as("s"),
+          array().cast("array<struct<t:bigint,n:bigint,d:bigint,s:bigint>>")
+            .as("rows")),
+        (acc, st) => {
+          val s2 = floor(acc.getField("s").cast("double")
+              * (st.getField("n_risk") - st.getField("c_obs")).cast("double")
+              / st.getField("n_risk").cast("double")).cast("long")
+          struct(s2.as("s"),
+            concat(acc.getField("rows"), array(struct(
+              st.getField("d").as("t"), st.getField("n_risk").as("n"),
+              st.getField("c_obs").as("d"), s2.as("s")))).as("rows"))
+        },
+        acc => acc.getField("rows"))).as("r"))
+      .select(col("r.t").as("t_days"), col("r.n").as("n_risk"),
+        col("r.d").as("d_events"), col("r.s").as("s_ppm"))
+      .orderBy("t_days")
+  }
+
   /** Holt linear-trend (double exponential) smoothing over the daily
     * event-count series, with an h-step-ahead forecast — the capacity /
     * ingest-volume forecast an ops team reads next to the CUSUM (X171)

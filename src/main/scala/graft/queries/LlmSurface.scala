@@ -2686,6 +2686,18 @@ object LlmSurface {
         .orderBy("a", "b", "c")
     }),
 
+    // ---- Kaplan-Meier time-to-conversion with right-censoring ------------
+    // Survival curve for "days from first activity to first big
+    // purchase" (value > 150): censored users (never converted) leave
+    // the risk set at their last activity instead of being dropped —
+    // the correction the naive ECDF gets wrong. Product-limit fold is
+    // an integer ppm recurrence over the <=31-row step table; the
+    // oracle replays it as a RECURSIVE CTE.
+    "llm_survival_km" -> ((s, dir) => {
+      EventOps.kaplanMeier(events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 150)
+    }),
+
     // ---- cohort retention matrix (first-seen cohorts × day offsets) ------
     // distinct (user, day) → first-seen combine agg → one user equi-join
     // → partial-combine counts; no windows, no per-user history. The
@@ -7093,6 +7105,47 @@ $rounds,
         SELECT list_sort([apex, v1, v2]) AS t
         FROM wedge JOIN canon ON v1 = lo AND v2 = hi)
       ORDER BY a, b, c
+    """,
+
+    // KM product-limit replay: identical risk sets from the duration
+    // histogram, the ppm recurrence as a RECURSIVE CTE (HUGEINT //
+    // matches the exact-double floor on the Spark side)
+    "llm_survival_km" -> """
+      WITH RECURSIVE u AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l,
+               min(CASE WHEN event_type = 'purchase' AND value > 150
+                   THEN CAST(ts AS DATE) END) AS pt
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      dur AS (
+        SELECT CASE WHEN pt IS NOT NULL THEN date_diff('day', f, pt)
+                    ELSE date_diff('day', f, l) END AS d,
+               CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM u),
+      hist AS (
+        SELECT d, count(*) AS c_all, CAST(sum(obs) AS BIGINT) AS c_obs
+        FROM dur GROUP BY 1),
+      ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM dur),
+      steps AS (
+        SELECT d, n_risk, c_obs, row_number() OVER (ORDER BY d) AS rn
+        FROM (
+          SELECT d, c_obs,
+                 n_tot - coalesce(sum(c_all) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM hist, ntot)
+        WHERE c_obs > 0),
+      km AS (
+        SELECT rn, d, n_risk, c_obs,
+               (1000000 * (n_risk - c_obs)) // n_risk AS s
+        FROM steps WHERE rn = 1
+        UNION ALL
+        SELECT st.rn, st.d, st.n_risk, st.c_obs,
+               (km.s * (st.n_risk - st.c_obs)) // st.n_risk
+        FROM steps st JOIN km ON st.rn = km.rn + 1)
+      SELECT CAST(d AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+             c_obs AS d_events, CAST(s AS BIGINT) AS s_ppm
+      FROM km
+      ORDER BY t_days
     """,
 
     "llm_retention" -> s"""

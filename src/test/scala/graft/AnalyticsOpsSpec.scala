@@ -203,4 +203,40 @@ class AnalyticsOpsSpec extends SparkSpec {
 
   private def floorR6(x: Double): Double =
     math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+  test("kaplanMeier: hand-computed risk sets with censoring; curve " +
+    "non-increasing on real events") {
+    // 6 users entering day 0: conversions at d=2 (x2) and d=4;
+    // censorings at d=1, d=5, d=9. Risk sets: t=2 -> 5 at risk
+    // (the d=1 censoring already left), 2 events -> S = 3/5;
+    // t=4 -> 3 at risk, 1 event -> S = 3/5 * 2/3 = 2/5.
+    def e(u: Long, day: Int, hit: Boolean) =
+      (u, ts(f"2024-01-${day + 1}%02d 12:00:00"),
+        if (hit) "buy" else "view", if (hit) 99.0 else 1.0)
+    val ev = Seq(
+      e(1, 0, false), e(1, 2, true),
+      e(2, 0, false), e(2, 5, false),
+      e(3, 0, false), e(3, 2, true),
+      e(4, 0, false), e(4, 1, false),
+      e(5, 0, false), e(5, 4, true),
+      e(6, 0, false), e(6, 9, false))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = EventOps.kaplanMeier(ev, "user_id", "ts",
+      col("event_type") === "buy")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 5L, 2L, 600000L), (4L, 3L, 1L, 400000L)))
+
+    // real corpus: survival is non-increasing, risk sets strictly
+    // decreasing, and every step loses at least its observed events
+    val real = graft.queries.LlmSurface.queries("llm_survival_km")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(real.nonEmpty)
+    real.sliding(2).foreach {
+      case Array((_, n1, d1, s1), (_, n2, _, s2)) =>
+        assert(s2 <= s1, "S must be non-increasing")
+        assert(n2 <= n1 - d1, "risk set must lose events (and censored)")
+      case _ => ()
+    }
+  }
 }
