@@ -1041,6 +1041,54 @@ object TextOps {
     conv(substring(md5(concat(lit(s"$salt|"), w)), 1, 4), 16, 10)
       .cast("int") % numBuckets
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal stopword-free word runs (length ≤ `maxLen`); each word
+    * scores deg/freq where freq counts its candidate occurrences and
+    * deg sums the lengths of the candidates containing it (longer
+    * phrases reward their members); a phrase scores the sum of its
+    * words' scores. The corpus-level top-k is what a catalog /
+    * labeling UI shows as "what this corpus is about".
+    *
+    * Determinism: word scores are floored to micro ONCE
+    * (`deg·10⁶ div freq`), phrase scores are integer sums of those,
+    * and the top-k order (score DESC, phrase ASC) is total. Scale:
+    * run segmentation is a per-doc window; word stats and phrase
+    * scores are combine-aggs plus ONE vocab-sized equi-join (no
+    * broadcast hint — the X150 rule: vocab grows with the corpus);
+    * the only sort is the TakeOrdered top-k.
+    */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxLen: Int = 4, topK: Int = 20)
+      : DataFrame = {
+    require(maxLen >= 1 && topK >= 1, s"bad rake config: $maxLen/$topK")
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isin(stopwords: _*) || col("w") === "")
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
+    val cand = toks
+      .withColumn("grp", sum(when(col("stop"), 1).otherwise(0)).over(byDoc))
+      .filter(!col("stop"))
+      .groupBy("doc", "grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        t => t.getField("w")).as("ws"))
+      .filter(size(col("ws")) <= maxLen)
+      .select(col("doc"), col("grp"), col("ws"), size(col("ws")).as("len"))
+    val wscore = cand.select(explode(col("ws")).as("w"), col("len"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("w"), expr("(deg * 1000000) DIV freq").as("wscore"))
+    cand.select(col("doc"), col("grp"), col("ws"),
+        explode(col("ws")).as("w"))
+      .join(wscore, "w")
+      .groupBy("doc", "grp")
+      .agg(sum("wscore").as("score"), first("ws").as("ws"))
+      .select(concat_ws(" ", col("ws")).as("phrase"), col("score"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), min("score").as("score_mu"))
+      .orderBy(col("score_mu").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by how much more likely its hashed-n-gram features are under a

@@ -1991,6 +1991,17 @@ object LlmSurface {
         .orderBy("vec_id")
     }),
 
+    // ---- RAKE keyphrase extraction (Rose et al. 2010) --------------------
+    // Corpus top-20 "what is this about" phrases: stopword-free runs
+    // score Σ deg(w)/freq(w) with word scores floored to micro once —
+    // phrase totals are integer sums, top-k order total. Complements
+    // llm_pmi_phrases (statistical pairs) with the degree-based
+    // multi-word extractor a labeling UI shows.
+    "llm_keyphrases" -> ((s, dir) => {
+      TextOps.rakeKeyphrases(Tables(s, dir, "documents"),
+        "doc_id", "text", stopwords, maxLen = 4, topK = 20)
+    }),
+
     // ---- PMI phrase detection (word2vec phrase merging) ------------------
     // Mikolov discounted ratio over adjacent word pairs; " machine
     // learning" planted on every 7th doc is the only pair whose
@@ -5792,6 +5803,48 @@ $rounds,
     """,
 
     // Same discounted-ratio spelling; the phrase flag cross-multiplies
+    // RAKE replay: same runs, same once-floored micro word scores,
+    // integer phrase sums, total top-k order
+    "llm_keyphrases" -> {
+      val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc, pos, w, (w IN ($stopList) OR w = '') AS stop
+        FROM (
+          SELECT doc_id AS doc,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents)),
+      runs AS (
+        SELECT doc, pos, w, grp FROM (
+          SELECT doc, pos, w, stop,
+                 sum(CASE WHEN stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc ORDER BY pos) AS grp
+          FROM toks)
+        WHERE NOT stop),
+      cand AS (
+        SELECT doc, grp, list(w ORDER BY pos) AS ws,
+               CAST(count(*) AS BIGINT) AS len
+        FROM runs GROUP BY 1, 2 HAVING count(*) <= 4),
+      cw AS (SELECT doc, grp, ws, len, unnest(ws) AS w FROM cand),
+      wsc AS (
+        SELECT w, (CAST(sum(len) AS BIGINT) * 1000000) // count(*)
+                 AS wscore
+        FROM cw GROUP BY 1),
+      psc AS (
+        SELECT cw.doc, cw.grp,
+               any_value(array_to_string(cw.ws, ' ')) AS phrase,
+               CAST(sum(wsc.wscore) AS BIGINT) AS score
+        FROM cw JOIN wsc USING (w)
+        GROUP BY 1, 2)
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             min(score) AS score_mu
+      FROM psc GROUP BY 1
+      ORDER BY score_mu DESC, phrase
+      LIMIT 20
+    """
+    },
+
     // in HUGEINT (Spark: DECIMAL(38,0)) so no division reaches the
     // threshold compare.
     "llm_pmi_phrases" -> s"""

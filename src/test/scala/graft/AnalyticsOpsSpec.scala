@@ -204,6 +204,22 @@ class AnalyticsOpsSpec extends SparkSpec {
   private def floorR6(x: Double): Double =
     math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
+  test("rakeKeyphrases: textbook deg/freq scoring on a hand example") {
+    // candidates: [machine learning approach] [deep learning] [text]
+    // freq/deg: machine 1/3, learning 2/5, approach 1/3, deep 1/2,
+    // text 1/1 -> word micro-scores 3e6, 2.5e6, 3e6, 2e6, 1e6
+    val df = Seq((1L,
+      "a machine learning approach to the deep learning of text"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextOps.rakeKeyphrases(df, "doc_id", "text",
+      stopwords = Seq("the", "a", "of", "to", "in"), maxLen = 4, topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("machine learning approach", 1L, 8500000L),
+      ("deep learning", 1L, 4500000L),
+      ("text", 1L, 1000000L)))
+  }
+
   test("kaplanMeier: hand-computed risk sets with censoring; curve " +
     "non-increasing on real events") {
     // 6 users entering day 0: conversions at d=2 (x2) and d=4;
