@@ -812,6 +812,76 @@ object EventOps {
       .orderBy("t_days")
   }
 
+  /** Two-sample log-rank test (Mantel 1966) — the significance test
+    * over [[kaplanMeier]] curves, as [[abWelch]] is to means: at each
+    * observed event time the observed-vs-expected split of events
+    * between arms is a hypergeometric draw; the statistic
+    * (ΣO₁ − ΣE₁)²/ΣV is χ²₁ under "no difference". Arms are the
+    * [[abWelch]] `user_id % 2` assignment, the event is the caller's
+    * condition, censoring as in [[kaplanMeier]].
+    *
+    * Quantized-log-rank determinism: E₁(t) = d·n₁/n and the
+    * hypergeometric V(t) = d·n₁·n₂·(n−d)/(n²·(n−1)) are floored to
+    * micro PER EVENT TIME (decimal numerators — n⁴ overflows int64 at
+    * scale), then summed exactly; the χ² is one integer division at
+    * the end. Total quantization error ≤ |event times|·1e-6 — noted,
+    * bounded, and identical in both engines.
+    *
+    * Scale: everything after the per-user combine-agg runs over the
+    * per-variant duration histograms — calendar-bounded metadata, the
+    * [[kaplanMeier]] shape.
+    */
+  def survivalLogRank(events: DataFrame, userCol: String, tsCol: String,
+      eventCond: Column): DataFrame = {
+    val per = events.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("f"),
+        max(to_date(col(tsCol))).as("l"),
+        min(when(eventCond, to_date(col(tsCol)))).as("pt"))
+      .select((col(userCol) % 2).as("v"),
+        when(col("pt").isNotNull, datediff(col("pt"), col("f")))
+          .otherwise(datediff(col("l"), col("f"))).cast("long").as("d"),
+        when(col("pt").isNotNull, 1L).otherwise(0L).as("obs"))
+    val hist = per.groupBy("d").agg(
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("a0"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("a1"),
+      sum(when(col("v") === 0, col("obs")).otherwise(0L)).as("o0"),
+      sum(when(col("v") === 1, col("obs")).otherwise(0L)).as("o1"))
+    val nTot = per.agg(
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("nt0"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("nt1"))
+    val before = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val steps = hist
+      .withColumn("cb0", coalesce(sum("a0").over(before), lit(0L)))
+      .withColumn("cb1", coalesce(sum("a1").over(before), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .filter(col("o0") + col("o1") > 0)
+      .select(col("d"),
+        dec(col("nt0") - col("cb0")).as("n1"),
+        dec(col("nt1") - col("cb1")).as("n2"),
+        col("o0"), col("o1"))
+      .select(col("d"), col("n1"), col("n2"), col("o0"), col("o1"),
+        (col("n1") + col("n2")).as("n"), dec(col("o0") + col("o1")).as("dd"))
+    val quant = steps.select(col("o0"),
+      expr("CAST((dd * n1 * 1000000) DIV n AS DECIMAL(38,0))").as("e1_mu"),
+      when(col("n") > 1,
+        expr("CAST((dd * n1 * n2 * (n - dd) * 1000000)" +
+          " DIV (n * n * (n - 1)) AS DECIMAL(38,0))"))
+        .otherwise(lit(0).cast("decimal(38,0)")).as("v_mu"))
+    // the audited arm is variant 0; O/E/V carry its totals
+    quant.agg(count(lit(1)).as("n_times"),
+        sum("o0").cast("long").as("o_obs"),
+        sum("e1_mu").as("_e"), sum("v_mu").as("_v"))
+      .select(col("n_times"), col("o_obs"),
+        col("_e").cast("long").as("e_mu"),
+        col("_v").cast("long").as("v_mu"),
+        expr("CAST(((CAST(o_obs AS DECIMAL(38,0)) * 1000000 - _e)" +
+          " * (CAST(o_obs AS DECIMAL(38,0)) * 1000000 - _e))" +
+          " DIV _v AS BIGINT)").as("chi2_mu"))
+  }
+
   /** Holt linear-trend (double exponential) smoothing over the daily
     * event-count series, with an h-step-ahead forecast — the capacity /
     * ingest-volume forecast an ops team reads next to the CUSUM (X171)

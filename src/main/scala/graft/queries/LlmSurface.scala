@@ -2709,6 +2709,17 @@ object LlmSurface {
         col("event_type") === "purchase" && col("value") > 150)
     }),
 
+    // ---- two-sample log-rank test over the KM curves ---------------------
+    // The significance test the survival pair needs (as Welch is to
+    // means): per event time, observed-vs-expected arm-0 events under
+    // the hypergeometric null; E and V floored to micro per time
+    // (quantized log-rank — error bounded by |times|*1e-6, identical
+    // both engines), one integer division for the chi^2.
+    "llm_survival_logrank" -> ((s, dir) => {
+      EventOps.survivalLogRank(events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 150)
+    }),
+
     // ---- cohort retention matrix (first-seen cohorts × day offsets) ------
     // distinct (user, day) → first-seen combine agg → one user equi-join
     // → partial-combine counts; no windows, no per-user history. The
@@ -7158,6 +7169,61 @@ $rounds,
         SELECT list_sort([apex, v1, v2]) AS t
         FROM wedge JOIN canon ON v1 = lo AND v2 = hi)
       ORDER BY a, b, c
+    """,
+
+    // quantized log-rank replay: per-variant risk sets from the same
+    // duration histograms, E/V floored to micro per event time
+    "llm_survival_logrank" -> """
+      WITH u AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l,
+               min(CASE WHEN event_type = 'purchase' AND value > 150
+                   THEN CAST(ts AS DATE) END) AS pt
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      dur AS (
+        SELECT user_id % 2 AS v,
+               CASE WHEN pt IS NOT NULL THEN date_diff('day', f, pt)
+                    ELSE date_diff('day', f, l) END AS d,
+               CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM u),
+      hist AS (
+        SELECT d,
+               sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS a0,
+               sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS a1,
+               CAST(sum(CASE WHEN v = 0 THEN obs ELSE 0 END) AS BIGINT) AS o0,
+               CAST(sum(CASE WHEN v = 1 THEN obs ELSE 0 END) AS BIGINT) AS o1
+        FROM dur GROUP BY 1),
+      nt AS (
+        SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS nt0,
+               sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS nt1
+        FROM dur),
+      steps AS (
+        SELECT d, CAST(nt0 - cb0 AS HUGEINT) AS n1,
+               CAST(nt1 - cb1 AS HUGEINT) AS n2, o0, o1
+        FROM (
+          SELECT d, o0, o1,
+                 coalesce(sum(a0) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb0,
+                 coalesce(sum(a1) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb1
+          FROM hist), nt
+        WHERE o0 + o1 > 0),
+      quant AS (
+        SELECT o0,
+               (CAST(o0 + o1 AS HUGEINT) * n1 * 1000000) // (n1 + n2) AS e_mu,
+               CASE WHEN n1 + n2 > 1 THEN
+                 (CAST(o0 + o1 AS HUGEINT) * n1 * n2
+                   * (n1 + n2 - (o0 + o1)) * 1000000)
+                   // ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+               ELSE 0 END AS v_mu
+        FROM steps)
+      SELECT CAST(count(*) AS BIGINT) AS n_times,
+             CAST(sum(o0) AS BIGINT) AS o_obs,
+             CAST(sum(e_mu) AS BIGINT) AS e_mu,
+             CAST(sum(v_mu) AS BIGINT) AS v_mu,
+             CAST(((CAST(sum(o0) AS HUGEINT) * 1000000 - sum(e_mu))
+               * (CAST(sum(o0) AS HUGEINT) * 1000000 - sum(e_mu)))
+               // sum(v_mu) AS BIGINT) AS chi2_mu
+      FROM quant
     """,
 
     // KM product-limit replay: identical risk sets from the duration

@@ -204,6 +204,36 @@ class AnalyticsOpsSpec extends SparkSpec {
   private def floorR6(x: Double): Double =
     math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
+  test("survivalLogRank: hand-computed hypergeometric O/E/V; null " +
+    "result on randomly assigned real arms") {
+    // arm 0 (users 0,2): convert at d=1 and d=2; arm 1 (users 1,3):
+    // censored at d=9. t=1: n=(2,2), d=1 -> E=0.5, V=0.25;
+    // t=2: n=(1,2), d=1 -> E=1/3, V=2/9.
+    def e(u: Long, day: Int, hit: Boolean) =
+      (u, ts(f"2024-01-${day + 1}%02d 12:00:00"),
+        if (hit) "buy" else "view", 1.0)
+    val ev = Seq(
+      e(0, 0, false), e(0, 1, true),
+      e(2, 0, false), e(2, 2, true),
+      e(1, 0, false), e(1, 9, false),
+      e(3, 0, false), e(3, 9, false))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = EventOps.survivalLogRank(ev, "user_id", "ts",
+      col("event_type") === "buy").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 500000L + 333333L)
+    assert(r.getLong(3) === 250000L + 222222L)
+    val diff = 2L * 1000000L - 833333L
+    assert(r.getLong(4) === diff * diff / 472222L)
+
+    // random real assignment: the null should hold comfortably
+    val real = graft.queries.LlmSurface.queries("llm_survival_logrank")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(real.getLong(3) > 0)
+    assert(real.getLong(4) < 3841459L,
+      s"chi2 ${real.getLong(4)} signals a difference random arms can't have")
+  }
+
   test("rakeKeyphrases: textbook deg/freq scoring on a hand example") {
     // candidates: [machine learning approach] [deep learning] [text]
     // freq/deg: machine 1/3, learning 2/5, approach 1/3, deep 1/2,
