@@ -882,6 +882,64 @@ object EventOps {
           " DIV _v AS BIGINT)").as("chi2_mu"))
   }
 
+  /** Theil–Sen robust trend (Theil 1950 / Sen 1968) over the daily
+    * event-count series — the estimator an ops readout wants next to
+    * the OLS slope when a few outlier days (an incident, a backfill)
+    * would drag least squares: the slope is the MEDIAN of all pairwise
+    * day slopes (29.3% breakdown point), the intercept the median
+    * residual at that slope. The OLS slope ships in the same row so
+    * the robust-vs-classical gap is the readout.
+    *
+    * Determinism: slopes are integer ppm (`(Δy·10⁶) div Δx` — both
+    * engines truncate toward zero), medians are the LOWER median by
+    * rank selection (no averaging, and rank ties don't matter — the
+    * selected VALUE is order-independent), OLS moments are exact
+    * int64 with the established floor(double)·ppm rounding.
+    *
+    * Scale: ONE corpus pass to the daily table; the O(days²) pair
+    * join, rank windows, and medians all run over calendar-bounded
+    * metadata (the Holt/water-fill precedent — the pair join is a
+    * nested loop over ≤|days|² metadata rows by design, never the
+    * corpus).
+    */
+  def theilSenDailyTrend(events: DataFrame, tsCol: String): DataFrame = {
+    val counts = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val fmin = counts.agg(min("day").as("d0"))
+    val daily = counts.crossJoin(broadcast(fmin))
+      .select(datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("y"))
+      .localCheckpoint(eager = true)
+    val slopes = daily.select(col("x").as("x1"), col("y").as("y1"))
+      .join(daily.select(col("x").as("x2"), col("y").as("y2")),
+        col("x1") < col("x2"))
+      .select(expr("((y2 - y1) * 1000000) DIV (x2 - x1)").as("s"))
+    val slope = slopes
+      .withColumn("rn", row_number().over(Window.orderBy("s")))
+      .crossJoin(broadcast(slopes.agg(count(lit(1)).as("n_pairs"))))
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("s").as("slope_ppm"), col("n_pairs"))
+    val inter = daily.crossJoin(broadcast(slope))
+      .select((col("y") * 1000000L - col("slope_ppm") * col("x")).as("r"),
+        col("slope_ppm"), col("n_pairs"))
+      .withColumn("rn", row_number().over(Window.orderBy("r")))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .filter(col("rn") === expr("(n_days + 1) DIV 2"))
+      .select(col("n_days"), col("n_pairs"), col("slope_ppm"),
+        col("r").as("intercept_ppm"))
+    val ols = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(floor((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1000000.0 + 0.5).cast("long").as("ols_slope_ppm"))
+    // `daily` stays checkpointed (a ~|days|-row block): the result is
+    // lazy, so freeing here would strip blocks consumers still need
+    inter.crossJoin(broadcast(ols))
+  }
+
   /** Holt linear-trend (double exponential) smoothing over the daily
     * event-count series, with an h-step-ahead forecast — the capacity /
     * ingest-volume forecast an ops team reads next to the CUSUM (X171)

@@ -3185,6 +3185,14 @@ object LlmSurface {
     // RECURSIVE CTE over the day index.
     "p_holt_forecast" -> ((s, dir) => {
       EventOps.holtLinear(Tables(s, dir, "events"), "ts", horizon = 7)
+    }),
+
+    // ---- Theil-Sen robust daily trend (median of pairwise slopes) --------
+    // The 29.3%-breakdown complement to the OLS slope (shipped in the
+    // same row as the readout): integer ppm slopes, lower-median rank
+    // selection, all O(days^2) work on calendar metadata.
+    "p_theil_sen" -> ((s, dir) => {
+      EventOps.theilSenDailyTrend(events(s, dir), "ts")
     })
   )
 
@@ -7975,6 +7983,46 @@ $rounds
       UNION ALL
       SELECT * FROM rows_
       ORDER BY lbl
+    """,
+
+    // Theil-Sen replay: same ppm pair slopes, same lower-median rank
+    // selection (rank ties select the same VALUE), same OLS moments
+    "p_theil_sen" -> """
+      WITH counts AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      daily AS (
+        SELECT CAST(date_diff('day', (SELECT min(day) FROM counts), day)
+                 AS BIGINT) AS x, y
+        FROM counts),
+      slopes AS (
+        SELECT ((b.y - a.y) * 1000000) // (b.x - a.x) AS s
+        FROM daily a JOIN daily b ON a.x < b.x),
+      sl AS (
+        SELECT s AS slope_ppm, n_pairs FROM (
+          SELECT s, row_number() OVER (ORDER BY s) AS rn,
+                 count(*) OVER () AS n_pairs
+          FROM slopes)
+        WHERE rn = (n_pairs + 1) // 2),
+      ic AS (
+        SELECT r AS intercept_ppm, n_days, slope_ppm, n_pairs FROM (
+          SELECT d.y * 1000000 - sl.slope_ppm * d.x AS r,
+                 sl.slope_ppm, sl.n_pairs,
+                 row_number() OVER (ORDER BY d.y * 1000000
+                   - sl.slope_ppm * d.x) AS rn,
+                 count(*) OVER () AS n_days
+          FROM daily d, sl)
+        WHERE rn = (n_days + 1) // 2),
+      ols AS (
+        SELECT CAST(floor(CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                 AS DOUBLE)
+               / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS ols_slope_ppm
+        FROM daily)
+      SELECT CAST(n_days AS BIGINT) AS n_days,
+             CAST(n_pairs AS BIGINT) AS n_pairs,
+             slope_ppm, intercept_ppm, ols_slope_ppm
+      FROM ic, ols
     """,
 
     // Replays the integer Holt recurrence as a RECURSIVE CTE (the l_t

@@ -204,6 +204,25 @@ class AnalyticsOpsSpec extends SparkSpec {
   private def floorR6(x: Double): Double =
     math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
+  test("theilSenDailyTrend: an endpoint outlier day leaves the robust " +
+    "slope exact while dragging OLS") {
+    // days 0..8: y = 10 + 2x (clean line); day 9: y = 1000 (incident).
+    // All 36 clean-pair slopes are exactly 2.0; the 9 outlier pairs
+    // sort to the top, so the rank-23 lower median stays 2e6 ppm.
+    // Residuals at slope 2: nine at 10e6, one at 982e6 -> median 10e6.
+    val rows = (0 until 10).flatMap { x =>
+      val y = if (x == 9) 1000 else 10 + 2 * x
+      (0 until y).map(i =>
+        (i.toLong, ts(f"2024-01-${x + 1}%02d 12:00:00"), "view", 1.0))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val r = EventOps.theilSenDailyTrend(rows, "ts").collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 45L)
+    assert(r.getLong(2) === 2000000L, "robust slope must ignore the outlier")
+    assert(r.getLong(3) === 10000000L)
+    assert(r.getLong(4) > 10000000L,
+      s"OLS should be dragged by the endpoint outlier, got ${r.getLong(4)}")
+  }
+
   test("survivalLogRank: hand-computed hypergeometric O/E/V; null " +
     "result on randomly assigned real arms") {
     // arm 0 (users 0,2): convert at d=1 and d=2; arm 1 (users 1,3):
