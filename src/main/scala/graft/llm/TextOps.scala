@@ -1089,6 +1089,55 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Isotonic calibration (Zadrozny & Elkan KDD'02) — the
+    * non-parametric alternative to the Platt fit in
+    * [[calibrateScores]]: the monotone step function minimizing
+    * squared error against the labels. Classical PAVA is a SEQUENTIAL
+    * pool-adjacent-violators stack — awkward both distributed and in
+    * SQL — so this uses the exact minimax identity instead:
+    *
+    *   iso_i = max_{j≤i} min_{k≥i} mean(pos[j..k])
+    *
+    * which for a bounded bin count is pure joins over interval
+    * aggregates: prefix sums over the ≤`bins`-row histogram, the
+    * ≤bins² interval means, one min-per-(i,j), one max-per-i. The
+    * result is non-decreasing by construction (growing max-range,
+    * shrinking min-range), for ANY value matrix — so the micro
+    * quantization of interval means (the cross-engine discipline)
+    * cannot break monotonicity, only move ties.
+    *
+    * Scale: the corpus is touched twice (score bounds, bin
+    * histogram); everything else is metadata. Returns one row per
+    * NON-EMPTY bin: (bin, n, pos, raw_rate_mu, iso_rate_mu).
+    */
+  def isotonicCalibrate(scored: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"bins ($bins) out of range")
+    val bounds = scored.agg(min("z").as("zlo"), max("z").as("zhi"))
+    val hist = scored.crossJoin(broadcast(bounds))
+      .select(expr(s"least(((z - zlo) * $bins) DIV (zhi - zlo + 1), " +
+        s"${bins - 1})").as("bin"), col("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val byBin = Window.orderBy("bin")
+    val pre = hist
+      .withColumn("cn", sum("n").over(byBin))
+      .withColumn("cp", sum("pos").over(byBin))
+      .withColumn("idx", row_number().over(byBin))
+    val ivals = pre.select(col("idx").as("j"),
+        (col("cn") - col("n")).as("cn0"), (col("cp") - col("pos")).as("cp0"))
+      .join(pre.select(col("idx").as("k"), col("cn").as("cnk"),
+        col("cp").as("cpk")), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("((cpk - cp0) * 1000000) DIV (cnk - cn0)").as("m"))
+    pre.select(col("idx").as("i"), col("bin"), col("n"), col("pos"))
+      .join(ivals, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "bin", "n", "pos", "j").agg(min("m").as("mn"))
+      .groupBy("i", "bin", "n", "pos").agg(max("mn").as("iso_rate_mu"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("(pos * 1000000) DIV n").as("raw_rate_mu"),
+        col("iso_rate_mu"))
+      .orderBy("bin")
+  }
+
   /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by how much more likely its hashed-n-gram features are under a

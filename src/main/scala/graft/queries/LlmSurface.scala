@@ -2846,6 +2846,26 @@ object LlmSurface {
         lrDivA = 5L, lrDivB = 250L, clipA = 100000L, clipB = 2000L)
     }),
 
+    // ---- isotonic calibration via the minimax identity (X224) ------------
+    // Same logits and labels as llm_calibration, the non-parametric
+    // calibrator instead of Platt: iso_i = max_{j<=i} min_{k>=i}
+    // mean(j..k) replaces the sequential PAVA stack with metadata
+    // joins; micro-quantized interval means cannot break monotonicity
+    // (the identity is monotone for any matrix), only move ties.
+    "llm_isotonic" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val feats = TextOps.hashedFeatures(docs, "doc_id", "text", 1024, "feat")
+      val z = feats.join(TextOps.hashModelWeights(s, 1024, "wgt"), "b")
+        .groupBy("doc")
+        .agg(floor(sum(col("c") * col("wt")).cast("double") / sum("c"))
+          .cast("long").as("z"))
+      val ws = TextOps.words(col("text"))
+      val y = docs.select(col("doc_id").as("doc"),
+        when(size(filter(ws, w => w.isin("the", "a", "of", "to", "and")))
+          * 1000 >= lit(61) * size(ws), 1L).otherwise(0L).as("y"))
+      TextOps.isotonicCalibrate(z.join(y, "doc"), bins = 16)
+    }),
+
     // ---- IPF raking of mixture weights to joint marginals (X195) ---------
     // Deming–Stephan iterative proportional fitting over the
     // (source × lang) token contingency table: 5 rounds of alternating
@@ -7506,6 +7526,60 @@ $rounds,
     // 8 unrolled Platt-GD rounds over the llm_classifier score table;
     // same guarded-floor double divisions (all magnitudes < 2^53) and
     // hard-sigmoid region masks as the Spark side.
+    // minimax-identity isotonic replay over the calibration logits:
+    // same z/lab CTEs, then prefix sums, interval means, min-per-(i,j),
+    // max-per-i — all over the <=16-row bin histogram
+    "llm_isotonic" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      f AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('feat|' || w), 1, 4) AS INT) % 1024 AS b
+        FROM w),
+      fc AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY doc_id, b),
+      m AS (
+        SELECT CAST(g AS INT) AS b,
+               (CAST('0x' || substr(md5('wgt|' || CAST(g AS VARCHAR)), 1, 4) AS INT)
+                % 2001) - 1000 AS wt
+        FROM generate_series(0, 1023) t(g)),
+      z AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(floor(CAST(sum(c * wt) AS DOUBLE) / sum(c)) AS BIGINT) AS z
+        FROM fc JOIN m USING (b) GROUP BY doc_id),
+      lab AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the', 'a', 'of', 'to', 'and'))) * 1000
+                    >= 61 * len(string_split(text, ' '))
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+        FROM documents),
+      zy AS (SELECT z.z, lab.y FROM z JOIN lab USING (doc_id)),
+      bounds AS (SELECT min(z) AS zlo, max(z) AS zhi FROM zy),
+      hist AS (
+        SELECT least(((z - zlo) * 16) // (zhi - zlo + 1), 15) AS bin,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM zy, bounds GROUP BY 1),
+      pre AS MATERIALIZED (
+        SELECT bin, n, pos,
+               sum(n) OVER (ORDER BY bin) AS cn,
+               sum(pos) OVER (ORDER BY bin) AS cp,
+               row_number() OVER (ORDER BY bin) AS idx
+        FROM hist),
+      iv AS (
+        SELECT a.idx AS j, b.idx AS k,
+               ((b.cp - (a.cp - a.pos)) * 1000000)
+                 // (b.cn - (a.cn - a.n)) AS m
+        FROM pre a JOIN pre b ON a.idx <= b.idx),
+      mn AS (
+        SELECT p.idx AS i, p.bin, p.n, p.pos, iv.j, min(iv.m) AS mn
+        FROM pre p JOIN iv ON iv.j <= p.idx AND iv.k >= p.idx
+        GROUP BY 1, 2, 3, 4, 5)
+      SELECT bin, n, pos, (pos * 1000000) // n AS raw_rate_mu,
+             CAST(max(mn) AS BIGINT) AS iso_rate_mu
+      FROM mn GROUP BY 1, 2, 3
+      ORDER BY bin
+    """,
+
     "llm_calibration" -> {
       val (lrA, lrB, clA, clB) = (5, 250, 100000, 2000)
       val rounds = (1 to 8).map { r =>

@@ -318,6 +318,42 @@ object StreamSurface {
         .orderBy("user_id", "session_idx")
     }),
 
+    // ---- native session_window: the BUILT-IN session mechanism -----------
+    // Same 30-minute gap sessions as stream_sessionize, via Spark's
+    // session_window aggregation instead of flatMapGroupsWithState —
+    // the two mechanisms the engine offers for the same semantics,
+    // both proven against ONE oracle (sessionizeSql). min/max ts
+    // inside the agg give exact session bounds (session_window's own
+    // `end` is last-event + gap). Merge boundary: session_window
+    // merges on a STRICT < gap where the lag rule uses <=; they
+    // diverge only at an exactly-30:00.000000 inter-event gap, absent
+    // from the data at every sf (checked). Sentinels are their own
+    // (negative-user) sessions — different group keys, so no in-agg
+    // masking is needed; they still drive the watermark that flushes
+    // every real session.
+    "stream_session_native" -> ((s, dir) => {
+      val base = tmpBase(dir, "sessnative")
+      val (in, schema) = stagedEventsWithSentinels(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
+        src.withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"),
+            min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+          .drop("w")
+      }
+      s.read.parquet(s"$base/out")
+        .filter(col("user_id") >= 0)
+        .withColumn("session_idx", row_number().over(
+          Window.partitionBy("user_id").orderBy("first_ts")).cast("long"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          date_format(col("first_ts"), tsFmt).as("session_start"),
+          date_format(col("last_ts"), tsFmt).as("session_end"),
+          (col("cents") / 100.0).as("value_sum"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // ---- X113: stateful conversion funnel ---------------------------------
     // idleMinutes is set beyond the replay's span so no mid-stream
     // timeout fires (the batch cascade has no idle concept); the
@@ -538,6 +574,28 @@ object StreamSurface {
   // tables; a hash match proves the streaming replay reproduced them.
   // ========================================================================
 
+  private val sessionizeSql = """
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx,
+             count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx
+    """
+
   def oracleSql: Map[String, String] = Map(
 
     "stream_event_windows" -> """
@@ -651,27 +709,12 @@ object StreamSurface {
       ORDER BY win_start
     """,
 
-    "stream_sessionize" -> """
-      WITH flagged AS (
-        SELECT user_id, event_id, ts, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_sess
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      sess AS (
-        SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        FROM flagged)
-      SELECT user_id, session_idx,
-             count(*) AS n_events,
-             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
-      FROM sess
-      GROUP BY user_id, session_idx
-      ORDER BY user_id, session_idx
-    """,
+    "stream_sessionize" -> sessionizeSql,
+
+    // identical sessions from the NATIVE session_window aggregation
+    // (strict-< merge vs the lag rule's <= differs only at an exactly
+    // 30:00.000000 gap, absent from the data at every sf - checked)
+    "stream_session_native" -> sessionizeSql,
 
     "stream_funnel" -> """
       WITH s1 AS (

@@ -204,6 +204,34 @@ class AnalyticsOpsSpec extends SparkSpec {
   private def floorR6(x: Double): Double =
     math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
+  test("isotonicCalibrate: minimax identity reproduces textbook PAVA " +
+    "pooling; real curve is monotone") {
+    // bin rates .4/.2/.6 -> PAVA pools the violating first pair: .3/.3/.6
+    val rows = Seq(
+      (0L, 1L), (0L, 1L), (0L, 0L), (0L, 0L), (0L, 0L),
+      (1L, 1L), (1L, 0L), (1L, 0L), (1L, 0L), (1L, 0L),
+      (2L, 1L), (2L, 1L), (2L, 1L), (2L, 0L), (2L, 0L))
+      .toDF("z", "y")
+    val out = graft.llm.TextOps.isotonicCalibrate(rows, bins = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 5L, 2L, 400000L, 300000L),
+      (1L, 5L, 1L, 200000L, 300000L),
+      (2L, 5L, 3L, 600000L, 600000L)))
+
+    val real = graft.queries.LlmSurface.queries("llm_isotonic")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(real.length >= 3)
+    real.map(_._3).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, "isotonic fit must be non-decreasing") }
+    // the fit preserves total positive mass up to per-block floors
+    val massIso = real.map { case (n, _, iso) => n * iso }.sum
+    val massRaw = real.map { case (_, pos, _) => pos * 1000000L }.sum
+    assert(math.abs(massIso - massRaw) <= real.length * 1000000L,
+      s"pooled mass drifted: $massIso vs $massRaw")
+  }
+
   test("theilSenDailyTrend: an endpoint outlier day leaves the robust " +
     "slope exact while dragging OLS") {
     // days 0..8: y = 10 + 2x (clean line); day 9: y = 1000 (incident).
