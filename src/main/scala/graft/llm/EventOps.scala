@@ -882,6 +882,126 @@ object EventOps {
           " DIV _v AS BIGINT)").as("chi2_mu"))
   }
 
+  /** Delete-one-bucket jackknife for a RATIO metric (Quenouille/Tukey;
+    * the grouped form is how large platforms compute ratio-metric
+    * variance — per-event SEs are wrong because the user, not the
+    * event, is the randomization unit). Metric: Σclicks/Σviews per
+    * arm. Users hash into `buckets` groups; leaving each group out
+    * gives pseudo-ratios R₍b₎ = (X−X_b)/(Y−Y_b); SE² =
+    * (B−1)/B · Σ(R₍b₎ − R̄)². The arm difference ships with its
+    * jackknifed z.
+    *
+    * Determinism: pseudo-ratios floored to micro (decimal numerators),
+    * R̄ floored once, SE² an exact integer `div`, the two square roots
+    * IEEE doubles at the very end. B counts NON-EMPTY buckets per arm.
+    * Scale: one combine-agg events → (arm, bucket) cells; all
+    * jackknife arithmetic on the ≤2·`buckets`-row metadata.
+    */
+  def ratioJackknife(events: DataFrame, userCol: String, typeCol: String,
+      numType: String, denType: String, buckets: Int): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = events.filter(col(userCol).isNotNull)
+      .select((col(userCol) % 2).as("arm"),
+        expr(s"CAST(conv(substring(md5(concat('rjk|', " +
+          s"CAST($userCol AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+          s" % $buckets").as("bkt"),
+        when(col(typeCol) === numType, 1L).otherwise(0L).as("x"),
+        when(col(typeCol) === denType, 1L).otherwise(0L).as("y"))
+      .groupBy("arm", "bkt")
+      .agg(sum("x").as("xb"), sum("y").as("yb"))
+    val tot = cells.groupBy("arm")
+      .agg(sum("xb").as("xt"), sum("yb").as("yt"),
+        count(lit(1)).as("nb"))
+    val pseudo = cells.join(tot, "arm")
+      .select(col("arm"), col("nb"), col("xt"), col("yt"),
+        expr("CAST((CAST(xt - xb AS DECIMAL(38,0)) * 1000000)" +
+          " DIV (yt - yb) AS DECIMAL(38,0))").as("rb"))
+    val perArm = pseudo
+      .withColumn("rbar",
+        expr("CAST(sum(rb) OVER (PARTITION BY arm) DIV nb AS DECIMAL(38,0))"))
+      .groupBy("arm")
+      .agg(first("nb").as("nb"), first("xt").as("xt"), first("yt").as("yt"),
+        expr("CAST((CAST(sum((rb - rbar) * (rb - rbar)) AS DECIMAL(38,0))" +
+          " * (first(nb) - 1)) DIV first(nb) AS DECIMAL(38,0))")
+          .as("se2_mu2"))
+      .select(col("arm"), col("nb").cast("long").as("n_buckets"),
+        expr("CAST((CAST(xt AS DECIMAL(38,0)) * 1000000) DIV yt AS BIGINT)")
+          .as("r_mu"),
+        col("se2_mu2").cast("decimal(38,0)").as("se2"))
+    val a0 = perArm.filter(col("arm") === 0)
+      .select(col("n_buckets").as("n_buckets_0"), col("r_mu").as("r0_mu"),
+        col("se2").as("se2_0"))
+    val a1 = perArm.filter(col("arm") === 1)
+      .select(col("n_buckets").as("n_buckets_1"), col("r_mu").as("r1_mu"),
+        col("se2").as("se2_1"))
+    a0.crossJoin(a1).select(
+      col("n_buckets_0"), col("n_buckets_1"), col("r0_mu"), col("r1_mu"),
+      col("se2_0").cast("long").as("se2_0"),
+      col("se2_1").cast("long").as("se2_1"),
+      TextOps.round6((col("r1_mu") - col("r0_mu")).cast("double")
+        / sqrt(col("se2_0").cast("double") + col("se2_1").cast("double")))
+        .as("z"))
+  }
+
+  /** Mann–Whitney U test (Mann & Whitney 1947) between the two
+    * [[abWelch]] arms — the nonparametric companion: rank-based, so a
+    * heavy-tailed metric (the usual shape of latency/revenue values)
+    * can't hand the test to its outliers the way the t-test's means
+    * can.
+    *
+    * No corpus sort: ranks come from the VALUE HISTOGRAM — midrank(v)
+    * = (#values < v) + (tied(v)+1)/2 — so the only window runs over
+    * the distinct-cents table, whose size is bounded by the metric's
+    * value DOMAIN, not the row count (the X218 histogram argument).
+    * Everything stays integer by carrying DOUBLED ranks: r1_x2 =
+    * Σ n₁(v)·(2·below(v)+n(v)+1) is the exact twice-rank-sum,
+    * u1_x2 = r1_x2 − n₁(n₁+1) the exact twice-U. The normal
+    * approximation's tie-corrected variance uses exact decimal
+    * moments (Σ(t³−t) overflows int64 at scale) with one IEEE sqrt at
+    * the end; z ships in micro.
+    */
+  def mannWhitney(events: DataFrame, userCol: String, valueCol: String)
+      : DataFrame = {
+    val hist = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select((col(userCol) % 2).as("v"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("c"))
+      .groupBy("c").agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"))
+    val byC = Window.orderBy("c")
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val ranked = hist
+      .withColumn("t", col("n0") + col("n1"))
+      .withColumn("below",
+        coalesce(sum(col("n0") + col("n1"))
+          .over(byC.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val m = ranked.agg(
+      sum("n0").cast("long").as("na"), sum("n1").cast("long").as("nb"),
+      sum(dec(col("n1")) * dec(lit(2L) * col("below") + col("t") + 1L))
+        .as("r1_x2"),
+      sum(dec(col("t")) * dec(col("t")) * dec(col("t")) - dec(col("t")))
+        .as("ties"))
+    m.select(col("na"), col("nb"),
+        (col("r1_x2") - dec(col("nb")) * dec(col("nb") + 1L)).as("u1_x2"),
+        col("ties"))
+      .select(col("na"), col("nb"),
+        col("u1_x2").cast("long").as("u1_x2"),
+        col("ties").cast("long").as("tie_sum"),
+        // z = (U1 − n·m/2) / sqrt(var); doubled form keeps the
+        // numerator exact: (u1_x2 − na·nb) / (2·sqrt(var))
+        TextOps.round6(
+          (col("u1_x2").cast("double") -
+            col("na").cast("double") * col("nb").cast("double"))
+            / (lit(2.0) * sqrt(
+              col("na").cast("double") * col("nb").cast("double") / 12.0
+                * ((col("na") + col("nb") + 1).cast("double")
+                  - col("ties").cast("double")
+                    / ((col("na") + col("nb")).cast("double")
+                      * (col("na") + col("nb") - 1).cast("double"))))))
+          .as("z"))
+  }
+
   /** Theil–Sen robust trend (Theil 1950 / Sen 1968) over the daily
     * event-count series — the estimator an ops readout wants next to
     * the OLS slope when a few outlier days (an incident, a backfill)

@@ -2099,6 +2099,24 @@ object LlmSurface {
         .orderBy("event_type")
     }),
 
+    // ---- Mann-Whitney U between the A/B arms (nonparametric) -------------
+    // Rank-based two-sample test without a corpus sort: midranks from
+    // the value histogram (the only window is over distinct cents —
+    // bounded by the value DOMAIN), doubled ranks keep U exact,
+    // tie-corrected normal z with one IEEE sqrt.
+    "llm_ab_mannwhitney" -> ((s, dir) => {
+      EventOps.mannWhitney(events(s, dir), "user_id", "value")
+    }),
+
+    // ---- delete-one-bucket jackknife for the click/view ratio ------------
+    // The ratio-metric SE done right (users, not events, are the
+    // randomization unit): 32 hash buckets, pseudo-ratios floored to
+    // micro, exact integer SE^2, jackknifed z for the arm difference.
+    "llm_ratio_jackknife" -> ((s, dir) => {
+      EventOps.ratioJackknife(events(s, dir), "user_id", "event_type",
+        numType = "click", denType = "view", buckets = 32)
+    }),
+
     // ---- CUPED variance reduction (Deng et al. WSDM'13) ------------------
     // Each user's experiment-half metric adjusted by their own
     // pre-period metric with the pooled theta; var_raw vs var_adj is
@@ -6008,6 +6026,83 @@ $rounds,
              len AS max_run, tok AS run_token
       FROM best WHERE rnk = 1
       ORDER BY doc_id
+    """,
+
+    "llm_ratio_jackknife" -> s"""
+      WITH cells AS (
+        SELECT user_id % 2 AS arm,
+               CAST('0x' || substr(md5('rjk|' || CAST(user_id AS VARCHAR)),
+                 1, 4) AS BIGINT) % 32 AS bkt,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS xb,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS yb
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT arm, CAST(sum(xb) AS HUGEINT) AS xt,
+               CAST(sum(yb) AS HUGEINT) AS yt, count(*) AS nb
+        FROM cells GROUP BY 1),
+      pseudo AS (
+        SELECT c.arm, t.nb, t.xt, t.yt,
+               (CAST(t.xt - c.xb AS HUGEINT) * 1000000) // (t.yt - c.yb)
+                 AS rb
+        FROM cells c JOIN tot t USING (arm)),
+      pa AS (
+        SELECT arm, any_value(nb) AS nb, any_value(xt) AS xt,
+               any_value(yt) AS yt,
+               (CAST(sum((rb - rbar) * (rb - rbar)) AS HUGEINT)
+                 * (any_value(nb) - 1)) // any_value(nb) AS se2
+        FROM (SELECT *, sum(rb) OVER (PARTITION BY arm) // nb AS rbar
+              FROM pseudo)
+        GROUP BY arm),
+      fin AS (
+        SELECT arm, CAST(nb AS BIGINT) AS n_buckets,
+               (xt * 1000000) // yt AS r_mu, se2
+        FROM pa)
+      SELECT a0.n_buckets AS n_buckets_0, a1.n_buckets AS n_buckets_1,
+             CAST(a0.r_mu AS BIGINT) AS r0_mu,
+             CAST(a1.r_mu AS BIGINT) AS r1_mu,
+             CAST(a0.se2 AS BIGINT) AS se2_0,
+             CAST(a1.se2 AS BIGINT) AS se2_1,
+             ${round6sql(
+               "(CAST(a1.r_mu AS BIGINT) - CAST(a0.r_mu AS BIGINT))" +
+               " / sqrt(CAST(a0.se2 AS DOUBLE) + CAST(a1.se2 AS DOUBLE))")}
+               AS z
+      FROM (SELECT * FROM fin WHERE arm = 0) a0,
+           (SELECT * FROM fin WHERE arm = 1) a1
+    """,
+
+    "llm_ab_mannwhitney" -> s"""
+      WITH hist AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+      ranked AS (
+        SELECT n0, n1, n0 + n1 AS t,
+               coalesce(sum(n0 + n1) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+        FROM hist),
+      m AS (
+        SELECT CAST(sum(n0) AS BIGINT) AS na, CAST(sum(n1) AS BIGINT) AS nb,
+               sum(CAST(n1 AS HUGEINT) * (2 * below + t + 1)) AS r1_x2,
+               sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+        FROM ranked)
+      SELECT na, nb,
+             CAST(r1_x2 - CAST(nb AS HUGEINT) * (nb + 1) AS BIGINT) AS u1_x2,
+             CAST(ties AS BIGINT) AS tie_sum,
+             ${round6sql(
+               "(CAST(r1_x2 - CAST(nb AS HUGEINT) * (nb + 1) AS DOUBLE)" +
+               " - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))" +
+               " / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0" +
+               " * (CAST(na + nb + 1 AS DOUBLE) - CAST(ties AS DOUBLE)" +
+               " / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))")}
+               AS z
+      FROM m
     """,
 
     "llm_ab_cuped" -> s"""

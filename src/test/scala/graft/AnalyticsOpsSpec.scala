@@ -204,6 +204,49 @@ class AnalyticsOpsSpec extends SparkSpec {
   private def floorR6(x: Double): Double =
     math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
+  test("mannWhitney: hand-computed U with ties; null z on real arms") {
+    // arm0 cents {1,2,3}, arm1 {2,4,5}: U1 = 7.5 (one 2-2 tie counts
+    // half), so u1_x2 = 15; tie_sum = 2^3-2 = 6;
+    // z = (15-9)/(2*sqrt(9/12*(7 - 6/30))) = 6/(2*sqrt(5.1))
+    val ev = Seq(
+      (0L, 0.01), (0L, 0.02), (0L, 0.03),
+      (1L, 0.02), (1L, 0.04), (1L, 0.05))
+      .toDF("user_id", "value")
+    val r = EventOps.mannWhitney(ev, "user_id", "value").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 15L)
+    assert(r.getLong(3) === 6L)
+    val zExp = (15.0 - 9.0) / (2.0 * math.sqrt(
+      9.0 / 12.0 * (7.0 - 6.0 / 30.0)))
+    assert(r.getDouble(4) === floorR6(zExp))
+
+    // random real arms: the null holds
+    val real = graft.queries.LlmSurface.queries("llm_ab_mannwhitney")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(math.abs(real.getDouble(4)) < 4.0,
+      s"z ${real.getDouble(4)} too extreme for random arms")
+  }
+
+  test("ratioJackknife: headline ratios match direct computation; " +
+    "variance positive, null z on random arms") {
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val direct = ev.filter(col("user_id").isNotNull)
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, x, y) => a -> (x * 1000000L) / y }.toMap
+    val r = graft.queries.LlmSurface.queries("llm_ratio_jackknife")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getLong(2) === direct(0L), "r0 must equal the direct ratio")
+    assert(r.getLong(3) === direct(1L), "r1 must equal the direct ratio")
+    assert(r.getLong(4) > 0L && r.getLong(5) > 0L,
+      "jackknife variance must be positive on real data")
+    assert(math.abs(r.getDouble(6)) < 4.0,
+      s"z ${r.getDouble(6)} too extreme for random arms")
+  }
+
   test("isotonicCalibrate: minimax identity reproduces textbook PAVA " +
     "pooling; real curve is monotone") {
     // bin rates .4/.2/.6 -> PAVA pools the violating first pair: .3/.3/.6
