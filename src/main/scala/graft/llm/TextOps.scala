@@ -1089,6 +1089,95 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Vocabulary growth + richness: Heaps'-law exponent (Heaps 1978,
+    * V ∝ N^β) fitted over md5-nested subsets, plus the
+    * capture-recapture estimators of what remains UNSEEN — Chao1
+    * richness (Chao 1984, bias-corrected: V + f₁(f₁−1)/(2(f₂+1)))
+    * and the Good–Turing unseen-probability mass f₁/N (Good 1953).
+    * Together they answer the curation question "how much more
+    * vocabulary does more data buy": β says how fast V grows, Chao1
+    * how far it can go, GT how much probability the current model is
+    * blind to.
+    *
+    * One tokenize pass: nesting means subset-ℓ vocabulary is
+    * #{words whose MIN doc-level < ℓ} — a single (word → min level,
+    * count) aggregation serves every level AND the f₁/f₂ histogram;
+    * token counts per level are a 16-row histogram cumsum. The
+    * log-log OLS follows the X197 discipline (micro-quantized ln,
+    * exact int64 moments, fixed-order final division).
+    *
+    * Output (part, k, sym, n): part='level' (k = subset denominator
+    * ×16, sym = n_tokens|vocab), part='richness' (f1, f2, vocab,
+    * n_tokens, chao1, gt_unseen_ppm), part='fit' (beta_micro,
+    * logk_micro).
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(
+        expr(s"CAST(conv(substring(md5(concat('vg|', " +
+          s"CAST($idCol AS STRING))), 1, 4), 16, 10) AS INT) % 16")
+          .as("lvl"),
+        explode(words(col(textCol))).as("w"))
+      .localCheckpoint(eager = true)
+    val tokHist = toks.groupBy("lvl").agg(count(lit(1)).as("nt"))
+    val wordMin = toks.groupBy("w")
+      .agg(min("lvl").as("ml"), count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val vHist = wordMin.groupBy("ml").agg(count(lit(1)).as("nv"))
+    val ltab = Seq(1, 2, 4, 8, 16).toDF("lv")
+    val pts = ltab.join(tokHist, col("lvl") < col("lv"))
+      .groupBy("lv").agg(sum("nt").as("n_tokens"))
+      .join(ltab.join(vHist, col("ml") < col("lv"))
+        .groupBy("lv").agg(sum("nv").as("vocab")), "lv")
+      .localCheckpoint(eager = true)
+    val rich = wordMin.agg(count(lit(1)).as("v"), sum("c").as("n"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("v"), col("n"), col("f1"), col("f2"),
+        (col("v") + expr("(f1 * (f1 - 1)) DIV (2 * (f2 + 1))"))
+          .as("chao1"),
+        expr("(f1 * 1000000) DIV n").as("gt_unseen_ppm"))
+    val fit = pts.select(
+        floor(log(col("n_tokens").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("x"),
+        floor(log(col("vocab").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(
+        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * 1000000.0
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          + 0.5).cast("long").as("beta_micro"),
+        col("n"), col("sx"), col("sy"))
+      .select(col("beta_micro"),
+        floor((col("sy").cast("double")
+            - col("beta_micro").cast("double") / 1000000.0
+              * col("sx").cast("double"))
+            / col("n").cast("double") + 0.5).cast("long").as("logk_micro"))
+    val levelRows = pts.select(lit("level").as("part"),
+        col("lv").cast("long").as("k"),
+        map(lit("n_tokens"), col("n_tokens"), lit("vocab"), col("vocab"))
+          .as("m"))
+      .select(col("part"), col("k"), explode(col("m")).as(Seq("sym", "n")))
+    val richRows = rich.select(
+        map(lit("vocab"), col("v"), lit("n_tokens"), col("n"),
+          lit("f1"), col("f1"), lit("f2"), col("f2"),
+          lit("chao1"), col("chao1"),
+          lit("gt_unseen_ppm"), col("gt_unseen_ppm")).as("m"))
+      .select(lit("richness").as("part"), lit(null).cast("long").as("k"),
+        explode(col("m")).as(Seq("sym", "n")))
+    val fitRows = fit.select(
+        map(lit("beta_micro"), col("beta_micro"),
+          lit("logk_micro"), col("logk_micro")).as("m"))
+      .select(lit("fit").as("part"), lit(null).cast("long").as("k"),
+        explode(col("m")).as(Seq("sym", "n")))
+    levelRows.unionByName(richRows).unionByName(fitRows)
+      .orderBy("part", "k", "sym")
+  }
+
   /** Isotonic calibration (Zadrozny & Elkan KDD'02) — the
     * non-parametric alternative to the Platt fit in
     * [[calibrateScores]]: the monotone step function minimizing

@@ -1991,6 +1991,16 @@ object LlmSurface {
         .orderBy("vec_id")
     }),
 
+    // ---- Heaps'-law vocab growth + Chao1 / Good-Turing richness ----------
+    // "How much more vocabulary does more data buy": beta from the
+    // md5-nested subsets (X197 discipline: micro-quantized ln, exact
+    // int64 OLS), Chao1 bias-corrected richness and the GT unseen
+    // mass from the (word -> min level, count) table that serves
+    // every level at once.
+    "llm_vocab_growth" -> ((s, dir) => {
+      TextOps.vocabGrowth(Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // ---- RAKE keyphrase extraction (Rose et al. 2010) --------------------
     // Corpus top-20 "what is this about" phrases: stopword-free runs
     // score Σ deg(w)/freq(w) with word scores floored to micro once —
@@ -5862,6 +5872,69 @@ $rounds,
     // Same discounted-ratio spelling; the phrase flag cross-multiplies
     // RAKE replay: same runs, same once-floored micro word scores,
     // integer phrase sums, total top-k order
+    "llm_vocab_growth" -> """
+      WITH toks AS (
+        SELECT CAST('0x' || substr(md5('vg|' || CAST(doc_id AS VARCHAR)),
+                 1, 4) AS INT) % 16 AS lvl,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      th AS (SELECT lvl, CAST(count(*) AS BIGINT) AS nt
+             FROM toks GROUP BY 1),
+      wm AS MATERIALIZED (
+        SELECT w, min(lvl) AS ml, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1),
+      vh AS (SELECT ml, CAST(count(*) AS BIGINT) AS nv FROM wm GROUP BY 1),
+      ls(lv) AS (VALUES (1), (2), (4), (8), (16)),
+      pts AS MATERIALIZED (
+        SELECT n.lv, n.n_tokens, v.vocab
+        FROM (SELECT lv, CAST(sum(nt) AS BIGINT) AS n_tokens
+              FROM ls JOIN th ON th.lvl < ls.lv GROUP BY 1) n
+        JOIN (SELECT lv, CAST(sum(nv) AS BIGINT) AS vocab
+              FROM ls JOIN vh ON vh.ml < ls.lv GROUP BY 1) v USING (lv)),
+      rich AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM wm),
+      fit0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM (SELECT CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0
+                       + 0.5) AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000.0
+                       + 0.5) AS BIGINT) AS y
+              FROM pts)),
+      fit AS (
+        SELECT beta_micro,
+               CAST(floor((CAST(sy AS DOUBLE)
+                 - CAST(beta_micro AS DOUBLE) / 1000000.0
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5)
+                 AS BIGINT) AS logk_micro
+        FROM (SELECT CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       * 1000000.0
+                       / CAST(n * sxx - sx * sx AS DOUBLE) + 0.5)
+                       AS BIGINT) AS beta_micro, n, sx, sy
+              FROM fit0))
+      SELECT part, k, sym, n FROM (
+        SELECT 'level' AS part, CAST(lv AS BIGINT) AS k,
+               'n_tokens' AS sym, n_tokens AS n FROM pts
+        UNION ALL SELECT 'level', CAST(lv AS BIGINT), 'vocab', vocab
+          FROM pts
+        UNION ALL SELECT 'richness', NULL, 'vocab', v FROM rich
+        UNION ALL SELECT 'richness', NULL, 'n_tokens', n FROM rich
+        UNION ALL SELECT 'richness', NULL, 'f1', f1 FROM rich
+        UNION ALL SELECT 'richness', NULL, 'f2', f2 FROM rich
+        UNION ALL SELECT 'richness', NULL, 'chao1',
+          v + (f1 * (f1 - 1)) // (2 * (f2 + 1)) FROM rich
+        UNION ALL SELECT 'richness', NULL, 'gt_unseen_ppm',
+          (f1 * 1000000) // n FROM rich
+        UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
+        UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
+      ORDER BY part, k, sym
+    """,
+
     "llm_keyphrases" -> {
       val stopList = stopwords.map(s => s"'$s'").mkString(", ")
       s"""

@@ -204,6 +204,46 @@ class AnalyticsOpsSpec extends SparkSpec {
   private def floorR6(x: Double): Double =
     math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
+  test("vocabGrowth: hand Chao1/GT; monotone levels and sublinear " +
+    "Heaps exponent on the real corpus") {
+    // 2 docs: "a b c a" / "b d": counts a=2,b=2,c=1,d=1 -> V=4, N=6,
+    // f1=2, f2=2, chao1 = 4 + 2*1/(2*3) = 4, gt = 2e6/6 = 333333
+    val tiny = Seq((1L, "a b c a"), (2L, "b d")).toDF("doc_id", "text")
+    val rich = graft.llm.TextOps.vocabGrowth(tiny, "doc_id", "text")
+      .filter(col("part") === "richness")
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(rich("vocab") === 4L && rich("n_tokens") === 6L)
+    assert(rich("f1") === 2L && rich("f2") === 2L)
+    assert(rich("chao1") === 4L)
+    assert(rich("gt_unseen_ppm") === 333333L)
+
+    val real = graft.queries.LlmSurface.queries("llm_vocab_growth")(
+      spark, "/root/testdata/sf0.001").collect()
+    val levels = real.filter(_.getString(0) == "level")
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    Seq("n_tokens", "vocab").foreach { sym =>
+      val vs = levels.filter(_._2 == sym).sortBy(_._1).map(_._3)
+      vs.sliding(2).foreach { case Array(a, b) =>
+        assert(b >= a, s"$sym must be non-decreasing across levels") }
+    }
+    // the synthetic soup corpus draws from a FIXED 31-word vocabulary,
+    // fully observed even in the 1/16 subset — so the honest readout
+    // is total saturation: beta = 0 exactly (more data buys no
+    // vocabulary), Chao1 estimates nothing beyond what's seen, and
+    // the Good-Turing unseen mass is ~0 (no singleton words survive
+    // 27 939 tokens over 31 types)
+    val fit = real.filter(_.getString(0) == "fit")
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(fit("beta_micro") === 0L,
+      s"saturated vocabulary must fit beta = 0, got ${fit("beta_micro")}")
+    val rr = real.filter(_.getString(0) == "richness")
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(rr("chao1") === rr("vocab"),
+      "no unseen richness in a saturated vocabulary")
+    assert(rr("gt_unseen_ppm") <= 100L,
+      s"unseen mass should be ~0, got ${rr("gt_unseen_ppm")} ppm")
+  }
+
   test("mannWhitney: hand-computed U with ties; null z on real arms") {
     // arm0 cents {1,2,3}, arm1 {2,4,5}: U1 = 7.5 (one 2-2 tie counts
     // half), so u1_x2 = 15; tie_sum = 2^3-2 = 6;
