@@ -943,6 +943,65 @@ object EventOps {
         .as("z"))
   }
 
+  /** Difference-in-differences (Card & Krueger 1994 popularized) over
+    * the user panel: the pre/post change in the treated arm minus the
+    * pre/post change in control — the estimator for ROLLOUTS where
+    * assignment is not randomized (a simple post-period diff would
+    * absorb any pre-existing gap between the groups; DiD nets it
+    * out under the parallel-trends assumption). Arms are `user % 2`
+    * "treated"/control, periods split at `splitDate` (the CUPED
+    * setup re-used).
+    *
+    * Per (user, period) metric = micro value sum (integer); cell
+    * means and the 2×2 interaction in exact decimal moments; the
+    * independent-samples SE √(Σ s²_cell/n_cell) uses one IEEE sqrt.
+    * One combine-agg to the user panel, one 4-row reduce — the
+    * [[abCuped]] scale shape.
+    */
+  def abDiffInDiff(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitDate: String): DataFrame = {
+    val split = lit(splitDate).cast("timestamp")
+    val micro = floor(col(valueCol) * 1000000 + 0.5).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val panel = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol).as("u"), (col(userCol) % 2).as("treated"),
+        when(col(tsCol) >= split, 1).otherwise(0).as("post"),
+        micro.as("v"))
+      .groupBy("u", "treated", "post")
+      .agg(sum("v").as("y"))
+    val cells = panel.groupBy("treated", "post")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("y"))).as("s"),
+        sum(dec(col("y")) * dec(col("y"))).as("ss"))
+      .select(col("treated"), col("post"), col("n"),
+        (col("s").cast("double") / col("n").cast("double") / 1e6)
+          .as("mean"),
+        ((col("n") * col("ss") - col("s") * col("s")).cast("double")
+          / (col("n") * (col("n") - lit(1))).cast("double") / 1e12
+          / col("n").cast("double")).as("semean2"))
+    def cell(t: Int, p: Int, nm: String) =
+      cells.filter(col("treated") === t && col("post") === p)
+        .select(col("n").cast("long").as(s"n_$nm"),
+          col("mean").as(s"m_$nm"), col("semean2").as(s"v_$nm"))
+    val w = cell(1, 0, "t_pre").crossJoin(cell(1, 1, "t_post"))
+      .crossJoin(cell(0, 0, "c_pre")).crossJoin(cell(0, 1, "c_post"))
+    w.select(
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      TextOps.round6(col("m_t_pre")).as("mean_t_pre"),
+      TextOps.round6(col("m_t_post")).as("mean_t_post"),
+      TextOps.round6(col("m_c_pre")).as("mean_c_pre"),
+      TextOps.round6(col("m_c_post")).as("mean_c_post"),
+      TextOps.round6((col("m_t_post") - col("m_t_pre"))
+        - (col("m_c_post") - col("m_c_pre"))).as("did"),
+      TextOps.round6(sqrt(col("v_t_pre") + col("v_t_post")
+        + col("v_c_pre") + col("v_c_post"))).as("se"),
+      TextOps.round6(((col("m_t_post") - col("m_t_pre"))
+        - (col("m_c_post") - col("m_c_pre")))
+        / sqrt(col("v_t_pre") + col("v_t_post")
+          + col("v_c_pre") + col("v_c_post"))).as("t_stat"))
+  }
+
   /** Mann–Whitney U test (Mann & Whitney 1947) between the two
     * [[abWelch]] arms — the nonparametric companion: rank-based, so a
     * heavy-tailed metric (the usual shape of latency/revenue values)

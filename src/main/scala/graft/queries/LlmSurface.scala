@@ -2109,6 +2109,16 @@ object LlmSurface {
         .orderBy("event_type")
     }),
 
+    // ---- difference-in-differences over the user panel -------------------
+    // The rollout estimator when assignment is NOT randomized: the
+    // treated arm's pre/post change minus control's, netting out any
+    // pre-existing gap (parallel trends). 2x2 cell moments in exact
+    // decimals; one sqrt for the independent-samples SE.
+    "llm_ab_did" -> ((s, dir) => {
+      EventOps.abDiffInDiff(events(s, dir), "user_id", "ts", "value",
+        "2024-01-16")
+    }),
+
     // ---- Mann-Whitney U between the A/B arms (nonparametric) -------------
     // Rank-based two-sample test without a corpus sort: midranks from
     // the value histogram (the only window is over distinct cents —
@@ -3110,6 +3120,23 @@ object LlmSurface {
       graft.operators.LabelPropagation.communities(
         edges, "item_a", "item_b", "weight", rounds = 5)
         .orderBy("n")
+    }),
+
+    // ---- degree assortativity of the co-order graph (Newman 2002) --------
+    // Do high-degree items co-occur with high-degree items? Pearson r
+    // over (deg_src, deg_dst) with both orientations of every edge;
+    // exact decimal moments, doubles only in the final r. Negative r
+    // (hub-and-spoke disassortativity) vs positive (core-periphery)
+    // is a one-number structure readout next to modularity.
+    "llm_assortativity" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+        .localCheckpoint(eager = true)
+      graft.operators.GraphMetrics.degreeAssortativity(
+        edges, "item_a", "item_b")
     }),
 
     // ---- modularity of the LPA communities (Newman 2004, weighted) -------
@@ -6101,6 +6128,45 @@ $rounds,
       ORDER BY doc_id
     """,
 
+    "llm_ab_did" -> s"""
+      WITH panel AS (
+        SELECT user_id AS u, user_id % 2 AS treated,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                 AS post,
+               sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS y
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2, 3),
+      cells AS (
+        SELECT treated, post, CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(y AS HUGEINT)) AS s,
+               sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS ss
+        FROM panel GROUP BY 1, 2),
+      d AS (
+        SELECT treated, post, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean,
+               CAST(n * ss - s * s AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) / 1e12
+                 / CAST(n AS DOUBLE) AS v
+        FROM cells)
+      SELECT CAST(tp.n AS BIGINT) AS n_t_pre,
+             CAST(ta.n AS BIGINT) AS n_t_post,
+             CAST(cp.n AS BIGINT) AS n_c_pre,
+             CAST(ca.n AS BIGINT) AS n_c_post,
+             ${round6sql("tp.mean")} AS mean_t_pre,
+             ${round6sql("ta.mean")} AS mean_t_post,
+             ${round6sql("cp.mean")} AS mean_c_pre,
+             ${round6sql("ca.mean")} AS mean_c_post,
+             ${round6sql("(ta.mean - tp.mean) - (ca.mean - cp.mean)")}
+               AS did,
+             ${round6sql("sqrt(tp.v + ta.v + cp.v + ca.v)")} AS se,
+             ${round6sql("((ta.mean - tp.mean) - (ca.mean - cp.mean))" +
+               " / sqrt(tp.v + ta.v + cp.v + ca.v)")} AS t_stat
+      FROM (SELECT * FROM d WHERE treated = 1 AND post = 0) tp,
+           (SELECT * FROM d WHERE treated = 1 AND post = 1) ta,
+           (SELECT * FROM d WHERE treated = 0 AND post = 0) cp,
+           (SELECT * FROM d WHERE treated = 0 AND post = 1) ca
+    """,
+
     "llm_ratio_jackknife" -> s"""
       WITH cells AS (
         SELECT user_id % 2 AS arm,
@@ -8183,6 +8249,43 @@ $rounds
     "llm_label_prop" -> s"""
       WITH $coorderLpaCtes
       SELECT n, CAST(lbl AS BIGINT) AS lbl FROM l5 ORDER BY n
+    """,
+
+    "llm_assortativity" -> s"""
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      capped AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      e AS MATERIALIZED (
+        SELECT x.i AS a, y.i AS bb
+        FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      sym AS MATERIALIZED (
+        SELECT a AS n, bb AS m FROM e
+        UNION ALL SELECT bb AS n, a AS m FROM e),
+      deg AS MATERIALIZED (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+      mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS me,
+               sum(CAST(x.d AS HUGEINT)) AS sa,
+               sum(CAST(y.d AS HUGEINT)) AS sb,
+               sum(CAST(x.d AS HUGEINT) * x.d) AS saa,
+               sum(CAST(y.d AS HUGEINT) * y.d) AS sbb,
+               sum(CAST(x.d AS HUGEINT) * y.d) AS sab
+        FROM sym JOIN deg x ON sym.n = x.n JOIN deg y ON sym.m = y.n)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+             CAST(me AS BIGINT) // 2 AS n_edges,
+             ${round6sql(
+               "CAST(me * sab - sa * sb AS DOUBLE)" +
+               " / (sqrt(CAST(me * saa - sa * sa AS DOUBLE))" +
+               " * sqrt(CAST(me * sbb - sb * sb AS DOUBLE)))")} AS r_assort
+      FROM mom
     """,
 
     // Modularity over the SAME LPA communities (Newman 2004, weighted):

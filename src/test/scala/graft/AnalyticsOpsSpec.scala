@@ -204,6 +204,33 @@ class AnalyticsOpsSpec extends SparkSpec {
   private def floorR6(x: Double): Double =
     math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
+  test("abDiffInDiff: hand 2x2 panel nets out the pre-existing gap") {
+    // treated (odd users): pre means 10,12 -> post 20,24 (delta 11)
+    // control (even): pre 10,14 -> post 12,18 (delta 3); DiD = 8
+    def e(u: Long, day: Int, v: Double) =
+      (u, ts(f"2024-01-${day}%02d 12:00:00"), v)
+    val ev = Seq(
+      e(1, 5, 10.0), e(1, 20, 20.0), e(3, 5, 12.0), e(3, 20, 24.0),
+      e(0, 5, 10.0), e(0, 20, 12.0), e(2, 5, 14.0), e(2, 20, 18.0))
+      .toDF("user_id", "ts", "value")
+    val r = EventOps.abDiffInDiff(ev, "user_id", "ts", "value",
+      "2024-01-16").collect().head
+    assert((0 to 3).map(r.getLong) === Seq(2L, 2L, 2L, 2L))
+    assert(r.getDouble(4) === 11.0 && r.getDouble(5) === 22.0)
+    assert(r.getDouble(6) === 12.0 && r.getDouble(7) === 15.0)
+    assert(r.getDouble(8) === 8.0, "DiD must net out the baseline gap")
+    assert(r.getDouble(9) > 0.0)
+  }
+
+  test("degreeAssortativity: star graph is exactly -1; triangle is " +
+    "degree-regular (zero variance guard)") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = graft.operators.GraphMetrics.degreeAssortativity(star, "a", "b")
+      .collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === -1.0, "hub-and-spoke must be -1 exactly")
+  }
+
   test("vocabGrowth: hand Chao1/GT; monotone levels and sublinear " +
     "Heaps exponent on the real corpus") {
     // 2 docs: "a b c a" / "b d": counts a=2,b=2,c=1,d=1 -> V=4, N=6,
