@@ -943,6 +943,43 @@ object EventOps {
         .as("z"))
   }
 
+  /** Classical additive seasonal decomposition of the daily
+    * event-count series (the moving-average half of STL): trend = the
+    * 7-day centered moving average (defined only where the full
+    * window exists), seasonal = the day-of-week mean of the detrended
+    * series, residual = y − trend − seasonal. The readout that
+    * separates "weekends are slow" from "something changed" before a
+    * CUSUM/Holt alarm is believed.
+    *
+    * All integer micro-units: trend_mu = (Σ window · 10⁶) div 7,
+    * seasonal_mu a per-dow integer mean of detrended values, residual
+    * a subtraction. Windows run over the calendar-bounded daily table
+    * only (the Holt/Theil–Sen precedent).
+    */
+  def seasonalDecompose(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val byDay = Window.orderBy("day").rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("_wn", count(lit(1)).over(byDay))
+      .withColumn("trend_mu",
+        when(col("_wn") === 7,
+          expr("(sum(y * 1000000) OVER (ORDER BY day " +
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) DIV 7")))
+      .withColumn("_det", col("y") * 1000000L - col("trend_mu"))
+    val seasonal = withTrend.filter(col("trend_mu").isNotNull)
+      .groupBy("dow")
+      .agg(expr("CAST(sum(_det) DIV count(*) AS BIGINT)").as("seasonal_mu"))
+    withTrend.join(broadcast(seasonal), "dow")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("y"), col("trend_mu"), col("seasonal_mu"),
+        (col("y") * 1000000L - col("trend_mu") - col("seasonal_mu"))
+          .as("resid_mu"))
+      .orderBy("day")
+  }
+
   /** Difference-in-differences (Card & Krueger 1994 popularized) over
     * the user panel: the pre/post change in the treated arm minus the
     * pre/post change in control — the estimator for ROLLOUTS where

@@ -3262,6 +3262,14 @@ object LlmSurface {
       EventOps.holtLinear(Tables(s, dir, "events"), "ts", horizon = 7)
     }),
 
+    // ---- classical seasonal decomposition of the daily series ------------
+    // trend = 7-day centered MA (full windows only), seasonal =
+    // per-dow mean of the detrended series, residual = the alarm
+    // input with "weekends are slow" removed. All integer micro.
+    "p_seasonal" -> ((s, dir) => {
+      EventOps.seasonalDecompose(events(s, dir), "ts")
+    }),
+
     // ---- Theil-Sen robust daily trend (median of pairwise slopes) --------
     // The 29.3%-breakdown complement to the OLS slope (shipped in the
     // same row as the readout): integer ppm slopes, lower-median rank
@@ -8328,6 +8336,36 @@ $rounds
       UNION ALL
       SELECT * FROM rows_
       ORDER BY lbl
+    """,
+
+    // seasonal replay: same full-window MA trend (ROWS frame over the
+    // dense daily series), per-dow integer means; DuckDB dayofweek is
+    // 0-based Sunday, Spark's 1-based — the +1 aligns them
+    "p_seasonal" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      wt AS (
+        SELECT day, y,
+               count(*) OVER w7 AS wn,
+               (sum(y * 1000000) OVER w7) // 7 AS t_raw
+        FROM daily
+        WINDOW w7 AS (ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      wt2 AS (
+        SELECT day, y, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+               CASE WHEN wn = 7 THEN CAST(t_raw AS BIGINT) END AS trend_mu
+        FROM wt),
+      seas AS (
+        SELECT dow,
+               CAST(sum(y * 1000000 - trend_mu) // count(*) AS BIGINT)
+                 AS seasonal_mu
+        FROM wt2 WHERE trend_mu IS NOT NULL GROUP BY 1)
+      SELECT strftime(CAST(w.day AS TIMESTAMP), '%Y-%m-%d') AS day,
+             w.dow, w.y, w.trend_mu, s.seasonal_mu,
+             w.y * 1000000 - w.trend_mu - s.seasonal_mu AS resid_mu
+      FROM wt2 w JOIN seas s USING (dow)
+      ORDER BY day
     """,
 
     // Theil-Sen replay: same ppm pair slopes, same lower-median rank

@@ -204,6 +204,35 @@ class AnalyticsOpsSpec extends SparkSpec {
   private def floorR6(x: Double): Double =
     math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
+  test("seasonalDecompose: components reassemble exactly; trend only " +
+    "on full windows; flat series decomposes to zero seasonal") {
+    // flat 10-events/day series: trend = 10e6 everywhere defined,
+    // seasonal = 0 for every dow, residual = 0
+    val flat = (1 to 14).flatMap { d =>
+      (0 until 10).map(i =>
+        (i.toLong, ts(f"2024-01-$d%02d 12:00:00"), 1.0))
+    }.toDF("user_id", "ts", "value")
+    val f = EventOps.seasonalDecompose(flat, "ts").collect()
+    assert(f.length === 14)
+    f.foreach { r =>
+      if (!r.isNullAt(3)) {
+        assert(r.getLong(3) === 10000000L)
+        assert(r.getLong(4) === 0L && r.getLong(5) === 0L)
+      } else assert(r.isNullAt(5), "residual undefined where trend is")
+    }
+    assert(f.count(!_.isNullAt(3)) === 8, "14 days -> 8 full windows")
+
+    // real series: y*1e6 = trend + seasonal + residual wherever defined
+    val real = graft.queries.LlmSurface.queries("p_seasonal")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(real.length === 30)
+    real.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(2) * 1000000L ===
+        r.getLong(3) + r.getLong(4) + r.getLong(5),
+        "decomposition must reassemble exactly")
+    }
+  }
+
   test("abDiffInDiff: hand 2x2 panel nets out the pre-existing gap") {
     // treated (odd users): pre means 10,12 -> post 20,24 (delta 11)
     // control (even): pre 10,14 -> post 12,18 (delta 3); DiD = 8
