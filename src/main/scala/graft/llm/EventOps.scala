@@ -1209,4 +1209,103 @@ object EventOps {
     out.result().toDF("ds", "y", "level_micro", "trend_micro",
       "forecast_micro", "err_micro").orderBy("ds")
   }
+
+  /** Markov-chain removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven alternative to [[attributionUShape]]'s fixed 40/20/40
+    * heuristic: model user journeys as a first-order Markov chain over
+    * channels with absorbing `conv`/`null` states, and credit each
+    * channel by how much the chain's start→conv probability DROPS when
+    * that channel is removed (its transitions redirected to `null`).
+    * A channel that only echoes traffic other channels already convert
+    * gets near-zero credit here but full positional credit in a
+    * heuristic model — that gap is the method's point.
+    *
+    * Journey encoding: per user ordered by (ts, id) — a total order,
+    * the markovTransitions discipline — episodes SPLIT after each
+    * conversion (each purchase ends its journey; the next event starts
+    * a fresh one at `^start`), and an episode that ends without
+    * converting closes with a `state → null` tail transition.
+    *
+    * Scale shape: the ONLY corpus-scale work is the two user-keyed
+    * windows + one partial-combining count down to the ≤(|types|+2)²
+    * transition-count table. That model-sized table (tens of rows —
+    * the hashModelWeights/holtLinear collect precedent) comes to the
+    * driver, where base + per-channel-removal value iterations run in
+    * EXACT Long arithmetic: `rounds` sweeps of
+    * `p(s) = (Σ_t ppm(s→t)·v(t)) div 10⁶` with v(conv)=10⁶, v(null)=0
+    * and ppm(s→t) = n(s→t)·10⁶ div n(s·) — every op integer, so the
+    * oracle replays each sweep bit-identically as unrolled CTEs.
+    * Removal keeps ORIGINAL row denominators (redirect-to-null, the
+    * paper's convention), i.e. rows touching the removed state drop
+    * while every surviving ppm is unchanged.
+    *
+    * Output: one row per channel (p_conv_micro = start→conv with the
+    * channel removed, removal_effect_ppm = (base−p)·10⁶ div base,
+    * attribution_share = removal effect normalized over channels) plus
+    * a `__BASE__` row carrying the intact chain's conversion
+    * probability with null effect/share.
+    */
+  def markovRemovalAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, convType: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val M = 1000000L
+    val tagged = events.select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+      col(idCol).as("_id"),
+      when(col(typeCol) === convType, lit("conv")).otherwise(col(typeCol))
+        .as("_st"))
+    val byU = Window.partitionBy("_u").orderBy(col("_ts"), col("_id"))
+    val byEpi = Window.partitionBy("_u", "_epi").orderBy(col("_ts"), col("_id"))
+    val seq = tagged
+      .withColumn("_epi", coalesce(
+        sum(when(col("_st") === "conv", 1).otherwise(0))
+          .over(byU.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .withColumn("_prev", coalesce(lag(col("_st"), 1).over(byEpi),
+        lit("^start")))
+      .withColumn("_isLast", lead(col("_st"), 1).over(byEpi).isNull)
+    val counts = seq.select(col("_prev").as("prev"), col("_st").as("next"))
+      .unionByName(seq.filter(col("_isLast") && col("_st") =!= "conv")
+        .select(col("_st").as("prev"), lit("null").as("next")))
+      .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+
+    val tot = counts.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val ppm = counts.map { case (s, t, n) => (s, t) -> n * M / tot(s) }.toMap
+    val bySrc = counts.map { case (s, t, _) => (s, t) }.groupBy(_._1)
+    val transients = tot.keys.toSeq.sorted
+    val channels = transients.filter(_ != "^start")
+
+    // `rounds` exact-integer sweeps of the absorbing-chain value
+    // iteration; rows touching `removed` drop, denominators stay
+    def solve(removed: Option[String]): Long = {
+      var p = transients.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        p = transients.map { s =>
+          s -> (if (removed.contains(s)) 0L
+          else bySrc(s).collect {
+            case (_, t) if !removed.contains(t) =>
+              ppm((s, t)) * (t match {
+                case "conv" => M
+                case "null" => 0L
+                case other  => p(other)
+              })
+          }.sum / M)
+        }.toMap
+      }
+      p("^start")
+    }
+
+    val base = solve(None)
+    val removedP = channels.map(c => c -> solve(Some(c)))
+    val reSum = removedP.map { case (_, pc) => (base - pc) * M / base }.sum
+    val rows = removedP.map { case (c, pc) =>
+      val re = (base - pc) * M / base
+      (c, pc, Some(re),
+        Some(math.floor(re.toDouble / reSum * 1000000.0 + 0.5) / 1000000.0))
+    } :+ (("__BASE__", base, None: Option[Long], None: Option[Double]))
+    rows.toDF("channel", "p_conv_micro", "removal_effect_ppm",
+      "attribution_share").orderBy("channel")
+  }
 }

@@ -465,6 +465,28 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- HITS hubs & authorities (Kleinberg 1999) ------------------------
+    // The two-role companion to llm_graph_rank over the SAME synthetic
+    // hub-and-spoke link table: members (pointing at hubs) come out as
+    // hubs, hub docs (pointed at by many members) as authorities — the
+    // split one PageRank number conflates. Integer micro-units with
+    // divide-by-max normalization (L2 needs an IEEE sqrt per round,
+    // not bit-stable cross-engine); each round is two edge⋈score
+    // equi-joins + combine sums + a 1-row max broadcast. Oracle
+    // replays all 4 rounds unrolled.
+    "llm_graph_hits" -> ((s, dir) => {
+      val nodes = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val members = nodes.filter(col("id") % 10 =!= 0)
+        .select(col("id").as("src"), (col("id") - (col("id") % 10)).as("dst"))
+      val hubs = nodes.filter(col("id") % 10 === 0 && col("id") =!= 0)
+      val edges = members
+        .union(hubs.select(col("id").as("src"), lit(0L).as("dst")))
+        .union(hubs.select(col("id").as("src"), (col("id") + 1).as("dst")))
+      graft.operators.Hits.run(edges, nodes, iters = 4)
+        .select(col("id").as("doc_id"), col("auth_micro"), col("hub_micro"))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-source KL drift vs the corpus blend -------------------------
     // Which sources speak a different unigram language than the mix?
     // The companion diagnostic to llm_source_overlap / mixture_weights;
@@ -2549,6 +2571,20 @@ object LlmSurface {
         .orderBy("prev_type", "next_type")
     }),
 
+    // ---- Markov removal-effect attribution (Anderl et al. 2014) ----------
+    // The data-driven alternative to llm_attribution's 40/20/40
+    // heuristic: journeys become a first-order chain over channels with
+    // absorbing conv/null states; each channel's credit is how much
+    // start→conv probability drops when its transitions redirect to
+    // null. Corpus work = two user-keyed windows down to the ~30-row
+    // transition model; the 12-round exact-integer value iterations
+    // (base + one per channel) run on that model, and the oracle
+    // replays every round unrolled.
+    "llm_attribution_markov" -> ((s, dir) => {
+      EventOps.markovRemovalAttribution(events(s, dir), "user_id", "ts",
+        "event_id", "event_type", convType = "purchase", rounds = 12)
+    }),
+
     // ---- z-order layout vs ingestion layout: file-skipping index ---------
     // Two 6-bit dimensions (user_id%64, event_id%64) over events, 16
     // files per layout: z-range bucketing clusters (x,y) rectangles so
@@ -3360,6 +3396,61 @@ object LlmSurface {
           FROM e JOIN outd USING (src) JOIN $prev ON $prev.id = e.src
           GROUP BY e.dst) inf USING (id))"""
     }.mkString(",\n")
+
+  /** Generated HITS iteration CTEs replaying [[graft.operators.Hits]]:
+    * per round, authority raw = sum of in-neighbor hub scores then ×10⁶
+    * div max, hub raw = sum of out-neighbor FRESH authority scores then
+    * the same normalization. Requires CTEs nodes(id), e(src, dst),
+    * h0(id, s). arN/hrN are referenced twice (scalar max + join) —
+    * MATERIALIZED, the unrolled-loop-oracle rule.
+    */
+  private def hitsCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+        SELECT e.dst AS id, CAST(sum(h.s) AS BIGINT) AS r
+        FROM e JOIN h${k - 1} h ON h.id = e.src GROUP BY e.dst),
+      a$k AS MATERIALIZED (
+        SELECT nodes.id,
+               CAST(coalesce(ar.r, 0) * 1000000
+                    // (SELECT max(r) FROM ar$k) AS BIGINT) AS s
+        FROM nodes LEFT JOIN ar$k ar USING (id)),
+      hr$k AS MATERIALIZED (
+        SELECT e.src AS id, CAST(sum(a.s) AS BIGINT) AS r
+        FROM e JOIN a$k a ON a.id = e.dst GROUP BY e.src),
+      h$k AS MATERIALIZED (
+        SELECT nodes.id,
+               CAST(coalesce(hr.r, 0) * 1000000
+                    // (SELECT max(r) FROM hr$k) AS BIGINT) AS s
+        FROM nodes LEFT JOIN hr$k hr USING (id))"""
+    }.mkString(",\n      ")
+
+  /** Generated absorbing-chain value-iteration CTEs replaying one
+    * [[graft.llm.EventOps.markovRemovalAttribution]] scenario: `tag_k`
+    * holds p(s) after k sweeps of
+    * p(s) = (Σ_t ppm(s→t)·v(t)) div 10⁶, v(conv)=10⁶, v(null)=0,
+    * rows touching `removed` dropped (ppm denominators unchanged).
+    * Requires CTEs tr(prev, next, ppm) and tot(prev, t).
+    */
+  private def markovScenarioCtes(tag: String, removed: Option[String],
+      rounds: Int): String = {
+    // a transition INTO the removed state is worth 0 (redirect-to-null);
+    // the removed state's own rows drop; ppm denominators never change
+    val rmCase = removed.map(c => s"WHEN t.next = '$c' THEN 0\n").getOrElse("")
+    val rmPrev = removed.map(c => s"WHERE t.prev <> '$c'").getOrElse("")
+    val r0 = s"${tag}0 AS (SELECT prev AS s, CAST(0 AS BIGINT) AS p FROM tot)"
+    val steps = (1 to rounds).map { k =>
+      s"""$tag$k AS (
+        SELECT t.prev AS s,
+               CAST(coalesce(sum(t.ppm * CASE WHEN t.next = 'conv' THEN 1000000
+                             WHEN t.next = 'null' THEN 0
+                             ${rmCase}ELSE coalesce(p.p, 0) END), 0)
+                    // 1000000 AS BIGINT) AS p
+        FROM tr t LEFT JOIN $tag${k - 1} p ON p.s = t.next
+        $rmPrev
+        GROUP BY t.prev)"""
+    }
+    (r0 +: steps).mkString(",\n      ")
+  }
 
   /** Generated PERSONALIZED PageRank iteration CTEs replaying
     * [[graft.operators.PageRank.personalized]]: teleport lands on seed
@@ -5043,6 +5134,24 @@ $rounds,
       SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_nano,
              ${round6sql("rank / 1000000000.0")} AS rank
       FROM r3 ORDER BY doc_id
+    """,
+
+    // Unrolled HITS replay over the SAME synthetic link table: 4 rounds
+    // of a ← Σ in-hub ×10⁶ // max, then h ← Σ out-authority likewise.
+    "llm_graph_hits" -> s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      e AS MATERIALIZED (
+        SELECT id AS src, id - (id % 10) AS dst FROM nodes WHERE id % 10 <> 0
+        UNION ALL
+        SELECT id AS src, 0 AS dst FROM nodes WHERE id % 10 = 0 AND id <> 0
+        UNION ALL
+        SELECT id AS src, id + 1 AS dst FROM nodes
+        WHERE id % 10 = 0 AND id <> 0),
+      h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM nodes),
+      ${hitsCtes(4)}
+      SELECT a4.id AS doc_id, a4.s AS auth_micro, h4.s AS hub_micro
+      FROM a4 JOIN h4 ON a4.id = h4.id
+      ORDER BY doc_id
     """,
 
     "llm_kl_drift" -> s"""
@@ -7073,6 +7182,72 @@ $rounds,
         "n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)")} AS p
       FROM c
       ORDER BY prev_type, next_type
+    """,
+
+    // Removal-effect attribution: same episode windows as the Spark
+    // side, then the 12-round integer value iteration unrolled once per
+    // scenario (base + the four hardcoded channels of the generated
+    // events domain — a new channel in the data would surface as a row
+    // mismatch, which is the check working).
+    "llm_attribution_markov" -> s"""
+      WITH ev AS (
+        SELECT user_id AS u, ts, event_id AS id,
+               CASE WHEN event_type = 'purchase' THEN 'conv'
+                    ELSE event_type END AS st
+        FROM events),
+      epi AS (
+        SELECT u, ts, id, st,
+               coalesce(sum(CASE WHEN st = 'conv' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY u ORDER BY ts, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS e
+        FROM ev),
+      seq AS (
+        SELECT st, coalesce(lag(st) OVER w, '^start') AS prev,
+               lead(st) OVER w IS NULL AS is_last
+        FROM epi
+        WINDOW w AS (PARTITION BY u, e ORDER BY ts, id)),
+      tr0 AS (
+        SELECT prev, st AS next FROM seq
+        UNION ALL
+        SELECT st AS prev, 'null' AS next FROM seq
+        WHERE is_last AND st <> 'conv'),
+      cnt AS MATERIALIZED (
+        SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+        FROM tr0 GROUP BY 1, 2),
+      tot AS MATERIALIZED (
+        SELECT prev, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+      tr AS MATERIALIZED (
+        SELECT c.prev, c.next, CAST(c.n * 1000000 // t.t AS BIGINT) AS ppm
+        FROM cnt c JOIN tot t USING (prev)),
+      ${markovScenarioCtes("b", None, 12)},
+      ${markovScenarioCtes("rclick", Some("click"), 12)},
+      ${markovScenarioCtes("rerror", Some("error"), 12)},
+      ${markovScenarioCtes("rsignup", Some("signup"), 12)},
+      ${markovScenarioCtes("rview", Some("view"), 12)},
+      base AS MATERIALIZED (SELECT p FROM b12 WHERE s = '^start'),
+      rem AS (
+        SELECT 'click' AS channel, p FROM rclick12 WHERE s = '^start'
+        UNION ALL
+        SELECT 'error', p FROM rerror12 WHERE s = '^start'
+        UNION ALL
+        SELECT 'signup', p FROM rsignup12 WHERE s = '^start'
+        UNION ALL
+        SELECT 'view', p FROM rview12 WHERE s = '^start'),
+      re AS MATERIALIZED (
+        SELECT channel, p AS p_conv_micro,
+               CAST(((SELECT p FROM base) - p) * 1000000
+                    // (SELECT p FROM base) AS BIGINT) AS removal_effect_ppm
+        FROM rem)
+      SELECT channel, p_conv_micro, removal_effect_ppm,
+             ${round6sql("removal_effect_ppm / CAST((SELECT " +
+               "sum(removal_effect_ppm) FROM re) AS DOUBLE)")}
+               AS attribution_share
+      FROM re
+      UNION ALL
+      SELECT '__BASE__', (SELECT p FROM base),
+             CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      ORDER BY channel
     """,
 
     "llm_funnel_rates" -> s"""
