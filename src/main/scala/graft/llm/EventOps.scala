@@ -1308,4 +1308,88 @@ object EventOps {
     rows.toDF("channel", "p_conv_micro", "removal_effect_ppm",
       "attribution_share").orderBy("channel")
   }
+
+  /** One-pass permutation-test panel with Benjamini–Hochberg FDR
+    * control (Fisher/Pitman randomization; BH 1995) — the
+    * multiple-testing closure of the A/B family: abWelch tests ONE
+    * metric against a t reference; a real experiment readout tests
+    * every metric and must correct for running m tests at once, and
+    * the t/normal CDF that p-values usually need is a transcendental
+    * that is NOT bit-stable cross-engine. Permutation p-values fix
+    * both at once: p = (1 + #{b : T_b ≥ T_obs}) / (B+1) is an exact
+    * small-integer rational, and BH's step-up condition
+    * p_(k) ≤ k·q/m becomes the pure-integer test
+    * p_num·q_den·m ≤ k·(B+1) — no CDF anywhere, every comparison
+    * replayable bit-for-bit.
+    *
+    * One corpus pass (the Chamandy one-pass-resampling discipline the
+    * Poisson bootstrap established): each row fans out to the observed
+    * assignment (b = 0, `user div 2` parity — the abWelch arm) plus B
+    * md5-derived pseudo-assignments, and a single partial-combining
+    * aggregation reduces 100 TB of events to the (metric × (B+1))
+    * cell table every statistic reads. The statistic is the exact
+    * integer cross-product form T = |n_B·S_A − n_A·S_B|
+    * (= n_A·n_B·|mean gap|, division-free), carried in decimal(38,0)
+    * so corpus size cannot overflow it. The permutation unit is the
+    * USER (the ratioJackknife argument: users, not events, are
+    * randomized), so all of a user's rows flip together.
+    *
+    * Output, one row per metric: t_obs, p_num (of B+1), p, BH rank,
+    * and the step-up verdict at q = qNum/qDen.
+    */
+  def permutationFdr(events: DataFrame, userCol: String, typeCol: String,
+      valueCol: String, perms: Int, qNum: Int = 1, qDen: Int = 10)
+      : DataFrame = {
+    require(perms >= 1, s"perms ($perms) must be >= 1")
+    val ev = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("m"), col(userCol).as("u"),
+        floor(col(valueCol) * 1000000 + 0.5).cast("decimal(38,0)").as("v"))
+    // b = 0 is the observed assignment; b ≥ 1 re-labels each USER by
+    // md5 parity — all of a user's rows flip together
+    val fanned = ev.select(col("m"), col("u"), col("v"),
+        explode(sequence(lit(0), lit(perms))).as("b"))
+      .withColumn("arm",
+        when(col("b") === 0, pmod(col("u"), lit(2)).cast("int"))
+          .otherwise(conv(substring(md5(concat(lit("perm"), col("b"),
+            lit("|"), col("u").cast("string"))), 1, 4), 16, 10)
+            .cast("int") % 2))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = fanned.groupBy("m", "b").agg(
+      dec(sum(when(col("arm") === 0, 1L).otherwise(0L))).as("na"),
+      dec(sum(when(col("arm") === 1, 1L).otherwise(0L))).as("nb"),
+      sum(when(col("arm") === 0, col("v")).otherwise(lit(0))).as("sa"),
+      sum(when(col("arm") === 1, col("v")).otherwise(lit(0))).as("sb"))
+      .withColumn("t", abs(col("nb") * col("sa") - col("na") * col("sb")))
+      .select("m", "b", "t")
+    val obs = cells.filter(col("b") === 0)
+      .select(col("m"), col("t").as("t_obs"))
+    val pnums = cells.filter(col("b") >= 1)
+      .join(obs, "m")
+      .groupBy("m", "t_obs")
+      .agg((lit(1L) + sum(when(col("t") >= col("t_obs"), 1L)
+        .otherwise(0L))).as("p_num"))
+    // BH step-up on the |metrics|-row panel: rank by (p_num, m) — a
+    // total order — then reject ranks ≤ max{k : p_num·q_den·mTot ≤
+    // k·(B+1)·q_num}; all comparisons integer
+    val byP = Window.orderBy(col("p_num"), col("m"))
+    val all = Window.partitionBy()
+    pnums
+      .withColumn("bh_rank", row_number().over(byP))
+      .withColumn("_mtot", count(lit(1)).over(all))
+      .withColumn("_ok", col("p_num") * qDen * col("_mtot")
+        <= col("bh_rank") * (perms + 1) * qNum)
+      .withColumn("_kstar", max(when(col("_ok"), col("bh_rank"))
+        .otherwise(lit(0))).over(all))
+      // decimal carries the cross-product exactly at any corpus size;
+      // the REPORTED statistic narrows to bigint (ANSI: loud on
+      // overflow, which at 10¹⁸·micro scale means re-quantizing, not
+      // silently wrapping)
+      .select(col("m").as("metric"),
+        col("t_obs").cast("long").as("t_obs"),
+        col("p_num"),
+        TextOps.round6(col("p_num") / lit((perms + 1).toDouble)).as("p"),
+        col("bh_rank"), (col("bh_rank") <= col("_kstar")).as("reject"))
+      .orderBy("metric")
+  }
 }

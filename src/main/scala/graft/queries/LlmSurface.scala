@@ -2131,6 +2131,33 @@ object LlmSurface {
         .orderBy("event_type")
     }),
 
+    // ---- permutation-test panel + Benjamini–Hochberg FDR -----------------
+    // The multiple-testing closure of the A/B family: all 5 metrics
+    // tested at once with EXACT rational permutation p-values (no
+    // t/normal CDF — transcendentals are not bit-stable cross-engine)
+    // and the BH step-up as a pure-integer comparison. One corpus pass
+    // fans each row to the observed + 63 md5 user-relabelings; a
+    // planted +25 shift on arm-1 error events makes one true effect.
+    "llm_ab_fdr" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("value",
+        when(col("user_id") % 2 === 1 && col("event_type") === "error",
+          col("value") + 25.0).otherwise(col("value")))
+      EventOps.permutationFdr(ev, "user_id", "event_type", "value",
+        perms = 63)
+    }),
+
+    // ---- Mondrian split conformal prediction intervals -------------------
+    // Distribution-free per-type intervals with a finite-sample
+    // coverage guarantee: md5-parity calibration split, lower-median
+    // point predictor, q̂ = ⌈(n+1)·0.9⌉-th smallest |v−pred|, achieved
+    // test coverage reported. Both order statistics walk value-DOMAIN
+    // histograms — nothing corpus-sized is ever sorted.
+    "llm_conformal" -> ((s, dir) => {
+      graft.llm.FeatureOps.conformalInterval(events(s, dir), "event_type",
+        "event_id", "value", alphaPct = 10, salt = "conf")
+        .orderBy("event_type")
+    }),
+
     // ---- difference-in-differences over the user panel -------------------
     // The rollout estimator when assignment is NOT randomized: the
     // treated arm's pre/post change minus control's, netting out any
@@ -6412,6 +6439,112 @@ $rounds,
                " / CAST(n * (n - 1) AS DOUBLE) / 1e12)")} AS var_reduction
       FROM m
       ORDER BY variant
+    """,
+
+    // Permutation panel + BH: replay the fan-out (b=0 observed, b≥1
+    // md5 user parity), exact integer cross-product statistic, exact
+    // rational p, integer step-up condition p_num·10·m ≤ k·64.
+    "llm_ab_fdr" -> s"""
+      WITH ev AS (
+        SELECT event_type AS m, user_id AS u,
+               CAST(floor((value + CASE WHEN user_id % 2 = 1
+                             AND event_type = 'error'
+                           THEN 25.0 ELSE 0 END) * 1000000 + 0.5)
+                    AS HUGEINT) AS v
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      bs AS (SELECT CAST(x AS INT) AS b FROM range(0, 64) t(x)),
+      fanned AS (
+        SELECT m, v, b,
+               CASE WHEN b = 0 THEN CAST(u % 2 AS INT)
+                    ELSE CAST('0x' || substr(md5('perm' ||
+                           CAST(b AS VARCHAR) || '|' ||
+                           CAST(u AS VARCHAR)), 1, 4) AS INT) % 2
+               END AS arm
+        FROM ev, bs),
+      cells AS MATERIALIZED (
+        SELECT m, b,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS na,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS nb,
+               sum(CASE WHEN arm = 0 THEN v ELSE 0 END) AS sa,
+               sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS sb
+        FROM fanned GROUP BY 1, 2),
+      tstat AS MATERIALIZED (
+        SELECT m, b, abs(nb * sa - na * sb) AS t FROM cells),
+      obs AS (SELECT m, t AS t_obs FROM tstat WHERE b = 0),
+      pn AS MATERIALIZED (
+        SELECT t.m, o.t_obs,
+               CAST(1 + sum(CASE WHEN t.t >= o.t_obs THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p_num
+        FROM tstat t JOIN obs o ON t.m = o.m
+        WHERE t.b >= 1 GROUP BY 1, 2),
+      ranked AS MATERIALIZED (
+        SELECT m, t_obs, p_num,
+               row_number() OVER (ORDER BY p_num, m) AS bh_rank,
+               (SELECT count(*) FROM pn) AS mtot
+        FROM pn),
+      kstar AS (
+        SELECT coalesce(max(bh_rank), 0) AS k FROM ranked
+        WHERE p_num * 10 * mtot <= bh_rank * 64)
+      SELECT m AS metric, CAST(t_obs AS BIGINT) AS t_obs, p_num,
+             ${round6sql("p_num / 64.0")} AS p,
+             bh_rank, bh_rank <= (SELECT k FROM kstar) AS reject
+      FROM ranked
+      ORDER BY metric
+    """,
+
+    // Mondrian split conformal: exact order statistics from value /
+    // residual histograms, ceil ranks via integer //.
+    "llm_conformal" -> s"""
+      WITH ev AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST('0x' || substr(md5('conf|' ||
+                 CAST(event_id AS VARCHAR)), 1, 4) AS INT) % 2 = 0 AS cal
+        FROM events
+        WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      ch AS MATERIALIZED (
+        SELECT g, cents, CAST(count(*) AS BIGINT) AS n
+        FROM ev WHERE cal GROUP BY 1, 2),
+      ncal AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_cal FROM ch GROUP BY 1),
+      pred AS MATERIALIZED (
+        SELECT g, n_cal, min(cents) AS pred_cents
+        FROM (SELECT ch.g, ch.cents, nc.n_cal,
+                     sum(ch.n) OVER (PARTITION BY ch.g ORDER BY ch.cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM ch JOIN ncal nc ON ch.g = nc.g)
+        WHERE cum >= (n_cal + 1) // 2
+        GROUP BY 1, 2),
+      rh AS MATERIALIZED (
+        SELECT e.g, abs(e.cents - p.pred_cents) AS r,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev e JOIN pred p ON e.g = p.g
+        WHERE e.cal GROUP BY 1, 2),
+      qhat AS MATERIALIZED (
+        SELECT g, min(r) AS qhat_cents
+        FROM (SELECT rh.g, rh.r, p.n_cal,
+                     sum(rh.n) OVER (PARTITION BY rh.g ORDER BY rh.r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM rh JOIN pred p ON rh.g = p.g)
+        WHERE cum >= ((n_cal + 1) * 90 + 99) // 100
+        GROUP BY 1)
+      SELECT e.g AS event_type, p.n_cal, p.pred_cents, q.qhat_cents,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN abs(e.cents - p.pred_cents) <= q.qhat_cents
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             ${round6sql(
+               "sum(CASE WHEN abs(e.cents - p.pred_cents) <= q.qhat_cents " +
+               "THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS coverage
+      FROM ev e
+      JOIN pred p ON e.g = p.g
+      JOIN qhat q ON e.g = q.g
+      WHERE NOT e.cal
+      GROUP BY 1, 2, 3, 4
+      ORDER BY event_type
     """,
 
     "llm_ab_welch" -> s"""
