@@ -2948,4 +2948,163 @@ object TextOps {
           / col("n_chunks").cast("double")).as("avg_chunk_words"))
       .orderBy("source")
   }
+
+  /** Zipf rank–frequency fit (Zipf 1949) — the rank-domain companion
+    * to [[vocabGrowth]]'s Heaps fit: Heaps asks "how fast does NEW
+    * vocabulary arrive", Zipf asks "how is frequency MASS distributed
+    * over the vocabulary you have" (ln c ≈ ln k − s·ln rank; natural
+    * text has s ≈ 1, and a flat synthetic soup shows s near 0 — the
+    * honest diagnostic either way).
+    *
+    * ONE tokenize pass reduces the corpus to the (word, count) vocab
+    * table; ranking (count DESC, word — a total order, deterministic
+    * under ties) and the OLS run on that vocab-sized table only. The
+    * X197/X228 cross-engine discipline: ln touches only the vocab
+    * rows and is floored to integer micro-nats BEFORE the moment sums,
+    * which are exact int64; slope/intercept are the only divisions.
+    *
+    * Output (part, k, sym, n): per-rank rows (part='rank', k=rank,
+    * sym=word, n=count) plus part='fit' rows s_micro (the NEGATED
+    * slope, so Zipfian ⇒ positive) and logk_micro.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wc = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    val ranked = wc.withColumn("rank", row_number().over(byFreq))
+      .localCheckpoint(eager = true)
+    val fit = ranked.select(
+        floor(log(col("rank").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("x"),
+        floor(log(col("c").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(
+        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * 1000000.0
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          + 0.5).cast("long").as("beta_micro"),
+        col("n"), col("sx"), col("sy"))
+      .select(col("beta_micro"),
+        floor((col("sy").cast("double")
+            - col("beta_micro").cast("double") / 1000000.0
+              * col("sx").cast("double"))
+            / col("n").cast("double") + 0.5).cast("long").as("logk_micro"))
+    val rankRows = ranked.select(lit("rank").as("part"),
+      col("rank").cast("long").as("k"), col("w").as("sym"),
+      col("c").cast("long").as("n"))
+    val fitRows = fit.select(
+        map(lit("s_micro"), -col("beta_micro"),
+          lit("logk_micro"), col("logk_micro")).as("m"))
+      .select(lit("fit").as("part"), lit(null).cast("long").as("k"),
+        explode(col("m")).as(Seq("sym", "n")))
+    rankRows.unionByName(fitRows).orderBy("part", "k", "sym")
+  }
+
+  /** Per-word corpus dispersion DP (Gries 2008, "Dispersions and
+    * adjusted frequencies in corpora") — the burstiness audit raw
+    * frequency hides: a word with f = 1000 spread evenly over every
+    * source behaves differently from one with f = 1000 dumped in a
+    * single crawl snapshot (boilerplate, spam bursts), and frequency
+    * alone cannot tell them apart. DP(w) = ½·Σ_parts |v_i/f − s_i|
+    * over the source partition: 0 = perfectly proportional to source
+    * sizes, →1 = concentrated in one part.
+    *
+    * ONE tokenize pass reduces the corpus to (source, word, count)
+    * cells; the |vocab|×|sources| completion (absent cells count as
+    * v_i = 0 — omitting them understates DP) and the fold run on that
+    * table. Shares and ratios are ppm integers via `div`, so both
+    * engines fold identically; ½ folds into the final div 2.
+    *
+    * Output: (word, f, dp_ppm) for every vocab word.
+    */
+  def dispersionDp(df: DataFrame, sourceCol: String, textCol: String)
+      : DataFrame = {
+    val sw = df.select(col(sourceCol).as("s"),
+        explode(words(col(textCol))).as("w"))
+      .groupBy("s", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val srcTot = sw.groupBy("s").agg(sum("c").as("ns"))
+    val n = srcTot.agg(sum("ns").as("n"))
+    val srcShare = srcTot.crossJoin(broadcast(n))
+      .select(col("s"), expr("(ns * 1000000) div n").as("s_ppm"))
+    val wordTot = sw.groupBy("w").agg(sum("c").as("f"))
+    // complete the vocab × sources grid: a word ABSENT from a source
+    // still contributes |0 − s_i| to its DP
+    wordTot.crossJoin(broadcast(srcShare))
+      .join(sw, Seq("w", "s"), "left")
+      .select(col("w"), col("f"),
+        abs(expr("(coalesce(c, CAST(0 AS BIGINT)) * 1000000) div f")
+          - col("s_ppm")).as("_d"))
+      .groupBy("w", "f").agg(expr("sum(_d) div 2").as("dp_ppm"))
+      .select(col("w").as("word"), col("f"), col("dp_ppm"))
+      .orderBy(col("dp_ppm").desc, col("word"))
+  }
+
+  /** Corpus concentration readouts (Gini over per-doc token counts;
+    * Herfindahl–Hirschman over source token shares) — the "is my
+    * corpus a few whales plus plankton" numbers a curation team reads
+    * next to [[dispersionDp]]'s per-word view: Gini says whether token
+    * mass concentrates in few DOCUMENTS (length skew → packing/
+    * sampling bias), HHI whether it concentrates in few SOURCES
+    * (mixture fragility — one takedown and the corpus halves).
+    *
+    * Scale (the X218 no-corpus-sort argument): Gini never sorts docs —
+    * the per-doc length table reduces to a LENGTH HISTOGRAM (bounded
+    * by the length domain), and the exact rank-sum formula folds over
+    * it: a block of cnt docs of length x spanning ranks
+    * (cb, cb+cnt] contributes x·(cnt·cb + cnt(cnt+1)/2) to Σ i·x_(i)
+    * — tie order provably cancels. All arithmetic in decimal/ppm
+    * `div`; G = 2·S·10⁶ div (n·T) − (n+1)·10⁶ div n.
+    *
+    * Output (measure, value) rows: n_docs, n_sources, total_tokens,
+    * gini_doc_ppm, hhi_source_ppm, top_source_share_ppm.
+    */
+  def concentration(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val docs = df.select(col(idCol).as("d"), col(sourceCol).as("s"),
+        size(words(col(textCol))).cast("long").as("len"))
+      .localCheckpoint(eager = true)
+    // length histogram + exact grouped rank-sum Gini
+    val hist = docs.groupBy("len").agg(count(lit(1)).as("cnt"))
+    val byLen = org.apache.spark.sql.expressions.Window.orderBy("len")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val gini = hist
+      .withColumn("cb", coalesce(sum("cnt").over(byLen), lit(0L)))
+      .withColumn("rsum", expr("cnt * cb + (cnt * (cnt + 1)) div 2"))
+      .agg(sum(dec(col("len")) * dec(col("rsum"))).as("srank"),
+        sum(col("cnt")).as("n"), sum(dec(col("len")) * dec(col("cnt")))
+          .as("t"))
+      .select(
+        (expr("CAST(2 AS DECIMAL(38,0)) * srank * 1000000 div (n * t)")
+          - expr("(CAST(n AS DECIMAL(38,0)) + 1) * 1000000 div n"))
+          .cast("long").as("gini_doc_ppm"),
+        col("n").cast("long").as("n_docs"), col("t").cast("long")
+          .as("total_tokens"))
+    val bySrc = docs.groupBy("s").agg(sum("len").as("st"))
+    val srcStats = bySrc.crossJoin(broadcast(
+        bySrc.agg(sum("st").as("tt"), count(lit(1)).as("ns"))))
+      .select(col("ns"), expr("(st * 1000000) div tt").as("share_ppm"))
+      .groupBy("ns").agg(
+        expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_source_ppm"),
+        max("share_ppm").as("top_source_share_ppm"))
+    gini.crossJoin(broadcast(srcStats))
+      .select(map(
+        lit("n_docs"), col("n_docs"),
+        lit("n_sources"), col("ns").cast("long"),
+        lit("total_tokens"), col("total_tokens"),
+        lit("gini_doc_ppm"), col("gini_doc_ppm"),
+        lit("hhi_source_ppm"), col("hhi_source_ppm"),
+        lit("top_source_share_ppm"), col("top_source_share_ppm")).as("m"))
+      .select(explode(col("m")).as(Seq("measure", "value")))
+      .orderBy("measure")
+  }
 }

@@ -2023,6 +2023,34 @@ object LlmSurface {
       TextOps.vocabGrowth(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // ---- Zipf rank-frequency fit -----------------------------------------
+    // The rank-domain companion to llm_vocab_growth: how frequency
+    // MASS distributes over the vocabulary (natural text s ≈ 1; the
+    // synthetic soup's near-flat s is the honest readout). One
+    // tokenize pass to the vocab table; rank + micro-ln OLS on vocab
+    // rows only.
+    "llm_zipf_fit" -> ((s, dir) => {
+      TextOps.zipfFit(Tables(s, dir, "documents"), "text")
+    }),
+
+    // ---- per-word dispersion (Gries DP) ----------------------------------
+    // The burstiness audit frequency hides: evenly-spread vs
+    // single-source-dumped words at the same f. One tokenize pass to
+    // (source, word) cells; the vocab×sources completion (absent
+    // cells still contribute |0 − s_i|) and the ppm fold run there.
+    "llm_dispersion" -> ((s, dir) => {
+      TextOps.dispersionDp(Tables(s, dir, "documents"), "source", "text")
+    }),
+
+    // ---- corpus concentration (Gini / HHI) -------------------------------
+    // Whale-detection: Gini over per-doc token counts from the LENGTH
+    // HISTOGRAM (grouped rank-sum — no corpus sort), HHI + top share
+    // over source token shares. All ppm integer div.
+    "llm_concentration" -> ((s, dir) => {
+      TextOps.concentration(Tables(s, dir, "documents"), "doc_id",
+        "source", "text")
+    }),
+
     // ---- RAKE keyphrase extraction (Rose et al. 2010) --------------------
     // Corpus top-20 "what is this about" phrases: stopword-free runs
     // score Σ deg(w)/freq(w) with word scores floored to micro once —
@@ -6043,6 +6071,118 @@ $rounds,
     // Same discounted-ratio spelling; the phrase flag cross-multiplies
     // RAKE replay: same runs, same once-floored micro word scores,
     // integer phrase sums, total top-k order
+    // Zipf replay: same (count DESC, word) rank order, micro-ln points,
+    // exact integer moments; negated slope published as s_micro.
+    "llm_zipf_fit" -> """
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+      ranked AS MATERIALIZED (
+        SELECT w, c,
+               CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank
+        FROM wc),
+      pts AS (
+        SELECT CAST(floor(ln(rank) * 1000000 + 0.5) AS BIGINT) AS x,
+               CAST(floor(ln(c) * 1000000 + 0.5) AS BIGINT) AS y
+        FROM ranked),
+      mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts),
+      fit AS (
+        SELECT CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                 / CAST(n * sxx - sx * sx AS DOUBLE) + 0.5) AS BIGINT)
+                 AS beta,
+               n, sx, sy
+        FROM mom),
+      fit2 AS MATERIALIZED (
+        SELECT beta,
+               CAST(floor((CAST(sy AS DOUBLE)
+                 - CAST(beta AS DOUBLE) / 1000000.0 * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS logk
+        FROM fit)
+      SELECT 'rank' AS part, rank AS k, w AS sym, c AS n FROM ranked
+      UNION ALL
+      SELECT 'fit', NULL, 'logk_micro', logk FROM fit2
+      UNION ALL
+      SELECT 'fit', NULL, 's_micro', -beta FROM fit2
+      ORDER BY part, k, sym
+    """,
+
+    // Gries DP replay: ppm shares and ratios via //, the grid completed
+    // by a cross join so absent cells contribute |0 − s_i|.
+    "llm_dispersion" -> """
+      WITH tok AS (
+        SELECT source AS s, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      sw AS MATERIALIZED (
+        SELECT s, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      st AS MATERIALIZED (
+        SELECT s, CAST(sum(c) AS BIGINT) AS ns FROM sw GROUP BY 1),
+      nt AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+      sh AS MATERIALIZED (
+        SELECT s, CAST(ns * 1000000 // (SELECT n FROM nt) AS BIGINT)
+                 AS s_ppm
+        FROM st),
+      wt AS MATERIALIZED (
+        SELECT w, CAST(sum(c) AS BIGINT) AS f FROM sw GROUP BY 1),
+      grid AS (SELECT wt.w, wt.f, sh.s, sh.s_ppm FROM wt CROSS JOIN sh),
+      d AS (
+        SELECT g.w, g.f,
+               abs(coalesce(sw.c, 0) * 1000000 // g.f - g.s_ppm) AS dd
+        FROM grid g LEFT JOIN sw ON sw.w = g.w AND sw.s = g.s)
+      SELECT w AS word, f, CAST(sum(dd) // 2 AS BIGINT) AS dp_ppm
+      FROM d GROUP BY 1, 2
+      ORDER BY dp_ppm DESC, word
+    """,
+
+    // Concentration replay: grouped rank-sum Gini over the length
+    // histogram (exact HUGEINT), ppm HHI/top-share over source totals.
+    "llm_concentration" -> """
+      WITH d AS (
+        SELECT doc_id, source AS s,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        FROM documents),
+      hist AS MATERIALIZED (
+        SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      cum AS (
+        SELECT len, cnt,
+               coalesce(sum(cnt) OVER (ORDER BY len
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM hist),
+      g AS (
+        SELECT sum(CAST(len AS HUGEINT)
+                 * (cnt * cb + (cnt * (cnt + 1)) // 2)) AS srank,
+               sum(cnt) AS n, sum(CAST(len AS HUGEINT) * cnt) AS t
+        FROM cum),
+      gini AS MATERIALIZED (
+        SELECT CAST(2 * srank * 1000000 // (n * t)
+                 - (n + 1) * 1000000 // n AS BIGINT) AS gini_doc_ppm,
+               CAST(n AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS total_tokens
+        FROM g),
+      bs AS MATERIALIZED (
+        SELECT s, CAST(sum(len) AS BIGINT) AS st FROM d GROUP BY 1),
+      tt AS (SELECT CAST(sum(st) AS BIGINT) AS tt,
+                    CAST(count(*) AS BIGINT) AS ns FROM bs),
+      shares AS (
+        SELECT CAST(st * 1000000 // (SELECT tt FROM tt) AS BIGINT)
+                 AS share_ppm
+        FROM bs),
+      src AS MATERIALIZED (
+        SELECT (SELECT ns FROM tt) AS ns,
+               CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi,
+               max(share_ppm) AS tops
+        FROM shares)
+      SELECT 'gini_doc_ppm' AS measure, gini_doc_ppm AS value FROM gini
+      UNION ALL SELECT 'hhi_source_ppm', hhi FROM src
+      UNION ALL SELECT 'n_docs', n_docs FROM gini
+      UNION ALL SELECT 'n_sources', ns FROM src
+      UNION ALL SELECT 'top_source_share_ppm', tops FROM src
+      UNION ALL SELECT 'total_tokens', total_tokens FROM gini
+      ORDER BY measure
+    """,
+
     "llm_vocab_growth" -> """
       WITH toks AS (
         SELECT CAST('0x' || substr(md5('vg|' || CAST(doc_id AS VARCHAR)),
