@@ -1392,4 +1392,112 @@ object EventOps {
         col("bh_rank"), (col("bh_rank") <= col("_kstar")).as("reject"))
       .orderBy("metric")
   }
+
+  /** Single change-point in the mean by exact least squares (the AMOC
+    * case of Scott & Knott / binary segmentation; Page's offline
+    * counterpart) — the "WHEN did it change" companion to
+    * [[cusumDrift]]'s online "DID it change": CUSUM alarms as the
+    * shift accumulates (detection delay built in), this scans every
+    * candidate break b and picks the split minimizing
+    * SSE₁(≤b) + SSE₂(>b), which is the maximum-likelihood break under
+    * a mean shift.
+    *
+    * Exactness: SSE in micro-units via the moment identity
+    * nΣy² − (Σy)², one integer `div n` per segment — the only
+    * divisions — so every candidate's score and the argmin (ties →
+    * earliest day, a total order) replay bit-identically. Input is the
+    * calendar-bounded daily table; prefix sums ride ONE ordered window
+    * over it and candidate scoring is pure column arithmetic on those
+    * ≤|days| rows — the corpus never appears here (the caller's daily
+    * aggregation is the one corpus-scale pass, as in holtLinear).
+    *
+    * Output, one row per candidate break (b = LAST day of the first
+    * segment; both segments non-empty): day, n, segment means in
+    * micro-units, sse_micro, is_best.
+    */
+  def changepointMean(daily: DataFrame, dayCol: String, nCol: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byDay = w.orderBy(dayCol)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val cum = daily.select(col(dayCol).as("day"), col(nCol).as("n"))
+      .withColumn("s1", sum("n").over(byDay))
+      .withColumn("ss1", sum(expr(s"n * n")).over(byDay))
+      .withColumn("n1", count(lit(1)).over(byDay))
+    val tot = cum.agg(max("s1").as("st"), max("ss1").as("sst"),
+      max("n1").as("nt"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("n1") < col("nt")) // both segments non-empty
+      .withColumn("sse_micro",
+        expr("((n1 * ss1 - s1 * s1) * 1000000) div n1") +
+        expr("(((nt - n1) * (sst - ss1) - (st - s1) * (st - s1)) " +
+          "* 1000000) div (nt - n1)"))
+      .withColumn("mean_before_micro", expr("(s1 * 1000000) div n1"))
+      .withColumn("mean_after_micro",
+        expr("((st - s1) * 1000000) div (nt - n1)"))
+      .withColumn("_best", min(struct(col("sse_micro"), col("day")))
+        .over(w.partitionBy()))
+      .select(col("day"), col("n"), col("mean_before_micro"),
+        col("mean_after_micro"), col("sse_micro"),
+        (col("_best.sse_micro") === col("sse_micro")
+          && col("_best.day") === col("day")).as("is_best"))
+      .orderBy("day")
+  }
+
+  /** Daily cross-correlation function between two event-type series
+    * (lead–lag analysis; Box & Jenkins ch. 11) — the "does X drive Y,
+    * and with what delay" readout next to [[seasonalDecompose]]: the
+    * lag maximizing r(ℓ) between, say, clicks_t and purchases_{t+ℓ}
+    * is the causal-delay hypothesis a funnel team starts from.
+    *
+    * ONE corpus pass reduces events to two zero-filled daily series on
+    * a DENSE calendar spine (absent days are real (0,0) observations —
+    * dropping them biases r); each day carries an integer index t so
+    * lag arithmetic is integer, and the ±maxLag pair joins + exact
+    * int64 Pearson moments run on the |days|×|lags| metadata only.
+    * One IEEE sqrt per lag at the very end, round6.
+    *
+    * Output: (lag, n_days, r) for ℓ ∈ [−maxLag, maxLag]; r(ℓ)
+    * correlates x_t with y_{t+ℓ}, so a POSITIVE peak lag means x
+    * leads y by ℓ days.
+    */
+  def ccfDaily(events: DataFrame, tsCol: String, typeCol: String,
+      typeX: String, typeY: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag ($maxLag) must be >= 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(to_date(col(tsCol)).as("day"),
+      col(typeCol).as("et"))
+    val spine = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"),
+        col("d0"))
+      .select(col("day"), datediff(col("day"), col("d0")).as("t"))
+    val daily = spine
+      .join(ev.filter(col("et") === typeX).groupBy("day")
+        .agg(count(lit(1)).as("_x")), Seq("day"), "left")
+      .join(ev.filter(col("et") === typeY).groupBy("day")
+        .agg(count(lit(1)).as("_y")), Seq("day"), "left")
+      .select(col("t"), coalesce(col("_x"), lit(0L)).as("x"),
+        coalesce(col("_y"), lit(0L)).as("y"))
+      .localCheckpoint(eager = true)
+    val lags = (-maxLag to maxLag).toDF("lag")
+    // pair (x_t, y_{t+lag}): join y at index t + lag
+    val moments = lags.as("l")
+      .join(daily.as("a"), lit(true))
+      .join(daily.as("b"), col("b.t") === col("a.t") + col("l.lag"))
+      .groupBy(col("l.lag").as("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("a.x")).as("sx"),
+        sum(col("b.y")).as("sy"),
+        sum(col("a.x") * col("b.y")).as("sxy"),
+        sum(col("a.x") * col("a.x")).as("sxx"),
+        sum(col("b.y") * col("b.y")).as("syy"))
+    moments.select(col("lag"), col("n").as("n_days"),
+        TextOps.round6(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("r"))
+      .orderBy("lag")
+  }
 }

@@ -3367,6 +3367,40 @@ object LlmSurface {
     // selection, all O(days^2) work on calendar metadata.
     "p_theil_sen" -> ((s, dir) => {
       EventOps.theilSenDailyTrend(events(s, dir), "ts")
+    }),
+
+    // ---- offline change-point (exact least-squares mean break) -----------
+    // The "WHEN did it change" companion to llm_cusum_drift's online
+    // alarm, over the SAME planted daily error series (×3 from
+    // 2024-01-26): scan every break, pick min SSE₁+SSE₂ in exact
+    // micro integer arithmetic. The recovered break must be 01-25 —
+    // the last pre-shift day.
+    "p_changepoint" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val daily = days
+        .join(ev.filter(col("event_type") === "error").groupBy("day")
+          .agg(count(lit(1)).as("_n")), Seq("day"), "left")
+        .select(col("day"),
+          when(col("day") >= to_date(lit("2024-01-26")),
+            coalesce(col("_n"), lit(0L)) * 3)
+          .otherwise(coalesce(col("_n"), lit(0L))).as("n"))
+      EventOps.changepointMean(daily, "day", "n")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          col("mean_before_micro"), col("mean_after_micro"),
+          col("sse_micro"), col("is_best"))
+        .orderBy("day")
+    }),
+
+    // ---- daily cross-correlation (lead-lag, clicks → purchases) ----------
+    // r(ℓ) between clicks_t and purchases_{t+ℓ} for ℓ ∈ [−7, 7] on a
+    // DENSE zero-filled calendar spine; exact int64 Pearson moments,
+    // one sqrt per lag. The peak lag is the funnel-delay hypothesis.
+    "p_ccf" -> ((s, dir) => {
+      EventOps.ccfDaily(events(s, dir), "ts", "event_type",
+        "click", "purchase", maxLag = 7)
     })
   )
 
@@ -8818,6 +8852,88 @@ $rounds
 
     // Theil-Sen replay: same ppm pair slopes, same lower-median rank
     // selection (rank ties select the same VALUE), same OLS moments
+    // AMOC change-point replay: same planted series as llm_cusum_drift,
+    // prefix-sum candidates, exact micro SSE via //, ties -> earliest.
+    "p_changepoint" -> """
+      WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bnd),
+      actual AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n
+        FROM ev WHERE event_type = 'error' GROUP BY 1),
+      daily AS MATERIALIZED (
+        SELECT d.day,
+               CASE WHEN d.day >= DATE '2024-01-26'
+                    THEN coalesce(a.n, 0) * 3
+                    ELSE coalesce(a.n, 0) END AS n
+        FROM days d LEFT JOIN actual a USING (day)),
+      cum AS MATERIALIZED (
+        SELECT day, n, sum(n) OVER w AS s1, sum(n * n) OVER w AS ss1,
+               CAST(count(*) OVER w AS BIGINT) AS n1
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (SELECT max(s1) AS st, max(ss1) AS sst, max(n1) AS nt FROM cum),
+      cand AS MATERIALIZED (
+        SELECT day, n,
+               (s1 * 1000000) // n1 AS mean_before_micro,
+               ((st - s1) * 1000000) // (nt - n1) AS mean_after_micro,
+               ((n1 * ss1 - s1 * s1) * 1000000) // n1
+                 + (((nt - n1) * (sst - ss1) - (st - s1) * (st - s1))
+                    * 1000000) // (nt - n1) AS sse_micro
+        FROM cum, tot WHERE n1 < nt),
+      best AS MATERIALIZED (
+        SELECT min(sse_micro) AS ms FROM cand),
+      bestd AS (
+        SELECT min(day) AS bd FROM cand
+        WHERE sse_micro = (SELECT ms FROM best))
+      SELECT strftime(day, '%Y-%m-%d') AS day, n,
+             CAST(mean_before_micro AS BIGINT) AS mean_before_micro,
+             CAST(mean_after_micro AS BIGINT) AS mean_after_micro,
+             CAST(sse_micro AS BIGINT) AS sse_micro,
+             sse_micro = (SELECT ms FROM best)
+               AND day = (SELECT bd FROM bestd) AS is_best
+      FROM cand ORDER BY day
+    """,
+
+    // CCF replay: dense zero-filled spine with integer day index,
+    // per-lag pair join + exact Pearson moments, one sqrt per lag.
+    "p_ccf" -> s"""
+      WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(u AS DATE) AS day,
+               date_diff('day', d0, CAST(u AS DATE)) AS t
+        FROM (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                            CAST(d1 AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS u, d0
+              FROM bnd)),
+      xd AS (SELECT day, CAST(count(*) AS BIGINT) AS x FROM ev
+             WHERE event_type = 'click' GROUP BY 1),
+      yd AS (SELECT day, CAST(count(*) AS BIGINT) AS y FROM ev
+             WHERE event_type = 'purchase' GROUP BY 1),
+      daily AS MATERIALIZED (
+        SELECT t, coalesce(x.x, 0) AS x, coalesce(y.y, 0) AS y
+        FROM days LEFT JOIN xd x USING (day) LEFT JOIN yd y USING (day)),
+      lags AS (SELECT CAST(l AS INT) AS lag FROM range(-7, 8) t(l)),
+      mom AS (
+        SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+               sum(a.x) AS sx, sum(b.y) AS sy, sum(a.x * b.y) AS sxy,
+               sum(a.x * a.x) AS sxx, sum(b.y * b.y) AS syy
+        FROM lags l JOIN daily a ON true JOIN daily b ON b.t = a.t + l.lag
+        GROUP BY 1)
+      SELECT lag, n AS n_days,
+             ${round6sql(
+        "CAST(n * sxy - sx * sy AS DOUBLE)" +
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))" +
+        " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")} AS r
+      FROM mom ORDER BY lag
+    """,
+
     "p_theil_sen" -> """
       WITH counts AS (
         SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y

@@ -471,4 +471,48 @@ class AnalyticsOpsSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("changepointMean: clean level shift recovered with zero SSE") {
+    val daily = Seq(
+      ("2024-01-01", 10L), ("2024-01-02", 10L), ("2024-01-03", 10L),
+      ("2024-01-04", 20L), ("2024-01-05", 20L), ("2024-01-06", 20L))
+      .toDF("d", "n").select(to_date(col("d")).as("day"), col("n"))
+    val got = EventOps.changepointMean(daily, "day", "n")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("mean_before_micro"),
+        col("mean_after_micro"), col("sse_micro"), col("is_best"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.length === 5) // both segments non-empty
+    val best = got.filter(_._5)
+    assert(best.toSeq === Seq(("2024-01-03", 10000000L, 20000000L, 0L, true)))
+    // a mid-segment break must cost positive SSE
+    assert(got.filter(_._1 == "2024-01-02").head._4 > 0L)
+  }
+
+  test("changepointMean: constant series ties break to the earliest day") {
+    val daily = Seq(("2024-01-01", 5L), ("2024-01-02", 5L),
+      ("2024-01-03", 5L)).toDF("d", "n")
+      .select(to_date(col("d")).as("day"), col("n"))
+    val got = EventOps.changepointMean(daily, "day", "n")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("is_best"))
+      .as[(String, Boolean)].collect().toMap
+    assert(got === Map("2024-01-01" -> true, "2024-01-02" -> false))
+  }
+
+  test("ccfDaily: exact 2-day shift peaks at r(2) = 1.0") {
+    // clicks on days 0..9 with varying counts; purchases are the SAME
+    // counts 2 days later — at lag 2 every spine pair is (x, x)
+    val counts = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)((ts(f"2024-01-${d + 1}%02d 10:00:00"), "click")) ++
+      Seq.fill(c)((ts(f"2024-01-${d + 3}%02d 10:00:00"), "purchase"))
+    }
+    val got = EventOps.ccfDaily(rows.toDF("ts", "event_type"), "ts",
+      "event_type", "click", "purchase", maxLag = 3)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(2) === ((10L, 1.0)))
+    assert(got.keySet === (-3 to 3).toSet)
+    // off-peak lags are strictly below the perfect alignment
+    assert(got.filterKeys(_ != 2).values.forall(_._2 < 1.0))
+  }
 }
