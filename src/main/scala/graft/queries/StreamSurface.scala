@@ -214,6 +214,28 @@ object StreamSurface {
         .orderBy("win_start")
     }),
 
+    // ---- streaming priority sample: bounded-state member sampling --------
+    // The fourth bounded-state sketch yields MEMBERS, not counts: a
+    // deterministic without-replacement sample of 64 distinct users
+    // per daily window via bottom-k over md5-packed longs (hash in
+    // the high bits = uniform priority, user_id in the low 24 = exact
+    // recovery). Min-k merge is order-insensitive, so streaming state
+    // ≡ the batch sample bit-for-bit — the per-member rows hash-match
+    // the batch replay. Sentinel window unpacks to zero rows.
+    "stream_priority_sample" -> ((s, dir) => {
+      val base = tmpBase(dir, "psamp")
+      val (in, schema) = stagedEventsWithSentinels(s, dir)
+      StreamHarness.run(s, in, schema, s"$base/out") { src =>
+        EventStream.prioritySampleDaily(src, "10 minutes", k = 64)
+      }
+      s.read.parquet(s"$base/out")
+        .select(date_format(col("win_start"), tsFmt).as("win_start"),
+          posexplode(col("sample")).as(Seq("_pos", "_v")))
+        .select(col("win_start"), (col("_pos") + 1).as("rank"),
+          (col("_v") % 16777216).as("user_id"))
+        .orderBy("win_start", "rank")
+    }),
+
     // ---- streaming count-min sketch: bounded-state per-key counts --------
     // The stream maintains ONLY the depth x width cell table per daily
     // window (EventStream.cmsDailyCells); the per-user point estimates
@@ -633,6 +655,27 @@ object StreamSurface {
              (len(kmv) = 64) AS sketch_full
       FROM ev JOIN sk ON ev.d = sk.d
       ORDER BY win_start
+    """,
+
+    // Batch replay of the daily priority sample: the k smallest
+    // distinct packed (hash·2²⁴ + user_id) values per UTC day —
+    // bit-equality proves the merged streaming bottom-k state equals
+    // the batch sample of the same user set, member by member.
+    "stream_priority_sample" -> """
+      WITH pk AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST('0x' || substr(md5('psamp|' || CAST(user_id AS VARCHAR)),
+                 1, 9) AS BIGINT) * 16777216 + user_id AS v
+        FROM events),
+      dv AS (SELECT DISTINCT d, v FROM pk),
+      rk AS (SELECT d, v,
+                    row_number() OVER (PARTITION BY d ORDER BY v) AS rank
+             FROM dv)
+      SELECT strftime(CAST(d AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS win_start,
+             CAST(rank AS INT) AS rank,
+             v % 16777216 AS user_id
+      FROM rk WHERE rank <= 64
+      ORDER BY win_start, rank
     """,
 
     // Batch replay of the daily count-min sketch: identical per-row

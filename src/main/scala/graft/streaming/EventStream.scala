@@ -175,6 +175,46 @@ object EventStream extends Serializable {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("b"), col("n"))
 
+  /** Deterministic bottom-k priority sample of DISTINCT users per daily
+    * window — the fourth bounded-state streaming sketch next to
+    * [[kmvDailyUsers]] (cardinality), [[cmsDailyCells]] (counts) and
+    * [[valueHistDailyCells]] (quantiles): those answer "how many";
+    * this yields MEMBERS — "give me 64 uniform random users from
+    * today to spot-check" — with O(k) state per window no matter the
+    * traffic.
+    *
+    * The trick that keeps it one bottomk_distinct_long aggregation:
+    * each user packs into ONE long as `md5₃₆(user) · 2²⁴ + user_id`
+    * — ordering is by the 36-bit hash first (uniform priority;
+    * identical users collide to the identical packed value, so the
+    * distinct-k set IS a without-replacement user sample), and the id
+    * rides in the low 24 bits for exact recovery at readback (ids ≥
+    * 2²⁴ raise, loudly — the pack range is a contract, not a
+    * truncation). Bottom-k sets are mergeable (min-k of union =
+    * min-k of min-ks, order-insensitive), so merged cross-micro-batch
+    * state ≡ the batch sample of the same set, bit for bit — what
+    * makes the per-member output oracle-replayable at all.
+    *
+    * Sentinel discipline as in [[kmvDailyUsers]]: sentinel → null
+    * (skipped by the agg), no filter between watermark and agg.
+    *
+    * Output: (win_start, sample) with the ascending packed array;
+    * callers unpack `rank = pos+1, user_id = v % 2²⁴`.
+    */
+  def prioritySampleDaily(events: DataFrame, watermarkDelay: String,
+      k: Int): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("_pk", expr(
+        "cast(case when event_type = '__sentinel' then null " +
+        "when user_id < 0 or user_id >= 16777216 then " +
+        "raise_error('prioritySampleDaily: user_id outside 24-bit pack range') " +
+        "else conv(substring(md5(concat('psamp|', cast(user_id as string))), " +
+        "1, 9), 16, 10) * 16777216 + user_id end as bigint)"))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr(s"bottomk_distinct_long(_pk, $k)").as("sample"))
+      .select(col("w.start").as("win_start"), col("sample"))
+
   /** Stream-stream click attribution: join each click to the views by
     * the SAME user that happened within `horizon` BEFORE it — the
     * canonical two-stream event-time join. Both inputs need

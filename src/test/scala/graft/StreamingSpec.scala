@@ -36,6 +36,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("priority sample: cross-batch bottom-k state equals the batch " +
+    "sample, members exactly recoverable") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF()
+      .toDF("user_id", "ts", "event_type", "value")
+    val q = EventStream.prioritySampleDaily(events, "2 hours", k = 3)
+      .writeStream.format("memory").queryName("psamp_test")
+      .outputMode("update").start()
+    try {
+      // 8 distinct users split across TWO micro-batches (repeats in
+      // both) — the merged min-k must equal the batch sample
+      input.addData((0L to 4L).map(u =>
+        (u, ts("2024-01-01 10:00:00"), "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((3L to 7L).map(u =>
+        (u, ts("2024-01-01 11:00:00"), "view", 1.0)): _*)
+      q.processAllAvailable()
+      val sample = spark.table("psamp_test")
+        .orderBy(org.apache.spark.sql.functions.col("win_start").desc)
+        .select("sample").as[Seq[Long]].collect().head
+      // batch replay: same packing, brute-force sort, first 3
+      val expected = (0L to 7L).map { u =>
+        val h = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"psamp|$u".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(9), 16)
+        h * 16777216L + u
+      }.sorted.take(3)
+      assert(sample === expected)
+      // low 24 bits recover the ids exactly
+      assert(sample.map(_ % 16777216L).toSet.subsetOf((0L to 7L).toSet))
+    } finally q.stop()
+  }
+
   test("stream-stream click attribution joins within the horizon only") {
     implicit val ctx = spark.sqlContext
     val views = MemoryStream[(Long, Timestamp, Long)]
