@@ -1393,6 +1393,62 @@ object EventOps {
       .orderBy("metric")
   }
 
+  /** Simpson's-paradox audit over the A/B panel (Simpson 1951; the
+    * Blyth 1972 framing) — the aggregation-reversal detector every
+    * experiment readout should run before trusting a pooled number:
+    * when arm traffic is unevenly composed across strata, the pooled
+    * arm contrast can point OPPOSITE to every stratum's contrast, and
+    * a dashboard showing only the pooled row ships the wrong decision.
+    *
+    * Division-free and exact (the permutationFdr statistic): the arm
+    * contrast in any cell is sign(n_B·S_A − n_A·S_B) =
+    * sign(mean_A − mean_B), an integer cross product carried in
+    * decimal(38,0) — no means, no CDFs, nothing rounded. One
+    * partial-combining pass reduces the corpus to
+    * (metric × stratum × arm) cells; the overall contrast sums the
+    * same cells. `reversal` fires on the strict textbook pattern:
+    * every informative stratum agrees on a non-zero direction and the
+    * pooled contrast points the other way.
+    *
+    * Output per metric: overall_diff (sign-carrying bigint), n_strata,
+    * n_favor_a / n_favor_b (strata with a strictly positive /
+    * negative A−B contrast), reversal.
+    */
+  def simpsonAudit(events: DataFrame, userCol: String, typeCol: String,
+      strataCol: Column, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ev = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("m"), strataCol.as("g"),
+        pmod(col(userCol), lit(2)).as("arm"),
+        floor(col(valueCol) * 1000000 + 0.5).cast("decimal(38,0)").as("v"))
+    val cells = ev.groupBy("m", "g").agg(
+      dec(sum(when(col("arm") === 0, 1L).otherwise(0L))).as("na"),
+      dec(sum(when(col("arm") === 1, 1L).otherwise(0L))).as("nb"),
+      sum(when(col("arm") === 0, col("v")).otherwise(lit(0))).as("sa"),
+      sum(when(col("arm") === 1, col("v")).otherwise(lit(0))).as("sb"))
+      .localCheckpoint(eager = true)
+    val strata = cells
+      .withColumn("d", col("nb") * col("sa") - col("na") * col("sb"))
+      .groupBy("m").agg(count(lit(1)).as("n_strata"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_favor_a"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_favor_b"))
+    val overall = cells.groupBy("m").agg(
+        sum("na").as("na"), sum("nb").as("nb"),
+        sum("sa").as("sa"), sum("sb").as("sb"))
+      .select(col("m"),
+        (col("nb") * col("sa") - col("na") * col("sb")).cast("long")
+          .as("overall_diff"))
+    overall.join(strata, "m")
+      .select(col("m").as("metric"), col("overall_diff"), col("n_strata"),
+        col("n_favor_a"), col("n_favor_b"),
+        ((col("overall_diff") > 0 && col("n_favor_a") === 0
+            && col("n_favor_b") > 0)
+          || (col("overall_diff") < 0 && col("n_favor_b") === 0
+            && col("n_favor_a") > 0)).as("reversal"))
+      .orderBy("metric")
+  }
+
   /** Single change-point in the mean by exact least squares (the AMOC
     * case of Scott & Knott / binary segmentation; Page's offline
     * counterpart) — the "WHEN did it change" companion to

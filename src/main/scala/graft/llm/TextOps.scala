@@ -3045,6 +3045,91 @@ object TextOps {
       .orderBy(col("dp_ppm").desc, col("word"))
   }
 
+  /** Leave-one-source-out data valuation (the ablation study behind
+    * "which source is worth buying more of"; the complement-trick
+    * economics of [[cvFoldsLm]] applied across the SOURCE axis): train
+    * a bucketed add-one unigram LM on the train split, score a FIXED
+    * held-out split under the full model AND under each
+    * leave-one-source-out complement, and read each source's value as
+    * Δxent = xent₋ₛ − xent_full — positive means removing the source
+    * HURTS the model (the source carries signal the rest doesn't);
+    * ≈0 means redundant; negative means it actively pollutes.
+    *
+    * Cost is the X198 argument: the k = |sources| ablated models are
+    * NOT k training passes — model₋ₛ(b) = total(b) − countsₛ(b) on the
+    * (source × bucket) cell table, so ONE corpus tokenize pass serves
+    * every scenario, and evaluation is an equi-join of the held-out
+    * bucket histogram against the (scenario × bucket) model grid
+    * (model-sized: (|sources|+1)·buckets rows). Same held-out set for
+    * every scenario — differences are attributable to the ablation
+    * alone. All integer micro-nats (ln floored per cell before any
+    * sum, the X83 discipline).
+    *
+    * Output per scenario (`__FULL__` + one per source):
+    * (scenario, n_train_tokens, n_removed_tokens, xent_micro,
+    * delta_micro).
+    */
+  def sourceAblation(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, buckets: Int, salt: String): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tagged = df.select(col(sourceCol).as("s"), col(textCol).as("_txt"),
+      (conv(substring(md5(concat(lit(s"$salt|"),
+        col(idCol).cast("string"))), 1, 4), 16, 10).cast("int") % 10 === 9)
+        .as("held"))
+    val toks = tagged.select(col("s"), col("held"),
+        explode(words(col("_txt"))).as("w"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("slm|"), col("w"))), 1, 4), 16, 10)
+          .cast("int") % buckets)
+      .localCheckpoint(eager = true)
+    val train = toks.filter(!col("held"))
+    val sb = train.groupBy("s", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val tb = sb.groupBy("b").agg(sum("c").as("tc"))
+    val ns = sb.groupBy("s").agg(sum("c").as("nsrc"))
+    val tt = sb.agg(sum("c").as("tt"))
+    // scenario grid: __FULL__ (nothing removed) + one row per source
+    val scen = ns.select(col("s").as("scenario"), col("nsrc").as("rm"))
+      .unionByName(
+        spark.range(1).select(lit("__FULL__").as("scenario"),
+          lit(0L).as("rm")))
+    // complete bucket spine: a held-out bucket with NO train mass must
+    // still score its add-one-smoothed 1/(den+B), not silently drop
+    val spine = spark.range(buckets).select(col("id").cast("int").as("b"))
+    val model = scen.crossJoin(spine)
+      .join(tb, Seq("b"), "left")
+      .join(sb.select(col("s").as("scenario"), col("b"),
+        col("c").as("_cs")), Seq("scenario", "b"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("scenario"), col("rm"), col("b"),
+        (coalesce(col("tc"), lit(0L)) - coalesce(col("_cs"), lit(0L)))
+          .as("cnt"),
+        (col("tt") - col("rm")).as("den"))
+      .select(col("scenario"), col("rm"), col("b"),
+        floor(-log((col("cnt") + 1).cast("double")
+            / (col("den") + lit(buckets)).cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("nll_mu"))
+    val heldHist = toks.filter(col("held")).groupBy("b")
+      .agg(count(lit(1)).as("hc"))
+    val xent = model.join(broadcast(heldHist), "b")
+      .groupBy("scenario", "rm")
+      .agg(sum(col("hc") * col("nll_mu")).as("_s"), sum("hc").as("nh"))
+      .select(col("scenario"), col("rm"),
+        expr("_s div nh").as("xent_micro"))
+      .localCheckpoint(eager = true)
+    val full = xent.filter(col("scenario") === "__FULL__")
+      .select(col("xent_micro").as("_xf"))
+    xent.crossJoin(broadcast(full))
+      .crossJoin(broadcast(tt))
+      .select(col("scenario"), (col("tt") - col("rm"))
+          .as("n_train_tokens"),
+        col("rm").as("n_removed_tokens"), col("xent_micro"),
+        (col("xent_micro") - col("_xf")).as("delta_micro"))
+      .orderBy("scenario")
+  }
+
   /** Corpus concentration readouts (Gini over per-doc token counts;
     * Herfindahl–Hirschman over source token shares) — the "is my
     * corpus a few whales plus plankton" numbers a curation team reads

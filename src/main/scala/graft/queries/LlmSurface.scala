@@ -2023,6 +2023,16 @@ object LlmSurface {
       TextOps.vocabGrowth(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // ---- leave-one-source-out data valuation (ablation study) ------------
+    // Which source is worth buying more of: Δxent on a FIXED held-out
+    // split when each source is removed from the bucketed unigram LM.
+    // The k ablated models are subtractions on the (source × bucket)
+    // cell table — one tokenize pass serves every scenario.
+    "llm_source_ablation" -> ((s, dir) => {
+      TextOps.sourceAblation(Tables(s, dir, "documents"), "doc_id",
+        "source", "text", buckets = 256, salt = "abl")
+    }),
+
     // ---- Zipf rank-frequency fit -----------------------------------------
     // The rank-domain companion to llm_vocab_growth: how frequency
     // MASS distributes over the vocabulary (natural text s ≈ 1; the
@@ -2157,6 +2167,17 @@ object LlmSurface {
     "llm_ab_welch" -> ((s, dir) => {
       EventOps.abWelch(events(s, dir), "user_id", "event_type", "value")
         .orderBy("event_type")
+    }),
+
+    // ---- Simpson's-paradox audit over the A/B panel ----------------------
+    // The aggregation-reversal detector: per metric, the pooled arm
+    // contrast vs every day-of-week stratum's contrast, all as exact
+    // division-free cross products. Reversal fires only on the strict
+    // textbook pattern (pooled one way, every informative stratum the
+    // other).
+    "llm_simpson_audit" -> ((s, dir) => {
+      EventOps.simpsonAudit(events(s, dir), "user_id", "event_type",
+        (dayofweek(to_date(col("ts"))) + 1).cast("int"), "value")
     }),
 
     // ---- permutation-test panel + Benjamini–Hochberg FDR -----------------
@@ -6105,6 +6126,93 @@ $rounds,
     // Same discounted-ratio spelling; the phrase flag cross-multiplies
     // RAKE replay: same runs, same once-floored micro word scores,
     // integer phrase sums, total top-k order
+    // Ablation replay: one (source × bucket) cell table, every
+    // complement model by subtraction, same held-out histogram joined
+    // to every scenario; ln floored per cell, xent by //.
+    "llm_source_ablation" -> """
+      WITH tagged AS (
+        SELECT source AS s, text,
+               CAST('0x' || substr(md5('abl|' || CAST(doc_id AS VARCHAR)),
+                 1, 4) AS INT) % 10 = 9 AS held
+        FROM documents),
+      tok AS (
+        SELECT s, held,
+               CAST('0x' || substr(md5('slm|' || w), 1, 4) AS INT) % 256 AS b
+        FROM (SELECT s, held, unnest(string_split(text, ' ')) AS w
+              FROM tagged)),
+      sb AS MATERIALIZED (
+        SELECT s, b, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE NOT held GROUP BY 1, 2),
+      tb AS MATERIALIZED (
+        SELECT b, CAST(sum(c) AS BIGINT) AS tc FROM sb GROUP BY 1),
+      ns AS MATERIALIZED (
+        SELECT s, CAST(sum(c) AS BIGINT) AS nsrc FROM sb GROUP BY 1),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM sb),
+      scen AS (
+        SELECT s AS scenario, nsrc AS rm FROM ns
+        UNION ALL SELECT '__FULL__', CAST(0 AS BIGINT)),
+      spine AS (SELECT CAST(x AS INT) AS b FROM range(0, 256) t(x)),
+      model AS MATERIALIZED (
+        SELECT sc.scenario, sc.rm, sp.b,
+               CAST(floor(-ln((coalesce(tb.tc, 0) - coalesce(s2.c, 0) + 1)
+                 / CAST((SELECT tt FROM tt) - sc.rm + 256 AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT) AS nll_mu
+        FROM scen sc CROSS JOIN spine sp
+        LEFT JOIN tb ON tb.b = sp.b
+        LEFT JOIN sb s2 ON s2.s = sc.scenario AND s2.b = sp.b),
+      hh AS MATERIALIZED (
+        SELECT b, CAST(count(*) AS BIGINT) AS hc
+        FROM tok WHERE held GROUP BY 1),
+      x AS MATERIALIZED (
+        SELECT m.scenario, m.rm,
+               CAST(sum(h.hc * m.nll_mu) // sum(h.hc) AS BIGINT)
+                 AS xent_micro
+        FROM model m JOIN hh h ON h.b = m.b GROUP BY 1, 2),
+      xf AS (SELECT xent_micro AS xfull FROM x WHERE scenario = '__FULL__')
+      SELECT scenario,
+             CAST((SELECT tt FROM tt) - rm AS BIGINT) AS n_train_tokens,
+             rm AS n_removed_tokens, xent_micro,
+             CAST(xent_micro - (SELECT xfull FROM xf) AS BIGINT)
+               AS delta_micro
+      FROM x ORDER BY scenario
+    """,
+
+    // Simpson audit replay: identical day-of-week strata partition
+    // (bijective offset), exact cross-product contrasts.
+    "llm_simpson_audit" -> """
+      WITH ev AS (
+        SELECT event_type AS m, dayofweek(CAST(ts AS DATE)) + 1 AS g,
+               user_id % 2 AS arm,
+               CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS v
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      cells AS MATERIALIZED (
+        SELECT m, g,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS na,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS nb,
+               sum(CASE WHEN arm = 0 THEN v ELSE 0 END) AS sa,
+               sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS sb
+        FROM ev GROUP BY 1, 2),
+      strata AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(CASE WHEN nb * sa - na * sb > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_favor_a,
+               CAST(sum(CASE WHEN nb * sa - na * sb < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_favor_b
+        FROM cells GROUP BY 1),
+      overall AS (
+        SELECT m, CAST(sum(nb) * sum(sa) - sum(na) * sum(sb) AS BIGINT)
+                 AS overall_diff
+        FROM cells GROUP BY 1)
+      SELECT o.m AS metric, o.overall_diff, s.n_strata, s.n_favor_a,
+             s.n_favor_b,
+             (o.overall_diff > 0 AND s.n_favor_a = 0 AND s.n_favor_b > 0)
+             OR (o.overall_diff < 0 AND s.n_favor_b = 0
+                 AND s.n_favor_a > 0) AS reversal
+      FROM overall o JOIN strata s USING (m) ORDER BY metric
+    """,
+
     // Zipf replay: same (count DESC, word) rank order, micro-ln points,
     // exact integer moments; negated slope published as s_micro.
     "llm_zipf_fit" -> """
