@@ -1393,6 +1393,48 @@ object EventOps {
       .orderBy("metric")
   }
 
+  /** Experiment power analysis / sample-size calculator (the standard
+    * two-sample normal-approximation formula, Lehr's rule made exact)
+    * — the readout every experimentation platform shows BEFORE a test
+    * runs: with the variance this metric actually has, how many users
+    * per arm buy the ability to detect a `mdePct`% shift at α = 0.05,
+    * power = 0.80?  n/arm = 2·(z_{α/2}+z_β)²·σ²/δ².
+    *
+    * CDF-free by constant folding: the only distributional inputs are
+    * z_{0.025} = 1.96 and z_{0.20} = 0.84 — fixed decimals, so
+    * (z_sum)² = 7.84 enters as the integer ratio 784/100 and the
+    * whole formula is exact integer arithmetic over micro-unit
+    * moments: n = ⌈2·784·σ²_{µ²} / (100·δ²_{µ²})⌉ with σ² the
+    * sample variance from exact decimal sums and δ = mean·mdePct/100,
+    * both floored once. One partial-combining aggregation to
+    * |metrics| rows; everything else is arithmetic on them.
+    *
+    * Output per metric: n_obs, mean_micro, var_micro2, mde_micro,
+    * n_required_per_arm.
+    */
+  def powerAnalysis(events: DataFrame, typeCol: String, valueCol: String,
+      mdePct: Int): DataFrame = {
+    require(mdePct >= 1 && mdePct <= 100, s"mdePct ($mdePct) out of range")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = events.filter(col(valueCol).isNotNull)
+      .select(col(typeCol).as("metric"),
+        floor(col(valueCol) * 1000000 + 0.5).cast("decimal(38,0)").as("v"))
+      .groupBy("metric")
+      .agg(dec(count(lit(1))).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    m.select(col("metric"), col("n").cast("long").as("n_obs"),
+        expr("CAST(s div n AS BIGINT)").as("mean_micro"),
+        // sample variance in micro² via the moment identity; one div
+        expr("CAST((n * ss - s * s) div (n * (n - 1)) AS BIGINT)")
+          .as("var_micro2"))
+      .withColumn("mde_micro", expr(s"(mean_micro * $mdePct) div 100"))
+      .withColumn("n_required_per_arm",
+        expr("CAST((2 * 784 * CAST(var_micro2 AS DECIMAL(38,0)) " +
+          "+ 100 * CAST(mde_micro AS DECIMAL(38,0)) * mde_micro - 1) div " +
+          "(100 * CAST(mde_micro AS DECIMAL(38,0)) * mde_micro) AS BIGINT)"))
+      .orderBy("metric")
+  }
+
   /** Simpson's-paradox audit over the A/B panel (Simpson 1951; the
     * Blyth 1972 framing) — the aggregation-reversal detector every
     * experiment readout should run before trusting a pooled number:

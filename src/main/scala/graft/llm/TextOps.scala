@@ -3045,6 +3045,85 @@ object TextOps {
       .orderBy(col("dp_ppm").desc, col("word"))
   }
 
+  /** Weighted MinHash near-duplicate detection (Broder 1997 banding
+    * over the integer-weight virtual-element expansion of Haveliwala/
+    * Gionis; exact weighted Jaccard as the verify stage) — the
+    * tf-AWARE variant of the X3 set-MinHash: set semantics let 40
+    * copies of one boilerplate word count the same as one copy, so
+    * two docs sharing only boilerplate look as similar as two sharing
+    * content. Weighted Jaccard J_w = Σ_w min(tf_a, tf_b) /
+    * Σ_w max(tf_a, tf_b) weighs repetition honestly; capping tf at
+    * `cap` bounds the expansion (and the caps ARE the universe the
+    * estimate targets — exact and estimate agree on it by
+    * construction).
+    *
+    * Shape (the X3/X46 candidate-bounding discipline): each doc
+    * expands to ≤ cap·|vocab_doc| virtual elements (w, 1..min(tf,cap)),
+    * hashed once; the per-doc signature is the k smallest distinct
+    * hashes via ONE [[graft.functions.BottomKDistinctLong]]
+    * aggregation; candidates come from BAND equality (k/bandRows
+    * bands, all bandRows minima equal — never from sharing a single
+    * min, which on a small vocabulary degenerates to all-pairs); the
+    * k-mins estimate and the exact J_w run on banded candidates only.
+    * Every stage is an equi-join keyed by true collisions.
+    *
+    * Output per candidate pair: (doc_a, doc_b, est_ppm, jw_ppm) —
+    * est from |both ∩ k-smallest-of-union| / k, exact from the capped
+    * tf vectors; thresholding is caller policy.
+    */
+  def weightedMinhashPairs(df: DataFrame, idCol: String, textCol: String,
+      cap: Int, k: Int, bandRows: Int, salt: String): DataFrame = {
+    require(cap >= 1 && k >= 1 && bandRows >= 1 && k % bandRows == 0,
+      s"bad config: cap=$cap k=$k bandRows=$bandRows")
+    val nBands = k / bandRows
+    val tf = df.select(col(idCol).as("doc"),
+        explode(words(col(textCol))).as("w"))
+      .groupBy("doc", "w").agg(least(count(lit(1)), lit(cap.toLong)).as("tf"))
+      .localCheckpoint(eager = true)
+    val sig = tf.select(col("doc"), col("w"),
+        explode(sequence(lit(1L), col("tf"))).as("_i"))
+      .select(col("doc"),
+        expr(s"cast(conv(substring(md5(concat('$salt|', w, '|', " +
+          s"cast(_i as string))), 1, 15), 16, 10) as bigint)").as("h"))
+      .groupBy("doc")
+      .agg(expr(s"bottomk_distinct_long(h, $k)").as("sig"))
+      .filter(size(col("sig")) === k) // tiny docs can't band reliably
+      .localCheckpoint(eager = true)
+    val bands = sig.select(col("doc"), col("sig"),
+        posexplode(array((0 until nBands).map { b =>
+          md5(concat_ws(",", lit(b.toString),
+            expr(s"transform(slice(sig, ${b * bandRows + 1}, $bandRows), " +
+              "x -> cast(x as string))")))
+        }: _*)).as(Seq("band", "key")))
+    val cand = bands.select(col("doc").as("doc_a"), col("band"), col("key"))
+      .join(bands.select(col("doc").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val est = cand
+      .join(sig.select(col("doc").as("doc_a"), col("sig").as("_sa")), "doc_a")
+      .join(sig.select(col("doc").as("doc_b"), col("sig").as("_sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"size(filter(slice(array_sort(array_union(_sa, _sb)), 1, $k), " +
+          s"x -> array_contains(_sa, x) AND array_contains(_sb, x))) " +
+          s"* 1000000 div $k").as("est_ppm"))
+    val tot = tf.groupBy("doc").agg(sum("tf").as("t"))
+    val minSum = cand
+      .join(tf.select(col("doc").as("doc_a"), col("w"), col("tf").as("_ta")),
+        "doc_a")
+      .join(tf.select(col("doc").as("doc_b"), col("w"), col("tf").as("_tb")),
+        Seq("doc_b", "w"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("_ta"), col("_tb"))).as("_smin"))
+    est.join(minSum, Seq("doc_a", "doc_b"), "left")
+      .join(tot.select(col("doc").as("doc_a"), col("t").as("_tta")), "doc_a")
+      .join(tot.select(col("doc").as("doc_b"), col("t").as("_ttb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_ppm"),
+        expr("coalesce(_smin, CAST(0 AS BIGINT)) * 1000000 div " +
+          "(_tta + _ttb - coalesce(_smin, CAST(0 AS BIGINT)))").as("jw_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Leave-one-source-out data valuation (the ablation study behind
     * "which source is worth buying more of"; the complement-trick
     * economics of [[cvFoldsLm]] applied across the SOURCE axis): train

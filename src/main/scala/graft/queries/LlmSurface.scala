@@ -2023,6 +2023,17 @@ object LlmSurface {
       TextOps.vocabGrowth(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // ---- weighted MinHash near-dup (tf-aware banding + exact Jw) ---------
+    // The tf-aware variant of llm_near_dup's set MinHash: capped-tf
+    // virtual elements, per-doc bottom-16 signature via ONE custom
+    // aggregate, candidates from 2 bands of 8 equal minima (sharing a
+    // single min on a small vocabulary degenerates to all-pairs),
+    // k-mins estimate + exact Σmin/Σmax on candidates only.
+    "llm_weighted_minhash" -> ((s, dir) => {
+      TextOps.weightedMinhashPairs(Tables(s, dir, "documents"), "doc_id",
+        "text", cap = 4, k = 16, bandRows = 8, salt = "wmh")
+    }),
+
     // ---- leave-one-source-out data valuation (ablation study) ------------
     // Which source is worth buying more of: Δxent on a FIXED held-out
     // split when each source is removed from the bucketed unigram LM.
@@ -2167,6 +2178,16 @@ object LlmSurface {
     "llm_ab_welch" -> ((s, dir) => {
       EventOps.abWelch(events(s, dir), "user_id", "event_type", "value")
         .orderBy("event_type")
+    }),
+
+    // ---- experiment power analysis (MDE / required n per arm) ------------
+    // CDF-free by constant folding: z constants enter as the exact
+    // ratio 784/100, so n/arm = ceil(2·784·σ²/(100·δ²)) is pure
+    // integer arithmetic over micro-unit moments. One combine-agg to
+    // |metrics| rows.
+    "llm_power_analysis" -> ((s, dir) => {
+      EventOps.powerAnalysis(events(s, dir), "event_type", "value",
+        mdePct = 5)
     }),
 
     // ---- Simpson's-paradox audit over the A/B panel ----------------------
@@ -6126,6 +6147,89 @@ $rounds,
     // Same discounted-ratio spelling; the phrase flag cross-multiplies
     // RAKE replay: same runs, same once-floored micro word scores,
     // integer phrase sums, total top-k order
+    // Weighted-MinHash replay: same virtual-element hashes, per-doc
+    // bottom-16 as sorted distinct list prefix, 2 bands of 8, k-mins
+    // estimate and exact capped-tf Jaccard on banded candidates.
+    "llm_weighted_minhash" -> """
+      WITH tf AS MATERIALIZED (
+        SELECT doc, w, least(CAST(count(*) AS BIGINT), 4) AS tf
+        FROM (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2),
+      virt AS (
+        SELECT doc,
+               CAST('0x' || substr(md5('wmh|' || w || '|'
+                 || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc, w, unnest(range(1, tf + 1)) AS i FROM tf)),
+      sig AS MATERIALIZED (
+        SELECT doc, (list_sort(list_distinct(list(h))))[1:16] AS sig
+        FROM virt GROUP BY doc),
+      sig16 AS MATERIALIZED (SELECT doc, sig FROM sig WHERE len(sig) = 16),
+      bands AS MATERIALIZED (
+        SELECT doc, b,
+               md5(CAST(b AS VARCHAR) || ','
+                 || array_to_string(sig[b*8+1:b*8+8], ',')) AS key
+        FROM sig16, unnest(range(0, 2)) AS t(b)),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+        FROM bands a JOIN bands b2
+          ON a.b = b2.b AND a.key = b2.key AND a.doc < b2.doc),
+      est AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_filter(
+                   (list_sort(list_distinct(sa.sig || sb.sig)))[1:16],
+                   x -> list_contains(sa.sig, x)
+                        AND list_contains(sb.sig, x)))
+                 * 1000000 // 16 AS BIGINT) AS est_ppm
+        FROM cand c
+        JOIN sig16 sa ON sa.doc = c.doc_a
+        JOIN sig16 sb ON sb.doc = c.doc_b),
+      tot AS MATERIALIZED (
+        SELECT doc, CAST(sum(tf) AS BIGINT) AS t FROM tf GROUP BY 1),
+      ms AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS smin
+        FROM cand c
+        JOIN tf ta ON ta.doc = c.doc_a
+        JOIN tf tb ON tb.doc = c.doc_b AND tb.w = ta.w
+        GROUP BY 1, 2)
+      SELECT e.doc_a, e.doc_b, e.est_ppm,
+             CAST(coalesce(ms.smin, 0) * 1000000
+               // (xa.t + xb.t - coalesce(ms.smin, 0)) AS BIGINT) AS jw_ppm
+      FROM est e
+      LEFT JOIN ms ON ms.doc_a = e.doc_a AND ms.doc_b = e.doc_b
+      JOIN tot xa ON xa.doc = e.doc_a
+      JOIN tot xb ON xb.doc = e.doc_b
+      ORDER BY e.doc_a, e.doc_b
+    """,
+
+    // Power-analysis replay: exact HUGEINT moments, constant-folded z,
+    // ceil via (a + b − 1) // b.
+    "llm_power_analysis" -> """
+      WITH q AS (
+        SELECT event_type AS metric,
+               CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      m AS (
+        SELECT metric, CAST(count(*) AS HUGEINT) AS n,
+               sum(v) AS s, sum(v * v) AS ss
+        FROM q GROUP BY 1),
+      d AS (
+        SELECT metric, CAST(n AS BIGINT) AS n_obs,
+               CAST(s // n AS BIGINT) AS mean_micro,
+               CAST((n * ss - s * s) // (n * (n - 1)) AS BIGINT)
+                 AS var_micro2
+        FROM m),
+      d2 AS (
+        SELECT *, (mean_micro * 5) // 100 AS mde_micro FROM d)
+      SELECT metric, n_obs, mean_micro, var_micro2, mde_micro,
+             CAST((2 * 784 * CAST(var_micro2 AS HUGEINT)
+                 + 100 * CAST(mde_micro AS HUGEINT) * mde_micro - 1)
+               // (100 * CAST(mde_micro AS HUGEINT) * mde_micro)
+               AS BIGINT) AS n_required_per_arm
+      FROM d2 ORDER BY metric
+    """,
+
     // Ablation replay: one (source × bucket) cell table, every
     // complement model by subtraction, same held-out histogram joined
     // to every scenario; ln floored per cell, xent by //.
