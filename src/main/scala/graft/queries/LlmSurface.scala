@@ -487,6 +487,30 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- strongly connected components (FB coloring) ---------------------
+    // The directed closure CC can't give: mutual-reachability
+    // components over the link table plus planted ring edges
+    // (id→id+3 for id%10 ∈ {1,4} closes a 4-cycle h→h+1→h+4→h+7→h
+    // in every decade). Forward-min fixpoint → per-color backward
+    // flag → peel; oracle recomputes from the recursive-CTE closure.
+    "llm_graph_scc" -> ((s, dir) => {
+      val nodes = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val members = nodes.filter(col("id") % 10 =!= 0)
+        .select(col("id").as("src"), (col("id") - (col("id") % 10)).as("dst"))
+      val hubs = nodes.filter(col("id") % 10 === 0 && col("id") =!= 0)
+      val rings = nodes.filter(col("id") % 10 === 1 || col("id") % 10 === 4)
+        .select(col("id").as("src"), (col("id") + 3).as("dst"))
+      val edges = members
+        .union(hubs.select(col("id").as("src"), lit(0L).as("dst")))
+        .union(hubs.select(col("id").as("src"), (col("id") + 1).as("dst")))
+        .union(rings)
+        .join(nodes.withColumnRenamed("id", "dst"), "dst") // existing dsts
+        .select("src", "dst")
+      graft.operators.Scc.components(edges, nodes)
+        .select(col("id").as("doc_id"), col("scc"))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-source KL drift vs the corpus blend -------------------------
     // Which sources speak a different unigram language than the mix?
     // The companion diagnostic to llm_source_overlap / mixture_weights;
@@ -5283,6 +5307,32 @@ $rounds,
       SELECT a4.id AS doc_id, a4.s AS auth_micro, h4.s AS hub_micro
       FROM a4 JOIN h4 ON a4.id = h4.id
       ORDER BY doc_id
+    """,
+
+    // SCC from first principles: recursive-CTE reachability closure,
+    // mutual pairs, component id = min mutual partner (incl. self).
+    "llm_graph_scc" -> """
+      WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+      e0 AS (
+        SELECT id AS src, id - (id % 10) AS dst FROM nodes WHERE id % 10 <> 0
+        UNION ALL
+        SELECT id, 0 FROM nodes WHERE id % 10 = 0 AND id <> 0
+        UNION ALL
+        SELECT id, id + 1 FROM nodes WHERE id % 10 = 0 AND id <> 0
+        UNION ALL
+        SELECT id, id + 3 FROM nodes WHERE id % 10 IN (1, 4)),
+      e AS (SELECT e0.src, e0.dst FROM e0 JOIN nodes n ON n.id = e0.dst),
+      reach(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      mutual AS (
+        SELECT r1.a AS v, r1.b AS u FROM reach r1
+        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+      SELECT n.id AS doc_id,
+             CAST(least(n.id, coalesce(min(m.u), n.id)) AS BIGINT) AS scc
+      FROM nodes n LEFT JOIN mutual m ON m.v = n.id
+      GROUP BY n.id ORDER BY doc_id
     """,
 
     "llm_kl_drift" -> s"""
