@@ -1393,6 +1393,67 @@ object EventOps {
       .orderBy("metric")
   }
 
+  /** Hill tail-index estimator (Hill 1975) per metric — the
+    * heavy-tail diagnostic the moment-based family silently needs:
+    * powerAnalysis and Welch assume a finite variance, and a tail
+    * index α ≤ 2 means that assumption is FALSE (variance infinite;
+    * means converge slowly; use Mann–Whitney / jackknife instead).
+    * α̂ = k / Σ_{i≤k} ln(x₍ᵢ₎ / x₍ₖ₊₁₎) over the k largest
+    * observations; small α = heavy tail, α ≈ Zipf slope⁻¹ on
+    * rank-frequency data.
+    *
+    * No corpus sort (the X218/X226 histogram argument): the top-k+1
+    * order statistics come from the per-metric cents-value HISTOGRAM
+    * — one combine-agg bounded by the value domain — walked by a
+    * descending cumulative window over metadata; a value tied across
+    * the k-th boundary contributes exactly min(cnt, k − cum_before)
+    * copies, so the "k largest with multiplicity" set is
+    * deterministic. ln is micro-floored per DISTINCT value (weighted
+    * by its used count), making H and α̂ exact integer arithmetic with
+    * one `div` each.
+    *
+    * Output per metric: (metric, k, x_ref_cents, h_micro, alpha_ppm)
+    * where x_ref = x₍ₖ₊₁₎ and h_micro = (Σ ln x − k·ln x_ref)·10⁶/k.
+    */
+  def hillTailIndex(events: DataFrame, typeCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+    val hist = events.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(typeCol).as("m"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .groupBy("m", "cents").agg(count(lit(1)).as("n"))
+    val byDesc = w.partitionBy("m").orderBy(col("cents").desc)
+      .rowsBetween(w.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cb", coalesce(sum("n").over(byDesc), lit(0L)))
+      .withColumn("ln_mu",
+        floor(log(col("cents").cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+    // x_(k+1): the smallest value whose cumulative (inclusive) count
+    // reaches k+1 — ties handled by multiplicity
+    val ref = cum.filter(col("cb") + col("n") >= k + 1)
+      .groupBy("m").agg(max("cents").as("x_ref_cents"),
+        max(when(col("cb") + col("n") >= k + 1
+          && col("cb") < lit(k.toLong) + 1, col("ln_mu"))).as("_lnref"))
+    // top-k with multiplicity: used = min(n, k − cb) where cb < k
+    val top = cum.filter(col("cb") < k)
+      .select(col("m"),
+        (least(col("n"), lit(k.toLong) - col("cb")) * col("ln_mu"))
+          .as("_t"),
+        least(col("n"), lit(k.toLong) - col("cb")).as("_u"))
+      .groupBy("m").agg(sum("_t").as("_sln"), sum("_u").as("_k"))
+    top.join(ref, "m")
+      .filter(col("_k") === k) // metrics with ≥ k+1 positive obs only
+      .select(col("m").as("metric"), col("_k").as("k"),
+        col("x_ref_cents"),
+        expr(s"(_sln - _k * _lnref) div _k").as("h_micro"))
+      .withColumn("alpha_ppm",
+        expr("CAST(1000000000000 AS BIGINT) div h_micro"))
+      .orderBy("metric")
+  }
+
   /** Experiment power analysis / sample-size calculator (the standard
     * two-sample normal-approximation formula, Lehr's rule made exact)
     * — the readout every experimentation platform shows BEFORE a test

@@ -111,4 +111,55 @@ object Scc {
       s"SCC peel did not finish within $maxOuter outer rounds")
     result.getOrElse(nodes.select(col("id"), col("id").as("scc")))
   }
+
+  /** Condensation of the graph under an SCC assignment: the DAG of
+    * components plus each component's LONGEST-PATH level — the
+    * "dependency depth" readout (build stages, citation strata,
+    * crawl-frontier generations) that only exists once cycles are
+    * collapsed; on the raw graph longest-path is undefined.
+    *
+    * Levels by iterative max propagation — level'(t) = max(level(t),
+    * max_{s→t} level(s) + 1) to fixpoint, rounds = DAG depth — the
+    * [[components]] loop shape with max instead of min, exact
+    * integers, per-round checkpoints, limit(1) probes. The condensed
+    * edge list is one distinct over the node edges joined to the
+    * assignment twice.
+    *
+    * Output: (scc, n_nodes, level), level 0 = source components.
+    */
+  def condensationLevels(edges: DataFrame, assignment: DataFrame,
+      maxIter: Int = 50,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    val ce = materialize(edges
+      .join(assignment.select(col("id").as("src"), col("scc").as("_sa")),
+        "src")
+      .join(assignment.select(col("id").as("dst"), col("scc").as("_sb")),
+        "dst")
+      .filter(col("_sa") =!= col("_sb"))
+      .select(col("_sa").as("s"), col("_sb").as("t"))
+      .distinct())
+    val sizes = assignment.groupBy("scc").agg(count(lit(1)).as("n_nodes"))
+    var lvl = materialize(sizes.select(col("scc"), lit(0L).as("lvl")))
+    var iter = 0
+    var done = lvl.isEmpty
+    while (!done && iter < maxIter) {
+      val inc = ce.join(lvl.select(col("scc").as("s"), col("lvl")
+          .as("_ls")), "s")
+        .groupBy(col("t").as("scc")).agg(max(col("_ls") + 1).as("_lin"))
+      val stepped = materialize(
+        lvl.join(inc, Seq("scc"), "left").select(col("scc"),
+          col("lvl").as("_old"),
+          greatest(col("lvl"), coalesce(col("_lin"), col("lvl")))
+            .as("lvl")))
+      done = stepped.filter(col("lvl") > col("_old")).limit(1).isEmpty
+      lvl = stepped.select("scc", "lvl")
+      iter += 1
+    }
+    require(done, s"condensation levels did not converge within $maxIter " +
+      "rounds — the assignment is not acyclic (not a valid SCC partition)")
+    sizes.join(lvl, "scc")
+      .select(col("scc"), col("n_nodes"), col("lvl").as("level"))
+      .orderBy("scc")
+  }
 }

@@ -511,6 +511,29 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- condensation DAG levels (dependency depth) ----------------------
+    // Collapse the SCCs and read each component's longest-path level
+    // — defined only once cycles are gone. Same edge synthesis as
+    // llm_graph_scc; levels by iterative max propagation (rounds =
+    // DAG depth).
+    "llm_graph_condensation" -> ((s, dir) => {
+      val nodes = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val members = nodes.filter(col("id") % 10 =!= 0)
+        .select(col("id").as("src"), (col("id") - (col("id") % 10)).as("dst"))
+      val hubs = nodes.filter(col("id") % 10 === 0 && col("id") =!= 0)
+      val rings = nodes.filter(col("id") % 10 === 1 || col("id") % 10 === 4)
+        .select(col("id").as("src"), (col("id") + 3).as("dst"))
+      val edges = members
+        .union(hubs.select(col("id").as("src"), lit(0L).as("dst")))
+        .union(hubs.select(col("id").as("src"), (col("id") + 1).as("dst")))
+        .union(rings)
+        .join(nodes.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint(eager = true)
+      val scc = graft.operators.Scc.components(edges, nodes)
+      graft.operators.Scc.condensationLevels(edges, scc)
+    }),
+
     // ---- per-source KL drift vs the corpus blend -------------------------
     // Which sources speak a different unigram language than the mix?
     // The companion diagnostic to llm_source_overlap / mixture_weights;
@@ -2204,6 +2227,15 @@ object LlmSurface {
         .orderBy("event_type")
     }),
 
+    // ---- Hill tail-index estimator (heavy-tail diagnostic) ---------------
+    // α ≤ 2 means infinite variance and the moment-based tests are
+    // lying; top-(k+1) order statistics from the value histogram
+    // (no corpus sort), ln micro-floored per distinct value, exact
+    // tie handling across the k-th boundary.
+    "llm_tail_index" -> ((s, dir) => {
+      EventOps.hillTailIndex(events(s, dir), "event_type", "value", k = 100)
+    }),
+
     // ---- experiment power analysis (MDE / required n per arm) ------------
     // CDF-free by constant folding: z constants enter as the exact
     // ratio 784/100, so n/arm = ceil(2·784·σ²/(100·δ²)) is pure
@@ -3551,6 +3583,35 @@ object LlmSurface {
           FROM e JOIN outd USING (src) JOIN $prev ON $prev.id = e.src
           GROUP BY e.dst) inf USING (id))"""
     }.mkString(",\n")
+
+  /** Shared SCC-closure CTE block (for a `WITH RECURSIVE` prefix):
+    * the synthetic link table + ring edges, reachability closure,
+    * mutual pairs, and `sccs(id, scc, n_nodes is separate)` — scc =
+    * min mutual partner including self. Used by llm_graph_scc and
+    * llm_graph_condensation so the two oracles cannot drift.
+    */
+  private val sccClosureCtes: String = """nodes AS (
+        SELECT doc_id AS id FROM documents),
+      e0 AS (
+        SELECT id AS src, id - (id % 10) AS dst FROM nodes WHERE id % 10 <> 0
+        UNION ALL
+        SELECT id, 0 FROM nodes WHERE id % 10 = 0 AND id <> 0
+        UNION ALL
+        SELECT id, id + 1 FROM nodes WHERE id % 10 = 0 AND id <> 0
+        UNION ALL
+        SELECT id, id + 3 FROM nodes WHERE id % 10 IN (1, 4)),
+      e AS (SELECT e0.src, e0.dst FROM e0 JOIN nodes n ON n.id = e0.dst),
+      reach(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      mutual AS (
+        SELECT r1.a AS v, r1.b AS u FROM reach r1
+        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+      sccs AS MATERIALIZED (
+        SELECT n.id, least(n.id, coalesce(min(m.u), n.id)) AS scc
+        FROM nodes n LEFT JOIN mutual m ON m.v = n.id
+        GROUP BY n.id)"""
 
   /** Generated HITS iteration CTEs replaying [[graft.operators.Hits]]:
     * per round, authority raw = sum of in-neighbor hub scores then ×10⁶
@@ -5311,28 +5372,32 @@ $rounds,
 
     // SCC from first principles: recursive-CTE reachability closure,
     // mutual pairs, component id = min mutual partner (incl. self).
-    "llm_graph_scc" -> """
-      WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
-      e0 AS (
-        SELECT id AS src, id - (id % 10) AS dst FROM nodes WHERE id % 10 <> 0
-        UNION ALL
-        SELECT id, 0 FROM nodes WHERE id % 10 = 0 AND id <> 0
-        UNION ALL
-        SELECT id, id + 1 FROM nodes WHERE id % 10 = 0 AND id <> 0
-        UNION ALL
-        SELECT id, id + 3 FROM nodes WHERE id % 10 IN (1, 4)),
-      e AS (SELECT e0.src, e0.dst FROM e0 JOIN nodes n ON n.id = e0.dst),
-      reach(a, b) AS (
-        SELECT src, dst FROM e
+    "llm_graph_scc" -> s"""
+      WITH RECURSIVE $sccClosureCtes
+      SELECT id AS doc_id, CAST(scc AS BIGINT) AS scc
+      FROM sccs ORDER BY doc_id
+    """,
+
+    // Condensation replay: condensed edges over the closure-derived
+    // SCCs, longest-path levels by a recursive (component, depth)
+    // enumeration — max depth per component IS the level.
+    "llm_graph_condensation" -> s"""
+      WITH RECURSIVE $sccClosureCtes,
+      ce AS MATERIALIZED (
+        SELECT DISTINCT sa.scc AS s, sb.scc AS t
+        FROM e JOIN sccs sa ON sa.id = e.src
+        JOIN sccs sb ON sb.id = e.dst
+        WHERE sa.scc <> sb.scc),
+      lvl(n, d) AS (
+        SELECT DISTINCT scc, 0 FROM sccs
         UNION
-        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
-      mutual AS (
-        SELECT r1.a AS v, r1.b AS u FROM reach r1
-        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
-      SELECT n.id AS doc_id,
-             CAST(least(n.id, coalesce(min(m.u), n.id)) AS BIGINT) AS scc
-      FROM nodes n LEFT JOIN mutual m ON m.v = n.id
-      GROUP BY n.id ORDER BY doc_id
+        SELECT ce.t, l.d + 1 FROM lvl l JOIN ce ON ce.s = l.n)
+      SELECT c.scc, c.n_nodes, CAST(max(l.d) AS BIGINT) AS level
+      FROM (SELECT scc, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM sccs GROUP BY 1) c
+      JOIN lvl l ON l.n = c.scc
+      GROUP BY c.scc, c.n_nodes
+      ORDER BY c.scc
     """,
 
     "llm_kl_drift" -> s"""
@@ -6251,6 +6316,39 @@ $rounds,
       JOIN tot xa ON xa.doc = e.doc_a
       JOIN tot xb ON xb.doc = e.doc_b
       ORDER BY e.doc_a, e.doc_b
+    """,
+
+    // Hill replay: descending cumulative histogram walk, tie-exact
+    // top-k multiplicities, micro-floored ln per distinct value.
+    "llm_tail_index" -> """
+      WITH hist AS MATERIALIZED (
+        SELECT m, cents, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT event_type AS m,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL AND value > 0)
+        WHERE cents > 0
+        GROUP BY 1, 2),
+      cum AS MATERIALIZED (
+        SELECT m, cents, n,
+               coalesce(sum(n) OVER (PARTITION BY m ORDER BY cents DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               CAST(floor(ln(cents) * 1000000 + 0.5) AS BIGINT) AS ln_mu
+        FROM hist),
+      ref AS (
+        SELECT m, max(cents) AS x_ref_cents,
+               max(CASE WHEN cb < 101 THEN ln_mu END) AS lnref
+        FROM cum WHERE cb + n >= 101 GROUP BY m),
+      top AS (
+        SELECT m, CAST(sum(least(n, 100 - cb) * ln_mu) AS BIGINT) AS sln,
+               CAST(sum(least(n, 100 - cb)) AS BIGINT) AS kk
+        FROM cum WHERE cb < 100 GROUP BY m)
+      SELECT t.m AS metric, t.kk AS k, r.x_ref_cents,
+             CAST((t.sln - t.kk * r.lnref) // t.kk AS BIGINT) AS h_micro,
+             CAST(1000000000000
+               // ((t.sln - t.kk * r.lnref) // t.kk) AS BIGINT) AS alpha_ppm
+      FROM top t JOIN ref r USING (m)
+      WHERE t.kk = 100
+      ORDER BY metric
     """,
 
     // Power-analysis replay: exact HUGEINT moments, constant-folded z,

@@ -32,4 +32,42 @@ class SccSpec extends SparkSpec {
     val got = run(Seq((1L, 2L), (2L, 3L)), Seq(1L, 2L, 3L, 9L))
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 9L -> 9L))
   }
+
+  test("condensationLevels: chain of components gets longest-path depths") {
+    // {1,2} → {3} → {4,5}, plus a shortcut 2→4: longest path to {4,5}
+    // is still 2 (through {3}); sizes 2/1/2
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (2L, 4L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val scc = Scc.components(edges, nodes)
+    val got = Scc.condensationLevels(edges, scc)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 0L), (3L, 1L, 1L), (4L, 2L, 2L)))
+  }
+
+  test("hillTailIndex: exact integer H on a hand histogram") {
+    // k = 3 over values 10.00, 8.00, 6.00, 4.00, 2.00 — ref is the
+    // 4th largest (400 cents)
+    val ev = Seq(10.0, 8.0, 6.0, 4.0, 2.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "m", v) }
+      .toDF("event_id", "event_type", "value")
+    val got = graft.llm.EventOps.hillTailIndex(ev, "event_type", "value",
+      k = 3).as[(String, Long, Long, Long, Long)].collect().head
+    def lnMu(c: Long) = math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong
+    val h = (lnMu(1000) + lnMu(800) + lnMu(600) - 3 * lnMu(400)) / 3
+    assert(got === (("m", 3L, 400L, h, 1000000000000L / h)))
+  }
+
+  test("hillTailIndex: boundary ties contribute exact multiplicities") {
+    // values: 900 ×1, 700 ×3 with k = 2: top-2 = {900, one 700},
+    // ref = x_(3) = 700 → H = (ln 900 − ln 700) / 2 in micro
+    val ev = (Seq(9.0) ++ Seq.fill(3)(7.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "m", v) }
+      .toDF("event_id", "event_type", "value")
+    val got = graft.llm.EventOps.hillTailIndex(ev, "event_type", "value",
+      k = 2).as[(String, Long, Long, Long, Long)].collect().head
+    def lnMu(c: Long) = math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong
+    val h = (lnMu(900) + lnMu(700) - 2 * lnMu(700)) / 2
+    assert(got._3 === 700L && got._4 === h)
+  }
 }
