@@ -1393,6 +1393,183 @@ object EventOps {
       .orderBy("metric")
   }
 
+  /** O'Brien–Fleming group-sequential A/B monitoring (O'Brien &
+    * Fleming 1979; Pocock's framing of repeated significance testing)
+    * — the peeking-correct companion to the fixed-horizon tests: a
+    * dashboard that re-reads llm_ab_welch daily inflates false
+    * positives severalfold; group-sequential boundaries spend the α
+    * across K scheduled looks, OBF's z·√(K/k) shape keeping early
+    * looks conservative and the final look near the fixed-horizon
+    * bar.
+    *
+    * The whole test is EXACT RATIONAL arithmetic — no CDF, no sqrt:
+    * with pooled-variance z², the crossing z²_k ≥ c²·K/k clears to
+    *   Num·(n−2)·c²den·k ≥ c²num·K·n·Brak
+    * where Num = (S_B·n_A − S_A·n_B)², Brak = (n_A·Q_A − S_A²)·n_B +
+    * (n_B·Q_B − S_B²)·n_A, n = n_A+n_B — integer cross-multiplication
+    * in decimal(38,0) (cents-quantized values keep the worst term
+    * under 10³⁴), so the stop/continue decision replays bit-for-bit.
+    * The displayed z² and boundary are round6 doubles derived from
+    * the same exact integers. c² defaults to 2.04² = 2601/625, the
+    * classical K=5 OBF final-look constant.
+    *
+    * One corpus pass to (metric, day, arm) cells; the K cumulative
+    * looks join those cells on day ≤ cutoff (metadata-sized).
+    *
+    * Output per (metric, look): n_total, z2, boundary_z2, cross, and
+    * first_cross_look (null when no look crosses).
+    */
+  def obfSequential(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, valueCol: String, looks: Int, lookDays: Int,
+      c2Num: Long = 2601L, c2Den: Long = 625L): DataFrame = {
+    require(looks >= 1 && lookDays >= 1, s"bad looks=$looks/$lookDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("m"), to_date(col(tsCol)).as("day"),
+        pmod(col(userCol), lit(2)).as("arm"),
+        floor(col(valueCol) * 100 + 0.5).cast("decimal(38,0)").as("v"))
+    val cells = base.groupBy("m", "day", "arm").agg(
+      dec(count(lit(1))).as("n"), sum("v").as("s"),
+      sum(col("v") * col("v")).as("q"))
+    val d0 = base.agg(min("day").as("d0"))
+    val lookTab = spark.range(1, looks + 1).select(col("id").as("look"))
+      .crossJoin(broadcast(d0))
+      .select(col("look"),
+        expr(s"date_add(d0, cast(look * $lookDays - 1 as int))")
+          .as("cutoff"))
+    val agg = broadcast(lookTab).join(cells, col("day") <= col("cutoff"))
+      .groupBy("m", "look")
+      .agg(
+        sum(when(col("arm") === 0, col("n")).otherwise(lit(0))).as("na"),
+        sum(when(col("arm") === 1, col("n")).otherwise(lit(0))).as("nb"),
+        sum(when(col("arm") === 0, col("s")).otherwise(lit(0))).as("sa"),
+        sum(when(col("arm") === 1, col("s")).otherwise(lit(0))).as("sb"),
+        sum(when(col("arm") === 0, col("q")).otherwise(lit(0))).as("qa"),
+        sum(when(col("arm") === 1, col("q")).otherwise(lit(0))).as("qb"))
+    val scored = agg
+      .withColumn("num",
+        (col("sb") * col("na") - col("sa") * col("nb"))
+          * (col("sb") * col("na") - col("sa") * col("nb")))
+      .withColumn("brak",
+        (col("na") * col("qa") - col("sa") * col("sa")) * col("nb")
+          + (col("nb") * col("qb") - col("sb") * col("sb")) * col("na"))
+      .withColumn("cross",
+        col("num") * (col("na") + col("nb") - 2) * c2Den * col("look")
+          >= lit(c2Num) * looks * (col("na") + col("nb")) * col("brak"))
+      .withColumn("z2", TextOps.round6(
+        (col("num") * (col("na") + col("nb") - 2)).cast("double")
+          / ((col("na") + col("nb")) * col("brak")).cast("double")))
+      .withColumn("boundary_z2", TextOps.round6(
+        lit(c2Num.toDouble * looks) / (col("look") * c2Den.toDouble)))
+    val byM = org.apache.spark.sql.expressions.Window.partitionBy("m")
+    scored
+      .withColumn("first_cross_look",
+        min(when(col("cross"), col("look"))).over(byM))
+      .select(col("m").as("metric"), col("look"),
+        (col("na") + col("nb")).cast("long").as("n_total"),
+        col("z2"), col("boundary_z2"), col("cross"),
+        col("first_cross_look"))
+      .orderBy("metric", "look")
+  }
+
+  /** Population Stability Index drift monitor (the credit-scoring PSI,
+    * industry-standard since the FICO era; PSI = Σ (p_c − p_r)·
+    * ln(p_c/p_r) over reference-derived bins) — the score/metric
+    * drift alarm that complements the text-side KL/JSD drift family
+    * (X59/X181): those compare CORPORA, this compares the SAME metric
+    * against its own past, binned the way a model-monitoring service
+    * actually does it (deciles frozen from the REFERENCE period, so a
+    * shift shows up as mass leaving its reference bins; PSI < 0.1
+    * stable / 0.1–0.25 watch / > 0.25 act — in micro units here).
+    *
+    * Exactness: bin boundaries are exact reference-period order
+    * statistics from the cents histogram (rank walk, the X218/X248
+    * no-corpus-sort discipline — boundary j = the ⌈j·n_r/bins⌉-th
+    * smallest); proportions are add-one smoothed exact integer ppm
+    * (zero-count bins stay defined); the only transcendental is one
+    * ln per (metric, bin) of a ratio of four exact integers — floored
+    * to micro, then each bin's contribution is
+    * ((p_c − p_r)·lnr) div 10⁶. Two corpus passes (reference
+    * histogram, current histogram); everything else on
+    * |metrics|×|bins| metadata.
+    *
+    * Output: per (metric, bin) rows (lo_cents = inclusive lower
+    * boundary, −1 for the first), pr_ppm, pc_ppm, psi_micro, plus a
+    * bin = −1 total row per metric.
+    */
+  def psiDrift(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, splitDate: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins ($bins) must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+    val ev = events.filter(col(valueCol).isNotNull)
+      .select(col(typeCol).as("m"),
+        (to_date(col(tsCol)) <= to_date(lit(splitDate))).as("ref"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"))
+    val refHist = ev.filter(col("ref")).groupBy("m", "cents")
+      .agg(count(lit(1)).as("n"))
+    val nRef = refHist.groupBy("m").agg(sum("n").as("nr"))
+    val byVal = w.partitionBy("m").orderBy("cents")
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    // boundary j (1..bins−1) = the ⌈j·n_r/bins⌉-th smallest reference
+    // value; bin of v = #{boundaries ≤ v}
+    val cum = refHist.withColumn("_cum", sum("n").over(byVal))
+      .join(nRef, "m")
+    val bounds = cum.crossJoin(
+        events.sparkSession.range(1, bins).select(col("id").as("j")))
+      .filter(col("_cum") >= expr("(j * nr + cast(" + bins + " as bigint) " +
+        "- 1) div " + bins))
+      .groupBy("m", "j").agg(min("cents").as("b"))
+      .localCheckpoint(eager = true)
+    // assign each (m, cents) histogram cell (both periods) to a bin
+    val hist = ev.groupBy("m", "ref", "cents").agg(count(lit(1)).as("n"))
+    val binned = hist.join(bounds, Seq("m"), "left")
+      .groupBy("m", "ref", "cents", "n")
+      .agg(sum(when(col("b") <= col("cents"), 1L).otherwise(0L)).as("bin"))
+      .groupBy("m", "bin", "ref").agg(sum("n").as("cnt"))
+    val totals = binned.groupBy("m", "ref").agg(sum("cnt").as("tot"))
+    val spine = nRef.select("m").crossJoin(
+        events.sparkSession.range(bins).select(col("id").as("bin")))
+      .join(totals.filter(col("ref")).select(col("m"), col("tot").as("ntr")),
+        "m")
+      .join(totals.filter(!col("ref")).select(col("m"), col("tot").as("ntc")),
+        "m")
+    val cells = spine
+      .join(binned.filter(col("ref")).select(col("m"), col("bin"),
+        col("cnt").as("cr")), Seq("m", "bin"), "left")
+      .join(binned.filter(!col("ref")).select(col("m"), col("bin"),
+        col("cnt").as("cc")), Seq("m", "bin"), "left")
+      .select(col("m"), col("bin"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"),
+        col("ntr"), col("ntc"))
+      .withColumn("pr_ppm",
+        expr(s"((cr + 1) * 1000000) div (ntr + $bins)"))
+      .withColumn("pc_ppm",
+        expr(s"((cc + 1) * 1000000) div (ntc + $bins)"))
+      .withColumn("_lnr",
+        floor(log(((col("cc") + 1) * (col("ntr") + bins)).cast("double")
+            / ((col("cr") + 1) * (col("ntc") + bins)).cast("double"))
+          * 1000000.0 + 0.5).cast("long"))
+      .withColumn("psi_micro",
+        expr("((pc_ppm - pr_ppm) * _lnr) div 1000000"))
+    val lo = bounds.select(col("m"), col("j").as("bin"), col("b")
+      .as("lo_cents"))
+    val rows = cells
+      .join(lo, Seq("m", "bin"), "left")
+      .select(col("m").as("metric"), col("bin"),
+        coalesce(col("lo_cents"), lit(-1L)).as("lo_cents"),
+        col("pr_ppm"), col("pc_ppm"), col("psi_micro"))
+    val total = cells.groupBy("m")
+      .agg(sum("psi_micro").as("psi_micro"))
+      .select(col("m").as("metric"), lit(-1L).as("bin"),
+        lit(-1L).as("lo_cents"), lit(null).cast("long").as("pr_ppm"),
+        lit(null).cast("long").as("pc_ppm"), col("psi_micro"))
+    rows.unionByName(total).orderBy("metric", "bin")
+  }
+
   /** Hill tail-index estimator (Hill 1975) per metric — the
     * heavy-tail diagnostic the moment-based family silently needs:
     * powerAnalysis and Welch assume a finite variance, and a tail

@@ -2227,6 +2227,35 @@ object LlmSurface {
         .orderBy("event_type")
     }),
 
+    // ---- group-sequential A/B monitoring (O'Brien-Fleming) ---------------
+    // The peeking-correct daily readout: 5 scheduled looks at 6-day
+    // spacing, crossing decided by EXACT integer cross-multiplication
+    // (no CDF, no sqrt); the planted error effect must cross early,
+    // null metrics never. Displayed z² derives from the same exact
+    // integers.
+    "llm_ab_sequential" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("value",
+        when(col("user_id") % 2 === 1 && col("event_type") === "error",
+          col("value") + 25.0).otherwise(col("value")))
+      EventOps.obfSequential(ev, "user_id", "event_type", "ts", "value",
+        looks = 5, lookDays = 6)
+    }),
+
+    // ---- PSI score-drift monitor (reference-frozen deciles) --------------
+    // The model-monitoring drift alarm: deciles frozen from the first
+    // half of the period, PSI of the second half against them, all
+    // integer ppm with one micro-floored ln per bin. A +25 shift is
+    // planted on late-period error values — error must alarm, the
+    // rest read their honest stability.
+    "p_psi_drift" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("value",
+        when(col("event_type") === "error"
+            && to_date(col("ts")) > to_date(lit("2024-01-15")),
+          col("value") + 25.0).otherwise(col("value")))
+      EventOps.psiDrift(ev, "event_type", "ts", "value",
+        splitDate = "2024-01-15", bins = 10)
+    }),
+
     // ---- Hill tail-index estimator (heavy-tail diagnostic) ---------------
     // α ≤ 2 means infinite variance and the moment-based tests are
     // lying; top-(k+1) order statistics from the value histogram
@@ -6316,6 +6345,134 @@ $rounds,
       JOIN tot xa ON xa.doc = e.doc_a
       JOIN tot xb ON xb.doc = e.doc_b
       ORDER BY e.doc_a, e.doc_b
+    """,
+
+    // OBF sequential replay: cumulative look cells, exact HUGEINT
+    // cross-multiplied crossings, round6 z² from the same integers.
+    "llm_ab_sequential" -> s"""
+      WITH ev AS (
+        SELECT event_type AS m, CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+               CAST(floor((value + CASE WHEN user_id % 2 = 1
+                     AND event_type = 'error' THEN 25.0 ELSE 0 END)
+                 * 100 + 0.5) AS HUGEINT) AS v
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      d0 AS (SELECT min(day) AS d0 FROM ev),
+      lk AS (
+        SELECT CAST(x AS BIGINT) AS look,
+               (SELECT d0 FROM d0) + CAST(x * 6 - 1 AS INTEGER) AS cutoff
+        FROM range(1, 6) t(x)),
+      cells AS MATERIALIZED (
+        SELECT m, day, arm, CAST(count(*) AS HUGEINT) AS n,
+               sum(v) AS s, sum(v * v) AS q
+        FROM ev GROUP BY 1, 2, 3),
+      agg AS MATERIALIZED (
+        SELECT c.m, l.look,
+               sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS na,
+               sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS nb,
+               sum(CASE WHEN arm = 0 THEN s ELSE 0 END) AS sa,
+               sum(CASE WHEN arm = 1 THEN s ELSE 0 END) AS sb,
+               sum(CASE WHEN arm = 0 THEN q ELSE 0 END) AS qa,
+               sum(CASE WHEN arm = 1 THEN q ELSE 0 END) AS qb
+        FROM lk l JOIN cells c ON c.day <= l.cutoff
+        GROUP BY 1, 2),
+      sc AS MATERIALIZED (
+        SELECT m, look, na, nb,
+               (sb * na - sa * nb) * (sb * na - sa * nb) AS num,
+               (na * qa - sa * sa) * nb + (nb * qb - sb * sb) * na AS brak
+        FROM agg),
+      sc2 AS MATERIALIZED (
+        SELECT m, look, CAST(na + nb AS BIGINT) AS n_total,
+               ${round6sql(
+        "CAST(num * (na + nb - 2) AS DOUBLE)" +
+        " / CAST((na + nb) * brak AS DOUBLE)")} AS z2,
+               ${round6sql("13005.0 / (look * 625.0)")} AS boundary_z2,
+               num * (na + nb - 2) * 625 * look
+                 >= 13005 * (na + nb) * brak AS "cross"
+        FROM sc)
+      SELECT m AS metric, look, n_total, z2, boundary_z2, "cross",
+             min(CASE WHEN "cross" THEN look END)
+               OVER (PARTITION BY m) AS first_cross_look
+      FROM sc2
+      ORDER BY metric, look
+    """,
+
+    // PSI replay: reference-frozen decile boundaries by rank walk,
+    // add-one ppm proportions, one micro-floored ln per bin.
+    "p_psi_drift" -> """
+      WITH ev AS (
+        SELECT event_type AS m,
+               CAST(ts AS DATE) <= DATE '2024-01-15' AS ref,
+               CAST(floor((value + CASE WHEN event_type = 'error'
+                     AND CAST(ts AS DATE) > DATE '2024-01-15'
+                   THEN 25.0 ELSE 0 END) * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+      rh AS MATERIALIZED (
+        SELECT m, cents, CAST(count(*) AS BIGINT) AS n
+        FROM ev WHERE ref GROUP BY 1, 2),
+      nr AS MATERIALIZED (
+        SELECT m, CAST(sum(n) AS BIGINT) AS nr FROM rh GROUP BY 1),
+      cum AS (
+        SELECT m, cents,
+               sum(n) OVER (PARTITION BY m ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM rh),
+      bounds AS MATERIALIZED (
+        SELECT c2.m, j.j, min(c2.cents) AS b
+        FROM cum c2 JOIN nr USING (m)
+        CROSS JOIN (SELECT CAST(x AS BIGINT) AS j FROM range(1, 10) t(x)) j
+        WHERE c2.c >= (j.j * nr.nr + 9) // 10
+        GROUP BY 1, 2),
+      hist AS MATERIALIZED (
+        SELECT m, ref, cents, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2, 3),
+      cellbin AS (
+        SELECT h.m, h.ref, h.cents, h.n,
+               coalesce(sum(CASE WHEN b.b <= h.cents THEN 1 ELSE 0 END), 0)
+                 AS bin
+        FROM hist h LEFT JOIN bounds b ON b.m = h.m
+        GROUP BY h.m, h.ref, h.cents, h.n),
+      binned AS MATERIALIZED (
+        SELECT m, bin, ref, CAST(sum(n) AS BIGINT) AS cnt
+        FROM cellbin GROUP BY 1, 2, 3),
+      tot AS MATERIALIZED (
+        SELECT m, ref, CAST(sum(cnt) AS BIGINT) AS tot
+        FROM binned GROUP BY 1, 2),
+      spine AS (
+        SELECT nr.m, CAST(x AS BIGINT) AS bin
+        FROM nr CROSS JOIN range(0, 10) t(x)),
+      cells AS (
+        SELECT s.m, s.bin,
+               coalesce(br.cnt, 0) AS cr, coalesce(bc.cnt, 0) AS cc,
+               tr.tot AS ntr, tc.tot AS ntc
+        FROM spine s
+        JOIN tot tr ON tr.m = s.m AND tr.ref
+        JOIN tot tc ON tc.m = s.m AND NOT tc.ref
+        LEFT JOIN binned br ON br.m = s.m AND br.bin = s.bin AND br.ref
+        LEFT JOIN binned bc ON bc.m = s.m AND bc.bin = s.bin
+          AND NOT bc.ref),
+      c2 AS (
+        SELECT m, bin,
+               ((cr + 1) * 1000000) // (ntr + 10) AS pr_ppm,
+               ((cc + 1) * 1000000) // (ntc + 10) AS pc_ppm,
+               CAST(floor(ln(CAST((cc + 1) * (ntr + 10) AS DOUBLE)
+                 / CAST((cr + 1) * (ntc + 10) AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT) AS lnr
+        FROM cells),
+      c3 AS MATERIALIZED (
+        SELECT m, bin, CAST(pr_ppm AS BIGINT) AS pr_ppm,
+               CAST(pc_ppm AS BIGINT) AS pc_ppm,
+               CAST(((pc_ppm - pr_ppm) * lnr) // 1000000 AS BIGINT)
+                 AS psi_micro
+        FROM c2)
+      SELECT c3.m AS metric, c3.bin, coalesce(b.b, -1) AS lo_cents,
+             pr_ppm, pc_ppm, psi_micro
+      FROM c3 LEFT JOIN bounds b ON b.m = c3.m AND b.j = c3.bin
+      UNION ALL
+      SELECT m, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(sum(psi_micro) AS BIGINT)
+      FROM c3 GROUP BY m
+      ORDER BY metric, bin
     """,
 
     // Hill replay: descending cumulative histogram walk, tie-exact

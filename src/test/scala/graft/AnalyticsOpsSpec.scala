@@ -498,6 +498,62 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === Map("2024-01-01" -> true, "2024-01-02" -> false))
   }
 
+  test("psiDrift: identical periods give exactly zero; a full shift " +
+    "alarms past the act threshold") {
+    // same multiset in both halves → every bin has cr = cc and
+    // ntr = ntc, so each ln ratio is exactly 0
+    val vals = (1 to 100).map(_.toDouble)
+    val same = (vals.map(v => (ts("2024-01-10 10:00:00"), "m", v)) ++
+      vals.map(v => (ts("2024-01-20 10:00:00"), "m", v)))
+      .toDF("ts", "event_type", "value")
+    val gotSame = EventOps.psiDrift(same, "event_type", "ts", "value",
+      "2024-01-15", bins = 10)
+      .filter(col("bin") === -1).select("psi_micro")
+      .as[Long].collect()
+    assert(gotSame.toSeq === Seq(0L))
+
+    // current period entirely above the reference max → all mass in
+    // the top bin, PSI far past 0.25
+    val shifted = (vals.map(v => (ts("2024-01-10 10:00:00"), "m", v)) ++
+      vals.map(v => (ts("2024-01-20 10:00:00"), "m", v + 1000.0)))
+      .toDF("ts", "event_type", "value")
+    val gotShift = EventOps.psiDrift(shifted, "event_type", "ts", "value",
+      "2024-01-15", bins = 10)
+      .filter(col("bin") === -1).select("psi_micro")
+      .as[Long].collect().head
+    assert(gotShift > 250000L, s"psi $gotShift")
+  }
+
+  test("obfSequential: exact rational z² and crossing on a hand case") {
+    // arms of 2: A = {10, 20}, B = {30, 40} cents-exact. num = 8000²,
+    // brak = 4e6 ⇒ z² = 8.0 exactly; K = 1 boundary = 2601/625 = 4.1616
+    val ev = Seq(
+      (0L, ts("2024-01-01 10:00:00"), "m", 10.0),
+      (2L, ts("2024-01-01 11:00:00"), "m", 20.0),
+      (1L, ts("2024-01-01 12:00:00"), "m", 30.0),
+      (3L, ts("2024-01-01 13:00:00"), "m", 40.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = EventOps.obfSequential(ev, "user_id", "event_type", "ts",
+      "value", looks = 1, lookDays = 1)
+      .as[(String, Long, Long, Double, Double, Boolean, Option[Long])]
+      .collect()
+    assert(got.toSeq === Seq(("m", 1L, 4L, 8.0, 4.1616, true, Some(1L))))
+  }
+
+  test("obfSequential: null effect never crosses the early boundaries") {
+    // identical arm distributions: z² = 0 at every look
+    val ev = (0 until 40).flatMap { i =>
+      val day = f"2024-01-${i % 10 + 1}%02d"
+      Seq((2L * i, ts(s"$day 10:00:00"), "m", 5.0 + (i % 2)),
+        (2L * i + 1, ts(s"$day 11:00:00"), "m", 5.0 + (i % 2)))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val got = EventOps.obfSequential(ev, "user_id", "event_type", "ts",
+      "value", looks = 2, lookDays = 5)
+      .select("cross", "first_cross_look")
+      .as[(Boolean, Option[Long])].collect()
+    assert(got.forall(r => !r._1 && r._2.isEmpty))
+  }
+
   test("ccfDaily: exact 2-day shift peaks at r(2) = 1.0") {
     // clicks on days 0..9 with varying counts; purchases are the SAME
     // counts 2 days later — at lag 2 every spine pair is (x, x)
