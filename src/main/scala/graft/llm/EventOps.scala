@@ -1393,6 +1393,67 @@ object EventOps {
       .orderBy("metric")
   }
 
+  /** Ljung–Box portmanteau test for autocorrelation (Ljung & Box
+    * 1978) on the daily event series — the "are days independent"
+    * check the whole daily-statistics family silently assumes:
+    * Theil–Sen SEs, Holt residual bands, and the per-day A/B cells
+    * all treat days as exchangeable; a large Q says they are not
+    * (seasonality/trend remains) and day-level inference needs the
+    * seasonal adjustment first.
+    *
+    * Exact integer discipline: daily counts centered by the
+    * truncated mean (µ = S div n, exact), autocovariances as exact
+    * int64 sums, r_k quantized ONCE to ppm by `div`, and
+    * Q = n(n+2)·Σ_k (r_k²/(n−k)) assembled as
+    * (n·(n+2)·Σ_k (r_ppm_k² div (n−k))) div 10⁶ — micro units,
+    * engine-identical. The verdict constant-folds the χ²₇ 95th
+    * percentile (14.067) the way powerAnalysis folds z: Q_micro >
+    * 14067000 ⇒ reject whiteness. One corpus pass to the daily
+    * table; lags and moments on calendar metadata.
+    *
+    * Output: one row per lag (lag, r_ppm) plus a summary row
+    * (lag = −1) carrying q_micro and the verdict.
+    */
+  def ljungBox(events: DataFrame, tsCol: String, maxLag: Int,
+      chi2Micro: Long = 14067000L): DataFrame = {
+    require(maxLag >= 1, s"maxLag ($maxLag) must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.select(to_date(col(tsCol)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val spine = daily
+      .crossJoin(broadcast(daily.agg(min("day").as("_d0"))))
+      .select(datediff(col("day"), col("_d0")).as("t"), col("y"))
+      .localCheckpoint(eager = true)
+    val base = spine.agg(count(lit(1)).as("n"), sum("y").as("s"))
+      .select(col("n"), expr("s div n").as("mu"))
+    val centered = spine.crossJoin(broadcast(base))
+      .select(col("t"), (col("y") - col("mu")).as("x"), col("n"))
+      .localCheckpoint(eager = true)
+    val den = centered.agg(sum(col("x") * col("x")).as("d0"),
+      max("n").as("n")).localCheckpoint(eager = true)
+    val lags = spark.range(1, maxLag + 1).select(col("id").as("lag"))
+    val rks = lags
+      .join(centered.select(col("t"), col("x")), lit(true))
+      .join(centered.select((col("t")).as("t2"), col("x").as("x2")),
+        col("t2") === col("t") + col("lag"))
+      .groupBy("lag").agg(sum(col("x") * col("x2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), expr("(num * 1000000) div d0").as("r_ppm"),
+        col("n"))
+    val q = rks
+      .select(col("n"), expr("(r_ppm * r_ppm) div (n - lag)").as("_c"))
+      .groupBy("n").agg(sum("_c").as("_sc"))
+      .select(expr("(n * (n + 2) * _sc) div 1000000").as("q_micro"))
+    rks.select(col("lag"), col("r_ppm"),
+        lit(null).cast("long").as("q_micro"),
+        lit(null).cast("boolean").as("reject_whiteness"))
+      .unionByName(q.select(lit(-1L).as("lag"),
+        lit(null).cast("long").as("r_ppm"), col("q_micro"),
+        (col("q_micro") > chi2Micro).as("reject_whiteness")))
+      .orderBy("lag")
+  }
+
   /** O'Brien–Fleming group-sequential A/B monitoring (O'Brien &
     * Fleming 1979; Pocock's framing of repeated significance testing)
     * — the peeking-correct companion to the fixed-horizon tests: a

@@ -2227,6 +2227,56 @@ object LlmSurface {
         .orderBy("event_type")
     }),
 
+    // ---- referential-integrity orphan audit over the TPC-H star ----------
+    // Per FK edge: child rows, null FKs, orphans (anti-join against
+    // the distinct parent keys) and the orphan rate — the DQ check a
+    // warehouse runs before trusting any star join. All seven edges
+    // in one unioned plan, no driver counts.
+    "p_fk_orphans" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String) = {
+        val orphans = child.select(col(ck).as("k"))
+          .filter(col("k").isNotNull)
+          .join(parent.select(col(pk).as("k")).distinct(), Seq("k"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        child.agg(count(lit(1)).as("n_child"),
+            sum(when(col(ck).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+          .crossJoin(orphans)
+          .select(lit(name).as("fk_edge"), col("n_child"),
+            col("n_null_fk"), col("n_orphans"),
+            TextOps.round6(col("n_orphans")
+              / (col("n_child") - col("n_null_fk")).cast("double"))
+              .as("orphan_rate"))
+      }
+      val li = Tables(s, dir, "lineitem"); val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer"); val n = Tables(s, dir, "nation")
+      val su = Tables(s, dir, "supplier"); val p = Tables(s, dir, "part")
+      val r = Tables(s, dir, "region")
+      Seq(
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su,
+          "s_suppkey"),
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.c_nationkey->nation", c, "c_nationkey", n,
+          "n_nationkey"),
+        edge("supplier.s_nationkey->nation", su, "s_nationkey", n,
+          "n_nationkey"),
+        edge("nation.n_regionkey->region", n, "n_regionkey", r,
+          "r_regionkey"))
+        .reduce(_ unionByName _)
+        .orderBy("fk_edge")
+    }),
+
+    // ---- Ljung-Box whiteness test on the daily series --------------------
+    // "Are days independent": exact integer autocovariances, r_k ppm,
+    // Q in micro vs the constant-folded chi-square-7 95th percentile.
+    // The honest expected answer on seasonal traffic is REJECT.
+    "p_ljung_box" -> ((s, dir) => {
+      EventOps.ljungBox(events(s, dir), "ts", maxLag = 7)
+    }),
+
     // ---- group-sequential A/B monitoring (O'Brien-Fleming) ---------------
     // The peeking-correct daily readout: 5 scheduled looks at 6-day
     // spacing, crossing decided by EXACT integer cross-multiplication
@@ -6345,6 +6395,80 @@ $rounds,
       JOIN tot xa ON xa.doc = e.doc_a
       JOIN tot xb ON xb.doc = e.doc_b
       ORDER BY e.doc_a, e.doc_b
+    """,
+
+    // FK-orphan replay: per edge, one anti-join count + null tally.
+    "p_fk_orphans" -> {
+      val edges = Seq(
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"))
+      edges.map { case (nm, ct, ck, pt, pk) => s"""
+      SELECT '$nm' AS fk_edge,
+             (SELECT CAST(count(*) AS BIGINT) FROM $ct) AS n_child,
+             (SELECT CAST(count(*) AS BIGINT) FROM $ct WHERE $ck IS NULL)
+               AS n_null_fk,
+             (SELECT CAST(count(*) AS BIGINT) FROM $ct
+              WHERE $ck IS NOT NULL
+                AND $ck NOT IN (SELECT $pk FROM $pt WHERE $pk IS NOT NULL))
+               AS n_orphans,
+             ${round6sql(
+        s"(SELECT count(*) FROM $ct WHERE $ck IS NOT NULL AND $ck NOT IN " +
+        s"(SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) " +
+        s"/ CAST((SELECT count(*) FROM $ct) - " +
+        s"(SELECT count(*) FROM $ct WHERE $ck IS NULL) AS DOUBLE)")}
+               AS orphan_rate""" }
+        .mkString("", "\n      UNION ALL", "\n      ORDER BY fk_edge")
+    },
+
+    // Ljung-Box replay: centered daily series on the datediff index,
+    // exact covariance sums, ppm r_k, micro Q vs 14067000.
+    "p_ljung_box" -> s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      spine AS MATERIALIZED (
+        SELECT date_diff('day', (SELECT min(day) FROM daily), day) AS t, y
+        FROM daily),
+      base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) // count(*) AS BIGINT) AS mu
+        FROM spine),
+      cent AS MATERIALIZED (
+        SELECT t, y - (SELECT mu FROM base) AS x FROM spine),
+      den AS (SELECT CAST(sum(x * x) AS BIGINT) AS d0 FROM cent),
+      rks AS MATERIALIZED (
+        SELECT l.lag,
+               CAST((sum(a.x * b.x) * 1000000) // (SELECT d0 FROM den)
+                 AS BIGINT) AS r_ppm
+        FROM (SELECT CAST(x AS BIGINT) AS lag FROM range(1, 8) t(x)) l
+        JOIN cent a ON true
+        JOIN cent b ON b.t = a.t + l.lag
+        GROUP BY l.lag),
+      q AS (
+        SELECT CAST(((SELECT n FROM base) * ((SELECT n FROM base) + 2)
+                 * sum((r_ppm * r_ppm) // ((SELECT n FROM base) - lag)))
+               // 1000000 AS BIGINT) AS q_micro
+        FROM rks)
+      SELECT lag, r_ppm, CAST(NULL AS BIGINT) AS q_micro,
+             CAST(NULL AS BOOLEAN) AS reject_whiteness
+      FROM rks
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), q_micro,
+             q_micro > 14067000
+      FROM q
+      ORDER BY lag
     """,
 
     // OBF sequential replay: cumulative look cells, exact HUGEINT

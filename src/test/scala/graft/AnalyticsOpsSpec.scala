@@ -524,6 +524,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(gotShift > 250000L, s"psi $gotShift")
   }
 
+  test("ljungBox: alternating series — exact negative r(1), replayed Q") {
+    // counts 10,20,10,20,... over 12 days: mean 15, x = ∓5
+    val ev = (0 until 12).flatMap { d =>
+      val day = f"2024-01-${d + 1}%02d"
+      Seq.fill(if (d % 2 == 0) 10 else 20)((ts(s"$day 10:00:00"), "e"))
+    }.toDF("ts", "event_type")
+    val got = EventOps.ljungBox(ev, "ts", maxLag = 2)
+      .as[(Long, Option[Long], Option[Long], Option[Boolean])].collect()
+      .map(r => r._1 -> r).toMap
+    val x = (0 until 12).map(d => if (d % 2 == 0) -5L else 5L)
+    val d0 = x.map(v => v * v).sum
+    def r(k: Int) =
+      (x.dropRight(k).zip(x.drop(k)).map { case (a, b) => a * b }.sum
+        * 1000000L) / d0
+    assert(got(1L)._2 === Some(r(1)) && got(2L)._2 === Some(r(2)))
+    val n = 12L
+    val q = (n * (n + 2) * (r(1) * r(1) / (n - 1) + r(2) * r(2) / (n - 2))
+      ) / 1000000L
+    assert(got(-1L)._3 === Some(q))
+    // perfectly alternating data is maximally non-white
+    assert(got(-1L)._4 === Some(true))
+  }
+
   test("obfSequential: exact rational z² and crossing on a hand case") {
     // arms of 2: A = {10, 20}, B = {30, 40} cents-exact. num = 8000²,
     // brak = 4e6 ⇒ z² = 8.0 exactly; K = 1 boundary = 2601/625 = 4.1616
