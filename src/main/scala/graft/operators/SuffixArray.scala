@@ -597,6 +597,56 @@ object SuffixArray {
     out
   }
 
+  /** Per-document BWT run statistics — the Burrows–Wheeler
+    * repetitiveness measure r/n (Burrows & Wheeler 1994; r as the
+    * modern repetitiveness parameter of Gagie–Navarro–Prezza's
+    * r-index, JACM 2020) derived from the SAME distributed rank
+    * tables the dedup family builds: the BWT is the token PRECEDING
+    * each suffix in suffix-array order, and its number of equal-runs
+    * r is the compressed size bzip2-style coders achieve — so r/n is
+    * a principled per-doc "how internally repetitive" score where
+    * naive token-level TTR saturates (a doc repeating a 20-token
+    * block has high TTR but tiny r/n).
+    *
+    * Within one document ranks are tie-free (two suffixes at
+    * different positions have different lengths, and rank order is
+    * shorter-prefix-first), so the per-doc BWT order is total; the
+    * preceding token rides one equi-join of the token table at
+    * pos−1 (position 1 gets the `^` sentinel, which cannot collide
+    * with corpus tokens), and runs are one lag window per doc. The
+    * global rank tables restricted to a doc induce exactly the
+    * doc-local suffix order, so ONE corpus-wide construction serves
+    * every document.
+    *
+    * Output: (idCol, n_tokens, bwt_runs, run_ratio round6),
+    * self-contained (all SA scratch freed).
+    */
+  def bwtRunStats(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val tables = rankTables(docs, idCol, textCol)
+    val fin = tables.last._2
+    val byDoc = Window.partitionBy("doc").orderBy("rank")
+    val prevWord = toks.select(col("doc"), (col("pos") + 1).as("pos"),
+      col("word").as("_pw"))
+    val out = fin.select("doc", "pos", "rank")
+      .join(prevWord, Seq("doc", "pos"), "left")
+      .withColumn("_w", coalesce(col("_pw"), lit("^")))
+      .withColumn("_prev", lag(col("_w"), 1).over(byDoc))
+      .withColumn("_newrun",
+        when(col("_prev").isNull || col("_prev") =!= col("_w"), 1L)
+          .otherwise(0L))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum("_newrun").as("bwt_runs"))
+      .select(col("doc").as(idCol), col("n_tokens"), col("bwt_runs"),
+        graft.llm.TextOps.round6(
+          col("bwt_runs") / col("n_tokens").cast("double")).as("run_ratio"))
+      .orderBy(idCol)
+      .localCheckpoint(true)
+    tables.foreach(t => freeCheckpoint(t._2))
+    out
+  }
+
   /** Top-k longest left-maximal repeated substrings in the corpus:
     * (doc_a, pos_a, doc_b, pos_b, lcp_tokens), k pairs with the largest
     * adjacent-suffix LCP ≥ minTokens, over [[adjacentLcpFromTables]]'s

@@ -2227,6 +2227,19 @@ object LlmSurface {
         .orderBy("event_type")
     }),
 
+    // ---- BWT run-count repetitiveness (r/n) from the suffix array --------
+    // The bzip2-principle per-doc repetitiveness score where TTR
+    // saturates: docs with id%25 = 0 get their text DOUBLED, and
+    // their r/n must drop hard. One corpus-wide SA construction
+    // serves every doc's BWT; oracle sorts each doc's suffix lists
+    // natively.
+    "llm_bwt_runs" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, concat(col("text"), lit(" "),
+          col("text"))).otherwise(col("text")).as("text"))
+      graft.operators.SuffixArray.bwtRunStats(docs, "doc_id", "text")
+    }),
+
     // ---- referential-integrity orphan audit over the TPC-H star ----------
     // Per FK edge: child rows, null FKs, orphans (anti-join against
     // the distinct parent keys) and the orphan rate — the DQ check a
@@ -6395,6 +6408,37 @@ $rounds,
       JOIN tot xa ON xa.doc = e.doc_a
       JOIN tot xb ON xb.doc = e.doc_b
       ORDER BY e.doc_a, e.doc_b
+    """,
+
+    // BWT replay: per doc, native list-sort of the suffix slices
+    // (shorter-prefix-first — the SA's past-end sentinel order),
+    // preceding word (or ^), lag run count.
+    "llm_bwt_runs" -> s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0 THEN text || ' ' || text
+                    ELSE text END AS text
+        FROM documents),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+      suf AS (
+        SELECT doc_id, ws[CAST(i AS INTEGER):] AS s,
+               CASE WHEN i > 1 THEN ws[CAST(i AS INTEGER) - 1]
+                    ELSE '^' END AS bw
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, CAST(len(ws) AS BIGINT) + 1)) AS i
+              FROM tok)),
+      ord AS (
+        SELECT doc_id, bw,
+               lag(bw) OVER (PARTITION BY doc_id ORDER BY s) AS pbw
+        FROM suf)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN pbw IS NULL OR pbw <> bw THEN 1 ELSE 0 END)
+               AS BIGINT) AS bwt_runs,
+             ${round6sql(
+        "sum(CASE WHEN pbw IS NULL OR pbw <> bw THEN 1 ELSE 0 END)" +
+        " / CAST(count(*) AS DOUBLE)")} AS run_ratio
+      FROM ord GROUP BY doc_id
+      ORDER BY doc_id
     """,
 
     // FK-orphan replay: per edge, one anti-join count + null tally.

@@ -152,4 +152,22 @@ class SuffixArraySpec extends SparkSpec {
       assert(l >= 5 && (da != db || pa != pb))
     }
   }
+
+  test("bwtRunStats: exact runs on hand docs; repetition collapses r/n") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y"),        // BWT = [^, x] → 2 runs
+      (2L, "z z z"),      // SA order pos 3,2,1 → BWT = [z, z, ^] → 2 runs
+      (3L, "a b a b a b a b")) // periodic → few runs
+      .toDF("doc_id", "text")
+    val got = graft.operators.SuffixArray
+      .bwtRunStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 3L, 2L, 0.666667)))
+    // "a b ..." ×4: BWT groups all a-suffixes then all b-suffixes —
+    // r far below n
+    assert(got(3L)._3 <= 4L, s"periodic doc runs ${got(3L)}")
+  }
 }
