@@ -1393,6 +1393,56 @@ object EventOps {
       .orderBy("metric")
   }
 
+  /** Distribution-free order-statistic confidence interval for the
+    * median (the classical binomial/sign-test CI; Conover's spelling)
+    * — the robust companion to powerAnalysis' mean machinery: valid
+    * for ANY distribution (the heavy tails llm_tail_index warns
+    * about included), because it only uses ranks: the 95% CI is the
+    * pair of order statistics at ranks (n ∓ z√n)/2.
+    *
+    * Determinism without a CDF: z = 1.96 constant-folds, and
+    * `1.96·sqrt(n)` is one IEEE sqrt of an exact integer — identical
+    * in both engines — floored/ceiled ONCE into integer ranks
+    * (clamped to [1, n]); the three order statistics (lo, median,
+    * hi) come from the cents histogram by rank walk, never a corpus
+    * sort (the X218 discipline).
+    *
+    * Output per metric: (metric, n_obs, lo_rank, hi_rank,
+    * median_cents, lo_cents, hi_cents).
+    */
+  def medianCi(events: DataFrame, typeCol: String, valueCol: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val hist = events.filter(col(valueCol).isNotNull)
+      .select(col(typeCol).as("m"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("m", "cents").agg(count(lit(1)).as("n"))
+    val tot = hist.groupBy("m").agg(sum("n").as("nt"))
+    val ranks = tot.select(col("m"), col("nt"),
+        expr("(nt + 1) div 2").as("med_rank"),
+        greatest(lit(1L), floor((col("nt").cast("double")
+            - lit(1.96) * sqrt(col("nt").cast("double"))) / 2.0)
+          .cast("long")).as("lo_rank"),
+        least(col("nt"), (ceil((col("nt").cast("double")
+            + lit(1.96) * sqrt(col("nt").cast("double"))) / 2.0)
+          .cast("long") + 1)).as("hi_rank"))
+    val byVal = w.partitionBy("m").orderBy("cents")
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val cum = hist.withColumn("_cum", sum("n").over(byVal))
+    def at(rankCol: String, out: String): DataFrame =
+      cum.join(ranks.select(col("m"), col(rankCol).as("_r")), "m")
+        .filter(col("_cum") >= col("_r"))
+        .groupBy("m").agg(min("cents").as(out))
+    ranks
+      .join(at("med_rank", "median_cents"), "m")
+      .join(at("lo_rank", "lo_cents"), "m")
+      .join(at("hi_rank", "hi_cents"), "m")
+      .select(col("m").as("metric"), col("nt").as("n_obs"),
+        col("lo_rank"), col("hi_rank"), col("median_cents"),
+        col("lo_cents"), col("hi_cents"))
+      .orderBy("metric")
+  }
+
   /** Ljung–Box portmanteau test for autocorrelation (Ljung & Box
     * 1978) on the daily event series — the "are days independent"
     * check the whole daily-statistics family silently assumes:

@@ -3045,6 +3045,56 @@ object TextOps {
       .orderBy(col("dp_ppm").desc, col("word"))
   }
 
+  /** Per-source entropy rate (conditional bigram entropy
+    * H(X₂|X₁) = H₂ − H₁, Shannon 1951's printed-English estimate) —
+    * the predictability readout unigram entropy alone overstates:
+    * H₁ says how diverse the VOCABULARY is, the rate says how
+    * predictable the NEXT token is given the current one; the gap
+    * H₁ − rate is exactly the mutual information adjacent tokens
+    * share, i.e. how much local structure a model can exploit. Low
+    * rate at high H₁ = rich vocabulary in rigid patterns
+    * (boilerplate, templated text) — content a dedup pass should
+    * look at harder.
+    *
+    * One tokenize pass; bigrams ride a per-doc lead window (adjacency
+    * never crosses documents); both entropies are exact-integer
+    * micro-nat folds over the (source × gram) count tables — ln
+    * floored per row (the X83 discipline), H = (−Σ c·ln(c/N)) div N.
+    *
+    * Output per source: (source, n_tokens, n_bigrams, h1_micro,
+    * h2_micro, rate_micro).
+    */
+  def entropyRate(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(sourceCol).as("s"), col(idCol).as("d"),
+        posexplode(words(col(textCol))).as(Seq("p", "w")))
+      .localCheckpoint(eager = true)
+    def ent(grams: DataFrame): DataFrame = {
+      val cnt = grams.groupBy("s", "g").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("s").agg(sum("c").as("n"))
+      cnt.join(tot, "s")
+        .select(col("s"), col("n"),
+          (col("c") * floor(log(col("c") / col("n").cast("double"))
+            * 1000000.0 + 0.5).cast("long")).as("_t"))
+        .groupBy("s", "n").agg(expr("(-sum(_t)) div n").as("h"))
+    }
+    val h1 = ent(toks.select(col("s"), col("w").as("g")))
+    val byDoc = w.partitionBy("d").orderBy("p")
+    val h2 = ent(toks
+      .withColumn("_nx", lead(col("w"), 1).over(byDoc))
+      .filter(col("_nx").isNotNull)
+      .select(col("s"), concat_ws(" ", col("w"), col("_nx")).as("g")))
+    h1.select(col("s").as("source"), col("n").as("n_tokens"),
+        col("h").as("h1_micro"))
+      .join(h2.select(col("s").as("source"), col("n").as("n_bigrams"),
+        col("h").as("h2_micro")), "source")
+      .select(col("source"), col("n_tokens"), col("n_bigrams"),
+        col("h1_micro"), col("h2_micro"),
+        (col("h2_micro") - col("h1_micro")).as("rate_micro"))
+      .orderBy("source")
+  }
+
   /** Weighted MinHash near-duplicate detection (Broder 1997 banding
     * over the integer-weight virtual-element expansion of Haveliwala/
     * Gionis; exact weighted Jaccard as the verify stage) — the

@@ -2227,6 +2227,22 @@ object LlmSurface {
         .orderBy("event_type")
     }),
 
+    // ---- per-source entropy rate (bigram conditional entropy) ------------
+    // H(next|current) per source; the gap to H1 is the mutual
+    // information adjacent tokens share — rich-vocabulary-in-rigid-
+    // patterns text shows a low rate at high H1.
+    "llm_entropy_rate" -> ((s, dir) => {
+      TextOps.entropyRate(Tables(s, dir, "documents"), "doc_id",
+        "source", "text")
+    }),
+
+    // ---- distribution-free median CI (order statistics) ------------------
+    // Valid under any tail: ranks (n ∓ 1.96√n)/2 from ONE IEEE sqrt
+    // of an exact integer, order statistics by histogram rank walk.
+    "p_median_ci" -> ((s, dir) => {
+      EventOps.medianCi(events(s, dir), "event_type", "value")
+    }),
+
     // ---- BWT run-count repetitiveness (r/n) from the suffix array --------
     // The bzip2-principle per-doc repetitiveness score where TTR
     // saturates: docs with id%25 = 0 get their text DOUBLED, and
@@ -6408,6 +6424,77 @@ $rounds,
       JOIN tot xa ON xa.doc = e.doc_a
       JOIN tot xb ON xb.doc = e.doc_b
       ORDER BY e.doc_a, e.doc_b
+    """,
+
+    // Entropy-rate replay: same per-doc bigram adjacency, micro-nat
+    // folds over the (source × gram) counts.
+    "llm_entropy_rate" -> """
+      WITH toks AS (
+        SELECT source AS s, doc_id AS d, i AS p, ws[CAST(i AS INTEGER)] AS w
+        FROM (SELECT source, doc_id, string_split(text, ' ') AS ws,
+                     unnest(range(1, CAST(len(string_split(text, ' '))
+                       AS BIGINT) + 1)) AS i
+              FROM documents)),
+      uni AS MATERIALIZED (
+        SELECT s, w AS g, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2),
+      ut AS MATERIALIZED (
+        SELECT s, CAST(sum(c) AS BIGINT) AS n FROM uni GROUP BY 1),
+      h1 AS MATERIALIZED (
+        SELECT u.s, t.n,
+               CAST((-sum(u.c * CAST(floor(ln(u.c / CAST(t.n AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT))) // t.n AS BIGINT) AS h
+        FROM uni u JOIN ut t USING (s) GROUP BY u.s, t.n),
+      bi0 AS (
+        SELECT a.s, a.w || ' ' || b.w AS g
+        FROM toks a JOIN toks b ON b.d = a.d AND b.p = a.p + 1),
+      bi AS MATERIALIZED (
+        SELECT s, g, CAST(count(*) AS BIGINT) AS c FROM bi0 GROUP BY 1, 2),
+      bt AS MATERIALIZED (
+        SELECT s, CAST(sum(c) AS BIGINT) AS n FROM bi GROUP BY 1),
+      h2 AS MATERIALIZED (
+        SELECT b.s, t.n,
+               CAST((-sum(b.c * CAST(floor(ln(b.c / CAST(t.n AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT))) // t.n AS BIGINT) AS h
+        FROM bi b JOIN bt t USING (s) GROUP BY b.s, t.n)
+      SELECT h1.s AS source, h1.n AS n_tokens, h2.n AS n_bigrams,
+             h1.h AS h1_micro, h2.h AS h2_micro,
+             CAST(h2.h - h1.h AS BIGINT) AS rate_micro
+      FROM h1 JOIN h2 ON h1.s = h2.s
+      ORDER BY source
+    """,
+
+    // Median-CI replay: identical IEEE sqrt ranks, histogram walks.
+    "p_median_ci" -> """
+      WITH hist AS MATERIALIZED (
+        SELECT event_type AS m,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT m, CAST(sum(n) AS BIGINT) AS nt FROM hist GROUP BY 1),
+      ranks AS MATERIALIZED (
+        SELECT m, nt, (nt + 1) // 2 AS med_rank,
+               greatest(1, CAST(floor((CAST(nt AS DOUBLE)
+                 - 1.96 * sqrt(CAST(nt AS DOUBLE))) / 2.0) AS BIGINT))
+                 AS lo_rank,
+               least(nt, CAST(ceil((CAST(nt AS DOUBLE)
+                 + 1.96 * sqrt(CAST(nt AS DOUBLE))) / 2.0) AS BIGINT) + 1)
+                 AS hi_rank
+        FROM tot),
+      cum AS MATERIALIZED (
+        SELECT m, cents,
+               sum(n) OVER (PARTITION BY m ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM hist)
+      SELECT r.m AS metric, r.nt AS n_obs, r.lo_rank, r.hi_rank,
+             (SELECT min(cents) FROM cum
+              WHERE cum.m = r.m AND cum.c >= r.med_rank) AS median_cents,
+             (SELECT min(cents) FROM cum
+              WHERE cum.m = r.m AND cum.c >= r.lo_rank) AS lo_cents,
+             (SELECT min(cents) FROM cum
+              WHERE cum.m = r.m AND cum.c >= r.hi_rank) AS hi_cents
+      FROM ranks r
+      ORDER BY metric
     """,
 
     // BWT replay: per doc, native list-sort of the suffix slices

@@ -524,6 +524,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(gotShift > 250000L, s"psi $gotShift")
   }
 
+  test("medianCi: exact order-statistic interval on 1..100") {
+    val ev = (1 to 100).map(i => (i.toLong, "m", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val got = EventOps.medianCi(ev, "event_type", "value")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // lo = ⌊(100−19.6)/2⌋ = 40, hi = ⌈119.6/2⌉+1 = 61; lower median
+    // rank 50
+    assert(got.toSeq === Seq(("m", 100L, 40L, 61L, 5000L, 4000L, 6100L)))
+  }
+
+  test("entropyRate: hand bigram fold matches exactly") {
+    val df = Seq((1L, "s", "a b a b")).toDF("doc_id", "source", "text")
+    val got = graft.llm.TextOps.entropyRate(df, "doc_id", "source", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    def lnMu(p: Double) = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val h1 = -(2 * lnMu(2.0 / 4) + 2 * lnMu(2.0 / 4)) / 4
+    val h2 = -(2 * lnMu(2.0 / 3) + 1 * lnMu(1.0 / 3)) / 3
+    assert(got === (("s", 4L, 3L, h1, h2, h2 - h1)))
+  }
+
   test("ljungBox: alternating series — exact negative r(1), replayed Q") {
     // counts 10,20,10,20,... over 12 days: mean 15, x = ∓5
     val ev = (0 until 12).flatMap { d =>
