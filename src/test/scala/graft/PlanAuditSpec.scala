@@ -523,4 +523,38 @@ class PlanAuditSpec extends SparkSpec {
         s"scan must read only l_extendedprice: $rs")
     }
   }
+
+  test("weighted MinHash candidates come from band EQUALITY, never a " +
+    "cartesian") {
+    val q = graft.llm.TextOps.weightedMinhashPairs(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      cap = 4, k = 16, bandRows = 8, salt = "wmh")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"),
+      s"band join must be an equi-join:\n$p")
+  }
+
+  test("permutation FDR is one fan-out pass + combine aggregation, " +
+    "no cartesian") {
+    val ev = Tables(spark, dir, "events")
+    val q = graft.llm.EventOps.permutationFdr(ev, "user_id", "event_type",
+      "value", perms = 63)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the metric×(B+1) cell table must be partially aggregated before
+    // its exchange — the map-side combine is what makes one pass viable
+    assert(p.contains("partial_"), s"cells must combine map-side:\n$p")
+  }
+
+  test("PSI bin assignment joins boundaries, never sorts the corpus") {
+    val ev = Tables(spark, dir, "events")
+    val q = graft.llm.EventOps.psiDrift(ev, "event_type", "ts", "value",
+      "2024-01-15", bins = 10)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the only global sort allowed is the final output orderBy; the
+    // corpus-sized frames reach it already reduced to metadata
+    assert(!p.contains("Exchange rangepartitioning(cents"),
+      s"corpus must not be range-sorted by value:\n$p")
+  }
 }
