@@ -519,6 +519,46 @@ object RefSurface {
         .orderBy("source")
     }),
 
+    // ---- CSV dialect stress roundtrip (RFC 4180 edge cases) --------------
+    // The reference's whole world is CSV; this pins the dialect edge
+    // cases where engines classically disagree: embedded delimiters,
+    // embedded double quotes (doubled per RFC — Spark needs
+    // escape='"', its default backslash escaping is NOT RFC and
+    // DuckDB would misread it), embedded NEWLINES (read back with
+    // multiLine), and preserved leading/trailing whitespace. Spark
+    // writes, BOTH engines read the same part files — any quoting
+    // defect surfaces as a hash mismatch.
+    "k13_csv_dialect" -> ((s, dir) => {
+      val out = s"/tmp/graft_k13_out/${SalesFixture.sfName(dir)}/dialect"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 4).as("_c"), col("source"))
+        .select(col("doc_id"),
+          when(col("_c") === 0,
+            concat(lit("v,"), col("source"), lit(",end")))
+          .when(col("_c") === 1,
+            concat(lit("say \""), col("source"), lit("\" loud")))
+          .when(col("_c") === 2,
+            concat(lit("line1\nline2:"), col("source")))
+          .otherwise(concat(lit("  padded  "), col("source"), lit("  ")))
+          .as("tricky"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+      s.read
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+        .select(col("doc_id").cast("long").as("doc_id"), col("tricky"))
+        .orderBy("doc_id")
+    }),
+
     // ---- malformed-row quarantine (S1's per-ROW error routing) ----------
     // The operational counterpart of the reference's per-FILE
     // skip-on-error (etl_utils.py:193-194): PERMISSIVE parse with
@@ -2375,6 +2415,17 @@ object RefSurface {
 
     // Fidelity oracle from the ORIGINAL parquet (DuckDB cannot read
     // ORC): identical filter + per-source counts and row-hash checksum.
+    // DuckDB reads the SAME written part files: RFC doubled quotes,
+    // embedded newlines and preserved whitespace must all agree.
+    "k13_csv_dialect" -> {
+      val out = "/tmp/graft_k13_out/__SF__/dialect"
+      s"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, tricky
+      FROM read_csv('$out/*.csv', header=true, all_varchar=true)
+      ORDER BY doc_id
+    """
+    },
+
     "k11_orc_roundtrip" -> """
       SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -113,4 +113,34 @@ class SinksSpec extends SparkSpec {
       s"partition filters missing: ${scan.partitionFilters}")
     assert(scan.relation.partitionSchema.fieldNames.contains("mes"))
   }
+
+  test("RFC CSV dialect: escape='\"' writes DOUBLED quotes, newline " +
+    "fields stay quoted, roundtrip is lossless") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-k13-unit-").toString + "/csv"
+    val df = Seq((1L, "say \"hi\" now"), (2L, "a,b"), (3L, "l1\nl2"),
+      (4L, "  pad  ")).toDF("id", "v")
+    df.coalesce(1).write.option("header", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .mode("overwrite").csv(out)
+    val part = new java.io.File(out).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val raw = new String(java.nio.file.Files.readAllBytes(part.toPath),
+      "UTF-8")
+    // RFC 4180: quote-in-field doubles; Spark's DEFAULT backslash
+    // escape would write \" and DuckDB would misread it
+    assert(raw.contains("\"say \"\"hi\"\" now\""), raw)
+    assert(raw.contains("\"l1\nl2\""), raw)
+    assert(!raw.contains("\\\""), s"backslash escaping leaked: $raw")
+    val back = spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out).select(col("id").cast("long"), col("v"))
+      .as[(Long, String)].collect().toSet
+    assert(back === Set((1L, "say \"hi\" now"), (2L, "a,b"),
+      (3L, "l1\nl2"), (4L, "  pad  ")))
+  }
 }
