@@ -169,6 +169,116 @@ object FeatureOps {
     * Output per group: (groupCol, n_cal, pred_cents, qhat_cents,
     * n_test, n_covered, coverage).
     */
+  /** Exact ranking evaluation — ROC-AUC, average precision, and the
+    * decile operating points — for a score column against a binary
+    * label (X257). The readout the classifier family lacked: X76/X193
+    * report the confusion at ONE threshold (zero); a gate-threshold
+    * decision needs the whole curve, and AUC/AP are the two numbers a
+    * curation team compares scorers by before picking the cutoff.
+    *
+    * No corpus sort: everything derives from the (score-bin → n_pos,
+    * n_neg) HISTOGRAM. The caller quantizes scores to a BOUNDED bin
+    * domain (a rate in micro-units div 1000 has ≤ 1001 bins — the X218
+    * argument), so the windows below run over domain-sized metadata,
+    * never corpus rows. AUC on binned scores with midrank tie-handling
+    * IS the exact trapezoidal area of the binned ROC — and the binning
+    * is the published scorer contract, not an approximation of it.
+    *
+    *  - AUC via the Mann–Whitney rank identity (AUC = U/(n₁n₀)),
+    *    carried as exact DOUBLED integers (the X226 discipline):
+    *    r1_x2 = Σ n₁(b)·(2·below(b)+t(b)+1), u1_x2 = r1_x2 − n₁(n₁+1),
+    *    auc = u1_x2 / (2·n₁·n₀). Midranks = trapezoids across ties.
+    *  - AP (step-wise, threshold-grouped — the sklearn definition) with
+    *    per-threshold precision floored to integer MICRO before the
+    *    Σ ΔTP·P fold, so the sum is exact and order-free (the X169
+    *    quantize-before-sum rule): prec_micro(b) = ⌊TP≥b·10⁶/N≥b⌋,
+    *    ap_micro = ⌊Σ n₁(b)·prec_micro(b) / n₁⌋.
+    *  - Operating points: for j = 1..9, flag the top j-decile by score
+    *    — threshold = the largest bin whose top-cumulative count covers
+    *    ⌈j·n/10⌉ (ties may overshoot; deterministic) — and emit exact
+    *    TPR/FPR rows.
+    *
+    * All products go through decimal(38,0) (n·10⁶ overflows int64 past
+    * ~9·10¹² rows); positives-only floors make Spark decimal floor-div
+    * and DuckDB `//` agree. Output: (measure, num, den, value) rows —
+    * 'ap', 'auc', 'fpr_1'..'fpr_9', 'n_neg', 'n_pos', 'tpr_1'..'tpr_9'
+    * — num/den the exact integers, value the round6 display ratio.
+    */
+  def rankEval(df: DataFrame, binCol: String, posCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val hist = df
+      .select(col(binCol).as("bin"), when(posCol, 1L).otherwise(0L).as("p"))
+      .groupBy("bin")
+      .agg(sum("p").as("n1"), sum(lit(1L) - col("p")).as("n0"))
+    val asc = w.orderBy("bin")
+    val desc = w.orderBy(col("bin").desc)
+    val h = hist
+      .withColumn("t", col("n1") + col("n0"))
+      .withColumn("below", coalesce(sum(col("t"))
+        .over(asc.rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_tp",
+        sum("n1").over(desc.rowsBetween(w.unboundedPreceding, 0)))
+      .withColumn("cum_n",
+        sum("t").over(desc.rowsBetween(w.unboundedPreceding, 0)))
+      // exact floor-div in decimal at ANY scale: Spark decimal division
+      // rounds HALF-UP at the result scale, so floor alone could read
+      // one high vs DuckDB's exact integer `//`; the q·B > A probe
+      // detects a bumped quotient and corrects it (values bounded by
+      // 10⁶·n, well inside decimal(38,0))
+      .withColumn("_q",
+        floor(dec(col("cum_tp")) * lit(1000000) / dec(col("cum_n")))
+          .cast("decimal(38,0)"))
+      .withColumn("prec_micro",
+        (col("_q") - when(col("_q") * dec(col("cum_n"))
+          > dec(col("cum_tp")) * lit(1000000), 1).otherwise(0))
+          .cast("decimal(38,0)"))
+    val tot = h.agg(
+        sum("n1").as("np"), sum("n0").as("nn"),
+        sum(dec(col("n1")) * dec(lit(2L) * col("below") + col("t") + 1L))
+          .as("r1_x2"),
+        sum(dec(col("n1")) * col("prec_micro")).as("ap_num"))
+      .withColumn("_aq", floor(col("ap_num") / dec(col("np")))
+        .cast("decimal(38,0)"))
+      .select(col("np"), col("nn"),
+        (col("r1_x2") - dec(col("np")) * dec(col("np") + 1L)).as("u1_x2"),
+        (col("_aq") - when(col("_aq") * dec(col("np")) > col("ap_num"), 1)
+          .otherwise(0)).cast("long").as("ap_micro"))
+    val summary = tot.select(
+        lit("auc").as("measure"), col("u1_x2").cast("long").as("num"),
+        (lit(2L) * col("np") * col("nn")).as("den"),
+        TextOps.round6(col("u1_x2").cast("double")
+          / (lit(2.0) * col("np") * col("nn"))).as("value"))
+      .unionAll(tot.select(lit("ap"), col("ap_micro"), lit(1000000L),
+        TextOps.round6(col("ap_micro") / 1e6)))
+      .unionAll(tot.select(lit("n_pos"), col("np"), lit(1L),
+        TextOps.round6(col("np").cast("double"))))
+      .unionAll(tot.select(lit("n_neg"), col("nn"), lit(1L),
+        TextOps.round6(col("nn").cast("double"))))
+    // decile operating points: the 9-row j spine × the bin histogram is
+    // metadata×metadata; max_by picks the largest qualifying bin (bins
+    // are distinct, so the argmax is total)
+    val js = (1 to 9).map(j => s"($j)").mkString(", ")
+    val spine = df.sparkSession.sql(s"SELECT * FROM VALUES $js AS t(j)")
+    val pts = h.select("bin", "cum_tp", "cum_n")
+      .crossJoin(broadcast(tot.select("np", "nn")))
+      .join(broadcast(spine),
+        col("cum_n") * 10 >= col("j") * (col("np") + col("nn")))
+      .groupBy("j")
+      .agg(max_by(struct(col("cum_tp"), col("cum_n")), col("bin")).as("s"),
+        max("np").as("np"), max("nn").as("nn"))
+    val tpr = pts.select(
+      concat(lit("tpr_"), col("j")).as("measure"),
+      col("s.cum_tp").as("num"), col("np").as("den"),
+      TextOps.round6(col("s.cum_tp") / col("np").cast("double")).as("value"))
+    val fpr = pts.select(
+      concat(lit("fpr_"), col("j")).as("measure"),
+      (col("s.cum_n") - col("s.cum_tp")).as("num"), col("nn").as("den"),
+      TextOps.round6((col("s.cum_n") - col("s.cum_tp"))
+        / col("nn").cast("double")).as("value"))
+    summary.unionAll(tpr).unionAll(fpr).orderBy("measure")
+  }
+
   def conformalInterval(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, alphaPct: Int, salt: String): DataFrame = {
     require(alphaPct > 0 && alphaPct < 100,

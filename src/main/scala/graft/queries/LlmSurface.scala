@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{EventOps, Multimodal, TextOps, VectorOps}
+import graft.llm.{EventOps, FeatureOps, Multimodal, TextOps, VectorOps}
 
 /** LLM-training-data-pipeline queries over the driver's `documents` /
   * `embeddings` / `events` tables, each paired with a DuckDB oracle
@@ -604,6 +604,28 @@ object LlmSurface {
         "doc_id", "text", stopCount * 1000 >= lit(61) * size(ws),
         numBuckets = 4096, salt = "clf", rounds = 10, lrDiv = 200L,
         clipMilli = 300L, topW = 32)
+    }),
+
+    // ---- ranking evaluation: exact ROC-AUC / AP / decile points (X257) ---
+    // The curve readout the one-threshold confusion counts (X76/X193)
+    // can't give: does a CHEAP single-marker score ("the" per-mille)
+    // rank the expensive 5-stopword teacher gate well enough to
+    // replace it, and at which decile cutoff? Score bins are per-mille
+    // rates — a BOUNDED ≤1001-value domain, so every window in
+    // rankEval runs over the bin histogram (X218 argument). AUC via
+    // the exact doubled-rank Mann–Whitney identity, AP with
+    // per-threshold precision floored to micro before the fold.
+    "llm_rank_eval" -> ((s, dir) => {
+      val ws = TextOps.words(col("text"))
+      val scored = Tables(s, dir, "documents")
+        .select(size(ws).as("n"),
+          size(filter(ws, w => w === "the")).as("cthe"),
+          size(filter(ws, w => w.isin("the", "a", "of", "to", "and")))
+            .as("cstop"))
+        .filter(col("n") > 0)
+        .select(expr("(cthe * 1000) DIV n").as("bin"),
+          (col("cstop") * 1000 >= col("n") * 61).as("pos"))
+      FeatureOps.rankEval(scored, "bin", col("pos"))
     }),
 
     // ---- DSIR importance weighting (Xie et al. 2023) ---------------------
@@ -4256,6 +4278,75 @@ object LlmSurface {
       SELECT doc_id, lang_true AS lang, cand AS pred_lang,
              (lang_true = cand) AS correct
       FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+
+    // Replays the bin histogram, the doubled-rank AUC identity, the
+    // micro-floored AP fold, and the decile threshold walk. `//` is
+    // DuckDB's toward-zero integer division (all operands positive
+    // here, so it agrees with Spark's decimal floor-div).
+    "llm_rank_eval" -> s"""
+      WITH sc AS (
+        SELECT (len(list_filter(string_split(text, ' '), w -> w = 'the'))
+                 * 1000) // len(string_split(text, ' ')) AS bin,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the', 'a', 'of', 'to', 'and'))) * 1000
+                    >= 61 * len(string_split(text, ' '))
+                    THEN 1 ELSE 0 END AS p
+        FROM documents
+        WHERE len(string_split(text, ' ')) > 0),
+      hist AS (
+        SELECT bin, sum(p) AS n1, sum(1 - p) AS n0 FROM sc GROUP BY 1),
+      h AS (
+        SELECT bin, n1, n0, n1 + n0 AS t,
+               coalesce(sum(n1 + n0) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below,
+               sum(n1) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+               sum(n1 + n0) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        FROM hist),
+      h2 AS (
+        SELECT h.*, (CAST(cum_tp AS HUGEINT) * 1000000) // cum_n
+                 AS prec_micro
+        FROM h),
+      tot AS (
+        SELECT CAST(sum(n1) AS BIGINT) AS np, CAST(sum(n0) AS BIGINT) AS nn,
+               sum(CAST(n1 AS HUGEINT) * (2 * below + t + 1)) AS r1_x2,
+               sum(CAST(n1 AS HUGEINT) * prec_micro) AS ap_num
+        FROM h2),
+      tot2 AS (
+        SELECT np, nn, r1_x2 - CAST(np AS HUGEINT) * (np + 1) AS u1_x2,
+               CAST(ap_num // np AS BIGINT) AS ap_micro
+        FROM tot),
+      pts AS (
+        SELECT j, max(bin) AS bj
+        FROM h2, tot2, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) v(j)
+        WHERE cum_n * 10 >= j * (np + nn) GROUP BY j),
+      ptv AS (
+        SELECT p.j, CAST(h2.cum_tp AS BIGINT) AS cum_tp,
+               CAST(h2.cum_n AS BIGINT) AS cum_n, t.np, t.nn
+        FROM pts p JOIN h2 ON h2.bin = p.bj CROSS JOIN tot2 t)
+      SELECT * FROM (
+        SELECT 'auc' AS measure, CAST(u1_x2 AS BIGINT) AS num,
+               2 * np * nn AS den,
+               ${round6sql("CAST(u1_x2 AS DOUBLE) / (2.0 * np * nn)")}
+                 AS value
+        FROM tot2
+        UNION ALL
+        SELECT 'ap', ap_micro, 1000000,
+               ${round6sql("ap_micro / 1e6")} FROM tot2
+        UNION ALL
+        SELECT 'n_pos', np, 1, CAST(np AS DOUBLE) FROM tot2
+        UNION ALL
+        SELECT 'n_neg', nn, 1, CAST(nn AS DOUBLE) FROM tot2
+        UNION ALL
+        SELECT 'tpr_' || j, cum_tp, np,
+               ${round6sql("cum_tp / CAST(np AS DOUBLE)")} FROM ptv
+        UNION ALL
+        SELECT 'fpr_' || j, cum_n - cum_tp, nn,
+               ${round6sql("(cum_n - cum_tp) / CAST(nn AS DOUBLE)")} FROM ptv)
+      ORDER BY measure
     """,
 
     "llm_importance" -> s"""
