@@ -2724,6 +2724,24 @@ object LlmSurface {
         .orderBy("item_a", "item_b")
     }),
 
+    // ---- link prediction over the co-order graph (X258) ------------------
+    // Common-neighbors / Jaccard / Adamic-Adar for NON-adjacent part
+    // pairs — "which co-order edge appears next". Wedge candidates
+    // come from cap-12 neighbor lists (weight DESC, id ASC —
+    // deterministic), so fan-out is bounded C(12,2) per center at any
+    // hub skew; all three scores are defined self-consistently on the
+    // capped structure, AA in exact integer micro (10^12 div
+    // micro-floored ln deg).
+    "llm_link_predict" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      graft.operators.LinkPrediction.scores(edges, "item_a", "item_b",
+        cap = 12, topK = 50)
+    }),
+
     // ---- rolling distinct engagement (DAU / WAU / stickiness) ------------
     // Exact trailing-7-day distinct users via the window-explode
     // spelling (each activity day charged to the <=7 window ends it
@@ -8089,6 +8107,66 @@ $rounds,
       FROM d WHERE dt IS NOT NULL
       GROUP BY 1
       ORDER BY bucket
+    """,
+
+    // Replays the X148 projection, the cap-12 neighbor ranking, the
+    // wedge join, the anti-join against existing edges, and the
+    // integer-micro AA weights.
+    "llm_link_predict" -> s"""
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bcap AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      edges AS (
+        SELECT x.i AS item_a, y.i AS item_b,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM bcap x JOIN bcap y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      adj AS (
+        SELECT item_a AS ctr, item_b AS nbr, weight FROM edges
+        UNION ALL
+        SELECT item_b AS ctr, item_a AS nbr, weight FROM edges),
+      capped AS (
+        SELECT ctr, nbr FROM (
+          SELECT ctr, nbr, row_number() OVER (PARTITION BY ctr
+                   ORDER BY weight DESC, nbr) AS r
+          FROM adj)
+        WHERE r <= 12),
+      deg_aa AS (
+        SELECT ctr, 1000000000000 //
+                 CAST(floor(ln(count(*)) * 1000000) AS BIGINT) AS aa_c
+        FROM capped GROUP BY ctr
+        HAVING count(*) >= 2),
+      rdeg AS (
+        SELECT nbr AS node, CAST(count(*) AS BIGINT) AS rd
+        FROM capped GROUP BY 1),
+      cand AS (
+        SELECT x.nbr AS a, y.nbr AS b,
+               CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(d.aa_c) AS BIGINT) AS aa_micro
+        FROM capped x
+        JOIN capped y ON x.ctr = y.ctr AND x.nbr < y.nbr
+        JOIN deg_aa d ON d.ctr = x.ctr
+        GROUP BY 1, 2),
+      nonadj AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.item_a = c.a AND e.item_b = c.b))
+      SELECT n.a AS item_a, n.b AS item_b, n.cn, n.aa_micro,
+             ra.rd AS rdeg_a, rb.rd AS rdeg_b,
+             ${round6sql(
+               "CAST(n.cn AS DOUBLE) / (ra.rd + rb.rd - n.cn)")} AS jaccard
+      FROM nonadj n
+      JOIN rdeg ra ON ra.node = n.a
+      JOIN rdeg rb ON rb.node = n.b
+      ORDER BY n.cn DESC, n.aa_micro DESC, item_a, item_b
+      LIMIT 50
     """,
 
     "llm_coorder_graph" -> """
