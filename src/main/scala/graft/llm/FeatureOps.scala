@@ -221,29 +221,17 @@ object FeatureOps {
         sum("n1").over(desc.rowsBetween(w.unboundedPreceding, 0)))
       .withColumn("cum_n",
         sum("t").over(desc.rowsBetween(w.unboundedPreceding, 0)))
-      // exact floor-div in decimal at ANY scale: Spark decimal division
-      // rounds HALF-UP at the result scale, so floor alone could read
-      // one high vs DuckDB's exact integer `//`; the q·B > A probe
-      // detects a bumped quotient and corrects it (values bounded by
-      // 10⁶·n, well inside decimal(38,0))
-      .withColumn("_q",
-        floor(dec(col("cum_tp")) * lit(1000000) / dec(col("cum_n")))
-          .cast("decimal(38,0)"))
-      .withColumn("prec_micro",
-        (col("_q") - when(col("_q") * dec(col("cum_n"))
-          > dec(col("cum_tp")) * lit(1000000), 1).otherwise(0))
-          .cast("decimal(38,0)"))
+      .withColumn("prec_micro", TextOps.floorDivDec(
+        dec(col("cum_tp")) * lit(1000000), dec(col("cum_n"))))
     val tot = h.agg(
         sum("n1").as("np"), sum("n0").as("nn"),
         sum(dec(col("n1")) * dec(lit(2L) * col("below") + col("t") + 1L))
           .as("r1_x2"),
         sum(dec(col("n1")) * col("prec_micro")).as("ap_num"))
-      .withColumn("_aq", floor(col("ap_num") / dec(col("np")))
-        .cast("decimal(38,0)"))
       .select(col("np"), col("nn"),
         (col("r1_x2") - dec(col("np")) * dec(col("np") + 1L)).as("u1_x2"),
-        (col("_aq") - when(col("_aq") * dec(col("np")) > col("ap_num"), 1)
-          .otherwise(0)).cast("long").as("ap_micro"))
+        TextOps.floorDivDec(col("ap_num"), dec(col("np")))
+          .cast("long").as("ap_micro"))
     val summary = tot.select(
         lit("auc").as("measure"), col("u1_x2").cast("long").as("num"),
         (lit(2L) * col("np") * col("nn")).as("den"),

@@ -32,6 +32,19 @@ object TextOps {
     */
   def round6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
 
+  /** Exact ⌊a/b⌋ for NONNEGATIVE decimal(38,0) columns at any scale:
+    * Spark decimal division rounds HALF-UP at the result scale, so a
+    * bare `floor` can read one high vs an engine that divides exactly
+    * (DuckDB's integer `//`); the q·b > a probe detects a bumped
+    * quotient and corrects it. (Long `DIV` is exact but overflows
+    * where these products live — that is why callers are in decimal
+    * at all.)
+    */
+  def floorDivDec(a: Column, b: Column): Column = {
+    val q = floor(a / b).cast("decimal(38,0)")
+    (q - when(q * b > a, 1).otherwise(0)).cast("decimal(38,0)")
+  }
+
   /** Whitespace word split (the corpus is single-space separated). */
   def words(text: Column): Column = split(text, " ")
 

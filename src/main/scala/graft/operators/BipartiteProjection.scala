@@ -30,20 +30,32 @@ import org.apache.spark.sql.functions._
   */
 object BipartiteProjection {
 
+  /** The deterministic cap step alone: distinct (basket, item) rows
+    * pruned to each basket's `cap` smallest item ids — shared by
+    * [[project]] and the X259 association-rule supports (both sides
+    * of a rule must count over the SAME capped relation or
+    * confidence/lift lose their set semantics). Output columns
+    * `_b`, `_i`.
+    */
+  def capBaskets(rel: DataFrame, basketCol: String, itemCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 2, s"cap ($cap) must be >= 2")
+    val w = Window.partitionBy("_b").orderBy("_i")
+    rel
+      .select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= cap)
+      .select("_b", "_i")
+  }
+
   def project(
       rel: DataFrame,
       basketCol: String,
       itemCol: String,
       cap: Int,
       minWeight: Long): DataFrame = {
-    require(cap >= 2, s"cap ($cap) must be >= 2")
-    val w = Window.partitionBy("_b").orderBy("_i")
-    val capped = rel
-      .select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct()
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= cap)
-      .select("_b", "_i")
+    val capped = capBaskets(rel, basketCol, itemCol, cap)
     capped.as("x").join(capped.as("y"), Seq("_b"))
       .filter(col("x._i") < col("y._i"))
       .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))

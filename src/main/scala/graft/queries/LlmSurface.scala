@@ -2724,6 +2724,20 @@ object LlmSurface {
         .orderBy("item_a", "item_b")
     }),
 
+    // ---- pairwise association rules over order baskets (X259) ------------
+    // Directional A->B rules with exact support / confidence / lift,
+    // all three statistics on the SAME cap-5 basket prefixes (mixing
+    // capped pair counts with uncapped item counts would let
+    // confidence exceed 1). PPM integers via exact decimal floor-div;
+    // top-40 by (lift, conf) total order.
+    "p_assoc_rules" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.AssociationRules.rules(rel, "l_orderkey",
+        "l_partkey", cap = 5, minSupport = 2, topK = 40)
+    }),
+
     // ---- link prediction over the co-order graph (X258) ------------------
     // Common-neighbors / Jaccard / Adamic-Adar for NON-adjacent part
     // pairs — "which co-order edge appears next". Wedge candidates
@@ -8107,6 +8121,53 @@ $rounds,
       FROM d WHERE dt IS NOT NULL
       GROUP BY 1
       ORDER BY bucket
+    """,
+
+    // Replays the cap-5 basket prefixes, both rule directions, and the
+    // exact HUGEINT ppm divisions.
+    "p_assoc_rules" -> s"""
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bcap AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      itemsup AS (
+        SELECT i AS item, CAST(count(*) AS BIGINT) AS sup
+        FROM bcap GROUP BY 1),
+      nb AS (
+        SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bcap),
+      pairs AS (
+        SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS s_pair
+        FROM bcap x JOIN bcap y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      directed AS (
+        SELECT a AS antecedent, b AS consequent, s_pair FROM pairs
+        UNION ALL
+        SELECT b AS antecedent, a AS consequent, s_pair FROM pairs),
+      scored AS (
+        SELECT d.antecedent, d.consequent, d.s_pair,
+               ia.sup AS s_ante, ic.sup AS s_cons, nb.n_baskets,
+               CAST((CAST(d.s_pair AS HUGEINT) * 1000000) // ia.sup
+                 AS BIGINT) AS conf_ppm,
+               CAST((CAST(d.s_pair AS HUGEINT) * nb.n_baskets * 1000000)
+                 // (CAST(ia.sup AS HUGEINT) * ic.sup) AS BIGINT)
+                 AS lift_ppm
+        FROM directed d
+        JOIN itemsup ia ON ia.item = d.antecedent
+        JOIN itemsup ic ON ic.item = d.consequent
+        CROSS JOIN nb)
+      SELECT antecedent, consequent, s_pair, s_ante, s_cons, n_baskets,
+             conf_ppm, lift_ppm,
+             ${round6sql("conf_ppm / 1e6")} AS confidence,
+             ${round6sql("lift_ppm / 1e6")} AS lift
+      FROM scored
+      ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent
+      LIMIT 40
     """,
 
     // Replays the X148 projection, the cap-12 neighbor ranking, the
