@@ -1947,4 +1947,85 @@ object EventOps {
                 .cast("double")))).as("r"))
       .orderBy("lag")
   }
+
+  /** RFM quintile segmentation (Hughes 1994, the direct-marketing
+    * classic) over an order log — per customer: Recency (days since
+    * last order, measured against the corpus max date), Frequency
+    * (order count), Monetary (exact cents total), each scored 1–5 by
+    * corpus quintile, customers rolled up to the ≤125 (R,F,M)
+    * segments a campaign plan reads (X260).
+    *
+    * Sort-free order statistics: each dimension's four quintile
+    * boundaries come from its VALUE HISTOGRAM — boundary t_q = the
+    * smallest value whose cumulative count covers ⌈q·n/5⌉, cleared to
+    * the integer cross-multiplication 5·cum ≥ q·n (the X218/X226
+    * no-corpus-sort argument). Scores are then VALUE-based membership
+    * (1 + #{t_q below}; the WoE/X143 rule) so equal values share a
+    * score regardless of partition order — an ntile spelling would
+    * tie-break per engine and was rejected. Recency inverts (6 − s)
+    * so 5 always reads "best". Monetary histogram cells are
+    * `mBinDiv`-cent bins (score bands, the credit-scoring practice)
+    * — per-customer money SUMS have no bounded natural domain, the
+    * binning restores the histogram-size argument; R and F are
+    * day/count domains, bounded as-is.
+    *
+    * Scale: one combine agg to |customers| rows, three histogram
+    * combine aggs + metadata windows for the boundaries (each
+    * broadcast back as a 1-row array), one combine agg to the
+    * segment cells. Exact integers end to end; the only doubles are
+    * the round6 display averages.
+    *
+    * Output: (r_score, f_score, m_score, n_customers, f_total,
+    * m_cents_total, avg_orders, avg_m), ordered by the three scores.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
+      valueCol: String, mBinDiv: Long = 1000L): DataFrame = {
+    require(mBinDiv >= 1, s"mBinDiv ($mBinDiv) must be >= 1")
+    val per = orders
+      .filter(col(custCol).isNotNull && col(tsCol).isNotNull
+        && col(valueCol).isNotNull)
+      .groupBy(col(custCol).as("cust"))
+      .agg(max(to_date(col(tsCol))).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("m_cents"))
+    val maxd = per.agg(max("last_day").as("d_max"))
+    val rfm = per.crossJoin(broadcast(maxd))
+      .select(col("cust"),
+        datediff(col("d_max"), col("last_day")).cast("long").as("r_days"),
+        col("f"), col("m_cents"),
+        expr(s"m_cents DIV $mBinDiv").as("m_bin"))
+      .localCheckpoint(eager = true) // 3 histogram consumers + scoring
+    // quintile boundaries of one dimension as a sorted 4-element array
+    def bounds(dim: String): DataFrame = {
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val hist = rfm.groupBy(col(dim).as("v")).agg(count(lit(1)).as("n"))
+      val cum = hist.withColumn("cum", sum("n").over(w))
+        .crossJoin(broadcast(hist.agg(sum("n").as("nt"))))
+      cum.crossJoin(
+          rfm.sparkSession.sql("SELECT * FROM VALUES (1),(2),(3),(4) t(q)"))
+        .filter(col("cum") * 5 >= col("q") * col("nt"))
+        .groupBy("q").agg(min("v").as("t"))
+        .agg(array_sort(collect_list(col("t"))).as(s"arr_$dim"))
+    }
+    def score(v: Column, arr: Column): Column =
+      lit(1) + size(filter(arr, t => v > t))
+    val scored = rfm
+      .crossJoin(broadcast(bounds("r_days")))
+      .crossJoin(broadcast(bounds("f")))
+      .crossJoin(broadcast(bounds("m_bin")))
+      .select(col("cust"), col("f"), col("m_cents"),
+        (lit(6) - score(col("r_days"), col("arr_r_days"))).as("r_score"),
+        score(col("f"), col("arr_f")).as("f_score"),
+        score(col("m_bin"), col("arr_m_bin")).as("m_score"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum("f").as("f_total"),
+        sum("m_cents").as("m_cents_total"))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        col("n_customers"), col("f_total"), col("m_cents_total"),
+        TextOps.round6(col("f_total") / col("n_customers").cast("double"))
+          .as("avg_orders"),
+        TextOps.round6(col("m_cents_total")
+          / (col("n_customers") * 100).cast("double")).as("avg_m"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
 }

@@ -2724,6 +2724,18 @@ object LlmSurface {
         .orderBy("item_a", "item_b")
     }),
 
+    // ---- RFM quintile segmentation over the order log (X260) -------------
+    // Recency/Frequency/Monetary scored 1-5 by corpus quintile, each
+    // boundary from a value histogram rank walk (5*cum >= q*n integer
+    // clearing — no corpus sort), value-based membership so ties
+    // share a score; monetary histogram in 1000-cent score bands
+    // (per-customer sums have no bounded natural domain). Rolled up
+    // to the <=125 segment cells a campaign plan reads.
+    "p_rfm_segments" -> ((s, dir) => {
+      EventOps.rfmSegments(Tables(s, dir, "orders"), "o_custkey",
+        "o_orderdate", "o_totalprice")
+    }),
+
     // ---- pairwise association rules over order baskets (X259) ------------
     // Directional A->B rules with exact support / confidence / lift,
     // all three statistics on the SAME cap-5 basket prefixes (mixing
@@ -8121,6 +8133,60 @@ $rounds,
       FROM d WHERE dt IS NOT NULL
       GROUP BY 1
       ORDER BY bucket
+    """,
+
+    // Replays the per-customer rollup, the three histogram rank walks,
+    // and the value-based quintile membership (correlated threshold
+    // counts — ≤4 rows each).
+    "p_rfm_segments" -> s"""
+      WITH per AS (
+        SELECT o_custkey AS cust, max(CAST(o_orderdate AS DATE)) AS last_day,
+               CAST(count(*) AS BIGINT) AS f,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS m_cents
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL
+        GROUP BY 1),
+      rfm AS (
+        SELECT cust,
+               CAST(date_diff('day', last_day,
+                 (SELECT max(last_day) FROM per)) AS BIGINT) AS r_days,
+               f, m_cents, m_cents // 1000 AS m_bin
+        FROM per),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+      hist_r AS (SELECT r_days AS v, count(*) AS n FROM rfm GROUP BY 1),
+      cum_r AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM hist_r),
+      thr_r AS (SELECT q, min(v) AS t
+                FROM cum_r, nt, (VALUES (1),(2),(3),(4)) vq(q)
+                WHERE cum * 5 >= q * nt.n GROUP BY q),
+      hist_f AS (SELECT f AS v, count(*) AS n FROM rfm GROUP BY 1),
+      cum_f AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM hist_f),
+      thr_f AS (SELECT q, min(v) AS t
+                FROM cum_f, nt, (VALUES (1),(2),(3),(4)) vq(q)
+                WHERE cum * 5 >= q * nt.n GROUP BY q),
+      hist_m AS (SELECT m_bin AS v, count(*) AS n FROM rfm GROUP BY 1),
+      cum_m AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM hist_m),
+      thr_m AS (SELECT q, min(v) AS t
+                FROM cum_m, nt, (VALUES (1),(2),(3),(4)) vq(q)
+                WHERE cum * 5 >= q * nt.n GROUP BY q),
+      scored AS (
+        SELECT cust, f, m_cents,
+               6 - (1 + (SELECT count(*) FROM thr_r WHERE rfm.r_days > t))
+                 AS r_score,
+               1 + (SELECT count(*) FROM thr_f WHERE rfm.f > t) AS f_score,
+               1 + (SELECT count(*) FROM thr_m WHERE rfm.m_bin > t)
+                 AS m_score
+        FROM rfm)
+      SELECT r_score, f_score, m_score,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(f) AS BIGINT) AS f_total,
+             CAST(sum(m_cents) AS BIGINT) AS m_cents_total,
+             ${round6sql("sum(f) / CAST(count(*) AS DOUBLE)")} AS avg_orders,
+             ${round6sql("sum(m_cents) / (count(*) * 100.0)")} AS avg_m
+      FROM scored
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
     """,
 
     // Replays the cap-5 basket prefixes, both rule directions, and the
