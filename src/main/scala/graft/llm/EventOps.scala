@@ -1948,6 +1948,114 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Off-policy evaluation (X261; Horvitz–Thompson / Li et al.
+    * WSDM'11 lineage): estimate what a NEW deterministic policy would
+    * have earned from a logged (context, action, reward) stream —
+    * the counterfactual readout behind every "should we switch the
+    * recommender" decision, without running the new policy.
+    *
+    * Construction (all from the log, all deterministic):
+    *  - context = day-of-week, action = event type, reward = value in
+    *    exact micro;
+    *  - the TARGET policy is learned greedily on the TRAIN half of a
+    *    time split (argmax train mean reward per context, mean
+    *    micro-floored once, tiebreak action ASC via a rank window) —
+    *    the evaluation half never touches policy selection (the
+    *    X83/X187 split discipline);
+    *  - Direct Method: the train-model mean of the chosen action,
+    *    re-weighted by the EVAL context distribution;
+    *  - IPS: Σ 1[a_i = π(x_i)]·r_i/p̂(a_i|x_i) / n over the eval
+    *    half, with propensities p̂ = n_xa/n_x estimated on the TRAIN
+    *    half — the logging-model discipline (a propensity model fit
+    *    on separate data). Estimating p̂ on the eval half itself is
+    *    the REJECTED spelling: the weights then telescope per context
+    *    (n_xa rows × n_x/n_xa = n_x) and "IPS" collapses to the
+    *    plug-in matched mean while SNIPS ≡ IPS exactly — machinery
+    *    with no content. With train propensities, each context cell's
+    *    matching rows share ONE weight, so both sums stay single
+    *    exact integer divisions per cell ([[TextOps.floorDivDec]]):
+    *    ips_term = ⌊S^ev_match·n^tr_x / n^tr_xa⌋, and the SNIPS
+    *    weight mass w_term = ⌊n^ev_match·n^tr_x·10⁶ / n^tr_xa⌋.
+    *  - SNIPS: Σ w·r / Σ w — the self-normalized variant that trades
+    *    IPS's unbiasedness for bounded variance when train and eval
+    *    action mixes drift.
+    *
+    * The DM-vs-IPS gap per context is the model-misfit/winner's-curse
+    * readout: DM trusts train means (the argmax's own selection
+    * noise), IPS trusts only logged eval rewards the target policy
+    * would have kept.
+    *
+    * Scale: one combine agg per half to the ≤|contexts|×|actions|
+    * cell table; the policy argmax, propensities, and all three
+    * estimators run on that metadata. Output: one row per context
+    * plus `__ALL__`, ordered by context.
+    */
+  def offPolicyValue(events: DataFrame, tsCol: String, actionCol: String,
+      valueCol: String, splitDate: String): DataFrame = {
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val base = events
+      .filter(col(actionCol).isNotNull && col(valueCol).isNotNull)
+      .select(dayofweek(col(tsCol)).as("ctx"), col(actionCol).as("act"),
+        floor(col(valueCol) * 1000000 + 0.5).cast("long").as("r"),
+        (col(tsCol) >= lit(splitDate).cast("timestamp")).as("eval"))
+    val cells = base.groupBy("ctx", "act", "eval")
+      .agg(count(lit(1)).as("n"), sum("r").as("s"))
+      .localCheckpoint(eager = true)
+    // target policy from TRAIN cells: argmax micro-floored mean; the
+    // chosen cell's own count is the propensity numerator n^tr_xa
+    val byCtx = Window.partitionBy("ctx")
+      .orderBy(col("mean_micro").desc, col("act"))
+    val pi = cells.filter(!col("eval"))
+      .withColumn("mean_micro",
+        TextOps.floorDivDec(dec(col("s")), dec(col("n"))).cast("long"))
+      .withColumn("_rn", row_number().over(byCtx))
+      .filter(col("_rn") === 1)
+      .select(col("ctx"), col("act").as("pi_act"),
+        col("mean_micro").as("dm_micro"), col("n").as("n_tr_match"))
+    val trainTot = cells.filter(!col("eval")).groupBy("ctx")
+      .agg(sum("n").as("n_tr_ctx"))
+    // eval-half cells + context totals
+    val ev = cells.filter(col("eval"))
+    val ctxTot = ev.groupBy("ctx").agg(sum("n").as("n_ctx"))
+    val perCtx = pi
+      .join(trainTot, "ctx")
+      .join(ctxTot, "ctx")
+      .join(ev.select(col("ctx"), col("act").as("pi_act"),
+        col("n").as("n_match"), col("s").as("s_match")),
+        Seq("ctx", "pi_act"), "left")
+      .select(col("ctx"), col("pi_act"), col("n_ctx"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        col("dm_micro"),
+        coalesce(TextOps.floorDivDec(
+          dec(col("s_match")) * dec(col("n_tr_ctx")),
+          dec(col("n_tr_match"))).cast("long"), lit(0L)).as("ips_term"),
+        coalesce(TextOps.floorDivDec(
+          dec(col("n_match")) * dec(col("n_tr_ctx")) * lit(1000000),
+          dec(col("n_tr_match"))).cast("long"), lit(0L)).as("w_term"))
+      .localCheckpoint(eager = true) // consumed per-row and by the rollup
+    def snips(ipsNum: Column, wSum: Column): Column =
+      when(wSum > 0, TextOps.floorDivDec(dec(ipsNum) * lit(1000000),
+        dec(wSum)).cast("long")).otherwise(lit(0L))
+    val all = perCtx.agg(sum("n_ctx").as("n_eval"),
+        sum("n_match").as("n_match"),
+        sum(dec(col("n_ctx")) * dec(col("dm_micro"))).as("dm_num"),
+        sum(col("ips_term")).as("ips_num"), sum(col("w_term")).as("w_sum"))
+      .select(lit("__ALL__").as("context"), lit("-").as("pi_action"),
+        col("n_eval"), col("n_match"),
+        TextOps.floorDivDec(col("dm_num"), dec(col("n_eval")))
+          .cast("long").as("dm_micro"),
+        TextOps.floorDivDec(dec(col("ips_num")), dec(col("n_eval")))
+          .cast("long").as("ips_micro"),
+        snips(col("ips_num"), col("w_sum")).as("snips_micro"))
+    val per = perCtx.select(col("ctx").cast("string").as("context"),
+      col("pi_act").as("pi_action"), col("n_ctx").as("n_eval"),
+      col("n_match"), col("dm_micro"),
+      TextOps.floorDivDec(dec(col("ips_term")), dec(col("n_ctx")))
+        .cast("long").as("ips_micro"),
+      snips(col("ips_term"), col("w_term")).as("snips_micro"))
+    per.unionAll(all).orderBy("context")
+  }
+
   /** RFM quintile segmentation (Hughes 1994, the direct-marketing
     * classic) over an order log — per customer: Recency (days since
     * last order, measured against the corpus max date), Frequency

@@ -2724,6 +2724,19 @@ object LlmSurface {
         .orderBy("item_a", "item_b")
     }),
 
+    // ---- off-policy evaluation: DM + IPS counterfactual value (X261) -----
+    // "What would the greedy per-dow policy have earned": target
+    // policy learned on the pre-16th train half (argmax train mean,
+    // micro-floored, rank-window tiebreak), evaluated on the eval
+    // half via the direct method AND inverse-propensity scoring with
+    // exact empirical propensities — each context's IPS sum collapses
+    // to ONE integer division (S_match·n_ctx div n_match). The DM-vs-
+    // IPS gap per context is the model-misfit readout.
+    "llm_offpolicy" -> ((s, dir) => {
+      EventOps.offPolicyValue(events(s, dir), "ts", "event_type",
+        "value", "2024-01-16")
+    }),
+
     // ---- RFM quintile segmentation over the order log (X260) -------------
     // Recency/Frequency/Monetary scored 1-5 by corpus quintile, each
     // boundary from a value histogram rank walk (5*cum >= q*n integer
@@ -8133,6 +8146,77 @@ $rounds,
       FROM d WHERE dt IS NOT NULL
       GROUP BY 1
       ORDER BY bucket
+    """,
+
+    // Replays the split, the (ctx, act, half) cell table, the
+    // rank-window policy argmax, and both estimators' exact integer
+    // divisions (all operands nonnegative, so DuckDB's toward-zero //
+    // agrees with the Spark-side floor).
+    "llm_offpolicy" -> """
+      WITH base AS (
+        SELECT dayofweek(ts) + 1 AS ctx, event_type AS act,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS r,
+               (ts >= TIMESTAMP '2024-01-16') AS ev
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      cells AS (
+        SELECT ctx, act, ev, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r) AS HUGEINT) AS s
+        FROM base GROUP BY 1, 2, 3),
+      pi AS (
+        SELECT ctx, act AS pi_act, CAST(mean_micro AS BIGINT) AS dm_micro,
+               n AS n_tr_match
+        FROM (
+          SELECT ctx, act, n, s // n AS mean_micro,
+                 row_number() OVER (PARTITION BY ctx
+                   ORDER BY (s // n) DESC, act) AS rn
+          FROM cells WHERE NOT ev)
+        WHERE rn = 1),
+      traintot AS (
+        SELECT ctx, CAST(sum(n) AS BIGINT) AS n_tr_ctx
+        FROM cells WHERE NOT ev GROUP BY 1),
+      ctxtot AS (
+        SELECT ctx, CAST(sum(n) AS BIGINT) AS n_ctx
+        FROM cells WHERE ev GROUP BY 1),
+      perctx AS (
+        SELECT pi.ctx, pi.pi_act, ct.n_ctx,
+               coalesce(e.n, 0) AS n_match, pi.dm_micro,
+               coalesce(CAST((e.s * tt.n_tr_ctx) // pi.n_tr_match
+                 AS BIGINT), 0) AS ips_term,
+               coalesce(CAST((CAST(e.n AS HUGEINT) * tt.n_tr_ctx * 1000000)
+                 // pi.n_tr_match AS BIGINT), 0) AS w_term
+        FROM pi
+        JOIN traintot tt ON tt.ctx = pi.ctx
+        JOIN ctxtot ct ON ct.ctx = pi.ctx
+        LEFT JOIN (SELECT ctx, act, n, s FROM cells WHERE ev) e
+          ON e.ctx = pi.ctx AND e.act = pi.pi_act),
+      allrow AS (
+        SELECT '__ALL__' AS context, '-' AS pi_action,
+               CAST(sum(n_ctx) AS BIGINT) AS n_eval,
+               CAST(sum(n_match) AS BIGINT) AS n_match,
+               CAST(sum(CAST(n_ctx AS HUGEINT) * dm_micro)
+                 // sum(n_ctx) AS BIGINT) AS dm_micro,
+               CAST(sum(CAST(ips_term AS HUGEINT))
+                 // sum(n_ctx) AS BIGINT) AS ips_micro,
+               CASE WHEN sum(w_term) > 0 THEN
+                 CAST(sum(CAST(ips_term AS HUGEINT) * 1000000)
+                   // sum(w_term) AS BIGINT)
+               ELSE 0 END AS snips_micro
+        FROM perctx)
+      SELECT * FROM (
+        SELECT CAST(ctx AS VARCHAR) AS context, pi_act AS pi_action,
+               n_ctx AS n_eval, CAST(n_match AS BIGINT) AS n_match,
+               dm_micro,
+               CAST(CAST(ips_term AS HUGEINT) // n_ctx AS BIGINT)
+                 AS ips_micro,
+               CASE WHEN w_term > 0 THEN
+                 CAST((CAST(ips_term AS HUGEINT) * 1000000) // w_term
+                   AS BIGINT)
+               ELSE 0 END AS snips_micro
+        FROM perctx
+        UNION ALL
+        SELECT * FROM allrow)
+      ORDER BY context
     """,
 
     // Replays the per-customer rollup, the three histogram rank walks,
