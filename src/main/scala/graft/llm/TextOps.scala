@@ -1102,6 +1102,57 @@ object TextOps {
       .limit(topK)
   }
 
+  /** TextRank keywords (Mihalcea & Tarau EMNLP'04) — the graph-based
+    * companion to [[rakeKeyphrases]]'s degree heuristic: words vote
+    * for words they co-occur with, and [[graft.operators.PageRank]]'s
+    * damped fixpoint turns the votes into a global centrality score.
+    * RAKE rewards membership in long stopword-free runs; TextRank
+    * rewards being the hub the corpus keeps routing through — the two
+    * disagree exactly on glue words that appear everywhere but anchor
+    * nothing, which is why a labeling UI shows both (X262).
+    *
+    * Graph: vertices = non-stopword tokens; one DIRECTED edge instance
+    * per co-occurrence within window 2 of the ORIGINAL token sequence
+    * (two `lead` windows per doc — filtering first and pairing
+    * survivors would invent adjacencies across stopword gaps), both
+    * orientations, self-loops dropped. Repeated co-occurrence emits
+    * repeated edge rows, which under [[PageRank.run]]'s
+    * one-row-one-vote arithmetic IS integer edge weighting — no
+    * separate weight machinery.
+    *
+    * Determinism: ranks are PageRank's integer nano-units; the top-k
+    * order (rank_nano DESC, word ASC) is total. Scale: tokenization +
+    * two lead windows per doc (one exchange on doc), then the
+    * X51-shape rounds — one edge⋈rank equi-join + one combine sum
+    * each, rank table checkpointed per round; the only sort is the
+    * TakeOrdered top-k.
+    */
+  def textrankKeywords(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], iters: Int = 3, topK: Int = 25)
+      : DataFrame = {
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val kept = (c: Column) => !c.isin(stopwords: _*) && c =!= ""
+    val prs = toks
+      .withColumn("n1", lead(col("w"), 1).over(byDoc))
+      .withColumn("n2", lead(col("w"), 2).over(byDoc))
+    val half = prs
+      .select(col("w").as("src"), col("n1").as("dst"))
+      .unionAll(prs.select(col("w").as("src"), col("n2").as("dst")))
+      .filter(col("dst").isNotNull && kept(col("src")) && kept(col("dst"))
+        && col("src") =!= col("dst"))
+    val edges = half.unionAll(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = toks.filter(kept(col("w")))
+      .select(col("w").as("id")).distinct()
+    graft.operators.PageRank.run(edges, nodes, iters)
+      .select(col("id").as("word"), col("rank").as("rank_nano"),
+        round6(col("rank") / 1000000000.0).as("rank"))
+      .orderBy(col("rank_nano").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Vocabulary growth + richness: Heaps'-law exponent (Heaps 1978,
     * V ∝ N^β) fitted over md5-nested subsets, plus the
     * capture-recapture estimators of what remains UNSEEN — Chao1

@@ -2152,6 +2152,17 @@ object LlmSurface {
         "doc_id", "text", stopwords, maxLen = 4, topK = 20)
     }),
 
+    // ---- TextRank keywords: PageRank over word co-occurrence (X262) ------
+    // The graph-based companion to RAKE's degree heuristic: window-2
+    // co-occurrence edges (original-sequence lead windows; repeated
+    // pairs = integer weights under one-row-one-vote), 3 nano-unit
+    // PageRank rounds, top-25 total-ordered. Oracle replays the same
+    // rounds through the shared pageRankCtes generator.
+    "llm_textrank" -> ((s, dir) => {
+      TextOps.textrankKeywords(Tables(s, dir, "documents"), "doc_id",
+        "text", stopwords, iters = 3, topK = 25)
+    }),
+
     // ---- PMI phrase detection (word2vec phrase merging) ------------------
     // Mikolov discounted ratio over adjacent word pairs; " machine
     // learning" planted on every 7th doc is the only pair whose
@@ -7199,6 +7210,48 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
     """,
+
+    // Replays the window-2 co-occurrence graph and the SAME 3
+    // nano-unit rounds through the shared pageRankCtes block (the
+    // llm_graph_rank oracle's CTE contract: nodes/n/e/outd/r0).
+    "llm_textrank" -> {
+      val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      prs AS (
+        SELECT doc, w,
+               lead(w, 1) OVER (PARTITION BY doc ORDER BY pos) AS n1,
+               lead(w, 2) OVER (PARTITION BY doc ORDER BY pos) AS n2
+        FROM tok),
+      half AS (
+        SELECT src, dst FROM (
+          SELECT w AS src, n1 AS dst FROM prs
+          UNION ALL
+          SELECT w AS src, n2 AS dst FROM prs)
+        WHERE dst IS NOT NULL AND src <> dst
+          AND src NOT IN ($stopSql) AND src <> ''
+          AND dst NOT IN ($stopSql) AND dst <> ''),
+      e AS MATERIALIZED (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half),
+      nodes AS (
+        SELECT DISTINCT w AS id FROM tok
+        WHERE w NOT IN ($stopSql) AND w <> ''),
+      n AS (SELECT count(*) AS nn FROM nodes),
+      outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      r0 AS (
+        SELECT id, CAST(1000000000 AS BIGINT) // (SELECT nn FROM n) AS rank
+        FROM nodes),
+      ${pageRankCtes(3)}
+      SELECT id AS word, CAST(rank AS BIGINT) AS rank_nano,
+             ${round6sql("rank / 1000000000.0")} AS rank
+      FROM r3 ORDER BY rank_nano DESC, word LIMIT 25
+    """
+    },
 
     "llm_keyphrases" -> {
       val stopList = stopwords.map(s => s"'$s'").mkString(", ")
