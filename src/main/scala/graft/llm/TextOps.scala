@@ -1153,6 +1153,64 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Greedy maximum-coverage data selection (Nemhauser, Wolsey &
+    * Fisher 1978 — the (1−1/e)-approximate greedy for submodular
+    * coverage) — pick `k` documents that together cover the most
+    * distinct word `gram`-shingles (X263). The COVERAGE-driven
+    * complement of the two selection ops the inventory has:
+    * [[VectorOps.prototypicality]] keeps what is typical,
+    * [[VectorOps.kCenterGreedy]] keeps what spans the embedding
+    * space; this keeps what spans the corpus CONTENT — the
+    * "smallest eval set that still exercises everything" /
+    * "most-informative docs to annotate first" curation question.
+    *
+    * Per round: gains are ONE combine agg over the UNCOVERED
+    * (doc, shingle) pair table, the argmax a TakeOrdered(1) with the
+    * total (gain DESC, doc ASC) order, and covering is ONE equi
+    * anti-join on the shingle key — which removes the pick's pairs
+    * AND every other doc's now-covered overlap in the same stroke,
+    * so the pair table only ever SHRINKS (the k-core peel shape,
+    * X147; per-round lineage cut by checkpoint, freed when the next
+    * round materializes). A doc whose shingles are all covered
+    * simply vanishes from the gain table — exhausted corpora yield
+    * fewer than k rows rather than zero-gain repicks.
+    *
+    * Output: the selection log (sel_idx, idCol, gain, covered_cum) —
+    * gain = newly covered shingles at pick time, covered_cum the
+    * running union size (the greedy coverage curve a diminishing-
+    * returns readout plots).
+    */
+  def maxCoverageSelect(df: DataFrame, idCol: String, textCol: String,
+      gram: Int, k: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    require(gram >= 1, s"gram ($gram) must be >= 1")
+    require(k >= 1 && k <= 64, s"k ($k) must be in 1..64")
+    val toks = df.select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
+    var pairs = materialize(toks
+      .select(col("doc"), explode(shinglesFromWords(col("ws"), gram)).as("g"))
+      .distinct())
+    val picks = collection.mutable.Buffer.empty[DataFrame]
+    (1 to k).foreach { i =>
+      val pick = materialize(
+        pairs.groupBy("doc").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc")).limit(1))
+      picks += pick.select(lit(i).as("sel_idx"), col("doc"), col("gain"))
+      val covered = pairs.join(pick.select("doc"), "doc").select("g")
+      val prev = pairs
+      pairs = materialize(pairs.join(covered, Seq("g"), "left_anti"))
+      graft.operators.SuffixArray.freeCheckpoint(prev)
+    }
+    graft.operators.SuffixArray.freeCheckpoint(pairs)
+    picks.reduce(_.unionByName(_))
+      .withColumn("covered_cum", sum("gain").over(
+        Window.orderBy("sel_idx")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("sel_idx"), col("doc").as(idCol), col("gain"),
+        col("covered_cum"))
+      .orderBy("sel_idx")
+  }
+
   /** Vocabulary growth + richness: Heaps'-law exponent (Heaps 1978,
     * V ∝ N^β) fitted over md5-nested subsets, plus the
     * capture-recapture estimators of what remains UNSEEN — Chao1

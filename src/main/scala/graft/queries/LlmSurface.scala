@@ -2152,6 +2152,17 @@ object LlmSurface {
         "doc_id", "text", stopwords, maxLen = 4, topK = 20)
     }),
 
+    // ---- greedy maximum-coverage selection (X263) ------------------------
+    // Pick 8 docs covering the most distinct 3-gram shingles — the
+    // content-coverage complement of prototypicality (typical) and
+    // k-center (spans the embedding space). Greedy rounds on the
+    // shrinking uncovered-pair table; the oracle unrolls all 8
+    // MATERIALIZED rounds and the hash pins the whole trajectory.
+    "llm_coverage_select" -> ((s, dir) => {
+      TextOps.maxCoverageSelect(Tables(s, dir, "documents"), "doc_id",
+        "text", gram = 3, k = 8)
+    }),
+
     // ---- TextRank keywords: PageRank over word co-occurrence (X262) ------
     // The graph-based companion to RAKE's degree heuristic: window-2
     // co-occurrence edges (original-sequence lead windows; repeated
@@ -7210,6 +7221,45 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
     """,
+
+    // Unrolls the 8 greedy rounds: gains from the uncovered pair
+    // table, argmax by (gain DESC, doc ASC), covered shingles leave
+    // via NOT EXISTS — MATERIALIZED per round (the twice-referenced
+    // round-state rule).
+    "llm_coverage_select" -> {
+      val rounds = (1 to 8).map { r =>
+        val prev = s"p${r - 1}"
+        s"""      s$r AS MATERIALIZED (
+        SELECT doc, gain FROM (
+          SELECT doc, CAST(count(*) AS BIGINT) AS gain
+          FROM $prev GROUP BY doc)
+        ORDER BY gain DESC, doc LIMIT 1),
+      p$r AS MATERIALIZED (
+        SELECT p.doc, p.g FROM $prev p
+        WHERE NOT EXISTS (SELECT 1 FROM $prev q JOIN s$r ON q.doc = s$r.doc
+                          WHERE q.g = p.g))"""
+      }.mkString(",\n")
+      val sel = (1 to 8).map(r =>
+        s"SELECT $r AS sel_idx, doc, gain FROM s$r").mkString(
+        "\n        UNION ALL ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id AS doc, string_split(text, ' ') AS ws FROM documents),
+      p0 AS MATERIALIZED (
+        SELECT DISTINCT doc,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        FROM (SELECT doc, ws, unnest(range(1, len(ws) - 1)) AS i FROM tok)
+        WHERE len(ws) >= 3),
+$rounds,
+      sel AS ($sel)
+      SELECT sel_idx, doc AS doc_id, gain,
+             CAST(sum(gain) OVER (ORDER BY sel_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS covered_cum
+      FROM sel
+      ORDER BY sel_idx
+    """
+    },
 
     // Replays the window-2 co-occurrence graph and the SAME 3
     // nano-unit rounds through the shared pageRankCtes block (the
