@@ -1948,6 +1948,69 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) drift (X264; Monge 1781 /
+    * the W₁ = ∫|F₁−F₂| identity) between each metric's PRE- and
+    * POST-split value distributions — the magnitude-sensitive
+    * companion the overlap family (PSI X249, KL/JSD) cannot be: PSI
+    * saturates once bins stop overlapping ("different"), W₁ keeps
+    * growing with HOW FAR the mass moved, in the metric's own units —
+    * the number a "did the spend distribution shift by cents or by
+    * dollars" question actually asks.
+    *
+    * Exactness: on integer cents the integral is a finite sum over
+    * the value histogram — Σ_v |cum₁(v)·n₂ − cum₂(v)·n₁| · gap(v) in
+    * decimal(38,0) (the cross-multiplied CDF difference avoids any
+    * per-cell division), divided ONCE at the end by n₁·n₂·100
+    * ([[TextOps.floorDivDec]]) into micro currency units. The last
+    * cell needs no term: beyond the union max both CDFs are 1 and the
+    * difference is exactly zero, so the lead-window null is the
+    * correct boundary, not a dropped value.
+    *
+    * Scale: one corpus pass to the (metric, cents) histogram, whose
+    * size is bounded by the value DOMAIN (X218); the cumulative and
+    * lead windows run per metric over that metadata. Output per
+    * metric: (event_type, n_pre, n_post, emd_micro, emd).
+    */
+  def emdDrift(events: DataFrame, typeCol: String, valueCol: String,
+      tsCol: String, splitDate: String): DataFrame = {
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val base = events
+      .filter(col(typeCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("m"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("c"),
+        (col(tsCol) >= lit(splitDate).cast("timestamp")).as("post"))
+    val hist = base.groupBy("m", "c")
+      .agg(sum(when(col("post"), 0L).otherwise(1L)).as("n1"),
+        sum(when(col("post"), 1L).otherwise(0L)).as("n2"))
+    val w = Window.partitionBy("m").orderBy("c")
+    val h = hist
+      .withColumn("cum1",
+        sum("n1").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum2",
+        sum("n2").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap", lead(col("c"), 1).over(w) - col("c"))
+    val tot = hist.groupBy("m")
+      .agg(sum("n1").as("n1t"), sum("n2").as("n2t"))
+      .filter(col("n1t") > 0 && col("n2t") > 0)
+    // terms aggregate separately and LEFT-join back onto the totals: a
+    // single-cell histogram has no interior gap terms at all, and the
+    // metric must still report W1 = 0, not vanish
+    val terms = h.join(tot, "m")
+      .filter(col("gap").isNotNull)
+      .groupBy("m")
+      .agg(sum(abs(dec(col("cum1")) * dec(col("n2t"))
+        - dec(col("cum2")) * dec(col("n1t"))) * dec(col("gap")))
+        .as("num"))
+    tot.join(terms, Seq("m"), "left")
+      .select(col("m").as(typeCol), col("n1t").as("n_pre"),
+        col("n2t").as("n_post"),
+        coalesce(TextOps.floorDivDec(col("num") * lit(1000000),
+          dec(col("n1t")) * dec(col("n2t")) * lit(100))
+          .cast("long"), lit(0L)).as("emd_micro"))
+      .withColumn("emd", TextOps.round6(col("emd_micro") / 1e6))
+      .orderBy(typeCol)
+  }
+
   /** Off-policy evaluation (X261; Horvitz–Thompson / Li et al.
     * WSDM'11 lineage): estimate what a NEW deterministic policy would
     * have earned from a logged (context, action, reward) stream —

@@ -2379,6 +2379,23 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- exact Wasserstein-1 value drift, pre vs post split (X264) -------
+    // The magnitude-sensitive drift number the PSI/KL overlap family
+    // can't give: W1 = integral |F1 - F2| summed EXACTLY over the
+    // cents histogram (cross-multiplied CDFs in decimal, one division
+    // at the end). Same planted late-period error shift as
+    // p_psi_drift (+25.0): W1 must read ~= 25 currency units on
+    // 'error' — the distance IS the shift size — while stable metrics
+    // sit near 0.
+    "p_emd_drift" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("value",
+        when(col("event_type") === "error"
+            && to_date(col("ts")) > to_date(lit("2024-01-15")),
+          col("value") + 25.0).otherwise(col("value")))
+      EventOps.emdDrift(ev, "event_type", "value", "ts",
+        splitDate = "2024-01-16")
+    }),
+
     // ---- Hill tail-index estimator (heavy-tail diagnostic) ---------------
     // α ≤ 2 means infinite variance and the moment-based tests are
     // lying; top-(k+1) order statistics from the value histogram
@@ -7220,6 +7237,52 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays the planted shift, the per-metric cents histogram, the
+    // cross-multiplied CDF difference, and the single HUGEINT
+    // division.
+    "p_emd_drift" -> s"""
+      WITH ev AS (
+        SELECT event_type AS m,
+               CAST(floor((CASE WHEN event_type = 'error'
+                   AND CAST(ts AS DATE) > DATE '2024-01-15'
+                 THEN value + 25.0 ELSE value END) * 100 + 0.5)
+                 AS BIGINT) AS c,
+               (ts >= TIMESTAMP '2024-01-16') AS post
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      hist AS (
+        SELECT m, c, sum(CASE WHEN post THEN 0 ELSE 1 END) AS n1,
+               sum(CASE WHEN post THEN 1 ELSE 0 END) AS n2
+        FROM ev GROUP BY 1, 2),
+      h AS (
+        SELECT m, c,
+               sum(n1) OVER (PARTITION BY m ORDER BY c) AS cum1,
+               sum(n2) OVER (PARTITION BY m ORDER BY c) AS cum2,
+               lead(c) OVER (PARTITION BY m ORDER BY c) - c AS gap
+        FROM hist),
+      tot AS (
+        SELECT m, CAST(sum(n1) AS BIGINT) AS n1t,
+               CAST(sum(n2) AS BIGINT) AS n2t
+        FROM hist GROUP BY 1
+        HAVING sum(n1) > 0 AND sum(n2) > 0),
+      terms AS (
+        SELECT h.m,
+               sum(abs(CAST(cum1 AS HUGEINT) * t.n2t
+                 - CAST(cum2 AS HUGEINT) * t.n1t) * gap) AS num
+        FROM h JOIN tot t ON t.m = h.m
+        WHERE gap IS NOT NULL
+        GROUP BY 1)
+      SELECT event_type, n_pre, n_post, emd_micro,
+             ${round6sql("emd_micro / 1e6")} AS emd
+      FROM (
+        SELECT t.m AS event_type, t.n1t AS n_pre, t.n2t AS n_post,
+               coalesce(CAST((x.num * 1000000)
+                 // (CAST(t.n1t AS HUGEINT) * t.n2t * 100) AS BIGINT), 0)
+                 AS emd_micro
+        FROM tot t LEFT JOIN terms x ON x.m = t.m)
+      ORDER BY event_type
     """,
 
     // Unrolls the 8 greedy rounds: gains from the uncovered pair
