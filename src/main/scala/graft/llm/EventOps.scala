@@ -2042,6 +2042,14 @@ object EventOps {
     *  - SNIPS: Σ w·r / Σ w — the self-normalized variant that trades
     *    IPS's unbiasedness for bounded variance when train and eval
     *    action mixes drift.
+    *  - Doubly robust (X265; Dudík et al. ICML'11): DM plus the
+    *    IPS-weighted RESIDUAL correction — per context,
+    *    dr_total = n_ctx·q̂ + ⌊(S_match − n_match·q̂)·n^tr_x / n^tr_xa⌋
+    *    with q̂ = the train-model mean the DM column already carries.
+    *    Unbiased if EITHER the model or the propensities are right;
+    *    residuals can be negative, so the division is the
+    *    toward-zero [[TextOps.truncDivDec]] (DuckDB `//` semantics),
+    *    not the floor variant.
     *
     * The DM-vs-IPS gap per context is the model-misfit/winner's-curse
     * readout: DM trusts train means (the argmax's own selection
@@ -2094,7 +2102,13 @@ object EventOps {
           dec(col("n_tr_match"))).cast("long"), lit(0L)).as("ips_term"),
         coalesce(TextOps.floorDivDec(
           dec(col("n_match")) * dec(col("n_tr_ctx")) * lit(1000000),
-          dec(col("n_tr_match"))).cast("long"), lit(0L)).as("w_term"))
+          dec(col("n_tr_match"))).cast("long"), lit(0L)).as("w_term"),
+        // DR context total: n_ctx·q̂ + truncated residual correction
+        (col("n_ctx") * col("dm_micro")
+          + coalesce(TextOps.truncDivDec(
+            (dec(col("s_match")) - dec(col("n_match")) * col("dm_micro"))
+              * dec(col("n_tr_ctx")),
+            dec(col("n_tr_match"))).cast("long"), lit(0L))).as("dr_total"))
       .localCheckpoint(eager = true) // consumed per-row and by the rollup
     def snips(ipsNum: Column, wSum: Column): Column =
       when(wSum > 0, TextOps.floorDivDec(dec(ipsNum) * lit(1000000),
@@ -2102,20 +2116,25 @@ object EventOps {
     val all = perCtx.agg(sum("n_ctx").as("n_eval"),
         sum("n_match").as("n_match"),
         sum(dec(col("n_ctx")) * dec(col("dm_micro"))).as("dm_num"),
-        sum(col("ips_term")).as("ips_num"), sum(col("w_term")).as("w_sum"))
+        sum(col("ips_term")).as("ips_num"), sum(col("w_term")).as("w_sum"),
+        sum(col("dr_total")).as("dr_num"))
       .select(lit("__ALL__").as("context"), lit("-").as("pi_action"),
         col("n_eval"), col("n_match"),
         TextOps.floorDivDec(col("dm_num"), dec(col("n_eval")))
           .cast("long").as("dm_micro"),
         TextOps.floorDivDec(dec(col("ips_num")), dec(col("n_eval")))
           .cast("long").as("ips_micro"),
-        snips(col("ips_num"), col("w_sum")).as("snips_micro"))
+        snips(col("ips_num"), col("w_sum")).as("snips_micro"),
+        TextOps.truncDivDec(dec(col("dr_num")), dec(col("n_eval")))
+          .cast("long").as("dr_micro"))
     val per = perCtx.select(col("ctx").cast("string").as("context"),
       col("pi_act").as("pi_action"), col("n_ctx").as("n_eval"),
       col("n_match"), col("dm_micro"),
       TextOps.floorDivDec(dec(col("ips_term")), dec(col("n_ctx")))
         .cast("long").as("ips_micro"),
-      snips(col("ips_term"), col("w_term")).as("snips_micro"))
+      snips(col("ips_term"), col("w_term")).as("snips_micro"),
+      TextOps.truncDivDec(dec(col("dr_total")), dec(col("n_ctx")))
+        .cast("long").as("dr_micro"))
     per.unionAll(all).orderBy("context")
   }
 

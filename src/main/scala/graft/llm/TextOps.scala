@@ -45,6 +45,15 @@ object TextOps {
     (q - when(q * b > a, 1).otherwise(0)).cast("decimal(38,0)")
   }
 
+  /** Exact toward-zero a/b for decimal(38,0) with b > 0 and ANY-sign
+    * `a` — the semantics Spark's long `DIV` and DuckDB's `//` share,
+    * for quantities (residuals, deltas) that can be negative where
+    * [[floorDivDec]]'s floor would disagree with the engines'
+    * truncation. Sign-split so each side divides a nonnegative value.
+    */
+  def truncDivDec(a: Column, b: Column): Column =
+    when(a >= 0, floorDivDec(a, b)).otherwise(-floorDivDec(-a, b))
+
   /** Whitespace word split (the corpus is single-space separated). */
   def words(text: Column): Column = split(text, " ")
 

@@ -8350,7 +8350,11 @@ $rounds,
                coalesce(CAST((e.s * tt.n_tr_ctx) // pi.n_tr_match
                  AS BIGINT), 0) AS ips_term,
                coalesce(CAST((CAST(e.n AS HUGEINT) * tt.n_tr_ctx * 1000000)
-                 // pi.n_tr_match AS BIGINT), 0) AS w_term
+                 // pi.n_tr_match AS BIGINT), 0) AS w_term,
+               ct.n_ctx * pi.dm_micro
+                 + coalesce(CAST(((e.s - CAST(e.n AS HUGEINT) * pi.dm_micro)
+                     * tt.n_tr_ctx) // pi.n_tr_match AS BIGINT), 0)
+                 AS dr_total
         FROM pi
         JOIN traintot tt ON tt.ctx = pi.ctx
         JOIN ctxtot ct ON ct.ctx = pi.ctx
@@ -8367,7 +8371,9 @@ $rounds,
                CASE WHEN sum(w_term) > 0 THEN
                  CAST(sum(CAST(ips_term AS HUGEINT) * 1000000)
                    // sum(w_term) AS BIGINT)
-               ELSE 0 END AS snips_micro
+               ELSE 0 END AS snips_micro,
+               CAST(sum(CAST(dr_total AS HUGEINT))
+                 // sum(n_ctx) AS BIGINT) AS dr_micro
         FROM perctx)
       SELECT * FROM (
         SELECT CAST(ctx AS VARCHAR) AS context, pi_act AS pi_action,
@@ -8378,7 +8384,9 @@ $rounds,
                CASE WHEN w_term > 0 THEN
                  CAST((CAST(ips_term AS HUGEINT) * 1000000) // w_term
                    AS BIGINT)
-               ELSE 0 END AS snips_micro
+               ELSE 0 END AS snips_micro,
+               CAST(CAST(dr_total AS HUGEINT) // n_ctx AS BIGINT)
+                 AS dr_micro
         FROM perctx
         UNION ALL
         SELECT * FROM allrow)
