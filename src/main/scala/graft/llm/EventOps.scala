@@ -1948,6 +1948,86 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Robust A/B location panel (X266; Tukey 1962 trimmed/winsorized
+    * means) — per (metric, arm): the mean, the 10%-TRIMMED mean
+    * (drop the k = ⌊n/10⌋ smallest and largest values), and the
+    * WINSORIZED mean (clamp them to the surviving order statistics) —
+    * the "capped metric" production practice, sitting between the raw
+    * mean the whale users own and the median that ignores magnitude
+    * entirely. Reading all three per arm IS the readout: if they
+    * disagree, the contrast is a tail story, not a location story.
+    *
+    * No corpus sort (X218): each boundary is an order statistic
+    * walked from the per-(metric, arm) cents HISTOGRAM. With cum(v) =
+    * #{≤ v}, cumv(v) = Σ_{≤v} cnt·v the running value mass, and v_r =
+    * the rank-r statistic (min v with cum ≥ r):
+    *   bottom_k = [cumv(v_k) − cnt(v_k)·v_k] + (k − below(v_k))·v_k,
+    *   top_k    = [S − cumv(v_{n−k+1})] + (cum(v_{n−k+1}) − (n−k))·v_{n−k+1},
+    * both exact under ties because the boundary cell contributes
+    * exactly its in-range multiplicity. Trimmed sum = S − bottom −
+    * top over n−2k; winsorized adds k·v_{k+1} + k·v_{n−k} back over
+    * n. All integer cents; the three means leave via one
+    * [[TextOps.floorDivDec]] each into micro currency units. k = 0
+    * (n < 10) degrades all three to the plain mean exactly.
+    *
+    * Scale: one corpus pass to the histogram; the rank lookups are
+    * four min_by combine-aggs over that metadata. Output per
+    * (event_type, arm): n, k_trim, mean/trimmed/winsor micro.
+    */
+  def robustAbMeans(events: DataFrame, userCol: String, typeCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val base = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("m"), (col(userCol) % 2).as("arm"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("c"))
+    val hist = base.groupBy("m", "arm", "c").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("m", "arm").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val h = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("cumv", sum(col("cnt") * col("c")).over(w))
+      .localCheckpoint(eager = true) // four rank-lookup consumers
+    val tot = hist.groupBy("m", "arm")
+      .agg(sum("cnt").as("n"), sum(col("cnt") * col("c")).as("s"))
+      .withColumn("k", expr("n DIV 10"))
+    def rankRow(name: String, r: Column) =
+      h.join(tot.select("m", "arm", "n", "k"), Seq("m", "arm"))
+        .filter(r >= 1 && col("cum") >= r)
+        .groupBy("m", "arm")
+        .agg(min_by(struct(col("c"), col("cum"), col("cnt"),
+          col("cumv")), col("c")).as(name))
+    val joined = tot
+      .join(rankRow("rk", col("k")), Seq("m", "arm"), "left")
+      .join(rankRow("rk1", col("k") + 1), Seq("m", "arm"), "left")
+      .join(rankRow("rnk", col("n") - col("k")), Seq("m", "arm"), "left")
+      .join(rankRow("rnk1", col("n") - col("k") + 1), Seq("m", "arm"),
+        "left")
+    val bottom = when(col("k") === 0, lit(0L)).otherwise(
+      col("rk.cumv") - col("rk.cnt") * col("rk.c")
+        + (col("k") - (col("rk.cum") - col("rk.cnt"))) * col("rk.c"))
+    val top = when(col("k") === 0, lit(0L)).otherwise(
+      col("s") - col("rnk1.cumv")
+        + (col("rnk1.cum") - (col("n") - col("k"))) * col("rnk1.c"))
+    joined
+      .withColumn("_bot", bottom)
+      .withColumn("_top", top)
+      .withColumn("_tsum", col("s") - col("_bot") - col("_top"))
+      .withColumn("_wsum", col("_tsum")
+        + when(col("k") === 0, lit(0L))
+          .otherwise(col("k") * col("rk1.c") + col("k") * col("rnk.c")))
+      .select(col("m").as(typeCol), col("arm"), col("n"),
+        col("k").as("k_trim"),
+        TextOps.floorDivDec(dec(col("s")) * lit(10000), dec(col("n")))
+          .cast("long").as("mean_micro"),
+        TextOps.floorDivDec(dec(col("_tsum")) * lit(10000),
+          dec(col("n") - lit(2) * col("k"))).cast("long")
+          .as("trimmed_micro"),
+        TextOps.floorDivDec(dec(col("_wsum")) * lit(10000), dec(col("n")))
+          .cast("long").as("winsor_micro"))
+      .orderBy(typeCol, "arm")
+  }
+
   /** Exact 1-D Wasserstein-1 (earth-mover) drift (X264; Monge 1781 /
     * the W₁ = ∫|F₁−F₂| identity) between each metric's PRE- and
     * POST-split value distributions — the magnitude-sensitive

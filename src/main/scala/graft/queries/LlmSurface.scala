@@ -2379,6 +2379,17 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- robust A/B location panel: trimmed + winsorized means (X266) ----
+    // Per (metric, arm): mean, 10%-trimmed mean, winsorized mean —
+    // all exact from histogram order-statistic walks (no corpus
+    // sort), the capped-metric practice between the whale-owned mean
+    // and the magnitude-blind median. Three-way disagreement = the
+    // contrast is a tail story.
+    "llm_ab_robust" -> ((s, dir) => {
+      EventOps.robustAbMeans(events(s, dir), "user_id", "event_type",
+        "value")
+    }),
+
     // ---- exact Wasserstein-1 value drift, pre vs post split (X264) -------
     // The magnitude-sensitive drift number the PSI/KL overlap family
     // can't give: W1 = integral |F1 - F2| summed EXACTLY over the
@@ -7237,6 +7248,72 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays the per-(metric, arm) histogram, the four arg_min rank
+    // lookups, and the exact boundary-cell multiplicity arithmetic.
+    "llm_ab_robust" -> """
+      WITH base AS (
+        SELECT event_type AS m, user_id % 2 AS arm,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      hist AS (
+        SELECT m, arm, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY 1, 2, 3),
+      h AS (
+        SELECT m, arm, c, cnt,
+               sum(cnt) OVER (PARTITION BY m, arm ORDER BY c) AS cum,
+               sum(cnt * c) OVER (PARTITION BY m, arm ORDER BY c) AS cumv
+        FROM hist),
+      tot AS (
+        SELECT m, arm, CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(cnt * c) AS HUGEINT) AS s,
+               CAST(sum(cnt) AS BIGINT) // 10 AS k
+        FROM hist GROUP BY 1, 2),
+      rk AS (
+        SELECT h.m, h.arm, arg_min(h.c, h.c) AS c,
+               arg_min(h.cum, h.c) AS cum, arg_min(h.cnt, h.c) AS cnt,
+               arg_min(h.cumv, h.c) AS cumv
+        FROM h JOIN tot t USING (m, arm)
+        WHERE t.k >= 1 AND h.cum >= t.k GROUP BY 1, 2),
+      rk1 AS (
+        SELECT h.m, h.arm, arg_min(h.c, h.c) AS c
+        FROM h JOIN tot t USING (m, arm)
+        WHERE h.cum >= t.k + 1 GROUP BY 1, 2),
+      rnk AS (
+        SELECT h.m, h.arm, arg_min(h.c, h.c) AS c
+        FROM h JOIN tot t USING (m, arm)
+        WHERE h.cum >= t.n - t.k GROUP BY 1, 2),
+      rnk1 AS (
+        SELECT h.m, h.arm, arg_min(h.c, h.c) AS c,
+               arg_min(h.cum, h.c) AS cum, arg_min(h.cumv, h.c) AS cumv
+        FROM h JOIN tot t USING (m, arm)
+        WHERE h.cum >= t.n - t.k + 1 GROUP BY 1, 2),
+      sel AS (
+        SELECT t.m, t.arm, t.n, t.k, t.s,
+               CASE WHEN t.k = 0 THEN 0
+                 ELSE rk.cumv - rk.cnt * rk.c
+                      + (t.k - (rk.cum - rk.cnt)) * rk.c END AS bot,
+               CASE WHEN t.k = 0 THEN 0
+                 ELSE t.s - rnk1.cumv
+                      + (rnk1.cum - (t.n - t.k)) * rnk1.c END AS top,
+               rk1.c AS vk1, rnk.c AS vnk
+        FROM tot t
+        LEFT JOIN rk USING (m, arm) LEFT JOIN rk1 USING (m, arm)
+        LEFT JOIN rnk USING (m, arm) LEFT JOIN rnk1 USING (m, arm)),
+      fin AS (
+        SELECT m, arm, n, k, s, s - bot - top AS tsum,
+               s - bot - top + CASE WHEN k = 0 THEN 0
+                 ELSE k * vk1 + k * vnk END AS wsum
+        FROM sel)
+      SELECT m AS event_type, arm, n, k AS k_trim,
+             CAST((s * 10000) // n AS BIGINT) AS mean_micro,
+             CAST((tsum * 10000) // (n - 2 * k) AS BIGINT)
+               AS trimmed_micro,
+             CAST((wsum * 10000) // n AS BIGINT) AS winsor_micro
+      FROM fin
+      ORDER BY event_type, arm
     """,
 
     // Replays the planted shift, the per-metric cents histogram, the
