@@ -1948,6 +1948,50 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Quantile treatment effects (X267; Doksum 1974 / Firpo 2007) —
+    * the DISTRIBUTIONAL A/B readout: per metric, the difference
+    * between the two arms' decile values, v_q(arm 1) − v_q(arm 0)
+    * for q = 1..9. A mean contrast answers "did the average move"; the
+    * QTE profile answers WHERE in the distribution it moved — a
+    * treatment that helps the median user but hurts the tail shows a
+    * sign flip across q that no single location statistic can.
+    *
+    * Sort-free (X218): each decile is the ⌈q·n/10⌉-th order statistic
+    * walked from the per-(metric, arm) cents histogram — the integer
+    * clearing 10·cum ≥ q·n, value selected by a min combine-agg over
+    * the qualifying cells. Ties select the same VALUE in both
+    * engines; differences are exact integer cents.
+    *
+    * Scale: one corpus pass to the histogram; the decile spine join
+    * and the min-aggs run over (metric × arm × cells) metadata.
+    * Output: (event_type, q, v0_cents, v1_cents, qte_cents) ordered.
+    */
+  def quantileTreatmentEffects(events: DataFrame, userCol: String,
+      typeCol: String, valueCol: String): DataFrame = {
+    val base = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("m"), (col(userCol) % 2).as("arm"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("c"))
+    val hist = base.groupBy("m", "arm", "c").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("m", "arm").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val h = hist.withColumn("cum", sum("cnt").over(w))
+    val tot = hist.groupBy("m", "arm").agg(sum("cnt").as("n"))
+    val spine = events.sparkSession.sql(
+      "SELECT * FROM VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9) t(q)")
+    val dec9 = h.join(tot, Seq("m", "arm"))
+      .join(broadcast(spine), col("cum") * 10 >= col("q") * col("n"))
+      .groupBy("m", "arm", "q").agg(min("c").as("v"))
+    dec9.filter(col("arm") === 0)
+      .select(col("m"), col("q"), col("v").as("v0_cents"))
+      .join(dec9.filter(col("arm") === 1)
+        .select(col("m"), col("q"), col("v").as("v1_cents")),
+        Seq("m", "q"))
+      .select(col("m").as(typeCol), col("q"), col("v0_cents"),
+        col("v1_cents"), (col("v1_cents") - col("v0_cents")).as("qte_cents"))
+      .orderBy(typeCol, "q")
+  }
+
   /** Robust A/B location panel (X266; Tukey 1962 trimmed/winsorized
     * means) — per (metric, arm): the mean, the 10%-TRIMMED mean
     * (drop the k = ⌊n/10⌋ smallest and largest values), and the

@@ -2379,6 +2379,17 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- quantile treatment effects: per-decile arm contrast (X267) ------
+    // WHERE in the distribution the arms differ, not just whether the
+    // mean moved: v_q(arm1) - v_q(arm0) at each decile, every decile
+    // an order statistic walked from the cents histogram (10*cum >=
+    // q*n integer clearing). On the parity split the profile hovers
+    // near 0 — the correct null readout.
+    "llm_ab_qte" -> ((s, dir) => {
+      EventOps.quantileTreatmentEffects(events(s, dir), "user_id",
+        "event_type", "value")
+    }),
+
     // ---- robust A/B location panel: trimmed + winsorized means (X266) ----
     // Per (metric, arm): mean, 10%-trimmed mean, winsorized mean —
     // all exact from histogram order-statistic walks (no corpus
@@ -7248,6 +7259,38 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays the per-(metric, arm) histogram and the nine decile
+    // rank walks per arm.
+    "llm_ab_qte" -> """
+      WITH base AS (
+        SELECT event_type AS m, user_id % 2 AS arm,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      hist AS (
+        SELECT m, arm, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY 1, 2, 3),
+      h AS (
+        SELECT m, arm, c,
+               sum(cnt) OVER (PARTITION BY m, arm ORDER BY c) AS cum
+        FROM hist),
+      tot AS (
+        SELECT m, arm, CAST(sum(cnt) AS BIGINT) AS n
+        FROM hist GROUP BY 1, 2),
+      dec9 AS (
+        SELECT h.m, h.arm, v.q, min(h.c) AS v
+        FROM h JOIN tot t USING (m, arm),
+             (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) v(q)
+        WHERE h.cum * 10 >= v.q * t.n
+        GROUP BY 1, 2, 3)
+      SELECT a0.m AS event_type, a0.q, a0.v AS v0_cents, a1.v AS v1_cents,
+             a1.v - a0.v AS qte_cents
+      FROM (SELECT * FROM dec9 WHERE arm = 0) a0
+      JOIN (SELECT * FROM dec9 WHERE arm = 1) a1
+        ON a1.m = a0.m AND a1.q = a0.q
+      ORDER BY event_type, a0.q
     """,
 
     // Replays the per-(metric, arm) histogram, the four arg_min rank
