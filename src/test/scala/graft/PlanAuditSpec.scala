@@ -557,4 +557,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning(cents"),
       s"corpus must not be range-sorted by value:\n$p")
   }
+
+  test("link prediction wedges come from center-key equi-joins, " +
+    "never a cartesian") {
+    val rel = Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = graft.operators.BipartiteProjection.project(
+      rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+    val q = graft.operators.LinkPrediction.scores(edges, "item_a",
+      "item_b", cap = 12, topK = 50)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"),
+      s"wedge join must be an equi-join on the center key:\n$p")
+    // the top-k is a TakeOrdered, not a global sort-then-limit
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$p")
+  }
+
+  test("association rules prune by support BEFORE the item-support " +
+    "joins and never go cartesian") {
+    val rel = Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val q = graft.operators.AssociationRules.rules(rel, "l_orderkey",
+      "l_partkey", cap = 5, minSupport = 2, topK = 40)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the 1-row basket-count crossJoin is the only nested-loop join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row total may nested-loop:\n$p")
+  }
+
+  test("EMD drift reduces the corpus to the cents histogram before " +
+    "any window") {
+    val ev = Tables(spark, dir, "events")
+    val q = graft.llm.EventOps.emdDrift(ev, "event_type", "value", "ts",
+      "2024-01-16")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_"), s"histogram must map-side combine:\n$p")
+    // windows run per metric — never a single-partition funnel
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-metric windows must not collapse to one partition:\n$p")
+  }
+
+  test("QTE decile walks stay per-(metric, arm), no single partition") {
+    val ev = Tables(spark, dir, "events")
+    val q = graft.llm.EventOps.quantileTreatmentEffects(ev, "user_id",
+      "event_type", "value")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-(metric, arm) windows must not collapse:\n$p")
+  }
 }
