@@ -1162,6 +1162,86 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Exact integer square root ⌊√x⌋ for a nonnegative integral column:
+    * one IEEE sqrt (correctly rounded, hence portable) followed by a
+    * ±1 probe pair — `floor(sqrt(double))` alone can land one off
+    * when the true root sits within an ulp of an integer, and the
+    * probes make the result exact at any magnitude where s² stays in
+    * range. The sqrt-domain cousin of [[floorDivDec]]'s q·b probe.
+    */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = when((s0 + 1) * (s0 + 1) <= x, s0 + 1).otherwise(s0)
+    when(s1 * s1 > x, s1 - 1).otherwise(s1)
+  }
+
+  /** Neyman optimal sampling allocation (Neyman 1934) with exact
+    * largest-remainder apportionment (Hamilton's method) — "given a
+    * budget of n audits, how many docs to sample from each source":
+    * n_h ∝ N_h·σ_h, next to the proportional n_h ∝ N_h baseline the
+    * same apportionment turns into integers. Where the two disagree
+    * IS the readout — variance concentrates there, and proportional
+    * sampling wastes budget on homogeneous strata (X268).
+    *
+    * Exactness: per-stratum variance from exact decimal moments,
+    * scaled ×10¹² and floored ONCE, so σ_micro = [[isqrt]] of an
+    * integer — bit-stable. Shares (N_h·σ_micro, or N_h) apportion by
+    * floor quotas via [[floorDivDec]] plus largest-remainder top-up,
+    * ranked (remainder DESC, stratum ASC) — a total order, so the
+    * ±1 seats land identically in both engines and Σ alloc = n
+    * EXACTLY (the property a float-rounded allocation loses). A
+    * zero-variance stratum draws 0 under Neyman — the textbook
+    * answer (one probe suffices; we keep the classical form).
+    *
+    * Scale: one combine agg to |strata| moment rows; everything
+    * after runs on that metadata (the remainder rank window
+    * included). Output: (strataCol, n_docs, sigma_micro, alloc_prop,
+    * alloc_neyman), ordered by stratum.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, value: Column,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget ($budget) must be >= 1")
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val mom = df.select(col(strataCol).as("h"), value.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      .select(col("h"), col("n"),
+        isqrt(floorDivDec(
+          (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+            * lit(1000000000000L),
+          dec(col("n")) * dec(col("n"))).cast("long")).as("sigma_micro"))
+    // largest-remainder apportionment of `budget` seats over shares
+    def apportion(shares: DataFrame, alloc: String): DataFrame = {
+      val tot = shares.agg(sum(dec(col("share"))).as("s_tot"))
+      val quotas = shares.crossJoin(broadcast(tot))
+        .select(col("h"),
+          floorDivDec(lit(budget) * dec(col("share")), col("s_tot"))
+            .as("q"),
+          (lit(budget) * dec(col("share"))
+            - floorDivDec(lit(budget) * dec(col("share")), col("s_tot"))
+              * col("s_tot")).as("rem"))
+      val left = quotas.agg((lit(budget) - sum(col("q"))).as("l"))
+      quotas.crossJoin(broadcast(left))
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rem").desc, col("h"))))
+        .select(col("h"),
+          (col("q") + when(col("_rk") <= col("l"), 1).otherwise(0))
+            .cast("long").as(alloc))
+    }
+    val prop = apportion(mom.select(col("h"), col("n").as("share")),
+      "alloc_prop")
+    val ney = apportion(
+      mom.select(col("h"), (dec(col("n")) * col("sigma_micro")).as("share")),
+      "alloc_neyman")
+    mom.join(prop, "h").join(ney, "h")
+      .select(col("h").as(strataCol), col("n").as("n_docs"),
+        col("sigma_micro"), col("alloc_prop"), col("alloc_neyman"))
+      .orderBy(strataCol)
+  }
+
   /** Greedy maximum-coverage data selection (Nemhauser, Wolsey &
     * Fisher 1978 — the (1−1/e)-approximate greedy for submodular
     * coverage) — pick `k` documents that together cover the most

@@ -2379,6 +2379,17 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- Neyman sampling allocation with exact apportionment (X268) ------
+    // "1000 audit slots across 20 sources": n_h ∝ N_h·σ_h (σ of token
+    // count, micro-floored integer sqrt) vs the proportional baseline,
+    // both turned into integers by largest-remainder apportionment —
+    // Σ alloc = 1000 EXACTLY, and the Neyman-vs-proportional gap
+    // shows where variance concentrates.
+    "llm_neyman_alloc" -> ((s, dir) => {
+      TextOps.neymanAllocation(Tables(s, dir, "documents"), "source",
+        size(TextOps.words(col("text"))), budget = 1000)
+    }),
+
     // ---- quantile treatment effects: per-decile arm contrast (X267) ------
     // WHERE in the distribution the arms differ, not just whether the
     // mean moved: v_q(arm1) - v_q(arm0) at each decile, every decile
@@ -7259,6 +7270,60 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays the moment aggregation, the probed integer sqrt, and
+    // both largest-remainder apportionments in HUGEINT.
+    "llm_neyman_alloc" -> """
+      WITH mom AS (
+        SELECT source AS h, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS sx,
+               sum(CAST(len(string_split(text, ' ')) AS HUGEINT)
+                 * len(string_split(text, ' '))) AS sxx
+        FROM documents GROUP BY 1),
+      v AS (
+        SELECT h, n, ((n * sxx - sx * sx) * 1000000000000) // (n * n)
+                 AS var12
+        FROM mom),
+      s0 AS (
+        SELECT h, n, var12,
+               CAST(floor(sqrt(CAST(var12 AS DOUBLE))) AS HUGEINT) AS s
+        FROM v),
+      s1 AS (
+        SELECT h, n, var12,
+               CASE WHEN (s + 1) * (s + 1) <= var12 THEN s + 1 ELSE s END
+                 AS s
+        FROM s0),
+      sig AS (
+        SELECT h, n,
+               CAST(CASE WHEN s * s > var12 THEN s - 1 ELSE s END
+                 AS BIGINT) AS sigma_micro
+        FROM s1),
+      shp AS (SELECT h, CAST(n AS HUGEINT) AS share FROM sig),
+      qp AS (
+        SELECT h, (1000 * share) // t.s_tot AS q,
+               1000 * share - ((1000 * share) // t.s_tot) * t.s_tot AS rem
+        FROM shp, (SELECT sum(share) AS s_tot FROM shp) t),
+      ap AS (
+        SELECT h, q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS alloc_prop
+        FROM (SELECT h, q, row_number() OVER (ORDER BY rem DESC, h) AS rk,
+                     (SELECT 1000 - sum(q) FROM qp) AS l
+              FROM qp)),
+      shn AS (SELECT h, CAST(n AS HUGEINT) * sigma_micro AS share FROM sig),
+      qn AS (
+        SELECT h, (1000 * share) // t.s_tot AS q,
+               1000 * share - ((1000 * share) // t.s_tot) * t.s_tot AS rem
+        FROM shn, (SELECT sum(share) AS s_tot FROM shn) t),
+      an AS (
+        SELECT h, q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS alloc_neyman
+        FROM (SELECT h, q, row_number() OVER (ORDER BY rem DESC, h) AS rk,
+                     (SELECT 1000 - sum(q) FROM qn) AS l
+              FROM qn))
+      SELECT sig.h AS source, sig.n AS n_docs, sig.sigma_micro,
+             CAST(ap.alloc_prop AS BIGINT) AS alloc_prop,
+             CAST(an.alloc_neyman AS BIGINT) AS alloc_neyman
+      FROM sig JOIN ap ON ap.h = sig.h JOIN an ON an.h = sig.h
+      ORDER BY source
     """,
 
     // Replays the per-(metric, arm) histogram and the nine decile
