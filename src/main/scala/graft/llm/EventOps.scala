@@ -1948,6 +1948,75 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Wald's sequential probability ratio test (X269; Wald 1945) on a
+    * daily Bernoulli rate — the FULLY-sequential companion to
+    * [[obfSequential]]'s five-look boundaries: check after every day,
+    * stop the moment the cumulative log-likelihood ratio leaves
+    * (B, A), with α/β guaranteed by A = ln((1−β)/α), B = ln(β/(1−α))
+    * regardless of when you peek. The trajectory itself is the
+    * deliverable: a flat walk says "the truth sits between your
+    * hypotheses, keep sampling" — the readout neither a fixed-horizon
+    * test nor OBF's scheduled looks can phrase.
+    *
+    * CDF-free and ln-free AT RUNTIME: every logarithm — the two
+    * per-trial increments ln(p₁/p₀), ln((1−p₁)/(1−p₀)) and both
+    * boundaries — is CONSTANT-FOLDED on the driver to integer micro
+    * (the X245 constant-folding discipline), and the SQL oracle
+    * interpolates the SAME JVM-computed integers, so the engines
+    * cannot disagree by construction. The daily LLR is then pure
+    * integer arithmetic: k_cum·L₁ + (n_cum−k_cum)·L₀.
+    *
+    * Scale: one combine agg to the |days| table; cumulative windows
+    * and every scenario's trajectory run on that calendar-bounded
+    * metadata (the daily table is checkpointed once and shared by
+    * all scenarios). Output per (scenario, day): n_cum, k_cum,
+    * llr_micro, verdict — verdict per day, not sticky: the first
+    * boundary crossing is visible as the first non-continue row.
+    */
+  def sprtTrajectory(events: DataFrame, tsCol: String, success: Column,
+      scenarios: Seq[(String, Double, Double)], alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    require(scenarios.nonEmpty, "need at least one scenario")
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("k"))
+      .withColumn("n_cum", sum("n").over(w))
+      .withColumn("k_cum", sum("k").over(w))
+      .localCheckpoint(eager = true) // shared by every scenario
+    val a = sprtUpperMicro(alpha, beta)
+    val b = sprtLowerMicro(alpha, beta)
+    scenarios.map { case (nm, p0, p1) =>
+      val (l1, l0) = sprtIncrementsMicro(p0, p1)
+      cum.select(lit(nm).as("scenario"), col("day"), col("n_cum"),
+          col("k_cum"),
+          (col("k_cum") * l1 + (col("n_cum") - col("k_cum")) * l0)
+            .as("llr_micro"))
+        .withColumn("verdict",
+          when(col("llr_micro") >= a, "accept_h1")
+            .when(col("llr_micro") <= b, "accept_h0")
+            .otherwise("continue"))
+    }.reduce(_.unionAll(_)).orderBy("scenario", "day")
+  }
+
+  /** The SPRT constants, folded once on the driver so the Spark plan
+    * and the SQL oracle interpolate the SAME integers.
+    */
+  def sprtIncrementsMicro(p0: Double, p1: Double): (Long, Long) = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"bad hypotheses: $p0 / $p1")
+    (math.floor(math.log(p1 / p0) * 1e6).toLong,
+      math.floor(math.log((1 - p1) / (1 - p0)) * 1e6).toLong)
+  }
+
+  def sprtUpperMicro(alpha: Double, beta: Double): Long =
+    math.ceil(math.log((1 - beta) / alpha) * 1e6).toLong
+
+  def sprtLowerMicro(alpha: Double, beta: Double): Long =
+    math.floor(math.log(beta / (1 - alpha)) * 1e6).toLong
+
   /** Quantile treatment effects (X267; Doksum 1974 / Firpo 2007) —
     * the DISTRIBUTIONAL A/B readout: per metric, the difference
     * between the two arms' decile values, v_q(arm 1) − v_q(arm 0)

@@ -23,6 +23,13 @@ object LlmSurface {
 
   private[queries] val stopwords = Seq("the", "a", "of", "to", "in")
 
+  // X269 SPRT hypothesis pairs, shared by the query and its oracle so
+  // the driver-folded ln constants are identical by construction
+  private val sprtScenarios = Seq(
+    ("near_19_21", 0.19, 0.21), // brackets the true ~0.20 -> wanders
+    ("low_10_12", 0.10, 0.12),  // true rate far above -> accept_h1
+    ("high_30_32", 0.30, 0.32)) // true rate far below -> accept_h0
+
   /** SemDeDup tuning shared by llm_semantic_dedup / llm_joint_curation
     * and their oracles: the in-cluster dot threshold (~p99 of in-cluster
     * dots on this corpus) and the target expected cluster size that
@@ -2377,6 +2384,17 @@ object LlmSurface {
           col("value") + 25.0).otherwise(col("value")))
       EventOps.psiDrift(ev, "event_type", "ts", "value",
         splitDate = "2024-01-15", bins = 10)
+    }),
+
+    // ---- Wald SPRT daily trajectory, three hypothesis pairs (X269) -------
+    // Fully-sequential purchase-rate monitoring: every ln constant
+    // folded to integer micro ON THE DRIVER and shared verbatim with
+    // the oracle. Bracketing hypotheses (0.19/0.21) wander forever —
+    // the honest "truth is between them" readout; far-below (0.10/
+    // 0.12) accepts H1 immediately; far-above (0.30/0.32) accepts H0.
+    "llm_ab_sprt" -> ((s, dir) => {
+      EventOps.sprtTrajectory(events(s, dir), "ts",
+        col("event_type") === "purchase", sprtScenarios)
     }),
 
     // ---- Neyman sampling allocation with exact apportionment (X268) ------
@@ -7271,6 +7289,39 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
     """,
+
+    // The SAME JVM-folded ln constants as the Spark plan, interpolated
+    // as integer literals — the engines cannot disagree on a
+    // transcendental they never evaluate.
+    "llm_ab_sprt" -> {
+      val a = EventOps.sprtUpperMicro(0.05, 0.05)
+      val b = EventOps.sprtLowerMicro(0.05, 0.05)
+      val parts = sprtScenarios.map { case (nm, p0, p1) =>
+        val (l1, l0) = EventOps.sprtIncrementsMicro(p0, p1)
+        val llr = s"k_cum * ($l1) + (n_cum - k_cum) * ($l0)"
+        s"""SELECT '$nm' AS scenario, day,
+           CAST(n_cum AS BIGINT) AS n_cum, CAST(k_cum AS BIGINT) AS k_cum,
+           CAST($llr AS BIGINT) AS llr_micro,
+           CASE WHEN $llr >= $a THEN 'accept_h1'
+                WHEN $llr <= $b THEN 'accept_h0'
+                ELSE 'continue' END AS verdict
+        FROM cum"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS k
+        FROM events GROUP BY 1),
+      cum AS (
+        SELECT day, sum(n) OVER (ORDER BY day) AS n_cum,
+               sum(k) OVER (ORDER BY day) AS k_cum
+        FROM daily)
+      SELECT * FROM (
+        $parts)
+      ORDER BY scenario, day
+    """
+    },
 
     // Replays the moment aggregation, the probed integer sqrt, and
     // both largest-remainder apportionments in HUGEINT.
