@@ -2386,6 +2386,27 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- weighted SSSP over the co-order graph (X270) --------------------
+    // Min-plus Bellman-Ford from the flagged parts (partkey % 100 ==
+    // 0): edge cost = 10^6 div co-order weight, so one strong tie
+    // beats several weak hops — the effective-proximity readout
+    // llm_blast_radius' hop count can't give. 6 monotone rounds,
+    // surplus rounds provably no-ops; exact integer distances.
+    "llm_graph_sssp" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+          rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+        .withColumn("cost", expr("1000000L DIV weight"))
+      val seeds = Tables(s, dir, "part")
+        .filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey").as("n"))
+      graft.operators.Sssp.distances(edges, "item_a", "item_b", "cost",
+          seeds, rounds = 6)
+        .orderBy("n")
+    }),
+
     // ---- Wald SPRT daily trajectory, three hypothesis pairs (X269) -------
     // Fully-sequential purchase-rate monitoring: every ln constant
     // folded to integer micro ON THE DRIVER and shared verbatim with
@@ -7289,6 +7310,48 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
     """,
+
+    // Unrolls 6 MATERIALIZED min-plus rounds over the same projected
+    // edge list; monotonicity makes surplus rounds no-ops (too few
+    // would fail the hash loudly).
+    "llm_graph_sssp" -> {
+      val rounds = (1 to 6).map { r =>
+        val prev = s"d${r - 1}"
+        s"""      d$r AS MATERIALIZED (
+        SELECT n, min(dist) AS dist FROM (
+          SELECT n, dist FROM $prev
+          UNION ALL
+          SELECT e.b AS n, $prev.dist + e.w AS dist
+          FROM sym e JOIN $prev ON e.a = $prev.n)
+        GROUP BY n)"""
+      }.mkString(",\n")
+      s"""
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bcap AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      edges AS (
+        SELECT x.i AS ia, y.i AS ib,
+               1000000 // CAST(count(*) AS BIGINT) AS w
+        FROM bcap x JOIN bcap y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      sym AS (
+        SELECT ia AS a, ib AS b, w FROM edges
+        UNION ALL
+        SELECT ib AS a, ia AS b, w FROM edges),
+      d0 AS (
+        SELECT DISTINCT p_partkey AS n, CAST(0 AS BIGINT) AS dist
+        FROM part WHERE p_partkey % 100 = 0),
+$rounds
+      SELECT n, CAST(dist AS BIGINT) AS dist FROM d6 ORDER BY n
+    """
+    },
 
     // The SAME JVM-folded ln constants as the Spark plan, interpolated
     // as integer literals — the engines cannot disagree on a
