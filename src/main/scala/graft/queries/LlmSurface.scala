@@ -2386,6 +2386,24 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- capture-recapture dedup-coverage QA (X271) ----------------------
+    // Two INDEPENDENT near-dup detectors (MinHash-LSH jaccard>=0.5,
+    // SimHash hamming<=3) as the two "captures": Chapman's estimator
+    // (n1+1)(n2+1)/(m+1) - 1 from their flagged-doc overlap estimates
+    // the total dup population — est_missed = estimate minus the
+    // union is the coverage gap NEITHER method can see alone.
+    "llm_dedup_coverage" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def flagged(pairs: DataFrame) = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      graft.operators.CaptureRecapture.chapman(
+        flagged(TextOps.nearDupPairs(docs, "doc_id", "text",
+          shingleN = 3, numBands = 4, rowsPerBand = 3, threshold = 0.5,
+          repartitionInput = true)),
+        flagged(TextOps.simHashNearDup(docs, "doc_id", "text",
+          maxHamming = 3, chunks = 4)))
+    }),
+
     // ---- weighted SSSP over the co-order graph (X270) --------------------
     // Min-plus Bellman-Ford from the flagged parts (partkey % 100 ==
     // 0): edge cost = 10^6 div co-order weight, so one strong tie
@@ -7309,6 +7327,55 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays BOTH detectors (the llm_near_dup and llm_dup_groups CTE
+    // blocks side by side — no name collisions by construction) and
+    // the Chapman arithmetic in HUGEINT.
+    "llm_dedup_coverage" -> s"""
+      WITH $shinglesCte,
+      sigs AS (SELECT doc_id, $minhashSigs FROM expl GROUP BY doc_id),
+      bands AS ($bandKeys),
+      mcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sets AS (
+        SELECT doc_id, list(s) AS ss, count(*) AS c
+        FROM expl GROUP BY doc_id),
+      mpairs AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b,
+                 ${round6sql(
+                   "len(list_intersect(x.ss, y.ss)) / CAST(x.c + y.c - len(list_intersect(x.ss, y.ss)) AS DOUBLE)")}
+                   AS jaccard
+          FROM mcand
+          JOIN sets x ON doc_a = x.doc_id
+          JOIN sets y ON doc_b = y.doc_id)
+        WHERE jaccard >= 0.5),
+      $simhashPairsCte,
+      spairs AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      m1 AS (SELECT DISTINCT d FROM (
+        SELECT doc_a AS d FROM mpairs UNION ALL SELECT doc_b FROM mpairs)),
+      m2 AS (SELECT DISTINCT d FROM (
+        SELECT doc_a AS d FROM spairs UNION ALL SELECT doc_b FROM spairs)),
+      st AS (
+        SELECT CAST((SELECT count(*) FROM m1) AS BIGINT) AS n1,
+               CAST((SELECT count(*) FROM m2) AS BIGINT) AS n2,
+               CAST((SELECT count(*) FROM m1 JOIN m2 USING (d))
+                 AS BIGINT) AS overlap,
+               CAST((SELECT count(*) FROM
+                 (SELECT d FROM m1 UNION SELECT d FROM m2)) AS BIGINT)
+                 AS n_union)
+      SELECT n1, n2, overlap, n_union,
+             CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (overlap + 1) - 1
+               AS BIGINT) AS chapman_est,
+             CAST(greatest(
+               (CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (overlap + 1) - 1
+                 - n_union, 0) AS BIGINT) AS est_missed
+      FROM st
     """,
 
     // Unrolls 6 MATERIALIZED min-plus rounds over the same projected
