@@ -2633,6 +2633,90 @@ object TextOps {
           / count(lit(1)).cast("double") / 1000000.0).as("avg_nll"))
   }
 
+  /** Kneser–Ney smoothed bigram LM cross-entropy (X272; Kneser & Ney
+    * 1995, absolute discounting with continuation probabilities) —
+    * the smoothing real LMs actually use, scored on an md5-HELD-OUT
+    * split (the X83/X197 discipline: add-one's same-corpus score
+    * (X169) never exercises the unseen-bigram path that smoothing
+    * exists for). Continuation probability — "how many contexts does
+    * w₂ complete" — is the KN insight add-one lacks: 'francisco' is
+    * frequent but only ever follows 'san', so its unseen-context
+    * probability should be tiny.
+    *
+    * Exact arithmetic: the discount is the RATIONAL 3/4, so with
+    * pc(w₂) = (N1p(w₂)+1)/(B+V+1) (add-one over continuation types —
+    * the +1 absorbs unseen words) every probability is a ratio of
+    * exact integers on the common denominator 4·c₁·(B+V+1):
+    *   seen:          num = (4c₁₂−3)(B+V+1) + 3·N1f(w₁)·(N1p(w₂)+1)
+    *   unseen bigram: num = 3·N1f(w₁)·(N1p(w₂)+1)
+    *   unseen w₁:     num = (N1p(w₂)+1)·4c₁… degenerates to pc —
+    *                  num = N1p+1, den = B+V+1.
+    * Per-context mass provably ≤ 1, so num < den and the NLL is
+    * positive. −ln p = ⌊ln den·10⁶⌋ − ⌊ln num·10⁶⌋, each ln taken on
+    * an integer-valued double (the micro-floored-ln discipline,
+    * quantized per term BEFORE the per-doc sum — X169's order-free
+    * rule). Products route through decimal(38,0) and reach ln as one
+    * double cast both engines share.
+    *
+    * Scale: one bigram pass per half, combine-aggs to the bigram/
+    * context/continuation tables, scalars broadcast; scoring is three
+    * left equi-joins. Output per eval doc: (idCol, n_bigrams,
+    * avg_nll).
+    */
+  def knCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+      evalMod: Int = 5, salt: String = "kn"): DataFrame = {
+    require(evalMod >= 2, s"evalMod ($evalMod) must be >= 2")
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val tagged = df.select(col(idCol), col(textCol),
+      (conv(substring(md5(concat(lit(s"$salt|"),
+        col(idCol).cast("string"))), 1, 4), 16, 10).cast("int")
+        % evalMod === 0).as("_ev"))
+    def bigrams(d: DataFrame) = d
+      .select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0))),
+          slice(col("_w"), lit(2), greatest(size(col("_w")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val trainBg = bigrams(tagged.filter(!col("_ev")))
+    val big = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = true) // 4 consumers below
+    val c1t = big.groupBy("w1").agg(sum("c12").as("c1"),
+      count(lit(1)).as("n1f"))
+    val n1pt = big.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val scal = big.agg(count(lit(1)).as("b"))
+      .crossJoin(tagged.filter(!col("_ev"))
+        .select(explode(words(col(textCol))).as("t"))
+        .agg(count_distinct(col("t")).as("v")))
+    val ev = bigrams(tagged.filter(col("_ev")))
+    val scored = ev
+      .join(big, Seq("w1", "w2"), "left")
+      .join(c1t, Seq("w1"), "left")
+      .join(n1pt, Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("_bv1", col("b") + col("v") + 1)
+      .withColumn("_pc1", coalesce(col("n1p"), lit(0L)) + 1)
+      .withColumn("_num",
+        when(col("c1").isNull, dec(col("_pc1")))
+          .when(col("c12").isNull,
+            dec(lit(3L) * col("n1f")) * dec(col("_pc1")))
+          .otherwise(dec(lit(4L) * col("c12") - 3) * dec(col("_bv1"))
+            + dec(lit(3L) * col("n1f")) * dec(col("_pc1"))))
+      .withColumn("_den",
+        when(col("c1").isNull, dec(col("_bv1")))
+          .otherwise(dec(lit(4L) * col("c1")) * dec(col("_bv1"))))
+      .withColumn("_nll_mu",
+        floor(log(col("_den").cast("double")) * 1000000.0).cast("long")
+          - floor(log(col("_num").cast("double")) * 1000000.0)
+            .cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round6(sum(col("_nll_mu")).cast("double")
+          / count(lit(1)).cast("double") / 1000000.0).as("avg_nll"))
+      .orderBy(idCol)
+  }
+
   /** Positional phrase search: find every occurrence of each query
     * phrase (an exact consecutive word sequence) across the corpus —
     * the retrieval primitive [[invertedIndex]]'s doc-level postings

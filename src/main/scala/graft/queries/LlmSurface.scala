@@ -2386,6 +2386,17 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- Kneser-Ney bigram LM on a held-out split (X272) -----------------
+    // The smoothing real LMs use, scored where smoothing matters: an
+    // md5-held-out fifth of the corpus, so unseen bigrams/contexts
+    // actually occur. Discount = the exact rational 3/4; every
+    // probability is a ratio of exact integers; -ln p = micro-floored
+    // ln(den) - ln(num) per term before any sum.
+    "llm_kn_lm" -> ((s, dir) => {
+      TextOps.knCrossEntropy(Tables(s, dir, "documents"), "doc_id",
+        "text")
+    }),
+
     // ---- capture-recapture dedup-coverage QA (X271) ----------------------
     // Two INDEPENDENT near-dup detectors (MinHash-LSH jaccard>=0.5,
     // SimHash hamming<=3) as the two "captures": Chapman's estimator
@@ -7327,6 +7338,67 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays the md5 split, the KN tables, the three probability
+    // branches on the common denominator, and the per-term
+    // micro-floored ln pair.
+    "llm_kn_lm" -> s"""
+      WITH d AS (
+        SELECT doc_id, text,
+               (CAST('0x' || substr(md5('kn|' || CAST(doc_id AS VARCHAR)),
+                  1, 4) AS INT) % 5 = 0) AS ev
+        FROM documents),
+      tokt AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM d WHERE NOT ev),
+      toke AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM d WHERE ev),
+      bgt AS (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM tokt)),
+      bge AS (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM toke)),
+      big AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bgt GROUP BY 1, 2),
+      c1t AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1f
+        FROM big GROUP BY 1),
+      n1pt AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM big GROUP BY 1),
+      scal AS (
+        SELECT (SELECT count(*) FROM big) AS b,
+               (SELECT count(DISTINCT t)
+                FROM (SELECT unnest(ws) AS t FROM tokt)) AS v),
+      sc AS (
+        SELECT e.doc_id,
+               CASE WHEN c.c1 IS NULL
+                      THEN CAST(coalesce(p.n1p, 0) + 1 AS HUGEINT)
+                    WHEN g.c12 IS NULL
+                      THEN CAST(3 * c.n1f AS HUGEINT)
+                           * (coalesce(p.n1p, 0) + 1)
+                    ELSE CAST(4 * g.c12 - 3 AS HUGEINT) * (s.b + s.v + 1)
+                         + CAST(3 * c.n1f AS HUGEINT)
+                           * (coalesce(p.n1p, 0) + 1) END AS num,
+               CASE WHEN c.c1 IS NULL
+                      THEN CAST(s.b + s.v + 1 AS HUGEINT)
+                    ELSE CAST(4 * c.c1 AS HUGEINT) * (s.b + s.v + 1)
+                    END AS den
+        FROM bge e
+        LEFT JOIN big g USING (w1, w2)
+        LEFT JOIN c1t c USING (w1)
+        LEFT JOIN n1pt p USING (w2)
+        CROSS JOIN scal s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             ${round6sql(
+               "sum(CAST(floor(ln(CAST(den AS DOUBLE)) * 1000000.0) AS BIGINT)" +
+               " - CAST(floor(ln(CAST(num AS DOUBLE)) * 1000000.0) AS BIGINT))" +
+               " / CAST(count(*) AS DOUBLE) / 1000000.0")} AS avg_nll
+      FROM sc GROUP BY 1 ORDER BY doc_id
     """,
 
     // Replays BOTH detectors (the llm_near_dup and llm_dup_groups CTE
