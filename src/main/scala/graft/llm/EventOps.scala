@@ -1948,6 +1948,99 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test + Mantel–Haenszel
+    * pooled odds ratio (X273; Mantel & Haenszel 1959, Cochran 1954) —
+    * the estimate X243's Simpson audit tells you to compute INSTEAD
+    * of the pooled table: condition on the stratifier (day-of-week),
+    * pool the per-stratum evidence, and the confounding that reverses
+    * naive pooling cancels by construction.
+    *
+    * Per stratum i the 2×2 table (aᵢ = arm-1 conversions, etc.)
+    * contributes exact rationals:
+    *   E[aᵢ]  = n1ᵢ·m1ᵢ/nᵢ,
+    *   V[aᵢ]  = n1ᵢ·n0ᵢ·m1ᵢ·m0ᵢ/(nᵢ²(nᵢ−1)),
+    *   OR num = aᵢdᵢ/nᵢ,  OR den = bᵢcᵢ/nᵢ.
+    * Each is floored ONCE to integer micro (the per-stratum quantize-
+    * before-sum rule — summing exact rationals with different
+    * denominators is not engine-portable, micro integers are), then
+    * the CMH statistic χ² = (Σaᵢ·10⁶ − ΣEᵢ_micro)²/(ΣVᵢ_micro·10⁶)
+    * and OR_MH = ΣORnum/ΣORden each leave via one exact decimal
+    * division. The verdict compares χ²_micro against the
+    * constant-folded χ²₁(0.95) = 3.841459 — no CDF at runtime (the
+    * X250/X252 discipline). Degenerate strata (nᵢ ≤ 1) contribute
+    * nothing, exactly as the statistic prescribes.
+    *
+    * Scale: one corpus pass to the (stratum × arm) cells; everything
+    * after runs on ≤|strata| metadata rows. Output: per-stratum
+    * detail rows plus one '__CMH__' summary row (chi2_micro, or_mh
+    * round6, reject flag).
+    */
+  def cmhStratified(events: DataFrame, userCol: String, tsCol: String,
+      successCol: Column): DataFrame = {
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val cells = events
+      .filter(col(userCol).isNotNull)
+      .select(dayofweek(col(tsCol)).as("stratum"),
+        (col(userCol) % 2).as("arm"),
+        when(successCol, 1L).otherwise(0L).as("s"))
+      .groupBy("stratum")
+      .agg(
+        sum(when(col("arm") === 1, col("s")).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 1, lit(1L) - col("s")).otherwise(0L)).as("b"),
+        sum(when(col("arm") === 0, col("s")).otherwise(0L)).as("c"),
+        sum(when(col("arm") === 0, lit(1L) - col("s")).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+      // per-stratum micro-quantized terms, floored ONCE each
+      .withColumn("e_mu", TextOps.floorDivDec(
+        dec((col("a") + col("b"))) * dec(col("a") + col("c"))
+          * lit(1000000), dec(col("n"))).cast("long"))
+      .withColumn("v_mu", TextOps.floorDivDec(
+        dec(col("a") + col("b")) * dec(col("c") + col("d"))
+          * dec(col("a") + col("c")) * dec(col("b") + col("d"))
+          * lit(1000000),
+        dec(col("n")) * dec(col("n")) * dec(col("n") - 1)).cast("long"))
+      .withColumn("orn_mu", TextOps.floorDivDec(
+        dec(col("a")) * dec(col("d")) * lit(1000000), dec(col("n")))
+        .cast("long"))
+      .withColumn("ord_mu", TextOps.floorDivDec(
+        dec(col("b")) * dec(col("c")) * lit(1000000), dec(col("n")))
+        .cast("long"))
+      .localCheckpoint(eager = true) // detail rows + the summary fold
+    val detail = cells.select(col("stratum").cast("string").as("stratum"),
+      col("a"), col("b"), col("c"), col("d"),
+      col("e_mu"), col("v_mu"))
+    val sums = cells.agg(sum("a").as("sa"), sum("e_mu").as("se"),
+      sum("v_mu").as("sv"), sum("orn_mu").as("sorn"),
+      sum("ord_mu").as("sord"))
+    // chi2_micro = (sa·10⁶ − se)² div (sv·10⁶); or_mh = Σnum/Σden
+    val summaryRow = sums.select(
+      lit("__CMH__").as("stratum"),
+      // (sa·10⁶ − se)² is chi²·10¹²; div by sv (= ΣV·10⁶) → chi²·10⁶
+      TextOps.floorDivDec(
+        dec(col("sa") * lit(1000000L) - col("se"))
+          * dec(col("sa") * lit(1000000L) - col("se")),
+        dec(col("sv"))).cast("long").as("chi2_micro"),
+      // guarded: a corpus where no stratum has discordant (b, c)
+      // pairs has an undefined MH odds ratio, not an error
+      when(col("sord") > 0,
+        TextOps.round6(col("sorn") / col("sord").cast("double")))
+        .as("or_mh"))
+      .withColumn("reject", col("chi2_micro") >= 3841459L)
+    detail
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        col("e_mu"), col("v_mu"), lit(null).cast("long").as("chi2_micro"),
+        lit(null).cast("double").as("or_mh"),
+        lit(null).cast("boolean").as("reject"))
+      .unionAll(summaryRow.select(col("stratum"),
+        lit(null).cast("long").as("a"), lit(null).cast("long").as("b"),
+        lit(null).cast("long").as("c"), lit(null).cast("long").as("d"),
+        lit(null).cast("long").as("e_mu"),
+        lit(null).cast("long").as("v_mu"), col("chi2_micro"),
+        col("or_mh"), col("reject")))
+      .orderBy("stratum")
+  }
+
   /** Wald's sequential probability ratio test (X269; Wald 1945) on a
     * daily Bernoulli rate — the FULLY-sequential companion to
     * [[obfSequential]]'s five-look boundaries: check after every day,

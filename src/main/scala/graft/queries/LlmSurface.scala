@@ -2386,6 +2386,17 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- Cochran-Mantel-Haenszel stratified test + MH odds ratio (X273) --
+    // The estimate the Simpson audit (llm_simpson_audit) says to
+    // compute instead of the pooled table: per-dow 2x2 conversion
+    // tables, each stratum's E/V/OR terms floored once to micro, one
+    // exact division each for the CMH chi-square and the pooled odds
+    // ratio; verdict against the constant-folded chi2_1(0.95).
+    "llm_ab_cmh" -> ((s, dir) => {
+      EventOps.cmhStratified(events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase")
+    }),
+
     // ---- Kneser-Ney bigram LM on a held-out split (X272) -----------------
     // The smoothing real LMs use, scored where smoothing matters: an
     // md5-held-out fifth of the corpus, so unseen bigrams/contexts
@@ -7338,6 +7349,59 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays the per-stratum 2x2 tables (b/d derived as n1-a/n0-c so
+    // a null event_type lands identically in both engines), the
+    // once-floored micro terms, and both exact divisions.
+    "llm_ab_cmh" -> s"""
+      WITH cells0 AS (
+        SELECT dayofweek(ts) + 1 AS stratum,
+               CAST(sum(CASE WHEN user_id % 2 = 1
+                 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN user_id % 2 = 0
+                 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n0
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      cells AS (
+        SELECT stratum, a, n1 - a AS b, c, n0 - c AS d, n1 + n0 AS n
+        FROM cells0 WHERE n1 + n0 > 1),
+      terms AS (
+        SELECT stratum, a, b, c, d,
+               (CAST(a + b AS HUGEINT) * (a + c) * 1000000) // n AS e_mu,
+               (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+                 * 1000000) // (CAST(n AS HUGEINT) * n * (n - 1)) AS v_mu,
+               (CAST(a AS HUGEINT) * d * 1000000) // n AS orn_mu,
+               (CAST(b AS HUGEINT) * c * 1000000) // n AS ord_mu
+        FROM cells),
+      sums AS (
+        SELECT CAST(sum(a) AS HUGEINT) AS sa, sum(e_mu) AS se,
+               sum(v_mu) AS sv, sum(orn_mu) AS sorn, sum(ord_mu) AS sord
+        FROM terms)
+      SELECT * FROM (
+        SELECT CAST(stratum AS VARCHAR) AS stratum, a, b, c, d,
+               CAST(e_mu AS BIGINT) AS e_mu, CAST(v_mu AS BIGINT) AS v_mu,
+               CAST(NULL AS BIGINT) AS chi2_micro,
+               CAST(NULL AS DOUBLE) AS or_mh,
+               CAST(NULL AS BOOLEAN) AS reject
+        FROM terms
+        UNION ALL
+        SELECT '__CMH__', NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(((sa * 1000000 - se) * (sa * 1000000 - se))
+                 // sv AS BIGINT),
+               CASE WHEN sord > 0 THEN
+                 ${round6sql(
+                   "CAST(sorn AS DOUBLE) / CAST(sord AS DOUBLE)")}
+               END,
+               ((sa * 1000000 - se) * (sa * 1000000 - se))
+                 // sv >= 3841459
+        FROM sums)
+      ORDER BY stratum
     """,
 
     // Replays the md5 split, the KN tables, the three probability
