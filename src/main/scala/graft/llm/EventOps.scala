@@ -1948,6 +1948,68 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Interrupted time-series analysis (X274; segmented regression,
+    * Wagner et al. 2002) — the causal readout for a KNOWN
+    * intervention date: fit the daily series as two independent OLS
+    * segments with the x-origin AT the break, so each segment's
+    * intercept IS its level at the intervention and
+    * level_change = post(0) − pre→0 extrapolation,
+    * slope_change = post slope − pre slope — the "did the deploy
+    * move the level, the trend, or neither" quantification that
+    * X239's changepoint (which FINDS an unknown break) and X66's
+    * CUSUM (which alarms) both stop short of.
+    *
+    * Exactness: the X141 group-wise-OLS contract — daily sums in
+    * exact integer cents, per-segment moments in decimal(38,0), the
+    * closed-form slope/intercept as ONE double division each in an
+    * operation order the oracle spells identically, round6 display.
+    * Centering x on the break keeps intercepts directly comparable
+    * with no extrapolation arithmetic beyond the fit itself.
+    *
+    * Scale: one corpus pass to the daily table; both fits are one
+    * combine agg over calendar-bounded metadata. Output: a single
+    * row (n_pre, n_post, pre_slope, post_slope, pre_level,
+    * post_level, level_change, slope_change), levels/slopes in
+    * currency units (cents/100).
+    */
+  def interruptedTimeSeries(df: DataFrame, tsCol: String,
+      valueCol: String, breakDate: String): DataFrame = {
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val daily = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("y"))
+      .select(datediff(col("day"), lit(breakDate).cast("date"))
+        .cast("long").as("x"), col("y"))
+    val mom = daily
+      .withColumn("post", col("x") >= 0)
+      .groupBy("post")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_d"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    def seg(p: Boolean, nm: String) = {
+      val den = (col("n_d") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      mom.filter(col("post") === p).select(
+        col("n_d").cast("long").as(s"n_$nm"),
+        ((col("n_d") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / den / 100.0).as(s"_sl_$nm"),
+        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / den / 100.0).as(s"_lv_$nm"))
+    }
+    seg(p = false, "pre").crossJoin(seg(p = true, "post"))
+      .select(col("n_pre"), col("n_post"),
+        TextOps.round6(col("_sl_pre")).as("pre_slope"),
+        TextOps.round6(col("_sl_post")).as("post_slope"),
+        TextOps.round6(col("_lv_pre")).as("pre_level"),
+        TextOps.round6(col("_lv_post")).as("post_level"),
+        TextOps.round6(col("_lv_post") - col("_lv_pre"))
+          .as("level_change"),
+        TextOps.round6(col("_sl_post") - col("_sl_pre"))
+          .as("slope_change"))
+  }
+
   /** Cochran–Mantel–Haenszel stratified 2×2 test + Mantel–Haenszel
     * pooled odds ratio (X273; Mantel & Haenszel 1959, Cochran 1954) —
     * the estimate X243's Simpson audit tells you to compute INSTEAD

@@ -2386,6 +2386,23 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- interrupted time series at the known break (X274) ---------------
+    // The quantification the changepoint (finds) and CUSUM (alarms)
+    // stop short of: two OLS segments with x-origin AT the 16th, so
+    // intercepts ARE levels at the intervention and the level/slope
+    // changes read off directly. Same planted +25 error-value shift
+    // as p_psi_drift/p_emd_drift: the level_change must read the
+    // intervention's daily revenue effect while slope_change stays
+    // near zero.
+    "p_its" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("event_type") === "error")
+        .withColumn("value",
+          when(to_date(col("ts")) > to_date(lit("2024-01-15")),
+            col("value") + 25.0).otherwise(col("value")))
+      EventOps.interruptedTimeSeries(ev, "ts", "value", "2024-01-16")
+    }),
+
     // ---- Cochran-Mantel-Haenszel stratified test + MH odds ratio (X273) --
     // The estimate the Simpson audit (llm_simpson_audit) says to
     // compute instead of the pooled table: per-dow 2x2 conversion
@@ -7349,6 +7366,52 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays the planted shift, the daily cents sums, and the two
+    // break-centered OLS fits with the identical double operation
+    // order (the X141 contract).
+    "p_its" -> s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor((CASE WHEN CAST(ts AS DATE)
+                   > DATE '2024-01-15' THEN value + 25.0 ELSE value END)
+                   * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS y
+        FROM events
+        WHERE event_type = 'error' AND ts IS NOT NULL
+          AND value IS NOT NULL
+        GROUP BY 1),
+      d AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-16', day) AS HUGEINT)
+                 AS x, y
+        FROM daily),
+      mom AS (
+        SELECT (x >= 0) AS post, CAST(count(*) AS HUGEINT) AS n_d,
+               sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+               sum(x * y) AS sxy
+        FROM d GROUP BY 1),
+      segp AS (
+        SELECT CAST(n_d AS BIGINT) AS n_pre,
+               CAST(n_d * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_d * sxx - sx * sx AS DOUBLE) / 100.0 AS sl,
+               CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n_d * sxx - sx * sx AS DOUBLE) / 100.0 AS lv
+        FROM mom WHERE NOT post),
+      segq AS (
+        SELECT CAST(n_d AS BIGINT) AS n_post,
+               CAST(n_d * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_d * sxx - sx * sx AS DOUBLE) / 100.0 AS sl,
+               CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n_d * sxx - sx * sx AS DOUBLE) / 100.0 AS lv
+        FROM mom WHERE post)
+      SELECT p.n_pre, q.n_post,
+             ${round6sql("p.sl")} AS pre_slope,
+             ${round6sql("q.sl")} AS post_slope,
+             ${round6sql("p.lv")} AS pre_level,
+             ${round6sql("q.lv")} AS post_level,
+             ${round6sql("q.lv - p.lv")} AS level_change,
+             ${round6sql("q.sl - p.sl")} AS slope_change
+      FROM segp p, segq q
     """,
 
     // Replays the per-stratum 2x2 tables (b/d derived as n1-a/n0-c so
