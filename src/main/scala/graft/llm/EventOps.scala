@@ -1948,6 +1948,65 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** MAD robust scale + robust-z outlier census (X275; Hampel 1974,
+    * the median absolute deviation) — the 50%-breakdown scale
+    * estimate for the regime [[hillTailIndex]] warns about: when the
+    * tail index says variance is fiction, σ-based outlier rules
+    * (X114) are circular — the outliers inflate the very σ that is
+    * supposed to catch them. MAD shrugs off half the data being
+    * corrupted; the census counts |x − med| > 3·1.4826·MAD (the
+    * normal-consistency calibration) per metric.
+    *
+    * Sort-free and CDF-free: both the median and the MAD are LOWER
+    * medians walked from value histograms (X218/X255 — the residual
+    * histogram is bounded by the value domain too, since r = |c −
+    * med| lives in the same cents range), and the outlier test
+    * clears to the integer cross-multiplication
+    * |c − med|·10⁴ > 44478·MAD — 3·1.4826 constant-folded to 44478,
+    * no float boundary anywhere. MAD = 0 (more than half the mass on
+    * one value) flags every off-median row — the classic MAD
+    * degeneracy, surfaced honestly rather than patched.
+    *
+    * Scale: three corpus passes (value histogram, residual histogram,
+    * census), each reducing to domain-bounded cells before any
+    * exchange; medians broadcast back as 1-row-per-metric tables.
+    * Output per metric: (event_type, n, median_cents, mad_cents,
+    * n_outliers, outlier_ppm).
+    */
+  def madOutliers(events: DataFrame, typeCol: String, valueCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy("m").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = events
+      .filter(col(typeCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("m"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("c"))
+    def lowerMedian(df: DataFrame, vCol: String, out: String) = {
+      val hist = df.groupBy(col("m"), col(vCol).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      hist
+        .withColumn("cum", sum("cnt").over(w))
+        .join(hist.groupBy("m").agg(sum("cnt").as("n")), "m")
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("m", "n").agg(min("v").as(out))
+    }
+    val med = lowerMedian(base, "c", "median_cents")
+    val resid = base.join(broadcast(med), "m")
+      .select(col("m"), abs(col("c") - col("median_cents")).as("r"))
+    val mad = lowerMedian(resid, "r", "mad_cents")
+      .select("m", "mad_cents")
+    base.join(broadcast(med), "m").join(broadcast(mad), "m")
+      .groupBy(col("m"), col("n"), col("median_cents"), col("mad_cents"))
+      .agg(sum(when(abs(col("c") - col("median_cents")) * 10000
+        > lit(44478L) * col("mad_cents"), 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("m").as(typeCol), col("n"), col("median_cents"),
+        col("mad_cents"), col("n_outliers"),
+        TextOps.round6(col("n_outliers") * lit(1000000)
+          / col("n").cast("double")).as("outlier_ppm"))
+      .orderBy(typeCol)
+  }
+
   /** Interrupted time-series analysis (X274; segmented regression,
     * Wagner et al. 2002) — the causal readout for a KNOWN
     * intervention date: fit the daily series as two independent OLS

@@ -2386,6 +2386,16 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- MAD robust scale + robust-z outlier census (X275) ---------------
+    // The 50%-breakdown scale for the heavy-tail regime where
+    // sigma-based rules are circular: median and MAD via histogram
+    // rank walks, the 3*1.4826 threshold folded to the integer
+    // cross-multiplication |c-med|*10^4 > 44478*MAD — no float
+    // boundary anywhere.
+    "llm_mad_outliers" -> ((s, dir) => {
+      EventOps.madOutliers(events(s, dir), "event_type", "value")
+    }),
+
     // ---- interrupted time series at the known break (X274) ---------------
     // The quantification the changepoint (finds) and CUSUM (alarms)
     // stop short of: two OLS segments with x-origin AT the 16th, so
@@ -7366,6 +7376,49 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays both histogram rank walks and the constant-folded
+    // integer outlier clearing.
+    "llm_mad_outliers" -> s"""
+      WITH base AS (
+        SELECT event_type AS m,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      h1 AS (
+        SELECT m, c AS v, count(*) AS cnt FROM base GROUP BY 1, 2),
+      med AS (
+        SELECT m, n, min(v) AS median_cents FROM (
+          SELECT m, v, sum(cnt) OVER (PARTITION BY m ORDER BY v) AS cum,
+                 sum(cnt) OVER (PARTITION BY m) AS n
+          FROM h1)
+        WHERE cum >= (n + 1) // 2 GROUP BY 1, 2),
+      resid AS (
+        SELECT b.m, abs(b.c - med.median_cents) AS r
+        FROM base b JOIN med ON med.m = b.m),
+      h2 AS (
+        SELECT m, r AS v, count(*) AS cnt FROM resid GROUP BY 1, 2),
+      mad AS (
+        SELECT m, min(v) AS mad_cents FROM (
+          SELECT m, v, sum(cnt) OVER (PARTITION BY m ORDER BY v) AS cum,
+                 sum(cnt) OVER (PARTITION BY m) AS n
+          FROM h2)
+        WHERE cum >= (n + 1) // 2 GROUP BY 1)
+      SELECT b.m AS event_type, CAST(med.n AS BIGINT) AS n,
+             med.median_cents, mad.mad_cents,
+             CAST(sum(CASE WHEN abs(b.c - med.median_cents) * 10000
+               > 44478 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             ${round6sql(
+               "sum(CASE WHEN abs(b.c - med.median_cents) * 10000" +
+               " > 44478 * mad.mad_cents THEN 1 ELSE 0 END) * 1000000" +
+               " / CAST(med.n AS DOUBLE)")} AS outlier_ppm
+      FROM base b
+      JOIN med ON med.m = b.m
+      JOIN mad ON mad.m = b.m
+      GROUP BY b.m, med.n, med.median_cents, mad.mad_cents
+      ORDER BY event_type
     """,
 
     // Replays the planted shift, the daily cents sums, and the two
