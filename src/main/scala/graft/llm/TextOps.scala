@@ -2633,6 +2633,59 @@ object TextOps {
           / count(lit(1)).cast("double") / 1000000.0).as("avg_nll"))
   }
 
+  /** Dunning log-likelihood keyness (X276; Dunning 1993) — "which
+    * words DISTINGUISH the target slice from the rest of the corpus":
+    * the corpus-linguistics standard that stays calibrated at the low
+    * counts where chi-square and PMI both lie (Dunning's original
+    * point). Per word, with a = target count, b = rest count,
+    * nA/nB/N the totals,
+    *   G² = 2·[a·ln(a·N/(nA·(a+b))) + b·ln(b·N/(nB·(a+b)))],
+    * and a zero cell contributes zero (the O→0 limit of O·ln(O/E)).
+    *
+    * Determinism: every logarithm is taken on an INTEGER-valued
+    * double — ln(a·N) and ln(nA·(a+b)) separately, each micro-floored
+    * (the X272 ln-pair discipline) — then scaled by the integer
+    * counts, so G²_micro is an exact integer sum and the top-k order
+    * (g2 DESC, word ASC) is total. Direction (over- vs
+    * under-represented) clears by the integer cross-multiplication
+    * a·nB vs b·nA — no rate division.
+    *
+    * Scale: one tokenize pass to the (word × side) counts, scalars
+    * broadcast, everything else on vocab-bounded metadata; the only
+    * sort is the TakeOrdered top-k. Output: (word, n_target, n_rest,
+    * g2_micro, overrepresented).
+    */
+  def dunningKeyness(df: DataFrame, textCol: String, target: Column,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val toks = df.select(target.as("_t"), explode(words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val counts = toks.groupBy("w").agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("_t"), 0L).otherwise(1L)).as("b"))
+    val tot = counts.agg(sum("a").as("na"), sum("b").as("nb"))
+    def lmu(x: Column): Column =
+      floor(log(x.cast("double")) * 1000000.0).cast("long")
+    counts.crossJoin(broadcast(tot))
+      .withColumn("_n", col("na") + col("nb"))
+      .withColumn("_ta", when(col("a") > 0,
+        col("a") * (lmu(dec(col("a")) * dec(col("_n")))
+          - lmu(dec(col("na")) * dec(col("a") + col("b")))))
+        .otherwise(0L))
+      .withColumn("_tb", when(col("b") > 0,
+        col("b") * (lmu(dec(col("b")) * dec(col("_n")))
+          - lmu(dec(col("nb")) * dec(col("a") + col("b")))))
+        .otherwise(0L))
+      .select(col("w").as("word"), col("a").as("n_target"),
+        col("b").as("n_rest"),
+        (lit(2L) * (col("_ta") + col("_tb"))).as("g2_micro"),
+        (dec(col("a")) * dec(col("nb")) > dec(col("b")) * dec(col("na")))
+          .as("overrepresented"))
+      .orderBy(col("g2_micro").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Kneser–Ney smoothed bigram LM cross-entropy (X272; Kneser & Ney
     * 1995, absolute discounting with continuation probabilities) —
     * the smoothing real LMs actually use, scored on an md5-HELD-OUT

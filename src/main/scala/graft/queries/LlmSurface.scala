@@ -2386,6 +2386,21 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- Dunning log-likelihood keyness vs one source (X276) -------------
+    // Which words DISTINGUISH src7 from the rest — the planted
+    // "promo"/"offer" markers (3/1 tokens per src7 doc, both engines)
+    // must dominate the top-k while the shared soup vocabulary scores
+    // near zero; every ln on an integer product, micro-floored, so
+    // G2 is an exact integer sum.
+    "llm_keyness" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").withColumn("text",
+        when(col("source") === "src7",
+          concat(col("text"), lit(" promo offer promo")))
+          .otherwise(col("text")))
+      TextOps.dunningKeyness(d, "text", col("source") === "src7",
+        topK = 20)
+    }),
+
     // ---- MAD robust scale + robust-z outlier census (X275) ---------------
     // The 50%-breakdown scale for the heavy-tail regime where
     // sigma-based rules are circular: median and MAD via histogram
@@ -7376,6 +7391,46 @@ $rounds,
         UNION ALL SELECT 'fit', NULL, 'beta_micro', beta_micro FROM fit
         UNION ALL SELECT 'fit', NULL, 'logk_micro', logk_micro FROM fit)
       ORDER BY part, k, sym
+    """,
+
+    // Replays the plant, the (word x side) counts, and the per-cell
+    // integer-product ln pairs.
+    "llm_keyness" -> """
+      WITH d AS (
+        SELECT CASE WHEN source = 'src7'
+                 THEN text || ' promo offer promo' ELSE text END AS text,
+               (source = 'src7') AS t
+        FROM documents),
+      tok AS (SELECT t, unnest(string_split(text, ' ')) AS w FROM d),
+      counts AS (
+        SELECT w, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS b
+        FROM tok WHERE w <> '' GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+        FROM counts),
+      sc AS (
+        SELECT w, a, b, na, nb,
+               CASE WHEN a > 0 THEN a *
+                 (CAST(floor(ln(CAST(CAST(a AS HUGEINT) * (na + nb)
+                    AS DOUBLE)) * 1000000.0) AS BIGINT)
+                  - CAST(floor(ln(CAST(CAST(na AS HUGEINT) * (a + b)
+                    AS DOUBLE)) * 1000000.0) AS BIGINT))
+               ELSE 0 END AS ta,
+               CASE WHEN b > 0 THEN b *
+                 (CAST(floor(ln(CAST(CAST(b AS HUGEINT) * (na + nb)
+                    AS DOUBLE)) * 1000000.0) AS BIGINT)
+                  - CAST(floor(ln(CAST(CAST(nb AS HUGEINT) * (a + b)
+                    AS DOUBLE)) * 1000000.0) AS BIGINT))
+               ELSE 0 END AS tb
+        FROM counts, tot)
+      SELECT w AS word, a AS n_target, b AS n_rest,
+             2 * (ta + tb) AS g2_micro,
+             (CAST(a AS HUGEINT) * nb > CAST(b AS HUGEINT) * na)
+               AS overrepresented
+      FROM sc
+      ORDER BY g2_micro DESC, word
+      LIMIT 20
     """,
 
     // Replays both histogram rank walks and the constant-folded
