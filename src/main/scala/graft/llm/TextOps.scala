@@ -1242,6 +1242,68 @@ object TextOps {
       .orderBy(strataCol)
   }
 
+  /** Horvitz–Thompson total estimation from the [[neymanAllocation]]
+    * design (X277; Horvitz & Thompson 1952) — the survey-sampling
+    * loop CLOSED: X268 decides how many docs to draw per stratum;
+    * this draws them (md5-ranked — deterministic, hence replayable;
+    * the established "random"-by-hash discipline) and estimates the
+    * corpus token total as Σ_h N_h·(sample mean)_h, reporting the
+    * estimate AGAINST the true total per stratum and overall — the
+    * audit a sampling pipeline runs before trusting its own
+    * extrapolations.
+    *
+    * Exactness: per stratum est·10⁶ = ⌊N_h·Σ(sampled tokens)·10⁶ /
+    * n_h⌋ (one [[floorDivDec]]); the signed relative error is
+    * ⌊(est_µ − true·10⁶)·10⁶ / (true·10⁶)⌋ toward zero
+    * ([[truncDivDec]]). A stratum whose allocation ≥ its size
+    * degrades to a census — error exactly 0, which the unit pins.
+    *
+    * Scale: the rank window is per-stratum (hash-keyed, no global
+    * sort); two combine aggs (sampled sums, true sums); the
+    * apportionment runs on |strata| metadata. Output per stratum +
+    * `__ALL__`: (stratum, n_docs, n_drawn, true_tokens,
+    * est_tokens_micro, err_ppm).
+    */
+  def htTokenEstimate(df: DataFrame, strataCol: String, idCol: String,
+      textCol: String, budget: Int, salt: String): DataFrame = {
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val base = df.select(col(strataCol).as("h"),
+      col(idCol).as("doc_id"), size(words(col(textCol))).cast("long").as("toks"))
+    val alloc = neymanAllocation(df, strataCol,
+        size(words(col(textCol))), budget)
+      .select(col(strataCol).as("h"), col("alloc_neyman"))
+    val w = Window.partitionBy("h")
+      .orderBy(md5(concat(lit(s"$salt|"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    val samp = base.withColumn("rn", row_number().over(w))
+      .join(alloc, "h")
+      .filter(col("rn") <= col("alloc_neyman"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_drawn"), sum("toks").as("s_samp"))
+    val truth = base.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("true_tokens"))
+    val per = truth.join(samp, "h")
+      .select(col("h"), col("n_docs"), col("n_drawn"), col("true_tokens"),
+        floorDivDec(dec(col("n_docs")) * dec(col("s_samp")) * lit(1000000),
+          dec(col("n_drawn"))).cast("long").as("est_tokens_micro"))
+      .localCheckpoint(eager = true) // detail + the __ALL__ fold
+    val all = per.agg(sum("n_docs").as("n_docs"),
+        sum("n_drawn").as("n_drawn"), sum("true_tokens").as("true_tokens"),
+        sum("est_tokens_micro").as("est_tokens_micro"))
+      .select(lit("__ALL__").as("h"), col("n_docs"), col("n_drawn"),
+        col("true_tokens"), col("est_tokens_micro"))
+    per.select(col("h"), col("n_docs"), col("n_drawn"),
+        col("true_tokens"), col("est_tokens_micro"))
+      .unionAll(all)
+      .withColumn("err_ppm", truncDivDec(
+        (dec(col("est_tokens_micro")) - dec(col("true_tokens"))
+          * lit(1000000)) * lit(1000000),
+        dec(col("true_tokens")) * lit(1000000)).cast("long"))
+      .select(col("h").as(strataCol), col("n_docs"), col("n_drawn"),
+        col("true_tokens"), col("est_tokens_micro"), col("err_ppm"))
+      .orderBy(strataCol)
+  }
+
   /** Greedy maximum-coverage data selection (Nemhauser, Wolsey &
     * Fisher 1978 — the (1−1/e)-approximate greedy for submodular
     * coverage) — pick `k` documents that together cover the most

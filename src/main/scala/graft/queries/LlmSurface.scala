@@ -2386,6 +2386,17 @@ object LlmSurface {
         splitDate = "2024-01-15", bins = 10)
     }),
 
+    // ---- Horvitz-Thompson estimate from the Neyman design (X277) ---------
+    // The survey-sampling loop CLOSED: X268's allocation at budget
+    // 200 (so sampling is real, not a census), an md5-ranked
+    // deterministic draw per stratum, and the HT token-total estimate
+    // reported AGAINST the truth per stratum and overall — the audit
+    // a sampling pipeline runs before trusting its extrapolations.
+    "llm_ht_estimate" -> ((s, dir) => {
+      TextOps.htTokenEstimate(Tables(s, dir, "documents"), "source",
+        "doc_id", "text", budget = 200, salt = "ht")
+    }),
+
     // ---- Dunning log-likelihood keyness vs one source (X276) -------------
     // Which words DISTINGUISH src7 from the rest — the planted
     // "promo"/"offer" markers (3/1 tokens per src7 doc, both engines)
@@ -3885,6 +3896,56 @@ object LlmSurface {
   // ======================================================================
   // DuckDB oracles
   // ======================================================================
+
+  /** The X268 Neyman-allocation CTE chain (mom -> sig -> both
+    * apportionments), budget-parameterized so the X277 HT-estimation
+    * oracle replays the identical design at its own budget.
+    */
+  private def neymanAllocCtes(budget: Int): String = s"""
+mom AS (
+        SELECT source AS h, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS sx,
+               sum(CAST(len(string_split(text, ' ')) AS HUGEINT)
+                 * len(string_split(text, ' '))) AS sxx
+        FROM documents GROUP BY 1),
+      v AS (
+        SELECT h, n, ((n * sxx - sx * sx) * 1000000000000) // (n * n)
+                 AS var12
+        FROM mom),
+      s0 AS (
+        SELECT h, n, var12,
+               CAST(floor(sqrt(CAST(var12 AS DOUBLE))) AS HUGEINT) AS s
+        FROM v),
+      s1 AS (
+        SELECT h, n, var12,
+               CASE WHEN (s + 1) * (s + 1) <= var12 THEN s + 1 ELSE s END
+                 AS s
+        FROM s0),
+      sig AS (
+        SELECT h, n,
+               CAST(CASE WHEN s * s > var12 THEN s - 1 ELSE s END
+                 AS BIGINT) AS sigma_micro
+        FROM s1),
+      shp AS (SELECT h, CAST(n AS HUGEINT) AS share FROM sig),
+      qp AS (
+        SELECT h, ($budget * share) // t.s_tot AS q,
+               $budget * share - (($budget * share) // t.s_tot) * t.s_tot AS rem
+        FROM shp, (SELECT sum(share) AS s_tot FROM shp) t),
+      ap AS (
+        SELECT h, q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS alloc_prop
+        FROM (SELECT h, q, row_number() OVER (ORDER BY rem DESC, h) AS rk,
+                     (SELECT $budget - sum(q) FROM qp) AS l
+              FROM qp)),
+      shn AS (SELECT h, CAST(n AS HUGEINT) * sigma_micro AS share FROM sig),
+      qn AS (
+        SELECT h, ($budget * share) // t.s_tot AS q,
+               $budget * share - (($budget * share) // t.s_tot) * t.s_tot AS rem
+        FROM shn, (SELECT sum(share) AS s_tot FROM shn) t),
+      an AS (
+        SELECT h, q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS alloc_neyman
+        FROM (SELECT h, q, row_number() OVER (ORDER BY rem DESC, h) AS rk,
+                     (SELECT $budget - sum(q) FROM qn) AS l
+              FROM qn))"""
 
   private val round6sql = (x: String) => s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
 
@@ -7393,6 +7454,53 @@ $rounds,
       ORDER BY part, k, sym
     """,
 
+    // Replays the SAME Neyman design at budget 200 (the shared CTE
+    // generator), the md5-ranked draw, and both exact divisions.
+    "llm_ht_estimate" -> s"""
+      WITH ${neymanAllocCtes(200)},
+      ranked AS (
+        SELECT source AS h, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5('ht|' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+        FROM documents),
+      samp AS (
+        SELECT r.h, CAST(count(*) AS BIGINT) AS n_drawn,
+               CAST(sum(r.toks) AS HUGEINT) AS s_samp
+        FROM ranked r JOIN an ON an.h = r.h
+        WHERE r.rn <= an.alloc_neyman
+        GROUP BY 1),
+      truth AS (
+        SELECT source AS h, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS true_tokens
+        FROM documents GROUP BY 1),
+      per AS (
+        SELECT t.h, t.n_docs, s.n_drawn, t.true_tokens,
+               CAST((CAST(t.n_docs AS HUGEINT) * s.s_samp * 1000000)
+                 // s.n_drawn AS BIGINT) AS est
+        FROM truth t JOIN samp s ON s.h = t.h),
+      allr AS (
+        SELECT '__ALL__' AS h, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(n_drawn) AS BIGINT) AS n_drawn,
+               CAST(sum(true_tokens) AS BIGINT) AS true_tokens,
+               CAST(sum(est) AS BIGINT) AS est
+        FROM per),
+      u AS (
+        SELECT CAST(h AS VARCHAR) AS h, n_docs, n_drawn, true_tokens, est
+        FROM per
+        UNION ALL
+        SELECT * FROM allr)
+      SELECT h AS source, n_docs, n_drawn, true_tokens,
+             est AS est_tokens_micro,
+             CAST((CAST(est AS HUGEINT)
+               - CAST(true_tokens AS HUGEINT) * 1000000) * 1000000
+               // (CAST(true_tokens AS HUGEINT) * 1000000) AS BIGINT)
+               AS err_ppm
+      FROM u ORDER BY source
+    """,
+
     // Replays the plant, the (word x side) counts, and the per-cell
     // integer-product ln pairs.
     "llm_keyness" -> """
@@ -7762,51 +7870,8 @@ $rounds
 
     // Replays the moment aggregation, the probed integer sqrt, and
     // both largest-remainder apportionments in HUGEINT.
-    "llm_neyman_alloc" -> """
-      WITH mom AS (
-        SELECT source AS h, CAST(count(*) AS BIGINT) AS n,
-               sum(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS sx,
-               sum(CAST(len(string_split(text, ' ')) AS HUGEINT)
-                 * len(string_split(text, ' '))) AS sxx
-        FROM documents GROUP BY 1),
-      v AS (
-        SELECT h, n, ((n * sxx - sx * sx) * 1000000000000) // (n * n)
-                 AS var12
-        FROM mom),
-      s0 AS (
-        SELECT h, n, var12,
-               CAST(floor(sqrt(CAST(var12 AS DOUBLE))) AS HUGEINT) AS s
-        FROM v),
-      s1 AS (
-        SELECT h, n, var12,
-               CASE WHEN (s + 1) * (s + 1) <= var12 THEN s + 1 ELSE s END
-                 AS s
-        FROM s0),
-      sig AS (
-        SELECT h, n,
-               CAST(CASE WHEN s * s > var12 THEN s - 1 ELSE s END
-                 AS BIGINT) AS sigma_micro
-        FROM s1),
-      shp AS (SELECT h, CAST(n AS HUGEINT) AS share FROM sig),
-      qp AS (
-        SELECT h, (1000 * share) // t.s_tot AS q,
-               1000 * share - ((1000 * share) // t.s_tot) * t.s_tot AS rem
-        FROM shp, (SELECT sum(share) AS s_tot FROM shp) t),
-      ap AS (
-        SELECT h, q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS alloc_prop
-        FROM (SELECT h, q, row_number() OVER (ORDER BY rem DESC, h) AS rk,
-                     (SELECT 1000 - sum(q) FROM qp) AS l
-              FROM qp)),
-      shn AS (SELECT h, CAST(n AS HUGEINT) * sigma_micro AS share FROM sig),
-      qn AS (
-        SELECT h, (1000 * share) // t.s_tot AS q,
-               1000 * share - ((1000 * share) // t.s_tot) * t.s_tot AS rem
-        FROM shn, (SELECT sum(share) AS s_tot FROM shn) t),
-      an AS (
-        SELECT h, q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS alloc_neyman
-        FROM (SELECT h, q, row_number() OVER (ORDER BY rem DESC, h) AS rk,
-                     (SELECT 1000 - sum(q) FROM qn) AS l
-              FROM qn))
+    "llm_neyman_alloc" -> s"""
+      WITH ${neymanAllocCtes(1000)}
       SELECT sig.h AS source, sig.n AS n_docs, sig.sigma_micro,
              CAST(ap.alloc_prop AS BIGINT) AS alloc_prop,
              CAST(an.alloc_neyman AS BIGINT) AS alloc_neyman
