@@ -611,4 +611,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"per-(metric, arm) windows must not collapse:\n$p")
   }
+
+  test("Kneser-Ney scoring is equi-joins over combine-agg tables") {
+    val q = graft.llm.TextOps.knCrossEntropy(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // scalar totals may nested-loop as 1-row broadcasts; nothing else
+    assert(p.contains("partial_"), s"count tables must map-side combine:\n$p")
+  }
+
+  test("keyness is one tokenize pass with a TakeOrdered top-k") {
+    val q = graft.llm.TextOps.dunningKeyness(
+      Tables(spark, dir, "documents"), "text",
+      org.apache.spark.sql.functions.col("source") === "src7", topK = 10)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("MAD census never sorts the corpus by value") {
+    val q = graft.llm.EventOps.madOutliers(
+      Tables(spark, dir, "events"), "event_type", "value")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Exchange rangepartitioning(c"),
+      s"order statistics must come from histogram walks:\n$p")
+  }
 }
