@@ -1,0 +1,231 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Annotation/rater-quality and attribution operators: the audits a
+  * labeling or curation pipeline publishes about its own judges
+  * (inter-rater agreement) and its inputs (credit attribution).
+  * Extension surface beyond the reference (ref repo `etl_utils.py`
+  * has no analytics; SURVEY §2.7).
+  */
+object EvalOps {
+
+  private def dec(x: Column): Column = x.cast("decimal(38,0)")
+
+  /** Inter-rater agreement over R binary raters (X278; Cohen 1960,
+    * Fleiss 1971) — the label-quality audit every human- or
+    * model-annotated dataset needs before its labels are trusted:
+    * raw percent agreement rewards raters for agreeing on the easy
+    * majority class, kappa measures agreement ABOVE the chance level
+    * implied by each rater's own marginals.
+    *
+    * Emits one row per unordered rater pair (Cohen's kappa: chance =
+    * product of the two raters' marginals) plus one `fleiss` row over
+    * all R raters (Fleiss' kappa: per-item pairwise agreement
+    * r(r−1)+(R−r)(R−r−1) over R(R−1), chance from the pooled
+    * positive rate).
+    *
+    * Exact arithmetic: every po/pe/kappa is a ratio of exact integer
+    * sums —
+    *   Cohen: po = (n11+n00)/N, pe = (a1·b1+a0·b0)/N²,
+    *          kappa = (N·(n11+n00) − (a1b1+a0b0)) / (N² − (a1b1+a0b0));
+    *   Fleiss: with S = Σᵢrᵢ, A = Σᵢ[rᵢ(rᵢ−1)+(R−rᵢ)(R−rᵢ−1)],
+    *          P = S² + (NR−S)²,
+    *          kappa = (A·(NR)² − NR(R−1)·P) / (NR(R−1)·((NR)²−P)) —
+    * quantized once at the end: po/pe by [[TextOps.floorDivDec]]
+    * (nonnegative), kappa by [[TextOps.truncDivDec]] (signed; DuckDB's
+    * `//` truncates toward zero, pinned by experiment — (-7)//2 = -3).
+    * Products route through decimal(38,0). Degenerate den = 0 (every
+    * rater constant, pe = 1) reports kappa_micro = 0 by convention.
+    *
+    * Scale: ONE combine-agg pass over the corpus to R(R−1)/2 + 4
+    * scalar sums (one row); the output fan-out explodes that single
+    * row to |pairs|+1 rows. No shuffle beyond the global agg's
+    * 1-row exchange; 100 TB cost is the scan.
+    */
+  /** Exact Shapley attribution of vocabulary coverage to sources
+    * (X279; Shapley 1953) — "how much of the corpus's distinct-word
+    * coverage is each source RESPONSIBLE for", the fair-division
+    * answer to data-mixture credit where raw per-source vocab counts
+    * double-pay shared words and unique-word counts pay nothing for
+    * redundancy insurance.
+    *
+    * The naive Shapley costs 2^|sources| coalition evaluations. For
+    * the COVERAGE game it collapses to a closed form: v(S) =
+    * |∪_{i∈S} W_i| = Σ_w 1[S ∩ M_w ≠ ∅] (M_w = sources containing w)
+    * is a sum of indicator games, Shapley is linear, and the
+    * indicator game of coalition T is symmetric in T's members and
+    * dummy elsewhere, so each member gets exactly 1/|T| (efficiency +
+    * symmetry + dummy force it). Hence
+    *   φ_i = Σ_{w : i ∈ M_w} 1 / |M_w|
+    * — ONE aggregation, no subset enumeration, and still the exact
+    * game-theoretic value.
+    *
+    * Exact arithmetic: 1/|M_w| is carried as lcm(1..20)/|M_w| =
+    * 232792560/|M_w|, an exact integer for ≤ 20 sources (required),
+    * so `shapley_scaled` is an exact integer sum whose corpus-wide
+    * total is PROVABLY vocab·lcm (the efficiency axiom — pinned in
+    * the spec); `shapley_micro` floors once at the end.
+    *
+    * Scale: distinct (source, word) pairs → a word-keyed combine-agg
+    * for |M_w| → one equi-join back → a source-keyed combine-agg.
+    * Every intermediate is vocabulary-bounded, never corpus-bounded.
+    * Output per source: (source, n_words, n_unique, shapley_scaled,
+    * shapley_micro).
+    */
+  def shapleyCoverage(df: DataFrame, unitCol: String, textCol: String)
+      : DataFrame = {
+    val lcm20 = 232792560L // lcm(1..20): exact 1/c for up to 20 sources
+    val pairs = df.select(col(unitCol).as("u"),
+        explode(TextOps.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val cnt = pairs.groupBy("w").agg(count(lit(1)).as("c"))
+    pairs.join(cnt, "w")
+      .groupBy("u").agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_unique"),
+        sum(TextOps.floorDivDec(dec(lit(lcm20)), dec(col("c")))
+          .cast("long")).as("shapley_scaled"))
+      .select(col("u").as(unitCol), col("n_words"), col("n_unique"),
+        col("shapley_scaled"),
+        TextOps.floorDivDec(dec(col("shapley_scaled")) * lit(1000000L),
+          dec(lit(lcm20))).cast("long").as("shapley_micro"))
+      .orderBy(unitCol)
+  }
+
+  /** Bradley–Terry strength ranking from pairwise outcomes (X280;
+    * Bradley & Terry 1952, MM iteration per Hunter AoS 2004) — the
+    * model behind preference-data ranking (and chess Elo's static
+    * cousin): P(i beats j) = s_i/(s_i+s_j), fit by the minorize-
+    * maximize update s_i ← W_i / Σ_j n_ij/(s_i+s_j), which Hunter
+    * proves monotone in the likelihood. Head-to-head win RATES can't
+    * rank transitively (A>B>C>A cycles); the BT fit is the principled
+    * aggregate.
+    *
+    * Determinism: strengths live as micro-unit integers. Per round,
+    * each opponent term quantizes to t_ij = ⌊n_ij·10¹²/(s_i+s_j)⌋
+    * (= 10⁶ × the true term, floored), the update to
+    * ⌊W_i·10¹²/Σt_ij⌋, and the mean-1 renormalization to
+    * ⌊s_i·P·10⁶/Σs⌋ — three floors per round, identical in both
+    * engines, clamped ≥ 1 so a winless player can't zero a later
+    * denominator. Fixed `rounds` (the X56/X192 discipline) make the
+    * whole fit replayable as unrolled CTEs.
+    *
+    * Scale: ONE corpus-pass combine-agg to the directed (winner,
+    * loser, wins) table; every round thereafter runs on the
+    * players²-bounded pair table (model-sized — two equi-joins + a
+    * player-keyed agg per round), checkpointed per round to keep the
+    * lineage flat. 100 TB cost is the first agg; the fit is free.
+    * Output per player: (player, n_wins, n_games, strength_micro),
+    * strongest first.
+    */
+  def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
+      rounds: Int = 15,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val dirWins = matches
+      .groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
+      .agg(count(lit(1)).as("w"))
+    // symmetric games table: one row per ORDERED (i, j) with that
+    // direction's wins and the pair total n_ij = w_ij + w_ji
+    val pairs = materialize(dirWins
+      .select(col("i"), col("j"), col("w").as("wij"), lit(0L).as("wji"))
+      .union(dirWins.select(col("j").as("i"), col("i").as("j"),
+        lit(0L).as("wij"), col("w").as("wji")))
+      .groupBy("i", "j")
+      .agg(sum("wij").as("wij"), sum("wji").as("wji"))
+      .select(col("i"), col("j"), col("wij"),
+        (col("wij") + col("wji")).as("nij")))
+    val players = materialize(pairs.groupBy("i").agg(
+      sum("wij").as("n_wins"), sum("nij").as("n_games")))
+    var s = materialize(players.select(col("i"),
+      lit(1000000L).as("s")))
+    (1 to rounds).foreach { _ =>
+      val denom = pairs
+        .join(s.select(col("i"), col("s").as("si")), "i")
+        .join(s.select(col("i").as("j"), col("s").as("sj")), "j")
+        .groupBy("i")
+        .agg(sum(TextOps.floorDivDec(
+          dec(col("nij")) * lit(1000000000000L),
+          dec(col("si") + col("sj"))).cast("long")).as("d"))
+      val raw = players.join(denom, "i")
+        .select(col("i"), greatest(lit(1L), TextOps.floorDivDec(
+          dec(col("n_wins")) * lit(1000000000000L), dec(col("d")))
+          .cast("long")).as("s"))
+      val tot = raw.agg(sum("s").as("t"), count(lit(1)).as("p"))
+      s = materialize(raw.crossJoin(broadcast(tot))
+        .select(col("i"), greatest(lit(1L), TextOps.floorDivDec(
+          dec(col("s")) * dec(col("p")) * lit(1000000L), dec(col("t")))
+          .cast("long")).as("s")))
+    }
+    players.join(s, "i")
+      .select(col("i").as("player"), col("n_wins"), col("n_games"),
+        col("s").as("strength_micro"))
+      .orderBy(col("strength_micro").desc, col("player"))
+  }
+
+  def raterKappa(df: DataFrame, raters: Seq[(String, Column)]): DataFrame = {
+    require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
+    val r = raters.size
+    val base = df.select(raters.zipWithIndex.map { case ((_, c), i) =>
+      when(c, 1L).otherwise(0L).as(s"_r$i")
+    }: _*)
+    val rt = base.select(raters.indices.map(i => col(s"_r$i")) :+
+      raters.indices.map(i => col(s"_r$i")).reduce(_ + _).as("_rt"): _*)
+    val pairs = for {
+      i <- raters.indices; j <- raters.indices if i < j
+    } yield (i, j)
+    val aggs =
+      raters.indices.map(i => sum(col(s"_r$i")).as(s"s$i")) ++
+      pairs.flatMap { case (i, j) => Seq(
+        sum(col(s"_r$i") * col(s"_r$j")).as(s"n11_${i}_$j"),
+        sum((lit(1L) - col(s"_r$i")) * (lit(1L) - col(s"_r$j")))
+          .as(s"n00_${i}_$j"))
+      } ++ Seq(
+        sum(col("_rt")).as("ss"),
+        sum(col("_rt") * (col("_rt") - 1L)
+          + (lit(r.toLong) - col("_rt"))
+            * (lit(r.toLong) - col("_rt") - 1L)).as("aa"),
+        count(lit(1)).as("n"))
+    val g = rt.agg(aggs.head, aggs.tail: _*)
+    val m = lit(1000000L)
+    def kap(pair: String, poNum: Column, poDen: Column, peNum: Column,
+        peDen: Column, kNum: Column, kDen: Column): Column = struct(
+      lit(pair).as("pair"),
+      TextOps.floorDivDec(dec(poNum) * m, dec(poDen)).cast("long")
+        .as("po_micro"),
+      TextOps.floorDivDec(dec(peNum) * m, dec(peDen)).cast("long")
+        .as("pe_micro"),
+      when(kDen === 0L, 0L).otherwise(
+        TextOps.truncDivDec(dec(kNum) * m, dec(kDen)).cast("long"))
+        .as("kappa_micro"))
+    val cohens = pairs.map { case (i, j) =>
+      val agree = col(s"n11_${i}_$j") + col(s"n00_${i}_$j")
+      val a1 = col(s"s$i"); val b1 = col(s"s$j")
+      val chance = dec(a1) * dec(b1) +
+        dec(col("n") - a1) * dec(col("n") - b1)
+      kap(s"${raters(i)._1}|${raters(j)._1}",
+        agree, col("n"),
+        chance, dec(col("n")) * dec(col("n")),
+        dec(col("n")) * dec(agree) - chance,
+        dec(col("n")) * dec(col("n")) - chance)
+    }
+    val nr = dec(col("n")) * lit(r.toLong)
+    val nrr1 = dec(col("n")) * lit(r.toLong) * lit((r - 1).toLong)
+    val p = dec(col("ss")) * dec(col("ss")) +
+      (nr - dec(col("ss"))) * (nr - dec(col("ss")))
+    val fleiss = kap("fleiss",
+      col("aa"), nrr1,
+      p, nr * nr,
+      dec(col("aa")) * nr * nr - nrr1 * p,
+      nrr1 * (nr * nr - p))
+    g.select(col("n").as("n_items"), lit(r).as("n_raters"),
+        explode(array(cohens :+ fleiss: _*)).as("k"))
+      .select(col("k.pair").as("pair"), col("n_items"), col("n_raters"),
+        col("k.po_micro").as("po_micro"), col("k.pe_micro").as("pe_micro"),
+        col("k.kappa_micro").as("kappa_micro"))
+      .orderBy("pair")
+  }
+}

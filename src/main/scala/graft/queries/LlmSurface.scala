@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{EventOps, FeatureOps, Multimodal, TextOps, VectorOps}
+import graft.llm.{EvalOps, EventOps, FeatureOps, Multimodal, TextOps, VectorOps}
 
 /** LLM-training-data-pipeline queries over the driver's `documents` /
   * `embeddings` / `events` tables, each paired with a DuckDB oracle
@@ -2395,6 +2395,64 @@ object LlmSurface {
     "llm_ht_estimate" -> ((s, dir) => {
       TextOps.htTokenEstimate(Tables(s, dir, "documents"), "source",
         "doc_id", "text", budget = 200, salt = "ht")
+    }),
+
+    // ---- inter-rater agreement over the quality gates (X278) -------------
+    // Three deterministic binary "raters" (length, stopword-rate,
+    // type-token-ratio gates) judged per doc; Cohen's kappa per pair +
+    // Fleiss over all three says how much the gates agree BEYOND the
+    // chance level their own marginals imply — the audit that
+    // separates "three gates, one signal" from genuinely independent
+    // quality judges. All ratios exact-integer, quantized once.
+    "llm_rater_kappa" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("_w", TextOps.words(col("text")))
+      EvalOps.raterKappa(d, Seq(
+        "len" -> (col("n_chars") >= 250),
+        "stop" -> (size(filter(col("_w"),
+          w => w.isin("the", "a", "of", "to", "in"))) * 10
+          <= size(col("_w"))),
+        "ttr" -> (size(array_distinct(col("_w"))) * 5
+          >= size(col("_w")) * 2)))
+    }),
+
+    // ---- Shapley attribution of vocab coverage to sources (X279) ---------
+    // Exact game-theoretic mixture credit WITHOUT 2^20 coalition
+    // evaluations: the coverage game's Shapley value collapses to
+    // sum over a source's words of 1/(number of sources sharing the
+    // word), carried as exact lcm(1..20)-scaled integers. The
+    // per-source rows sum to vocab*lcm by the efficiency axiom.
+    "llm_shapley_coverage" -> ((s, dir) =>
+      EvalOps.shapleyCoverage(Tables(s, dir, "documents"), "source",
+        "text")),
+
+    // ---- Bradley-Terry source ranking from pairwise outcomes (X280) ------
+    // Head-to-head win rates can cycle (A>B>C>A); the BT fit is the
+    // principled transitive aggregate. Matches come from a
+    // deterministic md5-bucketed round-robin: docs pair with their
+    // md5-order neighbor within a bucket, longer text wins (doc_id
+    // breaks ties), same-source games are discarded. 15 MM rounds,
+    // three integer floors per round, replayed by the oracle.
+    "llm_bradley_terry" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("_h", conv(substring(md5(concat(lit("bt|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("_b", pmod(col("_h"), lit(16L)))
+      val w = Window.partitionBy("_b").orderBy(col("_h"), col("doc_id"))
+      val r = d.withColumn("_rn", row_number().over(w))
+        .withColumn("_oid", lead("doc_id", 1).over(w))
+        .withColumn("_osrc", lead("source", 1).over(w))
+        .withColumn("_olen", lead("n_chars", 1).over(w))
+      val aWins = col("n_chars") > col("_olen") ||
+        (col("n_chars") === col("_olen") && col("doc_id") < col("_oid"))
+      val m = r.filter(col("_rn") % 2 === 1 && col("_oid").isNotNull
+          && col("source") =!= col("_osrc"))
+        .select(
+          when(aWins, col("source")).otherwise(col("_osrc")).as("winner"),
+          when(aWins, col("_osrc")).otherwise(col("source")).as("loser"))
+      EvalOps.bradleyTerry(m, "winner", "loser", rounds = 15)
     }),
 
     // ---- Dunning log-likelihood keyness vs one source (X276) -------------
@@ -7500,6 +7558,160 @@ $rounds,
                AS err_ppm
       FROM u ORDER BY source
     """,
+
+    // Replays the three gates, the one-pass pair/pooled sums, and the
+    // exact-integer kappa ratios (// matches Spark truncDivDec on the
+    // one signed division; po/pe numerators are nonnegative).
+    "llm_rater_kappa" -> """
+      WITH base AS (
+        SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS r0,
+               CASE WHEN 10 * len(list_filter(ws,
+                      x -> x IN ('the', 'a', 'of', 'to', 'in')))
+                    <= len(ws) THEN 1 ELSE 0 END AS r1,
+               CASE WHEN 5 * len(list_distinct(ws)) >= 2 * len(ws)
+                    THEN 1 ELSE 0 END AS r2
+        FROM (SELECT n_chars, string_split(text, ' ') AS ws
+              FROM documents)),
+      agg AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(r0) AS HUGEINT) AS s0,
+               CAST(sum(r1) AS HUGEINT) AS s1,
+               CAST(sum(r2) AS HUGEINT) AS s2,
+               CAST(sum(r0*r1) AS HUGEINT) AS n11_01,
+               CAST(sum((1-r0)*(1-r1)) AS HUGEINT) AS n00_01,
+               CAST(sum(r0*r2) AS HUGEINT) AS n11_02,
+               CAST(sum((1-r0)*(1-r2)) AS HUGEINT) AS n00_02,
+               CAST(sum(r1*r2) AS HUGEINT) AS n11_12,
+               CAST(sum((1-r1)*(1-r2)) AS HUGEINT) AS n00_12,
+               CAST(sum(r0+r1+r2) AS HUGEINT) AS ss,
+               CAST(sum((r0+r1+r2)*(r0+r1+r2-1)
+                 + (3-r0-r1-r2)*(2-r0-r1-r2)) AS HUGEINT) AS aa
+        FROM base),
+      pr AS (
+        SELECT 'len|stop' AS pair, n, n11_01 + n00_01 AS agree,
+               s0 AS a1, s1 AS b1 FROM agg
+        UNION ALL SELECT 'len|ttr', n, n11_02 + n00_02, s0, s2 FROM agg
+        UNION ALL SELECT 'stop|ttr', n, n11_12 + n00_12, s1, s2 FROM agg),
+      cohen AS (
+        SELECT pair, n, agree, a1, b1,
+               a1*b1 + (n-a1)*(n-b1) AS chance FROM pr),
+      co AS (
+        SELECT pair, n,
+               (agree * 1000000) // n AS po_micro,
+               (chance * 1000000) // (n*n) AS pe_micro,
+               CASE WHEN n*n - chance = 0 THEN 0
+                    ELSE ((n*agree - chance) * 1000000) // (n*n - chance)
+               END AS kappa_micro
+        FROM cohen),
+      fl AS (
+        SELECT 'fleiss' AS pair, n,
+               (aa * 1000000) // (n*6) AS po_micro,
+               ((ss*ss + (n*3-ss)*(n*3-ss)) * 1000000) // (n*n*9)
+                 AS pe_micro,
+               CASE WHEN (n*6) * (n*n*9 - (ss*ss + (n*3-ss)*(n*3-ss))) = 0
+                    THEN 0
+                    ELSE ((aa*n*n*9 - (n*6)*(ss*ss + (n*3-ss)*(n*3-ss)))
+                          * 1000000)
+                         // ((n*6) * (n*n*9 - (ss*ss + (n*3-ss)*(n*3-ss))))
+               END AS kappa_micro
+        FROM agg)
+      SELECT pair, CAST(n AS BIGINT) AS n_items, 3 AS n_raters,
+             CAST(po_micro AS BIGINT) AS po_micro,
+             CAST(pe_micro AS BIGINT) AS pe_micro,
+             CAST(kappa_micro AS BIGINT) AS kappa_micro
+      FROM (SELECT * FROM co UNION ALL SELECT * FROM fl)
+      ORDER BY pair
+    """,
+
+    // Replays the closed form: distinct (source, word) pairs, the
+    // per-word sharing count, and the exact lcm-scaled 1/c sum.
+    "llm_shapley_coverage" -> """
+      WITH pairs AS (
+        SELECT DISTINCT source AS u, w
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> ''),
+      cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM pairs GROUP BY 1)
+      SELECT u AS source,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+             CAST(sum(232792560 // c) AS BIGINT) AS shapley_scaled,
+             CAST((CAST(sum(232792560 // c) AS HUGEINT) * 1000000)
+               // 232792560 AS BIGINT) AS shapley_micro
+      FROM pairs JOIN cnt USING (w)
+      GROUP BY 1 ORDER BY 1
+    """,
+
+    // Replays the md5-bucketed match schedule and all 15 MM rounds as
+    // unrolled MATERIALIZED CTEs (s$r is referenced twice per round —
+    // inlining would double the plan per round, the X192 lesson).
+    "llm_bradley_terry" -> {
+      val rounds = (1 to 15).map { r =>
+        val p = r - 1
+        s"""      dn$r AS (
+        SELECT pr.i,
+               CAST(sum((pr.nij * 1000000000000) // (si.s + sj.s))
+                 AS BIGINT) AS dd
+        FROM pairs pr JOIN s$p si ON si.i = pr.i
+                      JOIN s$p sj ON sj.i = pr.j
+        GROUP BY 1),
+      raw$r AS (
+        SELECT pl.i,
+               greatest(1, (pl.n_wins * 1000000000000) // dn$r.dd) AS s
+        FROM pl JOIN dn$r ON dn$r.i = pl.i),
+      s$r AS MATERIALIZED (
+        SELECT i, CAST(greatest(1, (s * t.p * 1000000) // t.t)
+          AS BIGINT) AS s
+        FROM raw$r CROSS JOIN (
+          SELECT CAST(sum(s) AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS p FROM raw$r) t)"""
+      }.mkString(",\n")
+      s"""
+      WITH d AS (
+        SELECT doc_id, source, n_chars,
+               CAST('0x' || substr(md5('bt|' || CAST(doc_id AS VARCHAR)),
+                 1, 8) AS BIGINT) AS h
+        FROM documents),
+      r AS (
+        SELECT doc_id, source, n_chars, h,
+               row_number() OVER win AS rn,
+               lead(doc_id) OVER win AS oid,
+               lead(source) OVER win AS osrc,
+               lead(n_chars) OVER win AS olen
+        FROM d WINDOW win AS (PARTITION BY h % 16 ORDER BY h, doc_id)),
+      m AS MATERIALIZED (
+        SELECT CASE WHEN n_chars > olen
+                      OR (n_chars = olen AND doc_id < oid)
+                    THEN source ELSE osrc END AS winner,
+               CASE WHEN n_chars > olen
+                      OR (n_chars = olen AND doc_id < oid)
+                    THEN osrc ELSE source END AS loser
+        FROM r
+        WHERE rn % 2 = 1 AND oid IS NOT NULL AND source <> osrc),
+      dw AS MATERIALIZED (
+        SELECT winner AS i, loser AS j, CAST(count(*) AS BIGINT) AS w
+        FROM m GROUP BY 1, 2),
+      pairs AS MATERIALIZED (
+        SELECT i, j, CAST(sum(wij) AS BIGINT) AS wij,
+               CAST(sum(wij) + sum(wji) AS BIGINT) AS nij
+        FROM (SELECT i, j, w AS wij, 0 AS wji FROM dw
+              UNION ALL SELECT j, i, 0, w FROM dw)
+        GROUP BY 1, 2),
+      pl AS MATERIALIZED (
+        SELECT i, CAST(sum(wij) AS BIGINT) AS n_wins,
+               CAST(sum(nij) AS BIGINT) AS n_games
+        FROM pairs GROUP BY 1),
+      s0 AS MATERIALIZED (
+        SELECT i, CAST(1000000 AS BIGINT) AS s FROM pl),
+$rounds
+      SELECT pl.i AS player, pl.n_wins, pl.n_games,
+             s15.s AS strength_micro
+      FROM pl JOIN s15 ON s15.i = pl.i
+      ORDER BY strength_micro DESC, player
+    """
+    },
 
     // Replays the plant, the (word x side) counts, and the per-cell
     // integer-product ln pairs.

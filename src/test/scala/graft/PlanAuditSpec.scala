@@ -631,6 +631,43 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must be TakeOrdered, not a global sort:\n$p")
   }
 
+  test("rater kappa is ONE combine-agg pass to a scalar row") {
+    import org.apache.spark.sql.functions._
+    val d = Tables(spark, dir, "documents")
+    val q = graft.llm.EvalOps.raterKappa(d, Seq(
+      "len" -> (col("n_chars") >= 250),
+      "ttr" -> (size(array_distinct(split(col("text"), " "))) * 5
+        >= size(split(col("text"), " ")) * 2)))
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_"), s"the agg must map-side combine:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a global scalar agg needs no hash shuffle:\n$p")
+  }
+
+  test("shapley coverage is equi-join only, combine-agg both sides") {
+    val q = graft.llm.EvalOps.shapleyCoverage(
+      Tables(spark, dir, "documents"), "source", "text")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the word-count join must be an equi-join:\n$p")
+    assert(p.contains("partial_"), s"aggs must map-side combine:\n$p")
+  }
+
+  test("bradley-terry rounds run on the model-sized pair table only") {
+    import org.apache.spark.sql.functions._
+    val m = Tables(spark, dir, "documents").select(
+      col("source").as("winner"),
+      concat(col("source"), lit("x")).as("loser"))
+    val q = graft.llm.EvalOps.bradleyTerry(m, "winner", "loser", rounds = 2)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the corpus appears once (the wins agg); rounds read checkpoints
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"round state must come from checkpoints, not corpus re-scans:\n$p")
+  }
+
   test("MAD census never sorts the corpus by value") {
     val q = graft.llm.EventOps.madOutliers(
       Tables(spark, dir, "events"), "event_type", "value")
