@@ -2426,6 +2426,29 @@ object LlmSurface {
       EvalOps.shapleyCoverage(Tables(s, dir, "documents"), "source",
         "text")),
 
+    // ---- density-based near-dup clustering, DBSCAN in SimHash space (X281)
+    // CC dup groups chain through sparse bridges (one borderline pair
+    // welds two clusters); DBSCAN only extends clusters through CORE
+    // points (>= minPts-1 neighbors within hamming 3), demoting
+    // bridges to border/noise. Exact — the pigeonhole candidates are
+    // lossless — and every doc gets a (role, cluster) verdict.
+    // The corpus' organic near-dups are sparse (degree ≤ 1 at verify
+    // scale — everything noise, a vacuous green), so src0 is planted
+    // in triplicate (exact copies at doc_id+1e6/+2e6): every src0 doc
+    // gets two hamming-0 neighbors and a real core/border/noise split.
+    "llm_dbscan_dedup" -> ((s, dir) => {
+      val d0 = Tables(s, dir, "documents").select("doc_id", "text", "source")
+      val plant = d0.filter(col("source") === "src0")
+      val d = d0.select("doc_id", "text")
+        .union(plant.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text")))
+        .union(plant.select((col("doc_id") + 2000000L).as("doc_id"),
+          col("text")))
+      graft.operators.HammingDbscan.cluster(
+        TextOps.simHash(d, "doc_id", "text"),
+        "doc_id", "simhash", maxHamming = 3, minPts = 3)
+    }),
+
     // ---- Bradley-Terry source ranking from pairwise outcomes (X280) ------
     // Head-to-head win rates can cycle (A>B>C>A); the BT fit is the
     // principled transitive aggregate. Matches come from a
@@ -7642,6 +7665,61 @@ $rounds,
                // 232792560 AS BIGINT) AS shapley_micro
       FROM pairs JOIN cnt USING (w)
       GROUP BY 1 ORDER BY 1
+    """,
+
+    // Replays exact DBSCAN over the shared simhash pair CTEs: degree
+    // census, core filter, recursive-CTE CC restricted to core-core
+    // edges, border argmin, all LEFT-joined back onto every doc.
+    "llm_dbscan_dedup" -> s"""
+      WITH RECURSIVE docs3 AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents
+          WHERE source = 'src0'
+        UNION ALL SELECT doc_id + 2000000, text FROM documents
+          WHERE source = 'src0'),
+      ${simhashPairsCteOver("docs3")},
+      e AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      sym AS MATERIALIZED (
+        SELECT doc_a AS doc, doc_b AS nbr FROM e
+        UNION ALL SELECT doc_b, doc_a FROM e),
+      deg AS MATERIALIZED (
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_neighbors
+        FROM sym GROUP BY 1),
+      core AS MATERIALIZED (
+        SELECT doc FROM deg WHERE n_neighbors >= 2),
+      ce AS (
+        SELECT doc_a, doc_b FROM e
+        WHERE doc_a IN (SELECT doc FROM core)
+          AND doc_b IN (SELECT doc FROM core)),
+      csym AS (
+        SELECT doc_a AS node, doc_b AS nbr FROM ce
+        UNION ALL SELECT doc_b, doc_a FROM ce),
+      reach(node, label) AS (
+        SELECT node, node FROM csym
+        UNION
+        SELECT s.node, r.label FROM csym s JOIN reach r ON s.nbr = r.node),
+      cc AS (SELECT node, min(label) AS group_id FROM reach GROUP BY node),
+      corec AS MATERIALIZED (
+        SELECT c.doc, coalesce(cc.group_id, c.doc) AS cluster_id
+        FROM core c LEFT JOIN cc ON cc.node = c.doc),
+      bord AS (
+        SELECT s.doc, min(k.cluster_id) AS b_cluster
+        FROM sym s JOIN corec k ON k.doc = s.nbr
+        GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(deg.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+             CASE WHEN corec.doc IS NOT NULL THEN 'core'
+                  WHEN bord.b_cluster IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             CAST(CASE WHEN corec.doc IS NOT NULL THEN corec.cluster_id
+                       ELSE bord.b_cluster END AS BIGINT) AS cluster_id
+      FROM docs3 d
+      LEFT JOIN deg ON deg.doc = d.doc_id
+      LEFT JOIN corec ON corec.doc = d.doc_id
+      LEFT JOIN bord ON bord.doc = d.doc_id
+      ORDER BY d.doc_id
     """,
 
     // Replays the md5-bucketed match schedule and all 15 MM rounds as

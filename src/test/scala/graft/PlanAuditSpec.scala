@@ -668,6 +668,17 @@ class PlanAuditSpec extends SparkSpec {
       s"round state must come from checkpoints, not corpus re-scans:\n$p")
   }
 
+  test("DBSCAN candidates come from the chunk equi-join, no all-pairs") {
+    val q = graft.operators.HammingDbscan.cluster(
+      graft.llm.TextOps.simHash(Tables(spark, dir, "documents"),
+        "doc_id", "text"),
+      "doc_id", "simhash", maxHamming = 3, minPts = 3)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every join must be an equi-join:\n$p")
+  }
+
   test("MAD census never sorts the corpus by value") {
     val q = graft.llm.EventOps.madOutliers(
       Tables(spark, dir, "events"), "event_type", "value")
