@@ -94,6 +94,62 @@ object EvalOps {
       .orderBy(unitCol)
   }
 
+  /** B-cubed clustering evaluation (X282; Bagga & Baldwin 1998, the
+    * Amigó et al. 2009 survey's recommended extrinsic measure) — how
+    * good is a PREDICTED dup-clustering against gold groups, scored
+    * per ELEMENT so big clusters can't hide small-cluster mistakes
+    * (the pathology of pair-counting Rand: one giant cluster
+    * dominates the pair count). Per element e, precision = |C(e) ∩
+    * G(e)|/|C(e)| and recall = |C(e) ∩ G(e)|/|G(e)|, averaged over
+    * all N elements.
+    *
+    * The per-element sums collapse onto the (cluster × gold) CELLS:
+    * every element of a cell shares its |C∩G| = n_cell, so
+    *   B³P = (1/N) Σ_cells n_cell²/n_c,  B³R = (1/N) Σ_cells n_cell²/n_g.
+    * Each cell term quantizes to ⌊n_cell²·10¹²/n_c⌋ BEFORE the sum
+    * (the X61 order-free rule), the averages floor once more by
+    * N·10⁶ back to micro, and F1 = ⌊2PR/(P+R)⌋ on the quantized
+    * micro values (0 when P+R = 0). All divisions nonnegative —
+    * [[TextOps.floorDivDec]] ≡ DuckDB `//`.
+    *
+    * Scale: three combine-aggs (cells, cluster sizes, gold sizes) +
+    * two equi-joins on cluster keys + one scalar agg. Intermediates
+    * are cluster-count-bounded. Callers map unclustered elements to
+    * singleton ids first (the standard convention).
+    */
+  def bcubed(assign: DataFrame, predCol: String, goldCol: String)
+      : DataFrame = {
+    val cells = assign.groupBy(col(predCol).as("_c"), col(goldCol).as("_g"))
+      .agg(count(lit(1)).as("n_cell"))
+    val cSize = cells.groupBy("_c").agg(sum("n_cell").as("n_c"))
+    val gSize = cells.groupBy("_g").agg(sum("n_cell").as("n_g"))
+    val t = lit(1000000000000L)
+    val terms = cells.join(cSize, "_c").join(gSize, "_g")
+      .select(col("n_cell"),
+        TextOps.floorDivDec(dec(col("n_cell")) * dec(col("n_cell")) * t,
+          dec(col("n_c"))).cast("long").as("_pt"),
+        TextOps.floorDivDec(dec(col("n_cell")) * dec(col("n_cell")) * t,
+          dec(col("n_g"))).cast("long").as("_rt"),
+        col("_c"), col("_g"))
+    val m = lit(1000000L)
+    terms.agg(sum("n_cell").as("n_items"),
+        countDistinct("_c").as("n_clusters"),
+        countDistinct("_g").as("n_gold"),
+        sum("_pt").as("_ps"), sum("_rt").as("_rs"))
+      .select(col("n_items"), col("n_clusters"), col("n_gold"),
+        TextOps.floorDivDec(dec(col("_ps")), dec(col("n_items")) * m)
+          .cast("long").as("bcubed_p_micro"),
+        TextOps.floorDivDec(dec(col("_rs")), dec(col("n_items")) * m)
+          .cast("long").as("bcubed_r_micro"))
+      .withColumn("f1_micro",
+        when(col("bcubed_p_micro") + col("bcubed_r_micro") === 0L, 0L)
+          .otherwise(TextOps.floorDivDec(
+            dec(col("bcubed_p_micro")) * dec(col("bcubed_r_micro"))
+              * lit(2L),
+            dec(col("bcubed_p_micro") + col("bcubed_r_micro")))
+            .cast("long")))
+  }
+
   /** Bradley–Terry strength ranking from pairwise outcomes (X280;
     * Bradley & Terry 1952, MM iteration per Hunter AoS 2004) — the
     * model behind preference-data ranking (and chess Elo's static

@@ -9,6 +9,61 @@ import org.apache.spark.sql.functions._
   */
 object FeatureOps {
 
+  /** Mutual-information feature screening (X283; Shannon 1948, the
+    * filter-method standard next to [[woeIv]]'s credit-scoring WOE) —
+    * which word-presence features carry the most information about a
+    * class label, the ranking that seeds a quality/lang classifier's
+    * vocabulary before any training run. Unlike per-class keyness
+    * (X276), MI scores a feature against the WHOLE label
+    * distribution, and unlike chi-square it reads in nats with a
+    * direct coding interpretation.
+    *
+    * I(X;Y)·N = Σ_{x∈{0,1},y} n_xy·[ln(n_xy·N) − ln(n_x·n_y)], an
+    * exact integer in micro-nats (each ln taken on an integer-valued
+    * double and micro-floored — the X276 ln-pair discipline; a zero
+    * cell contributes zero). The ABSENCE cells (x = 0) are computed,
+    * not skipped: a word missing from one class is informative, and
+    * dropping the 0-row understates MI exactly where it matters
+    * (the X237 complete-the-grid lesson).
+    *
+    * Scale: one distinct-(doc, word) tokenize pass to the (word ×
+    * label) presence counts; the label marginals broadcast (|labels|
+    * rows); the grid completes by a vocab × |labels| broadcast-join
+    * fan-out — vocabulary-bounded, never corpus-bounded. Top-k is a
+    * TakeOrdered. Output: (word, df, mi_n_micro), MI descending.
+    */
+  def miFeatures(df: DataFrame, idCol: String, textCol: String,
+      label: Column, topK: Int = 25): DataFrame = {
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    def lmu(x: Column): Column =
+      floor(log(x.cast("double")) * 1000000.0).cast("long")
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val base = df.select(col(idCol).as("_id"), label.as("_y"),
+        explode(array_distinct(TextOps.words(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+    val n1y = base.groupBy("w", "_y").agg(count(lit(1)).as("n1y"))
+    val yTot = df.select(label.as("_y")).groupBy("_y")
+      .agg(count(lit(1)).as("ny"))
+    val nTot = df.agg(count(lit(1)).as("n"))
+    val dfw = n1y.groupBy("w").agg(sum("n1y").as("df"))
+    val grid = dfw.crossJoin(broadcast(yTot))
+      .join(n1y, Seq("w", "_y"), "left")
+      .withColumn("n1y", coalesce(col("n1y"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+    val t1 = when(col("n1y") > 0L,
+      col("n1y") * (lmu(dec(col("n1y")) * dec(col("n")))
+        - lmu(dec(col("df")) * dec(col("ny"))))).otherwise(0L)
+    val n0y = col("ny") - col("n1y")
+    val t0 = when(n0y > 0L,
+      n0y * (lmu(dec(n0y) * dec(col("n")))
+        - lmu(dec(col("n") - col("df")) * dec(col("ny"))))).otherwise(0L)
+    grid.select(col("w"), col("df"), (t1 + t0).as("_t"))
+      .groupBy("w", "df").agg(sum("_t").as("mi_n_micro"))
+      .select(col("w").as("word"), col("df"), col("mi_n_micro"))
+      .orderBy(col("mi_n_micro").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Weight-of-evidence / information-value table — the classic
     * feature-screening audit (credit-scoring lineage): bin a numeric
     * feature into equi-depth deciles and report, per bin, how the

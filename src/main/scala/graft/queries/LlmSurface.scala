@@ -2436,18 +2436,39 @@ object LlmSurface {
     // scale — everything noise, a vacuous green), so src0 is planted
     // in triplicate (exact copies at doc_id+1e6/+2e6): every src0 doc
     // gets two hamming-0 neighbors and a real core/border/noise split.
-    "llm_dbscan_dedup" -> ((s, dir) => {
-      val d0 = Tables(s, dir, "documents").select("doc_id", "text", "source")
-      val plant = d0.filter(col("source") === "src0")
-      val d = d0.select("doc_id", "text")
-        .union(plant.select((col("doc_id") + 1000000L).as("doc_id"),
-          col("text")))
-        .union(plant.select((col("doc_id") + 2000000L).as("doc_id"),
-          col("text")))
+    "llm_dbscan_dedup" -> ((s, dir) =>
       graft.operators.HammingDbscan.cluster(
+        TextOps.simHash(plantedTriplicate(s, dir), "doc_id", "text"),
+        "doc_id", "simhash", maxHamming = 3, minPts = 3)),
+
+    // ---- B-cubed evaluation of the DBSCAN clustering (X282) --------------
+    // Element-averaged precision/recall of the predicted near-dup
+    // clusters against exact-text (sha256) gold groups on the same
+    // planted corpus — the clustering-quality audit where pair-based
+    // Rand lets one giant cluster drown every small mistake. Noise
+    // docs count as singletons (the standard convention).
+    "llm_bcubed_eval" -> ((s, dir) => {
+      val d = plantedTriplicate(s, dir)
+      val clustered = graft.operators.HammingDbscan.cluster(
         TextOps.simHash(d, "doc_id", "text"),
         "doc_id", "simhash", maxHamming = 3, minPts = 3)
+      val assign = clustered
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("pred"))
+        .join(d.select(col("doc_id"), sha2(col("text"), 256).as("gold")),
+          "doc_id")
+      EvalOps.bcubed(assign, "pred", "gold")
     }),
+
+    // ---- mutual-information feature screening vs lang (X283) -------------
+    // Which word-presence features carry the most bits about the
+    // language label — the filter-method ranking that seeds a
+    // classifier vocabulary before training. Absence cells included
+    // (a word MISSING from a class is informative); every ln on an
+    // integer product, micro-floored, so N*I is an exact integer.
+    "llm_mi_features" -> ((s, dir) =>
+      FeatureOps.miFeatures(Tables(s, dir, "documents"), "doc_id",
+        "text", col("lang"), topK = 25)),
 
     // ---- Bradley-Terry source ranking from pairwise outcomes (X280) ------
     // Head-to-head win rates can cycle (A>B>C>A); the BT fit is the
@@ -4305,6 +4326,77 @@ mom AS (
     * text) relation — `simhashPairsCte` is the `documents` instance;
     * llm_incremental_curate runs it over the v1 ∪ batch union.
     */
+  /** The planted-triplicate corpus shared by the DBSCAN pair
+    * (llm_dbscan_dedup / llm_bcubed_eval): organic near-dups are too
+    * sparse at verify scale (degree ≤ 1 — everything noise, a vacuous
+    * green), so src0 ships in triplicate (exact copies at
+    * doc_id+1e6/+2e6) and the clustering has real cores to find.
+    */
+  private def plantedTriplicate(s: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables(s, dir, "documents").select("doc_id", "text", "source")
+    val plant = d0.filter(col("source") === "src0")
+    d0.select("doc_id", "text")
+      .union(plant.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text")))
+      .union(plant.select((col("doc_id") + 2000000L).as("doc_id"),
+        col("text")))
+  }
+
+  /** Oracle twin of [[plantedTriplicate]] + the full hamming-DBSCAN
+    * chain (maxHamming 3, minPts 3), ending in CTE
+    * `dbs(doc_id, n_neighbors, role, cluster_id)` — shared by
+    * llm_dbscan_dedup and llm_bcubed_eval. Must follow WITH RECURSIVE.
+    */
+  private lazy val dbscanCtes: String = s"""docs3 AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents
+          WHERE source = 'src0'
+        UNION ALL SELECT doc_id + 2000000, text FROM documents
+          WHERE source = 'src0'),
+      ${simhashPairsCteOver("docs3")},
+      e AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+      sym AS MATERIALIZED (
+        SELECT doc_a AS doc, doc_b AS nbr FROM e
+        UNION ALL SELECT doc_b, doc_a FROM e),
+      deg AS MATERIALIZED (
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_neighbors
+        FROM sym GROUP BY 1),
+      core AS MATERIALIZED (
+        SELECT doc FROM deg WHERE n_neighbors >= 2),
+      ce AS (
+        SELECT doc_a, doc_b FROM e
+        WHERE doc_a IN (SELECT doc FROM core)
+          AND doc_b IN (SELECT doc FROM core)),
+      csym AS (
+        SELECT doc_a AS node, doc_b AS nbr FROM ce
+        UNION ALL SELECT doc_b, doc_a FROM ce),
+      reach(node, label) AS (
+        SELECT node, node FROM csym
+        UNION
+        SELECT s.node, r.label FROM csym s JOIN reach r ON s.nbr = r.node),
+      cc AS (SELECT node, min(label) AS group_id FROM reach GROUP BY node),
+      corec AS MATERIALIZED (
+        SELECT c.doc, coalesce(cc.group_id, c.doc) AS cluster_id
+        FROM core c LEFT JOIN cc ON cc.node = c.doc),
+      bord AS (
+        SELECT s.doc, min(k.cluster_id) AS b_cluster
+        FROM sym s JOIN corec k ON k.doc = s.nbr
+        GROUP BY 1),
+      dbs AS MATERIALIZED (
+        SELECT d.doc_id,
+               CAST(coalesce(deg.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+               CASE WHEN corec.doc IS NOT NULL THEN 'core'
+                    WHEN bord.b_cluster IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               CAST(CASE WHEN corec.doc IS NOT NULL THEN corec.cluster_id
+                         ELSE bord.b_cluster END AS BIGINT) AS cluster_id
+        FROM docs3 d
+        LEFT JOIN deg ON deg.doc = d.doc_id
+        LEFT JOIN corec ON corec.doc = d.doc_id
+        LEFT JOIN bord ON bord.doc = d.doc_id)"""
+
   private def simhashPairsCteOver(src: String) = s"""
       tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $src),
@@ -7671,55 +7763,95 @@ $rounds,
     // census, core filter, recursive-CTE CC restricted to core-core
     // edges, border argmin, all LEFT-joined back onto every doc.
     "llm_dbscan_dedup" -> s"""
-      WITH RECURSIVE docs3 AS MATERIALIZED (
-        SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 1000000, text FROM documents
-          WHERE source = 'src0'
-        UNION ALL SELECT doc_id + 2000000, text FROM documents
-          WHERE source = 'src0'),
-      ${simhashPairsCteOver("docs3")},
-      e AS MATERIALIZED (
-        SELECT doc_a, doc_b FROM pairs
-        WHERE bit_count(xor(sim_a, sim_b)) <= 3),
-      sym AS MATERIALIZED (
-        SELECT doc_a AS doc, doc_b AS nbr FROM e
-        UNION ALL SELECT doc_b, doc_a FROM e),
-      deg AS MATERIALIZED (
-        SELECT doc, CAST(count(*) AS BIGINT) AS n_neighbors
-        FROM sym GROUP BY 1),
-      core AS MATERIALIZED (
-        SELECT doc FROM deg WHERE n_neighbors >= 2),
-      ce AS (
-        SELECT doc_a, doc_b FROM e
-        WHERE doc_a IN (SELECT doc FROM core)
-          AND doc_b IN (SELECT doc FROM core)),
-      csym AS (
-        SELECT doc_a AS node, doc_b AS nbr FROM ce
-        UNION ALL SELECT doc_b, doc_a FROM ce),
-      reach(node, label) AS (
-        SELECT node, node FROM csym
-        UNION
-        SELECT s.node, r.label FROM csym s JOIN reach r ON s.nbr = r.node),
-      cc AS (SELECT node, min(label) AS group_id FROM reach GROUP BY node),
-      corec AS MATERIALIZED (
-        SELECT c.doc, coalesce(cc.group_id, c.doc) AS cluster_id
-        FROM core c LEFT JOIN cc ON cc.node = c.doc),
-      bord AS (
-        SELECT s.doc, min(k.cluster_id) AS b_cluster
-        FROM sym s JOIN corec k ON k.doc = s.nbr
-        GROUP BY 1)
-      SELECT d.doc_id,
-             CAST(coalesce(deg.n_neighbors, 0) AS BIGINT) AS n_neighbors,
-             CASE WHEN corec.doc IS NOT NULL THEN 'core'
-                  WHEN bord.b_cluster IS NOT NULL THEN 'border'
-                  ELSE 'noise' END AS role,
-             CAST(CASE WHEN corec.doc IS NOT NULL THEN corec.cluster_id
-                       ELSE bord.b_cluster END AS BIGINT) AS cluster_id
-      FROM docs3 d
-      LEFT JOIN deg ON deg.doc = d.doc_id
-      LEFT JOIN corec ON corec.doc = d.doc_id
-      LEFT JOIN bord ON bord.doc = d.doc_id
-      ORDER BY d.doc_id
+      WITH RECURSIVE $dbscanCtes
+      SELECT doc_id, n_neighbors, role, cluster_id
+      FROM dbs ORDER BY doc_id
+    """,
+
+    // Replays the DBSCAN chain, the sha256 gold groups, and the
+    // cell-collapsed per-element sums with per-cell quantization.
+    "llm_bcubed_eval" -> s"""
+      WITH RECURSIVE $dbscanCtes,
+      a AS (
+        SELECT dbs.doc_id,
+               coalesce(dbs.cluster_id, dbs.doc_id) AS pred,
+               sha256(d.text) AS gold
+        FROM dbs JOIN docs3 d ON d.doc_id = dbs.doc_id),
+      cells AS MATERIALIZED (
+        SELECT pred, gold, CAST(count(*) AS BIGINT) AS n_cell
+        FROM a GROUP BY 1, 2),
+      cs AS (SELECT pred, CAST(sum(n_cell) AS BIGINT) AS n_c
+             FROM cells GROUP BY 1),
+      gs AS (SELECT gold, CAST(sum(n_cell) AS BIGINT) AS n_g
+             FROM cells GROUP BY 1),
+      terms AS (
+        SELECT n_cell,
+               (n_cell * n_cell * 1000000000000) // n_c AS pt,
+               (n_cell * n_cell * 1000000000000) // n_g AS rt,
+               cells.pred, cells.gold
+        FROM cells JOIN cs USING (pred) JOIN gs USING (gold)),
+      agg AS (
+        SELECT CAST(sum(n_cell) AS BIGINT) AS n_items,
+               CAST(count(DISTINCT pred) AS BIGINT) AS n_clusters,
+               CAST(count(DISTINCT gold) AS BIGINT) AS n_gold,
+               CAST(sum(pt) AS HUGEINT) AS ps,
+               CAST(sum(rt) AS HUGEINT) AS rs
+        FROM terms),
+      pr AS (
+        SELECT n_items, n_clusters, n_gold,
+               CAST(ps // (n_items * 1000000) AS BIGINT)
+                 AS bcubed_p_micro,
+               CAST(rs // (n_items * 1000000) AS BIGINT)
+                 AS bcubed_r_micro
+        FROM agg)
+      SELECT n_items, n_clusters, n_gold, bcubed_p_micro, bcubed_r_micro,
+             CAST(CASE WHEN bcubed_p_micro + bcubed_r_micro = 0 THEN 0
+                  ELSE (2 * bcubed_p_micro * bcubed_r_micro)
+                       // (bcubed_p_micro + bcubed_r_micro) END
+               AS BIGINT) AS f1_micro
+      FROM pr
+    """,
+
+    // Replays the presence counts, the COMPLETED word x lang grid
+    // (absence cells included), and the per-cell integer ln pairs.
+    "llm_mi_features" -> """
+      WITH base AS (
+        SELECT DISTINCT doc_id, lang AS y, w
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> ''),
+      n1y AS (SELECT w, y, CAST(count(*) AS BIGINT) AS n1y
+              FROM base GROUP BY 1, 2),
+      yt AS (SELECT lang AS y, CAST(count(*) AS BIGINT) AS ny
+             FROM documents GROUP BY 1),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      dfw AS (SELECT w, CAST(sum(n1y) AS BIGINT) AS df
+              FROM n1y GROUP BY 1),
+      grid AS (
+        SELECT dfw.w, dfw.df, yt.y, yt.ny,
+               coalesce(n1y.n1y, 0) AS n1y, nt.n
+        FROM dfw CROSS JOIN yt
+        LEFT JOIN n1y ON n1y.w = dfw.w AND n1y.y = yt.y
+        CROSS JOIN nt),
+      terms AS (
+        SELECT w, df,
+          CASE WHEN n1y > 0 THEN n1y *
+            (CAST(floor(ln(CAST(CAST(n1y AS HUGEINT) * n AS DOUBLE))
+               * 1000000.0) AS BIGINT)
+             - CAST(floor(ln(CAST(CAST(df AS HUGEINT) * ny AS DOUBLE))
+               * 1000000.0) AS BIGINT))
+          ELSE 0 END
+          + CASE WHEN ny - n1y > 0 THEN (ny - n1y) *
+            (CAST(floor(ln(CAST(CAST(ny - n1y AS HUGEINT) * n AS DOUBLE))
+               * 1000000.0) AS BIGINT)
+             - CAST(floor(ln(CAST(CAST(n - df AS HUGEINT) * ny AS DOUBLE))
+               * 1000000.0) AS BIGINT))
+          ELSE 0 END AS t
+        FROM grid)
+      SELECT w AS word, df, CAST(sum(t) AS BIGINT) AS mi_n_micro
+      FROM terms GROUP BY 1, 2
+      ORDER BY mi_n_micro DESC, word
+      LIMIT 25
     """,
 
     // Replays the md5-bucketed match schedule and all 15 MM rounds as

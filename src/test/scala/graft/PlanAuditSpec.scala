@@ -679,6 +679,18 @@ class PlanAuditSpec extends SparkSpec {
       s"every join must be an equi-join:\n$p")
   }
 
+  test("MI screening: vocab-bounded grid, broadcast marginals, TakeOrdered") {
+    import org.apache.spark.sql.functions._
+    val q = graft.llm.FeatureOps.miFeatures(
+      Tables(spark, dir, "documents"), "doc_id", "text", col("lang"))
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"label marginals must broadcast:\n$p")
+  }
+
   test("MAD census never sorts the corpus by value") {
     val q = graft.llm.EventOps.madOutliers(
       Tables(spark, dir, "events"), "event_type", "value")
