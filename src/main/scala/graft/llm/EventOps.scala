@@ -52,6 +52,55 @@ object EventOps {
       .select(fmtTs(col("w.start")).as("win_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Frequent sequential patterns within user sessions (X285; the
+    * length-2/3 slice of GSP / PrefixSpan, Srikant & Agrawal EDBT'96)
+    * — ORDERED behavior mining that [[p_assoc_rules]]' unordered
+    * itemsets can't express: "view then purchase" and "purchase then
+    * view" are different products, identical baskets. Patterns are
+    * CONSECUTIVE event-type runs (gap ≤ `gapMinutes` between steps,
+    * the same session notion as [[sessionize]]); support counts both
+    * occurrences and distinct users (the dedup that stops one bot
+    * loop from minting a "frequent" pattern).
+    *
+    * Deterministic: the per-user order is (ts, event_id) — event_id
+    * tie-break because ts collides; gap comparison is timestamp +
+    * INTERVAL, no epoch rounding; the top-k order
+    * (n_users, n_occurrences, pattern) is total.
+    *
+    * Scale: two lead() columns over the user-partitioned window (no
+    * global sort — partition-parallel), one combine-agg over the
+    * pattern keys (pattern-vocabulary-bounded), TakeOrdered top-k.
+    */
+  def sequencePatterns(events: DataFrame, gapMinutes: Int = 30,
+      topK: Int = 30): DataFrame = {
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = expr(s"INTERVAL $gapMinutes MINUTES")
+    val e = events
+      .withColumn("_t1", lead(col("event_type"), 1).over(byUser))
+      .withColumn("_s1", lead(col("ts"), 1).over(byUser))
+      .withColumn("_t2", lead(col("event_type"), 2).over(byUser))
+      .withColumn("_s2", lead(col("ts"), 2).over(byUser))
+    val bi = e.filter(col("_s1").isNotNull && col("_s1") <= col("ts") + gap)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("_t1")).as("pattern"),
+        lit(2).as("length"))
+    val tri = e.filter(col("_s1").isNotNull && col("_s2").isNotNull
+        && col("_s1") <= col("ts") + gap
+        && col("_s2") <= col("_s1") + gap)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("_t1"), col("_t2"))
+          .as("pattern"),
+        lit(3).as("length"))
+    bi.union(tri)
+      .groupBy("pattern", "length")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy(col("n_users").desc, col("n_occurrences").desc,
+        col("pattern"))
+      .limit(topK)
+  }
+
   /** Gap-based sessionization: a new session starts when the user's gap
     * since the previous event exceeds `gapMinutes`. Timestamp comparison
     * (prev + interval < ts) keeps microsecond precision — no lossy

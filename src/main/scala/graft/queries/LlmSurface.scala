@@ -2460,6 +2460,54 @@ object LlmSurface {
       EvalOps.bcubed(assign, "pred", "gold")
     }),
 
+    // ---- frequent sequential patterns in sessions (X285) -----------------
+    // The ORDERED complement of p_assoc_rules' itemsets: consecutive
+    // event-type bigrams/trigrams within 30-min session gaps, support
+    // in both occurrences and distinct users. Window is user-
+    // partitioned (parallel), agg is pattern-vocabulary-bounded.
+    "p_seq_patterns" -> ((s, dir) =>
+      EventOps.sequencePatterns(events(s, dir), gapMinutes = 30,
+        topK = 30)),
+
+    // ---- Fellegi-Sunter probabilistic record linkage (X284) --------------
+    // A keyless dirty feed (planted perturbations: OCR'd 'X' name
+    // prefix, nation off-by-one, balance drift, segment loss) links
+    // back to the customer master through learned log-likelihood
+    // field weights — the decision theory behind entity resolution.
+    // Blocking on the name's last-3 equi-join (never a cross product);
+    // m/u learned from the labeled candidates; scores exact integer
+    // ln-pair sums. Output is the self-evaluating candidate table.
+    "llm_record_linkage" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val m = cust.select(col("c_custkey").as("m_key"),
+        col("c_name").as("m_name"), col("c_nationkey").as("m_nat"),
+        col("c_acctbal").as("m_bal"), col("c_mktsegment").as("m_seg"))
+      val f = cust.select(
+        (col("c_custkey") + 1000000L).as("f_key"),
+        when(col("c_custkey") % 7 === 0,
+          concat(lit("X"), col("c_name"))).otherwise(col("c_name"))
+          .as("f_name"),
+        when(col("c_custkey") % 5 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("f_nat"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.37)
+          .otherwise(col("c_acctbal")).as("f_bal"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("f_seg"))
+      val cands = f.withColumn("_blk", substring(col("f_name"), -3, 3))
+        .join(m.withColumn("_blk", substring(col("m_name"), -3, 3)),
+          "_blk")
+        .select(col("f_key"), col("m_key"),
+          (col("f_name") === col("m_name")).as("g_name"),
+          (col("f_nat") === col("m_nat")).as("g_nat"),
+          (col("f_seg") === col("m_seg")).as("g_seg"),
+          (floor(col("f_bal") * 100 + 0.5)
+            === floor(col("m_bal") * 100 + 0.5)).as("g_bal"),
+          (col("f_key") === col("m_key") + 1000000L).as("truth"))
+      graft.operators.RecordLinkage.fellegiSunter(cands,
+        Seq("g_name", "g_nat", "g_seg", "g_bal"), "truth",
+        Seq("f_key", "m_key"))
+    }),
+
     // ---- mutual-information feature screening vs lang (X283) -------------
     // Which word-presence features carry the most bits about the
     // language label — the filter-method ranking that seeds a
@@ -7811,6 +7859,71 @@ $rounds,
                AS BIGINT) AS f1_micro
       FROM pr
     """,
+
+    // Replays the perturbed feed, the last-3 blocking join, the
+    // smoothed m/u counts, and every ln-pair weight.
+    "llm_record_linkage" -> {
+      def lmuSql(x: String): String =
+        s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+      val fields = Seq("name", "nat", "seg", "bal")
+      val wCols = fields.map { f =>
+        s"""CAST(sum(CASE WHEN truth AND g_$f THEN 1 ELSE 0 END) AS BIGINT) AS ma_$f,
+               CAST(sum(CASE WHEN NOT truth AND g_$f THEN 1 ELSE 0 END) AS BIGINT) AS ua_$f"""
+      }.mkString(",\n               ")
+      val scoreExpr = fields.map { f =>
+        s"""CASE WHEN g_$f
+             THEN ${lmuSql(s"(ma_$f + 1) * (nu + 2)")}
+                  - ${lmuSql(s"(nm + 2) * (ua_$f + 1)")}
+             ELSE ${lmuSql(s"(nm - ma_$f + 1) * (nu + 2)")}
+                  - ${lmuSql(s"(nm + 2) * (nu - ua_$f + 1)")} END"""
+      }.mkString("\n           + ")
+      val nAgree = fields.map(f => s"CASE WHEN g_$f THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH m AS (
+        SELECT c_custkey AS m_key, c_name AS m_name,
+               c_nationkey AS m_nat, c_acctbal AS m_bal,
+               c_mktsegment AS m_seg
+        FROM customer),
+      f AS (
+        SELECT c_custkey + 1000000 AS f_key,
+               CASE WHEN c_custkey % 7 = 0 THEN 'X' || c_name
+                    ELSE c_name END AS f_name,
+               CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS f_nat,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.37
+                    ELSE c_acctbal END AS f_bal,
+               CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END AS f_seg
+        FROM customer),
+      c AS MATERIALIZED (
+        SELECT f_key, m_key,
+               (f_name = m_name) AS g_name,
+               (f_nat = m_nat) AS g_nat,
+               (f_seg = m_seg) AS g_seg,
+               (floor(f_bal * 100 + 0.5) = floor(m_bal * 100 + 0.5))
+                 AS g_bal,
+               (f_key = m_key + 1000000) AS truth
+        FROM f JOIN m ON right(f_name, 3) = right(m_name, 3)),
+      w AS (
+        SELECT CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+               CAST(sum(CASE WHEN truth THEN 0 ELSE 1 END) AS BIGINT) AS nu,
+               $wCols
+        FROM c),
+      s AS (
+        SELECT f_key, m_key, $nAgree AS n_agree,
+           $scoreExpr AS score,
+           truth
+        FROM c CROSS JOIN w)
+      SELECT f_key, m_key, CAST(n_agree AS INT) AS n_agree,
+             CAST(score AS BIGINT) AS score_micro,
+             CASE WHEN score >= 4000000 THEN 'link'
+                  WHEN score >= 0 THEN 'possible'
+                  ELSE 'nonlink' END AS verdict,
+             truth AS is_match
+      FROM s ORDER BY f_key, m_key
+    """
+    },
 
     // Replays the presence counts, the COMPLETED word x lang grid
     // (absence cells included), and the per-cell integer ln pairs.
