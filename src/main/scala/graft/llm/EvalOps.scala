@@ -13,37 +13,6 @@ object EvalOps {
 
   private def dec(x: Column): Column = x.cast("decimal(38,0)")
 
-  /** Inter-rater agreement over R binary raters (X278; Cohen 1960,
-    * Fleiss 1971) — the label-quality audit every human- or
-    * model-annotated dataset needs before its labels are trusted:
-    * raw percent agreement rewards raters for agreeing on the easy
-    * majority class, kappa measures agreement ABOVE the chance level
-    * implied by each rater's own marginals.
-    *
-    * Emits one row per unordered rater pair (Cohen's kappa: chance =
-    * product of the two raters' marginals) plus one `fleiss` row over
-    * all R raters (Fleiss' kappa: per-item pairwise agreement
-    * r(r−1)+(R−r)(R−r−1) over R(R−1), chance from the pooled
-    * positive rate).
-    *
-    * Exact arithmetic: every po/pe/kappa is a ratio of exact integer
-    * sums —
-    *   Cohen: po = (n11+n00)/N, pe = (a1·b1+a0·b0)/N²,
-    *          kappa = (N·(n11+n00) − (a1b1+a0b0)) / (N² − (a1b1+a0b0));
-    *   Fleiss: with S = Σᵢrᵢ, A = Σᵢ[rᵢ(rᵢ−1)+(R−rᵢ)(R−rᵢ−1)],
-    *          P = S² + (NR−S)²,
-    *          kappa = (A·(NR)² − NR(R−1)·P) / (NR(R−1)·((NR)²−P)) —
-    * quantized once at the end: po/pe by [[TextOps.floorDivDec]]
-    * (nonnegative), kappa by [[TextOps.truncDivDec]] (signed; DuckDB's
-    * `//` truncates toward zero, pinned by experiment — (-7)//2 = -3).
-    * Products route through decimal(38,0). Degenerate den = 0 (every
-    * rater constant, pe = 1) reports kappa_micro = 0 by convention.
-    *
-    * Scale: ONE combine-agg pass over the corpus to R(R−1)/2 + 4
-    * scalar sums (one row); the output fan-out explodes that single
-    * row to |pairs|+1 rows. No shuffle beyond the global agg's
-    * 1-row exchange; 100 TB cost is the scan.
-    */
   /** Exact Shapley attribution of vocabulary coverage to sources
     * (X279; Shapley 1953) — "how much of the corpus's distinct-word
     * coverage is each source RESPONSIBLE for", the fair-division
@@ -63,7 +32,9 @@ object EvalOps {
     * game-theoretic value.
     *
     * Exact arithmetic: 1/|M_w| is carried as lcm(1..20)/|M_w| =
-    * 232792560/|M_w|, an exact integer for ≤ 20 sources (required),
+    * 232792560/|M_w|, an exact integer for ≤ 20 sources (ENFORCED —
+    * a word shared by more than 20 sources raises at execution time
+    * rather than silently flooring; see `cChecked` below),
     * so `shapley_scaled` is an exact integer sum whose corpus-wide
     * total is PROVABLY vocab·lcm (the efficiency axiom — pinned in
     * the spec); `shapley_micro` floors once at the end.
@@ -81,11 +52,18 @@ object EvalOps {
         explode(TextOps.words(col(textCol))).as("w"))
       .filter(col("w") =!= "").distinct()
     val cnt = pairs.groupBy("w").agg(count(lit(1)).as("c"))
+    // the <= 20 requirement is ENFORCED, not advisory: past 20 sources
+    // lcm20/c would silently floor and break the efficiency axiom, so a
+    // wider corpus fails loudly instead of summing to the wrong total
+    val cChecked = when(col("c") <= 20L, col("c")).otherwise(raise_error(
+      concat(lit("shapleyCoverage: a word is shared by "), col("c"),
+        lit(" sources; the lcm(1..20) exact-1/|M_w| encoding requires"
+          + " <= 20 distinct sources"))))
     pairs.join(cnt, "w")
       .groupBy("u").agg(
         count(lit(1)).as("n_words"),
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_unique"),
-        sum(TextOps.floorDivDec(dec(lit(lcm20)), dec(col("c")))
+        sum(TextOps.floorDivDec(dec(lit(lcm20)), dec(cChecked))
           .cast("long")).as("shapley_scaled"))
       .select(col("u").as(unitCol), col("n_words"), col("n_unique"),
         col("shapley_scaled"),
@@ -222,6 +200,37 @@ object EvalOps {
       .orderBy(col("strength_micro").desc, col("player"))
   }
 
+  /** Inter-rater agreement over R binary raters (X278; Cohen 1960,
+    * Fleiss 1971) — the label-quality audit every human- or
+    * model-annotated dataset needs before its labels are trusted:
+    * raw percent agreement rewards raters for agreeing on the easy
+    * majority class, kappa measures agreement ABOVE the chance level
+    * implied by each rater's own marginals.
+    *
+    * Emits one row per unordered rater pair (Cohen's kappa: chance =
+    * product of the two raters' marginals) plus one `fleiss` row over
+    * all R raters (Fleiss' kappa: per-item pairwise agreement
+    * r(r−1)+(R−r)(R−r−1) over R(R−1), chance from the pooled
+    * positive rate).
+    *
+    * Exact arithmetic: every po/pe/kappa is a ratio of exact integer
+    * sums —
+    *   Cohen: po = (n11+n00)/N, pe = (a1·b1+a0·b0)/N²,
+    *          kappa = (N·(n11+n00) − (a1b1+a0b0)) / (N² − (a1b1+a0b0));
+    *   Fleiss: with S = Σᵢrᵢ, A = Σᵢ[rᵢ(rᵢ−1)+(R−rᵢ)(R−rᵢ−1)],
+    *          P = S² + (NR−S)²,
+    *          kappa = (A·(NR)² − NR(R−1)·P) / (NR(R−1)·((NR)²−P)) —
+    * quantized once at the end: po/pe by [[TextOps.floorDivDec]]
+    * (nonnegative), kappa by [[TextOps.truncDivDec]] (signed; DuckDB's
+    * `//` truncates toward zero, pinned by experiment — (-7)//2 = -3).
+    * Products route through decimal(38,0). Degenerate den = 0 (every
+    * rater constant, pe = 1) reports kappa_micro = 0 by convention.
+    *
+    * Scale: ONE combine-agg pass over the corpus to R(R−1)/2 + 4
+    * scalar sums (one row); the output fan-out explodes that single
+    * row to |pairs|+1 rows. No shuffle beyond the global agg's
+    * 1-row exchange; 100 TB cost is the scan.
+    */
   def raterKappa(df: DataFrame, raters: Seq[(String, Column)]): DataFrame = {
     require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
     val r = raters.size

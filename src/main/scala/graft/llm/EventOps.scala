@@ -2492,9 +2492,15 @@ object EventOps {
     *    plug-in matched mean while SNIPS ≡ IPS exactly — machinery
     *    with no content. With train propensities, each context cell's
     *    matching rows share ONE weight, so both sums stay single
-    *    exact integer divisions per cell ([[TextOps.floorDivDec]]):
-    *    ips_term = ⌊S^ev_match·n^tr_x / n^tr_xa⌋, and the SNIPS
+    *    exact integer divisions per cell:
+    *    ips_term = trunc(S^ev_match·n^tr_x / n^tr_xa), and the SNIPS
     *    weight mass w_term = ⌊n^ev_match·n^tr_x·10⁶ / n^tr_xa⌋.
+    *    Every division whose numerator carries a REWARD sum (train
+    *    means, ips_term, the snips/dm/ips/dr rollups) is the
+    *    toward-zero [[TextOps.truncDivDec]] — rewards may be negative
+    *    and DuckDB's `//` truncates toward zero; only the count-only
+    *    w_term keeps the floor spelling (counts are nonnegative,
+    *    where floor ≡ trunc).
     *  - SNIPS: Σ w·r / Σ w — the self-normalized variant that trades
     *    IPS's unbiasedness for bounded variance when train and eval
     *    action mixes drift.
@@ -2534,7 +2540,7 @@ object EventOps {
       .orderBy(col("mean_micro").desc, col("act"))
     val pi = cells.filter(!col("eval"))
       .withColumn("mean_micro",
-        TextOps.floorDivDec(dec(col("s")), dec(col("n"))).cast("long"))
+        TextOps.truncDivDec(dec(col("s")), dec(col("n"))).cast("long"))
       .withColumn("_rn", row_number().over(byCtx))
       .filter(col("_rn") === 1)
       .select(col("ctx"), col("act").as("pi_act"),
@@ -2553,7 +2559,7 @@ object EventOps {
       .select(col("ctx"), col("pi_act"), col("n_ctx"),
         coalesce(col("n_match"), lit(0L)).as("n_match"),
         col("dm_micro"),
-        coalesce(TextOps.floorDivDec(
+        coalesce(TextOps.truncDivDec(
           dec(col("s_match")) * dec(col("n_tr_ctx")),
           dec(col("n_tr_match"))).cast("long"), lit(0L)).as("ips_term"),
         coalesce(TextOps.floorDivDec(
@@ -2567,7 +2573,7 @@ object EventOps {
             dec(col("n_tr_match"))).cast("long"), lit(0L))).as("dr_total"))
       .localCheckpoint(eager = true) // consumed per-row and by the rollup
     def snips(ipsNum: Column, wSum: Column): Column =
-      when(wSum > 0, TextOps.floorDivDec(dec(ipsNum) * lit(1000000),
+      when(wSum > 0, TextOps.truncDivDec(dec(ipsNum) * lit(1000000),
         dec(wSum)).cast("long")).otherwise(lit(0L))
     val all = perCtx.agg(sum("n_ctx").as("n_eval"),
         sum("n_match").as("n_match"),
@@ -2576,9 +2582,9 @@ object EventOps {
         sum(col("dr_total")).as("dr_num"))
       .select(lit("__ALL__").as("context"), lit("-").as("pi_action"),
         col("n_eval"), col("n_match"),
-        TextOps.floorDivDec(col("dm_num"), dec(col("n_eval")))
+        TextOps.truncDivDec(col("dm_num"), dec(col("n_eval")))
           .cast("long").as("dm_micro"),
-        TextOps.floorDivDec(dec(col("ips_num")), dec(col("n_eval")))
+        TextOps.truncDivDec(dec(col("ips_num")), dec(col("n_eval")))
           .cast("long").as("ips_micro"),
         snips(col("ips_num"), col("w_sum")).as("snips_micro"),
         TextOps.truncDivDec(dec(col("dr_num")), dec(col("n_eval")))
@@ -2586,7 +2592,7 @@ object EventOps {
     val per = perCtx.select(col("ctx").cast("string").as("context"),
       col("pi_act").as("pi_action"), col("n_ctx").as("n_eval"),
       col("n_match"), col("dm_micro"),
-      TextOps.floorDivDec(dec(col("ips_term")), dec(col("n_ctx")))
+      TextOps.truncDivDec(dec(col("ips_term")), dec(col("n_ctx")))
         .cast("long").as("ips_micro"),
       snips(col("ips_term"), col("w_term")).as("snips_micro"),
       TextOps.truncDivDec(dec(col("dr_total")), dec(col("n_ctx")))

@@ -387,6 +387,146 @@ object VectorOps {
         col("_e.payload").as(idCol), (-col("_e.ord")).as("dist_q"))
   }
 
+  /** Partitioned graph-ANN index build (X286; the Vamana/DiskANN
+    * shard-index family — Subramanya et al. NeurIPS'19, Malkov &
+    * Yashunin's HNSW TPAMI'18 — re-expressed as deterministic Spark
+    * joins). Returns the directed edge table (shard, src, dst).
+    *
+    * Structure per shard (shard = id mod `shards` — each node's graph
+    * membership is a pure function of its id, so shard builds are
+    * embarrassingly parallel and a node lives in exactly one shard):
+    *  - PROXIMITY edges: each node's `degree` nearest shard-mates by
+    *    exact integer squared-L2, candidates from its sign-LSH bucket
+    *    plus the `bits` Hamming-1 probe buckets — an equi-join on
+    *    (shard, bucket), never an all-pairs product (the same
+    *    candidate-bounding argument as [[cosineNearDup]]).
+    *  - RING edges: each node's `ringLinks` successors on the shard's
+    *    md5 ring (nodes ordered by a keyed hash — a deterministic
+    *    random permutation). The ring is a directed Hamiltonian cycle
+    *    through the shard, so EVERY node is reachable from any entry
+    *    (Vamana's random-init long-range links, made replayable), and
+    *    ring hops give beam search its exploration moves where pure
+    *    proximity edges would trap it in a local cluster.
+    *
+    * Scale: bucket candidate generation is |shard|·E[bucket]·(bits+1)
+    * pairs — linear in corpus size for bits ~ log₂(n/S·16); the edge
+    * table is O(n·(degree+ringLinks)) rows; per-node work never sees
+    * the corpus. Determinism: integer distances, ties by dst id; the
+    * ring orders by (md5, id).
+    */
+  def graphAnnEdges(corpus: DataFrame, idCol: String, qvCol: String,
+      shards: Int, bits: Int, degree: Int, ringLinks: Int,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    require(shards >= 1, s"shards ($shards) must be >= 1")
+    require(degree >= 1 && ringLinks >= 1,
+      s"degree ($degree) and ringLinks ($ringLinks) must be >= 1")
+    val nd = corpus.select(col(idCol).as("src"), col(qvCol).as("_v"),
+      pmod(col(idCol), lit(shards.toLong)).as("shard"),
+      signBucket(col(qvCol), bits).as("_bkt"),
+      dot(col(qvCol), col(qvCol)).as("_self"))
+    val probes = array(col("_bkt") +: (0 until bits).map(i =>
+      col("_bkt").bitwiseXOR(lit(1L << i))): _*)
+    val prox = nd
+      .select(col("src"), col("_v").as("_av"), col("_self").as("_aself"),
+        col("shard"), explode(probes).as("_bkt"))
+      .join(nd.select(col("src").as("dst"), col("_v").as("_bv"),
+        col("_self").as("_bself"), col("shard"), col("_bkt")),
+        Seq("shard", "_bkt"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("shard"), col("src"), col("dst"),
+        (col("_aself") + col("_bself")
+          - lit(2L) * dot(col("_av"), col("_bv"))).as("_d"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("shard", "src").orderBy(col("_d"), col("dst"))))
+      .filter(col("_rn") <= degree)
+      .select("shard", "src", "dst")
+    val ringed = nd.select(col("shard"), col("src"),
+        expr("cast(conv(substring(md5(concat('ring|', " +
+          "cast(src as string))), 1, 15), 16, 10) as bigint)").as("_h"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_h"), col("src"))))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("shard")))
+    val ring = ringed
+      .select(col("shard"), col("_rn"), col("_cnt"), col("src"),
+        explode(array((1 to ringLinks).map(lit): _*)).as("_s"))
+      .withColumn("_rn2", ((col("_rn") - 1 + col("_s")) % col("_cnt")) + 1)
+      .join(ringed.select(col("shard"), col("_rn").as("_rn2"),
+        col("src").as("dst")), Seq("shard", "_rn2"))
+      .filter(col("src") =!= col("dst"))
+      .select("shard", "src", "dst")
+    prox.union(ring).distinct()
+  }
+
+  /** Beam search over a [[graphAnnEdges]] index: per (query, shard),
+    * start from the shard's deterministic entry node (min keyed md5)
+    * and run `hops` rounds of expand-score-prune — frontier ∪ its
+    * out-neighbors, exact integer squared-L2 against the query, keep
+    * the `beam` best (ties by id). Returns ALL final beam rows ranked
+    * globally per query (rank over shards by distance) — callers take
+    * `rank <= k` for top-k and the full table for beam membership.
+    *
+    * Monotone by construction: the beam is always a subset of
+    * candidates that includes the previous beam, so a surplus hop
+    * can only improve it (the SSSP idempotence argument). Self-matches
+    * are excluded at scoring (queries are corpus vectors here, as in
+    * [[graft.queries.LlmSurface]]'s recall harness).
+    *
+    * Scale: per hop per query per shard the scored candidate set is
+    * ≤ beam·(degree+ringLinks+1) rows, joined by id equi-join against
+    * the corpus — search cost is independent of corpus size once the
+    * entry table (|shards| rows) exists; hops should grow ~log n (the
+    * honest HNSW story — its hierarchy is exactly a hop-count
+    * amortization, which a fixed-hop shard search trades for
+    * per-shard parallelism). Each hop is checkpointed: the beam feeds
+    * both the neighbor join and the union, and an unmaterialized
+    * plan would double per hop (the X192 lesson).
+    */
+  def graphAnnSearch(edges: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, qvCol: String, k: Int,
+      beam: Int, hops: Int, shards: Int,
+      dot: (Column, Column) => Column = dotQ,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam ($beam) >= k ($k) >= 1")
+    require(hops >= 1, s"hops ($hops) must be >= 1")
+    val x = corpus.select(col(idCol).as("vec_id"), col(qvCol).as("_xv"),
+      dot(col(qvCol), col(qvCol)).as("_xself"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(qvCol).as("_qv"), dot(col(qvCol), col(qvCol)).as("_qself")))
+    val entries = corpus.select(col(idCol).as("vec_id"),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        expr("cast(conv(substring(md5(concat('entry|', " +
+          s"cast($idCol as string))), 1, 15), 16, 10) as bigint)").as("_h"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_h"), col("vec_id"))))
+      .filter(col("_rn") === 1)
+      .select("shard", "vec_id")
+    var bm = materialize(
+      q.select(col("query_id")).crossJoin(broadcast(entries)))
+    (1 to hops).foreach { _ =>
+      val nbr = bm
+        .join(edges.withColumnRenamed("src", "vec_id"),
+          Seq("shard", "vec_id"))
+        .select(col("query_id"), col("shard"), col("dst").as("vec_id"))
+      val cand = bm.select("query_id", "shard", "vec_id")
+        .union(nbr).distinct()
+      val scored = cand.join(x, "vec_id").join(q, "query_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("shard"), col("vec_id"),
+          (col("_qself") + col("_xself")
+            - lit(2L) * dot(col("_qv"), col("_xv"))).as("dist_q"))
+      bm = materialize(scored
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("query_id", "shard")
+            .orderBy(col("dist_q"), col("vec_id"))))
+        .filter(col("_rn") <= beam)
+        .select("query_id", "shard", "vec_id", "dist_q"))
+    }
+    bm.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist_q"), col("vec_id"))))
+      .select("query_id", "rank", "vec_id", "dist_q")
+  }
+
   /** Element-wise per-group vector sums — the centroid-UPDATE half of a
     * distributed k-means iteration (the assignment half is [[ivfTopK]]'s
     * build step). `posexplode` → partial sums per (group, position) →

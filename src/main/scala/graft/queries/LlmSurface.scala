@@ -41,7 +41,7 @@ object LlmSurface {
   /** 18 words planted into every 25th document by llm_substring_dedup
     * (in BOTH engines) so cross-document span sharing exists to detect.
     */
-  private val Boilerplate =
+  private[queries] val Boilerplate =
     "this dataset is distributed under the creative commons attribution " +
     "license please retain this notice when redistributing any copies"
 
@@ -131,6 +131,21 @@ object LlmSurface {
 
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+
+  /** KMV cardinality estimator over a sorted k-min-hash array column:
+    * size(c) when the sketch is unsaturated, else ⌊(k−1)·2⁶⁰/h_k⌋.
+    * The quotient is clamped at 2⁶² BEFORE the bigint cast — on a
+    * pathologically tiny k-th hash Spark's non-ANSI double→long cast
+    * would saturate to Long.MaxValue while DuckDB's raises, so BOTH
+    * engines spell `least(·, 2⁶²)` and agree exactly (ADVICE r9;
+    * clamp pinned by KmvClampSpec with a planted h_k = 3).
+    */
+  private[graft] def kmvEst(c: String, k: Int): Column = {
+    val pow = s"cast(${k - 1} as double) * cast(1152921504606846976 as double)"
+    expr(s"case when size($c) < $k then cast(size($c) as bigint) " +
+      s"else cast(least(floor($pow / cast(element_at($c, $k) as double)), " +
+      s"cast(4611686018427387904 as double)) as bigint) end")
+  }
 
   /** IVF-PQ index build shared by llm_ann_ivf_pq and llm_ann_refined
     * (one definition so the two queries cannot drift). √n coarse lists
@@ -943,14 +958,7 @@ object LlmSurface {
     // is a pure function of the data — full hash oracle.
     "llm_kmv_set_ops" -> ((s, dir) => {
       val k = 128
-      val pow = s"cast(${k - 1} as double) * cast(1152921504606846976 as double)"
-      def est(c: String) =
-        expr(s"case when size($c) < $k then cast(size($c) as bigint) " +
-          // least(·, 2^62) guards the pathological tiny-h_k quotient: Spark's
-          // non-ANSI cast would clamp to Long.MaxValue while DuckDB raises,
-          // so both engines clamp BEFORE the cast (ADVICE r9)
-          s"else cast(least(floor($pow / cast(element_at($c, $k) as double)), " +
-          s"cast(4611686018427387904 as double)) as bigint) end")
+      def est(c: String) = kmvEst(c, k)
       // localCheckpoint: the |sources|-row sketch table is referenced on
       // BOTH sides of the pair self-join — without materialization each
       // reference re-runs the corpus scan + aggregation (PlanAuditSpec
@@ -1821,6 +1829,44 @@ object LlmSurface {
         .select(col("query_id"), col("rank"), col("vec_id"), col("dist_q"),
           coalesce(col("_h5"), lit(false)).as("in_approx_top5"),
           coalesce(col("_h20"), lit(false)).as("in_shortlist20"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- partitioned graph ANN: Vamana/HNSW-family shard index (X286) ----
+    // The deployed graph-serving shape next to IVF-PQ: per-shard
+    // degree-bounded proximity graph (LSH-bucketed candidate equi-join)
+    // + md5-ring long-range links (deterministic Vamana random-init;
+    // the ring is a Hamiltonian cycle, so reachability is guaranteed),
+    // searched by 4 hops of expand-score-prune beam search from each
+    // shard's entry. Graded on the SAME md5 panel and exact ground
+    // truth as llm_ann_recall, so the two index families' recalls are
+    // directly comparable (graph scores exact full-precision integer
+    // distances — no PQ compression loss at the shortlist stage).
+    "llm_ann_graph" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+        .localCheckpoint(true) // feeds edges, entries, scoring, truth
+      val dot = VectorOps.dotFn(s)
+      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0))
+      val edges = VectorOps.graphAnnEdges(emb, "vec_id", "qv",
+        shards = 4, bits = 4, degree = 6, ringLinks = 2, dot = dot)
+        .localCheckpoint(true) // re-joined once per hop
+      val g = VectorOps.graphAnnSearch(edges, emb, panel, "vec_id", "qv",
+        k = 5, beam = 8, hops = 4, shards = 4, dot = dot)
+      val top5 = g.filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"), lit(true).as("_g5"))
+      val beamAll = g
+        .select(col("query_id"), col("vec_id"), lit(true).as("_gb"))
+      val allPairs = panel.select(col("vec_id").as("query_id"))
+        .crossJoin(emb.select(col("vec_id")))
+        .filter(col("query_id") =!= col("vec_id"))
+      VectorOps.refineTopK(allPairs, emb, panel, "vec_id", "qv", k = 5,
+          dot = dot)
+        .join(top5, Seq("query_id", "vec_id"), "left")
+        .join(beamAll, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("rank"), col("vec_id"), col("dist_q"),
+          coalesce(col("_g5"), lit(false)).as("in_graph_top5"),
+          coalesce(col("_gb"), lit(false)).as("in_beam"))
         .orderBy("query_id", "rank")
     }),
 
@@ -6687,6 +6733,122 @@ $rounds,
       ORDER BY er.query_id, er."rank"
     """,
 
+    // Replays the shard graph (LSH-bucketed top-6 proximity edges +
+    // 2-successor md5 ring), the per-shard entries, and all 4 beam
+    // hops as unrolled MATERIALIZED CTEs; qd doubles as the exact
+    // ground-truth distance table (self-excluded, so each hop's join
+    // onto qd applies the same self-match filter as the Spark side).
+    "llm_ann_graph" -> {
+      val hopCtes = (1 to 4).map { h =>
+        val prev = if (h == 1) "b0" else s"b${h - 1}"
+        s"""c$h AS (
+        SELECT DISTINCT query_id, shard, vec_id FROM (
+          SELECT query_id, shard, vec_id FROM $prev
+          UNION ALL
+          SELECT b.query_id, b.shard, ed.dst AS vec_id
+          FROM $prev b JOIN edges ed
+            ON ed.shard = b.shard AND ed.src = b.vec_id)),
+      b$h AS MATERIALIZED (
+        SELECT query_id, shard, vec_id, dist_q FROM (
+          SELECT c.query_id, c.shard, c.vec_id, qd.dist_q,
+                 row_number() OVER (PARTITION BY c.query_id, c.shard
+                   ORDER BY qd.dist_q, c.vec_id) AS rn
+          FROM c$h c JOIN qd
+            ON qd.query_id = c.query_id AND qd.vec_id = c.vec_id)
+        WHERE rn <= 8)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $embedQvCte,
+      nd AS (
+        SELECT vec_id, qv, vec_id % 4 AS shard,
+               (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+                + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END
+                + CASE WHEN qv[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+        FROM e),
+      pr AS (
+        SELECT vec_id AS src, shard,
+               CASE f.i WHEN 0 THEN bkt ELSE xor(bkt, 1 << (f.i - 1)) END
+                 AS bkt
+        FROM nd CROSS JOIN (VALUES (0), (1), (2), (3), (4)) f(i)),
+      prox AS MATERIALIZED (
+        SELECT shard, src, dst FROM (
+          SELECT p.shard, p.src, b.vec_id AS dst,
+                 row_number() OVER (PARTITION BY p.shard, p.src ORDER BY
+                   CAST(list_sum(list_transform(range(1, 65),
+                     j -> (av.qv[j] - b.qv[j]) * (av.qv[j] - b.qv[j])))
+                     AS BIGINT),
+                   b.vec_id) AS rn
+          FROM pr p
+          JOIN nd av ON av.vec_id = p.src
+          JOIN nd b ON b.shard = p.shard AND b.bkt = p.bkt
+                    AND b.vec_id <> p.src)
+        WHERE rn <= 6),
+      rng AS MATERIALIZED (
+        SELECT shard, vec_id AS src,
+               row_number() OVER (PARTITION BY shard ORDER BY
+                 CAST('0x' || substr(md5('ring|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                 vec_id) AS rn,
+               count(*) OVER (PARTITION BY shard) AS cnt
+        FROM nd),
+      ring AS (
+        SELECT a.shard, a.src, b.src AS dst
+        FROM rng a
+        CROSS JOIN (VALUES (1), (2)) s(k)
+        JOIN rng b ON b.shard = a.shard
+                  AND b.rn = ((a.rn - 1 + s.k) % a.cnt) + 1
+        WHERE a.src <> b.src),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT shard, src, dst FROM (
+          SELECT * FROM prox UNION ALL SELECT * FROM ring)),
+      entry AS (
+        SELECT shard, vec_id FROM (
+          SELECT shard, vec_id,
+                 row_number() OVER (PARTITION BY shard ORDER BY
+                   CAST('0x' || substr(md5('entry|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   vec_id) AS rn
+          FROM nd)
+        WHERE rn = 1),
+      qv0 AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id % 100 = 0),
+      pq AS (
+        SELECT query_id, qv FROM (
+          SELECT query_id, qv,
+                 row_number() OVER (ORDER BY
+                   CAST('0x' || substr(md5('panel|' || CAST(query_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   query_id) AS pr
+          FROM qv0)
+        WHERE pr <= 64),
+      qd AS MATERIALIZED (
+        SELECT q.query_id, x.vec_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                 j -> (q.qv[j] - x.qv[j]) * (q.qv[j] - x.qv[j]))) AS BIGINT)
+                 AS dist_q
+        FROM pq q CROSS JOIN e x
+        WHERE q.query_id <> x.vec_id),
+      b0 AS (
+        SELECT p.query_id, en.shard, en.vec_id
+        FROM pq p CROSS JOIN entry en),
+      $hopCtes,
+      gr AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist_q, vec_id) AS grank
+        FROM b4),
+      er AS (
+        SELECT query_id, vec_id, dist_q,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist_q, vec_id) AS "rank"
+        FROM qd)
+      SELECT er.query_id, er."rank", er.vec_id, er.dist_q,
+             (gr.grank IS NOT NULL AND gr.grank <= 5) AS in_graph_top5,
+             (gr.grank IS NOT NULL) AS in_beam
+      FROM er LEFT JOIN gr
+        ON er.query_id = gr.query_id AND er.vec_id = gr.vec_id
+      WHERE er."rank" <= 5
+      ORDER BY er.query_id, er."rank"
+    """
+    },
+
     "llm_ann_refined" -> s"""
       WITH $ivfPqApproxCtes,
       short AS (
@@ -7965,6 +8127,39 @@ $rounds,
       FROM terms GROUP BY 1, 2
       ORDER BY mi_n_micro DESC, word
       LIMIT 25
+    """,
+
+    // Replays the two lead() windows over (user_id | ts, event_id), the
+    // 30-min consecutive-gap filter (boundary INCLUSIVE: s1 <= ts + 30min),
+    // and the (n_users DESC, n_occurrences DESC, pattern) total order —
+    // pattern encodes its own length, so the tie-break is genuinely total.
+    "p_seq_patterns" -> """
+      WITH o AS (
+        SELECT user_id, event_type, ts,
+               lead(event_type, 1) OVER w AS t1,
+               lead(ts, 1) OVER w AS s1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(ts, 2) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      pats AS (
+        SELECT user_id, event_type || '>' || t1 AS pattern, 2 AS length
+        FROM o
+        WHERE s1 IS NOT NULL AND s1 <= ts + INTERVAL 30 MINUTE
+        UNION ALL
+        SELECT user_id, event_type || '>' || t1 || '>' || t2 AS pattern,
+               3 AS length
+        FROM o
+        WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+          AND s1 <= ts + INTERVAL 30 MINUTE
+          AND s2 <= s1 + INTERVAL 30 MINUTE)
+      SELECT pattern, length,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM pats
+      GROUP BY pattern, length
+      ORDER BY n_users DESC, n_occurrences DESC, pattern
+      LIMIT 30
     """,
 
     // Replays the md5-bucketed match schedule and all 15 MM rounds as

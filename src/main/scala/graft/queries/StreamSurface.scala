@@ -542,6 +542,41 @@ object StreamSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- X287: streaming ExactSubstr excision maintenance ------------------
+    // The K-gram postings probe (llm_suffix_incremental's machinery)
+    // composed with the growing-index foreachBatch pattern: per batch,
+    // probe the maintained postings by gram hash, emit newly-duplicated
+    // positions (incl. RETROACTIVE flags on earlier batches' positions),
+    // append the batch postings. Readback is the stateless islands
+    // merge of the accumulated flag set into maximal spans — the oracle
+    // is the full-rebuild dup-span algorithm over the whole corpus, so
+    // a dropped retro flag, a double emission, or a span fused across a
+    // batch boundary all hash-mismatch.
+    "stream_suffix_excise" -> ((s, dir) => {
+      val base = tmpBase(dir, "suffix_excise")
+      val (in, schema) = stagedDocs(s, dir)
+      StreamHarness.deleteRecursively(new File(s"$base/postings"))
+      StreamHarness.deleteRecursively(new File(s"$base/flags"))
+      StreamHarness.runQuery(s, in, schema) { src =>
+        DocStream.exciseWithGrowingPostings(
+          src.withColumn("text",
+            when(col("doc_id") % 25 === 0,
+              concat(col("text"), lit(" " + LlmSurface.Boilerplate)))
+              .otherwise(col("text"))),
+          s"$base/postings", s"$base/flags", spanTokens = 10)
+      }
+      val byDoc = Window.partitionBy("doc").orderBy("pos")
+      s.read.parquet(s"$base/flags")
+        .select("doc", "pos").distinct()
+        .withColumn("_isl", col("pos") - row_number().over(byDoc))
+        .groupBy("doc", "_isl")
+        .agg(min("pos").as("span_start"),
+          (max("pos") - min("pos") + 10).cast("long").as("span_tokens"))
+        .select(col("doc").as("doc_id"), col("span_start"),
+          col("span_tokens"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- X122b: streaming MERGE into a versioned snapshot ------------------
     // foreachBatch upsert over six event batches; the final snapshot
     // must hold each user's LATEST event (event-time, event_id
@@ -876,6 +911,37 @@ object StreamSurface {
                row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         FROM documents)
       WHERE rn = 1 ORDER BY doc_id
+    """,
+
+    // Full-rebuild oracle for the streamed incremental excision: the
+    // L-gram islands algorithm over the whole (augmented) corpus,
+    // oblivious to the batch split — same SQL family as the batch
+    // llm_suffix_incremental oracle.
+    "stream_suffix_excise" -> s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0
+                    THEN text || ' ${LlmSurface.Boilerplate}'
+                    ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+      sp AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               md5(array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, greatest(CAST(len(ws) AS BIGINT) - 8, 1))) AS i
+              FROM w)),
+      g AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+      f AS (SELECT DISTINCT doc_id, pos FROM sp JOIN g USING (h)),
+      isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM f)
+      SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+             CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_tokens
+      FROM isl
+      GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start
     """,
 
     "stream_upsert_snapshot" -> """

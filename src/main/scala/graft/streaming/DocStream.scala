@@ -183,4 +183,76 @@ object DocStream {
         ()
       }
       .start()
+
+  /** Streaming ExactSubstr excision maintenance (X287) — the streaming
+    * form of [[graft.operators.SuffixArray.incrementalDupSpans]]'s
+    * K-gram postings probe, composed with the [[ingestWithGrowingIndex]]
+    * maintained-index pattern: per micro-batch, the batch's `spanTokens`-
+    * gram postings probe the GROWING postings index by gram hash
+    * (equi-join, never a corpus rescan) and emit newly-duplicated
+    * flagged positions — including RETROACTIVE flags on earlier-batch
+    * positions whose gram this batch just made duplicated.
+    *
+    * Exactly-once emission is structural, no dedup state needed: a
+    * position is emitted when its gram's duplicate status FLIPS —
+    * batch positions of any now-duplicated gram, plus index positions
+    * of grams at prior count exactly 1 (count ≥ 2 means those index
+    * positions were already emitted when the second copy arrived).
+    * The union of emissions over all batches is therefore exactly the
+    * batch algorithm's flag set, which is what the oracle hash-checks
+    * (after the stateless islands merge at readback).
+    *
+    * Failure ordering mirrors [[ingestWithGrowingIndex]]: flags append
+    * BEFORE postings, so a crash between the writes re-emits (at-least-
+    * once, dedupable by (doc, pos)) instead of losing flags — if the
+    * postings landed first, the retry's probe would see prior count 2
+    * and silently skip the retro emission.
+    *
+    * Scale: per batch the work is the batch shingle explode + two
+    * gram-keyed combine aggs + two hash equi-joins into the index; the
+    * index is append-only (doc, pos, h) — in production a bucketed-by-h
+    * table the probe co-locates with, and the directory fan-in is what
+    * [[graft.operators.Compaction]] folds.
+    */
+  def exciseWithGrowingPostings(docs: DataFrame, postingsDir: String,
+      flagsDir: String, spanTokens: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val post = batch
+          .select(col("doc_id").cast("long").as("doc"),
+            posexplode(TextOps.shinglesFromWords(
+              TextOps.words(col("text")), spanTokens)).as(Seq("_p", "_s")))
+          .select(col("doc"), (col("_p") + 1).cast("int").as("pos"),
+            md5(col("_s")).as("h"))
+          .localCheckpoint(true) // feeds counts, probe, and the append
+        val batchCnt = post.groupBy("h").agg(count(lit(1)).as("_nn"))
+        val flagged =
+          if (new java.io.File(postingsDir).exists()) {
+            val idx = s.read.parquet(postingsDir)
+            val idxCnt = idx.groupBy("h").agg(count(lit(1)).as("_nb"))
+            val j = batchCnt.join(idxCnt, Seq("h"), "left")
+              .select(col("h"), col("_nn"),
+                coalesce(col("_nb"), lit(0L)).as("_nb"))
+              .localCheckpoint(true) // two consumers below
+            val fromBatch = post
+              .join(j.filter(col("_nn") + col("_nb") >= 2).select("h"), "h")
+              .select("doc", "pos")
+            val retro = idx
+              .join(j.filter(col("_nb") === 1 && col("_nn") >= 1)
+                .select("h"), "h")
+              .select("doc", "pos")
+            fromBatch.union(retro)
+          } else {
+            post.join(batchCnt.filter(col("_nn") >= 2).select("h"), "h")
+              .select("doc", "pos")
+          }
+        flagged.write.mode("append").parquet(flagsDir)
+        post.select("doc", "pos", "h").write.mode("append")
+          .parquet(postingsDir)
+        ()
+      }
+      .start()
 }

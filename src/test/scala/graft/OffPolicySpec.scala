@@ -69,4 +69,21 @@ class OffPolicySpec extends SparkSpec {
     val got = run(rows)
     assert(got("2")._2 === "aa")
   }
+
+  test("all-negative rewards: every reward division truncates toward zero") {
+    // train: a rewards -10, -10, -11 (mean trunc(-31e6/3) = -10333333;
+    // floor would give -10333334), b -100 -> pi = a, n_tr_ctx 4,
+    // n_tr_match 3; eval: one a at -5.
+    // ips_term = trunc(-5e6*4/3) = -6666666 (floor: -6666667)
+    // w_term   = floor(1*4e6/3)  =  1333333 (counts, floor == trunc)
+    // snips    = trunc(-6666666e6/1333333) = -5000000 (floor: -5000001)
+    // dr_total = -10333333 + trunc((-5e6 + 10333333)*4/3) = -3222223
+    val rows = Seq((trTs, "a", -10.0), (trTs, "a", -10.0),
+      (trTs, "a", -11.0), (trTs, "b", -100.0), (evTs, "a", -5.0))
+    val got = run(rows)
+    assert(got("2") === ("2", "a", 1L, 1L, -10333333L, -6666666L,
+      -5000000L, -3222223L))
+    assert(got("__ALL__") === ("__ALL__", "-", 1L, 1L, -10333333L,
+      -6666666L, -5000000L, -3222223L))
+  }
 }

@@ -57,4 +57,18 @@ class ShapleyCoverageSpec extends SparkSpec {
     assert(got("s1")._4 === lcm20 + lcm20 / 2)
     assert(got("s2")._4 === lcm20 / 2)
   }
+
+  test("a word shared by > 20 sources raises instead of silently flooring") {
+    // 21 sources all containing "shared": lcm(1..20)/21 is not an
+    // integer, the efficiency axiom would silently break — ENFORCED
+    val docs = (1 to 21).map(i => (f"s$i%02d", "shared"))
+    val ex = intercept[Exception] { run(docs) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("shapleyCoverage")), ex.toString)
+    // exactly 20 sources stays fine and exact
+    val ok = run((1 to 20).map(i => (f"s$i%02d", "shared")))
+    assert(ok.values.map(_._4).sum === lcm20)
+  }
 }
