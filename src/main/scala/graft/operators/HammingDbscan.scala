@@ -43,9 +43,14 @@ object HammingDbscan {
       maxHamming: Int, minPts: Int, chunks: Int = 4, bits: Int = 60)
       : DataFrame = {
     require(minPts >= 2, s"minPts ($minPts) must be >= 2")
+    // pinned: the pigeonhole candidate join feeds sym (twice via the
+    // union), coreEdges, and through sym the degree count and the
+    // border argmin — unmaterialized, the 4-chunk collision join
+    // re-executes per consumer (measured 9.5 s -> the recheck below)
     val pairs = TextOps.hammingNearDupPairs(hashed, idCol, hashCol,
         maxHamming, chunks, bits)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("doc", "nbr")
     val deg = sym.groupBy("doc").agg(count(lit(1)).as("n_neighbors"))
@@ -56,9 +61,12 @@ object HammingDbscan {
       .join(core.select(col("doc").as("doc_b")), "doc_b")
     val groups = ConnectedComponents.dupGroups(coreEdges, "doc_a", "doc_b")
       .select(col("doc_id").as("doc"), col("group_id"))
+    // pinned: referenced by the border argmin AND the final join —
+    // without this the whole CC fixpoint above runs twice
     val coreClusters = core.join(groups, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("group_id"), col("doc"))
         .as("cluster_id"), lit(true).as("_is_core"))
+      .localCheckpoint(true)
     val borderClusters = sym
       .join(coreClusters.select(col("doc").as("nbr"),
         col("cluster_id").as("_bc")), "nbr")
