@@ -485,7 +485,10 @@ object VectorOps {
       queries: DataFrame, idCol: String, qvCol: String, k: Int,
       beam: Int, hops: Int, shards: Int,
       dot: (Column, Column) => Column = dotQ,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true),
+      // observation hook per hop (hopIndex, candidate set) — the scale
+      // bench counts explored candidates through it; default free
+      hopProbe: (Int, DataFrame) => Unit = (_, _) => ())
       : DataFrame = {
     require(k >= 1 && beam >= k, s"need beam ($beam) >= k ($k) >= 1")
     require(hops >= 1, s"hops ($hops) must be >= 1")
@@ -503,13 +506,14 @@ object VectorOps {
       .select("shard", "vec_id")
     var bm = materialize(
       q.select(col("query_id")).crossJoin(broadcast(entries)))
-    (1 to hops).foreach { _ =>
+    (1 to hops).foreach { h =>
       val nbr = bm
         .join(edges.withColumnRenamed("src", "vec_id"),
           Seq("shard", "vec_id"))
         .select(col("query_id"), col("shard"), col("dst").as("vec_id"))
       val cand = bm.select("query_id", "shard", "vec_id")
         .union(nbr).distinct()
+      hopProbe(h, cand)
       val scored = cand.join(x, "vec_id").join(q, "query_id")
         .filter(col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("shard"), col("vec_id"),
