@@ -1940,6 +1940,92 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Tabular two-sided CUSUM monitor per event type (X290; Page
+    * Biometrika 1954; the "tabular CUSUM" of Montgomery's SPC text) —
+    * the MONITORING form next to [[cusumDrift]]'s retrospective
+    * one-sided count CUSUM: baseline mu0 is HELD OUT (the first
+    * `baseDays` days — a whole-series mean leaks the drift into the
+    * target and shrinks the signal), the allowance k is explicit (the
+    * ARL tuning knob), the decision interval h is a parameter, and
+    * BOTH one-sided sums run (upward and downward drift). Fires on a
+    * SUSTAINED small drift long before [[changepointMean]]'s
+    * retrospective AMOC or a per-day z-test would: each day adds the
+    * deviation beyond an allowance k to a one-sided cumulative sum
+    * that resets at 0, so noise cancels but persistent drift
+    * accumulates linearly.
+    *
+    * Closed form instead of the textbook recursion: with prefix sums
+    * P over the DENSE zero-filled daily series (absent days are real
+    * 0 observations for a volume monitor),
+    *   S⁺_i = max(0, max_{j≤i} [(P_i−P_{j−1})·10⁶ − (i−j+1)·(μ0+k)])
+    * and symmetrically S⁻ — the recursion unrolled into a
+    * calendar²-bounded pair maximum, one shot in both engines, no
+    * driver loop (the [[changepointMean]] prefix-sum discipline).
+    *
+    * Baseline μ0 = the first `baseDays` days' mean daily total
+    * (micro, toward-zero); allowance k = μ0·kPermille/1000; alarm
+    * threshold h = μ0·hPermille/1000. All integer micro-cents —
+    * signed divisions via [[TextOps.truncDivDec]] (DuckDB `//`).
+    *
+    * Scale: one corpus combine-agg to |types|×|days| cells; the pair
+    * max and windows run on calendar² metadata. Output per (type,
+    * day): daily cents, S⁺, S⁻, and both alarm flags.
+    */
+  def cusumTabular(events: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String, baseDays: Int, kPermille: Int, hPermille: Int)
+      : DataFrame = {
+    require(baseDays >= 1, s"baseDays ($baseDays) must be >= 1")
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val ev = events.select(to_date(col(tsCol)).as("_day"),
+      col(typeCol).as("event_type"),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("_c"))
+    val spine = ev.agg(min("_day").as("_a"), max("_day").as("_b"))
+      .select(explode(sequence(col("_a"), col("_b"))).as("_day"))
+      .crossJoin(ev.select("event_type").distinct())
+    val daily = spine
+      .join(ev.groupBy("event_type", "_day").agg(sum("_c").as("_y")),
+        Seq("event_type", "_day"), "left")
+      .select(col("event_type"), col("_day"),
+        coalesce(col("_y"), lit(0L)).as("y"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("_day")))
+      .withColumn("p", sum("y").over(Window.partitionBy("event_type")
+        .orderBy("_day").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .localCheckpoint(true) // feeds the baseline agg + both pair sides
+    val base = daily.filter(col("i") <= baseDays)
+      .groupBy("event_type")
+      .agg(TextOps.truncDivDec(dec(sum("y")) * lit(1000000L),
+        dec(count(lit(1)))).cast("long").as("mu0"))
+      .select(col("event_type"), col("mu0"),
+        (TextOps.truncDivDec(dec(col("mu0")) * lit(kPermille),
+          dec(lit(1000L)))).cast("long").as("k"),
+        (TextOps.truncDivDec(dec(col("mu0")) * lit(hPermille),
+          dec(lit(1000L)))).cast("long").as("h"))
+    val ends = daily.join(broadcast(base), "event_type")
+    val starts = daily.select(col("event_type"), col("i").as("j"),
+      (col("p") - col("y")).as("pj1"))
+    ends.join(starts, "event_type")
+      .filter(col("j") <= col("i"))
+      .select(col("event_type"), col("_day"), col("i"), col("y"),
+        col("h"),
+        ((col("p") - col("pj1")) * lit(1000000L)
+          - (col("i") - col("j") + 1) * (col("mu0") + col("k")))
+          .as("_hi"),
+        ((col("i") - col("j") + 1) * (col("mu0") - col("k"))
+          - (col("p") - col("pj1")) * lit(1000000L)).as("_lo"))
+      .groupBy(col("event_type"), col("_day"), col("i"), col("y"),
+        col("h"))
+      .agg(greatest(lit(0L), max("_hi")).as("cusum_high_micro"),
+        greatest(lit(0L), max("_lo")).as("cusum_low_micro"))
+      .select(col("event_type"),
+        date_format(col("_day"), "yyyy-MM-dd").as("day"), col("y"),
+        col("cusum_high_micro"), col("cusum_low_micro"),
+        (col("cusum_high_micro") > col("h")).as("alarm_high"),
+        (col("cusum_low_micro") > col("h")).as("alarm_low"))
+      .orderBy("event_type", "day")
+  }
+
   /** Daily cross-correlation function between two event-type series
     * (lead–lag analysis; Box & Jenkins ch. 11) — the "does X drive Y,
     * and with what delay" readout next to [[seasonalDecompose]]: the

@@ -4079,6 +4079,22 @@ object LlmSurface {
         .orderBy("day")
     }),
 
+    // ---- tabular two-sided CUSUM monitor (X290) --------------------------
+    // The SPC monitoring form next to llm_cusum_drift's retrospective
+    // one: HELD-OUT baseline (first 7 days — the whole-series mean
+    // leaks the drift into mu0 and shrinks the signal), explicit
+    // allowance k (5% of mu0, the ARL tuning knob), decision interval
+    // h (25%), and BOTH sides. Recursion unrolled to a calendar²-
+    // bounded pair max. A sustained ×2 value drift is planted from
+    // 01-26 (both engines) so the high-side alarm demonstrably fires.
+    "p_cusum_tabular" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("value",
+        when(col("ts") >= lit("2024-01-26").cast("timestamp"),
+          col("value") * 2).otherwise(col("value")))
+      EventOps.cusumTabular(ev, "ts", "event_type", "value",
+        baseDays = 7, kPermille = 50, hPermille = 250)
+    }),
+
     // ---- daily cross-correlation (lead-lag, clicks → purchases) ----------
     // r(ℓ) between clicks_t and purchases_{t+ℓ} for ℓ ∈ [−7, 7] on a
     // DENSE zero-filled calendar spine; exact int64 Pearson moments,
@@ -11692,6 +11708,63 @@ $rounds
              sse_micro = (SELECT ms FROM best)
                AND day = (SELECT bd FROM bestd) AS is_best
       FROM cand ORDER BY day
+    """,
+
+    // Replays the planted x2 drift, the dense zero-filled spine, the
+    // first-7-day baseline (toward-zero micro), and the unrolled
+    // closed-form pair maxima for both one-sided sums.
+    "p_cusum_tabular" -> """
+      WITH ev AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(floor((CASE WHEN ts >= TIMESTAMP '2024-01-26 00:00:00'
+                                THEN value * 2 ELSE value END) * 100 + 0.5)
+                 AS BIGINT) AS c
+        FROM events),
+      bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(u AS DATE) AS day
+        FROM (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                            CAST(d1 AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS u
+              FROM bnd)),
+      types AS (SELECT DISTINCT event_type FROM ev),
+      actual AS (
+        SELECT event_type, day, CAST(sum(c) AS BIGINT) AS y
+        FROM ev GROUP BY 1, 2),
+      daily AS MATERIALIZED (
+        SELECT t.event_type, d.day, coalesce(a.y, 0) AS y,
+               CAST(row_number() OVER (PARTITION BY t.event_type
+                 ORDER BY d.day) AS BIGINT) AS i,
+               sum(coalesce(a.y, 0)) OVER (PARTITION BY t.event_type
+                 ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM days d CROSS JOIN types t
+        LEFT JOIN actual a
+          ON a.event_type = t.event_type AND a.day = d.day),
+      base AS MATERIALIZED (
+        SELECT event_type,
+               (sum(y) * 1000000) // count(*) AS mu0,
+               ((sum(y) * 1000000) // count(*) * 50) // 1000 AS k,
+               ((sum(y) * 1000000) // count(*) * 250) // 1000 AS h
+        FROM daily WHERE i <= 7 GROUP BY 1)
+      SELECT e.event_type, strftime(e.day, '%Y-%m-%d') AS day, e.y,
+             CAST(greatest(0, max((e.p - (s.p - s.y)) * 1000000
+               - (e.i - s.i + 1) * (b.mu0 + b.k)))
+               AS BIGINT) AS cusum_high_micro,
+             CAST(greatest(0, max((e.i - s.i + 1) * (b.mu0 - b.k)
+               - (e.p - (s.p - s.y)) * 1000000)) AS BIGINT)
+               AS cusum_low_micro,
+             greatest(0, max((e.p - (s.p - s.y)) * 1000000
+               - (e.i - s.i + 1) * (b.mu0 + b.k))) > any_value(b.h)
+               AS alarm_high,
+             greatest(0, max((e.i - s.i + 1) * (b.mu0 - b.k)
+               - (e.p - (s.p - s.y)) * 1000000)) > any_value(b.h)
+               AS alarm_low
+      FROM daily e
+      JOIN base b ON b.event_type = e.event_type
+      JOIN daily s ON s.event_type = e.event_type AND s.i <= e.i
+      GROUP BY e.event_type, e.day, e.y
+      ORDER BY e.event_type, day
     """,
 
     // CCF replay: dense zero-filled spine with integer day index,
