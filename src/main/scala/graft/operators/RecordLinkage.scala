@@ -75,4 +75,48 @@ object RecordLinkage {
         col(truthCol).as("is_match")): _*)
       .orderBy(passCols.map(col): _*)
   }
+
+  /** Sorted-neighborhood candidate pairs (X291; Hernández & Stolfo
+    * SIGMOD'95) — the OTHER standard blocking next to equi-key
+    * blocking: sort all records by a fuzzy key, emit every pair
+    * within a sliding window of `w` ranks. Where an equi-block
+    * fragments under dirt (an OCR'd prefix moves a record to a
+    * different block forever), a well-chosen sort key keeps the dirty
+    * record ADJACENT to its master, and multi-pass SN with different
+    * keys (the caller unions passes) covers each key's blind spots.
+    *
+    * Determinism: the sort order is (keys…, id) — total. Rank
+    * assignment is a range-partitioned sort with per-partition local
+    * numbering stitched by driver-held partition counts
+    * (`zipWithIndex` — metadata-only, no global single-partition
+    * window, the SuffixArray global-rank discipline); rank values are
+    * partition-layout-independent because the order is total. Pairing
+    * is an explode of the (w−1) forward offsets + one equi-join on
+    * rank — never a range join, never a cross product; candidates are
+    * exactly n·(w−1) rows.
+    *
+    * Returns (id_a, id_b) with id_a earlier in sort order.
+    */
+  def sortedNeighborhoodPairs(recs: DataFrame, idCol: String,
+      orderCols: Seq[Column], w: Int): DataFrame = {
+    require(w >= 2, s"window ($w) must be >= 2")
+    val spark = recs.sparkSession
+    import spark.implicits._
+    val keyed = recs.select(col(idCol).cast("long").as("_id") +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"_k$i") }: _*)
+    val ord = orderCols.indices.map(i => col(s"_k$i")) :+ col("_id")
+    val sorted = keyed
+      .repartitionByRange(ord: _*)
+      .sortWithinPartitions(ord: _*)
+    val rn = sorted.select(col("_id")).as[Long].rdd.zipWithIndex()
+      .map { case (id, i) => (id, i + 1) }
+      .toDF("_id", "_rn")
+      .localCheckpoint(true) // both sides of the offset join
+    rn.select(col("_id").as("id_a"), col("_rn"),
+        explode(array((1 until w).map(lit): _*)).as("_o"))
+      .withColumn("_rn2", col("_rn") + col("_o"))
+      .join(rn.select(col("_id").as("id_b"), col("_rn").as("_rn2")),
+        "_rn2")
+      .select("id_a", "id_b")
+  }
 }

@@ -132,6 +132,31 @@ object LlmSurface {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
+  /** The X284 planted-dirt linkage feed, shared by llm_record_linkage
+    * and llm_sorted_neighborhood (one definition so the two queries
+    * grade the same feed): (master m_*, dirty f_* with OCR'd 'X' name
+    * prefix on every 7th key, nation off-by-one on every 5th, +1.37
+    * balance drift on every 3rd, segment loss on every 11th; dirty
+    * ids = master id + 1_000_000).
+    */
+  private def linkageFeed(cust: DataFrame): (DataFrame, DataFrame) = {
+    val m = cust.select(col("c_custkey").as("m_key"),
+      col("c_name").as("m_name"), col("c_nationkey").as("m_nat"),
+      col("c_acctbal").as("m_bal"), col("c_mktsegment").as("m_seg"))
+    val f = cust.select(
+      (col("c_custkey") + 1000000L).as("f_key"),
+      when(col("c_custkey") % 7 === 0,
+        concat(lit("X"), col("c_name"))).otherwise(col("c_name"))
+        .as("f_name"),
+      when(col("c_custkey") % 5 === 0, (col("c_nationkey") + 1) % 25)
+        .otherwise(col("c_nationkey")).as("f_nat"),
+      when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.37)
+        .otherwise(col("c_acctbal")).as("f_bal"),
+      when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("f_seg"))
+    (m, f)
+  }
+
   /** KMV cardinality estimator over a sorted k-min-hash array column:
     * size(c) when the sketch is unsaturated, else ⌊(k−1)·2⁶⁰/h_k⌋.
     * The quotient is clamped at 2⁶² BEFORE the bigint cast — on a
@@ -2524,21 +2549,7 @@ object LlmSurface {
     // m/u learned from the labeled candidates; scores exact integer
     // ln-pair sums. Output is the self-evaluating candidate table.
     "llm_record_linkage" -> ((s, dir) => {
-      val cust = Tables(s, dir, "customer")
-      val m = cust.select(col("c_custkey").as("m_key"),
-        col("c_name").as("m_name"), col("c_nationkey").as("m_nat"),
-        col("c_acctbal").as("m_bal"), col("c_mktsegment").as("m_seg"))
-      val f = cust.select(
-        (col("c_custkey") + 1000000L).as("f_key"),
-        when(col("c_custkey") % 7 === 0,
-          concat(lit("X"), col("c_name"))).otherwise(col("c_name"))
-          .as("f_name"),
-        when(col("c_custkey") % 5 === 0, (col("c_nationkey") + 1) % 25)
-          .otherwise(col("c_nationkey")).as("f_nat"),
-        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.37)
-          .otherwise(col("c_acctbal")).as("f_bal"),
-        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
-          .otherwise(col("c_mktsegment")).as("f_seg"))
+      val (m, f) = linkageFeed(Tables(s, dir, "customer"))
       val cands = f.withColumn("_blk", substring(col("f_name"), -3, 3))
         .join(m.withColumn("_blk", substring(col("m_name"), -3, 3)),
           "_blk")
@@ -2552,6 +2563,53 @@ object LlmSurface {
       graft.operators.RecordLinkage.fellegiSunter(cands,
         Seq("g_name", "g_nat", "g_seg", "g_bal"), "truth",
         Seq("f_key", "m_key"))
+    }),
+
+    // ---- sorted-neighborhood blocking audit (X291) -----------------------
+    // The OTHER standard blocking next to X284's last-3 equi-join
+    // (Hernandez-Stolfo multi-pass SN): sort master+dirty records by a
+    // fuzzy key, pair within a 6-rank window; a second pass with a
+    // different key covers the first's blind spots (the name-tail key
+    // survives the OCR'd prefix; the nation+balance key survives name
+    // damage but not the planted nation shift — the union covers
+    // both). Output is the blocking-quality table: candidates, cross-
+    // source pairs, true matches captured, recall — per pass and for
+    // the multi-pass union.
+    "llm_sorted_neighborhood" -> ((s, dir) => {
+      val (m, f) = linkageFeed(Tables(s, dir, "customer"))
+      val recs = m.select(col("m_key").as("id"), col("m_name").as("name"),
+          col("m_nat").as("nat"), col("m_bal").as("bal"))
+        .unionByName(f.select(col("f_key").as("id"),
+          col("f_name").as("name"), col("f_nat").as("nat"),
+          col("f_bal").as("bal")))
+        .localCheckpoint(true) // two SN passes sort the same table
+      def stats(pass: String, pairs: DataFrame) = pairs
+        .withColumn("_cross",
+          (col("id_a") < lit(1000000L)) =!= (col("id_b") < lit(1000000L)))
+        .withColumn("_true",
+          abs(col("id_a") - col("id_b")) === lit(1000000L))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("_cross"), 1L).otherwise(0L)).as("n_cross_pairs"),
+          sum(when(col("_true"), 1L).otherwise(0L)).as("n_true_captured"))
+        .withColumn("pass", lit(pass))
+      val p1 = graft.operators.RecordLinkage.sortedNeighborhoodPairs(
+        recs, "id", Seq(reverse(col("name"))), w = 6)
+        .localCheckpoint(true) // feeds its own stats AND the union
+      val p2 = graft.operators.RecordLinkage.sortedNeighborhoodPairs(
+        recs, "id",
+        Seq(col("nat"), floor(col("bal") * 100 + 0.5).cast("long")),
+        w = 6)
+        .localCheckpoint(true)
+      val tot = m.agg(count(lit(1)).as("n_true_total"))
+      stats("name_tail", p1)
+        .unionByName(stats("nation_balance", p2))
+        .unionByName(stats("multi_pass", p1.unionByName(p2).distinct()))
+        .crossJoin(broadcast(tot))
+        .select(col("pass"), col("n_candidates"), col("n_cross_pairs"),
+          col("n_true_captured"), col("n_true_total"),
+          expr("(n_true_captured * 1000000) div n_true_total")
+            .as("recall_micro"))
+        .orderBy("pass")
     }),
 
     // ---- mutual-information feature screening vs lang (X283) -------------
@@ -4641,6 +4699,26 @@ mom AS (
       l0 AS (SELECT DISTINCT n, n AS lbl FROM sym),
       $rounds"""
   }
+
+  /** The X284 planted-dirt linkage feed as oracle CTEs (m, f) —
+    * shared by llm_record_linkage and llm_sorted_neighborhood.
+    */
+  private val linkageFeedCtes = """m AS (
+        SELECT c_custkey AS m_key, c_name AS m_name,
+               c_nationkey AS m_nat, c_acctbal AS m_bal,
+               c_mktsegment AS m_seg
+        FROM customer),
+      f AS (
+        SELECT c_custkey + 1000000 AS f_key,
+               CASE WHEN c_custkey % 7 = 0 THEN 'X' || c_name
+                    ELSE c_name END AS f_name,
+               CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS f_nat,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.37
+                    ELSE c_acctbal END AS f_bal,
+               CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END AS f_seg
+        FROM customer)"""
 
   private val embedQvCte = """e AS (
         SELECT vec_id,
@@ -8058,22 +8136,7 @@ $rounds,
       val nAgree = fields.map(f => s"CASE WHEN g_$f THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""
-      WITH m AS (
-        SELECT c_custkey AS m_key, c_name AS m_name,
-               c_nationkey AS m_nat, c_acctbal AS m_bal,
-               c_mktsegment AS m_seg
-        FROM customer),
-      f AS (
-        SELECT c_custkey + 1000000 AS f_key,
-               CASE WHEN c_custkey % 7 = 0 THEN 'X' || c_name
-                    ELSE c_name END AS f_name,
-               CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
-                    ELSE c_nationkey END AS f_nat,
-               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.37
-                    ELSE c_acctbal END AS f_bal,
-               CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
-                    ELSE c_mktsegment END AS f_seg
-        FROM customer),
+      WITH $linkageFeedCtes,
       c AS MATERIALIZED (
         SELECT f_key, m_key,
                (f_name = m_name) AS g_name,
@@ -8102,6 +8165,67 @@ $rounds,
       FROM s ORDER BY f_key, m_key
     """
     },
+
+    // Replays both SN passes: the (keys…, id) total-order row_number,
+    // the 5-forward-offset pair join, and the per-pass + union stats.
+    "llm_sorted_neighborhood" -> s"""
+      WITH $linkageFeedCtes,
+      recs AS MATERIALIZED (
+        SELECT m_key AS id, m_name AS name, m_nat AS nat, m_bal AS bal
+        FROM m
+        UNION ALL
+        SELECT f_key, f_name, f_nat, f_bal FROM f),
+      r1 AS MATERIALIZED (
+        SELECT id, row_number() OVER (ORDER BY reverse(name), id) AS rn
+        FROM recs),
+      p1 AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM r1 a
+        CROSS JOIN (VALUES (1), (2), (3), (4), (5)) o(k)
+        JOIN r1 b ON b.rn = a.rn + o.k),
+      r2 AS MATERIALIZED (
+        SELECT id, row_number() OVER (ORDER BY nat,
+          CAST(floor(bal * 100 + 0.5) AS BIGINT), id) AS rn
+        FROM recs),
+      p2 AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM r2 a
+        CROSS JOIN (VALUES (1), (2), (3), (4), (5)) o(k)
+        JOIN r2 b ON b.rn = a.rn + o.k),
+      u AS (
+        SELECT DISTINCT id_a, id_b FROM (
+          SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true_total FROM m),
+      st AS (
+        SELECT 'name_tail' AS pass,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN (id_a < 1000000) <> (id_b < 1000000)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_pairs,
+               CAST(sum(CASE WHEN abs(id_a - id_b) = 1000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_captured
+        FROM p1
+        UNION ALL
+        SELECT 'nation_balance',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN (id_a < 1000000) <> (id_b < 1000000)
+                 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN abs(id_a - id_b) = 1000000
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM p2
+        UNION ALL
+        SELECT 'multi_pass',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN (id_a < 1000000) <> (id_b < 1000000)
+                 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN abs(id_a - id_b) = 1000000
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM u)
+      SELECT pass, n_candidates, n_cross_pairs, n_true_captured,
+             n_true_total,
+             (n_true_captured * 1000000) // n_true_total AS recall_micro
+      FROM st CROSS JOIN tot
+      ORDER BY pass
+    """,
 
     // Replays the presence counts, the COMPLETED word x lang grid
     // (absence cells included), and the per-cell integer ln pairs.
