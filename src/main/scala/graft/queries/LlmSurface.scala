@@ -1895,6 +1895,44 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- dimension-truncation retrieval ablation (X292) ------------------
+    // The Matryoshka/MRL serving question (Kusupati et al. NeurIPS'22):
+    // how much top-5 recall survives if serving ranks by only the
+    // first d of 64 dims (prefix truncation — the memory/latency lever
+    // an embedding service actually pulls). Exact brute-force top-5
+    // under each truncated metric vs the full-dim truth on the shared
+    // md5 panel; d = 64 must read recall 10⁶ exactly (built-in sanity).
+    "llm_ann_dim_ablation" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+        .localCheckpoint(true)
+      val dot = VectorOps.dotFn(s)
+      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0))
+        .localCheckpoint(true)
+      val allPairs = panel.select(col("vec_id").as("query_id"))
+        .crossJoin(emb.select(col("vec_id")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .localCheckpoint(true) // shared by all four truncations
+      def top5(d: Int) = {
+        val embD = emb.select(col("vec_id"), slice(col("qv"), 1, d).as("qv"))
+        val panD = panel.select(col("vec_id"), slice(col("qv"), 1, d).as("qv"))
+        VectorOps.refineTopK(allPairs, embD, panD, "vec_id", "qv", k = 5,
+          dot = dot).select("query_id", "vec_id")
+      }
+      val full = top5(64).withColumn("_hit", lit(true))
+        .localCheckpoint(true) // joined against every truncation
+      Seq(8, 16, 32, 64).map { d =>
+        top5(d)
+          .join(full, Seq("query_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_retrieved"),
+            sum(when(col("_hit"), 1L).otherwise(0L)).as("n_hits"))
+          .withColumn("dim", lit(d))
+      }.reduce(_.unionByName(_))
+        .select(col("dim"), col("n_retrieved"), col("n_hits"),
+          expr("(n_hits * 1000000) div n_retrieved").as("recall_micro"))
+        .orderBy("dim")
+    }),
+
     // ---- IVF-PQ shortlist + exact refine (IndexRefineFlat serving shape) -
     // The deployed two-stage ANN pattern: the compressed index answers a
     // C >> k shortlist (cheap, approximate), then EXACT distances on the
@@ -6940,6 +6978,53 @@ $rounds,
         ON er.query_id = gr.query_id AND er.vec_id = gr.vec_id
       WHERE er."rank" <= 5
       ORDER BY er.query_id, er."rank"
+    """
+    },
+
+    // Replays the shared panel, the per-truncation brute-force top-5
+    // (distance over qv[1:d] only), and the hit counts vs d = 64.
+    "llm_ann_dim_ablation" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val topCtes = dims.map { d =>
+        s"""t$d AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, ${d + 1}),
+                     j -> (qq[j] - xq[j]) * (qq[j] - xq[j]))) AS BIGINT),
+                   vec_id) AS rn
+          FROM ex)
+        WHERE rn <= 5)"""
+      }.mkString(",\n      ")
+      val statRows = dims.map { d =>
+        s"""SELECT $d AS dim, CAST(count(*) AS BIGINT) AS n_retrieved,
+               CAST(sum(CASE WHEN f.query_id IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM t$d t LEFT JOIN t64 f
+          ON t.query_id = f.query_id AND t.vec_id = f.vec_id"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $embedQvCte,
+      qv0 AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id % 100 = 0),
+      pq AS (
+        SELECT query_id, qv FROM (
+          SELECT query_id, qv,
+                 row_number() OVER (ORDER BY
+                   CAST('0x' || substr(md5('panel|' || CAST(query_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   query_id) AS pr
+          FROM qv0)
+        WHERE pr <= 64),
+      ex AS MATERIALIZED (
+        SELECT q.query_id, x.vec_id, q.qv AS qq, x.qv AS xq
+        FROM pq q CROSS JOIN e x
+        WHERE q.query_id <> x.vec_id),
+      $topCtes,
+      st AS (
+        $statRows)
+      SELECT dim, n_retrieved, n_hits,
+             (n_hits * 1000000) // n_retrieved AS recall_micro
+      FROM st
+      ORDER BY dim
     """
     },
 
