@@ -2650,6 +2650,17 @@ object LlmSurface {
         .orderBy("pass")
     }),
 
+    // ---- pLSA topic model, 3 unrolled EM rounds (X293) -------------------
+    // The unsupervised corpus-structure readout next to X198's
+    // supervised classifier: K=4 topics fit by exact-integer EM
+    // (micro doc mixtures, nano topic-word probabilities, add-one
+    // smoothing, keyed-md5 deterministic init), reported as the top-8
+    // words per topic. Every E-step row count is nnz(d,w)×K; every
+    // M-step agg is vocab- or docs-bounded with map-side combine.
+    "llm_topic_model" -> ((s, dir) =>
+      graft.llm.TopicOps.plsaTopics(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 4, rounds = 3, topWords = 8)),
+
     // ---- mutual-information feature screening vs lang (X283) -------------
     // Which word-presence features carry the most bits about the
     // language label — the filter-method ranking that seeds a
@@ -8311,6 +8322,76 @@ $rounds,
       FROM st CROSS JOIN tot
       ORDER BY pass
     """,
+
+    // Replays the keyed-md5 init and all 3 EM rounds as unrolled
+    // MATERIALIZED CTEs (each round's tables are referenced twice next
+    // round); responsibilities and both normalizations route through
+    // HUGEINT, floors are `//` on nonnegative operands throughout.
+    "llm_topic_model" -> {
+      val roundCtes = (1 to 3).map { r =>
+        val p = if (r == 1) "0" else (r - 1).toString
+        s"""e$r AS MATERIALIZED (
+        SELECT n.d, n.w, z.z, n.n,
+               CAST(pzd.p AS HUGEINT) * pwz.p AS num
+        FROM n CROSS JOIN zs z
+        JOIN pzd$p pzd ON pzd.d = n.d AND pzd.z = z.z
+        JOIN pwz$p pwz ON pwz.w = n.w AND pwz.z = z.z),
+      s$r AS MATERIALIZED (
+        SELECT d, w, z,
+               n * CAST((num * 1000000) // (sum(num) OVER (PARTITION BY d, w))
+                 AS BIGINT) AS s
+        FROM e$r),
+      sw$r AS MATERIALIZED (
+        SELECT z, w, CAST(sum(s) AS BIGINT) AS s FROM s$r GROUP BY 1, 2),
+      pwz$r AS MATERIALIZED (
+        SELECT w, z,
+               CAST(((CAST(s AS HUGEINT) + 1) * 1000000000) // (t + v)
+                 AS BIGINT) AS p
+        FROM (SELECT w, z, s, sum(s) OVER (PARTITION BY z) AS t FROM sw$r)
+        CROSS JOIN vocab),
+      pzd$r AS MATERIALIZED (
+        SELECT d, z,
+               CAST(((CAST(s AS HUGEINT) + 1) * 1000000) // (t + 4)
+                 AS BIGINT) AS p
+        FROM (SELECT d, z, s, sum(s) OVER (PARTITION BY d) AS t
+              FROM (SELECT d, z, CAST(sum(s) AS BIGINT) AS s
+                    FROM s$r GROUP BY 1, 2)))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH n AS MATERIALIZED (
+        SELECT d, w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY 1, 2),
+      zs AS (SELECT unnest(range(0, 4)) AS z),
+      vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM n),
+      pzd0 AS MATERIALIZED (
+        SELECT d, z, (r * 1000000) // t AS p FROM (
+          SELECT d, z, r, sum(r) OVER (PARTITION BY d) AS t FROM (
+            SELECT d, z,
+                   CAST('0x' || substr(md5('plsa_d|' || CAST(d AS VARCHAR)
+                     || '|' || CAST(z AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 5 + 1 AS r
+            FROM (SELECT DISTINCT d FROM n) CROSS JOIN zs))),
+      pwz0 AS MATERIALIZED (
+        SELECT w, z, (r * 1000000000) // t AS p FROM (
+          SELECT w, z, r, sum(r) OVER (PARTITION BY z) AS t FROM (
+            SELECT w, z,
+                   CAST('0x' || substr(md5('plsa_w|' || w
+                     || '|' || CAST(z AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 5 + 1 AS r
+            FROM (SELECT DISTINCT w FROM n) CROSS JOIN zs))),
+      $roundCtes
+      SELECT topic, "rank", word, p_nano, weight FROM (
+        SELECT p3.z AS topic, p3.w AS word, p3.p AS p_nano,
+               s3.s // 1000000 AS weight,
+               row_number() OVER (PARTITION BY p3.z
+                 ORDER BY p3.p DESC, p3.w) AS "rank"
+        FROM pwz3 p3 JOIN sw3 s3 ON s3.z = p3.z AND s3.w = p3.w)
+      WHERE "rank" <= 8
+      ORDER BY topic, "rank"
+    """
+    },
 
     // Replays the presence counts, the COMPLETED word x lang grid
     // (absence cells included), and the per-cell integer ln pairs.
