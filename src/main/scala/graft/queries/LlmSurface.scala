@@ -2803,6 +2803,29 @@ object LlmSurface {
         .orderBy("n")
     }),
 
+    // ---- sampled-source betweenness centrality (X294) --------------------
+    // The broker/gateway readout the graph family lacked (PageRank
+    // ranks endorsement, k-core density; betweenness ranks FLOW):
+    // exact Brandes forward-σ/backward-δ per md5-sampled source on
+    // the capped co-purchase projection, hop horizon 4 (the bounded-
+    // diameter estimator — both truncations are the standard scale
+    // knobs; full Brandes is O(nm) and never acceptable at scale).
+    "llm_graph_betweenness" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      val sym = edges.select(col("item_a").as("a"), col("item_b").as("b"))
+        .unionByName(
+          edges.select(col("item_b").as("a"), col("item_a").as("b")))
+      val seeds = Tables(s, dir, "part")
+        .filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey").as("n"))
+      graft.operators.Betweenness.approx(sym, "a", "b", seeds,
+        levels = 4, topK = 20)
+    }),
+
     // ---- Wald SPRT daily trajectory, three hypothesis pairs (X269) -------
     // Fully-sequential purchase-rate monitoring: every ln constant
     // folded to integer micro ON THE DRIVER and shared verbatim with
@@ -8868,6 +8891,78 @@ $rounds
         FROM part WHERE p_partkey % 100 = 0),
 $rounds
       SELECT n, CAST(dist AS BIGINT) AS dist FROM d6 ORDER BY n
+    """
+    },
+
+    // Replays the capped projection, the md5 seed set, 4 forward BFS
+    // levels with exact σ path counts, and the backward dependency
+    // accumulation with per-edge micro quantization — every level a
+    // MATERIALIZED CTE (each feeds the next level AND the vis union).
+    "llm_graph_betweenness" -> {
+      val lmax = 4
+      val fwd = (1 to lmax).map { l =>
+        s"""f$l AS MATERIALIZED (
+        SELECT src, n, $l AS d, CAST(sum(sigma) AS BIGINT) AS sigma FROM (
+          SELECT f.src, e.b AS n, f.sigma
+          FROM f${l - 1} f JOIN sym e ON e.a = f.n) t
+        WHERE NOT EXISTS (SELECT 1 FROM v${l - 1} v
+                          WHERE v.src = t.src AND v.n = t.n)
+        GROUP BY src, n),
+      v$l AS MATERIALIZED (
+        SELECT * FROM v${l - 1} UNION ALL SELECT * FROM f$l)"""
+      }.mkString(",\n      ")
+      val bwd = ((lmax - 1) to 0 by -1).map { l =>
+        s"""b$l AS MATERIALIZED (
+        SELECT a.src, a.v AS n,
+               CAST(sum((CAST(a.sv AS HUGEINT)
+                 * (1000000 + coalesce(d2.delta, 0))) // a.sw)
+                 AS BIGINT) AS delta
+        FROM adj a LEFT JOIN dall${l + 1} d2
+          ON d2.src = a.src AND d2.n = a.w
+        WHERE a.dv = $l
+        GROUP BY 1, 2),
+      dall$l AS MATERIALIZED (
+        SELECT * FROM dall${l + 1} UNION ALL SELECT * FROM b$l)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bcap AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      pedges AS (
+        SELECT x.i AS ia, y.i AS ib
+        FROM bcap x JOIN bcap y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      sym AS (
+        SELECT ia AS a, ib AS b FROM pedges
+        UNION ALL
+        SELECT ib AS a, ia AS b FROM pedges),
+      f0 AS (
+        SELECT DISTINCT p_partkey AS src, p_partkey AS n, 0 AS d,
+               CAST(1 AS BIGINT) AS sigma
+        FROM part WHERE p_partkey % 100 = 0),
+      v0 AS (SELECT * FROM f0),
+      $fwd,
+      adj AS MATERIALIZED (
+        SELECT a.src, a.n AS v, a.d AS dv, a.sigma AS sv,
+               w.n AS w, w.sigma AS sw
+        FROM v$lmax a
+        JOIN sym e ON e.a = a.n
+        JOIN v$lmax w ON w.src = a.src AND w.n = e.b AND w.d = a.d + 1),
+      dall$lmax AS (
+        SELECT src, n, CAST(0 AS BIGINT) AS delta FROM v$lmax WHERE 1 = 0),
+      $bwd
+      SELECT node, bc_micro FROM (
+        SELECT n AS node, CAST(sum(delta) AS BIGINT) AS bc_micro
+        FROM dall0 WHERE n <> src GROUP BY 1)
+      ORDER BY bc_micro DESC, node
+      LIMIT 20
     """
     },
 
