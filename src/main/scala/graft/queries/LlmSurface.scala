@@ -2650,6 +2650,17 @@ object LlmSurface {
         .orderBy("pass")
     }),
 
+    // ---- unigram-LM tokenizer training, hard-EM Viterbi (X295) -----------
+    // The SentencePiece unigram model next to llm_bpe_train's merge
+    // loop: substring seed vocab + single-char coverage floor, then 2
+    // rounds of Viterbi segmentation (integer micro-nat costs, exact
+    // argmin) and prune + add-one re-estimation. Everything after the
+    // corpus word-count pass is vocabulary-bounded.
+    "llm_unigram_tokenizer" -> ((s, dir) =>
+      graft.llm.UnigramTokenizer.train(Tables(s, dir, "documents"),
+        "text", maxPieceLen = 4, maxWordLen = 8, minFreq = 20L,
+        rounds = 2, topK = 30)),
+
     // ---- pLSA topic model, 3 unrolled EM rounds (X293) -------------------
     // The unsupervised corpus-structure readout next to X198's
     // supervised classifier: K=4 topics fit by exact-integer EM
@@ -8345,6 +8356,101 @@ $rounds,
       FROM st CROSS JOIN tot
       ORDER BY pass
     """,
+
+    // Replays the span enumeration, the seed vocabulary, and BOTH
+    // hard-EM rounds — 8 Viterbi positions forward (cumulative dp
+    // CTEs, argmin by (total, piece)) and 8 cursor steps backward —
+    // all generated as MATERIALIZED CTEs; every ln is a micro-nat
+    // pair on integer-valued doubles.
+    "llm_unigram_tokenizer" -> {
+      val (maxLen, maxPiece, rounds) = (8, 4, 2)
+      def lnu(x: String): String =
+        s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+      val vals = (1 to maxLen).map(i => s"($i)").mkString(", ")
+      val pvals = (1 to maxPiece).map(i => s"($i)").mkString(", ")
+      val roundCtes = (1 to rounds).map { r =>
+        val pPrev = if (r == 1) "p0" else s"p${r - 1}"
+        val fwd = (1 to maxLen).map { pos =>
+          s"""d${r}_$pos AS MATERIALIZED (
+        SELECT w, $pos AS pos, dp, piece, l FROM (
+          SELECT s.w, d.dp + s.cost AS dp, s.piece, s.l,
+                 row_number() OVER (PARTITION BY s.w
+                   ORDER BY d.dp + s.cost, s.piece) AS rn
+          FROM sc$r s JOIN da${r}_${pos - 1} d
+            ON d.w = s.w AND d.pos = s.i - 1
+          WHERE s.j = $pos)
+        WHERE rn = 1),
+      da${r}_$pos AS MATERIALIZED (
+        SELECT * FROM da${r}_${pos - 1} UNION ALL SELECT * FROM d${r}_$pos)"""
+        }.mkString(",\n      ")
+        val bwd = (1 to maxLen).map { t =>
+          s"""em${r}_$t AS MATERIALIZED (
+        SELECT cu.w, cu.c, cu.pos, d.piece, d.l
+        FROM cur${r}_${t - 1} cu JOIN da${r}_$maxLen d
+          ON d.w = cu.w AND d.pos = cu.pos
+        WHERE cu.pos > 0),
+      cur${r}_$t AS MATERIALIZED (
+        SELECT e.w, e.c, e.pos - e.l AS pos FROM em${r}_$t e)"""
+        }.mkString(",\n      ")
+        val emAll = (1 to maxLen).map(t => s"SELECT * FROM em${r}_$t")
+          .mkString(" UNION ALL ")
+        s"""sc$r AS MATERIALIZED (
+        SELECT s.w, s.c, s.i, s.j, s.piece, s.l, p.cost
+        FROM spans s JOIN $pPrev p USING (piece)),
+      d${r}_0 AS (
+        SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS dp, '' AS piece, 0 AS l
+        FROM wc),
+      da${r}_0 AS (SELECT * FROM d${r}_0),
+      $fwd,
+      cur${r}_0 AS (SELECT w, c, CAST(len(w) AS INTEGER) AS pos FROM wc),
+      $bwd,
+      uses$r AS MATERIALIZED (
+        SELECT piece, CAST(sum(c) AS BIGINT) AS n_uses
+        FROM ($emAll) GROUP BY 1),
+      kept$r AS MATERIALIZED (
+        SELECT p.piece, coalesce(u.n_uses, 0) AS n_uses
+        FROM $pPrev p LEFT JOIN uses$r u USING (piece)
+        WHERE coalesce(u.n_uses, 0) >= 1 OR len(p.piece) = 1),
+      p$r AS MATERIALIZED (
+        SELECT piece, ${lnu("tu + np")} - ${lnu("n_uses + 1")} AS cost
+        FROM kept$r
+        CROSS JOIN (SELECT CAST(sum(n_uses) AS BIGINT) AS tu,
+                           CAST(count(*) AS BIGINT) AS np
+                    FROM kept$r))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH wc AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' AND len(w) <= $maxLen
+        GROUP BY 1),
+      spans AS MATERIALIZED (
+        SELECT w, c, i, i + l - 1 AS j, substring(w, i, l) AS piece, l
+        FROM wc
+        CROSS JOIN (VALUES $vals) ti(i)
+        CROSS JOIN (VALUES $pvals) tl(l)
+        WHERE i + l - 1 <= len(w)),
+      seed AS (
+        SELECT piece, CAST(sum(c) AS BIGINT) AS f
+        FROM spans GROUP BY 1
+        HAVING sum(c) >= 20 OR len(piece) = 1),
+      p0 AS MATERIALIZED (
+        SELECT piece, ${lnu("tf")} - ${lnu("f")} AS cost
+        FROM seed
+        CROSS JOIN (SELECT CAST(sum(f) AS BIGINT) AS tf FROM seed)),
+      $roundCtes
+      SELECT "rank", piece, n_uses, cost_micro, total_tokens FROM (
+        SELECT u.piece, u.n_uses, p.cost AS cost_micro, t.total_tokens,
+               row_number() OVER (ORDER BY u.n_uses DESC, u.piece)
+                 AS "rank"
+        FROM uses$rounds u
+        JOIN p$rounds p USING (piece)
+        CROSS JOIN (SELECT CAST(sum(n_uses) AS BIGINT) AS total_tokens
+                    FROM uses$rounds) t)
+      WHERE "rank" <= 30
+      ORDER BY "rank"
+    """
+    },
 
     // Replays the keyed-md5 init and all 3 EM rounds as unrolled
     // MATERIALIZED CTEs (each round's tables are referenced twice next
