@@ -86,7 +86,9 @@ object TopicOps {
     val vocab = n.select("w").distinct().agg(count(lit(1)).as("_v"))
     var sw: DataFrame = null
     (1 to rounds).foreach { _ =>
-      val e = n
+      // pinned: the E-step frame (two joins + a (d,w) window) feeds
+      // BOTH M-step aggregations — unmaterialized it runs twice/round
+      val e = materialize(n
         .join(pzd.select(col("d"), col("z"), col("p").as("_pzd")), "d")
         .join(pwz.select(col("w"), col("z"), col("p").as("_pwz")),
           Seq("w", "z"))
@@ -94,7 +96,8 @@ object TopicOps {
         .withColumn("_den", sum("_num").over(Window.partitionBy("d", "w")))
         .withColumn("_r", TextOps.floorDivDec(
           col("_num") * lit(1000000L), col("_den")).cast("long"))
-        .select(col("d"), col("w"), col("z"), (col("n") * col("_r")).as("_s"))
+        .select(col("d"), col("w"), col("z"),
+          (col("n") * col("_r")).as("_s")))
       sw = materialize(e.groupBy("z", "w").agg(sum("_s").as("s")))
       pwz = materialize(sw
         .withColumn("_t", sum("s").over(Window.partitionBy("z")))

@@ -577,6 +577,28 @@ object StreamSurface {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ---- X297: streaming tabular CUSUM monitor -----------------------------
+    // The monitoring deployment shape of p_cusum_tabular: per batch,
+    // ONE distributed daily combine agg; the calendar-sized series
+    // folds through carried (S+, S-) state, with pre-baseline days
+    // buffered and replayed the moment the 7-day baseline freezes —
+    // so the emitted stream is row-identical to the batch operator
+    // (same planted x2 drift, same oracle SQL, hash-proven).
+    "stream_cusum" -> ((s, dir) => {
+      val base = tmpBase(dir, "cusum")
+      val (in, schema) = stagedEvents(s, dir)
+      StreamHarness.deleteRecursively(new File(s"$base/state"))
+      StreamHarness.deleteRecursively(new File(s"$base/out"))
+      StreamHarness.runQuery(s, in, schema) { src =>
+        EventStream.cusumMonitor(
+          src.withColumn("value",
+            when(col("ts") >= lit("2024-01-26").cast("timestamp"),
+              col("value") * 2).otherwise(col("value"))),
+          s"$base/state", s"$base/out")
+      }
+      s.read.parquet(s"$base/out").orderBy("event_type", "day")
+    }),
+
     // ---- X122b: streaming MERGE into a versioned snapshot ------------------
     // foreachBatch upsert over six event batches; the final snapshot
     // must hold each user's LATEST event (event-time, event_id
@@ -943,6 +965,11 @@ object StreamSurface {
       GROUP BY doc_id, grp
       ORDER BY doc_id, span_start
     """,
+
+    // The streamed monitor must reproduce the BATCH tabular CUSUM
+    // bit for bit — same planted drift, same arithmetic — so the
+    // oracle IS the batch query's oracle, shared by reference.
+    "stream_cusum" -> LlmSurface.oracleSql("p_cusum_tabular"),
 
     "stream_upsert_snapshot" -> """
       SELECT user_id, event_id, event_type, value,

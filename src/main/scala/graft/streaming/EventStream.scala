@@ -411,4 +411,138 @@ object EventStream extends Serializable {
           }
       }
   }
+
+  /** Streaming tabular CUSUM monitor (X297) — the streaming form of
+    * [[graft.llm.EventOps.cusumTabular]], composed on the maintained-
+    * state foreachBatch pattern: per micro-batch, daily cents totals
+    * aggregate DISTRIBUTED (one combine agg), and only the
+    * calendar-sized per-type day series reaches the driver for the
+    * sequential S± fold (the Holt/BPE bounded-collect precedent —
+    * |types|×|days| rows, never events). The recursion
+    * S⁺_d = max(0, S⁺_{d−1} + y_d·10⁶ − (μ0+k)) is carried ACROSS
+    * batches in a tiny state table, so each batch does O(new days)
+    * work — the true monitoring deployment shape, where the batch
+    * operator's closed form would re-scan history every day.
+    *
+    * Baseline discipline: μ0 fixes after the first `baseDays` CLOSED
+    * days; earlier days are buffered in state and emitted (replayed
+    * through the fold) the moment the baseline completes, so the
+    * emitted stream is row-identical to the batch operator. Absent
+    * (type, day) cells are real zero observations: each batch
+    * advances a dense day range `lastDay+1 .. batchMax` for every
+    * known type (a type first seen later backfills zeros from the
+    * global min day). Batches must arrive in event-time order with
+    * day-aligned boundaries — the replay harness contract.
+    *
+    * Output rows append to `outDir`: (event_type, day, y,
+    * cusum_high_micro, cusum_low_micro, alarm_high, alarm_low).
+    */
+  def cusumMonitor(events: DataFrame, stateDir: String, outDir: String,
+      baseDays: Int = 7, kPermille: Long = 50L, hPermille: Long = 250L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val daily = batch
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            floor(col("value") * 100 + 0.5).cast("long").as("c"))
+          .groupBy("event_type", "day").agg(sum("c").as("y"))
+          .select(col("event_type"), col("day").cast("string"), col("y"))
+          .as[(String, String, Long)].collect()
+        if (daily.nonEmpty) {
+          import java.time.LocalDate
+          val sumPath = s"$stateDir/summary"
+          val bufPath = s"$stateDir/buffer"
+          // (type -> (nClosed, baseSum, sHi, sLo)), lastDay global
+          val havePrev = new java.io.File(sumPath).exists()
+          var st: Map[String, (Int, Long, Long, Long)] = Map.empty
+          var lastDay: Option[LocalDate] = None
+          var minDay: Option[LocalDate] = None
+          if (havePrev) {
+            val rows = s.read.parquet(sumPath)
+              .as[(String, Int, Long, Long, Long, String, String)]
+              .collect()
+            st = rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+            lastDay = Some(LocalDate.parse(rows.head._6))
+            minDay = Some(LocalDate.parse(rows.head._7))
+          }
+          var buf: Map[String, Vector[(String, Long)]] =
+            if (havePrev)
+              s.read.parquet(bufPath).as[(String, String, Long)].collect()
+                .groupBy(_._1).view
+                .mapValues(_.sortBy(_._2).map(r => (r._2, r._3)).toVector)
+                .toMap
+            else Map.empty
+          val byKey = daily.map(r => (r._1, r._2) -> r._3).toMap
+          val batchDays = daily.map(r => LocalDate.parse(r._2))
+          val rangeStart = lastDay.map(_.plusDays(1))
+            .getOrElse(batchDays.min)
+          if (minDay.isEmpty) minDay = Some(batchDays.min)
+          val rangeEnd = batchDays.max
+          val types = (st.keySet ++ daily.map(_._1)).toSeq.sorted
+          val out = Seq.newBuilder[
+            (String, String, Long, Long, Long, Boolean, Boolean)]
+          def emit(t: String, day: String, y: Long, nc: Int, baseSum: Long,
+              sHi: Long, sLo: Long): (Long, Long) = {
+            // nc here counts days closed BEFORE this one; baseline is
+            // complete, so mu0/k/h derive from the frozen baseSum
+            val mu0 = baseSum * 1000000L / baseDays
+            val k = mu0 * kPermille / 1000L
+            val h = mu0 * hPermille / 1000L
+            val nHi = math.max(0L, sHi + y * 1000000L - (mu0 + k))
+            val nLo = math.max(0L, sLo + (mu0 - k) - y * 1000000L)
+            out += ((t, day, y, nHi, nLo, nHi > h, nLo > h))
+            (nHi, nLo)
+          }
+          types.foreach { t =>
+            var (nc, baseSum, sHi, sLo) =
+              st.getOrElse(t, (0, 0L, 0L, 0L))
+            var b = buf.getOrElse(t, Vector.empty)
+            // a type first seen now backfills zeros from the corpus min
+            var d = if (st.contains(t)) rangeStart else minDay.get
+            while (!d.isAfter(rangeEnd)) {
+              val day = d.toString
+              val y = byKey.getOrElse((t, day), 0L)
+              if (nc < baseDays) {
+                b = b :+ ((day, y)); baseSum += y; nc += 1
+                if (nc == baseDays) {
+                  // baseline complete: replay the buffer through the fold
+                  b.foreach { case (bd, by) =>
+                    val r = emit(t, bd, by, nc, baseSum, sHi, sLo)
+                    sHi = r._1; sLo = r._2
+                  }
+                  b = Vector.empty
+                }
+              } else {
+                val r = emit(t, day, y, nc, baseSum, sHi, sLo)
+                sHi = r._1; sLo = r._2
+              }
+              d = d.plusDays(1)
+            }
+            st = st.updated(t, (nc, baseSum, sHi, sLo))
+            buf = buf.updated(t, b)
+          }
+          val rows = out.result()
+          if (rows.nonEmpty)
+            rows.toDF("event_type", "day", "y", "cusum_high_micro",
+                "cusum_low_micro", "alarm_high", "alarm_low")
+              .coalesce(1).write.mode("append").parquet(outDir)
+          val le = rangeEnd.toString
+          val md = minDay.get.toString
+          st.toSeq.map(e => (e._1, e._2._1, e._2._2, e._2._3, e._2._4,
+              le, md))
+            .toDF("event_type", "n_closed", "base_sum", "s_hi", "s_lo",
+              "last_day", "min_day")
+            .coalesce(1).write.mode("overwrite").parquet(sumPath)
+          buf.toSeq.flatMap { case (t, bs) =>
+              bs.map(b => (t, b._1, b._2))
+            }
+            .toDF("event_type", "day", "y")
+            .coalesce(1).write.mode("overwrite").parquet(bufPath)
+        }
+        ()
+      }
+      .start()
 }
