@@ -2650,6 +2650,26 @@ object LlmSurface {
         .orderBy("pass")
     }),
 
+    // ---- rank-2 ALS latent-factor recommendation (X298) ------------------
+    // The collaborative-filtering family next to co-order graphs and
+    // link prediction: customer × part purchase counts factorized by
+    // 2 exact-integer ALS alternations (closed-form 2x2 adjugate
+    // solves, λ-regularized so det > 0 always). Each half-step is one
+    // ratings equi-join + one combine agg; scoring is restricted to
+    // observed candidates — no user×item product anywhere.
+    "llm_recsys_als" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val ratings = li.join(ord, "l_orderkey")
+        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("r"))
+      graft.llm.AlsOps.alsFactors(ratings, "cust", "item", "r",
+        rounds = 2, lambdaMilli2 = 100000L, topUsers = 20)
+    }),
+
     // ---- unigram-LM tokenizer training, hard-EM Viterbi (X295) -----------
     // The SentencePiece unigram model next to llm_bpe_train's merge
     // loop: substring seed vocab + single-char coverage floor, then 2
@@ -8356,6 +8376,78 @@ $rounds,
       FROM st CROSS JOIN tot
       ORDER BY pass
     """,
+
+    // Replays the ratings build, the keyed-md5 item init, and both
+    // ALS alternations as closed-form 2x2 adjugate solves through
+    // HUGEINT; the signed factor divisions are toward-zero `//`.
+    "llm_recsys_als" -> {
+      def solve(out: String, outKey: String, inKey: String,
+          factors: String): String =
+        s"""$out AS MATERIALIZED (
+        SELECT $outKey,
+               CAST((1000000 * ((a22 + 100000) * b1 - a12 * b2)) // det
+                 AS BIGINT) AS f1,
+               CAST((1000000 * ((a11 + 100000) * b2 - a12 * b1)) // det
+                 AS BIGINT) AS f2
+        FROM (
+          SELECT $outKey, a11, a12, a22, b1, b2,
+                 (a11 + 100000) * (a22 + 100000) - a12 * a12 AS det
+          FROM (
+            SELECT rat.$outKey,
+                   sum(CAST(g.f1 AS HUGEINT) * g.f1) AS a11,
+                   sum(CAST(g.f1 AS HUGEINT) * g.f2) AS a12,
+                   sum(CAST(g.f2 AS HUGEINT) * g.f2) AS a22,
+                   sum(CAST(rat.r AS HUGEINT) * g.f1) AS b1,
+                   sum(CAST(rat.r AS HUGEINT) * g.f2) AS b2
+            FROM rat JOIN $factors g ON g.$inKey = rat.$inKey
+            GROUP BY 1)))"""
+      val rounds = (1 to 2).map { r =>
+        val vPrev = if (r == 1) "v0" else s"v${r - 1}"
+        solve(s"u$r", "u", "i", vPrev) + ",\n      " +
+          solve(s"v$r", "i", "u", s"u$r")
+      }.mkString(",\n      ")
+      s"""
+      WITH rat AS MATERIALIZED (
+        SELECT o_custkey AS u, l_partkey AS i,
+               CAST(count(*) AS BIGINT) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        GROUP BY 1, 2),
+      v0 AS MATERIALIZED (
+        SELECT i,
+               900 + CAST('0x' || substr(md5('als|' || CAST(i AS VARCHAR)
+                 || '|1'), 1, 15) AS BIGINT) % 201 AS f1,
+               900 + CAST('0x' || substr(md5('als|' || CAST(i AS VARCHAR)
+                 || '|2'), 1, 15) AS BIGINT) % 201 AS f2
+        FROM (SELECT DISTINCT i FROM rat)),
+      $rounds,
+      act AS (SELECT u, CAST(count(*) AS BIGINT) AS n_items
+              FROM rat GROUP BY 1),
+      sc AS MATERIALIZED (
+        SELECT u, i, score FROM (
+          SELECT rat.u, rat.i,
+                 CAST(CAST(uu.f1 AS HUGEINT) * vv.f1
+                   + CAST(uu.f2 AS HUGEINT) * vv.f2 AS BIGINT) AS score,
+                 row_number() OVER (PARTITION BY rat.u ORDER BY
+                   CAST(uu.f1 AS HUGEINT) * vv.f1
+                     + CAST(uu.f2 AS HUGEINT) * vv.f2 DESC,
+                   rat.i) AS rn
+          FROM rat
+          JOIN v2 vv ON vv.i = rat.i
+          JOIN u2 uu ON uu.u = rat.u)
+        WHERE rn = 1)
+      SELECT u AS cust, n_items, f1 AS f1_milli, f2 AS f2_milli,
+             i AS top_item, score AS top_score_milli2
+      FROM (
+        SELECT act.u, act.n_items, u2.f1, u2.f2, sc.i, sc.score,
+               row_number() OVER (ORDER BY act.n_items DESC, act.u) AS ur
+        FROM act
+        JOIN u2 ON u2.u = act.u
+        JOIN sc ON sc.u = act.u)
+      WHERE ur <= 20
+      ORDER BY cust
+    """
+    },
 
     // Replays the span enumeration, the seed vocabulary, and BOTH
     // hard-EM rounds — 8 Viterbi positions forward (cumulative dp
