@@ -2026,6 +2026,101 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** The UCB1 exploration bonus in micro units,
+    * ⌊√(2·ln p / n)·10⁶ + 0.5⌋ — computed ONCE in this JVM and shared
+    * by the Spark fold and the interpolated oracle VALUES table (the
+    * SPRT folded-constant discipline: no runtime transcendental can
+    * disagree across engines because neither engine evaluates one).
+    */
+  def ucbBonusMicro(p: Int, n: Int): Long =
+    math.floor(math.sqrt(2.0 * math.log(p.toDouble) / n.toDouble)
+      * 1000000.0 + 0.5).toLong
+
+  /** Deterministic UCB1 bandit trajectory over the logged daily
+    * arm-reward feed (X299; Auer, Cesa-Bianchi & Fischer MLJ 2002) —
+    * the sequential DECISION readout next to [[sprtTrajectory]]'s
+    * testing and [[offPolicyValue]]'s counterfactual scoring: replay
+    * "what would UCB1 have played" day by day against the full-
+    * information log, the audit a bandit rollout runs before going
+    * live.
+    *
+    * Construction (all pure functions of the data):
+    *  - arms = event types; the arena is a DENSE zero-filled
+    *    `horizon`-day spine from the corpus min day (missing cells are
+    *    real 0-reward days, and the FIXED horizon keeps the unrolled
+    *    oracle well-defined on any feed);
+    *  - rewards: per-cell mean value in micro, normalized to [0, 10⁶]
+    *    by the global max cell mean (UCB1's [0,1] reward contract);
+    *    all divisions floor on nonnegative operands (DuckDB `//`);
+    *  - t = 1 seeds every arm with its day-1 reward (the standard
+    *    play-each-arm-once init); t ≥ 2 plays
+    *    argmax_a ⌊s_a/n_a⌋ + bonus(p, n_a) with p = |arms| + t − 2
+    *    total prior plays, ties by arm name — bonus values come from
+    *    [[ucbBonusMicro]], folded in the JVM and shared with the
+    *    oracle as literals;
+    *  - the chosen arm alone receives that day's reward.
+    *
+    * Scale: ONE combine-agg reduces the corpus to the |arms|×horizon
+    * cell table; only that metadata table reaches the driver for the
+    * 30-step fold (the Holt/Markov bounded-collect precedent — the
+    * recursion has decision feedback, so each step depends on the
+    * previous argmax; unrolling it as 30 tiny Spark jobs would buy
+    * nothing but scheduler overhead).
+    *
+    * Output per play: (t, day, arm, reward_norm_micro, ucb_micro —
+    * 0 for seed rows, n_after, s_after), ordered by (t, arm).
+    */
+  def ucbTrajectory(events: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String, horizon: Int = 30): DataFrame = {
+    require(horizon >= 2, s"horizon ($horizon) must be >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cells = events
+      .select(col(typeCol).as("arm"), to_date(col(tsCol)).as("_day"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("_c"))
+      .groupBy("arm", "_day")
+      .agg(count(lit(1)).as("_n"), sum("_c").as("_s"))
+    val minDay = events.agg(min(to_date(col(tsCol)))).head().getDate(0)
+      .toLocalDate
+    val raw = cells
+      .select(col("arm"), col("_day").cast("string"), col("_n"), col("_s"))
+      .as[(String, String, Long, Long)].collect()
+      .map { case (a, d, n, s) =>
+        val t = java.time.temporal.ChronoUnit.DAYS.between(
+          minDay, java.time.LocalDate.parse(d)).toInt + 1
+        (a, t) -> (s * 1000000L / n) // mean micro; n > 0 by grouping
+      }.toMap
+    val arms = raw.keys.map(_._1).toSeq.distinct.sorted
+    val dayIdx = (1 to horizon)
+    val maxMean = math.max(1L, raw.values.max)
+    def rn(a: String, t: Int): Long =
+      raw.get((a, t)).map(m => m * 1000000L / maxMean).getOrElse(0L)
+    val out = Seq.newBuilder[(Int, String, String, Long, Long, Long, Long)]
+    def dayOf(t: Int): String = minDay.plusDays(t - 1L).toString
+    var st: Map[String, (Long, Long)] =
+      arms.map { a =>
+        val r = rn(a, 1)
+        out += ((1, dayOf(1), a, r, 0L, 1L, r))
+        a -> ((1L, r))
+      }.toMap
+    dayIdx.drop(1).foreach { t =>
+      val p = arms.size + t - 2
+      val scored = arms.map { a =>
+        val (n, s) = st(a)
+        (a, s / n + ucbBonusMicro(p, n.toInt))
+      }
+      val (chosen, ucb) = scored.sortBy { case (a, u) => (-u, a) }.head
+      val r = rn(chosen, t)
+      val (n0, s0) = st(chosen)
+      st = st.updated(chosen, (n0 + 1, s0 + r))
+      out += ((t, dayOf(t), chosen, r, ucb, n0 + 1, s0 + r))
+    }
+    out.result()
+      .toDF("t", "day", "arm", "reward_norm_micro", "ucb_micro",
+        "n_after", "s_after")
+      .orderBy("t", "arm")
+  }
+
   /** Daily cross-correlation function between two event-type series
     * (lead–lag analysis; Box & Jenkins ch. 11) — the "does X drive Y,
     * and with what delay" readout next to [[seasonalDecompose]]: the

@@ -2650,6 +2650,17 @@ object LlmSurface {
         .orderBy("pass")
     }),
 
+    // ---- deterministic UCB1 bandit trajectory replay (X299) --------------
+    // The sequential-decision audit next to SPRT (testing) and
+    // off-policy scoring (counterfactual): what WOULD UCB1 have
+    // played, day by day, against the full-information log. All
+    // transcendentals (the sqrt-ln bonus) fold in the JVM and ship to
+    // both engines as literals; the decision recursion runs on the
+    // |arms|x30 metadata table only.
+    "llm_bandit_ucb" -> ((s, dir) =>
+      EventOps.ucbTrajectory(events(s, dir), "ts", "event_type",
+        "value", horizon = 30)),
+
     // ---- rank-2 ALS latent-factor recommendation (X298) ------------------
     // The collaborative-filtering family next to co-order graphs and
     // link prediction: customer × part purchase counts factorized by
@@ -8376,6 +8387,81 @@ $rounds,
       FROM st CROSS JOIN tot
       ORDER BY pass
     """,
+
+    // Replays the dense 30-day arena, the JVM-folded bonus table
+    // (every (p, n) pair as an integer literal — no runtime sqrt/ln
+    // in either engine), the play-each-arm-once seed, and all 29
+    // decision steps as unrolled MATERIALIZED CTEs.
+    "llm_bandit_ucb" -> {
+      val horizon = 30
+      val bonusRows = (for (p <- 2 to 40; n <- 1 to 31)
+        yield s"($p, $n, ${EventOps.ucbBonusMicro(p, n)})").mkString(", ")
+      val tVals = (1 to horizon).map(t => s"($t)").mkString(", ")
+      val steps = (2 to horizon).map { t =>
+        s"""sc$t AS (
+        SELECT st.arm, st.n, st.s, st.s // st.n + b.b AS ucb
+        FROM st${t - 1} st
+        JOIN bonus b ON b.n = st.n
+          AND b.p = (SELECT count(*) FROM st1) + $t - 2),
+      ch$t AS MATERIALIZED (
+        SELECT arm, ucb FROM (
+          SELECT arm, ucb,
+                 row_number() OVER (ORDER BY ucb DESC, arm) AS k
+          FROM sc$t)
+        WHERE k = 1),
+      st$t AS MATERIALIZED (
+        SELECT st.arm,
+               st.n + CASE WHEN st.arm = ch.arm THEN 1 ELSE 0 END AS n,
+               st.s + CASE WHEN st.arm = ch.arm THEN r.r ELSE 0 END AS s
+        FROM st${t - 1} st
+        CROSS JOIN ch$t ch
+        JOIN rnorm r ON r.arm = st.arm AND r.t = $t),
+      o$t AS (
+        SELECT $t AS t, ch.arm, r.r AS reward, ch.ucb,
+               st.n AS n_after, st.s AS s_after
+        FROM ch$t ch
+        JOIN st$t st ON st.arm = ch.arm
+        JOIN rnorm r ON r.arm = ch.arm AND r.t = $t)"""
+      }.mkString(",\n      ")
+      val oAll = (1 to horizon).map(t => s"SELECT * FROM o$t")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH ev AS (
+        SELECT event_type AS arm, CAST(ts AS DATE) AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events),
+      mind AS (SELECT min(day) AS d0 FROM ev),
+      cell AS MATERIALIZED (
+        SELECT arm,
+               CAST(date_diff('day', d0, day) + 1 AS INTEGER) AS t,
+               CAST((sum(c) * 1000000) // count(*) AS BIGINT) AS mean
+        FROM ev CROSS JOIN mind
+        GROUP BY 1, 2),
+      mx AS (SELECT greatest(1, max(mean)) AS mx FROM cell),
+      rnorm AS MATERIALIZED (
+        SELECT a.arm, tt.t,
+               CAST(coalesce((CAST(c.mean AS HUGEINT) * 1000000) // mx.mx,
+                 0) AS BIGINT) AS r
+        FROM (SELECT DISTINCT arm FROM ev) a
+        CROSS JOIN (VALUES $tVals) tt(t)
+        CROSS JOIN mx
+        LEFT JOIN cell c ON c.arm = a.arm AND c.t = tt.t),
+      bonus(p, n, b) AS (VALUES $bonusRows),
+      st1 AS MATERIALIZED (
+        SELECT arm, CAST(1 AS BIGINT) AS n, r AS s
+        FROM rnorm WHERE t = 1),
+      o1 AS (
+        SELECT 1 AS t, arm, r AS reward, CAST(0 AS BIGINT) AS ucb,
+               CAST(1 AS BIGINT) AS n_after, r AS s_after
+        FROM rnorm WHERE t = 1),
+      $steps
+      SELECT o.t, strftime(mind.d0 + (o.t - 1), '%Y-%m-%d') AS day,
+             o.arm, o.reward AS reward_norm_micro,
+             o.ucb AS ucb_micro, o.n_after, o.s_after
+      FROM ($oAll) o CROSS JOIN mind
+      ORDER BY o.t, o.arm
+    """
+    },
 
     // Replays the ratings build, the keyed-md5 item init, and both
     // ALS alternations as closed-form 2x2 adjugate solves through
