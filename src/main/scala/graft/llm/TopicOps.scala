@@ -121,4 +121,85 @@ object TopicOps {
           .cast("long").as("weight"))
       .orderBy("topic", "rank")
   }
+
+  /** Incremental topic assignment by FOLD-IN (X300; Hofmann SIGIR'99
+    * §3.3 — the standard pLSA answer to "a new batch arrived"): the
+    * topic-word table p(w|z) trained on the BASE corpus is FROZEN and
+    * only the new documents' mixtures p(z|d) are inferred, by
+    * `foldRounds` E-steps restricted to the batch — the
+    * index-maintenance discipline (probe-vs-index, llm_suffix_
+    * incremental / llm_pca_incremental) applied to topic models:
+    * per-batch cost is batch-nnz×K, the base corpus is never
+    * re-touched, and assignments are reproducible because the model
+    * is pinned. (Full retraining drifts every historical assignment
+    * each batch — the operational reason fold-in exists.)
+    *
+    * Training and fold-in use the SAME arithmetic as [[plsaTopics]]
+    * (micro mixtures, nano topic probabilities, add-one smoothing,
+    * keyed-md5 init — batch docs initialize with the same
+    * `plsa_d|` hash rule, so a doc's init is independent of which
+    * side it arrives on). A batch word absent from the base
+    * vocabulary has no p(w|z) row and drops from the E-step (the
+    * out-of-vocabulary contract every frozen-model scorer shares).
+    *
+    * Output: (idCol, topic, p_micro) for every batch doc × topic,
+    * ordered — the batch docs' inferred mixtures.
+    */
+  def plsaFoldIn(baseDocs: DataFrame, batchDocs: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, trainRounds: Int = 3,
+      foldRounds: Int = 2,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      : DataFrame = {
+    require(foldRounds >= 1, s"foldRounds ($foldRounds) must be >= 1")
+    val spark = baseDocs.sparkSession
+    import spark.implicits._
+    // train on the base; keep only the frozen topic-word table
+    val trained = plsaTopics(baseDocs, idCol, textCol, k, trainRounds,
+      topWords = Int.MaxValue, materialize = materialize)
+    val pwz = materialize(trained.select(col("word").as("w"),
+      col("topic").as("z"), col("p_nano").as("_pwz")))
+    val nB = materialize(batchDocs
+      .select(col(idCol).as("d"), explode(TextOps.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("d", "w").agg(count(lit(1)).as("n")))
+    val zs = broadcast((0 until k).toDF("z"))
+    def hmod(a: Column, b: Column): Column =
+      expr("cast(conv(substring(md5(concat('plsa_d|', " +
+        s"cast(${a.toString} as string), '|', cast(${b.toString} as string)" +
+        ")), 1, 15), 16, 10) as bigint)") % 5 + 1
+    var pzd = materialize {
+      val raw = nB.select("d").distinct().crossJoin(zs)
+        .withColumn("_r", hmod(col("d"), col("z")))
+      raw.withColumn("_t", sum("_r").over(Window.partitionBy("d")))
+        .select(col("d"), col("z"),
+          TextOps.floorDivDec(dec(col("_r")) * lit(1000000L),
+            dec(col("_t"))).cast("long").as("p"))
+    }
+    (1 to foldRounds).foreach { _ =>
+      val e = nB
+        .join(pzd.select(col("d"), col("z"), col("p").as("_pzd")), "d")
+        .join(pwz, Seq("w", "z")) // OOV batch words drop here
+        .withColumn("_num", dec(col("_pzd")) * dec(col("_pwz")))
+        .withColumn("_den", sum("_num").over(Window.partitionBy("d", "w")))
+        .withColumn("_r", TextOps.floorDivDec(
+          col("_num") * lit(1000000L), col("_den")).cast("long"))
+        .select(col("d"), col("z"), (col("n") * col("_r")).as("_s"))
+      val upd = e.groupBy("d", "z").agg(sum("_s").as("s"))
+        .withColumn("_t", sum("s").over(Window.partitionBy("d")))
+        .select(col("d"), col("z"),
+          TextOps.floorDivDec((dec(col("s")) + 1) * lit(1000000L),
+            dec(col("_t")) + lit(k.toLong)).cast("long").as("p"))
+      // an all-OOV doc has no E-step rows: it KEEPS its current
+      // mixture instead of vanishing (left join + coalesce)
+      pzd = materialize(pzd
+        .select(col("d"), col("z"), col("p").as("_p0"))
+        .join(upd.select(col("d"), col("z"), col("p").as("_p1")),
+          Seq("d", "z"), "left")
+        .select(col("d"), col("z"),
+          coalesce(col("_p1"), col("_p0")).as("p")))
+    }
+    pzd.select(col("d").as(idCol), col("z").as("topic"),
+        col("p").as("p_micro"))
+      .orderBy(idCol, "topic")
+  }
 }

@@ -2692,6 +2692,20 @@ object LlmSurface {
         "text", maxPieceLen = 4, maxWordLen = 8, minFreq = 20L,
         rounds = 2, topK = 30)),
 
+    // ---- incremental topic fold-in for a new batch (X300) ----------------
+    // The index-maintenance discipline applied to topic models: train
+    // on the base 3/4 of the corpus, FREEZE p(w|z), infer only the
+    // new quarter's mixtures by 2 fold-in E-steps (Hofmann §3.3) —
+    // per-batch cost is batch-nnz×K, historical assignments never
+    // drift, OOV batch words drop by the frozen-model contract.
+    "llm_topic_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      graft.llm.TopicOps.plsaFoldIn(
+        d.filter(col("doc_id") % 4 =!= 1),
+        d.filter(col("doc_id") % 4 === 1),
+        "doc_id", "text", k = 4, trainRounds = 3, foldRounds = 2)
+    }),
+
     // ---- pLSA topic model, 3 unrolled EM rounds (X293) -------------------
     // The unsupervised corpus-structure readout next to X198's
     // supervised classifier: K=4 topics fit by exact-integer EM
@@ -8627,6 +8641,106 @@ $rounds,
                     FROM uses$rounds) t)
       WHERE "rank" <= 30
       ORDER BY "rank"
+    """
+    },
+
+    // Replays the base-corpus training (same generator as
+    // llm_topic_model, restricted to doc_id % 4 <> 1), then both
+    // fold-in E-steps against the FROZEN pwz3 — pzd-only updates,
+    // with the all-OOV-doc keep-current-mixture left join.
+    "llm_topic_incremental" -> {
+      val trainCtes = (1 to 3).map { r =>
+        val p = if (r == 1) "0" else (r - 1).toString
+        s"""e$r AS MATERIALIZED (
+        SELECT n.d, n.w, z.z, n.n,
+               CAST(pzd.p AS HUGEINT) * pwz.p AS num
+        FROM n CROSS JOIN zs z
+        JOIN pzd$p pzd ON pzd.d = n.d AND pzd.z = z.z
+        JOIN pwz$p pwz ON pwz.w = n.w AND pwz.z = z.z),
+      s$r AS MATERIALIZED (
+        SELECT d, w, z,
+               n * CAST((num * 1000000) // (sum(num) OVER (PARTITION BY d, w))
+                 AS BIGINT) AS s
+        FROM e$r),
+      sw$r AS MATERIALIZED (
+        SELECT z, w, CAST(sum(s) AS BIGINT) AS s FROM s$r GROUP BY 1, 2),
+      pwz$r AS MATERIALIZED (
+        SELECT w, z,
+               CAST(((CAST(s AS HUGEINT) + 1) * 1000000000) // (t + v)
+                 AS BIGINT) AS p
+        FROM (SELECT w, z, s, sum(s) OVER (PARTITION BY z) AS t FROM sw$r)
+        CROSS JOIN vocab),
+      pzd$r AS MATERIALIZED (
+        SELECT d, z,
+               CAST(((CAST(s AS HUGEINT) + 1) * 1000000) // (t + 4)
+                 AS BIGINT) AS p
+        FROM (SELECT d, z, s, sum(s) OVER (PARTITION BY d) AS t
+              FROM (SELECT d, z, CAST(sum(s) AS BIGINT) AS s
+                    FROM s$r GROUP BY 1, 2)))"""
+      }.mkString(",\n      ")
+      val foldCtes = (1 to 2).map { f =>
+        s"""fe$f AS MATERIALIZED (
+        SELECT nf.d, nf.w, p.z, nf.n,
+               CAST(fz.p AS HUGEINT) * p.p AS num
+        FROM nf
+        JOIN pwz3 p ON p.w = nf.w
+        JOIN fpzd${f - 1} fz ON fz.d = nf.d AND fz.z = p.z),
+      fs$f AS MATERIALIZED (
+        SELECT d, z,
+               n * CAST((num * 1000000) // (sum(num) OVER (PARTITION BY d, w))
+                 AS BIGINT) AS s
+        FROM fe$f),
+      fupd$f AS MATERIALIZED (
+        SELECT d, z,
+               CAST(((CAST(s AS HUGEINT) + 1) * 1000000) // (t + 4)
+                 AS BIGINT) AS p
+        FROM (SELECT d, z, s, sum(s) OVER (PARTITION BY d) AS t
+              FROM (SELECT d, z, CAST(sum(s) AS BIGINT) AS s
+                    FROM fs$f GROUP BY 1, 2))),
+      fpzd$f AS MATERIALIZED (
+        SELECT b.d, b.z, coalesce(u.p, b.p) AS p
+        FROM fpzd${f - 1} b
+        LEFT JOIN fupd$f u ON u.d = b.d AND u.z = b.z)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH alln AS MATERIALIZED (
+        SELECT d, w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY 1, 2),
+      n AS (SELECT * FROM alln WHERE d % 4 <> 1),
+      nf AS (SELECT * FROM alln WHERE d % 4 = 1),
+      zs AS (SELECT unnest(range(0, 4)) AS z),
+      vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM n),
+      pzd0 AS MATERIALIZED (
+        SELECT d, z, (r * 1000000) // t AS p FROM (
+          SELECT d, z, r, sum(r) OVER (PARTITION BY d) AS t FROM (
+            SELECT d, z,
+                   CAST('0x' || substr(md5('plsa_d|' || CAST(d AS VARCHAR)
+                     || '|' || CAST(z AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 5 + 1 AS r
+            FROM (SELECT DISTINCT d FROM n) CROSS JOIN zs))),
+      pwz0 AS MATERIALIZED (
+        SELECT w, z, (r * 1000000000) // t AS p FROM (
+          SELECT w, z, r, sum(r) OVER (PARTITION BY z) AS t FROM (
+            SELECT w, z,
+                   CAST('0x' || substr(md5('plsa_w|' || w
+                     || '|' || CAST(z AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 5 + 1 AS r
+            FROM (SELECT DISTINCT w FROM n) CROSS JOIN zs))),
+      $trainCtes,
+      fpzd0 AS MATERIALIZED (
+        SELECT d, z, (r * 1000000) // t AS p FROM (
+          SELECT d, z, r, sum(r) OVER (PARTITION BY d) AS t FROM (
+            SELECT d, z,
+                   CAST('0x' || substr(md5('plsa_d|' || CAST(d AS VARCHAR)
+                     || '|' || CAST(z AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 5 + 1 AS r
+            FROM (SELECT DISTINCT d FROM nf) CROSS JOIN zs))),
+      $foldCtes
+      SELECT d AS doc_id, z AS topic, CAST(p AS BIGINT) AS p_micro
+      FROM fpzd2
+      ORDER BY doc_id, topic
     """
     },
 

@@ -63,4 +63,34 @@ class TopicModelSpec extends SparkSpec {
       .as[(Int, Int, String, Long, Long)].collect().toSeq
     assert(fit() === fit())
   }
+
+  test("fold-in: batch docs land on the trained topic of their vocabulary") {
+    // base = the two-block corpus; batch: one pure-A doc, one pure-B
+    // doc, one all-OOV doc (keeps its init mixture, still sums ~1)
+    val batch = Seq(
+      (100L, (0 until 8).map(j => vocabA(j % 5)).mkString(" ")),
+      (101L, (0 until 8).map(j => vocabB(j % 5)).mkString(" ")),
+      (102L, "zzz qqq www")).toDF("doc_id", "text")
+    val mix = TopicOps.plsaFoldIn(corpus(), batch, "doc_id", "text",
+        k = 2, trainRounds = 4, foldRounds = 2)
+      .select("doc_id", "topic", "p_micro")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    // find which trained topic owns vocab A (from the base fit)
+    val aTopic = TopicOps.plsaTopics(corpus(), "doc_id", "text",
+        k = 2, rounds = 4, topWords = 1)
+      .select("topic", "word").as[(Int, String)].collect()
+      .find(r => vocabA.contains(r._2)).get._1
+    val bTopic = 1 - aTopic
+    assert(mix(100L)(aTopic) > mix(100L)(bTopic),
+      s"pure-A batch doc not assigned to the A topic: ${mix(100L)}")
+    assert(mix(101L)(bTopic) > mix(101L)(aTopic),
+      s"pure-B batch doc not assigned to the B topic: ${mix(101L)}")
+    mix.values.foreach { m =>
+      val tot = m.values.sum
+      assert(math.abs(tot - 1000000L) <= 2L, s"mixture sum $tot")
+    }
+    // the OOV doc keeps a valid (init) mixture rather than vanishing
+    assert(mix.contains(102L))
+  }
 }
