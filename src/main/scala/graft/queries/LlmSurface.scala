@@ -1933,6 +1933,33 @@ object LlmSurface {
         .orderBy("dim")
     }),
 
+    // ---- graph-ANN insertion: DiskANN-style index maintenance (X301) -----
+    // The graph index's probe-vs-index lifecycle step next to the IVF
+    // and suffix-array incremental forms: each NEW vector (the held-out
+    // tenth) beam-searches the BASE graph and its top-6 beam results
+    // become its out-edges — per-insert cost is the beam search, which
+    // GraphAnnScaleBench measured flat in corpus size (the DiskANN
+    // insert argument; the back-edge RobustPrune pass is the documented
+    // omission — degree bounds are re-established by periodic rebuild,
+    // this emits the forward adjacency a real insert writes first).
+    "llm_ann_graph_insert" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+        .localCheckpoint(true)
+      val dot = VectorOps.dotFn(s)
+      val base = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      val edges = VectorOps.graphAnnEdges(base, "vec_id", "qv",
+        shards = 4, bits = 4, degree = 6, ringLinks = 2, dot = dot)
+        .localCheckpoint(true)
+      VectorOps.graphAnnSearch(edges, base, batch, "vec_id", "qv",
+          k = 6, beam = 8, hops = 4, shards = 4, dot = dot)
+        .filter(col("rank") <= 6)
+        .select(col("query_id").as("vec_id"), col("rank"),
+          col("vec_id").as("neighbor"), col("dist_q"))
+        .orderBy("vec_id", "rank")
+    }),
+
     // ---- IVF-PQ shortlist + exact refine (IndexRefineFlat serving shape) -
     // The deployed two-stage ANN pattern: the compressed index answers a
     // C >> k shortlist (cheap, approximate), then EXACT distances on the
@@ -4354,6 +4381,97 @@ mom AS (
     * `ivfPqIndex` factoring. Also defines `e` and `qv0`, which the
     * refine stage re-reads for full-precision vectors.
     */
+  /** X286/X301 shared oracle CTEs: the shard graph build (nd, probes,
+    * proximity top-6, md5 ring, edges, entries) over the embedding rows
+    * selected by `ndWhere`, plus `qd` — exact self-excluded distances
+    * from the rows selected by `qWhere` (aliased query_id) to the nd
+    * set — and `b0`..`b4`, the unrolled beam hops. Callers append their
+    * own final select over `b4`/`qd`.
+    */
+  private def graphAnnOracleCtes(ndWhere: String, qWhere: String): String = {
+    val hopCtes = (1 to 4).map { h =>
+      val prev = if (h == 1) "b0" else s"b${h - 1}"
+      s"""c$h AS (
+        SELECT DISTINCT query_id, shard, vec_id FROM (
+          SELECT query_id, shard, vec_id FROM $prev
+          UNION ALL
+          SELECT b.query_id, b.shard, ed.dst AS vec_id
+          FROM $prev b JOIN edges ed
+            ON ed.shard = b.shard AND ed.src = b.vec_id)),
+      b$h AS MATERIALIZED (
+        SELECT query_id, shard, vec_id, dist_q FROM (
+          SELECT c.query_id, c.shard, c.vec_id, qd.dist_q,
+                 row_number() OVER (PARTITION BY c.query_id, c.shard
+                   ORDER BY qd.dist_q, c.vec_id) AS rn
+          FROM c$h c JOIN qd
+            ON qd.query_id = c.query_id AND qd.vec_id = c.vec_id)
+        WHERE rn <= 8)"""
+    }.mkString(",\n      ")
+    s"""$embedQvCte,
+      nd AS (
+        SELECT vec_id, qv, vec_id % 4 AS shard,
+               (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+                + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END
+                + CASE WHEN qv[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+        FROM e WHERE $ndWhere),
+      pr AS (
+        SELECT vec_id AS src, shard,
+               CASE f.i WHEN 0 THEN bkt ELSE xor(bkt, 1 << (f.i - 1)) END
+                 AS bkt
+        FROM nd CROSS JOIN (VALUES (0), (1), (2), (3), (4)) f(i)),
+      prox AS MATERIALIZED (
+        SELECT shard, src, dst FROM (
+          SELECT p.shard, p.src, b.vec_id AS dst,
+                 row_number() OVER (PARTITION BY p.shard, p.src ORDER BY
+                   CAST(list_sum(list_transform(range(1, 65),
+                     j -> (av.qv[j] - b.qv[j]) * (av.qv[j] - b.qv[j])))
+                     AS BIGINT),
+                   b.vec_id) AS rn
+          FROM pr p
+          JOIN nd av ON av.vec_id = p.src
+          JOIN nd b ON b.shard = p.shard AND b.bkt = p.bkt
+                    AND b.vec_id <> p.src)
+        WHERE rn <= 6),
+      rng AS MATERIALIZED (
+        SELECT shard, vec_id AS src,
+               row_number() OVER (PARTITION BY shard ORDER BY
+                 CAST('0x' || substr(md5('ring|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                 vec_id) AS rn,
+               count(*) OVER (PARTITION BY shard) AS cnt
+        FROM nd),
+      ring AS (
+        SELECT a.shard, a.src, b.src AS dst
+        FROM rng a
+        CROSS JOIN (VALUES (1), (2)) s(k)
+        JOIN rng b ON b.shard = a.shard
+                  AND b.rn = ((a.rn - 1 + s.k) % a.cnt) + 1
+        WHERE a.src <> b.src),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT shard, src, dst FROM (
+          SELECT * FROM prox UNION ALL SELECT * FROM ring)),
+      entry AS (
+        SELECT shard, vec_id FROM (
+          SELECT shard, vec_id,
+                 row_number() OVER (PARTITION BY shard ORDER BY
+                   CAST('0x' || substr(md5('entry|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   vec_id) AS rn
+          FROM nd)
+        WHERE rn = 1),
+      pq AS ($qWhere),
+      qd AS MATERIALIZED (
+        SELECT q.query_id, x.vec_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                 j -> (q.qv[j] - x.qv[j]) * (q.qv[j] - x.qv[j]))) AS BIGINT)
+                 AS dist_q
+        FROM pq q CROSS JOIN (SELECT vec_id, qv FROM e WHERE $ndWhere) x
+        WHERE q.query_id <> x.vec_id),
+      b0 AS (
+        SELECT p.query_id, en.shard, en.vec_id
+        FROM pq p CROSS JOIN entry en),
+      $hopCtes"""
+  }
+
   private lazy val ivfPqApproxCtes: String = s"""$embedQvCte,
       ${kmeansCtesOver("e", 64, "g",
         "(SELECT greatest(1, least(1048576, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)", 2)},
@@ -6960,97 +7078,15 @@ $rounds,
     // hops as unrolled MATERIALIZED CTEs; qd doubles as the exact
     // ground-truth distance table (self-excluded, so each hop's join
     // onto qd applies the same self-match filter as the Spark side).
-    "llm_ann_graph" -> {
-      val hopCtes = (1 to 4).map { h =>
-        val prev = if (h == 1) "b0" else s"b${h - 1}"
-        s"""c$h AS (
-        SELECT DISTINCT query_id, shard, vec_id FROM (
-          SELECT query_id, shard, vec_id FROM $prev
-          UNION ALL
-          SELECT b.query_id, b.shard, ed.dst AS vec_id
-          FROM $prev b JOIN edges ed
-            ON ed.shard = b.shard AND ed.src = b.vec_id)),
-      b$h AS MATERIALIZED (
-        SELECT query_id, shard, vec_id, dist_q FROM (
-          SELECT c.query_id, c.shard, c.vec_id, qd.dist_q,
-                 row_number() OVER (PARTITION BY c.query_id, c.shard
-                   ORDER BY qd.dist_q, c.vec_id) AS rn
-          FROM c$h c JOIN qd
-            ON qd.query_id = c.query_id AND qd.vec_id = c.vec_id)
-        WHERE rn <= 8)"""
-      }.mkString(",\n      ")
-      s"""
-      WITH $embedQvCte,
-      nd AS (
-        SELECT vec_id, qv, vec_id % 4 AS shard,
-               (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
-                + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
-                + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END
-                + CASE WHEN qv[4] >= 0 THEN 8 ELSE 0 END) AS bkt
-        FROM e),
-      pr AS (
-        SELECT vec_id AS src, shard,
-               CASE f.i WHEN 0 THEN bkt ELSE xor(bkt, 1 << (f.i - 1)) END
-                 AS bkt
-        FROM nd CROSS JOIN (VALUES (0), (1), (2), (3), (4)) f(i)),
-      prox AS MATERIALIZED (
-        SELECT shard, src, dst FROM (
-          SELECT p.shard, p.src, b.vec_id AS dst,
-                 row_number() OVER (PARTITION BY p.shard, p.src ORDER BY
-                   CAST(list_sum(list_transform(range(1, 65),
-                     j -> (av.qv[j] - b.qv[j]) * (av.qv[j] - b.qv[j])))
-                     AS BIGINT),
-                   b.vec_id) AS rn
-          FROM pr p
-          JOIN nd av ON av.vec_id = p.src
-          JOIN nd b ON b.shard = p.shard AND b.bkt = p.bkt
-                    AND b.vec_id <> p.src)
-        WHERE rn <= 6),
-      rng AS MATERIALIZED (
-        SELECT shard, vec_id AS src,
-               row_number() OVER (PARTITION BY shard ORDER BY
-                 CAST('0x' || substr(md5('ring|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-                 vec_id) AS rn,
-               count(*) OVER (PARTITION BY shard) AS cnt
-        FROM nd),
-      ring AS (
-        SELECT a.shard, a.src, b.src AS dst
-        FROM rng a
-        CROSS JOIN (VALUES (1), (2)) s(k)
-        JOIN rng b ON b.shard = a.shard
-                  AND b.rn = ((a.rn - 1 + s.k) % a.cnt) + 1
-        WHERE a.src <> b.src),
-      edges AS MATERIALIZED (
-        SELECT DISTINCT shard, src, dst FROM (
-          SELECT * FROM prox UNION ALL SELECT * FROM ring)),
-      entry AS (
-        SELECT shard, vec_id FROM (
-          SELECT shard, vec_id,
-                 row_number() OVER (PARTITION BY shard ORDER BY
-                   CAST('0x' || substr(md5('entry|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-                   vec_id) AS rn
-          FROM nd)
-        WHERE rn = 1),
-      qv0 AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id % 100 = 0),
-      pq AS (
-        SELECT query_id, qv FROM (
+    "llm_ann_graph" -> s"""
+      WITH ${graphAnnOracleCtes("1 = 1",
+        """SELECT query_id, qv FROM (
           SELECT query_id, qv,
                  row_number() OVER (ORDER BY
                    CAST('0x' || substr(md5('panel|' || CAST(query_id AS VARCHAR)), 1, 15) AS BIGINT),
-                   query_id) AS pr
-          FROM qv0)
-        WHERE pr <= 64),
-      qd AS MATERIALIZED (
-        SELECT q.query_id, x.vec_id,
-               CAST(list_sum(list_transform(range(1, 65),
-                 j -> (q.qv[j] - x.qv[j]) * (q.qv[j] - x.qv[j]))) AS BIGINT)
-                 AS dist_q
-        FROM pq q CROSS JOIN e x
-        WHERE q.query_id <> x.vec_id),
-      b0 AS (
-        SELECT p.query_id, en.shard, en.vec_id
-        FROM pq p CROSS JOIN entry en),
-      $hopCtes,
+                   query_id) AS prn
+          FROM (SELECT vec_id AS query_id, qv FROM e WHERE vec_id % 100 = 0))
+        WHERE prn <= 64""")},
       gr AS (
         SELECT query_id, vec_id,
                row_number() OVER (PARTITION BY query_id
@@ -7068,8 +7104,24 @@ $rounds,
         ON er.query_id = gr.query_id AND er.vec_id = gr.vec_id
       WHERE er."rank" <= 5
       ORDER BY er.query_id, er."rank"
-    """
-    },
+    """,
+
+    // Replays the base-only graph build and the batch vectors' beam
+    // searches (same generator as llm_ann_graph), then the top-6
+    // beam results as each inserted vector's new out-edges.
+    "llm_ann_graph_insert" -> s"""
+      WITH ${graphAnnOracleCtes("vec_id % 10 <> 7",
+        "SELECT vec_id AS query_id, qv FROM e WHERE vec_id % 10 = 7")}
+      SELECT qid AS vec_id, CAST(rn AS INTEGER) AS "rank",
+             nb AS neighbor, dist_q
+      FROM (
+        SELECT query_id AS qid, vec_id AS nb, dist_q,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist_q, vec_id) AS rn
+        FROM b4)
+      WHERE rn <= 6
+      ORDER BY vec_id, "rank"
+    """,
 
     // Replays the shared panel, the per-truncation brute-force top-5
     // (distance over qv[1:d] only), and the hit counts vs d = 64.

@@ -65,6 +65,28 @@ class GraphAnnSpec extends SparkSpec {
     assert(g === exact)
   }
 
+  test("insert: exhaustive-beam insertion edges are the exact 6-NN") {
+    // with beam/hops covering whole shards, each inserted vector's
+    // new out-edges must be exactly its 6 nearest base vectors
+    val c = corpus(44).localCheckpoint(true)
+    val base = c.filter(col("vec_id") % 11 =!= 7)
+    val batch = c.filter(col("vec_id") % 11 === 7)
+    val edges = VectorOps.graphAnnEdges(base, "vec_id", "qv",
+      shards = 2, bits = 2, degree = 3, ringLinks = 2)
+    val ins = VectorOps.graphAnnSearch(edges, base, batch, "vec_id", "qv",
+        k = 6, beam = 24, hops = 24, shards = 2)
+      .filter(col("rank") <= 6)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val allPairs = batch.select(col("vec_id").as("query_id"))
+      .crossJoin(base.select(col("vec_id")))
+    val exact = VectorOps.refineTopK(allPairs, base, batch, "vec_id",
+        "qv", k = 6)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(ins === exact)
+  }
+
   test("sf0.001: graph top-5 recall >= the IVF-PQ row on the same panel") {
     val dir = "/root/testdata/sf0.001"
     def hits(name: String, flagCol: String): Long =

@@ -699,4 +699,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning(c"),
       s"order statistics must come from histogram walks:\n$p")
   }
+
+  test("graph-ANN edges: bucket equi-join candidates, no all-pairs") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val p = plan(VectorOps.graphAnnEdges(emb, "vec_id", "qv",
+      shards = 4, bits = 4, degree = 6, ringLinks = 2))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"edge candidates must be (shard, bucket)/rank equi-joins:\n$p")
+  }
+
+  test("sorted-neighborhood pairing is a rank equi-join, never a range join") {
+    val recs = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val p = plan(graft.operators.RecordLinkage.sortedNeighborhoodPairs(
+      recs, "id", Seq(reverse(col("name"))), w = 6))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"window pairing must be the offset equi-join:\n$p")
+  }
+
+  test("pLSA round: E-step equi-joins, M-step partial combine") {
+    val p = plan(graft.llm.TopicOps.plsaTopics(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      k = 2, rounds = 1, topWords = 3, materialize = identity))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"M-step aggregations must partial-combine:\n$p")
+  }
+
+  test("ALS half-step: ratings equi-join + partial-combining normal equations") {
+    val r = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("cust"), col("l_partkey").as("item"),
+        lit(1L).as("r"))
+    val p = plan(graft.llm.AlsOps.alsFactors(r, "cust", "item", "r",
+      rounds = 1, materialize = identity))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"no quadratic shape anywhere in ALS:\n$p")
+    assert(p.contains("partial_sum"),
+      s"A/b sums must partial-combine before the exchange:\n$p")
+  }
 }
