@@ -2677,6 +2677,34 @@ object LlmSurface {
         .orderBy("pass")
     }),
 
+    // ---- full analytic-rank window family (X302) -------------------------
+    // The four SQL rank analytics the surface had not yet exercised —
+    // rank/dense_rank (ties), percent_rank, cume_dist, ntile(4), and
+    // partition-wide nth_value(2) — over customers per nation by
+    // balance. Deterministic BECAUSE the window order is total
+    // (cents desc, custkey): ntile and nth_value are engine-ambiguous
+    // only under ties, which a total order removes (the p_rfm lesson,
+    // inverted). percent_rank/cume_dist are single exact-int divisions
+    // -> identical IEEE doubles, round6-pinned.
+    "p_window_ranks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("nation").orderBy(col("bal_cents").desc, col("c_custkey"))
+      val wAll = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey").as("nation"), col("c_custkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prank", TextOps.round6(percent_rank().over(w)))
+        .withColumn("cdist", TextOps.round6(cume_dist().over(w)))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("second_bal",
+          nth_value(col("bal_cents"), 2).over(wAll))
+        .orderBy("nation", "rnk", "c_custkey")
+    }),
+
     // ---- deterministic UCB1 bandit trajectory replay (X299) --------------
     // The sequential-decision audit next to SPRT (testing) and
     // off-policy scoring (counterfactual): what WOULD UCB1 have
@@ -8452,6 +8480,30 @@ $rounds,
              (n_true_captured * 1000000) // n_true_total AS recall_micro
       FROM st CROSS JOIN tot
       ORDER BY pass
+    """,
+
+    // Same total window order, same round6 pinning of the two exact
+    // ratio analytics; nth_value over the full-partition frame.
+    "p_window_ranks" -> """
+      WITH c AS (
+        SELECT c_nationkey AS nation, c_custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer)
+      SELECT nation, c_custkey, bal_cents,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS prank,
+             floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS cdist,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             nth_value(bal_cents, 2) OVER (PARTITION BY nation
+               ORDER BY bal_cents DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_bal
+      FROM c
+      WINDOW w AS (PARTITION BY nation ORDER BY bal_cents DESC, c_custkey)
+      ORDER BY nation, rnk, c_custkey
     """,
 
     // Replays the dense 30-day arena, the JVM-folded bonus table
