@@ -34,14 +34,10 @@ object GraphAnnScaleBench {
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       .localCheckpoint(true)
 
-    // same md5 panel rule as the llm_ann_graph query (≤ 64 queries)
-    def panelOf(e: DataFrame): DataFrame = e
-      .filter(col("vec_id") % 100 === 0)
-      .withColumn("_ph", expr("cast(conv(substring(md5(concat('panel|', " +
-        "cast(vec_id as string))), 1, 15), 16, 10) as bigint)"))
-      .withColumn("_pr", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("_ph"), col("vec_id"))))
-      .filter(col("_pr") <= 64).drop("_ph", "_pr")
+    // the SAME panel rule object the graded query uses — shared, so the
+    // bench can never silently measure a different panel
+    def panelOf(e: DataFrame): DataFrame =
+      graft.queries.LlmSurface.annPanel(e.filter(col("vec_id") % 100 === 0))
 
     final case class Run(buildSec: Double, searchSec: Double, nEdges: Long,
       explored: Long, nQueries: Long)
@@ -56,12 +52,18 @@ object GraphAnnScaleBench {
         ed
       }
       val nEdges = edges.count()
-      var explored = 0L
+      // TIMED search runs probe-free (a hopProbe count() would execute
+      // each hop's candidate plan a second time INSIDE the timer and
+      // inflate the recorded cost); the explored-candidate census runs
+      // as a separate untimed pass with the probe attached
       val (tSearch, _) = time {
         VectorOps.graphAnnSearch(edges, e, qs, "vec_id", "qv",
-          k = 5, beam = 8, hops = 4, shards = 4,
-          hopProbe = (_, cand) => explored += cand.count()).count()
+          k = 5, beam = 8, hops = 4, shards = 4).count()
       }
+      var explored = 0L
+      VectorOps.graphAnnSearch(edges, e, qs, "vec_id", "qv",
+        k = 5, beam = 8, hops = 4, shards = 4,
+        hopProbe = (_, cand) => explored += cand.count()).count()
       Run(tBuild, tSearch, nEdges, explored, nQ)
     }
 

@@ -2091,6 +2091,13 @@ object EventOps {
         (a, t) -> (s * 1000000L / n) // mean micro; n > 0 by grouping
       }.toMap
     val arms = raw.keys.map(_._1).toSeq.distinct.sorted
+    // fail LOUDLY outside the contract instead of silently degrading:
+    // rewards must be nonnegative (the [0, 10^6] normalization), and
+    // the folded bonus table shared with the oracle covers p <= 60
+    require(raw.values.forall(_ >= 0L),
+      "ucbTrajectory requires nonnegative rewards (negative cell mean found)")
+    require(arms.size >= 2 && arms.size + horizon - 2 <= 60,
+      s"ucbTrajectory needs 2 <= arms (${arms.size}) and arms + horizon - 2 <= 60")
     val dayIdx = (1 to horizon)
     val maxMean = math.max(1L, raw.values.max)
     def rn(a: String, t: Int): Long =

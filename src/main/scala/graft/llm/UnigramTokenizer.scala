@@ -86,14 +86,16 @@ object UnigramTokenizer {
         .join(pieces, "piece")
         .select(col("w"), col("c"), col("i"), col("j"), col("piece"),
           col("l"), col("cost")))
-      // Viterbi forward: dp(w, pos) with argmin piece, pos = 0..maxWordLen
-      var dpLevels = Vector(materialize(
+      // Viterbi forward: dp(w, pos) with argmin piece, pos = 0..maxWordLen;
+      // dp accumulates as a RUNNING union of checkpointed levels (a
+      // per-position re-union of all levels would grow the plan
+      // quadratically in maxWordLen for no reason)
+      var dp = materialize(
         wc.select(col("w"), lit(0).as("pos"), lit(0L).as("dp"),
-          lit("").as("piece"), lit(0).as("l"))))
+          lit("").as("piece"), lit(0).as("l")))
       (1 to maxWordLen).foreach { pos =>
-        val dpAcc = dpLevels.reduce(_ unionByName _)
         val step = scored.filter(col("j") === pos)
-          .join(dpAcc.select(col("w"), (col("pos") + 1).as("i"),
+          .join(dp.select(col("w"), (col("pos") + 1).as("i"),
             col("dp").as("_prev")), Seq("w", "i"))
           .withColumn("_tot", col("_prev") + col("cost"))
           .withColumn("_rn", row_number().over(Window.partitionBy("w")
@@ -101,9 +103,8 @@ object UnigramTokenizer {
           .filter(col("_rn") === 1)
           .select(col("w"), lit(pos).as("pos"), col("_tot").as("dp"),
             col("piece"), col("l"))
-        dpLevels = dpLevels :+ materialize(step)
+        dp = dp.unionByName(materialize(step))
       }
-      val dp = dpLevels.reduce(_ unionByName _)
       // backward: walk argmin pieces from len(w) to 0
       var cursor = materialize(wc.select(col("w"), col("c"),
         length(col("w")).as("pos")))

@@ -42,6 +42,7 @@ object Betweenness {
 
   private def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
 
+  /** `sources` must carry the seed node ids in a column named `n`. */
   def approx(symEdges: DataFrame, aCol: String, bCol: String,
       sources: DataFrame, levels: Int, topK: Int,
       materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
@@ -87,9 +88,8 @@ object Betweenness {
       deltas = materialize(
         if (deltas == null) withSucc else deltas.unionByName(withSucc))
     }
-    if (deltas == null)
-      return sources.select(col("n").as("node"), lit(0L).as("bc_micro"))
-        .limit(0)
+    // levels >= 1 guarantees the backward loop ran at least once, so
+    // deltas is always bound here
     deltas.filter(col("w") =!= col("src"))
       .groupBy(col("w").as("node"))
       .agg(sum("delta").as("bc_micro"))

@@ -214,7 +214,7 @@ object LlmSurface {
     * they grade the same queries. The row_number is a global sort over
     * |queries| rows (n/100), never the corpus.
     */
-  private def annPanel(qs: DataFrame): DataFrame = qs
+  private[graft] def annPanel(qs: DataFrame): DataFrame = qs
     .withColumn("_ph", expr("cast(conv(substring(md5(concat('panel|', " +
       "cast(vec_id as string))), 1, 15), 16, 10) as bigint)"))
     .withColumn("_pr", row_number().over(
@@ -8512,7 +8512,11 @@ $rounds,
     // decision steps as unrolled MATERIALIZED CTEs.
     "llm_bandit_ucb" -> {
       val horizon = 30
-      val bonusRows = (for (p <- 2 to 40; n <- 1 to 31)
+      // p covers |arms| + horizon - 2 for any arm count the Spark side
+      // ACCEPTS (ucbTrajectory requires arms + horizon - 2 <= 60, so an
+      // out-of-range feed fails loudly there instead of silently
+      // emptying this join)
+      val bonusRows = (for (p <- 2 to 60; n <- 1 to 60)
         yield s"($p, $n, ${EventOps.ucbBonusMicro(p, n)})").mkString(", ")
       val tVals = (1 to horizon).map(t => s"($t)").mkString(", ")
       val steps = (2 to horizon).map { t =>

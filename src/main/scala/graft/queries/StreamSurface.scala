@@ -596,7 +596,11 @@ object StreamSurface {
               col("value") * 2).otherwise(col("value"))),
           s"$base/state", s"$base/out")
       }
-      s.read.parquet(s"$base/out").orderBy("event_type", "day")
+      // distinct: the monitor is at-least-once (flags append BEFORE the
+      // state overwrite, the exciseWithGrowingPostings crash ordering) —
+      // a retried batch re-emits exact-duplicate rows, which this folds
+      s.read.parquet(s"$base/out").distinct()
+        .orderBy("event_type", "day")
     }),
 
     // ---- X122b: streaming MERGE into a versioned snapshot ------------------
