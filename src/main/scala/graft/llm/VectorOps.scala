@@ -531,6 +531,60 @@ object VectorOps {
       .select("query_id", "rank", "vec_id", "dist_q")
   }
 
+  /** Rocchio pseudo-relevance feedback (X303; Rocchio 1971): round-0
+    * retrieves `k0` neighbors by exact integer dot (ranking by dot is
+    * scale-invariant, so the integer-only update needs no normalizing
+    * division), the query moves to q' = α·q + β·Σ(top-k0 vectors),
+    * round-1 re-retrieves with q', and both rounds are graded by
+    * LABEL precision@`kEval` — the feedback loop's own effectiveness
+    * readout (neighbors pull the query toward its class centroid).
+    *
+    * `emb` carries (vec_id, qvCol, label); `queries` is the (small)
+    * query subset of it. Scoring is queries×corpus brute force — the
+    * panel-bounded evaluator shape ([[graft.queries.LlmSurface]]'s
+    * recall harness precedent); the PRODUCTION retrieval step would
+    * be any of the ANN indexes, feedback math unchanged.
+    *
+    * Output per query: (query_id, label, hits_r0, hits_r1, uplift).
+    */
+  def rocchioFeedback(emb: DataFrame, queries: DataFrame, qvCol: String,
+      k0: Int, kEval: Int, alpha: Long, beta: Long,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    val x = emb.select(col("vec_id"), col(qvCol).as("_xv"),
+      col("label").as("_xl"))
+    def retrieve(qs: DataFrame, k: Int) = qs
+      .select(col("vec_id").as("query_id"), col(qvCol).as("_qv"))
+      .crossJoin(x)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("_d", dot(col("_qv"), col("_xv")))
+      .withColumn("_rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("_d").desc, col("vec_id"))))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("_xl"))
+    val r0top = retrieve(queries, k0).localCheckpoint(true)
+    val fb = centroidSums(
+        r0top.join(emb.select(col("vec_id"), col(qvCol)), "vec_id"),
+        "query_id", qvCol)
+      .select(col("query_id"), col("vec_sum"))
+    val moved = queries.join(fb, queries("vec_id") === fb("query_id"))
+      .select(queries("vec_id"),
+        zip_with(col(qvCol), col("vec_sum"),
+          (q, sums) => q * alpha + sums * beta).as(qvCol))
+    val qLab = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"))
+    def hits(r: DataFrame, name: String) = r.join(qLab, "query_id")
+      .groupBy("query_id", "qlabel")
+      .agg(sum(when(col("_xl") === col("qlabel"), 1L).otherwise(0L))
+        .as(name))
+    hits(retrieve(queries, kEval), "hits_r0")
+      .join(hits(retrieve(moved, kEval), "hits_r1")
+        .select("query_id", "hits_r1"), "query_id")
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("hits_r0"), col("hits_r1"),
+        (col("hits_r1") - col("hits_r0")).as("uplift"))
+      .orderBy("query_id")
+  }
+
   /** Element-wise per-group vector sums — the centroid-UPDATE half of a
     * distributed k-means iteration (the assignment half is [[ivfTopK]]'s
     * build step). `posexplode` → partial sums per (group, position) →

@@ -1895,6 +1895,27 @@ object LlmSurface {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Rocchio pseudo-relevance feedback (X303) ------------------------
+    // The classic IR feedback loop (Rocchio 1971) the retrieval stack
+    // lacked: round-0 retrieves top-5 by exact integer dot, the query
+    // moves toward its pseudo-relevant centroid (q' = 5q + 2*sum of
+    // the 5 neighbors — dot RANKING is scale-invariant, so the
+    // integer-only update needs no normalizing division), round-1
+    // re-retrieves with q'. Graded by LABEL precision@10 — neighbors
+    // pull the query toward its class centroid, so the uplift column
+    // is the operator's own effectiveness readout. Panel-bounded
+    // brute-force scoring (the ann_recall precedent).
+    "llm_retrieval_feedback" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"),
+          col("label"))
+        .localCheckpoint(true)
+      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0))
+        .localCheckpoint(true)
+      VectorOps.rocchioFeedback(emb, panel, "qv", k0 = 5, kEval = 10,
+        alpha = 5L, beta = 2L, dot = VectorOps.dotFn(s))
+    }),
+
     // ---- dimension-truncation retrieval ablation (X292) ------------------
     // The Matryoshka/MRL serving question (Kusupati et al. NeurIPS'22):
     // how much top-5 recall survives if serving ranks by only the
@@ -7149,6 +7170,75 @@ $rounds,
         FROM b4)
       WHERE rn <= 6
       ORDER BY vec_id, "rank"
+    """,
+
+    // Replays round-0 dot retrieval, the integer Rocchio update
+    // (5q + 2*sum of the top-5), round-1 retrieval, and both label
+    // precision@10 counts.
+    "llm_retrieval_feedback" -> s"""
+      WITH el AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv,
+               label
+        FROM embeddings),
+      pq AS (
+        SELECT vec_id AS query_id, qv, label AS qlabel FROM (
+          SELECT vec_id, qv, label,
+                 row_number() OVER (ORDER BY
+                   CAST('0x' || substr(md5('panel|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   vec_id) AS prn
+          FROM el WHERE vec_id % 100 = 0)
+        WHERE prn <= 64),
+      sc0 AS MATERIALIZED (
+        SELECT p.query_id, x.vec_id, x.label AS xl,
+               CAST(list_sum(list_transform(range(1, 65),
+                 j -> p.qv[j] * x.qv[j])) AS BIGINT) AS d
+        FROM pq p CROSS JOIN el x
+        WHERE p.query_id <> x.vec_id),
+      rk0 AS MATERIALIZED (
+        SELECT query_id, vec_id, xl,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY d DESC, vec_id) AS rn
+        FROM sc0),
+      fbp AS (
+        SELECT r.query_id, gs.j, CAST(sum(x.qv[gs.j]) AS BIGINT) AS s
+        FROM (SELECT query_id, vec_id FROM rk0 WHERE rn <= 5) r
+        JOIN el x USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) gs
+        GROUP BY 1, 2),
+      fb AS (SELECT query_id, list(s ORDER BY j) AS vs FROM fbp GROUP BY 1),
+      moved AS (
+        SELECT p.query_id,
+               list_transform(range(1, 65),
+                 j -> p.qv[j] * 5 + fb.vs[j] * 2) AS qv
+        FROM pq p JOIN fb USING (query_id)),
+      sc1 AS MATERIALIZED (
+        SELECT m.query_id, x.vec_id, x.label AS xl,
+               CAST(list_sum(list_transform(range(1, 65),
+                 j -> m.qv[j] * x.qv[j])) AS BIGINT) AS d
+        FROM moved m CROSS JOIN el x
+        WHERE m.query_id <> x.vec_id),
+      rk1 AS (
+        SELECT query_id, xl,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY d DESC, vec_id) AS rn
+        FROM sc1),
+      h0 AS (
+        SELECT r.query_id,
+               CAST(sum(CASE WHEN r.xl = p.qlabel THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits_r0
+        FROM rk0 r JOIN pq p USING (query_id)
+        WHERE r.rn <= 10 GROUP BY 1),
+      h1 AS (
+        SELECT r.query_id,
+               CAST(sum(CASE WHEN r.xl = p.qlabel THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits_r1
+        FROM rk1 r JOIN pq p USING (query_id)
+        WHERE r.rn <= 10 GROUP BY 1)
+      SELECT p.query_id, p.qlabel AS label, h0.hits_r0, h1.hits_r1,
+             h1.hits_r1 - h0.hits_r0 AS uplift
+      FROM pq p JOIN h0 USING (query_id) JOIN h1 USING (query_id)
+      ORDER BY p.query_id
     """,
 
     // Replays the shared panel, the per-truncation brute-force top-5
