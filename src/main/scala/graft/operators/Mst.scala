@@ -1,0 +1,139 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimum spanning FOREST by Borůvka rounds with edge-list
+  * contraction (Borůvka 1926; the distributed formulation of the
+  * MST-in-MapReduce literature, e.g. Lattanzi et al. SPAA'11) — the
+  * single-linkage clustering backbone: cutting the forest's heaviest
+  * edges yields exactly the single-linkage dendrogram levels, which is
+  * how a dedup/curation pipeline turns a near-dup proximity graph into
+  * clusters with a controllable merge threshold.
+  *
+  * Why Borůvka and not Prim/Kruskal: both classics are inherently
+  * sequential (one frontier edge at a time / one globally-sorted edge
+  * stream through a union–find). Borůvka is the parallel one — EVERY
+  * live component picks its minimum incident edge simultaneously, the
+  * picked edges merge components, and the component count at least
+  * HALVES per round, so ⌈log₂ V⌉ rounds suffice regardless of shape.
+  *
+  * The loop carries the CONTRACTED edge list only — each edge keyed by
+  * its endpoints' current component ids, with the original (lo, hi)
+  * kept as payload. That buys three things over the keep-a-vertex-
+  * label-table formulation: (1) no per-round join against a |V|-sized
+  * label table — the relabel join runs against the component-count-
+  * sized contraction map, which halves every round; (2) parallel edges
+  * between the same component pair collapse to their minimum (the
+  * standard contraction lemma: in the contracted multigraph they form
+  * a 2-cycle, so the heavier can never be in the MST), shrinking the
+  * carried edge list monotonically; (3) convergence is simply "the
+  * contracted edge list is empty" — no separate probe.
+  *
+  * Per round: one explode+combine-min for the per-component minimum
+  * edge (no window, no sort), then contraction of the merge graph.
+  * The merge graph is FUNCTIONAL — every component points at exactly
+  * one partner (its min edge's other side) — and under a lexicographic
+  * total order its only cycles are the mutual-minimum 2-cycles
+  * (weights are non-increasing along any pointer walk, so a longer
+  * cycle would repeat an edge). Rooting the smaller member of each
+  * 2-cycle and POINTER JUMPING (f ← f∘f, one component-sized self-join
+  * per step, ⌈log₂ depth⌉ steps) resolves every component to its root
+  * — cheaper than a general CC routine because the pseudoforest
+  * structure is known.
+  *
+  * Determinism: ties break by the lexicographic total order
+  * (w, lo, hi) — equivalent to strictly-distinct perturbed weights, so
+  * the forest is unique and any engine replaying the same semantics
+  * (the DuckDB oracle unrolls label-table rounds — same partition, same
+  * minima) produces the identical edge set.
+  *
+  * Contract: edges are undirected; (lo, hi) is canonicalized and input
+  * parallel edges collapse to their minimum weight. Output: the forest
+  * edge list (lo, hi, w) — |V| − #components rows. Isolated vertices
+  * (no incident edge) contribute nothing, like the CC operators.
+  */
+object Mst {
+
+  def boruvka(edges: DataFrame, loCol: String, hiCol: String,
+      wCol: String, maxRounds: Int = 16,
+      materialize: DataFrame => DataFrame = Iterate.cut)
+      : DataFrame = {
+    // canonical undirected edges keyed by their (initially trivial)
+    // component ids; parallel edges -> min weight
+    var e = materialize(
+      edges.select(
+        least(col(loCol), col(hiCol)).as("lo"),
+        greatest(col(loCol), col(hiCol)).as("hi"),
+        col(wCol).cast("long").as("w"))
+        .filter(col("lo") =!= col("hi"))
+        .groupBy("lo", "hi").agg(min("w").as("w"))
+        .select(col("lo").as("clo"), col("hi").as("chi"),
+          col("lo"), col("hi"), col("w")))
+
+    val parts = ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var done = e.isEmpty
+    while (!done && round < maxRounds) {
+      // each live component's minimum incident edge under (w, lo, hi)
+      // — both directions in ONE pass (explode), then a combine min
+      val minE = materialize(e
+        .select(explode(array(
+          struct(col("clo").as("comp"), col("w"), col("lo"), col("hi"),
+            col("chi").as("oc")),
+          struct(col("chi").as("comp"), col("w"), col("lo"), col("hi"),
+            col("clo").as("oc")))).as("i"))
+        .select(col("i.comp").as("comp"),
+          struct(col("i.w"), col("i.lo"), col("i.hi"), col("i.oc")).as("x"))
+        .groupBy("comp").agg(min(col("x")).as("m"))
+        .select(col("comp"), col("m.w").as("w"), col("m.lo").as("lo"),
+          col("m.hi").as("hi"), col("m.oc").as("oc")))
+      // the same edge may be both endpoints' minimum — one copy
+      parts += minE.select("lo", "hi", "w").distinct()
+
+      // contraction map: root each mutual-minimum 2-cycle at its
+      // smaller member, then pointer-jump the trees onto the roots
+      var f = materialize(minE.select(col("comp"), col("oc"))
+        .join(minE.select(col("comp").as("oc"), col("oc").as("oc2")), "oc")
+        .select(col("comp"),
+          when(col("oc2") === col("comp") && col("comp") < col("oc"),
+            col("comp")).otherwise(col("oc")).as("p")))
+      var jumped = false
+      var jIter = 0
+      while (!jumped) {
+        require(jIter < 34,
+          "pointer jumping did not converge — merge forest malformed")
+        val j = materialize(f
+          .join(f.select(col("comp").as("p"), col("p").as("p2")), "p")
+          .select(col("comp"), col("p"), col("p2")))
+        jumped = j.filter(col("p2") =!= col("p")).limit(1).isEmpty
+        f = j.select(col("comp"), col("p2").as("p"))
+        jIter += 1
+      }
+
+      // relabel the carried edges to the merged components, drop the
+      // now-internal ones, and prune parallel edges to their minimum
+      e = materialize(e
+        .join(f.select(col("comp").as("clo"), col("p").as("nlo")), "clo")
+        .join(f.select(col("comp").as("chi"), col("p").as("nhi")), "chi")
+        .filter(col("nlo") =!= col("nhi"))
+        .select(least(col("nlo"), col("nhi")).as("clo"),
+          greatest(col("nlo"), col("nhi")).as("chi"),
+          struct(col("w"), col("lo"), col("hi")).as("x"))
+        .groupBy("clo", "chi").agg(min(col("x")).as("m"))
+        .select(col("clo"), col("chi"), col("m.lo").as("lo"),
+          col("m.hi").as("hi"), col("m.w").as("w")))
+      done = e.isEmpty
+      round += 1
+    }
+    require(done, s"boruvka did not converge within $maxRounds rounds")
+
+    if (parts.isEmpty)
+      edges.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        e.select("lo", "hi", "w").schema)
+    else parts.reduce(_ unionByName _)
+  }
+}

@@ -4364,6 +4364,33 @@ object LlmSurface {
     "p_ccf" -> ((s, dir) => {
       EventOps.ccfDaily(events(s, dir), "ts", "event_type",
         "click", "purchase", maxLag = 7)
+    }),
+
+    // ---- Borůvka minimum spanning forest (X304) --------------------------
+    // The single-linkage clustering backbone over the X173 proximity
+    // graph: cut the forest's heaviest edges and the single-linkage
+    // dendrogram falls out at any threshold — the controllable-merge
+    // upgrade to the fixed-threshold CC dedup groups. Borůvka because
+    // it is THE parallel MST: every component picks its min incident
+    // edge simultaneously (one combine agg), components at least halve
+    // per round, ⌈log₂V⌉ rounds total; contraction runs on the merge
+    // graph only (one edge per live component — exponentially small).
+    // Ties broken by the (w, lo, hi) total order = perturbed-distinct
+    // weights, so the forest is unique and the unrolled DuckDB replay
+    // lands on the identical edge set.
+    "llm_graph_mst" -> ((s, dir) => {
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000.0)
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1000.0)
+            .cast("long").as("y"))
+      val prox = graft.operators.GridJoin.proximityJoin(pts, "vec_id",
+        "x", "y", maxDist = 40L)
+      graft.operators.Mst.boruvka(prox, "id_a", "id_b", "dist2")
+        .select(col("lo").as("id_a"), col("hi").as("id_b"),
+          col("w").as("dist2"))
+        .orderBy("dist2", "id_a", "id_b")
     })
   )
 
@@ -4589,6 +4616,51 @@ mom AS (
           FROM e JOIN outd USING (src) JOIN $prev ON $prev.id = e.src
           GROUP BY e.dst) inf USING (id))"""
     }.mkString(",\n")
+
+  /** Generated Borůvka-round CTEs replaying [[graft.operators.Mst]]:
+    * per round k, the cross-component edge set (x$k), the per-component
+    * minimum incident edge under the (w, lo, hi) total order (min$k, a
+    * row_number window — the oracle-side spelling of the Spark combine
+    * agg), the symmetric merge graph (m$k), its recursive reachability
+    * closure (r$k — the contraction that the Spark side runs as
+    * alternating-stars CC), min-reachable relabeling (nl$k), and the
+    * advanced label table (lab$k). Requires CTEs e(lo, hi, w) and
+    * lab0(id, c); must sit inside a `WITH RECURSIVE` prefix. Rounds
+    * after convergence are identity (empty x$k propagates through).
+    */
+  private def mstRoundCtes(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""x$k AS (
+        SELECT e.lo, e.hi, e.w, la.c AS ca, lb.c AS cb
+        FROM e
+        JOIN lab${k - 1} la ON la.id = e.lo
+        JOIN lab${k - 1} lb ON lb.id = e.hi
+        WHERE la.c <> lb.c),
+      i$k AS (
+        SELECT ca AS comp, lo, hi, w, cb AS oc FROM x$k
+        UNION ALL
+        SELECT cb AS comp, lo, hi, w, ca AS oc FROM x$k),
+      min$k AS MATERIALIZED (
+        SELECT comp, lo, hi, w, oc FROM (
+          SELECT i.*, row_number() OVER (PARTITION BY comp
+                        ORDER BY w, lo, hi) AS rn
+          FROM i$k i)
+        WHERE rn = 1),
+      m$k AS MATERIALIZED (
+        SELECT comp AS a, oc AS b FROM min$k
+        UNION
+        SELECT oc, comp FROM min$k),
+      r$k(a, b) AS (
+        SELECT a, b FROM m$k
+        UNION
+        SELECT r.a, m.b FROM r$k r JOIN m$k m ON m.a = r.b
+        WHERE m.b <> r.a),
+      nl$k AS MATERIALIZED (
+        SELECT a AS c, least(a, min(b)) AS nc FROM r$k GROUP BY a),
+      lab$k AS MATERIALIZED (
+        SELECT l.id, coalesce(nl.nc, l.c) AS c
+        FROM lab${k - 1} l LEFT JOIN nl$k nl ON nl.c = l.c)"""
+    }.mkString(",\n      ")
 
   /** Shared SCC-closure CTE block (for a `WITH RECURSIVE` prefix):
     * the synthetic link table + ring edges, reachability closure,
@@ -12860,6 +12932,35 @@ $rounds
             UNION ALL
             SELECT * FROM fc)
       ORDER BY ds
+    """,
+
+    // Replays the proximity graph (the llm_grid_join CTE verbatim) and
+    // 16 unrolled Borůvka rounds — enough for 2^16 vertices, rounds
+    // after convergence are identity. The forest is the UNION of each
+    // round's selected minimum edges; uniqueness comes from the
+    // (w, lo, hi) lexicographic tie-break both engines share.
+    "llm_graph_mst" -> s"""
+      WITH RECURSIVE p AS (
+        SELECT vec_id AS id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS x,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS y
+        FROM embeddings),
+      e AS MATERIALIZED (
+        SELECT a.id AS lo, b.id AS hi,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS w
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 1600),
+      lab0 AS MATERIALIZED (
+        SELECT id, id AS c FROM (
+          SELECT lo AS id FROM e UNION SELECT hi FROM e)),
+      ${mstRoundCtes(16)}
+      SELECT lo AS id_a, hi AS id_b, w AS dist2
+      FROM (${(1 to 16).map(k =>
+        s"SELECT DISTINCT lo, hi, w FROM min$k").mkString("\n            UNION\n            ")})
+      ORDER BY dist2, id_a, id_b
     """
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Mst
+
+/** X304 Borůvka minimum spanning forest: hand-checked trees, the
+  * cycle-property edge drop, tie-breaking by the (w, lo, hi) total
+  * order, parallel-edge consolidation, multi-component forests, and
+  * the |V| − #components size invariant.
+  */
+class MstSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    Mst.boruvka(edges.toDF("a", "b", "w"), "a", "b", "w")
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("triangle drops exactly its heaviest edge") {
+    val mst = run(Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 5L)))
+    assert(mst === Set((1L, 2L, 1L), (2L, 3L, 2L)))
+  }
+
+  test("square cycle keeps the three lightest edges") {
+    val mst = run(Seq((1L, 2L, 1L), (2L, 3L, 7L), (3L, 4L, 2L),
+      (1L, 4L, 9L)))
+    assert(mst === Set((1L, 2L, 1L), (3L, 4L, 2L), (2L, 3L, 7L)))
+  }
+
+  test("equal weights break by (lo, hi): the id-smaller edge wins") {
+    // cycle 1-2-3 with all weights equal: under (w, lo, hi) the cycle
+    // maximum is (2,3) — lexicographically after (1,2) and (1,3) — so
+    // it is the unique drop (the same edge Kruskal would reject)
+    val mst = run(Seq((1L, 2L, 4L), (2L, 3L, 4L), (1L, 3L, 4L)))
+    assert(mst === Set((1L, 2L, 4L), (1L, 3L, 4L)))
+  }
+
+  test("parallel edges collapse to their minimum weight") {
+    val mst = run(Seq((1L, 2L, 9L), (2L, 1L, 3L), (2L, 3L, 5L)))
+    assert(mst === Set((1L, 2L, 3L), (2L, 3L, 5L)))
+  }
+
+  test("two components yield a forest of |V| - 2 edges") {
+    val mst = run(Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L),
+      (10L, 11L, 5L), (11L, 12L, 6L), (10L, 12L, 4L)))
+    assert(mst === Set((1L, 2L, 1L), (2L, 3L, 2L),
+      (10L, 12L, 4L), (10L, 11L, 5L)))
+    assert(mst.size === 6 - 2)
+  }
+
+  test("a chain needs multiple Borůvka rounds and survives them") {
+    // path 1-2-3-...-9 with increasing weights: the MST is the path
+    // itself; components merge pairwise so ~log2(9) rounds run
+    val path = (1L to 8L).map(i => (i, i + 1, 10L + i))
+    assert(run(path) === path.toSet)
+  }
+
+  test("self-loops and the empty graph are harmless") {
+    assert(run(Seq((5L, 5L, 1L))) === Set.empty)
+    assert(run(Seq.empty) === Set.empty)
+  }
+
+  test("star graph finishes in one round with every spoke kept") {
+    val star = (2L to 7L).map(i => (1L, i, 100L - i))
+    assert(run(star) === star.toSet)
+  }
+}
