@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   *    join+aggregate building blocks — swap it in if diameter is
   *    unbounded.
   *  - each round's result is materialized through `materialize` (default
-  *    `localCheckpoint(eager = true)`) — REQUIRED for any iterative
-  *    dataflow on Spark: without it round k's plan contains rounds
-  *    1..k-1 and both planning and recomputation go quadratic.
+  *    [[Iterate.cut]]) — REQUIRED for any iterative dataflow on Spark:
+  *    without a barrier round k's plan contains rounds 1..k-1 and both
+  *    planning and recomputation go quadratic; without the stats reset
+  *    the checkpoint-carried sizeInBytes estimate SQUARES per joined
+  *    round (see [[Iterate]]) until planning drowns in BigInt math.
   *    Intermediate rounds' blocks are dereferenced as `labels` is
   *    reassigned, so the ContextCleaner reclaims them; the final
   *    result's blocks live exactly as long as the caller holds the
@@ -56,7 +58,7 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      materialize: DataFrame => DataFrame = Iterate.cut)
       : DataFrame = {
     // both directions once; reused every round
     val sym = materialize(
@@ -115,7 +117,7 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 20,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      materialize: DataFrame => DataFrame = Iterate.cut)
       : DataFrame = {
     // canonical (a < b) distinct undirected edges, self-loops dropped
     var cur = materialize(

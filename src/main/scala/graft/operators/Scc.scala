@@ -43,7 +43,7 @@ object Scc {
 
   def components(edges: DataFrame, nodes: DataFrame,
       maxOuter: Int = 10, maxInner: Int = 50,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      materialize: DataFrame => DataFrame = Iterate.cut)
       : DataFrame = {
 
     def fixpointMin(e: DataFrame, init: DataFrame): DataFrame = {
@@ -129,7 +129,7 @@ object Scc {
     */
   def condensationLevels(edges: DataFrame, assignment: DataFrame,
       maxIter: Int = 50,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(eager = true))
+      materialize: DataFrame => DataFrame = Iterate.cut)
       : DataFrame = {
     val ce = materialize(edges
       .join(assignment.select(col("id").as("src"), col("scc").as("_sa")),
