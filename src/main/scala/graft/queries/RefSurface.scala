@@ -776,6 +776,29 @@ object RefSurface {
         .orderBy("o_orderpriority", "order_month", "o_orderstatus")
     }),
 
+    // ---- t-closeness privacy audit (X305) --------------------------------
+    // The third release gate next to k-anonymity/l-diversity: per
+    // quasi-class (priority, status), Earth Mover's Distance between
+    // the class's ordered price-band distribution and the global one
+    // (Li et al. ICDE'07 closed form — prefix sums of the gap).
+    // Exact integers end to end (gaps scaled by n_c·N), one final
+    // division through round6. One corpus-pass combine agg to the
+    // class×band cells; histogram, class sizes, and total all
+    // REDERIVE from the pinned cells — the corpus is read once.
+    "p_tcloseness" -> ((s, dir) => {
+      val cells = Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) " +
+            "div 6000000").as("band"))
+        .groupBy("o_orderpriority", "o_orderstatus", "band")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // 3 consumers: histogram, sizes, grid
+      graft.operators.TCloseness.audit(cells,
+        Seq("o_orderpriority", "o_orderstatus"), "band", "cnt",
+        threshold = 0.05)
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
     // ---- Mondrian k-anonymization (the generalization step) -------------
     // Recursive bucketed-median bisection of orders in (price cents,
     // epoch day) quasi-space, depth 8, k = 50 — every published range
@@ -1982,6 +2005,48 @@ object RefSurface {
       GROUP BY 1, 2, 3
       HAVING sum(cnt) < 5 OR count(*) < 3
       ORDER BY 1, 2, 3
+    """,
+
+    "p_tcloseness" -> """
+      WITH cells AS (
+        SELECT o_orderpriority AS prio, o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 6000000
+                 AS band,
+               count(*) AS cnt
+        FROM orders GROUP BY 1, 2, 3),
+      g AS (SELECT band, sum(cnt) AS gc FROM cells GROUP BY band),
+      tot AS (SELECT sum(gc) AS n, count(*) AS m FROM g),
+      cls AS (SELECT prio, status, sum(cnt) AS nc FROM cells
+              GROUP BY 1, 2),
+      grid AS (
+        SELECT c.prio, c.status, c.nc, g.band, g.gc,
+               coalesce(ce.cnt, 0) AS cnt
+        FROM cls c CROSS JOIN g
+        LEFT JOIN cells ce ON ce.prio = c.prio AND ce.status = c.status
+                          AND ce.band = g.band),
+      pre AS (
+        SELECT prio, status, nc, tt.n, tt.m,
+               abs(sum(cnt * tt.n - gc * nc) OVER (
+                 PARTITION BY prio, status ORDER BY band
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS absd
+        FROM grid, tot AS tt),
+      agg AS (
+        SELECT prio, status, nc, n, m, sum(absd) AS emd_num
+        FROM pre GROUP BY 1, 2, 3, 4, 5),
+      fin AS (
+        SELECT prio, status, nc, emd_num,
+               CASE WHEN m <= 1 THEN 0.0
+                    ELSE floor(CAST(emd_num AS DOUBLE)
+                           / CAST((m - 1) * nc * n AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0 END AS t
+        FROM agg)
+      SELECT prio AS o_orderpriority, status AS o_orderstatus,
+             CAST(nc AS BIGINT) AS group_n,
+             CAST(emd_num AS BIGINT) AS emd_num,
+             t, (t > 0.05) AS t_violation
+      FROM fin
+      ORDER BY 1, 2
     """,
 
     // unrolled 8-round Mondrian replay; every CTE is MATERIALIZED
