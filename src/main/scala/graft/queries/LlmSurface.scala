@@ -653,6 +653,38 @@ object LlmSurface {
         clipMilli = 300L, topW = 32)
     }),
 
+    // ---- AdaBoost stump ensemble, histogram split search (X306) ----------
+    // The trained ENSEMBLE next to X198's single linear model: 3
+    // boosting rounds over decision stumps on 5 cheap integer features,
+    // mimicking the same 5-stopword teacher gate. Each round's whole
+    // split search is ONE corpus-pass weighted histogram agg + prefix
+    // sums over the metadata-sized (feature × bucket) table — the
+    // LightGBM histogram trick — and weights stay exact integers by
+    // cross-multiplying the round's error/correct masses instead of
+    // dividing. See operators/AdaBoost.scala for the full argument.
+    "llm_adaboost" -> ((s, dir) => {
+      val ws = TextOps.words(col("text"))
+      val feats = Tables(s, dir, "documents")
+        .select(col("n_chars").cast("long").as("nc"),
+          size(ws).cast("long").as("n"),
+          size(filter(ws, w => w === "the")).cast("long").as("cthe"),
+          size(filter(ws, w => w === "a")).cast("long").as("ca"),
+          size(filter(ws, w => w.isin("of", "to"))).cast("long").as("cot"),
+          size(filter(ws, w => w.isin("the", "a", "of", "to", "and")))
+            .cast("long").as("cstop"))
+        .filter(col("n") > 0)
+        .select(
+          expr("((cthe * 1000) div n) div 8").as("f_pm_the"),
+          expr("((ca * 1000) div n) div 8").as("f_pm_a"),
+          expr("((cot * 1000) div n) div 8").as("f_pm_ofto"),
+          expr("n div 4").as("f_n_words"),
+          expr("((nc * 100) div n) div 8").as("f_cpw"),
+          (col("cstop") * 1000 >= col("n") * 61).as("y"))
+      graft.operators.AdaBoost.trainStumps(feats,
+        Seq("f_pm_the", "f_pm_a", "f_pm_ofto", "f_n_words", "f_cpw"),
+        col("y"), rounds = 3)
+    }),
+
     // ---- ranking evaluation: exact ROC-AUC / AP / decile points (X257) ---
     // The curve readout the one-threshold confusion counts (X76/X193)
     // can't give: does a CHEAP single-marker score ("the" per-mille)
@@ -4662,6 +4694,85 @@ mom AS (
         FROM lab${k - 1} l LEFT JOIN nl$k nl ON nl.c = l.c)"""
     }.mkString(",\n      ")
 
+  /** Generated AdaBoost-round CTEs replaying [[graft.operators.AdaBoost]]:
+    * per round t, the weighted (feature × bucket) class histogram h$t
+    * (feature explode = 5 UNION ALL arms), per-feature totals t$t (fi=0
+    * sums the whole corpus once), prefix sums c$t, the winning stump
+    * g$t under the (err, fi, bucket, dir) total order with the clamped
+    * integer masses and the micro-floored ln-pair vote weight, the
+    * weight/score update d$t (cross-multiplied exact-integer
+    * reweighting), the ensemble error e$t, and the report row r$t.
+    * Requires a CTE d0(y, f0..f4, w HUGEINT, s BIGINT); g$t is
+    * MATERIALIZED (referenced by both d$t and r$t — the inlining
+    * gotcha).
+    */
+  private def adaboostRoundCtes(rounds: Int, names: Seq[String]): String = {
+    val nameCase = names.zipWithIndex.map { case (n, i) =>
+      if (i == names.size - 1) s"ELSE '$n'" else s"WHEN $i THEN '$n'"
+    }.mkString("CASE fi ", " ", " END")
+    val fSel = (0 until names.size).map { i =>
+      if (i == names.size - 1) s"ELSE d.f$i" else s"WHEN $i THEN d.f$i"
+    }.mkString("CASE g.fi ", " ", " END")
+    (1 to rounds).map { t =>
+      val p = t - 1
+      val arms = (0 until names.size).map(i =>
+        s"SELECT y, w, $i AS fi, f$i AS b FROM d$p").mkString("\n        UNION ALL ")
+      s"""h$t AS MATERIALIZED (
+        SELECT fi, b,
+               sum(CASE WHEN y THEN w ELSE 0 END) AS wp,
+               sum(CASE WHEN y THEN 0 ELSE w END) AS wn
+        FROM ($arms)
+        GROUP BY 1, 2),
+      t$t AS (SELECT sum(wp) AS tp, sum(wn) AS tn FROM h$t WHERE fi = 0),
+      c$t AS (
+        SELECT fi, b,
+               sum(wp) OVER (PARTITION BY fi ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+               sum(wn) OVER (PARTITION BY fi ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        FROM h$t),
+      g$t AS MATERIALIZED (
+        SELECT fi, b AS th, dir, err,
+               greatest(err, 1) AS weg,
+               greatest(tt.tp + tt.tn - err, 1) AS wcg,
+               tt.tp + tt.tn AS wt,
+               CAST(floor(ln(CAST(greatest(tt.tp + tt.tn - err, 1)
+                      AS DOUBLE)) * 1000000) AS BIGINT)
+                 - CAST(floor(ln(CAST(greatest(err, 1) AS DOUBLE))
+                     * 1000000) AS BIGINT) AS a2
+        FROM (SELECT fi, b, dir, err,
+                     row_number() OVER (ORDER BY err, fi, b, dir) AS rn
+              FROM (SELECT c.fi, c.b, 0 AS dir,
+                           c.cn + tt.tp - c.cp AS err
+                    FROM c$t c, t$t tt
+                    UNION ALL
+                    SELECT c.fi, c.b, 1, c.cp + tt.tn - c.cn
+                    FROM c$t c, t$t tt)) x, t$t tt
+        WHERE rn = 1),
+      d$t AS MATERIALIZED (
+        SELECT y, f0, f1, f2, f3, f4,
+               w * (CASE WHEN hp <> y THEN wcg ELSE weg END) AS w,
+               s + (CASE WHEN hp THEN a2 ELSE -a2 END) AS s
+        FROM (
+          SELECT d.y, d.f0, d.f1, d.f2, d.f3, d.f4, d.w, d.s,
+                 g.wcg, g.weg, g.a2,
+                 CASE WHEN g.dir = 0 THEN ($fSel) <= g.th
+                      ELSE ($fSel) > g.th END AS hp
+          FROM d$p d, g$t g)),
+      e$t AS (SELECT sum(CASE WHEN (s > 0) <> y THEN 1 ELSE 0 END)
+                AS ens_err FROM d$t),
+      r$t AS (
+        SELECT $t AS round, $nameCase AS feature,
+               CAST(th AS BIGINT) AS threshold,
+               CASE WHEN dir = 0 THEN 'le_pos' ELSE 'gt_pos' END AS dir,
+               floor(CAST(err AS DOUBLE) / CAST(wt AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS eps,
+               a2 AS alpha2_micro,
+               CAST(e.ens_err AS BIGINT) AS ens_err
+        FROM g$t, e$t e)"""
+    }.mkString(",\n      ")
+  }
+
   /** Shared SCC-closure CTE block (for a `WITH RECURSIVE` prefix):
     * the synthetic link table + ring edges, reachability closure,
     * mutual pairs, and `sccs(id, scc, n_nodes is separate)` — scc =
@@ -5510,6 +5621,41 @@ $rounds,
       ORDER BY part, k, sym
     """
     },
+
+    // 3 unrolled boosting rounds (generator above); d0 carries exact
+    // HUGEINT weights, the winner CTEs are MATERIALIZED.
+    "llm_adaboost" -> s"""
+      WITH feats AS MATERIALIZED (
+        SELECT ((cthe * 1000) // n) // 8 AS f0,
+               ((ca * 1000) // n) // 8 AS f1,
+               ((cot * 1000) // n) // 8 AS f2,
+               n // 4 AS f3,
+               ((nc * 100) // n) // 8 AS f4,
+               (cstop * 1000 >= n * 61) AS y
+        FROM (SELECT n_chars AS nc,
+                     len(string_split(text, ' ')) AS n,
+                     len(list_filter(string_split(text, ' '),
+                       w -> w = 'the')) AS cthe,
+                     len(list_filter(string_split(text, ' '),
+                       w -> w = 'a')) AS ca,
+                     len(list_filter(string_split(text, ' '),
+                       w -> w IN ('of', 'to'))) AS cot,
+                     len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the', 'a', 'of', 'to', 'and')))
+                       AS cstop
+              FROM documents)
+        WHERE n > 0),
+      d0 AS MATERIALIZED (
+        SELECT y, f0, f1, f2, f3, f4,
+               CAST(1 AS HUGEINT) AS w, CAST(0 AS BIGINT) AS s
+        FROM feats),
+      ${adaboostRoundCtes(3,
+        Seq("f_pm_the", "f_pm_a", "f_pm_ofto", "f_n_words", "f_cpw"))}
+      SELECT * FROM r1
+      UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3
+      ORDER BY round
+    """,
 
     "llm_lang_quality" -> s"""
       WITH scored AS (
