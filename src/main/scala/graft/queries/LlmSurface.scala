@@ -2990,6 +2990,29 @@ object LlmSurface {
         levels = 4, topK = 20)
     }),
 
+    // ---- sampled neighborhood function / effective diameter (X307) -------
+    // The ANF profile of the co-order graph from the same md5-free
+    // deterministic seed panel as X294: per hop, Σ|N(src, r)| over the
+    // sampled sources, the hop's fresh pairs, and the ≥90% flag whose
+    // first true row is the sampled effective diameter. Exact BFS sets
+    // (frontier equi-join + visited anti-join per hop); HyperANF's
+    // unioned HLL registers are the documented 100 TB swap-in.
+    "llm_graph_anf" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      val sym = edges.select(col("item_a").as("a"), col("item_b").as("b"))
+        .unionByName(
+          edges.select(col("item_b").as("a"), col("item_a").as("b")))
+      val seeds = Tables(s, dir, "part")
+        .filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey").as("n"))
+      graft.operators.NeighborhoodFunction.sample(sym, "a", "b",
+        seeds, "n", maxHops = 5)
+    }),
+
     // ---- Wald SPRT daily trajectory, three hypothesis pairs (X269) -------
     // Fully-sequential purchase-rate monitoring: every ln constant
     // folded to integer micro ON THE DRIVER and shared verbatim with
@@ -5619,6 +5642,57 @@ $rounds,
                CAST(count(*) AS BIGINT) AS n
         FROM sc JOIN lab USING (doc) GROUP BY 3)
       ORDER BY part, k, sym
+    """
+    },
+
+    // 5 unrolled BFS hops over the X294 co-order graph; cumulative
+    // visited-set CTEs MATERIALIZED (each feeds the next hop AND its
+    // count row).
+    "llm_graph_anf" -> {
+      val hops = (1 to 5).map { r =>
+        s"""v$r AS MATERIALIZED (
+        SELECT DISTINCT src, node FROM (
+          SELECT src, node FROM v${r - 1}
+          UNION ALL
+          SELECT v.src, e.b AS node
+          FROM v${r - 1} v JOIN sym e ON e.a = v.node))"""
+      }.mkString(",\n      ")
+      val rows = (0 to 5).map { r =>
+        val newly =
+          if (r == 0) s"(SELECT count(*) FROM v0)"
+          else s"(SELECT count(*) FROM v$r) - (SELECT count(*) FROM v${r - 1})"
+        s"SELECT $r AS hop, (SELECT count(*) FROM v$r) AS reached, $newly AS newly"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bcap AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      pedges AS (
+        SELECT x.i AS ia, y.i AS ib
+        FROM bcap x JOIN bcap y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      sym AS MATERIALIZED (
+        SELECT ia AS a, ib AS b FROM pedges
+        UNION ALL
+        SELECT ib AS a, ia AS b FROM pedges),
+      v0 AS MATERIALIZED (
+        SELECT DISTINCT p_partkey AS src, p_partkey AS node
+        FROM part WHERE p_partkey % 100 = 0),
+      $hops,
+      tot AS (SELECT count(*) AS fin FROM v5),
+      rows AS ($rows)
+      SELECT hop, CAST(reached AS BIGINT) AS reached,
+             CAST(newly AS BIGINT) AS newly,
+             (reached * 10 >= 9 * tot.fin) AS reaches90
+      FROM rows, tot
+      ORDER BY hop
     """
     },
 
