@@ -3013,6 +3013,22 @@ object LlmSurface {
         seeds, "n", maxHops = 5)
     }),
 
+    // ---- per-node local clustering coefficient (X308) ---------------------
+    // Watts–Strogatz lcc over the co-order graph: the node-level
+    // hub-vs-clique audit the triangle LIST doesn't give. Triangle
+    // counts ride the degree-ordered O(m^1.5) enumeration; lcc is one
+    // exact-integer division through round6, deg < 2 ⇒ 0.
+    "llm_graph_clustering" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      graft.operators.ClusteringCoefficient
+        .perNode(edges, "item_a", "item_b")
+        .orderBy("node")
+    }),
+
     // ---- Wald SPRT daily trajectory, three hypothesis pairs (X269) -------
     // Fully-sequential purchase-rate monitoring: every ln constant
     // folded to integer micro ON THE DRIVER and shared verbatim with
@@ -5644,6 +5660,51 @@ $rounds,
       ORDER BY part, k, sym
     """
     },
+
+    // quadratic three-join triangle closure (oracle form; the Spark
+    // side runs the degree-ordered orientation) over the shared
+    // co-order projection.
+    "llm_graph_clustering" -> """
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bcap AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      pedges AS MATERIALIZED (
+        SELECT x.i AS ia, y.i AS ib
+        FROM bcap x JOIN bcap y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      deg AS (
+        SELECT n, count(*) AS d FROM (
+          SELECT ia AS n FROM pedges
+          UNION ALL SELECT ib FROM pedges)
+        GROUP BY n),
+      tri AS (
+        SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+        FROM pedges e1
+        JOIN pedges e2 ON e2.ia = e1.ib
+        JOIN pedges e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+      tn AS (
+        SELECT n, count(*) AS tri_n FROM (
+          SELECT a AS n FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY n)
+      SELECT d.n AS node, CAST(d.d AS BIGINT) AS degree,
+             CAST(coalesce(t.tri_n, 0) AS BIGINT) AS n_triangles,
+             CASE WHEN d.d >= 2
+                  THEN floor(CAST(2 * coalesce(t.tri_n, 0) AS DOUBLE)
+                         / CAST(d.d * (d.d - 1) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0
+                  ELSE 0.0 END AS lcc
+      FROM deg d LEFT JOIN tn t ON t.n = d.n
+      ORDER BY node
+    """,
 
     // 5 unrolled BFS hops over the X294 co-order graph; cumulative
     // visited-set CTEs MATERIALIZED (each feeds the next hop AND its
