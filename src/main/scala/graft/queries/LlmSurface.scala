@@ -3029,6 +3029,27 @@ object LlmSurface {
         .orderBy("node")
     }),
 
+    // ---- Jones-Plassmann conflict-free coloring (X309) --------------------
+    // Independent-set scheduling for the co-order graph: color classes
+    // can be mutated in parallel with zero coordination (cluster-merge
+    // / in-place-update scheduling). Every current local maximum of
+    // the keyed-md5 priority colors itself per round with the mex of
+    // its colored neighbors — mex computed relationally ({0} ∪ {c+1}
+    // anti-join used, combine min), no generate-series fan-out.
+    "llm_graph_coloring" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      // rounds are Θ(clique number): the sf0.001 projection holds a
+      // ~24-clique (any independent-set-per-round scheme needs one
+      // round per clique member), so 28 covers all SFs with headroom
+      graft.operators.GraphColoring
+        .jonesPlassmann(edges, "item_a", "item_b", maxRounds = 28)
+        .orderBy("node")
+    }),
+
     // ---- Wald SPRT daily trajectory, three hypothesis pairs (X269) -------
     // Fully-sequential purchase-rate monitoring: every ln constant
     // folded to integer micro ON THE DRIVER and shared verbatim with
@@ -4812,6 +4833,46 @@ mom AS (
     }.mkString(",\n      ")
   }
 
+  /** Generated Jones–Plassmann round CTEs replaying
+    * [[graft.operators.GraphColoring]]: per round k, the local-maxima
+    * winner set w$k (NOT EXISTS an uncolored neighbor with a higher
+    * (h, id) priority — the oracle spelling of the Spark max-struct
+    * compare), colored-neighbor colors used$k, the relational mex
+    * newc$k, and the advanced col$k/u$k/e$k state. Requires CTEs
+    * sym(node, nbr), pr(node, h), e0 = sym, u0 = nodes, col0 = empty.
+    * Rounds after convergence are identity (empty w$k propagates).
+    */
+  private def jpRoundCtes(rounds: Int): String =
+    (1 to rounds).map { k =>
+      val p = k - 1
+      s"""w$k AS MATERIALIZED (
+        SELECT u.node FROM u$p u JOIN pr pu ON pu.node = u.node
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e$p e JOIN pr pn ON pn.node = e.nbr
+          WHERE e.node = u.node
+            AND (pn.h > pu.h OR (pn.h = pu.h AND e.nbr > u.node)))),
+      used$k AS MATERIALIZED (
+        SELECT DISTINCT w.node, c.color
+        FROM w$k w JOIN sym s ON s.node = w.node
+        JOIN col$p c ON c.node = s.nbr),
+      newc$k AS (
+        SELECT x.node, min(x.cand) AS color FROM (
+          SELECT node, 0 AS cand FROM w$k
+          UNION ALL SELECT node, color + 1 FROM used$k) x
+        LEFT JOIN used$k u2 ON u2.node = x.node AND u2.color = x.cand
+        WHERE u2.node IS NULL
+        GROUP BY x.node),
+      col$k AS MATERIALIZED (
+        SELECT * FROM col$p UNION ALL SELECT * FROM newc$k),
+      u$k AS MATERIALIZED (
+        SELECT u.node FROM u$p u
+        WHERE NOT EXISTS (SELECT 1 FROM w$k w WHERE w.node = u.node)),
+      e$k AS MATERIALIZED (
+        SELECT e.node, e.nbr FROM e$p e
+        WHERE NOT EXISTS (SELECT 1 FROM w$k w WHERE w.node = e.node)
+          AND NOT EXISTS (SELECT 1 FROM w$k w WHERE w.node = e.nbr))"""
+    }.mkString(",\n      ")
+
   /** Shared SCC-closure CTE block (for a `WITH RECURSIVE` prefix):
     * the synthetic link table + ring edges, reachability closure,
     * mutual pairs, and `sccs(id, scc, n_nodes is separate)` — scc =
@@ -5660,6 +5721,41 @@ $rounds,
       ORDER BY part, k, sym
     """
     },
+
+    // 28 unrolled Jones-Plassmann rounds (generator above) over the
+    // co-order graph — rounds track the clique number (24 measured at
+    // sf0.001); convergence rounds are identity.
+    "llm_graph_coloring" -> s"""
+      WITH rel AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bcap AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+          FROM rel)
+        WHERE r <= 5),
+      pedges AS (
+        SELECT x.i AS ia, y.i AS ib
+        FROM bcap x JOIN bcap y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      sym AS MATERIALIZED (
+        SELECT ia AS node, ib AS nbr FROM pedges
+        UNION ALL
+        SELECT ib AS node, ia AS nbr FROM pedges),
+      pr AS MATERIALIZED (
+        SELECT node,
+               CAST('0x' || substr(md5('jp|' || CAST(node AS VARCHAR)),
+                 1, 15) AS BIGINT) AS h
+        FROM (SELECT DISTINCT node FROM sym)),
+      e0 AS (SELECT node, nbr FROM sym),
+      u0 AS (SELECT DISTINCT node FROM sym),
+      col0 AS (SELECT node, 0 AS color FROM u0 WHERE 1 = 0),
+      ${jpRoundCtes(28)}
+      SELECT node, color FROM col28
+      ORDER BY node
+    """,
 
     // quadratic three-join triangle closure (oracle form; the Spark
     // side runs the degree-ordered orientation) over the shared
