@@ -293,4 +293,64 @@ object EvalOps {
         col("k.kappa_micro").as("kappa_micro"))
       .orderBy("pair")
   }
+
+  /** Krippendorff's alpha, nominal data WITH MISSING RATINGS
+    * (Krippendorff, Content Analysis §12) — the agreement coefficient
+    * [[raterKappa]] can't be: kappa needs every rater on every item,
+    * but real annotation queues route each doc to a SUBSET of raters.
+    * Alpha pairs whatever ratings each unit actually has.
+    *
+    * Coincidence-matrix closed form, exact integers throughout: each
+    * unit u with m_u ≥ 2 ratings contributes its ordered disagreeing
+    * pairs weighted 1/(m_u−1); scaling by L = lcm(1..R−1) (R = rater
+    * count, so (m_u−1) | L) keeps the sum integer:
+    *   Do_L = Σ_u (L div (m_u−1)) · (m_u² − Σ_c cnt_uc²),
+    *   De_L = L · (n² − Σ_c n_c²),   n = Σ m_u, n_c = category margins,
+    *   alpha = 1 − (n−1)·Do_L / De_L
+    * — one signed exact-integer division rendered through round6.
+    * Units with m_u < 2 drop (nothing to pair); De_L = 0 (every kept
+    * rating one category, or n ≤ 1) reports alpha = 0 by the repo's
+    * degenerate-denominator convention.
+    *
+    * Scale: ONE corpus pass (per-rater structs exploded, absent
+    * ratings filtered) to the (unit × category) cells; everything
+    * after is unit- or category-bounded combine aggs. Output: one row
+    * (n_units, n_values, do_scaled, de_scaled, alpha).
+    */
+  def krippAlpha(df: DataFrame, unitCol: String,
+      raters: Seq[(String, Column, Column)]): DataFrame = {
+    require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
+    val lcm = (1 until raters.size).reduce { (a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toInt * b
+    }
+    val ratings = df.select(col(unitCol).as("_u"),
+        explode(array(raters.map { case (_, verdict, present) =>
+          struct(present.as("p"), verdict.cast("string").as("c"))
+        }: _*)).as("_r"))
+      .filter(col("_r.p"))
+      .select(col("_u"), col("_r.c").as("_c"))
+    val cells = ratings.groupBy("_u", "_c")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds units AND margins
+    val units = cells.groupBy("_u")
+      .agg(sum("cnt").as("m"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .filter(col("m") >= 2)
+      .localCheckpoint(true) // feeds the Do sum AND the semi-join
+    val doRow = units.agg(
+      coalesce(sum(expr(s"($lcm div (m - 1)) * (m * m - s2)")), lit(0L))
+        .as("do_scaled"),
+      coalesce(sum("m"), lit(0L)).as("n"), count(lit(1)).as("n_units"))
+    val deRow = cells.join(units.select("_u"), Seq("_u"), "left_semi")
+      .groupBy("_c").agg(sum("cnt").as("nc"))
+      .agg(coalesce(sum(col("nc") * col("nc")), lit(0L)).as("snc2"))
+    val de = lit(lcm.toLong) * (col("n") * col("n") - col("snc2"))
+    doRow.crossJoin(broadcast(deRow)).select(
+      col("n_units"), col("n").as("n_values"), col("do_scaled"),
+      de.as("de_scaled"),
+      when(de === 0L || col("n") <= 1L, lit(0.0))
+        .otherwise(TextOps.round6(
+          (de - (col("n") - 1) * col("do_scaled")).cast("double") /
+            de.cast("double"))).as("alpha"))
+  }
 }

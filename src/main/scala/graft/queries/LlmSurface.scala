@@ -2605,6 +2605,24 @@ object LlmSurface {
           >= size(col("_w")) * 2)))
     }),
 
+    // ---- Krippendorff's alpha with missing ratings (X310) ----------------
+    // The agreement coefficient kappa can't be: each synthetic rater
+    // abstains on a deterministic doc_id stratum (real annotation
+    // queues route docs to rater subsets), units with < 2 ratings
+    // drop, and alpha pairs whatever each unit actually has —
+    // lcm-scaled exact integers, one signed division through round6.
+    "llm_kripp_alpha" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("_w", TextOps.words(col("text")))
+      EvalOps.krippAlpha(d, "doc_id", Seq(
+        ("len", col("n_chars") >= 250, col("doc_id") % 5 =!= 0),
+        ("stop", size(filter(col("_w"),
+          w => w.isin("the", "a", "of", "to", "in"))) * 10
+          <= size(col("_w")), col("doc_id") % 7 =!= 0),
+        ("ttr", size(array_distinct(col("_w"))) * 5
+          >= size(col("_w")) * 2, col("doc_id") % 3 =!= 0)))
+    }),
+
     // ---- Shapley attribution of vocab coverage to sources (X279) ---------
     // Exact game-theoretic mixture credit WITHOUT 2^20 coalition
     // evaluations: the coverage game's Shapley value collapses to
@@ -8775,6 +8793,55 @@ $rounds,
     // Replays the three gates, the one-pass pair/pooled sums, and the
     // exact-integer kappa ratios (// matches Spark truncDivDec on the
     // one signed division; po/pe numerators are nonnegative).
+    // lcm(1..2) = 2 scaling; the three rater predicates replicate the
+    // kappa oracle's, each gated by its abstention stratum.
+    "llm_kripp_alpha" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN n_chars >= 250 THEN 'true' ELSE 'false' END AS v0,
+               CASE WHEN 10 * len(list_filter(ws,
+                      x -> x IN ('the', 'a', 'of', 'to', 'in')))
+                    <= len(ws) THEN 'true' ELSE 'false' END AS v1,
+               CASE WHEN 5 * len(list_distinct(ws)) >= 2 * len(ws)
+                    THEN 'true' ELSE 'false' END AS v2
+        FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+              FROM documents)),
+      ratings AS (
+        SELECT doc_id AS u, v0 AS c FROM base WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id, v1 FROM base WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, v2 FROM base WHERE doc_id % 3 <> 0),
+      cells AS (SELECT u, c, count(*) AS cnt FROM ratings GROUP BY 1, 2),
+      units AS (
+        SELECT u, sum(cnt) AS m, sum(cnt * cnt) AS s2
+        FROM cells GROUP BY u
+        HAVING sum(cnt) >= 2),
+      dor AS (
+        SELECT coalesce(sum((2 // (m - 1)) * (m * m - s2)), 0)
+                 AS do_scaled,
+               coalesce(sum(m), 0) AS n, count(*) AS n_units
+        FROM units),
+      der AS (
+        SELECT coalesce(sum(nc * nc), 0) AS snc2 FROM (
+          SELECT c, sum(cnt) AS nc
+          FROM cells JOIN units USING (u)
+          GROUP BY c)),
+      fin AS (
+        SELECT n_units, n, do_scaled,
+               2 * (n * n - snc2) AS de_scaled
+        FROM dor, der)
+      SELECT CAST(n_units AS BIGINT) AS n_units,
+             CAST(n AS BIGINT) AS n_values,
+             CAST(do_scaled AS BIGINT) AS do_scaled,
+             CAST(de_scaled AS BIGINT) AS de_scaled,
+             CASE WHEN de_scaled = 0 OR n <= 1 THEN 0.0
+                  ELSE floor(CAST(de_scaled - (n - 1) * do_scaled
+                         AS DOUBLE) / CAST(de_scaled AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 END AS alpha
+      FROM fin
+    """,
+
     "llm_rater_kappa" -> """
       WITH base AS (
         SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS r0,
