@@ -820,6 +820,18 @@ object LlmSurface {
         .orderBy("word")
     }),
 
+    // ---- Good-Turing count-of-counts / missing mass (X311) ----------------
+    // p0 = N1/N (how much probability belongs to never-seen words) and
+    // the Turing-adjusted counts r* = (r+1)N_{r+1}/N_r per r <= 10 —
+    // the de-biasing every rare count gets before feeding an LM. Raw
+    // estimates; SGT's log-log smoothing is one OLS over this table.
+    "llm_good_turing" -> ((s, dir) => {
+      val wc = Tables(s, dir, "documents")
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      graft.operators.GoodTuring.countOfCounts(wc, "c", maxR = 10)
+    }),
+
     // ---- MinHash-LSH near-duplicate pairs --------------------------------
     // Candidates come from a band-key EQUI-join (12 hashes, 4 bands × 3
     // rows → ~0.63 Jaccard S-curve midpoint), then exact-Jaccard verify.
@@ -5963,6 +5975,27 @@ $rounds,
       FROM dedup
       WHERE CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 50
       ORDER BY doc_id
+    """,
+
+    "llm_good_turing" -> """
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      nr AS (SELECT c AS r, count(*) AS n FROM wc GROUP BY c),
+      tot AS (SELECT coalesce(sum(c), 0) AS nn FROM wc),
+      seen1 AS (SELECT coalesce((SELECT n FROM nr WHERE r = 1), 0) AS n1)
+      SELECT s.r, coalesce(a.n, 0) AS n_r, coalesce(b.n, 0) AS n_next,
+             CASE WHEN coalesce(a.n, 0) > 0
+                  THEN CAST(((s.r + 1) * coalesce(b.n, 0) * 1000000)
+                         // a.n AS BIGINT)
+                  ELSE 0 END AS r_star_micro,
+             CASE WHEN tt.nn > 0
+                  THEN CAST((x.n1 * 1000000) // tt.nn AS BIGINT)
+                  ELSE 0 END AS p0_micro
+      FROM range(1, 11) s(r)
+      LEFT JOIN nr a ON a.r = s.r
+      LEFT JOIN nr b ON b.r = s.r + 1, tot tt, seen1 x
+      ORDER BY s.r
     """,
 
     "llm_vocab" -> """
