@@ -3735,6 +3735,33 @@ object LlmSurface {
         .orderBy("layout", "file_id")
     }),
 
+    // ---- Hilbert vs Z-order layout head-to-head (X312) --------------------
+    // Same events, same 16-file budget, same box predicate: the
+    // Hilbert key's every-step-adjacent walk gives file rectangles at
+    // least as tight as Morton's seam-jumping interleave, read
+    // directly off the two skipping indexes. Pure integer fold (6
+    // unrolled levels) — bit-identical cross-engine.
+    "llm_hilbert_layout" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        (col("user_id") % 64).cast("int").as("x"),
+        (col("event_id") % 64).cast("int").as("y"),
+        col("event_id"))
+      val tagged = graft.operators.Hilbert
+        .withD(ev.withColumn("layout", lit("hilbert")), "x", "y", 6, "_d")
+        .withColumn("file", expr("_d div 256"))
+        .drop("_d")
+        .unionByName(ev
+          .withColumn("layout", lit("zorder"))
+          .withColumn("_z",
+            graft.operators.ZOrder.zValue(col("x"), col("y"), 6))
+          .withColumn("file", expr("_z div 256"))
+          .drop("_z"))
+      graft.operators.ZOrder
+        .skippingIndex(tagged, "layout", "file", "x", "y",
+          x0 = 8, x1 = 15, y0 = 16, y1 = 31)
+        .orderBy("layout", "file_id")
+    }),
+
     // ---- URL canonicalization + keep-first dedup -------------------------
     // The crawl-dedup key normalizer. documents has no URL column, so
     // both engines synthesize the same messy URLs from (doc_id, source):
@@ -12004,6 +12031,56 @@ $rounds,
         FROM rs)
       ORDER BY doc_id, frame_idx
     """,
+
+    // 6 unrolled Hilbert fold levels (s = 32..1): quadrant bits pick
+    // the sub-curve, the frame rotates/flips, d accumulates s^2 steps.
+    "llm_hilbert_layout" -> {
+      val zexpr = (0 until 6).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      val levels = (0 until 6).map { k =>
+        val s = 1L << (5 - k)
+        s"""hb${k + 1} AS (
+        SELECT event_id, x0, y0,
+               CASE WHEN ry = 0
+                    THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+                    ELSE x END AS x,
+               CASE WHEN ry = 0
+                    THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+                    ELSE y END AS y,
+               d + ${s * s} * xor(3 * rx, ry) AS d
+        FROM (SELECT event_id, x0, y0, x, y, d,
+                     CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                     CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+              FROM hb$k))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ev AS (
+        SELECT CAST(user_id % 64 AS INT) AS x,
+               CAST(event_id % 64 AS INT) AS y, event_id
+        FROM events),
+      hb0 AS (
+        SELECT event_id, x AS x0, y AS y0,
+               CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM ev),
+      $levels,
+      assigned AS (
+        SELECT x0 AS x, y0 AS y, 'hilbert' AS layout,
+               CAST(d // 256 AS BIGINT) AS file
+        FROM hb6
+        UNION ALL
+        SELECT x, y, 'zorder' AS layout,
+               CAST(($zexpr) // 256 AS BIGINT) AS file
+        FROM ev)
+      SELECT layout, file AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y,
+             (min(x) <= 15 AND max(x) >= 8 AND
+              min(y) <= 31 AND max(y) >= 16) AS scan_needed
+      FROM assigned GROUP BY layout, file ORDER BY layout, file
+    """
+    },
 
     "llm_zorder_layout" -> {
       val zexpr = (0 until 6).flatMap(i => Seq(
