@@ -30,6 +30,43 @@ import org.apache.spark.sql.functions._
   */
 object GridJoin {
 
+  /** Two-sided probe: all pairs (probe point, base point) within
+    * `maxDist`, as canonical (id_a < id_b, dist2) rows — the
+    * INCREMENTAL form of [[proximityJoin]]: a batch of new points
+    * probes the existing grid without regenerating base×base pairs,
+    * so per-batch cost is |batch|·9 cells exploded + one equi-join
+    * (the X191 probe-vs-index discipline). Probe points present in
+    * `base` never pair with themselves; probe-probe pairs (both
+    * endpoints in the batch) are found twice and collapsed by the
+    * canonical distinct.
+    */
+  def proximityProbe(probe: DataFrame, base: DataFrame, idCol: String,
+      xCol: String, yCol: String, maxDist: Long,
+      shift: Long = 1L << 20): DataFrame = {
+    require(maxDist > 0, s"maxDist ($maxDist) must be > 0")
+    val d = maxDist
+    def pts(df: DataFrame) = df.select(col(idCol).as("id"),
+        (col(xCol).cast("long") + shift).as("x"),
+        (col(yCol).cast("long") + shift).as("y"))
+      .withColumn("cx", expr(s"x div $d"))
+      .withColumn("cy", expr(s"y div $d"))
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val probed = pts(probe)
+      .withColumn("_o", explode(array(offs: _*)))
+      .select(col("id").as("id_p"), col("x").as("xp"), col("y").as("yp"),
+        (col("cx") + col("_o.dx")).as("cx"),
+        (col("cy") + col("_o.dy")).as("cy"))
+    pts(base).join(probed, Seq("cx", "cy"))
+      .filter(col("id") =!= col("id_p"))
+      .withColumn("dist2", (col("x") - col("xp")) * (col("x") - col("xp"))
+        + (col("y") - col("yp")) * (col("y") - col("yp")))
+      .filter(col("dist2") <= lit(d * d))
+      .select(least(col("id"), col("id_p")).as("id_a"),
+        greatest(col("id"), col("id_p")).as("id_b"), col("dist2"))
+      .distinct()
+  }
+
   def proximityJoin(df: DataFrame, idCol: String, xCol: String,
       yCol: String, maxDist: Long, shift: Long = 1L << 20): DataFrame = {
     require(maxDist > 0, s"maxDist ($maxDist) must be > 0")

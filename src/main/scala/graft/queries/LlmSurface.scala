@@ -4540,6 +4540,40 @@ object LlmSurface {
         .select(col("lo").as("id_a"), col("hi").as("id_b"),
           col("w").as("dist2"))
         .orderBy("dist2", "id_a", "id_b")
+    }),
+
+    // ---- incremental MST maintenance (X313) -------------------------------
+    // The index-maintenance discipline (X191/X300) applied to X304:
+    // fold a batch of new points into an existing forest WITHOUT
+    // re-reading the base pair set. Correctness is the cycle property:
+    // every base edge the old forest dropped was the maximum of a
+    // cycle that still exists unchanged, so MST(forest(base) ∪
+    // batch-incident) = MST(full) exactly — and the ORACLE is the
+    // full-graph replay, shared by reference. Per-batch cost:
+    // |batch|·9 grid cells probed (GridJoin.proximityProbe) +
+    // Borůvka over |V|-bounded forest edges + batch incidences.
+    "llm_mst_incremental" -> ((s, dir) => {
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000.0)
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1000.0)
+            .cast("long").as("y"))
+        .localCheckpoint(true) // base build, probe, and probe target
+      val base = pts.filter(col("vec_id") % 4 =!= 0)
+      val batch = pts.filter(col("vec_id") % 4 === 0)
+      val forest = graft.operators.Mst.boruvka(
+        graft.operators.GridJoin.proximityJoin(base, "vec_id", "x", "y",
+          maxDist = 40L), "id_a", "id_b", "dist2")
+        .select(col("lo").as("id_a"), col("hi").as("id_b"),
+          col("w").as("dist2"))
+      val incident = graft.operators.GridJoin.proximityProbe(
+        batch, pts, "vec_id", "x", "y", maxDist = 40L)
+      graft.operators.Mst.boruvka(forest.unionByName(incident),
+        "id_a", "id_b", "dist2")
+        .select(col("lo").as("id_a"), col("hi").as("id_b"),
+          col("w").as("dist2"))
+        .orderBy("dist2", "id_a", "id_b")
     })
   )
 
@@ -13493,7 +13527,20 @@ $rounds
     // after convergence are identity. The forest is the UNION of each
     // round's selected minimum edges; uniqueness comes from the
     // (w, lo, hi) lexicographic tie-break both engines share.
-    "llm_graph_mst" -> s"""
+    "llm_graph_mst" -> mstFullOracleSql,
+
+    // SHARED BY REFERENCE with llm_graph_mst: the incremental query's
+    // contract IS equality with the full-graph rebuild (forest(base) ∪
+    // batch-incident edges has the same unique MST — every dropped
+    // base edge was a cycle maximum and stays one).
+    "llm_mst_incremental" -> mstFullOracleSql
+  )
+
+  /** Full-graph Borůvka MST replay over the embeddings proximity
+    * graph (brute-force O(n²) pair oracle; 16 unrolled rounds).
+    * `lazy` — referenced from the oracle map defined above it.
+    */
+  private lazy val mstFullOracleSql: String = s"""
       WITH RECURSIVE p AS (
         SELECT vec_id AS id,
                CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
@@ -13516,5 +13563,4 @@ $rounds
         s"SELECT DISTINCT lo, hi, w FROM min$k").mkString("\n            UNION\n            ")})
       ORDER BY dist2, id_a, id_b
     """
-  )
 }
