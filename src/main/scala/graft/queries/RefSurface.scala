@@ -776,6 +776,25 @@ object RefSurface {
         .orderBy("o_orderpriority", "order_month", "o_orderstatus")
     }),
 
+    // ---- deterministic RANSAC robust line fit (X314) ----------------------
+    // Max-consensus estimation next to Theil-Sen/MAD: a planted
+    // y = 3x + 40 line with ±50 md5 noise and a 20% md5-chosen +8000
+    // outlier stratum; 32 candidate lines from md5-rank pairs score
+    // against the corpus in ONE broadcast cross join with the
+    // cross-multiplied exact-integer y-residual test.
+    "p_ransac" -> ((s, dir) => {
+      def h4(salt: String) = conv(substring(md5(concat(lit(s"$salt|"),
+        col("k").cast("string"))), 1, 4), 16, 10).cast("long")
+      val pts = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 1000).cast("long").as("x"))
+        .select(col("k"), col("x"),
+          (col("x") * 3 + 40 + (h4("rn") % 101 - 50)
+            + when(h4("ro") % 5 === 0, 8000L).otherwise(0L)).as("y"))
+      graft.operators.Ransac.lineFit(pts, "k", "x", "y",
+        k = 32, tol = 100L)
+    }),
+
     // ---- t-closeness privacy audit (X305) --------------------------------
     // The third release gate next to k-anonymity/l-diversity: per
     // quasi-class (priority, status), Earth Mover's Distance between
@@ -2005,6 +2024,55 @@ object RefSurface {
       GROUP BY 1, 2, 3
       HAVING sum(cnt) < 5 OR count(*) < 3
       ORDER BY 1, 2, 3
+    """,
+
+    "p_ransac" -> """
+      WITH p AS (
+        SELECT o_orderkey AS k, CAST(o_orderkey % 1000 AS BIGINT) AS x,
+               CAST(o_orderkey % 1000 AS BIGINT) * 3 + 40
+                 + (CAST('0x' || substr(md5('rn|'
+                      || CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT)
+                    % 101 - 50)
+                 + (CASE WHEN CAST('0x' || substr(md5('ro|'
+                      || CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT)
+                      % 5 = 0 THEN 8000 ELSE 0 END) AS y
+        FROM orders),
+      sel AS (
+        SELECT k, x, y, rn FROM (
+          SELECT k, x, y, row_number() OVER (ORDER BY h, k) AS rn FROM (
+            SELECT k, x, y,
+                   CAST('0x' || substr(md5('rc|' || CAST(k AS VARCHAR)),
+                     1, 15) AS BIGINT) AS h
+            FROM p))
+        WHERE rn <= 64),
+      cands AS MATERIALIZED (
+        SELECT (rn - 1) // 2 AS cand_id,
+               max(CASE WHEN rn % 2 = 1 THEN x END) AS x1,
+               max(CASE WHEN rn % 2 = 1 THEN y END) AS y1,
+               max(CASE WHEN rn % 2 = 0 THEN x END) AS x2,
+               max(CASE WHEN rn % 2 = 0 THEN y END) AS y2
+        FROM sel GROUP BY 1
+        HAVING max(CASE WHEN rn % 2 = 1 THEN x END)
+               <> max(CASE WHEN rn % 2 = 0 THEN x END)),
+      counts AS (
+        SELECT c.cand_id, count(*) AS n
+        FROM p, cands c
+        WHERE abs((p.y - c.y1) * (c.x2 - c.x1)
+                  - (p.x - c.x1) * (c.y2 - c.y1))
+              <= 100 * abs(c.x2 - c.x1)
+        GROUP BY 1),
+      scored AS MATERIALIZED (
+        SELECT c.cand_id, c.x1, c.y1, c.x2, c.y2,
+               coalesce(n.n, 0) AS n_inliers
+        FROM cands c LEFT JOIN counts n USING (cand_id)),
+      b AS (
+        SELECT n_inliers AS bn, cand_id AS bc FROM scored
+        ORDER BY n_inliers DESC, cand_id LIMIT 1)
+      SELECT s.cand_id, s.x1, s.y1, s.x2, s.y2,
+             CAST(s.n_inliers AS BIGINT) AS n_inliers,
+             (s.n_inliers = b.bn AND s.cand_id = b.bc) AS is_best
+      FROM scored s, b
+      ORDER BY cand_id
     """,
 
     "p_tcloseness" -> """
