@@ -4542,6 +4542,39 @@ object LlmSurface {
         .orderBy("dist2", "id_a", "id_b")
     }),
 
+    // ---- single-linkage clusters at a threshold, off the forest (X315) ----
+    // The deliverable X304 promised: cluster assignments at ANY merge
+    // threshold from the V−1 forest edges alone — CC runs on ≤ |V|−1
+    // rows instead of the full pair set, and single-linkage theory
+    // says CC(forest ≤ T) = CC(all proximity edges ≤ T) exactly (the
+    // forest preserves connectivity at every threshold). The ORACLE
+    // computes the right-hand side — the recursive closure over the
+    // FULL thresholded pair set — so the hash match is the theorem,
+    // not a replay. Every point appears; untouched points are their
+    // own singleton cluster.
+    "llm_single_linkage" -> ((s, dir) => {
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000.0)
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1000.0)
+            .cast("long").as("y"))
+        .localCheckpoint(true) // proximity build + singleton union
+      val forest = graft.operators.Mst.boruvka(
+        graft.operators.GridJoin.proximityJoin(pts, "vec_id", "x", "y",
+          maxDist = 40L), "id_a", "id_b", "dist2")
+      val lab = graft.operators.ConnectedComponents
+        .alternatingStars(forest.filter(col("w") <= 900), "lo", "hi")
+      pts.select(col("vec_id"))
+        .join(lab.withColumnRenamed("node", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster"))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+        .orderBy("vec_id")
+    }),
+
     // ---- incremental MST maintenance (X313) -------------------------------
     // The index-maintenance discipline (X191/X300) applied to X304:
     // fold a batch of new points into an existing forest WITHOUT
@@ -13528,6 +13561,44 @@ $rounds
     // round's selected minimum edges; uniqueness comes from the
     // (w, lo, hi) lexicographic tie-break both engines share.
     "llm_graph_mst" -> mstFullOracleSql,
+
+    // NOT a forest replay: the closure runs over the FULL thresholded
+    // proximity pair set, so the hash match against the Spark side's
+    // forest-based CC is the single-linkage connectivity theorem.
+    "llm_single_linkage" -> """
+      WITH RECURSIVE p AS (
+        SELECT vec_id AS id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS x,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS y
+        FROM embeddings),
+      ecut AS MATERIALIZED (
+        SELECT a.id AS lo, b.id AS hi
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 900),
+      sym2 AS (
+        SELECT lo AS a, hi AS b FROM ecut
+        UNION
+        SELECT hi, lo FROM ecut),
+      reach(a, b) AS (
+        SELECT a, b FROM sym2
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym2 s ON s.a = r.b
+        WHERE s.b <> r.a),
+      lab AS (
+        SELECT a AS id, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a),
+      assigned AS (
+        SELECT p.id AS vec_id, coalesce(l.cluster, p.id) AS cluster
+        FROM p LEFT JOIN lab l ON l.id = p.id)
+      SELECT vec_id, cluster,
+             CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+               AS cluster_size
+      FROM assigned
+      ORDER BY vec_id
+    """,
 
     // SHARED BY REFERENCE with llm_graph_mst: the incremental query's
     // contract IS equality with the full-graph rebuild (forest(base) ∪
