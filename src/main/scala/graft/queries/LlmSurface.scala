@@ -4542,6 +4542,27 @@ object LlmSurface {
         .orderBy("dist2", "id_a", "id_b")
     }),
 
+    // ---- locally-dominant buddy matching of near-dup pairs (X316) ---------
+    // 1:1 pairwise arbitration of the proximity graph (diff the two,
+    // keep one, route to a single reviewer): every round matches every
+    // edge that is BOTH endpoints' (w, lo, hi)-minimum simultaneously
+    // — vertex-disjoint by construction, equal to sequential greedy
+    // matching exactly. 7 rounds measured at sf0.1; oracle unrolls 12.
+    "llm_dedup_matching" -> ((s, dir) => {
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000.0)
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1000.0)
+            .cast("long").as("y"))
+      graft.operators.Matching.greedy(
+        graft.operators.GridJoin.proximityJoin(pts, "vec_id", "x", "y",
+          maxDist = 40L), "id_a", "id_b", "dist2")
+        .select(col("lo").as("id_a"), col("hi").as("id_b"),
+          col("w").as("dist2"))
+        .orderBy("id_a")
+    }),
+
     // ---- single-linkage clusters at a threshold, off the forest (X315) ----
     // The deliverable X304 promised: cluster assignments at ANY merge
     // threshold from the V−1 forest edges alone — CC runs on ≤ |V|−1
@@ -13561,6 +13582,52 @@ $rounds
     // round's selected minimum edges; uniqueness comes from the
     // (w, lo, hi) lexicographic tie-break both engines share.
     "llm_graph_mst" -> mstFullOracleSql,
+
+    // 12 unrolled locally-dominant matching rounds over the
+    // brute-force proximity pairs; dominant CTEs MATERIALIZED
+    // (feed the matched-node retirement AND the final union).
+    "llm_dedup_matching" -> {
+      val rounds = (1 to 12).map { k =>
+        val p = k - 1
+        s"""dm$k AS MATERIALIZED (
+        SELECT lo, hi, w FROM (
+          SELECT lo, hi, w, count(*) AS c FROM (
+            SELECT lo, hi, w FROM (
+              SELECT n, lo, hi, w, row_number() OVER (
+                PARTITION BY n ORDER BY w, lo, hi) AS rn
+              FROM (SELECT lo AS n, lo, hi, w FROM me$p
+                    UNION ALL
+                    SELECT hi AS n, lo, hi, w FROM me$p))
+            WHERE rn = 1)
+          GROUP BY 1, 2, 3)
+        WHERE c = 2),
+      me$k AS MATERIALIZED (
+        SELECT e.lo, e.hi, e.w FROM me$p e
+        WHERE NOT EXISTS (SELECT 1 FROM dm$k d
+                          WHERE d.lo = e.lo OR d.hi = e.lo
+                             OR d.lo = e.hi OR d.hi = e.hi))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH p AS (
+        SELECT vec_id AS id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS x,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS y
+        FROM embeddings),
+      me0 AS MATERIALIZED (
+        SELECT a.id AS lo, b.id AS hi,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS w
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 1600),
+      $rounds
+      SELECT lo AS id_a, hi AS id_b, w AS dist2
+      FROM (${(1 to 12).map(k => s"SELECT * FROM dm$k")
+        .mkString("\n            UNION ALL ")})
+      ORDER BY id_a
+    """
+    },
 
     // NOT a forest replay: the closure runs over the FULL thresholded
     // proximity pair set, so the hash match against the Spark side's
