@@ -776,6 +776,22 @@ object RefSurface {
         .orderBy("o_orderpriority", "order_month", "o_orderstatus")
     }),
 
+    // ---- Jenks optimal quality-tier binning (X317) -------------------------
+    // Exact 1-D k-means over the stopword per-mille score domain: the
+    // provably-optimal k=4 tiers the equi-depth histogram (X217)
+    // approximates. One corpus pass to the value histogram; the
+    // O(k·B²) DP and the backtrack are metadata-sized.
+    "p_jenks_breaks" -> ((s, dir) => {
+      val ws = graft.llm.TextOps.words(col("text"))
+      val scored = Tables(s, dir, "documents")
+        .select(size(ws).cast("long").as("n"),
+          size(filter(ws, w => w.isin("the", "a", "of", "to", "and")))
+            .cast("long").as("cstop"))
+        .filter(col("n") > 0)
+        .select(expr("(cstop * 1000) div n").as("score"))
+      graft.operators.Jenks.breaks(scored, "score", k = 4)
+    }),
+
     // ---- deterministic RANSAC robust line fit (X314) ----------------------
     // Max-consensus estimation next to Theil-Sen/MAD: a planted
     // y = 3x + 40 line with ±50 md5 noise and a 20% md5-chosen +8000
@@ -2025,6 +2041,71 @@ object RefSurface {
       HAVING sum(cnt) < 5 OR count(*) < 3
       ORDER BY 1, 2, 3
     """,
+
+    // k=4 unrolled DP layers + scalar-subquery backtrack; seg/layer
+    // CTEs MATERIALIZED (each feeds the next layer AND the report).
+    "p_jenks_breaks" -> {
+      val layers = (2 to 4).map { m =>
+        s"""l$m AS MATERIALIZED (
+        SELECT jj AS j, d, bi FROM (
+          SELECT sg.jj, lp.d + sg.sse AS d, sg.ii AS bi,
+                 row_number() OVER (PARTITION BY sg.jj
+                   ORDER BY lp.d + sg.sse, sg.ii) AS rn
+          FROM seg sg JOIN l${m - 1} lp ON lp.j = sg.ii - 1
+          WHERE sg.ii >= $m)
+        WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH hist AS (
+        SELECT (cstop * 1000) // n AS v, count(*) AS c FROM (
+          SELECT len(string_split(text, ' ')) AS n,
+                 len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS cstop
+          FROM documents)
+        WHERE n > 0 GROUP BY 1),
+      pre AS MATERIALIZED (
+        SELECT v, row_number() OVER (ORDER BY v) AS i,
+               sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn,
+               sum(c * v) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+               sum(c * v * v) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps2
+        FROM hist),
+      pre0 AS (
+        SELECT i + 1 AS ii, pn AS n0, ps AS s0, ps2 AS s20 FROM pre
+        UNION ALL
+        SELECT 1, 0, 0, 0),
+      seg AS MATERIALIZED (
+        SELECT p0.ii, p.i AS jj, p.pn - p0.n0 AS n, p.ps - p0.s0 AS s,
+               ((p.pn - p0.n0) * (p.ps2 - p0.s20)
+                 - (p.ps - p0.s0) * (p.ps - p0.s0)) * 1000000
+                 // (p.pn - p0.n0) AS sse
+        FROM pre p JOIN pre0 p0 ON p0.ii <= p.i),
+      l1 AS MATERIALIZED (
+        SELECT jj AS j, sse AS d, 1 AS bi FROM seg WHERE ii = 1),
+      $layers,
+      b4 AS (SELECT 4 AS class, bi AS ii, j AS jj FROM l4
+             WHERE j = (SELECT max(i) FROM pre)),
+      b3 AS (SELECT 3 AS class, bi AS ii, j AS jj FROM l3
+             WHERE j = (SELECT ii - 1 FROM b4)),
+      b2 AS (SELECT 2 AS class, bi AS ii, j AS jj FROM l2
+             WHERE j = (SELECT ii - 1 FROM b3)),
+      b1 AS (SELECT 1 AS class, bi AS ii, j AS jj FROM l1
+             WHERE j = (SELECT ii - 1 FROM b2)),
+      rows AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+               UNION ALL SELECT * FROM b3 UNION ALL SELECT * FROM b4)
+      SELECT r.class, plo.v AS v_lo, phi.v AS v_hi,
+             CAST(sg.n AS BIGINT) AS n,
+             CAST((sg.s * 1000000) // sg.n AS BIGINT) AS mean_micro,
+             CAST(sg.sse AS BIGINT) AS sse_micro
+      FROM rows r
+      JOIN seg sg ON sg.ii = r.ii AND sg.jj = r.jj
+      JOIN pre plo ON plo.i = r.ii
+      JOIN pre phi ON phi.i = r.jj
+      ORDER BY class
+    """
+    },
 
     "p_ransac" -> """
       WITH p AS (
