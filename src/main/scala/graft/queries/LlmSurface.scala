@@ -4542,6 +4542,19 @@ object LlmSurface {
         .orderBy("dist2", "id_a", "id_b")
     }),
 
+    // ---- TextTiling topic-boundary profile (X318) --------------------------
+    // Gap cohesion (distinct-word Jaccard, exact micro) between
+    // adjacent 10-word blocks of every document, with depth-scored
+    // local-minimum boundary flags — where a RAG chunker should cut
+    // instead of at byte counts. Full profile emitted, thresholds
+    // re-auditable downstream.
+    "llm_texttiling" -> ((s, dir) => {
+      graft.operators.TextTiling.gapProfile(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        blockWords = 10, depthThresholdMicro = 100000L)
+        .orderBy("doc_id", "gap")
+    }),
+
     // ---- locally-dominant buddy matching of near-dup pairs (X316) ---------
     // 1:1 pairwise arbitration of the proximity graph (diff the two,
     // keep one, route to a single reviewer): every round matches every
@@ -6090,6 +6103,46 @@ $rounds,
       FROM dedup
       WHERE CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 50
       ORDER BY doc_id
+    """,
+
+    "llm_texttiling" -> """
+      WITH tok AS (
+        SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+               unnest(ws) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents)),
+      bw AS MATERIALIZED (
+        SELECT DISTINCT doc_id, pos // 10 AS b, w FROM tok),
+      nb AS MATERIALIZED (
+        SELECT doc_id, b, count(*) AS n FROM bw GROUP BY 1, 2),
+      inter AS (
+        SELECT x.doc_id, x.b, count(*) AS i
+        FROM bw x JOIN bw y ON y.doc_id = x.doc_id AND y.b = x.b + 1
+                           AND y.w = x.w
+        GROUP BY 1, 2),
+      j AS (
+        SELECT a.doc_id, a.b AS gap,
+               (coalesce(i.i, 0) * 1000000)
+                 // (a.n + c.n - coalesce(i.i, 0)) AS jac
+        FROM nb a
+        JOIN nb c ON c.doc_id = a.doc_id AND c.b = a.b + 1
+        LEFT JOIN inter i ON i.doc_id = a.doc_id AND i.b = a.b),
+      d AS (
+        SELECT doc_id, gap, jac,
+               lag(jac) OVER (PARTITION BY doc_id ORDER BY gap) AS jl,
+               lead(jac) OVER (PARTITION BY doc_id ORDER BY gap) AS jr
+        FROM j)
+      SELECT doc_id, CAST(gap AS BIGINT) AS gap,
+             CAST(jac AS BIGINT) AS jac_micro,
+             CAST(greatest(coalesce(jl, jac) - jac, 0)
+                  + greatest(coalesce(jr, jac) - jac, 0) AS BIGINT)
+               AS depth_micro,
+             ((jl IS NULL OR jac < jl) AND (jr IS NULL OR jac < jr)
+              AND greatest(coalesce(jl, jac) - jac, 0)
+                  + greatest(coalesce(jr, jac) - jac, 0) >= 100000)
+               AS boundary
+      FROM d
+      ORDER BY doc_id, gap
     """,
 
     "llm_good_turing" -> """
