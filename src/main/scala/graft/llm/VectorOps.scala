@@ -84,6 +84,74 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col(idCol), col("dot_q"))
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    * SIGIR'98) — serving-time DEDUP for retrieval: an exact top-k of a
+    * redundant corpus returns k near-copies of the best hit; MMR
+    * greedily picks argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so
+    * each pick is penalized by its similarity to what is ALREADY
+    * selected. λ as an integer fraction num/den makes the objective
+    * score_scaled = num·rel − (den−num)·maxsim — same argmax, exact
+    * integers end to end (dots are integer; ties to the smaller id).
+    *
+    * Scale: relevance shortlist = one broadcast-queries pass +
+    * per-query top-shortK window (panel-bounded); each of the outK
+    * greedy rounds joins the ≤ shortK candidates against the ≤ round
+    * selected rows per query — panel × shortK × outK work, never
+    * corpus². Output: (query_id, rank, vec_id, rel, mmr_scaled).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, shortK: Int, outK: Int,
+      lambdaNum: Long, lambdaDen: Long,
+      dot: (Column, Column) => Column = dotQ): DataFrame = {
+    require(shortK >= outK && outK >= 1,
+      s"need shortK ($shortK) >= outK ($outK) >= 1")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda $lambdaNum/$lambdaDen must be a fraction in [0, 1]")
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qq")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id"))
+    var cand = corpus
+      .join(q, col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("vec_id"),
+        col(vecCol).as("_v"), dot(col("_qq"), col(vecCol)).as("rel"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= shortK).drop("_rn")
+      .localCheckpoint(eager = true)
+    var selected: DataFrame = null
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to outK) {
+      val withSim =
+        if (r == 1) cand.withColumn("_ms", lit(0L))
+        else cand
+          .join(selected.select(col("query_id"), col("_v").as("_sv")),
+            Seq("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(max(dot(col("_v"), col("_sv"))).as("_ms"))
+          .join(cand, Seq("query_id", "vec_id"))
+      val pick = withSim
+        .select(col("query_id"), col("vec_id"), col("_v"), col("rel"),
+          (lit(lambdaNum) * col("rel")
+            - lit(lambdaDen - lambdaNum) * col("_ms")).as("score"))
+        .groupBy("query_id")
+        .agg(min(struct((-col("score")).as("ns"), col("vec_id").as("vid"),
+          (-col("rel")).as("nr"))).as("b"))
+        .select(col("query_id"), col("b.vid").as("vec_id"),
+          (-col("b.ns")).as("mmr_scaled"), (-col("b.nr")).as("rel"))
+        .join(cand.select("query_id", "vec_id", "_v"),
+          Seq("query_id", "vec_id"))
+        .withColumn("rank", lit(r))
+        .localCheckpoint(eager = true) // next round's sim + the report
+      parts += pick.select("query_id", "rank", "vec_id", "rel",
+        "mmr_scaled")
+      selected = if (r == 1) pick else selected.unionByName(pick)
+      cand = cand.join(pick.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+    parts.reduce(_ unionByName _).orderBy("query_id", "rank")
+  }
+
   /** Exact top-k like [[topK]], but ranked by the bounded-heap aggregate
     * `topk_by_long` ([[graft.functions.TopKByLong]]) instead of a
     * `row_number` window. Same rows, different physical plan: the window

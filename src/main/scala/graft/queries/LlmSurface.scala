@@ -1960,6 +1960,23 @@ object LlmSurface {
         alpha = 5L, beta = 2L, dot = VectorOps.dotFn(s))
     }),
 
+    // ---- MMR diversity rerank (X319) ---------------------------------------
+    // Serving-time dedup for retrieval (Carbonell–Goldstein SIGIR'98):
+    // top-16 shortlist by exact dot, then 5 greedy picks maximizing
+    // 7·rel − 3·maxsim-to-selected — a redundant corpus stops
+    // returning five near-copies of the best hit. Exact integers, ties
+    // to the smaller id; panel × shortlist × rounds work, never
+    // corpus².
+    "llm_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+        .localCheckpoint(true)
+      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0))
+      VectorOps.mmrRerank(emb, panel, "vec_id", "qv",
+        shortK = 16, outK = 5, lambdaNum = 7L, lambdaDen = 10L,
+        dot = VectorOps.dotFn(s))
+    }),
+
     // ---- dimension-truncation retrieval ablation (X292) ------------------
     // The Matryoshka/MRL serving question (Kusupati et al. NeurIPS'22):
     // how much top-5 recall survives if serving ranks by only the
@@ -4991,6 +5008,52 @@ mom AS (
     }.mkString(",\n      ")
   }
 
+  /** Generated MMR-round CTEs replaying [[VectorOps.mmrRerank]]: per
+    * round r ≥ 2, candidate max-similarity to the selected set (m$r —
+    * pair dots recomputed from el), the argmax pick p$r under the
+    * (score DESC, vec_id) order, and the advanced selection sel$r.
+    * Requires CTEs el(vec_id, qv) and sh(query_id, vec_id, d), plus
+    * p1/sel1 for the relevance-only first pick (emitted here too).
+    */
+  private def mmrRoundCtes(rounds: Int, num: Long, den: Long): String = {
+    val m = den - num
+    val first = s"""p1 AS MATERIALIZED (
+        SELECT query_id, vec_id, rel, score, 1 AS rank FROM (
+          SELECT query_id, vec_id, d AS rel, $num * d AS score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY $num * d DESC, vec_id) AS rn
+          FROM sh)
+        WHERE rn = 1),
+      sel1 AS (SELECT query_id, vec_id FROM p1)"""
+    val rest = (2 to rounds).map { r =>
+      val p = r - 1
+      s"""m$r AS (
+        SELECT c.query_id, c.vec_id, c.d AS rel,
+               max(CAST(list_sum(list_transform(range(1, 65),
+                 j -> xa.qv[j] * xb.qv[j])) AS BIGINT)) AS ms
+        FROM sh c
+        JOIN sel$p s ON s.query_id = c.query_id
+        JOIN el xa ON xa.vec_id = c.vec_id
+        JOIN el xb ON xb.vec_id = s.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel$p s2
+                          WHERE s2.query_id = c.query_id
+                            AND s2.vec_id = c.vec_id)
+        GROUP BY 1, 2, 3),
+      p$r AS MATERIALIZED (
+        SELECT query_id, vec_id, rel, score, $r AS rank FROM (
+          SELECT query_id, vec_id, rel, $num * rel - $m * ms AS score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY $num * rel - $m * ms DESC, vec_id) AS rn
+          FROM m$r)
+        WHERE rn = 1),
+      sel$r AS MATERIALIZED (
+        SELECT query_id, vec_id FROM sel$p
+        UNION ALL
+        SELECT query_id, vec_id FROM p$r)"""
+    }.mkString(",\n      ")
+    s"$first,\n      $rest"
+  }
+
   /** Generated Jones–Plassmann round CTEs replaying
     * [[graft.operators.GraphColoring]]: per round k, the local-maxima
     * winner set w$k (NOT EXISTS an uncolored neighbor with a higher
@@ -7843,6 +7906,42 @@ $rounds,
     // Replays round-0 dot retrieval, the integer Rocchio update
     // (5q + 2*sum of the top-5), round-1 retrieval, and both label
     // precision@10 counts.
+    "llm_mmr_rerank" -> s"""
+      WITH el AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      pq AS (
+        SELECT vec_id AS query_id, qv FROM (
+          SELECT vec_id, qv,
+                 row_number() OVER (ORDER BY
+                   CAST('0x' || substr(md5('panel|'
+                     || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   vec_id) AS prn
+          FROM el WHERE vec_id % 100 = 0)
+        WHERE prn <= 64),
+      sh AS MATERIALIZED (
+        SELECT query_id, vec_id, d FROM (
+          SELECT p.query_id, x.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   j -> p.qv[j] * x.qv[j])) AS BIGINT) AS d,
+                 row_number() OVER (PARTITION BY p.query_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, 65),
+                     j -> p.qv[j] * x.qv[j])) AS BIGINT) DESC,
+                   x.vec_id) AS rn
+          FROM pq p CROSS JOIN el x
+          WHERE p.query_id <> x.vec_id)
+        WHERE rn <= 16),
+      ${mmrRoundCtes(5, 7L, 10L)}
+      SELECT query_id, rank, vec_id, CAST(rel AS BIGINT) AS rel,
+             CAST(score AS BIGINT) AS mmr_scaled
+      FROM (${(1 to 5).map(r => s"SELECT * FROM p$r")
+        .mkString("\n            UNION ALL ")})
+      ORDER BY query_id, rank
+    """,
+
     "llm_retrieval_feedback" -> s"""
       WITH el AS (
         SELECT vec_id,
