@@ -741,4 +741,79 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"A/b sums must partial-combine before the exchange:\n$p")
   }
+
+  test("Boruvka/matching per-component minimum is explode + partial " +
+    "combine-min, no sort, no cartesian") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 1L)).toDF("clo", "chi", "w")
+    val minE = e.select(explode(array(
+        struct(col("clo").as("comp"), col("w"), col("clo").as("lo"),
+          col("chi").as("hi")),
+        struct(col("chi").as("comp"), col("w"), col("clo").as("lo"),
+          col("chi").as("hi")))).as("i"))
+      .groupBy("i.comp")
+      .agg(min(struct(col("i.w"), col("i.lo"), col("i.hi"))).as("m"))
+    val p = plan(minE)
+    // struct-min plans as SortAggregate: per-partition sorts are fine,
+    // the partial_min BEFORE the exchange is the property that matters
+    assert(p.contains("partial_min"),
+      s"the min-edge pick must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the argmin round:\n$p")
+  }
+
+  test("proximity probe (incremental MST) is a cell equi-join, " +
+    "never all-pairs") {
+    import spark.implicits._
+    val pts = Seq((1L, 0L, 0L), (2L, 3L, 0L)).toDF("id", "x", "y")
+    val p = plan(graft.operators.GridJoin.proximityProbe(
+      pts.filter(col("id") === 2), pts, "id", "x", "y", maxDist = 5L))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe must join on grid cells:\n$p")
+  }
+
+  test("ANF hop: frontier equi-join + anti-join, never all-pairs") {
+    val sym = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("_a"), col("l_partkey").as("_b"))
+    val frontier = Tables(spark, dir, "part")
+      .select(col("p_partkey").as("src"), col("p_partkey").as("node"))
+    val hop = frontier.join(sym, col("node") === col("_a"))
+      .select(col("src"), col("_b").as("node")).distinct()
+      .join(frontier, Seq("src", "node"), "left_anti")
+    val p = plan(hop)
+    // a pure distinct prints HashAggregate with an empty function list
+    // on BOTH sides of its exchange — assert the two-level shape
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"hop must be equi-joins:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"frontier distinct must map-side combine:\n$p")
+  }
+
+  test("MMR shortlist broadcasts the query panel onto the corpus " +
+    "(pre-checkpoint shape)") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val q = broadcast(emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("_qq")))
+    val sl = emb.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("rel", VectorOps.dotQ(col("_qq"), col("qv")))
+    val p = plan(sl)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the panel side must broadcast (non-equi join):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cross anywhere:\n$p")
+  }
+
+  test("Hilbert per-level staging keeps whole-stage codegen") {
+    val ev = Tables(spark, dir, "events")
+      .select((col("user_id") % 64).cast("int").as("x"),
+        (col("event_id") % 64).cast("int").as("y"))
+    val p = plan(graft.operators.Hilbert.withD(ev, "x", "y", 6, "d"))
+    // compact executedPlan spells codegen membership as the `*(n)`
+    // operator prefix; the staged Projects must all carry it
+    assert(p.contains("*(1) Project") || p.contains("WholeStageCodegen"),
+      s"the fold must stay inside codegen:\n$p")
+  }
 }
