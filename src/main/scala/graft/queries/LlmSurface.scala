@@ -4559,6 +4559,29 @@ object LlmSurface {
         .orderBy("dist2", "id_a", "id_b")
     }),
 
+    // ---- KV-cache prefix-reuse plan (X320) ---------------------------------
+    // The LLM-serving dedup: requests sharing a prompt PREFIX can
+    // reuse each other's KV cache, so batch scheduling wants the
+    // shared-prefix groups and the token savings up front. Bucket =
+    // the first min(16, len) words (shorter docs bucket on their full
+    // text, so cross-length buckets never collide); a group of n
+    // saves (n−1)·prefix_len tokens. One tokenize-and-slice pass, one
+    // combine agg, TakeOrdered top-20 by savings — never a sort of
+    // the corpus.
+    "llm_prefix_cache_plan" -> ((s, dir) => {
+      val ws = TextOps.words(col("text"))
+      Tables(s, dir, "documents")
+        .select(md5(concat_ws(" ", slice(ws, 1, 16))).as("prefix_md5"),
+          least(size(ws), lit(16)).cast("long").as("prefix_tokens"))
+        .groupBy("prefix_md5", "prefix_tokens")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("prefix_md5"), col("prefix_tokens"), col("n_docs"),
+          ((col("n_docs") - 1) * col("prefix_tokens")).as("saved_tokens"))
+        .orderBy(col("saved_tokens").desc, col("prefix_md5"))
+        .limit(20)
+    }),
+
     // ---- TextTiling topic-boundary profile (X318) --------------------------
     // Gap cohesion (distinct-word Jaccard, exact micro) between
     // adjacent 10-word blocks of every document, with depth-scored
@@ -6166,6 +6189,23 @@ $rounds,
       FROM dedup
       WHERE CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 50
       ORDER BY doc_id
+    """,
+
+    "llm_prefix_cache_plan" -> """
+      WITH b AS (
+        SELECT md5(array_to_string(ws[1:least(len(ws), 16)], ' '))
+                 AS prefix_md5,
+               CAST(least(len(ws), 16) AS BIGINT) AS prefix_tokens
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+      g AS (
+        SELECT prefix_md5, prefix_tokens, count(*) AS n_docs
+        FROM b GROUP BY 1, 2
+        HAVING count(*) >= 2)
+      SELECT prefix_md5, prefix_tokens, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST((n_docs - 1) * prefix_tokens AS BIGINT) AS saved_tokens
+      FROM g
+      ORDER BY saved_tokens DESC, prefix_md5
+      LIMIT 20
     """,
 
     "llm_texttiling" -> """
