@@ -1161,6 +1161,36 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- group-DRO mixture schedule: multiplicative weights (X322) -------
+    // Where X70 answers "what share does each source get" with one
+    // static temperature scaling, this answers "how should the shares
+    // MOVE" (DoReMi-style dynamics — operators/MultiplicativeWeights
+    // .scala): excess-loss proxy = each source's fractional mean-token
+    // deficit vs the corpus mean (the pluggable slot a real run fills
+    // with proxy-model excess loss), then five (1 + eta*loss) rounds
+    // concentrate shares on the lagging sources without zeroing the
+    // easy ones. One combine agg reduces the corpus to |sources| rows;
+    // every round after that is model-sized. All-integer micro math,
+    // floored once per division, so the unrolled CTE replay is exact.
+    "llm_mixture_dro" -> ((s, dir) => {
+      val stats = Tables(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("tok").as("t"))
+      val tot = stats.agg(sum("n").as("tn"), sum("t").as("tt"))
+      val losses = stats.crossJoin(broadcast(tot))
+        .select(col("source").as("group"),
+          greatest(
+            expr("(((tt * 1000000) div tn - (t * 1000000) div n)" +
+              " * 1000000) div ((tt * 1000000) div tn)"),
+            lit(0L)).as("loss_micro"))
+      graft.operators.MultiplicativeWeights
+        .schedule(losses, rounds = 5, etaPermille = 500L)
+        .withColumnRenamed("group", "source")
+        .orderBy("round", "source")
+    }),
+
     // ---- TF-IDF: rarity-weighted terms, top-3 per document ---------------
     // tf from one explode+agg, document frequency from a second agg over
     // the (doc, word) pairs, idf joined back on `word` as a PLAIN
@@ -4559,6 +4589,56 @@ object LlmSurface {
         .orderBy("dist2", "id_a", "id_b")
     }),
 
+    // ---- spectral bipartition of the proximity graph (X323) --------------
+    // The global cut the local clusterers can't see (operators/
+    // SpectralCut.scala): deflated lazy-walk power iteration lands on
+    // the sign pattern of the walk matrix's second eigenvector — the
+    // sparsest-cut side assignment (Cheeger) a shard planner wants,
+    // where single linkage merges through any bridge and DBSCAN needs
+    // a density scale. Same proximity graph as the MST family; 8
+    // exact-integer rounds, every one an edge⋈vector equi-join plus
+    // two 1-row scalar broadcasts; oracle unrolls all rounds as
+    // MATERIALIZED CTEs over the brute-force edge relation.
+    "llm_spectral_cut" -> ((s, dir) => {
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000.0)
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1000.0)
+            .cast("long").as("y"))
+      val prox = graft.operators.GridJoin.proximityJoin(pts, "vec_id",
+        "x", "y", maxDist = 40L)
+      graft.operators.SpectralCut.bipartition(prox, "id_a", "id_b",
+          rounds = 8)
+        .select(col("id").as("vec_id"), col("score_q"), col("pos_side"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- multi-source truth discovery by trust-weighted voting (X321) -----
+    // Data fusion (Yin et al. TruthFinder; Dong et al. — see
+    // operators/TruthVote.scala): three synthetic crawls claim each
+    // customer's nation, each corrupted on its own deterministic
+    // stratum (id%7 / id%5 / id%3 — so crawl_c is the least reliable).
+    // Round 1: unweighted majority per entity (ties to the smaller
+    // value). Round 2: source trust = claims matching the round-1
+    // consensus, votes reweighted by trust, consensus re-drawn.
+    // Output: one row per source — claim count, consensus agreement
+    // before/after the reweight, and accuracy against the held truth
+    // (match_r1 IS the trust weight, so it is not repeated).
+    "llm_truth_vote" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("entity"), col("c_nationkey").as("tru"))
+        .localCheckpoint(true) // three claim projections + the report
+      def src(name: String, m: Int) = base.select(col("entity"),
+        lit(name).as("source"),
+        when(col("entity") % m === 0, (col("tru") + 1) % 25)
+          .otherwise(col("tru")).as("val"))
+      graft.operators.TruthVote.report(
+        src("crawl_a", 7).unionByName(src("crawl_b", 5))
+          .unionByName(src("crawl_c", 3)),
+        base)
+    }),
+
     // ---- KV-cache prefix-reuse plan (X320) ---------------------------------
     // The LLM-serving dedup: requests sharing a prompt PREFIX can
     // reuse each other's KV cache, so batch scheduling wants the
@@ -6191,6 +6271,54 @@ $rounds,
       ORDER BY doc_id
     """,
 
+    "llm_truth_vote" -> """
+      WITH base AS (
+        SELECT c_custkey AS entity, c_nationkey AS tru FROM customer),
+      claims AS (
+        SELECT entity, 'crawl_a' AS source,
+               CASE WHEN entity % 7 = 0 THEN (tru + 1) % 25 ELSE tru END
+                 AS val
+        FROM base
+        UNION ALL
+        SELECT entity, 'crawl_b',
+               CASE WHEN entity % 5 = 0 THEN (tru + 1) % 25 ELSE tru END
+        FROM base
+        UNION ALL
+        SELECT entity, 'crawl_c',
+               CASE WHEN entity % 3 = 0 THEN (tru + 1) % 25 ELSE tru END
+        FROM base),
+      v1 AS (
+        SELECT entity, val, count(*) AS w FROM claims GROUP BY 1, 2),
+      c1 AS (
+        SELECT entity, val AS cons FROM (
+          SELECT entity, val, row_number() OVER (
+                   PARTITION BY entity ORDER BY w DESC, val) AS rn
+          FROM v1) WHERE rn = 1),
+      trust AS (
+        SELECT source, sum(CASE WHEN val = cons THEN 1 ELSE 0 END) AS trust
+        FROM claims JOIN c1 USING (entity) GROUP BY source),
+      v2 AS (
+        SELECT entity, val, sum(trust) AS w
+        FROM claims JOIN trust USING (source) GROUP BY 1, 2),
+      c2 AS (
+        SELECT entity, val AS cons2 FROM (
+          SELECT entity, val, row_number() OVER (
+                   PARTITION BY entity ORDER BY w DESC, val) AS rn
+          FROM v2) WHERE rn = 1)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_claims,
+             CAST(sum(CASE WHEN val = cons THEN 1 ELSE 0 END) AS BIGINT)
+               AS match_r1,
+             CAST(sum(CASE WHEN val = cons2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS match_r2,
+             CAST(sum(CASE WHEN val = tru THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM claims
+      JOIN c1 USING (entity) JOIN c2 USING (entity) JOIN base USING (entity)
+      GROUP BY source
+      ORDER BY source
+    """,
+
     "llm_prefix_cache_plan" -> """
       WITH b AS (
         SELECT md5(array_to_string(ws[1:least(len(ws), 16)], ' '))
@@ -6765,6 +6893,46 @@ $rounds,
                + CASE WHEN h * 1000000 < (bm % 1000000) * 65536 THEN 1 ELSE 0 END
                AS n_copies
       FROM j ORDER BY doc_id
+    """,
+
+    "llm_mixture_dro" -> """
+      WITH s AS (
+        SELECT source, count(*) AS n,
+               sum(len(string_split(text, ' '))) AS t
+        FROM documents GROUP BY 1),
+      tot AS (SELECT sum(n) AS tn, sum(t) AS tt FROM s),
+      l AS (
+        SELECT source,
+               greatest((((tt * 1000000) // tn - (t * 1000000) // n)
+                           * 1000000) // ((tt * 1000000) // tn),
+                        0) AS loss
+        FROM s, tot),
+      m AS (
+        SELECT source,
+               1000000 + (500 * least(loss, 1000000)) // 1000 AS mult
+        FROM l),
+      w0 AS (SELECT source, mult, CAST(1000000 AS BIGINT) AS w FROM m),
+      w1 AS (SELECT source, mult, (w * mult) // 1000000 AS w FROM w0),
+      w2 AS (SELECT source, mult, (w * mult) // 1000000 AS w FROM w1),
+      w3 AS (SELECT source, mult, (w * mult) // 1000000 AS w FROM w2),
+      w4 AS (SELECT source, mult, (w * mult) // 1000000 AS w FROM w3),
+      w5 AS (SELECT source, mult, (w * mult) // 1000000 AS w FROM w4),
+      u AS (
+        SELECT 0 AS round, source,
+               (w * 1000000) // (sum(w) OVER ()) AS share FROM w0
+        UNION ALL SELECT 1, source,
+               (w * 1000000) // (sum(w) OVER ()) FROM w1
+        UNION ALL SELECT 2, source,
+               (w * 1000000) // (sum(w) OVER ()) FROM w2
+        UNION ALL SELECT 3, source,
+               (w * 1000000) // (sum(w) OVER ()) FROM w3
+        UNION ALL SELECT 4, source,
+               (w * 1000000) // (sum(w) OVER ()) FROM w4
+        UNION ALL SELECT 5, source,
+               (w * 1000000) // (sum(w) OVER ()) FROM w5)
+      SELECT CAST(round AS BIGINT) AS round, source,
+             CAST(share AS BIGINT) AS share_micro
+      FROM u ORDER BY round, source
     """,
 
     "llm_tfidf" -> s"""
@@ -13863,7 +14031,8 @@ $rounds
     // contract IS equality with the full-graph rebuild (forest(base) ∪
     // batch-incident edges has the same unique MST — every dropped
     // base edge was a cycle maximum and stays one).
-    "llm_mst_incremental" -> mstFullOracleSql
+    "llm_mst_incremental" -> mstFullOracleSql,
+    "llm_spectral_cut" -> spectralCutOracleSql
   )
 
   /** Full-graph Borůvka MST replay over the embeddings proximity
@@ -13892,5 +14061,73 @@ $rounds
       FROM (${(1 to 16).map(k =>
         s"SELECT DISTINCT lo, hi, w FROM min$k").mkString("\n            UNION\n            ")})
       ORDER BY dist2, id_a, id_b
+    """
+
+  /** One spectral power-iteration round as three MATERIALIZED CTEs
+    * (lazy step / deflate / rescale), replaying SpectralCut.bipartition
+    * exactly: signed `//` is toward-zero in DuckDB (pinned), matching
+    * Spark's `div`/truncDivDec. */
+  private def spectralRoundCtes(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""r$k AS MATERIALIZED (
+        SELECT x.id, x.d, (x.x + (s.sx // x.d)) // 2 AS x
+        FROM x${k - 1} x JOIN (
+          SELECT sym.a AS id, sum(xp.x) AS sx
+          FROM sym JOIN x${k - 1} xp ON xp.id = sym.b
+          GROUP BY 1) s USING (id)),
+      c$k AS MATERIALIZED (
+        SELECT id, d,
+               x - (SELECT sum(d * x) FROM r$k) // (SELECT sum(d) FROM r$k)
+                 AS x
+        FROM r$k),
+      x$k AS MATERIALIZED (
+        SELECT id, d,
+               CASE WHEN (SELECT max(abs(x)) FROM c$k) > 0
+                    THEN (x * 1000000) // (SELECT max(abs(x)) FROM c$k)
+                    ELSE 0 END AS x
+        FROM c$k)""".stripMargin
+    }.mkString(",\n      ")
+
+  /** Deflated lazy-walk power iteration over the embeddings proximity
+    * graph (brute-force pair relation), 8 unrolled rounds — the
+    * spectral sign cut. `lazy` — referenced from the oracle map. */
+  private lazy val spectralCutOracleSql: String = s"""
+      WITH p AS (
+        SELECT vec_id AS id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS x,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS y
+        FROM embeddings),
+      e AS MATERIALIZED (
+        SELECT a.id AS a, b.id AS b
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 1600),
+      sym AS MATERIALIZED (
+        SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      nd AS MATERIALIZED (
+        SELECT a AS id, count(*) AS d FROM sym GROUP BY 1),
+      s0 AS (
+        SELECT id, d,
+               CASE WHEN CAST('0x' || substr(md5('spec|'
+                        || CAST(id AS VARCHAR)), 1, 1) AS INT) % 2 = 0
+                    THEN 1000000 ELSE -1000000 END AS x
+        FROM nd),
+      c0 AS MATERIALIZED (
+        SELECT id, d,
+               x - (SELECT sum(d * x) FROM s0) // (SELECT sum(d) FROM s0)
+                 AS x
+        FROM s0),
+      x0 AS MATERIALIZED (
+        SELECT id, d,
+               CASE WHEN (SELECT max(abs(x)) FROM c0) > 0
+                    THEN (x * 1000000) // (SELECT max(abs(x)) FROM c0)
+                    ELSE 0 END AS x
+        FROM c0),
+      ${spectralRoundCtes(8)}
+      SELECT id AS vec_id, CAST(x AS BIGINT) AS score_q,
+             x >= 0 AS pos_side
+      FROM x8 ORDER BY vec_id
     """
 }

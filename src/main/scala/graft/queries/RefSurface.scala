@@ -728,6 +728,47 @@ object RefSurface {
             .as("max_over_mean"))
     }),
 
+    // ---- AGMS self-join-size sketch vs truth (X324) ----------------------
+    // The planner estimate p_skew_profile reads exactly: F2 = Σ n(k)²
+    // of a prospective join/agg key IS the key's self-join size (and
+    // the salting trigger), and AGMS (Alon–Gianella–Matias–Szegedy;
+    // Alon et al. STOC'96) estimates it in ONE pass with 16 counters:
+    // per estimator e, X_e = Σ_rows s_e(key) with s_e = ±1 from the
+    // md5 parity of "e|key" (a 4-wise-enough deterministic family both
+    // engines replay), E[X_e²] = F2. Median of 4 means of 4 (the
+    // classic boosting; lower median on ties, tie-broken by group id)
+    // against the exact truth — the audit row a planner integration
+    // would read before trusting the sketch at 100 TB, where the exact
+    // groupBy is the thing you're trying to avoid. Scale: the sign
+    // pass map-side-combines to 16 rows per partition (explode(16) is
+    // pre-combine only); truth here is the audit, not the deployment.
+    "p_join_size_sketch" -> ((s, dir) => {
+      val ks = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k"))
+      val est = ks
+        .select(explode(expr("sequence(0, 15)")).as("e"), col("k"))
+        .select(col("e"),
+          when(conv(substring(md5(concat(col("e").cast("string"),
+              lit("|"), col("k"))), 1, 1), 16, 10).cast("long") % 2 === 0,
+            lit(1L)).otherwise(lit(-1L)).as("sgn"))
+        .groupBy("e").agg(sum("sgn").as("x"))
+        .localCheckpoint(true) // feeds the group means AND the report
+      val med = est.withColumn("g", expr("e div 4"))
+        .groupBy("g").agg(expr("sum(x * x) div 4").as("mean_sq"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy("mean_sq", "g")))
+        .filter(col("rn") === 2).select(col("mean_sq").as("f2_est"))
+      val tru = ks.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * c")).as("f2_true"))
+      est.crossJoin(broadcast(med)).crossJoin(broadcast(tru))
+        .select(col("e").cast("long").as("estimator"),
+          col("x").as("x_sign_sum"), expr("x * x").as("sq"),
+          col("f2_est"), col("f2_true"),
+          expr("((f2_est - f2_true) * 1000000) div f2_true")
+            .as("err_micro"))
+        .orderBy("estimator")
+    }),
+
     // ---- functional-dependency audit (data-quality rule check) ----------
     // "Does p_name determine p_brand?" — the violation table: every
     // LHS value mapping to more than one RHS, with row mass, distinct
@@ -2012,6 +2053,34 @@ object RefSurface {
              floor(CAST(max(c) AS DOUBLE) * count(*) / sum(c)
                * 1000000.0 + 0.5) / 1000000.0 AS max_over_mean
       FROM c
+    """,
+
+    "p_join_size_sketch" -> """
+      WITH ks AS (
+        SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+      est AS (
+        SELECT e,
+               sum(CASE WHEN CAST('0x' || substr(md5(CAST(e AS VARCHAR)
+                          || '|' || k), 1, 1) AS INT) % 2 = 0
+                        THEN 1 ELSE -1 END) AS x
+        FROM ks, (SELECT unnest(generate_series(0, 15)) AS e) es
+        GROUP BY e),
+      g AS (
+        SELECT e // 4 AS g, sum(x * x) // 4 AS mean_sq
+        FROM est GROUP BY 1),
+      med AS (
+        SELECT mean_sq AS f2_est FROM (
+          SELECT mean_sq, row_number() OVER (ORDER BY mean_sq, g) AS rn
+          FROM g) WHERE rn = 2),
+      tru AS (
+        SELECT sum(c * c) AS f2_true FROM (
+          SELECT k, count(*) AS c FROM ks GROUP BY 1))
+      SELECT CAST(e AS BIGINT) AS estimator, CAST(x AS BIGINT) AS x_sign_sum,
+             CAST(x * x AS BIGINT) AS sq, CAST(f2_est AS BIGINT) AS f2_est,
+             CAST(f2_true AS BIGINT) AS f2_true,
+             CAST(((f2_est - f2_true) * 1000000) // f2_true AS BIGINT)
+               AS err_micro
+      FROM est, med, tru ORDER BY estimator
     """,
 
     "p_fd_audit" -> """

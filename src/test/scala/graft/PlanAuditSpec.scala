@@ -816,4 +816,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1) Project") || p.contains("WholeStageCodegen"),
       s"the fold must stay inside codegen:\n$p")
   }
+
+  test("truth-vote fusion: entity equi-joins + broadcast trust, no cartesian") {
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("entity"), col("c_nationkey").as("tru"))
+    def src(name: String, m: Int) = base.select(col("entity"),
+      lit(name).as("source"),
+      when(col("entity") % m === 0, (col("tru") + 1) % 25)
+        .otherwise(col("tru")).as("val"))
+    val q = graft.operators.TruthVote.report(
+      src("a", 7).unionByName(src("b", 5)).unionByName(src("c", 3)), base)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"all fusion joins must be equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the source-count-sized trust table must broadcast:\n$p")
+  }
 }
