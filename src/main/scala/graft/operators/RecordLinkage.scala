@@ -119,4 +119,82 @@ object RecordLinkage {
         "_rn2")
       .select("id_a", "id_b")
   }
+
+  /** Unsupervised Fellegi–Sunter parameter fit by fixed-round EM
+    * (X325; Winkler '88 — the extension [[fellegiSunter]]'s scaladoc
+    * promises): when NO truth column exists, the m/u/p parameters are
+    * latent and EM over the comparison-PATTERN counts recovers them —
+    * the two-class conditional-independence mixture. E-step: posterior
+    * match weight per pattern w_γ = p·Πf(m)/(p·Πf(m)+(1−p)·Πf(u));
+    * M-step: p, m_f, u_f re-estimated from w-weighted pattern counts.
+    *
+    * Everything after ONE corpus combine-agg runs on the ≤2^|fields|
+    * -row pattern table and a 1-row parameter frame per round —
+    * model-sized, unrolled, no driver collection. Fixed point: params
+    * live on the micro grid clamped to [1000, 999000] (no zeros, no
+    * saturation), likelihood products chain in NANO (micro floors
+    * zero small products — the pLSA lesson), every division floors
+    * once on nonnegative operands, so DuckDB `//` replays Spark `div`
+    * exactly and the oracle unrolls rounds as MATERIALIZED CTEs.
+    *
+    * Returns the pattern table after `rounds` EM rounds: the fields,
+    * n_pairs, the posterior w_match_micro, and the fitted params as
+    * constant columns (p_micro, plus m and u per field).
+    */
+  def emFit(cands: DataFrame, fields: Seq[String], rounds: Int = 5)
+    : DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    def caseOf(f: String, kind: String): String =
+      s"CASE WHEN $f THEN ${kind}_$f ELSE 1000000 - ${kind}_$f END"
+    def prodOf(kind: String): String =
+      fields.tail.foldLeft(s"(${caseOf(fields.head, kind)} * 1000)")(
+        (a, f) => s"(($a * ${caseOf(f, kind)}) div 1000000)")
+    val pat = cands.groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // every round's E-step + the final output
+    def estep(par: DataFrame): DataFrame =
+      pat.crossJoin(broadcast(par))
+        .withColumn("_num", expr(s"(p * ${prodOf("m")}) div 1000000"))
+        .withColumn("_den2",
+          expr(s"((1000000 - p) * ${prodOf("u")}) div 1000000"))
+        .withColumn("w",
+          expr("(_num * 1000000) div greatest(_num + _den2, 1)"))
+    def clamp(c: Column): Column =
+      least(greatest(c, lit(1000L)), lit(999000L))
+    def mstep(e: DataFrame): DataFrame = {
+      val aggs = Seq(
+        sum(expr("n * w")).as("_sw"),
+        sum(expr("n * (1000000 - w)")).as("_swu"),
+        sum(col("n")).as("_nn")) ++
+        fields.flatMap { f => Seq(
+          sum(expr(s"CASE WHEN $f THEN n * w ELSE 0 END")).as(s"_a_$f"),
+          sum(expr(s"CASE WHEN $f THEN n * (1000000 - w) ELSE 0 END"))
+            .as(s"_b_$f"))
+        }
+      e.agg(aggs.head, aggs.tail: _*).select(
+        clamp(graft.llm.TextOps.floorDivDec(dec(col("_sw")),
+          dec(col("_nn"))).cast("long")).as("p") +:
+          fields.flatMap { f => Seq(
+            clamp(graft.llm.TextOps.floorDivDec(
+              dec(col(s"_a_$f")) * lit(1000000L),
+              greatest(dec(col("_sw")), lit(1L).cast("decimal(38,0)")))
+              .cast("long")).as(s"m_$f"),
+            clamp(graft.llm.TextOps.floorDivDec(
+              dec(col(s"_b_$f")) * lit(1000000L),
+              greatest(dec(col("_swu")), lit(1L).cast("decimal(38,0)")))
+              .cast("long")).as(s"u_$f"))
+          }: _*)
+    }
+    var par = cands.sparkSession.range(1).select(
+      lit(500000L).as("p") +: fields.flatMap(f =>
+        Seq(lit(900000L).as(s"m_$f"), lit(100000L).as(s"u_$f"))): _*)
+    for (_ <- 1 to rounds) par = mstep(estep(par))
+    estep(par).select(fields.map(col) ++ Seq(
+        col("n").as("n_pairs"), col("w").as("w_match_micro"),
+        col("p").as("p_micro")) ++
+        fields.flatMap(f => Seq(col(s"m_$f"), col(s"u_$f"))): _*)
+      .orderBy(fields.map(col): _*)
+  }
 }

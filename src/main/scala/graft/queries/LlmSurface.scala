@@ -2760,6 +2760,30 @@ object LlmSurface {
         Seq("f_key", "m_key"))
     }),
 
+    // ---- unsupervised linkage parameter fit by EM (X325) ------------------
+    // The extension X284's scaladoc promises: with NO truth column,
+    // m/u/p are latent and fixed-round EM over the comparison-PATTERN
+    // counts recovers them (Winkler '88; operators/RecordLinkage.scala
+    // emFit). Same feed, same blocking, same four comparison fields —
+    // but the truth flag is withheld from the algorithm and only the
+    // oracle replay checks the arithmetic. One combine agg to ≤16
+    // pattern rows, then 5 model-sized EM rounds on the micro grid
+    // (NANO product chains, clamped params, floored divisions).
+    "llm_linkage_em" -> ((s, dir) => {
+      val (m, f) = linkageFeed(Tables(s, dir, "customer"))
+      val cands = f.withColumn("_blk", substring(col("f_name"), -3, 3))
+        .join(m.withColumn("_blk", substring(col("m_name"), -3, 3)),
+          "_blk")
+        .select(
+          (col("f_name") === col("m_name")).as("g_name"),
+          (col("f_nat") === col("m_nat")).as("g_nat"),
+          (col("f_seg") === col("m_seg")).as("g_seg"),
+          (floor(col("f_bal") * 100 + 0.5)
+            === floor(col("m_bal") * 100 + 0.5)).as("g_bal"))
+      graft.operators.RecordLinkage.emFit(cands,
+        Seq("g_name", "g_nat", "g_seg", "g_bal"), rounds = 5)
+    }),
+
     // ---- sorted-neighborhood blocking audit (X291) -----------------------
     // The OTHER standard blocking next to X284's last-3 equi-join
     // (Hernandez-Stolfo multi-pass SN): sort master+dirty records by a
@@ -5621,6 +5645,68 @@ mom AS (
                CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
                     ELSE c_mktsegment END AS f_seg
         FROM customer)"""
+
+  /** X325 EM linkage fit: 5 unrolled EM rounds over the comparison-
+    * pattern table, replaying RecordLinkage.emFit's fixed-point
+    * arithmetic (NANO product chains, [1000, 999000] clamps, floored
+    * nonnegative divisions). */
+  private lazy val linkageEmOracleSql: String = {
+    val fields = Seq("g_name", "g_nat", "g_seg", "g_bal")
+    def caseOf(f: String, kind: String): String =
+      s"CASE WHEN $f THEN ${kind}_$f ELSE 1000000 - ${kind}_$f END"
+    def prodOf(kind: String): String =
+      fields.tail.foldLeft(s"(${caseOf(fields.head, kind)} * 1000)")(
+        (a, f) => s"(($a * ${caseOf(f, kind)}) // 1000000)")
+    def estep(k: Int, parName: String): String = s"""e$k AS MATERIALIZED (
+        SELECT g_name, g_nat, g_seg, g_bal, n, p,
+               ${fields.map(f => s"m_$f, u_$f").mkString(", ")},
+               (num * 1000000) // greatest(num + den2, 1) AS w
+        FROM (
+          SELECT pat.*, par.*,
+                 (p * ${prodOf("m")}) // 1000000 AS num,
+                 ((1000000 - p) * ${prodOf("u")}) // 1000000 AS den2
+          FROM pat CROSS JOIN $parName par))"""
+    def cl(x: String): String = s"greatest(least($x, 999000), 1000)"
+    def mstep(k: Int): String = s"""par$k AS MATERIALIZED (
+        SELECT ${cl("sum(n * w) // sum(n)")} AS p,
+               ${fields.map { f =>
+      cl(s"(sum(CASE WHEN $f THEN n * w ELSE 0 END) * 1000000)" +
+        s" // greatest(sum(n * w), 1)") + s" AS m_$f,\n               " +
+        cl(s"(sum(CASE WHEN $f THEN n * (1000000 - w) ELSE 0 END)" +
+          s" * 1000000) // greatest(sum(n * (1000000 - w)), 1)") +
+        s" AS u_$f"
+    }.mkString(",\n               ")}
+        FROM e$k)"""
+    val rounds = (1 to 5).map(k =>
+      estep(k, s"par${k - 1}") + ",\n      " + mstep(k))
+      .mkString(",\n      ")
+    s"""
+      WITH $linkageFeedCtes,
+      pat AS MATERIALIZED (
+        SELECT (f_name = m_name) AS g_name,
+               (f_nat = m_nat) AS g_nat,
+               (f_seg = m_seg) AS g_seg,
+               (floor(f_bal * 100 + 0.5) = floor(m_bal * 100 + 0.5))
+                 AS g_bal,
+               count(*) AS n
+        FROM f JOIN m ON right(f_name, 3) = right(m_name, 3)
+        GROUP BY 1, 2, 3, 4),
+      par0 AS (
+        SELECT CAST(500000 AS BIGINT) AS p,
+               ${fields.map(f =>
+      s"CAST(900000 AS BIGINT) AS m_$f, CAST(100000 AS BIGINT) AS u_$f")
+      .mkString(",\n               ")}),
+      $rounds,
+      ${estep(6, "par5")}
+      SELECT g_name, g_nat, g_seg, g_bal, CAST(n AS BIGINT) AS n_pairs,
+             CAST(w AS BIGINT) AS w_match_micro,
+             CAST(p AS BIGINT) AS p_micro,
+             ${fields.map(f =>
+      s"CAST(m_$f AS BIGINT) AS m_$f, CAST(u_$f AS BIGINT) AS u_$f")
+      .mkString(",\n             ")}
+      FROM e6 ORDER BY 1, 2, 3, 4
+    """
+  }
 
   private val embedQvCte = """e AS (
         SELECT vec_id,
@@ -9534,6 +9620,11 @@ $rounds,
       FROM s ORDER BY f_key, m_key
     """
     },
+
+    // Unrolls all 5 EM rounds over the 16-row pattern table as
+    // MATERIALIZED CTEs — the same micro/NANO fixed-point arithmetic
+    // emFit runs, so parameters and posteriors match to the last unit.
+    "llm_linkage_em" -> linkageEmOracleSql,
 
     // Replays both SN passes: the (keys…, id) total-order row_number,
     // the 5-forward-offset pair join, and the per-pass + union stats.
