@@ -2418,6 +2418,25 @@ object LlmSurface {
         "text", gram = 3, k = 8)
     }),
 
+    // ---- greedy facility-location selection (X326) ------------------------
+    // The third data-selection lens (operators/FacilityLocation
+    // .scala): coverage_select maximizes distinct-shingle coverage,
+    // the k-center coreset minimizes the worst gap; facility location
+    // maximizes Σ_u max_s sim(u, s) — every corpus vector gets a
+    // close representative (the CRAIG/coreset-selection objective).
+    // Candidate pool = the %23 md5-free deterministic panel (~n/23,
+    // model-sized, broadcast); 6 greedy rounds, each one combine agg
+    // over the pinned universe×candidates table + a 1-row argmax.
+    "llm_facility_select" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      graft.operators.FacilityLocation.greedySelect(
+        emb.select(col("vec_id").as("id"), col("qv")),
+        emb.filter(col("vec_id") % 23 === 1)
+          .select(col("vec_id").as("cid"), col("qv").as("cqv")),
+        k = 6)
+    }),
+
     // ---- TextRank keywords: PageRank over word co-occurrence (X262) ------
     // The graph-based companion to RAKE's degree heuristic: window-2
     // co-occurrence edges (original-sequence lead windows; repeated
@@ -5645,6 +5664,54 @@ mom AS (
                CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
                     ELSE c_mktsegment END AS f_seg
         FROM customer)"""
+
+  /** X326 facility-location greedy: 6 unrolled rounds — per round the
+    * excluded-candidate gain agg, the (gain DESC, cid) argmax, the
+    * best_u update, and the cumulative total — over the materialized
+    * universe×candidates similarity relation. `lazy` — referenced from
+    * the oracle map. */
+  private lazy val facilitySelectOracleSql: String = {
+    val rounds = (1 to 6).map { k =>
+      val excl = if (k == 1) ""
+      else "\n        WHERE s.cid NOT IN (" +
+        (1 until k).map(j => s"SELECT cid FROM p$j")
+          .mkString(" UNION ALL ") + ")"
+      s"""g$k AS MATERIALIZED (
+        SELECT s.cid, sum(greatest(s.s - b.b, 0)) AS gain
+        FROM sims s JOIN b${k - 1} b USING (id)$excl
+        GROUP BY 1),
+      p$k AS MATERIALIZED (
+        SELECT cid, gain FROM g$k ORDER BY gain DESC, cid LIMIT 1),
+      b$k AS MATERIALIZED (
+        SELECT b.id, greatest(b.b, coalesce(w.s, 0)) AS b
+        FROM b${k - 1} b LEFT JOIN (
+          SELECT sims.id, sims.s FROM sims JOIN p$k ON sims.cid = p$k.cid
+        ) w USING (id)),
+      t$k AS (SELECT sum(b) AS total FROM b$k)"""
+    }.mkString(",\n      ")
+    val out = (1 to 6).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, p$k.cid AS cand_id,
+               CAST(p$k.gain AS BIGINT) AS gain_q,
+               CAST(t$k.total AS BIGINT) AS total_q
+        FROM p$k, t$k""").mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH $embedQvCte,
+      cnd AS MATERIALIZED (
+        SELECT vec_id AS cid, qv AS cqv FROM e WHERE vec_id % 23 = 1),
+      sims AS MATERIALIZED (
+        SELECT u.vec_id AS id, cnd.cid,
+               greatest(CAST(list_sum(list_transform(
+                 range(1, len(u.qv) + 1), i -> u.qv[i] * cnd.cqv[i]))
+                 AS BIGINT), 0) AS s
+        FROM e u CROSS JOIN cnd),
+      b0 AS MATERIALIZED (
+        SELECT vec_id AS id, CAST(0 AS BIGINT) AS b FROM e),
+      $rounds
+      SELECT * FROM (
+        $out)
+      ORDER BY round
+    """
+  }
 
   /** X325 EM linkage fit: 5 unrolled EM rounds over the comparison-
     * pattern table, replaying RecordLinkage.emFit's fixed-point
@@ -14123,7 +14190,8 @@ $rounds
     // batch-incident edges has the same unique MST — every dropped
     // base edge was a cycle maximum and stays one).
     "llm_mst_incremental" -> mstFullOracleSql,
-    "llm_spectral_cut" -> spectralCutOracleSql
+    "llm_spectral_cut" -> spectralCutOracleSql,
+    "llm_facility_select" -> facilitySelectOracleSql
   )
 
   /** Full-graph Borůvka MST replay over the embeddings proximity
