@@ -734,24 +734,35 @@ object RefSurface {
     // the salting trigger), and AGMS (Alon–Gianella–Matias–Szegedy;
     // Alon et al. STOC'96) estimates it in ONE pass with 16 counters:
     // per estimator e, X_e = Σ_rows s_e(key) with s_e = ±1 from the
-    // md5 parity of "e|key" (a 4-wise-enough deterministic family both
-    // engines replay), E[X_e²] = F2. Median of 4 means of 4 (the
-    // classic boosting; lower median on ties, tie-broken by group id)
-    // against the exact truth — the audit row a planner integration
-    // would read before trusting the sketch at 100 TB, where the exact
-    // groupBy is the thing you're trying to avoid. Scale: the sign
-    // pass map-side-combines to 16 rows per partition (explode(16) is
-    // pre-combine only); truth here is the audit, not the deployment.
+    // the parities of md5("f2|key")'s first 16 hex digits (ONE hash
+    // per row, not one per estimator — the per-(e,row) md5 spelling
+    // measured 16× the hashing for the same estimate), E[X_e²] = F2.
+    // Median of 4 means of 4 (the classic boosting; lower median on
+    // ties, tie-broken by group id) against the exact truth — the
+    // audit row a planner integration would read before trusting the
+    // sketch at 100 TB, where the exact groupBy is the thing you're
+    // trying to avoid. Scale: all 16 counters accumulate in ONE
+    // 16-column combine agg over the hash projection — no explode, no
+    // row amplification, the deployment shape; the 1-row wide result
+    // unpivots by a 16-row stack. Measured at sf0.1: per-(e,row) md5
+    // 6.2 s → one-md5 + explode 2.9 s → this form 2.8 s (the
+    // remaining cost is the truth groupBy the deployment would not
+    // run). Truth is the audit, not the deployment. The DuckDB oracle
+    // keeps the unnest(16)×rows spelling — same values, plan
+    // irrelevant there.
     "p_join_size_sketch" -> ((s, dir) => {
       val ks = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").cast("string").as("k"))
+      val sums = (0 until 16).map { e =>
+        sum(when(conv(substring(col("h"), e + 1, 1), 16, 10)
+            .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+          .as(s"x$e")
+      }
       val est = ks
-        .select(explode(expr("sequence(0, 15)")).as("e"), col("k"))
-        .select(col("e"),
-          when(conv(substring(md5(concat(col("e").cast("string"),
-              lit("|"), col("k"))), 1, 1), 16, 10).cast("long") % 2 === 0,
-            lit(1L)).otherwise(lit(-1L)).as("sgn"))
-        .groupBy("e").agg(sum("sgn").as("x"))
+        .select(md5(concat(lit("f2|"), col("k"))).as("h"))
+        .agg(sums.head, sums.tail: _*)
+        .selectExpr(s"stack(16, ${(0 until 16)
+          .map(e => s"CAST($e AS INT), x$e").mkString(", ")}) AS (e, x)")
         .localCheckpoint(true) // feeds the group means AND the report
       val med = est.withColumn("g", expr("e div 4"))
         .groupBy("g").agg(expr("sum(x * x) div 4").as("mean_sq"))
@@ -2060,10 +2071,11 @@ object RefSurface {
         SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
       est AS (
         SELECT e,
-               sum(CASE WHEN CAST('0x' || substr(md5(CAST(e AS VARCHAR)
-                          || '|' || k), 1, 1) AS INT) % 2 = 0
+               sum(CASE WHEN CAST('0x' || substr(h, e + 1, 1) AS INT)
+                          % 2 = 0
                         THEN 1 ELSE -1 END) AS x
-        FROM ks, (SELECT unnest(generate_series(0, 15)) AS e) es
+        FROM (SELECT md5('f2|' || k) AS h FROM ks) hs,
+             (SELECT unnest(generate_series(0, 15)) AS e) es
         GROUP BY e),
       g AS (
         SELECT e // 4 AS g, sum(x * x) // 4 AS mean_sq

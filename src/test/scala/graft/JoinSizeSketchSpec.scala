@@ -14,13 +14,16 @@ class JoinSizeSketchSpec extends SparkSpec {
 
   private def sketch(keys: Seq[String]) = {
     val ks = keys.toDF("k")
+    val sums = (0 until 16).map { e =>
+      sum(when(conv(substring(col("h"), e + 1, 1), 16, 10)
+          .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+        .as(s"x$e")
+    }
     val est = ks
-      .select(explode(expr("sequence(0, 15)")).as("e"), col("k"))
-      .select(col("e"),
-        when(conv(substring(md5(concat(col("e").cast("string"),
-            lit("|"), col("k"))), 1, 1), 16, 10).cast("long") % 2 === 0,
-          lit(1L)).otherwise(lit(-1L)).as("sgn"))
-      .groupBy("e").agg(sum("sgn").as("x"))
+      .select(md5(concat(lit("f2|"), col("k"))).as("h"))
+      .agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(16, ${(0 until 16)
+        .map(e => s"CAST($e AS INT), x$e").mkString(", ")}) AS (e, x)")
     val med = est.withColumn("g", expr("e div 4"))
       .groupBy("g").agg(expr("sum(x * x) div 4").as("mean_sq"))
       .withColumn("rn", row_number().over(Window.orderBy("mean_sq", "g")))
@@ -37,8 +40,9 @@ class JoinSizeSketchSpec extends SparkSpec {
 
   private def jvmSign(e: Int, k: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val firstHex = (md.digest(s"$e|$k".getBytes("UTF-8"))(0) >> 4) & 0xf
-    if (firstHex % 2 == 0) 1L else -1L
+    val d = md.digest(s"f2|$k".getBytes("UTF-8"))
+    val nib = if (e % 2 == 0) (d(e / 2) >> 4) & 0xf else d(e / 2) & 0xf
+    if (nib % 2 == 0) 1L else -1L
   }
 
   test("single-key corpus: every estimator is exact, err_micro = 0") {
