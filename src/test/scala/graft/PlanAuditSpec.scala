@@ -817,6 +817,65 @@ class PlanAuditSpec extends SparkSpec {
       s"the fold must stay inside codegen:\n$p")
   }
 
+  test("facility-location similarity pass broadcasts the candidate pool") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val univ = emb.select(col("vec_id").as("id"), col("qv"))
+    val cand = emb.filter(col("vec_id") % 23 === 1)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"))
+    val dot = VectorOps.dotFn(spark)
+    val sims = univ.crossJoin(broadcast(cand))
+      .select(col("id"), col("cid"),
+        greatest(dot(col("qv"), col("cqv")), lit(0L)).as("s"))
+    val p = plan(sims)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the model-sized pool must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cross:\n$p")
+    // and the per-round gain reduction map-side combines
+    val g = plan(sims.groupBy("cid")
+      .agg(sum(greatest(col("s") - lit(0L), lit(0L))).as("gain")))
+    assert(g.toLowerCase.contains("partial"),
+      s"gain agg must partial-combine:\n$g")
+  }
+
+  test("spectral matvec round: edge equi-join + partial combine sum " +
+    "(pre-checkpoint shape)") {
+    val e = Tables(spark, dir, "events")
+      .select((col("user_id") % 500).as("a"), (col("event_id") % 500).as("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val x = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+      .withColumn("x", lit(1000000L))
+    val nbr = sym.join(x.select(col("id").as("b"), col("x").as("xj")), "b")
+      .groupBy(col("a").as("id")).agg(sum("xj").as("sx"))
+    val p = plan(nbr)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"the matvec must be an equi-join:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"neighbor sum must map-side combine:\n$p")
+  }
+
+  test("F2 sketch: one exchange, all 16 counters in one partial agg") {
+    val q = Tables(spark, dir, "lineitem")
+      .select(md5(concat(lit("f2|"), col("l_orderkey").cast("string")))
+        .as("h"))
+      .agg(
+        (0 until 16).map(e =>
+          sum(when(conv(substring(col("h"), e + 1, 1), 16, 10)
+              .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+            .as(s"x$e")).head,
+        (0 until 16).map(e =>
+          sum(when(conv(substring(col("h"), e + 1, 1), 16, 10)
+              .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+            .as(s"x$e")).tail: _*)
+    val p = plan(q)
+    assert(p.toLowerCase.contains("partial"),
+      s"sign counters must partial-aggregate:\n$p")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"exactly one (single-row) exchange expected:\n$p")
+  }
+
   test("truth-vote fusion: entity equi-joins + broadcast trust, no cartesian") {
     val base = Tables(spark, dir, "customer")
       .select(col("c_custkey").as("entity"), col("c_nationkey").as("tru"))
