@@ -3762,6 +3762,37 @@ object LlmSurface {
         .orderBy("day", "event_type")
     }),
 
+    // ---- matrix-profile motif discovery (X327) ----------------------------
+    // The repeated-pattern lens (Yeh et al. ICDM'16 — operators/
+    // MatrixProfile.scala): per event type, the exact squared-distance
+    // nearest-neighbor profile of every 7-day window of the daily
+    // cent-revenue series over the dense zero-filled spine (the
+    // llm_dense_timeseries calendar). Dips = motifs (a week that
+    // repeats), peaks = discords (a week like no other) — structure
+    // nobody named in advance. Exclusion zone |i−j| ≥ 7, ties to the
+    // smaller j; per-key cost calendar-bounded, keys parallel.
+    "p_motif_profile" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          col("value"))
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val days = bounds
+        .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val types = ev.select("event_type").distinct()
+      val actual = ev.groupBy("day", "event_type")
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      val daily = days.crossJoin(broadcast(types))
+        .join(actual, Seq("day", "event_type"), "left")
+        .select(col("event_type"),
+          datediff(col("day"), col("d0")).cast("long").as("idx"),
+          coalesce(col("c"), lit(0L)).as("cents"))
+      graft.operators.MatrixProfile.profile(daily, "event_type", "idx",
+          "cents", w = 7)
+        .select(col("key").as("event_type"), col("pos"), col("nn_pos"),
+          col("nn_dist2"))
+        .orderBy("event_type", "pos")
+    }),
+
     // ---- association rules over per-user behavior baskets ----------------
     // Market-basket support/confidence/lift per ordered event-type
     // pair, with the Apriori prune (items below minSupport dropped
@@ -12414,6 +12445,48 @@ $rounds,
       FROM days d CROSS JOIN types t
       LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
       ORDER BY 1, 2
+    """,
+
+    "p_motif_profile" -> """
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (
+        SELECT d0,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+      types AS (SELECT DISTINCT event_type FROM ev),
+      actual AS (
+        SELECT day, event_type,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        FROM ev GROUP BY 1, 2),
+      daily AS MATERIALIZED (
+        SELECT t.event_type,
+               CAST(datediff('day', d.d0, d.day) AS BIGINT) AS idx,
+               coalesce(a.c, 0) AS cents
+        FROM days d CROSS JOIN types t
+        LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type),
+      off AS MATERIALIZED (
+        SELECT event_type, idx - k AS i, k, cents AS x
+        FROM daily, (SELECT unnest(generate_series(0, 6)) AS k) ks),
+      pd AS MATERIALIZED (
+        SELECT a.event_type, a.i, o.i AS j,
+               sum((a.x - o.x) * (a.x - o.x)) AS d2
+        FROM off a JOIN off o
+          ON o.event_type = a.event_type AND o.k = a.k
+         AND abs(a.i - o.i) >= 7
+        GROUP BY 1, 2, 3
+        HAVING count(*) = 7)
+      SELECT event_type, CAST(i AS BIGINT) AS pos,
+             CAST(j AS BIGINT) AS nn_pos, CAST(d2 AS BIGINT) AS nn_dist2
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, i
+                                     ORDER BY d2, j) AS rn
+        FROM pd)
+      WHERE rn = 1
+      ORDER BY event_type, pos
     """,
 
     "llm_assoc_rules" -> s"""
