@@ -780,6 +780,50 @@ object RefSurface {
         .orderBy("estimator")
     }),
 
+    // ---- histogram join-size estimate vs truth (X328) ---------------------
+    // The OTHER planner estimate next to the AGMS sketch (X324): the
+    // System-R/Selinger method every optimizer actually ships — align
+    // per-table key-range histograms (32 fixed-width buckets over the
+    // shared key domain) and estimate the equi-join per bucket as
+    // n1·n2 / max(d1, d2) (the containment assumption: the smaller
+    // distinct set is contained in the larger). Emits the full
+    // per-bucket audit plus the total vs the exact join size — the
+    // table you read to learn WHERE the uniformity assumption lies
+    // (skewed buckets under-divide). Integer throughout: fixed-width
+    // buckets from the shared max key, floored divisions, signed
+    // trunc err. One combine agg per table + one per-key truth join;
+    // the histograms are model-sized (32 rows).
+    "p_histogram_join_estimate" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val l = Tables(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val wdt = o.agg(max("k").as("m1"))
+        .crossJoin(l.agg(max("k").as("m2")))
+        .select(expr("greatest(m1, m2) div 32 + 1").as("w"))
+      def hist(t: DataFrame, n: String, d: String) =
+        t.crossJoin(broadcast(wdt))
+          .groupBy(expr("k div w").as("bucket"))
+          .agg(count(lit(1)).as(n), countDistinct("k").as(d))
+      val h = hist(o, "n1", "d1")
+        .join(hist(l, "n2", "d2"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("d1"), lit(0L)).as("d1"),
+          coalesce(col("n2"), lit(0L)).as("n2"),
+          coalesce(col("d2"), lit(0L)).as("d2"))
+        .withColumn("est_b",
+          expr("(n1 * n2) div greatest(greatest(d1, d2), 1)"))
+      val tot = h.agg(sum("est_b").as("est_total"))
+      val tru = o.groupBy("k").agg(count(lit(1)).as("c1"))
+        .join(l.groupBy("k").agg(count(lit(1)).as("c2")), "k")
+        .agg(sum(expr("c1 * c2")).as("truth"))
+      h.crossJoin(broadcast(tot)).crossJoin(broadcast(tru))
+        .select(col("bucket"), col("n1"), col("d1"), col("n2"),
+          col("d2"), col("est_b"), col("est_total"), col("truth"),
+          expr("((est_total - truth) * 1000000) div truth")
+            .as("err_micro"))
+        .orderBy("bucket")
+    }),
+
     // ---- functional-dependency audit (data-quality rule check) ----------
     // "Does p_name determine p_brand?" — the violation table: every
     // LHS value mapping to more than one RHS, with row mass, distinct
@@ -2093,6 +2137,41 @@ object RefSurface {
              CAST(((f2_est - f2_true) * 1000000) // f2_true AS BIGINT)
                AS err_micro
       FROM est, med, tru ORDER BY estimator
+    """,
+
+    "p_histogram_join_estimate" -> """
+      WITH ok AS (SELECT o_orderkey AS k FROM orders),
+      lk AS (SELECT l_orderkey AS k FROM lineitem),
+      w AS (
+        SELECT greatest((SELECT max(k) FROM ok), (SELECT max(k) FROM lk))
+                 // 32 + 1 AS w),
+      h1 AS (
+        SELECT k // w AS bucket, count(*) AS n1, count(DISTINCT k) AS d1
+        FROM ok, w GROUP BY 1),
+      h2 AS (
+        SELECT k // w AS bucket, count(*) AS n2, count(DISTINCT k) AS d2
+        FROM lk, w GROUP BY 1),
+      h AS (
+        SELECT coalesce(h1.bucket, h2.bucket) AS bucket,
+               coalesce(n1, 0) AS n1, coalesce(d1, 0) AS d1,
+               coalesce(n2, 0) AS n2, coalesce(d2, 0) AS d2,
+               (coalesce(n1, 0) * coalesce(n2, 0))
+                 // greatest(greatest(coalesce(d1, 0), coalesce(d2, 0)), 1)
+                 AS est_b
+        FROM h1 FULL OUTER JOIN h2 ON h2.bucket = h1.bucket),
+      tot AS (SELECT sum(est_b) AS est_total FROM h),
+      tru AS (
+        SELECT sum(c1 * c2) AS truth FROM
+          (SELECT k, count(*) AS c1 FROM ok GROUP BY 1) a
+          JOIN (SELECT k, count(*) AS c2 FROM lk GROUP BY 1) b USING (k))
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n1 AS BIGINT) AS n1,
+             CAST(d1 AS BIGINT) AS d1, CAST(n2 AS BIGINT) AS n2,
+             CAST(d2 AS BIGINT) AS d2, CAST(est_b AS BIGINT) AS est_b,
+             CAST(est_total AS BIGINT) AS est_total,
+             CAST(truth AS BIGINT) AS truth,
+             CAST(((est_total - truth) * 1000000) // truth AS BIGINT)
+               AS err_micro
+      FROM h, tot, tru ORDER BY bucket
     """,
 
     "p_fd_audit" -> """
