@@ -3389,6 +3389,43 @@ object LlmSurface {
         "text").orderBy("doc_id")
     }),
 
+    // ---- speculative-decoding acceptance proxy (X329) ---------------------
+    // The serving readout speculative decoding lives on (Leviathan et
+    // al. '23 / Chen et al. '23): how often would the CHEAP draft
+    // model's greedy guess match the target? Draft = corpus bigram
+    // argmax (per prev word, the most frequent successor, ties to the
+    // lexicographically smaller — one combine agg + combine-min, no
+    // window over the corpus); acceptance = per-source share of
+    // bigram positions where the draft's guess equals the actual next
+    // word. Same-corpus fit gives the compressibility UPPER BOUND per
+    // source — the mixture-level "how much would speculation save
+    // here" number. Doc-initial tokens have no prev and are excluded.
+    // The draft table is vocab-sized: plain equi-join on prev (Heaps'
+    // law — no forced broadcast; AQE decides), the tfidf discipline.
+    "llm_spec_accept" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
+      val bigrams = toks
+        .withColumn("prev",
+          lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("prev").isNotNull)
+        .localCheckpoint(true) // trains the draft AND evaluates it
+      val draft = bigrams.groupBy("prev", "w").agg(count(lit(1)).as("c"))
+        .groupBy("prev")
+        .agg(min(struct((-col("c")).as("nc"), col("w").as("g"))).as("b"))
+        .select(col("prev"), col("b.g").as("guess"))
+      bigrams.join(draft, "prev")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("w") === col("guess"), 1L).otherwise(0L))
+            .as("n_accepted"))
+        .withColumn("accept_micro",
+          expr("(n_accepted * 1000000) div n_bigrams"))
+        .orderBy("source")
+    }),
+
     // ---- Poisson-bootstrap CI for the per-type mean value ----------------
     // One-pass bootstrap (Chamandy et al. 2012): 32 deterministic
     // Poisson(1) replicate weights per row from md5 against integer
@@ -11571,6 +11608,33 @@ $rounds,
       FROM pre WHERE cum <= 160
       GROUP BY lang
       ORDER BY lang
+    """,
+
+    "llm_spec_accept" -> """
+      WITH tok AS (
+        SELECT doc_id, source, generate_subscripts(ws, 1) AS pos,
+               unnest(ws) AS w
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents)),
+      big AS MATERIALIZED (
+        SELECT source, prev, w FROM (
+          SELECT source, w,
+                 lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM tok)
+        WHERE prev IS NOT NULL),
+      draft AS (
+        SELECT prev, w AS guess FROM (
+          SELECT prev, w, row_number() OVER (PARTITION BY prev
+                   ORDER BY count(*) DESC, w) AS rn
+          FROM big GROUP BY prev, w)
+        WHERE rn = 1)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN w = guess THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_accepted,
+             CAST((sum(CASE WHEN w = guess THEN 1 ELSE 0 END) * 1000000)
+                  // count(*) AS BIGINT) AS accept_micro
+      FROM big JOIN draft USING (prev)
+      GROUP BY source ORDER BY source
     """,
 
     "llm_bigram_lm" -> s"""
