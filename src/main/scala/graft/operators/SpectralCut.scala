@@ -11,9 +11,9 @@ import graft.llm.TextOps
   * eigenvector) — the global complement to the local clustering the
   * dedup stack already has: single linkage (X315) merges through any
   * bridge, DBSCAN (X281) needs a density scale; the spectral sign cut
-  * finds the BOTTLENECK — the two halves with the fewest crossing
-  * edges relative to volume — which is what a shard planner or a
-  * two-way partitioner actually wants.
+  * seeks the BOTTLENECK — two halves with few crossing edges relative
+  * to volume — which is what a shard planner or a two-way partitioner
+  * actually wants.
   *
   * Algebra: the walk matrix P = D⁻¹A has top eigenpair (1, const);
   * the second eigenvector changes sign across the sparsest cut
@@ -23,6 +23,15 @@ import graft.llm.TextOps
   * every step subtract the stationary projection (Σdᵢxᵢ)/(Σdᵢ) (π ∝
   * d is P's LEFT top eigenvector, so this removes the constant
   * component exactly) — leaving the second eigenvector dominant.
+  *
+  * Rounds are accuracy, stated honestly: amplification of the target
+  * eigenvector per round is 1/λ₂(within), and geometric proximity
+  * graphs mix SLOWLY (tiny gap), so 8 rounds land on a smooth
+  * low-frequency cut rather than the global optimum —
+  * SpectralScaleBench measures it: conductance 0.161 vs 0.513 for a
+  * random balanced cut on the 2× graph (3.2× better), while the
+  * planted zero-conductance component split itself would need
+  * O(1/gap) rounds (twin purity 0.555 recorded, not hidden).
   *
   * Exactness (the X200 PCA-power discipline): all integer — neighbor
   * sums are exact Longs, the per-node divide by dᵢ, the lazy halving,
