@@ -353,4 +353,44 @@ object EvalOps {
           (de - (col("n") - 1) * col("do_scaled")).cast("double") /
             de.cast("double"))).as("alpha"))
   }
+
+  /** Best-of-n expected-maximum curve (X330; the BoN/rejection-sampling
+    * readout of RLHF evaluation — how much does the best of n i.i.d.
+    * samples beat one sample): with scores ranked ascending
+    * s_(1) ≤ … ≤ s_(N), the max of n draws WITH replacement lands on
+    * rank i with probability (iⁿ − (i−1)ⁿ)/Nⁿ, so
+    *   E[max of n] = Σᵢ s_(i)·(iⁿ − (i−1)ⁿ) / Nⁿ
+    * — EXACT integer order statistics, no sampling, no floats. (The
+    * without-replacement variant needs C(i−1, n−1)/C(N, n), whose
+    * binomials outgrow any fixed-width integer on large panels; the
+    * with-replacement form is the standard estimator and its weights
+    * iⁿ − (i−1)ⁿ stay inside decimal(38,0) for panels up to ~10⁴ at
+    * n = 8 — callers cap the panel, as any BoN evaluation does.)
+    *
+    * Ranking ties break on (score, id) — total order, engine-stable.
+    * One panel-sized sort window, one aggregation per n; the curve is
+    * monotone nondecreasing in n by construction (spec-pinned).
+    */
+  def bestOfN(scored: DataFrame, idCol: String, scoreCol: String,
+      maxN: Int): DataFrame = {
+    require(maxN >= 1, s"maxN ($maxN) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = scored
+      .select(col(idCol).as("_id"), col(scoreCol).as("s"))
+      .withColumn("i",
+        row_number().over(Window.orderBy("s", "_id")).cast("long"))
+      .localCheckpoint(true) // one branch per n re-reads it
+    val np = ranked.agg(count(lit(1)).as("np"))
+    def pw(c: Column, n: Int): Column =
+      (1 until n).foldLeft(dec(c))((a, _) => a * dec(c))
+    (1 to maxN).map { n =>
+      ranked.crossJoin(broadcast(np))
+        .groupBy("np")
+        .agg(sum(dec(col("s"))
+          * (pw(col("i"), n) - pw(col("i") - 1, n))).as("_num"))
+        .select(lit(n.toLong).as("n"), col("np").as("n_panel"),
+          TextOps.floorDivDec(col("_num"), pw(col("np"), n))
+            .cast("long").as("exp_max_micro"))
+    }.reduce(_ unionByName _).orderBy("n")
+  }
 }

@@ -3426,6 +3426,23 @@ object LlmSurface {
         .orderBy("source")
     }),
 
+    // ---- best-of-n expected-max curve (X330) -------------------------------
+    // The RLHF/rejection-sampling readout (llm/EvalOps.bestOfN): how
+    // much does the best of n i.i.d. draws beat one draw, on the
+    // md5-'0' panel's quality scores — exact integer order statistics
+    // (rank weights iⁿ − (i−1)ⁿ over Nⁿ, decimal(38,0) throughout),
+    // no sampling, no floats. Curve is monotone in n by construction.
+    "llm_best_of_n" -> ((s, dir) => {
+      val panel = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+        .filter(substring(md5(concat(lit("bon|"),
+          col("doc_id").cast("string"))), 1, 1) === "0")
+        .select(col("doc_id"),
+          floor(TextOps.qualityScore(col("_w"), stopwords) * 1000000.0)
+            .cast("long").as("s"))
+      graft.llm.EvalOps.bestOfN(panel, "doc_id", "s", maxN = 8)
+    }),
+
     // ---- Poisson-bootstrap CI for the per-type mean value ----------------
     // One-pass bootstrap (Chamandy et al. 2012): 32 deterministic
     // Poisson(1) replicate weights per row from md5 against integer
@@ -5732,6 +5749,36 @@ mom AS (
                CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
                     ELSE c_mktsegment END AS f_seg
         FROM customer)"""
+
+  /** X330 best-of-n: 8 branches over the ranked panel, each with the
+    * static power expressions iⁿ − (i−1)ⁿ and Nⁿ in HUGEINT — the
+    * exact with-replacement order-statistic estimator EvalOps.bestOfN
+    * computes in decimal(38,0). `lazy` — referenced from the map. */
+  private lazy val bestOfNOracleSql: String = {
+    def pw(e: String, n: Int): String =
+      (1 to n).map(_ => s"CAST(($e) AS HUGEINT)").mkString(" * ")
+    val branches = (1 to 8).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS n,
+               CAST((SELECT count(*) FROM ranked) AS BIGINT) AS n_panel,
+               CAST(sum(CAST(s AS HUGEINT)
+                        * (${pw("i", n)} - ${pw("i - 1", n)}))
+                    // (${pw("(SELECT count(*) FROM ranked)", n)})
+                 AS BIGINT) AS exp_max_micro
+        FROM ranked"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH panel AS (
+        SELECT doc_id,
+               CAST(floor(($qualitySqlCol) * 1000000.0) AS BIGINT) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        WHERE substr(md5('bon|' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+      ranked AS MATERIALIZED (
+        SELECT s, row_number() OVER (ORDER BY s, doc_id) AS i FROM panel)
+      SELECT * FROM (
+        $branches)
+      ORDER BY n
+    """
+  }
 
   /** X326 facility-location greedy: 6 unrolled rounds — per round the
     * excluded-candidate gain agg, the (gain DESC, cid) argmax, the
@@ -11636,6 +11683,8 @@ $rounds,
       FROM big JOIN draft USING (prev)
       GROUP BY source ORDER BY source
     """,
+
+    "llm_best_of_n" -> bestOfNOracleSql,
 
     "llm_bigram_lm" -> s"""
       WITH toks AS (
