@@ -577,6 +577,29 @@ object StreamSurface {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ---- X331: prequential draft-acceptance maintenance --------------------
+    // Test-then-train (Dawid's prequential principle): per batch,
+    // score the batch's bigrams against the draft trained on the
+    // PREFIX, then merge the batch's counts — the honest out-of-sample
+    // acceptance the batch llm_spec_accept's same-corpus fit can only
+    // upper-bound. The oracle recomputes each batch's prefix draft
+    // directly from the doc_id-range batch rule.
+    "stream_spec_accept" -> ((s, dir) => {
+      val base = tmpBase(dir, "spec_accept")
+      val (in, schema) = stagedDocs(s, dir)
+      StreamHarness.deleteRecursively(new File(s"$base/counts"))
+      StreamHarness.deleteRecursively(new File(s"$base/out"))
+      StreamHarness.runQuery(s, in, schema) { src =>
+        DocStream.prequentialSpecAccept(src, s"$base/counts", s"$base/out")
+      }
+      // distinct folds at-least-once re-emission (identical rows)
+      s.read.parquet(s"$base/out").distinct()
+        .withColumn("accept_micro",
+          when(col("n_bigrams") > 0,
+            expr("(n_accepted * 1000000) div n_bigrams")).otherwise(lit(0L)))
+        .orderBy("batch_id")
+    }),
+
     // ---- X297: streaming tabular CUSUM monitor -----------------------------
     // The monitoring deployment shape of p_cusum_tabular: per batch,
     // ONE distributed daily combine agg; the calendar-sized series
@@ -937,6 +960,52 @@ object StreamSurface {
                row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         FROM documents)
       WHERE rn = 1 ORDER BY doc_id
+    """,
+
+    // Replays the prequential loop from the doc_id-range batch rule
+    // (batch = doc_id // (max(doc_id)//3 + 1)): per batch k >= 1, the
+    // draft is the prefix's bigram argmax, acceptance is the batch's
+    // joined share; batch 0 is the zero row.
+    "stream_spec_accept" -> """
+      WITH per AS (SELECT max(doc_id) // 3 + 1 AS p FROM documents),
+      tok AS (
+        SELECT doc_id, doc_id // p AS b,
+               generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents), per),
+      big AS MATERIALIZED (
+        SELECT b, prev, w FROM (
+          SELECT b, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS prev
+          FROM tok)
+        WHERE prev IS NOT NULL),
+      d1 AS (
+        SELECT prev, w AS guess FROM (
+          SELECT prev, w, row_number() OVER (PARTITION BY prev
+                   ORDER BY count(*) DESC, w) AS rn
+          FROM big WHERE b < 1 GROUP BY prev, w) WHERE rn = 1),
+      a1 AS (
+        SELECT count(*) AS n,
+               coalesce(sum(CASE WHEN w = guess THEN 1 ELSE 0 END), 0) AS a
+        FROM big JOIN d1 USING (prev) WHERE b = 1),
+      d2 AS (
+        SELECT prev, w AS guess FROM (
+          SELECT prev, w, row_number() OVER (PARTITION BY prev
+                   ORDER BY count(*) DESC, w) AS rn
+          FROM big WHERE b < 2 GROUP BY prev, w) WHERE rn = 1),
+      a2 AS (
+        SELECT count(*) AS n,
+               coalesce(sum(CASE WHEN w = guess THEN 1 ELSE 0 END), 0) AS a
+        FROM big JOIN d2 USING (prev) WHERE b = 2),
+      u AS (
+        SELECT 0 AS bid, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS a
+        UNION ALL SELECT 1, n, a FROM a1
+        UNION ALL SELECT 2, n, a FROM a2)
+      SELECT CAST(bid AS BIGINT) AS batch_id, CAST(n AS BIGINT) AS n_bigrams,
+             CAST(a AS BIGINT) AS n_accepted,
+             CAST(CASE WHEN n > 0 THEN (a * 1000000) // n ELSE 0 END
+               AS BIGINT) AS accept_micro
+      FROM u ORDER BY batch_id
     """,
 
     // Full-rebuild oracle for the streamed incremental excision: the

@@ -255,4 +255,65 @@ object DocStream {
         ()
       }
       .start()
+
+  /** Prequential (test-then-train) speculative-acceptance maintenance
+    * (X331; Dawid's prequential principle — the streaming form of the
+    * batch `llm_spec_accept`): per micro-batch, (1) SCORE the batch's
+    * bigrams against the greedy draft built from all PREVIOUS batches'
+    * counts (test), then (2) merge the batch's bigram counts into the
+    * maintained state (train). The emitted per-batch acceptance is
+    * therefore honest out-of-sample — the number the batch form's
+    * same-corpus fit can only upper-bound.
+    *
+    * Batch 0 has no draft and emits a zero row (kept, so the output
+    * row set is batch-stable). Failure ordering: the score row appends
+    * BEFORE the counts (at-least-once; a retried batch re-emits an
+    * IDENTICAL row, folded by the readback's distinct — the
+    * counts-first order would silently train on the scoring batch).
+    *
+    * Scale: state is the (prev, w, c) bigram table — vocabulary-
+    * squared-bounded in principle, Heaps-law in practice — read as a
+    * columnar scan and merged by one combine agg per batch; the draft
+    * argmax is one combine-min over it; scoring is a vocab-sized
+    * equi-join on prev. The append-dir fan-in is Compaction's job.
+    */
+  def prequentialSpecAccept(docs: DataFrame, countsDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val bg = batch
+          .select(col("doc_id"),
+            posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
+          .withColumn("prev", lag("w", 1).over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("prev").isNotNull)
+          .select("prev", "w")
+          .localCheckpoint(true) // scoring AND the state merge
+        val scored =
+          if (new java.io.File(countsDir).exists()) {
+            val counts = s.read.parquet(countsDir)
+              .groupBy("prev", "w").agg(sum("c").as("c"))
+            val draft = counts.groupBy("prev")
+              .agg(min(struct((-col("c")).as("nc"), col("w").as("g")))
+                .as("b"))
+              .select(col("prev"), col("b.g").as("guess"))
+            bg.join(draft, "prev")
+              .agg(count(lit(1)).as("n_bigrams"),
+                sum(when(col("w") === col("guess"), 1L).otherwise(0L))
+                  .as("n_accepted"))
+          } else {
+            s.range(1).select(lit(0L).as("n_bigrams"),
+              lit(0L).as("n_accepted"))
+          }
+        scored.select(lit(bid).as("batch_id"), col("n_bigrams"),
+            col("n_accepted"))
+          .write.mode("append").parquet(outDir)
+        bg.groupBy("prev", "w").agg(count(lit(1)).as("c"))
+          .write.mode("append").parquet(countsDir)
+        ()
+      }
+      .start()
 }
