@@ -371,6 +371,55 @@ object EvalOps {
     * One panel-sized sort window, one aggregation per n; the curve is
     * monotone nondecreasing in n by construction (spec-pinned).
     */
+  /** Rank-biased overlap at a truncation depth (X332; Webber, Moffat &
+    * Zobel TOIS 2010) — the label-free comparison of two RANKINGS the
+    * retrieval-metrics family lacked: recall@k asks "same set?", RBO
+    * asks "same ORDER?", weighting agreement at depth d by
+    * (1−p)·p^(d−1)/d so the head matters most (p = persistence).
+    *
+    * Input contract: one row per item in BOTH truncated lists, with
+    * its two ranks (1-based, both ≤ depth); queries with no common
+    * item produce no row — callers zero-fill from their panel. An
+    * item enters the depth-d intersection at d = max(ra, rb), so the
+    * agreement X_d is one explode(sequence(max, depth)) + combine
+    * count away — never a rank×rank join.
+    *
+    * Exactness: p is a RATIONAL pNum/pDen and the (1−p)·p^(d−1)
+    * weights fold ONCE in the JVM by exact BigInt arithmetic
+    * ([[rboWeights]] — the float spelling hit the 1 − 0.9 ≠ 0.1
+    * double trap and disagreed with its own oracle by 2 micro) into
+    * a micro table shared verbatim with the oracle (the X296 UCB
+    * discipline); each depth term floors once ((X_d·w_d) div d), and
+    * the sum normalizes by Σw_d so identical rankings score exactly
+    * 10⁶ (the d·w_d div d = w_d identity — spec-pinned).
+    */
+  def rboWeights(depth: Int, pNum: Long, pDen: Long): Seq[(Long, Long)] =
+    (1 to depth).map { d =>
+      (d.toLong, (BigInt(1000000) * BigInt(pDen - pNum)
+        * BigInt(pNum).pow(d - 1) / BigInt(pDen).pow(d)).toLong)
+    }
+
+  def rbo(matched: DataFrame, qCol: String, raCol: String, rbCol: String,
+      depth: Int, pNum: Long = 9, pDen: Long = 10): DataFrame = {
+    require(depth >= 1 && pNum > 0 && pNum < pDen,
+      s"bad depth=$depth p=$pNum/$pDen")
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val wd = rboWeights(depth, pNum, pDen)
+    val wsum = wd.map(_._2).sum
+    val wdf = wd.toDF("d", "wd")
+    matched
+      .select(col(qCol).as("q"),
+        explode(sequence(greatest(col(raCol), col(rbCol)).cast("long"),
+          lit(depth.toLong))).as("d"))
+      .groupBy("q", "d").agg(count(lit(1)).as("x"))
+      .join(broadcast(wdf), "d")
+      .groupBy("q")
+      .agg(sum(expr("(x * wd) div d")).as("_t"), max("x").as("n_common"))
+      .select(col("q"), col("n_common"),
+        expr(s"(_t * 1000000) div $wsum").as("rbo_micro"))
+  }
+
   def bestOfN(scored: DataFrame, idCol: String, scoreCol: String,
       maxN: Int): DataFrame = {
     require(maxN >= 1, s"maxN ($maxN) must be >= 1")

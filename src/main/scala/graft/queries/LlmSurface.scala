@@ -3426,6 +3426,45 @@ object LlmSurface {
         .orderBy("source")
     }),
 
+    // ---- rank-biased overlap: full vs truncated retrieval (X332) ----------
+    // Webber–Moffat–Zobel RBO (llm/EvalOps.rbo), the label-free
+    // ranking comparison next to recall@k: per panel query, the
+    // position-weighted agreement between the exact 64-dim top-20 and
+    // the TRUNCATED 32-dim top-20 — "can this corpus serve from half
+    // the vector", scored where it matters (the head). One broadcast
+    // panel×corpus pass computes BOTH scores; two per-query rank
+    // windows; identical rankings score exactly 10⁶.
+    "llm_rank_rbo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("_qq"))
+      val dot = VectorOps.dotFn(s)
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot(col("_qq"), col("qv")).as("s_full"),
+          dot(slice(col("_qq"), 1, 32), slice(col("qv"), 1, 32))
+            .as("s_half"))
+        .localCheckpoint(true) // two rank windows over one scoring pass
+      def top(sc: String, rn: String) = scored
+        .withColumn(rn, row_number().over(Window.partitionBy("query_id")
+          .orderBy(col(sc).desc, col("vec_id"))).cast("long"))
+        .filter(col(rn) <= 20)
+        .select(col("query_id"), col("vec_id"), col(rn))
+      val matched = top("s_full", "ra")
+        .join(top("s_half", "rb"), Seq("query_id", "vec_id"))
+      qs.select(col("query_id"))
+        .join(graft.llm.EvalOps.rbo(matched, "query_id", "ra", "rb",
+            depth = 20, pNum = 9, pDen = 10)
+          .withColumnRenamed("q", "query_id"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+        .orderBy("query_id")
+    }),
+
     // ---- best-of-n expected-max curve (X330) -------------------------------
     // The RLHF/rejection-sampling readout (llm/EvalOps.bestOfN): how
     // much does the best of n i.i.d. draws beat one draw, on the
@@ -5749,6 +5788,55 @@ mom AS (
                CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
                     ELSE c_mktsegment END AS f_seg
         FROM customer)"""
+
+  /** X332 RBO: both rankings from one panel×corpus dot pass, the
+    * max(ra, rb) entry-depth trick, and the SAME JVM-folded
+    * (1−p)·p^(d−1) micro weight table EvalOps.rbo uses, as VALUES.
+    * `lazy` — referenced from the map. */
+  private lazy val rankRboOracleSql: String = {
+    val wd = graft.llm.EvalOps.rboWeights(20, pNum = 9, pDen = 10)
+    val wsum = wd.map(_._2).sum
+    val values = wd.map { case (d, w) => s"($d, $w)" }.mkString(", ")
+    s"""
+      WITH $embedQvCte,
+      qs AS (SELECT vec_id AS query_id, qv AS qq FROM e
+             WHERE vec_id % 100 = 0),
+      sc AS MATERIALIZED (
+        SELECT qs.query_id, e.vec_id,
+               CAST(list_sum(list_transform(range(1, len(qq) + 1),
+                 i -> qq[i] * e.qv[i])) AS BIGINT) AS s_full,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> qq[i] * e.qv[i])) AS BIGINT) AS s_half
+        FROM qs, e WHERE e.vec_id != qs.query_id),
+      ta AS (
+        SELECT query_id, vec_id, rn AS ra FROM (
+          SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY s_full DESC, vec_id) AS rn
+          FROM sc) WHERE rn <= 20),
+      tb AS (
+        SELECT query_id, vec_id, rn AS rb FROM (
+          SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY s_half DESC, vec_id) AS rn
+          FROM sc) WHERE rn <= 20),
+      m AS (
+        SELECT ta.query_id, greatest(ta.ra, tb.rb) AS mx
+        FROM ta JOIN tb USING (query_id, vec_id)),
+      xd AS (
+        SELECT query_id, d, count(*) AS x
+        FROM m, (SELECT unnest(generate_series(1, 20)) AS d) ds
+        WHERE mx <= d GROUP BY 1, 2),
+      w AS (SELECT * FROM (VALUES $values) AS t(d, wd)),
+      r AS (
+        SELECT query_id, sum((x * wd) // d) AS t, max(x) AS n_common
+        FROM xd JOIN w USING (d) GROUP BY 1)
+      SELECT q.query_id,
+             CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+             CAST(coalesce((t * 1000000) // $wsum, 0) AS BIGINT)
+               AS rbo_micro
+      FROM qs q LEFT JOIN r USING (query_id)
+      ORDER BY query_id
+    """
+  }
 
   /** X330 best-of-n: 8 branches over the ranked panel, each with the
     * static power expressions iⁿ − (i−1)ⁿ and Nⁿ in HUGEINT — the
@@ -11685,6 +11773,8 @@ $rounds,
     """,
 
     "llm_best_of_n" -> bestOfNOracleSql,
+
+    "llm_rank_rbo" -> rankRboOracleSql,
 
     "llm_bigram_lm" -> s"""
       WITH toks AS (
