@@ -590,6 +590,54 @@ object LlmSurface {
         .orderBy("source")
     }),
 
+    // ---- exact two-sample Kolmogorov–Smirnov (X333) ------------------------
+    // THE canonical distribution-equality test, exact where the drift
+    // family's W1/PSI/KL are distances: D = max|F1 − F2| between the
+    // lexicographically-first source's quality distribution and the
+    // rest, computed CROSS-MULTIPLIED (|cum1·n2 − cum2·n1|, pure
+    // integers — no ratio ever floats), argmax location ties to the
+    // smaller value. The α=0.05 decision is exact rational arithmetic:
+    // λ ≥ 1.358 ⟺ D_num²·10⁶ ≥ 1844164·n1·n2·(n1+n2) (1358² =
+    // 1844164 — the constant is exactly representable, no folding
+    // error possible). Cumulation runs over the DISTINCT-value
+    // histogram (value-domain sized, the p_emd_drift discipline),
+    // never over rows; decimal(38,0) keeps the decision products
+    // exact at any corpus size.
+    "llm_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), TextOps.words(col("text")).as("_w"))
+        .select(col("source"),
+          floor(TextOps.qualityScore(col("_w"), stopwords) * 1000000.0)
+            .cast("long").as("s"))
+      val s0 = d.agg(min("source").as("s0"))
+      val c = d.crossJoin(broadcast(s0))
+        .groupBy("s")
+        .agg(sum(when(col("source") === col("s0"), 1L).otherwise(0L))
+          .as("c1"),
+          sum(when(col("source") =!= col("s0"), 1L).otherwise(0L))
+            .as("c2"))
+      val cum = c
+        .withColumn("f1", sum("c1").over(Window.orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("f2", sum("c2").over(Window.orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = c.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val dec = (x: Column) => x.cast("decimal(38,0)")
+      cum.crossJoin(broadcast(n))
+        .select(col("s"), col("n1"), col("n2"),
+          abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dd"))
+        .groupBy("n1", "n2")
+        .agg(min(struct((-col("dd")).as("nd"), col("s").as("v"))).as("b"))
+        .select(col("n1"), col("n2"), (-col("b.nd")).as("d_num"),
+          col("b.v").as("at_value"))
+        .select(col("n1"), col("n2"), col("d_num"), col("at_value"),
+          expr("(d_num * 1000000) div (n1 * n2)").as("ks_micro"),
+          (dec(col("d_num")) * dec(col("d_num")) * lit(1000000L)
+            >= dec(lit(1844164L)) * dec(col("n1")) * dec(col("n2"))
+              * dec(col("n1") + col("n2"))).as("reject_05"))
+    }),
+
     "llm_source_overlap" -> ((s, dir) => {
       val grams = Tables(s, dir, "documents")
         .select(col("lang"), TextOps.words(col("text")).as("_w"))
@@ -7859,6 +7907,37 @@ $rounds,
       JOIN lvl l ON l.n = c.scc
       GROUP BY c.scc, c.n_nodes
       ORDER BY c.scc
+    """,
+
+    "llm_ks_test" -> s"""
+      WITH d AS (
+        SELECT source,
+               CAST(floor(($qualitySqlCol) * 1000000.0) AS BIGINT) AS s
+        FROM (SELECT source, string_split(text, ' ') AS ws
+              FROM documents)),
+      s0 AS (SELECT min(source) AS s0 FROM d),
+      c AS (
+        SELECT s,
+               sum(CASE WHEN source = s0 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN source <> s0 THEN 1 ELSE 0 END) AS c2
+        FROM d, s0 GROUP BY s),
+      cum AS (
+        SELECT s, sum(c1) OVER (ORDER BY s) AS f1,
+               sum(c2) OVER (ORDER BY s) AS f2
+        FROM c),
+      n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+      diff AS (
+        SELECT s, abs(f1 * n2 - f2 * n1) AS dd FROM cum, n),
+      best AS (
+        SELECT s AS at_value, dd AS d_num FROM diff
+        ORDER BY dd DESC, s LIMIT 1)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(d_num AS BIGINT) AS d_num, at_value,
+             CAST((d_num * 1000000) // (n1 * n2) AS BIGINT) AS ks_micro,
+             (CAST(d_num AS HUGEINT) * d_num * 1000000
+                >= CAST(1844164 AS HUGEINT) * n1 * n2 * (n1 + n2))
+               AS reject_05
+      FROM best, n
     """,
 
     "llm_kl_drift" -> s"""
