@@ -604,38 +604,19 @@ object LlmSurface {
     // never over rows; decimal(38,0) keeps the decision products
     // exact at any corpus size.
     "llm_ks_test" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = Tables(s, dir, "documents")
         .select(col("source"), TextOps.words(col("text")).as("_w"))
         .select(col("source"),
           floor(TextOps.qualityScore(col("_w"), stopwords) * 1000000.0)
             .cast("long").as("s"))
       val s0 = d.agg(min("source").as("s0"))
-      val c = d.crossJoin(broadcast(s0))
-        .groupBy("s")
-        .agg(sum(when(col("source") === col("s0"), 1L).otherwise(0L))
-          .as("c1"),
-          sum(when(col("source") =!= col("s0"), 1L).otherwise(0L))
-            .as("c2"))
-      val cum = c
-        .withColumn("f1", sum("c1").over(Window.orderBy("s")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("f2", sum("c2").over(Window.orderBy("s")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val n = c.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-      val dec = (x: Column) => x.cast("decimal(38,0)")
-      cum.crossJoin(broadcast(n))
-        .select(col("s"), col("n1"), col("n2"),
-          abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dd"))
-        .groupBy("n1", "n2")
-        .agg(min(struct((-col("dd")).as("nd"), col("s").as("v"))).as("b"))
-        .select(col("n1"), col("n2"), (-col("b.nd")).as("d_num"),
-          col("b.v").as("at_value"))
-        .select(col("n1"), col("n2"), col("d_num"), col("at_value"),
-          expr("(d_num * 1000000) div (n1 * n2)").as("ks_micro"),
-          (dec(col("d_num")) * dec(col("d_num")) * lit(1000000L)
-            >= dec(lit(1844164L)) * dec(col("n1")) * dec(col("n2"))
-              * dec(col("n1") + col("n2"))).as("reject_05"))
+      graft.operators.KsTest.ks2(
+        d.crossJoin(broadcast(s0))
+          .groupBy("s")
+          .agg(sum(when(col("source") === col("s0"), 1L).otherwise(0L))
+            .as("c1"),
+            sum(when(col("source") =!= col("s0"), 1L).otherwise(0L))
+              .as("c2")))
     }),
 
     "llm_source_overlap" -> ((s, dir) => {

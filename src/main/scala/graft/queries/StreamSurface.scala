@@ -600,6 +600,26 @@ object StreamSurface {
         .orderBy("batch_id")
     }),
 
+    // ---- X334: streaming KS distribution-drift monitor ---------------------
+    // Batch 0's quality histogram freezes as the reference; every
+    // batch emits one exact two-sample KS row against it — the
+    // distribution complement to stream_cusum's mean monitor (a
+    // quality shift with unchanged mean trips reject_05 here and
+    // nothing there). Oracle replays each batch's histogram from the
+    // doc_id-range rule through the identical cross-multiplied
+    // arithmetic.
+    "stream_ks_monitor" -> ((s, dir) => {
+      val base = tmpBase(dir, "ks_monitor")
+      val (in, schema) = stagedDocs(s, dir)
+      StreamHarness.deleteRecursively(new File(s"$base/ref"))
+      StreamHarness.deleteRecursively(new File(s"$base/out"))
+      StreamHarness.runQuery(s, in, schema) { src =>
+        DocStream.ksMonitor(src, s"$base/ref", s"$base/out",
+          LlmSurface.stopwords)
+      }
+      s.read.parquet(s"$base/out").distinct().orderBy("batch_id")
+    }),
+
     // ---- X297: streaming tabular CUSUM monitor -----------------------------
     // The monitoring deployment shape of p_cusum_tabular: per batch,
     // ONE distributed daily combine agg; the calendar-sized series
@@ -1008,6 +1028,8 @@ object StreamSurface {
       FROM u ORDER BY batch_id
     """,
 
+    "stream_ks_monitor" -> ksMonitorOracleSql,
+
     // Full-rebuild oracle for the streamed incremental excision: the
     // L-gram islands algorithm over the whole (augmented) corpus,
     // oblivious to the batch split — same SQL family as the batch
@@ -1066,4 +1088,57 @@ object StreamSurface {
       WHERE rn = 1 ORDER BY user_id
     """
   )
+
+  /** X334 KS monitor oracle: each batch's quality histogram from the
+    * doc_id-range rule, full-outer value join against the batch-0
+    * reference, KsTest.ks2's cross-multiplied arithmetic per batch
+    * (batch 0 scores 0 against itself). `lazy` — referenced above. */
+  private lazy val ksMonitorOracleSql: String = {
+    val branches = (0 to 2).map { k =>
+      s"""c$k AS (
+        SELECT coalesce(a.s, b.s) AS s, coalesce(a.c, 0) AS c1,
+               coalesce(b.c, 0) AS c2
+        FROM h0 a FULL OUTER JOIN h$k b ON b.s = a.s),
+      cum$k AS (
+        SELECT s, sum(c1) OVER (ORDER BY s) AS f1,
+               sum(c2) OVER (ORDER BY s) AS f2
+        FROM c$k),
+      n$k AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c$k),
+      b$k AS (
+        SELECT dd AS d_num FROM (
+          SELECT s, abs(f1 * n2 - f2 * n1) AS dd FROM cum$k, n$k)
+        ORDER BY dd DESC, s LIMIT 1),
+      r$k AS (
+        SELECT CAST($k AS BIGINT) AS batch_id,
+               CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_batch,
+               CAST(d_num AS BIGINT) AS d_num,
+               CAST(CASE WHEN n1 > 0 AND n2 > 0
+                         THEN (d_num * 1000000) // (n1 * n2)
+                         ELSE 0 END AS BIGINT) AS ks_micro,
+               (n1 > 0 AND n2 > 0
+                AND CAST(d_num AS HUGEINT) * d_num * 1000000
+                    >= CAST(1844164 AS HUGEINT) * n1 * n2 * (n1 + n2))
+                 AS reject_05
+        FROM b$k, n$k)"""
+    }.mkString(",\n      ")
+    val hists = (0 to 2).map(k =>
+      s"""h$k AS MATERIALIZED (
+        SELECT s, count(*) AS c FROM q WHERE b = $k GROUP BY 1)""")
+      .mkString(",\n      ")
+    s"""
+      WITH per AS (SELECT max(doc_id) // 3 + 1 AS p FROM documents),
+      q AS (
+        SELECT doc_id // p AS b,
+               CAST(floor((${LlmSurface.qualitySqlCol}) * 1000000.0)
+                 AS BIGINT) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents), per),
+      $hists,
+      $branches
+      SELECT * FROM (
+        SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        UNION ALL SELECT * FROM r2)
+      ORDER BY batch_id
+    """
+  }
 }

@@ -316,4 +316,48 @@ object DocStream {
         ()
       }
       .start()
+
+  /** Streaming KS drift monitor (X334) — the DISTRIBUTION complement
+    * to [[EventStream]]'s CUSUM mean monitor: batch 0's quality
+    * histogram freezes as the reference; every batch (batch 0
+    * included — it scores an exact 0 against itself) emits one
+    * [[graft.operators.KsTest.ks2]] row against it, so a shifted
+    * quality distribution in tonight's crawl trips `reject_05` even
+    * when its MEAN is unchanged (the case CUSUM is blind to).
+    *
+    * Crash ordering: the reference write precedes the out append; a
+    * retry of batch 0 re-reads the now-frozen reference and re-emits
+    * the identical zero row (folded by readback distinct). State is
+    * one value-domain-sized histogram; per batch one combine agg, one
+    * full-outer value join, one value-domain window.
+    */
+  def ksMonitor(docs: DataFrame, refDir: String, outDir: String,
+      stopwords: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        val h = batch
+          .select(TextOps.words(col("text")).as("_w"))
+          .select(floor(TextOps.qualityScore(col("_w"), stopwords)
+            * 1000000.0).cast("long").as("s"))
+          .groupBy("s").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // the KS join + maybe the ref write
+        val ref =
+          if (new java.io.File(refDir).exists()) s.read.parquet(refDir)
+          else { h.write.mode("append").parquet(refDir); h }
+        val counts = ref.select(col("s"), col("c").as("c1"))
+          .join(h.select(col("s"), col("c").as("c2")), Seq("s"),
+            "full_outer")
+          .select(col("s"), coalesce(col("c1"), lit(0L)).as("c1"),
+            coalesce(col("c2"), lit(0L)).as("c2"))
+        graft.operators.KsTest.ks2(counts)
+          .select(lit(bid).as("batch_id"), col("n1").as("n_ref"),
+            col("n2").as("n_batch"), col("d_num"), col("ks_micro"),
+            col("reject_05"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
 }

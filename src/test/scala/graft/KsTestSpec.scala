@@ -1,13 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.operators.KsTest
 
 /** X333 exact two-sample KS: a hand-computed cross-multiplied CDF gap
   * with its argmax location, the no-evidence small-n case, and the
-  * exact rational α=0.05 rejection on a fully-separated large pair —
-  * via the same expressions the query registers.
+  * exact rational α=0.05 rejection on a fully-separated large pair.
   */
 class KsTestSpec extends SparkSpec {
 
@@ -16,30 +15,13 @@ class KsTestSpec extends SparkSpec {
   private def ks(rows: Seq[(String, Long)]) = {
     val d = rows.toDF("source", "s")
     val s0 = d.agg(min("source").as("s0"))
-    val c = d.crossJoin(broadcast(s0))
-      .groupBy("s")
-      .agg(sum(when(col("source") === col("s0"), 1L).otherwise(0L))
-        .as("c1"),
-        sum(when(col("source") =!= col("s0"), 1L).otherwise(0L)).as("c2"))
-    val cum = c
-      .withColumn("f1", sum("c1").over(Window.orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("f2", sum("c2").over(Window.orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = c.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    val dec = (x: Column) => x.cast("decimal(38,0)")
-    cum.crossJoin(broadcast(n))
-      .select(col("s"), col("n1"), col("n2"),
-        abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dd"))
-      .groupBy("n1", "n2")
-      .agg(min(struct((-col("dd")).as("nd"), col("s").as("v"))).as("b"))
-      .select(col("n1"), col("n2"), (-col("b.nd")).as("d_num"),
-        col("b.v").as("at_value"))
-      .select(col("n1"), col("n2"), col("d_num"), col("at_value"),
-        expr("(d_num * 1000000) div (n1 * n2)").as("ks_micro"),
-        (dec(col("d_num")) * dec(col("d_num")) * lit(1000000L)
-          >= dec(lit(1844164L)) * dec(col("n1")) * dec(col("n2"))
-            * dec(col("n1") + col("n2"))).as("reject_05"))
+    KsTest.ks2(
+      d.crossJoin(broadcast(s0))
+        .groupBy("s")
+        .agg(sum(when(col("source") === col("s0"), 1L).otherwise(0L))
+          .as("c1"),
+          sum(when(col("source") =!= col("s0"), 1L).otherwise(0L))
+            .as("c2")))
       .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
   }
 
@@ -60,5 +42,10 @@ class KsTestSpec extends SparkSpec {
     val rows = Seq.fill(50)(("a", 1L)) ++ Seq.fill(50)(("z", 2L))
     val r = ks(rows)
     assert(r._5 === 1000000L && r._6)
+  }
+
+  test("one-sided histogram is a degenerate non-rejection") {
+    val r = ks(Seq(("a", 1L), ("a", 2L)))
+    assert(r._2 === 0L && r._5 === 0L && !r._6)
   }
 }
