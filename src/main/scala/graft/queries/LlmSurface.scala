@@ -3455,6 +3455,45 @@ object LlmSurface {
         .orderBy("source")
     }),
 
+    // ---- embedding anisotropy audit (X335) ---------------------------------
+    // Ethayarajh (2019)'s "how anisotropic is this space": the
+    // expected cosine between RANDOM embedding pairs. Near 0 ⇒ cosine
+    // similarity carries signal; large ⇒ a common direction dominates
+    // and SemDeDup/prototypicality/ANN thresholds are measuring that
+    // direction, not content — the audit X200's var_share approaches
+    // from the variance side. Pairs are deterministic and scale-safe:
+    // md5-bucket each vector (4096 buckets), pair ADJACENT rows within
+    // a bucket (bucket-sized windows — never a corpus sort or an
+    // all-pairs shape). cos in micro = (dot·10⁶) div (isqrt‖a‖²·
+    // isqrt‖b‖²) — floored isqrt norms are ≤1/1000 relative on the
+    // milli-quantized grid (norms² ~10⁶⁺); signed division truncates
+    // toward zero in both engines.
+    "llm_anisotropy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+        .withColumn("b", conv(substring(md5(concat(lit("ani|"),
+          col("vec_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 4096)
+      val w = Window.partitionBy("b").orderBy("vec_id")
+      val dot = VectorOps.dotFn(s)
+      val cos = emb
+        .withColumn("rn", row_number().over(w))
+        .withColumn("qv2", lead("qv", 1).over(w))
+        .filter(col("rn") % 2 === 1 && col("qv2").isNotNull)
+        .select(dot(col("qv"), col("qv")).as("aa"),
+          dot(col("qv2"), col("qv2")).as("bb"),
+          dot(col("qv"), col("qv2")).as("ab"))
+        .select(((col("ab") * 1000000L).as("num")),
+          greatest(TextOps.isqrt(col("aa")) * TextOps.isqrt(col("bb")),
+            lit(1L)).as("den"))
+        .select(expr("num div den").as("c"))
+      cos.agg(count(lit(1)).as("n_pairs"),
+        expr("sum(c) div count(1)").as("mean_cos_micro"),
+        expr("(sum(CASE WHEN c > 500000 THEN 1 ELSE 0 END) * 1000000)"
+          + " div count(1)").as("frac_above_half_micro"))
+    }),
+
     // ---- rank-biased overlap: full vs truncated retrieval (X332) ----------
     // Webber–Moffat–Zobel RBO (llm/EvalOps.rbo), the label-free
     // ranking comparison next to recall@k: per panel query, the
@@ -11835,6 +11874,56 @@ $rounds,
     "llm_best_of_n" -> bestOfNOracleSql,
 
     "llm_rank_rbo" -> rankRboOracleSql,
+
+    "llm_anisotropy" -> s"""
+      WITH $embedQvCte,
+      bkt AS (
+        SELECT vec_id, qv,
+               CAST('0x' || substr(md5('ani|' || CAST(vec_id AS VARCHAR)),
+                 1, 6) AS BIGINT) % 4096 AS b
+        FROM e),
+      prs AS MATERIALIZED (
+        SELECT qv, qv2 FROM (
+          SELECT qv,
+                 lead(qv) OVER (PARTITION BY b ORDER BY vec_id) AS qv2,
+                 row_number() OVER (PARTITION BY b ORDER BY vec_id) AS rn
+          FROM bkt)
+        WHERE rn % 2 = 1 AND qv2 IS NOT NULL),
+      dots AS (
+        SELECT CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> qv[i] * qv[i])) AS BIGINT) AS aa,
+               CAST(list_sum(list_transform(range(1, len(qv2) + 1),
+                 i -> qv2[i] * qv2[i])) AS BIGINT) AS bb,
+               CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> qv[i] * qv2[i])) AS BIGINT) AS ab
+        FROM prs),
+      rt AS (
+        SELECT ab,
+               CAST(floor(sqrt(CAST(aa AS DOUBLE))) AS BIGINT) AS sa0,
+               CAST(floor(sqrt(CAST(bb AS DOUBLE))) AS BIGINT) AS sb0,
+               aa, bb
+        FROM dots),
+      rt1 AS (
+        SELECT ab,
+               CASE WHEN (sa0 + 1) * (sa0 + 1) <= aa THEN sa0 + 1
+                    ELSE sa0 END AS sa1,
+               CASE WHEN (sb0 + 1) * (sb0 + 1) <= bb THEN sb0 + 1
+                    ELSE sb0 END AS sb1,
+               aa, bb
+        FROM rt),
+      cosmic AS (
+        SELECT (ab * 1000000)
+                 // greatest((CASE WHEN sa1 * sa1 > aa THEN sa1 - 1
+                                   ELSE sa1 END)
+                           * (CASE WHEN sb1 * sb1 > bb THEN sb1 - 1
+                                   ELSE sb1 END), 1) AS c
+        FROM rt1)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(c) // count(*) AS BIGINT) AS mean_cos_micro,
+             CAST((sum(CASE WHEN c > 500000 THEN 1 ELSE 0 END) * 1000000)
+                  // count(*) AS BIGINT) AS frac_above_half_micro
+      FROM cosmic
+    """,
 
     "llm_bigram_lm" -> s"""
       WITH toks AS (
