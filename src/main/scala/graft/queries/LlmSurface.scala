@@ -2653,6 +2653,22 @@ object LlmSurface {
       EventOps.ljungBox(events(s, dir), "ts", maxLag = 7)
     }),
 
+    // ---- Wald–Wolfowitz runs test on the daily series (X336) --------------
+    // The randomness audit next to Ljung–Box (operators/RunsTest
+    // .scala): dichotomize daily cent revenue about its lower median
+    // (median days drop — the standard tie rule) and count sign runs;
+    // too few = clustering/regimes, too many = alternation — both
+    // non-random. α=0.05 two-sided decision in exact rational
+    // arithmetic (196² = 38416; (R·n − 2ab − n)²(n−1)·10⁴ vs
+    // 38416·2ab(2ab − n)).
+    "p_runs_test" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy("day")
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      graft.operators.RunsTest.test(daily, "day", "cents")
+    }),
+
     // ---- group-sequential A/B monitoring (O'Brien-Fleming) ---------------
     // The peeking-correct daily readout: 5 scheduled looks at 6-day
     // spacing, crossing decided by EXACT integer cross-multiplication
@@ -9219,6 +9235,39 @@ $rounds,
 
     // Ljung-Box replay: centered daily series on the datediff index,
     // exact covariance sums, ppm r_k, micro Q vs 14067000.
+    "p_runs_test" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+        FROM events GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM daily),
+      med AS (
+        SELECT min(v) AS med FROM (
+          SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM (
+            SELECT v, count(*) AS c FROM daily GROUP BY 1)) h, nn
+        WHERE h.cum * 2 >= nn.n),
+      sgn AS (
+        SELECT day, v > med AS up FROM daily, med WHERE v <> med),
+      run AS (
+        SELECT coalesce(sum(CASE WHEN up THEN 1 ELSE 0 END), 0) AS a,
+               coalesce(sum(CASE WHEN up THEN 0 ELSE 1 END), 0) AS b,
+               coalesce(sum(CASE WHEN prev IS NULL OR prev <> up
+                                 THEN 1 ELSE 0 END), 0) AS r
+        FROM (SELECT up, lag(up) OVER (ORDER BY day) AS prev FROM sgn))
+      SELECT CAST(a + b AS BIGINT) AS n_used,
+             CAST(a AS BIGINT) AS n_above, CAST(b AS BIGINT) AS n_below,
+             CAST(r AS BIGINT) AS n_runs,
+             CAST((2 * a * b * 1000000) // greatest(a + b, 1) + 1000000
+               AS BIGINT) AS mu_micro,
+             (a > 0 AND b > 0 AND
+              CAST(r * (a + b) - 2 * a * b - (a + b) AS HUGEINT)
+                * (r * (a + b) - 2 * a * b - (a + b))
+                * (a + b - 1) * 10000
+              >= CAST(38416 AS HUGEINT) * (2 * a * b)
+                 * (2 * a * b - (a + b))) AS reject_05
+      FROM run
+    """,
+
     "p_ljung_box" -> s"""
       WITH daily AS (
         SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
