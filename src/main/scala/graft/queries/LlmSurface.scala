@@ -2653,6 +2653,21 @@ object LlmSurface {
       EventOps.ljungBox(events(s, dir), "ts", maxLag = 7)
     }),
 
+    // ---- tie-aware Spearman rank correlation (X337) -----------------------
+    // "Does quality rise with length" is a MONOTONE question
+    // (operators/Spearman.scala): Pearson under-reads curvature, the
+    // rank correlation nails it. Doubled tied ranks keep everything
+    // integer; the sign-carried rho² is an EXACT rational (no sqrt
+    // anywhere), rho_micro the familiar isqrt-denominated scale.
+    "p_spearman" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(TextOps.words(col("text")).as("_w"))
+        .select(size(col("_w")).cast("long").as("len"),
+          floor(TextOps.qualityScore(col("_w"), stopwords) * 1000000.0)
+            .cast("long").as("q"))
+      graft.operators.Spearman.spearman(d, "len", "q")
+    }),
+
     // ---- Wald–Wolfowitz runs test on the daily series (X336) --------------
     // The randomness audit next to Ljung–Box (operators/RunsTest
     // .scala): dichotomize daily cent revenue about its lower median
@@ -9235,6 +9250,64 @@ $rounds,
 
     // Ljung-Box replay: centered daily series on the datediff index,
     // exact covariance sums, ppm r_k, micro Q vs 14067000.
+    "p_spearman" -> s"""
+      WITH d AS (
+        SELECT CAST(len(ws) AS BIGINT) AS x,
+               CAST(floor(($qualitySqlCol) * 1000000.0) AS BIGINT) AS y
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+      rx AS (
+        SELECT v, 2 * (cum - cnt) + cnt + 1 AS rx FROM (
+          SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM (
+            SELECT x AS v, count(*) AS cnt FROM d GROUP BY 1))),
+      ry AS (
+        SELECT v, 2 * (cum - cnt) + cnt + 1 AS ry FROM (
+          SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM (
+            SELECT y AS v, count(*) AS cnt FROM d GROUP BY 1))),
+      r AS MATERIALIZED (
+        SELECT rx.rx, ry.ry
+        FROM d JOIN rx ON rx.v = d.x JOIN ry ON ry.v = d.y),
+      m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(rx AS HUGEINT)) AS sx,
+               sum(CAST(ry AS HUGEINT)) AS sy,
+               sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+               sum(CAST(ry AS HUGEINT) * ry) AS syy,
+               sum(CAST(rx AS HUGEINT) * ry) AS sxy
+        FROM r),
+      t AS (
+        SELECT n, n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS a, n * syy - sy * sy AS b
+        FROM m),
+      q0 AS (
+        SELECT t.*,
+               CAST(floor(sqrt(CAST(a AS DOUBLE))) AS HUGEINT) AS sa,
+               CAST(floor(sqrt(CAST(b AS DOUBLE))) AS HUGEINT) AS sb
+        FROM t),
+      q1 AS (
+        SELECT q0.*,
+               CASE WHEN (sa + 1) * (sa + 1) <= a THEN sa + 1
+                    ELSE sa END AS sa1,
+               CASE WHEN (sb + 1) * (sb + 1) <= b THEN sb + 1
+                    ELSE sb END AS sb1
+        FROM q0),
+      q2 AS (
+        SELECT q1.*,
+               CASE WHEN sa1 * sa1 > a THEN sa1 - 1 ELSE sa1 END AS sa2,
+               CASE WHEN sb1 * sb1 > b THEN sb1 - 1 ELSE sb1 END AS sb2
+        FROM q1)
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(CASE WHEN a > 0 AND b > 0
+                       THEN (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                            * ((num * num * 1000000) // (a * b))
+                       ELSE 0 END AS BIGINT) AS rho2_signed_micro,
+             CAST(CASE WHEN a > 0 AND b > 0
+                       THEN greatest(least(
+                              (num * 1000000) // greatest(sa2 * sb2, 1),
+                              1000000), -1000000)
+                       ELSE 0 END AS BIGINT) AS rho_micro
+      FROM q2
+    """,
+
     "p_runs_test" -> """
       WITH daily AS (
         SELECT CAST(ts AS DATE) AS day,
