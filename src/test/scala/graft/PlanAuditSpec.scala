@@ -876,6 +876,34 @@ class PlanAuditSpec extends SparkSpec {
       s"exactly one (single-row) exchange expected:\n$p")
   }
 
+  test("Spearman ranks come from histogram joins — no global row sort") {
+    val d = Tables(spark, dir, "documents")
+      .select(length(col("text")).cast("long").as("x"),
+        (col("doc_id") % 97).as("y"))
+    val q = graft.operators.Spearman.spearman(d, "x", "y")
+    val p = plan(q)
+    // the only sorts allowed are the two value-domain histogram
+    // windows; the corpus itself must reach the rank join unsorted
+    assert(!p.contains("CartesianProduct"),
+      s"rank joins must be equi-joins:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"histogram + moment aggs must map-side combine:\n$p")
+  }
+
+  test("matrix-profile pairing is a (key, offset) equi-join, never all-pairs") {
+    val ser = Tables(spark, dir, "events")
+      .select(col("event_type").as("key"),
+        (col("event_id") % 30).cast("long").as("idx"),
+        (col("user_id") % 1000).cast("long").as("x"))
+      .groupBy("key", "idx").agg(max("x").as("v"))
+    val q = graft.operators.MatrixProfile.profile(ser, "key", "idx", "v",
+      w = 7)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"window pairing must be an equi-join:\n$p")
+  }
+
   test("truth-vote fusion: entity equi-joins + broadcast trust, no cartesian") {
     val base = Tables(spark, dir, "customer")
       .select(col("c_custkey").as("entity"), col("c_nationkey").as("tru"))
