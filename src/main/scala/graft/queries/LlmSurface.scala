@@ -763,6 +763,47 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- McNemar paired-classifier comparison (X338) -----------------------
+    // "Is the trained model actually BETTER than the heuristic on the
+    // same documents?" — accuracy deltas mislead when the two share
+    // most errors; McNemar (1947) tests exactly the DISAGREEMENT
+    // cells: b = heuristic right where NB is wrong, c = the reverse,
+    // χ²₁ = (b−c)²/(b+c) against 3.8416 decided in exact rational
+    // arithmetic ((b−c)²·10⁴ ≥ 38416·(b+c); 196² = 38416). Gold is
+    // the REAL lang column; the two classifiers are the repo's own
+    // marker heuristic and the trained trigram NB (same-corpus fit,
+    // as llm_langid_trained documents). Completes the eval pair with
+    // kappa: kappa asks "do they agree", McNemar asks "who is right".
+    "llm_mcnemar" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nb = TextOps.naiveBayesLangId(docs, "doc_id", "text", "lang")
+        .select(col("doc").as("doc_id"), col("correct").as("b_ok"))
+      val heur = docs
+        .select(col("doc_id"), col("lang"),
+          TextOps.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          (TextOps.languageIdFromWords(col("_w"), langMarkers)
+            === col("lang")).as("a_ok"))
+      heur.join(nb, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when(!col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+            .as("n_neither"),
+          sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+            .as("n_b"),
+          sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+            .as("n_c"))
+        .select(col("n"), col("n_both"), col("n_neither"), col("n_b"),
+          col("n_c"),
+          when(col("n_b") + col("n_c") > 0,
+            expr("((n_b - n_c) * (n_b - n_c) * 1000000) div (n_b + n_c)"))
+            .otherwise(lit(0L)).as("chi2_micro"),
+          (col("n_b") + col("n_c") > 0 &&
+            expr("(n_b - n_c) * (n_b - n_c) * 10000")
+              >= expr("38416 * (n_b + n_c)")).as("reject_05"))
+    }),
+
     // ---- language-ID heuristic + quality score ---------------------------
     "llm_lang_quality" -> ((s, dir) => {
       // split once per row (own projection); every stat reads the array
@@ -5937,6 +5978,50 @@ mom AS (
     """
   }
 
+  /** The trained-NB lang-ID replay (trigram model, add-one smoothing,
+    * unseen-mass floor, (score DESC, lang) argmax), shared by
+    * llm_langid_trained and llm_mcnemar so the two oracles cannot
+    * drift. Ends at CTE `r` (doc_id, lang_true, cand, rn). */
+  private lazy val nbLangCtes: String = """base AS (
+        SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+      ex AS (
+        SELECT doc_id, lang, text,
+               unnest(range(1, CAST(length(text) AS BIGINT) - 1)) AS i
+        FROM base),
+      tri AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g FROM ex),
+      dg AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+      lg AS (SELECT lang, g, count(*) AS clg FROM tri GROUP BY lang, g),
+      nl AS (SELECT lang, CAST(sum(clg) AS BIGINT) AS nlt FROM lg GROUP BY lang),
+      v AS (SELECT count(DISTINCT g) AS vv FROM lg),
+      model AS (
+        SELECT lang, g,
+               CAST(floor(ln((clg + 1) / CAST(nlt + vv AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS li
+        FROM lg JOIN nl USING (lang), v),
+      fl AS (
+        SELECT lang,
+               CAST(floor(ln(1.0 / CAST(nlt + vv AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS fl
+        FROM nl, v),
+      dt AS (
+        SELECT doc_id, lang AS lang_true,
+               CAST(greatest(length(text) - 2, 0) AS BIGINT) AS n
+        FROM documents),
+      seen AS (
+        SELECT dg.doc_id, model.lang, CAST(sum(c * li) AS BIGINT) AS s,
+               CAST(sum(c) AS BIGINT) AS sn
+        FROM dg JOIN model USING (g) GROUP BY dg.doc_id, model.lang),
+      sc AS (
+        SELECT dt.doc_id, dt.lang_true, fl.lang,
+               coalesce(seen.s, 0) + (dt.n - coalesce(seen.sn, 0)) * fl.fl AS score
+        FROM dt CROSS JOIN fl
+        LEFT JOIN seen ON seen.doc_id = dt.doc_id AND seen.lang = fl.lang),
+      r AS (
+        SELECT doc_id, lang_true, lang AS cand,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lang) AS rn
+        FROM sc)"""
+
   /** X330 best-of-n: 8 branches over the ranked panel, each with the
     * static power expressions iⁿ − (i−1)ⁿ and Nⁿ in HUGEINT — the
     * exact with-replacement order-statistic estimator EvalOps.bestOfN
@@ -6265,48 +6350,45 @@ mom AS (
     """,
 
     "llm_langid_trained" -> s"""
-      WITH base AS (
-        SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
-      ex AS (
-        SELECT doc_id, lang, text,
-               unnest(range(1, CAST(length(text) AS BIGINT) - 1)) AS i
-        FROM base),
-      tri AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g FROM ex),
-      dg AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
-      lg AS (SELECT lang, g, count(*) AS clg FROM tri GROUP BY lang, g),
-      nl AS (SELECT lang, CAST(sum(clg) AS BIGINT) AS nlt FROM lg GROUP BY lang),
-      v AS (SELECT count(DISTINCT g) AS vv FROM lg),
-      model AS (
-        SELECT lang, g,
-               CAST(floor(ln((clg + 1) / CAST(nlt + vv AS DOUBLE))
-                 * 1000000.0 + 0.5) AS BIGINT) AS li
-        FROM lg JOIN nl USING (lang), v),
-      fl AS (
-        SELECT lang,
-               CAST(floor(ln(1.0 / CAST(nlt + vv AS DOUBLE))
-                 * 1000000.0 + 0.5) AS BIGINT) AS fl
-        FROM nl, v),
-      dt AS (
-        SELECT doc_id, lang AS lang_true,
-               CAST(greatest(length(text) - 2, 0) AS BIGINT) AS n
-        FROM documents),
-      seen AS (
-        SELECT dg.doc_id, model.lang, CAST(sum(c * li) AS BIGINT) AS s,
-               CAST(sum(c) AS BIGINT) AS sn
-        FROM dg JOIN model USING (g) GROUP BY dg.doc_id, model.lang),
-      sc AS (
-        SELECT dt.doc_id, dt.lang_true, fl.lang,
-               coalesce(seen.s, 0) + (dt.n - coalesce(seen.sn, 0)) * fl.fl AS score
-        FROM dt CROSS JOIN fl
-        LEFT JOIN seen ON seen.doc_id = dt.doc_id AND seen.lang = fl.lang),
-      r AS (
-        SELECT doc_id, lang_true, lang AS cand,
-               row_number() OVER (PARTITION BY doc_id
-                 ORDER BY score DESC, lang) AS rn
-        FROM sc)
+      WITH $nbLangCtes
       SELECT doc_id, lang_true AS lang, cand AS pred_lang,
              (lang_true = cand) AS correct
       FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+
+    // Composes the shared NB chain with the heuristic scorer's SQL:
+    // b = heuristic right & NB wrong, c = the reverse; exact rational
+    // chi-square-1 decision (196^2 = 38416).
+    "llm_mcnemar" -> s"""
+      WITH $nbLangCtes,
+      nb AS (
+        SELECT doc_id, (lang_true = cand) AS b_ok
+        FROM r WHERE rn = 1),
+      hs AS (
+        SELECT doc_id, ($langArgmax = lang) AS a_ok FROM (
+          SELECT doc_id, lang, ws, $langScoreCols
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents)) scored),
+      j AS (SELECT a_ok, b_ok FROM hs JOIN nb USING (doc_id)),
+      agg AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS n_both,
+               sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                 AS n_neither,
+               sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS nb_,
+               sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS nc_
+        FROM j)
+      SELECT CAST(n AS BIGINT) AS n, CAST(n_both AS BIGINT) AS n_both,
+             CAST(n_neither AS BIGINT) AS n_neither,
+             CAST(nb_ AS BIGINT) AS n_b, CAST(nc_ AS BIGINT) AS n_c,
+             CAST(CASE WHEN nb_ + nc_ > 0
+                       THEN ((nb_ - nc_) * (nb_ - nc_) * 1000000)
+                            // (nb_ + nc_)
+                       ELSE 0 END AS BIGINT) AS chi2_micro,
+             (nb_ + nc_ > 0 AND
+              (nb_ - nc_) * (nb_ - nc_) * 10000 >= 38416 * (nb_ + nc_))
+               AS reject_05
+      FROM agg
     """,
 
     // Replays the bin histogram, the doubled-rank AUC identity, the
