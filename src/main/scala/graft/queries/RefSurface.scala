@@ -216,6 +216,41 @@ object RefSurface {
     // the same directories hive-style, so the audit proves the written
     // layout matches the plan bin-for-bin (the k1/X106 "execute the
     // claim" pattern applied to table maintenance).
+    // ---- K14: merge-on-read deletes via deletion vectors (X339) ----------
+    // The lakehouse delete mechanic the k-family lacked (Iceberg v2 /
+    // Delta deletion vectors): deleting N rows writes an O(N) id
+    // SIDECAR per commit, never an O(table) copy-on-write rewrite;
+    // readers merge with one LEFT ANTI hash join on the near-unique
+    // id (skew-free), and Compaction (K6) is what eventually folds
+    // the sidecar directory. EXECUTED roundtrip: base + two
+    // overlapping delete commits written to disk, readback merges
+    // them; the oracle recomputes the same accounting from the
+    // logical predicate, so a dropped sidecar, a double-counted
+    // overlap, or a broken anti-join all hash-mismatch. The
+    // per-source law n_base = n_live + n_deleted is in the output.
+    "k14_deletion_vectors" -> ((s, dir) => {
+      val base = s"/tmp/graft_k14/${SalesFixture.sfName(dir)}"
+      val docs = Tables(s, dir, "documents").select("doc_id", "source")
+      docs.write.mode("overwrite").parquet(s"$base/base")
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+        .write.mode("overwrite").parquet(s"$base/dv/commit=1")
+      docs.filter(col("doc_id") % 11 === 3).select("doc_id")
+        .write.mode("overwrite").parquet(s"$base/dv/commit=2")
+      val b = s.read.parquet(s"$base/base")
+      val dv = s.read.parquet(s"$base/dv").select("doc_id").distinct()
+      val live = b.join(dv, Seq("doc_id"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_live"))
+      val dead = b.join(dv, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_deleted"))
+      b.groupBy("source").agg(count(lit(1)).as("n_base"))
+        .join(dead, Seq("source"), "left")
+        .join(live, Seq("source"), "left")
+        .select(col("source"), col("n_base"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          coalesce(col("n_live"), lit(0L)).as("n_live"))
+        .orderBy("source")
+    }),
+
     "k6_compaction_exec" -> ((s, dir) => {
       val out = s"/tmp/graft_k6_out/${SalesFixture.sfName(dir)}"
       val files = Tables(s, dir, "documents")
@@ -2753,6 +2788,15 @@ object RefSurface {
                        THEN 1 ELSE 0 END AS INT) AS gap_ok
       FROM pf
       ORDER BY file_rank
+    """,
+
+    "k14_deletion_vectors" -> """
+      SELECT source, CAST(count(*) AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 3
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+             CAST(sum(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 3
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_live
+      FROM documents GROUP BY source ORDER BY source
     """,
 
     "k6_compaction_exec" -> """
