@@ -2694,6 +2694,32 @@ object LlmSurface {
       EventOps.ljungBox(events(s, dir), "ts", maxLag = 7)
     }),
 
+    // ---- Chao1 vocabulary richness (X340) ----------------------------------
+    // The species-count complement to Good–Turing's missing MASS
+    // (X311): how many distinct words does each source's vocabulary
+    // still hide? Chao1 (1984): S_est = S_obs + f1²/(2f2), with the
+    // bias-corrected f1(f1−1)/2 fallback when no doubletons exist —
+    // the "is this source's vocabulary saturated" readout a crawl
+    // scheduler reads. Exact integers: one floored division per
+    // source; coverage = S_obs·10⁶ div S_est. Two combine aggs
+    // (word counts → frequency-of-frequency), both skew-free.
+    "llm_chao_richness" -> ((s, dir) => {
+      val wc = Tables(s, dir, "documents")
+        .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("source")
+        .agg(count(lit(1)).as("s_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .withColumn("s_est",
+          when(col("f2") > 0,
+            col("s_obs") + expr("(f1 * f1) div (2 * f2)"))
+            .otherwise(col("s_obs") + expr("(f1 * (f1 - 1)) div 2")))
+        .withColumn("coverage_micro",
+          expr("(s_obs * 1000000) div greatest(s_est, 1)"))
+        .orderBy("source")
+    }),
+
     // ---- tie-aware Spearman rank correlation (X337) -----------------------
     // "Does quality rise with length" is a MONOTONE question
     // (operators/Spearman.scala): Pearson under-reads curvature, the
@@ -9332,6 +9358,30 @@ $rounds,
 
     // Ljung-Box replay: centered daily series on the datediff index,
     // exact covariance sums, ppm r_k, micro Q vs 14067000.
+    "llm_chao_richness" -> """
+      WITH wc AS (
+        SELECT source, w, count(*) AS c FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        GROUP BY 1, 2),
+      ff AS (
+        SELECT source, count(*) AS s_obs,
+               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+               sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+        FROM wc GROUP BY 1),
+      est AS (
+        SELECT source, s_obs, f1, f2,
+               CASE WHEN f2 > 0 THEN s_obs + (f1 * f1) // (2 * f2)
+                    ELSE s_obs + (f1 * (f1 - 1)) // 2 END AS s_est
+        FROM ff)
+      SELECT source, CAST(s_obs AS BIGINT) AS s_obs,
+             CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+             CAST(s_est AS BIGINT) AS s_est,
+             CAST((s_obs * 1000000) // greatest(s_est, 1) AS BIGINT)
+               AS coverage_micro
+      FROM est ORDER BY source
+    """,
+
     "p_spearman" -> s"""
       WITH d AS (
         SELECT CAST(len(ws) AS BIGINT) AS x,
