@@ -600,6 +600,24 @@ object StreamSurface {
         .orderBy("batch_id")
     }),
 
+    // ---- X341: streaming Chao1 vocabulary-saturation monitor ---------------
+    // The crawl-scheduler question asked online: after each batch,
+    // how much vocabulary does the corpus-so-far still hide? Emits
+    // the cumulative Chao1 row per batch (X340 arithmetic over the
+    // maintained word-count state); the oracle recomputes each
+    // prefix from the doc_id-range batch rule.
+    "stream_vocab_saturation" -> ((s, dir) => {
+      val base = tmpBase(dir, "vocab_sat")
+      val (in, schema) = stagedDocs(s, dir)
+      StreamHarness.deleteRecursively(new File(s"$base/counts"))
+      StreamHarness.deleteRecursively(new File(s"$base/out"))
+      StreamHarness.runQuery(s, in, schema) { src =>
+        DocStream.vocabSaturationMonitor(src, s"$base/counts",
+          s"$base/out")
+      }
+      s.read.parquet(s"$base/out").distinct().orderBy("batch_id")
+    }),
+
     // ---- X334: streaming KS distribution-drift monitor ---------------------
     // Batch 0's quality histogram freezes as the reference; every
     // batch emits one exact two-sample KS row against it — the
@@ -1029,6 +1047,35 @@ object StreamSurface {
     """,
 
     "stream_ks_monitor" -> ksMonitorOracleSql,
+
+    // Replays each batch PREFIX's word counts from the doc_id-range
+    // rule through the X340 Chao1 arithmetic.
+    "stream_vocab_saturation" -> """
+      WITH per AS (SELECT max(doc_id) // 3 + 1 AS p FROM documents),
+      tok AS (
+        SELECT doc_id // p AS b, unnest(string_split(text, ' ')) AS w
+        FROM documents, per),
+      rows_ AS (
+        SELECT k, s_obs, f1, f2,
+               CASE WHEN f2 > 0 THEN s_obs + (f1 * f1) // (2 * f2)
+                    ELSE s_obs + (f1 * (f1 - 1)) // 2 END AS s_est
+        FROM (
+          SELECT k, count(*) AS s_obs,
+                 sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+                 sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+          FROM (
+            SELECT ks.k, t.w, count(*) AS c
+            FROM tok t, (SELECT unnest(generate_series(0, 2)) AS k) ks
+            WHERE t.b <= ks.k
+            GROUP BY 1, 2)
+          GROUP BY 1))
+      SELECT CAST(k AS BIGINT) AS batch_id, CAST(s_obs AS BIGINT) AS s_obs,
+             CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+             CAST(s_est AS BIGINT) AS s_est,
+             CAST((s_obs * 1000000) // greatest(s_est, 1) AS BIGINT)
+               AS coverage_micro
+      FROM rows_ ORDER BY batch_id
+    """,
 
     // Full-rebuild oracle for the streamed incremental excision: the
     // L-gram islands algorithm over the whole (augmented) corpus,

@@ -317,6 +317,52 @@ object DocStream {
       }
       .start()
 
+  /** Streaming Chao1 vocabulary-saturation monitor (X341) — the
+    * crawl-scheduler question asked ONLINE: after each ingested
+    * batch, how much vocabulary does the corpus-so-far still hide?
+    * Per micro-batch: merge the batch's word counts into the
+    * maintained (w, c) state, emit the cumulative frequency-of-
+    * frequency Chao1 row (s_obs, f1, f2, s_est, coverage — the X340
+    * arithmetic), then append the batch counts. Emission precedes
+    * the counts append: a retried batch recomputes the identical
+    * cumulative row from the unchanged prior state (readback
+    * distinct folds it); counts-first would double-count the batch
+    * on retry. State is the Heaps-law vocabulary table, merged by
+    * one combine agg per batch; Compaction folds the append dirs.
+    */
+  def vocabSaturationMonitor(docs: DataFrame, countsDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        val wc = batch
+          .select(explode(TextOps.words(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // the cumulative merge AND the append
+        val combined =
+          (if (new java.io.File(countsDir).exists())
+            s.read.parquet(countsDir).unionByName(wc)
+          else wc)
+            .groupBy("w").agg(sum("c").as("c"))
+        combined
+          .agg(count(lit(1)).as("s_obs"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+          .withColumn("s_est",
+            when(col("f2") > 0,
+              col("s_obs") + expr("(f1 * f1) div (2 * f2)"))
+              .otherwise(col("s_obs") + expr("(f1 * (f1 - 1)) div 2")))
+          .select(lit(bid).as("batch_id"), col("s_obs"), col("f1"),
+            col("f2"), col("s_est"),
+            expr("(s_obs * 1000000) div greatest(s_est, 1)")
+              .as("coverage_micro"))
+          .write.mode("append").parquet(outDir)
+        wc.write.mode("append").parquet(countsDir)
+        ()
+      }
+      .start()
+
   /** Streaming KS drift monitor (X334) — the DISTRIBUTION complement
     * to [[EventStream]]'s CUSUM mean monitor: batch 0's quality
     * histogram freezes as the reference; every batch (batch 0
