@@ -2694,6 +2694,29 @@ object LlmSurface {
       EventOps.ljungBox(events(s, dir), "ts", maxLag = 7)
     }),
 
+    // ---- Distinct-n diversity (X342) ---------------------------------------
+    // Li et al. (2016)'s Distinct-1/2/3 — the generation-diversity
+    // readout (distinct n-grams over total n-grams) that catches
+    // degenerate repetition a quality score misses, per source and
+    // per n. Pure combine aggs on skew-free n-gram keys; exact micro
+    // ratio, one floored division per (source, n).
+    "llm_distinct_ngrams" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), TextOps.words(col("text")).as("_w"))
+        .localCheckpoint(true) // three shingle passes
+      (1 to 3).map { n =>
+        d.select(col("source"),
+            explode(TextOps.shinglesFromWords(col("_w"), n)).as("g"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            countDistinct("g").as("n_distinct"))
+          .select(col("source"), lit(n.toLong).as("n"), col("n_total"),
+            col("n_distinct"),
+            expr("(n_distinct * 1000000) div n_total")
+              .as("distinct_micro"))
+      }.reduce(_ unionByName _).orderBy("source", "n")
+    }),
+
     // ---- Chao1 vocabulary richness (X340) ----------------------------------
     // The species-count complement to Good–Turing's missing MASS
     // (X311): how many distinct words does each source's vocabulary
@@ -9358,6 +9381,21 @@ $rounds,
 
     // Ljung-Box replay: centered daily series on the datediff index,
     // exact covariance sums, ppm r_k, micro Q vs 14067000.
+    "llm_distinct_ngrams" -> ((1 to 3).map { n =>
+      s"""SELECT source, CAST($n AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+             CAST((count(DISTINCT g) * 1000000) // count(*) AS BIGINT)
+               AS distinct_micro
+      FROM (
+        SELECT source, array_to_string(ws[i:i + $n - 1], ' ') AS g
+        FROM (
+          SELECT source, ws, unnest(range(1, len(ws) - $n + 2)) AS i
+          FROM (SELECT source, string_split(text, ' ') AS ws
+                FROM documents)))
+      GROUP BY source"""
+    }.mkString("\n      UNION ALL\n      ") + "\n      ORDER BY source, n"),
+
     "llm_chao_richness" -> """
       WITH wc AS (
         SELECT source, w, count(*) AS c FROM (
