@@ -1175,6 +1175,51 @@ object TextOps {
     when(s1 * s1 > x, s1 - 1).otherwise(s1)
   }
 
+  /** Exact ⌊√x⌋ for a nonnegative decimal(38,0) column — the full-
+    * range sibling of [[isqrt]], for moments that outgrow Long (rank
+    * sum-of-squares terms grow ~n⁴ and pass 2⁶³ near n ≈ 7·10⁴).
+    * The double seed's 53-bit mantissa leaves an absolute error up to
+    * ~√x·3·10⁻¹⁶ (thousands near 10¹⁹), so ±1 probes alone cannot
+    * repair it; ONE integer Newton step (s ← (s + x÷s) ÷ 2, exact via
+    * [[floorDivDec]]) collapses that error quadratically to O(1) —
+    * e²/(2√x) ≪ 1 for any x ≤ 10³⁸ — a second step absorbs the floor
+    * slack, and the down/down/up probe trio lands the exact floor.
+    * x ≤ 0 → 0. Everything stays in decimal(38,0); the largest
+    * intermediate is s² ≤ x, so no silent overflow-to-null path
+    * exists at any representable input.
+    */
+  def isqrtDec(x: Column): Column = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    // every stage is bindOnce-bound: each Newton step references its
+    // predecessor ~12× and each probe ~3×, so inlining would grow the
+    // expression tree multiplicatively (the Hilbert 5^bits lesson) —
+    // bound, the tree stays linear in the stage count.
+    // Every stage is also CAPPED at 10¹⁹−1 = ⌊√(10³⁸−1)⌋: no true root
+    // exceeds it, but the double seed can land above it near the top
+    // of the domain and the s² probe would then overflow decimal(38,0)
+    // — a loud ANSI error, but a spurious one. Capped, s² ≤
+    // (10¹⁹−1)² < 10³⁸ always fits.
+    val cap = d(lit(new java.math.BigDecimal("9999999999999999999")))
+    bindOnce(d(x)) { xd =>
+      bindOnce(least(greatest(d(floor(sqrt(xd.cast("double")))),
+          d(lit(1L))), cap)) { s0 =>
+        bindOnce(least(greatest(floorDivDec(s0 + floorDivDec(xd, s0),
+            d(lit(2L))), d(lit(1L))), cap)) { s1 =>
+          bindOnce(least(floorDivDec(s1 + floorDivDec(xd, s1),
+              d(lit(2L))), cap)) { s2 =>
+            bindOnce(when(s2 * s2 > xd, s2 - 1).otherwise(s2)) { p1 =>
+              bindOnce(when(p1 * p1 > xd, p1 - 1).otherwise(p1)) { p2 =>
+                val p3 = when(p2 < cap && (p2 + 1) * (p2 + 1) <= xd,
+                  p2 + 1).otherwise(p2)
+                when(xd <= 0, d(lit(0L))).otherwise(d(p3))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Neyman optimal sampling allocation (Neyman 1934) with exact
     * largest-remainder apportionment (Hamilton's method) — "given a
     * budget of n audits, how many docs to sample from each source":

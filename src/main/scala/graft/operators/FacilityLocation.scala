@@ -33,9 +33,23 @@ object FacilityLocation {
 
   /** univ(id, qv) corpus vectors; cand(cid, cqv) candidate pool.
     * Returns `k` rows: (round, cand_id, gain_q, total_q) — the pick
-    * sequence with marginal gains and cumulative coverage. */
-  def greedySelect(univ: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    * sequence with marginal gains and cumulative coverage.
+    *
+    * The candidate pool is LOUDLY capped (default 4096): the
+    * similarity pass materializes |U|·|C| rows and broadcasts the
+    * pool, so an unbounded C silently turns the checkpoint into an
+    * all-pairs table (the Shapley ≤20 discipline — enforce the
+    * envelope, don't let it degrade). Pre-select candidates (hash
+    * sample, k-center, coverage) before calling with a larger pool.
+    */
+  def greedySelect(univ: DataFrame, cand: DataFrame, k: Int,
+      maxCandidates: Int = 4096): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
+    val nCand = cand.count()
+    require(nCand <= maxCandidates,
+      s"candidate pool ($nCand) exceeds maxCandidates ($maxCandidates):" +
+        " the O(|U|*|C|) similarity checkpoint and the broadcast both" +
+        " assume a model-sized pool - pre-select candidates first")
     val spark = univ.sparkSession
     import spark.implicits._
     val dot = graft.llm.VectorOps.dotFn(spark)

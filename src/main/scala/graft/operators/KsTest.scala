@@ -44,8 +44,14 @@ object KsTest {
         col("b.v").as("at_value"))
       .select(col("n1"), col("n2"), col("d_num"), col("at_value"),
         when(col("n1") > 0 && col("n2") > 0,
-          expr("(d_num * 1000000) div (n1 * n2)")).otherwise(lit(0L))
-          .as("ks_micro"),
+          // decimal throughout: d_num can reach n1·n2, so the long
+          // product d_num·10⁶ wraps once n1·n2 > ~9.2·10¹² — the
+          // decimal route keeps the docstring's any-corpus-size
+          // exactness claim true (reject_05 already lives there)
+          graft.llm.TextOps.floorDivDec(
+            dec(col("d_num")) * lit(1000000L),
+            dec(col("n1")) * dec(col("n2"))).cast("long"))
+          .otherwise(lit(0L)).as("ks_micro"),
         (col("n1") > 0 && col("n2") > 0
           && dec(col("d_num")) * dec(col("d_num")) * lit(1000000L)
             >= dec(lit(1844164L)) * dec(col("n1")) * dec(col("n2"))

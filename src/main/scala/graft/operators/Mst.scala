@@ -51,9 +51,15 @@ import org.apache.spark.sql.functions._
   * minima) produces the identical edge set.
   *
   * Contract: edges are undirected; (lo, hi) is canonicalized and input
-  * parallel edges collapse to their minimum weight. Output: the forest
-  * edge list (lo, hi, w) — |V| − #components rows. Isolated vertices
-  * (no incident edge) contribute nothing, like the CC operators.
+  * parallel edges collapse to their minimum weight. Weights must be
+  * INTEGER-VALUED (they are carried as long — the exact total order
+  * the determinism story needs); a fractional weight raises loudly at
+  * scan time rather than silently truncating to the integer grid and
+  * mis-ranking edges that differ only below it. Pre-quantize real
+  * weights upstream (the callers pass squared distances / micro-units).
+  * Output: the forest edge list (lo, hi, w) — |V| − #components rows.
+  * Isolated vertices (no incident edge) contribute nothing, like the
+  * CC operators.
   */
 object Mst {
 
@@ -67,7 +73,14 @@ object Mst {
       edges.select(
         least(col(loCol), col(hiCol)).as("lo"),
         greatest(col(loCol), col(hiCol)).as("hi"),
-        col(wCol).cast("long").as("w"))
+        // integer-weight contract enforced loudly: decimal(38,6)
+        // compare is exact where a double one is lossy on big longs
+        when(col(wCol).cast("decimal(38,6)") =!=
+            col(wCol).cast("long").cast("decimal(38,6)"),
+          raise_error(concat(lit("Mst.boruvka: non-integer weight "),
+            col(wCol).cast("string"),
+            lit(" — pre-quantize to an integer grid"))))
+          .otherwise(col(wCol).cast("long")).as("w"))
         .filter(col("lo") =!= col("hi"))
         .groupBy("lo", "hi").agg(min("w").as("w"))
         .select(col("lo").as("clo"), col("hi").as("chi"),

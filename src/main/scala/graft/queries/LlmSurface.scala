@@ -9464,18 +9464,25 @@ $rounds,
         SELECT q1.*,
                CASE WHEN sa1 * sa1 > a THEN sa1 - 1 ELSE sa1 END AS sa2,
                CASE WHEN sb1 * sb1 > b THEN sb1 - 1 ELSE sb1 END AS sb2
-        FROM q1)
+        FROM q1),
+      q3 AS (
+        SELECT q2.*,
+               CASE WHEN a > 0 AND b > 0
+                    THEN greatest(least(
+                           (num * 1000000) // greatest(sa2 * sb2, 1),
+                           1000000), -1000000)
+                    ELSE 0 END AS rhov
+        FROM q2)
       SELECT CAST(n AS BIGINT) AS n,
              CAST(CASE WHEN a > 0 AND b > 0
                        THEN (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
-                            * ((num * num * 1000000) // (a * b))
+                            * (CASE WHEN a <= 10000000000000000
+                                     AND b <= 10000000000000000
+                                    THEN (num * num * 1000000) // (a * b)
+                                    ELSE (rhov * rhov) // 1000000 END)
                        ELSE 0 END AS BIGINT) AS rho2_signed_micro,
-             CAST(CASE WHEN a > 0 AND b > 0
-                       THEN greatest(least(
-                              (num * 1000000) // greatest(sa2 * sb2, 1),
-                              1000000), -1000000)
-                       ELSE 0 END AS BIGINT) AS rho_micro
-      FROM q2
+             CAST(rhov AS BIGINT) AS rho_micro
+      FROM q3
     """,
 
     "p_runs_test" -> """

@@ -1025,7 +1025,7 @@ object StreamSurface {
       a1 AS (
         SELECT count(*) AS n,
                coalesce(sum(CASE WHEN w = guess THEN 1 ELSE 0 END), 0) AS a
-        FROM big JOIN d1 USING (prev) WHERE b = 1),
+        FROM big LEFT JOIN d1 USING (prev) WHERE b = 1),
       d2 AS (
         SELECT prev, w AS guess FROM (
           SELECT prev, w, row_number() OVER (PARTITION BY prev
@@ -1034,7 +1034,7 @@ object StreamSurface {
       a2 AS (
         SELECT count(*) AS n,
                coalesce(sum(CASE WHEN w = guess THEN 1 ELSE 0 END), 0) AS a
-        FROM big JOIN d2 USING (prev) WHERE b = 2),
+        FROM big LEFT JOIN d2 USING (prev) WHERE b = 2),
       u AS (
         SELECT 0 AS bid, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS a
         UNION ALL SELECT 1, n, a FROM a1

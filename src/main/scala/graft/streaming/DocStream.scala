@@ -274,8 +274,11 @@ object DocStream {
     * Scale: state is the (prev, w, c) bigram table — vocabulary-
     * squared-bounded in principle, Heaps-law in practice — read as a
     * columnar scan and merged by one combine agg per batch; the draft
-    * argmax is one combine-min over it; scoring is a vocab-sized
-    * equi-join on prev. The append-dir fan-in is Compaction's job.
+    * argmax is one combine-min over it; scoring is a vocab-sized LEFT
+    * equi-join on prev — bigrams whose prev the prefix never saw count
+    * as misses (guess null ≠ w), keeping the rate an honest
+    * out-of-sample estimate rather than one conditioned on
+    * draft-covered prefixes. The append-dir fan-in is Compaction's job.
     */
   def prequentialSpecAccept(docs: DataFrame, countsDir: String,
       outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -300,7 +303,11 @@ object DocStream {
               .agg(min(struct((-col("c")).as("nc"), col("w").as("g")))
                 .as("b"))
               .select(col("prev"), col("b.g").as("guess"))
-            bg.join(draft, "prev")
+            // LEFT join: a bigram whose prev the prefix never saw is
+            // a draft MISS (guess null ≠ w), not a dropped trial — an
+            // inner join would bias the acceptance rate upward by
+            // conditioning on draft-covered prefixes only
+            bg.join(draft, Seq("prev"), "left")
               .agg(count(lit(1)).as("n_bigrams"),
                 sum(when(col("w") === col("guess"), 1L).otherwise(0L))
                   .as("n_accepted"))

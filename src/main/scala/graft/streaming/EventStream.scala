@@ -415,10 +415,12 @@ object EventStream extends Serializable {
   /** Streaming tabular CUSUM monitor (X297) — the streaming form of
     * [[graft.llm.EventOps.cusumTabular]], composed on the maintained-
     * state foreachBatch pattern: per micro-batch, daily cents totals
-    * aggregate DISTRIBUTED (one combine agg), and only the
-    * calendar-sized per-type day series reaches the driver for the
-    * sequential S± fold (the Holt/BPE bounded-collect precedent —
-    * |types|×|days| rows, never events). The recursion
+    * aggregate DISTRIBUTED (one combine agg), and the sequential S±
+    * fold runs per type INSIDE a flatMap on executors (r12: the
+    * former driver-side fold collected the calendar-sized series —
+    * bounded, but still a driver loop; now nothing event- or
+    * calendar-sized ever reaches the driver, and types fold in
+    * parallel). The recursion
     * S⁺_d = max(0, S⁺_{d−1} + y_d·10⁶ − (μ0+k)) is carried ACROSS
     * batches in a tiny state table, so each batch does O(new days)
     * work — the true monitoring deployment shape, where the batch
@@ -437,6 +439,84 @@ object EventStream extends Serializable {
     * Output rows append to `outDir`: (event_type, day, y,
     * cusum_high_micro, cusum_low_micro, alarm_high, alarm_low).
     */
+  /** Per-type fold input: the type's carried state (None for a type
+    * first seen this batch), its buffered pre-baseline days, its batch
+    * day series, the global metadata (last/min day from the state), and
+    * the batch's day range — everything one executor task needs to walk
+    * the type's dense day range. All fields are calendar-bounded. */
+  private[graft] case class CusumFoldIn(
+      event_type: String, n_closed: Option[Int], base_sum: Option[Long],
+      s_hi: Option[Long], s_lo: Option[Long],
+      g_last: Option[String], g_min: Option[String],
+      ds: Option[Seq[(String, Long)]], bs: Option[Seq[(String, Long)]],
+      bmin: String, bmax: String)
+
+  /** Tagged fold output: kind "o" = emitted monitor row, "s" = the
+    * type's new state row, "b" = a buffered pre-baseline day. One
+    * flatMap emission feeds all three sinks. */
+  private[graft] case class CusumFoldOut(
+      kind: String, event_type: String, day: String, y: Long,
+      hi: Long, lo: Long, alarm_hi: Boolean, alarm_lo: Boolean,
+      n_closed: Int, base_sum: Long, s_hi: Long, s_lo: Long,
+      last_day: String, min_day: String)
+
+  /** The sequential S± walk for ONE event type — runs on an executor
+    * inside the fold flatMap, never on the driver. Mirrors
+    * [[graft.llm.EventOps.cusumTabular]]'s semantics exactly: first
+    * `baseDays` CLOSED days freeze the baseline (earlier days buffer
+    * and replay through the fold the moment it completes); absent
+    * days in the dense range are real zero observations. */
+  private[graft] def cusumFoldType(in: CusumFoldIn, baseDays: Int,
+      kPermille: Long, hPermille: Long): Seq[CusumFoldOut] = {
+    import java.time.LocalDate
+    val known = in.n_closed.isDefined
+    var nc = in.n_closed.getOrElse(0)
+    var baseSum = in.base_sum.getOrElse(0L)
+    var sHi = in.s_hi.getOrElse(0L)
+    var sLo = in.s_lo.getOrElse(0L)
+    var b = in.bs.getOrElse(Seq.empty).sortBy(_._1).toVector
+    val byDay = in.ds.getOrElse(Seq.empty).toMap
+    val minDay = in.g_min.getOrElse(in.bmin)
+    val rangeStart = in.g_last
+      .map(l => LocalDate.parse(l).plusDays(1))
+      .getOrElse(LocalDate.parse(in.bmin))
+    val rangeEnd = LocalDate.parse(in.bmax)
+    val out = Seq.newBuilder[CusumFoldOut]
+    def emit(day: String, y: Long): Unit = {
+      // baseline is complete here, so mu0/k/h derive from the frozen sum
+      val mu0 = baseSum * 1000000L / baseDays
+      val k = mu0 * kPermille / 1000L
+      val h = mu0 * hPermille / 1000L
+      val nHi = math.max(0L, sHi + y * 1000000L - (mu0 + k))
+      val nLo = math.max(0L, sLo + (mu0 - k) - y * 1000000L)
+      out += CusumFoldOut("o", in.event_type, day, y, nHi, nLo,
+        nHi > h, nLo > h, 0, 0L, 0L, 0L, "", "")
+      sHi = nHi; sLo = nLo
+    }
+    // a type first seen now backfills zeros from the corpus min day
+    var d = if (known) rangeStart else LocalDate.parse(minDay)
+    while (!d.isAfter(rangeEnd)) {
+      val day = d.toString
+      val y = byDay.getOrElse(day, 0L)
+      if (nc < baseDays) {
+        b = b :+ ((day, y)); baseSum += y; nc += 1
+        if (nc == baseDays) {
+          // baseline complete: replay the buffer through the fold
+          b.foreach { case (bd, by) => emit(bd, by) }
+          b = Vector.empty
+        }
+      } else emit(day, y)
+      d = d.plusDays(1)
+    }
+    b.foreach { case (bd, by) =>
+      out += CusumFoldOut("b", in.event_type, bd, by, 0L, 0L, false,
+        false, 0, 0L, 0L, 0L, "", "")
+    }
+    out += CusumFoldOut("s", in.event_type, "", 0L, 0L, 0L, false,
+      false, nc, baseSum, sHi, sLo, in.bmax, minDay)
+    out.result()
+  }
+
   def cusumMonitor(events: DataFrame, stateDir: String, outDir: String,
       baseDays: Int = 7, kPermille: Long = 50L, hPermille: Long = 250L)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -445,101 +525,72 @@ object EventStream extends Serializable {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         import s.implicits._
+        val sumPath = s"$stateDir/summary"
+        val bufPath = s"$stateDir/buffer"
+        // ONE distributed combine agg reduces the batch to its
+        // calendar-sized daily cells — everything after runs on
+        // |types| × |days| metadata, still distributed: the per-type
+        // sequential S± walk happens in a flatMap on executors (one
+        // task per type group), NOT in a driver-side loop; the only
+        // driver action in this path is the boolean isEmpty probe.
         val daily = batch
-          .select(col("event_type"), to_date(col("ts")).as("day"),
+          .select(col("event_type"),
+            to_date(col("ts")).cast("string").as("day"),
             floor(col("value") * 100 + 0.5).cast("long").as("c"))
           .groupBy("event_type", "day").agg(sum("c").as("y"))
-          .select(col("event_type"), col("day").cast("string"), col("y"))
-          .as[(String, String, Long)].collect()
-        if (daily.nonEmpty) {
-          import java.time.LocalDate
-          val sumPath = s"$stateDir/summary"
-          val bufPath = s"$stateDir/buffer"
-          // (type -> (nClosed, baseSum, sHi, sLo)), lastDay global
+          .localCheckpoint(true)
+        if (!daily.isEmpty) {
           val havePrev = new java.io.File(sumPath).exists()
-          var st: Map[String, (Int, Long, Long, Long)] = Map.empty
-          var lastDay: Option[LocalDate] = None
-          var minDay: Option[LocalDate] = None
-          if (havePrev) {
-            val rows = s.read.parquet(sumPath)
-              .as[(String, Int, Long, Long, Long, String, String)]
-              .collect()
-            st = rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
-            lastDay = Some(LocalDate.parse(rows.head._6))
-            minDay = Some(LocalDate.parse(rows.head._7))
-          }
-          var buf: Map[String, Vector[(String, Long)]] =
-            if (havePrev)
-              s.read.parquet(bufPath).as[(String, String, Long)].collect()
-                .groupBy(_._1).view
-                .mapValues(_.sortBy(_._2).map(r => (r._2, r._3)).toVector)
-                .toMap
-            else Map.empty
-          val byKey = daily.map(r => (r._1, r._2) -> r._3).toMap
-          val batchDays = daily.map(r => LocalDate.parse(r._2))
-          val rangeStart = lastDay.map(_.plusDays(1))
-            .getOrElse(batchDays.min)
-          if (minDay.isEmpty) minDay = Some(batchDays.min)
-          val rangeEnd = batchDays.max
-          val types = (st.keySet ++ daily.map(_._1)).toSeq.sorted
-          val out = Seq.newBuilder[
-            (String, String, Long, Long, Long, Boolean, Boolean)]
-          def emit(t: String, day: String, y: Long, nc: Int, baseSum: Long,
-              sHi: Long, sLo: Long): (Long, Long) = {
-            // nc here counts days closed BEFORE this one; baseline is
-            // complete, so mu0/k/h derive from the frozen baseSum
-            val mu0 = baseSum * 1000000L / baseDays
-            val k = mu0 * kPermille / 1000L
-            val h = mu0 * hPermille / 1000L
-            val nHi = math.max(0L, sHi + y * 1000000L - (mu0 + k))
-            val nLo = math.max(0L, sLo + (mu0 - k) - y * 1000000L)
-            out += ((t, day, y, nHi, nLo, nHi > h, nLo > h))
-            (nHi, nLo)
-          }
-          types.foreach { t =>
-            var (nc, baseSum, sHi, sLo) =
-              st.getOrElse(t, (0, 0L, 0L, 0L))
-            var b = buf.getOrElse(t, Vector.empty)
-            // a type first seen now backfills zeros from the corpus min
-            var d = if (st.contains(t)) rangeStart else minDay.get
-            while (!d.isAfter(rangeEnd)) {
-              val day = d.toString
-              val y = byKey.getOrElse((t, day), 0L)
-              if (nc < baseDays) {
-                b = b :+ ((day, y)); baseSum += y; nc += 1
-                if (nc == baseDays) {
-                  // baseline complete: replay the buffer through the fold
-                  b.foreach { case (bd, by) =>
-                    val r = emit(t, bd, by, nc, baseSum, sHi, sLo)
-                    sHi = r._1; sLo = r._2
-                  }
-                  b = Vector.empty
-                }
-              } else {
-                val r = emit(t, day, y, nc, baseSum, sHi, sLo)
-                sHi = r._1; sLo = r._2
-              }
-              d = d.plusDays(1)
-            }
-            st = st.updated(t, (nc, baseSum, sHi, sLo))
-            buf = buf.updated(t, b)
-          }
-          val rows = out.result()
-          if (rows.nonEmpty)
-            rows.toDF("event_type", "day", "y", "cusum_high_micro",
-                "cusum_low_micro", "alarm_high", "alarm_low")
-              .coalesce(1).write.mode("append").parquet(outDir)
-          val le = rangeEnd.toString
-          val md = minDay.get.toString
-          st.toSeq.map(e => (e._1, e._2._1, e._2._2, e._2._3, e._2._4,
-              le, md))
-            .toDF("event_type", "n_closed", "base_sum", "s_hi", "s_lo",
-              "last_day", "min_day")
+          val prev =
+            if (havePrev) s.read.parquet(sumPath)
+            else s.emptyDataset[(String, Int, Long, Long, Long, String,
+              String)].toDF("event_type", "n_closed", "base_sum",
+              "s_hi", "s_lo", "last_day", "min_day")
+          val prevBuf =
+            if (havePrev) s.read.parquet(bufPath)
+            else s.emptyDataset[(String, String, Long)]
+              .toDF("event_type", "day", "y")
+          // global metadata (1 row each, broadcast onto every type):
+          // the batch's day range and the state's carried last/min day
+          val range = daily
+            .agg(min("day").as("bmin"), max("day").as("bmax"))
+          val meta = prev
+            .agg(max("last_day").as("g_last"), min("min_day").as("g_min"))
+          val dSer = daily.groupBy("event_type")
+            .agg(collect_list(struct(col("day").as("_1"),
+              col("y").as("_2"))).as("ds"))
+          val bSer = prevBuf.groupBy("event_type")
+            .agg(collect_list(struct(col("day").as("_1"),
+              col("y").as("_2"))).as("bs"))
+          val types = prev.select("event_type")
+            .union(daily.select("event_type")).distinct()
+          val folded = types
+            .join(prev, Seq("event_type"), "left")
+            .join(dSer, Seq("event_type"), "left")
+            .join(bSer, Seq("event_type"), "left")
+            .crossJoin(broadcast(meta))
+            .crossJoin(broadcast(range))
+            .select(col("event_type"), col("n_closed"), col("base_sum"),
+              col("s_hi"), col("s_lo"), col("g_last"), col("g_min"),
+              col("ds"), col("bs"), col("bmin"), col("bmax"))
+            .as[CusumFoldIn]
+            .flatMap(cusumFoldType(_, baseDays, kPermille, hPermille))
+            // materialize BEFORE the writes: the state/buffer
+            // overwrites target the very paths the plan reads
+            .localCheckpoint(true)
+          folded.filter(col("kind") === "o")
+            .select(col("event_type"), col("day"), col("y"),
+              col("hi").as("cusum_high_micro"),
+              col("lo").as("cusum_low_micro"),
+              col("alarm_hi").as("alarm_high"),
+              col("alarm_lo").as("alarm_low"))
+            .coalesce(1).write.mode("append").parquet(outDir)
+          folded.filter(col("kind") === "s")
+            .select(col("event_type"), col("n_closed"), col("base_sum"),
+              col("s_hi"), col("s_lo"), col("last_day"), col("min_day"))
             .coalesce(1).write.mode("overwrite").parquet(sumPath)
-          buf.toSeq.flatMap { case (t, bs) =>
-              bs.map(b => (t, b._1, b._2))
-            }
-            .toDF("event_type", "day", "y")
+          folded.filter(col("kind") === "b")
+            .select(col("event_type"), col("day"), col("y"))
             .coalesce(1).write.mode("overwrite").parquet(bufPath)
         }
         ()

@@ -36,4 +36,11 @@ class FacilityLocationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().map(_._3)
     assert(gains.sliding(2).forall(w => w(0) >= w(1)))
   }
+
+  test("candidate pool past the cap raises loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      FacilityLocation.greedySelect(univ, cand, k = 1, maxCandidates = 2)
+    }
+    assert(ex.getMessage.contains("exceeds maxCandidates"))
+  }
 }

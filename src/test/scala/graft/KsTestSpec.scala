@@ -48,4 +48,15 @@ class KsTestSpec extends SparkSpec {
     val r = ks(Seq(("a", 1L), ("a", 2L)))
     assert(r._2 === 0L && r._5 === 0L && !r._6)
   }
+
+  test("ks_micro survives n1*n2 past the long-product wrap point") {
+    // histogram input, so counts are free: n1 = n2 = 4e6 fully
+    // separated -> d_num = n1*n2 = 1.6e13; the old long d_num*1e6
+    // wrapped (1.6e19 > 2^63); the decimal route reads exactly 1e6
+    val r = KsTest.ks2(Seq((1L, 4000000L, 0L), (2L, 0L, 4000000L))
+        .toDF("s", "c1", "c2"))
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(r === ((4000000L, 4000000L, 16000000000000L, 1L,
+      1000000L, true)))
+  }
 }

@@ -63,4 +63,21 @@ class MstSpec extends SparkSpec {
     val star = (2L to 7L).map(i => (1L, i, 100L - i))
     assert(run(star) === star.toSet)
   }
+
+  test("fractional weight raises loudly instead of truncating") {
+    // 1.7 vs 1.2 differ only below the integer grid: a silent long
+    // cast would tie them at 1 and mis-rank; the contract raises
+    val e = Seq((1L, 2L, 1.7), (2L, 3L, 1.2)).toDF("a", "b", "w")
+    val ex = intercept[Exception] {
+      Mst.boruvka(e, "a", "b", "w").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("non-integer weight")))
+    // integer-valued doubles pass the guard losslessly
+    val ok = Seq((1L, 2L, 2.0), (2L, 3L, 1.0)).toDF("a", "b", "w")
+    assert(Mst.boruvka(ok, "a", "b", "w").as[(Long, Long, Long)]
+      .collect().toSet === Set((1L, 2L, 2L), (2L, 3L, 1L)))
+  }
 }

@@ -37,6 +37,13 @@ class StreamSpecAcceptSpec extends SparkSpec {
       input.addData((2L, "b c"))
       q.processAllAvailable()
       assert(rows() === Seq((0L, 0L, 0L), (1L, 2L, 1L), (2L, 1L, 0L)))
+      // unseen prefixes are MISSES, not dropped trials: prevs x and y
+      // never appeared, so both bigrams count with guess null ≠ w
+      // (an inner draft join would report the biased (3, 0, 0))
+      input.addData((3L, "x y z"))
+      q.processAllAvailable()
+      assert(rows() === Seq((0L, 0L, 0L), (1L, 2L, 1L), (2L, 1L, 0L),
+        (3L, 2L, 0L)))
     } finally q.stop()
   }
 }
