@@ -58,11 +58,13 @@ object Multimodal extends Serializable {
     * `byte_len`/`byte_sum` stay payload-derived in both branches —
     * they're transport checksums, not pixel data.
     *
-    * The ORACLE queries keep [[stubDecode]]: DuckDB can replay byte
-    * arithmetic but not a codec, and the point of those rows is the
-    * distributed plumbing, which is identical for both decoders
-    * (MultimodalCodecSpec proves this one on real planted images
-    * through the same `decodeMeta` path).
+    * The legacy oracle rows (llm_multimodal_meta/frames) keep
+    * [[stubDecode]] — DuckDB can replay byte arithmetic but not a
+    * codec. Since r12, `k15_image_decode` oracle-checks THIS decoder
+    * too: the [[pngFixture]] blobs go through the real codec on the
+    * Spark side while the oracle re-derives width/height from the PNG
+    * container's IHDR bytes, so the hash match proves a genuine decode
+    * ran (MultimodalCodecSpec additionally pins the fixture dims).
     */
   def imageDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
     val isPng = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
@@ -94,6 +96,51 @@ object Multimodal extends Serializable {
     */
   def withPayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", col(textCol).cast("binary"))
+
+  /** Deterministic REAL-PNG fixture corpus: `n` rows of
+    * (doc_id, payload) where payload is a genuine PNG (encoded
+    * executor-side through `javax.imageio`) whose dimensions are pinned
+    * functions of doc_id — width = 8 + id % 29, height = 8 + (id·7) % 31
+    * — and whose pixels vary per id (so payload hashes differ). This is
+    * the fixture k15_image_decode runs the REAL codec against: the
+    * DuckDB oracle re-derives width/height from the PNG container's
+    * IHDR bytes while Spark decodes the pixels, so a codec/container
+    * disagreement (or a stub masquerading as a decode) hash-mismatches.
+    * Generation is distributed (mapPartitions over a range — no blob
+    * ever passes through the driver).
+    */
+  def pngFixture(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, encodePng(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Pinned fixture dimensions — shared by the generator, the decode
+    * spec, and anything that wants to assert against the real codec. */
+  def fixtureDims(id: Long): (Int, Int) =
+    (8 + (id % 29).toInt, 8 + ((id * 7) % 31).toInt)
+
+  private def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = x * 31L + y * 17L + id * 101L
+        img.setRGB(x, y,
+          (((v % 256) << 16) | (((v * 7) % 256) << 8) | ((v * 13) % 256))
+            .toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
 
   /** Decode every payload to typed metadata, executor-side, in batches of
     * 64 (mirrors an arrow-batched `mapInPandas` UDF's shape). `decode`

@@ -251,6 +251,35 @@ object RefSurface {
         .orderBy("source")
     }),
 
+    // ---- K15: REAL image decode against container-parsed truth (X343) ----
+    // The r11 verdict's missing multimodal proof: a corpus of GENUINE
+    // PNG blobs (deterministic fixture, written to disk) flows through
+    // the REAL javax.imageio codec on the Spark side — width/height in
+    // the result come from decoded pixels, not the stub — while the
+    // DuckDB oracle re-derives the same dimensions by parsing the PNG
+    // container's IHDR bytes (and hashes the raw payload). A stubbed
+    // decode, a corrupt writer, or a codec/container disagreement all
+    // hash-mismatch. Decode is embarrassingly parallel mapPartitions;
+    // blobs never pass through the driver.
+    "k15_image_decode" -> ((s, dir) => {
+      val base = s"/tmp/graft_k15/${SalesFixture.sfName(dir)}"
+      graft.llm.Multimodal.pngFixture(s, 256)
+        .coalesce(1).write.mode("overwrite").parquet(base)
+      val blobs = s.read.parquet(base)
+      val meta = graft.llm.Multimodal
+        .decodeMeta(s, blobs, "doc_id", graft.llm.Multimodal.imageDecode)
+        .toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+      blobs.select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(hex(col("payload"))).as("payload_md5"),
+          (hex(expr("substring(payload, 1, 8)"))
+            === lit("89504E470D0A1A0A")).as("magic_ok"))
+        .join(meta, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "k6_compaction_exec" -> ((s, dir) => {
       val out = s"/tmp/graft_k6_out/${SalesFixture.sfName(dir)}"
       val files = Tables(s, dir, "documents")
@@ -2797,6 +2826,27 @@ object RefSurface {
              CAST(sum(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 3
                            THEN 0 ELSE 1 END) AS BIGINT) AS n_live
       FROM documents GROUP BY source ORDER BY source
+    """,
+
+    // Width/height re-derived from the PNG CONTAINER (IHDR bytes 17-24,
+    // big-endian, read as hex digits) — the Spark side gets them from
+    // the REAL codec's decoded pixels, so the hash match proves a real
+    // decode ran and agreed with the container metadata.
+    "k15_image_decode" -> """
+      SELECT doc_id,
+             CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+             md5(hex(payload)) AS payload_md5,
+             substr(hex(payload), 1, 16) = '89504E470D0A1A0A' AS magic_ok,
+             CAST(list_sum(list_transform(range(8), i ->
+               (strpos('0123456789ABCDEF',
+                  substr(hex(payload), 33 + i, 1)) - 1) * 16 ** (7 - i)))
+               AS BIGINT) AS width,
+             CAST(list_sum(list_transform(range(8), i ->
+               (strpos('0123456789ABCDEF',
+                  substr(hex(payload), 41 + i, 1)) - 1) * 16 ** (7 - i)))
+               AS BIGINT) AS height
+      FROM read_parquet('/tmp/graft_k15/__SF__/*.parquet')
+      ORDER BY doc_id
     """,
 
     "k6_compaction_exec" -> """

@@ -60,4 +60,27 @@ class MultimodalCodecSpec extends SparkSpec {
       .collect()
     assert(frames.length === 1) // still image: one frame row
   }
+
+  test("pngFixture blobs are genuine PNGs the real codec decodes to the pinned dims") {
+    val n = 24
+    val rows = Multimodal.decodeMeta(spark,
+      Multimodal.pngFixture(spark, n), "doc_id", Multimodal.imageDecode)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(rows.size === n)
+    (0L until n).foreach { id =>
+      val (w, h) = Multimodal.fixtureDims(id)
+      assert(rows(id).width === w && rows(id).height === h,
+        s"id $id: got ${rows(id).width}x${rows(id).height}, want ${w}x$h")
+    }
+    // payloads differ per id (varying pixels -> varying bytes): the
+    // k15 oracle's md5 column is a real discriminator, not a constant
+    val md5s = Multimodal.pngFixture(spark, n)
+      .select(md5(hex(col("payload")))).distinct().count()
+    assert(md5s === n.toLong)
+    // magic bytes are the PNG signature on every row
+    val magics = Multimodal.pngFixture(spark, n)
+      .select(hex(expr("substring(payload, 1, 8)"))).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(magics === Seq("89504E470D0A1A0A"))
+  }
 }
