@@ -193,19 +193,74 @@ object TextOps {
       rowsPerBand: Int = 3,
       threshold: Double = 0.5,
       materialize: DataFrame => DataFrame = identity,
-      repartitionInput: Boolean = false): DataFrame = {
+      repartitionInput: Boolean = false,
+      hotBandCap: Int = Int.MaxValue): DataFrame = {
     val perDoc = materialize(
       minhashState(df, idCol, textCol, shingleN, numBands * rowsPerBand,
         repartitionInput))
     val bands = bandRows(perDoc, numBands, rowsPerBand)
-    val cand = bands.select(col("band"), col("bkey"), col("doc").as("doc_a"))
-      .join(bands.select(col("band"), col("bkey"), col("doc").as("doc_b")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    verifyJaccard(cand, perDoc, perDoc, threshold)
+    verifyJaccard(bandCandidates(bands, hotBandCap), perDoc, perDoc,
+      threshold)
   }
+
+  /** Candidate (doc_a, doc_b) pairs from banded (doc, band, bkey) rows.
+    *
+    * The self-join is quadratic PER BUCKET: a hot band key — 10⁴
+    * near-identical boilerplate docs all landing on one (band, bkey) —
+    * yields ~5·10⁷ candidates from that bucket alone, the one
+    * adversarial input that defeats the "bucket sizes are bounded by
+    * true local similarity" reading (NearDupSkewBench measures it).
+    * `hotBandCap` bounds it the way X148 caps basket fan-out: buckets
+    * with more than `cap` docs contribute STAR candidates (every doc
+    * paired with the bucket's min doc) instead of all pairs — O(n) per
+    * hot bucket instead of O(n²), and for the near-identical cluster
+    * the cap targets, every member still verifies against the
+    * representative, so duplicate DETECTION (the downstream CC/grouping
+    * input) is preserved; what's traded away is the full pair LIST
+    * inside oversized buckets (pairs joined only through a hot bucket
+    * and dissimilar to its representative can drop). Cold buckets are
+    * untouched, so the default cap = unbounded is the exact classical
+    * semantics the oracle replays.
+    */
+  private[graft] def bandCandidates(bands: DataFrame,
+      hotBandCap: Int = Int.MaxValue): DataFrame = {
+    if (hotBandCap == Int.MaxValue) {
+      bands.select(col("band"), col("bkey"), col("doc").as("doc_a"))
+        .join(bands.select(col("band"), col("bkey"), col("doc").as("doc_b")),
+          Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    } else {
+      // one combine agg sizes every bucket and names its representative
+      val stats = bands.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("_bn"), min("doc").as("_rep"))
+      val sized = bands.join(stats, Seq("band", "bkey"))
+      val cold = sized.filter(col("_bn") <= hotBandCap)
+      val coldPairs = cold
+        .select(col("band"), col("bkey"), col("doc").as("doc_a"))
+        .join(cold.select(col("band"), col("bkey"), col("doc").as("doc_b")),
+          Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      // star: rep = bucket min, so (rep, doc) is already canonical
+      val hotPairs = sized
+        .filter(col("_bn") > hotBandCap && col("doc") =!= col("_rep"))
+        .select(col("_rep").as("doc_a"), col("doc").as("doc_b"))
+      coldPairs.unionByName(hotPairs).distinct()
+    }
+  }
+
+  /** Banded (doc, band, bkey) rows for the skew bench / tests — the
+    * signature table is checkpointed because the caller fans out over
+    * the band rows repeatedly. */
+  private[graft] def bandRowsForTest(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numBands: Int = 4,
+      rowsPerBand: Int = 3): DataFrame =
+    bandRows(
+      minhashState(df, idCol, textCol, shingleN, numBands * rowsPerBand,
+        repartitionInput = false).localCheckpoint(true),
+      numBands, rowsPerBand)
 
   /** Per-doc MinHash state in ONE explode + ONE hash aggregation:
     * `numHashes` min-hashes AND the distinct shingle set (collect_set

@@ -107,6 +107,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(leaked.isEmpty, s"nearDupPairs leaked storage: $leaked")
   }
 
+  test("nearDupPairs hotBandCap: hot bucket thins to star pairs, detection and cold buckets intact") {
+    // 12 identical boilerplate docs (one hot bucket per band) + one
+    // cold near-dup pair + an unrelated doc
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = ((1L to 12L).map(i => (i, boiler)) ++ Seq(
+      (21L, "the quick brown fox jumps over the lazy dog today"),
+      (22L, "the quick brown fox jumps over the lazy dog today"),
+      (30L, "completely different content about apples bananas cherries dates eggs")))
+      .toDF("doc_id", "text")
+    def pairSet(cap: Int) = TextOps
+      .nearDupPairs(df, "doc_id", "text", hotBandCap = cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = pairSet(4)
+    // hot cluster: star around the min doc only — 11 pairs, not 66
+    assert(capped.filter(_._1 <= 12L) ===
+      (2L to 12L).map(b => (1L, b)).toSet)
+    // every hot member still detected (the CC/grouping contract)
+    assert(capped.flatMap(p => Seq(p._1, p._2)).count(_ <= 12L) === 12)
+    // cold buckets are untouched by the cap
+    assert(capped.contains((21L, 22L)) && !capped.exists(p =>
+      p._1 === 30L || p._2 === 30L))
+    // unbounded cap = classical semantics: the full 66-pair clique
+    val full = pairSet(Int.MaxValue)
+    assert(full.count(_._1 <= 12L) === 66 && full.contains((21L, 22L)))
+  }
+
   test("packSequences: exact offsets across bucket boundaries, hand-computed") {
     // token counts 3,4,2,6,1 -> offsets 0,3,7,9,15; seqLen 5 windows.
     // bucketSize=2 forces three buckets so the two-level scan's
