@@ -442,4 +442,102 @@ object EvalOps {
             .cast("long").as("exp_max_micro"))
     }.reduce(_ unionByName _).orderBy("n")
   }
+
+  /** Corpus-level ROUGE-1/2 + log-BLEU-2 generation-overlap evaluation
+    * (X344; Lin 2004; Papineni et al. 2002) — the reference-based
+    * generation eval the serving stack lacked next to the label-based
+    * (rank_eval) and label-free (rbo) comparisons: given (candidate,
+    * reference) text pairs, how much n-gram content do candidates
+    * share with their references. MICRO-aggregated per group (sums of
+    * clipped counts over sums of totals — the corpus-level form that
+    * doesn't let empty pairs vote).
+    *
+    * Exact integer arithmetic end to end:
+    *  - clipped overlap clip_n = Σ_g min(cnt_cand(g), cnt_ref(g));
+    *  - rougeN_p/r = ⌊clip·10⁶ / tot⌋, f1 = ⌊2pr/(p+r)⌋ (0 on 0+0) —
+    *    the two-floor order is part of the contract, replayed
+    *    identically by the oracle;
+    *  - log-BLEU-2 stays in the LOG domain (exp is not correctly
+    *    rounded cross-engine; ln on integer-valued doubles is the
+    *    pinned X272/X276 discipline): ⌊(lp1 + lp2) div 2⌋ + brevity,
+    *    lp_n = lmu(clip_n) − lmu(candTot_n) ≤ 0, brevity =
+    *    min(0, 10⁶ − ⌊refTot1·10⁶/candTot1⌋); any zero clip clamps to
+    *    the documented −20·10⁶ floor (log of zero precision).
+    *
+    * Scale: two tokenize passes per side (1-grams, 2-grams) to
+    * (pair, gram) counts — skew-free keys, map-side combine; the
+    * clip join is (pair, gram) equi; everything after is
+    * group-bounded. Output one row per group, ordered.
+    */
+  def rougeBleu(pairs: DataFrame, pairIdCol: String, groupCol: String,
+      candCol: String, refCol: String): DataFrame = {
+    def lmu(x: Column): Column =
+      floor(log(x.cast("double")) * 1000000.0).cast("long")
+    def grams(c: String, side: String, n: Int): DataFrame = pairs
+      .select(col(pairIdCol).as("pid"),
+        explode(TextOps.shinglesFromWords(TextOps.words(col(c)), n))
+          .as("g"))
+      .groupBy("pid", "g").agg(count(lit(1)).as(s"c_$side"))
+    def level(n: Int): DataFrame = {
+      val cg = grams(candCol, "c", n)
+      val rg = grams(refCol, "r", n)
+      val clip = cg.join(rg, Seq("pid", "g"))
+        .groupBy("pid")
+        .agg(sum(least(col("c_c"), col("c_r"))).as(s"clip$n"))
+      val tots = cg.groupBy("pid").agg(sum("c_c").as(s"ct$n"))
+        .join(rg.groupBy("pid").agg(sum("c_r").as(s"rt$n")),
+          Seq("pid"), "full_outer")
+      tots.join(clip, Seq("pid"), "left")
+        .select(col("pid"), coalesce(col(s"clip$n"), lit(0L)).as(s"clip$n"),
+          coalesce(col(s"ct$n"), lit(0L)).as(s"ct$n"),
+          coalesce(col(s"rt$n"), lit(0L)).as(s"rt$n"))
+    }
+    val byPair = pairs.select(col(pairIdCol).as("pid"),
+        col(groupCol).as("grp"))
+      .join(level(1), Seq("pid"), "left")
+      .join(level(2), Seq("pid"), "left")
+    val g = byPair.groupBy("grp").agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum("clip1"), lit(0L)).as("k1"),
+      coalesce(sum("ct1"), lit(0L)).as("c1"),
+      coalesce(sum("rt1"), lit(0L)).as("r1"),
+      coalesce(sum("clip2"), lit(0L)).as("k2"),
+      coalesce(sum("ct2"), lit(0L)).as("c2"),
+      coalesce(sum("rt2"), lit(0L)).as("r2"))
+    // ⌊a·10⁶/b⌋ on nonnegative longs: group totals are ≤ ~10¹¹ grams,
+    // so the ·10⁶ products fit long and plain integer div is exact
+    g.withColumn("rouge1_p_micro",
+        when(col("c1") > 0, expr("(k1 * 1000000) div c1")).otherwise(lit(0L)))
+      .withColumn("rouge1_r_micro",
+        when(col("r1") > 0, expr("(k1 * 1000000) div r1")).otherwise(lit(0L)))
+      .withColumn("rouge2_p_micro",
+        when(col("c2") > 0, expr("(k2 * 1000000) div c2")).otherwise(lit(0L)))
+      .withColumn("rouge2_r_micro",
+        when(col("r2") > 0, expr("(k2 * 1000000) div r2")).otherwise(lit(0L)))
+      .withColumn("rouge1_f1_micro",
+        when(col("rouge1_p_micro") + col("rouge1_r_micro") > 0,
+          expr("(2 * rouge1_p_micro * rouge1_r_micro) div " +
+            "(rouge1_p_micro + rouge1_r_micro)")).otherwise(lit(0L)))
+      .withColumn("rouge2_f1_micro",
+        when(col("rouge2_p_micro") + col("rouge2_r_micro") > 0,
+          expr("(2 * rouge2_p_micro * rouge2_r_micro) div " +
+            "(rouge2_p_micro + rouge2_r_micro)")).otherwise(lit(0L)))
+      .withColumn("_lp",
+        (lmu(col("k1")) - lmu(col("c1")))
+          + (lmu(col("k2")) - lmu(col("c2"))))
+      .withColumn("_bp",
+        least(lit(0L), lit(1000000L)
+          - expr("(r1 * 1000000) div greatest(c1, 1)")))
+      .withColumn("log_bleu2_micro",
+        when(col("k1") > 0 && col("k2") > 0 && col("c1") > 0
+            && col("c2") > 0,
+          expr("_lp div 2") + col("_bp"))
+          .otherwise(lit(-20000000L)))
+      .select(col("grp"), col("n_pairs"),
+        col("rouge1_p_micro"), col("rouge1_r_micro"),
+        col("rouge1_f1_micro"), col("rouge2_p_micro"),
+        col("rouge2_r_micro"), col("rouge2_f1_micro"),
+        col("log_bleu2_micro"))
+      .orderBy("grp")
+  }
 }

@@ -3623,6 +3623,28 @@ object LlmSurface {
     // the vector", scored where it matters (the head). One broadcast
     // panel×corpus pass computes BOTH scores; two per-query rank
     // windows; identical rankings score exactly 10⁶.
+    // ---- X344: corpus-level ROUGE-1/2 + log-BLEU-2 generation eval --------
+    // Reference-based n-gram overlap (Lin 2004; Papineni 2002), the
+    // generation-eval lens next to rank_eval's labels and rbo's
+    // label-free ranks: candidates = each doc, reference = the next
+    // doc of the same source (deterministic pairing; same-source docs
+    // share vocabulary, so overlaps are non-vacuous). Micro-aggregated
+    // per source; log-BLEU stays in the log domain (exp is not
+    // correctly rounded cross-engine), clipped counts and ratios are
+    // exact integers, the ln-pair discipline is X272/X276's.
+    "llm_rouge_bleu" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("ref", lead("text", 1).over(w))
+        .filter(col("ref").isNotNull)
+        .select(col("doc_id").as("pid"), col("source"),
+          col("text").as("cand"), col("ref"))
+      EvalOps.rougeBleu(pairs, "pid", "source", "cand", "ref")
+        .withColumnRenamed("grp", "source")
+    }),
+
     "llm_rank_rbo" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables(s, dir, "embeddings")
@@ -12173,6 +12195,83 @@ $rounds,
     "llm_best_of_n" -> bestOfNOracleSql,
 
     "llm_rank_rbo" -> rankRboOracleSql,
+
+    // Mirrors EvalOps.rougeBleu integer-for-integer: clipped counts,
+    // micro ratios with the two-floor f1 order, micro-floored ln pairs,
+    // toward-zero halving, the -20e6 zero-clip clamp.
+    "llm_rouge_bleu" -> """
+      WITH d AS (
+        SELECT doc_id, source, text,
+               lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+        FROM documents),
+      p AS MATERIALIZED (
+        SELECT doc_id AS pid, source, string_split(text, ' ') AS cw,
+               string_split(ref, ' ') AS rw
+        FROM d WHERE ref IS NOT NULL),
+      cg1 AS (SELECT pid, g, count(*) AS c
+              FROM (SELECT pid, unnest(cw) AS g FROM p) GROUP BY 1, 2),
+      rg1 AS (SELECT pid, g, count(*) AS c
+              FROM (SELECT pid, unnest(rw) AS g FROM p) GROUP BY 1, 2),
+      cg2 AS (SELECT pid, g, count(*) AS c FROM (
+                SELECT pid, unnest(CASE WHEN len(cw) >= 2
+                  THEN list_transform(range(1, len(cw)),
+                                      i -> cw[i] || ' ' || cw[i+1])
+                  ELSE [] END) AS g FROM p) GROUP BY 1, 2),
+      rg2 AS (SELECT pid, g, count(*) AS c FROM (
+                SELECT pid, unnest(CASE WHEN len(rw) >= 2
+                  THEN list_transform(range(1, len(rw)),
+                                      i -> rw[i] || ' ' || rw[i+1])
+                  ELSE [] END) AS g FROM p) GROUP BY 1, 2),
+      k1 AS (SELECT pid, sum(least(cg1.c, rg1.c)) AS clip
+             FROM cg1 JOIN rg1 USING (pid, g) GROUP BY pid),
+      k2 AS (SELECT pid, sum(least(cg2.c, rg2.c)) AS clip
+             FROM cg2 JOIN rg2 USING (pid, g) GROUP BY pid),
+      j AS (
+        SELECT p.source,
+               len(cw) AS ct1, len(rw) AS rt1,
+               greatest(len(cw) - 1, 0) AS ct2,
+               greatest(len(rw) - 1, 0) AS rt2,
+               coalesce(k1.clip, 0) AS k1c, coalesce(k2.clip, 0) AS k2c
+        FROM p LEFT JOIN k1 USING (pid) LEFT JOIN k2 USING (pid)),
+      gg AS (
+        SELECT source, count(*) AS n_pairs,
+               CAST(sum(k1c) AS BIGINT) AS k1,
+               CAST(sum(ct1) AS BIGINT) AS c1,
+               CAST(sum(rt1) AS BIGINT) AS r1,
+               CAST(sum(k2c) AS BIGINT) AS k2,
+               CAST(sum(ct2) AS BIGINT) AS c2,
+               CAST(sum(rt2) AS BIGINT) AS r2
+        FROM j GROUP BY source),
+      m AS (
+        SELECT source, n_pairs,
+               CASE WHEN c1 > 0 THEN (k1 * 1000000) // c1 ELSE 0 END AS p1,
+               CASE WHEN r1 > 0 THEN (k1 * 1000000) // r1 ELSE 0 END AS q1,
+               CASE WHEN c2 > 0 THEN (k2 * 1000000) // c2 ELSE 0 END AS p2,
+               CASE WHEN r2 > 0 THEN (k2 * 1000000) // r2 ELSE 0 END AS q2,
+               k1, c1, r1, k2, c2
+        FROM gg)
+      SELECT source, CAST(n_pairs AS BIGINT) AS n_pairs,
+             CAST(p1 AS BIGINT) AS rouge1_p_micro,
+             CAST(q1 AS BIGINT) AS rouge1_r_micro,
+             CAST(CASE WHEN p1 + q1 > 0
+                       THEN (2 * p1 * q1) // (p1 + q1) ELSE 0 END
+               AS BIGINT) AS rouge1_f1_micro,
+             CAST(p2 AS BIGINT) AS rouge2_p_micro,
+             CAST(q2 AS BIGINT) AS rouge2_r_micro,
+             CAST(CASE WHEN p2 + q2 > 0
+                       THEN (2 * p2 * q2) // (p2 + q2) ELSE 0 END
+               AS BIGINT) AS rouge2_f1_micro,
+             CAST(CASE WHEN k1 > 0 AND k2 > 0 AND c1 > 0 AND c2 > 0
+                       THEN ((CAST(floor(ln(CAST(k1 AS DOUBLE)) * 1000000) AS BIGINT)
+                              - CAST(floor(ln(CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT)
+                              + CAST(floor(ln(CAST(k2 AS DOUBLE)) * 1000000) AS BIGINT)
+                              - CAST(floor(ln(CAST(c2 AS DOUBLE)) * 1000000) AS BIGINT))
+                             // 2)
+                            + least(CAST(0 AS BIGINT), 1000000
+                                - ((r1 * 1000000) // greatest(c1, 1)))
+                       ELSE -20000000 END AS BIGINT) AS log_bleu2_micro
+      FROM m ORDER BY source
+    """,
 
     "llm_anisotropy" -> s"""
       WITH $embedQvCte,
