@@ -2758,6 +2758,54 @@ object LlmSurface {
       graft.operators.Spearman.spearman(d, "len", "q")
     }),
 
+    // ---- tie-aware Kendall tau-b per return flag (X345) -------------------
+    // The PAIRWISE-order association lens (operators/KendallTau.scala)
+    // next to Spearman's rank moments: tau is the probability-scale
+    // "how often do two random line items agree in (quantity, price)
+    // order". S accumulates from the JOINT value histogram (50
+    // quantities x ~21 price buckets), so the pair sum is cells², not
+    // rows² — the row count never enters the join.
+    "p_kendall_tau" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") / 5000.0).cast("long").as("pb"))
+      graft.operators.KendallTau.tauB(li, "flag", "qty", "pb")
+        .withColumnRenamed("g", "flag")
+    }),
+
+    // ---- tie-corrected Kruskal-Wallis across event types (X346) -----------
+    // The k-SAMPLE rank test (operators/KruskalWallis.scala): do the
+    // five event types draw their values from one distribution?
+    // Doubled tied ranks from the value histogram keep every moment
+    // integer; the alpha = 0.05 decision compares against the shared
+    // micro-floored chi-square(df = k-1) literal — no CDF evaluated in
+    // either engine.
+    "p_kruskal_wallis" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type").as("t"),
+          floor(col("value") * 1000.0).cast("long").as("v"))
+      graft.operators.KruskalWallis.kw(ev, "t", "v")
+    }),
+
+    // ---- two-sample Cramer-von Mises, click vs view values (X347) ---------
+    // The INTEGRATED-gap companion to llm_ks_test's max gap
+    // (operators/CvmTest.scala, same paired-histogram input): many
+    // small persistent CDF gaps move T where KS's single max barely
+    // reads them. Pure integers until one final floored micro
+    // division; rejection is an exact cross-multiplied compare
+    // against the asymptotic 5% point 0.46136.
+    "p_cvm_drift" -> ((s, dir) => {
+      val d = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("t"),
+          floor(col("value") * 1000.0).cast("long").as("s"))
+      graft.operators.CvmTest.cvm2(
+        d.groupBy("s")
+          .agg(sum(when(col("t") === "click", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("t") === "view", 1L).otherwise(0L)).as("c2")))
+    }),
+
     // ---- Wald–Wolfowitz runs test on the daily series (X336) --------------
     // The randomness audit next to Ljung–Box (operators/RunsTest
     // .scala): dichotomize daily cent revenue about its lower median
@@ -9505,6 +9553,134 @@ $rounds,
                        ELSE 0 END AS BIGINT) AS rho2_signed_micro,
              CAST(rhov AS BIGINT) AS rho_micro
       FROM q3
+    """,
+
+    "p_kendall_tau" -> """
+      WITH d AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS y
+        FROM lineitem),
+      cells AS MATERIALIZED (
+        SELECT flag, x, y, count(*) AS c FROM d GROUP BY 1, 2, 3),
+      s AS (
+        SELECT a.flag,
+               sum(CAST(a.c AS HUGEINT) * b.c *
+                   CASE WHEN b.y > a.y THEN 1
+                        WHEN b.y < a.y THEN -1 ELSE 0 END) AS s2
+        FROM cells a JOIN cells b ON a.flag = b.flag AND a.x < b.x
+        GROUP BY 1),
+      tx AS (
+        SELECT flag, sum(CAST(cx AS HUGEINT) * (cx - 1)) AS tx FROM (
+          SELECT flag, x, sum(c) AS cx FROM cells GROUP BY 1, 2)
+        GROUP BY 1),
+      ty AS (
+        SELECT flag, sum(CAST(cy AS HUGEINT) * (cy - 1)) AS ty FROM (
+          SELECT flag, y, sum(c) AS cy FROM cells GROUP BY 1, 2)
+        GROUP BY 1),
+      tot AS (SELECT flag, sum(c) AS n FROM cells GROUP BY 1),
+      j AS (
+        SELECT tot.flag, tot.n, coalesce(s.s2, 0) AS s2,
+               CAST(tot.n AS HUGEINT) * (tot.n - 1) - tx.tx AS p,
+               CAST(tot.n AS HUGEINT) * (tot.n - 1) - ty.ty AS q
+        FROM tot LEFT JOIN s ON s.flag = tot.flag
+        JOIN tx ON tx.flag = tot.flag JOIN ty ON ty.flag = tot.flag),
+      q0 AS (
+        SELECT j.*,
+               CAST(floor(sqrt(CAST(p * q AS DOUBLE))) AS HUGEINT) AS r0
+        FROM j),
+      q1 AS (
+        SELECT q0.*, CASE WHEN (r0 + 1) * (r0 + 1) <= p * q THEN r0 + 1
+                          ELSE r0 END AS r1 FROM q0),
+      q2 AS (
+        SELECT q1.*, CASE WHEN r1 * r1 > p * q THEN r1 - 1
+                          ELSE r1 END AS rt FROM q1)
+      SELECT flag, CAST(n AS BIGINT) AS n, CAST(s2 AS BIGINT) AS s_stat,
+             CAST(CASE WHEN p > 0 AND q > 0
+                       THEN (CASE WHEN s2 >= 0 THEN 1 ELSE -1 END)
+                            * ((4 * s2 * s2 * 1000000) // (p * q))
+                       ELSE 0 END AS BIGINT) AS tau2_signed_micro,
+             CAST(CASE WHEN p > 0 AND q > 0
+                       THEN least(greatest(
+                              (2 * s2 * 1000000) // greatest(rt, 1),
+                              -1000000), 1000000)
+                       ELSE 0 END AS BIGINT) AS tau_micro
+      FROM q2 ORDER BY flag
+    """,
+
+    "p_kruskal_wallis" -> """
+      WITH d AS (
+        SELECT event_type AS g, CAST(floor(value * 1000.0) AS BIGINT) AS v
+        FROM events),
+      cells AS MATERIALIZED (
+        SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+      vh AS (
+        SELECT v, 2 * (cum - cv) + cv + 1 AS r2, cv FROM (
+          SELECT v, cv, sum(cv) OVER (ORDER BY v) AS cum FROM (
+            SELECT v, sum(c) AS cv FROM cells GROUP BY 1))),
+      grp AS (
+        SELECT g, sum(c) AS ng,
+               sum(CAST(c AS HUGEINT) * r2) AS s2
+        FROM cells JOIN vh USING (v) GROUP BY g),
+      ties AS (
+        SELECT coalesce(sum(CAST(cv AS HUGEINT) * cv * cv - cv), 0) AS t
+        FROM vh),
+      tot AS (SELECT sum(ng) AS n, count(*) AS k FROM grp),
+      terms AS (
+        SELECT n, k, t,
+               sum((3 * CAST(s2 AS HUGEINT) * s2 * 1000000)
+                   // (CAST(ng AS HUGEINT) * n * (n + 1))) AS hsum
+        FROM grp, tot, ties GROUP BY 1, 2, 3),
+      h AS (
+        SELECT n, k,
+               hsum - 3 * CAST(n + 1 AS HUGEINT) * 1000000 AS h_dec,
+               CAST(n AS HUGEINT) * n * n - n AS n3n, t
+        FROM terms)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             CAST(h_dec AS BIGINT) AS h_micro,
+             CAST(CASE WHEN n3n > t
+                       THEN (h_dec * n3n) // (n3n - t)
+                       ELSE 0 END AS BIGINT) AS h_adj_micro,
+             (CASE WHEN n3n > t THEN (h_dec * n3n) // (n3n - t)
+                   ELSE 0 END)
+               >= (CASE k - 1 WHEN 1 THEN 3841458 WHEN 2 THEN 5991464
+                   WHEN 3 THEN 7814727 WHEN 4 THEN 9487729
+                   WHEN 5 THEN 11070497 WHEN 6 THEN 12591587 END)
+               AS reject_05
+      FROM h
+    """,
+
+    "p_cvm_drift" -> """
+      WITH d AS (
+        SELECT event_type AS t, CAST(floor(value * 1000.0) AS BIGINT) AS s
+        FROM events WHERE event_type IN ('click', 'view')),
+      c AS (
+        SELECT s,
+               sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS c2
+        FROM d GROUP BY s),
+      cum AS (
+        SELECT s, c1, c2, sum(c1) OVER (ORDER BY s) AS f1,
+               sum(c2) OVER (ORDER BY s) AS f2
+        FROM c),
+      n AS (SELECT coalesce(sum(c1), 0) AS n1,
+                   coalesce(sum(c2), 0) AS n2 FROM c),
+      tn AS (
+        SELECT n1, n2,
+               sum(CAST(c1 + c2 AS HUGEINT)
+                   * (CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)
+                   * (CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1))
+                 AS tnum
+        FROM cum, n GROUP BY 1, 2)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(CASE WHEN n1 > 0 AND n2 > 0
+                       THEN (tnum * 1000000)
+                            // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+                                * n1 * n2)
+                       ELSE 0 END AS BIGINT) AS t_micro,
+             (n1 > 0 AND n2 > 0
+              AND tnum * 100000 >= CAST(46136 AS HUGEINT)
+                  * (n1 + n2) * (n1 + n2) * n1 * n2) AS reject_05
+      FROM tn
     """,
 
     "p_runs_test" -> """
