@@ -194,6 +194,82 @@ object Multimodal extends Serializable {
     hash
   }
 
+  /** Deterministic REAL-PCM fixture corpus (X348): `n` rows of
+    * (clip_id, payload) where payload is 2048 samples of signed 16-bit
+    * little-endian audio — the raw interchange format under WAV/FLAC.
+    * Sample values are a pinned integer function of (clip_id, t)
+    * ([[pcmSample]]); clips with id % 5 == 0 carry two ZEROED frames
+    * (2 and 5) so silence detection has planted positives. Like
+    * [[pngFixture]], generation is distributed (mapPartitions over a
+    * range — no blob passes the driver) and the encoding is the real
+    * container byte layout, so the DuckDB oracle can re-derive every
+    * sample from the hex of the SAME bytes Spark decoded.
+    */
+  def pcmFixture(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, encodePcm(id))))
+      .toDF("clip_id", "payload")
+  }
+
+  /** Pinned fixture sample value — shared by the generator and the
+    * decode spec. Integer triangle-ish noise in ±2000 (fits s16). */
+  def pcmSample(id: Long, t: Int): Int =
+    if (id % 5 == 0 && ((t >= 512 && t < 768) || (t >= 1280 && t < 1536))) 0
+    else ((t.toLong * (t + 7L * id) + 13L * id) % 4001L).toInt - 2000
+
+  private def encodePcm(id: Long): Array[Byte] = {
+    val out = new Array[Byte](4096)
+    var t = 0
+    while (t < 2048) {
+      val v = pcmSample(id, t)
+      out(2 * t) = (v & 0xff).toByte
+      out(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    out
+  }
+
+  /** REAL s16le decode → per-frame energy rows (clip_id, frame_no,
+    * n_samples, ssq, peak, silent): ByteBuffer little-endian shorts,
+    * `frameLen`-sample frames (a short trailing frame keeps its true
+    * n_samples), ssq = Σ v² (≤ 256·32768² ≈ 2.7·10¹¹ — Long-safe at any
+    * frame length below ~8·10⁹ samples), silent ⟺ peak == 0 (defined,
+    * not thresholded — a threshold is a policy layered on these exact
+    * integers). Embarrassingly parallel narrow map, same shape as
+    * [[decodeMeta]]; blobs never pass the driver.
+    */
+  def pcmFrameEnergy(spark: SparkSession, df: DataFrame, idCol: String,
+      frameLen: Int = 256): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nS = bytes.length / 2
+          val nF = (nS + frameLen - 1) / frameLen
+          (0 until nF).iterator.map { f =>
+            val end = math.min((f + 1) * frameLen, nS)
+            var ssq = 0L
+            var peak = 0L
+            var i = f * frameLen
+            while (i < end) {
+              val v = bb.getShort(2 * i).toLong
+              ssq += v * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            (id, f.toLong, (end - f * frameLen).toLong, ssq, peak,
+              peak == 0L)
+          }
+        }
+      }
+      .toDF("clip_id", "frame_no", "n_samples", "ssq", "peak", "silent")
+  }
+
   /** Exact compare of a·b vs c·d for non-negative longs via 128-bit
     * cross multiplication (Math.multiplyHigh + unsigned low word).
     * The naive `wsum * n >= total * wlen` overflows Long once payloads

@@ -261,6 +261,23 @@ object RefSurface {
     // decode, a corrupt writer, or a codec/container disagreement all
     // hash-mismatch. Decode is embarrassingly parallel mapPartitions;
     // blobs never pass through the driver.
+    // ---- K16: REAL s16le audio decode, frame energy oracle-checked --------
+    // The audio leg of the multimodal family (X348): genuine PCM bytes
+    // written to disk, Spark decoding them with a REAL little-endian
+    // short reader (llm/Multimodal.pcmFrameEnergy), the DuckDB oracle
+    // re-deriving every sample from the hex of the SAME bytes — two's
+    // complement, frame grouping, Σv², peak and the planted silent
+    // frames all hash-matched. A stubbed decode or an endianness slip
+    // mismatches immediately.
+    "k16_audio_energy" -> ((s, dir) => {
+      val base = s"/tmp/graft_k16/${SalesFixture.sfName(dir)}"
+      graft.llm.Multimodal.pcmFixture(s, 256)
+        .coalesce(1).write.mode("overwrite").parquet(base)
+      val blobs = s.read.parquet(base)
+      graft.llm.Multimodal.pcmFrameEnergy(s, blobs, "clip_id")
+        .orderBy("clip_id", "frame_no")
+    }),
+
     "k15_image_decode" -> ((s, dir) => {
       val base = s"/tmp/graft_k15/${SalesFixture.sfName(dir)}"
       graft.llm.Multimodal.pngFixture(s, 256)
@@ -2832,6 +2849,40 @@ object RefSurface {
     // big-endian, read as hex digits) — the Spark side gets them from
     // the REAL codec's decoded pixels, so the hash match proves a real
     // decode ran and agreed with the container metadata.
+    "k16_audio_energy" -> """
+      WITH raw AS (
+        SELECT clip_id, hex(payload) AS hx,
+               octet_length(payload) // 2 AS ns
+        FROM read_parquet('/tmp/graft_k16/__SF__/*.parquet')),
+      vals AS (
+        SELECT clip_id,
+               list_transform(range(ns), i ->
+                 (strpos('0123456789ABCDEF', substr(hx, 4*i + 1, 1)) - 1)
+                   * 16
+                 + (strpos('0123456789ABCDEF', substr(hx, 4*i + 2, 1)) - 1)
+                 + 256 * (
+                   (strpos('0123456789ABCDEF', substr(hx, 4*i + 3, 1)) - 1)
+                     * 16
+                   + (strpos('0123456789ABCDEF', substr(hx, 4*i + 4, 1))
+                      - 1))) AS raws
+        FROM raw),
+      s AS (
+        SELECT clip_id, generate_subscripts(raws, 1) - 1 AS idx,
+               unnest(raws) AS r
+        FROM vals),
+      v AS (
+        SELECT clip_id, idx // 256 AS frame_no,
+               CASE WHEN r >= 32768 THEN r - 65536 ELSE r END AS v
+        FROM s)
+      SELECT clip_id, CAST(frame_no AS BIGINT) AS frame_no,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(v * v) AS BIGINT) AS ssq,
+             CAST(max(abs(v)) AS BIGINT) AS peak,
+             max(abs(v)) = 0 AS silent
+      FROM v GROUP BY 1, 2
+      ORDER BY clip_id, frame_no
+    """,
+
     "k15_image_decode" -> """
       SELECT doc_id,
              CAST(octet_length(payload) AS BIGINT) AS n_bytes,
