@@ -822,6 +822,88 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // ---- Flesch readability per source (X349) -----------------------------
+    // Kincaid et al. 1975 / Flesch 1948 on exact integer grids: words
+    // from the shared single-space split, sentences = [.!?]+ runs
+    // floored at 1 (this corpus is punctuation-free soup, so S = 1 —
+    // the W/S term honestly degenerates to W; documented, and the
+    // formula is the real one for any punctuated feed), syllables =
+    // [aeiouy]+ vowel groups floored at one per word. Both grades are
+    // ONE toward-zero division of a shared integer numerator over
+    // S·W, so the per-doc grid is bit-identical cross-engine; the
+    // per-source means divide the summed grids once more.
+    "llm_readability" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), col("text"))
+        .withColumn("w", size(TextOps.words(col("text"))).cast("long"))
+        .withColumn("sct",
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long"))
+        .withColumn("y",
+          greatest(regexp_count(col("text"), lit("[aeiouy]+")).cast("long"),
+            col("w")))
+        .withColumn("fk_micro", expr(
+          "(390000*w*w + 11800000*y*sct - 15590000*sct*w) div (sct*w)"))
+        .withColumn("fre_micro", expr(
+          "(206835000*sct*w - 1015000*w*w - 84600000*y*sct) div (sct*w)"))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("w").as("total_words"),
+          expr("sum(fk_micro) div count(1)").as("fk_mean_micro"),
+          expr("sum(fre_micro) div count(1)").as("fre_mean_micro"),
+          sum(when(col("fre_micro") < 30000000L, 1L).otherwise(0L))
+            .as("hard_docs"))
+        .orderBy("source")
+    }),
+
+    // ---- Gopher-style quality rule composite per source (X350) ------------
+    // Rae et al. 2021 §A1.1 rule filters, each an exact integer
+    // cross-multiplication (no ratio floats): word count in [50, 1e5],
+    // mean word length in [3, 10] (char sum = len − (W−1) on the
+    // single-space soup), ≥80% alphabetic words, ≥2 of the 8 Gopher
+    // stopwords present, symbol-to-word ratio ≤ 0.1. The per-rule
+    // failure tallies say WHICH rule gates a source — the actionable
+    // readout for mixture curation next to the score-style
+    // llm_lang_quality.
+    "llm_gopher_rules" -> ((s, dir) => {
+      val gopherStops =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), col("text"),
+          TextOps.words(col("text")).as("_w"))
+        .withColumn("w", size(col("_w")).cast("long"))
+        .withColumn("lsum",
+          (length(col("text")) - (col("w") - 1)).cast("long"))
+        .withColumn("alpha_w",
+          expr("cast(size(filter(_w, x -> x rlike '[a-z]')) as bigint)"))
+        .withColumn("stop_hits",
+          gopherStops.map(sw =>
+            when(array_contains(col("_w"), sw), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .withColumn("syms", regexp_count(col("text"), lit("[#…]")).cast("long"))
+        .withColumn("r_wc", col("w") >= 50L && col("w") <= 100000L)
+        .withColumn("r_mwl",
+          col("lsum") >= col("w") * 3L && col("lsum") <= col("w") * 10L)
+        .withColumn("r_alpha", col("alpha_w") * 10L >= col("w") * 8L)
+        .withColumn("r_stop", col("stop_hits") >= 2L)
+        .withColumn("r_sym", col("syms") * 10L <= col("w"))
+        .withColumn("pass", col("r_wc") && col("r_mwl") && col("r_alpha")
+          && col("r_stop") && col("r_sym"))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          // the soup corpus lacks the natural-language stopword set
+          // entirely, so the paper-faithful composite gates on r_stop
+          // everywhere; the no-stopword variant is the readout that
+          // DISCRIMINATES here (and the per-rule tallies say why)
+          sum(when(col("r_wc") && col("r_mwl") && col("r_alpha")
+            && col("r_sym"), 1L).otherwise(0L)).as("n_pass_nostop"),
+          sum(when(!col("r_wc"), 1L).otherwise(0L)).as("fail_wordcount"),
+          sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("fail_wordlen"),
+          sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stopwords"))
+        .orderBy("source")
+    }),
+
     // ---- corpus rollup by (lang, source) ---------------------------------
     "llm_corpus_summary" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -8159,6 +8241,79 @@ $rounds,
       JOIN lvl l ON l.n = c.scc
       GROUP BY c.scc, c.n_nodes
       ORDER BY c.scc
+    """,
+
+    "llm_readability" -> """
+      WITH d AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS BIGINT) AS sct,
+               CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                 AS BIGINT) AS y0
+        FROM documents),
+      e AS (
+        SELECT source, w, sct, greatest(y0, w) AS y FROM d),
+      f AS (
+        SELECT source, w,
+               (390000*w*w + 11800000*y*sct - 15590000*sct*w)
+                 // (sct*w) AS fk,
+               (206835000*sct*w - 1015000*w*w - 84600000*y*sct)
+                 // (sct*w) AS fre
+        FROM e)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS total_words,
+             CAST(sum(fk) // count(*) AS BIGINT) AS fk_mean_micro,
+             CAST(sum(fre) // count(*) AS BIGINT) AS fre_mean_micro,
+             CAST(sum(CASE WHEN fre < 30000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hard_docs
+      FROM f GROUP BY source ORDER BY source
+    """,
+
+    "llm_gopher_rules" -> """
+      WITH d AS (
+        SELECT source, text, string_split(text, ' ') AS ws
+        FROM documents),
+      e AS (
+        SELECT source,
+               CAST(len(ws) AS BIGINT) AS w,
+               CAST(len(text) - (len(ws) - 1) AS BIGINT) AS lsum,
+               CAST(len(list_filter(ws,
+                 x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_w,
+               (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+                 AS stop_hits,
+               CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT)
+                 AS syms
+        FROM d),
+      f AS (
+        SELECT source,
+               (w BETWEEN 50 AND 100000) AS r_wc,
+               (lsum >= 3*w AND lsum <= 10*w) AS r_mwl,
+               (alpha_w*10 >= w*8) AS r_alpha,
+               (stop_hits >= 2) AS r_stop,
+               (syms*10 <= w) AS r_sym
+        FROM e)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop
+                            AND r_sym THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+             CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_sym
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_nostop,
+             CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_wordcount,
+             CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_wordlen,
+             CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_stopwords
+      FROM f GROUP BY source ORDER BY source
     """,
 
     "llm_ks_test" -> s"""
