@@ -1405,6 +1405,59 @@ object LlmSurface {
         .orderBy("doc_id", "word")
     }),
 
+    // ---- Dirichlet query-likelihood retrieval (X351) ----------------------
+    // The language-model retrieval scorer next to llm_bm25's tf-idf
+    // family (Zhai & Lafferty 2001): score(q,d) = Σ_w c(w,q)·ln p(w|d)
+    // with p(w|d) = (tf + μ·cf/|C|)/(|d| + μ), μ = 2000. Decomposed so
+    // only MATCHED terms join: per-query constant Σ c(w,q)·(lmu(μ·cf)
+    // − lmu(|C|)), a doc-length term |q|·lmu(|d|+μ), and the matched
+    // correction Σ c(w,q)·(lmu(tf·|C| + μ·cf) − lmu(μ·cf)) — every ln
+    // is a micro-floored ln of an INTEGER (the X344 discipline; exp
+    // never evaluated). Candidates = postings equi-join on the word
+    // key (docs sharing ≥1 query term — inverted-index semantics,
+    // never queries × corpus); top-5 per query, ties by doc_id.
+    "llm_lm_retrieval" -> ((s, dir) => {
+      val mu = 2000L
+      def lmu(c: org.apache.spark.sql.Column) =
+        floor(log(c.cast("double")) * 1000000.0).cast("long")
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+        .localCheckpoint(true) // tf, dl, cf and the query side all read it
+      val tf = d.select(col("doc_id"), explode(col("_w")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dl = d.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
+      val cf = tf.groupBy("w").agg(sum("tf").as("cf"))
+      val ctot = cf.agg(sum("cf").as("c"))
+      val qt = tf.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), col("w"),
+          col("tf").as("qtf"))
+        .join(cf, "w")
+        .crossJoin(broadcast(ctot)) // 1-row scalar join
+        .withColumn("lc_mu_cf", lmu(lit(mu) * col("cf")))
+        .localCheckpoint(true) // qconst agg + the match join both read it
+      val qconst = qt.groupBy("query_id")
+        .agg(sum(col("qtf") * (col("lc_mu_cf") - lmu(col("c"))))
+          .as("qconst"),
+          sum("qtf").as("nq"))
+      val matched = qt.join(tf, Seq("w"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("qtf") *
+          (lmu(col("tf") * col("c") + lit(mu) * col("cf"))
+            - col("lc_mu_cf"))).as("msum"))
+      val scored = matched.join(dl, "doc_id").join(qconst, "query_id")
+        .withColumn("score_micro",
+          col("qconst") + col("msum") - col("nq") * lmu(col("dl") + mu))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score_micro"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- PII/URL scrubbing: URL -> email -> long-digit redaction ---------
     // The synthetic corpus contains no PII, so every third doc gets a
     // deterministically injected email + URL + digit run — the scrub then
@@ -7688,6 +7741,56 @@ $rounds,
         FROM sc)
       SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, tfidf
       FROM r WHERE rn <= 3 ORDER BY doc_id, word
+    """,
+
+    "llm_lm_retrieval" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tf AS MATERIALIZED (
+        SELECT doc_id, w, count(*) AS tf FROM (
+          SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+      cf AS MATERIALIZED (
+        SELECT w, sum(tf) AS cf FROM tf GROUP BY 1),
+      ctot AS (SELECT sum(cf) AS c FROM cf),
+      qt AS MATERIALIZED (
+        SELECT tf.doc_id AS query_id, tf.w, tf.tf AS qtf, cf.cf, ctot.c,
+               CAST(floor(ln(CAST(2000 * cf.cf AS DOUBLE)) * 1000000)
+                 AS BIGINT) AS lc_mu_cf
+        FROM tf JOIN cf USING (w), ctot
+        WHERE tf.doc_id % 100 = 0),
+      qconst AS (
+        SELECT query_id,
+               sum(qtf * (lc_mu_cf
+                 - CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                     AS BIGINT))) AS qconst,
+               sum(qtf) AS nq
+        FROM qt GROUP BY 1),
+      matched AS (
+        SELECT qt.query_id, tf.doc_id,
+               sum(qt.qtf *
+                 (CAST(floor(ln(CAST(tf.tf * qt.c + 2000 * qt.cf
+                    AS DOUBLE)) * 1000000) AS BIGINT)
+                  - qt.lc_mu_cf)) AS msum
+        FROM qt JOIN tf USING (w)
+        WHERE tf.doc_id <> qt.query_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT m.query_id, m.doc_id,
+               q.qconst + m.msum
+                 - q.nq * CAST(floor(ln(CAST(dl.dl + 2000 AS DOUBLE))
+                     * 1000000) AS BIGINT) AS score_micro
+        FROM matched m JOIN dl USING (doc_id)
+        JOIN qconst q USING (query_id)),
+      ranked AS (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+             CAST(score_micro AS BIGINT) AS score_micro
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank
     """,
 
     "llm_bm25" -> s"""
