@@ -4942,6 +4942,22 @@ object LlmSurface {
     // equi-joins + combine aggs over the edge list — the in-community
     // weight is the edge table joined to labels twice, never a
     // node-pair enumeration.
+    // ---- one synchronous Louvain local-move round (X352) ------------------
+    // The modularity-SEEKING move next to llm_modularity's scoring of
+    // an LPA partition (operators/Louvain.scala): from singletons,
+    // every node adopts its best-gain neighbor community when the
+    // exact cross-multiplied gain m2·w − k_i·k_j is positive. Reports
+    // how much modularity one sweep buys (q_before < q_after is the
+    // spec invariant on any graph with a positive-gain edge).
+    "llm_louvain_move" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      graft.operators.Louvain.moveRound(edges, "item_a", "item_b", "weight")
+    }),
+
     "llm_modularity" -> ((s, dir) => {
       val rel = Tables(s, dir, "lineitem")
         .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
@@ -6141,7 +6157,15 @@ mom AS (
           FROM v$r)
         WHERE rk = 1)"""
     }.mkString(",\n      ")
-    s"""rel AS (
+    s"""$coorderBaseCtes,
+      l0 AS (SELECT DISTINCT n, n AS lbl FROM sym),
+      $rounds"""
+  }
+
+  /** The co-order projected graph (rel → capped → e → sym) shared by
+    * the LPA stack and the Louvain move round. */
+  private def coorderBaseCtes: String =
+    """rel AS (
         SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         FROM lineitem
         WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
@@ -6158,10 +6182,7 @@ mom AS (
       sym AS MATERIALIZED (
         SELECT a AS n, bb AS m, w FROM e
         UNION ALL
-        SELECT bb AS n, a AS m, w FROM e),
-      l0 AS (SELECT DISTINCT n, n AS lbl FROM sym),
-      $rounds"""
-  }
+        SELECT bb AS n, a AS m, w FROM e)"""
 
   /** The X284 planted-dirt linkage feed as oracle CTEs (m, f) —
     * shared by llm_record_linkage and llm_sorted_neighborhood.
@@ -15063,6 +15084,51 @@ $rounds
     // exact HUGEINT, one double division per row, rounded half-up to
     // ppm. The lbl = −1 summary row sums the UNROUNDED terms over ALL
     // communities (singletons included) before its single rounding.
+    "llm_louvain_move" -> s"""
+      WITH $coorderBaseCtes,
+      deg AS MATERIALIZED (
+        SELECT n, CAST(sum(w) AS BIGINT) AS k FROM sym GROUP BY 1),
+      m2t AS (SELECT CAST(sum(k) AS HUGEINT) AS m2 FROM deg),
+      g AS (
+        SELECT s.n, s.m,
+               m2t.m2 * s.w - CAST(dn.k AS HUGEINT) * dm.k AS g2
+        FROM sym s JOIN deg dn ON dn.n = s.n
+        JOIN deg dm ON dm.n = s.m, m2t),
+      pick AS (
+        SELECT n, m AS adopt FROM (
+          SELECT n, m, row_number() OVER (PARTITION BY n
+            ORDER BY g2 DESC, m) AS rk
+          FROM g WHERE g2 > 0)
+        WHERE rk = 1),
+      lbl AS MATERIALIZED (
+        SELECT deg.n, coalesce(pick.adopt, deg.n) AS lbl
+        FROM deg LEFT JOIN pick ON pick.n = deg.n),
+      tot AS (
+        SELECT lbl, CAST(sum(k) AS HUGEINT) AS tot_k
+        FROM deg JOIN lbl USING (n) GROUP BY 1),
+      inw AS (
+        SELECT la.lbl, CAST(sum(e.w) AS HUGEINT) AS in_w
+        FROM e JOIN lbl la ON la.n = e.a JOIN lbl lb ON lb.n = e.bb
+        WHERE la.lbl = lb.lbl GROUP BY 1),
+      qa AS (
+        SELECT sum(2 * coalesce(inw.in_w, 0) * m2t.m2
+                   - tot.tot_k * tot.tot_k) AS q_after_num
+        FROM tot LEFT JOIN inw USING (lbl), m2t),
+      sk2 AS (SELECT sum(CAST(k AS HUGEINT) * k) AS sk2 FROM deg),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(count(DISTINCT lbl) AS BIGINT) AS n_communities,
+               CAST(sum(CASE WHEN n <> lbl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_moved
+        FROM lbl)
+      SELECT st.n_nodes, st.n_communities, st.n_moved,
+             CAST((-sk2.sk2 * 1000000) // (m2t.m2 * m2t.m2) AS BIGINT)
+               AS q_before_micro,
+             CAST((qa.q_after_num * 1000000) // (m2t.m2 * m2t.m2)
+               AS BIGINT) AS q_after_micro
+      FROM st, sk2, qa, m2t
+    """,
+
     "llm_modularity" -> s"""
       WITH $coorderLpaCtes,
       deg AS (SELECT n, CAST(sum(w) AS BIGINT) AS k FROM sym GROUP BY 1),
