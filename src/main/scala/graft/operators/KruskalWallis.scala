@@ -37,8 +37,10 @@ import org.apache.spark.sql.functions._
   */
 object KruskalWallis {
 
-  /** χ²₀.₉₅ micro-floored quantiles, df 1..6. */
-  private val chi95micro: Map[Int, Long] = Map(
+  /** χ²₀.₉₅ micro-floored quantiles, df 1..6 — shared decision
+    * literals (Friedman reuses them; the oracle inlines the same
+    * constants, so no CDF is ever evaluated in either engine). */
+  private[operators] val chi95micro: Map[Int, Long] = Map(
     1 -> 3841458L, 2 -> 5991464L, 3 -> 7814727L,
     4 -> 9487729L, 5 -> 11070497L, 6 -> 12591587L)
 

@@ -2941,6 +2941,21 @@ object LlmSurface {
             sum(when(col("t") === "view", 1L).otherwise(0L)).as("c2")))
     }),
 
+    // ---- Friedman repeated-measures rank test (X353) ----------------------
+    // The within-BLOCK rank test (operators/Friedman.scala) next to
+    // Kruskal-Wallis's pooled ranks: do the five event types keep the
+    // same daily-revenue ORDER day after day? Ranking within each day
+    // cancels day-level traffic waves that would drown the pooled
+    // test. Complete blocks only (dropped count reported), doubled
+    // tied ranks, term-floored micro grid, shared chi-square literal.
+    "p_friedman" -> ((s, dir) => {
+      val cells = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type").as("t"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("day", "t").agg(sum("cents").as("v"))
+      graft.operators.Friedman.test(cells, "day", "t", "v")
+    }),
+
     // ---- Wald–Wolfowitz runs test on the daily series (X336) --------------
     // The randomness audit next to Ljung–Box (operators/RunsTest
     // .scala): dichotomize daily cent revenue about its lower median
@@ -9960,6 +9975,54 @@ $rounds,
               AND tnum * 100000 >= CAST(46136 AS HUGEINT)
                   * (n1 + n2) * (n1 + n2) * n1 * n2) AS reject_05
       FROM tn
+    """,
+
+    "p_friedman" -> """
+      WITH cells AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS b, event_type AS j,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2),
+      ka AS (SELECT count(DISTINCT j) AS k FROM cells),
+      bc AS (SELECT b, count(*) AS bk FROM cells GROUP BY 1),
+      comp AS MATERIALIZED (
+        SELECT c.b, c.j, c.v
+        FROM cells c JOIN bc ON bc.b = c.b, ka
+        WHERE bc.bk = ka.k),
+      nd AS (
+        SELECT count(*) AS n_dropped FROM bc, ka WHERE bc.bk <> ka.k),
+      rk AS (
+        SELECT c.b, c.j,
+               2 * sum(CASE WHEN c2.v < c.v THEN 1 ELSE 0 END)
+               + sum(CASE WHEN c2.v = c.v THEN 1 ELSE 0 END) + 1 AS r2
+        FROM comp c JOIN comp c2 ON c2.b = c.b
+        GROUP BY c.b, c.j, c.v),
+      sj AS (SELECT j, CAST(sum(r2) AS HUGEINT) AS s2 FROM rk GROUP BY 1),
+      nb AS (SELECT count(DISTINCT b) AS n FROM comp),
+      tt AS (
+        SELECT coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tt
+        FROM (SELECT b, v, count(*) AS t FROM comp GROUP BY 1, 2)),
+      terms AS (
+        SELECT n, k, tt, n_dropped,
+               sum((3 * s2 * s2 * 1000000)
+                   // (CAST(n AS HUGEINT) * k * (k + 1))) AS qsum
+        FROM sj, nb, ka, tt, nd GROUP BY 1, 2, 3, 4),
+      h AS (
+        SELECT n, k, n_dropped, tt,
+               qsum - 3 * CAST(n AS HUGEINT) * (k + 1) * 1000000 AS q_dec,
+               CAST(n AS HUGEINT) * k * (k * k - 1) AS nkk
+        FROM terms)
+      SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+             CAST(n_dropped AS BIGINT) AS n_dropped,
+             CAST(q_dec AS BIGINT) AS q_micro,
+             CAST(CASE WHEN nkk > tt THEN (q_dec * nkk) // (nkk - tt)
+                  ELSE 0 END AS BIGINT) AS q_adj_micro,
+             (CASE WHEN nkk > tt THEN (q_dec * nkk) // (nkk - tt)
+                   ELSE 0 END)
+               >= (CASE k - 1 WHEN 1 THEN 3841458 WHEN 2 THEN 5991464
+                   WHEN 3 THEN 7814727 WHEN 4 THEN 9487729
+                   WHEN 5 THEN 11070497 WHEN 6 THEN 12591587 END)
+               AS reject_05
+      FROM h
     """,
 
     "p_runs_test" -> """
