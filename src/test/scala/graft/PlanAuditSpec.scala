@@ -920,4 +920,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the source-count-sized trust table must broadcast:\n$p")
   }
+
+  test("kendall cell pair sum joins on the group key, never all-pairs") {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") / 5000.0).cast("long").as("pb"))
+    val p = plan(graft.operators.KendallTau.tauB(li, "flag", "qty", "pb"))
+    // the x_a < x_b range rides as a post-condition on the group-key
+    // equi-join of the VALUE-HISTOGRAM cells; if the equi key were
+    // lost the join would degenerate to an all-pairs nested loop and
+    // the operator would stop being value-domain-bounded
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"cells self-join must stay an equi-join on the group key:\n$p")
+  }
+
+  test("QL retrieval: candidates from postings equi-joins, no cartesian") {
+    val p = plan(graft.queries.LlmSurface
+      .queries("llm_lm_retrieval")(spark, dir))
+    // the 1-row |C| scalar rides a broadcast crossJoin (the house
+    // spelling — BNLJ on one row); what must NEVER appear is a true
+    // cartesian between queries and the corpus
+    assert(!p.contains("CartesianProduct"),
+      s"query-doc scoring must come from the word-key postings join:\n$p")
+  }
+
+  test("louvain move: gains live on the edge list via equi-joins") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 2L), (3L, 4L, 5L))
+      .toDF("a", "b", "w")
+    val p = plan(graft.operators.Louvain.moveRound(edges, "a", "b", "w"))
+    assert(!p.contains("CartesianProduct"),
+      s"degree joins and label joins must stay equi-joins:\n$p")
+  }
 }
