@@ -2941,6 +2941,20 @@ object LlmSurface {
             sum(when(col("t") === "view", 1L).otherwise(0L)).as("c2")))
     }),
 
+    // ---- Jonckheere-Terpstra ordered trend across hour buckets (X354) -----
+    // The ORDERED k-sample question Kruskal-Wallis can't ask
+    // (operators/Jonckheere.scala): do event values rise through the
+    // day's six 4-hour buckets? Pools pairwise Mann-Whitney counts of
+    // every ordered bucket pair from cumulative value histograms on
+    // the zero-filled spine; z² decision cross-multiplied against the
+    // chi-square(1) literal with the classical no-tie variance.
+    "p_jonckheere" -> ((s, dir) => {
+      val d = events(s, dir)
+        .select(expr("hour(ts) div 4").as("g"),
+          floor(col("value") * 1000.0).cast("long").as("v"))
+      graft.operators.Jonckheere.jt(d, "g", "v")
+    }),
+
     // ---- Friedman repeated-measures rank test (X353) ----------------------
     // The within-BLOCK rank test (operators/Friedman.scala) next to
     // Kruskal-Wallis's pooled ranks: do the five event types keep the
@@ -9975,6 +9989,45 @@ $rounds,
               AND tnum * 100000 >= CAST(46136 AS HUGEINT)
                   * (n1 + n2) * (n1 + n2) * n1 * n2) AS reject_05
       FROM tn
+    """,
+
+    "p_jonckheere" -> """
+      WITH d AS (
+        SELECT hour(ts) // 4 AS g,
+               CAST(floor(value * 1000.0) AS BIGINT) AS v
+        FROM events),
+      hist AS MATERIALIZED (
+        SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+      spine AS (SELECT DISTINCT v FROM hist),
+      grp AS (SELECT DISTINCT g FROM hist),
+      grid AS MATERIALIZED (
+        SELECT grp.g, spine.v, coalesce(h.c, 0) AS c,
+               sum(coalesce(h.c, 0)) OVER (PARTITION BY grp.g
+                 ORDER BY spine.v) AS cum
+        FROM spine CROSS JOIN grp
+        LEFT JOIN hist h ON h.g = grp.g AND h.v = spine.v),
+      jt AS (
+        SELECT coalesce(sum(CAST(b.c AS HUGEINT) * (2 * a.cum - a.c)), 0)
+          AS jt2
+        FROM grid a JOIN grid b ON a.v = b.v AND a.g < b.g),
+      sizes AS (
+        SELECT CAST(sum(ng) AS HUGEINT) AS n, count(*) AS k,
+               sum(CAST(ng AS HUGEINT) * ng) AS sn2,
+               sum(CAST(ng AS HUGEINT) * ng * (2 * ng + 3)) AS sn23
+        FROM (SELECT g, sum(c) AS ng FROM hist GROUP BY 1)),
+      f AS (
+        SELECT jt2, n, k, (n * n - sn2) // 2 AS e2,
+               n * n * (2 * n + 3) - sn23 AS var72
+        FROM jt, sizes)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             CAST(jt2 AS BIGINT) AS jt2, CAST(e2 AS BIGINT) AS e2,
+             CAST(CASE WHEN var72 > 0
+                  THEN ((jt2 - e2) * (jt2 - e2) * 18 * 1000000) // var72
+                  ELSE 0 END AS BIGINT) AS z2_micro,
+             jt2 > e2 AS rising,
+             (var72 > 0 AND (jt2 - e2) * (jt2 - e2) * 18 * 1000000
+                >= CAST(3841458 AS HUGEINT) * var72) AS reject_05
+      FROM f
     """,
 
     "p_friedman" -> """
