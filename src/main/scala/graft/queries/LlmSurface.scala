@@ -4971,6 +4971,21 @@ object LlmSurface {
     // equi-joins + combine aggs over the edge list — the in-community
     // weight is the edge table joined to labels twice, never a
     // node-pair enumeration.
+    // ---- rich-club coefficient curve on the co-order graph (X355) ---------
+    // "Do the hub parts co-occur with each other" traced across every
+    // degree threshold at once (operators/RichClub.scala): both the
+    // node and edge survival curves come from cumulative windows over
+    // the DEGREE-VALUE spine — no per-threshold subgraph ever
+    // materializes.
+    "llm_rich_club" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(
+        rel, "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      graft.operators.RichClub.curve(edges, "item_a", "item_b")
+    }),
+
     // ---- one synchronous Louvain local-move round (X352) ------------------
     // The modularity-SEEKING move next to llm_modularity's scoring of
     // an LPA partition (operators/Louvain.scala): from singletons,
@@ -15200,6 +15215,33 @@ $rounds
     // exact HUGEINT, one double division per row, rounded half-up to
     // ppm. The lbl = −1 summary row sums the UNROUNDED terms over ALL
     // communities (singletons included) before its single rounding.
+    "llm_rich_club" -> s"""
+      WITH $coorderBaseCtes,
+      deg AS MATERIALIZED (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+      dhist AS (SELECT d, CAST(count(*) AS BIGINT) AS nc
+                FROM deg GROUP BY 1),
+      emin AS (
+        SELECT least(da.d, db.d) AS d, CAST(count(*) AS BIGINT) AS ec
+        FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.bb
+        GROUP BY 1),
+      spine AS (
+        SELECT dhist.d, dhist.nc, coalesce(emin.ec, 0) AS ec
+        FROM dhist LEFT JOIN emin ON emin.d = dhist.d),
+      tot AS (SELECT sum(nc) AS tn, sum(ec) AS te FROM spine),
+      cum AS (
+        SELECT d, sum(nc) OVER (ORDER BY d) AS cn,
+               sum(ec) OVER (ORDER BY d) AS ce
+        FROM spine)
+      SELECT d AS k, CAST(tn - cn AS BIGINT) AS n_rich,
+             CAST(te - ce AS BIGINT) AS e_rich,
+             CAST((2 * (te - ce) * 1000000)
+               // ((tn - cn) * (tn - cn - 1)) AS BIGINT) AS phi_micro
+      FROM cum, tot
+      WHERE tn - cn >= 2
+      ORDER BY k
+    """,
+
     "llm_louvain_move" -> s"""
       WITH $coorderBaseCtes,
       deg AS MATERIALIZED (
