@@ -818,27 +818,7 @@ object EventOps {
     */
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
       eventCond: Column): DataFrame = {
-    val per = events.filter(col(userCol).isNotNull)
-      .groupBy(col(userCol))
-      .agg(min(to_date(col(tsCol))).as("f"),
-        max(to_date(col(tsCol))).as("l"),
-        min(when(eventCond, to_date(col(tsCol)))).as("pt"))
-      .select(
-        when(col("pt").isNotNull, datediff(col("pt"), col("f")))
-          .otherwise(datediff(col("l"), col("f"))).cast("long").as("d"),
-        when(col("pt").isNotNull, 1L).otherwise(0L).as("obs"))
-    val hist = per.groupBy("d")
-      .agg(count(lit(1)).as("c_all"), sum("obs").as("c_obs"))
-    val nTot = per.agg(count(lit(1)).cast("long").as("n_tot"))
-    // cumulative risk over the <=31-row duration histogram only
-    val before = Window.orderBy("d")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val steps = hist
-      .withColumn("cum_before", coalesce(sum("c_all").over(before), lit(0L)))
-      .crossJoin(broadcast(nTot))
-      .filter(col("c_obs") > 0)
-      .select(col("d"), (col("n_tot") - col("cum_before")).as("n_risk"),
-        col("c_obs"))
+    val steps = survivalSteps(events, userCol, tsCol, eventCond)
     steps
       .agg(sort_array(collect_list(
         struct(col("d"), col("n_risk"), col("c_obs")))).as("steps"))
@@ -858,6 +838,65 @@ object EventOps {
         acc => acc.getField("rows"))).as("r"))
       .select(col("r.t").as("t_days"), col("r.n").as("n_risk"),
         col("r.d").as("d_events"), col("r.s").as("s_ppm"))
+      .orderBy("t_days")
+  }
+
+  /** Shared survival step table (event times with risk sets):
+    * per-user (duration, observed) from first-seen to event-or-last,
+    * duration histogram, at-risk counts from the cumulative window
+    * over the ≤|calendar|-row histogram — rows only at event times. */
+  private def survivalSteps(events: DataFrame, userCol: String,
+      tsCol: String, eventCond: Column): DataFrame = {
+    val per = events.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("f"),
+        max(to_date(col(tsCol))).as("l"),
+        min(when(eventCond, to_date(col(tsCol)))).as("pt"))
+      .select(
+        when(col("pt").isNotNull, datediff(col("pt"), col("f")))
+          .otherwise(datediff(col("l"), col("f"))).cast("long").as("d"),
+        when(col("pt").isNotNull, 1L).otherwise(0L).as("obs"))
+    val hist = per.groupBy("d")
+      .agg(count(lit(1)).as("c_all"), sum("obs").as("c_obs"))
+    val nTot = per.agg(count(lit(1)).cast("long").as("n_tot"))
+    // cumulative risk over the <=31-row duration histogram only
+    val before = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before", coalesce(sum("c_all").over(before), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .filter(col("c_obs") > 0)
+      .select(col("d"), (col("n_tot") - col("cum_before")).as("n_risk"),
+        col("c_obs"))
+  }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) — the
+    * ADDITIVE survival readout next to [[kaplanMeier]]'s product one:
+    * H(t) = Σ_{t_i ≤ t} d_i/n_i needs NO sequential fold (each step is
+    * independent), so unlike KM it is a plain cumulative window — the
+    * estimator a distributed engine should prefer when only the hazard
+    * scale is needed (S̃ = e^{−H} is the caller's presentation choice;
+    * exp is not correctly rounded cross-engine so it never enters the
+    * frame). Per-step quantization: h = ⌊d·10⁶/n⌋ and the Poisson-type
+    * variance term v = ⌊d·10⁶/n²⌋, each floored ONCE then summed —
+    * error bounded by |event times|·10⁻⁶, identical in both engines.
+    * Same scale shape as KM: everything after the per-user combine agg
+    * lives on the duration histogram.
+    */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+      eventCond: Column): DataFrame = {
+    val steps = survivalSteps(events, userCol, tsCol, eventCond)
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps
+      .withColumn("h_step", expr("(c_obs * 1000000) div n_risk"))
+      .withColumn("v_step",
+        expr("(c_obs * 1000000) div (n_risk * n_risk)"))
+      .withColumn("h_cum_micro", sum("h_step").over(w))
+      .withColumn("var_cum_micro", sum("v_step").over(w))
+      .select(col("d").as("t_days"), col("n_risk"),
+        col("c_obs").as("d_events"), col("h_cum_micro"),
+        col("var_cum_micro"))
       .orderBy("t_days")
   }
 

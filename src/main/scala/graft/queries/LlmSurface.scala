@@ -2941,6 +2941,29 @@ object LlmSurface {
             sum(when(col("t") === "view", 1L).otherwise(0L)).as("c2")))
     }),
 
+    // ---- Cochran-Armitage error-rate trend across hour buckets (X356) -----
+    // The BINARY-outcome trend next to p_jonckheere's continuous one
+    // (operators/CochranArmitage.scala): does the error RATE rise
+    // through the day? One df spent on the monotone contrast; the z²
+    // is a pure-integer cross-multiplication against chi-square(1).
+    "p_cochran_armitage" -> ((s, dir) => {
+      val d = events(s, dir)
+        .select(expr("hour(ts) div 4").as("g"),
+          (col("event_type") === "error").as("err"))
+      graft.operators.CochranArmitage.trend(d, "g", "err")
+    }),
+
+    // ---- Nelson-Aalen cumulative hazard (X357) ----------------------------
+    // The ADDITIVE survival readout next to llm_survival_km's product
+    // (llm/EventOps.nelsonAalen): H(t) = sum d_i/n_i needs no
+    // sequential fold — a plain cumulative window over the duration
+    // histogram, the estimator a distributed engine prefers on the
+    // hazard scale. Same purchase>150 feed as the KM pair.
+    "llm_survival_na" -> ((s, dir) => {
+      EventOps.nelsonAalen(events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 150)
+    }),
+
     // ---- Jonckheere-Terpstra ordered trend across hour buckets (X354) -----
     // The ORDERED k-sample question Kruskal-Wallis can't ask
     // (operators/Jonckheere.scala): do event values rise through the
@@ -10004,6 +10027,72 @@ $rounds,
               AND tnum * 100000 >= CAST(46136 AS HUGEINT)
                   * (n1 + n2) * (n1 + n2) * n1 * n2) AS reject_05
       FROM tn
+    """,
+
+    "p_cochran_armitage" -> """
+      WITH d AS (
+        SELECT hour(ts) // 4 AS g,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        FROM events),
+      cells AS (
+        SELECT g, count(*) AS ng, sum(y) AS rg FROM d GROUP BY 1),
+      m AS (
+        SELECT CAST(sum(ng) AS HUGEINT) AS n,
+               CAST(sum(rg) AS HUGEINT) AS r,
+               count(*) AS k,
+               sum(CAST(g AS HUGEINT) * rg) AS t,
+               sum(CAST(g AS HUGEINT) * ng) AS s1,
+               sum(CAST(g AS HUGEINT) * g * ng) AS s2
+        FROM cells),
+      f AS (
+        SELECT n, r, k, n * t - r * s1 AS num,
+               r * (n - r) * (n * s2 - s1 * s1) AS den
+        FROM m)
+      SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+             CAST(k AS BIGINT) AS k,
+             CAST(CASE WHEN den > 0
+                  THEN (num * num * (n - 1) * 1000000) // den
+                  ELSE 0 END AS BIGINT) AS z2_micro,
+             num > 0 AS rising,
+             (den > 0 AND num * num * (n - 1) * 1000000
+                >= CAST(3841458 AS HUGEINT) * den) AS reject_05
+      FROM f
+    """,
+
+    "llm_survival_na" -> """
+      WITH u AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l,
+               min(CASE WHEN event_type = 'purchase' AND value > 150
+                   THEN CAST(ts AS DATE) END) AS pt
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      dur AS (
+        SELECT CASE WHEN pt IS NOT NULL THEN date_diff('day', f, pt)
+                    ELSE date_diff('day', f, l) END AS d,
+               CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM u),
+      hist AS (
+        SELECT d, count(*) AS c_all, CAST(sum(obs) AS BIGINT) AS c_obs
+        FROM dur GROUP BY 1),
+      ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM dur),
+      steps AS (
+        SELECT d, n_risk, c_obs FROM (
+          SELECT d, c_obs,
+                 n_tot - coalesce(sum(c_all) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM hist, ntot)
+        WHERE c_obs > 0),
+      na AS (
+        SELECT d, n_risk, c_obs,
+               sum((c_obs * 1000000) // n_risk)
+                 OVER (ORDER BY d) AS h_cum_micro,
+               sum((c_obs * 1000000) // (n_risk * n_risk))
+                 OVER (ORDER BY d) AS var_cum_micro
+        FROM steps)
+      SELECT CAST(d AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+             c_obs AS d_events, CAST(h_cum_micro AS BIGINT) AS h_cum_micro,
+             CAST(var_cum_micro AS BIGINT) AS var_cum_micro
+      FROM na ORDER BY t_days
     """,
 
     "p_jonckheere" -> """
