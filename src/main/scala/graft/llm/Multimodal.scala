@@ -270,6 +270,97 @@ object Multimodal extends Serializable {
       .toDF("clip_id", "frame_no", "n_samples", "ssq", "peak", "silent")
   }
 
+  /** Deterministic REAL-VIDEO fixture corpus (X359): `n` clips of
+    * (clip_id, payload) where payload is a length-prefixed frame
+    * container — [4-byte big-endian length][PNG bytes] repeated for
+    * 2 + id % 4 frames, each frame a GENUINE PNG (the [[pngFixture]]
+    * encoder with per-(clip, frame) pinned dimensions). The framing is
+    * the real interchange shape (MJPEG-in-AVI / length-delimited
+    * protobuf streams); the oracle can walk the SAME container bytes.
+    */
+  def videoFixture(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, encodeVideo(id))))
+      .toDF("clip_id", "payload")
+  }
+
+  /** Pinned per-frame sub-id — shared by the generator and the spec. */
+  def videoFrameId(clipId: Long, frame: Int): Long =
+    clipId * 101 + frame * 7 + 1
+
+  private def encodeVideo(id: Long): Array[Byte] = {
+    val frames = (0 until (2 + (id % 4)).toInt)
+      .map(f => encodePng(videoFrameId(id, f)))
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { b =>
+      out.write(Array[Byte](((b.length >> 24) & 0xff).toByte,
+        ((b.length >> 16) & 0xff).toByte, ((b.length >> 8) & 0xff).toByte,
+        (b.length & 0xff).toByte))
+      out.write(b)
+    }
+    out.toByteArray
+  }
+
+  /** REAL container walk + REAL per-frame decode: parse the 4-byte
+    * big-endian framing, run each frame through javax.imageio, and
+    * emit (clip_id, frame_no, n_bytes, width, height, frame_md5) —
+    * frame_md5 is md5 of the frame's UPPERCASE hex (the k15
+    * `md5(hex(...))` convention, so the oracle can recompute it from
+    * `substr(hex(payload), …)`). A malformed tail (fewer than 4 bytes
+    * where a length should be, or a length overrunning the payload)
+    * stops the walk — truncation is a data problem, not a crash.
+    * Embarrassingly parallel narrow map; blobs never pass the driver.
+    */
+  def videoFrameMeta(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, String)]
+          var pos = 0
+          var f = 0L
+          while (pos + 4 <= bytes.length) {
+            val len = ((bytes(pos) & 0xff) << 24) |
+              ((bytes(pos + 1) & 0xff) << 16) |
+              ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+            if (len < 0 || pos + 4 + len > bytes.length) {
+              pos = bytes.length // truncated frame: stop the walk
+            } else {
+              val frame = java.util.Arrays.copyOfRange(bytes, pos + 4,
+                pos + 4 + len)
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(frame))
+                catch { case _: java.io.IOException => null }
+              val (w, h) =
+                if (img == null) (0, 0) else (img.getWidth, img.getHeight)
+              val hexStr = {
+                val sb = new StringBuilder(len * 2)
+                var i = 0
+                while (i < len) {
+                  sb.append(f"${frame(i) & 0xff}%02X"); i += 1
+                }
+                sb.toString
+              }
+              val md = java.security.MessageDigest.getInstance("MD5")
+                .digest(hexStr.getBytes("US-ASCII"))
+                .map(b => f"${b & 0xff}%02x").mkString
+              out += ((id, f, len.toLong, w.toLong, h.toLong, md))
+              f += 1
+              pos += 4 + len
+            }
+          }
+          out.iterator
+        }
+      }
+      .toDF("clip_id", "frame_no", "n_bytes", "width", "height",
+        "frame_md5")
+  }
+
   /** Exact compare of a·b vs c·d for non-negative longs via 128-bit
     * cross multiplication (Math.multiplyHigh + unsigned low word).
     * The naive `wsum * n >= total * wlen` overflows Long once payloads

@@ -904,6 +904,36 @@ object LlmSurface {
         .orderBy("source")
     }),
 
+    // ---- Katz burstiness / word adaptation (X358) --------------------------
+    // Church & Gale 1995 / Katz 1996: P(word recurs in a doc | it
+    // appeared at all) — the TEMPLATE detector unigram frequency
+    // misses: a word can be corpus-rare yet always arrive in bursts
+    // (boilerplate blocks, signatures). adaptation_micro =
+    // ⌊10⁶·df₂/df₁⌋ per word with df₂ = docs containing it ≥ 2×;
+    // reported for the top-20 highest-df words plus the corpus-level
+    // pooled rate. One (doc, word) combine agg — vocabulary-bounded
+    // after, never corpus-bounded.
+    "llm_burstiness" -> ((s, dir) => {
+      val dw = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val perWord = dw.groupBy("w").agg(
+        count(lit(1)).as("df1"),
+        sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("df2"))
+      val top = perWord
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("df1").desc, col("w"))))
+        .filter(col("_rn") <= 20)
+        .select(col("w"), col("df1"), col("df2"),
+          expr("(df2 * 1000000) div df1").as("adaptation_micro"))
+      val pooled = perWord.agg(
+        lit("__corpus__").as("w"),
+        sum("df1").as("df1"), sum("df2").as("df2"),
+        expr("(sum(df2) * 1000000) div sum(df1)").as("adaptation_micro"))
+      top.unionByName(pooled).orderBy("w")
+    }),
+
     // ---- corpus rollup by (lang, source) ---------------------------------
     "llm_corpus_summary" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -8432,6 +8462,33 @@ $rounds,
       JOIN lvl l ON l.n = c.scc
       GROUP BY c.scc, c.n_nodes
       ORDER BY c.scc
+    """,
+
+    "llm_burstiness" -> """
+      WITH dw AS (
+        SELECT doc_id, w, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        GROUP BY 1, 2),
+      pw AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS df1,
+               CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS df2
+        FROM dw GROUP BY 1),
+      top AS (
+        SELECT w, df1, df2,
+               CAST((df2 * 1000000) // df1 AS BIGINT) AS adaptation_micro
+        FROM (SELECT pw.*, row_number() OVER (ORDER BY df1 DESC, w) AS rn
+              FROM pw)
+        WHERE rn <= 20),
+      pooled AS (
+        SELECT '__corpus__' AS w, CAST(sum(df1) AS BIGINT) AS df1,
+               CAST(sum(df2) AS BIGINT) AS df2,
+               CAST((sum(df2) * 1000000) // sum(df1) AS BIGINT)
+                 AS adaptation_micro
+        FROM pw)
+      SELECT * FROM top UNION ALL SELECT * FROM pooled
+      ORDER BY w
     """,
 
     "llm_readability" -> """

@@ -261,6 +261,23 @@ object RefSurface {
     // decode, a corrupt writer, or a codec/container disagreement all
     // hash-mismatch. Decode is embarrassingly parallel mapPartitions;
     // blobs never pass through the driver.
+    // ---- K17: REAL video container walk + per-frame codec decode ----------
+    // The video leg of the multimodal family (X359): clips are
+    // length-prefixed frame containers of GENUINE PNGs; Spark walks
+    // the real 4-byte big-endian framing and decodes EVERY frame with
+    // javax.imageio, while the DuckDB oracle re-walks the same
+    // container bytes recursively (lengths from the prefix, dims from
+    // each frame's IHDR, md5 over each frame's hex). A framing slip,
+    // an off-by-one offset, or a stubbed decode hash-mismatches.
+    "k17_video_frames" -> ((s, dir) => {
+      val base = s"/tmp/graft_k17/${SalesFixture.sfName(dir)}"
+      graft.llm.Multimodal.videoFixture(s, 192)
+        .coalesce(1).write.mode("overwrite").parquet(base)
+      val blobs = s.read.parquet(base)
+      graft.llm.Multimodal.videoFrameMeta(s, blobs, "clip_id")
+        .orderBy("clip_id", "frame_no")
+    }),
+
     // ---- K16: REAL s16le audio decode, frame energy oracle-checked --------
     // The audio leg of the multimodal family (X348): genuine PCM bytes
     // written to disk, Spark decoding them with a REAL little-endian
@@ -2849,6 +2866,43 @@ object RefSurface {
     // big-endian, read as hex digits) — the Spark side gets them from
     // the REAL codec's decoded pixels, so the hash match proves a real
     // decode ran and agreed with the container metadata.
+    "k17_video_frames" -> """
+      WITH RECURSIVE raw AS (
+        SELECT clip_id, hex(payload) AS hx, octet_length(payload) AS nb
+        FROM read_parquet('/tmp/graft_k17/__SF__/*.parquet')),
+      fr AS (
+        SELECT clip_id, 0 AS frame_no, 0 AS off,
+               CAST(list_sum(list_transform(range(8), i ->
+                 (strpos('0123456789ABCDEF', substr(hx, 1 + i, 1)) - 1)
+                   * 16 ** (7 - i))) AS BIGINT) AS flen,
+               hx, nb
+        FROM raw
+        UNION ALL
+        SELECT clip_id, frame_no + 1, off + 4 + flen,
+               CAST(list_sum(list_transform(range(8), i ->
+                 (strpos('0123456789ABCDEF',
+                    substr(hx, (off + 4 + flen) * 2 + 1 + i, 1)) - 1)
+                   * 16 ** (7 - i))) AS BIGINT),
+               hx, nb
+        FROM fr WHERE off + 4 + flen + 4 <= nb),
+      meta AS (
+        SELECT clip_id, frame_no, flen AS n_bytes,
+               CAST(list_sum(list_transform(range(8), i ->
+                 (strpos('0123456789ABCDEF',
+                    substr(hx, (off + 4 + 16) * 2 + 1 + i, 1)) - 1)
+                   * 16 ** (7 - i))) AS BIGINT) AS width,
+               CAST(list_sum(list_transform(range(8), i ->
+                 (strpos('0123456789ABCDEF',
+                    substr(hx, (off + 4 + 20) * 2 + 1 + i, 1)) - 1)
+                   * 16 ** (7 - i))) AS BIGINT) AS height,
+               md5(substr(hx, (off + 4) * 2 + 1, flen * 2)) AS frame_md5
+        FROM fr)
+      SELECT clip_id, CAST(frame_no AS BIGINT) AS frame_no, n_bytes,
+             width, height, frame_md5
+      FROM meta
+      ORDER BY clip_id, frame_no
+    """,
+
     "k16_audio_energy" -> """
       WITH raw AS (
         SELECT clip_id, hex(payload) AS hx,
