@@ -1312,34 +1312,80 @@ object TextOps {
           (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
             * lit(1000000000000L),
           dec(col("n")) * dec(col("n"))).cast("long")).as("sigma_micro"))
-    // largest-remainder apportionment of `budget` seats over shares
-    def apportion(shares: DataFrame, alloc: String): DataFrame = {
-      val tot = shares.agg(sum(dec(col("share"))).as("s_tot"))
-      val quotas = shares.crossJoin(broadcast(tot))
-        .select(col("h"),
-          floorDivDec(lit(budget) * dec(col("share")), col("s_tot"))
-            .as("q"),
-          (lit(budget) * dec(col("share"))
-            - floorDivDec(lit(budget) * dec(col("share")), col("s_tot"))
-              * col("s_tot")).as("rem"))
-      val left = quotas.agg((lit(budget) - sum(col("q"))).as("l"))
-      quotas.crossJoin(broadcast(left))
-        .withColumn("_rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("rem").desc, col("h"))))
-        .select(col("h"),
-          (col("q") + when(col("_rk") <= col("l"), 1).otherwise(0))
-            .cast("long").as(alloc))
-    }
-    val prop = apportion(mom.select(col("h"), col("n").as("share")),
-      "alloc_prop")
-    val ney = apportion(
+    val prop = largestRemainder(mom.select(col("h"), col("n").as("share")),
+      budget, "alloc_prop")
+    val ney = largestRemainder(
       mom.select(col("h"), (dec(col("n")) * col("sigma_micro")).as("share")),
-      "alloc_neyman")
+      budget, "alloc_neyman")
     mom.join(prop, "h").join(ney, "h")
       .select(col("h").as(strataCol), col("n").as("n_docs"),
         col("sigma_micro"), col("alloc_prop"), col("alloc_neyman"))
       .orderBy(strataCol)
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of `budget` seats
+    * over `shares(h, share)` — floor quotas via [[floorDivDec]], then
+    * +1 to the largest remainders ranked (remainder DESC, h ASC): a
+    * total order, so the ±1 seats land identically in both engines
+    * and Σ alloc = budget EXACTLY. Shared by [[neymanAllocation]] and
+    * [[temperatureMix]]. */
+  def largestRemainder(shares: DataFrame, budget: Int,
+      alloc: String): DataFrame = {
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val tot = shares.agg(sum(dec(col("share"))).as("s_tot"))
+    val quotas = shares.crossJoin(broadcast(tot))
+      .select(col("h"),
+        floorDivDec(lit(budget) * dec(col("share")), col("s_tot"))
+          .as("q"),
+        (lit(budget) * dec(col("share"))
+          - floorDivDec(lit(budget) * dec(col("share")), col("s_tot"))
+            * col("s_tot")).as("rem"))
+    val left = quotas.agg((lit(budget) - sum(col("q"))).as("l"))
+    quotas.crossJoin(broadcast(left))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("h"))))
+      .select(col("h"),
+        (col("q") + when(col("_rk") <= col("l"), 1).otherwise(0))
+          .cast("long").as(alloc))
+  }
+
+  /** Temperature-scaled mixture allocation (the multilingual-LM
+    * sampling rule, Lample & Conneau 2019 α-smoothing): seats ∝ t_s^α
+    * for α ∈ {1, ½, 0} side by side — proportional feeds the head,
+    * α = ½ lifts the tail (the standard anti-English-collapse
+    * setting), uniform ignores size entirely. Where the three
+    * disagree is the curation decision surface.
+    *
+    * Exactness: the α = ½ share is [[isqrtDec]] of t_s·10¹² — an
+    * exact integer root (relative error < 10⁻⁶, far inside the
+    * apportionment's remainder grid for any realistic source count);
+    * all three columns apportion by the SAME [[largestRemainder]]
+    * total order, so each sums to the budget exactly.
+    *
+    * Scale: one combine agg to |sources| token counts; everything
+    * after is metadata arithmetic.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, tokens: Column,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget ($budget) must be >= 1")
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val tok = df.select(col(sourceCol).as("h"), tokens.cast("long").as("t"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), sum(dec(col("t"))).as("tk"))
+      .localCheckpoint(true) // three share projections read it
+    val prop = largestRemainder(tok.select(col("h"),
+      col("tk").as("share")), budget, "alloc_prop")
+    val temp = largestRemainder(tok.select(col("h"),
+      isqrtDec(col("tk") * lit(1000000000000L)).as("share")),
+      budget, "alloc_temp")
+    val unif = largestRemainder(tok.select(col("h"),
+      lit(1L).cast("decimal(38,0)").as("share")), budget, "alloc_uniform")
+    tok.join(prop, "h").join(temp, "h").join(unif, "h")
+      .select(col("h").as(sourceCol), col("n_docs"),
+        col("tk").cast("long").as("n_tokens"),
+        col("alloc_prop"), col("alloc_temp"), col("alloc_uniform"))
+      .orderBy(sourceCol)
   }
 
   /** Horvitz–Thompson total estimation from the [[neymanAllocation]]

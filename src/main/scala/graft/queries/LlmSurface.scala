@@ -3607,6 +3607,18 @@ object LlmSurface {
         size(TextOps.words(col("text"))), budget = 1000)
     }),
 
+    // ---- temperature-scaled mixture allocation (X360) ----------------------
+    // The multilingual-LM sampling rule (llm/TextOps.temperatureMix):
+    // ppm seats proportional to t^alpha for alpha in {1, 1/2, 0} side
+    // by side — proportional feeds the head, alpha = 1/2 lifts the
+    // tail, uniform ignores size. All three apportion by the same
+    // largest-remainder total order, so each column sums to exactly
+    // 10^6.
+    "llm_temperature_mix" -> ((s, dir) => {
+      TextOps.temperatureMix(Tables(s, dir, "documents"), "source",
+        size(TextOps.words(col("text"))), budget = 1000000)
+    }),
+
     // ---- quantile treatment effects: per-decile arm contrast (X267) ------
     // WHERE in the distribution the arms differ, not just whether the
     // mean moved: v_q(arm1) - v_q(arm0) at each decile, every decile
@@ -12134,6 +12146,53 @@ $rounds
 
     // Replays the moment aggregation, the probed integer sqrt, and
     // both largest-remainder apportionments in HUGEINT.
+    "llm_temperature_mix" -> """
+      WITH tok AS MATERIALIZED (
+        SELECT source AS h, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS HUGEINT) AS tk
+        FROM documents GROUP BY 1),
+      s0 AS (
+        SELECT h, tk * 1000000000000 AS x,
+               CAST(floor(sqrt(CAST(tk * 1000000000000 AS DOUBLE)))
+                 AS HUGEINT) AS r0
+        FROM tok),
+      s1 AS (SELECT h, x, CASE WHEN (r0 + 1) * (r0 + 1) <= x THEN r0 + 1
+                               ELSE r0 END AS r1 FROM s0),
+      shq AS (SELECT h, CASE WHEN r1 * r1 > x THEN r1 - 1 ELSE r1 END
+                AS share FROM s1),
+      shp AS (SELECT h, tk AS share FROM tok),
+      shu AS (SELECT h, CAST(1 AS HUGEINT) AS share FROM tok),
+      tp AS (SELECT sum(share) AS st FROM shp),
+      qp AS (SELECT h, (1000000 * share) // st AS q,
+                    (1000000 * share) % st AS rem FROM shp, tp),
+      lp AS (SELECT 1000000 - sum(q) AS l FROM qp),
+      ap AS (SELECT h, q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS a
+             FROM (SELECT h, q, row_number() OVER (ORDER BY rem DESC, h)
+                     AS rk FROM qp), lp),
+      tq AS (SELECT sum(share) AS st FROM shq),
+      qq AS (SELECT h, (1000000 * share) // st AS q,
+                    (1000000 * share) % st AS rem FROM shq, tq),
+      lq AS (SELECT 1000000 - sum(q) AS l FROM qq),
+      aq AS (SELECT h, q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS a
+             FROM (SELECT h, q, row_number() OVER (ORDER BY rem DESC, h)
+                     AS rk FROM qq), lq),
+      tu AS (SELECT sum(share) AS st FROM shu),
+      qu AS (SELECT h, (1000000 * share) // st AS q,
+                    (1000000 * share) % st AS rem FROM shu, tu),
+      lu AS (SELECT 1000000 - sum(q) AS l FROM qu),
+      au AS (SELECT h, q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS a
+             FROM (SELECT h, q, row_number() OVER (ORDER BY rem DESC, h)
+                     AS rk FROM qu), lu)
+      SELECT tok.h AS source, tok.n_docs,
+             CAST(tok.tk AS BIGINT) AS n_tokens,
+             CAST(ap.a AS BIGINT) AS alloc_prop,
+             CAST(aq.a AS BIGINT) AS alloc_temp,
+             CAST(au.a AS BIGINT) AS alloc_uniform
+      FROM tok JOIN ap ON ap.h = tok.h JOIN aq ON aq.h = tok.h
+      JOIN au ON au.h = tok.h
+      ORDER BY source
+    """,
+
     "llm_neyman_alloc" -> s"""
       WITH ${neymanAllocCtes(1000)}
       SELECT sig.h AS source, sig.n AS n_docs, sig.sigma_micro,
