@@ -4028,6 +4028,24 @@ object LlmSurface {
     // id<id_b cut dedupes the double generation, and the distance test
     // is exact integer dist². Oracle is the BRUTE-FORCE all-pairs
     // filter, proving the grid candidates lossless.
+    // ---- Moran's I over the embedding occupancy grid (X361) ---------------
+    // Are occupied embedding cells surrounded by similarly occupied
+    // ones (operators/MoranI.scala)? The spatial-clustering readout
+    // for shard/layout planning: high I = mass concentrates in
+    // contiguous grid regions (range partitioning wins), I near
+    // -1/(N-1) = hash-like scatter. Full-rectangle lattice with
+    // analytic rook degrees; two shifted equi-joins, no adjacency
+    // table.
+    "llm_moran_grid" -> ((s, dir) => {
+      val pts = Tables(s, dir, "embeddings")
+        .select(
+          floor(element_at(col("embedding"), 1).cast("double") * 10.0)
+            .cast("long").as("cx"),
+          floor(element_at(col("embedding"), 2).cast("double") * 10.0)
+            .cast("long").as("cy"))
+      graft.operators.MoranI.moran(pts, "cx", "cy")
+    }),
+
     "llm_grid_join" -> ((s, dir) => {
       val pts = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -13280,6 +13298,63 @@ $rounds,
                  AS attributed_value
         FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM j))
       SELECT * FROM att UNION ALL SELECT * FROM direct ORDER BY channel
+    """,
+
+    "llm_moran_grid" -> """
+      WITH pts AS (
+        SELECT CAST(floor(embedding[1] * 10.0) AS BIGINT) AS cx,
+               CAST(floor(embedding[2] * 10.0) AS BIGINT) AS cy
+        FROM embeddings),
+      occ AS (SELECT cx, cy, count(*) AS c FROM pts GROUP BY 1, 2),
+      b AS (SELECT min(cx) AS x0, max(cx) AS x1,
+                   min(cy) AS y0, max(cy) AS y1 FROM occ),
+      gx AS (SELECT unnest(range(x0, x1 + 1)) AS cx FROM b),
+      gy AS (SELECT unnest(range(y0, y1 + 1)) AS cy FROM b),
+      spine AS (
+        SELECT gx.cx, gy.cy, b.x0, b.x1, b.y0, b.y1
+        FROM gx CROSS JOIN gy, b),
+      cells AS MATERIALIZED (
+        SELECT s.cx, s.cy, coalesce(o.c, 0) AS x,
+               (CASE WHEN s.cx > s.x0 THEN 1 ELSE 0 END
+                + CASE WHEN s.cx < s.x1 THEN 1 ELSE 0 END
+                + CASE WHEN s.cy > s.y0 THEN 1 ELSE 0 END
+                + CASE WHEN s.cy < s.y1 THEN 1 ELSE 0 END) AS deg
+        FROM spine s LEFT JOIN occ o ON o.cx = s.cx AND o.cy = s.cy),
+      m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+               CAST(sum(deg) AS HUGEINT) AS w,
+               sum(CAST(deg AS HUGEINT) * deg) AS sdeg2
+        FROM cells),
+      z AS MATERIALIZED (
+        SELECT cx, cy, m.n * x - m.s AS z FROM cells, m),
+      rp AS (SELECT coalesce(sum(a.z * c.z), 0) AS p
+             FROM z a JOIN z c ON c.cx = a.cx + 1 AND c.cy = a.cy),
+      up AS (SELECT coalesce(sum(a.z * c.z), 0) AS p
+             FROM z a JOIN z c ON c.cx = a.cx AND c.cy = a.cy + 1),
+      adj AS (SELECT 2 * (rp.p + up.p) AS sumadj FROM rp, up),
+      sz AS (SELECT coalesce(sum(z * z), 0) AS sz2 FROM z),
+      f AS (
+        SELECT m.n, m.w, sz.sz2,
+               CASE WHEN sz.sz2 > 0 AND m.w > 0
+                    THEN (m.n * adj.sumadj * 1000000) // (m.w * sz.sz2)
+                    ELSE 0 END AS i_micro,
+               CASE WHEN m.n > 1 THEN -(1000000 // (m.n - 1))
+                    ELSE 0 END AS e_micro,
+               CASE WHEN m.n > 1 AND m.w > 0
+                    THEN ((2 * m.n * m.n * m.w - 4 * m.n * m.sdeg2
+                           + 3 * m.w * m.w) * 1000000)
+                         // (m.w * m.w * (m.n * m.n - 1))
+                         - (1000000 // ((m.n - 1) * (m.n - 1)))
+                    ELSE 0 END AS var_micro
+        FROM m, adj, sz)
+      SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+             CAST(i_micro AS BIGINT) AS i_micro,
+             CAST(e_micro AS BIGINT) AS e_micro,
+             CAST(var_micro AS BIGINT) AS var_micro,
+             (sz2 > 0 AND var_micro > 0 AND
+              (i_micro - e_micro) * (i_micro - e_micro)
+                >= CAST(3841458 AS HUGEINT) * var_micro) AS reject_05
+      FROM f
     """,
 
     "llm_grid_join" -> """
