@@ -170,6 +170,25 @@ object StreamSurface {
     (0 until 3).map(i => d.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per))
   }
 
+  /** docBatches plus the `source` column — its own staging dir so the
+    * shared `_in_docs` schema (and every cached consumer) is
+    * untouched. Same doc_id-range batch rule. */
+  private def stagedDocsWithSource(s: SparkSession,
+      dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit("2024-01-01 00:00:00").cast("timestamp")
+          + make_dt_interval(lit(0), lit(0), lit(0),
+            col("doc_id").cast("double"))).as("ts"),
+        col("text"), col("source"))
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val per = maxId / 3 + 1
+    val batches = (0 until 3).map(i =>
+      d.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per))
+    val in = tmpBase(dir, "_in_docs_src")
+    (in, StreamHarness.stageCached(batches, in))
+  }
+
   private val tsFmt = "yyyy-MM-dd HH:mm:ss"
 
   // ========================================================================
@@ -606,6 +625,24 @@ object StreamSurface {
     // the cumulative Chao1 row per batch (X340 arithmetic over the
     // maintained word-count state); the oracle recomputes each
     // prefix from the doc_id-range batch rule.
+    // ---- X362: streaming temperature-mix rebalancer (21st stream query) ---
+    // The live mixture desk: every crawl batch merges its per-source
+    // token counts into state and re-emits the full alpha={1, 1/2}
+    // ppm allocation (each column sums to 1e6 exactly, same
+    // largest-remainder order as the batch llm_temperature_mix).
+    // Oracle recomputes each prefix from the doc_id-range batch rule.
+    "stream_mix_monitor" -> ((s, dir) => {
+      val base = tmpBase(dir, "mix_monitor")
+      val (in, schema) = stagedDocsWithSource(s, dir)
+      StreamHarness.deleteRecursively(new File(s"$base/counts"))
+      StreamHarness.deleteRecursively(new File(s"$base/out"))
+      StreamHarness.runQuery(s, in, schema) { src =>
+        DocStream.mixMonitor(src, s"$base/counts", s"$base/out")
+      }
+      s.read.parquet(s"$base/out").distinct()
+        .orderBy("batch_id", "source")
+    }),
+
     "stream_vocab_saturation" -> ((s, dir) => {
       val base = tmpBase(dir, "vocab_sat")
       val (in, schema) = stagedDocs(s, dir)
@@ -1050,6 +1087,55 @@ object StreamSurface {
 
     // Replays each batch PREFIX's word counts from the doc_id-range
     // rule through the X340 Chao1 arithmetic.
+    "stream_mix_monitor" -> """
+      WITH per AS (SELECT max(doc_id) // 3 + 1 AS p FROM documents),
+      base AS MATERIALIZED (
+        SELECT ks.k, d.source AS h,
+               CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(len(string_split(d.text, ' '))) AS HUGEINT) AS tk
+        FROM documents d, per,
+             (SELECT unnest(generate_series(0, 2)) AS k) ks
+        WHERE d.doc_id // per.p <= ks.k
+        GROUP BY 1, 2),
+      s0 AS (SELECT k, h, nd, tk, tk * 1000000000000 AS x,
+               CAST(floor(sqrt(CAST(tk * 1000000000000 AS DOUBLE)))
+                 AS HUGEINT) AS r0
+             FROM base),
+      s1 AS (SELECT k, h, nd, tk, x,
+               CASE WHEN (r0 + 1) * (r0 + 1) <= x THEN r0 + 1
+                    ELSE r0 END AS r1
+             FROM s0),
+      sh AS MATERIALIZED (
+        SELECT k, h, nd, tk,
+               CASE WHEN r1 * r1 > x THEN r1 - 1 ELSE r1 END AS shq
+        FROM s1),
+      ap AS (
+        SELECT k, h, q + CASE WHEN
+                 row_number() OVER (PARTITION BY k ORDER BY rem DESC, h)
+                 <= 1000000 - sum(q) OVER (PARTITION BY k)
+               THEN 1 ELSE 0 END AS a
+        FROM (SELECT k, h,
+                (1000000 * tk) // (sum(tk) OVER (PARTITION BY k)) AS q,
+                (1000000 * tk) % (sum(tk) OVER (PARTITION BY k)) AS rem
+              FROM sh)),
+      aq AS (
+        SELECT k, h, q + CASE WHEN
+                 row_number() OVER (PARTITION BY k ORDER BY rem DESC, h)
+                 <= 1000000 - sum(q) OVER (PARTITION BY k)
+               THEN 1 ELSE 0 END AS a
+        FROM (SELECT k, h,
+                (1000000 * shq) // (sum(shq) OVER (PARTITION BY k)) AS q,
+                (1000000 * shq) % (sum(shq) OVER (PARTITION BY k)) AS rem
+              FROM sh))
+      SELECT CAST(sh.k AS BIGINT) AS batch_id, sh.h AS source,
+             sh.nd AS n_docs, CAST(sh.tk AS BIGINT) AS n_tokens,
+             CAST(ap.a AS BIGINT) AS alloc_prop,
+             CAST(aq.a AS BIGINT) AS alloc_temp
+      FROM sh JOIN ap ON ap.k = sh.k AND ap.h = sh.h
+      JOIN aq ON aq.k = sh.k AND aq.h = sh.h
+      ORDER BY batch_id, source
+    """,
+
     "stream_vocab_saturation" -> """
       WITH per AS (SELECT max(doc_id) // 3 + 1 AS p FROM documents),
       tok AS (

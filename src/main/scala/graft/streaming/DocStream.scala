@@ -370,6 +370,59 @@ object DocStream {
       }
       .start()
 
+  /** Streaming temperature-mix rebalancer (X362, the 21st stream
+    * query) — the live form of `TextOps.temperatureMix`: as crawl
+    * batches land, per-source token counts accumulate in a state
+    * table and every batch emits the FULL refreshed allocation
+    * (α = 1 proportional and α = ½ temperature ppm seats, each
+    * apportioned by the shared largest-remainder total order, each
+    * summing to 10⁶ exactly). The readout a continuously-ingesting
+    * curation pipeline actually wants: "with tonight's crawl merged,
+    * what are the sampling weights NOW?"
+    *
+    * Same merge → emit → train ordering as [[vocabSaturationMonitor]]
+    * (the allocation reflects state INCLUDING the batch; the delta
+    * appends after the emit). State = one (source, n_docs, tokens)
+    * row per source — source-domain sized; per batch one combine agg,
+    * the rest is metadata arithmetic.
+    */
+  def mixMonitor(docs: DataFrame, countsDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(38,0)")
+        val wc = batch
+          .select(col("source").as("h"),
+            size(TextOps.words(col("text"))).cast("long").as("t"))
+          .groupBy("h").agg(count(lit(1)).as("nd"), sum("t").as("tk"))
+          .localCheckpoint(true) // the cumulative merge AND the append
+        val merged =
+          (if (new java.io.File(countsDir).exists())
+            s.read.parquet(countsDir).unionByName(wc)
+          else wc)
+            .groupBy("h").agg(sum("nd").as("nd"), sum("tk").as("tk"))
+            .localCheckpoint(true) // two share projections + the join
+        val prop = TextOps.largestRemainder(
+          merged.select(col("h"), dec(col("tk")).as("share")),
+          1000000, "alloc_prop")
+        val temp = TextOps.largestRemainder(
+          merged.select(col("h"),
+            TextOps.isqrtDec(dec(col("tk")) * lit(1000000000000L))
+              .as("share")),
+          1000000, "alloc_temp")
+        merged.join(prop, "h").join(temp, "h")
+          .select(lit(bid).as("batch_id"), col("h").as("source"),
+            col("nd").as("n_docs"), col("tk").cast("long").as("n_tokens"),
+            col("alloc_prop"), col("alloc_temp"))
+          .write.mode("append").parquet(outDir)
+        wc.write.mode("append").parquet(countsDir)
+        ()
+      }
+      .start()
+
   /** Streaming KS drift monitor (X334) — the DISTRIBUTION complement
     * to [[EventStream]]'s CUSUM mean monitor: batch 0's quality
     * histogram freezes as the reference; every batch (batch 0
