@@ -1444,8 +1444,13 @@ object LlmSurface {
     // correction Σ c(w,q)·(lmu(tf·|C| + μ·cf) − lmu(μ·cf)) — every ln
     // is a micro-floored ln of an INTEGER (the X344 discipline; exp
     // never evaluated). Candidates = postings equi-join on the word
-    // key (docs sharing ≥1 query term — inverted-index semantics,
-    // never queries × corpus); top-5 per query, ties by doc_id.
+    // key (docs sharing ≥1 query term — inverted-index semantics);
+    // top-5 per query, ties by doc_id. The query panel is CAPPED at
+    // 24 (doc_id % 100 == 0 and doc_id/100 < 24): on a dense shared
+    // vocabulary every doc matches every query, so a panel that grew
+    // WITH the corpus made the join quadratic — measured 3.3 s →
+    // 163 s at 10× data before the cap, corpus-linear after (the
+    // llm_ann_recall bounded-panel discipline).
     "llm_lm_retrieval" -> ((s, dir) => {
       val mu = 2000L
       def lmu(c: org.apache.spark.sql.Column) =
@@ -1458,7 +1463,8 @@ object LlmSurface {
       val dl = d.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
       val cf = tf.groupBy("w").agg(sum("tf").as("cf"))
       val ctot = cf.agg(sum("cf").as("c"))
-      val qt = tf.filter(col("doc_id") % 100 === 0)
+      val qt = tf.filter(col("doc_id") % 100 === 0
+          && col("doc_id") < 2400)
         .select(col("doc_id").as("query_id"), col("w"),
           col("tf").as("qtf"))
         .join(cf, "w")
@@ -7906,7 +7912,7 @@ $rounds,
                CAST(floor(ln(CAST(2000 * cf.cf AS DOUBLE)) * 1000000)
                  AS BIGINT) AS lc_mu_cf
         FROM tf JOIN cf USING (w), ctot
-        WHERE tf.doc_id % 100 = 0),
+        WHERE tf.doc_id % 100 = 0 AND tf.doc_id < 2400),
       qconst AS (
         SELECT query_id,
                sum(qtf * (lc_mu_cf
