@@ -841,6 +841,35 @@ object EventOps {
       .orderBy("t_days")
   }
 
+  /** Restricted mean survival time (Royston & Parmar 2013; the
+    * area-under-KM readout) — the SINGLE-NUMBER survival summary the
+    * curve family needs: "how many days does the average user survive
+    * event-free, up to the last observed event time τ". Robust where
+    * the median is undefined (S never crosses ½) and the mean is
+    * uncomputable (censoring).
+    *
+    * Exactness: RMST(τ) = Σ_i S(t_{i−1})·(t_i − t_{i−1}) over the KM
+    * step times (t_0 = 0, S(t_0) = 1) — a lag window over the
+    * ALREADY-quantized s_ppm steps, so the only arithmetic is integer
+    * products of ppm × day widths (no new quantization at all; the
+    * result is exact GIVEN the KM ppm grid both engines share).
+    * Scale shape: inherits [[kaplanMeier]]'s (everything after the
+    * per-user combine agg lives on the ≤|calendar| step table).
+    */
+  def rmst(events: DataFrame, userCol: String, tsCol: String,
+      eventCond: Column): DataFrame = {
+    val km = kaplanMeier(events, userCol, tsCol, eventCond)
+    val w = Window.orderBy("t_days")
+    km
+      .withColumn("s_prev", coalesce(lag("s_ppm", 1).over(w),
+        lit(1000000L)))
+      .withColumn("t_prev", coalesce(lag("t_days", 1).over(w), lit(0L)))
+      .agg(max("t_days").as("tau_days"),
+        sum(col("s_prev") * (col("t_days") - col("t_prev")))
+          .cast("long").as("rmst_ppm_days"),
+        min(col("s_ppm")).as("s_final_ppm"))
+  }
+
   /** Shared survival step table (event times with risk sets):
     * per-user (duration, observed) from first-seen to event-or-last,
     * duration histogram, at-risk counts from the cumulative window

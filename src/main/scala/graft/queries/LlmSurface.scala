@@ -4660,6 +4660,17 @@ object LlmSurface {
         col("event_type") === "purchase" && col("value") > 150)
     }),
 
+    // ---- restricted mean survival time (X363) -----------------------------
+    // The single-number area-under-KM summary (llm/EventOps.rmst):
+    // average event-free days up to the last event time — defined
+    // where the median isn't (S never crossing 1/2) and the mean
+    // can't be (censoring). A lag window over the already-ppm KM
+    // steps: integer products only, no new quantization.
+    "llm_survival_rmst" -> ((s, dir) => {
+      EventOps.rmst(events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 150)
+    }),
+
     // ---- two-sample log-rank test over the KM curves ---------------------
     // The significance test the survival pair needs (as Welch is to
     // means): per event time, observed-vs-expected arm-0 events under
@@ -14735,6 +14746,49 @@ $rounds,
              c_obs AS d_events, CAST(s AS BIGINT) AS s_ppm
       FROM km
       ORDER BY t_days
+    """,
+
+    "llm_survival_rmst" -> """
+      WITH RECURSIVE u AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l,
+               min(CASE WHEN event_type = 'purchase' AND value > 150
+                   THEN CAST(ts AS DATE) END) AS pt
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      dur AS (
+        SELECT CASE WHEN pt IS NOT NULL THEN date_diff('day', f, pt)
+                    ELSE date_diff('day', f, l) END AS d,
+               CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM u),
+      hist AS (
+        SELECT d, count(*) AS c_all, CAST(sum(obs) AS BIGINT) AS c_obs
+        FROM dur GROUP BY 1),
+      ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM dur),
+      steps AS (
+        SELECT d, n_risk, c_obs, row_number() OVER (ORDER BY d) AS rn
+        FROM (
+          SELECT d, c_obs,
+                 n_tot - coalesce(sum(c_all) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM hist, ntot)
+        WHERE c_obs > 0),
+      km AS (
+        SELECT rn, d, n_risk, c_obs,
+               (1000000 * (n_risk - c_obs)) // n_risk AS s
+        FROM steps WHERE rn = 1
+        UNION ALL
+        SELECT st.rn, st.d, st.n_risk, st.c_obs,
+               (km.s * (st.n_risk - st.c_obs)) // st.n_risk
+        FROM steps st JOIN km ON st.rn = km.rn + 1),
+      r AS (
+        SELECT d, s,
+               lag(s, 1, 1000000) OVER (ORDER BY d) AS s_prev,
+               lag(d, 1, 0) OVER (ORDER BY d) AS t_prev
+        FROM km)
+      SELECT CAST(max(d) AS BIGINT) AS tau_days,
+             CAST(sum(s_prev * (d - t_prev)) AS BIGINT) AS rmst_ppm_days,
+             CAST(min(s) AS BIGINT) AS s_final_ppm
+      FROM r
     """,
 
     "llm_retention" -> s"""

@@ -64,6 +64,24 @@ class TrendSurvivalSpec extends SparkSpec {
       (2L, 4L, 2L, 700000L, 165000L)))
   }
 
+  test("rmst: area under the hand-built KM staircase") {
+    val events = Seq(
+      ev(1, 0, "view", 1.0), ev(1, 2, "purchase", 200.0),
+      ev(2, 0, "view", 1.0),
+      ev(3, 0, "view", 1.0), ev(3, 3, "click", 1.0),
+      ev(4, 0, "view", 1.0), ev(4, 2, "purchase", 200.0),
+      ev(5, 0, "view", 1.0), ev(5, 1, "purchase", 200.0),
+      ev(6, 0, "view", 1.0), ev(6, 5, "view", 1.0))
+      .toDF("user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val r = graft.llm.EventOps.rmst(events, "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 150)
+      .as[(Long, Long, Long)].collect().head
+    // KM steps: (1, 800000), (2, 400000). Area to τ = 2:
+    // 10⁶·1 + 800000·1 = 1800000 ppm-days
+    assert(r === ((2L, 1800000L, 400000L)))
+  }
+
   test("hazard exceeds −ln(KM) never: additive ≥ product step relation") {
     // at a single event time the NA step d/n ≥ the KM drop's −ln; on
     // the micro grid we pin the coarse invariant H ≥ 1 − S directly
