@@ -3014,6 +3014,21 @@ object LlmSurface {
       graft.operators.Jonckheere.jt(d, "g", "v")
     }),
 
+    // ---- Page's trend test: hour buckets ranked within days (X364) --------
+    // The blocked-AND-ordered corner of the rank-test matrix
+    // (operators/Page.scala): does value rise through the day's
+    // 4-hour buckets CONSISTENTLY day after day? p_jonckheere pools
+    // all days; this ranks within each day first, so a per-day trend
+    // survives day-level traffic waves.
+    "p_page_trend" -> ((s, dir) => {
+      val cells = events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          expr("hour(ts) div 4").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("day", "g").agg(sum("cents").as("v"))
+      graft.operators.Page.trend(cells, "day", "g", "v")
+    }),
+
     // ---- Friedman repeated-measures rank test (X353) ----------------------
     // The within-BLOCK rank test (operators/Friedman.scala) next to
     // Kruskal-Wallis's pooled ranks: do the five event types keep the
@@ -10235,6 +10250,49 @@ $rounds,
              jt2 > e2 AS rising,
              (var72 > 0 AND (jt2 - e2) * (jt2 - e2) * 18 * 1000000
                 >= CAST(3841458 AS HUGEINT) * var72) AS reject_05
+      FROM f
+    """,
+
+    "p_page_trend" -> """
+      WITH cells AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS b, hour(ts) // 4 AS j,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2),
+      ka AS (SELECT count(DISTINCT j) AS k FROM cells),
+      bc AS (SELECT b, count(*) AS bk FROM cells GROUP BY 1),
+      comp AS MATERIALIZED (
+        SELECT c.b, c.j, c.v
+        FROM cells c JOIN bc ON bc.b = c.b, ka
+        WHERE bc.bk = ka.k),
+      nd AS (
+        SELECT count(*) AS n_dropped FROM bc, ka WHERE bc.bk <> ka.k),
+      rk AS (
+        SELECT c.b, c.j,
+               2 * sum(CASE WHEN c2.v < c.v THEN 1 ELSE 0 END)
+               + sum(CASE WHEN c2.v = c.v THEN 1 ELSE 0 END) + 1 AS r2
+        FROM comp c JOIN comp c2 ON c2.b = c.b
+        GROUP BY c.b, c.j, c.v),
+      ord AS (
+        SELECT j, row_number() OVER (ORDER BY j) AS t
+        FROM (SELECT DISTINCT j FROM comp)),
+      l2t AS (
+        SELECT coalesce(sum(CAST(t AS HUGEINT) * r2), 0) AS l2
+        FROM rk JOIN ord ON ord.j = rk.j),
+      nb AS (SELECT count(DISTINCT b) AS n FROM comp),
+      f AS (
+        SELECT n, k, n_dropped, l2,
+               (CAST(n AS HUGEINT) * k * (k + 1) * (k + 1)) // 2 AS e2,
+               CAST(n AS HUGEINT) * k * k * (k + 1) * (k * k - 1) AS v144
+        FROM nb, ka, nd, l2t)
+      SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+             CAST(n_dropped AS BIGINT) AS n_dropped,
+             CAST(l2 AS BIGINT) AS l2, CAST(e2 AS BIGINT) AS e2,
+             CAST(CASE WHEN v144 > 0
+                  THEN ((l2 - e2) * (l2 - e2) * 36 * 1000000) // v144
+                  ELSE 0 END AS BIGINT) AS z2_micro,
+             l2 > e2 AS rising,
+             (v144 > 0 AND (l2 - e2) * (l2 - e2) * 36 * 1000000
+                >= CAST(3841458 AS HUGEINT) * v144) AS reject_05
       FROM f
     """,
 
