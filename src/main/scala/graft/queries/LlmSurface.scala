@@ -129,6 +129,21 @@ object LlmSurface {
     "fr" -> Seq("merge", "sort"),
     "zh" -> Seq("spark", "vector"))
 
+  /** Driver-folded micro-quantized trig table for the fixed-period
+    * periodogram (X365): (period, t mod period, ⌊cos·10⁶⌉, ⌊sin·10⁶⌉).
+    * ONE source of truth — the Spark query builds a DataFrame from it
+    * and the oracle SQL interpolates the SAME literals, so no engine
+    * ever evaluates a transcendental (the llm_bandit_ucb discipline).
+    */
+  private[graft] val periodogramTrig: Seq[(Long, Long, Long, Long)] =
+    Seq(7, 14, 30).flatMap { p =>
+      (0 until p).map { r =>
+        val th = 2.0 * math.Pi * r / p
+        (p.toLong, r.toLong, math.rint(math.cos(th) * 1e6).toLong,
+          math.rint(math.sin(th) * 1e6).toLong)
+      }
+    }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
@@ -3012,6 +3027,56 @@ object LlmSurface {
         .select(expr("hour(ts) div 4").as("g"),
           floor(col("value") * 1000.0).cast("long").as("v"))
       graft.operators.Jonckheere.jt(d, "g", "v")
+    }),
+
+    // ---- fixed-period periodogram of daily revenue (X365) ------------------
+    // "How much of the daily-revenue variance sits at the weekly /
+    // biweekly / monthly frequency": the Schuster periodogram at
+    // periods {7, 14, 30} on the zero-filled calendar spine, every
+    // cos/sin a DRIVER-FOLDED micro literal shared verbatim with the
+    // oracle (no runtime transcendental — the llm_bandit_ucb
+    // discipline), centering via the integer z = n·x − S trick, one
+    // floored micro division per period. Complements p_seasonal's
+    // day-of-week profile with an actual spectral fraction.
+    "p_periodogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("day").agg(sum("c").as("x"))
+      val b = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = b
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"),
+          col("d0"))
+        .join(daily, Seq("day"), "left")
+        .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val m = spine.agg(count(lit(1)).as("n"), sum("x").as("s"))
+      val z = spine.crossJoin(broadcast(m)) // 1-row scalar join
+        .select(col("t"),
+          (col("n") * col("x") - col("s")).cast("decimal(38,0)").as("z"),
+          col("n"))
+      val trig = s.createDataFrame(periodogramTrig)
+        .toDF("p", "r", "cmi", "smi")
+      val terms = z
+        .crossJoin(broadcast(trig.select("p").distinct())) // 3 periods
+        .withColumn("r", col("t") % col("p"))
+        .join(broadcast(trig), Seq("p", "r"))
+        .groupBy("p")
+        .agg(sum(col("z") * col("cmi")).as("a"),
+          sum(col("z") * col("smi")).as("b"))
+      val sz2 = z.agg(sum(col("z") * col("z")).as("sz2"),
+        max("n").as("n"))
+      terms.crossJoin(broadcast(sz2)) // 1-row scalar join
+        .select(col("p").as("period"),
+          when(col("sz2") > 0,
+            TextOps.floorDivDec(
+              (col("a") * col("a") + col("b") * col("b"))
+                * lit(2L),
+              col("n").cast("decimal(38,0)") * col("sz2")
+                * lit(1000000L)).cast("long"))
+            .otherwise(lit(0L)).as("power_frac_micro"))
+        .orderBy("period")
     }),
 
     // ---- Page's trend test: hour buckets ranked within days (X364) --------
@@ -10251,6 +10316,37 @@ $rounds,
              (var72 > 0 AND (jt2 - e2) * (jt2 - e2) * 18 * 1000000
                 >= CAST(3841458 AS HUGEINT) * var72) AS reject_05
       FROM f
+    """,
+
+    "p_periodogram" -> s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        FROM events GROUP BY 1),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      gd AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS day, d0 FROM b),
+      spine AS (
+        SELECT date_diff('day', gd.d0, CAST(gd.day AS DATE)) AS t,
+               coalesce(daily.x, 0) AS x
+        FROM gd LEFT JOIN daily ON daily.day = CAST(gd.day AS DATE)),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s
+            FROM spine),
+      z AS MATERIALIZED (
+        SELECT t, m.n * x - m.s AS z, m.n AS n FROM spine, m),
+      trig(p, r, cmi, smi) AS (VALUES ${periodogramTrig
+        .map { case (p, r, c, sn) => s"($p, $r, $c, $sn)" }
+        .mkString(", ")}),
+      terms AS (
+        SELECT p, sum(z.z * tg.cmi) AS a, sum(z.z * tg.smi) AS b2
+        FROM z JOIN trig tg ON tg.r = z.t % tg.p
+        GROUP BY p),
+      sz AS (SELECT sum(z * z) AS sz2, max(n) AS n FROM z)
+      SELECT CAST(p AS BIGINT) AS period,
+             CAST(CASE WHEN sz2 > 0
+                  THEN (2 * (a * a + b2 * b2)) // (n * sz2 * 1000000)
+                  ELSE 0 END AS BIGINT) AS power_frac_micro
+      FROM terms, sz ORDER BY period
     """,
 
     "p_page_trend" -> """
