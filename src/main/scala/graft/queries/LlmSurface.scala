@@ -4114,6 +4114,20 @@ object LlmSurface {
     // id<id_b cut dedupes the double generation, and the distance test
     // is exact integer dist². Oracle is the BRUTE-FORCE all-pairs
     // filter, proving the grid candidates lossless.
+    // ---- exact Gini decision stump on the embedding feature (X366) --------
+    // The CART primitive found bit-exactly from histograms
+    // (operators/GiniStump.scala, the LightGBM histogram-trick
+    // kernel): which threshold on quantized dim-0 best separates the
+    // labels. The purity-mass scale is shared with the parent so
+    // `purifies` is an honest exact comparison.
+    "llm_stump_split" -> ((s, dir) => {
+      val d = Tables(s, dir, "embeddings").select(
+        floor(element_at(col("embedding"), 1).cast("double") * 1000.0)
+          .cast("long").as("x"),
+        col("label").cast("long").as("y"))
+      graft.operators.GiniStump.bestSplit(d, "x", "y")
+    }),
+
     // ---- Moran's I over the embedding occupancy grid (X361) ---------------
     // Are occupied embedding cells surrounded by similarly occupied
     // ones (operators/MoranI.scala)? The spatial-clustering readout
@@ -13469,6 +13483,43 @@ $rounds,
                  AS attributed_value
         FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM j))
       SELECT * FROM att UNION ALL SELECT * FROM direct ORDER BY channel
+    """,
+
+    "llm_stump_split" -> """
+      WITH h AS MATERIALIZED (
+        SELECT CAST(floor(embedding[1] * 1000.0) AS BIGINT) AS x,
+               CAST(label AS BIGINT) AS y, count(*) AS c
+        FROM embeddings GROUP BY 1, 2),
+      cls AS (SELECT y, sum(c) AS cy FROM h GROUP BY 1),
+      tot AS (SELECT CAST(sum(cy) AS HUGEINT) AS n,
+                     sum(CAST(cy AS HUGEINT) * cy) AS sc2 FROM cls),
+      spine AS (
+        SELECT xs.x, ys.y, coalesce(h.c, 0) AS c
+        FROM (SELECT DISTINCT x FROM h) xs
+        CROSS JOIN (SELECT DISTINCT y FROM h) ys
+        LEFT JOIN h ON h.x = xs.x AND h.y = ys.y),
+      cum AS (
+        SELECT x, y, sum(c) OVER (PARTITION BY y ORDER BY x) AS cum
+        FROM spine),
+      j AS (SELECT cum.x, cum.cum, cls.cy
+            FROM cum JOIN cls ON cls.y = cum.y),
+      perT AS (
+        SELECT x AS t, sum(cum) AS nl,
+               sum(CAST(cum AS HUGEINT) * cum) AS sl2,
+               sum(CAST(cy - cum AS HUGEINT) * (cy - cum)) AS sr2
+        FROM j GROUP BY 1),
+      sc AS (
+        SELECT t, nl, n - nl AS nr,
+               (sl2 * 1000000) // nl
+                 + (sr2 * 1000000) // (n - nl) AS score
+        FROM perT, tot WHERE nl > 0 AND nl < n),
+      best AS (SELECT * FROM sc ORDER BY score DESC, t LIMIT 1)
+      SELECT CAST(t AS BIGINT) AS threshold, CAST(nl AS BIGINT) AS n_left,
+             CAST(nr AS BIGINT) AS n_right,
+             CAST(score AS BIGINT) AS score_micro,
+             CAST((sc2 * 1000000) // n AS BIGINT) AS parent_micro,
+             score > (sc2 * 1000000) // n AS purifies
+      FROM best, tot
     """,
 
     "llm_moran_grid" -> """
