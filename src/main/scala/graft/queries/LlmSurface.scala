@@ -963,6 +963,32 @@ object LlmSurface {
         .orderBy("lang", "source")
     }),
 
+    // ---- chi-square uniformity audit of the hash split (X367) -------------
+    // Is the md5 bucket assignment actually uniform on THIS corpus?
+    // The GOF check every deterministic-split pipeline owes its
+    // consumers: X² = Σ_b (100·o_b − n)²/(100·n) over the zero-filled
+    // 100-bucket spine (cross-multiplied — no fractional expected
+    // counts), decided against the driver-folded χ²(0.95, df=99)
+    // micro literal 123225221 (no CDF in either engine). A skewed
+    // split here would mean leaked doc_id structure in the hash.
+    "p_hash_uniformity" -> ((s, dir) => {
+      val occ = Tables(s, dir, "documents")
+        .select(TextOps.hashBucket(col("doc_id"), "split").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("o"))
+      val spine = s.range(100).select(col("id").cast("int").as("b"))
+        .join(occ, Seq("b"), "left")
+        .select(col("b"), coalesce(col("o"), lit(0L)).as("o"))
+      val n = spine.agg(sum("o").as("n"))
+      spine.crossJoin(broadcast(n)) // 1-row scalar join
+        .select(col("n"),
+          ((lit(100L) * col("o") - col("n"))
+            * (lit(100L) * col("o") - col("n"))).as("d2"))
+        .groupBy("n").agg(sum("d2").as("sd2"))
+        .select(col("n"),
+          expr("(sd2 * 1000000) div (100 * n)").as("x2_micro"))
+        .withColumn("reject_05", col("x2_micro") >= lit(123225221L))
+    }),
+
     // ---- deterministic train/val/test split (md5 hash buckets) -----------
     // Membership is a pure function of doc_id: stable across runs,
     // partitionings, engines, and corpus growth.
@@ -7286,6 +7312,25 @@ $rounds,
       FROM documents
       GROUP BY lang, source
       ORDER BY lang, source
+    """,
+
+    "p_hash_uniformity" -> """
+      WITH occ AS (
+        SELECT CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                 1, 4) AS INT) % 100 AS b,
+               count(*) AS o
+        FROM documents GROUP BY 1),
+      spine AS (
+        SELECT s.b, coalesce(occ.o, 0) AS o
+        FROM (SELECT unnest(range(100)) AS b) s
+        LEFT JOIN occ ON occ.b = s.b),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM spine),
+      x AS (
+        SELECT n, sum((100 * o - n) * (100 * o - n)) AS sd2
+        FROM spine, n GROUP BY n)
+      SELECT n, CAST((sd2 * 1000000) // (100 * n) AS BIGINT) AS x2_micro,
+             (sd2 * 1000000) // (100 * n) >= 123225221 AS reject_05
+      FROM x
     """,
 
     "llm_hash_split" -> """
