@@ -3055,6 +3055,50 @@ object LlmSurface {
       graft.operators.Jonckheere.jt(d, "g", "v")
     }),
 
+    // ---- Gumbel return levels for daily maxima (X368) ----------------------
+    // EVT block-maxima capacity planning: "what single-event value do
+    // we expect to exceed once a week / once a month". Gumbel by
+    // method of moments on the daily-max cents series — every
+    // transcendental (√6/π, Euler γ, −ln(−ln(1−1/T))) a DRIVER-FOLDED
+    // ×10⁷ literal shared with the oracle; s·10⁶ via isqrtDec of the
+    // exact variance numerator; one floored product per constant.
+    // Complements llm_tail_index (which warns WHEN the tail is too
+    // heavy for moments to mean anything).
+    "p_gumbel_maxima" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val daily = events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("day").agg(max("c").as("m"))
+      val mom = daily.agg(count(lit(1)).as("n"), sum(dec(col("m"))).as("sm"),
+        sum(dec(col("m")) * dec(col("m"))).as("sm2"))
+      val fit = mom.select(col("n"),
+          TextOps.floorDivDec(col("sm") * lit(1000000L), dec(col("n")))
+            .as("mean_micro"),
+          TextOps.isqrtDec(TextOps.floorDivDec(
+            (dec(col("n")) * col("sm2") - col("sm") * col("sm"))
+              * lit(1000000000000L),
+            dec(col("n")) * dec(col("n") - 1))).as("s_micro"))
+        .select(col("n"), col("mean_micro"),
+          TextOps.floorDivDec(lit(7796968L) * col("s_micro"),
+            dec(lit(10000000L))).as("beta_micro"))
+        .select(col("n"),
+          (col("mean_micro") - TextOps.floorDivDec(
+            lit(5772157L) * col("beta_micro"), dec(lit(10000000L))))
+            .as("mu_micro"),
+          col("beta_micro"))
+      val horizons = s.createDataFrame(Seq((7L, 18698247L),
+        (30L, 33842945L))).toDF("horizon_days", "c7")
+      fit.crossJoin(broadcast(horizons)) // 2-row fold-constant join
+        .select(col("horizon_days"), col("n").as("n_days"),
+          col("mu_micro").cast("long").as("mu_micro"),
+          col("beta_micro").cast("long").as("beta_micro"),
+          (col("mu_micro") + TextOps.floorDivDec(
+            col("c7") * col("beta_micro"), dec(lit(10000000L))))
+            .cast("long").as("return_level_micro"))
+        .orderBy("horizon_days")
+    }),
+
     // ---- fixed-period periodogram of daily revenue (X365) ------------------
     // "How much of the daily-revenue variance sits at the weekly /
     // biweekly / monthly frequency": the Schuster periodogram at
@@ -10375,6 +10419,46 @@ $rounds,
              (var72 > 0 AND (jt2 - e2) * (jt2 - e2) * 18 * 1000000
                 >= CAST(3841458 AS HUGEINT) * var72) AS reject_05
       FROM f
+    """,
+
+    "p_gumbel_maxima" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS m
+        FROM events GROUP BY 1),
+      mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(CAST(m AS HUGEINT)) AS sm,
+               sum(CAST(m AS HUGEINT) * m) AS sm2
+        FROM daily),
+      v AS (
+        SELECT n, (sm * 1000000) // n AS mean_micro,
+               ((n * sm2 - sm * sm) * 1000000000000) // (n * (n - 1))
+                 AS varn
+        FROM mom),
+      s0 AS (SELECT v.*, CAST(floor(sqrt(CAST(varn AS DOUBLE)))
+               AS HUGEINT) AS r0 FROM v),
+      s1 AS (SELECT s0.*, CASE WHEN (r0 + 1) * (r0 + 1) <= varn
+                               THEN r0 + 1 ELSE r0 END AS r1 FROM s0),
+      s2 AS (SELECT s1.*, CASE WHEN r1 * r1 > varn THEN r1 - 1
+                               ELSE r1 END AS s_micro FROM s1),
+      fit AS (
+        SELECT n, mean_micro,
+               (7796968 * s_micro) // 10000000 AS beta_micro
+        FROM s2),
+      fit2 AS (
+        SELECT n,
+               mean_micro - (5772157 * beta_micro) // 10000000 AS mu_micro,
+               beta_micro
+        FROM fit),
+      hz(horizon_days, c7) AS (VALUES (7, 18698247), (30, 33842945))
+      SELECT CAST(hz.horizon_days AS BIGINT) AS horizon_days,
+             CAST(n AS BIGINT) AS n_days,
+             CAST(mu_micro AS BIGINT) AS mu_micro,
+             CAST(beta_micro AS BIGINT) AS beta_micro,
+             CAST(mu_micro + (hz.c7 * beta_micro) // 10000000 AS BIGINT)
+               AS return_level_micro
+      FROM fit2, hz
+      ORDER BY horizon_days
     """,
 
     "p_periodogram" -> s"""
