@@ -919,6 +919,50 @@ object LlmSurface {
         .orderBy("source")
     }),
 
+    // ---- Wilson score intervals on per-source pass rates (X369) ------------
+    // The proportion CI that behaves at the extremes where the Wald
+    // interval collapses (Wilson 1927; Brown-Cai-DasGupta's
+    // recommendation): per source, the share of docs passing the
+    // Gopher word-count gate (>= 50 words) with its 95% interval.
+    // Exact integer construction: z and z² are folded micro literals
+    // (1959964, 3841459); the sqrt term is isqrtDec of a once-floored
+    // integer; ONE toward-zero division per bound. A source whose
+    // LOWER bound clears a policy floor is safe to keep at any n —
+    // the small-source honesty plain rates can't give.
+    "p_wilson_ci" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val z2 = 3841459L // z²·10⁶ at 95%
+      val d = Tables(s, dir, "documents")
+        .select(col("source"),
+          (size(TextOps.words(col("text"))) >= 50).as("pass"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("k"))
+      d.select(col("source"), col("n"), col("k"),
+          expr("(k * 1000000) div n").as("rate_micro"),
+          TextOps.isqrtDec(dec(lit(z2)) *
+            (TextOps.floorDivDec(dec(col("k")) * dec(col("n") - col("k"))
+              * lit(1000000L), dec(col("n")))
+              + dec(lit(z2 / 4)))).as("_sq"))
+        .select(col("source"), col("n"), col("k"), col("rate_micro"),
+          // clamped to [0, rate] / [rate, 10⁶]: the floored sqrt can
+          // read an exact-boundary bound one micro inside the point
+          // rate (k = n reads 999999), and a CI that excludes its own
+          // point estimate is a grid artifact, not a statistic
+          least(col("rate_micro"), greatest(lit(0L), TextOps.truncDivDec(
+            (dec(lit(2L)) * dec(col("k")) * lit(1000000L) + lit(z2)
+              - lit(2L) * col("_sq")) * lit(1000000L),
+            dec(lit(2L)) * (dec(col("n")) * lit(1000000L) + lit(z2)))
+            .cast("long"))).as("lo_micro"),
+          greatest(col("rate_micro"), least(lit(1000000L),
+            TextOps.truncDivDec(
+              (dec(lit(2L)) * dec(col("k")) * lit(1000000L) + lit(z2)
+                + lit(2L) * col("_sq")) * lit(1000000L),
+              dec(lit(2L)) * (dec(col("n")) * lit(1000000L) + lit(z2)))
+              .cast("long"))).as("hi_micro"))
+        .orderBy("source")
+    }),
+
     // ---- Katz burstiness / word adaptation (X358) --------------------------
     // Church & Gale 1995 / Katz 1996: P(word recurs in a doc | it
     // appeared at all) — the TEMPLATE detector unigram frequency
@@ -8692,6 +8736,33 @@ $rounds,
       JOIN lvl l ON l.n = c.scc
       GROUP BY c.scc, c.n_nodes
       ORDER BY c.scc
+    """,
+
+    "p_wilson_ci" -> """
+      WITH d AS (
+        SELECT source, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 50
+                    THEN 1 ELSE 0 END) AS HUGEINT) AS k
+        FROM documents GROUP BY 1),
+      t AS (
+        SELECT source, n, k,
+               3841459 * ((k * (n - k) * 1000000) // n + 960364) AS tt
+        FROM d),
+      s0 AS (SELECT t.*, CAST(floor(sqrt(CAST(tt AS DOUBLE)))
+               AS HUGEINT) AS r0 FROM t),
+      s1 AS (SELECT s0.*, CASE WHEN (r0 + 1) * (r0 + 1) <= tt
+                               THEN r0 + 1 ELSE r0 END AS r1 FROM s0),
+      s2 AS (SELECT s1.*, CASE WHEN r1 * r1 > tt THEN r1 - 1
+                               ELSE r1 END AS sq FROM s1)
+      SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             CAST((k * 1000000) // n AS BIGINT) AS rate_micro,
+             CAST(least((k * 1000000) // n, greatest(0,
+               ((2 * k * 1000000 + 3841459 - 2 * sq) * 1000000)
+                 // (2 * (n * 1000000 + 3841459)))) AS BIGINT) AS lo_micro,
+             CAST(greatest((k * 1000000) // n, least(1000000,
+               ((2 * k * 1000000 + 3841459 + 2 * sq) * 1000000)
+                 // (2 * (n * 1000000 + 3841459)))) AS BIGINT) AS hi_micro
+      FROM s2 ORDER BY source
     """,
 
     "llm_burstiness" -> """
