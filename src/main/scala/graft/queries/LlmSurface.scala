@@ -144,6 +144,97 @@ object LlmSurface {
       }
     }
 
+  /** The X351 retrieval oracle CTE chain (through `ranked`) — shared
+    * by llm_lm_retrieval and its X370 eval so the two can never
+    * drift. */
+  private def lmRetrievalSqlCtes: String = """d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tf AS MATERIALIZED (
+        SELECT doc_id, w, count(*) AS tf FROM (
+          SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+      cf AS MATERIALIZED (
+        SELECT w, sum(tf) AS cf FROM tf GROUP BY 1),
+      ctot AS (SELECT sum(cf) AS c FROM cf),
+      qt AS MATERIALIZED (
+        SELECT tf.doc_id AS query_id, tf.w, tf.tf AS qtf, cf.cf, ctot.c,
+               CAST(floor(ln(CAST(2000 * cf.cf AS DOUBLE)) * 1000000)
+                 AS BIGINT) AS lc_mu_cf
+        FROM tf JOIN cf USING (w), ctot
+        WHERE tf.doc_id % 100 = 0 AND tf.doc_id < 2400),
+      qconst AS (
+        SELECT query_id,
+               sum(qtf * (lc_mu_cf
+                 - CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                     AS BIGINT))) AS qconst,
+               sum(qtf) AS nq
+        FROM qt GROUP BY 1),
+      matched AS (
+        SELECT qt.query_id, tf.doc_id,
+               sum(qt.qtf *
+                 (CAST(floor(ln(CAST(tf.tf * qt.c + 2000 * qt.cf
+                    AS DOUBLE)) * 1000000) AS BIGINT)
+                  - qt.lc_mu_cf)) AS msum
+        FROM qt JOIN tf USING (w)
+        WHERE tf.doc_id <> qt.query_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT m.query_id, m.doc_id,
+               q.qconst + m.msum
+                 - q.nq * CAST(floor(ln(CAST(dl.dl + 2000 AS DOUBLE))
+                     * 1000000) AS BIGINT) AS score_micro
+        FROM matched m JOIN dl USING (doc_id)
+        JOIN qconst q USING (query_id)),
+      ranked AS MATERIALIZED (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id) AS rank
+        FROM scored)"""
+
+  /** Shared X351 Dirichlet-QL retrieval pipeline (top-5 per query,
+    * unordered) — consumed by llm_lm_retrieval and its X370 eval. */
+  private def lmRetrievalTop5(s: SparkSession, dir: String): DataFrame = {
+    val mu = 2000L
+    def lmu(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1000000.0).cast("long")
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+      .localCheckpoint(true) // tf, dl, cf and the query side all read it
+    val tf = d.select(col("doc_id"), explode(col("_w")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = d.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
+    val cf = tf.groupBy("w").agg(sum("tf").as("cf"))
+    val ctot = cf.agg(sum("cf").as("c"))
+    val qt = tf.filter(col("doc_id") % 100 === 0
+        && col("doc_id") < 2400)
+      .select(col("doc_id").as("query_id"), col("w"),
+        col("tf").as("qtf"))
+      .join(cf, "w")
+      .crossJoin(broadcast(ctot)) // 1-row scalar join
+      .withColumn("lc_mu_cf", lmu(lit(mu) * col("cf")))
+      .localCheckpoint(true) // qconst agg + the match join both read it
+    val qconst = qt.groupBy("query_id")
+      .agg(sum(col("qtf") * (col("lc_mu_cf") - lmu(col("c"))))
+        .as("qconst"),
+        sum("qtf").as("nq"))
+    val matched = qt.join(tf, Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("qtf") *
+        (lmu(col("tf") * col("c") + lit(mu) * col("cf"))
+          - col("lc_mu_cf"))).as("msum"))
+    val scored = matched.join(dl, "doc_id").join(qconst, "query_id")
+      .withColumn("score_micro",
+        col("qconst") + col("msum") - col("nq") * lmu(col("dl") + mu))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"))
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
@@ -1536,47 +1627,31 @@ object LlmSurface {
     // WITH the corpus made the join quadratic — measured 3.3 s →
     // 163 s at 10× data before the cap, corpus-linear after (the
     // llm_ann_recall bounded-panel discipline).
-    "llm_lm_retrieval" -> ((s, dir) => {
-      val mu = 2000L
-      def lmu(c: org.apache.spark.sql.Column) =
-        floor(log(c.cast("double")) * 1000000.0).cast("long")
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
-        .localCheckpoint(true) // tf, dl, cf and the query side all read it
-      val tf = d.select(col("doc_id"), explode(col("_w")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dl = d.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
-      val cf = tf.groupBy("w").agg(sum("tf").as("cf"))
-      val ctot = cf.agg(sum("cf").as("c"))
-      val qt = tf.filter(col("doc_id") % 100 === 0
-          && col("doc_id") < 2400)
-        .select(col("doc_id").as("query_id"), col("w"),
-          col("tf").as("qtf"))
-        .join(cf, "w")
-        .crossJoin(broadcast(ctot)) // 1-row scalar join
-        .withColumn("lc_mu_cf", lmu(lit(mu) * col("cf")))
-        .localCheckpoint(true) // qconst agg + the match join both read it
-      val qconst = qt.groupBy("query_id")
-        .agg(sum(col("qtf") * (col("lc_mu_cf") - lmu(col("c"))))
-          .as("qconst"),
-          sum("qtf").as("nq"))
-      val matched = qt.join(tf, Seq("w"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("qtf") *
-          (lmu(col("tf") * col("c") + lit(mu) * col("cf"))
-            - col("lc_mu_cf"))).as("msum"))
-      val scored = matched.join(dl, "doc_id").join(qconst, "query_id")
-        .withColumn("score_micro",
-          col("qconst") + col("msum") - col("nq") * lmu(col("dl") + mu))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id")
-        .orderBy(col("score_micro").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("doc_id"),
-          col("score_micro"))
-        .orderBy("query_id", "rank")
+    "llm_lm_retrieval" -> ((s, dir) =>
+      lmRetrievalTop5(s, dir).orderBy("query_id", "rank")),
+
+    // ---- retrieval quality eval of the QL scorer (X370) --------------------
+    // MRR and success@5 of llm_lm_retrieval under SAME-SOURCE
+    // relevance (query doc's source = the label-free proxy a
+    // curation pipeline actually has): the eval that closes the
+    // retrieval loop — a scorer change that tanks MRR here is caught
+    // before it ships. Exact integers: per-query reciprocal rank is
+    // ⌊10⁶/first-relevant-rank⌋, means divide once.
+    "llm_lm_retrieval_eval" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents").select("doc_id", "source")
+      val top = lmRetrievalTop5(s, dir)
+        .join(src.select(col("doc_id").as("query_id"),
+          col("source").as("qsrc")), "query_id")
+        .join(src, "doc_id")
+        .withColumn("rel", col("source") === col("qsrc"))
+      val perQ = top.groupBy("query_id")
+        .agg(min(when(col("rel"), col("rank"))).as("first_rel"))
+        .select(col("query_id"),
+          coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr"),
+          when(col("first_rel").isNotNull, 1L).otherwise(0L).as("hit"))
+      perQ.agg(count(lit(1)).as("n_queries"),
+          expr("sum(rr) div count(1)").as("mrr_micro"),
+          expr("(sum(hit) * 1000000) div count(1)").as("success5_micro"))
     }),
 
     // ---- PII/URL scrubbing: URL -> email -> long-digit redaction ---------
@@ -8135,50 +8210,32 @@ $rounds,
       FROM r WHERE rn <= 3 ORDER BY doc_id, word
     """,
 
-    "llm_lm_retrieval" -> """
-      WITH d AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      tf AS MATERIALIZED (
-        SELECT doc_id, w, count(*) AS tf FROM (
-          SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2),
-      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
-      cf AS MATERIALIZED (
-        SELECT w, sum(tf) AS cf FROM tf GROUP BY 1),
-      ctot AS (SELECT sum(cf) AS c FROM cf),
-      qt AS MATERIALIZED (
-        SELECT tf.doc_id AS query_id, tf.w, tf.tf AS qtf, cf.cf, ctot.c,
-               CAST(floor(ln(CAST(2000 * cf.cf AS DOUBLE)) * 1000000)
-                 AS BIGINT) AS lc_mu_cf
-        FROM tf JOIN cf USING (w), ctot
-        WHERE tf.doc_id % 100 = 0 AND tf.doc_id < 2400),
-      qconst AS (
+    "llm_lm_retrieval_eval" -> s"""
+      WITH $lmRetrievalSqlCtes,
+      top5 AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= 5),
+      rel AS (
+        SELECT t.query_id, t.rank,
+               ds.source = qs.source AS rel
+        FROM top5 t
+        JOIN documents ds ON ds.doc_id = t.doc_id
+        JOIN documents qs ON qs.doc_id = t.query_id),
+      perq AS (
+        SELECT query_id, min(CASE WHEN rel THEN rank END) AS first_rel
+        FROM rel GROUP BY 1),
+      rr AS (
         SELECT query_id,
-               sum(qtf * (lc_mu_cf
-                 - CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
-                     AS BIGINT))) AS qconst,
-               sum(qtf) AS nq
-        FROM qt GROUP BY 1),
-      matched AS (
-        SELECT qt.query_id, tf.doc_id,
-               sum(qt.qtf *
-                 (CAST(floor(ln(CAST(tf.tf * qt.c + 2000 * qt.cf
-                    AS DOUBLE)) * 1000000) AS BIGINT)
-                  - qt.lc_mu_cf)) AS msum
-        FROM qt JOIN tf USING (w)
-        WHERE tf.doc_id <> qt.query_id
-        GROUP BY 1, 2),
-      scored AS (
-        SELECT m.query_id, m.doc_id,
-               q.qconst + m.msum
-                 - q.nq * CAST(floor(ln(CAST(dl.dl + 2000 AS DOUBLE))
-                     * 1000000) AS BIGINT) AS score_micro
-        FROM matched m JOIN dl USING (doc_id)
-        JOIN qconst q USING (query_id)),
-      ranked AS (
-        SELECT query_id, doc_id, score_micro,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY score_micro DESC, doc_id) AS rank
-        FROM scored)
+               coalesce(1000000 // first_rel, 0) AS rr,
+               CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM perq)
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(sum(rr) // count(*) AS BIGINT) AS mrr_micro,
+             CAST((sum(hit) * 1000000) // count(*) AS BIGINT)
+               AS success5_micro
+      FROM rr
+    """,
+
+    "llm_lm_retrieval" -> s"""
+      WITH $lmRetrievalSqlCtes
       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
              CAST(score_micro AS BIGINT) AS score_micro
       FROM ranked WHERE rank <= 5

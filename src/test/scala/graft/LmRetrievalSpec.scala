@@ -53,4 +53,21 @@ class LmRetrievalSpec extends SparkSpec {
     // doc 1 matches both query terms, doc 2 only 'b': 1 must outrank 2
     assert(got.head._3 === 1L)
   }
+
+  test("X370 eval: same-source relevance drives MRR and success@5") {
+    // same corpus, sources split: the query (doc 0) is srcA; doc 1
+    // (the top hit) is srcB, doc 2 (second) is srcA, doc 3 absent →
+    // first relevant rank = 2 → MRR = ⌊10⁶/2⌋, success@5 = 1
+    val d2 = "/tmp/graft_lmretrieval_eval_fixture"
+    docs.map { case (id, t) =>
+      val src = if (id == 0L || id == 2L) "srcA" else "srcB"
+      (id, t, "en", src, t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d2/documents.parquet")
+    val r = graft.queries.LlmSurface
+      .queries("llm_lm_retrieval_eval")(spark, d2)
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((1L, 500000L, 1000000L)))
+  }
 }
