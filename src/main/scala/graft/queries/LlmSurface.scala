@@ -192,7 +192,24 @@ object LlmSurface {
         FROM scored)"""
 
   /** Shared X351 Dirichlet-QL retrieval pipeline (top-5 per query,
-    * unordered) — consumed by llm_lm_retrieval and its X370 eval. */
+    * unordered) — consumed by llm_lm_retrieval and its X370 eval.
+    *
+    * RESIDUAL CROSS-ENGINE RISK (documented, accepted): scores use
+    * floor(ln(integer)·1e6) evaluated AT RUNTIME in both engines (JVM
+    * `Math.log` here, libm `ln` in DuckDB) — the one departure from
+    * the driver-folded-literal discipline the Gumbel/periodogram
+    * transcendentals follow, because the ln arguments are data-derived
+    * (tf·c + μ·cf spans the corpus, unfoldable). The two libms are not
+    * guaranteed bit-identical: an argument whose ln·1e6 lands within
+    * ~1 ulp (≈4·10⁻⁹ after scaling) of an integer boundary can floor
+    * differently and flip one score by 1 micro. Per distinct argument
+    * that's a ~10⁻⁸ event; the failure mode is a LOUD hash mismatch in
+    * the correctness gate (never silent corruption), and ties are
+    * already broken by doc_id so equal-score ordering cannot diverge.
+    * Bounding it exactly would need an integer-exact ln probe (the
+    * isqrtDec trick has no ln analogue without exp, another
+    * transcendental) — not worth it against a detectable 10⁻⁸ flake.
+    */
   private def lmRetrievalTop5(s: SparkSession, dir: String): DataFrame = {
     val mu = 2000L
     def lmu(c: org.apache.spark.sql.Column) =
@@ -3241,10 +3258,28 @@ object LlmSurface {
         .select(datediff(col("day"), col("d0")).cast("long").as("t"),
           coalesce(col("x"), lit(0L)).as("x"))
       val m = spine.agg(count(lit(1)).as("n"), sum("x").as("s"))
-      val z = spine.crossJoin(broadcast(m)) // 1-row scalar join
+      val z0 = spine.crossJoin(broadcast(m)) // 1-row scalar join
         .select(col("t"),
           (col("n") * col("x") - col("s")).cast("decimal(38,0)").as("z"),
           col("n"))
+      // LOUD decimal(38,0) envelope (the CvmTest/KruskalWallis
+      // discipline): a = Σ z·cmi is bounded by n·max|z|·1e6 and the
+      // final stage squares it, so a² fits decimal(38,0) only while
+      // n·max|z| ≤ 7·10¹² (then |a| ≤ 7·10¹⁸ and a²+b² < 10³⁸). Past
+      // that, fail with a named contract instead of an opaque ANSI
+      // decimal overflow.
+      val zEnv = z0.agg(max(abs(col("z"))).as("zmax"), max("n").as("ne"))
+      val z = z0.crossJoin(broadcast(zEnv)) // 1-row scalar join
+        .select(col("t"), col("n"),
+          when(col("ne").cast("decimal(38,0)") * col("zmax")
+              <= lit(7000000000000L),
+            col("z"))
+            .otherwise(raise_error(concat(
+              lit("p_periodogram: n*max|z| = "),
+              (col("ne").cast("decimal(38,0)") * col("zmax"))
+                .cast("string"),
+              lit(" exceeds the decimal(38,0) envelope (7e12); aggregate"
+                + " revenue to a coarser unit upstream")))).as("z"))
       val trig = s.createDataFrame(periodogramTrig)
         .toDF("p", "r", "cmi", "smi")
       val terms = z
@@ -5374,8 +5409,13 @@ object LlmSurface {
     // an LPA partition (operators/Louvain.scala): from singletons,
     // every node adopts its best-gain neighbor community when the
     // exact cross-multiplied gain m2·w − k_i·k_j is positive. Reports
-    // how much modularity one sweep buys (q_before < q_after is the
-    // spec invariant on any graph with a positive-gain edge).
+    // how much modularity one sweep buys. NOTE: synchronous adoption
+    // gives no monotonicity guarantee — Q can stay flat (two-node
+    // mutual swap: each adopts the other, partition relabels only) or
+    // even DROP (star graph: all leaves pile onto the hub while the
+    // hub moves away); both counterexamples are pinned in LouvainSpec.
+    // The per-NODE gains are individually positive, but simultaneous
+    // moves interact; only sequential Louvain is monotone.
     "llm_louvain_move" -> ((s, dir) => {
       val rel = Tables(s, dir, "lineitem")
         .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)

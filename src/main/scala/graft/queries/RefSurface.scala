@@ -115,6 +115,24 @@ object RefSurface {
       SalesEtl.formatDates(valid).orderBy("Sale_ID")
     }),
 
+    // ---- S2: single-CSV read + coercing date parse ------------------------
+    // The one §2 operator that had no CORRECTNESS row (dead code in the
+    // reference — `leer_csv`, etl_utils.py:71-106 — but part of its
+    // public util surface): read ONE fixture file through the real
+    // readCsv(convertDate=true) path and let DuckDB read_csv replay it.
+    // Output pins the post-inference schema explicitly (Amount stays
+    // string — mixed "USD"/"EUR" suffixes defeat inference by design;
+    // Date coerces per-row, unparseable → null).
+    "s2_single_csv" -> ((s, dir) => {
+      val csvDir = SalesFixture.ensure(SalesFixture.sfName(dir))
+      val df = graft.sources.SalesSource.readCsv(
+        s, s"$csvDir/2025-01-01.csv", convertDate = true)
+      df.select(col("Sale_ID"), col("Product"), col("Amount"),
+          date_format(col("Date"), "yyyy-MM-dd").as("Date"),
+          col("Row_Idx").cast("int").as("Row_Idx"))
+        .orderBy("Row_Idx")
+    }),
+
     // ---- K1 end-to-end job roundtrip: run -> export -> read back --------
     // The full reference job (main.py:182-229) through the REAL K1 sink:
     // S1 directory scan -> Q1/Q2/Q3 -> Q4 -> three golden CSVs written to
@@ -1795,6 +1813,19 @@ object RefSurface {
       FROM valid ORDER BY sid
     """,
 
+    // Reads the SAME single fixture file the Spark side read through
+    // readCsv; DuckDB's all_varchar read + explicit casts replay
+    // Spark's inference outcome on this file (Amount/Product/Sale_ID
+    // stay strings, Row_Idx int, Date per-row TRY_CAST).
+    "s2_single_csv" -> """
+      SELECT "Sale_ID", "Product", "Amount",
+             strftime(TRY_CAST("Date" AS TIMESTAMP), '%Y-%m-%d') AS "Date",
+             CAST("Row_Idx" AS INT) AS "Row_Idx"
+      FROM read_csv('/tmp/graft_s1_sales/__SF__/2025-01-01.csv',
+                    header=true, all_varchar=true)
+      ORDER BY "Row_Idx"
+    """,
+
     // Reads the SAME three CSVs the Spark entry just wrote via the real
     // K1 sink (Verify executes the Spark side, which writes the files,
     // before the oracle compare runs; __SF__ → the verified sf).
@@ -2886,6 +2917,10 @@ object RefSurface {
                hx, nb
         FROM fr WHERE off + 4 + flen + 4 <= nb),
       meta AS (
+        -- mirror the Spark walker's stop condition: a frame row exists
+        -- only when the DECLARED DATA also fits (off + 4 + flen <= nb),
+        -- not merely the next 4-byte header — otherwise a truncated
+        -- container would emit a garbage row the walker never produces
         SELECT clip_id, frame_no, flen AS n_bytes,
                CAST(list_sum(list_transform(range(8), i ->
                  (strpos('0123456789ABCDEF',
@@ -2896,7 +2931,7 @@ object RefSurface {
                     substr(hx, (off + 4 + 20) * 2 + 1 + i, 1)) - 1)
                    * 16 ** (7 - i))) AS BIGINT) AS height,
                md5(substr(hx, (off + 4) * 2 + 1, flen * 2)) AS frame_md5
-        FROM fr)
+        FROM fr WHERE off + 4 + flen <= nb)
       SELECT clip_id, CAST(frame_no AS BIGINT) AS frame_no, n_bytes,
              width, height, frame_md5
       FROM meta
