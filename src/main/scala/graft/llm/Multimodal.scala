@@ -142,6 +142,131 @@ object Multimodal extends Serializable {
     baos.toByteArray
   }
 
+  /** Corpus-shaped REAL-PNG payload column (r12 verdict #3 — the
+    * convergence of the legacy multimodal family onto the real codec):
+    * one genuine PNG per document id, dimensions pinned by
+    * [[fixtureDims]], pixels keyed by the id. The blobs are written to
+    * parquet by the caller so the DuckDB oracle reads the SAME bytes
+    * (container-parsed truth) that Spark pushes through javax.imageio.
+    * Generation is a distributed narrow map; no blob passes the driver.
+    */
+  def pngCorpus(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, encodePng(id))))
+      .toDF(idCol, "payload")
+  }
+
+  /** Corpus-shaped REAL-VIDEO payload column: one length-prefixed
+    * PNG-frame container per document id (the [[videoFixture]] encoder
+    * over corpus ids — 2 + id % 4 frames, per-(id, frame) pinned
+    * dimensions). */
+  def videoCorpus(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeVideo(id))))
+      .toDF(idCol, "payload")
+  }
+
+  /** Pinned dimensions for the pixel-phash BMP corpus — small (≤12×14)
+    * so the oracle's per-pixel hex walk stays cheap at verify scale. */
+  def bmpDims(id: Long): (Int, Int) =
+    (8 + (id % 5).toInt, 8 + ((id * 3) % 7).toInt)
+
+  /** Corpus-shaped REAL-BMP payload column for the pixel-level
+    * perceptual-hash path: BMP because it is the one ImageIO codec
+    * whose PIXELS are byte-addressable in the container (24bpp BGR
+    * rows, bottom-up, 4-byte-padded), so the DuckDB oracle can
+    * re-derive the exact pixel bytes the REAL decode produced — the
+    * k15 IHDR trick extended from dimensions to the full pixel array.
+    * A NEGATIVE id encodes a planted near-copy of base −id−1: the same
+    * image with one mid bit of pixel (0,0)'s blue channel flipped —
+    * Hamming-close in any block-mean hash, byte-distinct on disk.
+    */
+  def bmpCorpus(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeBmp(id))))
+      .toDF(idCol, "payload")
+  }
+
+  private[graft] def encodeBmp(outId: Long): Array[Byte] = {
+    val base = if (outId < 0) -outId - 1 else outId
+    val (w, h) = bmpDims(base)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = x * 37L + y * 19L + base * 131L
+        img.setRGB(x, y,
+          (((v % 256) << 16) | (((v * 5) % 256) << 8) | ((v * 11) % 256))
+            .toInt)
+        x += 1
+      }
+      y += 1
+    }
+    if (outId < 0) {
+      // flip one mid bit of one channel: a ±8 perturbation never wraps
+      // a window sum far enough to flip more than a bit or two
+      val rgb = img.getRGB(0, 0)
+      img.setRGB(0, 0, (rgb & 0xffff00) | ((rgb & 0xff) ^ 0x08))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
+  /** REAL decode → pixel-level block-mean perceptual hash: javax.imageio
+    * decodes the payload, the pixel bytes are laid out in BMP storage
+    * order (bottom-up rows, B-G-R, padding excluded), and [[blockHash64]]
+    * runs over THAT array — so the hash is a function of decoded pixels,
+    * not container bytes, and the DuckDB oracle reproduces it from the
+    * container's pixel array (offset/stride arithmetic over the hex).
+    * A payload that fails to decode degrades to the byte-level hash
+    * ([[blockHash64]] over the raw payload) — the stub boundary is now
+    * ONLY the corrupt-blob path. Embarrassingly parallel narrow map.
+    */
+  def imagePixelPHash(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            if (img == null) (id, blockHash64(bytes))
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = new Array[Byte](3 * w * h)
+              var p = 0
+              var row = 0
+              while (row < h) {
+                val y = h - 1 - row // bottom-up: BMP storage order
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  px(p) = (rgb & 0xff).toByte // B
+                  px(p + 1) = ((rgb >> 8) & 0xff).toByte // G
+                  px(p + 2) = ((rgb >> 16) & 0xff).toByte // R
+                  p += 3
+                  x += 1
+                }
+                row += 1
+              }
+              (id, blockHash64(px))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "phash")
+  }
+
   /** Decode every payload to typed metadata, executor-side, in batches of
     * 64 (mirrors an arrow-batched `mapInPandas` UDF's shape). `decode`
     * picks the codec: [[stubDecode]] (default — oracle-replayable) or

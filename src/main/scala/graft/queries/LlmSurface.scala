@@ -2641,26 +2641,30 @@ object LlmSurface {
         .orderBy("event_type", "k_bucket")
     }),
 
-    // ---- multimodal near-dup: block-mean perceptual hash + Hamming join --
-    // Image-dedup shape: executor-side perceptual hash over the payload
-    // bytes (block-mean scheme, exact integer math), then the SAME
-    // pigeonhole chunk-blocked Hamming join the text SimHash path uses —
-    // one generic machinery, two modalities. A real pipeline swaps the
-    // byte windows for decoded pixel blocks at the stub boundary.
+    // ---- multimodal near-dup: REAL decode -> pixel phash + Hamming join --
+    // Image-dedup over the REAL codec (r12 verdict #3): per-document
+    // genuine BMPs (the one ImageIO format whose pixels are
+    // byte-addressable in the container, so the oracle can replay the
+    // hash from the DECODED pixel bytes), block-mean perceptual hash
+    // over the decoded pixels, then the SAME pigeonhole chunk-blocked
+    // Hamming join the text SimHash path uses — one generic machinery,
+    // two modalities. The byte-level hash survives only as the
+    // corrupt-blob degradation path inside imagePixelPHash.
     "llm_multimodal_near_dup" -> ((s, dir) => {
-      // every 10th doc gets a planted NEAR-COPY (last byte edited, id =
-      // -doc_id - 1: real doc_ids are non-negative at every sf, so the
-      // injected ids can NEVER collide with a genuine document — an
-      // additive offset would, once the corpus outgrows it) — the corpus
-      // has no natural payload near-dups, and an empty result would
-      // verify nothing (the vacuous-green trap)
-      val docs = Tables(s, dir, "documents")
-      val variants = docs.filter(col("doc_id") % 10 === 0)
-        .select((-col("doc_id") - 1L).as("doc_id"),
-          concat(col("text").substr(lit(1), length(col("text")) - 1), lit("x")).as("text"))
-      val corpus = docs.select("doc_id", "text").unionByName(variants)
-      val hashed = Multimodal.decodePHash(s,
-        Multimodal.withPayload(corpus, "text"), "doc_id")
+      // every 10th doc gets a planted NEAR-COPY (one mid pixel bit
+      // flipped, id = -doc_id - 1: real doc_ids are non-negative at
+      // every sf, so the injected ids can NEVER collide with a genuine
+      // document — an additive offset would, once the corpus outgrows
+      // it) — the corpus has no natural pixel near-dups, and an empty
+      // result would verify nothing (the vacuous-green trap)
+      val base = s"/tmp/graft_mm_bmp/${SalesFixture.sfName(dir)}"
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val ids = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((-col("doc_id") - 1L).as("doc_id")))
+      Multimodal.bmpCorpus(s, ids, "doc_id")
+        .write.mode("overwrite").parquet(base)
+      val hashed = Multimodal.imagePixelPHash(s, s.read.parquet(base),
+        "doc_id")
       TextOps.hammingNearDupPairs(hashed, "doc_id", "phash",
         maxHamming = 6, chunks = 8, bits = 64)
         .orderBy("doc_a", "doc_b")
@@ -5052,22 +5056,52 @@ object LlmSurface {
         .orderBy("source", "out_file")
     }),
 
-    // ---- multimodal: binary payload + batched executor-side decode -------
+    // ---- multimodal: REAL binary payload + batched executor-side decode --
+    // r12 verdict #3: the legacy family now runs the REAL codec end to
+    // end. One genuine PNG per document (corpus-shaped fixture written
+    // to parquet so the oracle reads the SAME bytes), decoded with
+    // javax.imageio — width/height come from decoded pixels while the
+    // oracle re-derives them from the container's IHDR, so a stubbed
+    // decode or codec/container disagreement hash-mismatches. stubDecode
+    // is reachable only as imageDecode's corrupt-blob degradation path.
     "llm_multimodal_meta" -> ((s, dir) => {
-      Multimodal.decodeMeta(s,
-        Multimodal.withPayload(Tables(s, dir, "documents"), "text"), "doc_id")
+      val base = s"/tmp/graft_mm_png/${SalesFixture.sfName(dir)}"
+      Multimodal.pngCorpus(s,
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .write.mode("overwrite").parquet(base)
+      Multimodal.decodeMeta(s, s.read.parquet(base), "doc_id",
+          Multimodal.imageDecode)
         .toDF()
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal: decode -> resize(256) -> stride-2 frame sample ------
-    // The full video-ish pipeline over the stub codec: one narrow
-    // per-partition decode, a typed resize map, and a flatMap fan-out to
-    // one row per sampled frame carrying the resized dims (no join back).
+    // ---- multimodal: REAL decode -> fit-24 resize -> stride-2 sample -----
+    // The full video pipeline over the REAL codec: per-document
+    // length-prefixed PNG-frame containers (videoCorpus), the real
+    // container walk + per-frame javax.imageio decode (videoFrameMeta),
+    // then fit-to-24 resize arithmetic on the DECODED dims and a
+    // stride-2 frame sample — all narrow, no join back. The oracle
+    // re-walks the same container bytes recursively (k17 pattern) and
+    // replays the resize + stride arithmetic from the IHDR dims.
     "llm_multimodal_frames" -> ((s, dir) => {
-      val meta = Multimodal.decodeMeta(s,
-        Multimodal.withPayload(Tables(s, dir, "documents"), "text"), "doc_id")
-      Multimodal.frameTable(s, Multimodal.resizeMeta(meta, 256), stride = 2)
+      val base = s"/tmp/graft_mm_vid/${SalesFixture.sfName(dir)}"
+      Multimodal.videoCorpus(s,
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .write.mode("overwrite").parquet(base)
+      val fm = Multimodal.videoFrameMeta(s, s.read.parquet(base), "doc_id")
+      val longest = greatest(col("width"), col("height"))
+      fm.filter(col("frame_no") % 2 === 0)
+        .select(col("clip_id").as("doc_id"),
+          col("frame_no").as("frame_idx"), col("n_bytes"),
+          when(longest <= 24, col("width"))
+            .otherwise(greatest(lit(1L),
+              expr("(width * 24) div greatest(width, height)")))
+            .as("width"),
+          when(longest <= 24, col("height"))
+            .otherwise(greatest(lit(1L),
+              expr("(height * 24) div greatest(width, height)")))
+            .as("height"),
+          col("frame_md5"))
         .orderBy("doc_id", "frame_idx")
     }),
 
@@ -6949,6 +6983,28 @@ mom AS (
     * is spelled `(-q - 1)` because `-2^63` won't parse as a single
     * BIGINT literal.
     */
+  /** DuckDB expression: the unsigned byte at 0-based offset `off` of
+    * the hex column `hx` (the k16 strpos trick, factored — the
+    * multimodal oracles parse BMP headers and pixel arrays with it). */
+  private def hexByteAt(off: String): String =
+    s"((strpos('0123456789ABCDEF', substr(hx, 2*($off) + 1, 1)) - 1) * 16" +
+      s" + (strpos('0123456789ABCDEF', substr(hx, 2*($off) + 2, 1)) - 1))"
+
+  /** DuckDB expression: little-endian u32 at 0-based byte offset `off`
+    * (BMP header fields). */
+  private def hexLe32(off: Int): String =
+    s"(${hexByteAt(off.toString)} + 256 * ${hexByteAt((off + 1).toString)}" +
+      s" + 65536 * ${hexByteAt((off + 2).toString)}" +
+      s" + 16777216 * ${hexByteAt((off + 3).toString)})"
+
+  /** DuckDB expression: big-endian u32 whose 8 hex digits start at
+    * 1-based hex position `hpos1` (PNG IHDR fields, 4-byte frame
+    * length prefixes). */
+  private def hexBe32(hpos1: String): String =
+    s"CAST(list_sum(list_transform(range(8), i -> " +
+      s"(strpos('0123456789ABCDEF', substr(hx, ($hpos1) + i, 1)) - 1)" +
+      s" * 16 ** (7 - i))) AS BIGINT)"
+
   private val blockhashExpr: String = (0 until 64).map { b =>
     val ws = s"(($b * n) // 64 + 1)"
     val we = s"((${b + 1} * n) // 64)"
@@ -9934,17 +9990,26 @@ $rounds,
       GROUP BY 1, 2 ORDER BY 1, 2
     """,
 
+    // The phash is replayed from the DECODED pixel bytes: the BMP
+    // header names the pixel-array offset (byte 10, LE) and dims
+    // (18/22, LE); rows are bottom-up, 3 bytes BGR per pixel, padded
+    // to 4 bytes — exactly the byte order imagePixelPHash reconstructs
+    // from the javax.imageio decode (MultimodalCodecSpec pins the
+    // layout against the real writer). A stubbed hash over container
+    // bytes would mismatch on every row.
     "llm_multimodal_near_dup" -> s"""
-      WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT -doc_id - 1, substr(text, 1, length(text) - 1) || 'x'
-        FROM documents WHERE doc_id % 10 = 0),
+      WITH hdrsrc AS (
+        SELECT doc_id, hex(payload) AS hx
+        FROM read_parquet('/tmp/graft_mm_bmp/__SF__/*.parquet')),
+      hdr AS (
+        SELECT doc_id, hx, ${hexLe32(10)} AS off0,
+               ${hexLe32(18)} AS w, ${hexLe32(22)} AS h
+        FROM hdrsrc),
       raw AS (
-        SELECT doc_id, length(text) AS n,
-               list_transform(range(1, length(text) + 1),
-                              i -> ascii(substr(text, i, 1))) AS bytes
-        FROM corpus),
+        SELECT doc_id, 3 * w * h AS n,
+               list_transform(range(3 * w * h), i ->
+                 ${hexByteAt("off0 + ((i // 3) // w) * (((3 * w + 3) // 4) * 4) + ((i // 3) % w) * 3 + (i % 3)")}) AS bytes
+        FROM hdr),
       tot AS (SELECT doc_id, n, bytes, list_sum(bytes) AS total FROM raw),
       ph AS (SELECT doc_id, CAST($blockhashExpr AS BIGINT) AS phash FROM tot),
       ch AS (
@@ -14804,45 +14869,58 @@ $rounds,
       FROM s3 ORDER BY user_id
     """,
 
-    "llm_multimodal_meta" -> """
-      WITH m AS (
-        SELECT doc_id, length(text) AS byte_len,
-               CAST(list_sum(list_transform(range(1, length(text) + 1),
-                                            i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
-        FROM documents)
-      SELECT doc_id, byte_len, byte_sum,
-             64 + (byte_sum % 577) AS width,
-             64 + ((byte_sum * 31) % 937) AS height,
-             1 + (byte_len % 7) AS frames
-      FROM m
+    // Width/height re-derived from the PNG CONTAINER (IHDR, big-endian
+    // at bytes 16/20) while Spark reports the REAL codec's decoded
+    // pixel dims; byte_len/byte_sum re-derived from the hex of the
+    // SAME parquet blobs Spark decoded — a stub masquerading as a
+    // decode, or a writer/reader byte slip, hash-mismatches.
+    "llm_multimodal_meta" -> s"""
+      WITH raw AS (
+        SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS nb
+        FROM read_parquet('/tmp/graft_mm_png/__SF__/*.parquet'))
+      SELECT doc_id,
+             CAST(nb AS INT) AS byte_len,
+             CAST(list_sum(list_transform(range(nb), i ->
+               ${hexByteAt("i")})) AS BIGINT) AS byte_sum,
+             CAST(${hexBe32("33")} AS INT) AS width,
+             CAST(${hexBe32("41")} AS INT) AS height,
+             CAST(1 AS INT) AS frames
+      FROM raw
       ORDER BY doc_id
     """,
 
-    "llm_multimodal_frames" -> """
-      WITH m AS (
-        SELECT doc_id, length(text) AS byte_len,
-               CAST(list_sum(list_transform(range(1, length(text) + 1),
-                                            i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
-        FROM documents),
-      dims AS (
-        SELECT doc_id,
-               CAST(64 + (byte_sum % 577) AS INT) AS w0,
-               CAST(64 + ((byte_sum * 31) % 937) AS INT) AS h0,
-               CAST(1 + (byte_len % 7) AS INT) AS frames
-        FROM m),
-      rs AS (
-        SELECT doc_id, frames,
-               CASE WHEN greatest(w0, h0) <= 256 THEN w0
-                    ELSE greatest(1, CAST((CAST(w0 AS BIGINT) * 256) // greatest(w0, h0) AS INT))
-               END AS width,
-               CASE WHEN greatest(w0, h0) <= 256 THEN h0
-                    ELSE greatest(1, CAST((CAST(h0 AS BIGINT) * 256) // greatest(w0, h0) AS INT))
-               END AS height
-        FROM dims)
-      SELECT doc_id, frame_idx, width, height FROM (
-        SELECT doc_id, CAST(unnest(range(0, frames, 2)) AS INT) AS frame_idx,
-               width, height
-        FROM rs)
+    // The k17 recursive container walk over the per-document video
+    // corpus, plus the fit-24 resize and stride-2 sample arithmetic —
+    // dims from each frame's IHDR, md5 over each frame's hex, the
+    // frame-data-fits stop condition mirroring the Spark walker.
+    "llm_multimodal_frames" -> s"""
+      WITH RECURSIVE raw AS (
+        SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS nb
+        FROM read_parquet('/tmp/graft_mm_vid/__SF__/*.parquet')),
+      fr AS (
+        SELECT doc_id, 0 AS frame_no, 0 AS off,
+               ${hexBe32("1")} AS flen, hx, nb
+        FROM raw
+        UNION ALL
+        SELECT doc_id, frame_no + 1, off + 4 + flen,
+               ${hexBe32("(off + 4 + flen) * 2 + 1")}, hx, nb
+        FROM fr WHERE off + 4 + flen + 4 <= nb),
+      meta AS (
+        SELECT doc_id, frame_no, flen AS n_bytes,
+               ${hexBe32("(off + 4 + 16) * 2 + 1")} AS w0,
+               ${hexBe32("(off + 4 + 20) * 2 + 1")} AS h0,
+               md5(substr(hx, (off + 4) * 2 + 1, flen * 2)) AS frame_md5
+        FROM fr WHERE off + 4 + flen <= nb)
+      SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_idx, n_bytes,
+             CASE WHEN greatest(w0, h0) <= 24 THEN w0
+                  ELSE greatest(1, (w0 * 24) // greatest(w0, h0))
+             END AS width,
+             CASE WHEN greatest(w0, h0) <= 24 THEN h0
+                  ELSE greatest(1, (h0 * 24) // greatest(w0, h0))
+             END AS height,
+             frame_md5
+      FROM meta
+      WHERE frame_no % 2 = 0
       ORDER BY doc_id, frame_idx
     """,
 

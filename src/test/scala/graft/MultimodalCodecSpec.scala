@@ -83,4 +83,77 @@ class MultimodalCodecSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(magics === Seq("89504E470D0A1A0A"))
   }
+
+  // little-endian u32 at 0-based byte offset
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  test("encodeBmp container layout matches the oracle's byte arithmetic") {
+    // The llm_multimodal_near_dup oracle re-derives the DECODED pixel
+    // bytes from the container: dataOff at byte 10 (LE), width at 18,
+    // height at 22 (positive = bottom-up), 24 bpp at 28, rows padded
+    // to 4 bytes. Pin every assumption against the real ImageIO writer.
+    Seq(0L, 7L, 123L, -8L).foreach { id =>
+      val b = Multimodal.encodeBmp(id)
+      val base = if (id < 0) -id - 1 else id
+      val (w, h) = Multimodal.bmpDims(base)
+      assert(b(0) === 'B'.toByte && b(1) === 'M'.toByte)
+      assert(le32(b, 2) === b.length.toLong, "declared file size")
+      val dataOff = le32(b, 10).toInt
+      assert(le32(b, 18) === w.toLong, "width LE at 18")
+      assert(le32(b, 22) === h.toLong, "positive height (bottom-up) at 22")
+      assert(((b(28) & 0xff) | ((b(29) & 0xff) << 8)) === 24, "24 bpp")
+      val stride = (3 * w + 3) / 4 * 4
+      assert(dataOff + stride * h === b.length, "pixel array fills the file")
+      // the pixel bytes at the oracle's offsets == the decoded pixels
+      // imagePixelPHash walks (bottom-up BGR, padding skipped)
+      val px = new Array[Byte](3 * w * h)
+      var p = 0
+      while (p < 3 * w * h) {
+        val pix = p / 3
+        px(p) = b(dataOff + (pix / w) * stride + (pix % w) * 3 + p % 3)
+        p += 1
+      }
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(b))
+      assert(img != null, "ImageIO decodes its own BMP")
+      val fromDecode = new Array[Byte](3 * w * h)
+      p = 0
+      var row = 0
+      while (row < h) {
+        val y = h - 1 - row
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          fromDecode(p) = (rgb & 0xff).toByte
+          fromDecode(p + 1) = ((rgb >> 8) & 0xff).toByte
+          fromDecode(p + 2) = ((rgb >> 16) & 0xff).toByte
+          p += 3; x += 1
+        }
+        row += 1
+      }
+      assert(px.toSeq === fromDecode.toSeq,
+        s"id $id: container pixel bytes != decoded pixel bytes")
+    }
+  }
+
+  test("imagePixelPHash: variant Hamming-close to base, corrupt blob degrades") {
+    val ids = Seq(0L, 10L, 20L, -1L, -11L, -21L) // bases + their variants
+    val df = Multimodal.bmpCorpus(spark, ids.toDF("doc_id"), "doc_id")
+    val ph = Multimodal.imagePixelPHash(spark, df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(0L, 10L, 20L).foreach { base =>
+      val d = java.lang.Long.bitCount(ph(base) ^ ph(-base - 1))
+      assert(d <= 6, s"base $base vs variant: hamming $d")
+    }
+    // distinct bases should not all collide (the hash discriminates)
+    assert(Seq(0L, 10L, 20L).map(ph).distinct.size > 1)
+    // corrupt blob: falls back to the byte-level hash, never throws
+    val junk = Seq((99L, "definitely not a bitmap".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imagePixelPHash(spark, junk, "doc_id")
+      .collect().head.getLong(1)
+    assert(got === Multimodal.blockHash64(
+      "definitely not a bitmap".getBytes("UTF-8")))
+  }
 }
