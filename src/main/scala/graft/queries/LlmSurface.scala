@@ -5839,6 +5839,107 @@ object LlmSurface {
         .select(col("lo").as("id_a"), col("hi").as("id_b"),
           col("w").as("dist2"))
         .orderBy("dist2", "id_a", "id_b")
+    }),
+
+    // ---- Mann-Kendall monotone trend per event type (X371) ---------------
+    // The distribution-free IS-IT-DRIFTING test
+    // (operators/MannKendall.scala) next to p_theil_sen's slope and
+    // p_page_trend's blocked ordering: daily event counts per type on
+    // the dense calendar spine (absent days are real zeros), S from
+    // time-ordered pairs. The pair join is |days|² metadata per type
+    // — one combine agg reduces the corpus first, so 100 TB enters
+    // the quadratic stage as ~90 rows per type.
+    "p_mann_kendall" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type").as("g"), to_date(col("ts")).as("d"))
+      val spine = ev.agg(min("d").as("_a"), max("d").as("_b"))
+        .select(explode(sequence(col("_a"), col("_b"))).as("d"))
+        .crossJoin(ev.select("g").distinct())
+      val daily = spine
+        .join(ev.groupBy("g", "d").agg(count(lit(1)).as("y")),
+          Seq("g", "d"), "left")
+        .select(col("g"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).as("i"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      graft.operators.MannKendall.trend(daily, "g", "i", "y")
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // ---- Cliff's delta effect size between the A/B arms (X372) -----------
+    // The ordinal MAGNITUDE readout (operators/CliffsDelta.scala)
+    // next to llm_ab_mannwhitney's decision: same user_id%2 arms,
+    // same cent histogram — δ = P(x₁>x₀) − P(x₁<x₀) with the Romano
+    // magnitude bands, pure integer cross-multiplication throughout.
+    "llm_ab_cliffs_delta" -> ((s, dir) => {
+      val d = events(s, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((col("user_id") % 2).cast("int").as("arm"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      graft.operators.CliffsDelta.delta(d, "arm", "v")
+    }),
+
+    // ---- Fleiss' kappa across three rule-raters (X373) --------------------
+    // The multi-rater agreement audit (operators/FleissKappa.scala):
+    // three deterministic labeling heuristics — length, stopword
+    // ratio, lexical diversity — each grade every doc into quality
+    // tier {0,1,2}; kappa reads how much of their agreement survives
+    // the marginal prevalences. The panel is constant by construction
+    // (n = 3 rows per doc), which the operator ENFORCES — exactly the
+    // campaign-level QA readout a labeling pipeline runs nightly.
+    "llm_fleiss_kappa" -> ((s, dir) => {
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n"),
+          size(array_distinct(col("w"))).cast("long").as("nd"),
+          size(filter(col("w"), x => x.isin(stopwords: _*)))
+            .cast("long").as("ns"))
+        .localCheckpoint(true) // feeds all three rater projections
+      val r1 = f.select(col("doc_id"),
+        when(col("n") < 40, 0).when(col("n") < 70, 1).otherwise(2)
+          .as("cat"))
+      val r2 = f.select(col("doc_id"),
+        when(col("ns") * 25 < col("n"), 0)
+          .when(col("ns") * 25 < col("n") * 2, 1).otherwise(2).as("cat"))
+      val r3 = f.select(col("doc_id"),
+        when(col("nd") * 5 < col("n") * 2, 0)
+          .when(col("nd") * 20 < col("n") * 11, 1).otherwise(2)
+          .as("cat"))
+      graft.operators.FleissKappa.kappa(
+        r1.unionByName(r2).unionByName(r3), "doc_id", "cat")
+    }),
+
+    // ---- HyperLogLog shingle-cardinality audit per lang (X374) ------------
+    // The FIXED-SIZE cardinality sketch (operators/Hll.scala) next to
+    // llm_kmv_set_ops' bottom-k: 1024 registers per language over the
+    // 3-shingle stream (3k-9k distinct per lang — ABOVE the 2.5m
+    // small-range knee, so the raw estimator is in its valid regime;
+    // the 31-word soup vocabulary is not), raw HLL estimate vs the
+    // exact distinct count with the error in basis points. At 100 TB
+    // the exact branch is dropped and only the 1 KiB-per-group
+    // register fold remains (register-wise max — mergeable across
+    // shards).
+    "llm_hll_audit" -> ((s, dir) => {
+      val w = Tables(s, dir, "documents")
+        .select(col("lang"), TextOps.words(col("text")).as("_w"))
+        .select(col("lang"),
+          explode(TextOps.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .localCheckpoint(true) // feeds the sketch AND the exact audit
+      val hashed = w.select(col("lang"), expr(
+        "cast(conv(substring(md5(concat('hll|', sh)), 1, 15), 16, 10)"
+          + " as bigint)").as("h"))
+      val est = graft.operators.Hll.estimate(hashed, "lang", "h")
+      val exact = w.groupBy("lang")
+        .agg(countDistinct(col("sh")).as("n_exact"))
+      exact.join(est.withColumnRenamed("g", "lang"), "lang")
+        .select(col("lang"), col("n_exact"), col("est"),
+          col("v_empty"), col("n_registers_hit"),
+          graft.llm.TextOps.floorDivDec(
+            abs(col("est") - col("n_exact")).cast("decimal(38,0)")
+              * lit(10000L),
+            col("n_exact").cast("decimal(38,0)")).cast("long")
+            .as("err_bp"))
+        .orderBy("lang")
     })
   )
 
@@ -16592,7 +16693,186 @@ $rounds
     // base edge was a cycle maximum and stays one).
     "llm_mst_incremental" -> mstFullOracleSql,
     "llm_spectral_cut" -> spectralCutOracleSql,
-    "llm_facility_select" -> facilitySelectOracleSql
+    "llm_facility_select" -> facilitySelectOracleSql,
+
+    "p_mann_kendall" -> """
+      WITH ev AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d FROM events),
+      b AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+      gd AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS day FROM b),
+      spine AS (
+        SELECT t.g, CAST(gd.day AS DATE) AS d
+        FROM gd, (SELECT DISTINCT g FROM ev) t),
+      cnt AS (SELECT g, d, count(*) AS y FROM ev GROUP BY 1, 2),
+      daily AS MATERIALIZED (
+        SELECT s.g, date_diff('day', DATE '1970-01-01', s.d) AS i,
+               coalesce(c.y, 0) AS y
+        FROM spine s LEFT JOIN cnt c ON c.g = s.g AND c.d = s.d),
+      st AS (
+        SELECT a.g, sum(CASE WHEN b2.y > a.y THEN 1
+                             WHEN b2.y < a.y THEN -1 ELSE 0 END) AS s_stat
+        FROM daily a JOIN daily b2 ON a.g = b2.g AND a.i < b2.i
+        GROUP BY 1),
+      ties AS (
+        SELECT g, sum(t) AS n,
+               sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tie_sum
+        FROM (SELECT g, y, count(*) AS t FROM daily GROUP BY 1, 2)
+        GROUP BY 1),
+      j AS (
+        SELECT ties.g, n, coalesce(s_stat, 0) AS s_stat,
+               CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie_sum
+                 AS var18
+        FROM ties LEFT JOIN st ON st.g = ties.g)
+      SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+             CAST(s_stat AS BIGINT) AS s_stat,
+             CAST(var18 AS BIGINT) AS var18,
+             CAST(CASE WHEN var18 > 0
+                  THEN (CAST(s_stat AS HUGEINT) * s_stat * 18 * 1000000)
+                       // var18
+                  ELSE 0 END AS BIGINT) AS z2_micro,
+             s_stat > 0 AS rising,
+             var18 > 0 AND CAST(s_stat AS HUGEINT) * s_stat * 18 * 1000000
+               >= CAST(3841458 AS HUGEINT) * var18 AS reject_05
+      FROM j ORDER BY event_type
+    """,
+
+    "llm_ab_cliffs_delta" -> """
+      WITH hist AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+      cum AS (
+        SELECT n0, n1,
+               coalesce(sum(n0) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS b0,
+               coalesce(sum(n1) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS b1
+        FROM hist),
+      m AS (
+        SELECT CAST(sum(n0) AS HUGEINT) AS n0,
+               CAST(sum(n1) AS HUGEINT) AS n1,
+               sum(CAST(n1 AS HUGEINT) * b0) AS gt,
+               sum(CAST(n0 AS HUGEINT) * b1) AS lt
+        FROM cum)
+      SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             CAST(gt AS BIGINT) AS gt_pairs,
+             CAST(lt AS BIGINT) AS lt_pairs,
+             CAST(gt - lt AS BIGINT) AS d_num,
+             CAST(CASE WHEN n0 > 0 AND n1 > 0
+                  THEN (CASE WHEN gt >= lt THEN 1 ELSE -1 END)
+                       * ((abs(gt - lt) * 1000000) // (n0 * n1))
+                  ELSE 0 END AS BIGINT) AS delta_micro,
+             CASE WHEN n0 = 0 OR n1 = 0 THEN 'undefined'
+                  WHEN abs(gt - lt) * 1000000 < 147000 * n0 * n1
+                    THEN 'negligible'
+                  WHEN abs(gt - lt) * 1000000 < 330000 * n0 * n1
+                    THEN 'small'
+                  WHEN abs(gt - lt) * 1000000 < 474000 * n0 * n1
+                    THEN 'medium'
+                  ELSE 'large' END AS magnitude
+      FROM m
+    """,
+
+    "llm_fleiss_kappa" -> """
+      WITH f AS MATERIALIZED (
+        SELECT doc_id, len(string_split(text, ' ')) AS n,
+               len(list_distinct(string_split(text, ' '))) AS nd,
+               len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'to', 'in'))) AS ns
+        FROM documents),
+      r AS (
+        SELECT doc_id, CASE WHEN n < 40 THEN 0 WHEN n < 70 THEN 1
+                            ELSE 2 END AS cat FROM f
+        UNION ALL
+        SELECT doc_id, CASE WHEN ns * 25 < n THEN 0
+                            WHEN ns * 25 < n * 2 THEN 1 ELSE 2 END FROM f
+        UNION ALL
+        SELECT doc_id, CASE WHEN nd * 5 < n * 2 THEN 0
+                            WHEN nd * 20 < n * 11 THEN 1 ELSE 2 END
+        FROM f),
+      cells AS MATERIALIZED (
+        SELECT doc_id AS s, cat AS c, count(*) AS nij
+        FROM r GROUP BY 1, 2),
+      per AS (SELECT s, sum(nij * nij) AS sq, sum(nij) AS n
+              FROM cells GROUP BY 1),
+      panel AS (SELECT count(*) AS nsub, sum(sq) AS spraw,
+                       min(n) AS nr FROM per),
+      marg AS (
+        SELECT count(*) AS k, sum(CAST(cj AS HUGEINT) * cj) AS sumc2
+        FROM (SELECT c, sum(nij) AS cj FROM cells GROUP BY 1)),
+      j AS (SELECT nsub, nr, k, spraw - nsub * nr AS sp, sumc2
+            FROM panel, marg)
+      SELECT CAST(nsub AS BIGINT) AS n_subjects,
+             CAST(nr AS BIGINT) AS n_raters,
+             CAST(k AS BIGINT) AS n_categories,
+             CAST(sp AS BIGINT) AS sp, CAST(sumc2 AS BIGINT) AS sum_c2,
+             CAST((CAST(sp AS HUGEINT) * 1000000)
+                  // (CAST(nsub AS HUGEINT) * nr * (nr - 1)) AS BIGINT)
+               AS pbar_micro,
+             CAST((sumc2 * 1000000)
+                  // (CAST(nsub AS HUGEINT) * nr * nsub * nr) AS BIGINT)
+               AS pe_micro,
+             CAST(CASE WHEN (nr - 1) * (CAST(nsub AS HUGEINT) * nr * nsub
+                              * nr - sumc2) > 0
+                  THEN (CASE WHEN CAST(sp AS HUGEINT) * nsub * nr
+                               - sumc2 * (nr - 1) >= 0
+                        THEN 1 ELSE -1 END)
+                       * ((abs(CAST(sp AS HUGEINT) * nsub * nr
+                               - sumc2 * (nr - 1)) * 1000000)
+                          // ((nr - 1) * (CAST(nsub AS HUGEINT) * nr
+                              * nsub * nr - sumc2)))
+                  ELSE 0 END AS BIGINT) AS kappa_micro
+      FROM j
+    """,
+
+    "llm_hll_audit" -> s"""
+      WITH ws AS (
+        SELECT lang, string_split(text, ' ') AS ws FROM documents),
+      w AS MATERIALIZED (
+        SELECT lang, unnest(CASE WHEN len(ws) >= 3
+          THEN list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [] END) AS sh
+        FROM ws),
+      h AS (
+        SELECT lang,
+               CAST('0x' || substr(md5('hll|' || sh), 1, 15) AS BIGINT)
+                 AS h
+        FROM w),
+      r AS (SELECT lang, h % 1024 AS idx, h // 1024 AS wf FROM h),
+      reg AS (
+        SELECT lang, idx,
+               max(CASE WHEN wf = 0 THEN 51
+                        ELSE 51 - length(bin(wf)) END) AS mj
+        FROM r GROUP BY 1, 2),
+      agg AS (
+        SELECT lang, count(*) AS hit,
+               sum(CAST(CAST(1 AS BIGINT) << (51 - mj) AS HUGEINT))
+                 AS shit
+        FROM reg GROUP BY 1),
+      est AS (
+        SELECT lang, hit, 1024 - hit AS v_empty,
+               (CAST(${graft.operators.Hll.ALPHA_MICRO} AS HUGEINT)
+                * 1024 * 1024 * ${1L << 51})
+               // ((shit + CAST(1024 - hit AS HUGEINT) * ${1L << 51})
+                   * 1000000) AS est
+        FROM agg),
+      ex AS (SELECT lang, count(DISTINCT sh) AS n_exact
+             FROM w GROUP BY 1)
+      SELECT ex.lang, CAST(n_exact AS BIGINT) AS n_exact,
+             CAST(est AS BIGINT) AS est,
+             CAST(v_empty AS BIGINT) AS v_empty,
+             CAST(hit AS BIGINT) AS n_registers_hit,
+             CAST((abs(est - n_exact) * 10000) // n_exact AS BIGINT)
+               AS err_bp
+      FROM ex JOIN est USING (lang) ORDER BY lang
+    """
   )
 
   /** Full-graph Borůvka MST replay over the embeddings proximity

@@ -438,10 +438,18 @@ object DocStream {
     * full-outer value join, one value-domain window.
     */
   def ksMonitor(docs: DataFrame, refDir: String, outDir: String,
-      stopwords: Seq[String])
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .outputMode("append")
+      stopwords: Seq[String], checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = docs.writeStream.outputMode("append")
+    // Caller-pinned checkpoint = restartable monitor. Replay contract
+    // (proven by StreamCrashRecoverySpec, which deletes the commit
+    // marker and restarts): the reference freeze is append-guarded by
+    // the refDir existence probe, so a replayed batch 0 re-READS the
+    // frozen reference instead of re-freezing; the out append is
+    // at-least-once — a replayed batch re-emits its IDENTICAL KS row
+    // (same batch_id, same integers), folded by readback distinct.
+    val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
+    w
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val s = batch.sparkSession
         val h = batch
@@ -466,4 +474,5 @@ object DocStream {
         ()
       }
       .start()
+  }
 }

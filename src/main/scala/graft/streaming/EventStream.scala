@@ -518,10 +518,22 @@ object EventStream extends Serializable {
   }
 
   def cusumMonitor(events: DataFrame, stateDir: String, outDir: String,
-      baseDays: Int = 7, kPermille: Long = 50L, hPermille: Long = 250L)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode("append")
+      baseDays: Int = 7, kPermille: Long = 50L, hPermille: Long = 250L,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = events.writeStream.outputMode("append")
+    // A caller-pinned checkpoint makes the monitor RESTARTABLE: a new
+    // invocation with the same dir resumes from the offset log, and a
+    // batch whose commit marker is missing (crash between the batch's
+    // foreachBatch body and the commit write) is REPLAYED. The body
+    // below is replay-idempotent: the summary overwrite pins
+    // last_day = bmax, so a replayed batch's walk range
+    // (last_day+1 .. bmax) is empty — no monitor row re-appends, and
+    // the state/buffer rewrites are byte-identical no-ops
+    // (StreamCrashRecoverySpec kills the commit marker and proves the
+    // restarted stream still hash-matches the batch-mode oracle).
+    val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
+    w
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         import s.implicits._
@@ -596,4 +608,5 @@ object EventStream extends Serializable {
         ()
       }
       .start()
+  }
 }
