@@ -5940,6 +5940,64 @@ object LlmSurface {
             col("n_exact").cast("decimal(38,0)")).cast("long")
             .as("err_bp"))
         .orderBy("lang")
+    }),
+
+    // ---- densest subgraph by BKV peeling (X375) --------------------------
+    // Bahmani-Kumar-Vattani 3-approximation over the embeddings
+    // proximity graph: the peel finds the planted dense cluster core
+    // (at sf0.01 it lifts density 6.64 -> 9.48 by shrinking 490
+    // vertices to the 113-vertex core). Edges come from the grid-cell
+    // equi-join (never n^2); each peel round is one degree combine agg
+    // plus two semi-joins, and the 2/3-shrink bound makes the round
+    // count deterministic log_1.5|V|. The oracle replays every round
+    // from the brute-force pair relation with the identical
+    // cross-multiplied integer threshold.
+    "llm_densest_subgraph" -> ((s, dir) => {
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000.0)
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1000.0)
+            .cast("long").as("y"))
+      val edges = graft.operators.GridJoin.proximityJoin(pts, "vec_id",
+        "x", "y", maxDist = 40L).select(col("id_a"), col("id_b"))
+      graft.operators.DensestSubgraph.peel(s, edges, "id_a", "id_b")
+        .orderBy("round")
+    }),
+
+    // ---- greedy maximal matching / 2-approx vertex cover (X376) ----------
+    // Locally-minimal edge selection (Israeli-Itai) on the sparse
+    // order-part graph: a deterministic maximal matching in O(log E)
+    // rounds (3 at sf0.01), the conflict-free pair-arbitration
+    // primitive (1:1 linkage resolution, dedup tie-breaking). Keys are
+    // md5-led but UNIQUE (pair suffix), so both engines pick identical
+    // minima; the matched edge set doubles as the classical
+    // 2-approximate vertex cover.
+    "llm_graph_matching" -> ((s, dir) => {
+      val edges = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull
+          && col("l_quantity") < 8)
+        .select((col("l_orderkey") * 2).as("a"),
+          (col("l_partkey") * 2 + 1).as("b"))
+        .distinct()
+      graft.operators.MaximalMatching.matching(edges, "a", "b")
+        .orderBy("a", "b")
+    }),
+
+    // ---- Cochran's Q repeated-measures binary test (X377) ----------------
+    // Did the k=5 behaviour types differ in weekly adoption? Subjects
+    // are (user, ISO week) cells, treatments the event types, reading
+    // x = "showed that behaviour that week". Q cleared to one exact
+    // rational, decided against the shared chi-square micro literals
+    // (df = 4 here) by cross-multiplication; all-zero/all-k subjects
+    // are algebraically inert so no filtering is needed.
+    "p_cochran_q" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(concat(col("user_id"), lit("|"),
+            date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+            .as("subject"),
+          col("event_type"))
+      graft.operators.CochranQ.q(ev, "subject", "event_type")
     })
   )
 
@@ -16872,8 +16930,146 @@ $rounds
              CAST((abs(est - n_exact) * 10000) // n_exact AS BIGINT)
                AS err_bp
       FROM ex JOIN est USING (lang) ORDER BY lang
+    """,
+
+    "llm_densest_subgraph" -> densestOracleSql,
+
+    "llm_graph_matching" -> matchingOracleSql,
+
+    "p_cochran_q" -> """
+      WITH cells AS MATERIALIZED (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) || '|'
+                 || strftime(date_trunc('week', ts), '%Y-%m-%d') AS s,
+               event_type AS t
+        FROM events),
+      rsum AS (
+        SELECT count(*) AS n_subjects, sum(r) AS sumr,
+               sum(CAST(r AS HUGEINT) * r) AS sumr2
+        FROM (SELECT s, count(*) AS r FROM cells GROUP BY s)),
+      csum AS (
+        SELECT count(*) AS k, sum(c) AS sumc,
+               sum(CAST(c AS HUGEINT) * c) AS sumc2
+        FROM (SELECT t, count(*) AS c FROM cells GROUP BY t))
+      SELECT CAST(k AS BIGINT) AS k,
+             CAST(n_subjects AS BIGINT) AS n_subjects,
+             CAST(sumc AS BIGINT) AS sum_c,
+             CAST(sumc2 AS BIGINT) AS sum_c2,
+             CAST(sumr2 AS BIGINT) AS sum_r2,
+             CAST(CASE WHEN k * CAST(sumr AS HUGEINT) - sumr2 > 0
+               THEN ((k - 1) * (k * sumc2 - CAST(sumc AS HUGEINT) * sumc)
+                     * 1000000)
+                    // (k * CAST(sumr AS HUGEINT) - sumr2)
+               ELSE 0 END AS BIGINT) AS q_micro,
+             (k * CAST(sumr AS HUGEINT) - sumr2 > 0
+              AND (k - 1) * (k * sumc2 - CAST(sumc AS HUGEINT) * sumc)
+                  * 1000000
+                  >= (CASE k - 1 WHEN 1 THEN 3841458 WHEN 2 THEN 5991464
+                        WHEN 3 THEN 7814727 WHEN 4 THEN 9487729
+                        WHEN 5 THEN 11070497 WHEN 6 THEN 12591587 END)
+                     * (k * CAST(sumr AS HUGEINT) - sumr2))
+               AS reject_05
+      FROM rsum, csum
     """
   )
+
+  /** BKV densest-subgraph peel replay over the embeddings proximity
+    * graph (brute-force pair oracle; 16 unrolled rounds — the 2/3
+    * shrink bound needs ⌈log₁.₅ 490⌉ ≈ 16 at sf0.01, and exhausted
+    * rounds emit no rows). `lazy` — referenced from the map above. */
+  private lazy val densestOracleSql: String = {
+    val rounds = (1 to 15).map { i =>
+      s"""d$i AS MATERIALIZED (
+           SELECT n, count(*) AS d FROM (
+             SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+           GROUP BY n),
+         st$i AS (SELECT count(*) AS v, coalesce(sum(d) // 2, 0) AS m
+                  FROM d$i),
+         k$i AS MATERIALIZED (
+           SELECT n FROM d$i, st$i WHERE d * v >= 3 * m),
+         e$i AS MATERIALIZED (
+           SELECT a, b FROM e${i - 1}
+           WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))"""
+    }.mkString(",\n      ")
+    val states = (1 to 16).map { i =>
+      s"SELECT ${i - 1} AS round, v, m FROM st$i WHERE v > 0"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH p AS (
+        SELECT vec_id AS id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS x,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS y
+        FROM embeddings),
+      e0 AS MATERIALIZED (
+        SELECT a.id AS a, b.id AS b
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 1600),
+      $rounds,
+      d16 AS MATERIALIZED (
+        SELECT n, count(*) AS d FROM (
+          SELECT a AS n FROM e15 UNION ALL SELECT b FROM e15)
+        GROUP BY n),
+      st16 AS (SELECT count(*) AS v, coalesce(sum(d) // 2, 0) AS m
+               FROM d16),
+      states AS (
+        $states),
+      dens AS (
+        SELECT round, v, m, (1000000 * CAST(m AS HUGEINT)) // v AS dm
+        FROM states),
+      best AS (SELECT min(round) AS br FROM dens
+               WHERE dm = (SELECT max(dm) FROM dens))
+      SELECT CAST(round AS INT) AS round, CAST(v AS BIGINT) AS n_vertices,
+             CAST(m AS BIGINT) AS n_edges, CAST(dm AS BIGINT)
+               AS density_micro,
+             round = br AS is_best
+      FROM dens, best ORDER BY round
+    """
+  }
+
+  /** Locally-minimal maximal-matching replay on the sparse order-part
+    * graph (10 unrolled rounds; 3 suffice at sf0.01, exhausted rounds
+    * select nothing). `lazy` — referenced from the map above. */
+  private lazy val matchingOracleSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""vm$i AS MATERIALIZED (
+           SELECT n, min(k) AS mk FROM (
+             SELECT a AS n, k FROM ek${i - 1}
+             UNION ALL SELECT b, k FROM ek${i - 1})
+           GROUP BY n),
+         s$i AS MATERIALIZED (
+           SELECT e.a, e.b FROM ek${i - 1} e
+           JOIN vm$i x ON e.a = x.n AND e.k = x.mk
+           JOIN vm$i y ON e.b = y.n AND e.k = y.mk),
+         ek$i AS MATERIALIZED (
+           SELECT e.* FROM ek${i - 1} e
+           WHERE a NOT IN (SELECT a FROM s$i)
+             AND a NOT IN (SELECT b FROM s$i)
+             AND b NOT IN (SELECT a FROM s$i)
+             AND b NOT IN (SELECT b FROM s$i))"""
+    }.mkString(",\n      ")
+    val sel = (1 to 10).map { i =>
+      s"SELECT a, b, $i AS round FROM s$i"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH e0 AS (
+        SELECT DISTINCT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+          AND l_quantity < 8),
+      ek0 AS MATERIALIZED (
+        SELECT a, b,
+               lpad(CAST(CAST('0x' || substr(md5('match|' || a || '|' || b)
+                 , 1, 15) AS BIGINT) AS VARCHAR), 19, '0')
+                 || '|' || a || '|' || b AS k
+        FROM e0),
+      $rounds
+      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             CAST(round AS INT) AS round
+      FROM ($sel) ORDER BY a, b
+    """
+  }
 
   /** Full-graph Borůvka MST replay over the embeddings proximity
     * graph (brute-force O(n²) pair oracle; 16 unrolled rounds).
