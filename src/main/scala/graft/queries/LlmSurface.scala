@@ -5998,6 +5998,68 @@ object LlmSurface {
             .as("subject"),
           col("event_type"))
       graft.operators.CochranQ.q(ev, "subject", "event_type")
+    }),
+
+    // ---- AMS F2 sketch + exactness audit per lang (X378) -----------------
+    // The ±1-projection second-moment sketch next to KMV/CMS/HLL: 56
+    // signed counters per language estimate the word-frequency
+    // self-join size Σf² (the quantity that prices every dedup/join
+    // pass), folded median-of-means. Sketch state is 56 longs per
+    // group — plain sums, mergeable across shards — and the signs are
+    // the MinHash multiply-shift family on the shared md5 hash, so
+    // even the ESTIMATE hash-matches cross-engine. The exact branch
+    // is the audit and drops at scale.
+    "llm_f2_sketch" -> ((s, dir) => {
+      val wc = Tables(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      graft.operators.AmsF2.estimate(wc, "lang", "w", "c")
+        .withColumnRenamed("g", "lang").orderBy("lang")
+    }),
+
+    // ---- Brier decomposition of a rule forecaster (X379) -----------------
+    // Murphy's reliability / resolution / uncertainty split of the
+    // stopword-ratio "is this English" forecaster — the diagnosis the
+    // Platt/isotonic calibrators (llm_calibration/llm_isotonic)
+    // optimize against. Per-bin exact rationals floored once each
+    // (the chi-square per-cell rule); corpus touched once.
+    "llm_brier_decomp" -> ((s, dir) => {
+      val ws = TextOps.words(col("text"))
+      val d = Tables(s, dir, "documents")
+        .select(size(ws).cast("long").as("n"),
+          size(filter(ws, x => x.isin("the", "a", "of", "to", "in")))
+            .cast("long").as("ns"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .select(least(lit(99L),
+          expr("(300 * ns) div greatest(n, 1)") + 1).as("f_pct"),
+          col("y"))
+      graft.operators.BrierDecomp.decompose(d, "f_pct", "y")
+    }),
+
+    // ---- EWMA control chart on daily revenue (X380) ----------------------
+    // Roberts' small-shift monitor completing the control-chart row
+    // next to CUSUM: λ = ½ dyadic weights over a 20-day horizon make
+    // the smoothed value one exact rational per day, and the 3σ band
+    // is a fully cross-multiplied integer comparison. Runs on the
+    // dense zero-filled (day × type) spine (the rate_anomaly
+    // scaffold) so lags never stretch across gap days.
+    "p_ewma_chart" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5)
+            .cast("long").as("cents"))
+      val daily = ev.groupBy("day", "event_type")
+        .agg(sum("cents").as("x"))
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val days = bounds.select(explode(expr("sequence(d0, d1)"))
+        .as("day"))
+      val types = ev.select("event_type").distinct()
+      val dense = days.crossJoin(broadcast(types))
+        .join(daily, Seq("day", "event_type"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      graft.operators.EwmaChart.chart(dense, "event_type", "day", "x")
+        .orderBy("event_type", "day")
     })
   )
 
@@ -16969,8 +17031,140 @@ $rounds
                      * (k * CAST(sumr AS HUGEINT) - sumr2))
                AS reject_05
       FROM rsum, csum
-    """
+    """,
+
+    "llm_f2_sketch" -> """
+      WITH wc AS MATERIALIZED (
+        SELECT lang, w, count(*) AS c FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        GROUP BY 1, 2),
+      hb AS (
+        SELECT lang, c,
+               CAST('0x' || substr(md5('f2|' || w), 1, 15) AS BIGINT)
+                 % 1073741824 AS hb
+        FROM wc),
+      s AS MATERIALIZED (
+        SELECT lang, j.range AS j,
+               sum((1 - ((((((2654435761 * (j.range + 1)) % 536870912)
+                     * 2 + 1) * hb
+                     + (40503 * (j.range + 1)) % 1073741824)
+                    // 33554432) % 2) * 2) * c) AS s
+        FROM hb CROSS JOIN range(56) j GROUP BY 1, 2),
+      g AS MATERIALIZED (
+        SELECT lang, j // 7 AS grp, sum(CAST(s AS HUGEINT) * s) AS gs
+        FROM s GROUP BY 1, 2),
+      r AS (
+        SELECT lang, gs,
+               row_number() OVER (PARTITION BY lang ORDER BY gs, grp)
+                 AS rn
+        FROM g),
+      est AS (
+        SELECT lang, CAST(sum(gs) // 14 AS BIGINT) AS f2_est
+        FROM r WHERE rn IN (4, 5) GROUP BY 1),
+      ex AS (
+        SELECT lang, CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT)
+                 AS f2_exact
+        FROM wc GROUP BY 1)
+      SELECT ex.lang, f2_exact, f2_est,
+             CAST((abs(CAST(f2_est AS HUGEINT) - f2_exact) * 10000)
+                  // f2_exact AS BIGINT) AS err_bp
+      FROM ex JOIN est USING (lang) ORDER BY lang
+    """,
+
+    "llm_brier_decomp" -> """
+      WITH d AS (
+        SELECT len(string_split(text, ' ')) AS n,
+               len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'to', 'in'))) AS ns,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      f AS (
+        SELECT least(99, (300 * ns) // greatest(n, 1) + 1) AS f_pct, y
+        FROM d),
+      bins AS (
+        SELECT f_pct // 10 AS bin, count(*) AS n_k, sum(y) AS o_k
+        FROM f GROUP BY 1),
+      tot AS (SELECT sum(n_k) AS n, sum(o_k) AS o FROM bins)
+      SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(bin * 10 + 5 AS BIGINT) AS f_pct,
+             CAST(n_k AS BIGINT) AS n_k, CAST(o_k AS BIGINT) AS o_k,
+             CAST(n AS BIGINT) AS n, CAST(o AS BIGINT) AS o,
+             CAST(((CAST(bin * 10 + 5 AS HUGEINT) * n_k - 100 * o_k)
+                   * (CAST(bin * 10 + 5 AS HUGEINT) * n_k - 100 * o_k)
+                   * 1000000)
+                  // (CAST(10000 AS HUGEINT) * n_k * n) AS BIGINT)
+               AS rel_micro,
+             CAST(((CAST(o_k AS HUGEINT) * n - CAST(o AS HUGEINT) * n_k)
+                   * (CAST(o_k AS HUGEINT) * n - CAST(o AS HUGEINT) * n_k)
+                   * 1000000)
+                  // (CAST(n_k AS HUGEINT) * n * n * n) AS BIGINT)
+               AS res_micro,
+             CAST((CAST(o AS HUGEINT) * (n - o) * 1000000)
+                  // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_micro
+      FROM bins, tot ORDER BY bin
+    """,
+
+    "p_ewma_chart" -> ewmaChartOracleSql
   )
+
+  /** EWMA chart replay: the identical 20-term dyadic lag chain,
+    * HUGEINT cross-multiplied 3σ band. `lazy` — referenced above. */
+  private lazy val ewmaChartOracleSql: String = {
+    val terms = (0 until graft.operators.EwmaChart.W).map { k =>
+      s"coalesce(lag(x, $k) OVER w, 0) * ${1L << (19 - k)}"
+    }.mkString("\n               + ")
+    val dterms = (0 until graft.operators.EwmaChart.W).map { k =>
+      s"(CASE WHEN lag(x, $k) OVER w IS NOT NULL THEN ${1L << (19 - k)}"
+        .concat(" ELSE 0 END)")
+    }.mkString("\n               + ")
+    val swterms = (0 until graft.operators.EwmaChart.W).map { k =>
+      val w2 = (1L << (19 - k)) * (1L << (19 - k))
+      s"(CASE WHEN lag(x, $k) OVER w IS NOT NULL THEN $w2 ELSE 0 END)"
+    }.mkString("\n               + ")
+    s"""
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)
+                 AS cents
+        FROM events),
+      daily AS (
+        SELECT day, event_type, sum(cents) AS x FROM ev GROUP BY 1, 2),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE)
+                 AS day
+        FROM b),
+      types AS (SELECT DISTINCT event_type FROM ev),
+      dense AS MATERIALIZED (
+        SELECT d.day, t.event_type, coalesce(x.x, 0) AS x
+        FROM days d CROSS JOIN types t
+        LEFT JOIN daily x ON x.day = d.day
+          AND x.event_type = t.event_type),
+      lagged AS (
+        SELECT event_type, day, x,
+               ($terms) AS num,
+               ($dterms) AS den,
+               ($swterms) AS sw2
+        FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      stats AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx,
+               sum(CAST(x AS HUGEINT) * x) AS sxx
+        FROM dense GROUP BY 1)
+      SELECT l.event_type, l.day, CAST(l.x AS BIGINT) AS x,
+             CAST((CAST(num AS HUGEINT) * 1000000) // den AS BIGINT)
+               AS ewma_micro,
+             ((CAST(num AS HUGEINT) * n - CAST(sx AS HUGEINT) * den)
+              * (CAST(num AS HUGEINT) * n - CAST(sx AS HUGEINT) * den)
+              >= 9 * (CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx) * sw2)
+               AS flag_3sigma
+      FROM lagged l JOIN stats s ON l.event_type = s.event_type
+      ORDER BY l.event_type, l.day
+    """
+  }
 
   /** BKV densest-subgraph peel replay over the embeddings proximity
     * graph (brute-force pair oracle; 16 unrolled rounds — the 2/3
