@@ -43,8 +43,11 @@ object DensestSubgraph {
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 32): DataFrame = {
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .localCheckpoint()
+    // Iterate.cut, not plain localCheckpoint: the loop joins e against
+    // projections of itself every round, and carried origin stats
+    // would square per round (the Borůvka BigInteger-overflow gotcha)
+    var e = Iterate.cut(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
     val stats = Seq.newBuilder[(Int, Long, Long)]
     var round = 0
     var done = false
@@ -70,10 +73,9 @@ object DensestSubgraph {
             + "guarantees ⌈log₁.₅|V|⌉+1 rounds; raise maxRounds for "
             + "larger graphs")
         val keep = deg.filter(col("d") * v >= 3L * m).select("n")
-        e = e
+        e = Iterate.cut(e
           .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-          .localCheckpoint()
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi"))
       }
     }
     val rows = stats.result()

@@ -42,12 +42,16 @@ object MaximalMatching {
       maxRounds: Int = 40): DataFrame = {
     // unique deterministic key: zero-padded 60-bit md5 prefix, then
     // the endpoint pair (tie-break that makes min() single-valued)
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .withColumn("k", concat(
-        lpad(expr("cast(conv(substring(md5(concat('match|', a, '|', b))"
-          + ", 1, 15), 16, 10) as bigint)").cast("string"), 19, "0"),
-        lit("|"), col("a"), lit("|"), col("b")))
-      .localCheckpoint()
+    // Iterate.cut, not plain localCheckpoint: each round joins e with
+    // two projections of itself and two anti-joins against sel (itself
+    // e-derived) — carried origin stats would grow ~e⁷ per round (the
+    // Borůvka BigInteger-overflow gotcha), wedging planning at scale
+    var e = Iterate.cut(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .withColumn("k", concat(
+          lpad(expr("cast(conv(substring(md5(concat('match|', a, '|', b))"
+            + ", 1, 15), 16, 10) as bigint)").cast("string"), 19, "0"),
+          lit("|"), col("a"), lit("|"), col("b"))))
     var matched: DataFrame = null
     var round = 0
     var done = false
@@ -67,13 +71,12 @@ object MaximalMatching {
           .join(vmin.select(col("n").as("b"), col("mk").as("kb")), "b")
           .filter(col("k") === col("ka") && col("k") === col("kb"))
           .select(col("a"), col("b"), lit(round).as("round"))
-          .localCheckpoint()
+          .localCheckpoint(true)
         val mv = sel.select(col("a").as("n"))
           .unionAll(sel.select(col("b").as("n")))
-        e = e
+        e = Iterate.cut(e
           .join(mv.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
-          .join(mv.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
-          .localCheckpoint()
+          .join(mv.withColumnRenamed("n", "b"), Seq("b"), "left_anti"))
         matched = if (matched == null) sel else matched.unionAll(sel)
       }
     }

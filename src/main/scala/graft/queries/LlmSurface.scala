@@ -6060,6 +6060,24 @@ object LlmSurface {
           coalesce(col("x"), lit(0L)).as("x"))
       graft.operators.EwmaChart.chart(dense, "event_type", "day", "x")
         .orderBy("event_type", "day")
+    }),
+
+    // ---- k-truss cohesive community cut (X381) ---------------------------
+    // The triangle-grade filter one rung above llm_graph_kcore: the
+    // 6-truss of the capped co-order projection (every surviving edge
+    // closes >= 4 triangles among survivors) peels 82k edges down to
+    // the one tight 60-edge community at sf0.01 over 17 monotone
+    // rounds. Support per round is one wedge equi-join closed by a
+    // semi probe — never n²; fan-out bounded by the projection cap.
+    "llm_graph_ktruss" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.BipartiteProjection.project(rel,
+        "l_orderkey", "l_partkey", cap = 5, minWeight = 1)
+        .select(col("item_a").as("a"), col("item_b").as("b"))
+      graft.operators.KTruss.truss(edges, "a", "b", k = 6)
+        .orderBy("a", "b")
     })
   )
 
@@ -17105,8 +17123,60 @@ $rounds
       FROM bins, tot ORDER BY bin
     """,
 
-    "p_ewma_chart" -> ewmaChartOracleSql
+    "p_ewma_chart" -> ewmaChartOracleSql,
+
+    "llm_graph_ktruss" -> ktrussOracleSql
   )
+
+  /** 6-truss fixpoint replay on the capped co-order projection (24
+    * unrolled monotone rounds — 17 reach the fixpoint at sf0.01,
+    * surplus rounds are no-ops). `lazy` — referenced above. */
+  private lazy val ktrussOracleSql: String = {
+    val rounds = (1 to 24).map { i =>
+      s"""tri$i AS MATERIALIZED (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e1.b = e2.a
+           WHERE EXISTS (SELECT 1 FROM e${i - 1} e3
+                         WHERE e3.a = e1.a AND e3.b = e2.b)),
+         sup$i AS MATERIALIZED (
+           SELECT a, b, count(*) AS s FROM (
+             SELECT x AS a, y AS b FROM tri$i
+             UNION ALL SELECT x, z FROM tri$i
+             UNION ALL SELECT y, z FROM tri$i) GROUP BY 1, 2),
+         e$i AS MATERIALIZED (
+           SELECT e.a, e.b FROM e${i - 1} e
+           JOIN sup$i s ON e.a = s.a AND e.b = s.b WHERE s.s >= 4)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH capped AS (
+        SELECT _b, _i FROM (
+          SELECT l_orderkey AS _b, l_partkey AS _i,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_partkey) AS r
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_partkey IS NOT NULL))
+        WHERE r <= 5),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT x._i AS a, y._i AS b
+        FROM capped x JOIN capped y USING (_b)
+        WHERE x._i < y._i),
+      $rounds,
+      trif AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e24 e1 JOIN e24 e2 ON e1.b = e2.a
+        WHERE EXISTS (SELECT 1 FROM e24 e3
+                      WHERE e3.a = e1.a AND e3.b = e2.b)),
+      supf AS (
+        SELECT a, b, count(*) AS s FROM (
+          SELECT x AS a, y AS b FROM trif
+          UNION ALL SELECT x, z FROM trif
+          UNION ALL SELECT y, z FROM trif) GROUP BY 1, 2)
+      SELECT e.a, e.b, CAST(coalesce(s.s, 0) AS BIGINT) AS support
+      FROM e24 e LEFT JOIN supf s ON e.a = s.a AND e.b = s.b
+      ORDER BY e.a, e.b
+    """
+  }
 
   /** EWMA chart replay: the identical 20-term dyadic lag chain,
     * HUGEINT cross-multiplied 3σ band. `lazy` — referenced above. */
