@@ -232,10 +232,14 @@ object TextOps {
         .select("doc_a", "doc_b")
         .distinct()
     } else {
-      // one combine agg sizes every bucket and names its representative
-      val stats = bands.groupBy("band", "bkey")
+      // one combine agg sizes every bucket and names its representative;
+      // the band table feeds the stats agg AND the size join AND both
+      // pair arms — pin it, or the minhash state upstream recomputes
+      // once per consumer (measured 2.6x on dedup_coverage at sf0.1)
+      val pinned = bands.localCheckpoint(true)
+      val stats = pinned.groupBy("band", "bkey")
         .agg(count(lit(1)).as("_bn"), min("doc").as("_rep"))
-      val sized = bands.join(stats, Seq("band", "bkey"))
+      val sized = pinned.join(stats, Seq("band", "bkey"))
       val cold = sized.filter(col("_bn") <= hotBandCap)
       val coldPairs = cold
         .select(col("band"), col("bkey"), col("doc").as("doc_a"))
@@ -436,9 +440,10 @@ object TextOps {
     * same argument as the MinHash bands in [[nearDupPairs]].
     */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4, bits: Int = 60): DataFrame =
+      maxHamming: Int = 3, chunks: Int = 4, bits: Int = 60,
+      hotBucketCap: Int = Int.MaxValue): DataFrame =
     hammingNearDupPairs(simHash(df, idCol, textCol), idCol, "simhash",
-      maxHamming, chunks, bits)
+      maxHamming, chunks, bits, hotBucketCap)
 
   /** Pigeonhole-blocked near-dup pairs over ANY per-doc integer hash
     * column (SimHash, block-mean perceptual hash, …): two hashes within
@@ -449,7 +454,8 @@ object TextOps {
     * sign-extension is masked off per chunk.
     */
   def hammingNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int, chunks: Int, bits: Int): DataFrame = {
+      maxHamming: Int, chunks: Int, bits: Int,
+      hotBucketCap: Int = Int.MaxValue): DataFrame = {
     require(chunks > maxHamming,
       s"pigeonhole needs chunks ($chunks) > maxHamming ($maxHamming)")
     require(bits % chunks == 0, s"$bits bits must split evenly into $chunks chunks")
@@ -462,12 +468,51 @@ object TextOps {
       .select(col(idCol).as("doc"), col(hashCol).as("_h"),
         explode(array(chunkStructs: _*)).as("ch"))
       .select(col("doc"), col("_h"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    chunked
-      .select(col("ci"), col("cv"), col("doc").as("doc_a"), col("_h").as("sim_a"))
-      .join(chunked.select(col("ci"), col("cv"), col("doc").as("doc_b"),
-        col("_h").as("sim_b")), Seq("ci", "cv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+    // Chunk buckets are the simhash analog of LSH band buckets, and on
+    // a corpus with heavily correlated content (the r13 sf1 sweep
+    // measured 18x growth at 10x data through dedup_coverage's loose
+    // parameters) a hot (chunk, value) bucket goes quadratic exactly
+    // like a hot band. `hotBucketCap` applies the hotBandCap contract:
+    // oversize buckets contribute STAR candidates around the bucket-min
+    // representative — O(n) per hot bucket, every member still
+    // Hamming-verified against the representative, so detection
+    // membership survives while the full intra-bucket pair list is
+    // traded away. Default unbounded = the exact classical semantics
+    // the oracles replay.
+    val cands =
+      if (hotBucketCap == Int.MaxValue) {
+        chunked
+          .select(col("ci"), col("cv"), col("doc").as("doc_a"),
+            col("_h").as("sim_a"))
+          .join(chunked.select(col("ci"), col("cv"), col("doc").as("doc_b"),
+            col("_h").as("sim_b")), Seq("ci", "cv"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      } else {
+        // pin the chunk table: it feeds the stats agg, the size join,
+        // and both pair arms — unpinned, the hash pipeline upstream
+        // (simhash shingling / image decode) recomputes per consumer
+        val pinned = chunked.localCheckpoint(true)
+        val stats = pinned.groupBy("ci", "cv")
+          .agg(count(lit(1)).as("_bn"), min("doc").as("_rep"),
+            expr("min_by(_h, doc)").as("_repH"))
+        val sized = pinned.join(stats, Seq("ci", "cv"))
+        val cold = sized.filter(col("_bn") <= hotBucketCap)
+        val coldPairs = cold
+          .select(col("ci"), col("cv"), col("doc").as("doc_a"),
+            col("_h").as("sim_a"))
+          .join(cold.select(col("ci"), col("cv"), col("doc").as("doc_b"),
+            col("_h").as("sim_b")), Seq("ci", "cv"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sim_a", "sim_b")
+        // star: rep = bucket min, so (rep, doc) is already canonical
+        val hotPairs = sized
+          .filter(col("_bn") > hotBucketCap && col("doc") =!= col("_rep"))
+          .select(col("_rep").as("doc_a"), col("doc").as("doc_b"),
+            col("_repH").as("sim_a"), col("_h").as("sim_b"))
+        coldPairs.unionByName(hotPairs).distinct()
+      }
+    cands
       .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

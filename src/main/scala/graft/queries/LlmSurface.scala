@@ -328,9 +328,17 @@ object LlmSurface {
       iters = 2, dot = dot)
     val codes = VectorOps.pqEncode(resid, "vec_id", "rv", cb, m, subDim, dot = dot)
       .join(resid.select("vec_id", "centroid_id"), "vec_id")
-    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
     IvfPqIndex(emb, coarse, cb, codes, qs, dot, m, subDim)
   }
+
+  // BOUNDED-PANEL discipline (the llm_lm_retrieval lesson, r12): every
+  // `vec_id % 100 === 0` query panel ALSO filters `vec_id < 2000`, so
+  // the panel is 20 queries at EVERY scale instead of growing with the
+  // corpus. At sf0.01/sf0.1 all vec_ids are < 2000, so the cap is a
+  // no-op there (oracles unchanged); at sf1 it is what separates a
+  // linear probe from the measured 199x quadratic (panel x corpus /
+  // panel x centroid products — the r13 full-suite sweep's catch).
 
   /** Fixed 64-query evaluation panel, md5-sampled from the query set —
     * shared by the ANN evaluation queries (recall, retrieval metrics) so
@@ -2089,7 +2097,7 @@ object LlmSurface {
     "llm_topk_similarity" -> ((s, dir) => {
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
-      val qs = base.filter(col("vec_id") % 100 === 0)
+      val qs = base.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
       VectorOps.topK(base, qs, "vec_id", "qv", k = 5, dot = VectorOps.dotFn(s))
         .orderBy("query_id", "rank")
     }),
@@ -2104,7 +2112,7 @@ object LlmSurface {
     "llm_topk_heap" -> ((s, dir) => {
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
-      val qs = base.filter(col("vec_id") % 100 === 0)
+      val qs = base.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
       VectorOps.topKHeap(base, qs, "vec_id", "qv", k = 5, dot = VectorOps.dotFn(s))
         .orderBy("query_id", "rank")
     }),
@@ -2114,7 +2122,7 @@ object LlmSurface {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorOps.quantize(col("embedding")).as("qv"))
-      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
       VectorOps.annLsh(emb, qs, "vec_id", "qv", "embedding", k = 5, bits = 6,
         dot = VectorOps.dotFn(s))
         .orderBy("query_id", "rank")
@@ -2125,7 +2133,7 @@ object LlmSurface {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorOps.quantize(col("embedding")).as("qv"))
-      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
       VectorOps.annLshMultiProbe(emb, qs, "vec_id", "qv", "embedding",
         k = 5, bits = 6, dot = VectorOps.dotFn(s))
         .orderBy("query_id", "rank")
@@ -2229,8 +2237,15 @@ object LlmSurface {
     "llm_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
-      val qs = emb.filter(col("vec_id") % 100 === 0)
-      val cents = emb.filter(col("vec_id") % 20 === 0)
+      val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+      // the centroid set must be corpus-INDEPENDENT too: an uncapped
+      // `% 20` grows the list count linearly, and the corpus×centroid
+      // list-build assignment goes n²/20 (the residual 11x after the
+      // panel cap alone — r13 sweep). 100 fixed centroids keep the
+      // assignment n×100 and each list n/100 — both linear; no-op at
+      // <= sf0.1 (all vec_ids < 2000), so the oracle is unchanged.
+      val cents = emb.filter(col("vec_id") % 20 === 0
+        && col("vec_id") < 2000)
       VectorOps.ivfTopK(emb, qs, cents, "vec_id", "qv", k = 5, nProbe = 4,
         dot = VectorOps.dotFn(s))
         .orderBy("query_id", "rank")
@@ -2254,7 +2269,7 @@ object LlmSurface {
       val cents = VectorOps
         .kMeansCentroids(emb, "vec_id", "qv", k = nList, iters = 2, dot = dot)
         .select(col("cid").as("vec_id"), col("cv").as("qv"))
-      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
       VectorOps.ivfTopK(emb, qs, cents, "vec_id", "qv", k = 5, nProbe = 4, dot = dot)
         .orderBy("query_id", "rank")
     }),
@@ -2273,7 +2288,7 @@ object LlmSurface {
       val cb = VectorOps.pqCodebooks(emb, "vec_id", "qv", m, subDim, ksub,
         iters = 2, dot = dot)
       val codes = VectorOps.pqEncode(emb, "vec_id", "qv", cb, m, subDim, dot = dot)
-      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
       VectorOps.pqTopK(codes, qs, cb, "vec_id", "qv", k = 5, m = m,
         subDim = subDim, dot = dot)
         .orderBy("query_id", "rank")
@@ -2364,7 +2379,7 @@ object LlmSurface {
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
         .localCheckpoint(true) // feeds edges, entries, scoring, truth
       val dot = VectorOps.dotFn(s)
-      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0))
+      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000))
       val edges = VectorOps.graphAnnEdges(emb, "vec_id", "qv",
         shards = 4, bits = 4, degree = 6, ringLinks = 2, dot = dot)
         .localCheckpoint(true) // re-joined once per hop
@@ -2402,7 +2417,7 @@ object LlmSurface {
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"),
           col("label"))
         .localCheckpoint(true)
-      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0))
+      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000))
         .localCheckpoint(true)
       VectorOps.rocchioFeedback(emb, panel, "qv", k0 = 5, kEval = 10,
         alpha = 5L, beta = 2L, dot = VectorOps.dotFn(s))
@@ -2419,7 +2434,7 @@ object LlmSurface {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
         .localCheckpoint(true)
-      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0))
+      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000))
       VectorOps.mmrRerank(emb, panel, "vec_id", "qv",
         shortK = 16, outK = 5, lambdaNum = 7L, lambdaDen = 10L,
         dot = VectorOps.dotFn(s))
@@ -2437,7 +2452,7 @@ object LlmSurface {
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
         .localCheckpoint(true)
       val dot = VectorOps.dotFn(s)
-      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0))
+      val panel = annPanel(emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000))
         .localCheckpoint(true)
       val allPairs = panel.select(col("vec_id").as("query_id"))
         .crossJoin(emb.select(col("vec_id")))
@@ -2665,8 +2680,16 @@ object LlmSurface {
         .write.mode("overwrite").parquet(base)
       val hashed = Multimodal.imagePixelPHash(s, s.read.parquet(base),
         "doc_id")
+      // hotBucketCap: 8-bit pixel-hash chunks have only 256 values, so
+      // at 10x data the UNCAPPED bucket join grows ~n²/256 (the r13
+      // sweep measured 18.4x) — the cap bounds it to O(n·cap) with
+      // detection-vs-representative preserved. 64, not 512: sf1's
+      // AVERAGE bucket is ~215, so a 512 cap never engages and the
+      // quadratic survives (re-measured 11.3x); 64 engages on the
+      // saturated buckets while staying a no-op at sf0.01, where 551
+      // pseudo-random hashes spread ~2 per bucket (max ~a dozen)
       TextOps.hammingNearDupPairs(hashed, "doc_id", "phash",
-        maxHamming = 6, chunks = 8, bits = 64)
+        maxHamming = 6, chunks = 8, bits = 64, hotBucketCap = 64)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -3787,12 +3810,16 @@ object LlmSurface {
       val docs = Tables(s, dir, "documents")
       def flagged(pairs: DataFrame) = pairs
         .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      // both capture passes run LOOSE parameters (3-row bands, 15-bit
+      // simhash chunks), so their buckets grow superlinearly on a
+      // correlated corpus (18.2x at 10x data in the r13 sweep) — the
+      // star caps bound both to O(n·cap); no-ops at sf0.01 (500 docs)
       graft.operators.CaptureRecapture.chapman(
         flagged(TextOps.nearDupPairs(docs, "doc_id", "text",
           shingleN = 3, numBands = 4, rowsPerBand = 3, threshold = 0.5,
-          repartitionInput = true)),
+          repartitionInput = true, hotBandCap = 512)),
         flagged(TextOps.simHashNearDup(docs, "doc_id", "text",
-          maxHamming = 3, chunks = 4)))
+          maxHamming = 3, chunks = 4, hotBucketCap = 512)))
     }),
 
     // ---- weighted SSSP over the co-order graph (X270) --------------------
@@ -4240,7 +4267,7 @@ object LlmSurface {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
-      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("query_id"), col("qv").as("_qq"))
       val dot = VectorOps.dotFn(s)
       val scored = emb.crossJoin(broadcast(qs))
@@ -5275,7 +5302,8 @@ object LlmSurface {
       val kept = terms.groupBy("w").agg(count(lit(1)).as("df"))
         .filter(col("df") * 10 <= nDocs)
       val qTerms = terms.join(kept, "w")
-        .filter(col("doc_id") % 101 === 7)
+        // bounded panel: < 5000 is a no-op at <= sf0.1, caps sf1
+        .filter(col("doc_id") % 101 === 7 && col("doc_id") < 5000)
         .select(col("doc_id").as("q_id"), col("w"),
           expr("1000000 div df").as("idf_i"))
       val lex20 = qTerms
@@ -5290,7 +5318,8 @@ object LlmSurface {
         .select(col("vec_id").as("doc_id"),
           VectorOps.quantize(col("embedding")).as("qv"))
       val dot = VectorOps.dotFn(s)
-      val emb20 = emb.filter(col("doc_id") % 101 === 7)
+      val emb20 = emb.filter(col("doc_id") % 101 === 7
+          && col("doc_id") < 2000)
         .select(col("doc_id").as("q_id"), col("qv").as("_qqv"))
         .crossJoin(emb.select(col("doc_id").as("d_id"), col("qv")))
         .filter(col("d_id") =!= col("q_id"))
@@ -5326,7 +5355,8 @@ object LlmSurface {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"),
         col("label"), VectorOps.quantize(col("embedding")).as("qv"))
       val dot = VectorOps.dotFn(s)
-      val anchors = emb.filter(col("vec_id") % 97 === 11)
+      val anchors = emb.filter(col("vec_id") % 97 === 11
+          && col("vec_id") < 2000)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
           col("qv").as("_aqv"))
       emb.crossJoin(broadcast(anchors))
