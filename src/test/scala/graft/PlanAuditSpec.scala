@@ -954,4 +954,85 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"degree joins and label joins must stay equi-joins:\n$p")
   }
+
+  // ---- round-13 operators (X375–X381) ----------------------------------
+
+  test("k-truss support: wedge equi-join + semi probe, partial-combine count") {
+    import spark.implicits._
+    val edges = ((1L to 5L).flatMap(i => ((i + 1) to 5L).map(j => (i, j))))
+      .toDF("a", "b")
+    val p = plan(graft.operators.KTruss.truss(edges, "a", "b", k = 4))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle support must come from equi-joins, never all-pairs:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count")
+      || p.contains("HashAggregate"),
+      s"support count must partial-aggregate map-side:\n$p")
+  }
+
+  test("maximal matching round: min-combine aggregates + anti-joins only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val p = plan(
+      graft.operators.MaximalMatching.matching(edges, "a", "b"))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"vertex-min and pruning must stay equi/anti joins:\n$p")
+  }
+
+  test("AMS F2 sketch: fixed 56-way explode, combine aggs, bounded window") {
+    val wc = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(graft.llm.TextOps.words(col("text")))
+        .as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val p = plan(graft.operators.AmsF2.estimate(wc, "lang", "w", "c"))
+    assert(!p.contains("CartesianProduct"),
+      s"the estimator join must be the group-key equi-join:\n$p")
+    // the median window partitions by group — 8 rows per group, never
+    // a global single-partition sort of corpus-sized data
+    assert(!p.contains("SinglePartition") || p.contains("Exchange hashpartitioning"),
+      s"median must run per group:\n$p")
+  }
+
+  test("EWMA chart: ONE window pass per series + broadcast moment join") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i =>
+      ("a", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i)), i.toLong)).toDF("k", "day", "x")
+    val p = plan(graft.operators.EwmaChart.chart(rows, "k", "day", "x"))
+    // the 20 lag terms must collapse into a single Window operator
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1
+      || p.split("\\bWindow\\b").length <= 3,
+      s"lag chain must live in one window pass:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-series moments must broadcast back, not shuffle the chart:\n$p")
+  }
+
+  test("Brier decomposition: one combine agg to bins, broadcast total") {
+    import spark.implicits._
+    val rows = Seq((55L, 1L), (95L, 0L), (15L, 1L)).toDF("f_pct", "y")
+    val p = plan(graft.operators.BrierDecomp.decompose(rows, "f_pct", "y"))
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast onto the bins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no data-sized cross product (1-row crossJoin broadcasts):\n$p")
+  }
+
+  test("Cochran Q: presence distinct + three combine aggs, no data join") {
+    import spark.implicits._
+    val rows = Seq(("s1", "A"), ("s2", "B")).toDF("s", "t")
+    val p = plan(graft.operators.CochranQ.q(rows, "s", "t"))
+    assert(!p.contains("SortMergeJoin"),
+      s"the final fold joins two 1-row aggregates — broadcast territory:\n$p")
+  }
+
+  test("capped hamming join: bucket stats partial-combine, star stays equi") {
+    import spark.implicits._
+    val hashed = (1L to 30L).map(i => (i, 0x1234L)).toDF("doc_id", "h")
+    val p = plan(graft.llm.TextOps.hammingNearDupPairs(hashed, "doc_id",
+      "h", maxHamming = 6, chunks = 8, bits = 64, hotBucketCap = 4))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"cold pairs and star pairs must both come from equi-joins:\n$p")
+  }
 }
