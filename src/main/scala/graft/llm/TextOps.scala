@@ -2191,7 +2191,7 @@ object TextOps {
     * is ≤ |languages|. Output: (doc, lang_true, pred_lang, correct).
     */
   def naiveBayesLangId(df: DataFrame, idCol: String, textCol: String,
-      langCol: String): DataFrame = {
+      langCol: String, vocabEnvelope: Long = 20000000L): DataFrame = {
     val base = df.select(col(idCol).as("doc"), col(langCol).as("lang_true"),
       col(textCol).as("_t"))
     val tri = base.filter(length(col("_t")) >= 3)
@@ -2206,7 +2206,20 @@ object TextOps {
     val lg = dg.groupBy(col("lang_true").as("lang"), col("g"))
       .agg(sum("_c").as("_clg"))
     val nl = lg.groupBy("lang").agg(sum("_clg").cast("long").as("_nlt"))
+    // Heaps'-law contract (SCALE_SWEEP_r13): the whole pipeline is
+    // corpus-linear ONLY while the trigram vocabulary stays model-sized
+    // — the (lang, g) model table and the dg⋈model probe both scale
+    // with it. A corpus whose vocabulary outgrows the envelope fails
+    // HERE, on the 1-row vocab aggregate, with the remedy named —
+    // never as a silent 100× blowup downstream.
     val v = lg.select("g").distinct().agg(count(lit(1)).as("_v"))
+      .select(when(col("_v") <= vocabEnvelope, col("_v"))
+        .otherwise(raise_error(concat(
+          lit("naiveBayesLangId: trigram vocabulary "), col("_v"),
+          lit(s" exceeds the model-size envelope ($vocabEnvelope);"
+            + " hash trigrams into a bounded feature space or keep"
+            + " top-K trigrams per language upstream"))))
+        .as("_v"))
     val model = lg.join(nl, "lang").crossJoin(broadcast(v))
       .select(col("lang"), col("g"),
         floor(log((col("_clg") + 1) / (col("_nlt") + col("_v")).cast("double"))

@@ -43,13 +43,26 @@ object FacilityLocation {
     * sample, k-center, coverage) before calling with a larger pool.
     */
   def greedySelect(univ: DataFrame, cand: DataFrame, k: Int,
-      maxCandidates: Int = 4096): DataFrame = {
+      maxCandidates: Int = 4096,
+      maxSimRows: Long = 2147483648L): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     val nCand = cand.count()
     require(nCand <= maxCandidates,
       s"candidate pool ($nCand) exceeds maxCandidates ($maxCandidates):" +
         " the O(|U|*|C|) similarity checkpoint and the broadcast both" +
         " assume a model-sized pool - pre-select candidates first")
+    // corpus-linear CONTRACT (SCALE_SWEEP_r13): the cost is |U|*|C|
+    // rows MATERIALIZED in the similarity checkpoint and re-read every
+    // round — linear in the corpus only because |C| is capped. Fail
+    // loudly before building a checkpoint that exceeds the envelope,
+    // with the remedy named, instead of letting a 100x corpus turn
+    // the pin into a storage surprise.
+    val nUniv = univ.count()
+    require(nUniv * nCand <= maxSimRows,
+      s"similarity table (|U|=$nUniv x |C|=$nCand = ${nUniv * nCand}" +
+        s" rows) exceeds maxSimRows ($maxSimRows): shard the universe" +
+        " (run per-shard selects and merge-rank picks) or shrink the" +
+        " candidate pool before calling")
     val spark = univ.sparkSession
     import spark.implicits._
     val dot = graft.llm.VectorOps.dotFn(spark)

@@ -43,4 +43,17 @@ class FacilityLocationSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("exceeds maxCandidates"))
   }
+
+  test("|U|x|C| similarity envelope past the cap raises loudly") {
+    // 4 x 4 = 16 rows > 15: the corpus-linear contract fires BEFORE
+    // the checkpoint materializes, naming the shard-or-shrink remedy.
+    val ex = intercept[IllegalArgumentException] {
+      FacilityLocation.greedySelect(univ, cand, k = 1, maxSimRows = 15L)
+    }
+    assert(ex.getMessage.contains("exceeds maxSimRows"))
+    // at the exact boundary it still runs
+    val ok = FacilityLocation.greedySelect(univ, cand, k = 1,
+      maxSimRows = 16L)
+    assert(ok.count() === 1L)
+  }
 }

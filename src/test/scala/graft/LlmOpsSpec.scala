@@ -191,6 +191,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(5L) === ((5L, "yy", "xx", false)))
   }
 
+  test("naiveBayesLangId: vocabulary past the Heaps'-law envelope raises loudly") {
+    val df = Seq(
+      (1L, "aaa bbb aaa bab", "xx"),
+      (2L, "zzz yyy zzz yzy", "yy"))
+      .toDF("doc_id", "text", "lang")
+    // the two docs above carry well over 3 distinct trigrams
+    val ex = intercept[Exception] {
+      TextOps.naiveBayesLangId(df, "doc_id", "text", "lang",
+        vocabEnvelope = 3L).collect()
+    }
+    assert(ex.getMessage.contains("exceeds the model-size envelope"))
+    // the default envelope leaves the same corpus green
+    assert(TextOps.naiveBayesLangId(df, "doc_id", "text", "lang")
+      .count() === 2L)
+  }
+
   test("epochShufflePlan: per-epoch distinct reproducible permutations, shards in range") {
     val df = Seq(1L, 2L, 3L).toDF("doc_id")
     val run = () => TextOps.epochShufflePlan(df, "doc_id", epochs = 2, shards = 4)
