@@ -38,6 +38,24 @@ object KCore {
       dstCol: String,
       k: Int,
       maxRounds: Int = 50): DataFrame = {
+    val e = coreEdges(edges, srcCol, dstCol, k, maxRounds)
+    e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** The EDGE set of the k-core — the induced subgraph the peel
+    * converges to. Exposed for consumers that keep working on edges
+    * (KTruss pre-peels with it: truss ⊆ (k−1)-core, and the degree
+    * peel is triangle-free — far cheaper than a wedge pass over
+    * doomed edges). Returns (a, b) in the caller's orientation.
+    */
+  def coreEdges(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint()
@@ -62,8 +80,6 @@ object KCore {
       prevCount = after
       rounds += 1
     }
-    e.select(col("a").as("n"))
-      .unionAll(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("core_deg"))
+    e
   }
 }

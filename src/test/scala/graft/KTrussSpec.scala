@@ -48,6 +48,45 @@ class KTrussSpec extends SparkSpec {
     assert(truss(Seq.empty[(Long, Long)], 4).isEmpty)
   }
 
+  test("incremental support maintenance == naive per-round recompute") {
+    // deterministic pseudo-random graph, dense enough for multi-round
+    // cascades: triangles survive, pendants and weak bridges peel over
+    // several rounds — exactly the regime where a stale carried
+    // support would diverge from the naive fixpoint
+    val n = 40L
+    val edges = (0L until 400L).map { i =>
+      val a = (i * 7919 + 13) % n
+      val b = (i * 104729 + 31) % n
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    for (k <- Seq(3, 4, 5, 6)) {
+      // naive reference: full supportAll recompute every round
+      var e = edges
+      var stable = false
+      while (!stable && e.nonEmpty) {
+        val sup = KTruss.supportAll(e.toDF("a", "b"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val keep = e.filter(x => sup(x) >= k - 2)
+        stable = keep.size == e.size
+        e = keep
+      }
+      val naive = {
+        val sup = KTruss.supportAll(e.toDF("a", "b"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        e.map(x => (x._1, x._2, sup(x))).sortBy(r => (r._1, r._2))
+      }
+      assert(truss(edges, k) === naive, s"diverged at k=$k")
+      // force the pure-distributed regime (no local finisher): the
+      // carried-support incremental rounds must reach the same fixpoint
+      val dist = KTruss.truss(edges.toDF("a", "b"), "a", "b", k,
+          localFinishCap = 0L)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(dist === naive, s"distributed path diverged at k=$k")
+    }
+  }
+
   test("k below 3 is rejected") {
     val e = intercept[IllegalArgumentException] {
       truss(clique(3), 2)

@@ -961,13 +961,20 @@ class PlanAuditSpec extends SparkSpec {
     import spark.implicits._
     val edges = ((1L to 5L).flatMap(i => ((i + 1) to 5L).map(j => (i, j))))
       .toDF("a", "b")
-    val p = plan(graft.operators.KTruss.truss(edges, "a", "b", k = 4))
-    assert(!p.contains("CartesianProduct")
-      && !p.contains("BroadcastNestedLoopJoin"),
-      s"triangle support must come from equi-joins, never all-pairs:\n$p")
-    assert(p.contains("partial_count") || p.contains("partial count")
-      || p.contains("HashAggregate"),
-      s"support count must partial-aggregate map-side:\n$p")
+    // the round-0 full pass AND the incremental affected-front recount
+    // must both stay equi-join shaped — audit each helper's plan (the
+    // returned frame is a checkpointed leaf after the fixpoint loop)
+    val pAll = plan(graft.operators.KTruss.supportAll(edges))
+    val pAff = plan(graft.operators.KTruss.supportOf(
+      edges.limit(3).select(col("a"), col("b")), edges))
+    for ((tag, p) <- Seq("supportAll" -> pAll, "supportOf" -> pAff)) {
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"$tag: triangle support must come from equi-joins, never all-pairs:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial count")
+        || p.contains("HashAggregate"),
+        s"$tag: support count must partial-aggregate map-side:\n$p")
+    }
   }
 
   test("maximal matching round: min-combine aggregates + anti-joins only") {
