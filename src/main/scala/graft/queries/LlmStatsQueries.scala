@@ -1199,6 +1199,45 @@ private[queries] object LlmStatsQueries {
       graft.operators.BrierDecomp.decompose(d, "f_pct", "y")
     }),
 
+    // ---- Mood's median test (X382) ----------------------------------------
+    // "Is any event type's value distribution SHIFTED?" — the k-sample
+    // sign test on the pooled median: robust triage before the finer
+    // rank machinery (Kruskal-Wallis) because single-cell corruption
+    // cannot move a median-side count. All-integer 2xk chi-square,
+    // decided against the shared chi95 literal table.
+    "p_mood_median" -> ((s, dir) => {
+      graft.operators.MoodMedian.test(
+        events(s, dir).select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "event_type", "cents")
+    }),
+
+    // ---- Brown-Forsythe spread-homogeneity test (X383) ---------------------
+    // The variance counterpart of p_mood_median: one-way ANOVA on
+    // |value - group median| — "did a source's DISPERSION change" is
+    // the drift mode mean monitors miss. Median-centered (robust) and
+    // integer-exact (deviations from an integer median are integers);
+    // (k-1)W decided against chi-square(k-1) — the documented large-N
+    // approximation, no runtime CDF.
+    "p_brown_forsythe" -> ((s, dir) => {
+      graft.operators.BrownForsythe.test(
+        events(s, dir).select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "event_type", "cents")
+    }),
+
+    // ---- trimmed + winsorized means (X384) ---------------------------------
+    // The robust location pair a metrics pipeline reports when raw
+    // means are hostage to tail spikes: trim drops the extreme 10%
+    // per side, winsorize clamps them to the cut boundaries. Exact
+    // integers from the value histogram - partial cells contribute by
+    // rank-interval overlap arithmetic, never row enumeration.
+    "p_trimmed_mean" -> ((s, dir) => {
+      graft.operators.TrimmedStats.means(
+        events(s, dir).select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "event_type", "cents")
+    }),
 
   )
 
@@ -3979,6 +4018,128 @@ $rounds
       FROM bins, tot ORDER BY bin
     """,
 
+    // Mood's median replay: pooled-median clearing, per-group above
+    // counts, per-term micro-floored chi-square contributions.
+    "p_mood_median" -> """
+      WITH cells AS MATERIALIZED (
+        SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      pooled AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1),
+      cum AS (SELECT v, sum(cv) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM pooled),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM cells),
+      med AS (SELECT min(v) AS med FROM cum, tot WHERE 2 * cum >= nt),
+      grp AS MATERIALIZED (
+        SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+               CAST(sum(CASE WHEN v > (SELECT med FROM med) THEN c
+                             ELSE 0 END) AS BIGINT) AS ag
+        FROM cells GROUP BY 1),
+      ab AS (SELECT CAST(sum(ag) AS BIGINT) AS aa,
+                    CAST(sum(ng) AS BIGINT) AS nn,
+                    CAST(count(*) AS BIGINT) AS k FROM grp),
+      terms AS (
+        SELECT g, ng, ag, k,
+               CASE WHEN aa > 0 AND aa < nn THEN
+                 CAST(((CAST(ag AS HUGEINT) * nn - CAST(ng AS HUGEINT) * aa)
+                     * (CAST(ag AS HUGEINT) * nn - CAST(ng AS HUGEINT) * aa)
+                     * 1000000)
+                   // (CAST(ng AS HUGEINT) * aa * (nn - aa)) AS BIGINT)
+               ELSE 0 END AS term_micro
+        FROM grp, ab)
+      SELECT g, ng AS n, ag AS n_above,
+             (SELECT med FROM med) AS pooled_median, term_micro,
+             CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro,
+             k - 1 AS df,
+             sum(term_micro) OVER () >= (CASE k - 1 WHEN 1 THEN 3841458 WHEN 2 THEN 5991464 WHEN 3 THEN 7814727 WHEN 4 THEN 9487729 WHEN 5 THEN 11070497 WHEN 6 THEN 12591587 END)
+               AS reject_05
+      FROM terms
+      ORDER BY g
+    """,
+
+    // Brown-Forsythe replay: per-group median clearing, deviation
+    // moments, micro-floored SSB/SSW, the (k-1)W chi-square decision.
+    "p_brown_forsythe" -> """
+      WITH cells AS MATERIALIZED (
+        SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      cum AS (SELECT g, v, c,
+                sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER (PARTITION BY g) AS ntot
+              FROM cells),
+      meds AS (SELECT g, min(v) AS med FROM cum
+               WHERE 2 * cum >= ntot GROUP BY g),
+      grp AS MATERIALIZED (
+        SELECT c.g, m.med, CAST(sum(c.c) AS BIGINT) AS ng,
+               CAST(sum(c.c * abs(c.v - m.med)) AS BIGINT) AS sd,
+               sum(CAST(c.c AS HUGEINT) * abs(c.v - m.med)
+                 * abs(c.v - m.med)) AS sd2
+        FROM cells c JOIN meds m ON c.g = m.g GROUP BY 1, 2),
+      tot AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(sd) AS BIGINT) AS s_all,
+               sum(sd2 * 1000000) AS sd2_all6,
+               sum((CAST(sd AS HUGEINT) * sd * 1000000) // ng) AS sq6
+        FROM grp),
+      ssx AS (
+        SELECT nn, k,
+               greatest(sq6 - (CAST(s_all AS HUGEINT) * s_all * 1000000)
+                 // nn, 0) AS ssb6,
+               greatest(sd2_all6 - sq6, 0) AS ssw6
+        FROM tot)
+      SELECT g, ng AS n, med AS med_cents,
+             CAST((CAST(sd AS HUGEINT) * 1000000) // ng AS BIGINT)
+               AS mean_absdev_micro,
+             CAST(CASE WHEN ssw6 > 0 THEN
+                 ((nn - k) * ssb6 * 1000000) // ((k - 1) * ssw6)
+               ELSE 0 END AS BIGINT) AS w_micro,
+             k - 1 AS df1, nn - k AS df2,
+             (k - 1) * (CASE WHEN ssw6 > 0 THEN
+                 ((nn - k) * ssb6 * 1000000) // ((k - 1) * ssw6)
+               ELSE 0 END)
+               >= (CASE k - 1 WHEN 1 THEN 3841458 WHEN 2 THEN 5991464 WHEN 3 THEN 7814727 WHEN 4 THEN 9487729 WHEN 5 THEN 11070497 WHEN 6 THEN 12591587 END) AS reject_05_approx
+      FROM grp, ssx
+      ORDER BY g
+    """,
+
+    // trimmed/winsorized replay: rank-interval overlap arithmetic on
+    // the per-group cumulative histogram, boundary order statistics
+    // by integer clearing, truncating micro divisions.
+    "p_trimmed_mean" -> """
+      WITH cells AS (
+        SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      cum AS MATERIALIZED (
+        SELECT g, v, c,
+               sum(c) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY g) AS n,
+               (sum(c) OVER (PARTITION BY g)) // 10 AS t
+        FROM cells),
+      lo AS (SELECT g, min(v) AS lo_v FROM cum WHERE cum >= t + 1 GROUP BY g),
+      hi AS (SELECT g, min(v) AS hi_v FROM cum WHERE cum >= n - t GROUP BY g),
+      agg AS (
+        SELECT g, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS t,
+               sum(CAST(v AS HUGEINT) * greatest(0,
+                 least(cum, n - t) - greatest(cum - c + 1, t + 1) + 1))
+                 AS s_trim,
+               sum(CAST(v AS HUGEINT) * c) AS s_raw
+        FROM cum GROUP BY 1, 2, 3)
+      SELECT g, n, t, lo_v AS lo_cents, hi_v AS hi_cents,
+             CAST((s_trim * 1000000) // (n - 2 * t) AS BIGINT)
+               AS trimmed_mean_micro,
+             CAST(((s_trim + CAST(t AS HUGEINT) * lo_v
+                  + CAST(t AS HUGEINT) * hi_v) * 1000000) // n AS BIGINT)
+               AS winsor_mean_micro,
+             CAST((s_raw * 1000000) // n AS BIGINT) AS raw_mean_micro
+      FROM agg JOIN lo USING (g) JOIN hi USING (g)
+      ORDER BY g
+    """,
 
   )
 }
