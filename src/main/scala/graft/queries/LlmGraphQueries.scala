@@ -764,6 +764,47 @@ private[queries] object LlmGraphQueries {
       graft.operators.KTruss.truss(edges, "a", "b", k = 6)
         .orderBy("a", "b")
     }),
+
+    // ---- deterministic node2vec-style walk corpus (X387) -------------------
+    // The graph-embedding input stage: fixed-length walks from a
+    // bounded seed panel over the md5-capped co-order adjacency.
+    // Randomness is md5-keyed (the ann_graph ring precedent): next
+    // hop = argmin md5(seed, step, cur, nbr) over the 6-neighbor
+    // adjacency - exactly replayable in both engines, no RNG. The
+    // sym graph has no dead ends (every edge is bidirectional), so
+    // every walk reaches the full 4 steps.
+    "llm_graph_walks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = graft.operators.BipartiteProjection.project(rel,
+        "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+      val und = e.select(col("item_a").as("u"), col("item_b").as("v"))
+        .unionAll(e.select(col("item_b").as("u"), col("item_a").as("v")))
+      val wnd = Window.partitionBy("u").orderBy(md5(concat(lit("walk|"),
+        col("u").cast("string"), lit("|"), col("v").cast("string"))))
+      val adj = und.withColumn("rk", row_number().over(wnd))
+        .filter(col("rk") <= 6).select("u", "v")
+        .localCheckpoint(true) // probed once per unrolled step
+      val seeds = adj.select("u").filter(col("u") <= 48).distinct()
+      var walk = seeds.select(col("u").as("seed"), lit(0).as("step"),
+        col("u").as("node"))
+      var out = walk
+      for (t <- 1 to 4) {
+        walk = walk
+          .join(adj, col("node") === col("u"))
+          .select(col("seed"), col("v"), md5(concat(lit("step|"),
+            col("seed").cast("string"), lit(s"|$t|"),
+            col("node").cast("string"), lit("|"),
+            col("v").cast("string"))).as("hk"))
+          .groupBy("seed").agg(min_by(col("v"), col("hk")).as("node"))
+          .select(col("seed"), lit(t).as("step"), col("node"))
+        out = out.unionAll(walk)
+      }
+      out.orderBy("seed", "step")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1682,5 +1723,60 @@ $rounds
     "llm_graph_matching" -> matchingOracleSql,
 
     "llm_graph_ktruss" -> ktrussOracleSql,
+
+    // walk replay over the shared co-order CTEs: md5-capped adjacency,
+    // per-step argmin by the same md5 key, 4 MATERIALIZED hops.
+    "llm_graph_walks" -> s"""
+      WITH $coorderBaseCtes,
+      adj AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT n AS u, m AS v,
+                 row_number() OVER (PARTITION BY n
+                   ORDER BY md5('walk|' || CAST(n AS VARCHAR) || '|'
+                     || CAST(m AS VARCHAR))) AS rk
+          FROM sym)
+        WHERE rk <= 6),
+      w0 AS (SELECT DISTINCT u AS seed, 0 AS step, u AS node
+             FROM adj WHERE u <= 48),
+      w1 AS MATERIALIZED (
+        SELECT seed, 1 AS step, node FROM (
+          SELECT w.seed, a.v AS node,
+                 row_number() OVER (PARTITION BY w.seed
+                   ORDER BY md5('step|' || CAST(w.seed AS VARCHAR)
+                     || '|1|' || CAST(w.node AS VARCHAR) || '|'
+                     || CAST(a.v AS VARCHAR))) AS rk
+          FROM w0 w JOIN adj a ON a.u = w.node)
+        WHERE rk = 1),\n      w2 AS MATERIALIZED (
+        SELECT seed, 2 AS step, node FROM (
+          SELECT w.seed, a.v AS node,
+                 row_number() OVER (PARTITION BY w.seed
+                   ORDER BY md5('step|' || CAST(w.seed AS VARCHAR)
+                     || '|2|' || CAST(w.node AS VARCHAR) || '|'
+                     || CAST(a.v AS VARCHAR))) AS rk
+          FROM w1 w JOIN adj a ON a.u = w.node)
+        WHERE rk = 1),\n      w3 AS MATERIALIZED (
+        SELECT seed, 3 AS step, node FROM (
+          SELECT w.seed, a.v AS node,
+                 row_number() OVER (PARTITION BY w.seed
+                   ORDER BY md5('step|' || CAST(w.seed AS VARCHAR)
+                     || '|3|' || CAST(w.node AS VARCHAR) || '|'
+                     || CAST(a.v AS VARCHAR))) AS rk
+          FROM w2 w JOIN adj a ON a.u = w.node)
+        WHERE rk = 1),\n      w4 AS MATERIALIZED (
+        SELECT seed, 4 AS step, node FROM (
+          SELECT w.seed, a.v AS node,
+                 row_number() OVER (PARTITION BY w.seed
+                   ORDER BY md5('step|' || CAST(w.seed AS VARCHAR)
+                     || '|4|' || CAST(w.node AS VARCHAR) || '|'
+                     || CAST(a.v AS VARCHAR))) AS rk
+          FROM w3 w JOIN adj a ON a.u = w.node)
+        WHERE rk = 1)
+      SELECT seed, step, node FROM (
+        SELECT * FROM w0 UNION ALL SELECT * FROM w1
+        UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+        UNION ALL SELECT * FROM w4)
+      ORDER BY seed, step
+    """,
+
   )
 }

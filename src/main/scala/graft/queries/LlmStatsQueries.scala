@@ -1239,6 +1239,104 @@ private[queries] object LlmStatsQueries {
         "event_type", "cents")
     }),
 
+
+    // ---- McNemar-Bowker symmetry test (X385) -------------------------------
+    // WHERE does the trained lang-ID systematically relabel the
+    // heuristic? The k-label generalization of llm_mcnemar: per label
+    // pair (i<j), is traffic i->j balanced by j->i? All-integer pair
+    // terms, df = disagreeing pairs (empty pairs drop), decided
+    // against the chi95 table extended to df 10 by the documented
+    // offline bisection.
+    "llm_mcnemar_bowker" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nb = TextOps.naiveBayesLangId(docs, "doc_id", "text", "lang")
+        .select(col("doc").as("doc_id"), col("pred_lang").as("b"))
+      val heur = docs.select(col("doc_id"),
+        TextOps.languageIdFromWords(TextOps.words(col("text")),
+          langMarkers).as("a"))
+      graft.operators.McNemarBowker.test(heur.join(nb, "doc_id"), "a", "b")
+    }),
+
+
+    // ---- V-optimal histogram (X388) ----------------------------------------
+    // The classic synopsis structure (Jagadish et al. VLDB'98): B=4
+    // variance-minimizing buckets over the daily value series by
+    // exact DP - dp_b(i) = min_j dp_{b-1}(j) + SSE(j+1..i), SSE from
+    // prefix sums with per-term micro floors (Q*1e6 - P^2*1e6 div n,
+    // nonnegative by Cauchy-Schwarz even after the floor). The DP,
+    // argmin backtrack, and bucket labeling all run as joins on the
+    // calendar-sized cell table - metadata, the compaction-plan rule;
+    // ties break to the smaller boundary via struct-min in Spark and
+    // (cost, j) row_number in the oracle.
+    "p_vopt_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
+      val cw = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cells = daily
+        .withColumn("i", row_number().over(Window.orderBy("day"))
+          .cast("long"))
+        .withColumn("p", sum(col("x")).over(cw))
+        .withColumn("q", sum(dec(col("x")) * dec(col("x"))).over(cw))
+        .localCheckpoint(true) // cost pairs + labels + the C lookup
+      val zero = Seq((0L, 0L, 0L)).toDF("i", "p", "qz")
+        .select(col("i"), col("p"), dec(col("qz")).as("q"))
+      val pref = cells.select(col("i"), col("p"), dec(col("q")).as("q"))
+        .unionAll(zero)
+      val cost = pref.as("a").join(pref.as("b"), col("a.i") < col("b.i"))
+        .select(col("a.i").as("j"), col("b.i").as("i"),
+          ((dec(col("b.q")) - dec(col("a.q"))) * lit(1000000L)
+            - graft.llm.TextOps.floorDivDec(
+              dec(col("b.p") - col("a.p")) * dec(col("b.p") - col("a.p"))
+                * lit(1000000L),
+              dec(col("b.i") - col("a.i")))).as("c6"))
+        .localCheckpoint(true) // 3 dp rounds + the bucket-SSE lookup
+      val dp1 = cost.filter(col("j") === 0)
+        .select(col("i"), col("c6").as("c"), lit(0L).as("arg"))
+      def step(prev: DataFrame): DataFrame = prev
+        .select(col("i").as("j"), col("c").as("pc"))
+        .join(cost, Seq("j"))
+        .groupBy("i")
+        .agg(min(struct((col("pc") + col("c6")).as("tc"),
+          col("j").as("jj"))).as("m"))
+        .select(col("i"), col("m.tc").as("c"), col("m.jj").as("arg"))
+      val dp2 = step(dp1); val dp3 = step(dp2); val dp4 = step(dp3)
+      val cmax = cells.agg(max("i").as("cc"))
+      val b4 = dp4.join(cmax, col("i") === col("cc"))
+        .select(col("arg").as("j4"), col("cc"))
+      val b3 = dp3.join(b4, dp3("i") === col("j4"))
+        .select(col("arg").as("j3"), col("j4"), col("cc"))
+      val b2 = dp2.join(b3, dp2("i") === col("j3"))
+        .select(col("arg").as("j2"), col("j3"), col("j4"), col("cc"))
+      val buckets = b2.select(explode(array(
+          struct(lit(1L).as("bucket"), lit(1L).as("lo"),
+            col("j2").as("hi")),
+          struct(lit(2L).as("bucket"), (col("j2") + 1).as("lo"),
+            col("j3").as("hi")),
+          struct(lit(3L).as("bucket"), (col("j3") + 1).as("lo"),
+            col("j4").as("hi")),
+          struct(lit(4L).as("bucket"), (col("j4") + 1).as("lo"),
+            col("cc").as("hi")))).as("bk"))
+        .select(col("bk.bucket").as("bucket"), col("bk.lo").as("lo"),
+          col("bk.hi").as("hi"))
+      buckets
+        .join(cost, col("j") === col("lo") - 1 && col("i") === col("hi"))
+        .join(cells.select(col("i").as("li"), col("day").as("sd")),
+          col("li") === col("lo"))
+        .join(cells.select(col("i").as("hi2"), col("day").as("ed")),
+          col("hi2") === col("hi"))
+        .select(col("bucket"),
+          date_format(col("sd"), "yyyy-MM-dd").as("start_day"),
+          date_format(col("ed"), "yyyy-MM-dd").as("end_day"),
+          (col("hi") - col("lo") + 1).as("n_days"),
+          col("c6").cast("long").as("sse_micro"))
+        .orderBy("bucket")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4139,6 +4237,127 @@ $rounds
              CAST((s_raw * 1000000) // n AS BIGINT) AS raw_mean_micro
       FROM agg JOIN lo USING (g) JOIN hi USING (g)
       ORDER BY g
+    """,
+
+
+    // Bowker replay over the shared NB CTEs + the heuristic argmax:
+    // disagreement counts, label-universe pair grid, per-pair
+    // micro-floored terms, df-indexed quantile CASE (extended table).
+    "llm_mcnemar_bowker" -> s"""
+      WITH $nbLangCtes,
+      nb AS (SELECT doc_id, cand AS b FROM r WHERE rn = 1),
+      hs AS (
+        SELECT doc_id, $langArgmax AS a FROM (
+          SELECT doc_id, lang, ws, $langScoreCols
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents)) scored),
+      preds AS (SELECT hs.a, nb.b FROM hs JOIN nb USING (doc_id)),
+      cnt AS MATERIALIZED (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        FROM preds WHERE a <> b GROUP BY 1, 2),
+      labels AS (SELECT a AS l FROM cnt UNION SELECT b FROM cnt),
+      grid AS (SELECT x.l AS la, y.l AS lb
+               FROM labels x JOIN labels y ON x.l < y.l),
+      pairs AS (
+        SELECT g.la, g.lb, coalesce(ab.c, 0) AS n_ab,
+               coalesce(ba.c, 0) AS n_ba
+        FROM grid g
+        LEFT JOIN cnt ab ON ab.a = g.la AND ab.b = g.lb
+        LEFT JOIN cnt ba ON ba.a = g.lb AND ba.b = g.la),
+      terms AS (
+        SELECT la, lb, n_ab, n_ba,
+               CASE WHEN n_ab + n_ba > 0 THEN
+                 CAST(((CAST(n_ab AS HUGEINT) - n_ba)
+                     * (CAST(n_ab AS HUGEINT) - n_ba) * 1000000)
+                   // (n_ab + n_ba) AS BIGINT)
+               ELSE 0 END AS term_micro,
+               (n_ab + n_ba > 0) AS used
+        FROM pairs)
+      SELECT la, lb, n_ab, n_ba, term_micro, used,
+             CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro,
+             CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) OVER ()
+               AS BIGINT) AS df,
+             CASE WHEN sum(CASE WHEN used THEN 1 ELSE 0 END) OVER () = 0
+                  THEN FALSE
+                  ELSE sum(term_micro) OVER () >=
+                    (CASE CAST(sum(CASE WHEN used THEN 1 ELSE 0 END)
+                       OVER () AS INT) WHEN 1 THEN 3841458 WHEN 2 THEN 5991464 WHEN 3 THEN 7814727 WHEN 4 THEN 9487729 WHEN 5 THEN 11070497 WHEN 6 THEN 12591587 WHEN 7 THEN 14067140 WHEN 8 THEN 15507313 WHEN 9 THEN 16918978 WHEN 10 THEN 18307038 END)
+             END AS reject_05
+      FROM terms
+      ORDER BY la, lb
+    """,
+
+
+    // V-optimal replay: prefix sums, pair cost table, 3 MATERIALIZED
+    // DP rounds with (cost, j) tie order, argmin backtrack joins.
+    "p_vopt_histogram" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      cells AS MATERIALIZED (
+        SELECT day, x,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+               CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS HUGEINT) AS p,
+               sum(CAST(x AS HUGEINT) * x) OVER (ORDER BY day ROWS
+                 BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q
+        FROM daily),
+      pref AS (SELECT i, p, q FROM cells
+               UNION ALL SELECT 0, 0, 0),
+      cost AS MATERIALIZED (
+        SELECT a.i AS j, b.i AS i,
+               (b.q - a.q) * 1000000
+                 - ((b.p - a.p) * (b.p - a.p) * 1000000) // (b.i - a.i)
+                 AS c6
+        FROM pref a JOIN pref b ON a.i < b.i),
+      dp1 AS MATERIALIZED (
+        SELECT i, c6 AS c, CAST(0 AS BIGINT) AS arg
+        FROM cost WHERE j = 0),
+      dp2 AS MATERIALIZED (
+        SELECT i, c, arg FROM (
+          SELECT c.i, d.c + c.c6 AS c, c.j AS arg,
+                 row_number() OVER (PARTITION BY c.i
+                   ORDER BY d.c + c.c6, c.j) AS rk
+          FROM dp1 d JOIN cost c ON c.j = d.i)
+        WHERE rk = 1),
+      dp3 AS MATERIALIZED (
+        SELECT i, c, arg FROM (
+          SELECT c.i, d.c + c.c6 AS c, c.j AS arg,
+                 row_number() OVER (PARTITION BY c.i
+                   ORDER BY d.c + c.c6, c.j) AS rk
+          FROM dp2 d JOIN cost c ON c.j = d.i)
+        WHERE rk = 1),
+      dp4 AS MATERIALIZED (
+        SELECT i, c, arg FROM (
+          SELECT c.i, d.c + c.c6 AS c, c.j AS arg,
+                 row_number() OVER (PARTITION BY c.i
+                   ORDER BY d.c + c.c6, c.j) AS rk
+          FROM dp3 d JOIN cost c ON c.j = d.i)
+        WHERE rk = 1),
+      cc AS (SELECT max(i) AS cc FROM cells),
+      b4 AS (SELECT dp4.arg AS j4, cc.cc FROM dp4, cc
+             WHERE dp4.i = cc.cc),
+      b3 AS (SELECT dp3.arg AS j3, b4.j4, b4.cc FROM dp3, b4
+             WHERE dp3.i = b4.j4),
+      b2 AS (SELECT dp2.arg AS j2, b3.j3, b3.j4, b3.cc FROM dp2, b3
+             WHERE dp2.i = b3.j3),
+      bks AS (
+        SELECT CAST(1 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS lo,
+               j2 AS hi FROM b2
+        UNION ALL SELECT 2, j2 + 1, j3 FROM b2
+        UNION ALL SELECT 3, j3 + 1, j4 FROM b2
+        UNION ALL SELECT 4, j4 + 1, cc FROM b2)
+      SELECT bk.bucket, CAST(cs.day AS VARCHAR) AS start_day,
+             CAST(ce.day AS VARCHAR) AS end_day,
+             bk.hi - bk.lo + 1 AS n_days,
+             CAST(co.c6 AS BIGINT) AS sse_micro
+      FROM bks bk
+      JOIN cost co ON co.j = bk.lo - 1 AND co.i = bk.hi
+      JOIN cells cs ON cs.i = bk.lo
+      JOIN cells ce ON ce.i = bk.hi
+      ORDER BY bucket
     """,
 
   )

@@ -1498,6 +1498,42 @@ private[queries] object LlmTextQueries {
         blockWords = 10, depthThresholdMicro = 100000L)
         .orderBy("doc_id", "gap")
     }),
+
+    // ---- T5-style span-corruption plan (X386) ------------------------------
+    // The denoising-objective manifest: per 20-token block, one
+    // 3-token span at a deterministic md5 offset (non-overlap by
+    // construction - offset <= 17 keeps the span inside its block).
+    // Emits the exact token accounting a packing stage consumes:
+    // input = kept tokens + one sentinel per span, target = sentinels
+    // + corrupted tokens + EOS. span_start_sum pins the whole per-
+    // block offset stream cross-engine, not just the counts.
+    "llm_span_corruption" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("n_tokens div 20").as("n_spans"))
+      val offs = base.filter(col("n_spans") > 0)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, n_spans - 1)")).as("blk"))
+        .select(col("doc_id"),
+          (col("blk") * 20 + 1 +
+            conv(substring(md5(concat(lit("span|"),
+              col("doc_id").cast("string"), lit("|"),
+              col("blk").cast("string"))), 1, 4), 16, 10).cast("long")
+              % 18).as("start"))
+        .groupBy("doc_id").agg(sum("start").as("span_start_sum"))
+      base.join(offs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          (col("n_spans") * 3).as("n_corrupted"),
+          (col("n_tokens") - col("n_spans") * 3 + col("n_spans"))
+            .as("input_len"),
+          when(col("n_spans") > 0, col("n_spans") * 4 + 1)
+            .otherwise(lit(0L)).as("target_len"),
+          coalesce(col("span_start_sum"), lit(0L)).as("span_start_sum"))
+        .orderBy("doc_id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3736,5 +3772,35 @@ $rounds,
       FROM d
       ORDER BY doc_id, gap
     """,
+
+    // span-corruption replay: the same block/offset arithmetic with
+    // DuckDB's 0x-cast md5 nibble parse and a scalar range unnest.
+    "llm_span_corruption" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) // 20
+                 AS n_spans
+        FROM documents),
+      blocks AS (
+        SELECT doc_id, unnest(range(0, n_spans)) AS blk
+        FROM base WHERE n_spans > 0),
+      offs AS (
+        SELECT doc_id,
+               CAST(sum(blk * 20 + 1 +
+                 CAST('0x' || substr(md5('span|' || CAST(doc_id AS VARCHAR)
+                   || '|' || CAST(blk AS VARCHAR)), 1, 4) AS BIGINT) % 18)
+                 AS BIGINT) AS span_start_sum
+        FROM blocks GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens, b.n_spans,
+             b.n_spans * 3 AS n_corrupted,
+             b.n_tokens - b.n_spans * 3 + b.n_spans AS input_len,
+             CASE WHEN b.n_spans > 0 THEN b.n_spans * 4 + 1
+                  ELSE 0 END AS target_len,
+             coalesce(o.span_start_sum, 0) AS span_start_sum
+      FROM base b LEFT JOIN offs o USING (doc_id)
+      ORDER BY b.doc_id
+    """,
+
   )
 }
