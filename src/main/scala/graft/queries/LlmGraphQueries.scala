@@ -805,6 +805,26 @@ private[queries] object LlmGraphQueries {
       out.orderBy("seed", "step")
     }),
 
+
+    // ---- full coreness decomposition (X389) --------------------------------
+    // Upgrades llm_graph_kcore (one fixed k) to the whole k-core
+    // DECOMPOSITION in one loop: the h-index fixpoint (Lu et al.,
+    // PNAS 2016) - c_v starts at degree and iterates to
+    // H(neighbor values), level-synchronous (one equi-join + one
+    // adjacency window per round) where the textbook peel is
+    // inherently sequential. Monotone convergence licenses the
+    // unrolled oracle.
+    "llm_graph_coreness" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = graft.operators.BipartiteProjection.project(rel,
+        "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+        .select(col("item_a").as("a"), col("item_b").as("b"))
+      graft.operators.Coreness.decompose(e, "a", "b")
+        .orderBy("node")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1776,6 +1796,129 @@ $rounds
         UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
         UNION ALL SELECT * FROM w4)
       ORDER BY seed, step
+    """,
+
+
+    // coreness replay: degree init + 16 MATERIALIZED h-index rounds
+    // over the shared co-order CTEs (monotone: surplus rounds no-op;
+    // too few fails the hash gate loudly).
+    "llm_graph_coreness" -> s"""
+      WITH $coorderBaseCtes,
+      c0 AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM sym GROUP BY n),
+      c1 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c0 p ON p.n = s.m)
+        GROUP BY v),
+      c2 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c1 p ON p.n = s.m)
+        GROUP BY v),
+      c3 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c2 p ON p.n = s.m)
+        GROUP BY v),
+      c4 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c3 p ON p.n = s.m)
+        GROUP BY v),
+      c5 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c4 p ON p.n = s.m)
+        GROUP BY v),
+      c6 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c5 p ON p.n = s.m)
+        GROUP BY v),
+      c7 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c6 p ON p.n = s.m)
+        GROUP BY v),
+      c8 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c7 p ON p.n = s.m)
+        GROUP BY v),
+      c9 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c8 p ON p.n = s.m)
+        GROUP BY v),
+      c10 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c9 p ON p.n = s.m)
+        GROUP BY v),
+      c11 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c10 p ON p.n = s.m)
+        GROUP BY v),
+      c12 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c11 p ON p.n = s.m)
+        GROUP BY v),
+      c13 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c12 p ON p.n = s.m)
+        GROUP BY v),
+      c14 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c13 p ON p.n = s.m)
+        GROUP BY v),
+      c15 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c14 p ON p.n = s.m)
+        GROUP BY v),
+      c16 AS MATERIALIZED (
+        SELECT v AS n, CAST(max(least(r, cu)) AS BIGINT) AS c FROM (
+          SELECT s.n AS v, p.c AS cu,
+                 row_number() OVER (PARTITION BY s.n
+                   ORDER BY p.c DESC) AS r
+          FROM sym s JOIN c15 p ON p.n = s.m)
+        GROUP BY v)
+      SELECT n AS node, c AS coreness FROM c16
+      ORDER BY node
     """,
 
   )

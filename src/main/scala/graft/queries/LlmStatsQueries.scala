@@ -1337,6 +1337,35 @@ private[queries] object LlmStatsQueries {
         .orderBy("bucket")
     }),
 
+
+    // ---- capture-recapture population estimate (X390) ----------------------
+    // Lincoln-Petersen with the Chapman bias correction: estimate the
+    // distinct-user population from two INDEPENDENT 10% hash captures
+    // - the estimator a dedup stack uses when counting the true
+    // cluster population is cheaper to sample than to enumerate. The
+    // audit row carries the exact truth next to the estimate (this
+    // corpus is small enough to enumerate), so the error is measured,
+    // not assumed. All-integer: Chapman = (n1+1)(n2+1) div (m+1) - 1.
+    "p_capture_recapture" -> ((s, dir) => {
+      val users = events(s, dir).select(col("user_id")).distinct()
+        .localCheckpoint(true) // two capture filters + the truth count
+      def cap(salt: String) = users.filter(
+        conv(substring(md5(concat(lit(salt + "|"),
+          col("user_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 10 === 0)
+      val c1 = cap("cap1"); val c2 = cap("cap2")
+      val m = c1.join(c2, Seq("user_id"), "left_semi")
+      users.agg(count(lit(1)).as("n_pop"))
+        .crossJoin(c1.agg(count(lit(1)).as("n1")))
+        .crossJoin(c2.agg(count(lit(1)).as("n2")))
+        .crossJoin(m.agg(count(lit(1)).as("m")))
+        .select(col("n_pop"), col("n1"), col("n2"), col("m"),
+          (expr("((n1 + 1) * (n2 + 1)) div (m + 1)") - 1)
+            .as("chapman_est"),
+          expr("(abs(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 - n_pop)"
+            + " * 1000000) div n_pop").as("err_micro"))
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4358,6 +4387,30 @@ $rounds
       JOIN cells cs ON cs.i = bk.lo
       JOIN cells ce ON ce.i = bk.hi
       ORDER BY bucket
+    """,
+
+
+    // capture-recapture replay: same salted md5 nibble captures,
+    // Chapman arithmetic in BIGINT.
+    "p_capture_recapture" -> """
+      WITH users AS (SELECT DISTINCT user_id FROM events),
+      c1 AS (SELECT user_id FROM users
+             WHERE CAST('0x' || substr(md5('cap1|'
+               || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 0),
+      c2 AS (SELECT user_id FROM users
+             WHERE CAST('0x' || substr(md5('cap2|'
+               || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 0),
+      agg AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM users) AS n_pop,
+               (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM c2) AS n2,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM c1 WHERE user_id IN (SELECT user_id FROM c2)) AS m)
+      SELECT n_pop, n1, n2, m,
+             ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman_est,
+             (abs(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - n_pop)
+               * 1000000) // n_pop AS err_micro
+      FROM agg
     """,
 
   )
