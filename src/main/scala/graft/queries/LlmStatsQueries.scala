@@ -1249,11 +1249,24 @@ private[queries] object LlmStatsQueries {
     // offline bisection.
     "llm_mcnemar_bowker" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // NOTE on cost: this query's bench row reads ~3× its siblings
+      // (llm_mcnemar / llm_langid_trained) at sf1 NOT because of a
+      // worse plan — the predictions here are GROUP KEYS, so the full
+      // NB pipeline must evaluate, while the siblings' bench .count()
+      // lets Catalyst prune their prediction columns to a cheaper
+      // plan. ~95 s at sf1 is the true cost of the trigram NB on the
+      // Heaps'-law vocabulary (the contracted llm_mcnemar family,
+      // guarded in naiveBayesLangId). Verified single-consumer: no
+      // checkpoint (measured neutral, 97.3 vs 95.8 s).
       val nb = TextOps.naiveBayesLangId(docs, "doc_id", "text", "lang")
         .select(col("doc").as("doc_id"), col("pred_lang").as("b"))
-      val heur = docs.select(col("doc_id"),
-        TextOps.languageIdFromWords(TextOps.words(col("text")),
-          langMarkers).as("a"))
+      // split ONCE behind a projection boundary — inlining words(text)
+      // into the argmax re-evaluates the split per score expression
+      // (the bindOnce/CSE gotcha; measured 3.3× on this query at sf1)
+      val heur = docs
+        .select(col("doc_id"), TextOps.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          TextOps.languageIdFromWords(col("_w"), langMarkers).as("a"))
       graft.operators.McNemarBowker.test(heur.join(nb, "doc_id"), "a", "b")
     }),
 
