@@ -977,6 +977,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-14 stats trio: histogram combine-aggs, no cartesian on data") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 5L)).toDF("g", "v")
+    for ((tag, q) <- Seq(
+        "mood" -> graft.operators.MoodMedian.test(df, "g", "v"),
+        "bf" -> graft.operators.BrownForsythe.test(df, "g", "v"),
+        "trim" -> graft.operators.TrimmedStats.means(df, "g", "v"))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$tag: scalar totals may broadcast, data joins must not cross:\n$p")
+      assert(p.contains("partial_") || p.contains("HashAggregate"),
+        s"$tag: the (group, value) histogram must map-side combine:\n$p")
+    }
+  }
+
+  test("Bowker: disagreement counts combine-agg; pair grid is metadata") {
+    import spark.implicits._
+    val df = Seq(("x", "y"), ("y", "x"), ("x", "z")).toDF("a", "b")
+    val p = plan(graft.operators.McNemarBowker.test(df, "a", "b"))
+    assert(!p.contains("CartesianProduct"),
+      s"the label grid must be an inequality join over the tiny label" +
+        s" table, never a data cross:\n$p")
+    assert(p.contains("partial_") || p.contains("HashAggregate"),
+      s"disagreement counts must map-side combine:\n$p")
+  }
+
+  test("coreness round: equi-join + per-vertex window, no all-pairs") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val p = plan(graft.operators.Coreness.decompose(edges, "a", "b"))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"h-index rounds are value-attach equi-joins only:\n$p")
+  }
+
   test("maximal matching round: min-combine aggregates + anti-joins only") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
