@@ -1379,6 +1379,52 @@ private[queries] object LlmStatsQueries {
             + " * 1000000) div n_pop").as("err_micro"))
     }),
 
+
+    // ---- Bartels' rank test of randomness (X391) ---------------------------
+    // Von Neumann's ratio on RANKS (Bartels JASA 1982): is the daily
+    // value series random against serial correlation - the trend/
+    // oscillation triage before any forecasting model is trusted.
+    // Ranks tie-break by day, making them a PERMUTATION (documented
+    // policy; daily cent sums are effectively tie-free), so
+    // D = (n^3-n)/12 is closed-form and the whole decision is exact
+    // integer cross-multiplication: RVN = 12*NM/(n^3-n), and
+    // (12NM - 2(n^3-n))^2 * 1e6 * 5n(n+1)(n-1)^2 >=
+    // 3841458 * 4(n-2)(5n^2-2n-9) * (n^3-n)^2 - no runtime CDF, the
+    // folded-z discipline. One row out.
+    "p_bartels_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
+      val ranked = daily
+        .withColumn("r", row_number()
+          .over(Window.orderBy(col("x"), col("day"))).cast("long"))
+      val nm = ranked
+        .withColumn("rn", lead(col("r"), 1)
+          .over(Window.orderBy(col("day"))))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("rn").isNotNull,
+            (col("r") - col("rn")) * (col("r") - col("rn")))
+            .otherwise(lit(0L))).as("nm"))
+      nm.select(col("n"), col("nm"),
+          (dec(col("n")) * dec(col("n")) * dec(col("n")) - dec(col("n")))
+            .as("n3n"))
+        .select(col("n"), col("nm"),
+          graft.llm.TextOps.floorDivDec(
+            dec(col("nm")) * lit(12L) * lit(1000000L), col("n3n"))
+            .cast("long").as("rvn_micro"),
+          (dec(col("nm")) * lit(12L) - lit(2L) * col("n3n")).as("dev"),
+          col("n3n"))
+        .select(col("n"), col("nm"), col("rvn_micro"),
+          (col("dev") * col("dev") * lit(1000000L) * lit(5L) * dec(col("n"))
+            * dec(col("n") + 1) * dec(col("n") - 1) * dec(col("n") - 1)
+            >= dec(lit(3841458L)) * lit(4L) * dec(col("n") - 2)
+              * (lit(5L) * dec(col("n")) * dec(col("n"))
+                - lit(2L) * dec(col("n")) - lit(9L))
+              * col("n3n") * col("n3n")).as("reject_05"))
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4424,6 +4470,40 @@ $rounds
              (abs(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - n_pop)
                * 1000000) // n_pop AS err_micro
       FROM agg
+    """,
+
+
+    // Bartels replay: ranks by (x, day), lead-difference NM, the same
+    // cross-multiplied decision in HUGEINT.
+    "p_bartels_rank" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      ranked AS (
+        SELECT day,
+               CAST(row_number() OVER (ORDER BY x, day) AS BIGINT) AS r
+        FROM daily),
+      nm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN rn IS NOT NULL
+                 THEN (r - rn) * (r - rn) ELSE 0 END) AS BIGINT) AS nm
+        FROM (SELECT r, lead(r) OVER (ORDER BY day) AS rn FROM ranked)),
+      s AS (
+        SELECT n, nm,
+               CAST(n AS HUGEINT) * n * n - n AS n3n,
+               CAST(nm AS HUGEINT) * 12 - 2 * (CAST(n AS HUGEINT) * n * n - n)
+                 AS dev
+        FROM nm)
+      SELECT n, nm,
+             CAST((CAST(nm AS HUGEINT) * 12 * 1000000) // n3n AS BIGINT)
+               AS rvn_micro,
+             dev * dev * 1000000 * 5 * n * (n + 1) * (n - 1) * (n - 1)
+               >= CAST(3841458 AS HUGEINT) * 4 * (n - 2)
+                  * (5 * CAST(n AS HUGEINT) * n - 2 * n - 9)
+                  * n3n * n3n AS reject_05
+      FROM s
     """,
 
   )
