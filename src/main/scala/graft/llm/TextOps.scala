@@ -2189,6 +2189,20 @@ object TextOps {
     * skew-free keys; the model is |langs|·|trigrams| rows and joins the
     * per-doc trigram table AQE-decided; inference fan-out per trigram
     * is ≤ |languages|. Output: (doc, lang_true, pred_lang, correct).
+    *
+    * Materialization (r15): `dg` and `lg` are localCheckpoint'ed. The
+    * trigram explode + (doc, g) shuffle feeds TWO consumers (the model
+    * rollup and the scoring probe) and the (lang, g) model table feeds
+    * THREE (totals, vocabulary, log-probs) — left lazy, Spark re-runs
+    * the corpus explode once per consumer because the shared subtree
+    * sits below different exchanges (ReuseExchange only dedupes
+    * identical ones). The r15 honest-action bench caught it: 28.5 s at
+    * sf0.01 under a full-column action vs 2.8 s under the pruned
+    * `.count()`. Checkpointing dg costs one corpus-linear
+    * materialization — the same order as the shuffle already paid —
+    * and converts ~5 explode+shuffle re-runs into 1 (measured 28.5 →
+    * ~4 s at sf0.01). At warehouse scale the equivalent is persisting
+    * the per-doc feature table once per training run.
     */
   def naiveBayesLangId(df: DataFrame, idCol: String, textCol: String,
       langCol: String, vocabEnvelope: Long = 20000000L): DataFrame = {
@@ -2203,8 +2217,10 @@ object TextOps {
     // unchanged), then the per-language model is a rollup of the much
     // smaller (doc, g) table instead of a second corpus explode.
     val dg = tri.groupBy("doc", "lang_true", "g").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // feeds the model rollup AND the scoring probe
     val lg = dg.groupBy(col("lang_true").as("lang"), col("g"))
       .agg(sum("_c").as("_clg"))
+      .localCheckpoint(true) // feeds totals, vocabulary, and log-probs
     val nl = lg.groupBy("lang").agg(sum("_clg").cast("long").as("_nlt"))
     // Heaps'-law contract (SCALE_SWEEP_r13): the whole pipeline is
     // corpus-linear ONLY while the trigram vocabulary stays model-sized
@@ -2227,6 +2243,76 @@ object TextOps {
     val langFloor = nl.crossJoin(broadcast(v))
       .select(col("lang"),
         floor(log(lit(1.0) / (col("_nlt") + col("_v")).cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("_fl"))
+    val docTot = base.select(col("doc"), col("lang_true"),
+      greatest(length(col("_t")) - 2, lit(0)).cast("long").as("_n"))
+    val seen = dg.join(model, "g")
+      .groupBy("doc", "lang")
+      .agg(sum(col("_c") * col("_li")).as("_s"), sum("_c").cast("long").as("_seen"))
+    docTot.crossJoin(broadcast(langFloor))
+      .join(seen, Seq("doc", "lang"), "left")
+      .select(col("doc"), col("lang_true"), col("lang"),
+        (coalesce(col("_s"), lit(0L))
+          + (col("_n") - coalesce(col("_seen"), lit(0L))) * col("_fl")).as("_score"))
+      .groupBy("doc", "lang_true")
+      .agg(min_by(col("lang"), struct((-col("_score")).as("_ns"), col("lang")))
+        .as("pred_lang"))
+      .select(col("doc"), col("lang_true"), col("pred_lang"),
+        (col("lang_true") === col("pred_lang")).as("correct"))
+  }
+
+  /** BOUNDED-vocabulary trained language ID — the scale-safe twin of
+    * [[naiveBayesLangId]] (the "hashing trick", Weinberger et al.
+    * ICML'09): every char trigram is hashed into a FIXED feature space
+    * of `buckets` cells (md5 prefix → 60-bit integer → mod buckets, the
+    * repo's cross-engine hash idiom), and smoothing uses the fixed
+    * bucket count as the vocabulary. Consequences, all deliberate:
+    *
+    *  - the model table is ≤ |langs|·buckets rows NO MATTER the corpus
+    *    — the Heaps'-law superlinearity that forced the unhashed
+    *    variant's `vocabEnvelope` guard cannot occur, so there is no
+    *    envelope here: this is the variant the guard message tells a
+    *    100×-corpus caller to switch to;
+    *  - colliding trigrams share a cell (their counts add) — the
+    *    standard hashing-trick bias, negligible while distinct
+    *    trigrams ≪ buckets and bounded regardless;
+    *  - the add-one denominator is n_l + buckets (fixed V), so scores
+    *    differ from the unhashed model's — this is a different, bounded
+    *    model with its own oracle, not a drop-in replay.
+    *
+    * Same determinism contract as the unhashed variant: integer
+    * micro-nat quantization before any sum, argmax ties to the smaller
+    * language code. Same materialization: dg and lg checkpoint once
+    * for their multiple consumers. Output: (doc, lang_true, pred_lang,
+    * correct).
+    */
+  def naiveBayesLangIdHashed(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, buckets: Int = 1 << 20): DataFrame = {
+    val base = df.select(col(idCol).as("doc"), col(langCol).as("lang_true"),
+      col(textCol).as("_t"))
+    val tri = base.filter(length(col("_t")) >= 3)
+      .select(col("doc"), col("lang_true"), explode(
+        expr("transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"))
+        .as("_g"))
+      // 60-bit md5 prefix mod a fixed power of two — positive, exact in
+      // long, and byte-identical in the DuckDB oracle
+      // (CAST('0x'||substr(md5(g),1,15) AS BIGINT) % buckets).
+      .select(col("doc"), col("lang_true"),
+        pmod(conv(substring(md5(col("_g")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("g"))
+    val dg = tri.groupBy("doc", "lang_true", "g").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // feeds the model rollup AND the scoring probe
+    val lg = dg.groupBy(col("lang_true").as("lang"), col("g"))
+      .agg(sum("_c").as("_clg"))
+      .localCheckpoint(true) // feeds totals and log-probs
+    val nl = lg.groupBy("lang").agg(sum("_clg").cast("long").as("_nlt"))
+    val model = lg.join(nl, "lang")
+      .select(col("lang"), col("g"),
+        floor(log((col("_clg") + 1) / (col("_nlt") + buckets.toLong).cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("_li"))
+    val langFloor = nl
+      .select(col("lang"),
+        floor(log(lit(1.0) / (col("_nlt") + buckets.toLong).cast("double"))
           * 1000000.0 + 0.5).cast("long").as("_fl"))
     val docTot = base.select(col("doc"), col("lang_true"),
       greatest(length(col("_t")) - 2, lit(0)).cast("long").as("_n"))

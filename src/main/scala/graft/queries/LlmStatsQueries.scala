@@ -132,6 +132,42 @@ private[queries] object LlmStatsQueries {
               >= expr("38416 * (n_b + n_c)")).as("reject_05"))
     }),
 
+    // ---- McNemar on the BOUNDED hashed-feature NB (X393) -------------------
+    // llm_mcnemar with the scale-safe hashed-trigram model in the NB
+    // seat: does bounding the feature space to 2^20 cells change the
+    // model-vs-heuristic verdict? Same exact rational chi-square-1
+    // decision; the model side is Heaps'-law immune by construction,
+    // so this is the pairing a 100x corpus actually runs.
+    "llm_mcnemar_hashed" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nb = TextOps.naiveBayesLangIdHashed(docs, "doc_id", "text", "lang")
+        .select(col("doc").as("doc_id"), col("correct").as("b_ok"))
+      val heur = docs
+        .select(col("doc_id"), col("lang"),
+          TextOps.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          (TextOps.languageIdFromWords(col("_w"), langMarkers)
+            === col("lang")).as("a_ok"))
+      heur.join(nb, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when(!col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+            .as("n_neither"),
+          sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+            .as("n_b"),
+          sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+            .as("n_c"))
+        .select(col("n"), col("n_both"), col("n_neither"), col("n_b"),
+          col("n_c"),
+          when(col("n_b") + col("n_c") > 0,
+            expr("((n_b - n_c) * (n_b - n_c) * 1000000) div (n_b + n_c)"))
+            .otherwise(lit(0L)).as("chi2_micro"),
+          (col("n_b") + col("n_c") > 0 &&
+            expr("(n_b - n_c) * (n_b - n_c) * 10000")
+              >= expr("38416 * (n_b + n_c)")).as("reject_05"))
+    }),
+
     // ---- Wilson score intervals on per-source pass rates (X369) ------------
     // The proportion CI that behaves at the extremes where the Wald
     // interval collapses (Wilson 1927; Brown-Cai-DasGupta's
@@ -1592,6 +1628,38 @@ private[queries] object LlmStatsQueries {
     // chi-square-1 decision (196^2 = 38416).
     "llm_mcnemar" -> s"""
       WITH $nbLangCtes,
+      nb AS (
+        SELECT doc_id, (lang_true = cand) AS b_ok
+        FROM r WHERE rn = 1),
+      hs AS (
+        SELECT doc_id, ($langArgmax = lang) AS a_ok FROM (
+          SELECT doc_id, lang, ws, $langScoreCols
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents)) scored),
+      j AS (SELECT a_ok, b_ok FROM hs JOIN nb USING (doc_id)),
+      agg AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS n_both,
+               sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                 AS n_neither,
+               sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS nb_,
+               sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS nc_
+        FROM j)
+      SELECT CAST(n AS BIGINT) AS n, CAST(n_both AS BIGINT) AS n_both,
+             CAST(n_neither AS BIGINT) AS n_neither,
+             CAST(nb_ AS BIGINT) AS n_b, CAST(nc_ AS BIGINT) AS n_c,
+             CAST(CASE WHEN nb_ + nc_ > 0
+                       THEN ((nb_ - nc_) * (nb_ - nc_) * 1000000)
+                            // (nb_ + nc_)
+                       ELSE 0 END AS BIGINT) AS chi2_micro,
+             (nb_ + nc_ > 0 AND
+              (nb_ - nc_) * (nb_ - nc_) * 10000 >= 38416 * (nb_ + nc_))
+               AS reject_05
+      FROM agg
+    """,
+
+    "llm_mcnemar_hashed" -> s"""
+      WITH $nbLangHashedCtes,
       nb AS (
         SELECT doc_id, (lang_true = cand) AS b_ok
         FROM r WHERE rn = 1),

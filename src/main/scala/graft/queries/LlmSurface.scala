@@ -1333,6 +1333,57 @@ mom AS (
                  ORDER BY score DESC, lang) AS rn
         FROM sc)"""
 
+  /** The BOUNDED trained-NB replay (hashed trigram features, fixed
+    * 2²⁰-cell vocabulary — TextOps.naiveBayesLangIdHashed), shared by
+    * llm_langid_hashed and llm_mcnemar_hashed so the two oracles
+    * cannot drift. Identical chain to [[nbLangCtes]] except: the
+    * feature is the 60-bit md5 prefix of the trigram mod 1048576, and
+    * smoothing uses the FIXED bucket count (no distinct-vocabulary
+    * CTE — that count is what Heaps' law grows). Ends at CTE `r`
+    * (doc_id, lang_true, cand, rn). */
+  private[queries] lazy val nbLangHashedCtes: String = """base AS (
+        SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+      ex AS (
+        SELECT doc_id, lang, text,
+               unnest(range(1, CAST(length(text) AS BIGINT) - 1)) AS i
+        FROM base),
+      tri AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 3)),
+                 1, 15) AS BIGINT) % 1048576 AS g
+        FROM ex),
+      dg AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+      lg AS (SELECT lang, g, count(*) AS clg FROM tri GROUP BY lang, g),
+      nl AS (SELECT lang, CAST(sum(clg) AS BIGINT) AS nlt FROM lg GROUP BY lang),
+      model AS (
+        SELECT lang, g,
+               CAST(floor(ln((clg + 1) / CAST(nlt + 1048576 AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS li
+        FROM lg JOIN nl USING (lang)),
+      fl AS (
+        SELECT lang,
+               CAST(floor(ln(1.0 / CAST(nlt + 1048576 AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS fl
+        FROM nl),
+      dt AS (
+        SELECT doc_id, lang AS lang_true,
+               CAST(greatest(length(text) - 2, 0) AS BIGINT) AS n
+        FROM documents),
+      seen AS (
+        SELECT dg.doc_id, model.lang, CAST(sum(c * li) AS BIGINT) AS s,
+               CAST(sum(c) AS BIGINT) AS sn
+        FROM dg JOIN model USING (g) GROUP BY dg.doc_id, model.lang),
+      sc AS (
+        SELECT dt.doc_id, dt.lang_true, fl.lang,
+               coalesce(seen.s, 0) + (dt.n - coalesce(seen.sn, 0)) * fl.fl AS score
+        FROM dt CROSS JOIN fl
+        LEFT JOIN seen ON seen.doc_id = dt.doc_id AND seen.lang = fl.lang),
+      r AS (
+        SELECT doc_id, lang_true, lang AS cand,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lang) AS rn
+        FROM sc)"""
+
   /** X330 best-of-n: 8 branches over the ranked panel, each with the
     * static power expressions iⁿ − (i−1)ⁿ and Nⁿ in HUGEINT — the
     * exact with-replacement order-statistic estimator EvalOps.bestOfN

@@ -303,6 +303,20 @@ private[queries] object LlmTextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- BOUNDED trained language ID (hashed features, X392) --------------
+    // The scale-safe twin the unhashed variant's vocab-envelope guard
+    // names as the remedy: trigrams hash into a FIXED 2^20-cell feature
+    // space, so the model is <= |langs|*2^20 rows at ANY corpus size —
+    // the Heaps'-law superlinearity that makes llm_langid_trained
+    // envelope-guarded cannot occur here by construction.
+    "llm_langid_hashed" -> ((s, dir) => {
+      TextOps.naiveBayesLangIdHashed(
+        Tables(s, dir, "documents"), "doc_id", "text", "lang")
+        .withColumnRenamed("doc", "doc_id")
+        .withColumnRenamed("lang_true", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---- language-ID heuristic + quality score ---------------------------
     "llm_lang_quality" -> ((s, dir) => {
       // split once per row (own projection); every stat reads the array
@@ -1946,6 +1960,13 @@ $rounds,
 
     "llm_langid_trained" -> s"""
       WITH $nbLangCtes
+      SELECT doc_id, lang_true AS lang, cand AS pred_lang,
+             (lang_true = cand) AS correct
+      FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+
+    "llm_langid_hashed" -> s"""
+      WITH $nbLangHashedCtes
       SELECT doc_id, lang_true AS lang, cand AS pred_lang,
              (lang_true = cand) AS correct
       FROM r WHERE rn = 1 ORDER BY doc_id

@@ -191,6 +191,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(5L) === ((5L, "yy", "xx", false)))
   }
 
+  test("naiveBayesLangIdHashed: separable content classifies correctly; no-trigram doc ties to first lang") {
+    val df = Seq(
+      (1L, "aaa bbb aaa bab", "xx"),
+      (2L, "aab baa aba bba", "xx"),
+      (3L, "zzz yyy zzz yzy", "yy"),
+      (4L, "zyz yzy zzy zyy", "yy"),
+      (5L, "ab", "yy")) // < 3 chars: zero trigrams, all scores equal
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.naiveBayesLangIdHashed(df, "doc_id", "text", "lang")
+      .as[(Long, String, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "xx", "xx", true)))
+    assert(got(2L) === ((2L, "xx", "xx", true)))
+    assert(got(3L) === ((3L, "yy", "yy", true)))
+    assert(got(4L) === ((4L, "yy", "yy", true)))
+    // deterministic argmax tiebreak: lexicographically smallest language
+    assert(got(5L) === ((5L, "yy", "xx", false)))
+  }
+
+  test("naiveBayesLangIdHashed: colliding trigrams pool their counts deterministically") {
+    // 4-bucket feature space: every trigram collides somewhere. The
+    // point is the hashed model stays well-defined and deterministic —
+    // two identical runs must agree bit-for-bit even under heavy
+    // collision, because the bucket is a pure function of the trigram.
+    val df = Seq(
+      (1L, "aaa bbb aaa bab", "xx"),
+      (2L, "zzz yyy zzz yzy", "yy"),
+      (3L, "aaa zzz", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val run = () => TextOps.naiveBayesLangIdHashed(df, "doc_id", "text",
+      "lang", buckets = 4)
+      .as[(Long, String, String, Boolean)].collect().toSet
+    val a = run(); val b = run()
+    assert(a === b)
+    assert(a.size === 3 && a.forall(r => Set("xx", "yy").contains(r._3)))
+  }
+
   test("naiveBayesLangId: vocabulary past the Heaps'-law envelope raises loudly") {
     val df = Seq(
       (1L, "aaa bbb aaa bab", "xx"),

@@ -1077,4 +1077,29 @@ class PlanAuditSpec extends SparkSpec {
       && !p.contains("BroadcastNestedLoopJoin"),
       s"cold pairs and star pairs must both come from equi-joins:\n$p")
   }
+
+  test("hashed-feature NB: equi probe, broadcast lang fan-out, combine argmax") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaa bbb aaa bab", "xx"),
+      (2L, "zzz yyy zzz yzy", "yy")).toDF("doc_id", "text", "lang")
+    for ((tag, q) <- Seq(
+        "hashed" -> graft.llm.TextOps.naiveBayesLangIdHashed(
+          df, "doc_id", "text", "lang", buckets = 16),
+        "unhashed" -> graft.llm.TextOps.naiveBayesLangId(
+          df, "doc_id", "text", "lang"))) {
+      val p = plan(q)
+      // the (doc, feature) x model probe must stay an EQUI join on the
+      // feature key; the only non-equi operator allowed is the
+      // BROADCAST doc x languages fan-out (|langs|-bounded, model-sized)
+      assert(!p.contains("CartesianProduct"),
+        s"$tag: the model probe must never be a shuffled cross:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$tag: the doc x languages floor fan-out must broadcast the" +
+          s" |langs|-row side, not shuffle it:\n$p")
+      assert(p.contains("partial_") || p.contains("HashAggregate")
+        || p.contains("SortAggregate"),
+        s"$tag: the per-(doc, lang) score sum must map-side combine:\n$p")
+    }
+  }
 }
