@@ -55,7 +55,15 @@ object BipartiteProjection {
       itemCol: String,
       cap: Int,
       minWeight: Long): DataFrame = {
+    // Materialize the capped relation ONCE: the self-join's two sides
+    // are the same scan + distinct + window subtree, and the planner
+    // does NOT dedupe them (r15 measured plan: two full pipelines under
+    // the SortMergeJoin, no ReusedExchange) — every projection consumer
+    // paid the cap stage twice. One checkpoint (corpus-bounded:
+    // ≤ cap rows per basket) halves it for all ~17 graph queries
+    // (sf1: 9.1 s lazy → 5.0 s checkpointed for the projection alone).
     val capped = capBaskets(rel, basketCol, itemCol, cap)
+      .localCheckpoint(true)
     capped.as("x").join(capped.as("y"), Seq("_b"))
       .filter(col("x._i") < col("y._i"))
       .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))

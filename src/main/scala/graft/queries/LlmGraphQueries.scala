@@ -780,14 +780,32 @@ private[queries] object LlmGraphQueries {
         .select(col("l_orderkey"), col("l_partkey"))
       val e = graft.operators.BipartiteProjection.project(rel,
         "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+        .localCheckpoint(true) // unionAll's two branches would re-project
       val und = e.select(col("item_a").as("u"), col("item_b").as("v"))
         .unionAll(e.select(col("item_b").as("u"), col("item_a").as("v")))
+        .localCheckpoint(true) // 4 ball expansions + the ball window
+      val seeds = und.select("u").filter(col("u") <= 48).distinct()
+      // BALL RESTRICTION (r15): the walk can only ever query the
+      // adjacency at nodes within 4 hops of the <=48-seed panel, so
+      // the md5 sort-key + per-u window — the full-graph 2|E| term
+      // that owned the r14 sf1 step (3.46 -> 7.53 s at 10x data) —
+      // runs over ball-incident edges only. The ball expands by 4
+      // broadcast semi probes of the checkpointed und (frontier is
+      // panel-sized: no shuffle, no sort, no md5 over the full graph).
+      // Ranks are UNCHANGED: the filter keeps every edge of a ball
+      // vertex u (v unrestricted), so u's window still sees its
+      // complete neighbor list.
+      var ball = seeds
+      for (_ <- 1 to 4)
+        ball = ball.unionAll(
+          und.join(broadcast(ball), Seq("u"), "left_semi")
+            .select(col("v").as("u"))).distinct()
       val wnd = Window.partitionBy("u").orderBy(md5(concat(lit("walk|"),
         col("u").cast("string"), lit("|"), col("v").cast("string"))))
-      val adj = und.withColumn("rk", row_number().over(wnd))
+      val adj = und.join(broadcast(ball), Seq("u"), "left_semi")
+        .withColumn("rk", row_number().over(wnd))
         .filter(col("rk") <= 6).select("u", "v")
         .localCheckpoint(true) // probed once per unrolled step
-      val seeds = adj.select("u").filter(col("u") <= 48).distinct()
       var walk = seeds.select(col("u").as("seed"), lit(0).as("step"),
         col("u").as("node"))
       var out = walk

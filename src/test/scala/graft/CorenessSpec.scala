@@ -50,4 +50,22 @@ class CorenessSpec extends SparkSpec {
     }
     assert(run(edges) === core.toMap)
   }
+
+  test("full-only and affected-front regimes agree (r15 two-regime)") {
+    val n = 30L
+    val edges = (0L until 220L).map { i =>
+      val a = (i * 7919 + 13) % n
+      val b = (i * 104729 + 31) % n
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val df = edges.toDF("a", "b")
+    // frontSwitch = 0: the affected path never engages (full rounds
+    // only, the pre-r15 behavior). frontSwitch = 2: every round after
+    // the first runs the affected-front patch path.
+    val full = Coreness.decompose(df, "a", "b", frontSwitch = 0.0)
+      .as[(Long, Long)].collect().toMap
+    val front = Coreness.decompose(df, "a", "b", frontSwitch = 2.0)
+      .as[(Long, Long)].collect().toMap
+    assert(full === front)
+  }
 }
