@@ -1891,6 +1891,91 @@ object TextOps {
     out
   }
 
+  /** Dataset cartography (Swayamdipta et al., EMNLP 2020): map every
+    * training example by its behavior ACROSS the training run — mean
+    * confidence in the true label, variability of that confidence, and
+    * how often the model got it right — the triage a curation stack
+    * runs to split a corpus into easy-to-learn / ambiguous / hard
+    * regions (hard ≈ label noise candidates, ambiguous ≈ the examples
+    * worth keeping for generalization).
+    *
+    * Runs the EXACT llm_classifier_train loop (same hashed features,
+    * class-balanced integer GD, hard-sigmoid, clip — the update
+    * equations below must stay bit-identical to
+    * [[trainLinearClassifier]]'s, which the shared oracle CTE
+    * generator enforces) but keeps each round's per-doc residual:
+    * |e_r| = 10⁶ − confidence_r in micro. Stats are exact integers —
+    * conf = 10⁶ − Σ|e| div R; variance·R² = R·Σe² − (Σe)² (micro²,
+    * ≤ 10¹⁴, long-safe at R = 10) reported as its div-R² floor;
+    * correct_r ⟺ |e_r| < 5·10⁵. Regions: ambiguous ⟺ variance ≥
+    * (0.2)² in micro² (the paper's high-variability band), else easy ⟺
+    * conf ≥ ½·10⁶, else hard.
+    *
+    * Output: (doc, y, conf_micro, var_micro2, n_correct, band).
+    */
+  def trainingCartography(df: DataFrame, idCol: String, textCol: String,
+      label: Column, numBuckets: Int, salt: String, rounds: Int,
+      lrDiv: Long, clipMilli: Long): DataFrame = {
+    require(rounds >= 1 && numBuckets > 0 && lrDiv > 0 && clipMilli > 0,
+      s"bad hyperparameters: rounds=$rounds buckets=$numBuckets lrDiv=$lrDiv"
+        + s" clip=$clipMilli")
+    val spark = df.sparkSession
+    val feats = hashedFeatures(df, idCol, textCol, numBuckets, salt)
+      .localCheckpoint(true)
+    val labels = df.select(col(idCol).as("doc"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .localCheckpoint(true)
+    val Array(n0, n1) = labels.agg(
+      sum(lit(1L) - col("_y")), sum(col("_y"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n0 > 0 && n1 > 0,
+      s"class-balanced training needs both classes present (n0=$n0, n1=$n1)")
+    var w = spark.range(numBuckets)
+      .select(col("id").cast("int").as("b"), lit(0L).as("wt"))
+      .localCheckpoint(true)
+    val resids = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to rounds) {
+      val z = feats.join(w, "b")
+        .groupBy("doc")
+        .agg(sum(col("c") * col("wt")).as("_zw"), sum("c").as("_n"))
+        .select(col("doc"),
+          floor(col("_zw").cast("double") / col("_n")).cast("long").as("_z"))
+      val err = z.join(labels, "doc")
+        .select(col("doc"),
+          (least(lit(1000000L), greatest(lit(0L), (col("_z") + 2000L) * 250L))
+            - col("_y") * 1000000L).as("_e"),
+          when(col("_y") === 1L, lit(n0)).otherwise(lit(n1)).as("_cw"))
+        .localCheckpoint(true)
+      resids += err.select(col("doc"), abs(col("_e")).as("_ae"))
+      val grad = feats.join(err, "doc")
+        .groupBy("b").agg(sum(col("c") * col("_e") * col("_cw")).as("_g"))
+      val wNext = w.join(grad, Seq("b"), "left")
+        .select(col("b"), (col("wt") -
+          least(lit(clipMilli), greatest(lit(-clipMilli),
+            floor(coalesce(col("_g"), lit(0L)).cast("double")
+              / lit(n0.toDouble * n1 * lrDiv)).cast("long")))).as("wt"))
+        .localCheckpoint(true)
+      graft.operators.SuffixArray.freeCheckpoint(w)
+      w = wNext
+    }
+    val stats = resids.result().reduce(_ unionAll _)
+      .groupBy("doc")
+      .agg(sum("_ae").as("_sae"),
+        sum(col("_ae") * col("_ae")).as("_sae2"),
+        sum(when(col("_ae") < 500000L, 1L).otherwise(0L)).as("n_correct"))
+      .select(col("doc"),
+        (lit(1000000L) - expr(s"_sae div ${rounds}L")).as("conf_micro"),
+        expr(s"(${rounds}L * _sae2 - _sae * _sae) div ${rounds.toLong * rounds}L")
+          .as("var_micro2"),
+        col("n_correct"))
+    stats.join(labels, "doc")
+      .select(col("doc"), col("_y").as("y"), col("conf_micro"),
+        col("var_micro2"), col("n_correct"),
+        when(col("var_micro2") >= 40000000000L, "ambiguous")
+          .when(col("conf_micro") >= 500000L, "easy")
+          .otherwise("hard").as("band"))
+  }
+
   /** Sequence packing for training: concatenate documents in id order
     * (with their token counts) and slice the stream into fixed
     * `seqLen`-token windows — every doc learns its global token OFFSET
@@ -2180,15 +2265,16 @@ object TextOps {
     * trigram UNSEEN for language l must contribute the smoothing floor
     * ln(1/(n_l+V)), but an inner model join silently drops it — so the
     * score is assembled as seen-part + (n_doc − seen_tokens)·floor(l),
-    * with the (doc × language) base built by a broadcast cross join
-    * whose fan-out is |languages| (bounded, model-sized).
+    * per language (see [[nbWideTail]] — the floors are per-language
+    * literals and the assembly is column-wise, no row fan-out).
     *
     * Determinism: per-(lang, trigram) log-probs quantize to integer
     * micro-nats before any cross-row sum; argmax ties break on the
     * language code. Scale: training is two partial-combine aggs on
-    * skew-free keys; the model is |langs|·|trigrams| rows and joins the
-    * per-doc trigram table AQE-decided; inference fan-out per trigram
-    * is ≤ |languages|. Output: (doc, lang_true, pred_lang, correct).
+    * skew-free keys; the model pivots to one row per trigram with
+    * |langs| columns and 1:1-joins the per-doc trigram table (r15 —
+    * the (lang, g) long-form probe fanned every dg row out ×|langs|).
+    * Output: (doc, lang_true, pred_lang, correct).
     *
     * Materialization (r15): `dg` and `lg` are localCheckpoint'ed. The
     * trigram explode + (doc, g) shuffle feeds TWO consumers (the model
@@ -2208,10 +2294,17 @@ object TextOps {
       langCol: String, vocabEnvelope: Long = 20000000L): DataFrame = {
     val base = df.select(col(idCol).as("doc"), col(langCol).as("lang_true"),
       col(textCol).as("_t"))
+    // Explode an INTEGER position sequence and slice per row — building
+    // a per-doc ARRAY of 3-char UTF8Strings inside transform() allocates
+    // one string object per trigram before the explode even runs
+    // (measured: the array form costs ~1.6x the whole index-explode +
+    // slice + aggregate pipeline at sf1). The oracle already replays
+    // this exact shape (unnest(range) + substr).
     val tri = base.filter(length(col("_t")) >= 3)
-      .select(col("doc"), col("lang_true"), explode(
-        expr("transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"))
-        .as("g"))
+      .select(col("doc"), col("lang_true"), col("_t"),
+        explode(expr("sequence(1, length(_t) - 2)")).as("_i"))
+      .select(col("doc"), col("lang_true"),
+        expr("substring(_t, _i, 3)").as("g"))
     // ONE pass over the exploded trigram stream: per-doc counts first
     // (lang rides along — functional on doc, so cardinality is
     // unchanged), then the per-language model is a rollup of the much
@@ -2221,44 +2314,19 @@ object TextOps {
     val lg = dg.groupBy(col("lang_true").as("lang"), col("g"))
       .agg(sum("_c").as("_clg"))
       .localCheckpoint(true) // feeds totals, vocabulary, and log-probs
-    val nl = lg.groupBy("lang").agg(sum("_clg").cast("long").as("_nlt"))
     // Heaps'-law contract (SCALE_SWEEP_r13): the whole pipeline is
     // corpus-linear ONLY while the trigram vocabulary stays model-sized
     // — the (lang, g) model table and the dg⋈model probe both scale
     // with it. A corpus whose vocabulary outgrows the envelope fails
-    // HERE, on the 1-row vocab aggregate, with the remedy named —
-    // never as a silent 100× blowup downstream.
-    val v = lg.select("g").distinct().agg(count(lit(1)).as("_v"))
-      .select(when(col("_v") <= vocabEnvelope, col("_v"))
-        .otherwise(raise_error(concat(
-          lit("naiveBayesLangId: trigram vocabulary "), col("_v"),
-          lit(s" exceeds the model-size envelope ($vocabEnvelope);"
-            + " hash trigrams into a bounded feature space or keep"
-            + " top-K trigrams per language upstream"))))
-        .as("_v"))
-    val model = lg.join(nl, "lang").crossJoin(broadcast(v))
-      .select(col("lang"), col("g"),
-        floor(log((col("_clg") + 1) / (col("_nlt") + col("_v")).cast("double"))
-          * 1000000.0 + 0.5).cast("long").as("_li"))
-    val langFloor = nl.crossJoin(broadcast(v))
-      .select(col("lang"),
-        floor(log(lit(1.0) / (col("_nlt") + col("_v")).cast("double"))
-          * 1000000.0 + 0.5).cast("long").as("_fl"))
-    val docTot = base.select(col("doc"), col("lang_true"),
-      greatest(length(col("_t")) - 2, lit(0)).cast("long").as("_n"))
-    val seen = dg.join(model, "g")
-      .groupBy("doc", "lang")
-      .agg(sum(col("_c") * col("_li")).as("_s"), sum("_c").cast("long").as("_seen"))
-    docTot.crossJoin(broadcast(langFloor))
-      .join(seen, Seq("doc", "lang"), "left")
-      .select(col("doc"), col("lang_true"), col("lang"),
-        (coalesce(col("_s"), lit(0L))
-          + (col("_n") - coalesce(col("_seen"), lit(0L))) * col("_fl")).as("_score"))
-      .groupBy("doc", "lang_true")
-      .agg(min_by(col("lang"), struct((-col("_score")).as("_ns"), col("lang")))
-        .as("pred_lang"))
-      .select(col("doc"), col("lang_true"), col("pred_lang"),
-        (col("lang_true") === col("pred_lang")).as("correct"))
+    // HERE, on the vocabulary count, with the remedy named — never as
+    // a silent 100× blowup downstream.
+    val vocab = lg.select("g").distinct().count()
+    if (vocab > vocabEnvelope) throw new IllegalStateException(
+      s"naiveBayesLangId: trigram vocabulary $vocab exceeds the"
+        + s" model-size envelope ($vocabEnvelope); hash trigrams into a"
+        + " bounded feature space (naiveBayesLangIdHashed) or keep"
+        + " top-K trigrams per language upstream")
+    nbWideTail(base, dg, lg, vocab)
   }
 
   /** BOUNDED-vocabulary trained language ID — the scale-safe twin of
@@ -2290,45 +2358,98 @@ object TextOps {
       langCol: String, buckets: Int = 1 << 20): DataFrame = {
     val base = df.select(col(idCol).as("doc"), col(langCol).as("lang_true"),
       col(textCol).as("_t"))
+    // Index-explode + per-row slice (see naiveBayesLangId — the array
+    // form measured ~1.6x this pipeline). The md5 beats a
+    // codepoint-polynomial hash here: one 3-char slice + digest per
+    // trigram vs three 1-char slices (measured 44 s vs 73 s at sf1).
+    // 60-bit md5 prefix mod a fixed power of two — positive, exact in
+    // long, and byte-identical in the DuckDB oracle
+    // (CAST('0x'||substr(md5(g),1,15) AS BIGINT) % buckets).
     val tri = base.filter(length(col("_t")) >= 3)
-      .select(col("doc"), col("lang_true"), explode(
-        expr("transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))"))
-        .as("_g"))
-      // 60-bit md5 prefix mod a fixed power of two — positive, exact in
-      // long, and byte-identical in the DuckDB oracle
-      // (CAST('0x'||substr(md5(g),1,15) AS BIGINT) % buckets).
+      .select(col("doc"), col("lang_true"), col("_t"),
+        explode(expr("sequence(1, length(_t) - 2)")).as("_i"))
       .select(col("doc"), col("lang_true"),
-        pmod(conv(substring(md5(col("_g")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("g"))
+        pmod(conv(substring(md5(expr("substring(_t, _i, 3)")), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("g"))
     val dg = tri.groupBy("doc", "lang_true", "g").agg(count(lit(1)).as("_c"))
       .localCheckpoint(true) // feeds the model rollup AND the scoring probe
     val lg = dg.groupBy(col("lang_true").as("lang"), col("g"))
       .agg(sum("_c").as("_clg"))
       .localCheckpoint(true) // feeds totals and log-probs
-    val nl = lg.groupBy("lang").agg(sum("_clg").cast("long").as("_nlt"))
-    val model = lg.join(nl, "lang")
-      .select(col("lang"), col("g"),
-        floor(log((col("_clg") + 1) / (col("_nlt") + buckets.toLong).cast("double"))
-          * 1000000.0 + 0.5).cast("long").as("_li"))
-    val langFloor = nl
-      .select(col("lang"),
-        floor(log(lit(1.0) / (col("_nlt") + buckets.toLong).cast("double"))
-          * 1000000.0 + 0.5).cast("long").as("_fl"))
+    nbWideTail(base, dg, lg, buckets.toLong)
+  }
+
+  /** Shared scoring tail of the two trained-NB variants (r15 WIDE-MODEL
+    * form). The long-form assembly joined dg ⋈ (lang, g) model — a
+    * ×|langs| fan-out of the corpus-sized feature table (38 M rows at
+    * sf1) — then aggregated (doc, lang) scores and argmax'd. Here the
+    * model PIVOTS to one row per feature with a per-language log-prob
+    * column (|langs| is bounded metadata), so inference is ONE 1:1
+    * equi join on the feature key + ONE per-doc combine aggregate; the
+    * argmax folds over |langs| static columns with ties to the
+    * smallest language code, exactly as before.
+    *
+    * The |langs|-row totals table is COLLECTED (the bounded-metadata
+    * collect precedent — bandit arms, attribution transition model):
+    * per-language add-one denominators and unseen-mass floors become
+    * literals. Floors use the same Math.log → ×1e6 → floor(+0.5)
+    * quantization the SQL form compiled to, so scores are bit-identical
+    * to the long form's.
+    *
+    * `vocab` is the add-one vocabulary: the measured distinct-feature
+    * count (unhashed, envelope-guarded by the caller) or the fixed
+    * bucket count (hashed).
+    */
+  private def nbWideTail(base: DataFrame, dg: DataFrame, lg: DataFrame,
+      vocab: Long): DataFrame = {
+    val nl: Array[(String, Long)] = lg.groupBy("lang")
+      .agg(sum("_clg").cast("long").as("_nlt"))
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(nl.nonEmpty, "naiveBayesLangId: no trained languages")
+    val langs = nl.map(_._1)
+    val fl: Map[String, Long] = nl.map { case (l, n) =>
+      l -> math.floor(math.log(1.0 / (n + vocab).toDouble) * 1000000.0 + 0.5)
+        .toLong
+    }.toMap
+    val denomExpr = nl.tail.foldLeft(
+      when(col("lang") === nl.head._1, lit(nl.head._2 + vocab))) {
+        case (acc, (l, n)) => acc.when(col("lang") === l, lit(n + vocab))
+      }
+    val model = lg.select(
+      concat(lit("_li_"), col("lang")).as("lang"), col("g"),
+      floor(log((col("_clg") + 1) / denomExpr.cast("double"))
+        * 1000000.0 + 0.5).cast("long").as("_li"))
+    val wide = model.groupBy("g")
+      .pivot("lang", langs.toSeq.map("_li_" + _)).agg(first("_li"))
+    // every g in dg was counted into lg for its own language, so the
+    // probe join is inner-complete; per-language nulls inside a row are
+    // the unseen-for-that-language case and contribute the floor.
+    val aggs = langs.toSeq.flatMap { l =>
+      Seq(
+        sum(col("_c") * coalesce(col(s"_li_$l"), lit(0L))).as(s"_s_$l"),
+        sum(when(col(s"_li_$l").isNotNull, col("_c")).otherwise(lit(0L)))
+          .cast("long").as(s"_sn_$l"))
+    }
+    val per = dg.join(wide, Seq("g"))
+      .groupBy("doc", "lang_true")
+      .agg(aggs.head, aggs.tail: _*)
     val docTot = base.select(col("doc"), col("lang_true"),
       greatest(length(col("_t")) - 2, lit(0)).cast("long").as("_n"))
-    val seen = dg.join(model, "g")
-      .groupBy("doc", "lang")
-      .agg(sum(col("_c") * col("_li")).as("_s"), sum("_c").cast("long").as("_seen"))
-    docTot.crossJoin(broadcast(langFloor))
-      .join(seen, Seq("doc", "lang"), "left")
-      .select(col("doc"), col("lang_true"), col("lang"),
-        (coalesce(col("_s"), lit(0L))
-          + (col("_n") - coalesce(col("_seen"), lit(0L))) * col("_fl")).as("_score"))
-      .groupBy("doc", "lang_true")
-      .agg(min_by(col("lang"), struct((-col("_score")).as("_ns"), col("lang")))
-        .as("pred_lang"))
-      .select(col("doc"), col("lang_true"), col("pred_lang"),
-        (col("lang_true") === col("pred_lang")).as("correct"))
+    val scores: Seq[(String, Column)] = langs.toSeq.map { l =>
+      l -> (coalesce(col(s"_s_$l"), lit(0L))
+        + (col("_n") - coalesce(col(s"_sn_$l"), lit(0L))) * lit(fl(l)))
+    }
+    val best =
+      if (scores.size == 1) scores.head._2 else greatest(scores.map(_._2): _*)
+    // foldRight puts the FIRST (lexicographically smallest) language
+    // outermost — ties break to the smaller code, as in the long form.
+    val pred = scores.foldRight(lit(null).cast("string")) {
+      case ((l, s), acc) => when(s === best, lit(l)).otherwise(acc)
+    }
+    docTot.join(per, Seq("doc", "lang_true"), "left")
+      .select(col("doc"), col("lang_true"), pred.as("pred_lang"),
+        (col("lang_true") === pred).as("correct"))
   }
 
   /** Marker-word language-ID heuristic: score each language by counting

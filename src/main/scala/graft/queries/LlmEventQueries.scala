@@ -651,6 +651,33 @@ private[queries] object LlmEventQueries {
         .orderBy("day")
     }),
 
+    // ---- Pettitt rank change-point (X394) --------------------------------
+    // The NONPARAMETRIC "when did it change" next to p_changepoint's
+    // exact-SSE mean break, over the SAME planted daily error series
+    // (x3 from 2024-01-26): U_t from the telescoped |days|^2 sign-pair
+    // aggregate, K = max |U_t| with ties to the earliest day, and the
+    // two-sided 5% decision as ONE exact cross-multiplication against
+    // the folded -ln(0.025) literal (3688879 micro) — no runtime
+    // transcendental, no normality assumption.
+    "p_pettitt" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val daily = days
+        .join(ev.filter(col("event_type") === "error").groupBy("day")
+          .agg(count(lit(1)).as("_n")), Seq("day"), "left")
+        .select(col("day"),
+          when(col("day") >= to_date(lit("2024-01-26")),
+            coalesce(col("_n"), lit(0L)) * 3)
+          .otherwise(coalesce(col("_n"), lit(0L))).as("n"))
+      graft.operators.Pettitt.test(daily, "day", "n")
+        .select(date_format(col("i"), "yyyy-MM-dd").as("day"),
+          col("y").as("n"), col("u"), col("is_best"), col("k"),
+          col("reject_05"))
+        .orderBy("day")
+    }),
+
     // ---- tabular two-sided CUSUM monitor (X290) --------------------------
     // The SPC monitoring form next to llm_cusum_drift's retrospective
     // one: HELD-OUT baseline (first 7 days — the whole-series mean
@@ -2234,6 +2261,49 @@ private[queries] object LlmEventQueries {
              sse_micro = (SELECT ms FROM best)
                AND day = (SELECT bd FROM bestd) AS is_best
       FROM cand ORDER BY day
+    """,
+
+    "p_pettitt" -> """
+      WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bnd),
+      actual AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n
+        FROM ev WHERE event_type = 'error' GROUP BY 1),
+      daily AS MATERIALIZED (
+        SELECT d.day,
+               CASE WHEN d.day >= DATE '2024-01-26'
+                    THEN coalesce(a.n, 0) * 3
+                    ELSE coalesce(a.n, 0) END AS y
+        FROM days d LEFT JOIN actual a USING (day)),
+      vt AS (
+        SELECT a.day, CAST(sum(CASE WHEN a.y > b.y THEN 1
+                                    WHEN a.y < b.y THEN -1
+                                    ELSE 0 END) AS BIGINT) AS v
+        FROM daily a JOIN daily b ON a.day <> b.day
+        GROUP BY a.day),
+      ut AS MATERIALIZED (
+        SELECT d.day, d.y, coalesce(v.v, 0) AS v,
+               CAST(sum(coalesce(v.v, 0)) OVER (ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS u
+        FROM daily d LEFT JOIN vt v USING (day)),
+      st AS (SELECT max(abs(u)) AS k, CAST(count(*) AS BIGINT) AS n FROM ut),
+      rk AS (
+        SELECT day, y, u,
+               row_number() OVER (ORDER BY abs(u) DESC, day) AS rnk
+        FROM ut)
+      SELECT strftime(r.day, '%Y-%m-%d') AS day, r.y AS n,
+             CAST(r.u AS BIGINT) AS u, (r.rnk = 1) AS is_best,
+             CAST(s.k AS BIGINT) AS k,
+             (CAST(6 AS HUGEINT) * s.k * s.k * 1000000
+               >= CAST(3688879 AS HUGEINT) * (s.n*s.n*s.n + s.n*s.n))
+               AS reject_05
+      FROM rk r, st s ORDER BY day
     """,
 
     // Replays the planted x2 drift, the dense zero-filled spine, the

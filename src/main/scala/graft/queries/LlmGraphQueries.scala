@@ -824,6 +824,41 @@ private[queries] object LlmGraphQueries {
     }),
 
 
+    // ---- 4-bounded harmonic centrality from the seed panel (X395) ----------
+    // Harmonic centrality (Boldi–Vigna, Internet Math 2014) truncated
+    // at radius 4 — the "how reachable is everything from here"
+    // readout next to llm_graph_anf's sketched neighborhoods, EXACT on
+    // the bounded ball: for each seed in the <=48-node panel,
+    // H_4(s) = Σ_{0<d(s,u)<=4} 1/d(s,u), with 1/d as the toward-zero
+    // micro division 1000000 div d (exact, engine-identical). BFS is
+    // 4 level-synchronous expansions of the (seed, node) frontier over
+    // the checkpointed co-order adjacency with a per-seed anti-join
+    // against the visited set — frontier size is panel x ball, never
+    // corpus-shaped; ring sizes ship next to the score so the
+    // truncation radius is auditable.
+    "llm_graph_harmonic" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = graft.operators.BipartiteProjection.project(rel,
+        "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+        .localCheckpoint(true) // unionAll's two branches would re-project
+      val und = e.select(col("item_a").as("u"), col("item_b").as("v"))
+        .unionAll(e.select(col("item_b").as("u"), col("item_a").as("v")))
+        .localCheckpoint(true) // probed once per BFS level
+      val seeds = und.select("u").filter(col("u") <= 48).distinct()
+      graft.operators.BoundedBfs.balls(und, seeds, maxDepth = 4)
+        .filter(col("d") > 0)
+        .groupBy("seed")
+        .agg(
+          sum(when(col("d") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("d") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("d") === 3, 1L).otherwise(0L)).as("n3"),
+          sum(when(col("d") === 4, 1L).otherwise(0L)).as("n4"),
+          sum(expr("1000000 div d")).as("harmonic_micro"))
+        .orderBy("seed")
+    }),
+
     // ---- full coreness decomposition (X389) --------------------------------
     // Upgrades llm_graph_kcore (one fixed k) to the whole k-core
     // DECOMPOSITION in one loop: the h-index fixpoint (Lu et al.,
@@ -1816,6 +1851,53 @@ $rounds
       ORDER BY seed, step
     """,
 
+
+    // harmonic replay: 4 unrolled BFS levels over the shared co-order
+    // CTEs, each a frontier join + NOT EXISTS against the cumulative
+    // visited set; 1/d as the exact toward-zero micro division.
+    "llm_graph_harmonic" -> s"""
+      WITH $coorderBaseCtes,
+      s0 AS MATERIALIZED (
+        SELECT DISTINCT n AS seed, n AS node FROM sym WHERE n <= 48),
+      f1 AS MATERIALIZED (
+        SELECT DISTINCT s.seed, y.m AS node
+        FROM s0 s JOIN sym y ON y.n = s.node
+        WHERE NOT EXISTS (SELECT 1 FROM s0 v
+                          WHERE v.seed = s.seed AND v.node = y.m)),
+      v1 AS MATERIALIZED (
+        SELECT * FROM s0 UNION ALL SELECT * FROM f1),
+      f2 AS MATERIALIZED (
+        SELECT DISTINCT s.seed, y.m AS node
+        FROM f1 s JOIN sym y ON y.n = s.node
+        WHERE NOT EXISTS (SELECT 1 FROM v1 v
+                          WHERE v.seed = s.seed AND v.node = y.m)),
+      v2 AS MATERIALIZED (
+        SELECT * FROM v1 UNION ALL SELECT * FROM f2),
+      f3 AS MATERIALIZED (
+        SELECT DISTINCT s.seed, y.m AS node
+        FROM f2 s JOIN sym y ON y.n = s.node
+        WHERE NOT EXISTS (SELECT 1 FROM v2 v
+                          WHERE v.seed = s.seed AND v.node = y.m)),
+      v3 AS MATERIALIZED (
+        SELECT * FROM v2 UNION ALL SELECT * FROM f3),
+      f4 AS MATERIALIZED (
+        SELECT DISTINCT s.seed, y.m AS node
+        FROM f3 s JOIN sym y ON y.n = s.node
+        WHERE NOT EXISTS (SELECT 1 FROM v3 v
+                          WHERE v.seed = s.seed AND v.node = y.m)),
+      rings AS (
+        SELECT seed, node, 1 AS d FROM f1
+        UNION ALL SELECT seed, node, 2 AS d FROM f2
+        UNION ALL SELECT seed, node, 3 AS d FROM f3
+        UNION ALL SELECT seed, node, 4 AS d FROM f4)
+      SELECT seed,
+             CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+      FROM rings GROUP BY seed ORDER BY seed
+    """,
 
     // coreness replay: degree init + 16 MATERIALIZED h-index rounds
     // over the shared co-order CTEs (monotone: surplus rounds no-op;

@@ -1220,6 +1220,53 @@ mom AS (
         UNION ALL
         SELECT bb AS n, a AS m, w FROM e)"""
 
+  /** The llm_classifier_train base CTEs (hashed features, teacher
+    * label, class totals, zero weights) — shared with
+    * llm_data_cartography so the two training replays cannot drift. */
+  private[queries] val clfTrainBaseCtes: String =
+    """tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS w FROM documents),
+      fc AS MATERIALIZED (
+        SELECT doc, CAST('0x' || substr(md5('clf|' || w), 1, 4) AS INT) % 4096 AS b,
+               count(*) AS c
+        FROM tok GROUP BY doc, b),
+      lab AS MATERIALIZED (
+        SELECT doc_id AS doc,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the', 'a', 'of', 'to', 'and'))) * 1000
+                    >= 61 * len(string_split(text, ' '))
+                    THEN 1 ELSE 0 END AS y
+        FROM documents),
+      nd AS MATERIALIZED (
+        SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1
+        FROM lab),
+      w0 AS MATERIALIZED (
+        SELECT CAST(g AS INT) AS b, CAST(0 AS BIGINT) AS wt
+        FROM generate_series(0, 4095) t(g))"""
+
+  /** The integer-GD training rounds of llm_classifier_train as
+    * unrolled CTEs z_r/e_r/g_r/w_r — the update equations are the
+    * bit-contract with TextOps.trainLinearClassifier AND
+    * TextOps.trainingCartography. */
+  private[queries] def clfTrainRoundCtes(n: Int): String = (1 to n).map { r =>
+    val p = r - 1
+    s"""      z$r AS (
+        SELECT doc, CAST(floor(CAST(sum(c * wt) AS DOUBLE) / sum(c)) AS BIGINT) AS z
+        FROM fc JOIN w$p USING (b) GROUP BY doc),
+      e$r AS MATERIALIZED (
+        SELECT doc,
+               least(1000000, greatest(0, (z + 2000) * 250)) - y * 1000000 AS e,
+               CASE WHEN y = 1 THEN nd.n0 ELSE nd.n1 END AS cw
+        FROM (z$r JOIN lab USING (doc)) CROSS JOIN nd),
+      g$r AS (
+        SELECT b, sum(c * e * cw) AS g FROM fc JOIN e$r USING (doc) GROUP BY b),
+      w$r AS MATERIALIZED (
+        SELECT b, wt - least(300, greatest(-300,
+                        CAST(floor(CAST(coalesce(g, 0) AS DOUBLE)
+                                  / (CAST(nd.n0 AS DOUBLE) * nd.n1 * 200.0)) AS BIGINT))) AS wt
+        FROM (w$p LEFT JOIN g$r USING (b)) CROSS JOIN nd)"""
+  }.mkString(",\n")
+
   /** The X284 planted-dirt linkage feed as oracle CTEs (m, f) —
     * shared by llm_record_linkage and llm_sorted_neighborhood.
     */

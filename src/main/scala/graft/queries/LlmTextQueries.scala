@@ -257,6 +257,26 @@ private[queries] object LlmTextQueries {
         clipMilli = 300L, topW = 32)
     }),
 
+    // ---- dataset cartography over the training run (X396) ----------------
+    // Swayamdipta et al. EMNLP 2020: map every example by its ACROSS-
+    // ROUNDS behavior in the exact llm_classifier_train run — mean
+    // confidence in the true label, confidence variance, rounds
+    // correct — and band the corpus into easy / ambiguous / hard (hard
+    // ~ label-noise candidates, ambiguous ~ the generalization-bearing
+    // middle). All stats are exact integers off the per-round micro
+    // residuals; the oracle replays the shared 10-round CTE chain.
+    "llm_data_cartography" -> ((s, dir) => {
+      val ws = TextOps.words(col("text"))
+      val stopCount = size(filter(ws,
+        w => w.isin("the", "a", "of", "to", "and")))
+      TextOps.trainingCartography(Tables(s, dir, "documents"),
+        "doc_id", "text", stopCount * 1000 >= lit(61) * size(ws),
+        numBuckets = 4096, salt = "clf", rounds = 10, lrDiv = 200L,
+        clipMilli = 300L)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- AdaBoost stump ensemble, histogram split search (X306) ----------
     // The trained ENSEMBLE next to X198's single linear model: 3
     // boosting rounds over decision stumps on 5 cheap integer features,
@@ -1862,47 +1882,11 @@ $rounds,
     // per round). Same integer hard-sigmoid math and class-balanced
     // gradient weighting (cw = opposite class count) as the Spark side.
     "llm_classifier_train" -> {
-      val rounds = (1 to 10).map { r =>
-        val p = r - 1
-        s"""      z$r AS (
-        SELECT doc, CAST(floor(CAST(sum(c * wt) AS DOUBLE) / sum(c)) AS BIGINT) AS z
-        FROM fc JOIN w$p USING (b) GROUP BY doc),
-      e$r AS MATERIALIZED (
-        SELECT doc,
-               least(1000000, greatest(0, (z + 2000) * 250)) - y * 1000000 AS e,
-               CASE WHEN y = 1 THEN nd.n0 ELSE nd.n1 END AS cw
-        FROM (z$r JOIN lab USING (doc)) CROSS JOIN nd),
-      g$r AS (
-        SELECT b, sum(c * e * cw) AS g FROM fc JOIN e$r USING (doc) GROUP BY b),
-      w$r AS MATERIALIZED (
-        SELECT b, wt - least(300, greatest(-300,
-                        CAST(floor(CAST(coalesce(g, 0) AS DOUBLE)
-                                  / (CAST(nd.n0 AS DOUBLE) * nd.n1 * 200.0)) AS BIGINT))) AS wt
-        FROM (w$p LEFT JOIN g$r USING (b)) CROSS JOIN nd)"""
-      }.mkString(",\n")
       val curveUnion = (1 to 10).map(r =>
         s"SELECT $r AS k, sum(abs(e)) AS n FROM e$r").mkString("\n        UNION ALL ")
       s"""
-      WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS w FROM documents),
-      fc AS MATERIALIZED (
-        SELECT doc, CAST('0x' || substr(md5('clf|' || w), 1, 4) AS INT) % 4096 AS b,
-               count(*) AS c
-        FROM tok GROUP BY doc, b),
-      lab AS MATERIALIZED (
-        SELECT doc_id AS doc,
-               CASE WHEN len(list_filter(string_split(text, ' '),
-                      w -> w IN ('the', 'a', 'of', 'to', 'and'))) * 1000
-                    >= 61 * len(string_split(text, ' '))
-                    THEN 1 ELSE 0 END AS y
-        FROM documents),
-      nd AS MATERIALIZED (
-        SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0,
-               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1
-        FROM lab),
-      w0 AS MATERIALIZED (
-        SELECT CAST(g AS INT) AS b, CAST(0 AS BIGINT) AS wt
-        FROM generate_series(0, 4095) t(g)),
-$rounds,
+      WITH $clfTrainBaseCtes,
+${clfTrainRoundCtes(10)},
       sc AS (
         SELECT doc, CAST(sum(c) AS BIGINT) AS n_tokens,
                CAST(sum(c * wt) AS BIGINT) AS st
@@ -1920,6 +1904,36 @@ $rounds,
                CAST(count(*) AS BIGINT) AS n
         FROM sc JOIN lab USING (doc) GROUP BY 3)
       ORDER BY part, k, sym
+    """
+    },
+
+    // Replays the shared 10-round chain; per-doc stats are exact
+    // integer moments of the |e_r| residual stream (R = 10, R^2 = 100).
+    "llm_data_cartography" -> {
+      val resUnion = (1 to 10)
+        .map(r => s"SELECT doc, abs(e) AS ae FROM e$r")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH $clfTrainBaseCtes,
+${clfTrainRoundCtes(10)},
+      res AS (
+        $resUnion),
+      st AS (
+        SELECT doc, CAST(sum(ae) AS BIGINT) AS sae,
+               CAST(sum(ae * ae) AS BIGINT) AS sae2,
+               CAST(sum(CASE WHEN ae < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct
+        FROM res GROUP BY doc)
+      SELECT st.doc AS doc_id, CAST(lab.y AS BIGINT) AS y,
+             CAST(1000000 - sae // 10 AS BIGINT) AS conf_micro,
+             CAST((10 * sae2 - sae * sae) // 100 AS BIGINT) AS var_micro2,
+             n_correct,
+             CASE WHEN (10 * sae2 - sae * sae) // 100 >= 40000000000
+                  THEN 'ambiguous'
+                  WHEN 1000000 - sae // 10 >= 500000 THEN 'easy'
+                  ELSE 'hard' END AS band
+      FROM st JOIN lab ON lab.doc = st.doc
+      ORDER BY doc_id
     """
     },
 
