@@ -1078,7 +1078,7 @@ class PlanAuditSpec extends SparkSpec {
       s"cold pairs and star pairs must both come from equi-joins:\n$p")
   }
 
-  test("hashed-feature NB: equi probe, broadcast lang fan-out, combine argmax") {
+  test("trained NB (wide model): equi pivot probe, NO row fan-out, combine agg") {
     import spark.implicits._
     val df = Seq(
       (1L, "aaa bbb aaa bab", "xx"),
@@ -1089,17 +1089,20 @@ class PlanAuditSpec extends SparkSpec {
         "unhashed" -> graft.llm.TextOps.naiveBayesLangId(
           df, "doc_id", "text", "lang"))) {
       val p = plan(q)
-      // the (doc, feature) x model probe must stay an EQUI join on the
-      // feature key; the only non-equi operator allowed is the
-      // BROADCAST doc x languages fan-out (|langs|-bounded, model-sized)
-      assert(!p.contains("CartesianProduct"),
-        s"$tag: the model probe must never be a shuffled cross:\n$p")
-      assert(p.contains("BroadcastNestedLoopJoin"),
-        s"$tag: the doc x languages floor fan-out must broadcast the" +
-          s" |langs|-row side, not shuffle it:\n$p")
+      // r15 wide-model contract: inference is a 1:1 equi join against
+      // the PIVOTED per-feature model — no cross of any kind, and no
+      // doc x languages row fan-out (the pre-r15 long form's
+      // BroadcastNestedLoopJoin); language columns are static.
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"$tag: the wide-model probe must stay a 1:1 equi join — a" +
+          s" cross or nested-loop means the x|langs| fan-out is back:\n$p")
+      assert(p.contains("pivotfirst") || p.contains("__pivot"),
+        s"$tag: the model must be the pivoted one-row-per-feature" +
+          s" form:\n$p")
       assert(p.contains("partial_") || p.contains("HashAggregate")
         || p.contains("SortAggregate"),
-        s"$tag: the per-(doc, lang) score sum must map-side combine:\n$p")
+        s"$tag: the per-doc score sums must map-side combine:\n$p")
     }
   }
 }
