@@ -824,6 +824,38 @@ private[queries] object LlmGraphQueries {
     }),
 
 
+    // ---- Katz centrality, 4 attenuated walk rounds (X397) ------------------
+    // Katz 1953 with a DYADIC attenuation alpha = 1/8, truncated at
+    // walk length 4, so the score is EXACT in integers scaled by 8^4:
+    // katz_q8(v) = sum_k walks_k(v) * 8^(4-k), where walks_k(v) counts
+    // length-k walks ending at v (c_k = A c_{k-1}, c_0 = 1). The
+    // walk-count view separates "how reachable" (many short walks into
+    // dense cores) from PageRank's normalized flow; each round is ONE
+    // adjacency equi-join + combine sum, 4 rounds statically unrolled
+    // in the oracle. Attenuation strictly below 1/max-degree keeps the
+    // truncation honest on the capped projection (deg <= ~cap fan-in).
+    "llm_graph_katz" -> ((s, dir) => {
+      val rel = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = graft.operators.BipartiteProjection.project(rel,
+        "l_orderkey", "l_partkey", cap = 5, minWeight = 2)
+        .localCheckpoint(true) // unionAll's two branches would re-project
+      val und = e.select(col("item_a").as("v"), col("item_b").as("u"))
+        .unionAll(e.select(col("item_b").as("v"), col("item_a").as("u")))
+        .localCheckpoint(true) // probed once per walk round
+      graft.operators.KatzWalks.walkCounts(und, rounds = 4)
+        .groupBy(col("n").as("item"))
+        .agg(
+          sum(when(col("k") === 1, col("c")).otherwise(0L)).as("w1"),
+          sum(when(col("k") === 2, col("c")).otherwise(0L)).as("w2"),
+          sum(when(col("k") === 3, col("c")).otherwise(0L)).as("w3"),
+          sum(when(col("k") === 4, col("c")).otherwise(0L)).as("w4"))
+        .withColumn("katz_q8",
+          col("w1") * 512L + col("w2") * 64L + col("w3") * 8L + col("w4"))
+        .orderBy("item")
+    }),
+
     // ---- 4-bounded harmonic centrality from the seed panel (X395) ----------
     // Harmonic centrality (Boldi–Vigna, Internet Math 2014) truncated
     // at radius 4 — the "how reachable is everything from here"
@@ -1851,6 +1883,32 @@ $rounds
       ORDER BY seed, step
     """,
 
+
+    // Katz replay: 4 unrolled walk-count rounds over the shared
+    // co-order CTEs; every node has degree >= 1 so the final inner
+    // joins are total.
+    "llm_graph_katz" -> s"""
+      WITH $coorderBaseCtes,
+      k0 AS MATERIALIZED (
+        SELECT DISTINCT n, CAST(1 AS BIGINT) AS c FROM sym),
+      k1 AS MATERIALIZED (
+        SELECT s.n AS n, CAST(sum(p.c) AS BIGINT) AS c
+        FROM sym s JOIN k0 p ON p.n = s.m GROUP BY s.n),
+      k2 AS MATERIALIZED (
+        SELECT s.n AS n, CAST(sum(p.c) AS BIGINT) AS c
+        FROM sym s JOIN k1 p ON p.n = s.m GROUP BY s.n),
+      k3 AS MATERIALIZED (
+        SELECT s.n AS n, CAST(sum(p.c) AS BIGINT) AS c
+        FROM sym s JOIN k2 p ON p.n = s.m GROUP BY s.n),
+      k4 AS MATERIALIZED (
+        SELECT s.n AS n, CAST(sum(p.c) AS BIGINT) AS c
+        FROM sym s JOIN k3 p ON p.n = s.m GROUP BY s.n)
+      SELECT k1.n AS item, k1.c AS w1, k2.c AS w2, k3.c AS w3, k4.c AS w4,
+             CAST(k1.c * 512 + k2.c * 64 + k3.c * 8 + k4.c AS BIGINT)
+               AS katz_q8
+      FROM k1 JOIN k2 USING (n) JOIN k3 USING (n) JOIN k4 USING (n)
+      ORDER BY item
+    """,
 
     // harmonic replay: 4 unrolled BFS levels over the shared co-order
     // CTEs, each a frontier join + NOT EXISTS against the cumulative

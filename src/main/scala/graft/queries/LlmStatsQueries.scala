@@ -168,6 +168,48 @@ private[queries] object LlmStatsQueries {
               >= expr("38416 * (n_b + n_c)")).as("reject_05"))
     }),
 
+    // ---- Theil's uncertainty coefficient, both directions (X398) -----------
+    // The ASYMMETRIC categorical association the symmetric chi-square
+    // family can't give: U(X|Y) = (H(X) − H(X|Y))/H(X) — "how much of
+    // the source distribution does knowing the language explain", and
+    // the reverse (Theil 1970). One corpus combine-agg reduces 100 TB
+    // to the |langs|×|sources| cell grid; every entropy term is the
+    // X61 micro-nat quantization floor(c·ln(tot/c)·10⁶ + 0.5) on
+    // integer counts, and the final ratio is one toward-zero
+    // decimal(38,0) division — ppm-exact cross-engine.
+    "llm_theil_u" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val cells = Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // metadata grid, four consumers below
+      def direction(xCol: String, yCol: String, name: String) = {
+        val n = cells.agg(sum("c").as("n"))
+        val cx = cells.groupBy(xCol).agg(sum("c").as("cx"))
+        val cy = cells.groupBy(yCol).agg(sum("c").as("cy"))
+        val hx = cx.crossJoin(broadcast(n))
+          .select(floor(col("cx")
+            * log(col("n").cast("double") / col("cx"))
+            * 1000000.0 + 0.5).cast("long").as("t"))
+          .agg(sum("t").as("shx"))
+        val hxy = cells.join(cy, yCol)
+          .select(floor(col("c")
+            * log(col("cy").cast("double") / col("c"))
+            * 1000000.0 + 0.5).cast("long").as("t"))
+          .agg(sum("t").as("shc"))
+        hx.crossJoin(hxy)
+          .select(lit(name).as("direction"),
+            col("shx").as("h_x_micro"), col("shc").as("h_cond_micro"),
+            when(col("shx") > 0,
+              graft.llm.TextOps.truncDivDec(
+                (dec(col("shx")) - dec(col("shc"))) * lit(1000000L),
+                dec(col("shx"))).cast("long"))
+              .otherwise(lit(0L)).as("u_ppm"))
+      }
+      direction("source", "lang", "source|lang")
+        .unionAll(direction("lang", "source", "lang|source"))
+        .orderBy("direction")
+    }),
+
     // ---- Wilson score intervals on per-source pass rates (X369) ------------
     // The proportion CI that behaves at the extremes where the Wald
     // interval collapses (Wilson 1927; Brown-Cai-DasGupta's
@@ -1688,6 +1730,50 @@ private[queries] object LlmStatsQueries {
               (nb_ - nc_) * (nb_ - nc_) * 10000 >= 38416 * (nb_ + nc_))
                AS reject_05
       FROM agg
+    """,
+
+    "llm_theil_u" -> """
+      WITH cells AS MATERIALIZED (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+      sx1 AS (SELECT source, CAST(sum(c) AS BIGINT) AS cx
+              FROM cells GROUP BY 1),
+      hx1 AS (SELECT CAST(sum(CAST(floor(cx * ln(CAST(nn.n AS DOUBLE) / cx)
+                * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS shx
+              FROM sx1, nn),
+      cy1 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cy
+              FROM cells GROUP BY 1),
+      hc1 AS (SELECT CAST(sum(CAST(floor(c * ln(CAST(cy AS DOUBLE) / c)
+                * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS shc
+              FROM cells JOIN cy1 USING (lang)),
+      sx2 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cx
+              FROM cells GROUP BY 1),
+      hx2 AS (SELECT CAST(sum(CAST(floor(cx * ln(CAST(nn.n AS DOUBLE) / cx)
+                * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS shx
+              FROM sx2, nn),
+      cy2 AS (SELECT source, CAST(sum(c) AS BIGINT) AS cy
+              FROM cells GROUP BY 1),
+      hc2 AS (SELECT CAST(sum(CAST(floor(c * ln(CAST(cy AS DOUBLE) / c)
+                * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS shc
+              FROM cells JOIN cy2 USING (source))
+      SELECT * FROM (
+        SELECT 'source|lang' AS direction, hx1.shx AS h_x_micro,
+               hc1.shc AS h_cond_micro,
+               CASE WHEN hx1.shx > 0
+                    THEN CAST((CAST(hx1.shx AS HUGEINT) - hc1.shc)
+                              * 1000000 // hx1.shx AS BIGINT)
+                    ELSE 0 END AS u_ppm
+        FROM hx1, hc1
+        UNION ALL
+        SELECT 'lang|source' AS direction, hx2.shx AS h_x_micro,
+               hc2.shc AS h_cond_micro,
+               CASE WHEN hx2.shx > 0
+                    THEN CAST((CAST(hx2.shx AS HUGEINT) - hc2.shc)
+                              * 1000000 // hx2.shx AS BIGINT)
+                    ELSE 0 END AS u_ppm
+        FROM hx2, hc2)
+      ORDER BY direction
     """,
 
     "p_wilson_ci" -> """
