@@ -46,6 +46,37 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got.count(_._1 == 20L) === 2)
   }
 
+  test("stripped-complement verify ≡ full levenshtein, exhaustively") {
+    // r15: the confirm step strips the matched segment (a literal
+    // common prefix/suffix by join-key equality) and runs the banded
+    // DP on the complements only — exact by the greedy-match lemma
+    // lev(xu, xv) = lev(u, v). Exhaust every master/probe pair of
+    // lengths 3–4 over {a, b}: 24×24 pairs cover edits AT the split
+    // boundary, repeated characters straddling it, and the
+    // insertion/deletion length shifts where region overlap happens.
+    val all = (for {
+      n <- 3 to 4
+      i <- 0 until (1 << n)
+    } yield (0 until n).map(b => if (((i >> b) & 1) == 0) 'a' else 'b')
+      .mkString).zipWithIndex.map { case (s, ix) => (ix.toLong, s) }
+    val names = all.toDF("id", "nm")
+    val mside = names.select(col("id").as("mid"), col("nm"))
+    val pside = names.select(col("id").as("pid"), col("nm"))
+    val got = EntityResolution
+      .editDistance1Join(mside, pside, "mid", "nm", "pid", "nm")
+      .orderBy("pid", "mid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val m2 = names.select(col("id").as("mid"), col("nm").as("m_nm"))
+    val p2 = names.select(col("id").as("pid"), col("nm").as("p_nm"))
+    val want = m2.crossJoin(p2)
+      .withColumn("d", expr("levenshtein(m_nm, p_nm)"))
+      .filter(col("d") <= 1)
+      .select(col("pid"), col("mid"), col("d"))
+      .orderBy("pid", "mid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length === want.length && got.toSeq === want.toSeq)
+  }
+
   test("resolveBest: min distance wins, ties break to smallest master id") {
     val pairs = Seq(
       (20L, 1L, 1), (20L, 5L, 1),  // tie at distance 1 -> master 1
