@@ -233,6 +233,10 @@ object Multimodal extends Serializable {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // in-memory ImageInputStream cache: the default FILE cache
+        // creates+deletes a temp file per decode (same fix as
+        // videoFrameMeta; decoded pixels identical)
+        javax.imageio.ImageIO.setUseCache(false)
         it.grouped(64).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
             val img =
@@ -278,6 +282,9 @@ object Multimodal extends Serializable {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // in-memory ImageInputStream cache for the real-codec decode
+        // path (no-op for the stub) — see videoFrameMeta
+        javax.imageio.ImageIO.setUseCache(false)
         it.grouped(64).flatMap { batch =>
           batch.iterator.map { case (id, bytes) => decode(id, bytes) }
         }
@@ -443,6 +450,14 @@ object Multimodal extends Serializable {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // Per-task setup (guide §4.5): ImageIO's default ImageInputStream
+        // is FILE-cache-backed — one temp file created and deleted PER
+        // FRAME; the in-memory cache decodes identically. One MD5
+        // instance reused across frames (reset() on digest()).
+        javax.imageio.ImageIO.setUseCache(false)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val HEXU = "0123456789ABCDEF".getBytes("US-ASCII")
+        val HEXL = "0123456789abcdef".toCharArray
         it.flatMap { case (id, bytes) =>
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Long, Long, Long, Long, String)]
@@ -463,18 +478,30 @@ object Multimodal extends Serializable {
                 catch { case _: java.io.IOException => null }
               val (w, h) =
                 if (img == null) (0, 0) else (img.getWidth, img.getHeight)
-              val hexStr = {
-                val sb = new StringBuilder(len * 2)
-                var i = 0
-                while (i < len) {
-                  sb.append(f"${frame(i) & 0xff}%02X"); i += 1
-                }
-                sb.toString
+              // md5 over the frame's UPPERCASE-hex ASCII bytes — same
+              // digest as the old StringBuilder+format path (k15
+              // md5(hex(...)) convention) via a nibble lookup table:
+              // the per-byte String.format was the measured hot spot,
+              // not the hashing.
+              val hexBytes = new Array[Byte](len * 2)
+              var i = 0
+              while (i < len) {
+                val v = frame(i) & 0xff
+                hexBytes(2 * i) = HEXU(v >>> 4)
+                hexBytes(2 * i + 1) = HEXU(v & 0xf)
+                i += 1
               }
-              val md = java.security.MessageDigest.getInstance("MD5")
-                .digest(hexStr.getBytes("US-ASCII"))
-                .map(b => f"${b & 0xff}%02x").mkString
-              out += ((id, f, len.toLong, w.toLong, h.toLong, md))
+              val dg = digest.digest(hexBytes)
+              val mdChars = new Array[Char](32)
+              var j = 0
+              while (j < 16) {
+                val v = dg(j) & 0xff
+                mdChars(2 * j) = HEXL(v >>> 4)
+                mdChars(2 * j + 1) = HEXL(v & 0xf)
+                j += 1
+              }
+              out += ((id, f, len.toLong, w.toLong, h.toLong,
+                new String(mdChars)))
               f += 1
               pos += 4 + len
             }
