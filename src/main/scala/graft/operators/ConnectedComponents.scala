@@ -58,12 +58,21 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25,
-      materialize: DataFrame => DataFrame = Iterate.cut)
+      materialize: DataFrame => DataFrame = Iterate.cut,
+      localFinishCap: Long = 200000L)
       : DataFrame = {
     // both directions once; reused every round
     val sym = materialize(
       edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
         .union(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))
+    // LOCAL FINISH (the KTruss/Mst one-task discipline): when the
+    // edge list fits one task, a single-task union–find computes the
+    // identical (node, min-reachable-id) fixpoint without paying
+    // O(diameter) rounds × (join + agg + checkpoint + probe) jobs.
+    // sym carries 2 rows per input edge, hence the 2× cap.
+    if (localFinishSupported(sym.schema("node").dataType) &&
+        sym.count() <= 2 * localFinishCap && localFinishCap > 0)
+      return localComponents(sym)
     // init = min over the CLOSED neighborhood — exactly what round 1
     // would compute from self-labels, for the price of the distinct()
     // the naive init needs anyway (one partial-combine agg over sym).
@@ -117,7 +126,8 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 20,
-      materialize: DataFrame => DataFrame = Iterate.cut)
+      materialize: DataFrame => DataFrame = Iterate.cut,
+      localFinishCap: Long = 200000L)
       : DataFrame = {
     // canonical (a < b) distinct undirected edges, self-loops dropped
     var cur = materialize(
@@ -125,6 +135,20 @@ object ConnectedComponents {
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
         .filter(col("a") =!= col("b")).distinct())
+    // LOCAL FINISH — valid at ANY round, not just round 0: each
+    // large/small-star round preserves both the component structure
+    // (Kiveris et al. Thm 1) and the non-isolated node set (nodes are
+    // never dropped before the fixpoint — the fixpoint star forest
+    // still names every input node, and rewired edges only reference
+    // current endpoints and their neighborhood minima, so a node lost
+    // mid-round could never reappear). A one-task union–find over the
+    // current edge list therefore yields the identical
+    // (node, component-min) table the remaining rounds would.
+    val cap =
+      if (localFinishSupported(cur.schema("a").dataType)) localFinishCap
+      else 0L
+    var n = cur.count()
+    if (n > 0 && n <= cap) return localComponents(cur)
 
     def sym(e: DataFrame): DataFrame =
       e.select(col("a").as("node"), col("b").as("nbr"))
@@ -150,7 +174,7 @@ object ConnectedComponents {
     }
 
     var round = 0
-    var done = cur.isEmpty
+    var done = n == 0
     while (!done && round < maxRounds) {
       // materialize BETWEEN the two half-rounds too: small-star reads its
       // input through sym (twice) AND closedMin, so an unmaterialized
@@ -169,6 +193,10 @@ object ConnectedComponents {
         .isEmpty
       cur = next
       round += 1
+      if (!done) {
+        n = cur.count()
+        if (n <= cap) return localComponents(cur)
+      }
     }
     require(done, s"alternatingStars did not converge within $maxRounds rounds")
     // fixpoint is a star forest: leaves' labels are their single (min)
@@ -247,5 +275,90 @@ object ConnectedComponents {
       .join(delta, col("node") === col("_rep"), "left")
       .select(col("node"), coalesce(col("_merged"), col("node")).as("label"))
     oldFinal.unionByName(newFinal)
+  }
+
+  private def localFinishSupported(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == LongType || dt == IntegerType || dt == StringType
+  }
+
+  /** Spark's StringType min/least under the default (binary) collation
+    * is UTF8String order = unsigned byte-wise comparison of the UTF-8
+    * encoding. java.lang.String.compareTo is UTF-16 code-unit order,
+    * which DISAGREES for supplementary-plane characters (surrogates
+    * sort below U+E000..U+FFFF), so the local path compares the UTF-8
+    * bytes explicitly to match the distributed labels exactly.
+    */
+  private[graft] def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** One-task union–find over a two-column edge list (either
+    * direction, self-loops allowed): emits (node, label) with label =
+    * the component's minimum id, for exactly the nodes appearing in
+    * the list — the same contract as the iterative fixpoints. Node
+    * ids must be long/int/string (see [[utf8Lt]] for why string
+    * comparison is byte-wise) and non-null.
+    */
+  private[graft] def localComponents(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = pairs.sparkSession
+    val dt = pairs.schema.fields(0).dataType
+    val lt: (Any, Any) => Boolean = dt match {
+      case LongType =>
+        (x, y) => x.asInstanceOf[Long] < y.asInstanceOf[Long]
+      case IntegerType =>
+        (x, y) => x.asInstanceOf[Int] < y.asInstanceOf[Int]
+      case StringType =>
+        (x, y) => utf8Lt(x.asInstanceOf[String], y.asInstanceOf[String])
+      case other => throw new IllegalArgumentException(
+        s"localComponents: unsupported node id type $other")
+    }
+    val out = pairs.repartition(1).rdd.mapPartitions { it =>
+      import scala.collection.mutable
+      val idx = mutable.HashMap.empty[Any, Int]
+      val keys = mutable.ArrayBuffer.empty[Any]
+      val parent = mutable.ArrayBuffer.empty[Int]
+      def ix(v: Any): Int = idx.getOrElseUpdate(v, {
+        keys += v; parent += parent.length; parent.length - 1
+      })
+      def find(i0: Int): Int = {
+        var i = i0
+        while (parent(i) != i) {
+          parent(i) = parent(parent(i)); i = parent(i)
+        }
+        i
+      }
+      it.foreach { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "localComponents: null node id — the CC contract assumes " +
+            "non-null ids")
+        val ra = find(ix(r.get(0))); val rb = find(ix(r.get(1)))
+        if (ra != rb) parent(ra) = rb
+      }
+      val n = keys.length
+      val minOf = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val r = find(i)
+        if (minOf(r) == null || lt(keys(i), minOf(r))) minOf(r) = keys(i)
+        i += 1
+      }
+      (0 until n).iterator.map(i =>
+        org.apache.spark.sql.Row(keys(i), minOf(find(i))))
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("node", dt, nullable = true),
+      StructField("label", dt, nullable = true))))
   }
 }

@@ -65,7 +65,8 @@ object Mst {
 
   def boruvka(edges: DataFrame, loCol: String, hiCol: String,
       wCol: String, maxRounds: Int = 16,
-      materialize: DataFrame => DataFrame = Iterate.cut)
+      materialize: DataFrame => DataFrame = Iterate.cut,
+      localFinishCap: Long = 200000L)
       : DataFrame = {
     // canonical undirected edges keyed by their (initially trivial)
     // component ids; parallel edges -> min weight
@@ -86,10 +87,32 @@ object Mst {
         .select(col("lo").as("clo"), col("hi").as("chi"),
           col("lo"), col("hi"), col("w")))
 
+    // TWO-REGIME (the KTruss localFinish discipline): distributed
+    // Borůvka rounds only while the carried CONTRACTED edge list is
+    // large; once it fits one task (≤ localFinishCap rows — it at
+    // least halves per round, so this always triggers at bounded
+    // depth), finish with a single-task Kruskal over the contracted
+    // edges. Identical output by the uniqueness argument above: the
+    // strict total order (w, lo, hi) — (lo, hi) is unique per payload
+    // edge — makes the remaining forest unique, so ANY correct MSF
+    // algorithm on the contracted multigraph returns the same edge
+    // set the remaining Borůvka rounds would. Each distributed round
+    // costs ~6 jobs (min-edge agg, contraction joins, pointer-jump
+    // iterations each with a convergence action); at benchmark scale
+    // the whole forest fits the cap and ZERO distributed rounds run.
+    // The fast path needs long ids (callers pass long vec_ids);
+    // other id types keep the pure distributed loop.
+    val cap =
+      if (e.schema("lo").dataType ==
+            org.apache.spark.sql.types.LongType &&
+          e.schema("hi").dataType ==
+            org.apache.spark.sql.types.LongType) localFinishCap
+      else 0L
+
     val parts = ArrayBuffer.empty[DataFrame]
     var round = 0
-    var done = e.isEmpty
-    while (!done && round < maxRounds) {
+    var n = e.count()
+    while (n > cap && round < maxRounds) {
       // each live component's minimum incident edge under (w, lo, hi)
       // — both directions in ONE pass (explode), then a combine min
       val minE = materialize(e
@@ -138,15 +161,59 @@ object Mst {
         .groupBy("clo", "chi").agg(min(col("x")).as("m"))
         .select(col("clo"), col("chi"), col("m.lo").as("lo"),
           col("m.hi").as("hi"), col("m.w").as("w")))
-      done = e.isEmpty
+      n = e.count()
       round += 1
     }
-    require(done, s"boruvka did not converge within $maxRounds rounds")
+    require(n <= cap, s"boruvka did not converge within $maxRounds rounds")
+    if (n > 0) parts += localKruskal(e)
 
     if (parts.isEmpty)
       edges.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         e.select("lo", "hi", "w").schema)
     else parts.reduce(_ unionByName _)
+  }
+
+  /** One-task sequential Kruskal over the CONTRACTED edge list
+    * (clo, chi, lo, hi, w): edges sorted by the (w, lo, hi) total
+    * order stream through a union–find on the component ids; an edge
+    * whose components differ is accepted and emitted with its
+    * ORIGINAL endpoints (lo, hi, w). Equal to the remaining Borůvka
+    * rounds because the strict total order makes the forest unique.
+    * Array-backed union–find with path halving — no boxing on the
+    * merge path; ≤ localFinishCap edges fit one task trivially.
+    */
+  private[graft] def localKruskal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("clo"), col("chi"), col("lo"), col("hi"), col("w"))
+      .as[(Long, Long, Long, Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        import scala.collection.mutable
+        val edges = it.toArray.sortBy(t => (t._5, t._3, t._4))
+        val idx = mutable.LongMap.empty[Int]
+        val parent = mutable.ArrayBuffer.empty[Int]
+        def ix(v: Long): Int = idx.getOrElseUpdate(v, {
+          parent += parent.length; parent.length - 1
+        })
+        def find(i0: Int): Int = {
+          var i = i0
+          while (parent(i) != i) {
+            parent(i) = parent(parent(i)); i = parent(i)
+          }
+          i
+        }
+        val out = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var k = 0
+        while (k < edges.length) {
+          val t = edges(k)
+          val ra = find(ix(t._1)); val rb = find(ix(t._2))
+          if (ra != rb) { parent(ra) = rb; out += ((t._3, t._4, t._5)) }
+          k += 1
+        }
+        out.iterator
+      }
+      .toDF("lo", "hi", "w")
   }
 }

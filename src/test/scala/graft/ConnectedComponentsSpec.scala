@@ -99,10 +99,71 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("labelPropagation fails loudly when maxIter is below the diameter") {
+    // localFinishCap = 0 forces the distributed loop — under the
+    // default cap the one-task finisher would legitimately converge
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
-      ConnectedComponents.labelPropagation(chain, "a", "b", maxIter = 2).collect()
+      ConnectedComponents.labelPropagation(chain, "a", "b", maxIter = 2,
+        localFinishCap = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("local finisher ≡ distributed loops on a random graph (both ops)") {
+    // the two-regime gate: localFinishCap = 0 pins the pure
+    // distributed rounds; the default cap takes the one-task
+    // union–find. Same (node, label) table row-for-row.
+    val edges = (0 until 150)
+      .map(i => ((i * 29 % 170).toLong, (i * 71 % 170).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val lpLocal = ConnectedComponents
+      .labelPropagation(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val lpDist = ConnectedComponents
+      .labelPropagation(edges, "a", "b", localFinishCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(lpLocal === lpDist)
+    val asLocal = ConnectedComponents
+      .alternatingStars(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val asDist = ConnectedComponents
+      .alternatingStars(edges, "a", "b", localFinishCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(asLocal === asDist && asLocal === lpLocal)
+  }
+
+  test("local finisher handles string ids in UTF-8 byte order") {
+    // U+10000 (surrogate pair in UTF-16) vs U+FFFD: java compareTo
+    // sorts the surrogate pair FIRST; Spark's binary-collation min
+    // sorts it LAST. The local path must agree with Spark.
+    val hi = new String(Character.toChars(0x10000))
+    val lo = "�"
+    val edges = Seq((hi, lo), ("b", "a"), ("a", lo)).toDF("x", "y")
+    val viaLocal = ConnectedComponents.alternatingStars(edges, "x", "y")
+      .as[(String, String)].collect().toMap
+    val viaDist = ConnectedComponents
+      .alternatingStars(edges, "x", "y", localFinishCap = 0L)
+      .as[(String, String)].collect().toMap
+    assert(viaLocal === viaDist)
+    assert(viaLocal.values.toSet === Set("a"))
+    assert(viaLocal(hi) === "a" && viaLocal(lo) === "a")
+  }
+
+  test("alternatingStars mid-loop local finish matches the fixpoint") {
+    // cap sized so the FIRST check (input edge count) fails but a
+    // later round's rewired-and-merged edge list passes it: a dense
+    // 40-node graph starts at ~150 distinct edges and star rounds
+    // collapse parallel attachments toward the ≤39-edge star forest,
+    // crossing cap = 100 mid-loop.
+    val dense = (0 until 200)
+      .map(i => ((i * 7 % 40).toLong, (i * 11 % 40).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val got = ConnectedComponents
+      .alternatingStars(dense, "a", "b", localFinishCap = 100L)
+      .as[(Long, Long)].collect().toMap
+    val want = ConnectedComponents
+      .alternatingStars(dense, "a", "b", localFinishCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want && got.nonEmpty)
   }
 }

@@ -64,6 +64,38 @@ class MstSpec extends SparkSpec {
     assert(run(star) === star.toSet)
   }
 
+  test("local Kruskal finisher ≡ distributed Borůvka rounds") {
+    // two-regime gate: localFinishCap = 0 pins the pure distributed
+    // rounds; the default cap takes the one-task Kruskal. The strict
+    // (w, lo, hi) total order makes the forest unique, so the edge
+    // SETS must match exactly — including tie weights and parallel
+    // edges. Graph: 80 nodes, modular edges, many equal weights.
+    val edges = (0 until 300)
+      .map(i => ((i * 13 % 80).toLong, (i * 31 % 80).toLong, (i % 7).toLong))
+      .filter { case (a, b, _) => a != b }
+      .toDF("a", "b", "w")
+    val viaLocal = Mst.boruvka(edges, "a", "b", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaDist = Mst.boruvka(edges, "a", "b", "w", localFinishCap = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaLocal === viaDist && viaLocal.nonEmpty)
+  }
+
+  test("mid-loop local finish: cap between round sizes matches both regimes") {
+    // cap = 60 rejects the ~200-edge input but accepts the contracted
+    // list after a round or two of halving — the switch happens inside
+    // the loop, unioning distributed-round picks with Kruskal picks.
+    val edges = (0 until 300)
+      .map(i => ((i * 13 % 80).toLong, (i * 31 % 80).toLong, (i % 7).toLong))
+      .filter { case (a, b, _) => a != b }
+      .toDF("a", "b", "w")
+    val viaMid = Mst.boruvka(edges, "a", "b", "w", localFinishCap = 60L)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaDist = Mst.boruvka(edges, "a", "b", "w", localFinishCap = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaMid === viaDist)
+  }
+
   test("fractional weight raises loudly instead of truncating") {
     // 1.7 vs 1.2 differ only below the integer grid: a silent long
     // cast would tie them at 1 and mis-rank; the contract raises
