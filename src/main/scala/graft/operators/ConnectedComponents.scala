@@ -72,7 +72,7 @@ object ConnectedComponents {
     // sym carries 2 rows per input edge, hence the 2× cap.
     if (localFinishSupported(sym.schema("node").dataType) &&
         sym.count() <= 2 * localFinishCap && localFinishCap > 0)
-      return localComponents(sym)
+      return materialize(localComponents(sym))
     // init = min over the CLOSED neighborhood — exactly what round 1
     // would compute from self-labels, for the price of the distinct()
     // the naive init needs anyway (one partial-combine agg over sym).
@@ -148,7 +148,7 @@ object ConnectedComponents {
       if (localFinishSupported(cur.schema("a").dataType)) localFinishCap
       else 0L
     var n = cur.count()
-    if (n > 0 && n <= cap) return localComponents(cur)
+    if (n > 0 && n <= cap) return materialize(localComponents(cur))
 
     def sym(e: DataFrame): DataFrame =
       e.select(col("a").as("node"), col("b").as("nbr"))
@@ -195,7 +195,7 @@ object ConnectedComponents {
       round += 1
       if (!done) {
         n = cur.count()
-        if (n <= cap) return localComponents(cur)
+        if (n <= cap) return materialize(localComponents(cur))
       }
     }
     require(done, s"alternatingStars did not converge within $maxRounds rounds")

@@ -37,7 +37,8 @@ object GraphColoring {
 
   def jonesPlassmann(edges: DataFrame, srcCol: String, dstCol: String,
       salt: String = "jp", maxRounds: Int = 16,
-      materialize: DataFrame => DataFrame = Iterate.cut): DataFrame = {
+      materialize: DataFrame => DataFrame = Iterate.cut,
+      localFinishCap: Long = 200000L): DataFrame = {
     def prio(c: Column): Column = struct(
       conv(substring(md5(concat(lit(s"$salt|"), c.cast("string"))),
         1, 15), 16, 10).cast("long").as("h"),
@@ -46,14 +47,79 @@ object GraphColoring {
     val symAll = materialize(
       canon.select(col("lo").as("node"), col("hi").as("nbr"))
         .unionByName(canon.select(col("hi").as("node"), col("lo").as("nbr"))))
+    val longIds =
+      symAll.schema("node").dataType == org.apache.spark.sql.types.LongType
+
+    // LOCAL FINISH (the KTruss/Mst one-task discipline — valid at any
+    // round): with a fixed priority order, JP is EXACTLY sequential
+    // greedy coloring in decreasing (h, id) order — a node is colored
+    // the round it becomes the local max, at which point its colored
+    // neighbors are precisely its higher-priority neighbors plus the
+    // boundary colored in earlier rounds (a lower-priority neighbor
+    // can never be colored first: while v is uncolored, it blocks).
+    // So once the uncolored subgraph fits one task, a sequential
+    // greedy mex over (priority-sorted uncolored nodes, their edges,
+    // and the colored-boundary palette) reproduces the remaining
+    // rounds' colors identically. Each distributed round costs ~6
+    // checkpointed jobs and rounds are Θ(clique number) (~24+ on the
+    // co-order projection), so this removes >100 scheduler round trips
+    // at benchmark scale (round 0 already fits).
+    def localFinish(uncolP: DataFrame, eCur: DataFrame,
+        boundary: DataFrame): DataFrame = {
+      val spark = uncolP.sparkSession
+      import spark.implicits._
+      val tagged = uncolP.select(lit(0).as("t"), col("node").as("x"),
+          col("h").as("y"))
+        .unionByName(eCur.select(lit(1).as("t"),
+          col("node").cast("long").as("x"), col("nbr").cast("long").as("y")))
+        .unionByName(boundary.select(lit(2).as("t"),
+          col("node").cast("long").as("x"), col("color").cast("long").as("y")))
+      tagged.as[(Int, Long, Long)].repartition(1).mapPartitions { it =>
+        import scala.collection.mutable
+        val prioOf = mutable.LongMap.empty[Long]
+        val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+        val used = mutable.LongMap.empty[mutable.HashSet[Int]]
+        it.foreach {
+          case (0, n, h) => prioOf(n) = h
+          case (1, n, m) =>
+            adj.getOrElseUpdate(n, mutable.ArrayBuffer.empty) += m
+          case (2, n, c) =>
+            used.getOrElseUpdate(n, mutable.HashSet.empty) += c.toInt
+        }
+        // decreasing (h, id): the JP priority struct order
+        val order = prioOf.toArray.sortBy { case (id, h) => (-h, -id) }
+        val color = mutable.LongMap.empty[Int]
+        order.iterator.map { case (id, _) =>
+          val taken = used.getOrElse(id, mutable.HashSet.empty[Int])
+          adj.getOrElse(id, mutable.ArrayBuffer.empty).foreach { m =>
+            color.get(m).foreach(taken += _)
+          }
+          var c = 0
+          while (taken(c)) c += 1
+          color(id) = c
+          (id, c)
+        }
+      }.toDF("node", "color")
+    }
 
     var e = symAll // uncolored-subgraph edges
     var uncol = materialize(symAll.select("node").distinct())
     var colored = symAll
       .select(col("node"), lit(0).as("color")).filter(lit(false))
+    val cap = if (longIds) localFinishCap else 0L
     var round = 0
     var done = uncol.isEmpty
     while (!done && round < maxRounds) {
+      if (uncol.count() <= cap && e.count() <= cap) {
+        val boundary = uncol
+          .join(symAll, "node")
+          .join(colored.select(col("node").as("_n2"), col("color")),
+            col("nbr") === col("_n2"))
+          .select(col("node"), col("color")).distinct()
+        return colored.unionByName(
+          localFinish(uncol.select(col("node"), prio(col("node"))("h")
+            .as("h")), e, boundary))
+      }
       val nbrMax = e.groupBy("node").agg(max(prio(col("nbr"))).as("mp"))
       val winners = materialize(uncol
         .join(nbrMax, Seq("node"), "left")

@@ -43,7 +43,8 @@ object Scc {
 
   def components(edges: DataFrame, nodes: DataFrame,
       maxOuter: Int = 10, maxInner: Int = 50,
-      materialize: DataFrame => DataFrame = Iterate.cut)
+      materialize: DataFrame => DataFrame = Iterate.cut,
+      localFinishCap: Long = 200000L)
       : DataFrame = {
 
     def fixpointMin(e: DataFrame, init: DataFrame): DataFrame = {
@@ -67,13 +68,37 @@ object Scc {
     }
 
     var remaining = materialize(nodes.select(col("id")))
+    val longIds =
+      remaining.schema("id").dataType == org.apache.spark.sql.types.LongType
+    val cap = if (longIds) localFinishCap else 0L
     var result: Option[DataFrame] = None
     var outer = 0
-    while (!remaining.isEmpty && outer < maxOuter) {
+    var nRem = remaining.count()
+    while (nRem > 0 && outer < maxOuter) {
       val e = materialize(edges
         .join(remaining.withColumnRenamed("id", "src"), "src")
         .join(remaining.withColumnRenamed("id", "dst"), "dst")
         .select("src", "dst"))
+      // LOCAL FINISH (the KTruss/Mst one-task discipline — valid at
+      // any outer round: peel removes WHOLE components, so the
+      // remaining subgraph's SCCs are final SCCs): once the remaining
+      // nodes + their induced edges fit one task, a single-task
+      // Tarjan labeled by component minimum reproduces the remaining
+      // peel rounds exactly — the distributed assignment is scc =
+      // forward-min color of the flagged class, which the mutual-
+      // reachability lemma makes the component's MINIMUM member id,
+      // an algorithm-independent labeling. Each distributed outer
+      // round costs a forward-min fixpoint PLUS a backward-flag
+      // fixpoint (each O(depth) checkpointed jobs), so this removes
+      // the whole job cascade at benchmark scale.
+      if (nRem <= cap && e.count() <= cap) {
+        // materialized: condensationLevels joins the assignment 3x
+        val assigned = materialize(localTarjan(remaining, e))
+        result = Some(result.fold(assigned)(r =>
+          r.unionByName(assigned)))
+        remaining = remaining.filter(lit(false))
+        nRem = 0
+      } else {
       val f = materialize(
         fixpointMin(e, materialize(remaining.select(col("id"),
           col("id").as("f")))))
@@ -105,11 +130,99 @@ object Scc {
         materialize(r.unionByName(assigned))))
       remaining = materialize(
         remaining.join(assigned.select("id"), Seq("id"), "left_anti"))
+      nRem = remaining.count()
+      }
       outer += 1
     }
-    require(remaining.isEmpty,
+    require(nRem == 0,
       s"SCC peel did not finish within $maxOuter outer rounds")
     result.getOrElse(nodes.select(col("id"), col("id").as("scc")))
+  }
+
+  /** One-task Tarjan over (id) nodes and (src, dst) induced edges:
+    * emits (id, scc) with scc = the component's minimum member id —
+    * the same labeling the FB-coloring rounds produce. Iterative
+    * (explicit stack) so deep chains cannot overflow the JVM stack.
+    */
+  private[graft] def localTarjan(nodes: DataFrame, e: DataFrame)
+      : DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val tagged = nodes.select(lit(0).as("t"), col("id").as("x"),
+        lit(0L).as("y"))
+      .unionByName(e.select(lit(1).as("t"), col("src").as("x"),
+        col("dst").as("y")))
+    tagged.as[(Int, Long, Long)].repartition(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val idx = mutable.LongMap.empty[Int]
+      val ids = mutable.ArrayBuffer.empty[Long]
+      def ix(v: Long): Int = idx.getOrElseUpdate(v, {
+        ids += v; ids.length - 1
+      })
+      val adjM = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
+      it.foreach {
+        case (0, n, _) => ix(n)
+        case (1, s, d) =>
+          adjM.getOrElseUpdate(ix(s), mutable.ArrayBuffer.empty) += ix(d)
+      }
+      val n = ids.length
+      val index = Array.fill(n)(-1)
+      val lowlink = new Array[Int](n)
+      val onStack = new Array[Boolean](n)
+      val sccOf = Array.fill(n)(-1)
+      val stack = mutable.ArrayBuffer.empty[Int]
+      var counter = 0
+      var nScc = 0
+      val empty = mutable.ArrayBuffer.empty[Int]
+      // iterative Tarjan: frames of (vertex, next-child position)
+      val fv = mutable.ArrayBuffer.empty[Int]
+      val fp = mutable.ArrayBuffer.empty[Int]
+      var v0 = 0
+      while (v0 < n) {
+        if (index(v0) == -1) {
+          fv += v0; fp += 0
+          index(v0) = counter; lowlink(v0) = counter; counter += 1
+          stack += v0; onStack(v0) = true
+          while (fv.nonEmpty) {
+            val v = fv.last
+            val nbrs = adjM.getOrElse(v, empty)
+            if (fp.last < nbrs.length) {
+              val w = nbrs(fp.last)
+              fp(fp.length - 1) += 1
+              if (index(w) == -1) {
+                fv += w; fp += 0
+                index(w) = counter; lowlink(w) = counter; counter += 1
+                stack += w; onStack(w) = true
+              } else if (onStack(w)) {
+                if (index(w) < lowlink(v)) lowlink(v) = index(w)
+              }
+            } else {
+              fv.remove(fv.length - 1); fp.remove(fp.length - 1)
+              if (fv.nonEmpty && lowlink(v) < lowlink(fv.last))
+                lowlink(fv.last) = lowlink(v)
+              if (lowlink(v) == index(v)) {
+                var w = -1
+                while (w != v) {
+                  w = stack.remove(stack.length - 1)
+                  onStack(w) = false
+                  sccOf(w) = nScc
+                }
+                nScc += 1
+              }
+            }
+          }
+        }
+        v0 += 1
+      }
+      // component label = minimum member id
+      val minOf = Array.fill(nScc)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        if (ids(i) < minOf(sccOf(i))) minOf(sccOf(i)) = ids(i)
+        i += 1
+      }
+      (0 until n).iterator.map(i => (ids(i), minOf(sccOf(i))))
+    }.toDF("id", "scc")
   }
 
   /** Condensation of the graph under an SCC assignment: the DAG of
@@ -129,7 +242,8 @@ object Scc {
     */
   def condensationLevels(edges: DataFrame, assignment: DataFrame,
       maxIter: Int = 50,
-      materialize: DataFrame => DataFrame = Iterate.cut)
+      materialize: DataFrame => DataFrame = Iterate.cut,
+      localFinishCap: Long = 200000L)
       : DataFrame = {
     val ce = materialize(edges
       .join(assignment.select(col("id").as("src"), col("scc").as("_sa")),
@@ -139,7 +253,67 @@ object Scc {
       .filter(col("_sa") =!= col("_sb"))
       .select(col("_sa").as("s"), col("_sb").as("t"))
       .distinct())
-    val sizes = assignment.groupBy("scc").agg(count(lit(1)).as("n_nodes"))
+    val sizes = materialize(
+      assignment.groupBy("scc").agg(count(lit(1)).as("n_nodes")))
+    // LOCAL FINISH: the max-propagation fixpoint is the longest path
+    // ending at each component of the condensation DAG — a one-task
+    // Kahn topological DP computes the identical exact-integer levels
+    // once the condensed edge list and component list fit one task,
+    // instead of O(DAG depth) checkpointed join rounds. Components
+    // with no condensed edge sit at level 0 in both formulations.
+    if (sizes.schema("scc").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        localFinishCap > 0 && ce.count() <= localFinishCap &&
+        sizes.count() <= localFinishCap) {
+      val spark = ce.sparkSession
+      import spark.implicits._
+      val tagged = sizes.select(lit(0).as("t"), col("scc").as("x"),
+          lit(0L).as("y"))
+        .unionByName(ce.select(lit(1).as("t"), col("s").as("x"),
+          col("t").as("y")))
+      val lvlLocal = tagged.as[(Int, Long, Long)].repartition(1)
+        .mapPartitions { it =>
+          import scala.collection.mutable
+          val idx = mutable.LongMap.empty[Int]
+          val ids = mutable.ArrayBuffer.empty[Long]
+          def ix(v: Long): Int = idx.getOrElseUpdate(v, {
+            ids += v; ids.length - 1
+          })
+          val out = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
+          val indeg = mutable.ArrayBuffer.empty[Int]
+          def grow(i: Int): Unit =
+            while (indeg.length <= i) indeg += 0
+          it.foreach {
+            case (0, c, _) => grow(ix(c))
+            case (1, s, d) =>
+              val is = ix(s); val id2 = ix(d); grow(math.max(is, id2))
+              out.getOrElseUpdate(is, mutable.ArrayBuffer.empty) += id2
+              indeg(id2) += 1
+          }
+          val n = ids.length
+          val lvl = new Array[Long](n)
+          val queue = mutable.Queue.empty[Int]
+          var i = 0
+          while (i < n) { if (indeg(i) == 0) queue += i; i += 1 }
+          var seen = 0
+          val empty = mutable.ArrayBuffer.empty[Int]
+          while (queue.nonEmpty) {
+            val v = queue.dequeue()
+            seen += 1
+            out.getOrElse(v, empty).foreach { w =>
+              if (lvl(v) + 1 > lvl(w)) lvl(w) = lvl(v) + 1
+              indeg(w) -= 1
+              if (indeg(w) == 0) queue += w
+            }
+          }
+          require(seen == n, "condensation levels: assignment is not " +
+            "acyclic (not a valid SCC partition)")
+          (0 until n).iterator.map(i => (ids(i), lvl(i)))
+        }.toDF("scc", "lvl")
+      return sizes.join(lvlLocal, "scc")
+        .select(col("scc"), col("n_nodes"), col("lvl").as("level"))
+        .orderBy("scc")
+    }
     var lvl = materialize(sizes.select(col("scc"), lit(0L).as("lvl")))
     var iter = 0
     var done = lvl.isEmpty

@@ -56,4 +56,20 @@ class GraphColoringSpec extends SparkSpec {
     assertProper(edges.filter(e => e._1 != e._2), c)
     assert(c.keySet === Set(1L, 2L, 3L))
   }
+
+  test("local finisher ≡ distributed JP rounds (incl. mid-loop switch)") {
+    // JP with fixed priorities == sequential greedy in decreasing
+    // (h, id) order; colors must match COLOR-FOR-COLOR, not just be
+    // proper. 60 nodes, modular edges, triangle-rich.
+    val edges = (0 until 220)
+      .map(i => ((i * 17 % 60).toLong, (i * 41 % 60).toLong))
+      .filter { case (a, b) => a != b }
+    def run(cap: Long): Map[Long, Int] =
+      GraphColoring.jonesPlassmann(edges.toDF("s", "d"), "s", "d",
+        localFinishCap = cap).as[(Long, Int)].collect().toMap
+    val viaDist = run(0L)
+    assert(run(200000L) === viaDist) // round-0 switch
+    assert(run(60L) === viaDist)     // mid-loop switch (uncol shrinks)
+    assertProper(edges, viaDist)
+  }
 }

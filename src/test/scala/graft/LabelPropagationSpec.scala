@@ -39,4 +39,23 @@ class LabelPropagationSpec extends SparkSpec {
     // a triangle collapses to the min label
     assert(a.map(_._2).distinct === Seq(1L))
   }
+
+  test("one-task replay ≡ distributed synchronous rounds") {
+    // oscillation-prone near-bipartite region + weighted ties: the
+    // round-r label table is a pure function of the graph, so the
+    // local replay must match label-for-label at EVERY round count
+    val edges = ((0 until 120)
+      .map(i => ((i * 19 % 50).toLong, (i * 7 % 50).toLong, (i % 3 + 1).toLong))
+      .filter { case (a, b, _) => a != b } ++
+      Seq((100L, 101L, 2L), (101L, 102L, 2L), (102L, 100L, 2L)))
+      .toDF("a", "b", "w")
+    (1 to 6).foreach { r =>
+      val viaLocal = LabelPropagation.communities(edges, "a", "b", "w", r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+      val viaDist = LabelPropagation
+        .communities(edges, "a", "b", "w", r, localFinishCap = 0L)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+      assert(viaLocal === viaDist, s"divergence at rounds=$r")
+    }
+  }
 }

@@ -70,4 +70,35 @@ class SccSpec extends SparkSpec {
     val h = (lnMu(900) + lnMu(700) - 2 * lnMu(700)) / 2
     assert(got._3 === 700L && got._4 === h)
   }
+
+  test("local Tarjan finisher ≡ distributed FB-coloring peel") {
+    // directed modular graph with planted cycles of several depths so
+    // the distributed path needs multiple outer peel rounds; labels
+    // (component MINIMUM id) must match row-for-row
+    val nodes = (0L until 80L)
+    val edges = (0 until 300)
+      .map(i => ((i * 13 % 80).toLong, (i * 57 % 80).toLong))
+      .filter { case (a, b) => a != b } ++
+      Seq((70L, 71L), (71L, 72L), (72L, 70L)) // isolated 3-cycle risk
+    val viaLocal = Scc.components(edges.toDF("src", "dst"),
+      nodes.toDF("id")).as[(Long, Long)].collect().toMap
+    val viaDist = Scc.components(edges.toDF("src", "dst"),
+      nodes.toDF("id"), localFinishCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLocal === viaDist && viaLocal.size === 80)
+  }
+
+  test("condensationLevels local DP ≡ max-propagation fixpoint") {
+    val nodes = (0L until 40L)
+    val edges = (0 until 140)
+      .map(i => ((i * 11 % 40).toLong, (i * 23 % 40).toLong))
+      .filter { case (a, b) => a != b }
+    val e = edges.toDF("src", "dst")
+    val scc = Scc.components(e, nodes.toDF("id"))
+    val viaLocal = Scc.condensationLevels(e, scc)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaDist = Scc.condensationLevels(e, scc, localFinishCap = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaLocal === viaDist && viaLocal.nonEmpty)
+  }
 }
