@@ -50,8 +50,10 @@ import org.apache.spark.sql.types.LongType
   *
   * Scale: the full pass is a wedge equi-join (a<b<c ordered edges:
   * (a,b)⋈(b,c) on the shared middle vertex) closed by a left-semi
-  * probe on (a,c), then a 3-way unionAll → combine count per edge —
-  * never an n² pair product; wedge fan-out is bounded upstream by the
+  * probe on (a,c) — broadcast under [[BroadcastProbeCap]], shuffled
+  * above it — then ONE explode of the three triangle sides → combine
+  * count per edge — never an n² pair product; wedge fan-out is
+  * bounded upstream by the
   * capped projection feeding it (the X257 BipartiteProjection cap
   * rule). A degree-ordered Chiba–Nishizeki orientation was measured
   * SLOWER (20.0 s vs 16.2 s, sf0.1) — the capped projection leaves no
@@ -68,19 +70,46 @@ import org.apache.spark.sql.types.LongType
   */
 object KTruss {
 
+  /** Edge-count bound under which the semi-probe side of the wedge
+    * closure broadcasts: ≤10M (a, b) long pairs is ~160 MB raw —
+    * inside the guide's "a few hundred MB is usually fine" band and
+    * far from the 8 GB broadcast cap — and it converts the wedge
+    * table's exchange (the DOMINANT shuffle: |wedges| ≈ Σ_b d⁻d⁺ rows,
+    * 35M at sf0.1 vs 841k edges) into a map-side broadcast probe.
+    * Beyond the bound the classic shuffled semi-join runs unchanged.
+    */
+  private[graft] val BroadcastProbeCap = 10000000L
+
   /** Support of every edge in `e` (oriented a < b), zero-filled: the
     * id-ordered wedge equi-join closed by a semi probe.
+    *
+    * `nEdges` (when the caller already knows it — truss() counts every
+    * round) gates two plan choices the default stats cannot make
+    * because `e` is an Iterate.cut leaf with session-default size:
+    *  - probe side broadcasts under [[BroadcastProbeCap]] (above);
+    *  - the three triangle sides come from ONE explode over the wedge
+    *    table instead of a 3-way unionAll of different projections of
+    *    `tri` — the planner does not reuse exchanges across union
+    *    branches with different projections, so the old shape ran the
+    *    whole wedge join + semi THREE times (measured: the supportAll
+    *    job was 6 stages / the dominant ~5-6 s of llm_graph_ktruss).
     */
-  private[graft] def supportAll(e: DataFrame): DataFrame = {
+  private[graft] def supportAll(e: DataFrame, nEdges: Long = -1L)
+      : DataFrame = {
+    val probeBase = e.select(col("a"), col("b").as("c"))
+    val probe =
+      if (nEdges >= 0 && nEdges <= BroadcastProbeCap) broadcast(probeBase)
+      else probeBase
     val tri = e
       .join(e.select(col("a").as("b"), col("b").as("c")), "b")
-      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"),
-        "left_semi")
+      .join(probe, Seq("a", "c"), "left_semi")
       .select("a", "b", "c")
-    val counts = tri.select(col("a"), col("b"))
-      .unionAll(tri.select(col("a"), col("c").as("b")))
-      .unionAll(tri.select(col("b").as("a"), col("c").as("b")))
-      .groupBy("a", "b").agg(count(lit(1)).as("s"))
+    val sides = tri.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("a"), col("c").as("b")),
+        struct(col("b").as("a"), col("c").as("b")))).as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"))
+    val counts = sides.groupBy("a", "b").agg(count(lit(1)).as("s"))
     e.join(counts, Seq("a", "b"), "left")
       .select(col("a"), col("b"), coalesce(col("s"), lit(0L)).as("s"))
   }
@@ -91,16 +120,20 @@ object KTruss {
     * probe, combine-count per affected edge, zero-fill. Cost is
     * Σ_{(x,y)∈aff} deg(x) — the affected-front regime, never |E|·deg.
     */
-  private[graft] def supportOf(aff: DataFrame, e: DataFrame): DataFrame = {
+  private[graft] def supportOf(aff: DataFrame, e: DataFrame,
+      nEdges: Long = -1L): DataFrame = {
     val und = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val probe =
+      if (nEdges >= 0 && nEdges <= BroadcastProbeCap) broadcast(e)
+      else e
     val cand = aff.select(col("a").as("x"), col("b").as("y"))
       .join(und, col("x") === col("u"))
       .filter(col("v") =!= col("y"))
       .select(col("x"), col("y"),
         least(col("y"), col("v")).as("a"),
         greatest(col("y"), col("v")).as("b"))
-      .join(e, Seq("a", "b"), "left_semi")
+      .join(probe, Seq("a", "b"), "left_semi")
     val counts = cand.groupBy("x", "y").agg(count(lit(1)).as("s"))
     aff.join(
         counts.select(col("x").as("a"), col("y").as("b"), col("s")),
@@ -240,8 +273,8 @@ object KTruss {
     val longIds = e0.schema.fields.forall(_.dataType == LongType)
     // carried state: (a, b, s) — every surviving edge with its EXACT
     // support within the current survivor set
-    var sup = Iterate.cut(supportAll(e0))
     var prev = e0.count()
+    var sup = Iterate.cut(supportAll(e0, prev))
     var rounds = 0
     var result: DataFrame = null
     while (result == null) {
@@ -268,7 +301,7 @@ object KTruss {
           // big front: the affected set is ~the whole graph, and the
           // oriented full wedge pass (middle-vertex fan-out d+) beats
           // per-edge full-degree adjacency enumeration — recompute
-          sup = Iterate.cut(supportAll(e2))
+          sup = Iterate.cut(supportAll(e2, after))
         } else {
           val del = sup.filter(col("s") < k - 2)
           // endpoints touched by this round's deletions; only edges
@@ -280,7 +313,7 @@ object KTruss {
             .unionAll(e2.join(dv.withColumnRenamed("v", "b"),
               Seq("b"), "left_semi").select("a", "b"))
             .distinct()
-          val affSup = supportOf(aff, e2)
+          val affSup = supportOf(aff, e2, after)
             .select(col("a"), col("b"), col("s").as("_s2"))
           sup = Iterate.cut(
             keep.join(affSup, Seq("a", "b"), "left")
